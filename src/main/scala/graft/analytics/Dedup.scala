@@ -1,0 +1,127 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard — SURVEY.md §7.7
+  * / the north-star LLM-pipeline surface.
+  *
+  * Scale design:
+  *  - exact dedup is a hash groupBy — one shuffle on the fingerprint;
+  *  - MinHash signatures are narrow per-doc transforms; LSH banding
+  *    turns the O(n²) pair space into a groupBy on band keys, so only
+  *    same-bucket candidates join (the classic shingle→minhash→band→
+  *    bucket-join pipeline);
+  *  - SimHash is a per-doc 64-bit fingerprint; near-dup = Hamming
+  *    distance on bucketed prefixes;
+  *  - all hashes derive from md5 (stable across engines → DuckDB
+  *    oracle-checkable), not Spark's xxhash64.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column (empty array when < k words). */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Exact duplicate groups keyed on normalized-text md5: group size and
+    * the surviving (minimum) doc id. */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy("keep_doc_id")
+
+  /** MinHash signature: for each of `numHashes` hash functions, the
+    * minimum md5(seed || shingle) over the doc's shingle set. Hash
+    * values are hex strings — min is lexicographic, identical in any
+    * engine. Returns (doc_id, sig array). */
+  def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(col("text"), k)
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5(concat(lit(seed + ":"), s)))).as(s"h$seed")
+    }
+    documents.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH banding over minhash signatures: hash `rowsPerBand` signature
+    * slots per band; docs sharing any band key are near-dup candidates.
+    * Returns candidate pairs with their signature agreement ratio —
+    * the full pipeline shuffles only on band keys (×bands), never n². */
+  def minhashCandidatePairs(documents: DataFrame, k: Int, numHashes: Int,
+                            rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(documents, k, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      // concat (null-propagating), NOT concat_ws: a doc with no shingles
+      // has null signature slots and must land in no bucket at all
+      val joined = slots.tail.foldLeft(slots.head)((acc, s) => concat(acc, lit("|"), s))
+      struct(lit(b).as("band"), md5(joined).as("key")).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
+      explode(array(bandCols: _*)).as("bk"): _*)
+    val left = banded.select(col("doc_id").as("doc_a"), col("bk"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_a"))
+    val right = banded.select(col("doc_id").as("doc_b"), col("bk"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_b"))
+    left.join(right, left("bk") === right("bk") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("sig_agreement"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit fingerprint — per token, md5-derived 64 bits vote
+    * ±1 per bit position weighted by term frequency; fingerprint bit =
+    * sign of the vote. Built from two 32-bit md5 halves (engine-stable).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.bpeishTokens(col("text"))
+    // 64 bits as two 32-bit md5 halves, kept in separate longs so no
+    // shift ever exceeds 31 (lets the DuckDB oracle mirror the math —
+    // its BIGINT shifts raise on overflow)
+    val exploded = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val h = md5(col("tok"))
+    val halves = Seq("hi" -> conv(substring(h, 1, 8), 16, 10).cast(LongType),
+      "lo" -> conv(substring(h, 9, 8), 16, 10).cast(LongType))
+    val bitVotes = halves.flatMap { case (half, word) =>
+      (0 until 32).map { b =>
+        sum(when(shiftright(word, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"${half}$b")
+      }
+    }
+    val votes = exploded.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    def fp(half: String): Column = (0 until 32).map { b =>
+      when(col(s"$half$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc_id"), fp("hi").as("simhash_hi"), fp("lo").as("simhash_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram (word-set) Jaccard similarity for candidate pairs within a
+    * restricted id set — the exact verifier that LSH candidates feed at
+    * scale (here exposed directly for oracle checking). */
+  def jaccardPairs(documents: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
+    val docs = documents.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) -
+            size(array_intersect(col("toks_a"), col("toks_b"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,487 @@
+package graft.queries
+
+import graft.analytics._
+import graft.metrics.Metrics
+import graft.udm.{SynthPackets, UdmTransform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One declared query per implemented operator (SURVEY.md §2 inventory +
+  * the LLM-pipeline north-star operators), each with equivalent ANSI SQL
+  * the driver runs in DuckDB over the same parquet tables.
+  *
+  * Oracle-matching rules (learned the hard way, keep in sync):
+  *  - integer outputs are BIGINT on both sides (Spark `size`/`year`/
+  *    `row_number` are cast to long; DuckDB `sum(int)` is cast from
+  *    HUGEINT to BIGINT);
+  *  - float aggregates are `round`ed (2–6 dp) — FP summation order is
+  *    nondeterministic in both engines;
+  *  - every query ORDER BYs its full output for stable row order;
+  *  - hashes are md5 (identical hex in both engines), never xxhash.
+  */
+final case class QueryDef(
+  name: String,
+  build: (SparkSession, String) => DataFrame,
+  oracle: Option[String],
+  bench: Boolean = false)
+
+object Registry {
+
+  /** Table loader. The driver's `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark 4 refuses by default — read nanos as long (runtime
+    * conf) and rebuild a µs timestamp (`div 1000` truncation, matching
+    * DuckDB's ns→µs cast). */
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$n.parquet")
+    if (n == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  // deterministic heuristic inputs (mirrored literally in oracle SQL)
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("batch", "stream"), "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "value"), "fr" -> Seq("merge", "join"),
+    "zh" -> Seq("spark", "vector"))
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  // ---------------- relational (TPC-H-style analytics layer) ----------
+
+  private val relational = Seq(
+    QueryDef("q1_pricing_summary",
+      (s, d) => Relational.pricingSummary(t(s, d, "lineitem")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 2) AS avg_qty,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    QueryDef("q3_shipping_priority",
+      (s, d) => Relational.shippingPriority(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem")),
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""), bench = true),
+
+    QueryDef("q5_local_supplier",
+      (s, d) => Relational.localSupplierVolume(t(s, d, "region"), t(s, d, "nation"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"), "EUROPE"),
+      Some("""SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""), bench = true),
+
+    QueryDef("join_nation_year_revenue",
+      (s, d) => Relational.revenueByNationYear(t(s, d, "nation"), t(s, d, "customer"), t(s, d, "orders")),
+      Some("""SELECT n_name, year(o_orderdate) AS order_year,
+        round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate) ORDER BY n_name, order_year""")),
+
+    QueryDef("topk_customers",
+      (s, d) => Relational.topCustomersByRevenue(t(s, d, "orders"), 10),
+      Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+        count(*) AS n_orders FROM orders GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey LIMIT 10""")),
+
+    QueryDef("window_top_orders_per_customer",
+      (s, d) => Relational.topOrdersPerCustomer(t(s, d, "orders"), 3),
+      Some("""SELECT o_custkey, o_orderkey, totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        WHERE rk <= 3 ORDER BY o_custkey, rk"""), bench = true),
+
+    QueryDef("rollup_lineitem",
+      (s, d) => Relational.lineitemRollup(t(s, d, "lineitem")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    QueryDef("distinct_agg_per_flag",
+      (s, d) => Relational.distinctSuppliersPerFlag(t(s, d, "lineitem")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+        count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("semi_join_big_orders",
+      (s, d) => Relational.customersWithBigOrders(t(s, d, "customer"), t(s, d, "orders"), 400000),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    QueryDef("anti_join_processed_set",
+      (s, d) => Relational.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    QueryDef("setop_intersect_customers",
+      (s, d) => Relational.intersectCustomers(t(s, d, "orders")),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey""")))
+
+  // ---------------- metrics (A-series over events) --------------------
+
+  private val metrics = Seq(
+    QueryDef("a1_counts_by_type",
+      (s, d) => Metrics.countsByType(t(s, d, "events")),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("a2_error_share_daily",
+      (s, d) => Metrics.errorShareDaily(t(s, d, "events")),
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 4) AS error_share
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    QueryDef("a4_windowed_rates",
+      (s, d) => Metrics.windowedRates(t(s, d, "events"), "hour"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        count(*) AS n, round(count(*) / 3600.0, 6) AS rate_per_sec
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""), bench = true),
+
+    QueryDef("a6_value_percentiles",
+      (s, d) => Metrics.valuePercentiles(t(s, d, "events")),
+      Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.95), 4) AS p95,
+        round(quantile_cont(value, 0.99), 4) AS p99,
+        round(max(value), 2) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("a7_liveness_gaps",
+      (s, d) => Metrics.maxGapPerUser(t(s, d, "events"), 3600),
+      Some("""WITH g AS (SELECT user_id,
+          epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+        FROM events)
+        SELECT user_id, round(max(gap), 3) AS max_gap_secs,
+        CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("sessionize_events",
+      (s, d) => Metrics.sessionStats(t(s, d, "events"), 3600),
+      Some("""WITH g AS (SELECT user_id, ts,
+          CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+               THEN 1 ELSE 0 END AS is_new FROM events),
+        s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM g),
+        per AS (SELECT user_id, session_id, count(*) AS n_events,
+          max(epoch(ts)) - min(epoch(ts)) AS dur FROM s GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        round(max(dur), 3) AS max_session_secs
+        FROM per GROUP BY user_id ORDER BY user_id"""), bench = true))
+
+  // ---------------- P-series scalar ops over events/documents ---------
+
+  private val scalars = Seq(
+    QueryDef("p1_json_extract",
+      (s, d) => t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+
+    QueryDef("p3_timestamp_repair",
+      (s, d) => t(s, d, "events").select(col("event_id"),
+        unix_timestamp(graft.udm.UdmExpressions.robustTimestamp(
+          concat(date_format(col("ts"), "MMM dd, yyyy HH:mm:ss"), lit(" UTC"))))
+          .as("epoch_s"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        FROM events ORDER BY event_id""")),
+
+    QueryDef("p4_classify_severity",
+      (s, d) => t(s, d, "events").select(
+          when(col("event_type") === "error", "high")
+            .when(col("event_type").isin("purchase", "signup"), "medium")
+            .otherwise("low").as("severity"))
+        .groupBy("severity").agg(count(lit(1)).as("n")).orderBy("severity"),
+      Some("""SELECT CASE WHEN event_type = 'error' THEN 'high'
+          WHEN event_type IN ('purchase', 'signup') THEN 'medium'
+          ELSE 'low' END AS severity, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY severity""")),
+
+    QueryDef("p14_error_containment",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "error")
+        .select(col("event_id"),
+          lit("event processing failed").as("error_msg"),
+          substring(col("props"), 1, 1000).as("snippet"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, 'event processing failed' AS error_msg,
+        substr(props, 1, 1000) AS snippet
+        FROM events WHERE event_type = 'error' ORDER BY event_id""")),
+
+    QueryDef("p15_base64_roundtrip",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          base64(encode(col("source"), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(col("source"), "UTF-8"))), "UTF-8").as("roundtrip"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, to_base64(encode(source)) AS b64,
+        decode(from_base64(to_base64(encode(source)))) AS roundtrip
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("p16_filename_derivation",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          regexp_replace(concat(col("source"), lit(".pcapng")), "\\.pcap(ng)?$", ".udm.json")
+            .as("udm_name"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        regexp_replace(source || '.pcapng', '\.pcap(ng)?$', '.udm.json') AS udm_name
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("f1_filename_validation",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, concat(col("source"), lit("/evil")))
+            .otherwise(col("source")).as("fname"))
+        .select(col("doc_id"), col("fname"),
+          (length(col("fname")) > 0 && !col("fname").contains("/")).as("is_valid"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, fname,
+        (length(fname) > 0 AND position('/' IN fname) = 0) AS is_valid
+        FROM (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN source || '/evil'
+          ELSE source END AS fname FROM documents) ORDER BY doc_id""")))
+
+  // ---------------- UDM pipeline (synth packets → full transform) -----
+
+  private val udm = Seq(
+    QueryDef("udm_classify_pipeline",
+      (s, d) => {
+        val packets = SynthPackets.fromEvents(t(s, d, "events"))
+        val out = packets.select(col("event_id"),
+          UdmTransform.events(col("raw")).getField("event").as("event"))
+        out.select(col("event_id"),
+            col("event.metadata.event_type").as("udm_type"),
+            col("event.principal.port").cast("long").as("src_port"),
+            try_element_at(col("event.about"), lit(1)).getField("hostname").as("about_host"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'
+          WHEN 'view' THEN 'NETWORK_DNS' WHEN 'click' THEN 'NETWORK_HTTP'
+          WHEN 'signup' THEN 'NETWORK_ARP' ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
+        CASE WHEN event_type IN ('click', 'purchase') THEN 10000 + user_id
+          WHEN event_type = 'view' THEN 20000 + user_id END AS src_port,
+        CASE WHEN event_type = 'click' THEN 'host' || CAST(user_id AS VARCHAR) || '.example.com'
+          WHEN event_type = 'view' THEN 'q' || CAST(user_id AS VARCHAR) || '.example.org'
+          WHEN event_type = 'purchase' THEN 'sni' || CAST(user_id AS VARCHAR) || '.example.net'
+          END AS about_host
+        FROM events ORDER BY event_id"""), bench = true),
+
+    QueryDef("udm_event_type_counts",
+      (s, d) => {
+        val packets = SynthPackets.fromEvents(t(s, d, "events"))
+        packets.select(UdmTransform.events(col("raw")).getField("event").as("event"))
+          .groupBy(col("event.metadata.event_type").as("udm_type"))
+          .agg(count(lit(1)).as("n")).orderBy("udm_type")
+      },
+      Some("""SELECT CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'
+          WHEN 'view' THEN 'NETWORK_DNS' WHEN 'click' THEN 'NETWORK_HTTP'
+          WHEN 'signup' THEN 'NETWORK_ARP' ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
+        count(*) AS n FROM events GROUP BY 1 ORDER BY udm_type""")))
+
+  // ---------------- text analysis -------------------------------------
+
+  private def toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  private val text = Seq(
+    QueryDef("txt_token_stats",
+      (s, d) => TextAnalysis.tokenStats(t(s, d, "documents")),
+      Some(s"""SELECT doc_id,
+        len($toksSql) AS n_tokens,
+        len(list_distinct($toksSql)) AS n_uniq_tokens,
+        len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subwords,
+        n_chars,
+        round(CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql), 4) AS type_token_ratio
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    QueryDef("txt_quality_scores",
+      (s, d) => TextAnalysis.qualityScores(t(s, d, "documents"), stopwords),
+      Some(s"""SELECT doc_id, len($toksSql) AS n_tokens,
+        round(CAST(length(text) AS DOUBLE) / len($toksSql), 4) AS mean_token_len,
+        round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS punct_density,
+        round(CAST(len(list_filter($toksSql, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE)
+          / len($toksSql), 4) AS stopword_ratio,
+        (len($toksSql) >= 10 AND
+         round(CAST(len(list_filter($toksSql, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE)
+          / len($toksSql), 4) >= 0.05) AS is_quality
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("txt_language_id",
+      (s, d) => TextAnalysis.languageId(t(s, d, "documents"), langMarkers),
+      Some {
+        val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+        val score = (ws: Seq[String]) =>
+          s"len(list_filter($lt, t -> list_contains(${sqlList(ws)}, t)))"
+        val langs = langMarkers.toSeq.sortBy(_._1)
+        val greatest = langs.map(l => score(l._2)).mkString("greatest(", ", ", ")")
+        val cases = langs.map { case (lang, ws) =>
+          s"WHEN ${score(ws)} = $greatest THEN '$lang'" }.mkString(" ")
+        s"""SELECT doc_id, lang AS actual_lang,
+          CASE $cases END AS predicted_lang,
+          $greatest AS marker_hits
+          FROM documents ORDER BY doc_id"""
+      }),
+
+    QueryDef("txt_fingerprints",
+      (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        md5(text) AS raw_md5 FROM documents ORDER BY doc_id""")))
+
+  // ---------------- dedup ---------------------------------------------
+
+  private def shinglesSql(w: String) =
+    s"""CASE WHEN len($w) >= 3
+        THEN list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+        ELSE [] END"""
+
+  private val dedup = Seq(
+    QueryDef("dedup_exact",
+      (s, d) => Dedup.exactDuplicates(t(s, d, "documents")),
+      Some("""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        min(doc_id) AS keep_doc_id, count(*) AS group_size,
+        string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id"""), bench = true),
+
+    QueryDef("dedup_minhash_signatures",
+      (s, d) => {
+        val sig = Dedup.minhashSignatures(t(s, d, "documents"), 3, 8)
+        sig.select(col("doc_id"),
+          concat_ws("-", (0 until 8).map(i => coalesce(col(s"h$i"), lit(""))): _*).as("sig"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hs = (0 until 8).map(j =>
+          s"coalesce(list_min(list_transform(sh, x -> md5('$j:' || x))), '')")
+        s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words)
+          SELECT doc_id, ${hs.mkString(" || '-' || ")} AS sig
+          FROM sh ORDER BY doc_id"""
+      }, bench = true),
+
+    QueryDef("dedup_simhash",
+      (s, d) => Dedup.simhash(t(s, d, "documents")),
+      Some {
+        def votes(half: String, off: Int) = (0 until 32).map(b =>
+          s"CAST(sum(CASE WHEN ((('0x' || substr(md5(tok), $off, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS ${half}$b").mkString(", ")
+        def fp(half: String) = (0 until 32).map(b =>
+          s"CASE WHEN ${half}$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+          .mkString(" | ")
+        s"""WITH toks AS (SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+            FROM documents),
+          v AS (SELECT doc_id, ${votes("hi", 1)}, ${votes("lo", 9)} FROM toks GROUP BY doc_id)
+          SELECT doc_id, ${fp("hi")} AS simhash_hi, ${fp("lo")} AS simhash_lo
+          FROM v ORDER BY doc_id"""
+      }),
+
+    QueryDef("dedup_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), 20, 0.8),
+      Some("""WITH docs AS (SELECT doc_id,
+          list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+          FROM documents WHERE doc_id % 20 = 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+            (len(a.toks) + len(b.toks) - len(list_filter(a.toks, t -> list_contains(b.toks, t)))), 4)
+            AS jaccard
+        FROM docs a, docs b WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+            (len(a.toks) + len(b.toks) - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
+        ORDER BY doc_a, doc_b"""), bench = true),
+
+    QueryDef("dedup_minhash_pairs",
+      (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
+      None, bench = true))
+
+  // ---------------- similarity search ---------------------------------
+
+  private val similarity = Seq(
+    QueryDef("sim_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id, v.label,
+          list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+           sqrt(list_sum(list_transform(v.vec, x -> x * x)))) AS cos
+          FROM q, v WHERE v.vec_id <> q.qid)
+        SELECT qid AS query_id, vec_id, label, cosine, rk FROM (
+          SELECT qid, vec_id, label, round(cos, 4) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        WHERE rk <= 10 ORDER BY query_id, rk"""), bench = true),
+
+    QueryDef("sim_lsh_topk",
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
+      None, bench = true),
+
+    QueryDef("sim_label_centroids",
+      (s, d) => Similarity.labelCentroidNorms(t(s, d, "embeddings")),
+      Some {
+        val dim = 64
+        val sums = (1 to dim).map(i => s"sum(vec[$i]) AS s$i").mkString(", ")
+        val sq = (1 to dim).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
+        s"""WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+          agg AS (SELECT label, count(*) AS n, $sums FROM v GROUP BY label)
+          SELECT label, n, round(sqrt($sq), 4) AS centroid_norm
+          FROM agg ORDER BY label"""
+      }))
+
+  // ---------------- multimodal ----------------------------------------
+
+  private val multimodal = Seq(
+    QueryDef("mm_media_features",
+      (s, d) => Multimodal.mediaFeatures(t(s, d, "documents")),
+      Some("""WITH m AS (SELECT doc_id, encode(text) AS payload, md5(text) AS h
+          FROM documents)
+        SELECT doc_id, h AS content_hash,
+          CASE WHEN ('0x' || substr(h, 1, 4))::INTEGER % 3 = 0 THEN 'png'
+               WHEN ('0x' || substr(h, 1, 4))::INTEGER % 3 = 1 THEN 'jpeg'
+               ELSE 'webp' END AS format,
+          ('0x' || substr(h, 5, 4))::INTEGER % 1920 + 1 AS width,
+          ('0x' || substr(h, 9, 4))::INTEGER % 1080 + 1 AS height,
+          CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+          round(CAST(('0x' || substr(h, 5, 4))::INTEGER % 1920 + 1 AS DOUBLE) /
+            (('0x' || substr(h, 9, 4))::INTEGER % 1080 + 1), 4) AS aspect,
+          CAST(('0x' || substr(h, 13, 4))::BIGINT % 60000 AS BIGINT) // 10000 + 1 AS n_frames
+        FROM m ORDER BY doc_id""")))
+
+  val all: Seq[QueryDef] =
+    relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++ multimodal
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
+
+  val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}
