@@ -1,0 +1,76 @@
+package graft.etl
+
+import graft.udm.UdmTransform
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Batch pcap-JSON → UDM pipeline: the reference's processor request
+  * path (reference processor/processor_app.py:136–179) as one Spark
+  * plan — download/subprocess/upload hops collapse into
+  * scan → projection → sink.
+  */
+object BatchPipeline {
+
+  /** F1 — filename validation (processor_app.py:131–133): empty or
+    * '/'-containing names are rejected (no retry). */
+  def isValidFilename(name: Column): Column =
+    length(name) > 0 && !name.contains("/")
+
+  /** P16 — output-name derivation (processor_app.py:139–141):
+    * `splitext(f)[0] + ".udm.json"`. */
+  def udmFilename(inputFile: Column): Column =
+    regexp_replace(regexp_replace(inputFile, "^.*/", ""), "\\.[^.]*$", ".udm.json")
+
+  /** Read a directory of tshark-JSON capture files (F2 glob —
+    * `capture_*.pcap*` analog) into one row per packet, keeping the raw
+    * packet JSON for snippet fidelity. A file that is not a JSON array
+    * yields one row with its whole text (→ malformed event), mirroring
+    * the reference's whole-file error containment
+    * (json2udm_cloud.py:350–360) at row granularity. */
+  def readRawPackets(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     glob: String = "*.json"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read
+      .option("wholetext", "true")
+      .option("pathGlobFilter", glob)
+      .text(dir)
+      .select(input_file_name().as("source_file"), col("value"))
+      .select(col("source_file"),
+        explode(coalesce(from_json(col("value"), ArrayType(StringType)),
+          array(col("value")))).as("raw"))
+  }
+
+  /** Full batch run: transform, route error events to an `_errors`
+    * path (K4 DLQ analog), write good events as JSONL (K2), return
+    * per-file counts (A1/A2). */
+  def run(spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String): DataFrame = {
+    val udm = UdmTransform.transform(readRawPackets(spark, inDir), "raw")
+      .withColumn("event", col("event_struct.event"))
+      .withColumn("is_error",
+        col("event.metadata.product_name").contains("PacketProcessingError") ||
+          col("event.metadata.product_name").contains("Malformed"))
+    udm.filter(col("is_error"))
+      .select(col("source_file"), col("udm_json"))
+      .write.mode(SaveMode.Overwrite).json(s"$outDir/_errors")
+    udm.filter(!col("is_error"))
+      .select(col("udm_json"))
+      .write.mode(SaveMode.Overwrite).text(s"$outDir/events")
+    UdmTransform.perFileCounts(udm)
+  }
+
+  /** K1 — golden-file writer: one pretty-printed JSON array per call,
+    * byte-compatible with the reference's `json.dump(list, indent=4)`
+    * shape (json2udm_cloud.py:395) in element order. Streams through a
+    * single task (no driver collect) — only for golden comparison;
+    * JSONL is the engine's canonical sink. */
+  def writeSingleJsonArray(df: DataFrame, jsonCol: String, path: String): Unit = {
+    val ds = df.select(col(jsonCol)).coalesce(1)
+    import ds.sparkSession.implicits._
+    ds.as[String].mapPartitions { it =>
+      // lazy: O(1) memory regardless of file size
+      Iterator("[") ++ it.zipWithIndex.map { case (j, i) =>
+        if (i == 0) j else "," + j
+      } ++ Iterator("]")
+    }.write.mode(SaveMode.Overwrite).text(path)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.udm.UdmTransform
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's event-driven
+  * pipeline (SURVEY.md §2.1 S1–S6, §2.5 K1–K5, §2.6):
+  *
+  *  - S1/S2 (ring rotation + closed-file detection): the file source's
+  *    visibility semantics — a capture file becomes one micro-batch
+  *    unit when it appears; `maxFilesPerTrigger` bounds batch size
+  *    (backpressure, the Pub/Sub-queue analog).
+  *  - S3 (notification channel): the payload is just the filename
+  *    (reference sniffer_entrypoint.sh:192), so file-listing discovery
+  *    is semantically identical; the checkpoint's file log IS the
+  *    processed-set (F4) with exactly-once tracking.
+  *  - K2/K3/K4: `foreachBatch` writes good events as JSONL, routes
+  *    error/malformed events to an `_errors` sink (DLQ), and appends
+  *    per-file counts to a `_notifications` table (A1/A2 metric lines,
+  *    json2udm_cloud.py:344–348).
+  *  - K5 (source cleanup): `cleanSource=delete/archive` option.
+  *  - At-least-once + idempotent overwrite (reference
+  *    processor_app.py:190–193 + deterministic output names) maps to
+  *    checkpointed restart + deterministic per-file output paths.
+  *
+  * At scale: per-file work is embarrassingly parallel (one task per
+  * file split); the only stateful query is the windowed metrics stream,
+  * whose state is bounded by watermark × label cardinality.
+  */
+object StreamingPipeline {
+
+  /** Streaming source over a landing directory of tshark-JSON capture
+    * files → one row per packet (raw JSON string + source file). */
+  def readPacketStream(spark: SparkSession, landingDir: String,
+                       maxFilesPerTrigger: Int = 16,
+                       glob: String = "*.json",
+                       cleanSource: String = "off",
+                       archiveDir: Option[String] = None): DataFrame = {
+    var r = spark.readStream
+      .option("wholetext", "true")
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", cleanSource)
+    archiveDir.foreach(d => r = r.option("sourceArchiveDir", d))
+    r.text(landingDir)
+      .select(col("value"), col("_metadata.file_path").as("source_file"))
+      .select(col("source_file"),
+        explode(coalesce(from_json(col("value"), ArrayType(StringType)),
+          array(col("value")))).as("raw"))
+  }
+
+  /** The transform stage (shared with batch — same expressions). */
+  def toUdm(packets: DataFrame): DataFrame =
+    UdmTransform.transform(packets, "raw")
+      .withColumn("event", col("event_struct.event"))
+      .withColumn("is_error",
+        col("event.metadata.product_name").contains("PacketProcessingError") ||
+          col("event.metadata.product_name").contains("Malformed"))
+
+  /** Wire the full pipeline: landing dir → UDM JSONL + error DLQ +
+    * per-file notification/metrics table, exactly-once per file via
+    * checkpoint. Call `.start()` on the result (tests use
+    * Trigger.AvailableNow via the `trigger` param). */
+  def pipeline(spark: SparkSession, landingDir: String, outDir: String,
+               checkpoint: String,
+               trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+               maxFilesPerTrigger: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val udm = toUdm(readPacketStream(spark, landingDir, maxFilesPerTrigger))
+    udm.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        try {
+          // K2 — good events, JSONL
+          b.filter(!col("is_error")).select(col("udm_json"))
+            .write.mode("append").text(s"$outDir/events")
+          // K4 — DLQ for error/malformed events
+          b.filter(col("is_error")).select(col("source_file"), col("udm_json"))
+            .write.mode("append").json(s"$outDir/_errors")
+          // K3 + A1/A2 — per-file notification with packet/error counts
+          UdmTransform.perFileCounts(b)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").json(s"$outDir/_notifications")
+        } finally b.unpersist()
+        ()
+      }
+  }
+
+  /** A4/A5/A7 — streaming windowed metrics over a timestamped event
+    * stream: tumbling 60 s counts per label with a watermark bounding
+    * state (the reference's ALIGN_RATE dashboards; SURVEY §2.4). */
+  def windowedCounts(events: DataFrame, tsCol: String, labelCol: String,
+                     window_ : String = "60 seconds",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(labelCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(labelCol), col("n"))
+
+  /** Streaming heartbeat — the sniffer's 60 s liveness log
+    * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
+    * surfaces per-batch progress (rows/sec, batch duration = A3). */
+  def attachHeartbeat(spark: SparkSession)(onProgress: String => Unit): Unit =
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        onProgress(s"""{"heartbeat":"started","id":"${e.id}"}""")
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        onProgress(e.progress.json)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        onProgress(s"""{"heartbeat":"terminated","id":"${e.id}"}""")
+    })
+}

@@ -1,0 +1,119 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** End-to-end batch + streaming pipeline semantics: error routing (K4),
+  * per-file notifications (K3/A1/A2), exactly-once file processing
+  * across restarts (S2/F4), golden array writer (K1). */
+class PipelineSpec extends SparkSpec {
+
+  private val goodPacket =
+    """{"_source": {"layers": {
+      |"frame": {"frame.number": "1", "frame.time_utc": "Sep  5, 2025 12:34:56.123456000 UTC", "frame.protocols": "eth:ethertype:ip:tcp"},
+      |"ip": {"ip.src": "10.0.0.1", "ip.dst": "10.0.0.2", "ip.ttl": "64"},
+      |"tcp": {"tcp.srcport": "1234", "tcp.dstport": "80", "tcp.flags": "0x0018"}}}}""".stripMargin.replace("\n", "")
+
+  private val errorPacket =
+    """{"_source": {"layers": {
+      |"frame": {"frame.number": "2", "frame.time_utc": "x"},
+      |"tcp": {"tcp.srcport": "bad_port", "tcp.dstport": "80"}}}}""".stripMargin.replace("\n", "")
+
+  private def mkCapture(dir: String, name: String, packets: String*): Unit =
+    Files.writeString(Paths.get(dir, name), packets.mkString("[", ",", "]"))
+
+  test("batch pipeline routes errors, writes events, counts per file") {
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    mkCapture(in, "capture_001.pcap.json", goodPacket, goodPacket, errorPacket)
+    mkCapture(in, "capture_002.pcap.json", goodPacket)
+    Files.writeString(Paths.get(in, "capture_003.pcap.json"), "corrupt bytes")
+
+    val counts = BatchPipeline.run(spark, in, out).orderBy("file").collect()
+    assert(counts.length == 3)
+    assert(counts.map(_.getLong(1)).sum == 5) // every packet accounted for
+    val events = spark.read.text(s"$out/events").count()
+    val errors = spark.read.json(s"$out/_errors").count()
+    assert(events == 3 && errors == 2) // 3 good, 1 int-error + 1 malformed
+  }
+
+  test("filename ops: validation (F1) and derivation (P16)") {
+    import spark.implicits._
+    val df = Seq("capture_1.pcap", "capture_2.pcapng", "", "evil/name.pcap")
+      .toDF("name")
+      .select(col("name"), BatchPipeline.isValidFilename(col("name")).as("ok"),
+        BatchPipeline.udmFilename(col("name")).as("udm"))
+      .collect()
+    assert(df.map(_.getBoolean(1)).toSeq == Seq(true, true, false, false))
+    assert(df(0).getString(2) == "capture_1.udm.json")
+    assert(df(1).getString(2) == "capture_2.udm.json")
+  }
+
+  test("K1 golden array writer emits a parseable JSON array in order") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_golden").toString + "/arr"
+    val df = Seq("""{"a":1}""", """{"a":2}""", """{"a":3}""").toDF("j")
+    BatchPipeline.writeSingleJsonArray(df, "j", out)
+    val text = spark.read.option("wholetext", "true").text(out).head().getString(0)
+    val parsed = spark.range(1).select(
+      from_json(lit(text), org.apache.spark.sql.types.DataTypes.createArrayType(
+        org.apache.spark.sql.types.DataTypes.createStructType(Array(
+          org.apache.spark.sql.types.DataTypes.createStructField("a",
+            org.apache.spark.sql.types.DataTypes.IntegerType, true))))).as("arr"))
+      .select(explode(col("arr")).as("e")).select("e.a").as[Int].collect()
+    assert(parsed.toSeq == Seq(1, 2, 3))
+  }
+
+  test("streaming pipeline: exactly-once per file across restart, error DLQ, notifications") {
+    val in = Files.createTempDirectory("graft_sin").toString
+    val out = Files.createTempDirectory("graft_sout").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    mkCapture(in, "capture_001.pcap.json", goodPacket, errorPacket)
+    mkCapture(in, "capture_002.pcap.json", goodPacket)
+
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.pipeline(spark, in, out, ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val notif1 = spark.read.json(s"$out/_notifications")
+    assert(notif1.count() == 2)
+    assert(notif1.agg(sum("packets_processed")).head().getLong(0) == 3)
+    assert(notif1.agg(sum("packet_errors")).head().getLong(0) == 1)
+
+    // drop a new file; restart from the same checkpoint → only the new
+    // file is processed (the checkpoint file-log is the processed-set)
+    mkCapture(in, "capture_003.pcap.json", goodPacket, goodPacket)
+    runOnce()
+    val notif2 = spark.read.json(s"$out/_notifications")
+    assert(notif2.count() == 3)
+    assert(notif2.agg(sum("packets_processed")).head().getLong(0) == 5)
+    assert(spark.read.text(s"$out/events").count() == 4)
+    assert(spark.read.json(s"$out/_errors").count() == 1)
+  }
+
+  test("streaming windowed metrics with watermark (A4/A5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "label")
+    val counts = StreamingPipeline.windowedCounts(df, "ts", "label")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 00:00:10"), "a"), (t("2024-01-01 00:00:50"), "a"),
+      (t("2024-01-01 00:01:10"), "a"), (t("2024-01-01 00:00:30"), "b"))
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("wincounts")
+      .select(date_format(col("window_start"), "HH:mm:ss").as("w"), col("label"), col("n"))
+      .orderBy("w", "label").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("00:00:00", "a", 2L), ("00:00:00", "b", 1L), ("00:01:00", "a", 1L)))
+  }
+}
