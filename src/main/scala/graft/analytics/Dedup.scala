@@ -39,16 +39,27 @@ object Dedup {
         array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("keep_doc_id")
 
-  /** MinHash signature: for each of `numHashes` hash functions, the
-    * minimum md5(seed || shingle) over the doc's shingle set. Hash
-    * values are hex strings — min is lexicographic, identical in any
-    * engine. Returns (doc_id, sig array). */
+  /** MinHash signature: `numHashes` hash functions realized as 8-hex-char
+    * (32-bit) slices of md5(seedGroup || shingle) — one md5 yields four
+    * hash functions, so a doc costs ⌈numHashes/4⌉ codegen'd md5 calls per
+    * shingle instead of `numHashes` interpreted ones. Hash values are hex
+    * strings — lexicographic min, identical in any engine.
+    *
+    * Shape: explode shingles → flat codegen'd projection → partial-agg
+    * min per slot (map-side combine collapses each partition to one row
+    * per doc before the doc_id shuffle). Docs with < k words get null
+    * signature slots via the left join back to the doc list. */
   def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(col("text"), k)
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => md5(concat(lit(seed + ":"), s)))).as(s"h$seed")
+    val exploded = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+    val nGroups = (numHashes + 3) / 4
+    val groups = (0 until nGroups).map(g => md5(concat(lit(s"$g:"), col("s"))).as(s"g$g"))
+    val hashed = exploded.select(col("doc_id") +: groups: _*)
+    val aggs = (0 until numHashes).map { j =>
+      min(substring(col(s"g${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j")
     }
-    documents.select(col("doc_id") +: sigs: _*)
+    documents.select(col("doc_id"))
+      .join(hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*), Seq("doc_id"), "left")
   }
 
   /** LSH banding over minhash signatures: hash `rowsPerBand` signature
@@ -89,7 +100,8 @@ object Dedup {
     // 64 bits as two 32-bit md5 halves, kept in separate longs so no
     // shift ever exceeds 31 (lets the DuckDB oracle mirror the math —
     // its BIGINT shifts raise on overflow)
-    val exploded = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val exploded = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(toks).as("tok"))
     val h = md5(col("tok"))
     val halves = Seq("hi" -> conv(substring(h, 1, 8), 16, 10).cast(LongType),
       "lo" -> conv(substring(h, 9, 8), 16, 10).cast(LongType))
@@ -111,7 +123,7 @@ object Dedup {
     * restricted id set — the exact verifier that LSH candidates feed at
     * scale (here exposed directly for oracle checking). */
   def jaccardPairs(documents: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
-    val docs = documents.filter(col("doc_id") % sampleMod === 0)
+    val docs = graft.util.SparkUtil.widen(documents.filter(col("doc_id") % sampleMod === 0))
       .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))

@@ -51,7 +51,7 @@ object Multimodal {
   /** Decode + derive: content hash (dedup key for multimodal dedup),
     * aspect bucket (training-shard grouping), sampled frame offsets. */
   def mediaFeatures(documents: DataFrame): DataFrame =
-    withPayload(documents)
+    withPayload(graft.util.SparkUtil.widen(documents))
       .withColumn("meta", stubDecode(col("payload")))
       .select(
         col("doc_id"),

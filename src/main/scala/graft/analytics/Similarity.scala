@@ -32,8 +32,8 @@ object Similarity {
   /** Exact brute-force cosine top-k: each query (small set, broadcast)
     * against every corpus vector; per-query top-k via ranking window. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"),
-      col("label"))
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -68,7 +68,8 @@ object Similarity {
     * then exact-rank within it. Recall trades off with `nBits`. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
-    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))

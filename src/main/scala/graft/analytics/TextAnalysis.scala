@@ -21,7 +21,7 @@ object TextAnalysis {
 
   /** Token statistics per document. */
   def tokenStats(documents: DataFrame): DataFrame =
-    documents.select(
+    graft.util.SparkUtil.widen(documents).select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq_tokens"),
@@ -38,7 +38,7 @@ object TextAnalysis {
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    documents.select(
+    graft.util.SparkUtil.widen(documents).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         round(length(col("text")).cast("double") / size(toks), 4).as("mean_token_len"),
@@ -65,7 +65,7 @@ object TextAnalysis {
     val predicted = scores.foldLeft(when(lit(false), "")) { case (acc, (lang, s)) =>
       acc.when(s === maxScore, lang)
     }
-    documents.select(
+    graft.util.SparkUtil.widen(documents).select(
         col("doc_id"), col("lang").as("actual_lang"),
         predicted.as("predicted_lang"),
         maxScore.cast("long").as("marker_hits"))
@@ -75,7 +75,7 @@ object TextAnalysis {
   /** Document fingerprint: md5 over lowercased alphanumeric-normalized
     * text — the exact-dedup key that survives whitespace/punct noise. */
   def fingerprints(documents: DataFrame): DataFrame =
-    documents.select(
+    graft.util.SparkUtil.widen(documents).select(
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"),
         md5(col("text")).as("raw_md5"))

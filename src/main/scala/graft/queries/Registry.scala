@@ -272,8 +272,8 @@ object Registry {
     QueryDef("udm_classify_pipeline",
       (s, d) => {
         val packets = SynthPackets.fromEvents(t(s, d, "events"))
-        val out = packets.select(col("event_id"),
-          UdmTransform.events(col("raw")).getField("event").as("event"))
+        val out = UdmTransform.transform(packets, "raw")
+          .select(col("event_id"), col("event_struct.event").as("event"))
         out.select(col("event_id"),
             col("event.metadata.event_type").as("udm_type"),
             col("event.principal.port").cast("long").as("src_port"),
@@ -295,7 +295,8 @@ object Registry {
     QueryDef("udm_event_type_counts",
       (s, d) => {
         val packets = SynthPackets.fromEvents(t(s, d, "events"))
-        packets.select(UdmTransform.events(col("raw")).getField("event").as("event"))
+        UdmTransform.transform(packets, "raw")
+          .select(col("event_struct.event").as("event"))
           .groupBy(col("event.metadata.event_type").as("udm_type"))
           .agg(count(lit(1)).as("n")).orderBy("udm_type")
       },
@@ -377,8 +378,10 @@ object Registry {
           .orderBy("doc_id")
       },
       Some {
+        // slice scheme mirrors Dedup.minhashSignatures: hash j = 8-hex
+        // slice (j%4) of md5 of seed-group (j/4) || shingle
         val hs = (0 until 8).map(j =>
-          s"coalesce(list_min(list_transform(sh, x -> md5('$j:' || x))), '')")
+          s"coalesce(list_min(list_transform(sh, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8))), '')")
         s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
             FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words)

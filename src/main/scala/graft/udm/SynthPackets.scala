@@ -110,7 +110,7 @@ object SynthPackets {
       tcp.as("tcp"), udp.as("udp"), dns.as("dns"), http.as("http"),
       tls.as("tls"), arp.as("arp"))
 
-    events.select(col("event_id"),
+    graft.util.SparkUtil.widen(events).select(col("event_id"),
       to_json(struct(struct(layers.as("layers")).as("_source")),
         Map("ignoreNullFields" -> "true")).as("raw"))
   }

@@ -195,10 +195,11 @@ object UdmExpressions {
 
   /** P10/P11 — TLS application data (json2udm_cloud.py:226–253): first
     * record only, record/handshake versions, SNI (intended semantics —
-    * the reference's SNI lookup is dead code, see class doc). */
-  def tlsInfo(l: Column): Column = {
+    * the reference's SNI lookup is dead code, see class doc).
+    * `rec` is the first normalized TLS record (pre-projected by the
+    * caller so its embedded from_json runs once per row). */
+  def tlsInfo(l: Column, rec: Column): Column = {
     val t = f(l, "tls")
-    val rec = try_element_at(tlsRecords(f(t, "tls.record")), lit(1))
     val hs = f(rec, "tls.handshake")
     when(t.isNotNull, structOrNull(
       "record_version_protocol" -> when(truthy(f(rec, "tls.record.version")), f(rec, "tls.record.version")),
@@ -228,7 +229,7 @@ object UdmExpressions {
   /** P7/P8/P11 — the `about` entity list (json2udm_cloud.py:133, 184,
     * 189, 209, 251, 283–284): HTTP host, HTTP URL, each DNS query name,
     * TLS SNI — in that order, entries with no truthy value dropped. */
-  def about(l: Column): Column = {
+  def about(l: Column, rec: Column): Column = {
     val h = f(l, "http")
     val entry = (hostname: Column, url: Column) =>
       struct(hostname.cast(StringType).as("hostname"), url.cast(StringType).as("url"))
@@ -240,7 +241,6 @@ object UdmExpressions {
         entry(nullStr, f(h, "http.request.full_uri"))))
     val qNames = sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name")
     val dnsEntries = coalesce(transform(qNames, n => entry(n, nullStr)), none)
-    val rec = try_element_at(tlsRecords(f(f(l, "tls"), "tls.record")), lit(1))
     val sni = f(f(rec, "tls.handshake"), "tls.handshake.extensions_server_name")
     val tlsEntries = one(truthy(sni), entry(sni, nullStr))
     val all = filter(concat(httpEntries, dnsEntries, tlsEntries),
@@ -308,7 +308,23 @@ object UdmExpressions {
     */
   def udmEvent(raw: Column, fallbackTs: Column = current_timestamp()): Column = {
     val parsed = from_json(raw, PacketSchemas.packetSchema)
+    val tlsRecs = tlsRecords(parsed.getField("_source").getField("layers")
+      .getField("tls").getField("tls.record"))
+    udmEventParsed(parsed, tlsRecs, raw, fallbackTs)
+  }
+
+  /** Pre-parsed variant: callers project `parsed` (= from_json of the
+    * raw packet) and `tlsRecs` (= [[tlsRecords]]) into their own columns
+    * FIRST, then apply this. CollapseProject refuses to inline a
+    * non-cheap expression referenced more than once, so the expensive
+    * JSON parse runs exactly once per row instead of once per reference
+    * (from_json is CodegenFallback — without the boundary the whole
+    * projection is interpreted AND re-parses per field). ~5× on the
+    * full-pipeline benchmark. */
+  def udmEventParsed(parsed: Column, tlsRecs: Column, raw: Column,
+                     fallbackTs: Column): Column = {
     val l = parsed.getField("_source").getField("layers")
+    val rec = try_element_at(tlsRecs, lit(1))
     val fallbackIso = isoMicros(fallbackTs)
     val frameNo = coalesce(f(f(l, "frame"), "frame.number"), lit("N/A"))
 
@@ -339,14 +355,15 @@ object UdmExpressions {
         snippet.as("original_packet_data_snippet")).as("additional"))
 
     val ts = isoMicros(robustTimestamp(f(f(l, "frame"), "frame.time_utc"), fallbackTs))
-    val app = structOrNull("http" -> httpInfo(l), "dns" -> dnsInfo(l), "tls" -> tlsInfo(l))
+    val app = structOrNull("http" -> httpInfo(l), "dns" -> dnsInfo(l),
+      "tls" -> tlsInfo(l, rec))
     val net = network(l, app)
     val normal = struct(
       metadata(ts, lit("Wireshark TShark"), eventType(l), description(l)).as("metadata"),
       principal(l).as("principal"),
       target(l).as("target"),
       net.as("network"),
-      about(l).as("about"),
+      about(l, rec).as("about"),
       additional(l).as("additional"))
 
     struct(

@@ -1,0 +1,102 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the dedup/similarity/text operators on
+  * hand-built inputs (the DuckDB oracle checks engine-vs-engine
+  * equality; these check the algorithms do what they claim). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup groups identical normalized text") {
+    val d = docs(
+      1L -> "the quick brown fox", 2L -> "THE QUICK  brown FOX!!",
+      3L -> "something else entirely here")
+    val groups = Dedup.exactDuplicates(d).collect()
+    assert(groups.length == 2)
+    val g1 = groups.find(_.getLong(1) == 1L).get
+    assert(g1.getLong(2) == 2) // docs 1+2 collapse after normalization
+  }
+
+  test("minhash signature agreement tracks Jaccard similarity") {
+    val near = "spark runs fast queries over big data lakes every day"
+    val nearDup = "spark runs fast queries over big data lakes every night"
+    val far = "completely different words about gardening tulips and soil care"
+    val d = docs(1L -> near, 2L -> nearDup, 3L -> far)
+    // rowsPerBand=1 → OR-amplification: candidate iff ANY of 8 minhashes
+    // agree, so the near pair is found with prob ~1-(1-J)^8
+    val pairs = Dedup.minhashCandidatePairs(d, 3, 8, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 0.375) // 3+/8 slots for a 0.78-Jaccard pair
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < pairs((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val d = docs(
+      1L -> "spark runs fast queries over big data lakes every day",
+      2L -> "spark runs fast queries over big data lakes every night",
+      3L -> "gardening tulips require loose soil and regular watering schedules")
+    val rows = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val nearDist = hamming(rows(1L), rows(2L))
+    val farDist = hamming(rows(1L), rows(3L))
+    assert(nearDist < farDist)
+    assert(nearDist <= 16) // one word of ten changed
+  }
+
+  test("cosine top-k ranks an identical-direction vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (10L, Array(2.0f, 0.0f, 0.0f), 0),   // same direction as query
+      (11L, Array(1.0f, 1.0f, 0.0f), 1),   // 45 degrees
+      (12L, Array(0.0f, 1.0f, 0.0f), 2))   // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, Seq(0L), 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(top(0).getDouble(3) == 1.0)
+    assert(math.abs(top(1).getDouble(3) - 0.7071) < 1e-4)
+    assert(top(2).getDouble(3) == 0.0)
+  }
+
+  test("SRP-LSH: identical vectors share a bucket; all candidates scored exactly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.lshTopK(emb, Seq(0L), 5, 4).collect()
+    val ids = res.map(_.getLong(1)).toSet
+    assert(ids.contains(1L))    // identical vector always in same bucket
+    assert(res.find(_.getLong(1) == 1L).get.getDouble(2) == 1.0)
+  }
+
+  test("language id is deterministic and tie-breaks alphabetically") {
+    val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.languageId(d,
+      Map("en" -> Seq("the", "a"), "fr" -> Seq("zz"), "de" -> Seq("zz")))
+      .collect()
+    assert(out(0).getString(2) == "en" && out(0).getLong(3) == 3)
+    // zz matches both fr and de markers: alphabetical winner is de
+    assert(out(1).getString(2) == "de")
+  }
+
+  test("media features stub is deterministic and schema-complete") {
+    val d = docs(1L -> "some payload text", 2L -> "some payload text")
+    val rows = Multimodal.mediaFeatures(d).collect()
+    assert(rows(0).getString(1) == rows(1).getString(1)) // same content hash
+    assert(rows(0).getInt(3) >= 1 && rows(0).getInt(3) <= 1920)
+    assert(rows(0).getInt(4) >= 1 && rows(0).getInt(4) <= 1080)
+    assert(rows(0).getLong(7) >= 1) // n_frames
+  }
+}
