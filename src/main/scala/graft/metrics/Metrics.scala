@@ -86,6 +86,54 @@ object Metrics {
       .orderBy("user_id")
   }
 
+  /** As-of join (event-time enrichment): attach to each fact row the
+    * most recent prior anchor row of the same key — here, each purchase
+    * gets its user's latest preceding signup. Implemented as ONE
+    * shuffle (window over user) instead of a range self-join: the
+    * running `last(anchor_ts ignoreNulls)` IS the as-of lookup. At
+    * 100 TB this is the only as-of formulation that avoids an O(n²)
+    * range join — state per key is a single timestamp. */
+  def asOfEnrichment(events: DataFrame, anchorType: String = "signup",
+                     factType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("anchor_ts",
+        last(when(col("event_type") === anchorType, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === factType)
+      .select(col("event_id"), col("user_id"),
+        round(col("ts").cast("double") - col("anchor_ts").cast("double"), 3)
+          .as("secs_since_anchor"))
+      .orderBy("event_id")
+  }
+
+  /** A6 (exact reference shape) — the latency-distribution metric's
+    * exponential buckets: scale 1, growth 1.5, 20 finite buckets
+    * (reference terraform/main.tf:528–548). Bucket 0 = underflow (<1),
+    * bucket 20 = overflow. Deterministic (log boundary values don't
+    * occur in 2-dp data), so fully oracle-checkable — unlike a sketch. */
+  def histogramBuckets(events: DataFrame): DataFrame =
+    events
+      .select(col("value"),
+        when(col("value") < 1, 0L)
+          .otherwise(least(floor(log(col("value")) / log(lit(1.5))).cast("long") + 1, lit(20L)))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("bucket")
+
+  /** Approx-distinct (HLL++) per label — the sketch path for
+    * count-distinct at 100 TB (mergeable, fixed memory). Approximate ⇒
+    * no DuckDB oracle (different sketch impls); correctness bounded by
+    * spec tolerance against exact counts. */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Sessionization — gap-based session assignment with a running-sum
     * window (the generalization of A7's absence detection). One shuffle
     * on user_id; session stats computed without a second shuffle thanks

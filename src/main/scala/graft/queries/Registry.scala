@@ -182,6 +182,30 @@ object Registry {
         CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
+    QueryDef("asof_join_enrichment",
+      (s, d) => Metrics.asOfEnrichment(t(s, d, "events")),
+      Some("""WITH w AS (SELECT event_id, user_id, ts, event_type,
+          last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS anchor_ts
+        FROM events)
+        SELECT event_id, user_id,
+          round(epoch(ts) - epoch(anchor_ts), 3) AS secs_since_anchor
+        FROM w WHERE event_type = 'purchase' ORDER BY event_id"""), bench = true),
+
+    QueryDef("a6_histogram_buckets",
+      (s, d) => Metrics.histogramBuckets(t(s, d, "events")),
+      Some("""SELECT CASE WHEN value < 1 THEN 0
+          ELSE least(CAST(floor(ln(value) / ln(1.5)) AS BIGINT) + 1, 20) END AS bucket,
+        count(*) AS n, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef("hll_approx_distinct",
+      (s, d) => Metrics.approxDistinctUsers(t(s, d, "events")), None),
+
+    QueryDef("a6_approx_percentiles",
+      (s, d) => Metrics.approxPercentiles(t(s, d, "events")), None),
+
     QueryDef("sessionize_events",
       (s, d) => Metrics.sessionStats(t(s, d, "events"), 3600),
       Some("""WITH g AS (SELECT user_id, ts,

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5 — the pcap → tshark-JSON decode stage. The reference shells out
+  * to `tshark -r f -T json` once per file (reference
+  * processor/processor_app.py:149–155); the Spark-native shape is a
+  * binaryFile scan + per-partition pipe into the decoder process, so a
+  * 1000-executor cluster decodes 1000 pcaps concurrently with no
+  * intermediate files.
+  *
+  * tshark is not installed in this container, so the subprocess hop is
+  * STUBBED: [[stubDecoder]] emits deterministic synthetic packets
+  * derived from the payload bytes. The Spark-side plumbing — binary
+  * scan, partitioning, iterator-to-iterator decode, output row shape
+  * (one raw packet JSON string per row) — is real and tested; swap
+  * `decoder` for a `ProcessBuilder("tshark", ...)` pipe in production.
+  */
+object PcapDecode {
+
+  type Decoder = (String, Array[Byte]) => Iterator[String]
+
+  /** Deterministic fake decode: one synthetic TCP packet per 64-byte
+    * chunk of payload, fields derived from the chunk bytes. Stands in
+    * for tshark's JSON output so downstream UDM plumbing is exercised
+    * end-to-end. */
+  val stubDecoder: Decoder = (path, bytes) => {
+    val name = path.replaceAll("^.*/", "")
+    bytes.grouped(64).zipWithIndex.map { case (chunk, i) =>
+      val b0 = chunk.headOption.getOrElse(0: Byte) & 0xff
+      val b1 = (if (chunk.length > 1) chunk(1) else 0: Byte) & 0xff
+      s"""{"_source":{"layers":{
+         |"frame":{"frame.number":"${i + 1}","frame.time_utc":"Jan 01, 2024 00:00:${"%02d".format(i % 60)} UTC","frame.protocols":"eth:ethertype:ip:tcp"},
+         |"ip":{"ip.src":"10.0.$b0.$b1","ip.dst":"10.0.0.1","ip.ttl":"64"},
+         |"tcp":{"tcp.srcport":"${1024 + b0}","tcp.dstport":"443","tcp.flags":"0x0002"}
+         |}}}""".stripMargin.replace("\n", "")
+    }
+  }
+
+  /** Read raw pcap files and decode each to packet rows
+    * (`source_file`, `raw`). Decode runs inside the scan's partitions —
+    * per-file parallelism, no driver involvement, no temp files. */
+  def decode(spark: SparkSession, dir: String, glob: String = "*.pcap*",
+             decoder: Decoder = stubDecoder): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        decoder(path, bytes).map(raw => (path, raw))
+      })
+      .toDF("source_file", "raw")
+  }
+}

@@ -82,9 +82,15 @@ object StreamingPipeline {
           b.filter(col("is_error")).select(col("source_file"), col("udm_json"))
             .write.mode("append").json(s"$outDir/_errors")
           // K3 + A1/A2 — per-file notification with packet/error counts
-          UdmTransform.perFileCounts(b)
+          val counts = UdmTransform.perFileCounts(b)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").json(s"$outDir/_notifications")
+          counts.write.mode("append").json(s"$outDir/_notifications")
+          // F5 — empty-output guard (processor_app.py:165–167): a
+          // non-empty batch must produce events; throwing fails the
+          // batch so the checkpoint retries it (the 500-retry analog)
+          if (!b.isEmpty && b.select(col("udm_json")).filter(col("udm_json").isNotNull).isEmpty)
+            throw new IllegalStateException(
+              "F5 violated: non-empty input batch produced no UDM events")
         } finally b.unpersist()
         ()
       }
