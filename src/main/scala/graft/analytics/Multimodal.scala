@@ -48,6 +48,32 @@ object Multimodal {
       length(payload).cast(LongType).as("payload_bytes"))
   }
 
+  /** Batched per-partition decode — the Scala analog of a
+    * `mapInPandas` batch UDF: rows flow through the decoder in
+    * `batchSize` groups so a real (vectorized/FFI) decoder amortizes
+    * per-call overhead. The stub mirrors [[stubDecode]] bit-for-bit
+    * (JVM md5 of the payload) so the two implementations are
+    * cross-checked in specs. Output schema matches [[mediaMetaSchema]]
+    * plus doc_id. */
+  def decodeBatched(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would hand `batch` to one vectorized call here
+        batch.iterator.map { case (id, payload) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(payload).map("%02x".format(_)).mkString
+          def hx(off: Int) = Integer.parseInt(h.substring(off - 1, off + 3), 16)
+          val fmt = hx(1) % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
+          (id, fmt, hx(5) % 1920 + 1, hx(9) % 1080 + 1,
+            (hx(13) % 60000).toLong, payload.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "format", "width", "height", "duration_ms", "payload_bytes")
+  }
+
   /** Decode + derive: content hash (dedup key for multimodal dedup),
     * aspect bucket (training-shard grouping), sampled frame offsets. */
   def mediaFeatures(documents: DataFrame): DataFrame =

@@ -134,6 +134,21 @@ object Metrics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Skew-resistant exact distinct count via domain partitioning: salt
+    * by `user_id % salts` so each (label, salt) cell counts a DISJOINT
+    * slice of the distinct domain, then sum the per-salt counts. A hot
+    * label's distinct-state is spread across `salts` reducers instead
+    * of one — the salting pattern for the aggregations AQE can't fix
+    * (distinct/collect state, unlike algebraic sums, can't map-side
+    * combine away). Exact, so fully oracle-checkable. */
+  def saltedDistinctUsers(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(salts)).as("salt"))
+      .agg(countDistinct("user_id").as("d"))
+      .groupBy("event_type")
+      .agg(sum("d").as("n_users"))
+      .orderBy("event_type")
+
   /** Sessionization — gap-based session assignment with a running-sum
     * window (the generalization of A7's absence detection). One shuffle
     * on user_id; session stats computed without a second shuffle thanks

@@ -200,6 +200,11 @@ object Registry {
         count(*) AS n, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         FROM events GROUP BY 1 ORDER BY bucket""")),
 
+    QueryDef("salted_distinct_users",
+      (s, d) => Metrics.saltedDistinctUsers(t(s, d, "events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     QueryDef("hll_approx_distinct",
       (s, d) => Metrics.approxDistinctUsers(t(s, d, "events")), None),
 
