@@ -110,6 +110,24 @@ object Registry {
           ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
         WHERE rk <= 3 ORDER BY o_custkey, rk"""), bench = true),
 
+    QueryDef("topk_heap_per_customer",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "orders").groupBy("o_custkey")
+          .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+            round(col("col.score"), 2).as("totalprice"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("o_custkey", "rk")
+      },
+      // identical semantics to the window formulation — same oracle
+      Some("""SELECT o_custkey, o_orderkey, totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        WHERE rk <= 3 ORDER BY o_custkey, rk"""), bench = true),
+
     QueryDef("rollup_lineitem",
       (s, d) => Relational.lineitemRollup(t(s, d, "lineitem")),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -377,6 +395,16 @@ object Registry {
           $greatest AS marker_hits
           FROM documents ORDER BY doc_id"""
       }),
+
+    QueryDef("txt_top_tokens",
+      (s, d) => graft.util.SparkUtil.widen(t(s, d, "documents"))
+        .select(explode(TextAnalysis.bpeishTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok")).limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          t -> t <> '')) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),

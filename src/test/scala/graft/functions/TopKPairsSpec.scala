@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The custom top-k aggregate must (a) produce exactly the window-rank
+  * result, (b) partial-aggregate before the shuffle (its reason to
+  * exist), (c) survive serialize/merge across partitions. */
+class TopKPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heap aggregate matches window row_number semantics incl. ties") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0), (2L, 21L, 3.0), (2L, 22L, 3.0), (2L, 23L, 3.0),
+      (3L, 30L, 7.0))
+      .toDF("grp", "id", "score")
+      .repartition(4) // force multi-partition partial+merge path
+    val heap = rows.groupBy("grp")
+      .agg(expr("graft_topk(score, id, 3)").as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), col("col.id"), col("col.score"), (col("pos") + 1).as("rk"))
+      .orderBy("grp", "rk").collect()
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(desc("score"), asc("id"))
+      rows.select(col("grp"), col("id"), col("score"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3).orderBy("grp", "rk").collect()
+    }
+    assert(heap.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      win.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("partial aggregation happens before the shuffle") {
+    GraftFunctions.register(spark)
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("grp"), col("id"), rand(42).as("score"))
+    val agg = df.groupBy("grp").agg(expr("graft_topk(score, id, 5)"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // ObjectHashAggregate with partial_graft_topk below the exchange
+    assert(plan.contains("partial_graft_topk"))
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
+  test("buffer serialize/deserialize roundtrip") {
+    val b = new TopKBuffer(2)
+    b.add(1.0, 1L); b.add(5.0, 2L); b.add(3.0, 3L)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKPairs(Literal(0.0), Literal(0L), Literal(2))
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.sorted == Seq((5.0, 2L), (3.0, 3L)))
+  }
+}
