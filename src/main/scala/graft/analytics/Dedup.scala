@@ -119,6 +119,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs: all pairs in a sampled id set
+    * with cosine ≥ threshold. Exact verifier shape — at corpus scale
+    * the candidate set comes from [[Similarity.srpBucket]] LSH buckets
+    * (same-bucket pairs only) instead of the cross join used here on
+    * the restricted sample. */
+  def embeddingNearDupPairs(embeddings: DataFrame, sampleMod: Int,
+                            threshold: Double): DataFrame = {
+    val v = graft.util.SparkUtil.widen(embeddings.filter(col("vec_id") % sampleMod === 0))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val a = v.select(col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** N-gram (word-set) Jaccard similarity for candidate pairs within a
     * restricted id set — the exact verifier that LSH candidates feed at
     * scale (here exposed directly for oracle checking). */

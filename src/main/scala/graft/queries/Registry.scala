@@ -476,6 +476,19 @@ object Registry {
             (len(a.toks) + len(b.toks) - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
         ORDER BY doc_a, doc_b"""), bench = true),
 
+    QueryDef("dedup_embedding_cosine",
+      (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 5, 0.35),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings WHERE vec_id % 5 = 0)
+        SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(a.vec, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cos
+          FROM v a, v b WHERE a.vec_id < b.vec_id)
+        WHERE cos >= 0.35 ORDER BY id_a, id_b""")),
+
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
       None, bench = true))
