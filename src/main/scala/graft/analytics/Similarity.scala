@@ -83,6 +83,42 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style approximate top-k: coarse cells are the `label` column
+    * (a precomputed assignment — at corpus scale this comes from
+    * k-means over a sample), each query ranks cell centroids by cosine
+    * and exact-searches only the `nProbe` nearest cells. Cost per query
+    * drops from |corpus| to ~nProbe/|cells| of it; recall is tunable
+    * via nProbe. Centroids and the query→cell plan are tiny →
+    * broadcast; the corpus is scanned once, filtered by probed cell. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nProbe: Int): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+    val centroids = corpus.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at(col("vec"), i + 1))): _*).as("sums"))
+      .select(col("label"), transform(col("sums"), s => s / col("n")).as("centroid"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val wCell = Window.partitionBy("query_id").orderBy(desc("c"), asc("label"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("label"),
+        cosine(col("qvec"), col("centroid")).as("c"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    corpus.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cosine"), row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
   /** Centroid stats per label — the IVF coarse-quantizer building block
     * (mean vector per cluster; at scale: train k-means on a sample,
     * assign via nearest centroid, search within cells). */

@@ -515,6 +515,10 @@ object Registry {
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
       None, bench = true),
 
+    QueryDef("sim_ivf_topk",
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 3),
+      None, bench = true),
+
     QueryDef("sim_label_centroids",
       (s, d) => Similarity.labelCentroidNorms(t(s, d, "embeddings")),
       Some {

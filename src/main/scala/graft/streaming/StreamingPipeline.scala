@@ -109,6 +109,45 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(labelCol), col("n"))
 
+  /** A7 (true absence detection) — the reference's "no heartbeat for
+    * 15 min per sniffer_id" alert (terraform/main.tf:583–622) as
+    * arbitrary stateful streaming: per label, keep the last-seen event
+    * time and an event-time timeout; when the watermark passes
+    * last_seen + threshold with no new events, emit one alert and drop
+    * the state. Unlike the sliding-window approximation, this fires on
+    * true silence (no row needed to trigger it) and carries O(1) state
+    * per label. */
+  def absenceAlerts(events: DataFrame, labelCol: String, tsCol: String,
+                    thresholdSecs: Long,
+                    watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(labelCol).cast("string").as("label"), col(tsCol).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (label: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val lastSeen = state.get
+            state.remove()
+            Iterator((label, new java.sql.Timestamp(lastSeen),
+              (state.getCurrentWatermarkMs() - lastSeen) / 1000))
+          } else {
+            val maxTs = rows.map(_._2.getTime).max
+            val last = if (state.exists) math.max(state.get, maxTs) else maxTs
+            state.update(last)
+            state.setTimeoutTimestamp(last + thresholdSecs * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("label", "last_seen", "silent_for_secs")
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

@@ -80,6 +80,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.find(_.getLong(1) == 1L).get.getDouble(2) == 1.0)
   }
 
+  test("IVF top-k: results come only from probed cells, recall tracks nProbe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val exact = Similarity.bruteForceTopK(emb, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeAll = Similarity.ivfTopK(emb, qids, 10, nProbe = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAll == exact) // probing every cell == brute force
+    val probe3 = Similarity.ivfTopK(emb, qids, 10, nProbe = 3).collect()
+    assert(probe3.nonEmpty)
+    val recall = probe3.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+    val recall1 = Similarity.ivfTopK(emb, qids, 10, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains).toDouble / exact.size
+    assert(recall >= recall1) // more probes never hurt recall
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

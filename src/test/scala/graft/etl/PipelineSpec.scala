@@ -96,6 +96,34 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(s"$out/_errors").count() == 1)
   }
 
+  test("A7 stateful absence alert fires on true silence via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "label")
+    val alerts = StreamingPipeline.absenceAlerts(df, "label", "ts", thresholdSecs = 3600)
+    val q = alerts.writeStream.format("memory").queryName("absence")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // both sniffers heartbeat at 00:00
+      mem.addData((t("2024-01-01 00:00:00"), "sniffer_a"), (t("2024-01-01 00:00:00"), "sniffer_b"))
+      q.processAllAvailable()
+      assert(spark.table("absence").count() == 0)
+      // only a keeps beating; watermark advances past b's timeout
+      mem.addData((t("2024-01-01 03:00:00"), "sniffer_a"))
+      q.processAllAvailable()
+      // one more batch so the new watermark triggers the timeout pass
+      mem.addData((t("2024-01-01 03:00:01"), "sniffer_a"))
+      q.processAllAvailable()
+      val rows = spark.table("absence").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getString(0) == "sniffer_b")
+      assert(rows(0).getLong(2) >= 3600) // silent at least the threshold
+    } finally q.stop()
+  }
+
   test("streaming windowed metrics with watermark (A4/A5)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
