@@ -136,6 +136,56 @@ object Registry {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus""")),
 
+    QueryDef("cube_orders",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    QueryDef("window_moving_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum("o_totalprice").as("rev"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        daily.select(col("day"), round(col("rev"), 2).as("revenue"),
+            round(avg("rev").over(w), 2).as("ma7"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+          sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+        SELECT day, round(rev, 2) AS revenue,
+          round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        FROM daily ORDER BY day""")),
+
+    QueryDef("fuzzy_levenshtein_parts",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_partkey") % 50 === 0)
+          .select(col("p_partkey"), col("p_name"))
+        val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.crossJoin(b).filter(col("key_a") < col("key_b"))
+          .select(col("key_a"), col("key_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          .filter(col("dist") <= 10)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        levenshtein(a.p_name, b.p_name) AS dist
+        FROM (SELECT * FROM part WHERE p_partkey % 50 = 0) a,
+             (SELECT * FROM part WHERE p_partkey % 50 = 0) b
+        WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 10
+        ORDER BY key_a, key_b""")),
+
     QueryDef("distinct_agg_per_flag",
       (s, d) => Relational.distinctSuppliersPerFlag(t(s, d, "lineitem")),
       Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
