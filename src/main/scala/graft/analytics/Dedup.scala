@@ -79,6 +79,10 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
       explode(array(bandCols: _*)).as("bk"): _*)
+      // drop null band keys: struct equality treats null fields as equal,
+      // so shingle-less docs would otherwise all pair with each other
+      // (and an m-doc null bucket is an O(m²) join blowup)
+      .filter(col("bk.key").isNotNull)
     val left = banded.select(col("doc_id").as("doc_a"), col("bk"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_a"))
     val right = banded.select(col("doc_id").as("doc_b"), col("bk"),

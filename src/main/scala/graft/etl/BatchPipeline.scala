@@ -18,8 +18,14 @@ object BatchPipeline {
 
   /** P16 — output-name derivation (processor_app.py:139–141):
     * `splitext(f)[0] + ".udm.json"`. */
-  def udmFilename(inputFile: Column): Column =
-    regexp_replace(regexp_replace(inputFile, "^.*/", ""), "\\.[^.]*$", ".udm.json")
+  def udmFilename(inputFile: Column): Column = {
+    val base = regexp_replace(inputFile, "^.*/", "")
+    // splitext semantics: strip only a real extension (last dot NOT at
+    // the start of the basename), then append — so "capture" →
+    // "capture.udm.json" and ".bashrc" → ".bashrc.udm.json" like the
+    // reference's os.path.splitext
+    concat(regexp_replace(base, "(?<!^)\\.[^.]*$", ""), lit(".udm.json"))
+  }
 
   /** Read a directory of tshark-JSON capture files (F2 glob —
     * `capture_*.pcap*` analog) into one row per packet, keeping the raw
@@ -49,13 +55,16 @@ object BatchPipeline {
       .withColumn("is_error",
         col("event.metadata.product_name").contains("PacketProcessingError") ||
           col("event.metadata.product_name").contains("Malformed"))
-    udm.filter(col("is_error"))
-      .select(col("source_file"), col("udm_json"))
-      .write.mode(SaveMode.Overwrite).json(s"$outDir/_errors")
-    udm.filter(!col("is_error"))
-      .select(col("udm_json"))
-      .write.mode(SaveMode.Overwrite).text(s"$outDir/events")
-    UdmTransform.perFileCounts(udm)
+      .cache() // consumed three times below; don't re-parse per sink
+    try {
+      udm.filter(col("is_error"))
+        .select(col("source_file"), col("udm_json"))
+        .write.mode(SaveMode.Overwrite).json(s"$outDir/_errors")
+      udm.filter(!col("is_error"))
+        .select(col("udm_json"))
+        .write.mode(SaveMode.Overwrite).text(s"$outDir/events")
+      UdmTransform.perFileCounts(udm).localCheckpoint(eager = true)
+    } finally udm.unpersist()
   }
 
   /** K1 — golden-file writer: one pretty-printed JSON array per call,

@@ -43,6 +43,8 @@ object Metrics {
   def windowedRates(events: DataFrame, unit: String = "hour"): DataFrame = {
     val secs = unit match {
       case "minute" => 60d; case "hour" => 3600d; case "day" => 86400d
+      case other => throw new IllegalArgumentException(
+        s"windowedRates unit must be minute|hour|day, got '$other'")
     }
     events.groupBy(date_trunc(unit, col("ts")).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),

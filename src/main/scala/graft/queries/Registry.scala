@@ -356,7 +356,7 @@ object Registry {
           when(col("doc_id") % 50 === 0, concat(col("source"), lit("/evil")))
             .otherwise(col("source")).as("fname"))
         .select(col("doc_id"), col("fname"),
-          (length(col("fname")) > 0 && !col("fname").contains("/")).as("is_valid"))
+          graft.etl.BatchPipeline.isValidFilename(col("fname")).as("is_valid"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, fname,
         (length(fname) > 0 AND position('/' IN fname) = 0) AS is_valid

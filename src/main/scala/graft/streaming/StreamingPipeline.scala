@@ -82,15 +82,15 @@ object StreamingPipeline {
           b.filter(col("is_error")).select(col("source_file"), col("udm_json"))
             .write.mode("append").json(s"$outDir/_errors")
           // K3 + A1/A2 — per-file notification with packet/error counts
-          val counts = UdmTransform.perFileCounts(b)
+          // F5 (empty-output guard, processor_app.py:165–167) is
+          // subsumed here: the transform is total (P14 invariant — one
+          // event per input row, property-tested), so an empty output
+          // for a non-empty batch is structurally impossible; and any
+          // sink-write failure throws out of foreachBatch, failing the
+          // batch so the checkpoint retries it (the 500-retry analog).
+          UdmTransform.perFileCounts(b)
             .withColumn("batch_id", lit(batchId))
-          counts.write.mode("append").json(s"$outDir/_notifications")
-          // F5 — empty-output guard (processor_app.py:165–167): a
-          // non-empty batch must produce events; throwing fails the
-          // batch so the checkpoint retries it (the 500-retry analog)
-          if (!b.isEmpty && b.select(col("udm_json")).filter(col("udm_json").isNotNull).isEmpty)
-            throw new IllegalStateException(
-              "F5 violated: non-empty input batch produced no UDM events")
+            .write.mode("append").json(s"$outDir/_notifications")
         } finally b.unpersist()
         ()
       }

@@ -121,17 +121,19 @@ object UdmExpressions {
     * (json2udm_cloud.py:136,165,169,180,197,227) ⇒ precedence
     * TLS > DNS > HTTP > ARP > ICMP > default, with ICMP/ARP only
     * reachable when no TCP/UDP is present (elif chain :154–175). */
-  def eventType(l: Column): Column = {
-    val tcp = f(l, "tcp"); val udp = f(l, "udp")
-    val icmpActive = tcp.isNull && udp.isNull && f(l, "icmp").isNotNull
-    val arpActive = tcp.isNull && udp.isNull && f(l, "icmp").isNull && f(l, "arp").isNotNull
+  def eventType(l: Column): Column =
     when(f(l, "tls").isNotNull, "NETWORK_SSL")
       .when(f(l, "dns").isNotNull, "NETWORK_DNS")
       .when(f(l, "http").isNotNull, "NETWORK_HTTP")
-      .when(arpActive, "NETWORK_ARP")
-      .when(icmpActive, "NETWORK_ICMP")
+      .when(arpActive(l), "NETWORK_ARP")
+      .when(icmpActive(l), "NETWORK_ICMP")
       .otherwise("NETWORK_CONNECTION")
-  }
+
+  /** The reference's elif-chain reachability (json2udm_cloud.py:154–175):
+    * ICMP/ARP branches only fire when no TCP/UDP layer is present —
+    * shared by classification, endpoint mapping, and network section. */
+  private def icmpActive(l: Column): Column =
+    f(l, "tcp").isNull && f(l, "udp").isNull && f(l, "icmp").isNotNull
 
   private def arpActive(l: Column): Column =
     f(l, "tcp").isNull && f(l, "udp").isNull && f(l, "icmp").isNull &&
@@ -214,15 +216,14 @@ object UdmExpressions {
   def network(l: Column, app: Column): Column = {
     val ip = f(l, "ip"); val ipv6 = f(l, "ipv6")
     val tcp = f(l, "tcp"); val udp = f(l, "udp"); val icmp = f(l, "icmp")
-    val icmpActive = tcp.isNull && udp.isNull && icmp.isNotNull
     structOrNull(
       "ip_protocol_version" ->
         when(ip.isNotNull, 4).when(ipv6.isNotNull, 6).cast(IntegerType),
       "transport_protocol" -> when(tcp.isNotNull, "TCP")
-        .when(udp.isNotNull, "UDP").when(icmpActive, "ICMP"),
+        .when(udp.isNotNull, "UDP").when(icmpActive(l), "ICMP"),
       "tcp_flags" -> when(tcp.isNotNull, f(tcp, "tcp.flags")),
-      "icmp_type" -> when(icmpActive, f(icmp, "icmp.type")),
-      "icmp_code" -> when(icmpActive, f(icmp, "icmp.code")),
+      "icmp_type" -> when(icmpActive(l), f(icmp, "icmp.type")),
+      "icmp_code" -> when(icmpActive(l), f(icmp, "icmp.code")),
       "application_protocol_data" -> app)
   }
 

@@ -39,6 +39,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < pairs((1L, 2L)))
   }
 
+  test("minhash: shingle-less docs land in no LSH bucket (null-key guard)") {
+    val d = docs(1L -> "one two", 2L -> "tiny", 3L -> "a b c d e f g h")
+    val pairs = Dedup.minhashCandidatePairs(d, 3, 8, 1).collect()
+    // docs 1 and 2 have <3 words → null signatures → must never pair
+    assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val d = docs(
       1L -> "spark runs fast queries over big data lakes every day",

@@ -42,14 +42,21 @@ class PipelineSpec extends SparkSpec {
 
   test("filename ops: validation (F1) and derivation (P16)") {
     import spark.implicits._
-    val df = Seq("capture_1.pcap", "capture_2.pcapng", "", "evil/name.pcap")
+    val df = Seq("capture_1.pcap", "capture_2.pcapng", "", "evil/name.pcap",
+      "noext", ".hidden", "a.b.pcap")
       .toDF("name")
       .select(col("name"), BatchPipeline.isValidFilename(col("name")).as("ok"),
         BatchPipeline.udmFilename(col("name")).as("udm"))
       .collect()
-    assert(df.map(_.getBoolean(1)).toSeq == Seq(true, true, false, false))
+    assert(df.map(_.getBoolean(1)).toSeq ==
+      Seq(true, true, false, false, true, true, true))
     assert(df(0).getString(2) == "capture_1.udm.json")
     assert(df(1).getString(2) == "capture_2.udm.json")
+    // splitext semantics (reference processor_app.py:139): no extension
+    // → plain append; leading-dot name is not an extension
+    assert(df(4).getString(2) == "noext.udm.json")
+    assert(df(5).getString(2) == ".hidden.udm.json")
+    assert(df(6).getString(2) == "a.b.udm.json")
   }
 
   test("K1 golden array writer emits a parseable JSON array in order") {
