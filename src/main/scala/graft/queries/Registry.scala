@@ -541,7 +541,30 @@ object Registry {
 
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
-      None, bench = true))
+      Some {
+        // full LSH pipeline mirrored in SQL: signatures → 2 bands of 4
+        // slots → band-key self-join → distinct pairs w/ agreement
+        val hs = (0 until 8).map(j =>
+          s"list_min(list_transform(sh, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8))) AS h$j")
+          .mkString(", ")
+        val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
+        val bandKeys = (0 until 2).map { b =>
+          val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
+          s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+          sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words),
+          sigs AS (SELECT doc_id, $hs FROM sh),
+          sig AS (SELECT doc_id, $sigList AS sig FROM sigs),
+          bands AS ($bandKeys)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 8 AS sig_agreement
+          FROM bands a JOIN bands b
+            ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.key IS NOT NULL
+          ORDER BY doc_a, doc_b"""
+      }, bench = true))
 
   // ---------------- similarity search ---------------------------------
 
