@@ -177,14 +177,12 @@ object UdmExpressions {
   /** P8/P9 — DNS application data (json2udm_cloud.py:194–223): query
     * name/type zip (type omitted past the shorter list), answer TTLs as
     * ints, flag decode. */
-  def dnsInfo(l: Column): Column = {
+  def dnsInfo(l: Column, qNames: Column, ttls: Column): Column = {
     val d = f(l, "dns")
-    val qNames = sectionValues(f(d, "Queries"), "dns.qry.name")
     val qTypes = sectionValues(f(d, "Queries"), "dns.qry.type")
     val queries = when(qNames.isNotNull,
       transform(qNames, (n, i) => struct(
         n.as("name"), try_element_at(qTypes, i + 1).as("type"))))
-    val ttls = sectionValues(f(d, "Answers"), "dns.resp.ttl")
     val answerTtls = when(ttls.isNotNull,
       filter(transform(ttls, t => tryInt(t)), t => t.isNotNull))
     val flagResp = f(f(d, "dns.flags_tree"), "dns.flags.response")
@@ -230,7 +228,7 @@ object UdmExpressions {
   /** P7/P8/P11 — the `about` entity list (json2udm_cloud.py:133, 184,
     * 189, 209, 251, 283–284): HTTP host, HTTP URL, each DNS query name,
     * TLS SNI — in that order, entries with no truthy value dropped. */
-  def about(l: Column, rec: Column): Column = {
+  def about(l: Column, rec: Column, qNames: Column): Column = {
     val h = f(l, "http")
     val entry = (hostname: Column, url: Column) =>
       struct(hostname.cast(StringType).as("hostname"), url.cast(StringType).as("url"))
@@ -240,7 +238,6 @@ object UdmExpressions {
       one(h.isNotNull && truthy(f(h, "http.host")), entry(f(h, "http.host"), nullStr)),
       one(h.isNotNull && truthy(f(h, "http.request.full_uri")),
         entry(nullStr, f(h, "http.request.full_uri"))))
-    val qNames = sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name")
     val dnsEntries = coalesce(transform(qNames, n => entry(n, nullStr)), none)
     val sni = f(f(rec, "tls.handshake"), "tls.handshake.extensions_server_name")
     val tlsEntries = one(truthy(sni), entry(sni, nullStr))
@@ -272,9 +269,8 @@ object UdmExpressions {
   /** True where the reference's transform would raise (int() on a
     * non-numeric string) and emit a NETWORK_EVENT_ERROR instead
     * (json2udm_cloud.py:296–317). */
-  def processingError(l: Column): Column = {
+  def processingError(l: Column, ttls: Column): Column = {
     val tcp = f(l, "tcp"); val udp = f(l, "udp"); val h = f(l, "http")
-    val ttls = sectionValues(f(f(l, "dns"), "Answers"), "dns.resp.ttl")
     when(tcp.isNotNull, intCastError(f(tcp, "tcp.srcport")) || intCastError(f(tcp, "tcp.dstport")))
       .otherwise(lit(false)) ||
     when(tcp.isNull && udp.isNotNull,
@@ -325,7 +321,18 @@ object UdmExpressions {
   def udmEventParsed(parsed: Column, tlsRecs: Column, raw: Column,
                      fallbackTs: Column): Column = {
     val l = parsed.getField("_source").getField("layers")
-    val rec = try_element_at(tlsRecs, lit(1))
+    udmEventPre(l, try_element_at(tlsRecs, lit(1)),
+      sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name"),
+      sectionValues(f(f(l, "dns"), "Answers"), "dns.resp.ttl"),
+      raw, fallbackTs)
+  }
+
+  /** Innermost assembly over pre-computed hot sub-expressions. `qNames`
+    * and `ttls` are each referenced twice downstream (dns section +
+    * about / error detection) — callers that project them into their
+    * own columns halve the interpreted higher-order-function work. */
+  def udmEventPre(l: Column, rec: Column, qNames: Column, ttls: Column,
+                  raw: Column, fallbackTs: Column): Column = {
     val fallbackIso = isoMicros(fallbackTs)
     val frameNo = coalesce(f(f(l, "frame"), "frame.number"), lit("N/A"))
 
@@ -356,7 +363,7 @@ object UdmExpressions {
         snippet.as("original_packet_data_snippet")).as("additional"))
 
     val ts = isoMicros(robustTimestamp(f(f(l, "frame"), "frame.time_utc"), fallbackTs))
-    val app = structOrNull("http" -> httpInfo(l), "dns" -> dnsInfo(l),
+    val app = structOrNull("http" -> httpInfo(l), "dns" -> dnsInfo(l, qNames, ttls),
       "tls" -> tlsInfo(l, rec))
     val net = network(l, app)
     val normal = struct(
@@ -364,12 +371,12 @@ object UdmExpressions {
       principal(l).as("principal"),
       target(l).as("target"),
       net.as("network"),
-      about(l, rec).as("about"),
+      about(l, rec, qNames).as("about"),
       additional(l).as("additional"))
 
     struct(
       when(l.isNull, malformed)
-        .when(processingError(l), errorEvent)
+        .when(processingError(l, ttls), errorEvent)
         .otherwise(normal).as("event"))
   }
 

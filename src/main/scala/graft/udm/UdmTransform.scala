@@ -56,14 +56,21 @@ object UdmTransform {
     * is referenced many times downstream, so each packet is parsed once
     * (vs once per field access — ~5× on the full pipeline). */
   def transform(packets: DataFrame, rawCol: String,
-                fallbackTs: Column = current_timestamp()): DataFrame =
+                fallbackTs: Column = current_timestamp()): DataFrame = {
+    import UdmExpressions.{f, sectionValues}
+    val l = col("__parsed").getField("_source").getField("layers")
     packets
       .withColumn("__parsed", from_json(col(rawCol), PacketSchemas.packetSchema))
       .withColumn("__tls_recs", UdmExpressions.tlsRecords(
-        col("__parsed").getField("_source").getField("layers")
-          .getField("tls").getField("tls.record")))
-      .withColumn("event_struct", UdmExpressions.udmEventParsed(
-        col("__parsed"), col("__tls_recs"), col(rawCol), fallbackTs))
-      .drop("__parsed", "__tls_recs")
+        f(f(l, "tls"), "tls.record")))
+      // hot multiply-referenced sub-expressions get their own columns so
+      // the interpreted evaluator computes each once per row
+      .withColumn("__qnames", sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name"))
+      .withColumn("__ttls", sectionValues(f(f(l, "dns"), "Answers"), "dns.resp.ttl"))
+      .withColumn("event_struct", UdmExpressions.udmEventPre(
+        l, try_element_at(col("__tls_recs"), lit(1)),
+        col("__qnames"), col("__ttls"), col(rawCol), fallbackTs))
+      .drop("__parsed", "__tls_recs", "__qnames", "__ttls")
       .withColumn("udm_json", toJson(col("event_struct")))
+  }
 }
