@@ -109,6 +109,18 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(labelCol), col("n"))
 
+  /** Streaming deduplication — at-least-once upstream delivery (the
+    * reference's Pub/Sub redelivery, processor_app.py:190–193) becomes
+    * exactly-once per event id downstream: duplicates arriving within
+    * the watermark horizon are dropped, and state is evicted as the
+    * watermark advances (bounded memory — the 100 TB requirement; a
+    * plain `dropDuplicates` would grow state forever). */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** A7 (true absence detection) — the reference's "no heartbeat for
     * 15 min per sniffer_id" alert (terraform/main.tf:583–622) as
     * arbitrary stateful streaming: per label, keep the last-seen event

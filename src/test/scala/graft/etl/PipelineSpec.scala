@@ -103,6 +103,28 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(s"$out/_errors").count() == 1)
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val deduped = StreamingPipeline.dedupStream(df, Seq("event_id"), "ts")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 00:00:00")), (2L, t("2024-01-01 00:00:01")))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // redeliver event 1 (at-least-once upstream) + one new event
+      mem.addData((1L, t("2024-01-01 00:00:02")), (3L, t("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // duplicate dropped, order-independent
+    } finally q.stop()
+  }
+
   test("A7 stateful absence alert fires on true silence via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
