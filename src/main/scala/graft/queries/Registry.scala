@@ -586,11 +586,55 @@ object Registry {
 
     QueryDef("sim_lsh_topk",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
-      None, bench = true),
+      Some {
+        // mirror srpBucket: plane p's ±1 components from bit 0 of
+        // md5("p:i"); same left-to-right double summation as Spark
+        val bucket = (0 until 4).map { p =>
+          val elem = s"CASE WHEN (('0x' || substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) = 1 THEN vec[i] ELSE -vec[i] END"
+          s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+          b AS (SELECT vec_id, vec, $bucket AS bucket FROM v),
+          q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+          sc AS (SELECT q.query_id, b.vec_id,
+            list_sum(list_transform(list_zip(q.qvec, b.vec), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cos
+            FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+          SELECT query_id, vec_id, cosine, rk FROM (
+            SELECT query_id, vec_id, round(cos, 4) AS cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
+      }, bench = true),
 
     QueryDef("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 3),
-      None, bench = true),
+      Some {
+        val dim = 64
+        val centroid = (1 to dim).map(i => s"sum(vec[$i]) / count(*)").mkString("[", ", ", "]")
+        def cosList(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform($a, x -> x * x))) *
+              sqrt(list_sum(list_transform($b, x -> x * x))))"""
+        s"""WITH v AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          cent AS (SELECT label, $centroid AS c FROM v GROUP BY label),
+          q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+          cells AS (SELECT query_id, qvec, label FROM (
+            SELECT q.query_id, q.qvec, cent.label,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${cosList("q.qvec", "cent.c")} DESC, cent.label) AS cr
+            FROM q, cent) WHERE cr <= 3),
+          sc AS (SELECT cells.query_id, v.vec_id, v.label,
+            ${cosList("cells.qvec", "v.vec")} AS cos
+            FROM cells JOIN v ON v.label = cells.label AND v.vec_id <> cells.query_id)
+          SELECT query_id, vec_id, label, cosine, rk FROM (
+            SELECT query_id, vec_id, label, round(cos, 4) AS cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+            FROM sc)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
+      }, bench = true),
 
     QueryDef("sim_label_centroids",
       (s, d) => Similarity.labelCentroidNorms(t(s, d, "embeddings")),
