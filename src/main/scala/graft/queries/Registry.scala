@@ -279,6 +279,56 @@ object Registry {
     QueryDef("a6_approx_percentiles",
       (s, d) => Metrics.approxPercentiles(t(s, d, "events")), None),
 
+    QueryDef("pivot_user_type_counts",
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        // explicit value list: deterministic column order, no discovery job
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("user_id"), coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("a4_label_extraction",
+      // the reference's log-based metrics extract sniffer_id/interface
+      // labels with regexes (terraform/main.tf:261-264); synthesize the
+      // log line and extract the label back
+      (s, d) => t(s, d, "events")
+        .select(format_string("HEARTBEAT: SNIFFER sniffer-%d INTERFACE eth0 OK",
+          col("user_id")).as("log_line"))
+        .select(regexp_extract(col("log_line"), "SNIFFER (sniffer-\\d+) INTERFACE (\\w+)", 1)
+          .as("sniffer_id"))
+        .groupBy("sniffer_id").agg(count(lit(1)).as("n"))
+        .orderBy("sniffer_id"),
+      Some("""SELECT regexp_extract('HEARTBEAT: SNIFFER sniffer-' || CAST(user_id AS VARCHAR)
+          || ' INTERFACE eth0 OK', 'SNIFFER (sniffer-\d+) INTERFACE (\w+)', 1) AS sniffer_id,
+        count(*) AS n FROM events GROUP BY 1 ORDER BY sniffer_id""")),
+
+    QueryDef("window_percent_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            round(percent_rank().over(w), 6).as("pct_rank"))
+          .filter(col("event_id") < 100)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, round(pr, 6) AS pct_rank FROM (
+        SELECT event_id, event_type,
+          percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr
+        FROM events) WHERE event_id < 100 ORDER BY event_id""")),
+
     QueryDef("sessionize_events",
       (s, d) => Metrics.sessionStats(t(s, d, "events"), 3600),
       Some("""WITH g AS (SELECT user_id, ts,
