@@ -519,6 +519,12 @@ object Registry {
         THEN list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
         ELSE [] END"""
 
+  /** Hash j = 8-hex slice (j%4) of md5 of seed group (j/4) || shingle —
+    * the single source of truth for the slice scheme, mirroring
+    * [[Dedup.minhashSignatures]]. */
+  private def minhashSliceSql(j: Int, shingleVar: String = "sh") =
+    s"list_min(list_transform($shingleVar, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8)))"
+
   private val dedup = Seq(
     QueryDef("dedup_exact",
       (s, d) => Dedup.exactDuplicates(t(s, d, "documents")),
@@ -535,10 +541,7 @@ object Registry {
           .orderBy("doc_id")
       },
       Some {
-        // slice scheme mirrors Dedup.minhashSignatures: hash j = 8-hex
-        // slice (j%4) of md5 of seed-group (j/4) || shingle
-        val hs = (0 until 8).map(j =>
-          s"coalesce(list_min(list_transform(sh, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8))), '')")
+        val hs = (0 until 8).map(j => s"coalesce(${minhashSliceSql(j)}, '')")
         s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
             FROM documents),
           sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words)
@@ -594,9 +597,7 @@ object Registry {
       Some {
         // full LSH pipeline mirrored in SQL: signatures → 2 bands of 4
         // slots → band-key self-join → distinct pairs w/ agreement
-        val hs = (0 until 8).map(j =>
-          s"list_min(list_transform(sh, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8))) AS h$j")
-          .mkString(", ")
+        val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j").mkString(", ")
         val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
         val bandKeys = (0 until 2).map { b =>
           val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
@@ -641,7 +642,9 @@ object Registry {
         // md5("p:i"); same left-to-right double summation as Spark
         val bucket = (0 until 4).map { p =>
           val elem = s"CASE WHEN (('0x' || substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) = 1 THEN vec[i] ELSE -vec[i] END"
-          s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
+          // dimension derived from the row (len(vec)), matching the
+          // Scala side's runtime dim discovery
+          s"CASE WHEN list_sum(list_transform(range(1, len(vec) + 1), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
         }.mkString(" + ")
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
@@ -659,7 +662,14 @@ object Registry {
       }, bench = true),
 
     QueryDef("sim_ivf_topk",
-      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 3),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // the oracle's centroid SQL is generated for dim=64; fail loudly
+        // if the dataset ever changes shape instead of mismatching subtly
+        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        require(dim == 64, s"sim_ivf_topk oracle assumes dim=64, data has $dim")
+        Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
+      },
       Some {
         val dim = 64
         val centroid = (1 to dim).map(i => s"sum(vec[$i]) / count(*)").mkString("[", ", ", "]")

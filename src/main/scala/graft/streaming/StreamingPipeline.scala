@@ -116,10 +116,12 @@ object StreamingPipeline {
     * watermark advances (bounded memory — the 100 TB requirement; a
     * plain `dropDuplicates` would grow state forever). */
   def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
-                  watermarkDelay: String = "10 minutes"): DataFrame =
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(idCols.nonEmpty, "dedupStream needs at least one id column")
     events
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+      .dropDuplicatesWithinWatermark(idCols)
+  }
 
   /** A7 (true absence detection) — the reference's "no heartbeat for
     * 15 min per sniffer_id" alert (terraform/main.tf:583–622) as

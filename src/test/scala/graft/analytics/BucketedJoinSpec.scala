@@ -22,6 +22,7 @@ class BucketedJoinSpec extends SparkSpec {
       .mode("overwrite").saveAsTable("lineitem_b")
 
     // disable broadcast so the join must co-locate (the 100 TB case)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("lineitem_b")
@@ -33,14 +34,22 @@ class BucketedJoinSpec extends SparkSpec {
       assert(joinSection.contains("SortMergeJoin"))
       // no shuffle between the scans and the join: bucketing co-locates
       assert(!joinSection.contains("Exchange hashpartitioning"))
-      // and it computes the right thing
+      // and it computes the right thing (tolerance: the two plans sum
+      // doubles in different orders)
       val direct = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
-      assert(joined.orderBy("o_orderpriority").collect().toSeq ==
-        direct.orderBy("o_orderpriority").collect().toSeq)
+        .agg(sum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority").collect()
+      val bucketed = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority").collect()
+      assert(direct.map(_.getString(0)).toSeq == bucketed.map(_.getString(0)).toSeq)
+      direct.zip(bucketed).foreach { case (a, b) =>
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-4)
+      }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
