@@ -87,12 +87,13 @@ object UdmExpressions {
   /** P8 — `extract_values_from_tshark_section` (json2udm_cloud.py:74–88):
     * collect field `field` from every value of a dynamic-key map column,
     * dropping nulls; null (not empty array) when nothing found. Map
-    * iteration order is JSON insertion order, matching Python dicts. */
-  def sectionValues(section: Column, field: String): Column = {
-    val vals = filter(transform(map_values(section), v => v.getField(field)),
-      v => v.isNotNull)
-    when(section.isNotNull && size(vals) > 0, vals)
-  }
+    * iteration order is JSON insertion order, matching Python dicts.
+    * Implemented as a native codegen'd expression
+    * ([[graft.functions.SectionValuesExpr]]) — the equivalent
+    * `filter(transform(map_values(…)))` higher-order chain is
+    * CodegenFallback in Spark 4. */
+  def sectionValues(section: Column, field: String): Column =
+    graft.functions.SectionValuesExpr(section, field)
 
   // ---------------------------------------------------------------------
   // P10 — tls.record object-or-array normalization
