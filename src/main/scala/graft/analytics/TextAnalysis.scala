@@ -72,6 +72,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash document fingerprints (winnowing, Schleimer et al.):
+    * hash every k-char gram of the text, then keep the minimum hash of
+    * each sliding window of w grams — the classic plagiarism/near-dup
+    * fingerprint set that is robust to insertions (any shared substring
+    * of length ≥ w+k-1 yields a shared fingerprint). Gram hashes are
+    * md5 slices (engine-stable). Output: per doc, the fingerprint-set
+    * summary (count, min, max) — the full exploded set is what a
+    * dedup join would consume at scale. */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val n = length(col("text"))
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
+      i => substring(md5(substring(col("text"), i, lit(k))), 1, 8))
+    val wins = when(size(grams) >= w,
+      array_distinct(transform(sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams))))
+    graft.util.SparkUtil.widen(documents).select(
+        col("doc_id"),
+        size(wins).cast("long").as("n_fingerprints"),
+        array_min(wins).as("min_fp"),
+        array_max(wins).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over lowercased alphanumeric-normalized
     * text — the exact-dedup key that survives whitespace/punct noise. */
   def fingerprints(documents: DataFrame): DataFrame =

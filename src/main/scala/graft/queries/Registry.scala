@@ -506,6 +506,22 @@ object Registry {
           t -> t <> '')) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    QueryDef("txt_winnowing_fingerprints",
+      (s, d) => TextAnalysis.winnowingFingerprints(t(s, d, "documents")),
+      Some("""WITH g AS (SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+            i -> substr(md5(substr(text, i, 8)), 1, 8)) AS grams
+          FROM documents),
+        wfp AS (SELECT doc_id,
+          CASE WHEN len(grams) >= 16 THEN
+            list_distinct(list_transform(range(1, len(grams) - 15 + 1),
+              j -> list_min(grams[j:j+15])))
+          WHEN len(grams) > 0 THEN [list_min(grams)] ELSE NULL END AS wins
+          FROM g)
+        SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_fingerprints,
+          list_min(wins) AS min_fp, list_max(wins) AS max_fp
+        FROM wfp ORDER BY doc_id""")),
+
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id,
