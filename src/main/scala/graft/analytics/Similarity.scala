@@ -29,6 +29,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
+  /** Embedding dimensionality from the data (one tiny job), with a
+    * descriptive error for empty/null-embedding tables. */
+  def embeddingDim(embeddings: DataFrame): Int = {
+    val head = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
+    require(head.nonEmpty, "embeddings table has no non-null embedding rows")
+    head(0).getInt(0)
+  }
+
   /** Exact brute-force cosine top-k: each query (small set, broadcast)
     * against every corpus vector; per-query top-k via ranking window. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
@@ -66,8 +75,9 @@ object Similarity {
 
   /** Approximate top-k: restrict candidates to the query's SRP bucket
     * then exact-rank within it. Recall trades off with `nBits`. */
-  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int,
+              dimOpt: Option[Int] = None): DataFrame = {
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
@@ -91,8 +101,8 @@ object Similarity {
     * via nProbe. Centroids and the query→cell plan are tiny →
     * broadcast; the corpus is scanned once, filtered by probed cell. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nProbe: Int): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+              nProbe: Int, dimOpt: Option[Int] = None): DataFrame = {
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
     val centroids = corpus.groupBy("label").agg(
@@ -123,7 +133,7 @@ object Similarity {
     * (mean vector per cluster; at scale: train k-means on a sample,
     * assign via nearest centroid, search within cells). */
   def labelCentroidNorms(embeddings: DataFrame): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val dim = embeddingDim(embeddings)
     val withVec = embeddings.select(col("label"), asDouble(col("embedding")).as("vec"))
     // mean per dimension: aggregate array sums via element-wise reduce
     val summed = withVec.groupBy("label").agg(

@@ -82,17 +82,25 @@ object TextAnalysis {
     * dedup join would consume at scale. */
   def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
     val n = length(col("text"))
-    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(0))),
-      i => substring(md5(substring(col("text"), i, lit(k))), 1, 8))
+    // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so texts
+    // shorter than k must short-circuit to an empty gram list
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => substring(md5(substring(col("text"), i, lit(k))), 1, 8)))
+      .otherwise(array().cast("array<string>"))
     val wins = when(size(grams) >= w,
       array_distinct(transform(sequence(lit(1), size(grams) - (w - 1)),
         j => array_min(slice(grams, j, lit(w))))))
       .otherwise(when(size(grams) > 0, array(array_min(grams))))
-    graft.util.SparkUtil.widen(documents).select(
+    graft.util.SparkUtil.widen(documents)
+      // lambda-bearing trees get no subexpression elimination
+      // (SPARK-35410): materialize the window minima once, not 3x
+      .withColumn("__wins", wins)
+      .select(
         col("doc_id"),
-        size(wins).cast("long").as("n_fingerprints"),
-        array_min(wins).as("min_fp"),
-        array_max(wins).as("max_fp"))
+        size(col("__wins")).cast("long").as("n_fingerprints"),
+        array_min(col("__wins")).as("min_fp"),
+        array_max(col("__wins")).as("max_fp"))
       .orderBy("doc_id")
   }
 

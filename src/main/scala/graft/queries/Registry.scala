@@ -681,10 +681,11 @@ object Registry {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         // the oracle's centroid SQL is generated for dim=64; fail loudly
-        // if the dataset ever changes shape instead of mismatching subtly
-        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        // if the dataset ever changes shape instead of mismatching
+        // subtly (one dim-discovery job, reused by the query)
+        val dim = Similarity.embeddingDim(emb)
         require(dim == 64, s"sim_ivf_topk oracle assumes dim=64, data has $dim")
-        Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
+        Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, 3, Some(dim))
       },
       Some {
         val dim = 64

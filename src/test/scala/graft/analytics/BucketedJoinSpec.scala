@@ -28,7 +28,7 @@ class BucketedJoinSpec extends SparkSpec {
       val joined = spark.table("lineitem_b")
         .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
       val plan = joined.queryExecution.executedPlan.toString
       val joinSection = plan.split("HashAggregate").last // below the agg
       assert(joinSection.contains("SortMergeJoin"))
@@ -40,10 +40,7 @@ class BucketedJoinSpec extends SparkSpec {
         .groupBy("o_orderpriority")
         .agg(sum(col("l_extendedprice")).as("rev"))
         .orderBy("o_orderpriority").collect()
-      val bucketed = spark.table("lineitem_b")
-        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").agg(sum(col("l_extendedprice")).as("rev"))
-        .orderBy("o_orderpriority").collect()
+      val bucketed = joined.orderBy("o_orderpriority").collect()
       assert(direct.map(_.getString(0)).toSeq == bucketed.map(_.getString(0)).toSeq)
       direct.zip(bucketed).foreach { case (a, b) =>
         assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-4)

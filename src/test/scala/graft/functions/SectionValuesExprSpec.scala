@@ -38,16 +38,20 @@ class SectionValuesExprSpec extends SparkSpec {
   }
 
   test("works in both codegen and interpreted evaluation") {
+    // repartition defeats ConvertToLocalRelation/ConstantFolding so the
+    // expression actually executes on executors in the requested mode
     val df = Seq(
       """{"q1": {"dns.qry.name": "one.com", "dns.qry.type": "1"}}""",
       """{"q2": {"dns.qry.type": "1"}}""").toDF("j")
-      .select(SectionValuesExpr(from_json(col("j"), mapSchema), "dns.qry.name").as("v"))
+      .repartition(2)
+      .select(col("j"),
+        SectionValuesExpr(from_json(col("j"), mapSchema), "dns.qry.name").as("v"))
     for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
       try {
-        val got = df.collect()
-        assert(got(0).getSeq[String](0) == Seq("one.com"))
-        assert(got(1).isNullAt(0))
+        val got = df.orderBy("j").collect()
+        assert(got(0).getSeq[String](1) == Seq("one.com"), s"mode=$mode")
+        assert(got(1).isNullAt(1), s"mode=$mode")
       } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
