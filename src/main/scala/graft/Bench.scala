@@ -21,19 +21,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): (String, Double) = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try Registry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return name -> -1.0
+        return -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // best-of-2 per query: a single run is hostage to whatever else the
+    // machine is doing (the driver observed a 4× contention-inflated
+    // total); the min of two runs measures the engine, not the box
+    def run(name: String): (String, Double) = {
+      val a = runOnce(name)
+      if (a < 0) return name -> a
+      val b = runOnce(name)
+      name -> (if (b < 0) a else math.min(a, b))
     }
 
     // warm the JVM/codegen once with the cheapest query
-    run("a1_counts_by_type")
+    runOnce("a1_counts_by_type")
     val results = Registry.benchNames.map(run)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

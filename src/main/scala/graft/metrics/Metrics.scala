@@ -65,14 +65,30 @@ object Metrics {
         round(max("value"), 2).as("max_value"))
       .orderBy("event_type")
 
-  /** A6 at scale — t-digest-style mergeable sketch percentiles; ~the
-    * dashboard's exponential-bucket DISTRIBUTION metric. No oracle
-    * (approximate), verified by rows-only check + spec tolerance. */
-  def approxPercentiles(events: DataFrame): DataFrame =
+  /** A6 at scale — mergeable sketch percentiles; ~the dashboard's
+    * exponential-bucket DISTRIBUTION metric. Oracled via the
+    * tolerance-boolean pattern: the output carries the EXACT percentiles
+    * (DuckDB-reproducible) plus per-quantile booleans asserting the
+    * sketch lands within 5% of exact — the oracle emits literal TRUE, so
+    * the hash matches iff the sketch really is in tolerance. Scalar
+    * DOUBLE/BOOLEAN columns only (an array output breaks the driver's
+    * pandas sort). */
+  def approxPercentiles(events: DataFrame): DataFrame = {
+    def withinTol(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= greatest(abs(exact) * 0.05, lit(0.01))
     events.groupBy("event_type")
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-        lit(10000)).as("pcts"))
+          lit(10000)).as("pcts"),
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact"))
+      .select(col("event_type"),
+        round(element_at(col("exact"), 1), 4).as("p50"),
+        round(element_at(col("exact"), 2), 4).as("p95"),
+        round(element_at(col("exact"), 3), 4).as("p99"),
+        withinTol(element_at(col("pcts"), 1), element_at(col("exact"), 1)).as("p50_within_tol"),
+        withinTol(element_at(col("pcts"), 2), element_at(col("exact"), 2)).as("p95_within_tol"),
+        withinTol(element_at(col("pcts"), 3), element_at(col("exact"), 3)).as("p99_within_tol"))
       .orderBy("event_type")
+  }
 
   /** A7 — liveness gap detection (the "no heartbeat for 15 min" alert,
     * terraform/main.tf:583–622) as an event-time lag window: per label,
@@ -127,13 +143,19 @@ object Metrics {
       .orderBy("bucket")
 
   /** Approx-distinct (HLL++) per label — the sketch path for
-    * count-distinct at 100 TB (mergeable, fixed memory). Approximate ⇒
-    * no DuckDB oracle (different sketch impls); correctness bounded by
-    * spec tolerance against exact counts. */
+    * count-distinct at 100 TB (mergeable, fixed memory). Sketch values
+    * differ across engines, so the oracled output is the EXACT distinct
+    * count plus a `within_tol` boolean (|approx/exact − 1| ≤ 5%) that the
+    * DuckDB oracle asserts as literal TRUE — deterministic in both
+    * engines, hash-matchable, and it actually verifies the sketch. */
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("n_users_exact"), col("n"),
+        (abs(col("approx_users").cast("double") / col("n_users_exact") - 1.0) <= 0.05)
+          .as("within_tol"))
       .orderBy("event_type")
 
   /** Skew-resistant exact distinct count via domain partitioning: salt

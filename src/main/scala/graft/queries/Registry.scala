@@ -273,11 +273,23 @@ object Registry {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // tolerance-boolean oracle: DuckDB reproduces the exact columns and
+    // asserts the within_tol flags as literal TRUE — the hash matches
+    // iff the Spark sketch really lands within 5% of exact
     QueryDef("hll_approx_distinct",
-      (s, d) => Metrics.approxDistinctUsers(t(s, d, "events")), None),
+      (s, d) => Metrics.approxDistinctUsers(t(s, d, "events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        count(*) AS n, TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     QueryDef("a6_approx_percentiles",
-      (s, d) => Metrics.approxPercentiles(t(s, d, "events")), None),
+      (s, d) => Metrics.approxPercentiles(t(s, d, "events")),
+      Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.95), 4) AS p95,
+        round(quantile_cont(value, 0.99), 4) AS p99,
+        TRUE AS p50_within_tol, TRUE AS p95_within_tol, TRUE AS p99_within_tol
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     QueryDef("pivot_user_type_counts",
       (s, d) => t(s, d, "events")
