@@ -123,18 +123,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs: all pairs in a sampled id set
-    * with cosine ≥ threshold. Exact verifier shape — at corpus scale
-    * the candidate set comes from [[Similarity.srpBucket]] LSH buckets
-    * (same-bucket pairs only) instead of the cross join used here on
-    * the restricted sample. */
-  def embeddingNearDupPairs(embeddings: DataFrame, sampleMod: Int,
-                            threshold: Double): DataFrame = {
-    val v = graft.util.SparkUtil.widen(embeddings.filter(col("vec_id") % sampleMod === 0))
+  /** Embedding-cosine near-dup pairs, bucketed: candidate pairs are
+    * vectors sharing a [[Similarity.srpBucket]] LSH bucket (a narrow
+    * per-row bucket assignment + one equi-join on the bucket key), then
+    * exact cosine ≥ threshold within the bucket. Never all-pairs: the
+    * join touches ~1/2^nBits of the pair space, and each vector carries
+    * exactly one bucket key so no pair is produced twice. */
+  def embeddingNearDupPairs(embeddings: DataFrame, nBits: Int, threshold: Double,
+                            dimOpt: Option[Int] = None): DataFrame = {
+    val dim = dimOpt.getOrElse(Similarity.embeddingDim(embeddings))
+    val v = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
-    val a = v.select(col("vec_id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("vec").as("vec_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("bucket", Similarity.srpBucket(col("vec"), dim, nBits))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -142,15 +145,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** N-gram (word-set) Jaccard similarity for candidate pairs within a
-    * restricted id set — the exact verifier that LSH candidates feed at
-    * scale (here exposed directly for oracle checking). */
-  def jaccardPairs(documents: DataFrame, sampleMod: Int, threshold: Double): DataFrame = {
-    val docs = graft.util.SparkUtil.widen(documents.filter(col("doc_id") % sampleMod === 0))
+  /** N-gram (word-set) Jaccard exact-verify stage, fed by the MinHash
+    * LSH candidate generator: [[minhashCandidatePairs]] produces the
+    * (band-bucketed, never all-pairs) candidate set, texts join back by
+    * doc id (two linear shuffles), and exact set-Jaccard ≥ threshold
+    * confirms real near-dups. This is the full LSH-then-verify pipeline
+    * in one operator — the shape that holds at 100 TB. */
+  def jaccardPairs(documents: DataFrame, shingleK: Int, numHashes: Int,
+                   rowsPerBand: Int, threshold: Double): DataFrame = {
+    val candidates = minhashCandidatePairs(documents, shingleK, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val toks = documents
       .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+    candidates
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) -

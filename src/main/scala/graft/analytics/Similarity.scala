@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,10 +11,12 @@ import org.apache.spark.sql.types._
   * All arithmetic is over doubles (cast once at scan) with
   * left-to-right `aggregate` accumulation — deterministic and
   * DuckDB-matchable. At 100 TB the brute-force path is a broadcast of
-  * the (small) query set against a scan of the corpus: no shuffle on
-  * the corpus side until the final per-query top-k (window over query
-  * id). The LSH path buckets the corpus once (narrow) and only probes
-  * matching buckets.
+  * the (small) query set against a scan of the corpus: the only shuffle
+  * is the final per-query top-k, done with the `graft_topk` heap
+  * aggregate (≤k rows per query per partition cross the wire — never a
+  * ranking window, which would funnel every scored row through
+  * ≤|queries| reducers). The LSH path buckets the corpus once (narrow)
+  * and only probes matching buckets.
   */
 object Similarity {
 
@@ -38,8 +39,40 @@ object Similarity {
     head(0).getInt(0)
   }
 
+  /** Per-query top-k via the `graft_topk`/`graft_topk_tag` heap
+    * aggregate instead of a ranking window: a window over `query_id`
+    * shuffles EVERY scored corpus row to ≤|queries| reducers (at 100 TB,
+    * the whole scored table through a handful of tasks), while the heap
+    * aggregate's map-side combine reduces each partition to ≤k rows per
+    * query before the shuffle. Output order matches
+    * `row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)`.
+    * `tagCol`, when present, rides through the heap so corpus attributes
+    * (e.g. `label`) need no second scan/join to recover. */
+  private def heapTopK(scored: DataFrame, k: Int, tagCol: Option[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    tagCol match {
+      case Some(tag) =>
+        scored.groupBy("query_id")
+          .agg(expr(s"graft_topk_tag(cos, vec_id, $tag, $k)").as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .select(col("query_id"), col("col.id").as("vec_id"),
+            col("col.tag").as(tag), round(col("col.score"), 4).as("cosine"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("query_id", "rk")
+      case None =>
+        scored.groupBy("query_id")
+          .agg(expr(s"graft_topk(cos, vec_id, $k)").as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .select(col("query_id"), col("col.id").as("vec_id"),
+            round(col("col.score"), 4).as("cosine"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("query_id", "rk")
+    }
+  }
+
   /** Exact brute-force cosine top-k: each query (small set, broadcast)
-    * against every corpus vector; per-query top-k via ranking window. */
+    * against every corpus vector; per-query top-k via the map-side heap
+    * aggregate (see [[heapTopK]]). */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
@@ -48,11 +81,8 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         cosine(col("qvec"), col("vec")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    scored.select(col("query_id"), col("vec_id"), col("label"),
-        round(col("cos"), 4).as("cosine"), row_number().over(w).cast("long").as("rk"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    heapTopK(scored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
   /** Sign-random-projection LSH bucket key: `nBits` hyperplanes with
@@ -83,14 +113,10 @@ object Similarity {
       .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    corpus.join(broadcast(queries), Seq("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cos"))
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cosine"),
-        row_number().over(w).cast("long").as("rk"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    heapTopK(scored, k, None)
   }
 
   /** IVF-style approximate top-k: coarse cells are the `label` column
@@ -111,22 +137,26 @@ object Similarity {
       .select(col("label"), transform(col("sums"), s => s / col("n")).as("centroid"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val wCell = Window.partitionBy("query_id").orderBy(desc("c"), asc("label"))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("label"),
+    // rank cells per query with the same heap aggregate (no window
+    // anywhere in the operator); label rides as the heap id — the
+    // queries×centroids table is tiny (broadcast both sides), this just
+    // keeps the plan window-free and the per-query state k-bounded
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cellScores = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("label"),
         cosine(col("qvec"), col("centroid")).as("c"))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= nProbe)
+    val probed = cellScores.groupBy("query_id")
+      .agg(expr(s"graft_topk(c, CAST(label AS BIGINT), $nProbe)").as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("label_l"))
+      .select(col("query_id"), col("label_l").cast("int").as("label"))
+      .join(queries, Seq("query_id"))
       .select(col("query_id"), col("qvec"), col("label"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    corpus.join(broadcast(probed), Seq("label"))
+    val scored = corpus.join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
         cosine(col("qvec"), col("vec")).as("cos"))
-      .select(col("query_id"), col("vec_id"), col("label"),
-        round(col("cos"), 4).as("cosine"), row_number().over(w).cast("long").as("rk"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    heapTopK(scored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
   /** Centroid stats per label — the IVF coarse-quantizer building block

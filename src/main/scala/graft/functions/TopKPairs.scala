@@ -117,21 +117,171 @@ case class TopKPairs(
     copy(scoreExpr = c(0), idExpr = c(1), kExpr = c(2))
 }
 
+/** Bounded top-k buffer carrying an opaque payload alongside each
+  * (score, id) pair. Eviction order ignores the tag — it rides along so
+  * downstream projections (e.g. a corpus attribute like `label`) don't
+  * need a second scan/join to recover it. Payloads are JVM-normalized
+  * values (String/Int/Long/Double or null). */
+final class TopKTagBuffer(val k: Int) {
+  private val evictFirst: Ordering[(Double, Long, Any)] = (a, b) => {
+    val c = java.lang.Double.compare(b._1, a._1)
+    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  }
+  val heap: mutable.PriorityQueue[(Double, Long, Any)] =
+    mutable.PriorityQueue.empty(evictFirst)
+
+  def add(score: Double, id: Long, tag: Any): Unit = {
+    if (heap.size < k) heap.enqueue((score, id, tag))
+    else if (evictFirst.compare((score, id, tag), heap.head) < 0) {
+      heap.dequeue(); heap.enqueue((score, id, tag))
+    }
+  }
+
+  def sorted: Seq[(Double, Long, Any)] =
+    heap.toSeq.sortWith { (a, b) =>
+      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
+    }
+}
+
+/** `graft_topk_tag(score, id, tag, k)` — [[TopKPairs]] with a payload
+  * column (STRING/INT/BIGINT/DOUBLE) carried through the heap; the
+  * output struct's `tag` field keeps the input type. Same
+  * map-side-combine contract (≤k rows per group per partition
+  * pre-shuffle); returns `array<struct<score,id,tag>>` in
+  * (score desc, id asc) order. */
+case class TopKTagged(
+    scoreExpr: Expression, idExpr: Expression, tagExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKTagBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private val supportedTagTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, DoubleType)
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr, tagExpr, kExpr)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"graft_topk_tag score must be DOUBLE, got ${scoreExpr.dataType}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"graft_topk_tag id must be BIGINT, got ${idExpr.dataType}")
+    else if (!supportedTagTypes.contains(tagExpr.dataType))
+      TypeCheckFailure(
+        s"graft_topk_tag tag must be STRING/INT/BIGINT/DOUBLE, got ${tagExpr.dataType}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckFailure("graft_topk_tag k must be a constant INT")
+    else TypeCheckSuccess
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType),
+    StructField("tag", tagExpr.dataType))))
+  override def prettyName: String = "graft_topk_tag"
+
+  override def createAggregationBuffer(): TopKTagBuffer = new TopKTagBuffer(k)
+
+  override def update(buf: TopKTagBuffer, input: InternalRow): TopKTagBuffer = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null) {
+      // normalize the Catalyst value (UTF8String is mutable/reused) to a
+      // stable JVM value for buffering
+      val t = tagExpr.eval(input) match {
+        case null => null
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      }
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long], t)
+    }
+    buf
+  }
+
+  override def merge(buf: TopKTagBuffer, other: TopKTagBuffer): TopKTagBuffer = {
+    other.heap.foreach { case (s, i, t) => buf.add(s, i, t) }
+    buf
+  }
+
+  override def eval(buf: TopKTagBuffer): Any =
+    new GenericArrayData(buf.sorted.map { case (s, i, t) =>
+      InternalRow(s, i, t match {
+        case str: String => org.apache.spark.unsafe.types.UTF8String.fromString(str)
+        case other => other
+      })
+    }.toArray[Any])
+
+  override def serialize(buf: TopKTagBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.heap.size)
+    buf.heap.foreach { case (s, i, t) =>
+      out.writeDouble(s); out.writeLong(i)
+      out.writeBoolean(t != null)
+      if (t != null) t match {
+        case str: String => out.writeUTF(str)
+        case n: java.lang.Integer => out.writeInt(n)
+        case n: java.lang.Long => out.writeLong(n)
+        case n: java.lang.Double => out.writeDouble(n)
+        case other => throw new IllegalStateException(
+          s"graft_topk_tag: unserializable tag ${other.getClass}")
+      }
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKTagBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new TopKTagBuffer(in.readInt())
+    var n = in.readInt()
+    val readTag: DataInputStream => Any = tagExpr.dataType match {
+      case StringType => _.readUTF()
+      case IntegerType => in => Int.box(in.readInt())
+      case LongType => in => Long.box(in.readLong())
+      case DoubleType => in => Double.box(in.readDouble())
+      case other => throw new IllegalStateException(s"graft_topk_tag: bad tag type $other")
+    }
+    while (n > 0) {
+      val s = in.readDouble(); val i = in.readLong()
+      val t = if (in.readBoolean()) readTag(in) else null
+      buf.add(s, i, t); n -= 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKTagged =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKTagged =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKTagged =
+    copy(scoreExpr = c(0), idExpr = c(1), tagExpr = c(2), kExpr = c(3))
+}
+
 /** Registration: via [[GraftExtensions]] for
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or
   * [[GraftFunctions.register]] on an existing session. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKPairs(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_tag", exprs => TopKTagged(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_tag"),
+      new ExpressionInfo(classOf[TopKTagged].getName, "graft_topk_tag"),
+      (exprs: Seq[Expression]) => TopKTagged(exprs(0), exprs(1), exprs(2), exprs(3))))
+  }
 }

@@ -167,13 +167,18 @@ object Registry {
           round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
         FROM daily ORDER BY day""")),
 
+    // fuzzy join with prefix-token blocking: candidates must share their
+    // first name token (an equi-join key — never a CartesianProduct), so
+    // the pair space is divided by the blocking-key cardinality and each
+    // block shuffles independently. The oracle applies the same block.
     QueryDef("fuzzy_levenshtein_parts",
       (s, d) => {
         val p = t(s, d, "part").filter(col("p_partkey") % 50 === 0)
-          .select(col("p_partkey"), col("p_name"))
-        val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-        val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-        a.crossJoin(b).filter(col("key_a") < col("key_b"))
+          .select(split(col("p_name"), " ").getItem(0).as("blk"),
+            col("p_partkey"), col("p_name"))
+        val a = p.select(col("blk"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = p.select(col("blk"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("blk")).filter(col("key_a") < col("key_b"))
           .select(col("key_a"), col("key_b"),
             levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
           .filter(col("dist") <= 10)
@@ -181,9 +186,11 @@ object Registry {
       },
       Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         levenshtein(a.p_name, b.p_name) AS dist
-        FROM (SELECT * FROM part WHERE p_partkey % 50 = 0) a,
-             (SELECT * FROM part WHERE p_partkey % 50 = 0) b
-        WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 10
+        FROM (SELECT * FROM part WHERE p_partkey % 50 = 0) a
+        JOIN (SELECT * FROM part WHERE p_partkey % 50 = 0) b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 10
         ORDER BY key_a, key_b""")),
 
     QueryDef("distinct_agg_per_flag",
@@ -553,6 +560,33 @@ object Registry {
   private def minhashSliceSql(j: Int, shingleVar: String = "sh") =
     s"list_min(list_transform($shingleVar, x -> substr(md5('${j / 4}:' || x), ${1 + 8 * (j % 4)}, 8)))"
 
+  /** Shared CTE prefix for the MinHash-LSH SQL mirrors (k=3 shingles,
+    * 8 hashes, 2 bands of 4): words → shingles → signature slots →
+    * banded keys. Used by dedup_minhash_pairs and the jaccard verifier
+    * it feeds. */
+  private def minhashBandsCtes: String = {
+    val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j").mkString(", ")
+    val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
+    val bandKeys = (0 until 2).map { b =>
+      val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
+      s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words),
+      sigs AS (SELECT doc_id, $hs FROM sh),
+      sig AS (SELECT doc_id, $sigList AS sig FROM sigs),
+      bands AS ($bandKeys)"""
+  }
+
+  /** SRP-LSH bucket mirror (over a `vec` DOUBLE list column): plane p's
+    * ±1 components from bit 0 of md5("p:i"); same left-to-right double
+    * summation as the Spark side. Shared by sim_lsh_topk and the
+    * embedding near-dup verifier. */
+  private def srpBucketSql(nBits: Int): String = (0 until nBits).map { p =>
+    val elem = s"CASE WHEN (('0x' || substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) = 1 THEN vec[i] ELSE -vec[i] END"
+    s"CASE WHEN list_sum(list_transform(range(1, len(vec) + 1), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
+  }.mkString(" + ")
+
   private val dedup = Seq(
     QueryDef("dedup_exact",
       (s, d) => Dedup.exactDuplicates(t(s, d, "documents")),
@@ -593,49 +627,51 @@ object Registry {
           FROM v ORDER BY doc_id"""
       }),
 
+    // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
+    // The oracle mirrors the full pipeline including the band join, so
+    // the bucketed (100 TB-shape) path is exactly what gets verified.
     QueryDef("dedup_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), 20, 0.8),
-      Some("""WITH docs AS (SELECT doc_id,
-          list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-          FROM documents WHERE doc_id % 20 = 0)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          round(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
-            (len(a.toks) + len(b.toks) - len(list_filter(a.toks, t -> list_contains(b.toks, t)))), 4)
-            AS jaccard
-        FROM docs a, docs b WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
-            (len(a.toks) + len(b.toks) - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
-        ORDER BY doc_a, doc_b"""), bench = true),
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), 3, 8, 4, 0.8),
+      Some {
+        s"""WITH $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          toks AS (SELECT doc_id,
+            list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+          j AS (SELECT doc_a, doc_b,
+            CAST(len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS DOUBLE) /
+              (len(ta.toks) + len(tb.toks) -
+               len(list_filter(ta.toks, t -> list_contains(tb.toks, t)))) AS jac
+            FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b)
+          SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+          WHERE jac >= 0.8 ORDER BY doc_a, doc_b"""
+      }, bench = true),
 
+    // SRP-bucketed near-dup: pairs only within a shared LSH bucket, then
+    // exact cosine ≥ threshold; oracle mirrors the bucket assignment.
     QueryDef("dedup_embedding_cosine",
-      (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 5, 0.35),
-      Some("""WITH v AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-          FROM embeddings WHERE vec_id % 5 = 0)
-        SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])) /
-            (sqrt(list_sum(list_transform(a.vec, x -> x * x))) *
-             sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cos
-          FROM v a, v b WHERE a.vec_id < b.vec_id)
-        WHERE cos >= 0.35 ORDER BY id_a, id_b""")),
+      (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 4, 0.35),
+      Some {
+        s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v)
+          SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+              list_sum(list_transform(list_zip(a.vec, b2.vec), p -> p[1] * p[2])) /
+              (sqrt(list_sum(list_transform(a.vec, x -> x * x))) *
+               sqrt(list_sum(list_transform(b2.vec, x -> x * x)))) AS cos
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+          WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+      }),
 
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
       Some {
         // full LSH pipeline mirrored in SQL: signatures → 2 bands of 4
         // slots → band-key self-join → distinct pairs w/ agreement
-        val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j").mkString(", ")
-        val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
-        val bandKeys = (0 until 2).map { b =>
-          val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
-          s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-          sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words),
-          sigs AS (SELECT doc_id, $hs FROM sh),
-          sig AS (SELECT doc_id, $sigList AS sig FROM sigs),
-          bands AS ($bandKeys)
+        s"""WITH $minhashBandsCtes
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
               p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 8 AS sig_agreement
@@ -666,17 +702,11 @@ object Registry {
     QueryDef("sim_lsh_topk",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
       Some {
-        // mirror srpBucket: plane p's ±1 components from bit 0 of
-        // md5("p:i"); same left-to-right double summation as Spark
-        val bucket = (0 until 4).map { p =>
-          val elem = s"CASE WHEN (('0x' || substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1) = 1 THEN vec[i] ELSE -vec[i] END"
-          // dimension derived from the row (len(vec)), matching the
-          // Scala side's runtime dim discovery
-          s"CASE WHEN list_sum(list_transform(range(1, len(vec) + 1), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
-        }.mkString(" + ")
+        // mirror srpBucket (see srpBucketSql): dimension derived from
+        // the row (len(vec)), matching the Scala side's dim discovery
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
-          b AS (SELECT vec_id, vec, $bucket AS bucket FROM v),
+          b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v),
           q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
           sc AS (SELECT q.query_id, b.vec_id,
             list_sum(list_transform(list_zip(q.qvec, b.vec), p -> p[1] * p[2])) /
