@@ -62,13 +62,33 @@ object Dedup {
       .join(hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*), Seq("doc_id"), "left")
   }
 
+  /** Persist the signature table (one narrow pass over the corpus) so
+    * it can be reused across band configurations and repeated dedup
+    * runs: at 100 TB the shingle-explode+hash stage dominates the
+    * pipeline, and banding is cheap relative to it — recomputing
+    * signatures per (bands × experiments) run is the real waste.
+    * Written as plain parquet (doc_id, h0..h{n-1}); feed the read-back
+    * table to [[candidatePairsFromSignatures]]. */
+  def writeSignatures(documents: DataFrame, path: String, k: Int,
+                      numHashes: Int): Unit =
+    minhashSignatures(documents, k, numHashes)
+      .write.mode("overwrite").parquet(path)
+
   /** LSH banding over minhash signatures: hash `rowsPerBand` signature
     * slots per band; docs sharing any band key are near-dup candidates.
     * Returns candidate pairs with their signature agreement ratio —
     * the full pipeline shuffles only on band keys (×bands), never n². */
   def minhashCandidatePairs(documents: DataFrame, k: Int, numHashes: Int,
-                            rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(documents, k, numHashes)
+                            rowsPerBand: Int): DataFrame =
+    candidatePairsFromSignatures(
+      minhashSignatures(documents, k, numHashes), numHashes, rowsPerBand)
+
+  /** Banding stage alone, over an existing signature table — computed
+    * in-plan by [[minhashSignatures]] or read back from a
+    * [[writeSignatures]] parquet (signatures computed ONCE per corpus,
+    * banded many times). */
+  def candidatePairsFromSignatures(sig: DataFrame, numHashes: Int,
+                                   rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))

@@ -20,11 +20,12 @@ object BatchPipeline {
     * `splitext(f)[0] + ".udm.json"`. */
   def udmFilename(inputFile: Column): Column = {
     val base = regexp_replace(inputFile, "^.*/", "")
-    // splitext semantics: strip only a real extension (last dot NOT at
-    // the start of the basename), then append — so "capture" →
-    // "capture.udm.json" and ".bashrc" → ".bashrc.udm.json" like the
-    // reference's os.path.splitext
-    concat(regexp_replace(base, "(?<!^)\\.[^.]*$", ""), lit(".udm.json"))
+    // splitext semantics: an extension exists only when some NON-DOT
+    // character precedes the last dot (CPython genericpath._splitext
+    // skips the run of leading dots) — so "capture" → "capture.udm.json",
+    // ".bashrc" → ".bashrc.udm.json", "a..b" → "a..udm.json", and
+    // all-dot basenames ("..", "...") keep every dot
+    concat(regexp_replace(base, "^(\\.*[^.].*)\\.[^.]*$", "$1"), lit(".udm.json"))
   }
 
   /** Read a directory of tshark-JSON capture files (F2 glob —

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   *    is semantically identical; the checkpoint's file log IS the
   *    processed-set (F4) with exactly-once tracking.
   *  - K2/K3/K4: `foreachBatch` writes good events as JSONL, routes
-  *    error/malformed events to an `_errors` sink (DLQ), and appends
+  *    error/malformed events to an `_errors` sink (DLQ), and writes
   *    per-file counts to a `_notifications` table (A1/A2 metric lines,
-  *    json2udm_cloud.py:344–348).
+  *    json2udm_cloud.py:344–348) — each sink batch_id-scoped +
+  *    overwritten, so batch retries are idempotent.
   *  - K5 (source cleanup): `cleanSource=delete/archive` option.
   *  - At-least-once + idempotent overwrite (reference
   *    processor_app.py:190–193 + deterministic output names) maps to
-  *    checkpointed restart + deterministic per-file output paths.
+  *    checkpointed restart + deterministic per-batch output paths; a
+  *    poison batch dead-letters after `maxAttempts` tries (the
+  *    reference subscription's 5-attempt DLQ policy, main.tf:219–222).
   *
   * At scale: per-file work is embarrassingly parallel (one task per
   * file split); the only stateful query is the windowed metrics stream,
@@ -61,37 +64,80 @@ object StreamingPipeline {
           col("event.metadata.product_name").contains("Malformed"))
 
   /** Wire the full pipeline: landing dir → UDM JSONL + error DLQ +
-    * per-file notification/metrics table, exactly-once per file via
-    * checkpoint. Call `.start()` on the result (tests use
-    * Trigger.AvailableNow via the `trigger` param). */
+    * per-file notification/metrics table. Delivery contract:
+    * at-least-once batch execution (checkpoint restart re-runs an
+    * uncommitted batch) made observably exactly-once by IDEMPOTENT
+    * sinks — every sink writes a deterministic `batch_id=N`
+    * subdirectory with overwrite semantics, so a retried batch
+    * replaces its own partial output instead of appending duplicates
+    * (the engine analog of the reference's deterministic-overwrite
+    * idempotence, processor_app.py:190–193). Readers see the sink
+    * roots as partitioned tables (`batch_id` becomes a column).
+    *
+    * Retry budget (the reference's 5-delivery-attempts-then-DLQ
+    * subscription policy, terraform/main.tf:219–222): each batch's
+    * attempt count is tracked under the checkpoint; once a batch has
+    * failed `maxAttempts` times, its rows are dead-lettered wholesale
+    * to `_errors` and the batch commits — a poison input dead-letters
+    * instead of wedging the stream forever.
+    *
+    * `failHook` runs before the sinks on every normal attempt — a test
+    * seam to inject the processing crashes the retry budget guards
+    * (production default is a no-op).
+    *
+    * Call `.start()` on the result (tests use Trigger.AvailableNow via
+    * the `trigger` param). */
   def pipeline(spark: SparkSession, landingDir: String, outDir: String,
                checkpoint: String,
                trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-               maxFilesPerTrigger: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] = {
+               maxFilesPerTrigger: Int = 16,
+               maxAttempts: Int = 5,
+               failHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.hadoop.fs.Path
     val udm = toUdm(readPacketStream(spark, landingDir, maxFilesPerTrigger))
     udm.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.cache()
-        try {
-          // K2 — good events, JSONL
-          b.filter(!col("is_error")).select(col("udm_json"))
-            .write.mode("append").text(s"$outDir/events")
-          // K4 — DLQ for error/malformed events
-          b.filter(col("is_error")).select(col("source_file"), col("udm_json"))
-            .write.mode("append").json(s"$outDir/_errors")
-          // K3 + A1/A2 — per-file notification with packet/error counts
-          // F5 (empty-output guard, processor_app.py:165–167) is
-          // subsumed here: the transform is total (P14 invariant — one
-          // event per input row, property-tested), so an empty output
-          // for a non-empty batch is structurally impossible; and any
-          // sink-write failure throws out of foreachBatch, failing the
-          // batch so the checkpoint retries it (the 500-retry analog).
-          UdmTransform.perFileCounts(b)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").json(s"$outDir/_notifications")
-        } finally b.unpersist()
+        // attempt accounting: one marker file per try, recorded BEFORE
+        // processing so a mid-batch crash still consumes an attempt
+        val attemptsDir = new Path(s"$checkpoint/graft_attempts/batch-$batchId")
+        val fs = attemptsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val attempt =
+          if (fs.exists(attemptsDir)) fs.listStatus(attemptsDir).length else 0
+        fs.mkdirs(attemptsDir)
+        fs.create(new Path(attemptsDir, s"attempt-$attempt"), true).close()
+
+        if (attempt >= maxAttempts) {
+          // poison batch: budget exhausted — dead-letter every row of
+          // the batch (the whole "message", like the reference's DLQ
+          // topic) and commit so the stream moves on
+          batch.select(col("source_file"), col("udm_json"),
+              lit("retry budget exhausted").as("dlq_reason"))
+            .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
+        } else {
+          failHook(batch, batchId)
+          val b = batch.cache()
+          try {
+            // K2 — good events, JSONL
+            b.filter(!col("is_error")).select(col("udm_json"))
+              .write.mode("overwrite").text(s"$outDir/events/batch_id=$batchId")
+            // K4 — DLQ for error/malformed events
+            b.filter(col("is_error")).select(col("source_file"), col("udm_json"),
+                lit("row error").as("dlq_reason"))
+              .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
+            // K3 + A1/A2 — per-file notification with packet/error counts
+            // F5 (empty-output guard, processor_app.py:165–167) is
+            // subsumed here: the transform is total (P14 invariant — one
+            // event per input row, property-tested), so an empty output
+            // for a non-empty batch is structurally impossible; and any
+            // sink-write failure throws out of foreachBatch, failing the
+            // batch so the checkpoint retries it (up to maxAttempts).
+            UdmTransform.perFileCounts(b)
+              .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
+          } finally b.unpersist()
+        }
         ()
       }
   }

@@ -22,6 +22,20 @@ import org.apache.spark.sql.types._
   *    semantics (real frame number, real SNI).
   *  - Python error events carry the CPython exception text; ours carry a
   *    stable engine-authored message (the shape/fields match py:311–317).
+  *  - A `_source` that parses but is not an object (e.g. `{"_source":42}`
+  *    or a non-dict array element) raises AttributeError inside the
+  *    reference's try block → NETWORK_EVENT_ERROR / 'PacketProcessingError'
+  *    (py:296–317); here from_json yields null layers, so such inputs emit
+  *    the Malformed NETWORK_EVENT_UNKNOWN event instead. Same
+  *    one-event-per-input totality, different error label — callers
+  *    counting only 'PacketProcessingError' (perFileCounts) classify these
+  *    as malformed rather than errored.
+  *  - Whole-file error containment (py:350–360): a file whose root is not
+  *    a JSON array produces `[]` (zero events, silent loss) in the
+  *    reference; our readers map it to ONE malformed-event row
+  *    (BatchPipeline.readRawPackets), so every input file is accounted for
+  *    in the output and in per-file counts. Deliberate fix, not an
+  *    oversight.
   */
 object UdmExpressions {
 

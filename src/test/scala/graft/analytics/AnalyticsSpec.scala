@@ -46,6 +46,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("persisted minhash signatures band to the same candidate pairs") {
+    val d = docs(
+      1L -> "spark runs fast queries over big data lakes every day",
+      2L -> "spark runs fast queries over big data lakes every night",
+      3L -> "completely different words about gardening tulips and soil care")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    try {
+      Dedup.writeSignatures(d, dir, 3, 8)
+      val fromDisk = Dedup.candidatePairsFromSignatures(spark.read.parquet(dir), 8, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = Dedup.minhashCandidatePairs(d, 3, 8, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fromDisk == direct && fromDisk.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val d = docs(
       1L -> "spark runs fast queries over big data lakes every day",

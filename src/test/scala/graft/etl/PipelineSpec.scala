@@ -43,13 +43,13 @@ class PipelineSpec extends SparkSpec {
   test("filename ops: validation (F1) and derivation (P16)") {
     import spark.implicits._
     val df = Seq("capture_1.pcap", "capture_2.pcapng", "", "evil/name.pcap",
-      "noext", ".hidden", "a.b.pcap")
+      "noext", ".hidden", "a.b.pcap", "..", "...", "a..b", "a.")
       .toDF("name")
       .select(col("name"), BatchPipeline.isValidFilename(col("name")).as("ok"),
         BatchPipeline.udmFilename(col("name")).as("udm"))
       .collect()
     assert(df.map(_.getBoolean(1)).toSeq ==
-      Seq(true, true, false, false, true, true, true))
+      Seq(true, true, false, false, true, true, true, true, true, true, true))
     assert(df(0).getString(2) == "capture_1.udm.json")
     assert(df(1).getString(2) == "capture_2.udm.json")
     // splitext semantics (reference processor_app.py:139): no extension
@@ -57,6 +57,12 @@ class PipelineSpec extends SparkSpec {
     assert(df(4).getString(2) == "noext.udm.json")
     assert(df(5).getString(2) == ".hidden.udm.json")
     assert(df(6).getString(2) == "a.b.udm.json")
+    // all-dot basenames have NO extension in CPython's splitext
+    assert(df(7).getString(2) == "...udm.json")   // ".." + ".udm.json"
+    assert(df(8).getString(2) == "....udm.json")  // "..." + ".udm.json"
+    // but a dot run after a real name char IS strippable
+    assert(df(9).getString(2) == "a..udm.json")   // splitext("a..b") = "a."
+    assert(df(10).getString(2) == "a.udm.json")   // splitext("a.") = "a"
   }
 
   test("K1 golden array writer emits a parseable JSON array in order") {
@@ -101,6 +107,38 @@ class PipelineSpec extends SparkSpec {
     assert(notif2.agg(sum("packets_processed")).head().getLong(0) == 5)
     assert(spark.read.text(s"$out/events").count() == 4)
     assert(spark.read.json(s"$out/_errors").count() == 1)
+  }
+
+  test("poison batch dead-letters after the retry budget and unwedges the stream") {
+    val in = Files.createTempDirectory("graft_pin").toString
+    val out = Files.createTempDirectory("graft_pout").toString
+    val ckpt = Files.createTempDirectory("graft_pckpt").toString
+    mkCapture(in, "capture_poison.pcap.json", goodPacket)
+    // simulate the reference's processing crash: any batch containing
+    // the poison file fails before its sinks run
+    val boom = (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      if (b.filter(col("source_file").contains("poison")).count() > 0)
+        throw new RuntimeException("simulated poison crash")
+
+    def runOnce(): Boolean =
+      try {
+        val q = StreamingPipeline.pipeline(spark, in, out, ckpt,
+          trigger = Trigger.AvailableNow(), maxAttempts = 2, failHook = boom).start()
+        q.awaitTermination(120000); true
+      } catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+      }
+
+    assert(!runOnce()) // attempt 0 crashes
+    assert(!runOnce()) // attempt 1 crashes — budget now exhausted
+    assert(runOnce())  // attempt 2: batch dead-letters and commits
+    val dlq = spark.read.json(s"$out/_errors")
+    assert(dlq.filter(col("dlq_reason") === "retry budget exhausted").count() == 1)
+
+    // the stream is unwedged: a new clean file processes normally
+    mkCapture(in, "capture_clean.pcap.json", goodPacket)
+    assert(runOnce())
+    assert(spark.read.text(s"$out/events").count() == 1)
   }
 
   test("streaming dedup drops redelivered events within the watermark") {
