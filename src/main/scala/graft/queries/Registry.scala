@@ -437,14 +437,25 @@ object Registry {
   private val udm = Seq(
     QueryDef("udm_classify_pipeline",
       (s, d) => {
-        val packets = SynthPackets.fromEvents(t(s, d, "events"))
+        // sort-before-transform: the global range sort runs on the cheap
+        // 4-column scan (its sampling pass re-executes only that scan,
+        // not the pipeline), and the narrow synth→parse→classify chain
+        // preserves both intra-partition order and partition numbering —
+        // so the output is globally ordered by event_id without a
+        // post-transform sort that would double-execute the transform.
+        // Explicit partition count: an orderBy exchange would be
+        // AQE-coalesced to ~1 partition at this data size, serializing
+        // the downstream CPU-dense transform.
+        val sorted = t(s, d, "events")
+          .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
+          .sortWithinPartitions("event_id")
+        val packets = SynthPackets.fromEvents(sorted, widen = false)
         val out = UdmTransform.transform(packets, "raw")
           .select(col("event_id"), col("event_struct.event").as("event"))
         out.select(col("event_id"),
             col("event.metadata.event_type").as("udm_type"),
             col("event.principal.port").cast("long").as("src_port"),
             try_element_at(col("event.about"), lit(1)).getField("hostname").as("about_host"))
-          .orderBy("event_id")
       },
       Some("""SELECT event_id,
         CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'

@@ -110,4 +110,25 @@ object PacketSchemas {
   val packetSchema: StructType = StructType(Seq(
     StructField("_source", StructType(Seq(
       StructField("layers", layersSchema))))))
+
+  // ---- native-parse variant (graft.functions.UdmPacketParseExpr) ----
+  // Same shape as [[packetSchema]] except `tls.record` is normalized
+  // during the parse itself: tshark emits an object for one record and
+  // an array for several (json2udm_cloud.py:229–236), and the custom
+  // parser folds both into array<tlsRecordSchema> — eliminating the
+  // raw-string capture + second from_json round trip.
+
+  val parsedTlsSchema: StructType = StructType(Seq(
+    StructField("tls.record", ArrayType(tlsRecordSchema))))
+
+  val parsedLayersSchema: StructType = StructType(
+    layersSchema.fields.map {
+      case StructField("tls", _, n, m) => StructField("tls", parsedTlsSchema, n, m)
+      case other => other
+    })
+
+  /** Root schema produced by the codegen'd native packet parser. */
+  val parsedPacketSchema: StructType = StructType(Seq(
+    StructField("_source", StructType(Seq(
+      StructField("layers", parsedLayersSchema))))))
 }

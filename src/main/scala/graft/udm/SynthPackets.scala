@@ -20,9 +20,70 @@ object SynthPackets {
 
   private def nul(t: DataType): Column = lit(null).cast(t)
 
+  // JSON fragments shared by the per-type templates (codegen-friendly
+  // format_string synthesis — to_json is CodegenFallback and was the
+  // costliest node in the synthesis plan)
+  private val ethJson =
+    """"eth":{"eth.src":"aa:bb:cc:00:00:01","eth.dst":"aa:bb:cc:00:00:02"}"""
+  private val ipJson =
+    """"ip":{"ip.src":"10.0.0.%3$s","ip.dst":"203.0.113.9","ip.ttl":"64"}"""
+  // NB: the original struct builder prefixes "eth:ethertype:ip:" for
+  // EVERY type (including ARP) — preserved verbatim
+  private def frameJson(protocols: String) =
+    s""""frame":{"frame.number":"%1$$s","frame.time_utc":"%2$$s","frame.protocols":"eth:ethertype:ip:$protocols"}"""
+  private def pkt(layers: String*) =
+    s"""{"_source":{"layers":{${layers.mkString(",")}}}}"""
+
   /** events(event_id, ts, user_id, event_type, ...) → one raw tshark
-    * packet JSON string per row (column `raw`), event_id retained. */
-  def fromEvents(events: DataFrame): DataFrame = {
+    * packet JSON string per row (column `raw`), event_id retained.
+    *
+    * Every packet is a pure `format_string` of (event_id, ts, user_id)
+    * — fully codegen'd, so synthesis fuses into the same whole-stage
+    * span as the downstream parse+transform. Layer mix per type matches
+    * the original struct builder below (which remains the
+    * documentation of record for the shapes): click→HTTP/TCP,
+    * view→DNS/UDP, purchase→TLS/TCP, signup→ARP (no eth/ip),
+    * error→TCP with a non-numeric srcport.
+    *
+    * `widen=false` skips the parallelizing repartition for callers that
+    * already repartitioned (e.g. an upstream range sort whose order the
+    * narrow synth+transform chain must preserve). */
+  def fromEvents(events: DataFrame, widen: Boolean = true): DataFrame = {
+    val et = col("event_type")
+    val idStr = col("event_id").cast(StringType)
+    val uidStr = col("user_id").cast(StringType)
+    val tsStr = concat(date_format(col("ts"), "MMM dd, yyyy HH:mm:ss.SSSSSS"), lit(" UTC"))
+    // %1=event_id %2=ts %3=user_id %4=srcport
+    val clickTpl = pkt(frameJson("tcp:http"), ethJson, ipJson,
+      """"tcp":{"tcp.srcport":"%4$s","tcp.dstport":"80","tcp.flags":"0x0018"}""",
+      """"http":{"http.host":"host%3$s.example.com","http.request.method":"GET","http.request.full_uri":"http://host%3$s.example.com/","http.response.code":"200"}""")
+    val viewTpl = pkt(frameJson("udp:dns"), ethJson, ipJson,
+      """"udp":{"udp.srcport":"%4$s","udp.dstport":"53"}""",
+      """"dns":{"Queries":{"q%3$s.example.org: type A, class IN":{"dns.qry.name":"q%3$s.example.org","dns.qry.type":"1"}},"dns.flags_tree":{"dns.flags.response":"0"}}""")
+    val purchaseTpl = pkt(frameJson("tcp:tls"), ethJson, ipJson,
+      """"tcp":{"tcp.srcport":"%4$s","tcp.dstport":"443","tcp.flags":"0x0018"}""",
+      """"tls":{"tls.record":{"tls.record.version":"0x0303","tls.handshake":{"tls.handshake.version":"0x0304","tls.handshake.extensions_server_name":"sni%3$s.example.net"}}}""")
+    val signupTpl = pkt(frameJson("arp"),
+      """"arp":{"arp.opcode":"1","arp.src.hw_mac":"aa:bb:cc:00:00:01","arp.src.proto_ipv4":"10.0.0.%3$s","arp.dst.proto_ipv4":"10.0.0.254"}""")
+    val errorTpl = pkt(frameJson("tcp"), ethJson, ipJson,
+      """"tcp":{"tcp.srcport":"port_%3$s","tcp.dstport":"443","tcp.flags":"0x0002"}""")
+
+    val srcport = when(et === "view", (lit(20000) + col("user_id")).cast(StringType))
+      .otherwise((lit(10000) + col("user_id")).cast(StringType))
+    val raw = when(et === "click", format_string(clickTpl, idStr, tsStr, uidStr, srcport))
+      .when(et === "view", format_string(viewTpl, idStr, tsStr, uidStr, srcport))
+      .when(et === "purchase", format_string(purchaseTpl, idStr, tsStr, uidStr, srcport))
+      .when(et === "signup", format_string(signupTpl, idStr, tsStr, uidStr, srcport))
+      .otherwise(format_string(errorTpl, idStr, tsStr, uidStr, srcport))
+
+    val base = if (widen) graft.util.SparkUtil.widen(events) else events
+    base.select(col("event_id"), raw.as("raw"))
+  }
+
+  /** The original typed-struct synthesis (kept as the executable spec of
+    * the packet shapes; [[fromEvents]] must stay equivalent — see
+    * UdmPacketParseSpec's cross-check). */
+  def fromEventsStruct(events: DataFrame): DataFrame = {
     val uid = col("user_id").cast(StringType)
     val et = col("event_type")
     val tsStr = concat(date_format(col("ts"), "MMM dd, yyyy HH:mm:ss.SSSSSS"), lit(" UTC"))

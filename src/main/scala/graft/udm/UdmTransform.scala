@@ -51,20 +51,21 @@ object UdmTransform {
   /** Full batch pipeline: raw packet JSON strings column → UDM events
     * DataFrame with serialized JSON alongside the typed struct.
     *
-    * The parse (from_json, CodegenFallback) is projected into its own
-    * column first: CollapseProject keeps the boundary because the parse
-    * is referenced many times downstream, so each packet is parsed once
-    * (vs once per field access — ~5× on the full pipeline). */
+    * The parse is the codegen'd native [[graft.functions.UdmPacketParseExpr]]
+    * (one streaming Jackson pass, `tls.record` object-or-array
+    * normalized in the parser), projected into its own column so each
+    * packet is parsed once however many fields reference it. Unlike
+    * `from_json` (CodegenFallback) it does not break whole-stage
+    * codegen, so scan → parse → event-struct fuse into one stage. */
   def transform(packets: DataFrame, rawCol: String,
                 fallbackTs: Column = current_timestamp()): DataFrame = {
     import UdmExpressions.{f, sectionValues}
     val l = col("__parsed").getField("_source").getField("layers")
     packets
-      .withColumn("__parsed", from_json(col(rawCol), PacketSchemas.packetSchema))
-      .withColumn("__tls_recs", UdmExpressions.tlsRecords(
-        f(f(l, "tls"), "tls.record")))
+      .withColumn("__parsed", graft.functions.UdmPacketParseExpr(col(rawCol)))
       // hot multiply-referenced sub-expressions get their own columns so
-      // the interpreted evaluator computes each once per row
+      // each is computed once per row regardless of downstream fan-out
+      .withColumn("__tls_recs", f(f(l, "tls"), "tls.record"))
       .withColumn("__qnames", sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name"))
       .withColumn("__ttls", sectionValues(f(f(l, "dns"), "Answers"), "dns.resp.ttl"))
       .withColumn("event_struct", UdmExpressions.udmEventPre(
