@@ -68,11 +68,12 @@ object BatchPipeline {
     } finally udm.unpersist()
   }
 
-  /** K1 — golden-file writer: one pretty-printed JSON array per call,
-    * byte-compatible with the reference's `json.dump(list, indent=4)`
-    * shape (json2udm_cloud.py:395) in element order. Streams through a
-    * single task (no driver collect) — only for golden comparison;
-    * JSONL is the engine's canonical sink. */
+  /** K1 — golden-file writer: one compact JSON array per call, element
+    * order preserved. Streams through a single task (no driver
+    * collect) — only for golden comparison; JSONL is the engine's
+    * canonical sink. For BYTE-identical comparison against a
+    * reference-produced `json.dump(list, indent=4)` file use
+    * [[writeGoldenJsonArray]]. */
   def writeSingleJsonArray(df: DataFrame, jsonCol: String, path: String): Unit = {
     val ds = df.select(col(jsonCol)).coalesce(1)
     import ds.sparkSession.implicits._
@@ -82,5 +83,80 @@ object BatchPipeline {
         if (i == 0) j else "," + j
       } ++ Iterator("]")
     }.write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Re-emit one compact JSON value in the reference's
+    * `json.dump(indent=4)` layout (json2udm_cloud.py:395): 4-space
+    * indent, `": "` key separator, `,` item separator, every line of
+    * the value shifted by `baseIndent` levels. Numeric literals are
+    * copied as raw text (never reparsed), so digits survive verbatim.
+    * ASCII content matches Python byte-for-byte; non-ASCII is emitted
+    * raw where `ensure_ascii=True` would \u-escape (engine output is
+    * ASCII). */
+  private[etl] def pythonPretty(json: String, baseIndent: Int): String = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter, Separators}
+    val f = new JsonFactory()
+    val p = f.createParser(json)
+    val sw = new java.io.StringWriter()
+    val g = f.createGenerator(sw)
+    val indenter = new DefaultIndenter("    ", "\n")
+    g.setPrettyPrinter(new DefaultPrettyPrinter()
+      .withObjectIndenter(indenter)
+      .withArrayIndenter(indenter)
+      .withSeparators(Separators.createDefaultInstance()
+        .withObjectFieldValueSpacing(Separators.Spacing.AFTER)
+        .withObjectEmptySeparator("")
+        .withArrayEmptySeparator("")))
+    var tok = p.nextToken()
+    while (tok != null) {
+      tok match {
+        case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+          g.writeRawValue(p.getText)
+        case _ => g.copyCurrentEvent(p)
+      }
+      tok = p.nextToken()
+    }
+    g.close(); p.close()
+    val pad = "    " * baseIndent
+    sw.toString.split("\n", -1).map(pad + _).mkString("\n")
+  }
+
+  /** K1, byte-identical form: the whole array written as ONE file with
+    * exactly the bytes `json.dump(list, f, indent=4)` produces — no
+    * trailing newline, `[]` for empty input. Runs in a single executor
+    * task streaming straight to the target file (no driver collect, no
+    * per-line sink framing); create(overwrite) keeps task retries
+    * idempotent. */
+  def writeGoldenJsonArray(df: DataFrame, jsonCol: String, path: String): Unit = {
+    val ds = df.select(col(jsonCol)).coalesce(1)
+    import ds.sparkSession.implicits._
+    ds.as[String].mapPartitions { it =>
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      val target = new Path(path)
+      val fs = target.getFileSystem(new Configuration())
+      val out = fs.create(target, true)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+      var first = true
+      while (it.hasNext) {
+        w.write(if (first) "[\n" else ",\n"); first = false
+        w.write(pythonPretty(it.next(), 1))
+      }
+      w.write(if (first) "[]" else "\n]")
+      w.close()
+      Iterator.single(path)
+    }.collect() match { // 1 row: the path — forces the single write task
+      case arr if arr.isEmpty =>
+        // zero-partition input (empty LocalRelation): no task ran; emit
+        // the `[]` Python writes for an empty list (O(1), driver-side)
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(target, true)
+        out.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      case _ => ()
+    }
   }
 }

@@ -319,10 +319,17 @@ object UdmExpressions {
     * `to_json(..., ignoreNullFields=true)` — see [[UdmTransform.toJson]].
     */
   def udmEvent(raw: Column, fallbackTs: Column = current_timestamp()): Column = {
-    val parsed = from_json(raw, PacketSchemas.packetSchema)
-    val tlsRecs = tlsRecords(parsed.getField("_source").getField("layers")
-      .getField("tls").getField("tls.record"))
-    udmEventParsed(parsed, tlsRecs, raw, fallbackTs)
+    // native codegen'd parse (tls.record pre-normalized to an array);
+    // duplicate references to `parsed` below are collapsed by codegen
+    // subexpression elimination — safe because UdmPacketParseExpr is NOT
+    // CodegenFallback (unlike from_json, which needs the projection
+    // boundary documented on [[udmEventParsed]])
+    val parsed = graft.functions.UdmPacketParseExpr(raw)
+    val l = parsed.getField("_source").getField("layers")
+    udmEventPre(l, try_element_at(f(f(l, "tls"), "tls.record"), lit(1)),
+      sectionValues(f(f(l, "dns"), "Queries"), "dns.qry.name"),
+      sectionValues(f(f(l, "dns"), "Answers"), "dns.resp.ttl"),
+      raw, fallbackTs)
   }
 
   /** Pre-parsed variant: callers project `parsed` (= from_json of the

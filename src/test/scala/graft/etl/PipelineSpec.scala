@@ -80,6 +80,24 @@ class PipelineSpec extends SparkSpec {
     assert(parsed.toSeq == Seq(1, 2, 3))
   }
 
+  test("golden writer is byte-identical to json.dump(indent=4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_golden2").toString
+    val out = dir + "/golden.json"
+    val df = Seq("""{"a":1}""", """{"b":{"c":"x"},"l":[1,2]}""").toDF("j")
+    BatchPipeline.writeGoldenJsonArray(df, "j", out)
+    val bytes = new String(Files.readAllBytes(Paths.get(out)), "UTF-8")
+    // exact bytes of json.dumps([{'a':1},{'b':{'c':'x'},'l':[1,2]}], indent=4)
+    val expected = "[\n    {\n        \"a\": 1\n    },\n    {\n        \"b\": {\n" +
+      "            \"c\": \"x\"\n        },\n        \"l\": [\n            1,\n" +
+      "            2\n        ]\n    }\n]"
+    assert(bytes == expected)
+
+    val out2 = dir + "/empty.json"
+    BatchPipeline.writeGoldenJsonArray(Seq.empty[String].toDF("j"), "j", out2)
+    assert(new String(Files.readAllBytes(Paths.get(out2)), "UTF-8") == "[]")
+  }
+
   test("streaming pipeline: exactly-once per file across restart, error DLQ, notifications") {
     val in = Files.createTempDirectory("graft_sin").toString
     val out = Files.createTempDirectory("graft_sout").toString
