@@ -69,24 +69,31 @@ object Metrics {
     * exponential-bucket DISTRIBUTION metric. Oracled via the
     * tolerance-boolean pattern: the output carries the EXACT percentiles
     * (DuckDB-reproducible) plus per-quantile booleans asserting the
-    * sketch lands within 5% of exact — the oracle emits literal TRUE, so
-    * the hash matches iff the sketch really is in tolerance. Scalar
-    * DOUBLE/BOOLEAN columns only (an array output breaks the driver's
-    * pandas sort). */
+    * sketch value lands inside the exact (p±0.01)-quantile window — the
+    * oracle emits literal TRUE, so the hash matches iff the sketch holds
+    * its guarantee. The window is a RANK bound, which is what the
+    * KLL-style sketch actually promises (rank error ≤ 1/accuracy =
+    * 1e-4 ≪ 0.01): a value-relative tolerance would flake on small or
+    * heavy-tailed groups where adjacent order statistics differ by more
+    * than any fixed percentage. Scalar DOUBLE/BOOLEAN columns only (an
+    * array output breaks the driver's pandas sort). */
   def approxPercentiles(events: DataFrame): DataFrame = {
-    def withinTol(approx: Column, exact: Column): Column =
-      abs(approx - exact) <= greatest(abs(exact) * 0.05, lit(0.01))
+    // exact quantiles: the three reported + the ±0.01 rank windows
+    val qs = Seq(0.5, 0.95, 0.99, 0.49, 0.51, 0.94, 0.96, 0.98, 1.0)
+    def ex(q: Double): Column = element_at(col("exact"), qs.indexOf(q) + 1)
+    def inWindow(approx: Column, lo: Double, hi: Double): Column =
+      approx >= ex(lo) && approx <= ex(hi)
     events.groupBy("event_type")
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
           lit(10000)).as("pcts"),
-        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact"))
+        expr(s"percentile(value, array(${qs.mkString(", ")}))").as("exact"))
       .select(col("event_type"),
-        round(element_at(col("exact"), 1), 4).as("p50"),
-        round(element_at(col("exact"), 2), 4).as("p95"),
-        round(element_at(col("exact"), 3), 4).as("p99"),
-        withinTol(element_at(col("pcts"), 1), element_at(col("exact"), 1)).as("p50_within_tol"),
-        withinTol(element_at(col("pcts"), 2), element_at(col("exact"), 2)).as("p95_within_tol"),
-        withinTol(element_at(col("pcts"), 3), element_at(col("exact"), 3)).as("p99_within_tol"))
+        round(ex(0.5), 4).as("p50"),
+        round(ex(0.95), 4).as("p95"),
+        round(ex(0.99), 4).as("p99"),
+        inWindow(element_at(col("pcts"), 1), 0.49, 0.51).as("p50_within_tol"),
+        inWindow(element_at(col("pcts"), 2), 0.94, 0.96).as("p95_within_tol"),
+        inWindow(element_at(col("pcts"), 3), 0.98, 1.0).as("p99_within_tol"))
       .orderBy("event_type")
   }
 
