@@ -33,9 +33,12 @@ object UdmTransform {
     UdmExpressions.udmEvent(raw, fallbackTs)
 
   /** Serialize with empty-section omission (json2udm_cloud.py:267–291):
-    * nulls live inside the plan; omission is a serialization concern. */
+    * nulls live inside the plan; omission is a serialization concern.
+    * Native codegen'd serializer, byte-identical to
+    * `to_json(..., ignoreNullFields=true)` (spec-enforced) but not
+    * CodegenFallback — the sink projection stays in the fused span. */
   def toJson(event: Column): Column =
-    to_json(event, Map("ignoreNullFields" -> "true"))
+    graft.functions.StructToJsonExpr(event)
 
   /** A1/A2 — per-file packet + error counts (json2udm_cloud.py:325–348,
     * the `UDM_PACKETS_PROCESSED` / `UDM_PACKET_ERRORS` log lines).
