@@ -94,20 +94,12 @@ object StreamingPipeline {
                maxAttempts: Int = 5,
                failHook: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] = {
-    import org.apache.hadoop.fs.Path
     val udm = toUdm(readPacketStream(spark, landingDir, maxFilesPerTrigger))
     udm.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // attempt accounting: one marker file per try, recorded BEFORE
-        // processing so a mid-batch crash still consumes an attempt
-        val attemptsDir = new Path(s"$checkpoint/graft_attempts/batch-$batchId")
-        val fs = attemptsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val attempt =
-          if (fs.exists(attemptsDir)) fs.listStatus(attemptsDir).length else 0
-        fs.mkdirs(attemptsDir)
-        fs.create(new Path(attemptsDir, s"attempt-$attempt"), true).close()
+        val attempt = recordAttempt(spark, checkpoint, batchId)
 
         if (attempt >= maxAttempts) {
           // poison batch: budget exhausted — dead-letter every row of
@@ -137,6 +129,98 @@ object StreamingPipeline {
             UdmTransform.perFileCounts(b)
               .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
           } finally b.unpersist()
+        }
+        ()
+      }
+  }
+
+  /** Shared attempt accounting for the retry budget: one marker file
+    * per try under the checkpoint, recorded BEFORE processing so a
+    * mid-batch crash still consumes an attempt. Returns this attempt's
+    * 0-based number. */
+  private def recordAttempt(spark: SparkSession, checkpoint: String,
+                            batchId: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val attemptsDir = new Path(s"$checkpoint/graft_attempts/batch-$batchId")
+    val fs = attemptsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val attempt = if (fs.exists(attemptsDir)) fs.listStatus(attemptsDir).length else 0
+    fs.mkdirs(attemptsDir)
+    fs.create(new Path(attemptsDir, s"attempt-$attempt"), true).close()
+    attempt
+  }
+
+  /** The reference's ACTUAL delivery architecture — push notification →
+    * GET object → process (processor_app.py:108–179) — using the
+    * [[graft.sources.NotifySource]] custom DataSourceV2 stream as the
+    * subscription: each queue message's payload names a capture file
+    * under `dataDir`; per micro-batch the named files are batch-read
+    * and run through the same UDM transform and batch_id-scoped
+    * idempotent sinks as [[pipeline]]. Semantics carried over from the
+    * reference subscription:
+    *  - at-least-once delivery + ack-on-commit (the source redelivers
+    *    an uncommitted batch on restart; `ack=delete|archive` cleans
+    *    acked messages);
+    *  - retry budget: a batch that keeps failing (e.g. a payload naming
+    *    a missing object — the read throws — or any poison input)
+    *    dead-letters its MESSAGES after `maxAttempts` (main.tf:219–222)
+    *    and the stream moves on;
+    *  - F1 filename validation: empty or '/'-containing payloads are
+    *    rejected straight to the DLQ with no retry
+    *    (processor_app.py:131–133).
+    * The per-batch `collect()` is of notification payloads only —
+    * messages, never data — bounded by the batch's message count. */
+  def notifyPipeline(spark: SparkSession, queueDir: String, dataDir: String,
+                     outDir: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                     maxAttempts: Int = 5,
+                     ack: String = "off",
+                     failHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val notifications = spark.readStream.format("graft-notify")
+      .option("ack", ack).load(queueDir)
+    notifications.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val attempt = recordAttempt(spark, checkpoint, batchId)
+        if (attempt >= maxAttempts) {
+          batch.select(col("message_id"), col("payload"),
+              lit("retry budget exhausted").as("dlq_reason"))
+            .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
+        } else {
+          failHook(batch, batchId)
+          val msgs = batch.select("message_id", "payload").collect()
+            .map(r => (r.getString(0), r.getString(1).trim))
+          val (valid, invalid) = msgs.partition { case (_, f) =>
+            f.nonEmpty && !f.contains("/") // F1, processor_app.py:131–133
+          }
+          import spark.implicits._
+          val dlqInvalid = invalid.toSeq.toDF("message_id", "payload")
+            .withColumn("dlq_reason", lit("invalid filename"))
+          if (valid.nonEmpty) {
+            val raw = spark.read.option("wholetext", "true")
+              .text(valid.map { case (_, f) => s"$dataDir/$f" }: _*)
+              .select(col("_metadata.file_path").as("source_file"), col("value"))
+              .select(col("source_file"),
+                explode(coalesce(from_json(col("value"), ArrayType(StringType)),
+                  array(col("value")))).as("raw"))
+            val b = toUdm(raw).cache()
+            try {
+              b.filter(!col("is_error")).select(col("udm_json"))
+                .write.mode("overwrite").text(s"$outDir/events/batch_id=$batchId")
+              b.filter(col("is_error"))
+                .select(col("source_file"), col("udm_json"),
+                  lit("row error").as("dlq_reason"))
+                .select(col("source_file").as("message_id"),
+                  col("udm_json").as("payload"), col("dlq_reason"))
+                .unionByName(dlqInvalid)
+                .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
+              UdmTransform.perFileCounts(b)
+                .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
+            } finally b.unpersist()
+          } else if (invalid.nonEmpty) {
+            dlqInvalid.write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
+          }
         }
         ()
       }

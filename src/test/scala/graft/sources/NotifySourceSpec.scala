@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+/** The graft-notify DataSourceV2 stream: Pub/Sub-shaped delivery —
+  * exactly-once across restarts via checkpointed offsets, ack-on-commit
+  * cleanup, and the notification-driven pipeline (payload names the
+  * object to process). */
+class NotifySourceSpec extends SparkSpec {
+
+  /** Write a message file with an explicit, strictly-increasing mtime
+    * (the source orders by (mtime, name); tests must not depend on
+    * filesystem timestamp granularity). */
+  private def msg(dir: String, name: String, payload: String, mtimeMs: Long): Unit = {
+    val p = Paths.get(dir, name)
+    Files.writeString(p, payload)
+    Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+  }
+
+  test("delivers each message once across restarts; ack=delete cleans the queue") {
+    val q = Files.createTempDirectory("graft_q").toString
+    val ckpt = Files.createTempDirectory("graft_qckpt").toString
+    val out = Files.createTempDirectory("graft_qout").toString
+    msg(q, "m1", "capture_001.pcap.json", 1000000L)
+    msg(q, "m2", "capture_002.pcap.json", 1000001L)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("graft-notify")
+        .option("ack", "delete").load(q)
+      val qq = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").json(s"$out/batch_id=$id"); ()
+        }
+        .start()
+      qq.awaitTermination(120000)
+    }
+    runOnce()
+    val got1 = spark.read.json(out).select("message_id", "payload").collect()
+      .map(r => (r.getAs[String]("message_id"), r.getAs[String]("payload"))).sorted.toSeq
+    assert(got1 == Seq("m1" -> "capture_001.pcap.json", "m2" -> "capture_002.pcap.json"))
+
+    // a new message after restart is delivered exactly once; the engine
+    // acks (commits) the previous batch on the next incarnation, so the
+    // first run's messages are cleaned here (lazy ack, like Kafka
+    // offset commits)
+    msg(q, "m3", "capture_003.pcap.json", 1000002L)
+    runOnce()
+    val got2 = spark.read.json(out).select("message_id").collect()
+      .map(_.getAs[String]("message_id")).sorted.toSeq
+    assert(got2 == Seq("m1", "m2", "m3"))
+    assert(!Files.exists(Paths.get(q, "m1")) && !Files.exists(Paths.get(q, "m2")))
+  }
+
+  private val goodPacket =
+    """{"_source": {"layers": {
+      |"frame": {"frame.number": "1", "frame.time_utc": "Sep  5, 2025 12:34:56.123456000 UTC", "frame.protocols": "eth:ethertype:ip:tcp"},
+      |"ip": {"ip.src": "10.0.0.1", "ip.dst": "10.0.0.2", "ip.ttl": "64"},
+      |"tcp": {"tcp.srcport": "1234", "tcp.dstport": "80", "tcp.flags": "0x0018"}}}}""".stripMargin.replace("\n", "")
+
+  test("notification-driven pipeline: GET-by-payload, F1 rejects, counts") {
+    val q = Files.createTempDirectory("graft_nq").toString
+    val data = Files.createTempDirectory("graft_ndata").toString
+    val out = Files.createTempDirectory("graft_nout").toString
+    val ckpt = Files.createTempDirectory("graft_nckpt").toString
+    Files.writeString(Paths.get(data, "capture_a.pcap.json"),
+      s"[$goodPacket,$goodPacket]")
+    Files.writeString(Paths.get(data, "capture_b.pcap.json"), s"[$goodPacket]")
+    msg(q, "m1", "capture_a.pcap.json", 2000000L)
+    msg(q, "m2", "capture_b.pcap.json", 2000001L)
+    msg(q, "m3", "../evil.pcap.json", 2000002L) // F1: must dead-letter, no retry
+
+    val qq = StreamingPipeline.notifyPipeline(spark, q, data, out, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    qq.awaitTermination(120000)
+
+    assert(spark.read.text(s"$out/events").count() == 3)
+    val notif = spark.read.json(s"$out/_notifications")
+    assert(notif.agg(sum("packets_processed")).head().getLong(0) == 3)
+    val dlq = spark.read.json(s"$out/_errors")
+    val bad = dlq.filter(col("dlq_reason") === "invalid filename").collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("payload") == "../evil.pcap.json")
+  }
+
+  test("a payload naming a missing object exhausts the retry budget into the DLQ") {
+    val q = Files.createTempDirectory("graft_mq").toString
+    val data = Files.createTempDirectory("graft_mdata").toString
+    val out = Files.createTempDirectory("graft_mout").toString
+    val ckpt = Files.createTempDirectory("graft_mckpt").toString
+    msg(q, "m1", "does_not_exist.pcap.json", 3000000L)
+
+    def runOnce(): Boolean =
+      try {
+        val qq = StreamingPipeline.notifyPipeline(spark, q, data, out, ckpt,
+          trigger = Trigger.AvailableNow(), maxAttempts = 2).start()
+        qq.awaitTermination(120000); true
+      } catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => false
+      }
+    assert(!runOnce()) // read of the missing object throws
+    assert(!runOnce()) // budget consumed
+    assert(runOnce())  // dead-letter + commit
+    val dlq = spark.read.json(s"$out/_errors")
+    assert(dlq.filter(col("dlq_reason") === "retry budget exhausted").count() == 1)
+  }
+}
