@@ -41,15 +41,30 @@ object Dedup {
 
   /** MinHash signature: `numHashes` hash functions realized as 8-hex-char
     * (32-bit) slices of md5(seedGroup || shingle) — one md5 yields four
-    * hash functions, so a doc costs ⌈numHashes/4⌉ codegen'd md5 calls per
-    * shingle instead of `numHashes` interpreted ones. Hash values are hex
-    * strings — lexicographic min, identical in any engine.
+    * hash functions, so a doc costs ⌈numHashes/4⌉ md5 calls per shingle
+    * instead of `numHashes`. Hash values are hex strings —
+    * lexicographic min, identical in any engine.
     *
-    * Shape: explode shingles → flat codegen'd projection → partial-agg
-    * min per slot (map-side combine collapses each partition to one row
-    * per doc before the doc_id shuffle). Docs with < k words get null
-    * signature slots via the left join back to the doc list. */
+    * Computed by the codegen'd [[graft.functions.MinHashSigExpr]]: one
+    * narrow pass per document (loop over shingles inside the
+    * projection) — same hashing work as the composed
+    * explode→agg→join-back form (kept below as the executable spec,
+    * equality spec-enforced) but zero shuffle machinery, so the
+    * signature stage runs at scan speed. Docs with < k words get null
+    * signature slots. */
   def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sig = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr(col("text"), k, numHashes).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** The original composed-operator signature pipeline (explode shingles
+    * → codegen'd md5 projection → partial-agg min per slot → left join
+    * back for null slots). Retained as the executable specification of
+    * [[minhashSignatures]] — AnalyticsSpec asserts equality. */
+  def minhashSignaturesComposed(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val exploded = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
     val nGroups = (numHashes + 3) / 4
@@ -103,11 +118,11 @@ object Dedup {
       // so shingle-less docs would otherwise all pair with each other
       // (and an m-doc null bucket is an O(m²) join blowup)
       .filter(col("bk.key").isNotNull)
-    val left = banded.select(col("doc_id").as("doc_a"), col("bk"),
+    val left = banded.select(col("doc_id").as("doc_a"), col("bk").as("bk_a"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_a"))
-    val right = banded.select(col("doc_id").as("doc_b"), col("bk"),
+    val right = banded.select(col("doc_id").as("doc_b"), col("bk").as("bk_b"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_b"))
-    left.join(right, left("bk") === right("bk") && col("doc_a") < col("doc_b"))
+    left.join(right, col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)).cast("double") / numHashes).as("sig_agreement"))

@@ -46,6 +46,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("codegen'd minhash signatures equal the composed-operator pipeline") {
+    val d = docs(
+      1L -> "spark runs fast queries over big data lakes every day",
+      2L -> "  leading and trailing   whitespace  case  ",
+      3L -> "tiny",                       // < k words -> null slots
+      4L -> "exactly three words",
+      5L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.minhashSignatures(d, 3, 8)) ==
+      rows(Dedup.minhashSignaturesComposed(d, 3, 8)))
+    // non-multiple-of-4 hash count exercises the partial last group
+    assert(rows(Dedup.minhashSignatures(d, 2, 6)) ==
+      rows(Dedup.minhashSignaturesComposed(d, 2, 6)))
+  }
+
   test("persisted minhash signatures band to the same candidate pairs") {
     val d = docs(
       1L -> "spark runs fast queries over big data lakes every day",
