@@ -265,23 +265,45 @@ object GraftFunctions {
   import org.apache.spark.sql.SparkSession
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKPairs(exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "graft_topk_tag", exprs => TopKTagged(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_section_values", exprs => SectionValuesExpr(exprs(0),
+        exprs(1).eval().toString), "built-in")
+    reg.createOrReplaceTempFunction(
+      "udm_packet_parse", exprs => UdmPacketParseExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_to_json", exprs => StructToJsonExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
-      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
-      (exprs: Seq[Expression]) => TopKPairs(exprs(0), exprs(1), exprs(2))))
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_tag"),
-      new ExpressionInfo(classOf[TopKTagged].getName, "graft_topk_tag"),
-      (exprs: Seq[Expression]) => TopKTagged(exprs(0), exprs(1), exprs(2), exprs(3))))
+    def inject(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), b))
+    inject("graft_topk", classOf[TopKPairs],
+      exprs => TopKPairs(exprs(0), exprs(1), exprs(2)))
+    inject("graft_topk_tag", classOf[TopKTagged],
+      exprs => TopKTagged(exprs(0), exprs(1), exprs(2), exprs(3)))
+    inject("graft_section_values", classOf[SectionValuesExpr],
+      exprs => SectionValuesExpr(exprs(0), exprs(1).eval().toString))
+    inject("udm_packet_parse", classOf[UdmPacketParseExpr],
+      exprs => UdmPacketParseExpr(exprs(0)))
+    inject("graft_to_json", classOf[StructToJsonExpr],
+      exprs => StructToJsonExpr(exprs(0)))
+    inject("graft_minhash", classOf[MinHashSigExpr],
+      exprs => MinHashSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
   }
 }

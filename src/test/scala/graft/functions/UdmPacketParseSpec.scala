@@ -97,6 +97,19 @@ class UdmPacketParseSpec extends SparkSpec {
     assert(viaTemplates == viaStruct)
   }
 
+  test("SQL registration: custom expressions callable by name") {
+    GraftFunctions.register(spark)
+    val r = Seq("""{"_source":{"layers":{"frame":{"frame.number":"9"}}}}""").toDF("raw")
+      .selectExpr(
+        "udm_packet_parse(raw)._source.layers.frame.`frame.number` AS fn",
+        "graft_to_json(named_struct('a', 1, 'b', cast(null as string))) AS j",
+        "graft_minhash('one two three four', 3, 8)[0] AS h0")
+      .head()
+    assert(r.getString(0) == "9")
+    assert(r.getString(1) == """{"a":1}""")
+    assert(r.getString(2).length == 8)
+  }
+
   test("interpreted eval and codegen agree") {
     val raw =
       """{"_source":{"layers":{"frame":{"frame.number":"1"},"tls":{"tls.record":[{"tls.record.version":"a"}]}}}}"""
