@@ -130,12 +130,15 @@ object BatchPipeline {
     * idempotent. */
   def writeGoldenJsonArray(df: DataFrame, jsonCol: String, path: String): Unit = {
     val ds = df.select(col(jsonCol)).coalesce(1)
+    // session Hadoop conf (fs credentials, defaultFS) shipped to the
+    // write task — a bare Configuration would drop spark.hadoop.*
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     import ds.sparkSession.implicits._
     ds.as[String].mapPartitions { it =>
-      import org.apache.hadoop.conf.Configuration
       import org.apache.hadoop.fs.Path
       val target = new Path(path)
-      val fs = target.getFileSystem(new Configuration())
+      val fs = target.getFileSystem(conf.value)
       val out = fs.create(target, true)
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
@@ -152,7 +155,7 @@ object BatchPipeline {
         // zero-partition input (empty LocalRelation): no task ran; emit
         // the `[]` Python writes for an empty list (O(1), driver-side)
         val target = new org.apache.hadoop.fs.Path(path)
-        val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
         val out = fs.create(target, true)
         out.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()

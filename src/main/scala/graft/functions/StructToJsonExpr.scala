@@ -26,9 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class JsonStructSerializer(schema: StructType) extends Serializable {
   @transient private lazy val factory = new JsonFactory()
+  // serialize() runs once per row on the sink hot path — reuse the
+  // output buffer per thread instead of allocating per row (the
+  // generator itself is cheap to create; Jackson pools its internals
+  // via the factory's BufferRecycler)
+  @transient private lazy val bufPool = new ThreadLocal[java.io.ByteArrayOutputStream] {
+    override def initialValue(): java.io.ByteArrayOutputStream =
+      new java.io.ByteArrayOutputStream(512)
+  }
 
   def serialize(row: InternalRow): UTF8String = {
-    val baos = new java.io.ByteArrayOutputStream(256)
+    val baos = bufPool.get()
+    baos.reset()
     val g = factory.createGenerator(baos, JsonEncoding.UTF8)
     writeStruct(g, row, schema)
     g.close()

@@ -8,31 +8,9 @@ import org.apache.spark.sql.types._
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
-/** Bounded top-k buffer: a min-heap of (score, id) pairs where the
-  * "max" under the eviction ordering is the WORST element (lowest
-  * score; ties broken keeping the smaller id). */
-final class TopKBuffer(val k: Int) {
-  // dequeue order = element to evict: lower score first, then larger id
-  private val evictFirst: Ordering[(Double, Long)] = (a, b) => {
-    val c = java.lang.Double.compare(b._1, a._1)
-    if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-  }
-  val heap: mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(evictFirst)
-
-  def add(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.enqueue((score, id))
-    else if (evictFirst.compare((score, id), heap.head) < 0) {
-      heap.dequeue(); heap.enqueue((score, id))
-    }
-  }
-
-  /** Descending score, ascending id — the window-rank order. */
-  def sorted: Seq[(Double, Long)] =
-    heap.toSeq.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
-    }
-}
+// (the single bounded-heap buffer lives below as TopKTagBuffer —
+// TopKPairs uses it with a null tag, so eviction/ordering/serialization
+// semantics exist exactly once)
 
 /** `graft_topk(score, id, k)` — per-group top-k as a custom Catalyst
   * [[TypedImperativeAggregate]] (SURVEY.md §4's escape-hatch tier (b)).
@@ -50,7 +28,7 @@ case class TopKPairs(
     scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKTagBuffer] {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
@@ -72,40 +50,40 @@ case class TopKPairs(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "graft_topk"
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKTagBuffer = new TopKTagBuffer(k)
 
-  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+  override def update(buf: TopKTagBuffer, input: InternalRow): TopKTagBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long], null)
     buf
   }
 
-  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
-    other.heap.foreach { case (s, i) => buf.add(s, i) }
+  override def merge(buf: TopKTagBuffer, other: TopKTagBuffer): TopKTagBuffer = {
+    other.heap.foreach { case (s, i, _) => buf.add(s, i, null) }
     buf
   }
 
-  override def eval(buf: TopKBuffer): Any =
-    new GenericArrayData(buf.sorted.map { case (s, i) =>
+  override def eval(buf: TopKTagBuffer): Any =
+    new GenericArrayData(buf.sorted.map { case (s, i, _) =>
       InternalRow(s, i)
     }.toArray[Any])
 
-  override def serialize(buf: TopKBuffer): Array[Byte] = {
+  override def serialize(buf: TopKTagBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.k)
     out.writeInt(buf.heap.size)
-    buf.heap.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    buf.heap.foreach { case (s, i, _) => out.writeDouble(s); out.writeLong(i) }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+  override def deserialize(bytes: Array[Byte]): TopKTagBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new TopKBuffer(in.readInt())
+    val buf = new TopKTagBuffer(in.readInt())
     var n = in.readInt()
-    while (n > 0) { buf.add(in.readDouble(), in.readLong()); n -= 1 }
+    while (n > 0) { buf.add(in.readDouble(), in.readLong(), null); n -= 1 }
     buf
   }
 
@@ -117,11 +95,21 @@ case class TopKPairs(
     copy(scoreExpr = c(0), idExpr = c(1), kExpr = c(2))
 }
 
-/** Bounded top-k buffer carrying an opaque payload alongside each
-  * (score, id) pair. Eviction order ignores the tag — it rides along so
+/** THE bounded top-k buffer (shared by [[TopKPairs]], which passes a
+  * null tag, and [[TopKTagged]]): a min-heap of (score, id, tag)
+  * triples where the "max" under the eviction ordering is the WORST
+  * element (lowest score; ties broken keeping the smaller id). The tag
+  * is an opaque payload the ordering ignores — it rides along so
   * downstream projections (e.g. a corpus attribute like `label`) don't
   * need a second scan/join to recover it. Payloads are JVM-normalized
-  * values (String/Int/Long/Double or null). */
+  * values (String/Int/Long/Double or null).
+  *
+  * Ordering uses `java.lang.Double.compare` everywhere — a TOTAL order
+  * (a naive `!=`/`>` comparator is intransitive under NaN, which a
+  * zero-vector cosine produces, and would make the output order
+  * nondeterministic or crash TimSort). Scores are zero-normalized on
+  * add (−0.0 → +0.0) so the total order agrees with Spark SQL's
+  * double ordering, where the two zeros are equal. */
 final class TopKTagBuffer(val k: Int) {
   private val evictFirst: Ordering[(Double, Long, Any)] = (a, b) => {
     val c = java.lang.Double.compare(b._1, a._1)
@@ -131,15 +119,18 @@ final class TopKTagBuffer(val k: Int) {
     mutable.PriorityQueue.empty(evictFirst)
 
   def add(score: Double, id: Long, tag: Any): Unit = {
-    if (heap.size < k) heap.enqueue((score, id, tag))
-    else if (evictFirst.compare((score, id, tag), heap.head) < 0) {
-      heap.dequeue(); heap.enqueue((score, id, tag))
+    val s = if (score == 0.0d) 0.0d else score // merge −0.0 into +0.0
+    if (heap.size < k) heap.enqueue((s, id, tag))
+    else if (evictFirst.compare((s, id, tag), heap.head) < 0) {
+      heap.dequeue(); heap.enqueue((s, id, tag))
     }
   }
 
+  /** Descending score, ascending id — the window-rank order. */
   def sorted: Seq[(Double, Long, Any)] =
     heap.toSeq.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
     }
 }
 

@@ -37,19 +37,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object UdmPacketJackson {
   private val factory = new JsonFactory()
 
-  // ordinal lookup per struct of the FIXED schema, built once (the
-  // schema objects in PacketSchemas are singletons → identity cache)
+  // ordinal lookup per struct of the FIXED schema. ConcurrentHashMap:
+  // executor task threads race on first use, and an unsynchronized
+  // read of a plain HashMap under concurrent put could observe a
+  // partially-published table and silently miss present keys (fields
+  // would fall into the skip branch → null layers, no error).
   private val indexCache =
-    new java.util.IdentityHashMap[StructType, java.util.HashMap[String, Integer]]()
+    new java.util.concurrent.ConcurrentHashMap[StructType, java.util.HashMap[String, Integer]]()
 
-  private def indexFor(st: StructType): java.util.HashMap[String, Integer] = {
-    val cached = indexCache.get(st)
-    if (cached != null) return cached
-    val m = new java.util.HashMap[String, Integer](st.length * 2)
-    st.fields.zipWithIndex.foreach { case (f, i) => m.put(f.name, Integer.valueOf(i)) }
-    indexCache.synchronized { indexCache.put(st, m) }
-    m
-  }
+  private val buildIndex =
+    new java.util.function.Function[StructType, java.util.HashMap[String, Integer]] {
+      override def apply(st: StructType): java.util.HashMap[String, Integer] = {
+        val m = new java.util.HashMap[String, Integer](st.length * 2)
+        st.fields.zipWithIndex.foreach { case (f, i) => m.put(f.name, Integer.valueOf(i)) }
+        m
+      }
+    }
+
+  private def indexFor(st: StructType): java.util.HashMap[String, Integer] =
+    indexCache.computeIfAbsent(st, buildIndex)
 
   def parse(raw: UTF8String): InternalRow = {
     if (raw == null) return null

@@ -456,6 +456,13 @@ object Registry {
             col("event.metadata.event_type").as("udm_type"),
             col("event.principal.port").cast("long").as("src_port"),
             try_element_at(col("event.about"), lit(1)).getField("hostname").as("about_host"))
+          // the declared ORDER BY (driver-gate invariant). FREE: the
+          // child's RangePartitioning(event_id) satisfies the required
+          // distribution and sortWithinPartitions the required ordering,
+          // so EnsureRequirements elides both exchange and sort — no
+          // second execution of the transform (plan-asserted in bench
+          // profiling; the input-side sort above is the load-bearing one)
+          .orderBy("event_id")
       },
       Some("""SELECT event_id,
         CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'

@@ -45,7 +45,9 @@ class NotifySource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table =
     new NotifyTable(properties.get("path"),
       Option(properties.get("ack")).getOrElse("off"),
-      Option(properties.get("archiveDir")))
+      Option(properties.get("archiveDir")),
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 object NotifySource {
@@ -55,7 +57,8 @@ object NotifySource {
     StructField("publish_ms", LongType, nullable = false)))
 }
 
-class NotifyTable(path: String, ack: String, archiveDir: Option[String])
+class NotifyTable(path: String, ack: String, archiveDir: Option[String],
+                  conf: org.apache.spark.util.SerializableConfiguration)
   extends Table with SupportsRead {
   require(path != null, "graft-notify requires a queue directory: .load(dir)")
   override def name(): String = s"graft-notify:$path"
@@ -67,7 +70,7 @@ class NotifyTable(path: String, ack: String, archiveDir: Option[String])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = NotifySource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new NotifyMicroBatchStream(path, ack, archiveDir)
+          new NotifyMicroBatchStream(path, ack, archiveDir, conf)
       }
     }
 }
@@ -78,12 +81,14 @@ case class NotifyOffset(ms: Long, name: String) extends Offset {
     s"""{"ms":$ms,"name":"${name.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
 }
 
-class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[String])
+class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[String],
+                             conf: org.apache.spark.util.SerializableConfiguration)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
-  import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{FileStatus, Path}
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  // the session's Hadoop configuration (fs credentials, defaultFS, …)
+  // — a bare `new Configuration()` would silently drop spark.hadoop.*
+  private def fs = new Path(path).getFileSystem(conf.value)
 
   private def listSorted(): Seq[FileStatus] = {
     val dir = new Path(path)
@@ -97,8 +102,16 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     k._1 > o.ms || (k._1 == o.ms && k._2 > o.name)
   }
 
+  /** Watermark candidates exclude the CURRENT millisecond: a producer
+    * can still create a message in this ms whose (mtime, name) sorts
+    * below an already-listed same-ms file — advancing the watermark
+    * into an in-flux ms would skip (and, with ack, delete) that message
+    * forever. Capping at `now - 1` guarantees every later-created file
+    * sorts after the watermark (assumes mtimes are not backdated, true
+    * for any real delivery directory). */
   private def scanLatest(): NotifyOffset = {
-    val files = listSorted()
+    val cutoff = System.currentTimeMillis()
+    val files = listSorted().filter(_.getModificationTime < cutoff)
     if (files.isEmpty) NotifyOffset(Long.MinValue, "")
     else NotifyOffset(files.last.getModificationTime, files.last.getPath.getName)
   }
@@ -135,7 +148,7 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     listSorted()
       .filter(f => after(f, s) && !after(f, e))
       .map(f => NotifyPartition(f.getPath.toString, f.getPath.getName,
-        f.getModificationTime): InputPartition)
+        f.getModificationTime, conf): InputPartition)
       .toArray
   }
 
@@ -165,7 +178,8 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
   override def stop(): Unit = ()
 }
 
-case class NotifyPartition(filePath: String, name: String, mtime: Long)
+case class NotifyPartition(filePath: String, name: String, mtime: Long,
+                           conf: org.apache.spark.util.SerializableConfiguration)
   extends InputPartition
 
 /** One message per partition: reads the payload file content. Messages
@@ -173,7 +187,6 @@ case class NotifyPartition(filePath: String, name: String, mtime: Long)
   * the reference's one-delivery-per-request model and keeps redelivery
   * granularity per message. */
 class NotifyReader(p: NotifyPartition) extends PartitionReader[InternalRow] {
-  import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.Path
 
   private var done = false
@@ -182,7 +195,7 @@ class NotifyReader(p: NotifyPartition) extends PartitionReader[InternalRow] {
   override def next(): Boolean = {
     if (done) return false
     val path = new Path(p.filePath)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(p.conf.value)
     val in = fs.open(path)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()

@@ -104,7 +104,11 @@ object StreamingPipeline {
         if (attempt >= maxAttempts) {
           // poison batch: budget exhausted — dead-letter every row of
           // the batch (the whole "message", like the reference's DLQ
-          // topic) and commit so the stream moves on
+          // topic) and commit so the stream moves on. Earlier partial
+          // attempts may have committed some sink directories before
+          // crashing on a later one — remove them so the batch's rows
+          // exist ONLY in the DLQ (no double-count on re-drive).
+          dropBatchDirs(spark, outDir, batchId, "events", "_notifications")
           batch.select(col("source_file"), col("udm_json"),
               lit("retry budget exhausted").as("dlq_reason"))
             .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
@@ -132,6 +136,19 @@ object StreamingPipeline {
         }
         ()
       }
+  }
+
+  /** Remove a batch's directory under the named sinks — used by the
+    * dead-letter path to clear output left behind by earlier partial
+    * attempts of the same batch. */
+  private def dropBatchDirs(spark: SparkSession, outDir: String, batchId: Long,
+                            sinks: String*): Unit = {
+    import org.apache.hadoop.fs.Path
+    sinks.foreach { s =>
+      val p = new Path(s"$outDir/$s/batch_id=$batchId")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Shared attempt accounting for the retry budget: one marker file
@@ -184,6 +201,9 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val attempt = recordAttempt(spark, checkpoint, batchId)
         if (attempt >= maxAttempts) {
+          // see pipeline(): clear partial-attempt sink output so the
+          // dead-lettered batch's rows live only in the DLQ
+          dropBatchDirs(spark, outDir, batchId, "events", "_notifications")
           batch.select(col("message_id"), col("payload"),
               lit("retry budget exhausted").as("dlq_reason"))
             .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
@@ -192,7 +212,11 @@ object StreamingPipeline {
           val msgs = batch.select("message_id", "payload").collect()
             .map(r => (r.getString(0), r.getString(1).trim))
           val (valid, invalid) = msgs.partition { case (_, f) =>
-            f.nonEmpty && !f.contains("/") // F1, processor_app.py:131–133
+            // F1 (processor_app.py:131–133) + directory traversal: "."
+            // or ".." would make $dataDir/$f a DIRECTORY read (Python's
+            // open() raises there; a silent dir scan would ingest
+            // foreign files)
+            f.nonEmpty && !f.contains("/") && f != "." && f != ".."
           }
           import spark.implicits._
           val dlqInvalid = invalid.toSeq.toDF("message_id", "payload")

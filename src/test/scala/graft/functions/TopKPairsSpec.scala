@@ -45,11 +45,19 @@ class TopKPairsSpec extends SparkSpec {
   }
 
   test("buffer serialize/deserialize roundtrip") {
-    val b = new TopKBuffer(2)
-    b.add(1.0, 1L); b.add(5.0, 2L); b.add(3.0, 3L)
+    val b = new TopKTagBuffer(2)
+    b.add(1.0, 1L, null); b.add(5.0, 2L, null); b.add(3.0, 3L, null)
     import org.apache.spark.sql.catalyst.expressions.Literal
     val agg = TopKPairs(Literal(0.0), Literal(0L), Literal(2))
     val rt = agg.deserialize(agg.serialize(b))
-    assert(rt.sorted == Seq((5.0, 2L), (3.0, 3L)))
+    assert(rt.sorted.map(t => (t._1, t._2)) == Seq((5.0, 2L), (3.0, 3L)))
+  }
+
+  test("ordering is total under NaN and merges the two zeros") {
+    val b = new TopKTagBuffer(4)
+    b.add(Double.NaN, 1L, null); b.add(-0.0, 2L, null)
+    b.add(0.0, 3L, null); b.add(1.0, 4L, null)
+    // Spark SQL double order: NaN greatest; -0.0 == 0.0 (id tiebreak)
+    assert(b.sorted.map(_._2) == Seq(1L, 4L, 2L, 3L))
   }
 }

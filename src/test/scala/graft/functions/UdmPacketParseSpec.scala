@@ -97,6 +97,32 @@ class UdmPacketParseSpec extends SparkSpec {
     assert(viaTemplates == viaStruct)
   }
 
+  test("legacy from_json path (udmEventParsed) stays equivalent to the native parse") {
+    import graft.udm.{PacketSchemas, UdmExpressions, UdmTransform}
+    val frozen = lit("2024-01-01T00:00:00.000000Z")
+    val raws = Seq(
+      """{"_source":{"layers":{"frame":{"frame.number":"1","frame.time_utc":"Sep  5, 2025 12:34:56.123456000 UTC","frame.protocols":"eth:ethertype:ip:tcp"},"ip":{"ip.src":"10.0.0.1","ip.dst":"10.0.0.2","ip.ttl":"64"},"tcp":{"tcp.srcport":"1234","tcp.dstport":"80","tcp.flags":"0x0018"}}}}""",
+      """{"_source":{"layers":{"frame":{"frame.number":"2"},"tls":{"tls.record":{"tls.record.version":"0x0303","tls.handshake":{"tls.handshake.version":"0x0304","tls.handshake.extensions_server_name":"x.net"}}}}}}""",
+      """{"_source":{"layers":{"frame":{"frame.number":"3"},"tls":{"tls.record":[{"tls.record.version":"0x0301"},{"tls.record.version":"0x0303"}]}}}}""",
+      """{"_source":{"layers":{"udp":{"udp.srcport":"5353","udp.dstport":"53"},"dns":{"Queries":{"a.example: type A, class IN":{"dns.qry.name":"a.example","dns.qry.type":"1"}},"dns.flags_tree":{"dns.flags.response":"0"}}}}}""",
+      """{"_source":{"layers":{"tcp":{"tcp.srcport":"bad_port","tcp.dstport":"80"}}}}""",
+      """corrupt bytes""",
+      """{"_source": 42}""")
+    val df = raws.toDF("raw")
+    val native = df.select(
+      UdmTransform.toJson(UdmTransform.events(col("raw"), frozen)).as("j"))
+      .collect().map(_.getString(0)).toSeq
+    val legacy = df
+      .withColumn("__p", from_json(col("raw"), PacketSchemas.packetSchema))
+      .withColumn("__t", UdmExpressions.tlsRecords(
+        col("__p").getField("_source").getField("layers")
+          .getField("tls").getField("tls.record")))
+      .select(UdmTransform.toJson(
+        UdmExpressions.udmEventParsed(col("__p"), col("__t"), col("raw"), frozen)).as("j"))
+      .collect().map(_.getString(0)).toSeq
+    assert(native == legacy)
+  }
+
   test("SQL registration: custom expressions callable by name") {
     GraftFunctions.register(spark)
     val r = Seq("""{"_source":{"layers":{"frame":{"frame.number":"9"}}}}""").toDF("raw")
