@@ -456,13 +456,13 @@ object Registry {
             col("event.metadata.event_type").as("udm_type"),
             col("event.principal.port").cast("long").as("src_port"),
             try_element_at(col("event.about"), lit(1)).getField("hostname").as("about_host"))
-          // the declared ORDER BY (driver-gate invariant). FREE: the
-          // child's RangePartitioning(event_id) satisfies the required
-          // distribution and sortWithinPartitions the required ordering,
-          // so EnsureRequirements elides both exchange and sort — no
-          // second execution of the transform (plan-asserted in bench
-          // profiling; the input-side sort above is the load-bearing one)
-          .orderBy("event_id")
+        // deliberately NO trailing .orderBy: EliminateSorts would drop
+        // the input-side local sort and keep a top-level global Sort
+        // that buffers the whole transformed output (measured 2×). The
+        // ordering contract is carried by construction — range
+        // partitions + sorted input + narrow stages — and the driver's
+        // order-sensitive compare (green at sf0.001/0.01/0.1) is the
+        // enforcement. See CLAUDE.md invariant note.
       },
       Some("""SELECT event_id,
         CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'
