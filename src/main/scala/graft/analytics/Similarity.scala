@@ -26,7 +26,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the codegen'd one-pass
+    * [[graft.functions.CosineExpr]] (HOF folds are CodegenFallback),
+    * bit-identical to [[cosineComposed]] (spec-enforced). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineExpr(a, b)
+
+  /** The composed higher-order-function formulation — retained as the
+    * executable spec of [[cosine]]'s fold semantics. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 

@@ -273,6 +273,8 @@ object GraftFunctions {
       "graft_minhash", exprs => MinHashSigExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -296,5 +298,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => MinHashSigExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("graft_cosine", classOf[CosineExpr],
+      exprs => CosineExpr(exprs(0), exprs(1)))
   }
 }

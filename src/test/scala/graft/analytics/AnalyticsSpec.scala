@@ -95,6 +95,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(nearDist <= 16) // one word of ten changed
   }
 
+  test("codegen'd cosine is bit-identical to the HOF fold formulation") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    } :+ (50L, Array.empty[Double]) // empty → NaN on both paths
+    val df = vecs.toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("fast"),
+        Similarity.cosineComposed(col("va"), col("vb")).as("ref"))
+      .collect()
+    assert(pairs.exists(r => !r.isNullAt(0))) // bulk of pairs are real
+    pairs.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1)) // null agreement (len mismatch)
+      if (!r.isNullAt(0)) {
+        val (f, g) = (r.getDouble(0), r.getDouble(1))
+        assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(g))
+      }
+    }
+    // mismatched lengths → null, like zip_with's null padding
+    val mixed = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("x", "y")
+      .select(Similarity.cosine(col("x"), col("y")).as("c")).head()
+    assert(mixed.isNullAt(0))
+  }
+
   test("cosine top-k ranks an identical-direction vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
