@@ -96,8 +96,16 @@ object Similarity {
     * deterministic md5-derived ±1 components; bucket = bit pattern of
     * projection signs. Same-bucket vectors are candidate neighbors —
     * the approximate scale path (probe only matching buckets, ~1/2^bits
-    * of the corpus per probe). */
-  def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    * of the corpus per probe). Codegen'd one-pass
+    * [[graft.functions.SrpBucketExpr]]; [[srpBucketComposed]] is the
+    * executable spec (equality spec-enforced). */
+  def srpBucket(vec: Column, dim: Int, nBits: Int): Column =
+    graft.functions.SrpBucketExpr(vec, dim, nBits)
+
+  /** The composed higher-order-function formulation — retained as the
+    * executable spec of [[srpBucket]]'s semantics (and the shape the
+    * DuckDB oracle mirrors). */
+  def srpBucketComposed(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { plane =>
       // deterministic ±1 hyperplane: sign from md5 of (plane, index)
       val proj = aggregate(

@@ -28,7 +28,7 @@ object MinHashSig {
   }
   private val HEX = "0123456789abcdef".toCharArray
 
-  private def md5Hex(s: String): String = {
+  private[functions] def md5Hex(s: String): String = {
     val d = digestPool.get()
     d.reset()
     val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -123,6 +123,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(mixed.isNullAt(0))
   }
 
+  test("codegen'd SRP bucket equals the HOF fold formulation") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val both = df.select(
+      Similarity.srpBucket(col("v"), 16, 6).as("fast"),
+      Similarity.srpBucketComposed(col("v"), 16, 6).as("ref")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(both.map(_.getLong(0)).distinct.length > 1) // buckets do spread
+  }
+
   test("cosine top-k ranks an identical-direction vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
