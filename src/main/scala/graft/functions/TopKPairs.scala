@@ -275,6 +275,10 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_srp_bucket", exprs => SrpBucketExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 
@@ -300,5 +304,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("graft_cosine", classOf[CosineExpr],
       exprs => CosineExpr(exprs(0), exprs(1)))
+    inject("graft_srp_bucket", classOf[SrpBucketExpr],
+      exprs => SrpBucketExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
   }
 }
