@@ -127,6 +127,24 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(s"$out/_errors").count() == 1)
   }
 
+  test("batch retry overwrites partial sink output from a failed attempt (idempotence)") {
+    val in = Files.createTempDirectory("graft_iin").toString
+    val out = Files.createTempDirectory("graft_iout").toString
+    val ckpt = Files.createTempDirectory("graft_ickpt").toString
+    mkCapture(in, "capture_001.pcap.json", goodPacket)
+    // simulate a crashed earlier attempt of batch 0 that committed a
+    // partial events directory before dying
+    Files.createDirectories(Paths.get(out, "events/batch_id=0"))
+    Files.writeString(Paths.get(out, "events/batch_id=0/part-00000-stale.txt"),
+      "STALE-PARTIAL-ROW\n")
+    val q = StreamingPipeline.pipeline(spark, in, out, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val evs = spark.read.text(s"$out/events").collect().map(_.getString(0))
+    assert(evs.length == 1 && !evs.exists(_.contains("STALE")),
+      "batch_id-scoped overwrite must replace, not append to, partial output")
+  }
+
   test("poison batch dead-letters after the retry budget and unwedges the stream") {
     val in = Files.createTempDirectory("graft_pin").toString
     val out = Files.createTempDirectory("graft_pout").toString
