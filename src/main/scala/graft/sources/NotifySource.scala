@@ -119,8 +119,21 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
   // Trigger.AvailableNow: freeze the target offset at query start so the
   // run drains exactly the messages present then and terminates
   @volatile private var availableNowCap: Option[NotifyOffset] = None
-  override def prepareForTriggerAvailableNow(): Unit =
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // the watermark cutoff excludes the current (in-flux) millisecond —
+    // but "write messages, then start an AvailableNow drain" is the
+    // common pattern, and a message written in THIS ms would otherwise
+    // be invisible to this run. Wait (bounded) for the clock to pass
+    // the newest existing mtime so everything already present drains.
+    val files = listSorted()
+    if (files.nonEmpty) {
+      val newest = files.last.getModificationTime
+      val deadline = System.currentTimeMillis() + 100
+      while (System.currentTimeMillis() <= newest &&
+             System.currentTimeMillis() < deadline) Thread.sleep(1)
+    }
     availableNowCap = Some(scanLatest())
+  }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     availableNowCap.getOrElse(scanLatest())

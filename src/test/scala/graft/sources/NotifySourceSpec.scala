@@ -58,6 +58,23 @@ class NotifySourceSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(q, "m1")) && !Files.exists(Paths.get(q, "m2")))
   }
 
+  test("AvailableNow drains messages written in the current millisecond") {
+    val q = Files.createTempDirectory("graft_nowq").toString
+    val ckpt = Files.createTempDirectory("graft_nowckpt").toString
+    val out = Files.createTempDirectory("graft_nowout").toString
+    // real filesystem mtime = NOW — no backdating, start immediately
+    Files.writeString(Paths.get(q, "m1"), "fresh.pcap.json")
+    val qq = spark.readStream.format("graft-notify").load(q)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").json(s"$out/batch_id=$id"); ()
+      }.start()
+    qq.awaitTermination(120000)
+    val got = spark.read.json(out).select("payload").collect().map(_.getAs[String]("payload"))
+    assert(got.toSeq == Seq("fresh.pcap.json"))
+  }
+
   private val goodPacket =
     """{"_source": {"layers": {
       |"frame": {"frame.number": "1", "frame.time_utc": "Sep  5, 2025 12:34:56.123456000 UTC", "frame.protocols": "eth:ethertype:ip:tcp"},
