@@ -134,7 +134,13 @@ object Dedup {
     * ±1 per bit position weighted by term frequency; fingerprint bit =
     * sign of the vote. Built from two 32-bit md5 halves (engine-stable).
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents: DataFrame): DataFrame =
+    simhashFingerprints(documents).orderBy("doc_id")
+
+  /** Unordered fingerprint stage shared by [[simhash]] (which adds the
+    * presentation sort) and [[simhashNearDupPairs]] (which must NOT
+    * carry a mid-plan global sort into its band join). */
+  private def simhashFingerprints(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.bpeishTokens(col("text"))
     // 64 bits as two 32-bit md5 halves, kept in separate longs so no
     // shift ever exceeds 31 (lets the DuckDB oracle mirror the math —
@@ -155,7 +161,42 @@ object Dedup {
       when(col(s"$half$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     votes.select(col("doc_id"), fp("hi").as("simhash_hi"), fp("lo").as("simhash_lo"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs — the Hamming-distance verify stage over
+    * [[simhash]] fingerprints, completing the third dedup family
+    * (MinHash→Jaccard and SRP→cosine both have theirs).
+    *
+    * Candidate generation: the 64-bit fingerprint splits into four
+    * 16-bit bands; by pigeonhole, any pair within Hamming distance ≤ 3
+    * agrees EXACTLY on at least one band, so an equi-join on
+    * (band, key) is a complete candidate generator for `maxDist ≤ 3` —
+    * never all-pairs (the 100 TB shape: pair space ÷ ~2^16 per band).
+    * Verify: popcount(xor) over both halves ≤ maxDist. */
+  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4 x 16-bit bands guarantee full recall only for maxDist in [0,3], got $maxDist")
+    val fp = simhashFingerprints(documents)
+    val bandKeys = Seq(
+      shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)),
+      col("simhash_hi").bitwiseAND(lit(65535L)),
+      shiftright(col("simhash_lo"), 16).bitwiseAND(lit(65535L)),
+      col("simhash_lo").bitwiseAND(lit(65535L)))
+    val banded = fp.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      explode(array(bandKeys.zipWithIndex.map { case (k, b) =>
+        struct(lit(b).as("band"), k.as("key"))
+      }: _*)).as("bk"))
+    val a = banded.select(col("bk"), col("doc_id").as("doc_a"),
+      col("simhash_hi").as("hi_a"), col("simhash_lo").as("lo_a"))
+    val b = banded.select(col("bk"), col("doc_id").as("doc_b"),
+      col("simhash_hi").as("hi_b"), col("simhash_lo").as("lo_b"))
+    a.join(b, Seq("bk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup pairs, bucketed: candidate pairs are

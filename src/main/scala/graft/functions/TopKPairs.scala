@@ -211,7 +211,12 @@ case class TopKTagged(
       out.writeDouble(s); out.writeLong(i)
       out.writeBoolean(t != null)
       if (t != null) t match {
-        case str: String => out.writeUTF(str)
+        // int length + raw UTF-8, not writeUTF: modified-UTF-8 caps at
+        // 65535 bytes and would crash the aggregation at shuffle/spill
+        // time on a long tag value
+        case str: String =>
+          val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(b.length); out.write(b)
         case n: java.lang.Integer => out.writeInt(n)
         case n: java.lang.Long => out.writeLong(n)
         case n: java.lang.Double => out.writeDouble(n)
@@ -227,7 +232,10 @@ case class TopKTagged(
     val buf = new TopKTagBuffer(in.readInt())
     var n = in.readInt()
     val readTag: DataInputStream => Any = tagExpr.dataType match {
-      case StringType => _.readUTF()
+      case StringType => in =>
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
       case IntegerType => in => Int.box(in.readInt())
       case LongType => in => Long.box(in.readLong())
       case DoubleType => in => Double.box(in.readDouble())

@@ -64,7 +64,11 @@ object UdmPacketJackson {
       if (parser.nextToken() != JsonToken.START_OBJECT) null
       else convertStruct(parser, graft.udm.PacketSchemas.parsedPacketSchema)
     } catch {
-      case _: Exception => null // malformed → null (the Malformed branch)
+      // malformed input → null (the Malformed branch). IOException
+      // covers Jackson's JsonProcessingException; anything else (e.g.
+      // the IllegalStateException schema guard) is a BUG and must
+      // propagate, not be misclassified as malformed data.
+      case _: java.io.IOException => null
     } finally parser.close()
   }
 

@@ -605,6 +605,22 @@ object Registry {
     s"CASE WHEN list_sum(list_transform(range(1, len(vec) + 1), i -> $elem)) >= 0 THEN ${1 << p} ELSE 0 END"
   }.mkString(" + ")
 
+  /** SimHash fingerprint CTEs (toks → per-bit votes → 64-bit fp as two
+    * 32-bit halves `hi`/`lo`), mirroring [[Dedup.simhash]]'s math —
+    * shared by the fingerprint query and the Hamming pair query. */
+  private val simhashFpCtes: String = {
+    def votes(half: String, off: Int) = (0 until 32).map(b =>
+      s"CAST(sum(CASE WHEN ((('0x' || substr(md5(tok), $off, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS ${half}$b").mkString(", ")
+    def fp(half: String) = (0 until 32).map(b =>
+      s"CASE WHEN ${half}$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    s"""toks AS (SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        FROM documents),
+      v AS (SELECT doc_id, ${votes("hi", 1)}, ${votes("lo", 9)} FROM toks GROUP BY doc_id),
+      fp AS (SELECT doc_id, ${fp("hi")} AS hi, ${fp("lo")} AS lo FROM v)"""
+  }
+
   private val dedup = Seq(
     QueryDef("dedup_exact",
       (s, d) => Dedup.exactDuplicates(t(s, d, "documents")),
@@ -632,18 +648,35 @@ object Registry {
     QueryDef("dedup_simhash",
       (s, d) => Dedup.simhash(t(s, d, "documents")),
       Some {
-        def votes(half: String, off: Int) = (0 until 32).map(b =>
-          s"CAST(sum(CASE WHEN ((('0x' || substr(md5(tok), $off, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS ${half}$b").mkString(", ")
-        def fp(half: String) = (0 until 32).map(b =>
-          s"CASE WHEN ${half}$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
-          .mkString(" | ")
-        s"""WITH toks AS (SELECT doc_id,
-            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
-            FROM documents),
-          v AS (SELECT doc_id, ${votes("hi", 1)}, ${votes("lo", 9)} FROM toks GROUP BY doc_id)
-          SELECT doc_id, ${fp("hi")} AS simhash_hi, ${fp("lo")} AS simhash_lo
-          FROM v ORDER BY doc_id"""
+        s"""WITH $simhashFpCtes
+          SELECT doc_id, hi AS simhash_hi, lo AS simhash_lo
+          FROM fp ORDER BY doc_id"""
       }),
+
+    // Hamming-banded near-dup — the SimHash family's verify stage: four
+    // 16-bit bands of the 64-bit fingerprint (pigeonhole: distance <= 3
+    // pairs share a band exactly), equi-join on (band, key), then
+    // popcount(xor) <= 3 verify. Oracle mirrors fingerprints AND the
+    // band join with portable bit ops (bit_count / xor / shifts).
+    QueryDef("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"), 3),
+      Some {
+        s"""WITH $simhashFpCtes,
+          bands AS (
+            SELECT doc_id, hi, lo, 0 AS band, (hi >> 16) & 65535 AS key FROM fp
+            UNION ALL SELECT doc_id, hi, lo, 1, hi & 65535 FROM fp
+            UNION ALL SELECT doc_id, hi, lo, 2, (lo >> 16) & 65535 FROM fp
+            UNION ALL SELECT doc_id, hi, lo, 3, lo & 65535 FROM fp),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+          FROM pairs
+          WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+          ORDER BY doc_a, doc_b"""
+      }, bench = true),
 
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
     // The oracle mirrors the full pipeline including the band join, so

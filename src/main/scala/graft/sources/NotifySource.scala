@@ -46,6 +46,7 @@ class NotifySource extends TableProvider with DataSourceRegister {
     new NotifyTable(properties.get("path"),
       Option(properties.get("ack")).getOrElse("off"),
       Option(properties.get("archiveDir")),
+      Option(properties.get("maxMessagesPerTrigger")).map(_.toInt),
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -58,9 +59,12 @@ object NotifySource {
 }
 
 class NotifyTable(path: String, ack: String, archiveDir: Option[String],
+                  maxMessagesPerTrigger: Option[Int],
                   conf: org.apache.spark.util.SerializableConfiguration)
   extends Table with SupportsRead {
   require(path != null, "graft-notify requires a queue directory: .load(dir)")
+  require(maxMessagesPerTrigger.forall(_ > 0),
+    s"maxMessagesPerTrigger must be positive: ${maxMessagesPerTrigger.get}")
   override def name(): String = s"graft-notify:$path"
   override def schema(): StructType = NotifySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -70,7 +74,7 @@ class NotifyTable(path: String, ack: String, archiveDir: Option[String],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = NotifySource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new NotifyMicroBatchStream(path, ack, archiveDir, conf)
+          new NotifyMicroBatchStream(path, ack, archiveDir, maxMessagesPerTrigger, conf)
       }
     }
 }
@@ -82,9 +86,12 @@ case class NotifyOffset(ms: Long, name: String) extends Offset {
 }
 
 class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[String],
+                             maxMessagesPerTrigger: Option[Int],
                              conf: org.apache.spark.util.SerializableConfiguration)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
   import org.apache.hadoop.fs.{FileStatus, Path}
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[NotifyMicroBatchStream])
 
   // the session's Hadoop configuration (fs credentials, defaultFS, …)
   // — a bare `new Configuration()` would silently drop spark.hadoop.*
@@ -132,11 +139,61 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
       while (System.currentTimeMillis() <= newest &&
              System.currentTimeMillis() < deadline) Thread.sleep(1)
     }
-    availableNowCap = Some(scanLatest())
+    val cap = scanLatest()
+    // clock skew / future-dated mtimes beyond the bounded wait: the
+    // frozen cap would silently exclude already-present messages from
+    // this drain — make that observable (ADVICE r2)
+    val excluded = files.count(f => after(f, cap))
+    if (excluded > 0)
+      log.warn(s"graft-notify AvailableNow cap at (${cap.ms},${cap.name}) excludes " +
+        s"$excluded listed message(s) with future mtimes (clock skew?); " +
+        "they will drain in a later run")
+    availableNowCap = Some(cap)
   }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowCap.getOrElse(scanLatest())
+
+  /** Admission control (the reference subscription's flow control —
+    * ack-deadline + bounded per-instance concurrency,
+    * terraform/variables.tf:56–60): without it a backlog of N messages
+    * drains as ONE micro-batch — a driver-memory hazard in
+    * notifyPipeline's payload collect and an all-or-nothing poison/DLQ
+    * granularity. `maxMessagesPerTrigger` is the file source's
+    * maxFilesPerTrigger analog. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxMessagesPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows}
+    limit match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf).reduceOption(_ min _)
+      case _ => None
+    }
+  }
+
+  /** Next batch's end offset: messages after `start` (the committed
+    * watermark — never regress below it, even when ack-cleanup has
+    * emptied the directory), capped by the AvailableNow freeze and
+    * admitted up to the read limit. An AvailableNow drain of a large
+    * backlog thus terminates after ⌈N/limit⌉ micro-batches rather than
+    * one unbounded batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[NotifyOffset]
+    val visible = availableNowCap match {
+      case Some(cap) => listSorted().filter(f => !after(f, cap))
+      case None =>
+        val cutoff = System.currentTimeMillis()
+        listSorted().filter(_.getModificationTime < cutoff)
+    }
+    val pending = visible.filter(f => after(f, s))
+    val admitted = maxRowsOf(limit) match {
+      case Some(n) if pending.length > n => pending.take(n.toInt)
+      case _ => pending
+    }
+    if (admitted.isEmpty) s
+    else NotifyOffset(admitted.last.getModificationTime, admitted.last.getPath.getName)
+  }
   override def reportLatestOffset(): Offset = scanLatest()
 
   override def initialOffset(): Offset = NotifyOffset(Long.MinValue, "")

@@ -134,6 +134,7 @@ object StreamingPipeline {
               .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
           } finally b.unpersist()
         }
+        clearAttempts(spark, checkpoint, batchId)
         ()
       }
   }
@@ -166,6 +167,20 @@ object StreamingPipeline {
     attempt
   }
 
+  /** Drop a batch's attempt markers once its sinks committed — without
+    * this a long-running stream accumulates one marker dir per batch
+    * forever (unbounded small-file growth under the checkpoint) and
+    * pays an fs listing per batch. A crash BETWEEN sink success and
+    * this cleanup resets the retried batch's budget — harmless: sinks
+    * are idempotent overwrite, so the retry converges. */
+  private def clearAttempts(spark: SparkSession, checkpoint: String,
+                            batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val attemptsDir = new Path(s"$checkpoint/graft_attempts/batch-$batchId")
+    val fs = attemptsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(attemptsDir)) fs.delete(attemptsDir, true)
+  }
+
   /** The reference's ACTUAL delivery architecture — push notification →
     * GET object → process (processor_app.py:108–179) — using the
     * [[graft.sources.NotifySource]] custom DataSourceV2 stream as the
@@ -185,16 +200,24 @@ object StreamingPipeline {
     *    rejected straight to the DLQ with no retry
     *    (processor_app.py:131–133).
     * The per-batch `collect()` is of notification payloads only —
-    * messages, never data — bounded by the batch's message count. */
+    * messages, never data — and `maxMessagesPerTrigger` (source
+    * admission control, the subscription's flow-control analog) bounds
+    * the batch's message count, so a 10M-message backlog drains as
+    * ⌈N/max⌉ micro-batches instead of one unbounded batch: driver
+    * memory stays O(max), and a poison message dead-letters one
+    * bounded batch, not the whole backlog. */
   def notifyPipeline(spark: SparkSession, queueDir: String, dataDir: String,
                      outDir: String, checkpoint: String,
                      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                      maxAttempts: Int = 5,
                      ack: String = "off",
+                     maxMessagesPerTrigger: Int = 1024,
                      failHook: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val notifications = spark.readStream.format("graft-notify")
-      .option("ack", ack).load(queueDir)
+      .option("ack", ack)
+      .option("maxMessagesPerTrigger", maxMessagesPerTrigger)
+      .load(queueDir)
     notifications.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -246,6 +269,7 @@ object StreamingPipeline {
             dlqInvalid.write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
           }
         }
+        clearAttempts(spark, checkpoint, batchId)
         ()
       }
   }

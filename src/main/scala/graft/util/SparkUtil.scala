@@ -16,7 +16,17 @@ object SparkUtil {
     * inputs the round-robin shuffle costs ~nothing and buys full
     * parallelism. Row-wise results are unaffected by partitioning. */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Decide from plan STATISTICS (file-index sizes), not df.rdd — the
+    // RDD accessor forces a physical-plan → RDD conversion per call.
+    // Scan parallelism ≈ ceil(bytes / maxPartitionBytes), so an input
+    // smaller than target × maxPartitionBytes yields fewer than target
+    // scan tasks → repartition; a 100 TB input skips the shuffle.
+    val maxPartitionBytes =
+      spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES)
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeInBytes < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
   }
 }

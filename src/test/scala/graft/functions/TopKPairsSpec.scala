@@ -53,6 +53,19 @@ class TopKPairsSpec extends SparkSpec {
     assert(rt.sorted.map(t => (t._1, t._2)) == Seq((5.0, 2L), (3.0, 3L)))
   }
 
+  test("tagged buffer roundtrips string tags longer than 65535 UTF-8 bytes") {
+    // writeUTF would throw UTFDataFormatException here (modified-UTF-8
+    // 64 KiB cap) — the length-prefixed raw encoding must not
+    val longTag = "x" * 100000 + "€" // multi-byte char past the cap
+    val b = new TopKTagBuffer(2)
+    b.add(5.0, 1L, longTag); b.add(3.0, 2L, "short")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKTagged(Literal(0.0), Literal(0L), Literal(""), Literal(2))
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.sorted.map(t => (t._1, t._2, t._3)) ==
+      Seq((5.0, 1L, longTag), (3.0, 2L, "short")))
+  }
+
   test("ordering is total under NaN and merges the two zeros") {
     val b = new TopKTagBuffer(4)
     b.add(Double.NaN, 1L, null); b.add(-0.0, 2L, null)

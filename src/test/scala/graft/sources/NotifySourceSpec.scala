@@ -75,6 +75,62 @@ class NotifySourceSpec extends SparkSpec {
     assert(got.toSeq == Seq("fresh.pcap.json"))
   }
 
+  test("admission control: a backlog drains in <=maxMessagesPerTrigger micro-batches") {
+    val q = Files.createTempDirectory("graft_bq").toString
+    val ckpt = Files.createTempDirectory("graft_bckpt").toString
+    val n = 1000
+    (0 until n).foreach(i => msg(q, f"m$i%04d", s"payload_$i", 5000000L + i))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.Set.empty[String]
+    val qq = spark.readStream.format("graft-notify")
+      .option("maxMessagesPerTrigger", 128).load(q)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("message_id").collect().map(_.getString(0))
+        batchSizes.synchronized { batchSizes += ids.length; seen ++= ids }
+        ()
+      }.start()
+    qq.awaitTermination(300000)
+
+    assert(seen.size == n, s"all $n messages delivered, got ${seen.size}")
+    assert(batchSizes.forall(_ <= 128), s"every batch bounded: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= n / 128,
+      s"backlog split into multiple admission-bounded batches: $batchSizes")
+  }
+
+  test("latestOffset never regresses below the committed offset after ack-delete") {
+    val q = Files.createTempDirectory("graft_rq").toString
+    val ckpt = Files.createTempDirectory("graft_rckpt").toString
+    val out = Files.createTempDirectory("graft_rout").toString
+
+    def runOnce(): Unit = {
+      val qq = spark.readStream.format("graft-notify")
+        .option("ack", "delete").load(q)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) b.write.mode("overwrite").json(s"$out/batch_id=$id"); ()
+        }.start()
+      qq.awaitTermination(120000)
+    }
+
+    msg(q, "m1", "first", 6000000L)
+    runOnce()
+    // ack=delete emptied the queue: a rescan sees nothing — the offset
+    // must hold at the committed watermark, not rewind to MinValue
+    runOnce()
+    // a file backdated BELOW the acked watermark must not be redelivered
+    // past the ack point (the watermark is monotonic; mtime ordering is
+    // the source's delivery contract)
+    msg(q, "m0_backdated", "stale", 5999999L)
+    runOnce()
+    val delivered = spark.read.json(s"$out/*").select("payload").collect()
+      .map(_.getAs[String]("payload")).toSeq
+    assert(delivered == Seq("first"), s"backdated file redelivered: $delivered")
+  }
+
   private val goodPacket =
     """{"_source": {"layers": {
       |"frame": {"frame.number": "1", "frame.time_utc": "Sep  5, 2025 12:34:56.123456000 UTC", "frame.protocols": "eth:ethertype:ip:tcp"},
