@@ -134,22 +134,48 @@ object Similarity {
     heapTopK(scored, k, None)
   }
 
+  /** IVF coarse-quantizer centroids: mean vector per cell (`label`).
+    * At corpus scale the cell assignment comes from k-means over a
+    * sample; the centroid table itself is tiny (|cells| rows). */
+  def ivfCentroids(embeddings: DataFrame, dimOpt: Option[Int] = None): DataFrame = {
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
+    embeddings.select(col("label"), asDouble(col("embedding")).as("vec"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at(col("vec"), i + 1))): _*).as("sums"))
+      .select(col("label"), transform(col("sums"), s => s / col("n")).as("centroid"))
+  }
+
+  /** Persist the coarse quantizer — the [[Dedup.writeSignatures]]
+    * analog: at 100 TB the centroid table is trained ONCE (one
+    * aggregation pass over the corpus, or k-means over a sample) and
+    * reused by every subsequent [[ivfTopK]] run; recomputing it per
+    * query batch re-scans the corpus for a |cells|-row table. Plain
+    * parquet (label, centroid: array<double>); feed the read-back table
+    * to the centroid-consuming [[ivfTopK]] overload. */
+  def writeCentroids(embeddings: DataFrame, path: String,
+                     dimOpt: Option[Int] = None): Unit =
+    ivfCentroids(embeddings, dimOpt).write.mode("overwrite").parquet(path)
+
   /** IVF-style approximate top-k: coarse cells are the `label` column
     * (a precomputed assignment — at corpus scale this comes from
     * k-means over a sample), each query ranks cell centroids by cosine
     * and exact-searches only the `nProbe` nearest cells. Cost per query
     * drops from |corpus| to ~nProbe/|cells| of it; recall is tunable
     * via nProbe. Centroids and the query→cell plan are tiny →
-    * broadcast; the corpus is scanned once, filtered by probed cell. */
+    * broadcast; the corpus is scanned once, filtered by probed cell.
+    * Centroids are computed in-plan here; use the other overload with a
+    * [[writeCentroids]] table to skip the training pass. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nProbe: Int, dimOpt: Option[Int] = None): DataFrame = {
-    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
+              nProbe: Int, dimOpt: Option[Int] = None): DataFrame =
+    ivfTopK(embeddings, ivfCentroids(embeddings, dimOpt), queryIds, k, nProbe)
+
+  /** IVF top-k against an existing centroid table (in-plan or read back
+    * from [[writeCentroids]] parquet — train once, search many). */
+  def ivfTopK(embeddings: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+              k: Int, nProbe: Int): DataFrame = {
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
-    val centroids = corpus.groupBy("label").agg(
-        count(lit(1)).as("n"),
-        array((0 until dim).map(i => sum(element_at(col("vec"), i + 1))): _*).as("sums"))
-      .select(col("label"), transform(col("sums"), s => s / col("n")).as("centroid"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     // rank cells per query with the same heap aggregate (no window

@@ -97,6 +97,58 @@ object Metrics {
       .orderBy("event_type")
   }
 
+  /** A6 — percent_rank per key WITHOUT the low-cardinality window
+    * funnel. `Window.partitionBy(key)` over a ≤K-value key funnels the
+    * whole table through K reducers — correct, but at 100 TB that is
+    * the entire dataset through (say) 5 tasks. This operator computes
+    * the identical result with every stage P-way parallel:
+    *
+    *  1. range-partition + local sort on (key ++ order) — each of P
+    *     partitions holds a contiguous slice of the global order;
+    *  2. per-(partition, key) counts — a tiny (≤ P×K rows) aggregate
+    *     with map-side combine;
+    *  3. per-key running offsets + totals over that TINY table (the
+    *     only per-key window, over ≤ P×K rows — never the data);
+    *  4. local row_number within (partition, key) — a window whose
+    *     partition key has cardinality ≥ P, so its exchange spreads —
+    *     plus the broadcast offset = the global rank;
+    *  5. pct = (rank−1)/(n_k−1), 0 when n_k = 1 (SQL convention).
+    *
+    * Correctness requires the range exchange to be planned ONCE
+    * (ReuseExchange — spec-asserted): ranks and offsets must see the
+    * same partition boundaries. Requires a TOTAL order (include a
+    * tiebreaker column): rank ties are resolved by position, like
+    * `percent_rank` over a unique ordering.
+    *
+    * For a HIGH-cardinality key, use a plain window instead — the
+    * per-key funnel doesn't exist there, and step 2's P×K aggregate
+    * would not be tiny. */
+  def percentRankByKey(df: DataFrame, keyCol: String,
+                       orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = (keyCol +: orderCols).map(col)
+    val withPid = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val cnts = withPid.groupBy(col("_pid"), col(keyCol)).agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.partitionBy(keyCol).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cnts
+      .withColumn("_offset", coalesce(sum("_cnt").over(wOff), lit(0L)))
+      .withColumn("_nk", sum("_cnt").over(Window.partitionBy(keyCol)))
+      .drop("_cnt")
+    val wLocal = Window.partitionBy(col("_pid"), col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    withPid.join(broadcast(offsets), Seq("_pid", keyCol))
+      .withColumn("_rank", row_number().over(wLocal) + col("_offset"))
+      .withColumn("pct_rank",
+        when(col("_nk") > 1,
+          (col("_rank") - 1).cast("double") / (col("_nk") - 1).cast("double"))
+          .otherwise(0.0))
+      .drop("_pid", "_offset", "_nk", "_rank")
+  }
+
   /** A7 — liveness gap detection (the "no heartbeat for 15 min" alert,
     * terraform/main.tf:583–622) as an event-time lag window: per label,
     * the largest silent gap and the count of gaps over the threshold. */

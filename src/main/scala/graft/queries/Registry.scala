@@ -31,6 +31,8 @@ object Registry {
     * which Spark 4 refuses by default — read nanos as long (runtime
     * conf) and rebuild a µs timestamp (`div 1000` truncation, matching
     * DuckDB's ns→µs cast). */
+  def table(s: SparkSession, dir: String, n: String): DataFrame = t(s, dir, n)
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$n.parquet")
@@ -333,13 +335,16 @@ object Registry {
           || ' INTERFACE eth0 OK', 'SNIFFER (sniffer-\d+) INTERFACE (\w+)', 1) AS sniffer_id,
         count(*) AS n FROM events GROUP BY 1 ORDER BY sniffer_id""")),
 
+    // percent_rank over a 5-value key — computed by the distributed
+    // range-partition + offset implementation (Metrics.percentRankByKey)
+    // instead of Window.partitionBy(event_type), which would funnel the
+    // whole table through <=5 reducers at scale. Same result, oracled.
     QueryDef("window_percent_rank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-        t(s, d, "events")
+        Metrics.percentRankByKey(t(s, d, "events"), "event_type",
+            Seq("value", "event_id"))
           .select(col("event_id"), col("event_type"),
-            round(percent_rank().over(w), 6).as("pct_rank"))
+            round(col("pct_rank"), 6).as("pct_rank"))
           .filter(col("event_id") < 100)
           .orderBy("event_id")
       },

@@ -38,6 +38,56 @@ object PcapDecode {
     }
   }
 
+  /** Real subprocess decode — the reference's `tshark -r f -T json`
+    * hop (processor_app.py:149–155) run INSIDE the scan partition:
+    * bytes land in a task-local temp file (tshark can't stream all
+    * capture formats from stdin), `cmd tmpfile` runs, and the JSON
+    * array on stdout splits into one raw packet string per element.
+    * Executors each decode their own files — per-file parallelism, no
+    * driver hop. Output is buffered per file (as the reference does);
+    * files are notification-sized (~10 MB rotations), not unbounded.
+    * A nonzero exit fails the task loudly with the decoder's stderr —
+    * upstream retry/DLQ policy decides what happens next.
+    *
+    * Usage: `decode(spark, dir, decoder = processDecoder(Seq("tshark",
+    * "-T", "json", "-r")))` — the file path is appended as the last
+    * argument. */
+  def processDecoder(cmd: Seq[String]): Decoder = (path, bytes) => {
+    import java.nio.file.Files
+    val tmp = Files.createTempFile("graft_pcap_", ".pcap")
+    val errTmp = Files.createTempFile("graft_pcap_err_", ".txt")
+    try {
+      Files.write(tmp, bytes)
+      val pb = new ProcessBuilder((cmd :+ tmp.toString): _*)
+      pb.redirectError(ProcessBuilder.Redirect.to(errTmp.toFile))
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      if (rc != 0) {
+        val err = new String(Files.readAllBytes(errTmp),
+          java.nio.charset.StandardCharsets.UTF_8).take(2048)
+        throw new RuntimeException(
+          s"decoder '${cmd.mkString(" ")}' exited $rc for $path: $err")
+      }
+      splitJsonArray(out).iterator
+    } finally {
+      Files.deleteIfExists(tmp)
+      Files.deleteIfExists(errTmp)
+    }
+  }
+
+  /** Split a JSON array into compact per-element strings (tshark emits
+    * one array per file; downstream wants one packet per row). */
+  private def splitJsonArray(s: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(s)
+    require(node != null && node.isArray,
+      s"decoder output is not a JSON array: ${s.take(80)}")
+    (0 until node.size).map(i => mapper.writeValueAsString(node.get(i)))
+  }
+
   /** Read raw pcap files and decode each to packet rows
     * (`source_file`, `raw`). Decode runs inside the scan's partitions —
     * per-file parallelism, no driver involvement, no temp files. */

@@ -177,6 +177,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall >= recall1) // more probes never hurt recall
   }
 
+  test("persisted IVF centroids round-trip: search equals in-plan training") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_centroids").toString
+    Similarity.writeCentroids(emb, dir)
+    val restored = spark.read.parquet(dir)
+    val fromDisk = Similarity.ivfTopK(emb, restored, qids, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    val inPlan = Similarity.ivfTopK(emb, qids, 10, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inPlan)
+  }
+
+  test("distributed percent_rank equals the window version; one reused range exchange") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial shape: few keys, duplicate order-values (the
+    // tiebreaker column makes the order total), empty + singleton keys
+    val df = spark.range(500).select(
+      (col("id") % 3).cast("string").as("k"),
+      (col("id") % 17).cast("double").as("v"),
+      col("id").as("tid"))
+      .union(Seq(("singleton", 99.0, 9999L)).toDF("k", "v", "tid"))
+    val dist = graft.metrics.Metrics.percentRankByKey(df, "k", Seq("v", "tid"))
+      .select("k", "tid", "pct_rank")
+    val win = df.select(col("k"), col("tid"),
+      percent_rank().over(Window.partitionBy("k").orderBy("v", "tid")).as("pct_rank"))
+    val got = dist.orderBy("k", "tid").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = win.orderBy("k", "tid").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+
+    // the correctness contract: the range exchange that fixes partition
+    // boundaries must be planned ONCE and REUSED — two independent
+    // materializations could sample different boundaries, making the
+    // broadcast offsets inconsistent with the ranked side
+    dist.collect()
+    val plan = dist.queryExecution.executedPlan.toString
+    val ranges = "rangepartitioning".r.findAllIn(plan.toLowerCase).length
+    assert(plan.contains("ReusedExchange") || ranges == 1,
+      s"range exchange not reused:\n$plan")
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

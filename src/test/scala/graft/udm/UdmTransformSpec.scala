@@ -224,6 +224,26 @@ class UdmTransformSpec extends SparkSpec {
     assert(!jm.contains("principal") && !jm.contains("network") && !jm.contains("additional"))
   }
 
+  test("udm_classify_pipeline output is globally event_id-ordered with no global Sort") {
+    // The query's ordering contract (CLAUDE.md invariant) is carried by
+    // plan CONSTRUCTION — range-partition + sort the cheap input, keep
+    // the transform narrow — with deliberately NO trailing .orderBy
+    // (EliminateSorts would drop the input sort and a top-level Sort
+    // would buffer/re-execute the expensive transform). Until now only
+    // the driver's order-sensitive compare enforced it; this guards it
+    // in-repo against an EliminateSorts-vulnerable refactor.
+    val df = graft.queries.Registry.all.find(_.name == "udm_classify_pipeline").get
+      .build(spark, "/root/testdata/sf0.001")
+    val ids = df.select("event_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty, "pipeline produced no rows")
+    assert(ids.sameElements(ids.sorted), "output not globally event_id-ordered")
+    // structural half: no global Sort anywhere (the input sort is
+    // partition-local; a trailing orderBy would plan "Sort [...], true")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"""Sort \[[^\]]*\], true""".r.findFirstIn(plan).isDefined,
+      s"global Sort found in plan:\n$plan")
+  }
+
   test("A1/A2 per-file counts") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Seq(
