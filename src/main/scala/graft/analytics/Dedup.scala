@@ -139,8 +139,24 @@ object Dedup {
 
   /** Unordered fingerprint stage shared by [[simhash]] (which adds the
     * presentation sort) and [[simhashNearDupPairs]] (which must NOT
-    * carry a mid-plan global sort into its band join). */
-  private def simhashFingerprints(documents: DataFrame): DataFrame = {
+    * carry a mid-plan global sort into its band join). Computed by the
+    * codegen'd [[graft.functions.SimHashExpr]] — one narrow pass per
+    * document, zero shuffle (the vote fold happens inside the
+    * projection); [[simhashComposed]] is the retained executable spec
+    * (equality spec-enforced). Token-less docs yield a null struct and
+    * are dropped, matching the composed form's explode semantics. */
+  private def simhashFingerprints(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), graft.functions.SimHashExpr(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp.simhash_hi").as("simhash_hi"),
+        col("fp.simhash_lo").as("simhash_lo"))
+
+  /** The original composed-operator fingerprint pipeline (explode
+    * tokens → 64 partial-sum vote columns per doc → sign fold).
+    * Retained as the executable specification of
+    * [[graft.functions.SimHashExpr]] — AnalyticsSpec asserts equality. */
+  def simhashComposed(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.bpeishTokens(col("text"))
     // 64 bits as two 32-bit md5 halves, kept in separate longs so no
     // shift ever exceeds 31 (lets the DuckDB oracle mirror the math —

@@ -287,6 +287,8 @@ object GraftFunctions {
       "graft_srp_bucket", exprs => SrpBucketExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashExpr(exprs(0)), "built-in")
   }
 }
 
@@ -316,5 +318,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => SrpBucketExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("graft_simhash", classOf[SimHashExpr],
+      exprs => SimHashExpr(exprs(0)))
   }
 }

@@ -177,6 +177,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(recall >= recall1) // more probes never hurt recall
   }
 
+  test("codegen'd simhash equals the composed-operator pipeline") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .unionByName(docs(
+        9001L -> "",                   // token-less: dropped by both forms
+        9002L -> "  UPPER lower 42 ",  // case fold + separators
+        9003L -> "héllo wörld",        // non-ascii separators split tokens
+        9004L -> "one"))               // single token
+    val fast = Dedup.simhash(d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = Dedup.simhashComposed(d).orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fast.nonEmpty && fast == composed)
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
