@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 /** S5 — the pcap → tshark-JSON decode stage. The reference shells out
   * to `tshark -r f -T json` once per file (reference
   * processor/processor_app.py:149–155); the Spark-native shape is a
-  * binaryFile scan + per-partition pipe into the decoder process, so a
-  * 1000-executor cluster decodes 1000 pcaps concurrently with no
-  * intermediate files.
+  * binaryFile scan + per-partition decode, so a 1000-executor cluster
+  * decodes 1000 pcaps concurrently with no intermediate files.
   *
-  * tshark is not installed in this container, so the subprocess hop is
-  * STUBBED: [[stubDecoder]] emits deterministic synthetic packets
-  * derived from the payload bytes. The Spark-side plumbing — binary
-  * scan, partitioning, iterator-to-iterator decode, output row shape
-  * (one raw packet JSON string per row) — is real and tested; swap
-  * `decoder` for a `ProcessBuilder("tshark", ...)` pipe in production.
+  * Three interchangeable decoders:
+  *  - [[PcapParser.nativeDecoder]] (DEFAULT) — a real in-JVM libpcap
+  *    parser (Ethernet/IPv4/IPv6/TCP/UDP/ICMP/ARP + DNS/HTTP/TLS-SNI)
+  *    emitting tshark-shaped JSON; no external processes;
+  *  - [[processDecoder]] — the reference's subprocess hop for a real
+  *    tshark (exotic link types, deeper dissection);
+  *  - [[stubDecoder]] — deterministic synthetic packets from payload
+  *    bytes, for load/pipeline tests without real captures.
   */
 object PcapDecode {
 
@@ -92,7 +93,7 @@ object PcapDecode {
     * (`source_file`, `raw`). Decode runs inside the scan's partitions —
     * per-file parallelism, no driver involvement, no temp files. */
   def decode(spark: SparkSession, dir: String, glob: String = "*.pcap*",
-             decoder: Decoder = stubDecoder): DataFrame = {
+             decoder: Decoder = PcapParser.nativeDecoder): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)

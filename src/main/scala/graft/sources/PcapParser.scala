@@ -1,0 +1,473 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.JsonFactory
+
+/** Native libpcap decoder — S5 without the external tshark dependency.
+  *
+  * Parses the classic pcap capture format (public spec; magic
+  * 0xa1b2c3d4/0xa1b23c4d in either byte order) and decodes the protocol
+  * stack the UDM transform consumes — Ethernet (+1 VLAN tag), IPv4,
+  * IPv6 (+ common extension headers), TCP, UDP, ICMP/ICMPv6, ARP, and
+  * the payload protocols the reference's classifier keys on: DNS
+  * (queries + answers with name decompression), HTTP (request line,
+  * Host, User-Agent, response code) and TLS (record version + the
+  * ClientHello SNI walk) — emitting one tshark-`-T json`-shaped object
+  * per packet ([[graft.udm.PacketSchemas]] field names), so the decoded
+  * stream drops into the same pipeline as tshark output.
+  *
+  * The reference shells out to `tshark -r f -T json`
+  * (processor_app.py:149–155); this parser replaces that subprocess for
+  * the formats above — zero external processes, runs inside the scan
+  * partition (see [[PcapDecode.decode]]), one file per task. Use
+  * [[PcapDecode.processDecoder]] with a real tshark when exotic link
+  * types or deeper dissection are required.
+  *
+  * Fail-loud policy: a corrupt FILE (bad magic, unsupported link type,
+  * truncated record header) throws — the upstream retry/DLQ budget
+  * decides; a payload that merely doesn't parse as DNS/HTTP/TLS simply
+  * omits that layer (tshark's behavior for unrecognized payloads).
+  */
+object PcapParser {
+
+  /** The plug-in for [[PcapDecode.decode]]. */
+  val nativeDecoder: PcapDecode.Decoder =
+    (path, bytes) => decodeFile(bytes, path).iterator
+
+  // ---------------------------------------------------------- file level
+
+  private final class Reader(val b: Array[Byte], var pos: Int, littleEndian: Boolean) {
+    def remaining: Int = b.length - pos
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def u16(): Int = {
+      val v = if (littleEndian) (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+      else ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+      pos += 2; v
+    }
+    def u32(): Long = {
+      val v = if (littleEndian)
+        (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+          ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+      else ((b(pos) & 0xffL) << 24) | ((b(pos + 1) & 0xffL) << 16) |
+        ((b(pos + 2) & 0xffL) << 8) | (b(pos + 3) & 0xffL)
+      pos += 4; v
+    }
+  }
+
+  // network-order (big-endian) views used inside packet data
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  def decodeFile(bytes: Array[Byte], path: String = "<bytes>"): Seq[String] = {
+    require(bytes.length >= 24, s"pcap too short for global header: $path")
+    val magicBE = be32(bytes, 0)
+    val (little, nanos) = magicBE match {
+      case 0xa1b2c3d4L => (false, false)
+      case 0xd4c3b2a1L => (true, false)
+      case 0xa1b23c4dL => (false, true)
+      case 0x4d3cb2a1L => (true, true)
+      case other => throw new IllegalArgumentException(
+        f"not a pcap file (magic 0x$other%08x): $path")
+    }
+    val r = new Reader(bytes, 4, little)
+    r.u16(); r.u16(); r.u32(); r.u32(); r.u32() // version, thiszone, sigfigs, snaplen
+    val linkType = r.u32()
+    require(linkType == 1,
+      s"unsupported link type $linkType (only Ethernet/EN10MB): $path")
+
+    val out = Seq.newBuilder[String]
+    var n = 0
+    while (r.remaining > 0) {
+      require(r.remaining >= 16,
+        s"truncated record header at packet ${n + 1}: $path")
+      val tsSec = r.u32()
+      val tsFrac = r.u32()
+      val inclLen = r.u32().toInt
+      r.u32() // orig_len
+      require(inclLen >= 0 && r.remaining >= inclLen,
+        s"truncated packet ${n + 1} (need $inclLen, have ${r.remaining}): $path")
+      val data = java.util.Arrays.copyOfRange(r.b, r.pos, r.pos + inclLen)
+      r.pos += inclLen
+      n += 1
+      out += decodePacket(n, tsSec, if (nanos) tsFrac else tsFrac * 1000L, data)
+    }
+    out.result()
+  }
+
+  // -------------------------------------------------------- packet level
+
+  /** One decoded layer: (tshark layer name, ordered field -> value).
+    * Values are strings except DNS's map-typed members. */
+  private type Fields = scala.collection.mutable.LinkedHashMap[String, Any]
+  private def fields(kv: (String, Any)*): Fields = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    kv.foreach { case (k, v) => if (v != null) m += k -> v }
+    m
+  }
+
+  private val months = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  /** tshark frame.time_utc: `"Sep  5, 2025 12:34:56.123456000 UTC"` —
+    * space-padded day, nine fractional digits. */
+  private def frameTime(sec: Long, nanoFrac: Long): String = {
+    val t = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    val day = if (t.getDayOfMonth < 10) s" ${t.getDayOfMonth}" else s"${t.getDayOfMonth}"
+    f"${months(t.getMonthValue - 1)} $day, ${t.getYear}%d " +
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d.$nanoFrac%09d UTC"
+  }
+
+  private def mac(b: Array[Byte], o: Int): String =
+    (0 until 6).map(i => f"${b(o + i) & 0xff}%02x").mkString(":")
+  private def ipv4(b: Array[Byte], o: Int): String =
+    (0 until 4).map(i => (b(o + i) & 0xff).toString).mkString(".")
+
+  /** RFC 5952-style compressed lowercase IPv6 (longest zero run → ::). */
+  private def ipv6(b: Array[Byte], o: Int): String = {
+    val groups = (0 until 8).map(i => be16(b, o + 2 * i))
+    var bestStart = -1; var bestLen = 0; var i = 0
+    while (i < 8) {
+      if (groups(i) == 0) {
+        var j = i; while (j < 8 && groups(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) groups.map(g => f"$g%x").mkString(":")
+    else {
+      val head = groups.take(bestStart).map(g => f"$g%x").mkString(":")
+      val tail = groups.drop(bestStart + bestLen).map(g => f"$g%x").mkString(":")
+      s"$head::$tail"
+    }
+  }
+
+  private def decodePacket(num: Int, tsSec: Long, tsNanos: Long,
+                           d: Array[Byte]): String = {
+    val layers = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
+    val protos = scala.collection.mutable.ArrayBuffer("eth")
+
+    if (d.length >= 14) {
+      layers += "eth" -> fields("eth.dst" -> mac(d, 0), "eth.src" -> mac(d, 6))
+      var etherType = be16(d, 12)
+      var l3 = 14
+      if (etherType == 0x8100 && d.length >= 18) { // one VLAN tag
+        etherType = be16(d, 16); l3 = 18
+      }
+      protos += "ethertype"
+      etherType match {
+        case 0x0800 => decodeIpv4(d, l3, layers, protos)
+        case 0x86dd => decodeIpv6(d, l3, layers, protos)
+        case 0x0806 => decodeArp(d, l3, layers, protos)
+        case _ => () // unknown L3: frame + eth only
+      }
+    }
+
+    val frame = fields(
+      "frame.number" -> num.toString,
+      "frame.time_utc" -> frameTime(tsSec, tsNanos),
+      "frame.protocols" -> protos.mkString(":"))
+
+    val sw = new java.io.StringWriter(512)
+    val g = jsonFactory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeObjectFieldStart("_source")
+    g.writeObjectFieldStart("layers")
+    writeLayer(g, "frame", frame)
+    layers.foreach { case (name, fs) => writeLayer(g, name, fs) }
+    g.writeEndObject(); g.writeEndObject(); g.writeEndObject()
+    g.close()
+    sw.toString
+  }
+
+  private val jsonFactory = new JsonFactory()
+
+  private def writeLayer(g: com.fasterxml.jackson.core.JsonGenerator,
+                         name: String, fs: Fields): Unit = {
+    g.writeObjectFieldStart(name)
+    fs.foreach {
+      case (k, v: String) => g.writeStringField(k, v)
+      case (k, v: Fields @unchecked) => writeLayer(g, k, v)
+      case (k, v) => throw new IllegalStateException(s"bad field $k: $v")
+    }
+    g.writeEndObject()
+  }
+
+  // ------------------------------------------------------------ L3 / L4
+
+  private def decodeIpv4(d: Array[Byte], o: Int,
+                         layers: scala.collection.mutable.LinkedHashMap[String, Fields],
+                         protos: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (d.length < o + 20 || (d(o) & 0xf0) != 0x40) return
+    val ihl = (d(o) & 0x0f) * 4
+    if (ihl < 20 || d.length < o + ihl) return
+    protos += "ip"
+    layers += "ip" -> fields(
+      "ip.src" -> ipv4(d, o + 12), "ip.dst" -> ipv4(d, o + 16),
+      "ip.ttl" -> (d(o + 8) & 0xff).toString)
+    val fragOffset = be16(d, o + 6) & 0x1fff
+    if (fragOffset != 0) return // non-first fragment: no L4 header
+    decodeL4(d, o + ihl, d(o + 9) & 0xff, layers, protos)
+  }
+
+  private def decodeIpv6(d: Array[Byte], o: Int,
+                         layers: scala.collection.mutable.LinkedHashMap[String, Fields],
+                         protos: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (d.length < o + 40 || (d(o) & 0xf0) != 0x60) return
+    protos += "ipv6"
+    layers += "ipv6" -> fields(
+      "ipv6.src" -> ipv6(d, o + 8), "ipv6.dst" -> ipv6(d, o + 24))
+    var next = d(o + 6) & 0xff
+    var p = o + 40
+    var hops = 0
+    while (hops < 8) { // bounded extension-header chain walk
+      next match {
+        case 0 | 43 | 60 => // hop-by-hop / routing / destination options
+          if (d.length < p + 2) return
+          val len = ((d(p + 1) & 0xff) + 1) * 8
+          next = d(p) & 0xff; p += len; hops += 1
+        case 44 => // fragment header
+          if (d.length < p + 8) return
+          if ((be16(d, p + 2) & 0xfff8) != 0) return // non-first fragment
+          next = d(p) & 0xff; p += 8; hops += 1
+        case _ =>
+          decodeL4(d, p, next, layers, protos); return
+      }
+    }
+  }
+
+  private def decodeL4(d: Array[Byte], o: Int, proto: Int,
+                       layers: scala.collection.mutable.LinkedHashMap[String, Fields],
+                       protos: scala.collection.mutable.ArrayBuffer[String]): Unit =
+    proto match {
+      case 6 => // TCP
+        if (d.length < o + 20) return
+        val src = be16(d, o); val dst = be16(d, o + 2)
+        val dataOff = ((d(o + 12) & 0xf0) >> 4) * 4
+        if (dataOff < 20 || d.length < o + dataOff) return
+        val flags9 = ((d(o + 12) & 0x01) << 8) | (d(o + 13) & 0xff)
+        protos += "tcp"
+        layers += "tcp" -> fields(
+          "tcp.srcport" -> src.toString, "tcp.dstport" -> dst.toString,
+          "tcp.flags" -> f"0x$flags9%04x")
+        val payload = o + dataOff
+        if (payload < d.length) {
+          if (src == 53 || dst == 53) {
+            // DNS over TCP: 2-byte length prefix then the message
+            if (d.length >= payload + 14 &&
+              decodeDns(d, payload + 2, layers)) protos += "dns"
+          } else if (decodeTls(d, payload, layers)) protos += "tls"
+          else if (decodeHttp(d, payload, layers)) protos += "http"
+        }
+      case 17 => // UDP
+        if (d.length < o + 8) return
+        val src = be16(d, o); val dst = be16(d, o + 2)
+        protos += "udp"
+        layers += "udp" -> fields(
+          "udp.srcport" -> src.toString, "udp.dstport" -> dst.toString)
+        if ((src == 53 || dst == 53) && d.length > o + 8 &&
+          decodeDns(d, o + 8, layers)) protos += "dns"
+      case 1 | 58 => // ICMP / ICMPv6 (schema folds both into `icmp`)
+        if (d.length < o + 2) return
+        protos += (if (proto == 58) "icmpv6" else "icmp")
+        layers += "icmp" -> fields(
+          "icmp.type" -> (d(o) & 0xff).toString,
+          "icmp.code" -> (d(o + 1) & 0xff).toString)
+      case _ => ()
+    }
+
+  private def decodeArp(d: Array[Byte], o: Int,
+                        layers: scala.collection.mutable.LinkedHashMap[String, Fields],
+                        protos: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (d.length < o + 28) return
+    // Ethernet/IPv4 ARP only (hw type 1, proto 0x0800, hlen 6, plen 4)
+    if (be16(d, o) != 1 || be16(d, o + 2) != 0x0800 ||
+      (d(o + 4) & 0xff) != 6 || (d(o + 5) & 0xff) != 4) return
+    protos += "arp"
+    layers += "arp" -> fields(
+      "arp.opcode" -> be16(d, o + 6).toString,
+      "arp.src.hw_mac" -> mac(d, o + 8),
+      "arp.src.proto_ipv4" -> ipv4(d, o + 14),
+      "arp.dst.hw_mac" -> mac(d, o + 18),
+      "arp.dst.proto_ipv4" -> ipv4(d, o + 24))
+  }
+
+  // ------------------------------------------------------------- payloads
+
+  private val dnsTypes = Map(1 -> "A", 2 -> "NS", 5 -> "CNAME", 6 -> "SOA",
+    12 -> "PTR", 15 -> "MX", 16 -> "TXT", 28 -> "AAAA", 33 -> "SRV")
+
+  /** DNS name at `o` with RFC 1035 compression; returns (name, next
+    * offset) or null on malformed input. */
+  private def dnsName(d: Array[Byte], start: Int, msgStart: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var o = start
+    var next = -1 // offset after the first pointer (caller resumes there)
+    var jumps = 0
+    while (true) {
+      if (o >= d.length || jumps > 32) return null
+      val len = d(o) & 0xff
+      if (len == 0) {
+        return (if (sb.isEmpty) "<Root>" else sb.toString,
+          if (next >= 0) next else o + 1)
+      } else if ((len & 0xc0) == 0xc0) {
+        if (o + 1 >= d.length) return null
+        if (next < 0) next = o + 2
+        o = msgStart + (((len & 0x3f) << 8) | (d(o + 1) & 0xff))
+        jumps += 1
+      } else {
+        if (o + 1 + len > d.length) return null
+        if (sb.nonEmpty) sb.append('.')
+        var i = 0
+        while (i < len) {
+          val c = d(o + 1 + i) & 0xff
+          // printable ascii passes through; anything else escapes as \xNN
+          sb.append(if (c >= 0x21 && c <= 0x7e) c.toChar.toString else f"\\x$c%02x")
+          i += 1
+        }
+        o += 1 + len
+      }
+    }
+    null // unreachable
+  }
+
+  /** Parse a DNS message at `o`; adds a `dns` layer and returns true
+    * when the header + first question parse cleanly. */
+  private def decodeDns(d: Array[Byte], o: Int,
+                        layers: scala.collection.mutable.LinkedHashMap[String, Fields]): Boolean = {
+    if (d.length < o + 12) return false
+    val flags = be16(d, o + 2)
+    val qd = be16(d, o + 4); val an = be16(d, o + 6)
+    if (qd == 0 && an == 0) return false
+    if (qd > 16 || an > 64) return false // implausible for a real message
+    val isResponse = (flags >> 15) & 1
+
+    val queries = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
+    var p = o + 12
+    var i = 0
+    while (i < qd) {
+      val nm = dnsName(d, p, o)
+      if (nm == null || d.length < nm._2 + 4) return false
+      val qtype = be16(d, nm._2); val qclass = be16(d, nm._2 + 2)
+      val typeName = dnsTypes.getOrElse(qtype, s"type $qtype")
+      val className = if (qclass == 1) "IN" else s"class $qclass"
+      queries += s"${nm._1}: type $typeName, class $className" -> fields(
+        "dns.qry.name" -> nm._1, "dns.qry.type" -> qtype.toString)
+      p = nm._2 + 4
+      i += 1
+    }
+    val answers = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
+    i = 0
+    var ok = true
+    while (i < an && ok) {
+      val nm = dnsName(d, p, o)
+      if (nm == null || d.length < nm._2 + 10) ok = false
+      else {
+        val ttl = be32(d, nm._2 + 4)
+        val rdlen = be16(d, nm._2 + 8)
+        if (d.length < nm._2 + 10 + rdlen) ok = false
+        else {
+          answers += s"${nm._1}: answer ${i + 1}" -> fields(
+            "dns.resp.name" -> nm._1, "dns.resp.ttl" -> ttl.toString)
+          p = nm._2 + 10 + rdlen
+        }
+      }
+      i += 1
+    }
+    val dns = fields()
+    if (queries.nonEmpty) dns += "Queries" -> queries
+    if (answers.nonEmpty) dns += "Answers" -> answers
+    dns += "dns.flags_tree" -> fields("dns.flags.response" -> isResponse.toString)
+    layers += "dns" -> dns
+    true
+  }
+
+  private val httpMethods =
+    Seq("GET ", "POST ", "PUT ", "DELETE ", "HEAD ", "OPTIONS ", "PATCH ")
+
+  /** Detect + parse an HTTP/1.x request or response head. */
+  private def decodeHttp(d: Array[Byte], o: Int,
+                         layers: scala.collection.mutable.LinkedHashMap[String, Fields]): Boolean = {
+    val len = math.min(d.length - o, 2048)
+    if (len < 12) return false
+    val text = new String(d, o, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lineEnd = text.indexOf("\r\n")
+    if (lineEnd < 0) return false
+    val line = text.substring(0, lineEnd)
+    def header(name: String): String = {
+      val p = java.util.regex.Pattern.compile(
+        "(?mi)^" + java.util.regex.Pattern.quote(name) + ":\\s*(.*?)\\s*$")
+      val m = p.matcher(text)
+      if (m.find()) m.group(1) else null
+    }
+    if (httpMethods.exists(line.startsWith)) {
+      val parts = line.split(" ", 3)
+      if (parts.length < 3 || !parts(2).startsWith("HTTP/1.")) return false
+      val host = header("Host")
+      layers += "http" -> fields(
+        "http.host" -> host,
+        "http.request.method" -> parts(0),
+        "http.request.full_uri" ->
+          (if (host != null) s"http://$host${parts(1)}" else null),
+        "http.user_agent" -> header("User-Agent"))
+      true
+    } else if (line.startsWith("HTTP/1.")) {
+      val parts = line.split(" ", 3)
+      if (parts.length < 2 || !parts(1).forall(_.isDigit)) return false
+      layers += "http" -> fields("http.response.code" -> parts(1))
+      true
+    } else false
+  }
+
+  /** Detect + parse a TLS record; walks a ClientHello for the SNI
+    * extension. Emits `tls.record` as a single OBJECT — the shape
+    * tshark uses for one record (the pipeline's object-or-array
+    * normalization handles it, P10). */
+  private def decodeTls(d: Array[Byte], o: Int,
+                        layers: scala.collection.mutable.LinkedHashMap[String, Fields]): Boolean = {
+    if (d.length < o + 5) return false
+    val contentType = d(o) & 0xff
+    val vMajor = d(o + 1) & 0xff; val vMinor = d(o + 2) & 0xff
+    if (contentType < 20 || contentType > 23 || vMajor != 3 || vMinor > 4) return false
+    val recVersion = f"0x$vMajor%02x$vMinor%02x"
+    val record = fields("tls.record.version" -> recVersion)
+    if (contentType == 22 && d.length >= o + 9 && (d(o + 5) & 0xff) == 1) {
+      // ClientHello: handshake type(1) len(3) version(2) random(32)
+      var p = o + 9
+      val hsVersion =
+        if (d.length >= p + 2) f"0x${d(p) & 0xff}%02x${d(p + 1) & 0xff}%02x" else null
+      var sni: String = null
+      if (d.length >= p + 35) {
+        p += 34 // version + random
+        val sidLen = d(p) & 0xff; p += 1 + sidLen // session id
+        if (d.length >= p + 2) {
+          val csLen = be16(d, p); p += 2 + csLen // cipher suites
+          if (d.length >= p + 1) {
+            val compLen = d(p) & 0xff; p += 1 + compLen // compression
+            if (d.length >= p + 2) {
+              var extEnd = p + 2 + be16(d, p); p += 2
+              extEnd = math.min(extEnd, d.length)
+              while (p + 4 <= extEnd && sni == null) {
+                val extType = be16(d, p); val extLen = be16(d, p + 2)
+                if (extType == 0 && p + 4 + extLen <= extEnd && extLen >= 5) {
+                  // server_name list: len(2) type(1)=host_name len(2) name
+                  val nameLen = be16(d, p + 7)
+                  if (p + 9 + nameLen <= extEnd)
+                    sni = new String(d, p + 9, nameLen,
+                      java.nio.charset.StandardCharsets.US_ASCII)
+                }
+                p += 4 + extLen
+              }
+            }
+          }
+        }
+      }
+      val hs = fields("tls.handshake.version" -> hsVersion,
+        "tls.handshake.extensions_server_name" -> sni)
+      if (hs.nonEmpty) record += "tls.handshake" -> hs
+    }
+    layers += "tls" -> fields("tls.record" -> record)
+    true
+  }
+}

@@ -16,7 +16,7 @@ class PcapDecodeSpec extends SparkSpec {
     Files.write(Paths.get(dir, "capture_b.pcapng"), Array.fill[Byte](64)(9)) // 1 chunk
     Files.writeString(Paths.get(dir, "notes.txt"), "ignored by glob")
 
-    val packets = PcapDecode.decode(spark, dir)
+    val packets = PcapDecode.decode(spark, dir, decoder = PcapDecode.stubDecoder)
     assert(packets.count() == 4)
     assert(packets.select("source_file").distinct().count() == 2)
 
@@ -27,8 +27,10 @@ class PcapDecodeSpec extends SparkSpec {
     assert(udm(0).getLong(1) == 4) // every decoded packet became an event
 
     // determinism: same bytes → same packets
-    val again = PcapDecode.decode(spark, dir).orderBy("source_file", "raw").collect()
-    val first = PcapDecode.decode(spark, dir).orderBy("source_file", "raw").collect()
+    val again = PcapDecode.decode(spark, dir, decoder = PcapDecode.stubDecoder)
+      .orderBy("source_file", "raw").collect()
+    val first = PcapDecode.decode(spark, dir, decoder = PcapDecode.stubDecoder)
+      .orderBy("source_file", "raw").collect()
     assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
   }
 
