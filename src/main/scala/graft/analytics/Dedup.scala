@@ -30,11 +30,16 @@ object Dedup {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Normalized-text md5 — the exact-dedup grouping key, shared with
+    * [[CorpusOps.corpusSelect]]'s survivor set. */
+  private[analytics] def exactFingerprint: Column =
+    md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+
   /** Exact duplicate groups keyed on normalized-text md5: group size and
     * the surviving (minimum) doc id. */
   def exactDuplicates(documents: DataFrame): DataFrame =
     documents
-      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+      .groupBy(exactFingerprint.as("fingerprint"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("group_size"),
         array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("keep_doc_id")

@@ -843,8 +843,61 @@ object Registry {
           CAST(('0x' || substr(h, 13, 4))::BIGINT % 60000 AS BIGINT) // 10000 + 1 AS n_frames
         FROM m ORDER BY doc_id""")))
 
+  // ---------------- corpus assembly (selection / mixing / budgeting) --
+
+  private val corpusLangs = Seq("de", "en", "fr")
+  private val sampleRates = Seq("en" -> 0.5, "zh" -> 0.25) // others: 1.0
+
+  private val corpus = Seq(
+    // dedup survivors ∩ quality gate ∩ language allowlist — the final
+    // keep set of a corpus build, composed from the already-oracled
+    // fingerprint and quality heuristics
+    QueryDef("corpus_select",
+      (s, d) => CorpusOps.corpusSelect(t(s, d, "documents"),
+        stopwords, corpusLangs),
+      Some {
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
+          q AS (SELECT doc_id, lang, source, len($toksSql) AS n_tokens,
+            round(CAST(len(list_filter($toksSql, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE)
+              / len($toksSql), 4) AS stopword_ratio
+            FROM documents)
+          SELECT doc_id, lang, source, n_tokens FROM q
+          WHERE doc_id IN (SELECT doc_id FROM keep)
+            AND n_tokens >= 10 AND stopword_ratio >= 0.05
+            AND lang IN ${sqlList(corpusLangs).replace("[", "(").replace("]", ")")}
+          ORDER BY doc_id"""
+      }, bench = true),
+
+    // deterministic hash sampling per language (domain mixing): keep iff
+    // u32(md5(salt:doc_id)) < rate * 2^32 — no rand(), engine-portable
+    QueryDef("corpus_stratified_sample",
+      (s, d) => CorpusOps.stratifiedSample(t(s, d, "documents"),
+        sampleRates.toMap, "mix1"),
+      Some {
+        val rateCase = "CASE lang " + sampleRates.map { case (l, r) =>
+          s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 1.0 END"
+        s"""SELECT doc_id, lang, source FROM documents
+          WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < CAST($rateCase * 4294967296 AS BIGINT)
+          ORDER BY doc_id"""
+      }),
+
+    // per-source token budget: running total in doc_id order, cut at B
+    QueryDef("corpus_token_budget",
+      (s, d) => CorpusOps.tokenBudget(t(s, d, "documents"), 800L),
+      Some {
+        s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+            SELECT doc_id, source, len($toksSql) AS n_tokens,
+              CAST(sum(len($toksSql)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM documents)
+          WHERE cum_tokens <= 800 ORDER BY doc_id"""
+      }))
+
   val all: Seq[QueryDef] =
-    relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++ multimodal
+    relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++
+      multimodal ++ corpus
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

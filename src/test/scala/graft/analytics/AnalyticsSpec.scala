@@ -232,6 +232,45 @@ class AnalyticsSpec extends SparkSpec {
       s"range exchange not reused:\n$plan")
   }
 
+  test("corpus ops: selection composes gates; sampling is deterministic; budget cuts in order") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // selection: every kept doc passes all three gates
+    val sel = graft.analytics.CorpusOps.corpusSelect(
+      d, graft.queries.Registry.stopwords, Seq("en", "de"))
+    val kept = sel.collect()
+    assert(kept.nonEmpty && kept.length < d.count())
+    assert(kept.forall(r => Seq("en", "de").contains(r.getString(1))))
+    assert(kept.forall(_.getLong(3) >= 10))
+
+    // sampling: pure function of (doc_id, salt) — rerun identical,
+    // different salt draws a different set, rate 0 empties a stratum
+    val s1 = graft.analytics.CorpusOps.stratifiedSample(d, Map("en" -> 0.5), "a")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = graft.analytics.CorpusOps.stratifiedSample(d, Map("en" -> 0.5), "a")
+      .collect().map(_.getLong(0)).toSeq
+    val s3 = graft.analytics.CorpusOps.stratifiedSample(d, Map("en" -> 0.5), "b")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1 != s3)
+    val zeroEn = graft.analytics.CorpusOps.stratifiedSample(d, Map("en" -> 0.0), "a")
+    assert(zeroEn.filter(col("lang") === "en").count() == 0)
+    assert(zeroEn.filter(col("lang") =!= "en").count() ==
+      d.filter(col("lang") =!= "en").count())
+
+    // budget: prefix property — a kept doc implies every earlier doc of
+    // the same source is kept too (the cut is a per-source prefix)
+    val b = graft.analytics.CorpusOps.tokenBudget(d, 300L).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    val allBySource = d.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(b.nonEmpty)
+    b.foreach { case (src, rows) =>
+      val keptIds = rows.map(_._2).toSet
+      val prefix = allBySource(src).map(_._2).sorted.take(keptIds.size).toSet
+      assert(keptIds == prefix, s"$src kept set is not a doc_id prefix")
+    }
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
