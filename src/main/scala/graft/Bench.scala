@@ -48,7 +48,7 @@ object Bench {
 
     // flagship streaming number: the notifyPipeline AvailableNow drain
     // (notification queue → GET → UDM transform → 3 idempotent sinks),
-    // admission-bounded at 8 messages/batch. File synthesis is setup,
+    // admission-bounded at 16 messages/batch. File synthesis is setup,
     // not measured; the drain is timed end-to-end and also reported as
     // packets/s (SCALE.md's tracked figure).
     val (streamSecs, streamPkts) = {
@@ -74,8 +74,12 @@ object Bench {
           spark, queue, data, out, ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
           maxMessagesPerTrigger = 16).start()
-        q.awaitTermination(600000)
-        ((System.nanoTime() - t0) / 1e9, raw.length)
+        if (q.awaitTermination(600000)) ((System.nanoTime() - t0) / 1e9, raw.length)
+        else { // timed out: a hung drain is a FAILURE, not a 600 s datapoint
+          q.stop()
+          System.err.println("[bench] stream_pipeline timed out")
+          (-1.0, raw.length)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream_pipeline failed: ${e.getMessage}")
         (-1.0, raw.length)

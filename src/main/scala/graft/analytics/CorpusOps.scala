@@ -30,7 +30,7 @@ object CorpusOps {
     val toks = TextAnalysis.tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
-    documents
+    graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), col("lang"), col("source"),
         size(toks).cast(LongType).as("n_tokens"),
         round(nStop.cast("double") / size(toks), 4).as("stopword_ratio"))
@@ -50,18 +50,27 @@ object CorpusOps {
     * runs, and partitionings, and a different salt draws an independent
     * sample. Languages absent from `rates` keep everything (rate 1).
     * Fully narrow — a filter at scan speed. */
+  /** rate → integer keep-threshold on the u32 hash. Computed ONCE in
+    * Scala (floor) and injected as a literal on BOTH the Spark and the
+    * oracle side — a float `rate * 2^32` evaluated independently per
+    * engine diverges on non-dyadic rates (Spark's double→long cast
+    * truncates, DuckDB's CAST rounds to nearest). */
+  def sampleThreshold(rate: Double): Long = {
+    require(rate >= 0 && rate <= 1, s"rate in [0,1]: $rate")
+    math.floor(rate * 4294967296.0).toLong
+  }
+
   def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
                        salt: String): DataFrame = {
-    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates in [0,1]: $rates")
     val u32 = conv(substring(
       md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast(LongType)
-    val rate = rates.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), 0.0)) { case (acc, (l, r)) =>
-        acc.when(col("lang") === l, r)
-      }.otherwise(1.0)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), 0L)) { case (acc, (l, r)) =>
+        acc.when(col("lang") === l, sampleThreshold(r))
+      }.otherwise(sampleThreshold(1.0))
     documents
-      .filter(u32 < (rate * lit(4294967296.0)).cast(LongType))
+      .filter(u32 < threshold)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
@@ -80,7 +89,7 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))

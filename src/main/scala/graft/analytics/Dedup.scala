@@ -194,10 +194,25 @@ object Dedup {
     * (band, key) is a complete candidate generator for `maxDist ≤ 3` —
     * never all-pairs (the 100 TB shape: pair space ÷ ~2^16 per band).
     * Verify: popcount(xor) over both halves ≤ maxDist. */
-  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashNearDupPairsFromFingerprints(simhashFingerprints(documents), maxDist)
+
+  /** Persist the fingerprint table — the [[writeSignatures]] analog for
+    * the SimHash family: fingerprints are one codegen'd pass over the
+    * corpus, but the banded pair join consumes the table TWICE (both
+    * join sides), so at 100 TB fingerprint-once-join-from-parquet halves
+    * the scan+hash work and amortizes it across repeated dedup runs.
+    * Plain parquet (doc_id, simhash_hi, simhash_lo) — the same shape
+    * the `dedup_simhash` query emits; feed the read-back table to
+    * [[simhashNearDupPairsFromFingerprints]]. */
+  def writeSimhashFingerprints(documents: DataFrame, path: String): Unit =
+    simhashFingerprints(documents).write.mode("overwrite").parquet(path)
+
+  /** Banded Hamming pair stage alone, over an existing fingerprint
+    * table (in-plan or read back from [[writeSimhashFingerprints]]). */
+  def simhashNearDupPairsFromFingerprints(fp: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4 x 16-bit bands guarantee full recall only for maxDist in [0,3], got $maxDist")
-    val fp = simhashFingerprints(documents)
     val bandKeys = Seq(
       shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)),
       col("simhash_hi").bitwiseAND(lit(65535L)),

@@ -139,7 +139,8 @@ object Similarity {
     * sample; the centroid table itself is tiny (|cells| rows). */
   def ivfCentroids(embeddings: DataFrame, dimOpt: Option[Int] = None): DataFrame = {
     val dim = dimOpt.getOrElse(embeddingDim(embeddings))
-    embeddings.select(col("label"), asDouble(col("embedding")).as("vec"))
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("label"), asDouble(col("embedding")).as("vec"))
       .groupBy("label").agg(
         count(lit(1)).as("n"),
         array((0 until dim).map(i => sum(element_at(col("vec"), i + 1))): _*).as("sums"))

@@ -140,7 +140,14 @@ object Metrics {
       .drop("_cnt")
     val wLocal = Window.partitionBy(col("_pid"), col(keyCol))
       .orderBy(orderCols.map(col): _*)
-    withPid.join(broadcast(offsets), Seq("_pid", keyCol))
+    // null-safe join on the key: SQL window PARTITION BY groups NULL
+    // keys together, so a plain equi-join (null != null) would silently
+    // drop every null-key row
+    val off = offsets.withColumnRenamed(keyCol, "_k")
+      .withColumnRenamed("_pid", "_opid")
+    withPid.join(broadcast(off),
+        col("_pid") === col("_opid") && col(keyCol) <=> col("_k"))
+      .drop("_opid", "_k")
       .withColumn("_rank", row_number().over(wLocal) + col("_offset"))
       .withColumn("pct_rank",
         when(col("_nk") > 1,

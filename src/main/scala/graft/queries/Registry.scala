@@ -846,7 +846,9 @@ object Registry {
   // ---------------- corpus assembly (selection / mixing / budgeting) --
 
   private val corpusLangs = Seq("de", "en", "fr")
-  private val sampleRates = Seq("en" -> 0.5, "zh" -> 0.25) // others: 1.0
+  // 0.3 is deliberately non-dyadic: it exercises the shared-floor
+  // threshold (an engine-local float rate*2^32 would diverge here)
+  private val sampleRates = Seq("en" -> 0.3, "zh" -> 0.25) // others: 1.0
 
   private val corpus = Seq(
     // dedup survivors ∩ quality gate ∩ language allowlist — the final
@@ -875,11 +877,15 @@ object Registry {
       (s, d) => CorpusOps.stratifiedSample(t(s, d, "documents"),
         sampleRates.toMap, "mix1"),
       Some {
-        val rateCase = "CASE lang " + sampleRates.map { case (l, r) =>
-          s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 1.0 END"
+        // thresholds precomputed by the SAME Scala floor as the Spark
+        // side — an independently-evaluated float rate*2^32 diverges on
+        // non-dyadic rates (truncate vs round-to-nearest)
+        val thrCase = "CASE lang " + sampleRates.map { case (l, r) =>
+          s"WHEN '$l' THEN ${CorpusOps.sampleThreshold(r)}" }.mkString(" ") +
+          s" ELSE ${CorpusOps.sampleThreshold(1.0)} END"
         s"""SELECT doc_id, lang, source FROM documents
           WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-            < CAST($rateCase * 4294967296 AS BIGINT)
+            < $thrCase
           ORDER BY doc_id"""
       }),
 

@@ -191,6 +191,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == composed)
   }
 
+  test("persisted simhash fingerprints band to the same near-dup pairs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_fp").toString
+    Dedup.writeSimhashFingerprints(d, dir)
+    val fromDisk = Dedup.simhashNearDupPairsFromFingerprints(
+        spark.read.parquet(dir), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inPlan = Dedup.simhashNearDupPairs(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inPlan)
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
@@ -207,12 +219,15 @@ class AnalyticsSpec extends SparkSpec {
   test("distributed percent_rank equals the window version; one reused range exchange") {
     import org.apache.spark.sql.expressions.Window
     // adversarial shape: few keys, duplicate order-values (the
-    // tiebreaker column makes the order total), empty + singleton keys
+    // tiebreaker column makes the order total), singleton key, and a
+    // NULL key group (SQL windows rank it; the join must be null-safe)
     val df = spark.range(500).select(
       (col("id") % 3).cast("string").as("k"),
       (col("id") % 17).cast("double").as("v"),
       col("id").as("tid"))
       .union(Seq(("singleton", 99.0, 9999L)).toDF("k", "v", "tid"))
+      .union(Seq((null.asInstanceOf[String], 1.0, 10000L),
+        (null.asInstanceOf[String], 2.0, 10001L)).toDF("k", "v", "tid"))
     val dist = graft.metrics.Metrics.percentRankByKey(df, "k", Seq("v", "tid"))
       .select("k", "tid", "pct_rank")
     val win = df.select(col("k"), col("tid"),
