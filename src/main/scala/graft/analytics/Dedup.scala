@@ -257,6 +257,72 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate-cluster formation — the stage AFTER pair generation:
+    * near-dup candidate pairs form a graph; its connected components
+    * are the duplicate clusters, and `cluster_id = min(doc_id in
+    * component)` names each cluster's keeper (keep-one-per-cluster is
+    * then a filter `doc_id = cluster_id`). Pairs alone under-dedup:
+    * A~B and B~C without A~C still means {A,B,C} is ONE duplicate
+    * group — transitivity needs components, not pairs.
+    *
+    * Algorithm: iterative min-label propagation (each node takes the
+    * min root among itself and its neighbors' roots; Pregel-style).
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (diameter rarely exceeds a handful), and `maxIters` is a
+    * fail-LOUD bound: a non-converged result would silently under-merge,
+    * so we throw instead of returning it. Each round is one equi-join +
+    * one groupBy on doc ids — all shuffles on high-cardinality keys;
+    * the edge list is the LSH candidate set (never O(n²)). The
+    * singleton majority never enters the loop: only docs appearing in
+    * some pair carry labels; everyone else joins back as their own
+    * cluster at the end (at 100 TB the label table is |pairs|-sized,
+    * not corpus-sized). */
+  def duplicateClusters(documents: DataFrame, shingleK: Int, numHashes: Int,
+                        rowsPerBand: Int, maxIters: Int = 25): DataFrame = {
+    val pairs = minhashCandidatePairs(documents, shingleK, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    clustersFromPairs(documents.select("doc_id"), pairs, maxIters)
+  }
+
+  /** Component stage alone, over any near-dup pair table (MinHash,
+    * SimHash, or embedding pairs — they all emit (doc_a, doc_b)). */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
+                        maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id")).cache()
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0) {
+        require(iter < maxIters,
+          s"clustersFromPairs did not converge in $maxIters rounds " +
+            "(pathological chain component?) - refusing to return an " +
+            "under-merged clustering")
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(min("root").as("nroot"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("root").as("old_root"),
+            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+          .cache()
+        changed = next.filter(col("root") =!= col("old_root")).count()
+        val prev = labels
+        labels = next.select("doc_id", "root").cache()
+        next.unpersist()
+        prev.unpersist()
+        iter += 1
+      }
+      // singletons (docs in no pair) are their own cluster
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   /** N-gram (word-set) Jaccard exact-verify stage, fed by the MinHash
     * LSH candidate generator: [[minhashCandidatePairs]] produces the
     * (band-bucketed, never all-pairs) candidate set, texts join back by

@@ -683,6 +683,33 @@ object Registry {
           ORDER BY doc_a, doc_b"""
       }, bench = true),
 
+    // Cluster formation — the stage AFTER pairs: connected components
+    // of the candidate graph (pairs alone under-merge: A~B, B~C means
+    // {A,B,C} is ONE group). Spark side is iterative min-label
+    // propagation; the oracle computes the same components with a
+    // recursive transitive-closure CTE. cluster_id = min doc_id of the
+    // component; singletons are their own cluster.
+    QueryDef("dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4),
+      Some {
+        s"""WITH RECURSIVE $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+          SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN
+            (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+            ON m.src = d.doc_id
+          ORDER BY doc_id"""
+      }),
+
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
     // The oracle mirrors the full pipeline including the band join, so
     // the bucketed (100 TB-shape) path is exactly what gets verified.

@@ -191,6 +191,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == composed)
   }
 
+  test("duplicate clusters: transitive merge, separate components, singletons, fail-loud bound") {
+    import spark.implicits._
+    val docIds = (1L to 10L).toDF("doc_id")
+    // chain 1-2-3-4 (no direct 1~4 pair: transitivity must merge it),
+    // pair {6,7}, singletons 5, 8, 9, 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(docIds, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+    // keep-one-per-cluster = doc_id == cluster_id
+    assert(got.count { case (d, c) => d == c } == 6) // 1, 5, 6, 8, 9, 10
+
+    // a bound too small for the chain throws instead of under-merging
+    intercept[IllegalArgumentException] {
+      Dedup.clustersFromPairs(docIds, pairs, maxIters = 1).collect()
+    }
+  }
+
   test("persisted simhash fingerprints band to the same near-dup pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash_fp").toString
