@@ -210,6 +210,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clusters match a union-find reference on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val n = 20 + trial * 10
+      val nEdges = rng.nextInt(n)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.clustersFromPairs(
+          (0L until n.toLong).toDF("doc_id"),
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("persisted simhash fingerprints band to the same near-dup pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash_fp").toString
