@@ -291,9 +291,17 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("root", col("doc_id")).cache()
     try {
+      // eager localCheckpoint per round: materializes the labels AND
+      // truncates their lineage, so round i's plan starts from round
+      // i−1's stored blocks. A lazy cache would not survive the loop
+      // (each round references `labels` twice, and an unmaterialized
+      // cache replays the ENTIRE prior iteration chain — measured as a
+      // multiplicative blowup), and checkpointed labels carry no
+      // `edges` lineage, so the returned plan is safe to execute after
+      // the finally-unpersist below.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("root", col("doc_id")).localCheckpoint(true)
       var changed = 1L
       var iter = 0
       while (changed > 0) {
@@ -307,12 +315,9 @@ object Dedup {
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("root").as("old_root"),
             least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
-          .cache()
+          .localCheckpoint(true)
         changed = next.filter(col("root") =!= col("old_root")).count()
-        val prev = labels
-        labels = next.select("doc_id", "root").cache()
-        next.unpersist()
-        prev.unpersist()
+        labels = next.select("doc_id", "root")
         iter += 1
       }
       // singletons (docs in no pair) are their own cluster

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -16,7 +16,7 @@ class PcapPropertySpec extends AnyFunSuite {
       .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
       .take(n).toSeq
 
-  private def header(nPackets: Int, payloads: Seq[Array[Byte]]): Array[Byte] = {
+  private def header(payloads: Seq[Array[Byte]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(
       24 + payloads.map(16 + _.length).sum)
     bb.putInt(0xa1b2c3d4); bb.putShort(2); bb.putShort(4)
@@ -43,7 +43,7 @@ class PcapPropertySpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
     val fileGen = Gen.chooseNum(0, 5).flatMap(k => Gen.listOfN(k, payloadGen))
     samples(fileGen, 200).foreach { payloads =>
-      val out = PcapParser.decodeFile(header(payloads.length, payloads))
+      val out = PcapParser.decodeFile(header(payloads))
       assert(out.length == payloads.length)
       out.foreach { j =>
         val node = mapper.readTree(j) // must parse
@@ -68,7 +68,7 @@ class PcapPropertySpec extends AnyFunSuite {
       eth ++ (firstByte.toByte +: body.toArray)
     }
     samples(l3Gen, 500).foreach { pkt =>
-      val out = PcapParser.decodeFile(header(1, Seq(pkt)))
+      val out = PcapParser.decodeFile(header(Seq(pkt)))
       assert(out.length == 1)
     }
   }
