@@ -56,9 +56,7 @@ object Bench {
       val nFiles = 32
       val perFile = 1000
       val base = Files.createTempDirectory("graft_bench_stream")
-      val (queue, data, out, ckpt) =
-        (s"$base/q", s"$base/data", s"$base/out", s"$base/ckpt")
-      Files.createDirectories(Paths.get(queue))
+      val data = s"$base/data"
       Files.createDirectories(Paths.get(data))
       val raw = graft.udm.SynthPackets.fromEvents(
           Registry.table(spark, sfDir, "events").limit(nFiles * perFile))
@@ -66,24 +64,36 @@ object Bench {
       raw.grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
         Files.writeString(Paths.get(data, f"cap_$i%03d.json"),
           chunk.mkString("[", ",", "]"))
-        Files.writeString(Paths.get(queue, f"msg_$i%03d"), f"cap_$i%03d.json")
       }
-      val t0 = System.nanoTime()
-      try {
-        val q = graft.streaming.StreamingPipeline.notifyPipeline(
-          spark, queue, data, out, ckpt,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-          maxMessagesPerTrigger = 16).start()
-        if (q.awaitTermination(600000)) ((System.nanoTime() - t0) / 1e9, raw.length)
-        else { // timed out: a hung drain is a FAILURE, not a 600 s datapoint
-          q.stop()
-          System.err.println("[bench] stream_pipeline timed out")
-          (-1.0, raw.length)
+      // best-of-2 like every other bench entry (fresh queue/out/ckpt per
+      // attempt — a drain is stateful, so reruns need clean dirs)
+      def drainOnce(attempt: Int): Double = {
+        val (queue, out, ckpt) =
+          (s"$base/q$attempt", s"$base/out$attempt", s"$base/ckpt$attempt")
+        Files.createDirectories(Paths.get(queue))
+        raw.grouped(perFile).zipWithIndex.foreach { case (_, i) =>
+          Files.writeString(Paths.get(queue, f"msg_$i%03d"), f"cap_$i%03d.json")
         }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stream_pipeline failed: ${e.getMessage}")
-        (-1.0, raw.length)
+        val t0 = System.nanoTime()
+        try {
+          val q = graft.streaming.StreamingPipeline.notifyPipeline(
+            spark, queue, data, out, ckpt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            maxMessagesPerTrigger = 16).start()
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else { // timed out: a hung drain is a FAILURE, not a 600 s datapoint
+            q.stop()
+            System.err.println("[bench] stream_pipeline timed out")
+            -1.0
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stream_pipeline failed: ${e.getMessage}")
+          -1.0
+        }
       }
+      val a = drainOnce(0)
+      val best = if (a < 0) a else { val b = drainOnce(1); if (b < 0) a else math.min(a, b) }
+      (best, raw.length)
     }
 
     val all = results :+ ("stream_pipeline" -> streamSecs)
