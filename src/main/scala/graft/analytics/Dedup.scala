@@ -103,12 +103,11 @@ object Dedup {
     candidatePairsFromSignatures(
       minhashSignatures(documents, k, numHashes), numHashes, rowsPerBand)
 
-  /** Banding stage alone, over an existing signature table — computed
-    * in-plan by [[minhashSignatures]] or read back from a
-    * [[writeSignatures]] parquet (signatures computed ONCE per corpus,
-    * banded many times). */
-  def candidatePairsFromSignatures(sig: DataFrame, numHashes: Int,
-                                   rowsPerBand: Int): DataFrame = {
+  /** LSH band table of a signature table: one (doc_id, bk=(band, key))
+    * row per band, null-key (shingle-less) rows dropped — the shared
+    * banding stage of [[candidatePairsFromSignatures]] and
+    * [[admitNewDocuments]]. */
+  def bandTable(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -117,12 +116,21 @@ object Dedup {
       val joined = slots.tail.foldLeft(slots.head)((acc, s) => concat(acc, lit("|"), s))
       struct(lit(b).as("band"), md5(joined).as("key")).as(s"band$b")
     }
-    val banded = sig.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
+    sig.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
       explode(array(bandCols: _*)).as("bk"): _*)
       // drop null band keys: struct equality treats null fields as equal,
       // so shingle-less docs would otherwise all pair with each other
       // (and an m-doc null bucket is an O(m²) join blowup)
       .filter(col("bk.key").isNotNull)
+  }
+
+  /** Banding stage alone, over an existing signature table — computed
+    * in-plan by [[minhashSignatures]] or read back from a
+    * [[writeSignatures]] parquet (signatures computed ONCE per corpus,
+    * banded many times). */
+  def candidatePairsFromSignatures(sig: DataFrame, numHashes: Int,
+                                   rowsPerBand: Int): DataFrame = {
+    val banded = bandTable(sig, numHashes, rowsPerBand)
     val left = banded.select(col("doc_id").as("doc_a"), col("bk").as("bk_a"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_a"))
     val right = banded.select(col("doc_id").as("doc_b"), col("bk").as("bk_b"),
@@ -133,6 +141,32 @@ object Dedup {
           x => x)).cast("double") / numHashes).as("sig_agreement"))
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental corpus admission — the continuous-corpus-update path:
+    * an incoming document batch is near-dup-checked against the
+    * EXISTING corpus without recomputing anything over it. The corpus
+    * side is its signature table ([[writeSignatures]] — computed once,
+    * reused every admission round); incoming docs are signed (one
+    * narrow codegen'd pass) and banded, a semi-join on (band, key)
+    * marks collisions, and an anti-join on doc_id admits the rest.
+    * Both joins are equi-joins on bounded keys — never all-pairs, and
+    * the existing corpus is never re-scanned. Band-level collision =
+    * rejection (the conservative admission policy: a candidate is
+    * treated as a duplicate; chain an exact-Jaccard verify off
+    * [[jaccardPairs]]'s shape if precision matters more than recall).
+    * Shingle-less incoming docs have null band keys, match nothing,
+    * and are admitted. */
+  def admitNewDocuments(incoming: DataFrame, corpusSignatures: DataFrame,
+                        k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val corpusBands = bandTable(corpusSignatures, numHashes, rowsPerBand)
+      .select("bk")
+    val incomingBands = bandTable(
+      minhashSignatures(incoming, k, numHashes), numHashes, rowsPerBand)
+    val dupIds = incomingBands.join(corpusBands, Seq("bk"), "left_semi")
+      .select("doc_id")
+    incoming.join(dupIds, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** SimHash: 64-bit fingerprint — per token, md5-derived 64 bits vote

@@ -587,18 +587,23 @@ object Registry {
     * 8 hashes, 2 bands of 4): words → shingles → signature slots →
     * banded keys. Used by dedup_minhash_pairs and the jaccard verifier
     * it feeds. */
-  private def minhashBandsCtes: String = {
+  private def minhashBandsCtes: String = minhashBandsCtesFor("", "")
+
+  /** Parameterized variant: `where` restricts the document subset,
+    * `p` prefixes every CTE name so two instantiations (e.g. corpus
+    * vs incoming) can coexist in one WITH clause. */
+  private def minhashBandsCtesFor(where: String, p: String): String = {
     val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j").mkString(", ")
     val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
     val bandKeys = (0 until 2).map { b =>
       val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
-      s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM sig"
+      s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM ${p}sig"
     }.mkString(" UNION ALL ")
-    s"""words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-      sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words),
-      sigs AS (SELECT doc_id, $hs FROM sh),
-      sig AS (SELECT doc_id, $sigList AS sig FROM sigs),
-      bands AS ($bandKeys)"""
+    s"""${p}words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents $where),
+      ${p}sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM ${p}words),
+      ${p}sigs AS (SELECT doc_id, $hs FROM ${p}sh),
+      ${p}sig AS (SELECT doc_id, $sigList AS sig FROM ${p}sigs),
+      ${p}bands AS ($bandKeys)"""
   }
 
   /** SRP-LSH bucket mirror (over a `vec` DOUBLE list column): plane p's
@@ -682,6 +687,31 @@ object Registry {
           WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
           ORDER BY doc_a, doc_b"""
       }, bench = true),
+
+    // Incremental corpus admission — dedup an incoming batch against
+    // the EXISTING corpus via its signature bands (computed once,
+    // writeSignatures-persistable), without re-scanning the corpus:
+    // semi-join marks band collisions, anti-join admits the rest.
+    // Even doc_ids play the corpus, odd ones the incoming batch.
+    QueryDef("corpus_admit_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpusSig = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 2 === 0), 3, 8)
+        Dedup.admitNewDocuments(docs.filter(col("doc_id") % 2 === 1),
+            corpusSig, 3, 8, 4)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH ${minhashBandsCtesFor("WHERE doc_id % 2 = 0", "c")},
+          ${minhashBandsCtesFor("WHERE doc_id % 2 = 1", "n")},
+          dup AS (SELECT DISTINCT n.doc_id FROM nbands n JOIN cbands c
+            ON n.band = c.band AND n.key = c.key)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+          ORDER BY doc_id"""
+      }),
 
     // Cluster formation — the stage AFTER pairs: connected components
     // of the candidate graph (pairs alone under-merge: A~B, B~C means

@@ -210,6 +210,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("incremental admission rejects corpus near-dups, admits novel and shingle-less docs") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different corpus content about spark engines")
+    val incoming = docs(
+      10L -> "the quick brown fox jumps over the lazy dog today", // exact dup
+      11L -> "an entirely novel document with unique words nobody wrote",
+      12L -> "hi") // < k words: no shingles, no bands -> admitted
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    Dedup.writeSignatures(corpus, dir, 3, 8)
+    val admitted = Dedup.admitNewDocuments(incoming,
+        spark.read.parquet(dir), 3, 8, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(11L, 12L))
+  }
+
   test("clusters match a union-find reference on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
