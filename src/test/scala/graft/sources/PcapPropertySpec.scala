@@ -72,4 +72,44 @@ class PcapPropertySpec extends AnyFunSuite {
       assert(out.length == 1)
     }
   }
+
+  test("DNS and TLS deep parsers survive random payloads on their ports") {
+    // valid Ethernet+IPv4+UDP:53 / TCP:443 framing so parsing descends
+    // into the pointer-chasing DNS decompressor and the TLS SNI walk,
+    // with fully random (and 0x16/0xc0-biased) payload bytes
+    def ipv4Udp53(payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(14 + 20 + 8 + payload.length)
+      bb.put(new Array[Byte](12)); bb.putShort(0x0800.toShort) // eth
+      bb.put(0x45.toByte); bb.put(0.toByte)
+      bb.putShort((20 + 8 + payload.length).toShort); bb.putInt(0)
+      bb.put(64.toByte); bb.put(17.toByte); bb.putShort(0) // ttl, UDP
+      bb.putInt(0x0a000001); bb.putInt(0x0a000002)
+      bb.putShort(33000.toShort); bb.putShort(53); bb.putShort(0); bb.putShort(0)
+      bb.put(payload); bb.array()
+    }
+    def ipv4Tcp443(payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(14 + 20 + 20 + payload.length)
+      bb.put(new Array[Byte](12)); bb.putShort(0x0800.toShort)
+      bb.put(0x45.toByte); bb.put(0.toByte)
+      bb.putShort((20 + 20 + payload.length).toShort); bb.putInt(0)
+      bb.put(64.toByte); bb.put(6.toByte); bb.putShort(0) // ttl, TCP
+      bb.putInt(0x0a000001); bb.putInt(0x0a000002)
+      bb.putShort(49000.toShort); bb.putShort(443)
+      bb.putInt(1); bb.putInt(2); bb.put(0x50.toByte); bb.put(0x18.toByte)
+      bb.putShort(8192.toShort); bb.putShort(0); bb.putShort(0)
+      bb.put(payload); bb.array()
+    }
+    // bias bytes toward DNS pointer markers (0xc0) and TLS handshake
+    // prefixes (0x16 0x03) so the deep branches actually execute
+    val byteGen = Gen.frequency(
+      6 -> Gen.chooseNum(-128, 127).map(_.toByte),
+      1 -> Gen.const(0xc0.toByte), 1 -> Gen.const(0x16.toByte),
+      1 -> Gen.const(0x03.toByte), 1 -> Gen.const(0x00.toByte))
+    val payloadGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, byteGen).map(_.toArray))
+    samples(payloadGen, 400).foreach { p =>
+      assert(PcapParser.decodeFile(header(Seq(ipv4Udp53(p)))).length == 1)
+      assert(PcapParser.decodeFile(header(Seq(ipv4Tcp443(p)))).length == 1)
+    }
+  }
 }
