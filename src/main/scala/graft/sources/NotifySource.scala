@@ -42,13 +42,17 @@ class NotifySource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NotifySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new NotifyTable(properties.get("path"),
-      Option(properties.get("ack")).getOrElse("off"),
-      Option(properties.get("archiveDir")),
-      Option(properties.get("maxMessagesPerTrigger")).map(_.toInt),
+                        properties: java.util.Map[String, String]): Table = {
+    // DSv2 options are conventionally case-insensitive; a user writing
+    // .option("maxmessagespertrigger", …) must not silently run unbounded
+    val opts = new CaseInsensitiveStringMap(properties)
+    new NotifyTable(opts.get("path"),
+      Option(opts.get("ack")).getOrElse("off"),
+      Option(opts.get("archiveDir")),
+      Option(opts.get("maxMessagesPerTrigger")).map(_.toInt),
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
 }
 
 object NotifySource {
@@ -56,6 +60,12 @@ object NotifySource {
     StructField("message_id", StringType, nullable = false),
     StructField("payload", StringType, nullable = false),
     StructField("publish_ms", LongType, nullable = false)))
+
+  /** Test probe: total queue-directory `listStatus` calls across all
+    * graft-notify streams. The listing contract — at most ONE full
+    * listing per micro-batch regardless of backlog size — is
+    * spec-asserted against this counter. */
+  private[graft] val listings = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class NotifyTable(path: String, ack: String, archiveDir: Option[String],
@@ -65,6 +75,8 @@ class NotifyTable(path: String, ack: String, archiveDir: Option[String],
   require(path != null, "graft-notify requires a queue directory: .load(dir)")
   require(maxMessagesPerTrigger.forall(_ > 0),
     s"maxMessagesPerTrigger must be positive: ${maxMessagesPerTrigger.get}")
+  require(Set("off", "delete", "archive")(ack),
+    s"ack=$ack (expected delete|archive|off)") // fail at plan time, not first commit
   override def name(): String = s"graft-notify:$path"
   override def schema(): StructType = NotifySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -98,11 +110,26 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
   private def fs = new Path(path).getFileSystem(conf.value)
 
   private def listSorted(): Seq[FileStatus] = {
+    NotifySource.listings.incrementAndGet()
     val dir = new Path(path)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).filter(_.isFile)
       .sortBy(f => (f.getModificationTime, f.getPath.getName)).toSeq
   }
+
+  /** One listing per trigger (r3 verdict #1): `latestOffset` performs the
+    * trigger's single full `listStatus` and caches the snapshot here;
+    * `planInputPartitions` and `reportLatestOffset` reuse it instead of
+    * re-listing, and `commit` acks the *known* planned names (below) —
+    * so a 10M-message backlog costs ONE O(queue) listing per bounded
+    * micro-batch, not three. The only re-list is restart recovery, where
+    * Spark replans/commits a batch before any `latestOffset` call. */
+  @volatile private var listingSnapshot: Seq[FileStatus] = null
+
+  /** Admitted-but-unacked message files keyed by (mtime, name), recorded
+    * at plan time. `commit(end)` acks exactly the range at-or-below the
+    * watermark — range-based cleanup on known names, no re-list. */
+  private val unacked = scala.collection.mutable.TreeMap.empty[(Long, String), Path]
 
   private def after(f: FileStatus, o: NotifyOffset): Boolean = {
     val k = (f.getModificationTime, f.getPath.getName)
@@ -139,7 +166,14 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
       while (System.currentTimeMillis() <= newest &&
              System.currentTimeMillis() < deadline) Thread.sleep(1)
     }
-    val cap = scanLatest()
+    // derive the cap from the listing already taken (no second listStatus):
+    // the bounded wait above moved the clock past every listed mtime, so
+    // the cutoff filter below only excludes future-dated (skewed) files
+    val cutoff = System.currentTimeMillis()
+    val eligible = files.filter(_.getModificationTime < cutoff)
+    val cap =
+      if (eligible.isEmpty) NotifyOffset(Long.MinValue, "")
+      else NotifyOffset(eligible.last.getModificationTime, eligible.last.getPath.getName)
     // clock skew / future-dated mtimes beyond the bounded wait: the
     // frozen cap would silently exclude already-present messages from
     // this drain — make that observable (ADVICE r2)
@@ -180,11 +214,13 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     * one unbounded batch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[NotifyOffset]
+    val all = listSorted() // the trigger's ONE listing
+    listingSnapshot = all
     val visible = availableNowCap match {
-      case Some(cap) => listSorted().filter(f => !after(f, cap))
+      case Some(cap) => all.filter(f => !after(f, cap))
       case None =>
         val cutoff = System.currentTimeMillis()
-        listSorted().filter(_.getModificationTime < cutoff)
+        all.filter(_.getModificationTime < cutoff)
     }
     val pending = visible.filter(f => after(f, s))
     val admitted = maxRowsOf(limit) match {
@@ -194,7 +230,15 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     if (admitted.isEmpty) s
     else NotifyOffset(admitted.last.getModificationTime, admitted.last.getPath.getName)
   }
-  override def reportLatestOffset(): Offset = scanLatest()
+
+  /** Advisory (backlog metrics only): latest message in this trigger's
+    * snapshot — never an extra listing in steady state. */
+  override def reportLatestOffset(): Offset = {
+    val snap = listingSnapshot
+    if (snap == null) scanLatest()
+    else if (snap.isEmpty) NotifyOffset(Long.MinValue, "")
+    else NotifyOffset(snap.last.getModificationTime, snap.last.getPath.getName)
+  }
 
   override def initialOffset(): Offset = NotifyOffset(Long.MinValue, "")
 
@@ -215,8 +259,17 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NotifyOffset]
     val e = end.asInstanceOf[NotifyOffset]
-    listSorted()
+    // `end` was chosen from this trigger's snapshot, so the snapshot
+    // contains every file in (start, end] — reuse it. A null snapshot
+    // means restart recovery (Spark replans the in-flight batch before
+    // calling latestOffset): list once there.
+    val snap = listingSnapshot
+    val files = (if (snap != null) snap else listSorted())
       .filter(f => after(f, s) && !after(f, e))
+    if (ack != "off") unacked.synchronized {
+      files.foreach(f => unacked((f.getModificationTime, f.getPath.getName)) = f.getPath)
+    }
+    files
       .map(f => NotifyPartition(f.getPath.toString, f.getPath.getName,
         f.getModificationTime, conf): InputPartition)
       .toArray
@@ -229,18 +282,30 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     }
 
   /** Ack: the offset's message set is processed-and-committed — apply
-    * the cleanup policy to every message at-or-before the watermark
-    * (K5 analog; Pub/Sub ack). */
+    * the cleanup policy to the batch's *known* admitted names (recorded
+    * at plan time) at-or-before the watermark (K5 analog; Pub/Sub ack).
+    * Range-based: no re-listing of the queue. The one exception is
+    * restart recovery of a completed-but-unacked batch (commit log
+    * behind the offset log): the batch was planned in a previous
+    * incarnation, so fall back to a single listing there. */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[NotifyOffset]
     if (ack == "off") return
-    val acked = listSorted().filter(f => !after(f, e))
+    val planned = unacked.synchronized {
+      val range = unacked.rangeTo((e.ms, e.name)).toSeq
+      range.foreach { case (k, _) => unacked.remove(k) }
+      range.map { case ((_, name), p) => (name, p) }
+    }
+    val acked =
+      if (planned.nonEmpty) planned
+      else listSorted().filter(f => !after(f, e))
+        .map(f => (f.getPath.getName, f.getPath))
     ack match {
-      case "delete" => acked.foreach(f => fs.delete(f.getPath, false))
+      case "delete" => acked.foreach { case (_, p) => fs.delete(p, false) }
       case "archive" =>
         val dir = new Path(archiveDir.getOrElse(s"$path/_acked"))
         fs.mkdirs(dir)
-        acked.foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        acked.foreach { case (name, p) => fs.rename(p, new Path(dir, name)) }
       case other => throw new IllegalArgumentException(s"ack=$other (delete|archive|off)")
     }
   }

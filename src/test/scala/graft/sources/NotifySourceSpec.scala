@@ -131,6 +131,82 @@ class NotifySourceSpec extends SparkSpec {
     assert(delivered == Seq("first"), s"backdated file redelivered: $delivered")
   }
 
+  test("one queue listing per micro-batch (plan/commit/report reuse the trigger's snapshot)") {
+    val q = Files.createTempDirectory("graft_lq").toString
+    val ckpt = Files.createTempDirectory("graft_lckpt").toString
+    val n = 300
+    (0 until n).foreach(i => msg(q, f"m$i%04d", s"p_$i", 7000000L + i))
+
+    var dataBatches = 0
+    NotifySource.listings.set(0)
+    val qq = spark.readStream.format("graft-notify")
+      .option("maxMessagesPerTrigger", 100).option("ack", "delete").load(q)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) dataBatches += 1; ()
+      }.start()
+    qq.awaitTermination(120000)
+    val listings = NotifySource.listings.get()
+
+    assert(dataBatches == 3, s"300 msgs at limit 100 -> 3 data batches, got $dataBatches")
+    // budget: 1 (AvailableNow prepare) + 1 per latestOffset call (one per
+    // trigger incl. the final empty confirm) + slack 1. The old
+    // list-in-plan+commit+report shape costs >= 3 per batch and fails this.
+    assert(listings <= dataBatches + 3,
+      s"$listings listings for $dataBatches data batches - listing is not O(1)/trigger")
+  }
+
+  test("ack=archive: acked messages move to the archive dir and are never re-admitted") {
+    val q = Files.createTempDirectory("graft_aq").toString
+    val ckpt = Files.createTempDirectory("graft_ackpt").toString
+    val out = Files.createTempDirectory("graft_aout").toString
+    msg(q, "m1", "one", 8000000L)
+    msg(q, "m2", "two", 8000001L)
+
+    def runOnce(): Unit = {
+      val qq = spark.readStream.format("graft-notify")
+        .option("ack", "archive").load(q) // default archiveDir = $q/_acked
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) b.write.mode("overwrite").json(s"$out/batch_id=$id"); ()
+        }.start()
+      qq.awaitTermination(120000)
+    }
+    runOnce() // delivers m1,m2; ack is lazy (fires when the next batch commits)
+    msg(q, "m3", "three", 8000002L)
+    runOnce() // delivers m3; commits run 1 -> archives m1,m2
+    msg(q, "m4", "four", 8000003L)
+    // _acked lives INSIDE the queue path: archived m1..m3 must not re-admit
+    runOnce() // delivers m4 only; archives m3
+    val delivered = spark.read.json(s"$out/*").select("message_id").collect()
+      .map(_.getAs[String]("message_id")).sorted.toSeq
+    assert(delivered == Seq("m1", "m2", "m3", "m4"), s"redelivery after archive: $delivered")
+    assert(Files.exists(Paths.get(q, "_acked", "m1")) &&
+           Files.exists(Paths.get(q, "_acked", "m2")) &&
+           Files.exists(Paths.get(q, "_acked", "m3")),
+      "acked messages archived to the default $queue/_acked dir")
+    assert(!Files.exists(Paths.get(q, "m1")) && !Files.exists(Paths.get(q, "m2")))
+  }
+
+  test("option keys are case-insensitive (maxmessagespertrigger still bounds batches)") {
+    val q = Files.createTempDirectory("graft_ciq").toString
+    val ckpt = Files.createTempDirectory("graft_cickpt").toString
+    (0 until 6).foreach(i => msg(q, s"m$i", s"p$i", 9000000L + i))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qq = spark.readStream.format("graft-notify")
+      .option("maxmessagespertrigger", 2).load(q)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }; ()
+      }.start()
+    qq.awaitTermination(120000)
+    assert(batchSizes.sum == 6 && batchSizes.forall(_ <= 2),
+      s"lower-cased option ignored - batches: $batchSizes")
+  }
+
   private val goodPacket =
     """{"_source": {"layers": {
       |"frame": {"frame.number": "1", "frame.time_utc": "Sep  5, 2025 12:34:56.123456000 UTC", "frame.protocols": "eth:ethertype:ip:tcp"},
