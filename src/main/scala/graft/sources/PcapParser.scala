@@ -5,8 +5,11 @@ import com.fasterxml.jackson.core.JsonFactory
 /** Native libpcap decoder — S5 without the external tshark dependency.
   *
   * Parses the classic pcap capture format (public spec; magic
-  * 0xa1b2c3d4/0xa1b23c4d in either byte order) and decodes the protocol
-  * stack the UDM transform consumes — Ethernet (+1 VLAN tag), IPv4,
+  * 0xa1b2c3d4/0xa1b23c4d in either byte order) AND pcapng (SHB/IDB/EPB
+  * block structure, either byte order, per-interface `if_tsresol` —
+  * the format tshark itself writes, and the reference's own file glob
+  * admits: `capture_*.pcap*`, sniffer_entrypoint.sh:165), and decodes
+  * the protocol stack the UDM transform consumes — Ethernet (+1 VLAN tag), IPv4,
   * IPv6 (+ common extension headers), TCP, UDP, ICMP/ICMPv6, ARP, and
   * the payload protocols the reference's classifier keys on: DNS
   * (queries + answers with name decompression), HTTP (request line,
@@ -61,15 +64,18 @@ object PcapParser {
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
   def decodeFile(bytes: Array[Byte], path: String = "<bytes>"): Seq[String] = {
-    require(bytes.length >= 24, s"pcap too short for global header: $path")
+    require(bytes.length >= 12, s"capture too short for any header: $path")
     val magicBE = be32(bytes, 0)
+    if (magicBE == 0x0a0d0d0aL) return decodePcapng(bytes, path)
+    require(bytes.length >= 24, s"pcap too short for global header: $path")
     val (little, nanos) = magicBE match {
       case 0xa1b2c3d4L => (false, false)
       case 0xd4c3b2a1L => (true, false)
       case 0xa1b23c4dL => (false, true)
       case 0x4d3cb2a1L => (true, true)
       case other => throw new IllegalArgumentException(
-        f"not a pcap file (magic 0x$other%08x): $path")
+        f"not a pcap or pcapng capture (magic 0x$other%08x; expected classic " +
+          f"pcap 0xa1b2c3d4/0xa1b23c4d either byte order, or pcapng SHB 0x0a0d0d0a): $path")
     }
     val r = new Reader(bytes, 4, little)
     r.u16(); r.u16(); r.u32(); r.u32(); r.u32() // version, thiszone, sigfigs, snaplen
@@ -92,6 +98,107 @@ object PcapParser {
       r.pos += inclLen
       n += 1
       out += decodePacket(n, tsSec, if (nanos) tsFrac else tsFrac * 1000L, data)
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------- pcapng
+
+  /** pcapng (the format tshark writes by default; public spec,
+    * draft-ietf-opsawg-pcapng). Block walk: Section Header (0x0a0d0d0a,
+    * sets byte order + resets the interface list), Interface Description
+    * (0x00000001, link type + `if_tsresol` option), Enhanced Packet
+    * (0x00000006, 64-bit timestamp in the interface's resolution) —
+    * routed into the same [[decodePacket]] as classic pcap. Name
+    * Resolution (0x4) and Interface Statistics (0x5) blocks carry no
+    * packet data and are skipped (tshark appends an ISB to every
+    * capture); any OTHER block type throws — per the fail-loud policy a
+    * block we cannot prove packet-free must not be silently dropped. */
+  private def decodePcapng(b: Array[Byte], path: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var little = false
+    def u16(o: Int): Int =
+      if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) else be16(b, o)
+    def u32(o: Int): Long =
+      if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else be32(b, o)
+
+    // per-interface timestamp resolution for the current section:
+    // (exponent, isPowerOfTwo) — if_tsresol MSB set means 2^-exp, clear
+    // means 10^-exp; absent means the default 10^-6 (microseconds)
+    var ifaces = Vector.empty[(Int, Boolean)]
+    var pos = 0
+    var n = 0
+    while (pos < b.length) {
+      require(b.length - pos >= 12, s"truncated pcapng block header at offset $pos: $path")
+      if (be32(b, pos) == 0x0a0d0d0aL) { // SHB type is endian-palindromic
+        val bom = be32(b, pos + 8)
+        little = bom match {
+          case 0x1a2b3c4dL => false
+          case 0x4d3c2b1aL => true
+          case other => throw new IllegalArgumentException(
+            f"bad pcapng byte-order magic 0x$other%08x at offset $pos: $path")
+        }
+        ifaces = Vector.empty // a new section defines its own interfaces
+      }
+      val totalLen = u32(pos + 4).toInt
+      require(totalLen >= 12 && totalLen % 4 == 0 && totalLen <= b.length - pos,
+        s"bad pcapng block length $totalLen at offset $pos: $path")
+      require(u32(pos + totalLen - 4).toInt == totalLen,
+        s"pcapng block trailer length mismatch at offset $pos: $path")
+      u32(pos).toInt match {
+        case 0x0a0d0d0a => () // SHB: handled above; section length ignored
+        case 1 => // IDB
+          require(totalLen >= 20, s"short pcapng IDB at offset $pos: $path")
+          val link = u16(pos + 8)
+          require(link == 1,
+            s"unsupported pcapng link type $link (only Ethernet/EN10MB): $path")
+          var resol = 6; var pow2 = false
+          var op = pos + 16 // options follow linktype/reserved/snaplen
+          val end = pos + totalLen - 4
+          var done = false
+          while (!done && op + 4 <= end) {
+            val code = u16(op); val len = u16(op + 2)
+            if (code == 0) done = true
+            else {
+              if (code == 9 && len >= 1 && op + 4 < end) { // if_tsresol
+                val v = b(op + 4) & 0xff
+                pow2 = (v & 0x80) != 0; resol = v & 0x7f
+              }
+              op += 4 + ((len + 3) & ~3) // option values pad to 32 bits
+            }
+          }
+          require(if (pow2) resol <= 30 else resol <= 9,
+            s"unsupported pcapng if_tsresol ${if (pow2) "2^-" else "10^-"}$resol: $path")
+          ifaces :+= (resol, pow2)
+        case 6 => // EPB
+          require(totalLen >= 32, s"short pcapng EPB at offset $pos: $path")
+          val ifId = u32(pos + 8).toInt
+          require(ifId >= 0 && ifId < ifaces.length,
+            s"pcapng EPB references undefined interface $ifId at offset $pos: $path")
+          val ts = (u32(pos + 12) << 32) | u32(pos + 16)
+          val capLen = u32(pos + 20).toInt
+          require(capLen >= 0 && capLen <= totalLen - 32,
+            s"pcapng EPB captured length $capLen exceeds block at offset $pos: $path")
+          val data = java.util.Arrays.copyOfRange(b, pos + 28, pos + 28 + capLen)
+          val (resol, pow2) = ifaces(ifId)
+          val (sec, nanos) =
+            if (pow2) {
+              val div = 1L << resol
+              (ts / div, (ts % div) * 1000000000L / div)
+            } else {
+              var div = 1L; var i = 0
+              while (i < resol) { div *= 10; i += 1 }
+              (ts / div, (ts % div) * (1000000000L / div))
+            }
+          n += 1
+          out += decodePacket(n, sec, nanos, data)
+        case 4 | 5 => () // NRB / ISB: metadata only, no packet data
+        case other => throw new IllegalArgumentException(
+          f"unsupported pcapng block type 0x$other%08x at offset $pos: $path")
+      }
+      pos += totalLen
     }
     out.result()
   }
@@ -333,20 +440,29 @@ object PcapParser {
   }
 
   /** Parse a DNS message at `o`; adds a `dns` layer and returns true
-    * when the header + first question parse cleanly. */
+    * when the header + the walked questions parse cleanly.
+    *
+    * Large messages: the walk is CAPPED (first 16 questions, first 64
+    * answers) rather than the message rejected — a valid jumbo message
+    * still classifies as DNS with its leading records extracted (tshark
+    * parses them all; the divergence is only in fields beyond the cap,
+    * documented here). When the QUESTION count exceeds the cap the
+    * answer section cannot be located (answers start after the last
+    * question), so answers are omitted for that — vanishingly rare —
+    * shape. Malformed names still reject the whole message. */
   private def decodeDns(d: Array[Byte], o: Int,
                         layers: scala.collection.mutable.LinkedHashMap[String, Fields]): Boolean = {
     if (d.length < o + 12) return false
     val flags = be16(d, o + 2)
     val qd = be16(d, o + 4); val an = be16(d, o + 6)
     if (qd == 0 && an == 0) return false
-    if (qd > 16 || an > 64) return false // implausible for a real message
     val isResponse = (flags >> 15) & 1
 
     val queries = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
     var p = o + 12
     var i = 0
-    while (i < qd) {
+    val qdWalk = math.min(qd, 16)
+    while (i < qdWalk) {
       val nm = dnsName(d, p, o)
       if (nm == null || d.length < nm._2 + 4) return false
       val qtype = be16(d, nm._2); val qclass = be16(d, nm._2 + 2)
@@ -359,8 +475,9 @@ object PcapParser {
     }
     val answers = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
     i = 0
-    var ok = true
-    while (i < an && ok) {
+    var ok = qd <= 16 // unwalked questions -> answer offset unknown
+    val anWalk = math.min(an, 64)
+    while (i < anWalk && ok) {
       val nm = dnsName(d, p, o)
       if (nm == null || d.length < nm._2 + 10) ok = false
       else {
@@ -386,6 +503,12 @@ object PcapParser {
   private val httpMethods =
     Seq("GET ", "POST ", "PUT ", "DELETE ", "HEAD ", "OPTIONS ", "PATCH ")
 
+  // compiled once — header extraction runs per HTTP packet in the scan loop
+  private val hostPattern =
+    java.util.regex.Pattern.compile("(?mi)^Host:\\s*(.*?)\\s*$")
+  private val userAgentPattern =
+    java.util.regex.Pattern.compile("(?mi)^User-Agent:\\s*(.*?)\\s*$")
+
   /** Detect + parse an HTTP/1.x request or response head. */
   private def decodeHttp(d: Array[Byte], o: Int,
                          layers: scala.collection.mutable.LinkedHashMap[String, Fields]): Boolean = {
@@ -395,22 +518,20 @@ object PcapParser {
     val lineEnd = text.indexOf("\r\n")
     if (lineEnd < 0) return false
     val line = text.substring(0, lineEnd)
-    def header(name: String): String = {
-      val p = java.util.regex.Pattern.compile(
-        "(?mi)^" + java.util.regex.Pattern.quote(name) + ":\\s*(.*?)\\s*$")
+    def header(p: java.util.regex.Pattern): String = {
       val m = p.matcher(text)
       if (m.find()) m.group(1) else null
     }
     if (httpMethods.exists(line.startsWith)) {
       val parts = line.split(" ", 3)
       if (parts.length < 3 || !parts(2).startsWith("HTTP/1.")) return false
-      val host = header("Host")
+      val host = header(hostPattern)
       layers += "http" -> fields(
         "http.host" -> host,
         "http.request.method" -> parts(0),
         "http.request.full_uri" ->
           (if (host != null) s"http://$host${parts(1)}" else null),
-        "http.user_agent" -> header("User-Agent"))
+        "http.user_agent" -> header(userAgentPattern))
       true
     } else if (line.startsWith("HTTP/1.")) {
       val parts = line.split(" ", 3)

@@ -137,6 +137,44 @@ class PcapParserSpec extends SparkSpec {
     o.toByteArray
   }
 
+  // pcapng builders (big-endian section; public SHB/IDB/EPB block spec)
+  private def ngBlock(blockType: Long, body: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val padded = (body.length + 3) & ~3
+    val total = 12 + padded
+    u32(o, blockType); u32(o, total); o.write(body)
+    o.write(new Array[Byte](padded - body.length))
+    u32(o, total)
+    o.toByteArray
+  }
+  private def ngShb(): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    u32(b, 0x1a2b3c4dL); u16(b, 1); u16(b, 0)         // BOM, v1.0
+    u32(b, 0xffffffffL); u32(b, 0xffffffffL)          // section length -1
+    ngBlock(0x0a0d0d0aL, b.toByteArray)
+  }
+  private def ngIdb(tsresol: Option[Int] = None): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    u16(b, 1); u16(b, 0); u32(b, 65535)               // Ethernet, snaplen
+    tsresol.foreach { v =>
+      u16(b, 9); u16(b, 1); u8(b, v); u8(b, 0); u8(b, 0); u8(b, 0) // if_tsresol + pad
+      u16(b, 0); u16(b, 0)                            // opt_endofopt
+    }
+    ngBlock(1L, b.toByteArray)
+  }
+  private def ngEpb(ts: Long, data: Array[Byte], ifId: Int = 0): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    u32(b, ifId); u32(b, (ts >>> 32) & 0xffffffffL); u32(b, ts & 0xffffffffL)
+    u32(b, data.length); u32(b, data.length)
+    b.write(data)
+    ngBlock(6L, b.toByteArray)
+  }
+  private def ngFile(blocks: Array[Byte]*): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    blocks.foreach(o.write)
+    o.toByteArray
+  }
+
   private val srcIp = Array(10, 0, 0, 1)
   private val dstIp = Array(10, 0, 0, 2)
 
@@ -249,21 +287,122 @@ class PcapParserSpec extends SparkSpec {
     assert(l.has("tcp") && !l.has("http") && !l.has("tls") && !l.has("dns"))
   }
 
-  test("native-decoded pcap flows through decode() into the UDM classifier") {
+  test("pcapng decodes identically to classic pcap (µs default and if_tsresol=9 ns)") {
+    val classic = PcapParser.decodeFile(pcapFile(samplePackets))
+    def build(resol: Option[Int], unitsPerSec: Long, fracUnits: Long): Array[Byte] =
+      ngFile(ngShb() +: ngIdb(resol) +: samplePackets.zipWithIndex.map {
+        case (p, i) => ngEpb((1757075696L + i) * unitsPerSec + fracUnits, p)
+      }: _*)
+    val us = PcapParser.decodeFile(build(None, 1000000L, 123456L))
+    assert(us == classic) // default resolution = microseconds
+    val ns = PcapParser.decodeFile(build(Some(9), 1000000000L, 123456000L))
+    assert(ns == classic) // decimal if_tsresol: nanoseconds
+  }
+
+  test("pcapng power-of-two tsresol and little-endian sections decode") {
+    // if_tsresol 0x87 = 2^-7 -> 128 units/s; 64 units = exactly .5 s
+    val pow2 = PcapParser.decodeFile(ngFile(ngShb(), ngIdb(Some(0x87)),
+      ngEpb(1757075696L * 128 + 64, samplePackets.head)))
+    assert(pow2.length == 1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def frameTime(json: String): String = mapper.readTree(json)
+      .path("_source").path("layers").path("frame").path("frame.time_utc").asText()
+    assert(frameTime(pow2.head) == "Sep  5, 2025 12:34:56.500000000 UTC")
+
+    // the same capture as a little-endian section (µs resolution)
+    val o = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(0x0a0d0d0aL); w32(28); w32(0x1a2b3c4dL)
+    w16(1); w16(0); w32(0xffffffffL); w32(0xffffffffL); w32(28) // SHB
+    w32(1); w32(20); w16(1); w16(0); w32(65535); w32(20)        // IDB, no options
+    val p = samplePackets.head
+    val ts = 1757075696L * 1000000L + 500000L
+    val padded = (p.length + 3) & ~3
+    val total = 32 + padded
+    w32(6); w32(total); w32(0); w32(ts >>> 32); w32(ts & 0xffffffffL)
+    w32(p.length); w32(p.length); o.write(p)
+    o.write(new Array[Byte](padded - p.length)); w32(total)     // EPB
+    val le = PcapParser.decodeFile(o.toByteArray)
+    assert(le == pow2) // same instant, same packet, byte-identical JSON
+  }
+
+  test("pcapng skips NRB/ISB metadata blocks, fails loudly on anything else") {
+    // tshark-shaped file: SHB, IDB, NRB, one packet, trailing ISB
+    val nrb = ngBlock(4L, Array[Byte](0, 0, 0, 0))
+    val isb = ngBlock(5L, new Array[Byte](8))
+    val ok = PcapParser.decodeFile(ngFile(ngShb(), ngIdb(), nrb,
+      ngEpb(1757075696L * 1000000L + 123456L, samplePackets.head), isb))
+    assert(ok.length == 1)
+
+    // Simple Packet Block carries packet data we do not decode: throw
+    val spb = ngBlock(3L, samplePackets.head)
+    val e1 = intercept[IllegalArgumentException] {
+      PcapParser.decodeFile(ngFile(ngShb(), ngIdb(), spb))
+    }
+    assert(e1.getMessage.contains("block type"))
+
+    // EPB before any IDB: undefined interface
+    val e2 = intercept[IllegalArgumentException] {
+      PcapParser.decodeFile(ngFile(ngShb(),
+        ngEpb(1757075696L * 1000000L, samplePackets.head)))
+    }
+    assert(e2.getMessage.contains("undefined interface"))
+
+    // corrupted trailing block length
+    val good = ngFile(ngShb(), ngIdb(),
+      ngEpb(1757075696L * 1000000L, samplePackets.head))
+    good(good.length - 1) = (good(good.length - 1) + 4).toByte
+    val e3 = intercept[IllegalArgumentException] { PcapParser.decodeFile(good) }
+    assert(e3.getMessage.contains("trailer"))
+  }
+
+  test("jumbo DNS messages are capped, not rejected") {
+    // 70 answers (> the 64-answer walk cap): still a dns layer, 64 walked
+    val many = {
+      val o = new ByteArrayOutputStream()
+      u16(o, 0x1234); u16(o, 0x8180); u16(o, 1); u16(o, 70); u16(o, 0); u16(o, 0)
+      "big.example.org".split('.').foreach { l => u8(o, l.length); o.write(l.getBytes("ASCII")) }
+      u8(o, 0); u16(o, 1); u16(o, 1)
+      (0 until 70).foreach { _ =>
+        u16(o, 0xc00c); u16(o, 1); u16(o, 1); u32(o, 60); u16(o, 4)
+        (1 to 4).foreach(u8(o, _))
+      }
+      o.toByteArray
+    }
+    val out = PcapParser.decodeFile(pcapFile(Seq(
+      ethernet(0x0800, ipv4(17, dstIp, srcIp, udp(53, 33000, many))))))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val l = mapper.readTree(out.head).path("_source").path("layers")
+    assert(l.path("frame").path("frame.protocols").asText().endsWith(":dns"))
+    var count = 0
+    val it = l.path("dns").path("Answers").elements()
+    while (it.hasNext) { it.next(); count += 1 }
+    assert(count == 64, s"walk capped at 64 answers, got $count")
+  }
+
+  test("native-decoded pcap AND pcapng flow through decode() into the UDM classifier") {
     val dir = Files.createTempDirectory("graft_pcap_native").toString
     Files.write(Paths.get(dir, "cap.pcap"), pcapFile(samplePackets))
+    // the default glob (*.pcap*) admits pcapng — previously this file
+    // would burn the retry budget and DLQ (r3 verdict missing #1)
+    Files.write(Paths.get(dir, "cap2.pcapng"), ngFile(ngShb(), ngIdb(),
+      ngEpb(1757075800L * 1000000L, samplePackets.head)))
     val packets = PcapDecode.decode(spark, dir, decoder = PcapParser.nativeDecoder)
-    assert(packets.count() == 8)
+    assert(packets.count() == 9)
     val types = UdmTransform.transform(packets, "raw")
       .select(col("event_struct.event.metadata.event_type").as("t"))
       .groupBy("t").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // TLS > DNS > HTTP > ARP > ICMP precedence (P4): 1 HTTP, 2 DNS,
-    // 2 SSL (ClientHello + the v6 SYN to 443 has no TLS record -> conn),
-    // 1 ARP (STATUS_UPDATE), 1 ICMP, rest generic connections
-    assert(types.getOrElse("NETWORK_HTTP", 0L) == 1L)
+    // TLS > DNS > HTTP > ARP > ICMP precedence (P4): 1 HTTP (+1 from the
+    // pcapng copy), 2 DNS, 1 SSL (ClientHello; the v6 SYN to 443 has no
+    // TLS record -> conn), 1 ARP (STATUS_UPDATE), 1 ICMP, rest generic
+    assert(types.getOrElse("NETWORK_HTTP", 0L) == 2L)
     assert(types.getOrElse("NETWORK_DNS", 0L) == 2L)
     assert(types.getOrElse("NETWORK_SSL", 0L) == 1L)
-    assert(types.values.sum == 8L)
+    assert(types.values.sum == 9L)
   }
 }
