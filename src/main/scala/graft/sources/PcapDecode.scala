@@ -93,11 +93,21 @@ object PcapDecode {
     * (`source_file`, `raw`). Decode runs inside the scan's partitions —
     * per-file parallelism, no driver involvement, no temp files. */
   def decode(spark: SparkSession, dir: String, glob: String = "*.pcap*",
-             decoder: Decoder = PcapParser.nativeDecoder): DataFrame = {
+             decoder: Decoder = PcapParser.nativeDecoder): DataFrame =
+    decodeScan(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir), decoder)
+
+  /** Same decode over an explicit file list — the notification-driven
+    * shape, where a micro-batch's payloads name the exact objects to
+    * fetch (download → decode → transform, processor_app.py:144–163). */
+  def decodePaths(spark: SparkSession, paths: Seq[String],
+                  decoder: Decoder = PcapParser.nativeDecoder): DataFrame =
+    decodeScan(spark.read.format("binaryFile").load(paths: _*), decoder)
+
+  private def decodeScan(files: DataFrame, decoder: Decoder): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(dir)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>

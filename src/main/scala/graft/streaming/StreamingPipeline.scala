@@ -187,7 +187,11 @@ object StreamingPipeline {
     * subscription: each queue message's payload names a capture file
     * under `dataDir`; per micro-batch the named files are batch-read
     * and run through the same UDM transform and batch_id-scoped
-    * idempotent sinks as [[pipeline]]. Semantics carried over from the
+    * idempotent sinks as [[pipeline]]. Payloads naming BINARY captures
+    * (`*.pcap` / `*.pcapng`) are decoded in-plan by `decoder` (default:
+    * the native [[graft.sources.PcapParser]]) — the reference's
+    * download → tshark → transform chain as ONE streaming plan;
+    * payloads naming pre-decoded `*.json` captures read as wholetext. Semantics carried over from the
     * reference subscription:
     *  - at-least-once delivery + ack-on-commit (the source redelivers
     *    an uncommitted batch on restart; `ack=delete|archive` cleans
@@ -212,6 +216,8 @@ object StreamingPipeline {
                      maxAttempts: Int = 5,
                      ack: String = "off",
                      maxMessagesPerTrigger: Int = 1024,
+                     decoder: graft.sources.PcapDecode.Decoder =
+                       graft.sources.PcapParser.nativeDecoder,
                      failHook: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val notifications = spark.readStream.format("graft-notify")
@@ -245,12 +251,27 @@ object StreamingPipeline {
           val dlqInvalid = invalid.toSeq.toDF("message_id", "payload")
             .withColumn("dlq_reason", lit("invalid filename"))
           if (valid.nonEmpty) {
-            val raw = spark.read.option("wholetext", "true")
-              .text(valid.map { case (_, f) => s"$dataDir/$f" }: _*)
-              .select(col("_metadata.file_path").as("source_file"), col("value"))
-              .select(col("source_file"),
-                explode(coalesce(from_json(col("value"), ArrayType(StringType)),
-                  array(col("value")))).as("raw"))
+            // the reference's full processor path: a payload naming a
+            // BINARY capture runs download → decode → transform in this
+            // batch's plan (tshark hop, processor_app.py:144–163 — here
+            // the native parser inside the scan partitions); payloads
+            // naming pre-decoded *.json captures keep the wholetext path
+            val (pcapNames, jsonNames) = valid.partition { case (_, f) =>
+              f.endsWith(".pcap") || f.endsWith(".pcapng")
+            }
+            val parts = Seq(
+              if (jsonNames.isEmpty) None else Some(
+                spark.read.option("wholetext", "true")
+                  .text(jsonNames.map { case (_, f) => s"$dataDir/$f" }: _*)
+                  .select(col("_metadata.file_path").as("source_file"), col("value"))
+                  .select(col("source_file"),
+                    explode(coalesce(from_json(col("value"), ArrayType(StringType)),
+                      array(col("value")))).as("raw"))),
+              if (pcapNames.isEmpty) None else Some(
+                graft.sources.PcapDecode.decodePaths(spark,
+                  pcapNames.map { case (_, f) => s"$dataDir/$f" }.toSeq, decoder))
+            ).flatten
+            val raw = parts.reduce(_ unionByName _)
             val b = toUdm(raw).cache()
             try {
               b.filter(!col("is_error")).select(col("udm_json"))

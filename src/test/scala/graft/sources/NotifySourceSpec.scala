@@ -237,6 +237,38 @@ class NotifySourceSpec extends SparkSpec {
     assert(bad.length == 1 && bad(0).getAs[String]("payload") == "../evil.pcap.json")
   }
 
+  test("notifications naming BINARY pcap/pcapng objects decode in-plan to UDM events") {
+    import CaptureBytes._
+    val q = Files.createTempDirectory("graft_bpq").toString
+    val data = Files.createTempDirectory("graft_bpdata").toString
+    val out = Files.createTempDirectory("graft_bpout").toString
+    val ckpt = Files.createTempDirectory("graft_bpckpt").toString
+    // one classic pcap (8 packets), one pcapng (1 packet), one
+    // pre-decoded tshark-JSON capture (1 packet) — a mixed batch
+    Files.write(Paths.get(data, "capture_a.pcap"), pcapFile(samplePackets))
+    Files.write(Paths.get(data, "capture_b.pcapng"), ngFile(ngShb(), ngIdb(),
+      ngEpb(1757075696L * 1000000L + 123456L, samplePackets.head)))
+    Files.writeString(Paths.get(data, "capture_c.pcap.json"), s"[$goodPacket]")
+    msg(q, "m1", "capture_a.pcap", 4000000L)
+    msg(q, "m2", "capture_b.pcapng", 4000001L)
+    msg(q, "m3", "capture_c.pcap.json", 4000002L)
+
+    val qq = StreamingPipeline.notifyPipeline(spark, q, data, out, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    qq.awaitTermination(120000)
+
+    assert(spark.read.text(s"$out/events").count() == 10) // 8 + 1 + 1
+    val notif = spark.read.json(s"$out/_notifications")
+    assert(notif.agg(sum("packets_processed")).head().getLong(0) == 10)
+    // the decoded stream really went through the classifier: the pcap's
+    // DNS/TLS packets appear as typed UDM events
+    val events = spark.read.json(s"$out/events")
+    assert(events.filter(col("event.metadata.event_type") === "NETWORK_DNS").count() == 2)
+    val errs = spark.read.json(s"$out/_errors") // empty sink: schema is batch_id only
+    assert(!errs.columns.contains("dlq_reason") ||
+      errs.filter(col("dlq_reason") === "row error").count() == 0)
+  }
+
   test("a payload naming a missing object exhausts the retry budget into the DLQ") {
     val q = Files.createTempDirectory("graft_mq").toString
     val data = Files.createTempDirectory("graft_mdata").toString

@@ -11,195 +11,7 @@ import java.nio.file.{Files, Paths}
   * bytes are constructed from the public format spec (no fixtures). */
 class PcapParserSpec extends SparkSpec {
 
-  // ----------------------------------------------------- byte builders
-
-  private def u8(out: ByteArrayOutputStream, v: Int): Unit = out.write(v & 0xff)
-  private def u16(out: ByteArrayOutputStream, v: Int): Unit = {
-    out.write((v >> 8) & 0xff); out.write(v & 0xff)
-  }
-  private def u32(out: ByteArrayOutputStream, v: Long): Unit = {
-    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
-    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
-  }
-
-  private def ethernet(etherType: Int, payload: Array[Byte]): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    o.write(Array.tabulate[Byte](6)(i => (0x10 + i).toByte)) // dst
-    o.write(Array.tabulate[Byte](6)(i => (0x20 + i).toByte)) // src
-    u16(o, etherType); o.write(payload)
-    o.toByteArray
-  }
-
-  private def ipv4(proto: Int, src: Array[Int], dst: Array[Int],
-                   payload: Array[Byte], ttl: Int = 64): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u8(o, 0x45); u8(o, 0) // ver/ihl, tos
-    u16(o, 20 + payload.length); u16(o, 1); u16(o, 0) // len, id, flags/frag
-    u8(o, ttl); u8(o, proto); u16(o, 0) // ttl, proto, cksum
-    src.foreach(u8(o, _)); dst.foreach(u8(o, _))
-    o.write(payload); o.toByteArray
-  }
-
-  private def tcp(srcPort: Int, dstPort: Int, flags: Int,
-                  payload: Array[Byte]): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u16(o, srcPort); u16(o, dstPort)
-    u32(o, 1); u32(o, 2)          // seq, ack
-    u8(o, 0x50); u8(o, flags)     // data offset 5 words, flags
-    u16(o, 8192); u16(o, 0); u16(o, 0) // window, cksum, urg
-    o.write(payload); o.toByteArray
-  }
-
-  private def udp(srcPort: Int, dstPort: Int, payload: Array[Byte]): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u16(o, srcPort); u16(o, dstPort); u16(o, 8 + payload.length); u16(o, 0)
-    o.write(payload); o.toByteArray
-  }
-
-  private def dnsQuery(name: String, qtype: Int): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u16(o, 0x1234); u16(o, 0x0100) // id, flags: standard query RD
-    u16(o, 1); u16(o, 0); u16(o, 0); u16(o, 0)
-    name.split('.').foreach { label =>
-      u8(o, label.length); o.write(label.getBytes("ASCII"))
-    }
-    u8(o, 0); u16(o, qtype); u16(o, 1)
-    o.toByteArray
-  }
-
-  /** Response with a compression-pointer answer name (0xC00C → the
-    * question name at offset 12). */
-  private def dnsResponse(name: String, ttl: Long): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u16(o, 0x1234); u16(o, 0x8180) // id, flags: response RA
-    u16(o, 1); u16(o, 1); u16(o, 0); u16(o, 0)
-    name.split('.').foreach { label =>
-      u8(o, label.length); o.write(label.getBytes("ASCII"))
-    }
-    u8(o, 0); u16(o, 1); u16(o, 1)       // question: type A, IN
-    u16(o, 0xc00c); u16(o, 1); u16(o, 1) // answer name (pointer), A, IN
-    u32(o, ttl); u16(o, 4); (1 to 4).foreach(u8(o, _)) // ttl, rdlen, 1.2.3.4
-    o.toByteArray
-  }
-
-  private def clientHello(sni: String): Array[Byte] = {
-    val ext = new ByteArrayOutputStream() // server_name extension
-    val nameBytes = sni.getBytes("ASCII")
-    u16(ext, 0); u16(ext, nameBytes.length + 5)         // type 0, ext len
-    u16(ext, nameBytes.length + 3); u8(ext, 0); u16(ext, nameBytes.length)
-    ext.write(nameBytes)
-    val body = new ByteArrayOutputStream() // ClientHello body
-    u16(body, 0x0303)                      // legacy version TLS1.2
-    body.write(new Array[Byte](32))        // random
-    u8(body, 0)                            // session id len
-    u16(body, 2); u16(body, 0x1301)        // one cipher suite
-    u8(body, 1); u8(body, 0)               // compression: null
-    u16(body, ext.size()); body.write(ext.toByteArray)
-    val hs = new ByteArrayOutputStream()   // handshake header
-    u8(hs, 1) // ClientHello
-    val b = body.toByteArray
-    u8(hs, 0); u16(hs, b.length)           // 3-byte length
-    hs.write(b)
-    val rec = new ByteArrayOutputStream()  // record header
-    u8(rec, 22); u8(rec, 3); u8(rec, 3)    // handshake, TLS1.2
-    val h = hs.toByteArray
-    u16(rec, h.length); rec.write(h)
-    rec.toByteArray
-  }
-
-  private def arpRequest(): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u16(o, 1); u16(o, 0x0800); u8(o, 6); u8(o, 4); u16(o, 1) // request
-    o.write(Array.tabulate[Byte](6)(i => (0xaa - i).toByte))
-    Seq(10, 0, 0, 7).foreach(u8(o, _))
-    o.write(new Array[Byte](6))
-    Seq(10, 0, 0, 254).foreach(u8(o, _))
-    o.toByteArray
-  }
-
-  private def ipv6Packet(nextHeader: Int, payload: Array[Byte]): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u32(o, 0x60000000L); u16(o, payload.length); u8(o, nextHeader); u8(o, 64)
-    // src 2001:db8::1, dst 2001:db8::2
-    u16(o, 0x2001); u16(o, 0x0db8); (0 until 5).foreach(_ => u16(o, 0)); u16(o, 1)
-    u16(o, 0x2001); u16(o, 0x0db8); (0 until 5).foreach(_ => u16(o, 0)); u16(o, 2)
-    o.write(payload); o.toByteArray
-  }
-
-  private def pcapFile(packets: Seq[Array[Byte]], tsBase: Long = 1757075696L): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    u32(o, 0xa1b2c3d4L); u16(o, 2); u16(o, 4) // magic (big-endian, usec), v2.4
-    u32(o, 0); u32(o, 0); u32(o, 65535); u32(o, 1) // zone, sigfigs, snaplen, Ethernet
-    packets.zipWithIndex.foreach { case (p, i) =>
-      u32(o, tsBase + i); u32(o, 123456); u32(o, p.length); u32(o, p.length)
-      o.write(p)
-    }
-    o.toByteArray
-  }
-
-  // pcapng builders (big-endian section; public SHB/IDB/EPB block spec)
-  private def ngBlock(blockType: Long, body: Array[Byte]): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    val padded = (body.length + 3) & ~3
-    val total = 12 + padded
-    u32(o, blockType); u32(o, total); o.write(body)
-    o.write(new Array[Byte](padded - body.length))
-    u32(o, total)
-    o.toByteArray
-  }
-  private def ngShb(): Array[Byte] = {
-    val b = new ByteArrayOutputStream()
-    u32(b, 0x1a2b3c4dL); u16(b, 1); u16(b, 0)         // BOM, v1.0
-    u32(b, 0xffffffffL); u32(b, 0xffffffffL)          // section length -1
-    ngBlock(0x0a0d0d0aL, b.toByteArray)
-  }
-  private def ngIdb(tsresol: Option[Int] = None): Array[Byte] = {
-    val b = new ByteArrayOutputStream()
-    u16(b, 1); u16(b, 0); u32(b, 65535)               // Ethernet, snaplen
-    tsresol.foreach { v =>
-      u16(b, 9); u16(b, 1); u8(b, v); u8(b, 0); u8(b, 0); u8(b, 0) // if_tsresol + pad
-      u16(b, 0); u16(b, 0)                            // opt_endofopt
-    }
-    ngBlock(1L, b.toByteArray)
-  }
-  private def ngEpb(ts: Long, data: Array[Byte], ifId: Int = 0): Array[Byte] = {
-    val b = new ByteArrayOutputStream()
-    u32(b, ifId); u32(b, (ts >>> 32) & 0xffffffffL); u32(b, ts & 0xffffffffL)
-    u32(b, data.length); u32(b, data.length)
-    b.write(data)
-    ngBlock(6L, b.toByteArray)
-  }
-  private def ngFile(blocks: Array[Byte]*): Array[Byte] = {
-    val o = new ByteArrayOutputStream()
-    blocks.foreach(o.write)
-    o.toByteArray
-  }
-
-  private val srcIp = Array(10, 0, 0, 1)
-  private val dstIp = Array(10, 0, 0, 2)
-
-  private def samplePackets: Seq[Array[Byte]] = Seq(
-    // 1: HTTP GET with Host + User-Agent
-    ethernet(0x0800, ipv4(6, srcIp, dstIp, tcp(49152, 80, 0x18,
-      ("GET /index.html HTTP/1.1\r\nHost: www.example.com\r\n" +
-        "User-Agent: graft-test/1.0\r\n\r\n").getBytes("ASCII")))),
-    // 2: DNS query over UDP
-    ethernet(0x0800, ipv4(17, srcIp, dstIp, udp(33000, 53,
-      dnsQuery("api.example.org", 1)))),
-    // 3: DNS response with compression-pointer answer
-    ethernet(0x0800, ipv4(17, dstIp, srcIp, udp(53, 33000,
-      dnsResponse("api.example.org", 300L)))),
-    // 4: TLS ClientHello with SNI
-    ethernet(0x0800, ipv4(6, srcIp, dstIp, tcp(49153, 443, 0x18,
-      clientHello("secure.example.net")))),
-    // 5: ARP request
-    ethernet(0x0806, arpRequest()),
-    // 6: ICMP echo request
-    ethernet(0x0800, ipv4(1, srcIp, dstIp, Array[Byte](8, 0, 0, 0))),
-    // 7: IPv6 TCP SYN
-    ethernet(0x86dd, ipv6Packet(6, tcp(52000, 443, 0x02, Array.empty))),
-    // 8: bare TCP ACK, no payload
-    ethernet(0x0800, ipv4(6, srcIp, dstIp, tcp(49154, 8080, 0x10, Array.empty))))
+  import CaptureBytes._
 
   // ------------------------------------------------------------- tests
 
