@@ -51,28 +51,42 @@ object Bench {
     // admission-bounded at 16 messages/batch. File synthesis is setup,
     // not measured; the drain is timed end-to-end and also reported as
     // packets/s (SCALE.md's tracked figure).
-    val (streamSecs, streamPkts) = {
+    // setup failures (e.g. an unreadable sf dir) must still yield the
+    // JSON line with stream_pipeline in "failed", not a dead process
+    val (streamSecs, streamPkts) = try {
       import java.nio.file.{Files, Paths}
-      val nFiles = 32
+      val nJson = 24
+      val nPcap = 8
       val perFile = 1000
       val base = Files.createTempDirectory("graft_bench_stream")
       val data = s"$base/data"
       Files.createDirectories(Paths.get(data))
       val raw = graft.udm.SynthPackets.fromEvents(
-          Registry.table(spark, sfDir, "events").limit(nFiles * perFile))
+          Registry.table(spark, sfDir, "events").limit(nJson * perFile))
         .select("raw").collect().map(_.getString(0))
-      raw.grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
-        Files.writeString(Paths.get(data, f"cap_$i%03d.json"),
-          chunk.mkString("[", ",", "]"))
+      val jsonNames = raw.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
+        val n = f"cap_$i%03d.json"
+        Files.writeString(Paths.get(data, n), chunk.mkString("[", ",", "]"))
+        n
+      }.toSeq
+      // binary captures: the native pcap decoder runs INSIDE the same
+      // streaming plan (download → decode → transform — the reference's
+      // actual processor path), so the drain number covers it
+      val pcapNames = (0 until nPcap).map { i =>
+        val n = f"bin_$i%03d.pcap"
+        Files.write(Paths.get(data, n),
+          graft.sources.CaptureBytes.syntheticPcap(perFile, seed = i))
+        n
       }
+      val msgs = jsonNames ++ pcapNames
       // best-of-2 like every other bench entry (fresh queue/out/ckpt per
       // attempt — a drain is stateful, so reruns need clean dirs)
       def drainOnce(attempt: Int): Double = {
         val (queue, out, ckpt) =
           (s"$base/q$attempt", s"$base/out$attempt", s"$base/ckpt$attempt")
         Files.createDirectories(Paths.get(queue))
-        raw.grouped(perFile).zipWithIndex.foreach { case (_, i) =>
-          Files.writeString(Paths.get(queue, f"msg_$i%03d"), f"cap_$i%03d.json")
+        msgs.zipWithIndex.foreach { case (name, i) =>
+          Files.writeString(Paths.get(queue, f"msg_$i%03d"), name)
         }
         val t0 = System.nanoTime()
         try {
@@ -93,15 +107,21 @@ object Bench {
       }
       val a = drainOnce(0)
       val best = if (a < 0) a else { val b = drainOnce(1); if (b < 0) a else math.min(a, b) }
-      (best, raw.length)
+      (best, raw.length + nPcap * perFile)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream_pipeline setup failed: ${e.getMessage}")
+      (-1.0, 0)
     }
 
     val all = results :+ ("stream_pipeline" -> streamSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // failures are UNMISTAKABLE: named in "failed", never silently
+    // shrinking the total (a failed query records -1 in "queries" too)
+    val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     val pps = if (streamSecs > 0) streamPkts / streamSecs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_pkts_per_sec":$pps%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"stream_pkts_per_sec":$pps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

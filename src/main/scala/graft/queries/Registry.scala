@@ -711,7 +711,7 @@ object Registry {
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
           ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // Cluster formation — the stage AFTER pairs: connected components
     // of the candidate graph (pairs alone under-merge: A~B, B~C means
@@ -738,7 +738,7 @@ object Registry {
             (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
             ON m.src = d.doc_id
           ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
     // The oracle mirrors the full pipeline including the band join, so
@@ -956,7 +956,7 @@ object Registry {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM documents)
           WHERE cum_tokens <= 800 ORDER BY doc_id"""
-      }))
+      }, bench = true))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

@@ -2,10 +2,44 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-/** Shared hand-built capture bytes for specs — classic pcap and pcapng
-  * files constructed from the public format specs (no fixtures on
-  * disk). Used by the parser spec and the end-to-end pipeline specs. */
+/** Synthetic capture construction — classic pcap and pcapng files
+  * built from the public format specs, packet by packet. Two uses:
+  * deterministic load/bench captures ([[syntheticPcap]] drives the
+  * stream bench's binary-decode path), and hand-built protocol
+  * fixtures for the parser/pipeline specs (no binary fixtures on
+  * disk — every test capture is constructed from the spec). */
 object CaptureBytes {
+
+  /** A deterministic n-packet classic pcap: a rotating HTTP / DNS /
+    * TLS-ClientHello / bare-TCP mix over varying endpoints. Byte-stable
+    * for a given (nPackets, seed) — benchmarks and load tests can
+    * regenerate identical inputs anywhere. */
+  def syntheticPcap(nPackets: Int, seed: Int = 0): Array[Byte] = {
+    val o = new ByteArrayOutputStream(nPackets * 160)
+    u32(o, 0xa1b2c3d4L); u16(o, 2); u16(o, 4)
+    u32(o, 0); u32(o, 0); u32(o, 65535); u32(o, 1)
+    var i = 0
+    while (i < nPackets) {
+      val k = seed * 7919 + i
+      val src = Array(10, 1, (k >> 8) & 0xff, k & 0xff)
+      val pkt = (k % 4) match {
+        case 0 => ethernet(0x0800, ipv4(6, src, dstIp, tcp(1024 + (k % 50000), 80, 0x18,
+          (s"GET /item/$k HTTP/1.1\r\nHost: host-${k % 97}.example.com\r\n" +
+            "User-Agent: graft-synth/1.0\r\n\r\n").getBytes("ASCII"))))
+        case 1 => ethernet(0x0800, ipv4(17, src, dstIp, udp(1024 + (k % 50000), 53,
+          dnsQuery(s"svc-${k % 211}.example.org", 1))))
+        case 2 => ethernet(0x0800, ipv4(6, src, dstIp, tcp(1024 + (k % 50000), 443, 0x18,
+          clientHello(s"tls-${k % 131}.example.net"))))
+        case _ => ethernet(0x0800, ipv4(6, src, dstIp,
+          tcp(1024 + (k % 50000), 8080, 0x10, Array.empty)))
+      }
+      u32(o, 1700000000L + i / 50); u32(o, (i % 50) * 20000L)
+      u32(o, pkt.length); u32(o, pkt.length)
+      o.write(pkt)
+      i += 1
+    }
+    o.toByteArray
+  }
 
   // ----------------------------------------------------- byte builders
 
