@@ -158,6 +158,100 @@ object Similarity {
                      dimOpt: Option[Int] = None): Unit =
     ivfCentroids(embeddings, dimOpt).write.mode("overwrite").parquet(path)
 
+  // ---- unlabeled coarse quantizer: distributed Lloyd's k-means ----
+
+  /** Nearest-cell assignment against a small literal centroid set, as a
+    * single codegen'd expression (no join, no shuffle): argmax cosine
+    * via `greatest` over (score, cell) structs — ties resolve to the
+    * higher cell id, deterministically. */
+  private def nearestCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.size >= 2, s"k-means needs >= 2 centroids, got ${cents.size}")
+    greatest(cents.map { case (id, c) =>
+      struct(cosine(vec, typedLit(c)).as("score"), lit(id).as("cell"))
+    }: _*).getField("cell")
+  }
+
+  /** Distributed Lloyd's k-means over UNLABELED embeddings — the IVF
+    * coarse quantizer with no dependence on a label column (SURVEY
+    * §7.7's at-scale caveat). Deterministic throughout: seeds are the
+    * `k` vectors with smallest md5(vec_id) (a pseudo-random but stable
+    * sample — no `rand()`), assignment is the codegen'd
+    * [[nearestCell]] argmax, and empty cells keep their previous
+    * centroid. Each round costs ONE corpus scan (narrow assignment) +
+    * one k-row-per-partition partial aggregate; the driver only ever
+    * holds k×dim doubles — at 100 TB that is `rounds` scans total, no
+    * iteration-scaled shuffle state. Returns (cell: int,
+    * centroid: array<double>). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, rounds: Int = 4,
+                      dimOpt: Option[Int] = None): DataFrame = {
+    require(k >= 2 && k <= 256, s"k-means cells must be in [2,256]: $k")
+    require(rounds >= 1, s"k-means needs >= 1 round: $rounds")
+    val spark = embeddings.sparkSession
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(md5(col("vec_id").cast("string"))).limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    require(cents.size == k, s"corpus smaller than k=$k cells (${cents.size} rows)")
+    for (_ <- 0 until rounds) {
+      val sums = corpus
+        .select(nearestCell(col("vec"), cents).as("cell"), col("vec"))
+        .groupBy("cell").agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("vec"), i + 1))): _*).as("sums"))
+        .collect() // k rows of k×dim partials — driver state is tiny
+      val updated = sums.map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> r.getSeq[Double](2).map(_ / n)
+      }.toMap
+      cents = cents.map { case (id, c) => id -> updated.getOrElse(id, c) }
+    }
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
+  }
+
+  /** Persist trained k-means cells (train once, search many — the
+    * [[writeCentroids]] analog for the unlabeled quantizer). */
+  def writeKmeansCentroids(embeddings: DataFrame, path: String, k: Int,
+                           rounds: Int = 4, dimOpt: Option[Int] = None): Unit =
+    kmeansCentroids(embeddings, k, rounds, dimOpt).write.mode("overwrite").parquet(path)
+
+  /** IVF top-k over a k-means cell table (from [[kmeansCentroids]] or
+    * read back from [[writeKmeansCentroids]]): corpus cells are
+    * assigned in-plan by the same codegen'd nearest-centroid argmax
+    * (narrow — no training-time assignment column needed), then the
+    * probe/search shape matches the labeled [[ivfTopK]]: rank cells per
+    * query with the heap aggregate, broadcast the probe plan, scan the
+    * corpus once filtered to probed cells. */
+  def ivfTopKByCells(embeddings: DataFrame, centroids: DataFrame,
+                     queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("cell", nearestCell(col("vec"), cents))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cellScores = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("c"))
+    val probed = cellScores.groupBy("query_id")
+      .agg(expr(s"graft_topk(c, CAST(cell AS BIGINT), $nProbe)").as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell_l"))
+      .select(col("query_id"), col("cell_l").cast("int").as("cell"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val scored = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(scored, k, Some("cell"))
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"), col("rk"))
+  }
+
   /** IVF-style approximate top-k: coarse cells are the `label` column
     * (a precomputed assignment — at corpus scale this comes from
     * k-means over a sample), each query ranks cell centroids by cosine

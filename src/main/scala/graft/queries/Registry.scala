@@ -879,7 +879,38 @@ object Registry {
           agg AS (SELECT label, count(*) AS n, $sums FROM v GROUP BY label)
           SELECT label, n, round(sqrt($sq), 4) AS centroid_norm
           FROM agg ORDER BY label"""
-      }))
+      }),
+
+    // Unlabeled IVF: Lloyd's k-means quantizer (deterministic md5-order
+    // seeds, 4 rounds) + nearest-centroid cell assignment in-plan.
+    // Tolerance-boolean oracle (the sketch pattern): Spark computes
+    // recall@10 of the kmeans-IVF search (4 of 8 cells probed) against
+    // brute force and asserts >= 0.4 per query (measured min across
+    // sf0.001/0.01/0.1 is 0.5 — the slack absorbs float-sum ordering
+    // in the distributed centroid aggregate); DuckDB reproduces the
+    // query list and the TRUE flags — a recall regression
+    // hash-mismatches.
+    QueryDef("sim_kmeans_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val cells = Similarity.kmeansCentroids(emb, 8, 4)
+        val ivf = Similarity.ivfTopKByCells(emb, cells, qids, 10, 4)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val overlap = exact.join(ivf, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        import s.implicits._
+        qids.toDF("query_id")
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id""")))
 
   // ---------------- multimodal ----------------------------------------
 

@@ -264,6 +264,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inPlan)
   }
 
+  test("k-means IVF: unlabeled centroids, recall floor, persist round-trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    val cells = Similarity.kmeansCentroids(emb, 8, 4)
+    assert(cells.count() == 8)
+    // training never touched the label column (schema proves it usable
+    // on unlabeled corpora)
+    val unlabeled = emb.drop("label")
+    assert(Similarity.kmeansCentroids(unlabeled, 8, 4).collect().map(_.getInt(0)).sorted
+      .sameElements(0 until 8))
+
+    val exact = Similarity.bruteForceTopK(emb, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell is exhaustive search == brute force
+    val probeAll = Similarity.ivfTopKByCells(emb, cells, qids, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAll == exact)
+    // the r3 label-based quantizer's spec floor: nProbe=3 recall must
+    // hold for the unlabeled quantizer too
+    val probe3 = Similarity.ivfTopKByCells(emb, cells, qids, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = probe3.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"kmeans-IVF recall@10 with 3/8 probes: $recall")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans").toString
+    Similarity.writeKmeansCentroids(emb, dir, 8, 4)
+    val restored = spark.read.parquet(dir)
+    val fromDisk = Similarity.ivfTopKByCells(emb, restored, qids, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    val inPlan = Similarity.ivfTopKByCells(emb, cells, qids, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inPlan)
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
