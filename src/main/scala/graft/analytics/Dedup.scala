@@ -334,8 +334,17 @@ object Dedup {
       // multiplicative blowup), and checkpointed labels carry no
       // `edges` lineage, so the returned plan is safe to execute after
       // the finally-unpersist below.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
+      val spark = docs.sparkSession
+      import spark.implicits._
+      var labels = edges.select(col("src").cast("long").as("doc_id")).distinct()
         .withColumn("root", col("doc_id")).localCheckpoint(true)
+      // convergence check rides INSIDE the checkpoint job: a narrow
+      // typed map counts label changes into an accumulator while the
+      // round's labels materialize — one Spark job per round, not a
+      // materialize-job plus a count-job. Task retries can only
+      // OVER-count (an extra, harmless round), never report 0 for a
+      // changed round, so the loop cannot exit early.
+      val changedAcc = spark.sparkContext.longAccumulator("graft_cc_changed")
       var changed = 1L
       var iter = 0
       while (changed > 0) {
@@ -346,12 +355,20 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min("root").as("nroot"))
+        changedAcc.reset()
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("root").as("old_root"),
-            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+          .select(col("doc_id"),
+            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"),
+            col("root").as("old_root"))
+          .as[(Long, Long, Long)]
+          .mapPartitions(_.map { case (id, root, old) =>
+            if (root != old) changedAcc.add(1L)
+            (id, root)
+          })
+          .toDF("doc_id", "root")
           .localCheckpoint(true)
-        changed = next.filter(col("root") =!= col("old_root")).count()
-        labels = next.select("doc_id", "root")
+        changed = changedAcc.value
+        labels = next
         iter += 1
       }
       // singletons (docs in no pair) are their own cluster

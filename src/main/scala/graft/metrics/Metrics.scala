@@ -126,6 +126,13 @@ object Metrics {
   def percentRankByKey(df: DataFrame, keyCol: String,
                        orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the correctness contract above is only guaranteed when the range
+    // exchange is planned once — guard the conf at runtime instead of
+    // returning silently wrong ranks under exchange.reuse=false with a
+    // nondeterministic upstream
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "percentRankByKey requires spark.sql.exchange.reuse=true: rank and " +
+        "offset stages must observe the same sampled range boundaries")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sortCols = (keyCol +: orderCols).map(col)
     val withPid = df.repartitionByRange(p, sortCols: _*)

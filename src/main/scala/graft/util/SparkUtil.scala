@@ -27,6 +27,15 @@ object SparkUtil {
       spark.sessionState.conf.getConf(
         org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES)
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (sizeInBytes < BigInt(maxPartitionBytes) * target) df.repartition(target) else df
+    if (sizeInBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+      // mid-plan inputs (post-join/aggregate) often propagate the
+      // unknown-size sentinel, which would silently SKIP widening a
+      // small-but-dense input — fall back to the physical
+      // partition-count check there (the rdd conversion only costs on
+      // this stats-less path, never for scan-rooted plans)
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else if (sizeInBytes < BigInt(maxPartitionBytes) * target) {
+      df.repartition(target)
+    } else df
   }
 }

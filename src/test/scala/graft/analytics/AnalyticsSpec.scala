@@ -210,6 +210,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cluster propagation costs one action per round (accumulator convergence)") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def drained(): Int = { // listener bus is async: poll until stable
+      var prev = -1; var cur = jobs.get(); var waited = 0
+      while (cur != prev && waited < 10000) {
+        prev = cur; Thread.sleep(200); waited += 200; cur = jobs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE splits one action into per-stage jobs and broadcast joins add
+    // build-side jobs — pin both off so one action == one job and the
+    // count is exact
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docIds = (1L to 6L).toDF("doc_id")
+      // chain 1-2-3-4: converges in 3 changing rounds + 1 confirm round
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+      val got = Dedup.clustersFromPairs(docIds, pairs).collect()
+      assert(got.count(r => r.getLong(1) == 1L) == 4)
+      val n = drained()
+      // exactly one action per round: init-labels checkpoint + 4 round
+      // checkpoints + the final collect = 6 jobs (+1 slack). The old
+      // materialize-then-count shape costs one MORE job per round and
+      // busts this.
+      assert(n <= 7, s"$n jobs for a 4-round clustering - expected one action per round")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("incremental admission rejects corpus near-dups, admits novel and shingle-less docs") {
     val corpus = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
@@ -340,6 +382,13 @@ class AnalyticsSpec extends SparkSpec {
     val ranges = "rangepartitioning".r.findAllIn(plan.toLowerCase).length
     assert(plan.contains("ReusedExchange") || ranges == 1,
       s"range exchange not reused:\n$plan")
+
+    // with exchange reuse disabled the contract cannot hold — the
+    // operator must refuse at plan time, not return wrong ranks
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try intercept[IllegalArgumentException] {
+      graft.metrics.Metrics.percentRankByKey(df, "k", Seq("v", "tid"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
   }
 
   test("corpus ops: selection composes gates; sampling is deterministic; budget cuts in order") {
