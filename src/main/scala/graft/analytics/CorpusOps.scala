@@ -75,6 +75,87 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — drop training documents sharing any
+    * word k-shingle with an evaluation set (the n-gram-overlap
+    * decontamination every serious pretraining corpus runs; k=3 here
+    * matches the dedup shingle scheme, real recipes use 8–13-gram).
+    *
+    * Scale shape: the eval side is benchmark-sized (≤ millions of
+    * grams) — distinct once, then the semi-join on `gram` broadcasts
+    * it; the training side is one narrow explode, never materialized
+    * beyond the join. A doc with no shingles (< k words) cannot overlap
+    * and passes through the anti-join untouched. */
+  def decontaminate(documents: DataFrame, evalDocs: DataFrame,
+                    k: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
+    val contaminated = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    documents.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture sampling — hit target per-source proportions of an
+    * `outTotal`-document training mix. For each targeted source the
+    * keep-threshold is `want_s × 2³² ÷ n_s` (capped at 2³²) where
+    * `want_s = permille_s × outTotal ÷ 1000`; the same deterministic
+    * u32(md5) coin as [[stratifiedSample]] decides membership, so the
+    * realized counts are expected-value-correct (hash sampling, not
+    * exact-k). ALL arithmetic is floor-division over integers — the
+    * one form both engines (and any rerun) reproduce bit-exactly;
+    * a float `rate` here would make the oracle flap on ulp boundaries.
+    * Sources not in `targetsPermille` are dropped (weight 0). The
+    * source-count aggregate is tiny (|sources| rows, broadcast back);
+    * everything else is a narrow filter. */
+  def mixtureSample(documents: DataFrame, targetsPermille: Map[String, Long],
+                    outTotal: Long, salt: String): DataFrame = {
+    require(targetsPermille.values.forall(v => v >= 0 && v <= 1000),
+      s"permille weights in [0,1000]: $targetsPermille")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val targets = targetsPermille.toSeq.sortBy(_._1).toDF("source", "permille")
+    val thresholds = documents.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .join(targets, Seq("source"))
+      .select(col("source"), least(lit(4294967296L),
+        expr(s"((permille * $outTotal) div 1000) * 4294967296 div n_src")).as("thr"))
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    documents.join(broadcast(thresholds), Seq("source"))
+      .filter(u32 < col("thr"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing — chunked concatenation: per source, documents
+    * concatenate in doc_id order and the token stream splits into
+    * fixed-`seqLen` training sequences, documents spanning boundaries
+    * (the GPT-style pretraining packing; no padding waste, no bin-
+    * packing search). Emits each doc's span: first/last sequence index
+    * and its token offset within the first sequence — exactly what a
+    * downstream tokenize-and-emit stage needs to materialize sequence
+    * shards in parallel. Same window shape (and scale caveat) as
+    * [[tokenBudget]]: one running sum per source. */
+  def packSequences(documents: DataFrame, seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(cum_tokens - 1) div $seqLen").as("last_seq"),
+        expr(s"(cum_tokens - n_tokens) % $seqLen").as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source token budgeting: walk each source's docs in doc_id
     * order, keep documents while the running token total stays within
     * `budget` — the "N tokens per domain" cap of a data-mixing recipe.

@@ -987,7 +987,60 @@ object Registry {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM documents)
           WHERE cum_tokens <= 800 ORDER BY doc_id"""
-      }, bench = true))
+      }, bench = true),
+
+    // benchmark decontamination: docs sharing any 3-shingle with the
+    // eval split (doc_id % 50 = 0) are dropped from the training split
+    QueryDef("corpus_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), 3)
+      },
+      Some {
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram
+            FROM toks WHERE doc_id % 50 = 0),
+          dg AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS gram
+            FROM toks WHERE doc_id % 50 <> 0),
+          bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id"""
+      }),
+
+    // domain-mixture sampling: integer-only thresholds (see
+    // CorpusOps.mixtureSample) — 40/30/20/10% of a 60-doc mix from
+    // four sources, everything else weight 0
+    QueryDef("corpus_mixture_sample",
+      (s, d) => CorpusOps.mixtureSample(t(s, d, "documents"),
+        Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L, "src3" -> 100L),
+        60L, "mix1"),
+      Some("""WITH tgt(source, permille) AS (VALUES
+          ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)),
+        thr AS (SELECT d.source,
+            least(4294967296, ((permille * 60) // 1000) * 4294967296 // count(*)) AS thr
+          FROM documents d JOIN tgt USING (source) GROUP BY d.source, permille)
+        SELECT doc_id, lang, source FROM documents JOIN thr USING (source)
+        WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+        ORDER BY doc_id""")),
+
+    // sequence packing (chunked concatenation): each doc's span across
+    // fixed-256-token training sequences, per source in doc_id order
+    QueryDef("corpus_pack_sequences",
+      (s, d) => CorpusOps.packSequences(t(s, d, "documents"), 256L),
+      Some {
+        s"""SELECT doc_id, source, n_tokens,
+            (cum_tokens - n_tokens) // 256 AS first_seq,
+            (cum_tokens - 1) // 256 AS last_seq,
+            (cum_tokens - n_tokens) % 256 AS seq_offset
+          FROM (SELECT doc_id, source,
+              CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              CAST(sum(len($toksSql)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM documents)
+          WHERE n_tokens > 0 ORDER BY doc_id"""
+      }))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

@@ -430,6 +430,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination drops eval-overlapping docs, keeps clean and shingle-less docs") {
+    val eval = docs(100L -> "the quick brown fox jumps high")
+    val train = docs(
+      1L -> "yesterday the quick brown fox escaped again",   // shares "the quick brown"
+      2L -> "completely unrelated text about spark clusters", // clean
+      3L -> "two words")                                      // < 3 words: no shingles
+    val kept = CorpusOps.decontaminate(train, eval, 3).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
+  test("mixture sampling: untargeted sources drop, full weight keeps a whole source") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, "en", if (i <= 20) "a" else "b", s"doc $i text"))
+      .toDF("doc_id", "lang", "source", "text")
+    // target only source a, with want = 1000 permille of outTotal=20 ->
+    // want_a = 20 = n_a -> threshold 2^32: every a-doc kept, b dropped
+    val all = CorpusOps.mixtureSample(d, Map("a" -> 1000L), 20L, "s").collect()
+    assert(all.length == 20 && all.forall(_.getString(2) == "a"))
+    // deterministic: same inputs -> identical sample
+    val half1 = CorpusOps.mixtureSample(d, Map("a" -> 500L, "b" -> 500L), 20L, "s")
+      .collect().map(_.getLong(0)).toSeq
+    val half2 = CorpusOps.mixtureSample(d, Map("a" -> 500L, "b" -> 500L), 20L, "s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(half1 == half2 && half1.nonEmpty && half1.length < 40)
+  }
+
+  test("sequence packing: spans and offsets follow the concatenated token stream") {
+    val d = docs(1L -> "a b c", 2L -> "d e f g", 3L -> "h i")
+    // one source, token counts 3,4,2; seqLen 4 -> cums 3,7,9
+    val got = CorpusOps.packSequences(d, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),   // tokens 0..2 in seq 0
+      (2L, 4L, 0L, 1L, 3L),   // tokens 3..6 straddle seqs 0-1, offset 3
+      (3L, 2L, 1L, 2L, 3L)))  // tokens 7..8 straddle seqs 1-2, offset 3
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
