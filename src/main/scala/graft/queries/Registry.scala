@@ -910,6 +910,34 @@ object Registry {
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id""")),
+
+    // int8 scalar quantization: exact search over the 4×-smaller
+    // quantized corpus must preserve the full-precision top-10 almost
+    // perfectly — recall@10 >= 0.8 per query (measured min 0.9 across
+    // the three SFs; the slack absorbs rank flips between near-tied
+    // neighbors).
+    // Tolerance-boolean oracle like the sketches.
+    QueryDef("sim_quantized_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val quant = Similarity.quantizedTopK(
+          Similarity.quantizeEmbeddings(emb), qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val overlap = exact.join(quant, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        import s.implicits._
+        qids.toDF("query_id")
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("hits"), lit(0L)) >= 8).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
         ORDER BY query_id""")))
 
   // ---------------- multimodal ----------------------------------------

@@ -340,6 +340,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inPlan)
   }
 
+  test("int8 quantization: bounded codes, high recall, persist round-trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeEmbeddings(emb)
+    val codes = q.select(explode(col("qvec")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getByte(0) >= -127 && codes.getByte(1) <= 127)
+
+    val qids = Seq(0L, 1L, 2L)
+    val exact = Similarity.bruteForceTopK(emb, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(q, qids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = quant.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@10: $recall")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    Similarity.writeQuantized(emb, dir)
+    val fromDisk = Similarity.quantizedTopK(spark.read.parquet(dir), qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    val inPlan = Similarity.quantizedTopK(q, qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inPlan)
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
