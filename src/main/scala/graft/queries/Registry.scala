@@ -1035,7 +1035,7 @@ object Registry {
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // domain-mixture sampling: integer-only thresholds (see
     // CorpusOps.mixtureSample) — 40/30/20/10% of a 60-doc mix from

@@ -73,6 +73,22 @@ class PcapPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pcapng-magic-prefixed garbage either decodes or throws IllegalArgumentException") {
+    // random bytes almost never start with the SHB magic, so target the
+    // block walker directly: valid magic + random tail, and valid
+    // SHB/IDB prefix + random blocks
+    val tailGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val shb = CaptureBytes.ngShb()
+    val idb = CaptureBytes.ngIdb()
+    samples(tailGen, 400).foreach { tail =>
+      try PcapParser.decodeFile(Array[Byte](0x0a, 0x0d, 0x0d, 0x0a) ++ tail)
+      catch { case _: IllegalArgumentException => () }
+      try PcapParser.decodeFile(shb ++ idb ++ tail)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("DNS and TLS deep parsers survive random payloads on their ports") {
     // valid Ethernet+IPv4+UDP:53 / TCP:443 framing so parsing descends
     // into the pointer-chasing DNS decompressor and the TLS SNI walk,
