@@ -171,9 +171,12 @@ object Similarity {
     graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
+      // the STORED scale is the one codes are computed against — a
+      // rounded-for-storage copy would make (scale, qvec) mutually
+      // inconsistent for dot/L2 consumers
       .withColumn("scale",
         when(col("maxabs") > 0, col("maxabs") / 127.0).otherwise(lit(1.0)))
-      .select(col("vec_id"), col("label"), round(col("scale"), 9).as("scale"),
+      .select(col("vec_id"), col("label"), col("scale"),
         transform(col("vec"), x => round(x / col("scale")).cast("tinyint")).as("qvec"))
 
   /** Persist the quantized corpus (write once at a quarter the size,

@@ -119,17 +119,13 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
 
   /** One listing per trigger (r3 verdict #1): `latestOffset` performs the
     * trigger's single full `listStatus` and caches the snapshot here;
-    * `planInputPartitions` and `reportLatestOffset` reuse it instead of
-    * re-listing, and `commit` acks the *known* planned names (below) —
-    * so a 10M-message backlog costs ONE O(queue) listing per bounded
-    * micro-batch, not three. The only re-list is restart recovery, where
-    * Spark replans/commits a batch before any `latestOffset` call. */
+    * `planInputPartitions`, `reportLatestOffset` AND `commit` reuse it
+    * instead of re-listing — so a 10M-message backlog costs ONE
+    * O(queue) listing per bounded micro-batch, not three. The only
+    * re-list is restart recovery, where Spark replans/commits a batch
+    * before any `latestOffset` call (and that path re-fills the
+    * snapshot, so the recovery trigger also lists once). */
   @volatile private var listingSnapshot: Seq[FileStatus] = null
-
-  /** Admitted-but-unacked message files keyed by (mtime, name), recorded
-    * at plan time. `commit(end)` acks exactly the range at-or-below the
-    * watermark — range-based cleanup on known names, no re-list. */
-  private val unacked = scala.collection.mutable.TreeMap.empty[(Long, String), Path]
 
   private def after(f: FileStatus, o: NotifyOffset): Boolean = {
     val k = (f.getModificationTime, f.getPath.getName)
@@ -214,13 +210,16 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     * one unbounded batch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[NotifyOffset]
+    // cutoff BEFORE the listing (scanLatest's in-flux-ms rule): taken
+    // after, a message created in the listing's millisecond — but after
+    // the listStatus — could be passed over by a watermark that
+    // advances into that ms, skipping it forever
+    val cutoff = System.currentTimeMillis()
     val all = listSorted() // the trigger's ONE listing
     listingSnapshot = all
     val visible = availableNowCap match {
       case Some(cap) => all.filter(f => !after(f, cap))
-      case None =>
-        val cutoff = System.currentTimeMillis()
-        all.filter(_.getModificationTime < cutoff)
+      case None => all.filter(_.getModificationTime < cutoff)
     }
     val pending = visible.filter(f => after(f, s))
     val admitted = maxRowsOf(limit) match {
@@ -262,14 +261,12 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     // `end` was chosen from this trigger's snapshot, so the snapshot
     // contains every file in (start, end] — reuse it. A null snapshot
     // means restart recovery (Spark replans the in-flight batch before
-    // calling latestOffset): list once there.
-    val snap = listingSnapshot
-    val files = (if (snap != null) snap else listSorted())
+    // calling latestOffset): list once there and keep the snapshot for
+    // that batch's commit.
+    var snap = listingSnapshot
+    if (snap == null) { snap = listSorted(); listingSnapshot = snap }
+    snap
       .filter(f => after(f, s) && !after(f, e))
-    if (ack != "off") unacked.synchronized {
-      files.foreach(f => unacked((f.getModificationTime, f.getPath.getName)) = f.getPath)
-    }
-    files
       .map(f => NotifyPartition(f.getPath.toString, f.getPath.getName,
         f.getModificationTime, conf): InputPartition)
       .toArray
@@ -282,30 +279,29 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     }
 
   /** Ack: the offset's message set is processed-and-committed — apply
-    * the cleanup policy to the batch's *known* admitted names (recorded
-    * at plan time) at-or-before the watermark (K5 analog; Pub/Sub ack).
-    * Range-based: no re-listing of the queue. The one exception is
-    * restart recovery of a completed-but-unacked batch (commit log
-    * behind the offset log): the batch was planned in a previous
-    * incarnation, so fall back to a single listing there. */
+    * the cleanup policy to every message at-or-before the watermark
+    * (K5 analog; Pub/Sub ack), SWEPT from the trigger's cached listing
+    * snapshot rather than a fresh listStatus. Sweeping (vs acking only
+    * the batch's planned names) is deliberate: a partially-failed ack
+    * (crash mid-delete after the commit log recorded the batch) leaves
+    * below-watermark stragglers that only a sweep ever reclaims — and
+    * the snapshot makes the sweep free. The only re-list is a restart
+    * incarnation that commits before any listing exists. */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[NotifyOffset]
     if (ack == "off") return
-    val planned = unacked.synchronized {
-      val range = unacked.rangeTo((e.ms, e.name)).toSeq
-      range.foreach { case (k, _) => unacked.remove(k) }
-      range.map { case ((_, name), p) => (name, p) }
-    }
-    val acked =
-      if (planned.nonEmpty) planned
-      else listSorted().filter(f => !after(f, e))
-        .map(f => (f.getPath.getName, f.getPath))
+    val snap = listingSnapshot
+    val acked = (if (snap != null) snap else listSorted())
+      .filter(f => !after(f, e))
     ack match {
-      case "delete" => acked.foreach { case (_, p) => fs.delete(p, false) }
+      case "delete" => acked.foreach(f => fs.delete(f.getPath, false))
       case "archive" =>
         val dir = new Path(archiveDir.getOrElse(s"$path/_acked"))
         fs.mkdirs(dir)
-        acked.foreach { case (name, p) => fs.rename(p, new Path(dir, name)) }
+        // exists-guard: snapshot entries can be a trigger old; rename of
+        // a vanished source throws on some FileSystems
+        acked.foreach(f =>
+          if (fs.exists(f.getPath)) fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
       case other => throw new IllegalArgumentException(s"ack=$other (delete|archive|off)")
     }
   }

@@ -104,6 +104,37 @@ object PcapDecode {
                   decoder: Decoder = PcapParser.nativeDecoder): DataFrame =
     decodeScan(spark.read.format("binaryFile").load(paths: _*), decoder)
 
+  /** [[decodePaths]] with per-FILE error containment: a capture whose
+    * decode throws yields ONE marker row (`source_file`, a
+    * non-JSON `GRAFT_DECODE_ERROR …` string) instead of failing the
+    * whole scan. The marker is unparseable on purpose — downstream the
+    * total UDM transform (P14) turns it into a Malformed error event
+    * that the pipeline's `is_error` routing dead-letters, so one
+    * corrupt capture DLQs one message while every co-batched message
+    * still processes (the reference handles each notification in its
+    * own request — this is that granularity inside one micro-batch).
+    * Decoder bugs beyond bad input (e.g. OOM, LinkageError) still fail
+    * the task loudly. */
+  def decodePathsContained(spark: SparkSession, paths: Seq[String],
+                           decoder: Decoder = PcapParser.nativeDecoder): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        try {
+          // decoders are lazy iterators: force inside the try so a
+          // mid-file parse failure is contained too, not thrown later
+          decoder(path, bytes).map(raw => (path, raw)).toVector.iterator
+        } catch {
+          case e @ (_: IllegalArgumentException | _: RuntimeException) =>
+            Iterator.single((path,
+              s"GRAFT_DECODE_ERROR ${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      })
+      .toDF("source_file", "raw")
+  }
+
   private def decodeScan(files: DataFrame, decoder: Decoder): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._

@@ -268,7 +268,9 @@ object StreamingPipeline {
                     explode(coalesce(from_json(col("value"), ArrayType(StringType)),
                       array(col("value")))).as("raw"))),
               if (pcapNames.isEmpty) None else Some(
-                graft.sources.PcapDecode.decodePaths(spark,
+                // contained: ONE corrupt capture DLQs one message (via
+                // the P14 Malformed path), never the whole batch
+                graft.sources.PcapDecode.decodePathsContained(spark,
                   pcapNames.map { case (_, f) => s"$dataDir/$f" }.toSeq, decoder))
             ).flatten
             val raw = parts.reduce(_ unionByName _)

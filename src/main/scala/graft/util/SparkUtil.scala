@@ -28,12 +28,17 @@ object SparkUtil {
         org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES)
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeInBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-      // mid-plan inputs (post-join/aggregate) often propagate the
+      // mid-plan inputs (post-join/aggregate) can propagate the
       // unknown-size sentinel, which would silently SKIP widening a
-      // small-but-dense input — fall back to the physical
-      // partition-count check there (the rdd conversion only costs on
-      // this stats-less path, never for scan-rooted plans)
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      // small-but-dense input. Do NOT consult df.rdd here — under AQE
+      // that eagerly EXECUTES every upstream stage just to count
+      // partitions, and the caller's action would re-run them all.
+      // Repartition unconditionally instead: for the small inputs this
+      // branch exists for, the shuffle is the point; for a genuinely
+      // huge stats-less input it costs one shuffle, never a double
+      // execution. (Scan-rooted plans always have file-index stats and
+      // never take this branch.)
+      df.repartition(target)
     } else if (sizeInBytes < BigInt(maxPartitionBytes) * target) {
       df.repartition(target)
     } else df

@@ -269,6 +269,32 @@ class NotifySourceSpec extends SparkSpec {
       errs.filter(col("dlq_reason") === "row error").count() == 0)
   }
 
+  test("one corrupt binary capture DLQs one message, not the whole batch") {
+    import CaptureBytes._
+    val q = Files.createTempDirectory("graft_cbq").toString
+    val data = Files.createTempDirectory("graft_cbdata").toString
+    val out = Files.createTempDirectory("graft_cbout").toString
+    val ckpt = Files.createTempDirectory("graft_cbckpt").toString
+    Files.write(Paths.get(data, "good.pcap"), pcapFile(samplePackets))
+    Files.write(Paths.get(data, "corrupt.pcap"),
+      pcapFile(samplePackets).take(40)) // truncated mid-record
+    Files.writeString(Paths.get(data, "good.pcap.json"), s"[$goodPacket]")
+    msg(q, "m1", "good.pcap", 4100000L)
+    msg(q, "m2", "corrupt.pcap", 4100001L)
+    msg(q, "m3", "good.pcap.json", 4100002L)
+
+    val qq = StreamingPipeline.notifyPipeline(spark, q, data, out, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    qq.awaitTermination(120000) // ONE run: no retry exhaustion needed
+
+    assert(spark.read.text(s"$out/events").count() == 9) // 8 + 1 good packets
+    val errs = spark.read.json(s"$out/_errors")
+    val rowErrs = errs.filter(col("dlq_reason") === "row error").collect()
+    assert(rowErrs.length == 1, s"exactly the corrupt capture dead-letters: ${rowErrs.toSeq}")
+    assert(rowErrs(0).getAs[String]("message_id").endsWith("corrupt.pcap"))
+    assert(rowErrs(0).getAs[String]("payload").contains("Malformed"))
+  }
+
   test("a payload naming a missing object exhausts the retry budget into the DLQ") {
     val q = Files.createTempDirectory("graft_mq").toString
     val data = Files.createTempDirectory("graft_mdata").toString
