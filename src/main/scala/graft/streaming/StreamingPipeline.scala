@@ -297,6 +297,73 @@ object StreamingPipeline {
       }
   }
 
+  /** Continuous corpus admission — the streaming form of
+    * [[graft.analytics.Dedup.admitNewDocuments]]: a training corpus
+    * that grows continuously while staying near-dup-free. Incoming
+    * document files (JSONL: doc_id, text, lang, source) land in
+    * `incomingDir`; each micro-batch
+    *  1. drops documents whose MinHash-LSH bands collide with the
+    *     PERSISTED signature store (`sigDir` — read per batch, appended
+    *     per batch; the corpus TEXT is never re-scanned),
+    *  2. collapses intra-batch near-dup groups to their min-doc_id
+    *     representative (candidate pairs + connected components —
+    *     batch-sized work, not corpus-sized),
+    *  3. writes admitted docs and their signatures under
+    *     batch_id-scoped overwrite dirs — idempotent on retry, so the
+    *     at-least-once batch execution is observably exactly-once and
+    *     the store never double-counts a replayed batch.
+    * At 100 TB the signature store is (numHashes × 8 B)-per-doc —
+    * orders of magnitude under corpus bytes — and the per-batch work is
+    * bounded by the batch; nothing here re-touches corpus text. */
+  def admissionPipeline(spark: SparkSession, incomingDir: String, sigDir: String,
+                        outDir: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                        maxFilesPerTrigger: Int = 16,
+                        shingleK: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 4)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.analytics.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(incomingDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val sigPath = new Path(sigDir)
+        val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val corpusSig =
+          if (fs.exists(sigPath) && fs.listStatus(sigPath).exists(_.isDirectory))
+            spark.read.parquet(sigDir)
+          else {
+            val sigSchema = StructType(
+              StructField("doc_id", org.apache.spark.sql.types.LongType) +:
+                (0 until numHashes).map(i => StructField(s"h$i", StringType)))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
+          }
+        val vsCorpus = Dedup.admitNewDocuments(
+          batch, corpusSig, shingleK, numHashes, rowsPerBand).cache()
+        try {
+          val pairs = Dedup.minhashCandidatePairs(
+            vsCorpus, shingleK, numHashes, rowsPerBand).select("doc_a", "doc_b")
+          val keep = Dedup.clustersFromPairs(vsCorpus.select("doc_id"), pairs)
+            .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+          val admitted = vsCorpus.join(keep, Seq("doc_id"), "left_semi")
+          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          Dedup.minhashSignatures(admitted, shingleK, numHashes)
+            .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+        } finally vsCorpus.unpersist()
+        ()
+      }
+  }
+
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event
     * stream: tumbling 60 s counts per label with a watermark bounding
     * state (the reference's ALIGN_RATE dashboards; SURVEY §2.4). */

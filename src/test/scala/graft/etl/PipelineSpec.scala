@@ -25,6 +25,43 @@ class PipelineSpec extends SparkSpec {
   private def mkCapture(dir: String, name: String, packets: String*): Unit =
     Files.writeString(Paths.get(dir, name), packets.mkString("[", ",", "]"))
 
+  test("streaming corpus admission: persisted bands reject cross-batch dups, intra-batch dups collapse") {
+    val in = Files.createTempDirectory("graft_adm_in").toString
+    val base = Files.createTempDirectory("graft_adm").toString
+    val (sig, out, ckpt) = (s"$base/sigs", s"$base/out", s"$base/ckpt")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.admissionPipeline(spark, in, sig, out, ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val dupText = "the quick brown fox jumps over the lazy dog today"
+    // batch 1: intra-batch exact dup (2 of 1) collapses to min doc_id
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      doc(1L, dupText) + "\n" + doc(2L, dupText) + "\n" +
+        doc(5L, "an entirely separate document about streaming admission"))
+    runOnce()
+    // batch 2 (new incarnation): 3 collides with the PERSISTED corpus
+    // bands (text never re-scanned); 4 is novel
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      doc(3L, dupText) + "\n" +
+        doc(4L, "completely different content about spark engines at scale"))
+    runOnce()
+    val admitted = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(1L, 4L, 5L), s"admitted: $admitted")
+    // replay incarnation with nothing new: no duplicate admissions
+    runOnce()
+    val again = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(again == Seq(1L, 4L, 5L))
+    // the signature store carries exactly the admitted docs
+    val sigs = spark.read.parquet(sig).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(sigs == Seq(1L, 4L, 5L))
+  }
+
   test("batch pipeline routes errors, writes events, counts per file") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
