@@ -286,7 +286,14 @@ class NotifyMicroBatchStream(path: String, ack: String, archiveDir: Option[Strin
     * (crash mid-delete after the commit log recorded the batch) leaves
     * below-watermark stragglers that only a sweep ever reclaims — and
     * the snapshot makes the sweep free. The only re-list is a restart
-    * incarnation that commits before any listing exists. */
+    * incarnation that commits before any listing exists.
+    *
+    * Corollary of the no-backdated-mtimes contract (see [[scanLatest]]):
+    * a file moved in WITH a preserved old mtime below the watermark is
+    * undeliverable by the ordering contract, and the sweep applies the
+    * cleanup policy to it like any other sub-watermark file — under
+    * ack=archive it is preserved in the archive dir; producers that
+    * copy files in must give them fresh mtimes. */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[NotifyOffset]
     if (ack == "off") return

@@ -113,8 +113,13 @@ object PcapDecode {
     * corrupt capture DLQs one message while every co-batched message
     * still processes (the reference handles each notification in its
     * own request — this is that granularity inside one micro-batch).
-    * Decoder bugs beyond bad input (e.g. OOM, LinkageError) still fail
-    * the task loudly. */
+    * Only the decoders' documented bad-input signals are contained:
+    * IllegalArgumentException (the native parser's fail-loud contract,
+    * fuzz-asserted to be its only bad-input throw), IOException
+    * (unparseable subprocess output), and a BARE RuntimeException (the
+    * subprocess nonzero-exit signal). Genuine decoder bugs — NPE,
+    * index errors, OOM — still fail the task loudly instead of being
+    * masked as bad input. */
   def decodePathsContained(spark: SparkSession, paths: Seq[String],
                            decoder: Decoder = PcapParser.nativeDecoder): DataFrame = {
     import spark.implicits._
@@ -127,7 +132,9 @@ object PcapDecode {
           // mid-file parse failure is contained too, not thrown later
           decoder(path, bytes).map(raw => (path, raw)).toVector.iterator
         } catch {
-          case e @ (_: IllegalArgumentException | _: RuntimeException) =>
+          case e if e.isInstanceOf[IllegalArgumentException] ||
+            e.isInstanceOf[java.io.IOException] ||
+            e.getClass == classOf[RuntimeException] =>
             Iterator.single((path,
               s"GRAFT_DECODE_ERROR ${e.getClass.getSimpleName}: ${e.getMessage}"))
         }

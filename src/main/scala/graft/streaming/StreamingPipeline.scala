@@ -320,7 +320,8 @@ object StreamingPipeline {
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                         maxFilesPerTrigger: Int = 16,
                         shingleK: Int = 3, numHashes: Int = 8,
-                        rowsPerBand: Int = 4)
+                        rowsPerBand: Int = 4,
+                        failHook: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.analytics.Dedup
     val docSchema = StructType(Seq(
@@ -328,6 +329,14 @@ object StreamingPipeline {
       StructField("text", StringType, nullable = true),
       StructField("lang", StringType, nullable = true),
       StructField("source", StringType, nullable = true)))
+    // explicit read schema for the store (batch_id is the partition
+    // column): no footer-driven schema inference, so a crash-leftover
+    // batch dir with zero committed files reads as empty instead of
+    // wedging every retry in UNABLE_TO_INFER_SCHEMA
+    val sigSchema = StructType(
+      StructField("doc_id", org.apache.spark.sql.types.LongType) +:
+        (0 until numHashes).map(i => StructField(s"h$i", StringType)) :+
+        StructField("batch_id", org.apache.spark.sql.types.LongType))
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(incomingDir)
@@ -339,27 +348,41 @@ object StreamingPipeline {
         val sigPath = new Path(sigDir)
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpusSig =
-          if (fs.exists(sigPath) && fs.listStatus(sigPath).exists(_.isDirectory))
-            spark.read.parquet(sigDir)
-          else {
-            val sigSchema = StructType(
-              StructField("doc_id", org.apache.spark.sql.types.LongType) +:
-                (0 until numHashes).map(i => StructField(s"h$i", StringType)))
+          if (fs.exists(sigPath))
+            // a REPLAYED batch (crash after the sink writes, before the
+            // checkpoint commit) must not see its own persisted
+            // signatures — it would band-collide every one of its docs
+            // with itself and overwrite the batch dirs with empty:
+            // permanent loss. Excluding this batch's partition makes
+            // the replay compute against exactly the pre-batch store.
+            spark.read.schema(sigSchema).parquet(sigDir)
+              .filter(col("batch_id") =!= batchId)
+              .drop("batch_id")
+          else
             spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSchema)
-          }
-        val vsCorpus = Dedup.admitNewDocuments(
-          batch, corpusSig, shingleK, numHashes, rowsPerBand).cache()
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(sigSchema.dropRight(1)))
+        // ONE signature pass per batch (the shingle+hash stage dominates
+        // at scale — see Dedup.writeSignatures); admission, intra-batch
+        // pairs, and the persisted store all derive from it
+        val sig = Dedup.minhashSignatures(batch, shingleK, numHashes).cache()
         try {
-          val pairs = Dedup.minhashCandidatePairs(
-            vsCorpus, shingleK, numHashes, rowsPerBand).select("doc_a", "doc_b")
-          val keep = Dedup.clustersFromPairs(vsCorpus.select("doc_id"), pairs)
+          val corpusBands = Dedup.bandTable(corpusSig, numHashes, rowsPerBand)
+            .select("bk")
+          val dupIds = Dedup.bandTable(sig, numHashes, rowsPerBand)
+            .join(corpusBands, Seq("bk"), "left_semi")
+            .select("doc_id").distinct()
+          val survivorSig = sig.join(dupIds, Seq("doc_id"), "left_anti")
+          val pairs = Dedup.candidatePairsFromSignatures(
+            survivorSig, numHashes, rowsPerBand).select("doc_a", "doc_b")
+          val keep = Dedup.clustersFromPairs(survivorSig.select("doc_id"), pairs)
             .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-          val admitted = vsCorpus.join(keep, Seq("doc_id"), "left_semi")
-          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          Dedup.minhashSignatures(admitted, shingleK, numHashes)
+          batch.join(keep, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          sig.join(keep, Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
-        } finally vsCorpus.unpersist()
+          failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
+        } finally sig.unpersist()
         ()
       }
   }

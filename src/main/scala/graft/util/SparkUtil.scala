@@ -7,6 +7,12 @@ object SparkUtil {
   /** Ensure a compute-heavy narrow transform has at least
     * default-parallelism partitions to run on.
     *
+    * CONTRACT: pass scan-rooted plans (read-from-files inputs), where
+    * the file index provides real size statistics. A stats-less
+    * mid-plan input (unknown-size sentinel) is returned unchanged —
+    * see the sentinel branch below for why neither probing nor
+    * unconditional repartitioning is safe there.
+    *
     * Why: Spark sizes scan partitions by input *bytes*
     * (`files.maxPartitionBytes`), which is right for IO-bound work but
     * wrong for CPU-bound per-row operators (hashing, per-token
@@ -28,17 +34,15 @@ object SparkUtil {
         org.apache.spark.sql.internal.SQLConf.FILES_MAX_PARTITION_BYTES)
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (sizeInBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-      // mid-plan inputs (post-join/aggregate) can propagate the
-      // unknown-size sentinel, which would silently SKIP widening a
-      // small-but-dense input. Do NOT consult df.rdd here — under AQE
-      // that eagerly EXECUTES every upstream stage just to count
-      // partitions, and the caller's action would re-run them all.
-      // Repartition unconditionally instead: for the small inputs this
-      // branch exists for, the shuffle is the point; for a genuinely
-      // huge stats-less input it costs one shuffle, never a double
-      // execution. (Scan-rooted plans always have file-index stats and
-      // never take this branch.)
-      df.repartition(target)
+      // unknown-size sentinel (stats-less mid-plan input): leave the
+      // plan UNTOUCHED. Neither probe is safe here — df.rdd under AQE
+      // eagerly EXECUTES every upstream stage just to count partitions
+      // (and the caller's action re-runs them), and an unconditional
+      // repartition(target) could SHRINK an already-wide input into
+      // giant spill-prone partitions. widen()'s contract is therefore
+      // scan-rooted inputs (every in-repo caller): file-index stats are
+      // always available there and this branch never fires.
+      df
     } else if (sizeInBytes < BigInt(maxPartitionBytes) * target) {
       df.repartition(target)
     } else df

@@ -60,6 +60,28 @@ class PipelineSpec extends SparkSpec {
     val sigs = spark.read.parquet(sig).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(sigs == Seq(1L, 4L, 5L))
+
+    // TRUE batch replay: crash AFTER the doc+signature writes but
+    // BEFORE the checkpoint commit — the replayed batch must not
+    // band-collide with its own persisted signatures (that would admit
+    // nothing and overwrite both dirs with empty: silent loss)
+    Files.writeString(Paths.get(in, "b3.jsonl"),
+      doc(6L, "a sixth document that nothing else resembles at all"))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = StreamingPipeline.admissionPipeline(spark, in, sig, out, ckpt,
+        trigger = Trigger.AvailableNow(),
+        failHook = (_, _) => throw new RuntimeException("crash before commit")).start()
+      q.awaitTermination(120000)
+    }
+    assert(crashed.getMessage.contains("crash before commit") ||
+      crashed.getCause.getMessage.contains("crash before commit"))
+    runOnce() // replay without the hook
+    val afterReplay = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(afterReplay == Seq(1L, 4L, 5L, 6L), s"replay lost/duped docs: $afterReplay")
+    val sigsReplay = spark.read.parquet(sig).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(sigsReplay == Seq(1L, 4L, 5L, 6L))
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
