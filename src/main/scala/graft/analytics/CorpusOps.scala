@@ -75,6 +75,30 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-k per-source sampling — the fixed-QUOTA counterpart to
+    * [[mixtureSample]]'s expected-value rates: every source contributes
+    * exactly min(k, n_source) documents. Deterministic: docs rank by
+    * u32(md5(salt:doc_id)) ascending (a stable pseudo-random order, no
+    * `rand()`), the k smallest win. Ranking runs through the
+    * `graft_topk` heap aggregate — map-side combine sends ≤k rows per
+    * source per partition across the shuffle, where a ranking window
+    * would funnel the whole corpus through ≤|sources| reducers. */
+  def exactSamplePerSource(documents: DataFrame, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    documents
+      // negate: the heap keeps top-k by score DESC == smallest hashes
+      .select(col("source"), col("doc_id"), (-u32).cast("double").as("neg"))
+      .groupBy("source")
+      .agg(expr(s"graft_topk(neg, doc_id, $k)").as("top"))
+      .select(col("source"), explode(col("top.id")).as("doc_id"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — drop training documents sharing any
     * word k-shingle with an evaluation set (the n-gram-overlap
     * decontamination every serious pretraining corpus runs; k=3 here

@@ -1037,6 +1037,18 @@ object Registry {
           ORDER BY doc_id"""
       }, bench = true),
 
+    // exact-k-per-source sampling: fixed quota of 5 docs per source by
+    // ascending u32(md5) order, via the graft_topk heap (never a
+    // corpus-wide ranking window)
+    QueryDef("corpus_exact_sample",
+      (s, d) => CorpusOps.exactSamplePerSource(t(s, d, "documents"), 5, "smp"),
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY doc_id""")),
+
     // domain-mixture sampling: integer-only thresholds (see
     // CorpusOps.mixtureSample) — 40/30/20/10% of a 60-doc mix from
     // four sources, everything else weight 0

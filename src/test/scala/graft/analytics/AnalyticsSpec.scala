@@ -480,6 +480,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(half1 == half2 && half1.nonEmpty && half1.length < 40)
   }
 
+  test("exact-k sampling: fixed quota per source, deterministic, salt-sensitive") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, "t", "en", if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val s1 = CorpusOps.exactSamplePerSource(d, 5, "s1").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.count(_._2 == "a") == 5 && s1.count(_._2 == "b") == 5)
+    // deterministic across runs
+    val s1b = CorpusOps.exactSamplePerSource(d, 5, "s1").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSeq == s1b.toSeq)
+    // a different salt draws a different sample
+    val s2 = CorpusOps.exactSamplePerSource(d, 5, "s2").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSeq != s2.toSeq)
+    // k >= group size returns the whole group
+    assert(CorpusOps.exactSamplePerSource(d, 25, "s1").collect().length == 30)
+  }
+
   test("sequence packing: spans and offsets follow the concatenated token stream") {
     val d = docs(1L -> "a b c", 2L -> "d e f g", 3L -> "h i")
     // one source, token counts 3,4,2; seqLen 4 -> cums 3,7,9
