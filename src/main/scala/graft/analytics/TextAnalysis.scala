@@ -49,6 +49,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition scoring — the Gopher-style repetitive-content signals:
+    * fraction of DUPLICATE word bigrams/trigrams per document (1 −
+    * distinct/total). Boilerplate, keyword stuffing and generation
+    * loops score high; natural prose scores near 0. Shingle-less docs
+    * (< n words) score 0. Narrow and codegen'd like every per-doc
+    * scorer — scan speed. */
+  def repetitionScores(documents: DataFrame): DataFrame = {
+    def dupRatio(grams: Column): Column =
+      round(when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        .otherwise(0.0), 4)
+    graft.util.SparkUtil.widen(documents).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        dupRatio(Dedup.shingles(col("text"), 2)).as("dup_bigram_ratio"),
+        dupRatio(Dedup.shingles(col("text"), 3)).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram language ID: score = hits of per-language marker-word sets;
     * argmax wins, ties broken by language code. Deterministic heuristic
     * (the corpus here is synthetic; the operator shape is what counts —

@@ -522,6 +522,30 @@ object Registry {
           / len($toksSql), 4) >= 0.05) AS is_quality
         FROM documents ORDER BY doc_id""")),
 
+    // Gopher-style repetition signals: duplicate bigram/trigram
+    // fractions (boilerplate and generation loops score high)
+    QueryDef("txt_repetition",
+      (s, d) => TextAnalysis.repetitionScores(t(s, d, "documents")),
+      Some {
+        def gramSql(k: Int): String = {
+          val parts = (0 until k).map(j => s"w[i${if (j == 0) "" else s"+$j"}]")
+            .mkString(" || ' ' || ")
+          s"""CASE WHEN len(w) >= $k
+              THEN list_transform(range(1, len(w) - ${k - 2}), i -> $parts)
+              ELSE [] END"""
+        }
+        def dupSql(g: String): String =
+          s"""round(CASE WHEN len($g) > 0
+              THEN 1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / len($g)
+              ELSE 0.0 END, 4)"""
+        s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+            ${dupSql("bi")} AS dup_bigram_ratio,
+            ${dupSql("tri")} AS dup_trigram_ratio
+          FROM (SELECT doc_id, w, ${gramSql(2)} AS bi, ${gramSql(3)} AS tri
+            FROM (SELECT doc_id, $toksSql AS w FROM documents))
+          ORDER BY doc_id"""
+      }),
+
     QueryDef("txt_language_id",
       (s, d) => TextAnalysis.languageId(t(s, d, "documents"), langMarkers),
       Some {

@@ -510,6 +510,18 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 2L, 1L, 2L, 3L)))  // tokens 7..8 straddle seqs 1-2, offset 3
   }
 
+  test("repetition scores: loops score high, prose scores 0, short docs score 0") {
+    val d = docs(
+      1L -> "a b a b a b",                   // bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
+      2L -> "every word here is different",  // no repeats
+      3L -> "hi")                            // 1 word: no bigrams or trigrams
+    val got = TextAnalysis.repetitionScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0.6, 0.5)))  // bigrams 1 - 2/5; trigrams 1 - 2/4
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
