@@ -2,15 +2,25 @@ package graft
 
 import graft.queries.Registry
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs the headline (bench-flagged) queries on
   * SPARK_GRAFT_SF_DIR, forcing full materialization through a noop sink
   * (a bare `.count()` lets Catalyst prune most of the work), and prints
-  * one JSON metrics line. */
+  * one JSON metrics line.
+  *
+  * Timing protocol — interleaved min-of-N: the full query list is run
+  * ROUNDS times in round-robin order (A,B,C,…,A,B,C,…) and each entry
+  * reports the minimum across rounds. Back-to-back repeats of one query
+  * are hostage to any ambient-load spike that spans both runs (the
+  * observed 2.7× txt_token_stats swing between driver rounds); with
+  * interleaving a spike lands on ONE round's pass through the suite and
+  * the other rounds still yield a clean sample for every query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,71 +31,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // fatal JVM errors (OOM, LinkageError) must kill the process, not be
+    // recorded as a "failed" entry while the run limps on in a corrupted
+    // JVM — catch NonFatal only, everywhere
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try Registry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best-of-2 per query: a single run is hostage to whatever else the
-    // machine is doing (the driver observed a 4× contention-inflated
-    // total); the min of two runs measures the engine, not the box
-    def run(name: String): (String, Double) = {
-      val a = runOnce(name)
-      if (a < 0) return name -> a
-      val b = runOnce(name)
-      name -> (if (b < 0) a else math.min(a, b))
-    }
-
     // warm the JVM/codegen once with the cheapest query
     runOnce("a1_counts_by_type")
-    val results = Registry.benchNames.map(run)
+    val names = Registry.benchNames
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](
+      names.map(_ -> -1.0): _*)
+    for (_ <- 0 until rounds; name <- names) {
+      val t = runOnce(name)
+      if (t >= 0 && (best(name) < 0 || t < best(name))) best(name) = t
+    }
+    val results = best.toSeq
 
-    // flagship streaming number: the notifyPipeline AvailableNow drain
-    // (notification queue → GET → UDM transform → 3 idempotent sinks),
-    // admission-bounded at 16 messages/batch. File synthesis is setup,
-    // not measured; the drain is timed end-to-end and also reported as
-    // packets/s (SCALE.md's tracked figure).
-    // setup failures (e.g. an unreadable sf dir) must still yield the
-    // JSON line with stream_pipeline in "failed", not a dead process
-    val (streamSecs, streamPkts) = try {
+    // streaming drains: each is stateful (queue/checkpoint/sink), so a
+    // repeat needs fresh dirs; best-of-2 per entry, fail-unmistakable.
+    // msgs = (message name, file bytes); returns best drain seconds.
+    def streamDrain(label: String, base: java.nio.file.Path,
+                    msgs: Seq[(String, Array[Byte])]): Double = {
       import java.nio.file.{Files, Paths}
-      val nJson = 24
-      val nPcap = 8
-      val perFile = 1000
-      val base = Files.createTempDirectory("graft_bench_stream")
-      val data = s"$base/data"
+      val data = s"$base/$label-data"
       Files.createDirectories(Paths.get(data))
-      val raw = graft.udm.SynthPackets.fromEvents(
-          Registry.table(spark, sfDir, "events").limit(nJson * perFile))
-        .select("raw").collect().map(_.getString(0))
-      val jsonNames = raw.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
-        val n = f"cap_$i%03d.json"
-        Files.writeString(Paths.get(data, n), chunk.mkString("[", ",", "]"))
-        n
-      }.toSeq
-      // binary captures: the native pcap decoder runs INSIDE the same
-      // streaming plan (download → decode → transform — the reference's
-      // actual processor path), so the drain number covers it
-      val pcapNames = (0 until nPcap).map { i =>
-        val n = f"bin_$i%03d.pcap"
-        Files.write(Paths.get(data, n),
-          graft.sources.CaptureBytes.syntheticPcap(perFile, seed = i))
-        n
-      }
-      val msgs = jsonNames ++ pcapNames
-      // best-of-2 like every other bench entry (fresh queue/out/ckpt per
-      // attempt — a drain is stateful, so reruns need clean dirs)
+      msgs.foreach { case (n, bytes) => Files.write(Paths.get(data, n), bytes) }
       def drainOnce(attempt: Int): Double = {
-        val (queue, out, ckpt) =
-          (s"$base/q$attempt", s"$base/out$attempt", s"$base/ckpt$attempt")
+        val (queue, out, ckpt) = (s"$base/$label-q$attempt",
+          s"$base/$label-out$attempt", s"$base/$label-ckpt$attempt")
         Files.createDirectories(Paths.get(queue))
-        msgs.zipWithIndex.foreach { case (name, i) =>
+        msgs.zipWithIndex.foreach { case ((name, _), i) =>
           Files.writeString(Paths.get(queue, f"msg_$i%03d"), name)
         }
         val t0 = System.nanoTime()
@@ -97,31 +81,103 @@ object Bench {
           if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
           else { // timed out: a hung drain is a FAILURE, not a 600 s datapoint
             q.stop()
-            System.err.println("[bench] stream_pipeline timed out")
+            System.err.println(s"[bench] $label timed out")
             -1.0
           }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] stream_pipeline failed: ${e.getMessage}")
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
           -1.0
         }
       }
       val a = drainOnce(0)
-      val best = if (a < 0) a else { val b = drainOnce(1); if (b < 0) a else math.min(a, b) }
-      (best, raw.length + nPcap * perFile)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream_pipeline setup failed: ${e.getMessage}")
+      if (a < 0) a else { val b = drainOnce(1); if (b < 0) a else math.min(a, b) }
+    }
+
+    // flagship streaming numbers: the notifyPipeline AvailableNow drain
+    // (notification queue → GET → transform → 3 idempotent sinks),
+    // admission-bounded at 16 messages/batch. TWO entries — the JSON
+    // path and the native-binary-decode path are different workloads
+    // (r4's mixed entry made the pkts/s incomparable across rounds).
+    // File synthesis is setup, not measured.
+    // setup failures (e.g. an unreadable sf dir) must still yield the
+    // JSON line with the entry in "failed", not a dead process
+    val perFile = 1000
+    val (jsonSecs, jsonPkts, binSecs, binPkts) = try {
+      import java.nio.file.Files
+      val nJson = 24
+      val nPcap = 8
+      val base = Files.createTempDirectory("graft_bench_stream")
+      val raw = graft.udm.SynthPackets.fromEvents(
+          Registry.table(spark, sfDir, "events").limit(nJson * perFile))
+        .select("raw").collect().map(_.getString(0))
+      val jsonMsgs = raw.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
+        f"cap_$i%03d.json" -> chunk.mkString("[", ",", "]").getBytes("UTF-8")
+      }.toSeq
+      val pcapMsgs = (0 until nPcap).map { i =>
+        f"bin_$i%03d.pcap" ->
+          graft.sources.CaptureBytes.syntheticPcap(perFile, seed = i)
+      }
+      (streamDrain("stream_json", base, jsonMsgs), raw.length,
+        streamDrain("stream_binary", base, pcapMsgs), nPcap * perFile)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] stream setup failed: ${e.getMessage}")
+      (-1.0, 0, -1.0, 0)
+    }
+
+    // continuous corpus admission (MinHash-LSH against the persisted
+    // signature store, per micro-batch): docs/s over an AvailableNow
+    // drain of several micro-batches — the spec proves semantics, this
+    // entry tracks throughput
+    val (admSecs, admDocs) = try {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_bench_adm")
+      val nFiles = 16
+      val docs = Registry.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "text", "lang", "source").toJSON.collect()
+      def drainOnce(attempt: Int): Double = {
+        val (in, sig, out, ckpt) = (s"$base/in$attempt", s"$base/sig$attempt",
+          s"$base/out$attempt", s"$base/ckpt$attempt")
+        Files.createDirectories(Paths.get(in))
+        docs.grouped(math.max(1, docs.length / nFiles)).zipWithIndex.foreach {
+          case (chunk, i) =>
+            Files.writeString(Paths.get(in, f"docs_$i%03d.jsonl"),
+              chunk.mkString("\n"))
+        }
+        val t0 = System.nanoTime()
+        try {
+          val q = graft.streaming.StreamingPipeline.admissionPipeline(
+            spark, in, sig, out, ckpt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            maxFilesPerTrigger = 4).start()
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else {
+            q.stop()
+            System.err.println("[bench] admission_stream timed out")
+            -1.0
+          }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] admission_stream failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val a = drainOnce(0)
+      val b = if (a < 0) a else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) }
+      (b, docs.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] admission_stream setup failed: ${e.getMessage}")
       (-1.0, 0)
     }
 
-    val all = results :+ ("stream_pipeline" -> streamSecs)
+    val all = results ++ Seq("stream_json" -> jsonSecs,
+      "stream_binary" -> binSecs, "admission_stream" -> admSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
     // shrinking the total (a failed query records -1 in "queries" too)
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val pps = if (streamSecs > 0) streamPkts / streamSecs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"stream_pkts_per_sec":$pps%.0f,"sf":"$sfDir"}""")
+    def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

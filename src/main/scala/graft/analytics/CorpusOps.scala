@@ -110,12 +110,25 @@ object CorpusOps {
     * beyond the join. A doc with no shingles (< k words) cannot overlap
     * and passes through the anti-join untouched. */
   def decontaminate(documents: DataFrame, evalDocs: DataFrame,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3,
+                    broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
+    // size-gate the broadcast: a forced hint on a large eval union (the
+    // 8–13-gram real recipe against many benchmarks) would OOM the
+    // driver — above the threshold the semi-join runs as a plain
+    // shuffle join instead. The estimate is one narrow eval-side agg:
+    // gram payload ≤ k × eval text bytes (each word lands in ≤ k
+    // shingles; distinct only shrinks it).
+    val estBytes = evalDocs.agg(sum(length(col("text")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) * k
+    }
+    val gated =
+      if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
     val contaminated = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(gated, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     documents.join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
@@ -138,13 +151,29 @@ object CorpusOps {
                     outTotal: Long, salt: String): DataFrame = {
     require(targetsPermille.values.forall(v => v >= 0 && v <= 1000),
       s"permille weights in [0,1000]: $targetsPermille")
+    // the radix-split threshold below is exact for want < 2^47 and
+    // n_src < 2^47 (~1.4e14 docs) — far past any plausible corpus, but
+    // fail at the door rather than mid-job under ANSI overflow
+    require(outTotal < (1L << 47),
+      s"outTotal must be < 2^47 (radix-split threshold bound): $outTotal")
     val spark = documents.sparkSession
     import spark.implicits._
     val targets = targetsPermille.toSeq.sortBy(_._1).toDF("source", "permille")
+    // thr = floor(want × 2³² / n_src) capped at 2³², computed WITHOUT
+    // the want×2³² product (which overflows Long once want ≥ 2³¹ —
+    // billion-doc targets are in-scope at 100 TB). want ≥ n_src caps to
+    // 2³² outright; otherwise split the ×2³² into two ×2¹⁶ steps:
+    // want×2¹⁶ = q₁·n + r₁  ⇒  floor(want·2³²/n) = q₁·2¹⁶ +
+    // floor(r₁·2¹⁶/n), every intermediate < 2⁶³ for the bound above.
     val thresholds = documents.groupBy("source").agg(count(lit(1)).as("n_src"))
       .join(targets, Seq("source"))
-      .select(col("source"), least(lit(4294967296L),
-        expr(s"((permille * $outTotal) div 1000) * 4294967296 div n_src")).as("thr"))
+      .select(col("source"),
+        expr(s"(permille * $outTotal) div 1000").as("want"), col("n_src"))
+      .select(col("source"),
+        when(col("want") >= col("n_src"), lit(4294967296L))
+          .otherwise(expr("((want * 65536) div n_src) * 65536" +
+            " + (((want * 65536) % n_src) * 65536) div n_src"))
+          .as("thr"))
     val u32 = conv(substring(
       md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast(LongType)
@@ -154,6 +183,64 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source running token totals in doc_id order — the shared core
+    * of [[packSequences]] and [[tokenBudget]] — with every stage P-way
+    * parallel: the [[graft.metrics.Metrics.percentRankByKey]]
+    * range-partition + offset machinery applied to a cumulative sum.
+    * A plain `Window.partitionBy(source)` walks each source through ONE
+    * reducer — correct while sources are many and balanced, but a
+    * single-dominant-source corpus (the documented pathology) funnels
+    * ~everything through one task. Here:
+    *
+    *  1. range-partition + implicit local sort on (source, doc_id) —
+    *     each of P partitions holds a contiguous slice;
+    *  2. per-(partition, source) token sums — tiny aggregate;
+    *  3. per-source running offsets over that tiny table;
+    *  4. local cumulative sum within (partition, source) + broadcast
+    *     offset = the global running total.
+    *
+    * `skewSafe = false` keeps the one-window-per-source plan — retained
+    * as the executable specification (spec-asserted equal) and the
+    * right choice when no source dominates. The skew-safe plan
+    * evaluates the tokenize projection twice (the range boundary
+    * sample pass reads the child too) — bounded 2× scan CPU traded for
+    * never serializing a dominant source through one reducer. */
+  def cumulativeTokens(documents: DataFrame, skewSafe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    if (!skewSafe) {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("cum_tokens", sum("n_tokens").over(w))
+    } else {
+      // same contract as percentRankByKey: offsets and rows must see
+      // the SAME sampled range boundaries — refuse at plan time if the
+      // exchange cannot be reused
+      require(documents.sparkSession.sessionState.conf.exchangeReuseEnabled,
+        "cumulativeTokens requires spark.sql.exchange.reuse=true: the row and " +
+          "offset stages must observe the same sampled range boundaries")
+      val p = documents.sparkSession.sessionState.conf.numShufflePartitions
+      val withPid = toks.repartitionByRange(p, col("source"), col("doc_id"))
+        .withColumn("_pid", spark_partition_id())
+      val wOff = Window.partitionBy("source").orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withPid.groupBy(col("_pid"), col("source"))
+        .agg(sum("n_tokens").as("_ptoks"))
+        .withColumn("_offset", coalesce(sum("_ptoks").over(wOff), lit(0L)))
+        .drop("_ptoks")
+        // null-safe key join below: PARTITION BY groups null sources
+        .withColumnRenamed("source", "_k").withColumnRenamed("_pid", "_opid")
+      val wLocal = Window.partitionBy(col("_pid"), col("source")).orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withPid.join(broadcast(offsets),
+          col("_pid") === col("_opid") && col("source") <=> col("_k"))
+        .withColumn("cum_tokens", sum("n_tokens").over(wLocal) + col("_offset"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    }
+  }
+
   /** Sequence packing — chunked concatenation: per source, documents
     * concatenate in doc_id order and the token stream splits into
     * fixed-`seqLen` training sequences, documents spanning boundaries
@@ -161,17 +248,11 @@ object CorpusOps {
     * packing search). Emits each doc's span: first/last sequence index
     * and its token offset within the first sequence — exactly what a
     * downstream tokenize-and-emit stage needs to materialize sequence
-    * shards in parallel. Same window shape (and scale caveat) as
-    * [[tokenBudget]]: one running sum per source. */
-  def packSequences(documents: DataFrame, seqLen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * shards in parallel. Running totals via [[cumulativeTokens]]. */
+  def packSequences(documents: DataFrame, seqLen: Long,
+                    skewSafe: Boolean = true): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    cumulativeTokens(documents, skewSafe)
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"(cum_tokens - n_tokens) div $seqLen").as("first_seq"),
@@ -183,22 +264,11 @@ object CorpusOps {
   /** Per-source token budgeting: walk each source's docs in doc_id
     * order, keep documents while the running token total stays within
     * `budget` — the "N tokens per domain" cap of a data-mixing recipe.
-    *
-    * The cumulative sum partitions by `source`, whose cardinality GROWS
-    * with the corpus (unlike a 5-value enum) — each source's walk is an
-    * independent reducer, so the window spreads. A pathological
-    * single-source corpus would need the range-partition + offset
-    * technique ([[graft.metrics.Metrics.percentRankByKey]]); at that
-    * point the per-source order itself is the bottleneck, not Spark. */
-  def tokenBudget(documents: DataFrame, budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    * Running totals via [[cumulativeTokens]] — a single dominant
+    * source no longer funnels through one reducer. */
+  def tokenBudget(documents: DataFrame, budget: Long,
+                  skewSafe: Boolean = true): DataFrame =
+    cumulativeTokens(documents, skewSafe)
       .filter(col("cum_tokens") <= budget)
       .orderBy("doc_id")
-  }
 }
