@@ -156,10 +156,11 @@ object CaptureBytes {
     o.write(payload); o.toByteArray
   }
 
-  def pcapFile(packets: Seq[Array[Byte]], tsBase: Long = 1757075696L): Array[Byte] = {
+  def pcapFile(packets: Seq[Array[Byte]], tsBase: Long = 1757075696L,
+               linkType: Int = 1): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     u32(o, 0xa1b2c3d4L); u16(o, 2); u16(o, 4) // magic (big-endian, usec), v2.4
-    u32(o, 0); u32(o, 0); u32(o, 65535); u32(o, 1) // zone, sigfigs, snaplen, Ethernet
+    u32(o, 0); u32(o, 0); u32(o, 65535); u32(o, linkType) // zone, sigfigs, snaplen, link
     packets.zipWithIndex.foreach { case (p, i) =>
       u32(o, tsBase + i); u32(o, 123456); u32(o, p.length); u32(o, p.length)
       o.write(p)
@@ -183,9 +184,9 @@ object CaptureBytes {
     u32(b, 0xffffffffL); u32(b, 0xffffffffL)          // section length -1
     ngBlock(0x0a0d0d0aL, b.toByteArray)
   }
-  def ngIdb(tsresol: Option[Int] = None): Array[Byte] = {
+  def ngIdb(tsresol: Option[Int] = None, linkType: Int = 1): Array[Byte] = {
     val b = new ByteArrayOutputStream()
-    u16(b, 1); u16(b, 0); u32(b, 65535)               // Ethernet, snaplen
+    u16(b, linkType); u16(b, 0); u32(b, 65535)        // link type, snaplen
     tsresol.foreach { v =>
       u16(b, 9); u16(b, 1); u8(b, v); u8(b, 0); u8(b, 0); u8(b, 0) // if_tsresol + pad
       u16(b, 0); u16(b, 0)                            // opt_endofopt
@@ -202,6 +203,16 @@ object CaptureBytes {
   def ngFile(blocks: Array[Byte]*): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     blocks.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** LINKTYPE_SLL (113) "Linux cooked" header: pkttype, ARPHRD, addr
+    * len, 8 addr bytes, then the EtherType-keyed payload. */
+  def sll(etherType: Int, payload: Array[Byte], pktType: Int = 0): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    u16(o, pktType); u16(o, 1); u16(o, 6)             // ARPHRD_ETHER, halen 6
+    o.write(Array.tabulate[Byte](8)(i => (0x30 + i).toByte))
+    u16(o, etherType); o.write(payload)
     o.toByteArray
   }
 

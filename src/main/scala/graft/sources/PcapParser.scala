@@ -9,7 +9,9 @@ import com.fasterxml.jackson.core.JsonFactory
   * block structure, either byte order, per-interface `if_tsresol` —
   * the format tshark itself writes, and the reference's own file glob
   * admits: `capture_*.pcap*`, sniffer_entrypoint.sh:165), and decodes
-  * the protocol stack the UDM transform consumes — Ethernet (+1 VLAN tag), IPv4,
+  * the protocol stack the UDM transform consumes — Ethernet (+1 VLAN
+  * tag), raw-IP (LINKTYPE_RAW 101) and Linux cooked (LINKTYPE_SLL 113)
+  * link layers, IPv4,
   * IPv6 (+ common extension headers), TCP, UDP, ICMP/ICMPv6, ARP, and
   * the payload protocols the reference's classifier keys on: DNS
   * (queries + answers with name decompression), HTTP (request line,
@@ -79,9 +81,8 @@ object PcapParser {
     }
     val r = new Reader(bytes, 4, little)
     r.u16(); r.u16(); r.u32(); r.u32(); r.u32() // version, thiszone, sigfigs, snaplen
-    val linkType = r.u32()
-    require(linkType == 1,
-      s"unsupported link type $linkType (only Ethernet/EN10MB): $path")
+    val linkType = r.u32().toInt
+    requireSupportedLink(linkType, path)
 
     val out = Seq.newBuilder[String]
     var n = 0
@@ -97,10 +98,23 @@ object PcapParser {
       val data = java.util.Arrays.copyOfRange(r.b, r.pos, r.pos + inclLen)
       r.pos += inclLen
       n += 1
-      out += decodePacket(n, tsSec, if (nanos) tsFrac else tsFrac * 1000L, data)
+      out += decodePacket(n, tsSec, if (nanos) tsFrac else tsFrac * 1000L, data, linkType)
     }
     out.result()
   }
+
+  /** Supported capture link types (public LINKTYPE_* registry):
+    * 1 = EN10MB (Ethernet, + 1 VLAN tag), 101 = RAW (bare IPv4/IPv6,
+    * version nibble dispatches), 113 = LINUX_SLL (Linux "cooked"
+    * capture, `tcpdump -i any`: 16-byte header whose protocol field is
+    * an EtherType). Anything else fails loudly — the documented
+    * escape hatch for exotic links is [[PcapDecode.processDecoder]]
+    * with a real tshark. */
+  private val supportedLinkTypes = Set(1, 101, 113)
+  private def requireSupportedLink(linkType: Int, path: String): Unit =
+    require(supportedLinkTypes.contains(linkType),
+      s"unsupported link type $linkType (supported: 1/EN10MB Ethernet, " +
+        s"101/RAW IP, 113/LINUX_SLL cooked; use processDecoder+tshark for others): $path")
 
   // ------------------------------------------------------------- pcapng
 
@@ -124,10 +138,10 @@ object PcapParser {
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
       else be32(b, o)
 
-    // per-interface timestamp resolution for the current section:
-    // (exponent, isPowerOfTwo) — if_tsresol MSB set means 2^-exp, clear
+    // per-interface state for the current section: (tsresol exponent,
+    // isPowerOfTwo, link type) — if_tsresol MSB set means 2^-exp, clear
     // means 10^-exp; absent means the default 10^-6 (microseconds)
-    var ifaces = Vector.empty[(Int, Boolean)]
+    var ifaces = Vector.empty[(Int, Boolean, Int)]
     var pos = 0
     var n = 0
     while (pos < b.length) {
@@ -152,8 +166,7 @@ object PcapParser {
         case 1 => // IDB
           require(totalLen >= 20, s"short pcapng IDB at offset $pos: $path")
           val link = u16(pos + 8)
-          require(link == 1,
-            s"unsupported pcapng link type $link (only Ethernet/EN10MB): $path")
+          requireSupportedLink(link, path)
           var resol = 6; var pow2 = false
           var op = pos + 16 // options follow linktype/reserved/snaplen
           val end = pos + totalLen - 4
@@ -171,7 +184,7 @@ object PcapParser {
           }
           require(if (pow2) resol <= 30 else resol <= 9,
             s"unsupported pcapng if_tsresol ${if (pow2) "2^-" else "10^-"}$resol: $path")
-          ifaces :+= (resol, pow2)
+          ifaces :+= ((resol, pow2, link))
         case 6 => // EPB
           require(totalLen >= 32, s"short pcapng EPB at offset $pos: $path")
           val ifId = u32(pos + 8).toInt
@@ -182,7 +195,7 @@ object PcapParser {
           require(capLen >= 0 && capLen <= totalLen - 32,
             s"pcapng EPB captured length $capLen exceeds block at offset $pos: $path")
           val data = java.util.Arrays.copyOfRange(b, pos + 28, pos + 28 + capLen)
-          val (resol, pow2) = ifaces(ifId)
+          val (resol, pow2, link) = ifaces(ifId)
           val (sec, nanos) =
             if (pow2) {
               val div = 1L << resol
@@ -193,7 +206,7 @@ object PcapParser {
               (ts / div, (ts % div) * (1000000000L / div))
             }
           n += 1
-          out += decodePacket(n, sec, nanos, data)
+          out += decodePacket(n, sec, nanos, data, link)
         case 4 | 5 => () // NRB / ISB: metadata only, no packet data
         case other => throw new IllegalArgumentException(
           f"unsupported pcapng block type 0x$other%08x at offset $pos: $path")
@@ -251,24 +264,53 @@ object PcapParser {
   }
 
   private def decodePacket(num: Int, tsSec: Long, tsNanos: Long,
-                           d: Array[Byte]): String = {
+                           d: Array[Byte], linkType: Int = 1): String = {
     val layers = scala.collection.mutable.LinkedHashMap.empty[String, Fields]
-    val protos = scala.collection.mutable.ArrayBuffer("eth")
+    val protos = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    if (d.length >= 14) {
-      layers += "eth" -> fields("eth.dst" -> mac(d, 0), "eth.src" -> mac(d, 6))
-      var etherType = be16(d, 12)
-      var l3 = 14
-      if (etherType == 0x8100 && d.length >= 18) { // one VLAN tag
-        etherType = be16(d, 16); l3 = 18
-      }
-      protos += "ethertype"
-      etherType match {
-        case 0x0800 => decodeIpv4(d, l3, layers, protos)
-        case 0x86dd => decodeIpv6(d, l3, layers, protos)
-        case 0x0806 => decodeArp(d, l3, layers, protos)
-        case _ => () // unknown L3: frame + eth only
-      }
+    linkType match {
+      case 1 => // Ethernet (+ 1 VLAN tag)
+        protos += "eth"
+        if (d.length >= 14) {
+          layers += "eth" -> fields("eth.dst" -> mac(d, 0), "eth.src" -> mac(d, 6))
+          var etherType = be16(d, 12)
+          var l3 = 14
+          if (etherType == 0x8100 && d.length >= 18) { // one VLAN tag
+            etherType = be16(d, 16); l3 = 18
+          }
+          protos += "ethertype"
+          etherType match {
+            case 0x0800 => decodeIpv4(d, l3, layers, protos)
+            case 0x86dd => decodeIpv6(d, l3, layers, protos)
+            case 0x0806 => decodeArp(d, l3, layers, protos)
+            case _ => () // unknown L3: frame + eth only
+          }
+        }
+      case 101 => // LINKTYPE_RAW: bare IP, version nibble dispatches
+        protos += "raw"
+        if (d.length >= 1) (d(0) & 0xf0) match {
+          case 0x40 => decodeIpv4(d, 0, layers, protos)
+          case 0x60 => decodeIpv6(d, 0, layers, protos)
+          case _ => () // not IP: frame only (tshark: raw "data")
+        }
+      case 113 => // LINKTYPE_SLL (Linux cooked): 16-byte header, then an
+        // EtherType-keyed payload exactly like Ethernet's
+        protos += "sll"
+        if (d.length >= 16) {
+          val etherType = be16(d, 14)
+          layers += "sll" -> fields(
+            "sll.pkttype" -> be16(d, 0).toString,
+            "sll.etype" -> f"0x$etherType%04x")
+          protos += "ethertype"
+          etherType match {
+            case 0x0800 => decodeIpv4(d, 16, layers, protos)
+            case 0x86dd => decodeIpv6(d, 16, layers, protos)
+            case 0x0806 => decodeArp(d, 16, layers, protos)
+            case _ => ()
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"decodePacket reached with unvetted link type $other") // guarded at file level
     }
 
     val frame = fields(

@@ -172,6 +172,50 @@ class PcapParserSpec extends SparkSpec {
     assert(e3.getMessage.contains("trailer"))
   }
 
+  test("LINKTYPE_RAW and LINKTYPE_SLL captures decode; other links fail loudly") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def layers(j: String) = mapper.readTree(j).path("_source").path("layers")
+    val dnsUdp = ipv4(17, srcIp, dstIp, udp(49152, 53, dnsQuery("api.example.org", 1)))
+
+    // raw IP (101): no link header, version nibble dispatches
+    val raw = PcapParser.decodeFile(pcapFile(Seq(dnsUdp), linkType = 101))
+    val lr = layers(raw.head)
+    assert(lr.path("frame").path("frame.protocols").asText() == "raw:ip:udp:dns")
+    assert(lr.path("ip").path("ip.src").asText() == "10.0.0.1")
+    assert(lr.path("dns").path("Queries").path("api.example.org: type A, class IN")
+      .path("dns.qry.name").asText() == "api.example.org")
+    // raw IPv6 dispatches off the version nibble too
+    val v6 = ipv6Packet(6, tcp(49152, 443, 0x18, Array.empty))
+    val raw6 = PcapParser.decodeFile(pcapFile(Seq(v6), linkType = 101))
+    assert(layers(raw6.head).path("frame").path("frame.protocols").asText()
+      == "raw:ipv6:tcp")
+
+    // Linux cooked (113): 16-byte SLL header, EtherType dispatch
+    val cooked = PcapParser.decodeFile(
+      pcapFile(Seq(sll(0x0800, dnsUdp)), linkType = 113))
+    val lc = layers(cooked.head)
+    assert(lc.path("frame").path("frame.protocols").asText()
+      == "sll:ethertype:ip:udp:dns")
+    assert(lc.path("sll").path("sll.etype").asText() == "0x0800")
+    assert(lc.path("ip").path("ip.dst").asText() == "10.0.0.2")
+
+    // pcapng IDB carries the link type per interface
+    val ngRaw = PcapParser.decodeFile(ngFile(ngShb(), ngIdb(linkType = 101),
+      ngEpb(1757075696L * 1000000L, dnsUdp)))
+    assert(layers(ngRaw.head).path("frame").path("frame.protocols").asText()
+      == "raw:ip:udp:dns")
+
+    // unsupported link types name the supported set, classic and pcapng
+    val e1 = intercept[IllegalArgumentException] {
+      PcapParser.decodeFile(pcapFile(Seq(dnsUdp), linkType = 228))
+    }
+    assert(e1.getMessage.contains("228") && e1.getMessage.contains("LINUX_SLL"))
+    val e2 = intercept[IllegalArgumentException] {
+      PcapParser.decodeFile(ngFile(ngShb(), ngIdb(linkType = 105)))
+    }
+    assert(e2.getMessage.contains("105") && e2.getMessage.contains("EN10MB"))
+  }
+
   test("jumbo DNS messages are capped, not rejected") {
     // 70 answers (> the 64-answer walk cap): still a dns layer, 64 walked
     val many = {
