@@ -108,7 +108,14 @@ object CorpusOps {
     * grams) — distinct once, then the semi-join on `gram` broadcasts
     * it; the training side is one narrow explode, never materialized
     * beyond the join. A doc with no shingles (< k words) cannot overlap
-    * and passes through the anti-join untouched. */
+    * and passes through the anti-join untouched.
+    *
+    * NOTE: the broadcast gate runs one EAGER Spark job over `evalDocs`
+    * at DataFrame-construction time (a narrow length/count aggregate —
+    * eval-set-sized, not corpus-sized). Callers with an expensive
+    * eval-side plan should cache `evalDocs` or pass a pre-computed
+    * decision via `broadcastBytesThreshold` (0 forces the shuffle
+    * join; `Long.MaxValue` forces the broadcast). */
   def decontaminate(documents: DataFrame, evalDocs: DataFrame,
                     k: Int = 3,
                     broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
@@ -119,10 +126,12 @@ object CorpusOps {
     // driver — above the threshold the semi-join runs as a plain
     // shuffle join instead. The estimate is one narrow eval-side agg:
     // gram payload ≤ k × eval text bytes (each word lands in ≤ k
-    // shingles; distinct only shrinks it).
-    val estBytes = evalDocs.agg(sum(length(col("text")))).head() match {
+    // shingles; distinct only shrinks it), padded ×2 for chars→UTF-8
+    // bytes plus a per-doc constant for per-gram broadcast overhead
+    // (UnsafeRow headers dominate when grams are many and short).
+    val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
       case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) * k
+      case r => r.getLong(0) * k * 2 + r.getLong(1) * 64
     }
     val gated =
       if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
@@ -199,18 +208,49 @@ object CorpusOps {
     *  4. local cumulative sum within (partition, source) + broadcast
     *     offset = the global running total.
     *
-    * `skewSafe = false` keeps the one-window-per-source plan — retained
-    * as the executable specification (spec-asserted equal) and the
-    * right choice when no source dominates. The skew-safe plan
-    * evaluates the tokenize projection twice (the range boundary
-    * sample pass reads the child too) — bounded 2× scan CPU traded for
-    * never serializing a dominant source through one reducer. */
-  def cumulativeTokens(documents: DataFrame, skewSafe: Boolean = true): DataFrame = {
+    * `skewSafe = Some(false)` keeps the one-window-per-source plan —
+    * retained as the executable specification (spec-asserted equal in
+    * AnalyticsSpec "cumulativeTokens skew-safe plan equals the window
+    * plan") and the right choice when no source dominates. The
+    * skew-safe plan evaluates the tokenize projection twice (the range
+    * boundary sample pass reads the child too) — bounded 2× scan CPU
+    * traded for never serializing a dominant source through one
+    * reducer.
+    *
+    * `skewSafe = None` (the default) AUTO-SELECTS from per-source
+    * count stats — one tiny EAGER aggregate over the `source` column
+    * at DataFrame-construction time (narrow scan + |sources|-row
+    * shuffle, the [[decontaminate]] gate pattern): the skew-safe plan
+    * is chosen only when one source holds ≥ half the corpus (the
+    * documented single-dominant-source pathology); balanced
+    * many-source corpora keep the cheaper single-scan window plan.
+    *
+    * The per-source offsets table the skew-safe plan joins back is
+    * ≤ (P + |sources|) rows — and SOURCE CARDINALITY GROWS WITH THE
+    * CORPUS (a web corpus has per-domain sources), so the broadcast is
+    * size-gated on that bound: past `offsetsBroadcastMaxRows` it
+    * becomes a plain shuffle join, which is nearly free here — the
+    * downstream per-(partition, source) window needs a hash exchange
+    * on the same keys anyway, so only the tiny offsets side pays. */
+  def cumulativeTokens(documents: DataFrame,
+                       skewSafe: Option[Boolean] = None,
+                       offsetsBroadcastMaxRows: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    if (!skewSafe) {
+    // (max per-source count, total rows, source count) — run only when
+    // the plan choice or the broadcast gate needs it
+    lazy val sourceStats: (Long, Long, Long) = {
+      val r = documents.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max("n"), sum("n"), count(lit(1))).head()
+      if (r.isNullAt(0)) (0L, 0L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val useSkewSafe = skewSafe.getOrElse {
+      val (maxN, total, _) = sourceStats
+      total > 0 && maxN * 2 >= total
+    }
+    if (!useSkewSafe) {
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       toks.withColumn("cum_tokens", sum("n_tokens").over(w))
@@ -234,7 +274,10 @@ object CorpusOps {
         .withColumnRenamed("source", "_k").withColumnRenamed("_pid", "_opid")
       val wLocal = Window.partitionBy(col("_pid"), col("source")).orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      withPid.join(broadcast(offsets),
+      val gatedOffsets =
+        if (sourceStats._3 + p <= offsetsBroadcastMaxRows) broadcast(offsets)
+        else offsets
+      withPid.join(gatedOffsets,
           col("_pid") === col("_opid") && col("source") <=> col("_k"))
         .withColumn("cum_tokens", sum("n_tokens").over(wLocal) + col("_offset"))
         .select("doc_id", "source", "n_tokens", "cum_tokens")
@@ -248,9 +291,10 @@ object CorpusOps {
     * packing search). Emits each doc's span: first/last sequence index
     * and its token offset within the first sequence — exactly what a
     * downstream tokenize-and-emit stage needs to materialize sequence
-    * shards in parallel. Running totals via [[cumulativeTokens]]. */
+    * shards in parallel. Running totals via [[cumulativeTokens]]
+    * (plan auto-selected from source-dominance stats by default). */
   def packSequences(documents: DataFrame, seqLen: Long,
-                    skewSafe: Boolean = true): DataFrame = {
+                    skewSafe: Option[Boolean] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     cumulativeTokens(documents, skewSafe)
       .filter(col("n_tokens") > 0)
@@ -264,10 +308,11 @@ object CorpusOps {
   /** Per-source token budgeting: walk each source's docs in doc_id
     * order, keep documents while the running token total stays within
     * `budget` — the "N tokens per domain" cap of a data-mixing recipe.
-    * Running totals via [[cumulativeTokens]] — a single dominant
-    * source no longer funnels through one reducer. */
+    * Running totals via [[cumulativeTokens]] — when a single source
+    * dominates, the auto-selected skew-safe plan keeps it from
+    * funnelling through one reducer. */
   def tokenBudget(documents: DataFrame, budget: Long,
-                  skewSafe: Boolean = true): DataFrame =
+                  skewSafe: Option[Boolean] = None): DataFrame =
     cumulativeTokens(documents, skewSafe)
       .filter(col("cum_tokens") <= budget)
       .orderBy("doc_id")

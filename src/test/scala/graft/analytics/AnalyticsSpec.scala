@@ -510,6 +510,66 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 2L, 1L, 2L, 3L)))  // tokens 7..8 straddle seqs 1-2, offset 3
   }
 
+  test("cumulativeTokens skew-safe plan equals the window plan") {
+    import spark.implicits._
+    // multi-source, skewed, WITH a null source (PARTITION BY groups
+    // nulls; the offsets join must too — the <=> key) and ties broken
+    // by doc_id within source
+    val multi = (1L to 40L).map { i =>
+      val src = if (i <= 30) "dominant" else if (i <= 36) "minor" else null
+      (i, s"tok ${"w " * (i % 5).toInt}".trim, "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val single = (1L to 15L).map(i => (i, s"a b c ${i % 3}", "en", "only"))
+      .toDF("doc_id", "text", "lang", "source")
+    for (d <- Seq(multi, single)) {
+      val safe = CorpusOps.cumulativeTokens(d, skewSafe = Some(true))
+      val window = CorpusOps.cumulativeTokens(d, skewSafe = Some(false))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getLong(2), r.getLong(3))
+      assert(safe.select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect().map(key).sortBy(_._1).toSeq ==
+        window.select("doc_id", "source", "n_tokens", "cum_tokens")
+          .collect().map(key).sortBy(_._1).toSeq)
+      // plan shape: the corpus-sized window runs per (partition, source)
+      // — never one reducer per source — while the window plan has no
+      // partition-id column anywhere
+      assert(safe.queryExecution.optimizedPlan.toString.contains("_pid"))
+      assert(!window.queryExecution.optimizedPlan.toString.contains("_pid"))
+    }
+  }
+
+  test("cumulativeTokens auto-selects the plan from source dominance") {
+    import spark.implicits._
+    val dominant = (1L to 40L).map(i =>
+      (i, "a b c", "en", if (i <= 35) "big" else s"s$i"))
+      .toDF("doc_id", "text", "lang", "source")
+    val balanced = (1L to 40L).map(i => (i, "a b c", "en", s"src${i % 8}"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(CorpusOps.cumulativeTokens(dominant)
+      .queryExecution.optimizedPlan.toString.contains("_pid"))
+    assert(!CorpusOps.cumulativeTokens(balanced)
+      .queryExecution.optimizedPlan.toString.contains("_pid"))
+  }
+
+  test("decontaminate shuffle fallback equals the broadcast branch") {
+    val eval = docs(100L -> "the quick brown fox jumps high")
+    val train = docs(
+      1L -> "yesterday the quick brown fox escaped again",
+      2L -> "completely unrelated text about spark clusters",
+      3L -> "two words")
+    val viaBroadcast = CorpusOps.decontaminate(train, eval, 3,
+      broadcastBytesThreshold = Long.MaxValue)
+    val viaShuffle = CorpusOps.decontaminate(train, eval, 3,
+      broadcastBytesThreshold = 0L)
+    // the gate really routed differently: only the broadcast branch
+    // carries the explicit broadcast hint into the analyzed plan
+    assert(viaBroadcast.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!viaShuffle.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(viaBroadcast.collect().map(_.getLong(0)).toSeq ==
+      viaShuffle.collect().map(_.getLong(0)).toSeq)
+    assert(viaShuffle.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("repetition scores: loops score high, prose scores 0, short docs score 0") {
     val d = docs(
       1L -> "a b a b a b",                   // bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
