@@ -205,15 +205,53 @@ object Similarity {
 
   // ---- unlabeled coarse quantizer: distributed Lloyd's k-means ----
 
-  /** Nearest-cell assignment against a small literal centroid set, as a
-    * single codegen'd expression (no join, no shuffle): argmax cosine
-    * via `greatest` over (score, cell) structs — ties resolve to the
-    * higher cell id, deterministically. */
-  private def nearestCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  /** Nearest-cell assignment against a small centroid set, as a single
+    * codegen'd expression (no join, no shuffle): argmax cosine with
+    * ties resolving to the higher cell id, deterministically. The
+    * [[graft.functions.NearestCellExpr]] loop keeps generated code
+    * O(1) in k × dim — the [[nearestCellComposed]] `greatest`-of-
+    * structs form it replaces inlines k cosine blocks and falls off
+    * the Janino 64KB/constant-pool cliff at real quantizer sizes
+    * (k=256 × dim≥1024); the expression is spec-pinned compiled at
+    * exactly that size under CODEGEN_ONLY factory mode. */
+  def nearestCell(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.size >= 2, s"k-means needs >= 2 centroids, got ${cents.size}")
+    graft.functions.NearestCellExpr(vec, cents)
+  }
+
+  /** The `greatest`-of-(score, cell)-structs formulation — retained as
+    * the executable specification of [[nearestCell]]'s argmax/tie/null
+    * semantics (spec-asserted equal for non-null vectors). Do NOT use
+    * on the scan path at real k × dim: k inlined cosine blocks blow
+    * the generated-method limits and silently fall back interpreted. */
+  def nearestCellComposed(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     require(cents.size >= 2, s"k-means needs >= 2 centroids, got ${cents.size}")
     greatest(cents.map { case (id, c) =>
       struct(cosine(vec, typedLit(c)).as("score"), lit(id).as("cell"))
     }: _*).getField("cell")
+  }
+
+  /** Nearest-cell assignment as a broadcast join — the no-literal
+    * alternative for centroid tables too large to ride inside an
+    * expression (every task deserializes the matrix with the plan; at
+    * k × dim past ~4M doubles that is tens of MB of plan weight):
+    * corpus × broadcast(centroids), then an argmax aggregate on
+    * `max(struct(score, cell))` — the same (score, cell) struct order
+    * as [[nearestCell]], so ties and NaN resolve identically. Costs
+    * one corpus-wide shuffle on `vec_id` (k-reduced by the map-side
+    * partial max) that the in-expression path avoids; `vec` rides
+    * through `first()`. Input needs (vec_id, vec); all other columns
+    * are carried. */
+  def assignCellsByJoin(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val carried = corpus.columns.filterNot(_ == "vec_id")
+    corpus.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .select(col("vec_id") +: carried.map(col) :+
+        struct(cosine(col("vec"), col("centroid")).as("s"), col("cell").as("cell"))
+          .as("_sc"): _*)
+      .groupBy("vec_id")
+      .agg(first(col(carried.head)).as(carried.head),
+        carried.tail.map(c => first(col(c)).as(c)) :+
+          max(col("_sc")).getField("cell").as("cell"): _*)
   }
 
   /** Distributed Lloyd's k-means over UNLABELED embeddings — the IVF
@@ -269,14 +307,26 @@ object Similarity {
     * (narrow — no training-time assignment column needed), then the
     * probe/search shape matches the labeled [[ivfTopK]]: rank cells per
     * query with the heap aggregate, broadcast the probe plan, scan the
-    * corpus once filtered to probed cells. */
+    * corpus once filtered to probed cells. Past
+    * `maxInlineCentroidDoubles` total matrix entries the assignment
+    * switches from the in-expression argmax to [[assignCellsByJoin]] —
+    * a quantizer too big to ship inside the plan rides a broadcast
+    * join instead (spec-asserted equal). */
   def ivfTopKByCells(embeddings: DataFrame, centroids: DataFrame,
-                     queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val cents = centroids.select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
-    val corpus = graft.util.SparkUtil.widen(embeddings)
+                     queryIds: Seq[Long], k: Int, nProbe: Int,
+                     maxInlineCentroidDoubles: Long = 4L << 20): DataFrame = {
+    // gate BEFORE collecting: a past-gate centroid table must never be
+    // driver-collected at all (that is the failure the join path avoids)
+    val nCells = centroids.count()
+    val dim = centroids.select(size(col("centroid"))).head().getInt(0)
+    val corpus0 = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-      .withColumn("cell", nearestCell(col("vec"), cents))
+    val corpus =
+      if (nCells * dim <= maxInlineCentroidDoubles) {
+        val cents = centroids.select(col("cell"), col("centroid")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+        corpus0.withColumn("cell", nearestCell(col("vec"), cents))
+      } else assignCellsByJoin(corpus0, centroids)
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     graft.functions.GraftFunctions.register(embeddings.sparkSession)

@@ -510,6 +510,81 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 2L, 1L, 2L, 3L)))  // tokens 7..8 straddle seqs 1-2, offset 3
   }
 
+  test("nearestCell expression equals the composed greatest-of-structs form") {
+    import spark.implicits._
+    // duplicate centroids force score ties (-> higher cell id), the
+    // zero vector forces all-NaN scores, a wrong-dim vector forces
+    // all-null scores (-> max cell id, the greatest-struct artifact)
+    val cents = Seq(
+      0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0),
+      2 -> Seq(0.0, 1.0, 0.0, 0.0), 3 -> Seq(0.5, 0.5, 0.5, 0.5))
+    val vecs = Seq(
+      1L -> Seq(0.9, 0.1, 0.0, 0.0), 2L -> Seq(0.0, 2.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 0.0, 0.0), 4L -> Seq(1.0, 1.0),
+      5L -> Seq(0.3, 0.3, 0.3, 0.3))
+    val d = vecs.toDF("vec_id", "vec")
+    val got = d.select(col("vec_id"),
+        Similarity.nearestCell(col("vec"), cents).as("a"),
+        Similarity.nearestCellComposed(col("vec"), cents).as("b"))
+      .orderBy("vec_id").collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"vec ${r.getLong(0)}: expr ${r.getInt(1)} != composed ${r.getInt(2)}"))
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 2, 3, 3, 3))
+  }
+
+  test("nearestCell survives k=256 x dim=1024 codegen and matches the join path") {
+    import spark.implicits._
+    val k = 256; val dim = 1024
+    val cents = (0 until k).map(c =>
+      c -> (0 until dim).map(j => ((c * 31 + j * 7) % 13 - 6).toDouble / 6.0))
+    val vecs = (1L to 20L).map(i =>
+      i -> (0 until dim).map(j => ((i * 17 + j * 3) % 11 - 5).toDouble / 5.0))
+    val d = vecs.toDF("vec_id", "vec")
+    // CODEGEN_ONLY + fallback=false: a generated-method/constant-pool
+    // blowout (the greatest-of-structs cliff) throws instead of
+    // silently degrading to interpreted eval
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try d.select(col("vec_id"), Similarity.nearestCell(col("vec"), cents).as("cell"))
+        .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getInt(1))
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
+    // driver-side argmax replication (same fold order, same tie rule)
+    val expected = vecs.map { case (id, v) =>
+      val scored = cents.map { case (c, cent) =>
+        val dotVC = v.indices.foldLeft(0.0)((a, i) => a + v(i) * cent(i))
+        val dotVV = v.foldLeft(0.0)((a, x) => a + x * x)
+        val dotCC = cent.foldLeft(0.0)((a, x) => a + x * x)
+        c -> dotVC / (math.sqrt(dotVV) * math.sqrt(dotCC))
+      }
+      id -> scored.maxBy { case (c, s) => (s, c) }._1
+    }
+    assert(got.toSeq == expected)
+
+    // the broadcast-join assignment (the past-gate path) agrees
+    val centDf = cents.toDF("cell", "centroid")
+    val viaJoin = Similarity.assignCellsByJoin(
+        d.withColumnRenamed("vec", "vec").select(col("vec_id"), col("vec")), centDf)
+      .select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(viaJoin.toSeq == expected)
+  }
+
+  test("ivfTopKByCells inline and join assignment paths return identical top-k") {
+    import spark.implicits._
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j => ((i * 13 + j * 5) % 9 - 4).toFloat / 4.0f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cells = Similarity.kmeansCentroids(emb, 4, 2)
+    def run(maxInline: Long) =
+      Similarity.ivfTopKByCells(emb, cells, Seq(0L, 1L), 5, 2, maxInline)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(run(4L << 20) == run(0L)) // inline expression vs broadcast join
+  }
+
   test("cumulativeTokens skew-safe plan equals the window plan") {
     import spark.implicits._
     // multi-source, skewed, WITH a null source (PARTITION BY groups
@@ -593,12 +668,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1).getString(2) == "de")
   }
 
-  test("media features stub is deterministic and schema-complete") {
+  test("media features decodes real PNG/JPEG dimensions from payload bytes") {
     val d = docs(1L -> "some payload text", 2L -> "some payload text")
-    val rows = Multimodal.mediaFeatures(d).collect()
-    assert(rows(0).getString(1) == rows(1).getString(1)) // same content hash
-    assert(rows(0).getInt(3) >= 1 && rows(0).getInt(3) <= 1920)
-    assert(rows(0).getInt(4) >= 1 && rows(0).getInt(4) <= 1080)
-    assert(rows(0).getLong(7) >= 1) // n_frames
+    val rows = Multimodal.mediaFeatures(d).orderBy("doc_id").collect()
+    // doc 1 (odd) -> JPEG, doc 2 (even) -> PNG; dims follow the formula
+    assert(rows(0).getString(1) == "jpeg" && rows(1).getString(1) == "png")
+    assert(rows(0).getInt(2) == Multimodal.synthWidth(1L))
+    assert(rows(0).getInt(3) == Multimodal.synthHeight(1L))
+    assert(rows(1).getInt(2) == Multimodal.synthWidth(2L))
+    assert(rows(1).getInt(3) == Multimodal.synthHeight(2L))
+    // the parser reads the BYTES, not the formula: hand it a PNG with
+    // dimensions the formula never produces
+    assert(graft.analytics.MediaDecode.decode(Multimodal.pngBytes(7777, 4242))
+      .contains(("png", 7777, 4242)))
+    assert(graft.analytics.MediaDecode.decode(Multimodal.jpegBytes(640, 480))
+      .contains(("jpeg", 640, 480)))
+    // truncated/corrupt images are data, not errors: stub fallback
+    assert(graft.analytics.MediaDecode.decode(
+      Multimodal.pngBytes(10, 10).take(12)).isEmpty)
+    assert(graft.analytics.MediaDecode.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 }
