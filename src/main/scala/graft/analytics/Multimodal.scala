@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * feature-extract runs per-partition so batch-oriented decoders
   * amortize (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The decode step itself is STUBBED (no media libs in this
-  * container): [[stubDecode]] derives deterministic fake
-  * width/height/duration from the payload hash. The Spark-side
-  * contract — schema, partitioning, batch shape — is real and tested;
-  * swap `stubDecode`'s body for a JNI/FFI decoder in production.
-  */
+  * The decode step is REAL for the two ubiquitous image containers —
+  * PNG (IHDR width/height) and JPEG (SOF frame header width/height),
+  * parsed from the public format specs in pure JVM ([[MediaDecode]]) —
+  * and falls back to the deterministic [[stubDecode]] hash-derived
+  * metadata for formats whose codecs aren't in this container
+  * (audio/video): the Spark-side contract — schema, partitioning,
+  * batch shape — is identical either way, so swapping the fallback
+  * for a JNI/FFI decoder changes no plan. */
 object Multimodal {
 
-  /** The typed metadata schema a real decoder would fill. */
+  /** The typed metadata schema a decoder fills. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
@@ -25,17 +27,88 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("payload_bytes", LongType)))
 
-  /** Attach a binary payload column (here synthesized from text —
-    * stands in for image/audio bytes read from object storage). */
-  def withPayload(documents: DataFrame): DataFrame =
-    documents.withColumn("payload", encode(col("text"), "UTF-8").cast(BinaryType))
+  // ---------------------------------------------------- payload synth
+
+  /** Deterministic per-doc image dimensions for synthesized payloads
+    * (mirrored literally in the DuckDB oracle). */
+  def synthWidth(docId: Long): Int = ((docId * 7) % 1920 + 1).toInt
+  def synthHeight(docId: Long): Int = ((docId * 13) % 1080 + 1).toInt
+
+  /** Fixed header sizes of the synthesized payloads: PNG = 8 (sig) +
+    * 25 (IHDR chunk) + 12 (IEND chunk); JPEG = 2 (SOI) + 18 (APP0
+    * JFIF) + 13 (SOF0, 1 component). The text bytes follow the header
+    * (trailing data after IEND / before SOS — both container walks
+    * stop at the frame header, and `payload_bytes` stays a pure
+    * function of the text the oracle can mirror). */
+  val pngHeaderBytes: Int = 45
+  val jpegHeaderBytes: Int = 33
+
+  /** A well-formed minimal PNG prefix: signature + IHDR (real CRC32)
+    * + IEND, with the given dimensions. */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(pngHeaderBytes)
+    def u32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      u32(data.length.toLong)
+      val tagged = ctype.getBytes("ASCII") ++ data
+      o.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      u32(crc.getValue)
+    }
+    o.write(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    def ih32(v: Int): Unit = {
+      ihdr.write((v >> 24) & 0xff); ihdr.write((v >> 16) & 0xff)
+      ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ih32(width); ih32(height)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IEND", Array.empty)
+    o.toByteArray
+  }
+
+  /** A JPEG prefix: SOI + APP0/JFIF + SOF0 (baseline, 1 component)
+    * with the given dimensions. */
+  def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(jpegHeaderBytes)
+    def u16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+    u16(0xffd8) // SOI
+    u16(0xffe0); u16(16) // APP0, len 16
+    o.write("JFIF".getBytes("ASCII")); o.write(0)
+    o.write(1); o.write(1) // version 1.1
+    o.write(0); u16(1); u16(1) // aspect units + density
+    o.write(0); o.write(0) // no thumbnail
+    u16(0xffc0); u16(11) // SOF0, len 11: precision + dims + 1 component
+    o.write(8); u16(height); u16(width); o.write(1)
+    o.write(1); o.write(0x11); o.write(0)
+    o.toByteArray
+  }
+
+  /** Attach a binary payload column: REAL image bytes — even doc_ids
+    * get a PNG, odd a JPEG, dimensions [[synthWidth]]/[[synthHeight]],
+    * document text riding as trailing bytes (stands in for pixel
+    * data read from object storage). A Scala UDF is fine here — this
+    * is fixture synthesis, not an operator on the 100 TB path. */
+  def withPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long, text: String) =>
+      val head =
+        if (docId % 2 == 0) pngBytes(synthWidth(docId), synthHeight(docId))
+        else jpegBytes(synthWidth(docId), synthHeight(docId))
+      head ++ (if (text == null) Array.empty[Byte] else text.getBytes("UTF-8"))
+    }
+    documents.withColumn("payload", synth(col("doc_id"), col("text")))
+  }
 
   /** STUB decoder — deterministic fake metadata from the payload
-    * (md5-derived dimensions). Real implementation: a batched
-    * per-partition decoder (`mapPartitions` over an iterator of rows,
-    * decoding in chunks); the stub keeps identical schema + semantics
-    * so downstream operators (resize planning, frame sampling,
-    * dedup-by-content-hash) are exercised for real. */
+    * (md5-derived dimensions). Retained as the fallback for formats
+    * with no in-container codec (audio/video): identical schema +
+    * semantics, so downstream operators exercise the full path and a
+    * real FFI decoder slots in without plan changes. */
   def stubDecode(payload: Column): Column = {
     val h = md5(payload)
     val hx = (off: Int) => conv(substring(h, off, 4), 16, 10).cast(IntegerType)
@@ -48,13 +121,25 @@ object Multimodal {
       length(payload).cast(LongType).as("payload_bytes"))
   }
 
+  /** JVM mirror of [[stubDecode]] (bit-for-bit: same md5-hex
+    * arithmetic) — the batched decoder's fallback for non-PNG/JPEG
+    * payloads. */
+  private def stubDecodeJvm(payload: Array[Byte]): (String, Int, Int, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(payload).map("%02x".format(_)).mkString
+    def hx(off: Int) = Integer.parseInt(h.substring(off - 1, off + 3), 16)
+    val fmt = hx(1) % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
+    (fmt, hx(5) % 1920 + 1, hx(9) % 1080 + 1, (hx(13) % 60000).toLong)
+  }
+
   /** Batched per-partition decode — the Scala analog of a
     * `mapInPandas` batch UDF: rows flow through the decoder in
     * `batchSize` groups so a real (vectorized/FFI) decoder amortizes
-    * per-call overhead. The stub mirrors [[stubDecode]] bit-for-bit
-    * (JVM md5 of the payload) so the two implementations are
-    * cross-checked in specs. Output schema matches [[mediaMetaSchema]]
-    * plus doc_id. */
+    * per-call overhead. PNG/JPEG headers are REALLY parsed
+    * ([[MediaDecode.decode]]); other payloads fall back to the
+    * deterministic stub. Output: doc_id, content_hash (md5 — the
+    * multimodal dedup key), format, width, height, duration_ms
+    * (0 for decoded stills), payload_bytes. */
   def decodeBatched(documents: DataFrame, batchSize: Int = 64): DataFrame = {
     val src = withPayload(graft.util.SparkUtil.widen(documents))
       .select(col("doc_id"), col("payload"))
@@ -64,31 +149,91 @@ object Multimodal {
         // a real decoder would hand `batch` to one vectorized call here
         batch.iterator.map { case (id, payload) =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          val h = md.digest(payload).map("%02x".format(_)).mkString
-          def hx(off: Int) = Integer.parseInt(h.substring(off - 1, off + 3), 16)
-          val fmt = hx(1) % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
-          (id, fmt, hx(5) % 1920 + 1, hx(9) % 1080 + 1,
-            (hx(13) % 60000).toLong, payload.length.toLong)
+          val hash = md.digest(payload).map("%02x".format(_)).mkString
+          MediaDecode.decode(payload) match {
+            case Some((fmt, w, h)) =>
+              (id, hash, fmt, w, h, 0L, payload.length.toLong)
+            case None =>
+              val (fmt, w, h, dur) = stubDecodeJvm(payload)
+              (id, hash, fmt, w, h, dur, payload.length.toLong)
+          }
         }
       }
-    }.toDF("doc_id", "format", "width", "height", "duration_ms", "payload_bytes")
+    }.toDF("doc_id", "content_hash", "format", "width", "height",
+      "duration_ms", "payload_bytes")
   }
 
-  /** Decode + derive: content hash (dedup key for multimodal dedup),
-    * aspect bucket (training-shard grouping), sampled frame offsets. */
+  /** Decode + derive: real PNG/JPEG dimensions, aspect bucket
+    * (training-shard grouping), payload size. Oracled columns only —
+    * `content_hash` (a CRC-bearing binary's md5 the SQL oracle cannot
+    * reconstruct) stays available on [[decodeBatched]]. */
   def mediaFeatures(documents: DataFrame): DataFrame =
-    withPayload(graft.util.SparkUtil.widen(documents))
-      .withColumn("meta", stubDecode(col("payload")))
+    decodeBatched(documents)
       .select(
         col("doc_id"),
-        md5(col("payload")).as("content_hash"),
-        col("meta.format").as("format"),
-        col("meta.width").as("width"),
-        col("meta.height").as("height"),
-        col("meta.payload_bytes").as("payload_bytes"),
-        round(col("meta.width").cast("double") / col("meta.height"), 4).as("aspect"),
-        // frame sampling plan: one frame per ~10 s of (fake) duration
-        size(sequence(lit(0L), col("meta.duration_ms"), lit(10000L)))
-          .cast("long").as("n_frames"))
+        col("format"),
+        col("width"),
+        col("height"),
+        col("payload_bytes"),
+        round(col("width").cast("double") / col("height"), 4).as("aspect"))
       .orderBy("doc_id")
+}
+
+/** Pure-JVM image header parsing from the public container specs —
+  * no codec libraries. Returns None for anything not PNG/JPEG (the
+  * caller falls back to the stub). Malformed-but-magic-matching
+  * payloads also return None — a corrupt image is DATA, not an
+  * engine error (the P14 containment stance). */
+object MediaDecode {
+
+  def decode(payload: Array[Byte]): Option[(String, Int, Int)] =
+    png(payload).orElse(jpeg(payload))
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG: 8-byte signature, then chunks; IHDR MUST be first (spec) —
+    * width/height are its first 8 data bytes. */
+  private def png(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 24) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != pngSig(i)) return None; i += 1 }
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    if (be32(b, 8) < 8) return None // IHDR data holds at least the dims
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(("png", w.toInt, h.toInt))
+  }
+
+  /** JPEG: SOI, then marker segments; the SOFn frame header (C0–CF
+    * minus C4/C8/CC) carries height @+3, width @+5 of its payload. */
+  private def jpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var p = 2
+    while (p + 3 < b.length) {
+      if ((b(p) & 0xff) != 0xff) return None // lost marker sync
+      var m = b(p + 1) & 0xff
+      while (m == 0xff && p + 2 < b.length) { p += 1; m = b(p + 1) & 0xff } // fill bytes
+      if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
+      if (m >= 0xd0 && m <= 0xd7) { p += 2 } // standalone RSTn
+      else {
+        if (p + 3 >= b.length) return None
+        val len = be16(b, p + 2)
+        if (len < 2 || p + 2 + len > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          val h = be16(b, p + 5); val w = be16(b, p + 7)
+          return if (w < 1 || h < 1) None else Some(("jpeg", w, h))
+        }
+        p += 2 + len
+      }
+    }
+    None
+  }
 }

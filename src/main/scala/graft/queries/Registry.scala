@@ -259,6 +259,44 @@ object Registry {
         CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
+    // A3 per-file processing latency — the reference's per-file
+    // PROCESSING_DURATION_SECONDS metric (processor_app.py:174–176,
+    // charted p95 in terraform/main.tf:528–548): a REAL AvailableNow
+    // notifyPipeline drain over synthesized binary captures emits the
+    // _latency table (publish→commit ms per source file), and the
+    // tolerance-boolean oracle (the sketch pattern) pins every file
+    // AND the p95 inside the reference's 600 s per-file budget —
+    // wall-clock values are nondeterministic, the budget compliance
+    // is not. File synthesis/drain is fixture-sized (8 × 50-packet
+    // captures, one micro-batch).
+    QueryDef("a3_file_latency",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val base = Files.createTempDirectory("graft_a3")
+        val (data, queue, out, ckpt) =
+          (s"$base/data", s"$base/q", s"$base/out", s"$base/ckpt")
+        Files.createDirectories(Paths.get(data)); Files.createDirectories(Paths.get(queue))
+        val nFiles = 8
+        (0 until nFiles).foreach { i =>
+          Files.write(Paths.get(data, f"bin_$i%03d.pcap"),
+            graft.sources.CaptureBytes.syntheticPcap(50, seed = i))
+          Files.writeString(Paths.get(queue, f"msg_$i%03d"), f"bin_$i%03d.pcap")
+        }
+        val q = graft.streaming.StreamingPipeline.notifyPipeline(
+          s, queue, data, out, ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "a3 drain timed out")
+        val lat = s.read.json(s"$out/_latency/*")
+        val p95 = lat.agg(expr("percentile(latency_ms, 0.95)")).head().getDouble(0)
+        lat.select(col("source_file"),
+            (col("latency_ms") >= 0 && col("latency_ms") < 600000L).as("latency_ok"),
+            lit(p95 >= 0 && p95 < 600000d).as("p95_ok"))
+          .orderBy("source_file")
+      },
+      Some("""SELECT 'bin_' || lpad(CAST(i AS VARCHAR), 3, '0') || '.pcap'
+          AS source_file, TRUE AS latency_ok, TRUE AS p95_ok
+        FROM range(8) t(i) ORDER BY source_file""")),
+
     QueryDef("asof_join_enrichment",
       (s, d) => Metrics.asOfEnrichment(t(s, d, "events")),
       Some("""WITH w AS (SELECT event_id, user_id, ts, event_type,
@@ -967,21 +1005,24 @@ object Registry {
   // ---------------- multimodal ----------------------------------------
 
   private val multimodal = Seq(
+    // REAL decode oracle: payloads are synthesized PNG/JPEG binaries
+    // (even/odd doc_id) whose IHDR/SOF dimensions follow a doc_id
+    // formula; Spark parses the BYTES (MediaDecode), DuckDB mirrors
+    // the formula — a parser regression (wrong offset, endianness,
+    // segment walk) hash-mismatches. content_hash (md5 over the
+    // CRC-bearing binary) is not SQL-reconstructible and stays on the
+    // decodeBatched surface, spec-covered.
     QueryDef("mm_media_features",
       (s, d) => Multimodal.mediaFeatures(t(s, d, "documents")),
-      Some("""WITH m AS (SELECT doc_id, encode(text) AS payload, md5(text) AS h
-          FROM documents)
-        SELECT doc_id, h AS content_hash,
-          CASE WHEN ('0x' || substr(h, 1, 4))::INTEGER % 3 = 0 THEN 'png'
-               WHEN ('0x' || substr(h, 1, 4))::INTEGER % 3 = 1 THEN 'jpeg'
-               ELSE 'webp' END AS format,
-          ('0x' || substr(h, 5, 4))::INTEGER % 1920 + 1 AS width,
-          ('0x' || substr(h, 9, 4))::INTEGER % 1080 + 1 AS height,
-          CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
-          round(CAST(('0x' || substr(h, 5, 4))::INTEGER % 1920 + 1 AS DOUBLE) /
-            (('0x' || substr(h, 9, 4))::INTEGER % 1080 + 1), 4) AS aspect,
-          CAST(('0x' || substr(h, 13, 4))::BIGINT % 60000 AS BIGINT) // 10000 + 1 AS n_frames
-        FROM m ORDER BY doc_id""")))
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+          CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 33 END
+            + octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+          round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
+            / ((doc_id * 13) % 1080 + 1), 4) AS aspect
+        FROM documents ORDER BY doc_id""")))
 
   // ---------------- corpus assembly (selection / mixing / budgeting) --
 

@@ -60,16 +60,33 @@ class PropertySpec extends SparkSpec {
     assert(out.forall(!_.getString(0).contains(":null")))
   }
 
-  test("batched multimodal decode agrees bit-for-bit with the expression stub") {
+  test("batched multimodal decode parses real headers for arbitrary text payloads") {
+    import graft.analytics.Multimodal
     val docs = samples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 100)
       .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val expr = graft.analytics.Multimodal.mediaFeatures(docs)
-      .select("doc_id", "format", "width", "height", "payload_bytes")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batched = Multimodal.decodeBatched(docs, batchSize = 7)
       .orderBy("doc_id").collect()
-    val batched = graft.analytics.Multimodal.decodeBatched(docs, batchSize = 7)
-      .select("doc_id", "format", "width", "height", "payload_bytes")
-      .orderBy("doc_id").collect()
-    assert(expr.map(_.toString).toSeq == batched.map(_.toString).toSeq)
+    // real dimensions out of the synthesized PNG/JPEG binaries, for
+    // EVERY generated text (arbitrary trailing bytes never confuse the
+    // header walk), and content_hash matches the engine's md5
+    val md5OfPayload = Multimodal.withPayload(docs)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    batched.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == md5OfPayload(id)) // JVM md5 == engine md5
+      assert(r.getString(2) == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getInt(3) == Multimodal.synthWidth(id))
+      assert(r.getInt(4) == Multimodal.synthHeight(id))
+      assert(r.getLong(5) == 0L) // decoded stills have no duration
+      val header = if (id % 2 == 0) Multimodal.pngHeaderBytes else Multimodal.jpegHeaderBytes
+      assert(r.getLong(6) == header + texts(id).getBytes("UTF-8").length)
+    }
+    // an unknown format falls back to the deterministic stub
+    val webp = "RIFF....WEBP and junk".getBytes("UTF-8")
+    assert(graft.analytics.MediaDecode.decode(webp).isEmpty)
   }
 }
