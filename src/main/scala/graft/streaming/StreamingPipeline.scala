@@ -202,7 +202,12 @@ object StreamingPipeline {
     *    and the stream moves on;
     *  - F1 filename validation: empty or '/'-containing payloads are
     *    rejected straight to the DLQ with no retry
-    *    (processor_app.py:131–133).
+    *    (processor_app.py:131–133);
+    *  - A3 per-file latency: each successful batch writes
+    *    `_latency/batch_id=N` rows (source_file, publish_ms,
+    *    commit_ms, latency_ms) — the reference's per-file
+    *    PROCESSING_DURATION_SECONDS log (processor_app.py:174–176)
+    *    as a queryable table (oracled p95 in `a3_file_latency`).
     * The per-batch `collect()` is of notification payloads only —
     * messages, never data — and `maxMessagesPerTrigger` (source
     * admission control, the subscription's flow-control analog) bounds
@@ -238,9 +243,9 @@ object StreamingPipeline {
             .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
         } else {
           failHook(batch, batchId)
-          val msgs = batch.select("message_id", "payload").collect()
-            .map(r => (r.getString(0), r.getString(1).trim))
-          val (valid, invalid) = msgs.partition { case (_, f) =>
+          val msgs = batch.select("message_id", "payload", "publish_ms").collect()
+            .map(r => (r.getString(0), r.getString(1).trim, r.getLong(2)))
+          val (valid, invalid) = msgs.partition { case (_, f, _) =>
             // F1 (processor_app.py:131–133) + directory traversal: "."
             // or ".." would make $dataDir/$f a DIRECTORY read (Python's
             // open() raises there; a silent dir scan would ingest
@@ -248,7 +253,8 @@ object StreamingPipeline {
             f.nonEmpty && !f.contains("/") && f != "." && f != ".."
           }
           import spark.implicits._
-          val dlqInvalid = invalid.toSeq.toDF("message_id", "payload")
+          val dlqInvalid = invalid.toSeq.map { case (m, f, _) => (m, f) }
+            .toDF("message_id", "payload")
             .withColumn("dlq_reason", lit("invalid filename"))
           if (valid.nonEmpty) {
             // the reference's full processor path: a payload naming a
@@ -256,13 +262,13 @@ object StreamingPipeline {
             // batch's plan (tshark hop, processor_app.py:144–163 — here
             // the native parser inside the scan partitions); payloads
             // naming pre-decoded *.json captures keep the wholetext path
-            val (pcapNames, jsonNames) = valid.partition { case (_, f) =>
+            val (pcapNames, jsonNames) = valid.partition { case (_, f, _) =>
               f.endsWith(".pcap") || f.endsWith(".pcapng")
             }
             val parts = Seq(
               if (jsonNames.isEmpty) None else Some(
                 spark.read.option("wholetext", "true")
-                  .text(jsonNames.map { case (_, f) => s"$dataDir/$f" }: _*)
+                  .text(jsonNames.map { case (_, f, _) => s"$dataDir/$f" }: _*)
                   .select(col("_metadata.file_path").as("source_file"), col("value"))
                   .select(col("source_file"),
                     explode(coalesce(from_json(col("value"), ArrayType(StringType)),
@@ -271,7 +277,7 @@ object StreamingPipeline {
                 // contained: ONE corrupt capture DLQs one message (via
                 // the P14 Malformed path), never the whole batch
                 graft.sources.PcapDecode.decodePathsContained(spark,
-                  pcapNames.map { case (_, f) => s"$dataDir/$f" }.toSeq, decoder))
+                  pcapNames.map { case (_, f, _) => s"$dataDir/$f" }.toSeq, decoder))
             ).flatten
             val raw = parts.reduce(_ unionByName _)
             val b = toUdm(raw).cache()
@@ -287,6 +293,18 @@ object StreamingPipeline {
                 .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
               UdmTransform.perFileCounts(b)
                 .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
+              // A3: per-file ingest→commit latency, the reference's
+              // PROCESSING_DURATION_SECONDS metric per processed file
+              // (processor_app.py:174–176) — publish_ms is the queue
+              // message's ingest stamp, commit is now (after the data
+              // sink writes above). Batch-scoped overwrite like every
+              // other sink: replayed attempts re-measure, never
+              // double-count.
+              val commitMs = System.currentTimeMillis()
+              valid.toSeq
+                .map { case (_, f, pub) => (f, pub, commitMs, commitMs - pub) }
+                .toDF("source_file", "publish_ms", "commit_ms", "latency_ms")
+                .write.mode("overwrite").json(s"$outDir/_latency/batch_id=$batchId")
             } finally b.unpersist()
           } else if (invalid.nonEmpty) {
             dlqInvalid.write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
