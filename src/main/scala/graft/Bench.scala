@@ -21,6 +21,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    require(rounds >= 1, s"SPARK_GRAFT_BENCH_ROUNDS must be >= 1: $rounds")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -168,8 +169,64 @@ object Bench {
       (-1.0, 0)
     }
 
+    // amortization datapoint: ONE big micro-batch (4× the corpus,
+    // texts made distinct by deterministic word-order variants so the
+    // collision subgraph stays realistic) against the ~5 s/batch fixed
+    // cost (per-batch MinHash + signature-store read + CC rounds + 3
+    // sinks) the 1,250-doc batches above cannot amortize. Reported
+    // separately as admission_stream_big / admission_big_docs_per_sec.
+    val (admBigSecs, admBigDocs) = try {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_bench_adm_big")
+      val d0 = Registry.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "text", "lang", "source")
+      val n = d0.count()
+      val bigDocs = Seq(
+        "text",
+        "concat_ws(' ', reverse(split(text, ' ')))",
+        "concat_ws(' ', array_sort(split(text, ' ')))",
+        "concat_ws(' ', reverse(array_sort(split(text, ' '))))")
+        .zipWithIndex.map { case (t, i) =>
+          d0.selectExpr(s"doc_id + ${i * n} AS doc_id", s"$t AS text",
+            "lang", "source")
+        }.reduce(_ unionByName _).toJSON.collect()
+      def drainBig(attempt: Int): Double = {
+        val (in, sig, out, ckpt) = (s"$base/in$attempt", s"$base/sig$attempt",
+          s"$base/out$attempt", s"$base/ckpt$attempt")
+        Files.createDirectories(Paths.get(in))
+        bigDocs.grouped(math.max(1, bigDocs.length / 8)).zipWithIndex.foreach {
+          case (chunk, i) =>
+            Files.writeString(Paths.get(in, f"docs_$i%03d.jsonl"),
+              chunk.mkString("\n"))
+        }
+        val t0 = System.nanoTime()
+        try {
+          val q = graft.streaming.StreamingPipeline.admissionPipeline(
+            spark, in, sig, out, ckpt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            maxFilesPerTrigger = 32).start() // whole corpus in ONE batch
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else {
+            q.stop()
+            System.err.println("[bench] admission_stream_big timed out")
+            -1.0
+          }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] admission_stream_big failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val a = drainBig(0)
+      val b = if (a < 0) a else { val x = drainBig(1); if (x < 0) a else math.min(a, x) }
+      (b, bigDocs.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] admission_stream_big setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
-      "stream_binary" -> binSecs, "admission_stream" -> admSecs)
+      "stream_binary" -> binSecs, "admission_stream" -> admSecs,
+      "admission_stream_big" -> admBigSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -177,7 +234,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
