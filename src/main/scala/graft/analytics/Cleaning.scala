@@ -1,0 +1,141 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document-cleaning operators a pretraining corpus build runs BEFORE
+  * dedup/selection: line-level boilerplate removal (the C4 / MassiveText
+  * family of heuristics — published rule sets, not reference-derived;
+  * the reference corpus has no cleaning stage, this is part of the
+  * "operations a large-scale training-data pipeline needs" mandate) and
+  * PII redaction (regex scrubbing of emails / IPs / SSNs / phone
+  * numbers, the standard pre-release pass).
+  *
+  * Both are deterministic and DuckDB-oracled; both stay narrow except
+  * where the semantics genuinely need a corpus-wide view (the
+  * line-frequency table in [[removeBoilerplate]]). */
+object Cleaning {
+
+  /** Line identity used for corpus-frequency counting: lowercased,
+    * trimmed, internal whitespace collapsed — boilerplate identity must
+    * survive spacing noise (a triple-spaced cookie banner is the same
+    * banner). md5 so the shuffled key is 32 bytes regardless of line
+    * length (the raw line would ship whole boilerplate paragraphs
+    * through the exchange). */
+  private def lineHash(line: Column): Column =
+    md5(regexp_replace(lower(trim(line)), "\\s+", " "))
+
+  /** Words-per-line, empty-safe: `split` of an empty string yields
+    * `[""]`, which must count 0, not 1 (both engines agree after the
+    * non-empty filter). */
+  private def wordCount(line: Column): Column =
+    size(filter(split(trim(line), "\\s+"), w => w =!= ""))
+
+  /** Default drop-line patterns (applied to the lowercased line) — the
+    * C4 "javascript / lorem ipsum / curly brace" family plus the usual
+    * legal-footer markers. */
+  val defaultBoilerplatePatterns: String =
+    "javascript|cookie|copyright|all rights reserved|privacy policy|" +
+      "terms of (use|service)|lorem ipsum"
+
+  /** Line-level boilerplate removal — C4-style local rules plus a
+    * MassiveText-style corpus-frequency rule:
+    *
+    *  - a line is RULE-dropped when it has fewer than `minWords` words
+    *    or its lowercased form matches `patterns`;
+    *  - a line is CORPUS-dropped when its normalized form appears in
+    *    more than `maxLineDocFreq` distinct documents (navigation bars,
+    *    legal footers, cookie banners — boilerplate is what repeats
+    *    across pages);
+    *  - documents keep their surviving lines in original order;
+    *    documents with zero surviving lines are dropped entirely
+    *    (C4 drops boilerplate-only pages).
+    *
+    * Output: (doc_id, text_clean, n_lines_kept, n_lines_dropped),
+    * ordered by doc_id.
+    *
+    * Scale shape (100 TB): the explode is narrow; the frequency table
+    * is one groupBy on the 32-byte line hash with a map-side-combinable
+    * `countDistinct(doc_id)` partial; only hashes with df >
+    * `maxLineDocFreq` survive the HAVING — a heavy-hitter set, orders
+    * of magnitude smaller than the line count, but UNBOUNDED in
+    * adversarial corpora, so it joins back as a plain shuffle anti-join
+    * on the same 32-byte key (never a forced broadcast). The regroup is
+    * one doc_id shuffle; per-doc state is that doc's own lines. Nothing
+    * funnels. */
+  def removeBoilerplate(documents: DataFrame, minWords: Int = 3,
+                        maxLineDocFreq: Long = 2,
+                        patterns: String = defaultBoilerplatePatterns): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1: $minWords")
+    require(maxLineDocFreq >= 1, s"maxLineDocFreq must be >= 1: $maxLineDocFreq")
+    val lines = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", lineHash(col("line")))
+    // corpus-frequency over ALL lines (rule-dropped lines still count
+    // toward boilerplate evidence — a 2-word cookie banner is still a
+    // cookie banner)
+    val frequent = lines.groupBy("lh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxLineDocFreq)
+      .select("lh")
+    val kept = lines
+      .filter(wordCount(col("line")) >= minWords &&
+        !lower(col("line")).rlike(patterns))
+      .join(frequent, Seq("lh"), "left_anti")
+    val regrouped = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")), "\n").as("text_clean"),
+        count(lit(1)).cast(LongType).as("n_lines_kept"))
+    val totals = documents.select(col("doc_id"),
+      size(split(col("text"), "\n")).cast(LongType).as("n_lines_total"))
+    regrouped.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("text_clean"), col("n_lines_kept"),
+        (col("n_lines_total") - col("n_lines_kept")).as("n_lines_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** PII category → (regex, replacement token). ORDER MATTERS and is
+    * part of the contract: emails first (their local/domain parts
+    * contain dots and digits that the later patterns must not see),
+    * then IPv4 (dotted digit runs that the dot-separated phone form
+    * would otherwise shadow), then SSN (3-2-4) and phone (3-3-4 —
+    * disjoint digit groupings, but both must run after IPv4). All
+    * patterns are valid in BOTH Java regex and RE2 (no backrefs, no
+    * lookaround) so the DuckDB oracle runs them verbatim. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** PII redaction — replace emails / IPv4 addresses / SSNs / phone
+    * numbers with typed tokens and count each category. Counts are
+    * PER-PASS: category i is counted on the text after categories
+    * 0..i-1 were already replaced, so each count equals the number of
+    * tokens that pass actually inserted (a digit-run inside an email
+    * counts as email only, never double-counts as phone/IP). Output:
+    * (doc_id, text_redacted, n_emails, n_ips, n_ssns, n_phones),
+    * ordered by doc_id.
+    *
+    * Scale shape: one narrow projection — chained `regexp_replace` +
+    * `regexp_count`, all codegen'd builtins at scan speed (the shared
+    * replace prefixes collapse under subexpression elimination); no
+    * shuffle, no UDF. [[graft.util.SparkUtil.widen]] keeps the regex
+    * CPU parallel on few-file inputs. */
+  def redactPii(documents: DataFrame): DataFrame = {
+    // stages(i) = text after the first i replacement passes
+    val stages = piiPatterns.scanLeft(col("text")) {
+      case (acc, (_, pat, tok)) => regexp_replace(acc, pat, tok)
+    }
+    val counts = piiPatterns.zipWithIndex.map { case ((name, pat, _), i) =>
+      regexp_count(stages(i), lit(pat)).cast(LongType).as(s"n_${name}s")
+    }
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id") +: stages.last.as("text_redacted") +: counts: _*)
+      .orderBy("doc_id")
+  }
+}

@@ -131,4 +131,45 @@ object TextAnalysis {
         md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"),
         md5(col("text")).as("raw_md5"))
       .orderBy("doc_id")
+
+  /** Unigram language-model scoring — per-document cross-entropy under
+    * a unigram model fit on the corpus itself (the CCNet/Gopher
+    * "perplexity filter" shape; real recipes use a KenLM 5-gram, the
+    * unigram version is the engine-expressible, oracle-checkable
+    * proxy). Per doc: mean over tokens of −log2 p(token), with add-one
+    * (Laplace) smoothing over the corpus vocabulary; high bits/token =
+    * improbable word mix (gibberish, wrong-language), low = natural.
+    * Output: (doc_id, n_tokens, bits_per_token), ordered by doc_id.
+    *
+    * Scale shape (100 TB): two shuffles plus one tiny broadcast. The
+    * token explode is narrow; the frequency table is one map-side-
+    * combinable groupBy on `token` (vocab-sized — natural-language
+    * vocabulary grows sub-linearly in corpus size, but noise tokens are
+    * unbounded, so the freq table joins back on the SAME token key as a
+    * plain shuffle join, never a forced broadcast — Catalyst reuses the
+    * exploded exchange); the (N, V) totals are a 2-value aggregate of
+    * the vocab-sized table (AQE reuses the freq exchange), broadcast as
+    * ONE row and cross-joined ABOVE the per-doc aggregate — mean bits =
+    * log2(N+V) − mean(log2(tf+1)), so token-level rows never touch the
+    * scalar join. Per-doc averaging is one doc_id shuffle with a
+    * map-side-combinable avg partial. The oracle mirrors the exact
+    * arithmetic shape (avg of ln(tf+1), scalar applied after) so the
+    * only cross-engine divergence is libm ulp under the 4-dp round. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val totals = freq.agg(sum("tf").as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val ln2 = log(lit(2.0))
+    toks.join(freq, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(log(col("tf") + 1)).as("avg_ln_tf1"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        round((log(col("n_total") + col("n_vocab")) - col("avg_ln_tf1")) / ln2, 4)
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
 }

@@ -630,7 +630,24 @@ object Registry {
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id,
         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
-        md5(text) AS raw_md5 FROM documents ORDER BY doc_id""")))
+        md5(text) AS raw_md5 FROM documents ORDER BY doc_id""")),
+
+    // unigram-LM cross-entropy (the CCNet/Gopher perplexity-filter
+    // shape, unigram so both engines express it): add-one-smoothed
+    // −log2 p averaged per doc, model fit on the corpus itself
+    QueryDef("txt_unigram_lm",
+      (s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents")),
+      Some {
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          freq AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
+          tot AS (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
+          perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+            avg(ln(tf + 1)) AS avg_ln_tf1
+          FROM toks JOIN freq USING (token) GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+            round((ln(n_total + n_vocab) - avg_ln_tf1) / ln(2.0), 4) AS bits_per_token
+          FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
+      }, bench = true))
 
   // ---------------- dedup ---------------------------------------------
 
@@ -1129,6 +1146,91 @@ object Registry {
         SELECT doc_id, lang, source FROM documents JOIN thr USING (source)
         WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
         ORDER BY doc_id""")),
+
+    // C4/MassiveText line-level boilerplate removal over a lined corpus
+    // synthesized identically on both sides (the raw synthetic docs are
+    // single-line): body + a per-source legal footer (corpus-frequent),
+    // a javascript banner or a unique section line, and a short "ok" or
+    // a 40-char body prefix — exercising the pattern rule, the
+    // min-words rule, and the corpus-frequency rule at once
+    QueryDef("corpus_remove_boilerplate",
+      (s, d) => {
+        val lined = t(s, d, "documents").withColumn("text",
+          concat(col("text"),
+            lit("\ncopyright "), col("source"), lit(" all rights reserved\n"),
+            when(col("doc_id") % 3 === 0,
+              lit("please enable javascript and cookies to continue"))
+              .otherwise(concat(lit("section "), col("doc_id").cast("string"),
+                lit(" of the archive collection"))),
+            lit("\n"),
+            when(col("doc_id") % 7 === 0, lit("ok"))
+              .otherwise(substring(col("text"), 1, 40))))
+        Cleaning.removeBoilerplate(lined)
+      },
+      Some {
+        s"""WITH lined AS (SELECT doc_id,
+            text || chr(10) || 'copyright ' || source || ' all rights reserved' || chr(10) ||
+            CASE WHEN doc_id % 3 = 0 THEN 'please enable javascript and cookies to continue'
+                 ELSE 'section ' || CAST(doc_id AS VARCHAR) || ' of the archive collection' END || chr(10) ||
+            CASE WHEN doc_id % 7 = 0 THEN 'ok' ELSE substr(text, 1, 40) END AS t
+          FROM documents),
+          lines AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line,
+            unnest(generate_series(1, len(str_split(t, chr(10))))) AS pos FROM lined),
+          norm AS (SELECT doc_id, pos, line,
+            md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')) AS lh,
+            len(list_filter(regexp_split_to_array(trim(line), '\\s+'), w -> w <> '')) AS nw
+          FROM lines),
+          freq AS (SELECT lh FROM norm GROUP BY lh HAVING count(DISTINCT doc_id) > 2),
+          kept AS (SELECT * FROM norm WHERE nw >= 3
+            AND NOT regexp_matches(lower(line), '${Cleaning.defaultBoilerplatePatterns}')
+            AND lh NOT IN (SELECT lh FROM freq)),
+          agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+            count(*)::BIGINT AS n_lines_kept FROM kept GROUP BY doc_id)
+          SELECT a.doc_id, text_clean, n_lines_kept,
+            (len(str_split(l.t, chr(10))) - n_lines_kept)::BIGINT AS n_lines_dropped
+          FROM agg a JOIN lined l ON a.doc_id = l.doc_id ORDER BY a.doc_id"""
+      }, bench = true),
+
+    // PII redaction over synthetic PII injected identically on both
+    // sides (emails/IPs always, SSN on doc_id%3=0, phone on doc_id%2=0)
+    QueryDef("corpus_redact_pii",
+      (s, d) => {
+        val injected = t(s, d, "documents").withColumn("text",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" ssn 123-45-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" call 555-867-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        Cleaning.redactPii(injected)
+      },
+      Some {
+        // Scala's "\\b" is the two chars \b — embeds verbatim into the
+        // single-quoted RE2 literal (patterns are dialect-shared)
+        val Seq(em, ip, ssn, ph) = Cleaning.piiPatterns.map(_._2)
+        s"""WITH injected AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' ||
+            CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+            CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+          FROM documents),
+          s1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM injected),
+          s2 AS (SELECT *, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+          s3 AS (SELECT *, regexp_replace(t2, '$ssn', '<SSN>', 'g') AS t3 FROM s2)
+          SELECT doc_id,
+            regexp_replace(t3, '$ph', '<PHONE>', 'g') AS text_redacted,
+            len(regexp_extract_all(t, '$em'))::BIGINT AS n_emails,
+            len(regexp_extract_all(t1, '$ip'))::BIGINT AS n_ips,
+            len(regexp_extract_all(t2, '$ssn'))::BIGINT AS n_ssns,
+            len(regexp_extract_all(t3, '$ph'))::BIGINT AS n_phones
+          FROM s3 ORDER BY doc_id"""
+      }),
 
     // sequence packing (chunked concatenation): each doc's span across
     // fixed-256-token training sequences, per source in doc_id order

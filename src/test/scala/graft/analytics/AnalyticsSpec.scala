@@ -688,4 +688,23 @@ class AnalyticsSpec extends SparkSpec {
       Multimodal.pngBytes(10, 10).take(12)).isEmpty)
     assert(graft.analytics.MediaDecode.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
+
+  test("unigramLogProb matches the hand-computed add-one model") {
+    val d = docs(1L -> "alpha alpha beta", 2L -> "beta gamma")
+    // corpus: tf(alpha)=2 tf(beta)=2 tf(gamma)=1, N=5, V=3; mean bits =
+    // log2(N+V) − mean(log2(tf+1)) — the operator's evaluation shape
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(tfs: Seq[Long]) = round4(
+      (math.log(5 + 3) - tfs.map(tf => math.log(tf + 1.0)).sum / tfs.size) /
+        math.log(2.0))
+    val expect = Map(1L -> score(Seq(2, 2, 2)), 2L -> score(Seq(2, 1)))
+    val out = TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    assert(math.abs(out(1L)._2 - expect(1L)) < 1e-9)
+    assert(math.abs(out(2L)._2 - expect(2L)) < 1e-9)
+    // rare word mix scores strictly more bits/token than common mix
+    assert(out(2L)._2 > out(1L)._2)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the document-cleaning operators on
+  * hand-built inputs (the DuckDB oracle checks engine-vs-engine
+  * equality; these check the rules do what they claim). */
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("removeBoilerplate: pattern, min-words, and corpus-frequency rules") {
+    val banner = "Please enable JavaScript to view this site"
+    val footer = "shared navigation footer appears on every page"
+    val d = docs(
+      1L -> s"unique body line one with plenty of words\n$banner\n$footer\nok",
+      2L -> s"another unique body line with many words here\n$footer",
+      3L -> s"third unique body line of text\n$footer\nSHARED NAVIGATION   footer appears on every page")
+    val out = Cleaning.removeBoilerplate(d, minWords = 3, maxLineDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // banner: pattern rule (case-insensitive via lower); "ok": min-words;
+    // footer: appears in 3 distinct docs (> 2) — corpus rule, and doc 3's
+    // case/whitespace variant normalizes to the same line identity
+    assert(out(1L).getString(1) == "unique body line one with plenty of words")
+    assert(out(1L).getLong(2) == 1 && out(1L).getLong(3) == 3)
+    assert(out(2L).getString(1) == "another unique body line with many words here")
+    assert(out(3L).getString(1) == "third unique body line of text")
+    assert(out(3L).getLong(3) == 2)
+  }
+
+  test("removeBoilerplate: boilerplate-only documents are dropped, order kept") {
+    val d = docs(
+      1L -> "keep alpha first line here\nsecond alpha line also kept fine",
+      2L -> "see our privacy policy for details\nok")
+    val out = Cleaning.removeBoilerplate(d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // doc 2 fully boilerplate
+    assert(out.head.getString(1) ==
+      "keep alpha first line here\nsecond alpha line also kept fine")
+  }
+
+  test("removeBoilerplate: frequency threshold counts DISTINCT docs") {
+    val dup = "repeated inside one single document only"
+    val d = docs(
+      1L -> s"$dup\n$dup\n$dup\nplus one unique line of text",
+      2L -> "entirely unrelated second document body line")
+    // 3 occurrences but 1 distinct doc — NOT corpus-frequent at df > 2
+    val out = Cleaning.removeBoilerplate(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 4)
+  }
+
+  test("redactPii: every category replaced and counted, order-safe") {
+    val d = docs(
+      1L -> ("write to jane.doe+x@mail-host.example.org or call 555-123-4567, " +
+        "server at 192.168.0.1, ssn 078-05-1120"),
+      2L -> "no pii in this one at all")
+    val out = Cleaning.redactPii(d).collect().map(r => r.getLong(0) -> r).toMap
+    val t1 = out(1L).getString(1)
+    assert(t1.contains("<EMAIL>") && t1.contains("<PHONE>") &&
+      t1.contains("<IP>") && t1.contains("<SSN>"))
+    assert(!t1.exists(_.isDigit), s"digits survived redaction: $t1")
+    assert((2 to 5).map(out(1L).getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(out(2L).getString(1) == "no pii in this one at all")
+    assert((2 to 5).map(out(2L).getLong) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("redactPii: email local-part digits and dots never leak into IP/phone") {
+    val d = docs(1L -> "mail 555.123.4567@example.com then ip 10.0.0.255 end")
+    val r = Cleaning.redactPii(d).collect().head
+    // the dotted digit run is part of the email and must be consumed by
+    // the email pass, not double-matched by IP/phone
+    assert(r.getString(1) == "mail <EMAIL> then ip <IP> end")
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getLong(4) == 0 && r.getLong(5) == 0)
+  }
+}
