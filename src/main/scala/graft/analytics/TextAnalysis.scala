@@ -172,4 +172,48 @@ object TextAnalysis {
           .as("bits_per_token"))
       .orderBy("doc_id")
   }
+
+  /** Okapi BM25 relevance of every document against a fixed query term
+    * set — the lexical-retrieval scorer a corpus pipeline uses for
+    * retrieval-based filtering ("keep documents relevant to domain X")
+    * and retrieval-style decontamination. Lucene's smoothed idf:
+    * ln(1 + (N − df + ½)/(df + ½)); per-term score
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)); a document's
+    * score sums its matched query terms. Only matching documents are
+    * returned. Output: (doc_id, n_matched_terms, bm25), ordered by
+    * doc_id.
+    *
+    * Scale shape (100 TB): the explode is narrow and the query-term
+    * filter drops non-matches at scan speed; `matched` is
+    * |docs|×|query| at worst. The df table is ≤ |terms| rows
+    * (broadcast — genuinely bounded by the query, unlike a vocabulary);
+    * doc lengths join on doc_id (corpus-sized both sides — plain
+    * shuffle join); (N, avgdl) is one broadcast row cross-joined above
+    * the per-(doc, term) rows, which number ≤ |docs|×|terms|. */
+  def bm25Scores(documents: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query term set must be non-empty")
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val matched = toks.filter(col("token").isInCollection(terms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    // operation order mirrors the oracle SQL exactly; constants are
+    // pre-computed once (k1+1, 1−b) so both engines use identical
+    // doubles
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val score = idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    matched.join(broadcast(dfTab), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matched_terms"),
+        round(sum(score), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
 }

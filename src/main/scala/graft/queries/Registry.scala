@@ -534,6 +534,8 @@ object Registry {
 
   // ---------------- text analysis -------------------------------------
 
+  private val bm25Terms = Seq("spark", "vector", "merge", "customer", "window")
+
   private def toksSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   private val text = Seq(
@@ -647,7 +649,32 @@ object Registry {
           SELECT doc_id, n_tokens,
             round((ln(n_total + n_vocab) - avg_ln_tf1) / ln(2.0), 4) AS bits_per_token
           FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
-      }, bench = true))
+      }, bench = true),
+
+    // Okapi BM25 against a fixed query term set (retrieval-based
+    // filtering). Float constants are injected from the SAME Scala
+    // doubles the operator uses, cast from their round-trip string
+    // form — both engines then compute with bit-identical constants
+    QueryDef("txt_bm25_scores",
+      (s, d) => TextAnalysis.bm25Scores(t(s, d, "documents"), bm25Terms),
+      Some {
+        val c1 = s"CAST('${1.2 + 1}' AS DOUBLE)"   // k1 + 1
+        val ck = s"CAST('${1.2}' AS DOUBLE)"       // k1
+        val c2 = s"CAST('${1 - 0.75}' AS DOUBLE)"  // 1 − b
+        val cb = s"CAST('${0.75}' AS DOUBLE)"      // b
+        val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+          stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+          matched AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+            WHERE token IN $inList GROUP BY doc_id, token),
+          dfs AS (SELECT token, count(*)::BIGINT AS df FROM matched GROUP BY token)
+          SELECT doc_id, count(*)::BIGINT AS n_matched_terms,
+            round(sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+              * tf * $c1 / (tf + $ck * ($c2 + $cb * dl / avgdl))), 4) AS bm25
+          FROM matched JOIN dfs USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id ORDER BY doc_id"""
+      }))
 
   // ---------------- dedup ---------------------------------------------
 
