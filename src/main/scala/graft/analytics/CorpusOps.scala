@@ -217,13 +217,15 @@ object CorpusOps {
     * traded for never serializing a dominant source through one
     * reducer.
     *
-    * `skewSafe = None` (the default) AUTO-SELECTS from per-source
-    * count stats — one tiny EAGER aggregate over the `source` column
-    * at DataFrame-construction time (narrow scan + |sources|-row
-    * shuffle, the [[decontaminate]] gate pattern): the skew-safe plan
-    * is chosen only when one source holds ≥ half the corpus (the
-    * documented single-dominant-source pathology); balanced
-    * many-source corpora keep the cheaper single-scan window plan.
+    * `skewSafe = None` (the default) AUTO-SELECTS via
+    * [[dominanceProbe]] — one EAGER single-stage narrow job with O(k)
+    * state at DataFrame-construction time (no shuffle; a per-source
+    * count aggregate would be corpus-cardinality-sized): the skew-safe
+    * plan is chosen only when one source holds ≥ half the corpus (the
+    * documented single-dominant-source pathology; the probe has no
+    * false negatives there and errs toward skew-safe on borderline
+    * corpora); balanced many-source corpora keep the cheaper
+    * single-scan window plan and pay ONLY the probe.
     *
     * The per-source offsets table the skew-safe plan joins back is
     * ≤ (P + |sources|) rows — and SOURCE CARDINALITY GROWS WITH THE
@@ -232,6 +234,47 @@ object CorpusOps {
     * becomes a plain shuffle join, which is nearly free here — the
     * downstream per-(partition, source) window needs a hash exchange
     * on the same keys anyway, so only the tiny offsets side pays. */
+  /** Bounded-state source-dominance probe — ONE narrow single-stage
+    * job, O(k) memory per task and on the driver (source cardinality
+    * grows with the corpus, so a per-source count aggregate or hash
+    * map would not fly at 100 TB). Each partition keeps a
+    * Misra-Gries(k) heavy-hitter sketch of the `source` column;
+    * partials merge by counter addition + the same trim (the sketch is
+    * mergeable). Guarantee: a source with true count f retains a
+    * counter ≥ f − total/(k+1), so a ≥½-dominant source ALWAYS
+    * satisfies (counter + total/(k+1))·2 ≥ total — no false
+    * negatives; corpora whose max share sits within 2/(k+1) of ½ may
+    * probe as dominant, erring toward the skew-safe plan. Both
+    * candidate plans are correct — the probe only picks the faster
+    * one. Returns (maxCounter, slack = total/(k+1), total). */
+  private[analytics] def dominanceProbe(documents: DataFrame,
+                                        k: Int = 8): (Long, Long, Long) = {
+    import org.apache.spark.sql.Encoders
+    import scala.collection.mutable
+    def addAll(a: mutable.HashMap[String, Long],
+               b: IterableOnce[(String, Long)]): mutable.HashMap[String, Long] = {
+      b.iterator.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
+      if (a.size > k) {
+        val dec = a.values.min
+        val kept = a.toSeq.collect { case (s, c) if c > dec => (s, c - dec) }
+        a.clear(); a ++= kept
+      }
+      a
+    }
+    val (sketch, total) = documents.select(col("source").cast("string"))
+      .as(Encoders.STRING).rdd
+      .mapPartitions { it =>
+        val m = mutable.HashMap.empty[String, Long]
+        var t = 0L
+        it.foreach { s => t += 1; addAll(m, Iterator.single(s -> 1L)) }
+        Iterator.single((m, t))
+      }
+      .treeAggregate((mutable.HashMap.empty[String, Long], 0L))(
+        { case ((a, ta), (b, tb)) => (addAll(a, b), ta + tb) },
+        { case ((a, ta), (b, tb)) => (addAll(a, b), ta + tb) })
+    (if (sketch.isEmpty) 0L else sketch.values.max, total / (k + 1), total)
+  }
+
   def cumulativeTokens(documents: DataFrame,
                        skewSafe: Option[Boolean] = None,
                        offsetsBroadcastMaxRows: Long = 1L << 20): DataFrame = {
@@ -239,16 +282,16 @@ object CorpusOps {
     val toks = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    // (max per-source count, total rows, source count) — run only when
-    // the plan choice or the broadcast gate needs it
-    lazy val sourceStats: (Long, Long, Long) = {
-      val r = documents.groupBy("source").agg(count(lit(1)).as("n"))
-        .agg(max("n"), sum("n"), count(lit(1))).head()
-      if (r.isNullAt(0)) (0L, 0L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
+    // |sources| for the offsets broadcast row gate — forced ONLY when
+    // the skew-safe plan is actually taken (it is a shuffle aggregate;
+    // the common balanced-corpus path must never pay it)
+    lazy val sourceCount: Long = {
+      val r = documents.agg(countDistinct(col("source"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val useSkewSafe = skewSafe.getOrElse {
-      val (maxN, total, _) = sourceStats
-      total > 0 && maxN * 2 >= total
+      val (mgMax, slack, total) = dominanceProbe(documents)
+      total > 0 && (mgMax + slack) * 2 >= total
     }
     if (!useSkewSafe) {
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -275,7 +318,7 @@ object CorpusOps {
       val wLocal = Window.partitionBy(col("_pid"), col("source")).orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val gatedOffsets =
-        if (sourceStats._3 + p <= offsetsBroadcastMaxRows) broadcast(offsets)
+        if (sourceCount + p <= offsetsBroadcastMaxRows) broadcast(offsets)
         else offsets
       withPid.join(gatedOffsets,
           col("_pid") === col("_opid") && col("source") <=> col("_k"))

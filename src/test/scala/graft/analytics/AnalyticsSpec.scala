@@ -624,6 +624,33 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("_pid"))
     assert(!CorpusOps.cumulativeTokens(balanced)
       .queryExecution.optimizedPlan.toString.contains("_pid"))
+    // a NULL-dominant corpus probes without NPE and picks skew-safe
+    val nullDominant = (1L to 40L).map(i =>
+      (i, "a b c", "en", if (i <= 30) null else s"s$i"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(CorpusOps.cumulativeTokens(nullDominant)
+      .queryExecution.optimizedPlan.toString.contains("_pid"))
+  }
+
+  test("dominanceProbe: O(k) sketch never misses a majority source") {
+    import spark.implicits._
+    // 60% majority across MANY minor sources (sketch pressure: 40
+    // distinct sources >> k=8) spread over several partitions
+    val rows = (1L to 300L).map(i =>
+      (i, "x", "en", if (i % 5 < 3) "maj" else s"minor${i % 40}"))
+    val d = rows.toDF("doc_id", "text", "lang", "source").repartition(7)
+    val (mgMax, slack, total) = CorpusOps.dominanceProbe(d)
+    assert(total == 300)
+    assert((mgMax + slack) * 2 >= total) // majority MUST be detected
+    // balanced corpus with the same cardinality stays under the bar
+    val bal = (1L to 300L).map(i => (i, "x", "en", s"s${i % 30}"))
+      .toDF("doc_id", "text", "lang", "source").repartition(7)
+    val (bMax, bSlack, bTotal) = CorpusOps.dominanceProbe(bal)
+    assert((bMax + bSlack) * 2 < bTotal)
+    // exact on <= k sources: counters are true counts
+    val exact = (1L to 20L).map(i => (i, "x", "en", s"e${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(CorpusOps.dominanceProbe(exact)._1 == 5)
   }
 
   test("decontaminate shuffle fallback equals the broadcast branch") {
@@ -706,5 +733,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - expect(2L)) < 1e-9)
     // rare word mix scores strictly more bits/token than common mix
     assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("bm25Scores matches the hand-computed Okapi model") {
+    val d = docs(
+      1L -> "spark spark data lake",      // dl=4, tf(spark)=2
+      2L -> "spark merge here",           // dl=3, tf(spark)=1 tf(merge)=1
+      3L -> "nothing relevant at all ok") // dl=5, no match
+    val out = TextAnalysis.bm25Scores(d, Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=3, avgdl=4; df(spark)=2, df(merge)=1
+    def idf(df: Long) = math.log(1 + (3.0 - df + 0.5) / (df + 0.5))
+    def term(tf: Long, df: Long, dl: Long) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L)) // doc 3 matches nothing
+    assert(out(1L)._1 == 1 && out(2L)._1 == 2)
+    assert(math.abs(out(1L)._2 - round4(term(2, 2, 4))) < 2e-4)
+    assert(math.abs(out(2L)._2 - round4(term(1, 2, 3) + term(1, 1, 3))) < 2e-4)
+    // the rarer term contributes more than the common one at equal tf/dl
+    assert(term(1, 1, 3) > term(1, 2, 3))
   }
 }
