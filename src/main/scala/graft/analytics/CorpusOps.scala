@@ -275,6 +275,16 @@ object CorpusOps {
     (if (sketch.isEmpty) 0L else sketch.values.max, total / (k + 1), total)
   }
 
+  /** Dominance decisions memoized by the input's analyzed-plan
+    * semantic hash — [[tokenBudget]] and [[packSequences]] over the
+    * SAME corpus probe once, not once per operator (and re-planning
+    * the same frame, e.g. a benchmark's repeat runs, is free). Bounded
+    * (cleared past 256 entries); a stale entry — same plan, data
+    * changed underneath — can only mis-pick between two CORRECT plans,
+    * the probe's existing borderline behavior. */
+  private[analytics] val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
+
   def cumulativeTokens(documents: DataFrame,
                        skewSafe: Option[Boolean] = None,
                        offsetsBroadcastMaxRows: Long = 1L << 20): DataFrame = {
@@ -290,8 +300,14 @@ object CorpusOps {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val useSkewSafe = skewSafe.getOrElse {
-      val (mgMax, slack, total) = dominanceProbe(documents)
-      total > 0 && (mgMax + slack) * 2 >= total
+      val key = Integer.valueOf(documents.queryExecution.analyzed.semanticHash())
+      Option(probeMemo.get(key)).map(_.booleanValue()).getOrElse {
+        val (mgMax, slack, total) = dominanceProbe(documents)
+        val dec = total > 0 && (mgMax + slack) * 2 >= total
+        if (probeMemo.size > 256) probeMemo.clear()
+        probeMemo.put(key, dec)
+        dec
+      }
     }
     if (!useSkewSafe) {
       val w = Window.partitionBy("source").orderBy("doc_id")

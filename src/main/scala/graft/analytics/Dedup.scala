@@ -402,4 +402,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Cross-document repeated-span detection — the ExactSubstr dedup
+    * family (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): token spans repeated verbatim across documents.
+    * The published recipe builds a corpus-wide suffix array; the
+    * engine-distributed equivalent detects every repeated span of ≥ n
+    * tokens via its n-gram cover: a span repeated in > maxDocFreq docs
+    * consists only of n-grams with doc-frequency > maxDocFreq, so its
+    * hits cover it COMPLETELY — no false negatives. The merge is a
+    * superset of the suffix-array answer: distinct repeats that
+    * overlap, and n-grams frequent by coincidence of context, can
+    * chain adjacent spans into one longer reported span — the
+    * conservative direction for removal (md5 gram hashes stand in for
+    * suffix comparison; collisions are the usual negligible caveat).
+    *
+    * Emits one row per maximal span: (doc_id, span_start, span_end,
+    * n_grams) — token offsets [start, end) plus the number of frequent
+    * n-grams merged into the span; a downstream rewrite pass cuts the
+    * spans (the removal half is a narrow per-doc transform once the
+    * span table exists). Ordered by (doc_id, span_start).
+    *
+    * Scale shape (100 TB): n-grams explode narrowly, hashed to 32
+    * bytes; the doc-frequency table is one map-side-combinable groupBy
+    * on the gram hash; frequent grams (df > maxDocFreq) join back as a
+    * plain shuffle semi-join on the same key (heavy-hitter set,
+    * unbounded adversarially — never a forced broadcast). The
+    * gaps-and-islands merge runs one window per doc_id — corpus-
+    * cardinality partitions, never a funnel. */
+  def repeatedSpans(documents: DataFrame, n: Int = 3,
+                    maxDocFreq: Long = 1): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    import org.apache.spark.sql.expressions.Window
+    val w = TextAnalysis.tokens(col("text"))
+    val grams = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        posexplode(when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n),
+            i => md5(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gh")))
+    val frequent = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("gh")
+    val hits = grams.join(frequent, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        (col("pos") + n).cast(LongType).as("end"))
+    // gaps-and-islands: a hit starts a new span iff it begins past
+    // every earlier hit's end; islands then aggregate to maximal spans
+    val order = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max("end").over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island", sum("new_span").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"), max("end").as("span_end"),
+        count(lit(1)).cast(LongType).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
 }

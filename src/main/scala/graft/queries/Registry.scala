@@ -868,6 +868,33 @@ object Registry {
           WHERE jac >= 0.8 ORDER BY doc_a, doc_b"""
       }, bench = true),
 
+    // ExactSubstr-family repeated spans: 3-gram hits with df > 2 merged
+    // gaps-and-islands into maximal per-doc spans (token offsets)
+    QueryDef("dedup_repeated_spans",
+      (s, d) => Dedup.repeatedSpans(t(s, d, "documents"), 3, 2),
+      Some {
+        s"""WITH toksw AS (SELECT doc_id, $toksSql AS w FROM documents),
+          grams AS (SELECT doc_id,
+            unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 3 + 1),
+              i -> md5(array_to_string(w[i+1:i+3], ' '))) ELSE [] END) AS gh,
+            unnest(CASE WHEN len(w) >= 3 THEN range(0, len(w) - 3 + 1) ELSE [] END) AS pos
+          FROM toksw),
+          freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 2),
+          hits AS (SELECT doc_id, pos::BIGINT AS pos, (pos + 3)::BIGINT AS epos
+            FROM grams WHERE gh IN (SELECT gh FROM freq)),
+          flagged AS (SELECT doc_id, pos, epos,
+            CASE WHEN max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span FROM hits),
+          islands AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island FROM flagged)
+          SELECT doc_id, min(pos)::BIGINT AS span_start, max(epos)::BIGINT AS span_end,
+            count(*)::BIGINT AS n_grams
+          FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+      }, bench = true),
+
     // SRP-bucketed near-dup: pairs only within a shared LSH bucket, then
     // exact cosine ≥ threshold; oracle mirrors the bucket assignment.
     QueryDef("dedup_embedding_cosine",

@@ -630,6 +630,15 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     assert(CorpusOps.cumulativeTokens(nullDominant)
       .queryExecution.optimizedPlan.toString.contains("_pid"))
+    // the decision memoizes per analyzed plan: a second operator over
+    // the SAME corpus reuses it (one entry, no growth) and agrees
+    CorpusOps.probeMemo.clear()
+    assert(!CorpusOps.cumulativeTokens(balanced)
+      .queryExecution.optimizedPlan.toString.contains("_pid"))
+    val sizeAfterFirst = CorpusOps.probeMemo.size
+    assert(!CorpusOps.tokenBudget(balanced, 100L)
+      .queryExecution.optimizedPlan.toString.contains("_pid"))
+    assert(CorpusOps.probeMemo.size == sizeAfterFirst)
   }
 
   test("dominanceProbe: O(k) sketch never misses a majority source") {
@@ -733,6 +742,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - expect(2L)) < 1e-9)
     // rare word mix scores strictly more bits/token than common mix
     assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("repeatedSpans finds, bounds, and merges cross-document repeats") {
+    val shared = "the quick brown fox jumps over the lazy dog" // 9 tokens
+    val d = docs(
+      1L -> s"alpha beta gamma $shared delta",
+      2L -> s"$shared omega psi",
+      3L -> s"prefix words here then $shared",
+      4L -> "no repeats in this one at all",
+      5L -> s"$shared unique1 $shared")
+    // df > 2 satisfied: the shared run appears in docs 1, 2, 3, 5
+    val spans = Dedup.repeatedSpans(d, n = 3, maxDocFreq = 2).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+      .toMap
+    // exact token offsets: the context grams straddling span borders are
+    // unique per doc, so the span is exactly the shared run's cover
+    assert(spans(1L) == Seq((3L, 12L, 7L)))
+    assert(spans(2L) == Seq((0L, 9L, 7L)))
+    assert(spans(3L) == Seq((4L, 13L, 7L)))
+    assert(!spans.contains(4L))
+    // two occurrences separated by a unique token stay TWO spans
+    assert(spans(5L) == Seq((0L, 9L, 7L), (10L, 19L, 7L)))
   }
 
   test("bm25Scores matches the hand-computed Okapi model") {
