@@ -465,4 +465,39 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_grams")
       .orderBy("doc_id", "span_start")
   }
+
+  /** The removal half of [[repeatedSpans]]: rebuild each document's
+    * text with the spanned token ranges cut out (the ExactSubstr
+    * recipe removes one copy per cluster; cutting EVERY occurrence of
+    * a > maxDocFreq-frequent span is the boilerplate-removal variant —
+    * by construction the span table only holds runs frequent enough
+    * that losing all copies is intended). Documents whose every token
+    * is spanned drop to an empty string, not a dropped row (the caller
+    * decides doc fate). Text is token-REBUILT: whitespace normalizes
+    * to single spaces — one deterministic form both engines reproduce.
+    * Output: (doc_id, text_cut, n_tokens_removed), ordered by doc_id.
+    *
+    * Scale shape: the span table is the small side (maximal spans
+    * only); it groups to ≤1 row per doc and joins on doc_id — plain
+    * shuffle join, docs without spans stream through the left join
+    * with an empty cut set. The rebuild is a narrow higher-order
+    * filter over the token array (position ∉ any span) — no explode
+    * of the corpus. */
+  def cutRepeatedSpans(documents: DataFrame, spans: DataFrame): DataFrame = {
+    val spanSets = spans
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("cuts"))
+    val w = TextAnalysis.tokens(col("text"))
+    val cuts = coalesce(col("cuts"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(w, (_, i) =>
+      !exists(cuts, c => i >= c("s") && i < c("e")))
+    graft.util.SparkUtil.widen(documents)
+      .join(spanSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", kept).as("text_cut"),
+        (size(w) - size(kept)).cast(LongType).as("n_tokens_removed"))
+      .orderBy("doc_id")
+  }
 }

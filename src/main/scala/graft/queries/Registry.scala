@@ -683,6 +683,32 @@ object Registry {
         THEN list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
         ELSE [] END"""
 
+  /** Shared CTE prefix for the repeated-span family (ExactSubstr):
+    * tokens → positioned 3-gram hashes → df > 2 frequent set → hits →
+    * gaps-and-islands → maximal `spans(doc_id, span_start, span_end,
+    * n_grams)`. Mirrors [[Dedup.repeatedSpans]](n=3, maxDocFreq=2). */
+  private def repeatedSpansCte =
+    s"""toksw AS (SELECT doc_id, $toksSql AS w FROM documents),
+      grams AS (SELECT doc_id,
+        unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 3 + 1),
+          i -> md5(array_to_string(w[i+1:i+3], ' '))) ELSE [] END) AS gh,
+        unnest(CASE WHEN len(w) >= 3 THEN range(0, len(w) - 3 + 1) ELSE [] END) AS pos
+      FROM toksw),
+      freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 2),
+      hits AS (SELECT doc_id, pos::BIGINT AS pos, (pos + 3)::BIGINT AS epos
+        FROM grams WHERE gh IN (SELECT gh FROM freq)),
+      flagged AS (SELECT doc_id, pos, epos,
+        CASE WHEN max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > max(epos) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS new_span FROM hits),
+      islands AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island FROM flagged),
+      spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+        max(epos)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+        FROM islands GROUP BY doc_id, island)"""
+
   /** Hash j = 8-hex slice (j%4) of md5 of seed group (j/4) || shingle —
     * the single source of truth for the slice scheme, mirroring
     * [[Dedup.minhashSignatures]]. */
@@ -873,27 +899,34 @@ object Registry {
     QueryDef("dedup_repeated_spans",
       (s, d) => Dedup.repeatedSpans(t(s, d, "documents"), 3, 2),
       Some {
-        s"""WITH toksw AS (SELECT doc_id, $toksSql AS w FROM documents),
-          grams AS (SELECT doc_id,
-            unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 3 + 1),
-              i -> md5(array_to_string(w[i+1:i+3], ' '))) ELSE [] END) AS gh,
-            unnest(CASE WHEN len(w) >= 3 THEN range(0, len(w) - 3 + 1) ELSE [] END) AS pos
-          FROM toksw),
-          freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 2),
-          hits AS (SELECT doc_id, pos::BIGINT AS pos, (pos + 3)::BIGINT AS epos
-            FROM grams WHERE gh IN (SELECT gh FROM freq)),
-          flagged AS (SELECT doc_id, pos, epos,
-            CASE WHEN max(epos) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-              OR pos > max(epos) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              THEN 1 ELSE 0 END AS new_span FROM hits),
-          islands AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS UNBOUNDED PRECEDING) AS island FROM flagged)
-          SELECT doc_id, min(pos)::BIGINT AS span_start, max(epos)::BIGINT AS span_end,
-            count(*)::BIGINT AS n_grams
-          FROM islands GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+        s"""WITH $repeatedSpansCte
+          SELECT doc_id, span_start, span_end, n_grams
+          FROM spans ORDER BY doc_id, span_start"""
       }, bench = true),
+
+    // the removal half: token-rebuilt text with every spanned range cut
+    // (the oracle rebuilds via explode + range anti-join; the engine
+    // side is a narrow higher-order filter — same semantics)
+    QueryDef("dedup_cut_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.cutRepeatedSpans(docs, Dedup.repeatedSpans(docs, 3, 2))
+      },
+      Some {
+        s"""WITH $repeatedSpansCte,
+          toks2 AS (SELECT doc_id, unnest(w) AS tok,
+            unnest(range(0, len(w))) AS pos FROM toksw),
+          keep AS (SELECT t.doc_id, t.tok, t.pos FROM toks2 t
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+              WHERE s.doc_id = t.doc_id
+                AND t.pos >= s.span_start AND t.pos < s.span_end)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_cut,
+            count(*)::BIGINT AS n_kept FROM keep GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(a.text_cut, '') AS text_cut,
+            (len($toksSql) - coalesce(a.n_kept, 0))::BIGINT AS n_tokens_removed
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id"""
+      }),
 
     // SRP-bucketed near-dup: pairs only within a shared LSH bucket, then
     // exact cosine ≥ threshold; oracle mirrors the bucket assignment.

@@ -765,6 +765,12 @@ class AnalyticsSpec extends SparkSpec {
     assert(!spans.contains(4L))
     // two occurrences separated by a unique token stay TWO spans
     assert(spans(5L) == Seq((0L, 9L, 7L), (10L, 19L, 7L)))
+    // the removal half: every spanned range cut, span-less docs intact
+    val cut = Dedup.cutRepeatedSpans(d, Dedup.repeatedSpans(d, 3, 2))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cut(1L) == ("alpha beta gamma delta", 9L))
+    assert(cut(4L) == ("no repeats in this one at all", 0L))
+    assert(cut(5L) == ("unique1", 18L))
   }
 
   test("bm25Scores matches the hand-computed Okapi model") {
