@@ -1,0 +1,90 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the cleaning / span-dedup operators — the
+  * invariants their scaladocs promise, checked over generated corpora
+  * in one Spark job per property (per-sample jobs would be painfully
+  * slow). */
+class CleaningPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(n).toSeq
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "12", "x")
+  private val line: Gen[String] =
+    Gen.chooseNum(0, 9).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+
+  test("redactPii is idempotent and digit-free over its own PII forms") {
+    val piiBit = Gen.oneOf(
+      Gen.chooseNum(0, 999).map(n => s"user$n@host$n.example.org"),
+      Gen.chooseNum(0, 255).map(n => s"10.$n.0.${n % 100}"),
+      Gen.chooseNum(0, 9999).map(n => f"123-45-$n%04d"),
+      Gen.chooseNum(0, 9999).map(n => f"555-123-$n%04d"),
+      Gen.oneOf("alpha", "beta", "gamma", "delta")) // digit-free filler
+    val textGen = Gen.listOfN(6, piiBit).map(_.mkString(" "))
+    val docs = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = Cleaning.redactPii(docs)
+      .select(col("doc_id"), col("text_redacted").as("text"))
+    val twice = Cleaning.redactPii(once)
+    val rows = twice.collect()
+    // second pass finds nothing: counts all zero, text unchanged
+    assert(rows.forall(r => (2 to 5).forall(r.getLong(_) == 0L)))
+    val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => r.getString(1) == onceMap(r.getLong(0))))
+    // every generated digit run belonged to SOME pii form → none survive
+    assert(onceMap.values.forall(!_.exists(_.isDigit)))
+  }
+
+  test("removeBoilerplate conserves lines: kept + dropped = total, kept ⊆ input") {
+    val docGen = Gen.chooseNum(1, 6)
+      .flatMap(k => Gen.listOfN(k, line)).map(_.mkString("\n"))
+    val texts = samples(docGen, 200)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Cleaning.removeBoilerplate(docs, minWords = 2, maxLineDocFreq = 3)
+      .collect()
+    val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    out.foreach { r =>
+      val (id, clean, kept, dropped) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val inLines = byId(id).split("\n", -1)
+      assert(kept + dropped == inLines.length)
+      val outLines = clean.split("\n", -1)
+      assert(outLines.length == kept)
+      // kept lines appear in the input in order (subsequence)
+      val it = inLines.iterator
+      assert(outLines.forall(l => it.contains(l)))
+    }
+  }
+
+  test("repeatedSpans never misses a planted cross-document run") {
+    val n = 3
+    val planted = "zulu yankee xray whiskey victor" // 5 tokens, unique words
+    val prefix = Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k, word))
+    val suffix = Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k, word))
+    val docGen = for (p <- prefix; s <- suffix) yield (p, s)
+    val parts = samples(docGen, 40)
+    val docs = parts.zipWithIndex.map { case ((p, s), i) =>
+      (i.toLong, (p :+ planted).concat(s).mkString(" "), p.length)
+    }.toDF("doc_id", "text", "plant_pos")
+    val spans = Dedup.repeatedSpans(docs.select("doc_id", "text"), n, 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    // the planted run [pos, pos+5) must be fully covered in EVERY doc
+    docs.select("doc_id", "plant_pos").collect().foreach { r =>
+      val (id, pos) = (r.getLong(0), r.getInt(1).toLong)
+      val covered = spans.getOrElse(id, Seq.empty)
+        .exists { case (s, e) => s <= pos && pos + 5 <= e }
+      assert(covered, s"doc $id: planted run at $pos not covered: ${spans.get(id)}")
+    }
+  }
+}
