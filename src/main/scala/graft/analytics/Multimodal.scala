@@ -177,6 +177,93 @@ object Multimodal {
         col("payload_bytes"),
         round(col("width").cast("double") / col("height"), 4).as("aspect"))
       .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // video: frame sampling over an opaque container column
+  // ------------------------------------------------------------------
+
+  /** Minimal length-prefixed video container for fixtures: `GVID` +
+    * u32 frame count + per frame (u32 length + bytes). Stands in for a
+    * real container (mp4/webm) the same way [[pngBytes]] stands in for
+    * a camera image — the WALK is real, the codec is not needed for
+    * frame sampling. */
+  def videoBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      o.write((v >> 24) & 0xff); o.write((v >> 16) & 0xff)
+      o.write((v >> 8) & 0xff); o.write(v & 0xff)
+    }
+    o.write("GVID".getBytes("US-ASCII"))
+    u32(frames.length)
+    frames.foreach { f => u32(f.length); o.write(f) }
+    o.toByteArray
+  }
+
+  /** Walk a [[videoBytes]] container; truncation-contained — a corrupt
+    * or chopped container yields the frames that fully parsed, never
+    * an exception (one bad video must not poison a batch). */
+  def parseFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    if (payload.length < 8 ||
+      new String(payload.slice(0, 4), "US-ASCII") != "GVID") return Seq.empty
+    val n = u32(4)
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 8L
+    var i = 0L
+    while (i < n && off + 4 <= payload.length) {
+      val len = u32(off.toInt)
+      if (off + 4 + len > payload.length) return out.result()
+      out += payload.slice((off + 4).toInt, (off + 4 + len).toInt)
+      off += 4 + len
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Deterministic fixture: doc_id % 7 + 1 frames, frame i's bytes =
+    * `frame:<doc_id>:<i>:<first-16-chars-of-text>` (ASCII — the SQL
+    * oracle reconstructs the identical bytes). */
+  def withVideoPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long, text: String) =>
+      val p = Option(text).getOrElse("").take(16)
+      videoBytes((0 until (docId % 7 + 1).toInt)
+        .map(i => s"frame:$docId:$i:$p".getBytes("UTF-8")))
+    }
+    documents.withColumn("payload", synth(col("doc_id"), col("text")))
+  }
+
+  /** Frame sampling — keep every `everyK`-th frame of each video
+    * payload, emitting (doc_id, frame_idx, frame_md5, frame_bytes).
+    * The training-data use: thin a video corpus to representative
+    * stills before (image) feature extraction and dedup.
+    *
+    * Scale shape: same batched per-partition walk as
+    * [[decodeBatched]] (`mapInPandas` analog) — iterator-to-iterator,
+    * O(batch) memory, no shuffle; a real demuxer slots into the batch
+    * loop without plan changes. */
+  def frameSample(documents: DataFrame, everyK: Int,
+                  batchSize: Int = 64): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1: $everyK")
+    val src = withVideoPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real demuxer would hand `batch` to one vectorized call here
+        batch.iterator.flatMap { case (id, payload) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          parseFrames(payload).zipWithIndex.collect {
+            case (f, i) if i % everyK == 0 =>
+              (id, i.toLong, md.digest(f).map("%02x".format(_)).mkString,
+                f.length.toLong)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_md5", "frame_bytes")
+      .orderBy("doc_id", "frame_idx")
+  }
 }
 
 /** Pure-JVM image header parsing from the public container specs —

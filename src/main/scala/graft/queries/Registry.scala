@@ -1126,7 +1126,21 @@ object Registry {
             + octet_length(encode(text)) AS BIGINT) AS payload_bytes,
           round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // video frame sampling: every 2nd frame of each synthetic container
+    // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
+    // bytes from the deterministic formula, so the md5 compare proves
+    // the container walk read real bytes, not a formula
+    QueryDef("mm_frame_sample",
+      (s, d) => Multimodal.frameSample(t(s, d, "documents"), 2),
+      Some("""WITH f AS (SELECT doc_id, substr(text, 1, 16) AS p,
+            unnest(range(0, doc_id % 7 + 1)) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+          md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
+          octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
+        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")))
 
   // ---------------- corpus assembly (selection / mixing / budgeting) --
 

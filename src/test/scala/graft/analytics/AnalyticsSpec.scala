@@ -725,6 +725,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(graft.analytics.MediaDecode.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("frameSample walks real container bytes with truncation containment") {
+    val frames = Seq("aa", "bbbb", "cc", "ddd", "e").map(_.getBytes("UTF-8"))
+    val vid = Multimodal.videoBytes(frames)
+    // round-trip
+    assert(Multimodal.parseFrames(vid).map(new String(_)) ==
+      Seq("aa", "bbbb", "cc", "ddd", "e"))
+    // truncation mid-frame: only fully-parsed frames survive, no throw
+    assert(Multimodal.parseFrames(vid.dropRight(3)).map(new String(_)) ==
+      Seq("aa", "bbbb", "cc", "ddd"))
+    assert(Multimodal.parseFrames(vid.take(6)).isEmpty)
+    assert(Multimodal.parseFrames("NOPE".getBytes).isEmpty)
+    // sampling stride over the synthesized corpus: doc 4 has 5 frames,
+    // every 2nd -> indices 0, 2, 4; md5 matches the frame BYTES
+    val d = docs(4L -> "some text body here")
+    val out = Multimodal.frameSample(d, 2).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("frame:4:2:some text body h".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.find(_.getLong(1) == 2L).get.getString(2) == expect)
+  }
+
   test("unigramLogProb matches the hand-computed add-one model") {
     val d = docs(1L -> "alpha alpha beta", 2L -> "beta gamma")
     // corpus: tf(alpha)=2 tf(beta)=2 tf(gamma)=1, N=5, V=3; mean bits =
