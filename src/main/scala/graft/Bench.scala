@@ -125,45 +125,53 @@ object Bench {
       (-1.0, 0, -1.0, 0)
     }
 
-    // continuous corpus admission (MinHash-LSH against the persisted
-    // signature store, per micro-batch): docs/s over an AvailableNow
-    // drain of several micro-batches — the spec proves semantics, this
-    // entry tracks throughput
-    val (admSecs, admDocs) = try {
+    // shared admission-drain harness: docsJson → nFiles jsonl chunks →
+    // admissionPipeline AvailableNow drain; best-of-2 (stateful, so
+    // each attempt gets fresh queue/store/checkpoint dirs);
+    // fail-unmistakable (-1 + stderr naming the entry)
+    def admissionDrain(label: String, docsJson: Array[String],
+                       nFiles: Int, maxFilesPerTrigger: Int): Double = {
       import java.nio.file.{Files, Paths}
-      val base = Files.createTempDirectory("graft_bench_adm")
-      val nFiles = 16
-      val docs = Registry.table(spark, sfDir, "documents")
-        .selectExpr("doc_id", "text", "lang", "source").toJSON.collect()
+      val base = Files.createTempDirectory(s"graft_bench_$label")
       def drainOnce(attempt: Int): Double = {
         val (in, sig, out, ckpt) = (s"$base/in$attempt", s"$base/sig$attempt",
           s"$base/out$attempt", s"$base/ckpt$attempt")
         Files.createDirectories(Paths.get(in))
-        docs.grouped(math.max(1, docs.length / nFiles)).zipWithIndex.foreach {
-          case (chunk, i) =>
+        docsJson.grouped(math.max(1, docsJson.length / nFiles)).zipWithIndex
+          .foreach { case (chunk, i) =>
             Files.writeString(Paths.get(in, f"docs_$i%03d.jsonl"),
               chunk.mkString("\n"))
-        }
+          }
         val t0 = System.nanoTime()
         try {
           val q = graft.streaming.StreamingPipeline.admissionPipeline(
             spark, in, sig, out, ckpt,
             trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-            maxFilesPerTrigger = 4).start()
+            maxFilesPerTrigger = maxFilesPerTrigger).start()
           if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
           else {
             q.stop()
-            System.err.println("[bench] admission_stream timed out")
+            System.err.println(s"[bench] $label timed out")
             -1.0
           }
         } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] admission_stream failed: ${e.getMessage}")
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
           -1.0
         }
       }
       val a = drainOnce(0)
-      val b = if (a < 0) a else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) }
-      (b, docs.length)
+      if (a < 0) a else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) }
+    }
+
+    // continuous corpus admission (MinHash-LSH against the persisted
+    // signature store, per micro-batch): docs/s over an AvailableNow
+    // drain of several micro-batches — the spec proves semantics, this
+    // entry tracks throughput
+    val (admSecs, admDocs) = try {
+      val docs = Registry.table(spark, sfDir, "documents")
+        .selectExpr("doc_id", "text", "lang", "source").toJSON.collect()
+      (admissionDrain("admission_stream", docs, nFiles = 16,
+        maxFilesPerTrigger = 4), docs.length)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] admission_stream setup failed: ${e.getMessage}")
       (-1.0, 0)
@@ -176,49 +184,25 @@ object Bench {
     // sinks) the 1,250-doc batches above cannot amortize. Reported
     // separately as admission_stream_big / admission_big_docs_per_sec.
     val (admBigSecs, admBigDocs) = try {
-      import java.nio.file.{Files, Paths}
-      val base = Files.createTempDirectory("graft_bench_adm_big")
       val d0 = Registry.table(spark, sfDir, "documents")
         .selectExpr("doc_id", "text", "lang", "source")
-      val n = d0.count()
+      // variant id stride = max(doc_id)+1, not count(): sparse or
+      // gapped ids must not collide across variants inside the batch
+      val stride = d0.agg(org.apache.spark.sql.functions.max("doc_id")).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0) + 1
+      }
       val bigDocs = Seq(
         "text",
         "concat_ws(' ', reverse(split(text, ' ')))",
         "concat_ws(' ', array_sort(split(text, ' ')))",
         "concat_ws(' ', reverse(array_sort(split(text, ' '))))")
         .zipWithIndex.map { case (t, i) =>
-          d0.selectExpr(s"doc_id + ${i * n} AS doc_id", s"$t AS text",
+          d0.selectExpr(s"doc_id + ${i * stride} AS doc_id", s"$t AS text",
             "lang", "source")
         }.reduce(_ unionByName _).toJSON.collect()
-      def drainBig(attempt: Int): Double = {
-        val (in, sig, out, ckpt) = (s"$base/in$attempt", s"$base/sig$attempt",
-          s"$base/out$attempt", s"$base/ckpt$attempt")
-        Files.createDirectories(Paths.get(in))
-        bigDocs.grouped(math.max(1, bigDocs.length / 8)).zipWithIndex.foreach {
-          case (chunk, i) =>
-            Files.writeString(Paths.get(in, f"docs_$i%03d.jsonl"),
-              chunk.mkString("\n"))
-        }
-        val t0 = System.nanoTime()
-        try {
-          val q = graft.streaming.StreamingPipeline.admissionPipeline(
-            spark, in, sig, out, ckpt,
-            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-            maxFilesPerTrigger = 32).start() // whole corpus in ONE batch
-          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
-          else {
-            q.stop()
-            System.err.println("[bench] admission_stream_big timed out")
-            -1.0
-          }
-        } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] admission_stream_big failed: ${e.getMessage}")
-          -1.0
-        }
-      }
-      val a = drainBig(0)
-      val b = if (a < 0) a else { val x = drainBig(1); if (x < 0) a else math.min(a, x) }
-      (b, bigDocs.length)
+      (admissionDrain("admission_stream_big", bigDocs, nFiles = 8,
+        maxFilesPerTrigger = 32), bigDocs.length) // whole corpus, ONE batch
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] admission_stream_big setup failed: ${e.getMessage}")
       (-1.0, 0)

@@ -218,7 +218,8 @@ object CorpusOps {
     * reducer.
     *
     * `skewSafe = None` (the default) AUTO-SELECTS via
-    * [[dominanceProbe]] — one EAGER single-stage narrow job with O(k)
+    * [[dominanceProbe]] — one EAGER narrow job (no shuffle beyond the
+    * house widen round-robin on few-file inputs) with O(k)
     * state at DataFrame-construction time (no shuffle; a per-source
     * count aggregate would be corpus-cardinality-sized): the skew-safe
     * plan is chosen only when one source holds ≥ half the corpus (the
@@ -234,7 +235,7 @@ object CorpusOps {
     * becomes a plain shuffle join, which is nearly free here — the
     * downstream per-(partition, source) window needs a hash exchange
     * on the same keys anyway, so only the tiny offsets side pays. */
-  /** Bounded-state source-dominance probe — ONE narrow single-stage
+  /** Bounded-state source-dominance probe — ONE narrow shuffle-free
     * job, O(k) memory per task and on the driver (source cardinality
     * grows with the corpus, so a per-source count aggregate or hash
     * map would not fly at 100 TB). Each partition keeps a
@@ -254,14 +255,20 @@ object CorpusOps {
     def addAll(a: mutable.HashMap[String, Long],
                b: IterableOnce[(String, Long)]): mutable.HashMap[String, Long] = {
       b.iterator.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
-      if (a.size > k) {
+      // LOOP the min-decrement: one pass removes as few as 1 entry, and
+      // merged partials arrive up to 2k wide — a single trim would let
+      // the root sketch grow O(P·k). Each round decrements ≥ k+1
+      // counters by δ, so total decrement mass stays ≤ total/(k+1) and
+      // the heavy-hitter bound is preserved.
+      while (a.size > k) {
         val dec = a.values.min
         val kept = a.toSeq.collect { case (s, c) if c > dec => (s, c - dec) }
         a.clear(); a ++= kept
       }
       a
     }
-    val (sketch, total) = documents.select(col("source").cast("string"))
+    val (sketch, total) = graft.util.SparkUtil
+      .widen(documents.select(col("source").cast("string")))
       .as(Encoders.STRING).rdd
       .mapPartitions { it =>
         val m = mutable.HashMap.empty[String, Long]

@@ -223,11 +223,16 @@ object Multimodal {
   }
 
   /** Deterministic fixture: doc_id % 7 + 1 frames, frame i's bytes =
-    * `frame:<doc_id>:<i>:<first-16-chars-of-text>` (ASCII — the SQL
-    * oracle reconstructs the identical bytes). */
+    * `frame:<doc_id>:<i>:<first-16-CODEPOINTS-of-text>`. The slice is
+    * by code point, not UTF-16 code unit — DuckDB's `substr` counts
+    * code points, and `String.take` would split a surrogate pair on
+    * astral-plane text (the current corpora are ASCII, but the fixture
+    * must not depend on that). */
   def withVideoPayload(documents: DataFrame): DataFrame = {
     val synth = udf { (docId: Long, text: String) =>
-      val p = Option(text).getOrElse("").take(16)
+      val s = Option(text).getOrElse("")
+      val cps = s.codePoints().limit(16).toArray
+      val p = new String(cps, 0, cps.length)
       videoBytes((0 until (docId % 7 + 1).toInt)
         .map(i => s"frame:$docId:$i:$p".getBytes("UTF-8")))
     }

@@ -190,8 +190,14 @@ object TextAnalysis {
     * doc lengths join on doc_id (corpus-sized both sides — plain
     * shuffle join); (N, avgdl) is one broadcast row cross-joined above
     * the per-(doc, term) rows, which number ≤ |docs|×|terms|. */
+  /** Okapi defaults — the single source both the operator signature
+    * and the `txt_bm25_scores` oracle SQL derive from, so the two
+    * cannot silently desynchronize. */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
   def bm25Scores(documents: DataFrame, terms: Seq[String],
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty, "query term set must be non-empty")
     val toks = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -658,10 +658,11 @@ object Registry {
     QueryDef("txt_bm25_scores",
       (s, d) => TextAnalysis.bm25Scores(t(s, d, "documents"), bm25Terms),
       Some {
-        val c1 = s"CAST('${1.2 + 1}' AS DOUBLE)"   // k1 + 1
-        val ck = s"CAST('${1.2}' AS DOUBLE)"       // k1
-        val c2 = s"CAST('${1 - 0.75}' AS DOUBLE)"  // 1 − b
-        val cb = s"CAST('${0.75}' AS DOUBLE)"      // b
+        import TextAnalysis.{Bm25K1, Bm25B}
+        val c1 = s"CAST('${Bm25K1 + 1}' AS DOUBLE)" // k1 + 1
+        val ck = s"CAST('$Bm25K1' AS DOUBLE)"       // k1
+        val c2 = s"CAST('${1 - Bm25B}' AS DOUBLE)"  // 1 − b
+        val cb = s"CAST('$Bm25B' AS DOUBLE)"        // b
         val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
         s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
           dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
