@@ -203,6 +203,47 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  // ---- dimension truncation: the Matryoshka/prefix scale path ----
+
+  /** Truncate embeddings to their first `dims` dimensions — the
+    * Matryoshka-representation serving trick: MRL-trained embeddings
+    * concentrate ranking signal in the prefix, so a dims/D-sized
+    * corpus scan is the cheap first-stage filter (complementing
+    * [[quantizeEmbeddings]]'s 4× precision cut with a dims/D
+    * dimension cut; the two compose). NOTE the synthetic test
+    * embeddings are unstructured, so prefix recall vs full dim is
+    * poor there BY CONSTRUCTION — the oracled contract is the exact
+    * ranking over the truncated vectors themselves. Narrow, scan
+    * speed. Output: (vec_id, label, tvec: first min(dims, D) dims). */
+  def truncateEmbeddings(embeddings: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"),
+        slice(asDouble(col("embedding")), 1, dims).as("tvec"))
+  }
+
+  /** Persist the truncated corpus (write once at dims/D the size,
+    * search many). */
+  def writeTruncated(embeddings: DataFrame, dims: Int, path: String): Unit =
+    truncateEmbeddings(embeddings, dims).write.mode("overwrite").parquet(path)
+
+  /** Exact brute-force top-k over a TRUNCATED corpus (from
+    * [[truncateEmbeddings]] or read back from [[writeTruncated]]) —
+    * same broadcast-queries + heap-aggregate shape as
+    * [[bruteForceTopK]]; the scan and shuffle move dims/D of the
+    * float payload. */
+  def truncatedTopK(truncated: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = truncated
+      .select(col("vec_id"), col("label"), col("tvec").as("vec"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(scored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
   // ---- unlabeled coarse quantizer: distributed Lloyd's k-means ----
 
   /** Nearest-cell assignment against a small centroid set, as a single

@@ -979,6 +979,27 @@ object Registry {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
         WHERE rk <= 10 ORDER BY query_id, rk"""), bench = true),
 
+    // Matryoshka-style prefix truncation: exact cosine top-k over the
+    // first 32 of 64 dims — half the scan IO; ranking over the
+    // truncated vectors oracled exactly (the synthetic embeddings are
+    // unstructured, so recall-vs-full is not the contract here)
+    QueryDef("sim_truncated_topk",
+      (s, d) => Similarity.truncatedTopK(
+        Similarity.truncateEmbeddings(t(s, d, "embeddings"), 32),
+        Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE))[1:32] AS vec FROM embeddings),
+        q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id, v.label,
+          list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+           sqrt(list_sum(list_transform(v.vec, x -> x * x)))) AS cos
+          FROM q, v WHERE v.vec_id <> q.qid)
+        SELECT qid AS query_id, vec_id, label, cosine, rk FROM (
+          SELECT qid, vec_id, label, round(cos, 4) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        WHERE rk <= 10 ORDER BY query_id, rk""")),
+
     QueryDef("sim_lsh_topk",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
       Some {

@@ -725,6 +725,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(graft.analytics.MediaDecode.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("truncatedTopK ranks by prefix cosine; MRL-structured prefixes keep recall") {
+    import spark.implicits._
+    // vectors whose signal lives in the first 2 dims (the MRL premise),
+    // with small tail noise: prefix ranking must match full ranking
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.01f, -0.02f), 0),
+      (1L, Array(0.9f, 0.1f, -0.01f, 0.01f), 0),
+      (2L, Array(0.0f, 1.0f, 0.02f, 0.01f), 1),
+      (3L, Array(0.1f, 0.9f, -0.02f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.1f, 0.01f, 0.02f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val trunc = Similarity.truncateEmbeddings(vecs, 2)
+    assert(trunc.collect().forall(_.getSeq[Double](2).length == 2))
+    val topT = Similarity.truncatedTopK(trunc, Seq(0L), 2).collect()
+    val topF = Similarity.bruteForceTopK(vecs, Seq(0L), 2).collect()
+    // nearest to v0 is v1 in both the prefix and the full space
+    assert(topT.head.getLong(1) == 1L && topF.head.getLong(1) == 1L)
+    assert(topT.map(_.getLong(1)).toSeq == topF.map(_.getLong(1)).toSeq)
+    // persist round-trip preserves the ranking
+    val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString
+    Similarity.writeTruncated(vecs, 2, dir)
+    val back = Similarity.truncatedTopK(spark.read.parquet(dir), Seq(0L), 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(back == topT.map(_.getLong(1)).toSeq)
+  }
+
   test("frameSample walks real container bytes with truncation containment") {
     val frames = Seq("aa", "bbbb", "cc", "ddd", "e").map(_.getBytes("UTF-8"))
     val vid = Multimodal.videoBytes(frames)
