@@ -382,4 +382,46 @@ object CorpusOps {
     cumulativeTokens(documents, skewSafe)
       .filter(col("cum_tokens") <= budget)
       .orderBy("doc_id")
+
+  /** Deterministic shard id of a document: md5 of the decimal doc_id,
+    * first 8 hex chars as an unsigned 32-bit value, mod `nShards`.
+    * Content-derived (NOT Spark's task-dependent `spark_partition_id`),
+    * so the doc→shard mapping is identical across reruns, cluster
+    * sizes, and engines — the reproducibility a training-data export
+    * needs (and what makes it DuckDB-oracle-able). */
+  def shardId(docId: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast(LongType) % nShards
+
+  /** Shard-assignment audit: per shard, document count, byte volume and
+    * doc_id range — the balance check a pipeline runs before committing
+    * a training export (md5 sharding keeps shards within ~1/√(n/N) of
+    * each other, and THIS query is how you verify that on real data).
+    * Output: (shard, n_docs, n_bytes, min_doc, max_doc) by shard.
+    *
+    * Scale shape (100 TB): narrow shard projection + one
+    * map-side-combinable groupBy on an `nShards`-cardinality key —
+    * result is nShards rows. */
+  def shardStats(documents: DataFrame, nShards: Int): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .select(shardId(col("doc_id"), nShards).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum("n_chars").cast(LongType).as("n_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** Training-export writer: materialize the corpus as exactly
+    * `nShards` deterministic shards (`shard=K/` directories, one file
+    * each). `repartition(nShards, shard)` routes each shard's rows to
+    * one task BEFORE `partitionBy`, so a shard is one parquet file, not
+    * one-per-upstream-task — the export layout trainers expect
+    * (shard count and membership stable across reruns; at 100 TB pick
+    * nShards so each shard is ~0.5–2 GB, and note rows within a shard
+    * keep no global order, which training shuffles anyway). */
+  def writeShards(documents: DataFrame, path: String, nShards: Int): Unit =
+    documents
+      .withColumn("shard", shardId(col("doc_id"), nShards))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

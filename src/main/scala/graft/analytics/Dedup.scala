@@ -291,6 +291,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023): prune
+    * embedding near-duplicates WITHIN a precomputed cluster — here the
+    * `label` cell, standing in for the k-means cell a production run
+    * assigns first (compose with [[Similarity.kmeansFit]] /
+    * [[Similarity.nearestCell]] for that). Within a cell, every pair is
+    * compared exactly (the SemDeDup design point: clustering makes the
+    * quadratic step tractable by confining it to cells), and a vector
+    * is removed when ANY earlier (smaller-id) cell-mate sits at
+    * cosine ≥ tau. The earlier-id keeper is deterministic and
+    * engine-stable; note it is the PESSIMISTIC greedy — a vector chained
+    * to the keeper only through an already-removed middle vector is
+    * still removed (chain a~b, b~c, a≁c drops both b and c), which
+    * upper-bounds removal vs connected-component keep-one (compose
+    * [[clustersFromPairs]] over the surviving pairs when exact
+    * keep-one-per-component semantics are required). Output:
+    * (vec_id, label, n_earlier_dups, is_kept), ordered by vec_id.
+    *
+    * Scale shape (100 TB): one equi-join on the cell key + one
+    * vec_id-keyed count + one left join back — no all-pairs term ever;
+    * the quadratic factor is (cell size)², controlled by the upstream
+    * clustering's k exactly as in the paper (k grows with the corpus so
+    * cells stay bounded). Skewed giant cells are the real-world hazard:
+    * split them by composing the cell key with an SRP bucket
+    * ([[Similarity.srpBucket]]) before calling this, accepting LSH
+    * recall inside oversized cells. */
+  def semanticDedup(embeddings: DataFrame, tau: Double): DataFrame = {
+    val v = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val a = v.select(col("label"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("label"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val dupCounts = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_earlier_dups"))
+    v.select(col("vec_id"), col("label"))
+      .join(dupCounts, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_earlier_dups"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        col("n_earlier_dups"),
+        (col("n_earlier_dups") === 0).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Duplicate-cluster formation — the stage AFTER pair generation:
     * near-dup candidate pairs form a graph; its connected components
     * are the duplicate clusters, and `cluster_id = min(doc_id in

@@ -196,6 +196,88 @@ object TextAnalysis {
   val Bm25K1: Double = 1.2
   val Bm25B: Double = 0.75
 
+  /** Hashing-trick feature bucket of a token: first 8 hex chars of its
+    * md5 as an unsigned 32-bit value, mod `nBuckets`. Engine-stable
+    * (DuckDB mirrors it as `('0x' || substr(md5(t),1,8))::BIGINT % B`),
+    * so hashed-feature models score identically under the oracle. */
+  def hashBucket(token: Column, nBuckets: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of a hashed-unigram model fit
+    * on a TARGET slice (e.g. one language or domain) vs one fit on the
+    * raw corpus — documents whose word mix looks like the target get
+    * positive `log_ratio`; selection keeps the top slice or samples
+    * ∝ exp(weight). Both models share one `nBuckets`-cell hashed
+    * feature space with add-one smoothing, so per token the weight is
+    * ln((cnt_tgt+1)/(N_tgt+B)) − ln((cnt_raw+1)/(N_raw+B)); the
+    * per-doc score is the mean over token occurrences. Output:
+    * (doc_id, n_tokens, log_ratio), ordered by doc_id.
+    *
+    * Scale shape (100 TB): the explode is narrow; BOTH bucket-count
+    * tables come from ONE map-side-combinable groupBy on `bucket`
+    * (target counts are a conditional sum in the same aggregate, so the
+    * target slice is never re-scanned); the result is ≤ `nBuckets` rows
+    * — broadcast is bounded by a model constant, not the corpus. The
+    * (N_raw, N_tgt) totals reduce that same tiny table and join as ONE
+    * broadcast row ABOVE the per-doc aggregate (the unigramLogProb
+    * trick: mean(w) + scalar, so token-level rows never see the
+    * scalar). One doc_id shuffle with a combinable avg partial. */
+  def importanceWeights(documents: DataFrame, targetPred: Column,
+                        nBuckets: Int = 256): DataFrame = {
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), targetPred.cast("int").as("is_target"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket", hashBucket(col("token"), nBuckets))
+    val counts = toks.groupBy("bucket").agg(
+      count(lit(1)).as("cnt_raw"), sum("is_target").cast("long").as("cnt_tgt"))
+    val totals = counts.agg(sum("cnt_raw").as("n_raw"), sum("cnt_tgt").as("n_tgt"))
+    // per-bucket weight modulo the scalar: ln(cnt_tgt+1) − ln(cnt_raw+1);
+    // the smoothing denominators are constant across tokens and applied
+    // once per doc after averaging (oracle mirrors this exact order)
+    val weights = counts.select(col("bucket"),
+      (log(col("cnt_tgt") + 1) - log(col("cnt_raw") + 1)).as("w"))
+    toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"), avg("w").as("avg_w"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_w") + log(col("n_raw") + nBuckets) -
+          log(col("n_tgt") + nBuckets), 4).as("log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** fastText-shape linear quality classifier over hashing-trick
+    * features: token → md5 bucket → fixed weight, document logit =
+    * mean token weight, probability = sigmoid(logit). The weight table
+    * is FORMULAIC (w(b) = ((b·2654435761) mod 1001)/500 − 1 ∈ [−1, 1],
+    * a Knuth-multiplicative stand-in for trained weights) so the
+    * operator exercises exactly the production plumbing — featurize,
+    * look up, reduce, squash — with a model both engines can state in
+    * closed form; swapping in trained weights is a broadcast join on
+    * `bucket` with the same plan. Output: (doc_id, n_tokens, p_keep,
+    * is_kept), ordered by doc_id.
+    *
+    * Scale shape (100 TB): entirely narrow — the token array never
+    * explodes (higher-order `transform` + `aggregate` fold inside one
+    * projection), no join, no shuffle except the final presentation
+    * sort. This is the scan-speed ceiling for a classifier pass. */
+  def hashClassifierScore(documents: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val toks = tokens(col("text"))
+    val weightOf = (t: Column) =>
+      (hashBucket(t, nBuckets) * lit(2654435761L) % 1001).cast("double") / 500.0 - 1.0
+    val wsum = aggregate(toks, lit(0.0), (acc, t) => acc + weightOf(t))
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (wsum / size(toks)).as("logit"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("p_keep"),
+        (col("logit") >= 0).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   def bm25Scores(documents: DataFrame, terms: Seq[String],
                  k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty, "query term set must be non-empty")

@@ -675,6 +675,49 @@ object Registry {
               * tf * $c1 / (tf + $ck * ($c2 + $cb * dl / avgdl))), 4) AS bm25
           FROM matched JOIN dfs USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
           GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // DSIR importance weights (hashed-unigram target-vs-raw LLR; the
+    // data-selection scorer). Target slice = lang='en'. The oracle
+    // mirrors the exact arithmetic order: avg of per-token
+    // ln(cnt_tgt+1)−ln(cnt_raw+1), smoothing scalar applied above the
+    // per-doc aggregate
+    QueryDef("txt_importance_weights",
+      (s, d) => TextAnalysis.importanceWeights(
+        t(s, d, "documents"), col("lang") === "en", 256),
+      Some {
+        s"""WITH toks AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+            unnest($toksSql) AS token FROM documents),
+          tb AS (SELECT doc_id, is_target,
+            (('0x' || substr(md5(token), 1, 8))::BIGINT % 256) AS bucket FROM toks),
+          counts AS (SELECT bucket, count(*)::BIGINT AS cnt_raw,
+            sum(is_target)::BIGINT AS cnt_tgt FROM tb GROUP BY bucket),
+          totals AS (SELECT sum(cnt_raw)::BIGINT AS n_raw,
+            sum(cnt_tgt)::BIGINT AS n_tgt FROM counts),
+          perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+            avg(ln(cnt_tgt + 1) - ln(cnt_raw + 1)) AS avg_w
+            FROM tb JOIN counts USING (bucket) GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+            round(avg_w + ln(n_raw + 256) - ln(n_tgt + 256), 4) AS log_ratio
+          FROM perdoc CROSS JOIN totals ORDER BY doc_id"""
+      }, bench = true),
+
+    // hashing-trick linear classifier (fastText shape): bucket →
+    // formulaic weight, logit = mean weight, sigmoid. Entirely narrow —
+    // the scan-speed ceiling for a classifier pass
+    QueryDef("txt_hash_classifier",
+      (s, d) => TextAnalysis.hashClassifierScore(t(s, d, "documents"), 256),
+      Some {
+        s"""SELECT doc_id, n_tokens,
+            round(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+            logit >= 0 AS is_kept
+          FROM (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+            list_sum(list_transform(w, t ->
+              ((('0x' || substr(md5(t), 1, 8))::BIGINT % 256) * 2654435761 % 1001)
+                / 500.0 - 1.0)) / len(w) AS logit
+            FROM (SELECT doc_id, $toksSql AS w FROM documents))
+          ORDER BY doc_id"""
       }))
 
   // ---------------- dedup ---------------------------------------------
@@ -944,6 +987,27 @@ object Registry {
                sqrt(list_sum(list_transform(b2.vec, x -> x * x)))) AS cos
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
           WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+      }),
+
+    // SemDeDup: within-cluster (label cell) exact-cosine pruning with
+    // the deterministic earlier-id keeper. Exact pairs inside cells
+    // only — the oracle self-joins on label and precomputes norms once
+    QueryDef("dedup_semantic",
+      (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), 0.3),
+      Some {
+        s"""WITH v AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          n AS (SELECT vec_id, label, vec,
+            sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v),
+          dups AS (SELECT b.vec_id, count(*)::BIGINT AS n_earlier_dups
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
+              / (a.nrm * b.nrm) >= 0.3
+            GROUP BY b.vec_id)
+          SELECT v.vec_id, v.label::BIGINT AS label,
+            coalesce(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,
+            coalesce(d.n_earlier_dups, 0) = 0 AS is_kept
+          FROM v LEFT JOIN dups d USING (vec_id) ORDER BY vec_id"""
       }),
 
     QueryDef("dedup_minhash_pairs",
@@ -1370,6 +1434,19 @@ object Registry {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM documents)
           WHERE n_tokens > 0 ORDER BY doc_id"""
+      }),
+
+    // shard-assignment audit for the training export: deterministic
+    // md5(doc_id) sharding, per-shard count/bytes/id-range. The writer
+    // itself ([[CorpusOps.writeShards]]) is spec-tested; this query is
+    // the balance check over the same mapping
+    QueryDef("corpus_shard_stats",
+      (s, d) => CorpusOps.shardStats(t(s, d, "documents"), 16),
+      Some {
+        """SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16) AS shard,
+            count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_bytes,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM documents GROUP BY 1 ORDER BY shard"""
       }))
 
   val all: Seq[QueryDef] =

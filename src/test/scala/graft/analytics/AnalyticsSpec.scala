@@ -841,4 +841,90 @@ class AnalyticsSpec extends SparkSpec {
     // the rarer term contributes more than the common one at equal tf/dl
     assert(term(1, 1, 3) > term(1, 2, 3))
   }
+
+  test("importanceWeights ranks target-like docs above raw-like docs") {
+    // target slice = lang 'tt'; 'alpha' dominates the target, 'omega'
+    // only appears outside it — a doc of alphas must out-score a doc of
+    // omegas under the target-vs-raw log-likelihood ratio
+    val d = Seq(
+      (1L, "alpha alpha alpha", "tt"), (2L, "alpha alpha beta", "tt"),
+      (3L, "omega omega omega", "xx"), (4L, "alpha omega beta", "xx"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.importanceWeights(d, col("lang") === "tt", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(4L) && out(4L) > out(3L))
+    // the never-in-target token drives its doc's ratio firmly negative
+    // (absolute sign of the TOP doc is smoothing-dependent on a toy
+    // corpus — the selection contract is the ORDERING above)
+    assert(out(3L) < 0)
+  }
+
+  test("hashClassifierScore matches the closed-form hashed linear model") {
+    val d = docs(1L -> "alpha beta", 2L -> "gamma")
+    def w(tok: String): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(md5.take(8), 16) % 256
+      (bucket * 2654435761L % 1001).toDouble / 500.0 - 1.0
+    }
+    val out = TextAnalysis.hashClassifierScore(d, 256).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val logit1 = (w("alpha") + w("beta")) / 2
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - 1.0 / (1.0 + math.exp(-logit1))) < 1e-4)
+    assert(out(1L)._3 == (logit1 >= 0))
+    assert(math.abs(out(2L)._2 - 1.0 / (1.0 + math.exp(-w("gamma")))) < 1e-4)
+  }
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("semanticDedup prunes within-cluster near-dups, keeps across clusters") {
+    val d = vecs(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(1f, 0f, 0f), 0),   // dup of 1 in-cell
+      (3L, Seq(0f, 1f, 0f), 0),                             // orthogonal: kept
+      (4L, Seq(1f, 0f, 0f), 1))                             // dup vec, OTHER cell: kept
+    val out = Dedup.semanticDedup(d, 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0L, true)) && out(3L) == ((0L, true)) && out(4L) == ((0L, true)))
+    assert(out(2L) == ((1L, false)))
+  }
+
+  test("semanticDedup is the pessimistic greedy: chains drop through removed middles") {
+    // a~b and b~c at cosine >= tau, a!~c — the earlier-id rule removes
+    // BOTH b and c (c's near-dup b is itself removed; documented
+    // upper bound vs connected-component keep-one)
+    val a = Seq(1f, 0f)
+    val b = Seq(math.cos(0.4).toFloat, math.sin(0.4).toFloat) // cos(a,b)=.921
+    val c = Seq(math.cos(0.8).toFloat, math.sin(0.8).toFloat) // cos(b,c)=.921, cos(a,c)=.697
+    val out = Dedup.semanticDedup(vecs((1L, a, 0), (2L, b, 0), (3L, c, 0)), 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("writeShards produces exactly nShards deterministic directories") {
+    val d = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"), lit("en").as("lang"),
+      lit("src").as("source"), lit(10L).as("n_chars"))
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    CorpusOps.writeShards(d, path, 4)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // one data file per shard (repartition routed each shard to 1 task)
+    dirs.foreach { s =>
+      assert(new java.io.File(s"$path/$s").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() == 200)
+    // membership matches the audit query's mapping exactly
+    val stats = CorpusOps.shardStats(d, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onDisk = back.groupBy("shard").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(stats == onDisk)
+  }
 }
