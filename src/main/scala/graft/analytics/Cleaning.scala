@@ -138,4 +138,39 @@ object Cleaning {
       .select(col("doc_id") +: stages.last.as("text_redacted") +: counts: _*)
       .orderBy("doc_id")
   }
+
+  /** Grouped length-percentile filter: within each language, keep
+    * documents whose length rank sits in [`pLo`, `pHi`] — the
+    * "drop the shortest 5% and longest 5% per language" trim of a
+    * multilingual corpus build, where absolute thresholds fail (a short
+    * Chinese document is not a short English one). The decision is
+    * RANK-based, not value-interpolated: percent rank over the TOTAL
+    * order (n_chars, doc_id) is an exact rational (r−1)/(n−1) both
+    * engines compute identically, so the keep/drop boundary cannot
+    * drift by a float ulp the way an interpolated quantile threshold
+    * can. Output kept docs: (doc_id, lang, n_chars, len_pct),
+    * ordered by doc_id.
+    *
+    * Scale shape (100 TB): delegates to
+    * [[graft.metrics.Metrics.percentRankByKey]] — every stage P-way
+    * parallel, no per-language window funnel (a naive
+    * `Window.partitionBy(lang)` would pull the whole corpus through
+    * ~30 reducers). */
+  def lengthFilter(documents: DataFrame, pLo: Double = 0.05,
+                   pHi: Double = 0.95): DataFrame =
+    graft.metrics.Metrics.rankByKey(
+        graft.util.SparkUtil.widen(documents)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", Seq("n_chars", "doc_id"))
+      .withColumn("pct_rank",
+        when(col("_nk") > 1,
+          (col("_rank") - 1).cast("double") / (col("_nk") - 1).cast("double"))
+          .otherwise(0.0))
+      // a single-document language has no tail to trim — keep it (its
+      // one doc is the median, not an outlier)
+      .filter(col("_nk") === 1 ||
+        (col("pct_rank") >= pLo && col("pct_rank") <= pHi))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct_rank"), 6).as("len_pct"))
+      .orderBy("doc_id")
 }

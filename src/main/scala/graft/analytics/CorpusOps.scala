@@ -383,6 +383,56 @@ object CorpusOps {
       .filter(col("cum_tokens") <= budget)
       .orderBy("doc_id")
 
+  /** Curriculum staging: bucket the corpus into `nStages` equal slices
+    * of the GLOBAL `score` order — the "train on easy documents first"
+    * export (score = length, quality, perplexity…; stage 0 holds the
+    * lowest-scored 1/nStages). stage = floor((rank−1)·nStages / N)
+    * over the total order (score, doc_id) — deterministic, and exact:
+    * every intermediate fits a double (< 2⁵³) and exact-integer
+    * boundaries divide exactly, so the floor cannot straddle an ulp.
+    *
+    * Scale shape (100 TB): a GLOBAL rank is the classic funnel trap
+    * (`row_number() OVER (ORDER BY score)` = the whole corpus through
+    * ONE reducer). This delegates to [[graft.metrics.Metrics.rankByKey]]
+    * with a constant key: the range partition spreads by (score,
+    * doc_id) across P tasks, the offsets table is P rows, and no stage
+    * sees more than 1/P of the data. Output: (doc_id, score, stage),
+    * ordered by doc_id. */
+  def curriculumStages(documents: DataFrame, score: org.apache.spark.sql.Column,
+                       nStages: Int): DataFrame =
+    graft.metrics.Metrics.rankByKey(
+        graft.util.SparkUtil.widen(documents)
+          .select(col("doc_id"), score.as("score"))
+          .withColumn("_const", lit(0)),
+        "_const", Seq("score", "doc_id"))
+      .select(col("doc_id"), col("score"),
+        floor((col("_rank") - 1) * nStages / col("_nk")).cast(LongType).as("stage"))
+      .orderBy("doc_id")
+
+  /** Deterministic training-order interleaving: round-robin the
+    * sources — the curriculum a trainer streams when the mix must not
+    * present one source as a contiguous block (loss spikes at domain
+    * boundaries; mixing recipes interleave). Each document gets its
+    * `turn` = rank within its source (ordered by doc_id), and the
+    * training order is (turn, source, doc_id): turn 1 of every source,
+    * then turn 2, … Sources exhaust gracefully — shorter sources simply
+    * stop appearing in later turns. Deterministic given the corpus; no
+    * rand(). Output: (doc_id, source, turn) in training order.
+    *
+    * Scale shape (100 TB): the turn is
+    * [[graft.metrics.Metrics.rankByKey]] — range-partition + per-
+    * (partition, source) offsets, every stage P-way parallel even when
+    * one source dominates the corpus (a `Window.partitionBy(source)`
+    * row_number would funnel the dominant source through one reducer —
+    * the cumulativeTokens lesson applied to ranking). The final
+    * presentation sort is a plain range exchange. */
+  def interleave(documents: DataFrame): DataFrame =
+    graft.metrics.Metrics.rankByKey(
+        graft.util.SparkUtil.widen(documents).select(col("doc_id"), col("source")),
+        "source", Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("_rank").cast(LongType).as("turn"))
+      .orderBy("turn", "source", "doc_id")
+
   /** Deterministic shard id of a document: md5 of the decimal doc_id,
     * first 8 hex chars as an unsigned 32-bit value, mod `nShards`.
     * Content-derived (NOT Spark's task-dependent `spark_partition_id`),

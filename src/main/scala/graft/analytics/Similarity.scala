@@ -92,6 +92,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the near-misses a retrieval/embedding model must learn
+    * to push away (random negatives are too easy; the highest-cosine
+    * wrong-label neighbors are the gradient-rich ones). Same plan shape
+    * as [[bruteForceTopK]] with the label exclusion fused into the
+    * broadcast-join predicate: the corpus scans ONCE, same-label rows
+    * never materialize a scored row, and per-query top-k stays in the
+    * `graft_topk_tag` heap (≤k rows per query per partition cross the
+    * shuffle — never a ranking window). Output: (query_id, vec_id,
+    * label, cosine, rk), ordered by (query_id, rk). */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(scored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
   /** Sign-random-projection LSH bucket key: `nBits` hyperplanes with
     * deterministic md5-derived ±1 components; bucket = bit pattern of
     * projection signs. Same-bucket vectors are candidate neighbors —

@@ -196,6 +196,78 @@ object TextAnalysis {
   val Bm25K1: Double = 1.2
   val Bm25B: Double = 0.75
 
+  /** Bigram language-model scoring — the two-token deepening of
+    * [[unigramLogProb]]: per-document mean −log2 of the add-one-
+    * smoothed CONDITIONAL bigram probability p(w2|w1) =
+    * (c(w1 w2) + 1) / (c(w1 ·) + V), fit on the corpus itself, where
+    * c(w1 ·) counts w1 as a bigram head and V is the distinct-
+    * continuation vocabulary. Catches what the unigram can't: scrambled
+    * word salads score high even when every individual word is common.
+    * Documents with < 2 tokens have no bigrams and are omitted (the
+    * unigram scorer covers them). Output: (doc_id, n_bigrams,
+    * bits_per_bigram), ordered by doc_id.
+    *
+    * Scale shape (100 TB): the paired-token projection is narrow (array
+    * zip, no self-join); the bigram-count table groups on the (w1, w2)
+    * key with map-side combine and joins back on the SAME key (plain
+    * shuffle join — bigram vocabulary is unbounded, never broadcast);
+    * head counts reduce the bigram table again (vocab-sized) and join
+    * on w1; the single V scalar joins as one broadcast row BELOW the
+    * per-doc aggregate — it sits inside ln(c1 + V) so it cannot be
+    * lifted above the mean like the unigram scalar. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val base = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = base.select(col("doc_id"),
+        explode(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = c12.agg(count_distinct(col("w2")).as("v"))
+    val ln2 = log(lit(2.0))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(log(col("c1") + col("v")) - log(col("c12") + 1)).as("avg_ln"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_ln") / ln2, 4).as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage / OOV rate against the corpus top-`k` tokens —
+    * the tokenizer-fit check a pipeline runs before training (a corpus
+    * whose OOV rate against the intended vocabulary is high will
+    * fragment into subwords or UNKs). Vocabulary = top-k by
+    * (count DESC, token ASC) — the tie-break makes the k-th seat
+    * deterministic and engine-stable. Output: (doc_id, n_tokens,
+    * n_oov, oov_rate), ordered by doc_id.
+    *
+    * Scale shape (100 TB): one token-keyed groupBy (map-side combine),
+    * then TakeOrderedAndProject for the top-k — a k-row heap per
+    * partition + k-row merge, never a full sort; the k-row vocabulary
+    * broadcasts (bounded by the model constant k) and the per-doc
+    * aggregate is one doc_id shuffle. */
+  def vocabCoverage(documents: DataFrame, k: Int = 100): DataFrame = {
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Hashing-trick feature bucket of a token: first 8 hex chars of its
     * md5 as an unsigned 32-bit value, mod `nBuckets`. Engine-stable
     * (DuckDB mirrors it as `('0x' || substr(md5(t),1,8))::BIGINT % B`),
@@ -243,8 +315,11 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tokens"), avg("w").as("avg_w"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("avg_w") + log(col("n_raw") + nBuckets) -
-          log(col("n_tgt") + nBuckets), 4).as("log_ratio"))
+        // + 0.0 collapses IEEE −0.0 to 0.0: a ratio this close to zero
+        // rounds to −0.0 in DuckDB but 0.0 in Spark, and the driver's
+        // value hash is bit-sensitive (both sides apply the same +0)
+        (round(col("avg_w") + log(col("n_raw") + nBuckets) -
+          log(col("n_tgt") + nBuckets), 4) + lit(0.0)).as("log_ratio"))
       .orderBy("doc_id")
   }
 

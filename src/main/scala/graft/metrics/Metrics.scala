@@ -124,14 +124,30 @@ object Metrics {
     * per-key funnel doesn't exist there, and step 2's P×K aggregate
     * would not be tiny. */
   def percentRankByKey(df: DataFrame, keyCol: String,
-                       orderCols: Seq[String]): DataFrame = {
+                       orderCols: Seq[String]): DataFrame =
+    rankByKey(df, keyCol, orderCols)
+      .withColumn("pct_rank",
+        when(col("_nk") > 1,
+          (col("_rank") - 1).cast("double") / (col("_nk") - 1).cast("double"))
+          .otherwise(0.0))
+      .drop("_nk", "_rank")
+
+  /** The rank-producing core of [[percentRankByKey]] (same algorithm,
+    * same ReuseExchange contract, same null-key handling): returns the
+    * input plus `_rank` (1-based global rank within `keyCol` under the
+    * TOTAL order `orderCols` — include a tiebreaker) and `_nk` (key
+    * group size). Exposed for operators that need the rank itself
+    * (e.g. [[graft.analytics.CorpusOps.interleave]]'s round-robin turn)
+    * without the per-key window funnel. */
+  def rankByKey(df: DataFrame, keyCol: String,
+                orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the correctness contract above is only guaranteed when the range
     // exchange is planned once — guard the conf at runtime instead of
     // returning silently wrong ranks under exchange.reuse=false with a
     // nondeterministic upstream
     require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "percentRankByKey requires spark.sql.exchange.reuse=true: rank and " +
+      "rankByKey requires spark.sql.exchange.reuse=true: rank and " +
         "offset stages must observe the same sampled range boundaries")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sortCols = (keyCol +: orderCols).map(col)
@@ -156,11 +172,7 @@ object Metrics {
         col("_pid") === col("_opid") && col(keyCol) <=> col("_k"))
       .drop("_opid", "_k")
       .withColumn("_rank", row_number().over(wLocal) + col("_offset"))
-      .withColumn("pct_rank",
-        when(col("_nk") > 1,
-          (col("_rank") - 1).cast("double") / (col("_nk") - 1).cast("double"))
-          .otherwise(0.0))
-      .drop("_pid", "_offset", "_nk", "_rank")
+      .drop("_pid", "_offset")
   }
 
   /** A7 — liveness gap detection (the "no heartbeat for 15 min" alert,

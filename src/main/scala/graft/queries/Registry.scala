@@ -286,7 +286,17 @@ object Registry {
           s, queue, data, out, ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         require(q.awaitTermination(300000), "a3 drain timed out")
-        val lat = s.read.json(s"$out/_latency/*")
+        // list the batch dirs explicitly instead of globbing
+        // "_latency/*": Hadoop glob resolution through the _-prefixed
+        // (hidden-by-convention) parent intermittently matches nothing
+        // under load — an explicit listStatus is deterministic and
+        // fails LOUD if the drain wrote no batches
+        val latDir = new org.apache.hadoop.fs.Path(s"$out/_latency")
+        val fs = latDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val batchDirs = fs.listStatus(latDir).filter(_.isDirectory)
+          .map(_.getPath.toString)
+        require(batchDirs.nonEmpty, "notifyPipeline wrote no _latency batches")
+        val lat = s.read.json(batchDirs: _*)
         val p95 = lat.agg(expr("percentile(latency_ms, 0.95)")).head().getDouble(0)
         lat.select(col("source_file"),
             (col("latency_ms") >= 0 && col("latency_ms") < 600000L).as("latency_ok"),
@@ -699,7 +709,7 @@ object Registry {
             avg(ln(cnt_tgt + 1) - ln(cnt_raw + 1)) AS avg_w
             FROM tb JOIN counts USING (bucket) GROUP BY doc_id)
           SELECT doc_id, n_tokens,
-            round(avg_w + ln(n_raw + 256) - ln(n_tgt + 256), 4) AS log_ratio
+            round(avg_w + ln(n_raw + 256) - ln(n_tgt + 256), 4) + 0 AS log_ratio
           FROM perdoc CROSS JOIN totals ORDER BY doc_id"""
       }, bench = true),
 
@@ -718,6 +728,43 @@ object Registry {
                 / 500.0 - 1.0)) / len(w) AS logit
             FROM (SELECT doc_id, $toksSql AS w FROM documents))
           ORDER BY doc_id"""
+      }),
+
+    // conditional bigram LM (add-one smoothed p(w2|w1), V = distinct
+    // continuations): the two-token deepening of txt_unigram_lm —
+    // word salads score high even when every word is common
+    QueryDef("txt_bigram_lm",
+      (s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents")),
+      Some {
+        s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+            FROM w WHERE len(w) >= 2),
+          c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+          c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+          v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM c12)
+          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+            round(avg(ln(c1 + v) - ln(c12 + 1)) / ln(2.0), 4) AS bits_per_bigram
+          FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+          GROUP BY doc_id ORDER BY doc_id"""
+      }, bench = true),
+
+    // vocabulary coverage vs the corpus top-16 tokens (count DESC,
+    // token ASC tie-break — the k-th seat is deterministic both
+    // engines): the tokenizer-fit / OOV-rate check. k=16 < the
+    // synthetic corpus's 31-token vocabulary so the OOV path is
+    // genuinely exercised (k=100 would cover everything → all-zero)
+    QueryDef("txt_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(t(s, d, "documents"), 16),
+      Some {
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          vocab AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM toks
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 16)),
+          perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+            sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+            FROM toks LEFT JOIN vocab v ON toks.token = v.token GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_oov,
+            round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+          FROM perdoc ORDER BY doc_id"""
       }))
 
   // ---------------- dedup ---------------------------------------------
@@ -988,6 +1035,25 @@ object Registry {
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
           WHERE cos >= 0.35 ORDER BY id_a, id_b"""
       }),
+
+    // hard-negative mining: top-k most-similar DIFFERENT-label
+    // neighbors per query (contrastive-training negatives) — the label
+    // exclusion lives in the broadcast-join predicate, top-k in the
+    // graft_topk_tag heap
+    QueryDef("sim_hard_negatives",
+      (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        q AS (SELECT vec_id AS qid, vec AS qvec, label AS qlabel FROM v WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id, v.label,
+          list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+           sqrt(list_sum(list_transform(v.vec, x -> x * x)))) AS cos
+          FROM q, v WHERE v.vec_id <> q.qid AND v.label <> q.qlabel)
+        SELECT qid AS query_id, vec_id, label, cosine, rk FROM (
+          SELECT qid, vec_id, label, round(cos, 4) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        WHERE rk <= 10 ORDER BY query_id, rk""")),
 
     // SemDeDup: within-cluster (label cell) exact-cosine pruning with
     // the deterministic earlier-id keeper. Exact pairs inside cells
@@ -1447,7 +1513,44 @@ object Registry {
             count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_bytes,
             min(doc_id) AS min_doc, max(doc_id) AS max_doc
           FROM documents GROUP BY 1 ORDER BY shard"""
-      }))
+      }),
+
+    // curriculum staging: global (n_chars, doc_id) order cut into 8
+    // equal stages — Spark side is the constant-key skew-safe rankByKey
+    // (no single-reducer global window), oracle is the plain window
+    QueryDef("corpus_curriculum",
+      (s, d) => CorpusOps.curriculumStages(t(s, d, "documents"), col("n_chars"), 8),
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+            row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+            count(*) OVER () AS n FROM documents)
+        SELECT doc_id, n_chars AS score,
+          CAST(floor((rk - 1) * 8 / n) AS BIGINT) AS stage
+        FROM r ORDER BY doc_id""")),
+
+    // round-robin source interleaving: the deterministic training
+    // order (turn 1 of every source, then turn 2, …). Spark side is
+    // the skew-safe rankByKey, oracle is the plain window — identical
+    // results, different physical plans
+    QueryDef("corpus_interleave",
+      (s, d) => CorpusOps.interleave(t(s, d, "documents")),
+      Some("""SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS turn
+        FROM documents ORDER BY turn, source, doc_id""")),
+
+    // per-language length-percentile trim (drop shortest/longest 5%):
+    // rank-based boundary — an exact rational both engines compute
+    // identically, immune to interpolated-quantile ulp drift
+    QueryDef("corpus_length_filter",
+      (s, d) => Cleaning.lengthFilter(t(s, d, "documents"), 0.05, 0.95),
+      Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+            count(*) OVER (PARTITION BY lang) AS nk,
+            CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+              THEN CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+                / (count(*) OVER (PARTITION BY lang) - 1)
+              ELSE 0.0 END AS pr
+          FROM documents)
+        SELECT doc_id, lang, n_chars, round(pr, 6) AS len_pct
+        FROM r WHERE nk = 1 OR (pr >= 0.05 AND pr <= 0.95) ORDER BY doc_id""")))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

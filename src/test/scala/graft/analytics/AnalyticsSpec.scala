@@ -904,6 +904,88 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("bigramLogProb matches the hand-computed conditional model") {
+    // corpus bigrams: (a b)x2 from docs 1,2; (b a) from doc 2; (c c) from doc 3
+    // heads: a->2, b->1, c->1; V = |{b, a, c}| = 3
+    val d = docs(1L -> "a b", 2L -> "a b a", 3L -> "c c", 4L -> "solo")
+    val out = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(4L)) // <2 tokens: no bigrams, omitted
+    def bits(c12: Long, c1: Long): Double =
+      (math.log(c1 + 3.0) - math.log(c12 + 1.0)) / math.log(2.0)
+    def round4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - round4(bits(2, 2))) < 2e-4)
+    assert(math.abs(out(3L)._2 - round4(bits(1, 1))) < 2e-4)
+    // doc 2 averages its two bigrams
+    assert(math.abs(out(2L)._2 - round4((bits(2, 2) + bits(1, 1)) / 2)) < 2e-4)
+    // an unseen-ish (rare) bigram costs more bits than the common one
+    assert(bits(1, 2) > bits(2, 2))
+  }
+
+  test("vocabCoverage marks tokens outside the deterministic top-k as OOV") {
+    // counts: common x4, mid x2, rare x1, tie x2 — top-2 by (cnt DESC,
+    // token ASC) = {common, mid} ('mid' < 'tie' breaks the tie)
+    val d = docs(
+      1L -> "common common mid tie", 2L -> "common common mid tie rare")
+    val out = TextAnalysis.vocabCoverage(d, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))  // 'tie' is OOV
+    assert(out(2L) == ((5L, 2L, 0.4)))   // 'tie' + 'rare' OOV
+  }
+
+  test("interleave round-robins sources and exhausts short sources gracefully") {
+    val d = Seq(
+      (10L, "sA"), (11L, "sA"), (12L, "sA"),
+      (20L, "sB"))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(1L))
+    val out = CorpusOps.interleave(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // training order: turn 1 of every source (A then B), then A's rest
+    assert(out == Seq((10L, "sA", 1L), (20L, "sB", 1L),
+      (11L, "sA", 2L), (12L, "sA", 3L)))
+  }
+
+  test("lengthFilter trims per-language rank tails but keeps singleton languages") {
+    val d = (1L to 20L).map(i => (i, "en", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val solo = Seq((100L, "zz", 5L)).toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val out = Cleaning.lengthFilter(d.unionByName(solo), 0.05, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    // en ranks 1..20 -> pct (r-1)/19; kept iff 0.05 <= pct <= 0.95:
+    // rank 1 (pct 0) and rank 20 (pct 1) drop
+    assert(out == ((2L to 19L).toSet + 100L))
+  }
+
+  test("hardNegatives returns nearest DIFFERENT-label neighbors only") {
+    // query 1 (label 0): v2 same label at cosine 1 must NOT appear;
+    // v3 (label 1, cos .8) and v4 (label 2, cos .6) must, in that order
+    val d = vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0.8f, 0.6f), 1), (4L, Seq(0.6f, 0.8f), 2))
+    val out = Similarity.hardNegatives(d, Seq(1L), 10).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((3L, 1L), (4L, 2L)))
+  }
+
+  test("curriculumStages cuts the global score order into equal stages") {
+    val d = (1L to 16L).map(i => (i, 17L - i)) // score DESC in doc order
+      .toDF("doc_id", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val out = CorpusOps.curriculumStages(d, col("n_chars"), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 16 has the LOWEST score -> stage 0; doc 1 the highest -> stage 3
+    assert(out(16L) == 0L && out(13L) == 0L)
+    assert(out(12L) == 1L && out(9L) == 1L)
+    assert(out(8L) == 2L && out(5L) == 2L)
+    assert(out(4L) == 3L && out(1L) == 3L)
+  }
+
   test("writeShards produces exactly nShards deterministic directories") {
     val d = spark.range(200).select(col("id").as("doc_id"),
       concat(lit("text "), col("id")).as("text"), lit("en").as("lang"),
