@@ -98,6 +98,43 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Unicode text canonicalization — the pass a corpus build runs
+    * before ANY hash-keyed stage (exact dedup, MinHash shingles,
+    * winnowing): visually-identical texts must be byte-identical or
+    * they escape every fingerprint. Three deterministic rules, in
+    * order:
+    *
+    *  1. NFC-normalize (combining sequences compose: "e"+U+0301 → "é")
+    *     via the codegen'd [[graft.functions.NfcNormalizeExpr]];
+    *  2. strip NON-whitespace control characters — Cc minus
+    *     {TAB LF VT FF CR}, spelled as the explicit codepoint class
+    *     `[\x00-\x08\x0E-\x1F\x7F-\x9F]` (C0 + DEL + C1);
+    *  3. collapse every whitespace run to one space, then trim.
+    *
+    * Rule order matters twice: controls strip BEFORE the collapse so a
+    * space-flanked control leaves ONE space, not two ("a  b" →
+    * "a b"); and the whitespace controls are excluded from the strip
+    * class so newlines become separators, not deleted glue ("foo\nbar"
+    * → "foo bar", never "foobar"). All regexes are Java∩RE2 (the PII
+    * dialect rule) so the DuckDB oracle runs `nfc_normalize` + the same
+    * two patterns verbatim — the class is explicit hex ranges, NOT
+    * `\p{Cntrl}`, which RE2 does not know inside `\p{...}` and
+    * SILENTLY matches nothing (the oracle would pass while stripping
+    * nothing; both dialects were probed with C0 and C1 chars). Output: the input frame with `text`
+    * replaced by its normal form and `n_chars` recomputed.
+    *
+    * Scale shape: entirely narrow — one codegen'd projection, no
+    * shuffle; already-NFC text (virtually all of a real corpus) takes
+    * the isNormalized fast path and is returned without copying. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val nfc = graft.functions.NfcNormalizeExpr(col("text"))
+    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", "")
+    val clean = trim(regexp_replace(stripped, "\\s+", " "))
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("text", clean)
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+  }
+
   /** PII category → (regex, replacement token). ORDER MATTERS and is
     * part of the contract: emails first (their local/domain parts
     * contain dots and digits that the later patterns must not see),

@@ -424,6 +424,36 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Leakage-safe train/test split — assign documents to splits BY
+    * NEAR-DUP CLUSTER, not individually: hash-splitting docs one at a
+    * time puts a test document's near-duplicate in train with
+    * probability 2p(1−p), silently inflating eval (the train/test
+    * contamination the decontaminate operator exists to stop —
+    * prevented here at split time instead of patched after). Clusters
+    * come from [[duplicateClusters]] (MinHash LSH pairs → connected
+    * components); the whole cluster lands on the side chosen by
+    * md5("split:" ++ cluster_id) mod 1000 < `testPermille` —
+    * content-derived and engine-stable (the shardId discipline), so
+    * membership is identical across reruns and oracle-checkable.
+    * Output: (doc_id, cluster_id, split), ordered by doc_id.
+    *
+    * Scale shape (100 TB): everything above the component loop is the
+    * duplicateClusters shape (banded pair generation, pair-sized label
+    * table); the split decision itself is one narrow hash projection
+    * over the labels — no additional shuffle. */
+  def leakageSafeSplit(documents: DataFrame, shingleK: Int, numHashes: Int,
+                       rowsPerBand: Int, testPermille: Int = 200): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille must be in [0, 1000]: $testPermille")
+    val clusters = duplicateClusters(documents, shingleK, numHashes, rowsPerBand)
+    val bucket = conv(substring(
+        md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000
+    clusters.select(col("doc_id"), col("cluster_id"),
+        when(bucket < testPermille, "test").otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram (word-set) Jaccard exact-verify stage, fed by the MinHash
     * LSH candidate generator: [[minhashCandidatePairs]] produces the
     * (band-bucketed, never all-pairs) candidate set, texts join back by

@@ -353,6 +353,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source characteristic terms by TF-IDF — the "what is this
+    * slice about" profile a corpus build runs per domain/source before
+    * deciding mixture weights (and the quickest way to spot a crawl
+    * slice gone wrong: its top terms become navigation chrome). tf =
+    * term occurrences within the source; df = number of sources whose
+    * text contains the term; idf = ln((N+1)/(df+1)) with N = source
+    * count (smoothed so corpus-universal terms score exactly 0 rather
+    * than dividing by anything). Ranking key is the ROUNDED score
+    * (4 dp, ties by token asc) so both engines rank identical values —
+    * an unrounded double rank could flip near-ties by a libm ulp.
+    * Output: (source, token, tf, df, tfidf, rk ≤ k), ordered by
+    * (source, rk).
+    *
+    * Scale shape (100 TB): the explode is narrow; tf is one map-side-
+    * combinable groupBy on (source, token); df and the N scalar reduce
+    * THAT vocab-sized table (df joins back on `token` as a plain
+    * shuffle join — vocabulary is unbounded, never broadcast; N is one
+    * broadcast row). The top-k rank is [[graft.metrics.Metrics
+    * .rankByKey]] — range-partition + per-(partition, source) offsets,
+    * P-way parallel even when one source's vocabulary dominates (a
+    * `Window.partitionBy(source)` would funnel each source's whole
+    * vocab through one reducer — the interleave/lengthFilter lesson). */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nSrc = tf.agg(count_distinct(col("source")).as("n_sources"))
+    val scored = tf.join(dfTab, Seq("token"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("source"), col("token"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        round(col("tf") * log((col("n_sources").cast("double") + 1) / (col("df") + 1)), 4)
+          .as("tfidf"))
+      .withColumn("_neg", -col("tfidf"))
+    graft.metrics.Metrics.rankByKey(scored, "source", Seq("_neg", "token"))
+      .filter(col("_rank") <= k)
+      .select(col("source"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("_rank").cast("long").as("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** Per-source distribution drift — KL divergence of each source's
+    * token distribution from the whole-corpus distribution, the mix
+    * monitor a pipeline runs per ingest round ("did this crawl slice
+    * change what the model will read?"). MLE distributions restricted
+    * to each source's OBSERVED tokens (every observed token has a
+    * corpus count, so no smoothing is needed and the per-source sum has
+    * exactly vocab_s terms): KL(p_s ‖ p_c) = Σ_t (c_st/n_s) ·
+    * ln((c_st/n_s)/(c_t/n)), computed as sum(c_st·(ln c_st − ln c_t))
+    * / n_s + ln n − ln n_s so the scalar totals apply ONCE above the
+    * per-source aggregate (the unigramLogProb trick) and the oracle
+    * mirrors the exact arithmetic order. Output: (source, n_tokens,
+    * vocab, kl_bits) — KL in bits, 4 dp — ordered by source.
+    *
+    * Scale shape (100 TB): one map-side-combinable groupBy on
+    * (source, token); corpus counts reduce THAT vocab-sized table and
+    * join back on `token` (plain shuffle join — vocabulary unbounded);
+    * per-source totals reduce it again (|sources| rows, joins on
+    * `source`); (n) is one broadcast row. Nothing corpus-sized crosses
+    * an exchange twice. */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source").agg(sum("c_st").as("n_s"),
+      count(lit(1)).as("vocab"))
+    val n = ct.agg(sum("c_t").as("n"))
+    val ln2 = log(lit(2.0))
+    st.join(ct, Seq("token"))
+      .groupBy("source")
+      .agg(sum(col("c_st") * (log(col("c_st")) - log(col("c_t")))).as("s"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        // + 0.0 collapses IEEE −0.0 (a zero-drift source can round to
+        // the negative zero in either engine — the importanceWeights
+        // hash-discipline lesson)
+        (round((col("s") / col("n_s") + log(col("n")) - log(col("n_s"))) / ln2, 4)
+          + lit(0.0)).as("kl_bits"))
+      .orderBy("source")
+  }
+
   def bm25Scores(documents: DataFrame, terms: Seq[String],
                  k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty, "query term set must be non-empty")

@@ -765,6 +765,27 @@ object Registry {
           SELECT doc_id, n_tokens, n_oov,
             round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
           FROM perdoc ORDER BY doc_id"""
+      }),
+
+    // per-source characteristic terms (TF-IDF top-5). Ranking key is
+    // the ROUNDED score + token tie-break so both engines rank
+    // identical values; Spark side ranks via the skew-safe rankByKey
+    // (no per-source window funnel), oracle via the plain window
+    QueryDef("txt_tfidf_terms",
+      (s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"), 5),
+      Some {
+        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
+          tf AS (SELECT source, token, count(*)::BIGINT AS tf FROM toks
+            GROUP BY source, token),
+          dfs AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+          ns AS (SELECT count(DISTINCT source)::BIGINT AS n_sources FROM tf),
+          scored AS (SELECT source, token, tf, df,
+            round(tf * ln((CAST(n_sources AS DOUBLE) + 1) / (df + 1)), 4) AS tfidf
+            FROM tf JOIN dfs USING (token) CROSS JOIN ns),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY tfidf DESC, token) AS rk FROM scored)
+          SELECT source, token, tf, df, tfidf, rk::BIGINT AS rk
+          FROM ranked WHERE rk <= 5 ORDER BY source, rk"""
       }))
 
   // ---------------- dedup ---------------------------------------------
@@ -1550,7 +1571,97 @@ object Registry {
               ELSE 0.0 END AS pr
           FROM documents)
         SELECT doc_id, lang, n_chars, round(pr, 6) AS len_pct
-        FROM r WHERE nk = 1 OR (pr >= 0.05 AND pr <= 0.95) ORDER BY doc_id""")))
+        FROM r WHERE nk = 1 OR (pr >= 0.05 AND pr <= 0.95) ORDER BY doc_id""")),
+
+    // Unicode canonicalization (NFC + control strip + whitespace
+    // collapse) — the pre-hash normalize pass. The synthetic suffix
+    // appends a combining acute (composes under NFC) and a BEL control
+    // (strips) so the corpus genuinely exercises both rules; the
+    // control class is explicit hex ranges on BOTH dialects (RE2
+    // silently matches nothing for \p{Cntrl} — see
+    // Cleaning.normalizeText)
+    QueryDef("corpus_normalize_text",
+      (s, d) => Cleaning.normalizeText(
+          t(s, d, "documents").withColumn("text",
+            // DECOMPOSED "e"+U+0301 then BEL: the operator must
+            // compose and strip - a pre-composed suffix would let a
+            // broken normalizer pass vacuously
+            concat(col("text"), lit(" e\u0301\u0007x "))))
+        .select(col("doc_id"), col("n_chars").as("n_chars_norm"),
+          md5(col("text")).as("norm_md5"))
+        .orderBy("doc_id"),
+      Some {
+        """SELECT doc_id, length(norm)::BIGINT AS n_chars_norm,
+            md5(norm) AS norm_md5
+          FROM (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(
+              nfc_normalize(text || ' e' || chr(769) || chr(7) || 'x '),
+              '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+            FROM documents) ORDER BY doc_id"""
+      }),
+
+    // sliding-window chunking (context-window prep): 32-token windows
+    // at stride 24 (8-token overlap), last window truncates; chunk
+    // content compared by md5
+    QueryDef("corpus_chunk_windows",
+      (s, d) => CorpusOps.chunkWindows(t(s, d, "documents"), 32, 24),
+      Some {
+        s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          c AS (SELECT doc_id, unnest(range(0, len(w), 24)) AS st, w FROM w)
+          SELECT doc_id, (st // 24)::BIGINT AS chunk_id, st::BIGINT AS chunk_start,
+            len(w[st+1:st+32])::BIGINT AS chunk_tokens,
+            md5(array_to_string(w[st+1:st+32], ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_id"""
+      }),
+
+    // per-source KL drift from the corpus token distribution (mix
+    // monitor). Scalar totals applied ABOVE the per-source aggregate —
+    // the unigram-LM arithmetic-order discipline
+    QueryDef("corpus_source_drift",
+      (s, d) => TextAnalysis.sourceDrift(t(s, d, "documents")),
+      Some {
+        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
+          st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
+            GROUP BY source, token),
+          ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY token),
+          ns AS (SELECT source, sum(c_st)::BIGINT AS n_s, count(*)::BIGINT AS vocab
+            FROM st GROUP BY source),
+          n AS (SELECT sum(c_t)::BIGINT AS n FROM ct),
+          agg AS (SELECT source, sum(c_st * (ln(c_st) - ln(c_t))) AS s
+            FROM st JOIN ct USING (token) GROUP BY source)
+          SELECT source, n_s AS n_tokens, vocab,
+            round((s / n_s + ln(n) - ln(n_s)) / ln(2.0), 4) + 0 AS kl_bits
+          FROM agg JOIN ns USING (source) CROSS JOIN n ORDER BY source"""
+      }),
+
+    // leakage-safe train/test split: whole near-dup clusters land on
+    // one side (md5 of the cluster id), so a test doc's near-duplicate
+    // can never sit in train. Oracle = the dedup_clusters recursive
+    // CTE + the same split hash
+    QueryDef("corpus_split_leakage",
+      (s, d) => Dedup.leakageSafeSplit(t(s, d, "documents"), 3, 8, 4, 200),
+      Some {
+        s"""WITH RECURSIVE $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+          cl AS (SELECT d.doc_id,
+              least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN
+              (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id)
+          SELECT doc_id, cluster_id,
+            CASE WHEN ('0x' || substr(md5('split:' || cluster_id), 1, 8))::BIGINT
+              % 1000 < 200 THEN 'test' ELSE 'train' END AS split
+          FROM cl ORDER BY doc_id"""
+      }))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

@@ -1009,4 +1009,87 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
     assert(stats == onDisk)
   }
+
+  test("chunkWindows: stride windows, overlap, and last-chunk truncation") {
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "), 2L -> "solo")
+    val out = CorpusOps.chunkWindows(d, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val c1 = out.filter(_._1 == 1L)
+    // starts 0,3,6,9; sizes 4,4,4,1
+    assert(c1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // chunk content: md5 of the space-joined token slice
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(c1.map(_._5).toSeq == Seq(
+      m("t1 t2 t3 t4"), m("t4 t5 t6 t7"), m("t7 t8 t9 t10"), m("t10")))
+    // consecutive windows overlap by chunkSize - stride = 1 token
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4)).toSeq == Seq((0L, 1L)))
+  }
+
+  test("chunkWindows at stride == chunkSize partitions the token stream exactly") {
+    val d = docs(1L -> (1 to 11).map(i => s"w$i").mkString(" "))
+    val out = CorpusOps.chunkWindows(d, chunkSize = 4, stride = 4).collect()
+    assert(out.map(_.getLong(3)).sum == 11L) // no token lost, none doubled
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L))
+  }
+
+  test("tfidfTopTerms surfaces source-distinctive terms, zeroes universal ones") {
+    val d = Seq(
+      (1L, "quantum quantum flux and the common words", "en", "physics"),
+      (2L, "flux capacitor quantum notes and the common words", "en", "physics"),
+      (3L, "sourdough starter hydration and the common words", "en", "baking"),
+      (4L, "butter sourdough crumb and the common words", "en", "baking"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.tfidfTopTerms(d, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4), r.getLong(5)))
+    val physics = out.filter(_._1 == "physics")
+    assert(physics.head._2 == "quantum") // tf=3, df=1 — the signature term
+    // terms present in BOTH sources have idf = ln((2+1)/(2+1)) = 0
+    assert(out.filter(t => t._2 == "common" || t._2 == "the").forall(_._3 == 0.0))
+    // every source gets exactly k ranked rows, ranks 1..k
+    assert(out.filter(_._1 == "baking").map(_._4).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("sourceDrift: matching distribution scores 0, skewed source scores higher") {
+    val base = "alpha beta gamma delta"
+    // the balanced source dominates the corpus (6 of 8 docs), so the
+    // corpus marginal sits close to it: KL(balanced) ≈ 0.03 bits while
+    // the alpha-heavy source lands ≈ 0.24 bits
+    val d = ((1L to 6L).map(i => (i, base, "en", "balanced")) ++ Seq(
+      (7L, base, "en", "skewed"), (8L, "alpha alpha alpha alpha", "en", "skewed")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.sourceDrift(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("balanced")._1 == 24L && out("balanced")._2 == 4L)
+    // both non-negative (Gibbs); the skew drifts decisively more
+    assert(out("balanced")._3 >= 0.0 && out("skewed")._3 > out("balanced")._3 * 3)
+  }
+
+  test("sourceDrift is exactly 0 when every source matches the corpus") {
+    val d = Seq((1L, "x y z", "en", "a"), (2L, "x y z", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.sourceDrift(d).collect().map(_.getDouble(3))
+    assert(out.forall(_ == 0.0))
+  }
+
+  test("leakageSafeSplit keeps every near-dup cluster on one side") {
+    val near = "spark runs fast queries over big data lakes every day ok"
+    val d = docs(
+      1L -> near, 2L -> (near + " extra"), 3L -> (near + " more extra"),
+      4L -> "completely different words about gardening tulips and soil care",
+      5L -> "unrelated third topic entirely about music theory and chords")
+    val out = Dedup.leakageSafeSplit(d, 3, 8, 1, testPermille = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall(t => t._3 == "train" || t._3 == "test"))
+    // same cluster -> same side, for every cluster
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    // docs 1-3 are near-dups (rowsPerBand=1, OR-amplified) -> one cluster
+    assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
+  }
 }

@@ -76,4 +76,37 @@ class CleaningSpec extends SparkSpec {
     assert(r.getLong(2) == 1 && r.getLong(3) == 1)
     assert(r.getLong(4) == 0 && r.getLong(5) == 0)
   }
+
+  test("normalizeText: NFC composes, controls strip clean, whitespace collapses") {
+    val d = docs(
+      // DECOMPOSED e + combining acute; tab/newline runs; trailing space
+      1L -> "cafe\u0301  du\tparc\n\nend ",
+      // space-flanked BEL and C1 PU1 strip to ONE space each; the NUL
+      // glued between words deletes without inserting a separator
+      2L -> "bell \u0007 and\u0000glue \u009C end",
+      3L -> "already clean")
+    val out = Cleaning.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "caf\u00e9 du parc end")
+    assert(out(1L)._2 == 16L) // n_chars counts the COMPOSED codepoints
+    assert(out(2L)._1 == "bell andglue end")
+    assert(out(3L)._1 == "already clean")
+  }
+
+  test("normalizeText: NFC expression agrees across codegen and interpreted eval") {
+    val d = docs(
+      1L -> "plain ascii stays put",
+      2L -> "compose e\u0301 and o\u0308 here",
+      3L -> null.asInstanceOf[String])
+    def rows() = d.select(col("doc_id"),
+        graft.functions.NfcNormalizeExpr(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val byMode = Seq("CODEGEN_ONLY", "NO_CODEGEN").map { mode =>
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows() finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(byMode.head == byMode.last)
+    assert(byMode.head(1)._2 == "compose \u00e9 and \u00f6 here")
+    assert(byMode.head(2)._2 == null) // null text stays null
+  }
 }
