@@ -176,6 +176,59 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Gopher/MassiveText-style quality GATE — the published rule set a
+    * pretraining build applies before dedup (distinct from
+    * [[graft.analytics.TextAnalysis.qualityScores]], which SCORES for
+    * downstream weighting; this one makes the keep/drop decision):
+    *
+    *  - word count within [`minWords`, `maxWords`];
+    *  - mean word length within [`minMeanLen`, `maxMeanLen`] (filters
+    *    char-soup and concatenated-token garbage);
+    *  - fraction of words containing an alphabetic character >=
+    *    `minAlphaFrac` (filters numeric/symbol tables);
+    *  - at least `minStopHits` stopword occurrences (the Gopher "2 of
+    *    the common-word list" rule — filters keyword-stuffing pages).
+    *
+    * The keep decision compares the ROUNDED mean/fraction (4 dp) so
+    * the boundary cannot drift by a float ulp between engines — same
+    * discipline as [[lengthFilter]]'s rank-based cut. Output: (doc_id,
+    * n_words, mean_word_len, alpha_frac, stop_hits, keep), ordered by
+    * doc_id.
+    *
+    * Scale shape (100 TB): one narrow codegen'd projection — the word
+    * array is built once and every rule folds over it with collection
+    * HOFs (`aggregate`/`filter`/`size`); no shuffle, no UDF, no
+    * regex-per-word JVM object churn beyond the single `[A-Za-z]`
+    * probe. [[graft.util.SparkUtil.widen]] keeps it parallel on
+    * few-file inputs. */
+  def gopherRules(documents: DataFrame,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Long = 2,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word-count bounds must satisfy 1 <= min <= max: [$minWords, $maxWords]")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val ws = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val n = size(ws).cast(LongType)
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = round(
+      when(n === 0, 0.0).otherwise(sumLen.cast("double") / n), 4)
+    val alphaFrac = round(
+      when(n === 0, 0.0).otherwise(
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n), 4)
+    val stopHits =
+      size(filter(ws, w => lower(w).isInCollection(stopwords))).cast(LongType)
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac && col("stop_hits") >= minStopHits)
+      .orderBy("doc_id")
+  }
+
   /** Grouped length-percentile filter: within each language, keep
     * documents whose length rank sits in [`pLo`, `pHi`] — the
     * "drop the shortest 5% and longest 5% per language" trim of a

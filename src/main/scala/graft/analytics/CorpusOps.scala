@@ -144,6 +144,50 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Contamination SCORING — per-document fraction of distinct word
+    * k-shingles that appear in the evaluation set. [[decontaminate]]
+    * makes the binary drop decision; this one produces the overlap
+    * report a corpus build reads BEFORE choosing a threshold (most
+    * real recipes drop at partial-overlap cutoffs, not any-overlap,
+    * and audit the distribution first). Output: (doc_id, n_grams,
+    * n_hit, contamination) over ALL training docs — a doc with < k
+    * words has zero shingles and scores 0.0 (it cannot be
+    * contaminated), rounded 4 dp, ordered by doc_id.
+    *
+    * Scale shape: same as [[decontaminate]] — eval grams distinct once
+    * and size-gate-broadcast (same eager-estimate caveat); the
+    * training side is one narrow explode of per-doc DISTINCT grams, a
+    * hit-indicator left join, and one map-side-combinable groupBy on
+    * doc_id. Nothing funnels; the join degrades to a plain shuffle
+    * above the broadcast threshold. */
+  def contaminationScore(documents: DataFrame, evalDocs: DataFrame,
+                         k: Int = 3,
+                         broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) * k * 2 + r.getLong(1) * 64
+    }
+    val gated =
+      if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
+    val perDoc = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), k))).as("gram"))
+      .join(gated, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_grams")), 4)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** Domain-mixture sampling — hit target per-source proportions of an
     * `outTotal`-document training mix. For each targeted source the
     * keep-threshold is `want_s × 2³² ÷ n_s` (capped at 2³²) where

@@ -179,6 +179,77 @@ object Multimodal {
       .orderBy("doc_id")
 
   // ------------------------------------------------------------------
+  // audio: WAV (RIFF) header decode
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-doc audio parameters for synthesized payloads
+    * (mirrored literally in the DuckDB oracle). */
+  def wavChannels(docId: Long): Int = (docId % 2 + 1).toInt
+  def wavSampleRate(docId: Long): Int =
+    Seq(8000, 16000, 44100)((docId % 3).toInt)
+  def wavBits(docId: Long): Int = if ((docId / 2) % 2 == 0) 8 else 16
+
+  /** A PCM WAV container: RIFF header + 16-byte `fmt ` chunk + `data`
+    * chunk (the canonical 44-byte header). RIFF is little-endian —
+    * unlike the big-endian PNG/JPEG writers above. */
+  def wavBytes(channels: Int, sampleRate: Int, bits: Int,
+               data: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(44 + data.length)
+    def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); u32(36L + data.length); tag("WAVE")
+    tag("fmt "); u32(16L); u16(1); u16(channels)
+    u32(sampleRate.toLong); u32(sampleRate.toLong * channels * (bits / 8))
+    u16(channels * (bits / 8)); u16(bits)
+    tag("data"); u32(data.length.toLong); o.write(data)
+    o.toByteArray
+  }
+
+  /** Attach a WAV payload column: per-doc channels/rate/depth from the
+    * deterministic formulas, document text riding as the PCM data
+    * bytes (stands in for samples read from object storage). */
+  def withAudioPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long, text: String) =>
+      val data = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+      wavBytes(wavChannels(docId), wavSampleRate(docId), wavBits(docId), data)
+    }
+    documents.withColumn("payload", synth(col("doc_id"), col("text")))
+  }
+
+  /** Batched audio decode — same per-partition batch shape as
+    * [[decodeBatched]]. REAL RIFF chunk walk ([[MediaDecode.wav]]);
+    * total under the P14 containment stance: an unparseable payload
+    * yields format `unknown` with zeroed audio fields, never an
+    * exception. `duration_ms` is derived from the PARSED data-chunk
+    * length and byte rate — the oracle checks it against the synthesis
+    * formula, proving the walk read real bytes. */
+  def audioFeatures(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withAudioPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would hand `batch` to one vectorized call here
+        batch.iterator.map { case (id, payload) =>
+          MediaDecode.wav(payload) match {
+            case Some(w) =>
+              (id, "wav", w.channels.toLong, w.sampleRate.toLong,
+                w.bits.toLong, w.durationMs, payload.length.toLong)
+            case None =>
+              (id, "unknown", 0L, 0L, 0L, 0L, payload.length.toLong)
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "channels", "sample_rate_hz",
+      "bits_per_sample", "duration_ms", "payload_bytes")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // video: frame sampling over an opaque container column
   // ------------------------------------------------------------------
 
@@ -271,6 +342,13 @@ object Multimodal {
   }
 }
 
+/** Parsed WAV format metadata ([[MediaDecode.wav]]). */
+final case class WavMeta(channels: Int, sampleRate: Int, bits: Int,
+                         dataBytes: Long) {
+  def byteRate: Long = sampleRate.toLong * channels * (bits / 8)
+  def durationMs: Long = if (byteRate <= 0) 0L else dataBytes * 1000L / byteRate
+}
+
 /** Pure-JVM image header parsing from the public container specs —
   * no codec libraries. Returns None for anything not PNG/JPEG (the
   * caller falls back to the stub). Malformed-but-magic-matching
@@ -286,6 +364,50 @@ object MediaDecode {
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
   private def be16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** WAV: `RIFF<size>WAVE`, then little-endian chunks (`<id><size>
+    * <body>`, bodies padded to even length per the RIFF spec). Needs
+    * both a `fmt ` chunk (channels @+2, sample rate @+4, bits @+14 of
+    * the body) and a `data` chunk; chunk order is NOT fixed by the
+    * spec, so the walk accepts either first and skips unknown chunks
+    * (LIST/fact/cue). A declared data size beyond the payload is
+    * clamped to the bytes actually present (truncation containment).
+    * Malformed containers return None — corrupt audio is DATA, not an
+    * engine error. */
+  def wav(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var p = 12L
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Long] = None
+    while (p + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b.slice(p.toInt, p.toInt + 4), "US-ASCII")
+      val size = le32(b, p.toInt + 4)
+      val body = p + 8
+      id match {
+        case "fmt " =>
+          if (size < 16 || body + 16 > b.length) return None
+          val ch = le16(b, body.toInt + 2)
+          val sr = le32(b, body.toInt + 4)
+          val bits = le16(b, body.toInt + 14)
+          if (ch < 1 || sr < 1 || sr > Int.MaxValue ||
+            bits < 8 || bits % 8 != 0) return None
+          fmt = Some((ch, sr.toInt, bits))
+        case "data" =>
+          data = Some(math.min(size, b.length - body))
+        case _ => ()
+      }
+      p = body + size + (size & 1) // RIFF bodies pad to even offsets
+    }
+    for { (ch, sr, bits) <- fmt; d <- data } yield WavMeta(ch, sr, bits, d)
+  }
 
   private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 

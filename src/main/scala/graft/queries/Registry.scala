@@ -1301,6 +1301,27 @@ object Registry {
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
         FROM documents ORDER BY doc_id""")),
 
+    // audio WAV header decode: duration is derived from the PARSED
+    // data-chunk length and byte rate — the oracle reconstructs both
+    // from the synthesis formulas, so a match proves the RIFF walk
+    // read real little-endian bytes, not a formula
+    QueryDef("mm_audio_features",
+      (s, d) => Multimodal.audioFeatures(t(s, d, "documents")),
+      Some("""WITH a AS (SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS sr,
+            doc_id % 2 + 1 AS ch,
+            CASE WHEN (doc_id // 2) % 2 = 0 THEN 8 ELSE 16 END AS bits,
+            octet_length(encode(text)) AS data_len
+          FROM documents)
+        SELECT doc_id, 'wav' AS format,
+          ch::BIGINT AS channels,
+          sr::BIGINT AS sample_rate_hz,
+          bits::BIGINT AS bits_per_sample,
+          (data_len * 1000 // (sr * ch * (bits // 8)))::BIGINT AS duration_ms,
+          (44 + data_len)::BIGINT AS payload_bytes
+        FROM a ORDER BY doc_id""")),
+
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
     // bytes from the deterministic formula, so the md5 compare proves
@@ -1392,6 +1413,34 @@ object Registry {
           WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id"""
       }, bench = true),
+
+    // contamination scoring: per-doc fraction of DISTINCT 3-shingles
+    // present in the eval split (the audit report behind the
+    // decontaminate threshold choice); zero-shingle docs score 0.0
+    QueryDef("corpus_contamination_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        CorpusOps.contaminationScore(docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), 3)
+      },
+      Some {
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+          eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram
+            FROM toks WHERE doc_id % 50 = 0),
+          dg AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")})) AS gram
+            FROM toks WHERE doc_id % 50 <> 0),
+          hits AS (SELECT dg.doc_id, count(*) AS n_grams,
+              count(eg.gram) AS n_hit
+            FROM dg LEFT JOIN eg ON dg.gram = eg.gram GROUP BY dg.doc_id)
+          SELECT t.doc_id,
+            coalesce(n_grams, 0)::BIGINT AS n_grams,
+            coalesce(n_hit, 0)::BIGINT AS n_hit,
+            round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+              ELSE n_hit::DOUBLE / n_grams END, 4) AS contamination
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
+          LEFT JOIN hits USING (doc_id)
+          ORDER BY doc_id"""
+      }),
 
     // exact-k-per-source sampling: fixed quota of 5 docs per source by
     // ascending u32(md5) order, via the graft_topk heap (never a
@@ -1598,6 +1647,35 @@ object Registry {
               nfc_normalize(text || ' e' || chr(769) || chr(7) || 'x '),
               '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS norm
             FROM documents) ORDER BY doc_id"""
+      }),
+
+    // Gopher-style quality gate: word-count / mean-word-length /
+    // alpha-fraction / stopword-hit rules; keep compares the ROUNDED
+    // stats so the boundary cannot drift by a float ulp cross-engine
+    QueryDef("corpus_gopher_filter",
+      (s, d) => Cleaning.gopherRules(t(s, d, "documents"),
+        minWords = 10, maxWords = 1000, stopwords = stopwords),
+      Some {
+        s"""WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> x <> '') AS ws
+          FROM documents),
+        s AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+            round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                / len(ws) END, 4) AS mean_word_len,
+            round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / len(ws) END, 4) AS alpha_frac,
+            len(list_filter(ws,
+              x -> list_contains(${sqlList(stopwords)}, lower(x))))::BIGINT
+              AS stop_hits
+          FROM w)
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+          (n_words >= 10 AND n_words <= 1000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+        FROM s ORDER BY doc_id"""
       }),
 
     // sliding-window chunking (context-window prep): 32-token windows

@@ -464,6 +464,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L))
   }
 
+  test("contaminationScore reports exact overlap fractions, zero-shingle docs score 0") {
+    val eval = docs(100L -> "the quick brown fox jumps high")
+    val train = docs(
+      1L -> "yesterday the quick brown fox escaped again",  // 2 of 5 grams hit
+      2L -> "completely unrelated text about spark clusters", // 0 hits
+      3L -> "two words")                                      // no shingles
+    val out = CorpusOps.contaminationScore(train, eval, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 grams: [yesterday the quick][the quick brown][quick brown fox]
+    // [brown fox escaped][fox escaped again] — middle two are in eval
+    assert(out(1L).getLong(1) == 5 && out(1L).getLong(2) == 2)
+    assert(out(1L).getDouble(3) == 0.4)
+    assert(out(2L).getLong(2) == 0 && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).getLong(1) == 0 && out(3L).getDouble(3) == 0.0)
+    // shuffle fallback (threshold 0) computes the same report
+    val viaShuffle = CorpusOps.contaminationScore(train, eval, 3,
+      broadcastBytesThreshold = 0L).collect().toSeq
+    assert(viaShuffle == CorpusOps.contaminationScore(train, eval, 3,
+      broadcastBytesThreshold = Long.MaxValue).collect().toSeq)
+  }
+
   test("mixture sampling: untargeted sources drop, full weight keeps a whole source") {
     import spark.implicits._
     val d = (1L to 40L).map(i => (i, "en", if (i <= 20) "a" else "b", s"doc $i text"))
@@ -749,6 +770,35 @@ class AnalyticsSpec extends SparkSpec {
     val back = Similarity.truncatedTopK(spark.read.parquet(dir), Seq(0L), 2)
       .collect().map(_.getLong(1)).toSeq
     assert(back == topT.map(_.getLong(1)).toSeq)
+  }
+
+  test("audioFeatures parses real WAV headers with chunk-walk containment") {
+    // round-trip with parameters the synth formulas never produce:
+    // the parser reads the BYTES, not the formula
+    val pcm = Array.fill[Byte](1000)(7)
+    val w = MediaDecode.wav(Multimodal.wavBytes(6, 96000, 24, pcm)).get
+    assert((w.channels, w.sampleRate, w.bits) == ((6, 96000, 24)))
+    assert(w.dataBytes == 1000L && w.byteRate == 6L * 96000 * 3)
+    // an unknown chunk BEFORE fmt/data is skipped (RIFF order is free),
+    // including the odd-length pad byte
+    val base = Multimodal.wavBytes(2, 8000, 16, Array[Byte](1, 2, 3, 4))
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 9, 9, 9, 0) // size 3 + pad to 4
+    val reordered = base.slice(0, 12) ++ list ++ base.drop(12)
+    assert(MediaDecode.wav(reordered).contains(WavMeta(2, 8000, 16, 4L)))
+    // truncated data chunk: declared size clamps to available bytes
+    assert(MediaDecode.wav(base.dropRight(2)).contains(WavMeta(2, 8000, 16, 2L)))
+    // not a RIFF / not WAVE / chopped header: None, never a throw
+    assert(MediaDecode.wav("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(MediaDecode.wav(base.take(11)).isEmpty)
+    assert(MediaDecode.wav(Array.empty[Byte]).isEmpty)
+    // operator path: duration from parsed byte rate over the corpus
+    val d = docs(4L -> "0123456789abcdef")  // 16 data bytes
+    val row = Multimodal.audioFeatures(d).collect().head
+    // doc 4: 1 ch, 16 kHz, 8-bit -> byteRate 16000; 16 B * 1000 / 16000 = 1 ms
+    assert(row.getString(1) == "wav" && row.getLong(2) == 1L)
+    assert(row.getLong(3) == 16000L && row.getLong(4) == 8L)
+    assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
   test("frameSample walks real container bytes with truncation containment") {

@@ -109,4 +109,27 @@ class CleaningSpec extends SparkSpec {
     assert(byMode.head(1)._2 == "compose \u00e9 and \u00f6 here")
     assert(byMode.head(2)._2 == null) // null text stays null
   }
+
+  test("gopherRules: each rule gates independently; stats are exact") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over a lazy dog today",  // passes all
+      2L -> "the a",                                            // too few words
+      3L -> "the 12 34 56 78 90 11 22 33 a",                    // alpha_frac 0.2
+      4L -> "quick brown fox jumps over lazy dogs again today now", // 0 stop hits
+      5L -> ("a aa the supercalifragilisticexpialidocious" +
+        " pneumonoultramicroscopicsilicovolcanoconiosis"))      // mean len > 10
+    val out = Cleaning.gopherRules(d, minWords = 3, maxWords = 100,
+      stopwords = Seq("the", "a", "of", "and"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(5))
+    assert(out(1L).getLong(1) == 10 && out(1L).getLong(4) == 2) // the, a
+    assert(!out(2L).getBoolean(5) && out(2L).getLong(1) == 2)
+    assert(!out(3L).getBoolean(5) && out(3L).getDouble(3) == 0.2)
+    assert(!out(4L).getBoolean(5) && out(4L).getLong(4) == 0)
+    assert(!out(5L).getBoolean(5) && out(5L).getDouble(2) > 10.0)
+    // empty text: zero words, gated out, no division blowup
+    val empty = Cleaning.gopherRules(docs(9L -> "  "), minWords = 1, maxWords = 10)
+      .collect().head
+    assert(empty.getLong(1) == 0 && !empty.getBoolean(5))
+  }
 }
