@@ -228,6 +228,169 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  // ---- product quantization: the extreme-compression ANN scale path --
+
+  /** Train PQ codebooks — split each vector into `m` subvectors of
+    * dim/m and run the same deterministic Lloyd's iteration as
+    * [[kmeansCentroids]] in EVERY subspace at once (one corpus scan
+    * per round covers all `m` subspaces: the per-row `m`-struct
+    * explode is narrow, the (sub, cell) partial-sum aggregate is
+    * map-side combinable, and the driver only ever holds ksub × dim
+    * doubles — the same bounded state as the coarse quantizer).
+    * Subspace assignment is the codegen'd [[nearestCell]] cosine
+    * argmax (spherical PQ — the repo's one similarity convention),
+    * seeds are the `ksub` smallest-md5(vec_id) vectors' slices, empty
+    * cells keep their previous centroid. Returns (sub, cell,
+    * centroid: array<double> of dim/m). */
+  def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+              rounds: Int = 3, dimOpt: Option[Int] = None): DataFrame = {
+    require(m >= 1, s"PQ needs >= 1 subquantizer: $m")
+    require(ksub >= 2 && ksub <= 256,
+      s"PQ cells per subspace must be in [2,256] (codes must fit a byte): $ksub")
+    require(rounds >= 1, s"PQ k-means needs >= 1 round: $rounds")
+    val spark = embeddings.sparkSession
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
+    val dsub = dim / m
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val seeds = corpus.orderBy(md5(col("vec_id").cast("string"))).limit(ksub)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    require(seeds.length == ksub,
+      s"corpus smaller than ksub=$ksub cells (${seeds.length} rows)")
+    var cents: Map[Int, Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      j -> seeds.zipWithIndex
+        .map { case (v, i) => i -> v.slice(j * dsub, (j + 1) * dsub) }.toSeq
+    }.toMap
+    for (_ <- 0 until rounds) {
+      val subs = (0 until m).map { j =>
+        val svec = slice(col("vec"), j * dsub + 1, dsub)
+        struct(lit(j).as("sub"),
+          nearestCell(svec, cents(j)).as("cell"), svec.as("svec"))
+      }
+      val sums = corpus.select(explode(array(subs: _*)).as("s"))
+        .select(col("s.sub").as("sub"), col("s.cell").as("cell"),
+          col("s.svec").as("svec"))
+        .groupBy("sub", "cell").agg(
+          count(lit(1)).as("n"),
+          array((0 until dsub).map(i => sum(element_at(col("svec"), i + 1))): _*)
+            .as("sums"))
+        .collect() // m×ksub rows of dsub partials = ksub×dim doubles
+      val updated = sums.map { r =>
+        (r.getInt(0), r.getInt(1)) -> {
+          val n = r.getLong(2); r.getSeq[Double](3).map(_ / n)
+        }
+      }.toMap
+      cents = cents.map { case (j, cs) =>
+        j -> cs.map { case (id, c) => id -> updated.getOrElse((j, id), c) }
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.flatMap { case (j, cs) => cs.map { case (id, c) => (j, id, c) } }
+      .sortBy(t => (t._1, t._2)).toDF("sub", "cell", "centroid")
+  }
+
+  /** Collect a codebook table to the bounded driver-side form:
+    * sub → centroids indexed by cell (ksub × dim doubles total — the
+    * same pinned regime as the ≤256-cell coarse quantizer). */
+  private def collectCodebook(codebook: DataFrame): Map[Int, IndexedSeq[Seq[Double]]] =
+    codebook.select(col("sub"), col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+      .map { case (j, rows) =>
+        j -> rows.sortBy(_._2).map(_._3).toIndexedSeq
+      }
+
+  /** PQ-encode a corpus against a trained codebook: each vector
+    * becomes `m` one-byte codes — 4·dim/m × smaller than float32
+    * (dim=64, m=8: 32×; the difference between an ANN corpus that
+    * fits hot storage and one that doesn't). Codes are stored as
+    * tinyint with a −128 offset so cell ids 0..255 genuinely fit the
+    * byte. One narrow codegen'd projection ([[nearestCell]] per
+    * subspace — generated code O(m), matrix rides codegen references).
+    * Output: (vec_id, label, codes: array<tinyint> of length m). */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val cb = collectCodebook(codebook)
+    val m = cb.size
+    val dsub = cb(0).head.length
+    val codes = array((0 until m).map { j =>
+      (nearestCell(slice(col("vec"), j * dsub + 1, dsub),
+        cb(j).zipWithIndex.map { case (c, i) => i -> c })
+        - 128).cast("tinyint")
+    }: _*)
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("label"), codes.as("codes"))
+  }
+
+  /** Persist codebook + codes (train once, search many — the
+    * [[writeQuantized]] analog; the codes table is the one that is
+    * 4·dim/m× smaller on disk). */
+  def writePq(embeddings: DataFrame, dir: String, m: Int = 8,
+              ksub: Int = 16, rounds: Int = 3): Unit = {
+    val cb = pqTrain(embeddings, m, ksub, rounds)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqEncode(embeddings, cb).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Approximate top-k over a PQ-coded corpus (asymmetric distance:
+    * full-precision queries against in-plan reconstructions — the
+    * standard ADC trade). The reconstruction is `m` literal-matrix
+    * lookups (`element_at` into a ksub × dsub `typedLit` per
+    * subspace — plan weight ksub × dim doubles, the same bounded
+    * regime as the inline coarse quantizer) flattened back to a dim
+    * vector; then the exact [[bruteForceTopK]] shape: broadcast
+    * queries, one corpus scan over the CODES table, heap top-k.
+    * Recall is bounded by codebook resolution (raise `ksub`/`m`);
+    * the scan IO is the point — 4·dim/m× less than the float path. */
+  /** In-plan PQ decode: `codes` → the reconstructed dim-vector, as `m`
+    * literal-matrix `element_at` lookups (plan weight ksub × dim
+    * doubles — the pinned ≤256-cell regime) flattened back together.
+    * Codes carry the −128 tinyint offset, hence the +129 1-based
+    * index. */
+  private def pqReconstruct(cb: Map[Int, IndexedSeq[Seq[Double]]]): Column =
+    flatten(array((0 until cb.size).map { j =>
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq),
+        element_at(col("codes"), j + 1).cast("int") + 129)
+    }: _*))
+
+  /** Reconstruction-quality report — per-label count, mean and min
+    * cosine between each vector and its PQ reconstruction (4 dp).
+    * This is the codebook-resolution audit a corpus build reads before
+    * trusting PQ search (and the stable oracle surface: recall over
+    * UNSTRUCTURED synthetic embeddings is poor by construction — the
+    * [[truncateEmbeddings]] caveat — but direction preservation is
+    * not). One codes scan + one vec_id join + one combinable agg. */
+  def pqReconstructionStats(embeddings: DataFrame, codes: DataFrame,
+                            codebook: DataFrame): DataFrame = {
+    val recon = codes.select(col("vec_id"),
+      pqReconstruct(collectCodebook(codebook)).as("rvec"))
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+      .join(recon, Seq("vec_id"))
+      .select(col("label"), cosine(col("vec"), col("rvec")).as("c"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("c")), 4).as("mean_cos"),
+        round(min(col("c")), 4).as("min_cos"))
+      .orderBy("label")
+  }
+
+  def pqTopK(embeddings: DataFrame, codes: DataFrame, codebook: DataFrame,
+             queryIds: Seq[Long], k: Int): DataFrame = {
+    val cb = collectCodebook(codebook)
+    val corpus = codes.select(col("vec_id"), col("label"),
+      pqReconstruct(cb).as("vec"))
+    val queries = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(scored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
   // ---- dimension truncation: the Matryoshka/prefix scale path ----
 
   /** Truncate embeddings to their first `dims` dimensions — the

@@ -396,6 +396,41 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** Per-source Zipf fit — OLS slope of ln(freq) vs ln(rank) over each
+    * source's token-frequency table (rank 1 = most frequent; ties
+    * broken by token so the rank is a total order both engines agree
+    * on). Natural language fits slope ≈ −1 (Zipf's law); a flat slope
+    * flags templated/generated text, a cliff flags tokenizer damage —
+    * the corpus-health panel next to [[sourceDrift]]. Output: (source,
+    * vocab, zipf_slope) — slope = covar_pop(ln r, ln f)/var_pop(ln r),
+    * 4 dp (FP summation order differs cross-engine; the round is the
+    * standard float-aggregate discipline) — sources with a single
+    * distinct token carry no slope and are dropped; ordered by source.
+    *
+    * Scale shape (100 TB): one map-side-combinable (source, token)
+    * groupBy; ranks via the skew-safe
+    * [[graft.metrics.Metrics.rankByKey]] (a source's vocabulary is
+    * unbounded — never a per-source window funnel); the slope is one
+    * combinable aggregate over the vocab-sized rank table. */
+  def zipfSlope(documents: DataFrame): DataFrame = {
+    val tf = graft.util.SparkUtil.widen(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("_neg", -col("cnt"))
+    graft.metrics.Metrics.rankByKey(tf, "source", Seq("_neg", "token"))
+      .select(col("source"),
+        log(col("_rank").cast("double")).as("lnr"),
+        log(col("cnt").cast("double")).as("lnf"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        covar_pop(col("lnr"), col("lnf")).as("cv"),
+        var_pop(col("lnr")).as("vr"))
+      .filter(col("vocab") >= 2)
+      .select(col("source"), col("vocab"),
+        (round(col("cv") / col("vr"), 4) + lit(0.0)).as("zipf_slope"))
+      .orderBy("source")
+  }
+
   /** Per-source distribution drift — KL divergence of each source's
     * token distribution from the whole-corpus distribution, the mix
     * monitor a pipeline runs per ingest round ("did this crawl slice

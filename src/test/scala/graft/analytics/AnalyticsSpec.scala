@@ -714,6 +714,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("zipfSlope fits the exact power law and drops slope-less sources") {
+    import spark.implicits._
+    // source "z": counts 8,4,2,1 over ranks 1..4 = an EXACT 2^-r law:
+    // ln f = ln 16 - r ln 2, and ln r regressed on ln f of a perfect
+    // geometric series has a known OLS slope; verify against a direct
+    // JVM computation of the same formula
+    val words = Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++ Seq("dd")
+    val d = Seq((1L, words.mkString(" "), "en", "z", 1L),
+      (2L, "solo", "en", "single", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.zipfSlope(d).collect()
+    // "single" has one distinct token -> no slope -> dropped
+    assert(out.map(_.getString(0)).toSeq == Seq("z"))
+    val lnr = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val lnf = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mr = lnr.sum / 4; val mf = lnf.sum / 4
+    val slope = lnr.zip(lnf).map { case (a, b) => (a - mr) * (b - mf) }.sum /
+      lnr.map(a => (a - mr) * (a - mr)).sum
+    assert(out.head.getLong(1) == 4L)
+    assert(math.abs(out.head.getDouble(2) - slope) < 5e-4)
+    assert(out.head.getDouble(2) < -0.9) // steeper than flat: real decay
+  }
+
   test("language id is deterministic and tie-breaks alphabetically") {
     val d = Seq((1L, "the a the", "xx", "s", 9L), (2L, "zz zz", "yy", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -799,6 +822,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getString(1) == "wav" && row.getLong(2) == 1L)
     assert(row.getLong(3) == 16000L && row.getLong(4) == 8L)
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
+  }
+
+  test("PQ recovers exactly-representable vectors; ADC search matches brute force") {
+    import spark.implicits._
+    // 6 vectors = ksub, so every subvector pattern seeds its own cell:
+    // after training, reconstruction is EXACT and PQ search must equal
+    // the full-precision ranking (no proportional subvectors — cosine
+    // cells must not merge)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 1.0f), 0),
+      (1L, Array(0.1f, 1.0f, 1.0f, 0.2f), 0),
+      (2L, Array(-1.0f, 0.2f, 0.5f, 0.5f), 1),
+      (3L, Array(0.3f, -1.0f, -1.0f, 0.1f), 1),
+      (4L, Array(0.5f, 0.5f, 0.3f, -1.0f), 2),
+      (5L, Array(-0.5f, 0.3f, -0.2f, -0.3f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqTrain(vecs, m = 2, ksub = 6, rounds = 2)
+    assert(cb.count() == 12) // 2 subspaces × 6 cells
+    val codes = Similarity.pqEncode(vecs, cb)
+    val c0 = codes.filter(col("vec_id") === 0L).head.getSeq[Byte](2)
+    assert(c0.length == 2) // m one-byte codes per vector
+    val stats = Similarity.pqReconstructionStats(vecs, codes, cb).collect()
+    assert(stats.forall(_.getDouble(3) >= 0.9999), "reconstruction not exact")
+    val pq = Similarity.pqTopK(vecs, codes, cb, Seq(0L), 3)
+      .collect().map(_.getLong(1)).toSeq
+    val bf = Similarity.bruteForceTopK(vecs, Seq(0L), 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pq == bf)
+    // persist round-trip: read-back codebook + codes search identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.writePq(vecs, dir, m = 2, ksub = 6, rounds = 2)
+    val back = Similarity.pqTopK(vecs, spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"), Seq(0L), 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(back == pq)
   }
 
   test("frameSample walks real container bytes with truncation containment") {
