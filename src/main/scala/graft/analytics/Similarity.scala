@@ -432,6 +432,92 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  // ---- MMR diversification: the retrieval re-ranking pass ----------
+
+  /** Maximal-Marginal-Relevance re-ranking — pick `k` results from
+    * each query's `poolSize`-candidate pool trading relevance against
+    * redundancy: step 1 takes the most relevant candidate; step i
+    * takes argmax of `lambda·rel − (1−lambda)·max_sim_to_selected`
+    * (ties → lower vec_id). The RAG-serving diversification pass: a
+    * plain top-k of a deduplicated-but-still-clumpy corpus returns k
+    * paraphrases; MMR returns one per clump.
+    *
+    * Scale shape (100 TB): candidate generation is the distributed
+    * part — one scored corpus scan into the `graft_topk` heap (the
+    * [[bruteForceTopK]] plan; swap in an IVF/PQ pool for the real
+    * first stage), plus one gather scan to re-attach pool vectors.
+    * The selection itself is inherently sequential in k but bounded
+    * by the POOL (k·poolSize cosines per query, never corpus-sized),
+    * so it runs as one deterministic JVM fold per query — grouped,
+    * distributed across queries, driver never involved. Output:
+    * (query_id, rank, vec_id, mmr_score 4 dp), rank 1..k; step-1
+    * score is the pure relevance. */
+  def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                poolSize: Int = 10, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize: $k, $poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("vec")).as("cos"))
+    // heapTopK's cosine is rounded for output — keep ids only and
+    // recompute the unrounded relevance on the tiny gathered pool
+    val poolIds = heapTopK(scored, poolSize, None).select("query_id", "vec_id")
+    val pool = corpus.join(broadcast(poolIds), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("rel"), col("vec"))
+    val grouped = pool.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("rel"), col("vec"))))
+        .as("pool"))
+      .select(col("query_id"),
+        transform(col("pool"), s => s.getField("vec_id")).as("ids"),
+        transform(col("pool"), s => s.getField("rel")).as("rels"),
+        transform(col("pool"), s => s.getField("vec")).as("vecs"))
+    val kk = k; val lam = lambda
+    val mmrUdf = udf { (ids: Seq[Long], rels: Seq[Double], vecs: Seq[Seq[Double]]) =>
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dab = 0.0; var da = 0.0; var db = 0.0; var i = 0
+        while (i < a.length) {
+          dab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
+        }
+        dab / (math.sqrt(da) * math.sqrt(db))
+      }
+      val n = ids.length
+      val taken = Array.fill(n)(false)
+      val out = Seq.newBuilder[(Long, Double)]
+      for (_ <- 0 until math.min(kk, n)) {
+        var bestI = -1; var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < n) { // ids ascend, strict > : ties land on lower vec_id
+          if (!taken(i)) {
+            var maxSim = Double.NegativeInfinity
+            var j = 0
+            while (j < n) {
+              if (taken(j)) { val s = cos(vecs(i), vecs(j)); if (s > maxSim) maxSim = s }
+              j += 1
+            }
+            val s = if (maxSim == Double.NegativeInfinity) rels(i)
+              else lam * rels(i) - (1 - lam) * maxSim
+            if (s > bestS) { bestS = s; bestI = i }
+          }
+          i += 1
+        }
+        taken(bestI) = true
+        out += ((ids(bestI), bestS))
+      }
+      out.result()
+    }
+    grouped
+      .select(col("query_id"),
+        posexplode(mmrUdf(col("ids"), col("rels"), col("vecs"))))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("vec_id"), round(col("col._2"), 4).as("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- unlabeled coarse quantizer: distributed Lloyd's k-means ----
 
   /** Nearest-cell assignment against a small centroid set, as a single

@@ -1313,7 +1313,52 @@ object Registry {
           .orderBy("label")
       },
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
-        FROM embeddings GROUP BY label ORDER BY label""")))
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // MMR diversified re-ranking: k=3 from a 10-candidate pool at
+    // lambda=0.7 — the oracle hand-unrolls the three sequential argmax
+    // steps (recursion-free); (1 - 0.7) is written as the SUBTRACTION
+    // in both engines so the IEEE constant is bit-identical
+    QueryDef("sim_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), 3, 10, 0.7),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+          q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+          sc AS (SELECT q.qid, v.vec_id, v.vec, ${cos("q.qvec", "v.vec")} AS rel
+            FROM q, v WHERE v.vec_id <> q.qid),
+          cand AS (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+            FROM sc) WHERE rk <= 10),
+          p1 AS (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS r
+            FROM cand) WHERE r = 1),
+          s2 AS (SELECT c.qid, c.vec_id, c.vec, c.rel,
+              0.7 * c.rel - (1 - 0.7) * ${cos("c.vec", "p1.vec")} AS mmr
+            FROM cand c JOIN p1 ON c.qid = p1.qid AND c.vec_id <> p1.vec_id),
+          p2 AS (SELECT qid, vec_id, vec, mmr FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS r
+            FROM s2) WHERE r = 1),
+          s3 AS (SELECT c.qid, c.vec_id,
+              0.7 * c.rel - (1 - 0.7) * greatest(${cos("c.vec", "p1.vec")},
+                ${cos("c.vec", "p2.vec")}) AS mmr
+            FROM cand c JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+          p3 AS (SELECT qid, vec_id, mmr FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS r
+            FROM s3) WHERE r = 1)
+          SELECT qid AS query_id, 1::BIGINT AS rank, vec_id,
+            round(rel, 4) AS mmr_score FROM p1
+          UNION ALL SELECT qid, 2::BIGINT, vec_id, round(mmr, 4) FROM p2
+          UNION ALL SELECT qid, 3::BIGINT, vec_id, round(mmr, 4) FROM p3
+          ORDER BY query_id, rank"""
+      }))
 
   // ---------------- multimodal ----------------------------------------
 

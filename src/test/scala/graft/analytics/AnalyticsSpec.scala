@@ -824,6 +824,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
+  test("mmrRerank swaps a redundant near-dup for a diverse candidate") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // the query
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),  // most relevant
+      (2L, Array(0.9f, 0.11f, 0.0f), 0), // near-duplicate of 1
+      (3L, Array(0.6f, 0.0f, 0.8f), 1))  // diverse, less relevant
+      .toDF("vec_id", "embedding", "label")
+    // plain top-2 returns the two near-duplicates
+    val plain = Similarity.bruteForceTopK(vecs, Seq(0L), 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L))
+    // MMR at lambda=0.5 keeps the best and swaps the dup for the
+    // diverse candidate; step-1 score is the pure relevance
+    val mmr = Similarity.mmrRerank(vecs, Seq(0L), 2, poolSize = 3, lambda = 0.5)
+      .collect()
+    assert(mmr.map(_.getLong(2)).toSeq == Seq(1L, 3L))
+    val rel1 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(mmr(0).getDouble(3) - rel1) < 5e-4)
+    // lambda=1 degenerates to pure relevance order
+    val pure = Similarity.mmrRerank(vecs, Seq(0L), 2, poolSize = 3, lambda = 1.0)
+      .collect().map(_.getLong(2)).toSeq
+    assert(pure == Seq(1L, 2L))
+  }
+
   test("PQ recovers exactly-representable vectors; ADC search matches brute force") {
     import spark.implicits._
     // 6 vectors = ksub, so every subvector pattern seeds its own cell:
