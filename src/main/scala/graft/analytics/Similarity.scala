@@ -705,6 +705,37 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  /** Embedding outlier audit — flag the `permille`/1000 fraction of
+    * each label's vectors FARTHEST from the label centroid (lowest
+    * cosine): the mislabeled/noisy-embedding filter a training build
+    * runs before contrastive sampling or [[semanticDedup]]-style
+    * within-cell pruning trusts the labels. The flag is RANK-based
+    * over the ROUNDED (4 dp) cosine with a vec_id tiebreak — no
+    * ulp-boundary flips cross-engine — and the cutoff is the exact
+    * integer test `rank × 1000 <= permille × n_label` (no float
+    * threshold at all). Output: (vec_id, label, cos_centroid, outlier),
+    * ordered by vec_id.
+    *
+    * Scale shape (100 TB): centroids are one combinable per-label
+    * aggregate (|labels| rows, broadcast back); scoring is one narrow
+    * scan; ranking is the skew-safe
+    * [[graft.metrics.Metrics.rankByKey]] — a dominant label never
+    * funnels through one reducer. */
+  def centroidOutliers(embeddings: DataFrame,
+                       permille: Long = 50): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille in [0,1000]: $permille")
+    val scored = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+      .join(broadcast(ivfCentroids(embeddings)), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("vec"), col("centroid")), 4).as("cos_centroid"))
+    graft.metrics.Metrics.rankByKey(scored, "label",
+        Seq("cos_centroid", "vec_id"))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("_rank") * 1000 <= col("_nk") * permille).as("outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Centroid stats per label — the IVF coarse-quantizer building block
     * (mean vector per cluster; at scale: train k-means on a sample,
     * assign via nearest centroid, search within cells). */

@@ -1358,6 +1358,35 @@ object Registry {
           UNION ALL SELECT qid, 2::BIGINT, vec_id, round(mmr, 4) FROM p2
           UNION ALL SELECT qid, 3::BIGINT, vec_id, round(mmr, 4) FROM p3
           ORDER BY query_id, rank"""
+      }),
+
+    // centroid-distance outlier audit: bottom 5% per label by ROUNDED
+    // cosine to the label centroid (rank over the rounded score +
+    // vec_id tiebreak; the cutoff is the exact integer test
+    // rank*1000 <= n*50 — no float threshold anywhere)
+    QueryDef("sim_centroid_outliers",
+      (s, d) => Similarity.centroidOutliers(t(s, d, "embeddings"), 50),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+          u AS (SELECT label, unnest(vec) AS val,
+            unnest(range(1, len(vec) + 1)) AS dim FROM e),
+          c AS (SELECT label, dim, avg(val) AS cv FROM u GROUP BY label, dim),
+          cent AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label),
+          sc AS (SELECT e.vec_id, e.label,
+            round(${cos("e.vec", "cent.cvec")}, 4) AS cos_centroid
+            FROM e JOIN cent USING (label)),
+          r AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY cos_centroid, vec_id) AS rk,
+            count(*) OVER (PARTITION BY label) AS n FROM sc)
+          SELECT vec_id, label, cos_centroid,
+            (rk * 1000 <= n * 50) AS outlier
+          FROM r ORDER BY vec_id"""
       }))
 
   // ---------------- multimodal ----------------------------------------

@@ -824,6 +824,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
+  test("centroidOutliers flags the farthest-from-centroid fraction per label") {
+    import spark.implicits._
+    // label 0: three tight vectors + one flipped outlier; label 1: two
+    // vectors (exercises the floor-semantics cutoff)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.1f), 0),
+      (3L, Array(0.9f, 0.1f, 0.1f), 0),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 0), // points away from the centroid
+      (5L, Array(0.0f, 1.0f, 0.0f), 1),
+      (6L, Array(0.1f, 0.9f, 0.3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(vecs, 250)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // label 0: 250 permille of 4 = rank 1 only -> vec 4
+    assert(out(4L) && !out(1L) && !out(2L) && !out(3L))
+    // label 1: floor semantics — rank 1 of 2 is the bottom HALF, not
+    // the bottom quarter, so nothing is flagged at 250 permille
+    assert(!out(5L) && !out(6L))
+    // at 500 permille exactly one of the two is flagged
+    val half = Similarity.centroidOutliers(vecs, 500)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(Seq(half(5L), half(6L)).count(identity) == 1)
+    // permille 0 flags nothing
+    assert(Similarity.centroidOutliers(vecs, 0)
+      .collect().forall(!_.getBoolean(3)))
+  }
+
   test("mmrRerank swaps a redundant near-dup for a diverse candidate") {
     import spark.implicits._
     val vecs = Seq(
