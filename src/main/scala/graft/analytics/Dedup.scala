@@ -124,6 +124,45 @@ object Dedup {
       .filter(col("bk.key").isNotNull)
   }
 
+  /** Winnowing near-dup pairs — documents sharing at least `minShared`
+    * winnowing fingerprints ([[TextAnalysis.winnowSet]]: the MOSS/
+    * plagiarism-detection family — position-robust SUBSTRING evidence,
+    * complementing MinHash's bag-of-shingles similarity: a copied
+    * paragraph inside an otherwise-different document shares winnow
+    * fingerprints but little Jaccard). Output: (doc_a, doc_b,
+    * n_shared), doc_a < doc_b, ordered.
+    *
+    * Scale shape (100 TB): the fingerprint explode is narrow; pairs
+    * come from an equi-join on the 8-hex fingerprint key — banded like
+    * every pair generator here, never all-pairs. The quadratic hazard
+    * is a STOP fingerprint (boilerplate substring in thousands of
+    * docs): fingerprints whose doc-frequency exceeds `maxFpDf` are
+    * dropped before the self-join (the standard winnowing-index
+    * stop-list, same shape as [[Cleaning.removeBoilerplate]]'s
+    * frequent-line anti-join — a shuffled HAVING on the fp key, no
+    * broadcast assumption), bounding any key's fan-out at
+    * maxFpDf². */
+  def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
+                  minShared: Long = 2, maxFpDf: Long = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
+    val fps = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowSet(k, w)).as("fp"))
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Banding stage alone, over an existing signature table — computed
     * in-plan by [[minhashSignatures]] or read back from a
     * [[writeSignatures]] parquet (signatures computed ONCE per corpus,

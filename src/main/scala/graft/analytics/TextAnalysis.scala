@@ -99,7 +99,10 @@ object TextAnalysis {
     * md5 slices (engine-stable). Output: per doc, the fingerprint-set
     * summary (count, min, max) — the full exploded set is what a
     * dedup join would consume at scale. */
-  def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+  /** The winnowing fingerprint SET of `text` (shared by
+    * [[winnowingFingerprints]] and [[graft.analytics.Dedup.winnowPairs]]):
+    * k-char-gram hashes → distinct minima of every w-window. */
+  private[analytics] def winnowSet(k: Int, w: Int): Column = {
     val n = length(col("text"))
     // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so texts
     // shorter than k must short-circuit to an empty gram list
@@ -107,10 +110,14 @@ object TextAnalysis {
       transform(sequence(lit(1), n - (k - 1)),
         i => substring(md5(substring(col("text"), i, lit(k))), 1, 8)))
       .otherwise(array().cast("array<string>"))
-    val wins = when(size(grams) >= w,
+    when(size(grams) >= w,
       array_distinct(transform(sequence(lit(1), size(grams) - (w - 1)),
         j => array_min(slice(grams, j, lit(w))))))
       .otherwise(when(size(grams) > 0, array(array_min(grams))))
+  }
+
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val wins = winnowSet(k, w)
     graft.util.SparkUtil.widen(documents)
       // lambda-bearing trees get no subexpression elimination
       // (SPARK-35410): materialize the window minima once, not 3x

@@ -638,6 +638,34 @@ object Registry {
           list_min(wins) AS min_fp, list_max(wins) AS max_fp
         FROM wfp ORDER BY doc_id""")),
 
+    // winnowing pair generation: substring-evidence near-dup pairs
+    // (MOSS family) — docs sharing >= 2 winnow fingerprints after the
+    // stop-fingerprint df cap; complements the MinHash bag-of-shingles
+    // pairs with position-robust copied-substring evidence
+    QueryDef("dedup_winnow_pairs",
+      (s, d) => Dedup.winnowPairs(t(s, d, "documents"),
+        k = 8, w = 16, minShared = 3, maxFpDf = 16),
+      Some("""WITH g AS (SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+            i -> substr(md5(substr(text, i, 8)), 1, 8)) AS grams
+          FROM documents),
+        wfp AS (SELECT doc_id,
+          CASE WHEN len(grams) >= 16 THEN
+            list_distinct(list_transform(range(1, len(grams) - 15 + 1),
+              j -> list_min(grams[j:j+15])))
+          WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS wins
+          FROM g),
+        fp AS (SELECT doc_id, unnest(wins) AS fp FROM wfp),
+        rare AS (SELECT fp FROM fp GROUP BY fp
+          HAVING count(DISTINCT doc_id) <= 16),
+        kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*)::BIGINT AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+        ORDER BY doc_a, doc_b"""),
+      bench = false),
+
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id,
@@ -1358,7 +1386,7 @@ object Registry {
           UNION ALL SELECT qid, 2::BIGINT, vec_id, round(mmr, 4) FROM p2
           UNION ALL SELECT qid, 3::BIGINT, vec_id, round(mmr, 4) FROM p3
           ORDER BY query_id, rank"""
-      }),
+      }, bench = true),
 
     // centroid-distance outlier audit: bottom 5% per label by ROUNDED
     // cosine to the label centroid (rank over the rounded score +
@@ -1786,7 +1814,7 @@ object Registry {
             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
             AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
         FROM s ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // sliding-window chunking (context-window prep): 32-token windows
     // at stride 24 (8-token overlap), last window truncates; chunk

@@ -824,6 +824,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
+  test("winnowPairs pairs substring-sharing docs; stop fingerprints are capped") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      1L -> s"prefix one $shared suffix alpha",
+      2L -> s"totally different beginning $shared end two",
+      3L -> "unrelated content with nothing matching anywhere at all here")
+    val pairs = Dedup.winnowPairs(d, 8, 16, 2, 64).collect()
+    // the copied substring links 1-2 with >= 2 shared fingerprints;
+    // doc 3 shares no 8-char substring evidence with either
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) >= 2))
+    assert(pairs.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L))
+    // identical boilerplate in every doc + df cap below the doc count:
+    // every fingerprint is a stop fingerprint, no pair survives
+    val all = docs(1L -> shared, 2L -> shared, 3L -> shared)
+    assert(Dedup.winnowPairs(all, 8, 16, 1, 2).collect().isEmpty)
+    // raising the cap restores the evidence
+    assert(Dedup.winnowPairs(all, 8, 16, 1, 3).collect().length == 3)
+  }
+
   test("centroidOutliers flags the farthest-from-centroid fraction per label") {
     import spark.implicits._
     // label 0: three tight vectors + one flipped outlier; label 1: two
