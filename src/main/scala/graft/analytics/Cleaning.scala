@@ -209,7 +209,7 @@ object Cleaning {
     require(minWords >= 1 && maxWords >= minWords,
       s"word-count bounds must satisfy 1 <= min <= max: [$minWords, $maxWords]")
     require(stopwords.nonEmpty, "stopwords must be non-empty")
-    val ws = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val ws = col("__ws")
     val n = size(ws).cast(LongType)
     val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
     val meanLen = round(
@@ -220,6 +220,9 @@ object Cleaning {
     val stopHits =
       size(filter(ws, w => lower(w).isInCollection(stopwords))).cast(LongType)
     graft.util.SparkUtil.widen(documents)
+      // lambda-bearing trees get no subexpression elimination
+      // (SPARK-35410): split/filter the word array once, not per rule
+      .withColumn("__ws", filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
       .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
         alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
       .withColumn("keep",

@@ -143,12 +143,31 @@ object Dedup {
     * broadcast assumption), bounding any key's fan-out at
     * maxFpDf². */
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
-                  minShared: Long = 2, maxFpDf: Long = 64): DataFrame = {
+                  minShared: Long = 2, maxFpDf: Long = 64): DataFrame =
+    winnowPairsFromFingerprints(
+      graft.util.SparkUtil.widen(documents)
+        .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp")),
+      minShared, maxFpDf)
+
+  /** Persist the exploded winnowing fingerprint table — the
+    * [[writeSignatures]] analog: the in-plan [[winnowPairs]] form
+    * re-executes the winnow-set computation (length(text) md5s per
+    * document) THREE times — the df table and both self-join sides —
+    * because Spark materializes nothing between plan branches. At
+    * corpus scale, fingerprint ONCE here and pair many times via
+    * [[winnowPairsFromFingerprints]] on the read-back table. */
+  def writeWinnowFingerprints(documents: DataFrame, path: String,
+                              k: Int = 8, w: Int = 16): Unit =
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Pairing stage alone, over an existing (doc_id, fp) fingerprint
+    * table (in-plan or read back from [[writeWinnowFingerprints]]). */
+  def winnowPairsFromFingerprints(fps: DataFrame, minShared: Long = 2,
+                                  maxFpDf: Long = 64): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
-    val fps = graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"),
-        explode(TextAnalysis.winnowSet(k, w)).as("fp"))
     val rare = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxFpDf)

@@ -842,6 +842,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(Dedup.winnowPairs(all, 8, 16, 1, 2).collect().isEmpty)
     // raising the cap restores the evidence
     assert(Dedup.winnowPairs(all, 8, 16, 1, 3).collect().length == 3)
+    // persist round-trip: fingerprint once, pair from the read-back table
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    Dedup.writeWinnowFingerprints(d, dir, 8, 16)
+    val back = Dedup.winnowPairsFromFingerprints(
+      spark.read.parquet(dir), 2, 64).collect()
+    assert(back.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("centroidOutliers flags the farthest-from-centroid fraction per label") {
