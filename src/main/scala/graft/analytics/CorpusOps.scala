@@ -144,6 +144,56 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity release audit — quasi-identifier combinations whose
+    * group size falls below `k` (the re-identification screen a
+    * dataset RELEASE runs after [[graft.analytics.Cleaning.redactPii]]
+    * scrubs direct identifiers: a (lang, source)-unique document is
+    * linkable even with every email removed). Reports EVERY
+    * combination with its size and an `at_risk` flag — the release
+    * decision (drop / generalize / suppress) belongs to the caller.
+    * Output: (quasiCols..., n, at_risk), ordered by the quasi columns.
+    *
+    * Scale shape: one map-side-combinable groupBy on the quasi
+    * columns; output is combination-count-sized, not corpus-sized. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long = 10): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.util.SparkUtil.widen(df)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** Corpus snapshot diff — the data-versioning report between two
+    * corpus snapshots: per doc_id, `added` (new only), `removed` (old
+    * only) or `changed` (both, different text md5); unchanged docs are
+    * FILTERED (the delta is the deliverable — at corpus scale the
+    * unchanged set is the corpus). The audit a pipeline runs between
+    * ingest rounds before re-running expensive downstream stages on an
+    * "unchanged" corpus that actually drifted. Output: (doc_id,
+    * status, old_md5, new_md5), ordered by doc_id.
+    *
+    * Scale shape (100 TB): both sides reduce to (doc_id, 32-byte md5)
+    * at scan time — the full-outer join shuffles hashes, never text;
+    * one doc_id-keyed exchange per side, nothing funnels. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = graft.util.SparkUtil.widen(oldDocs)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val n = graft.util.SparkUtil.widen(newDocs)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "old_md5", "new_md5")
+      .orderBy("doc_id")
+  }
+
   /** Contamination SCORING — per-document fraction of distinct word
     * k-shingles that appear in the evaluation set. [[decontaminate]]
     * makes the binary drop decision; this one produces the overlap

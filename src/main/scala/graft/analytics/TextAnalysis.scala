@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Text-analysis operators for a training-data pipeline over a
   * `documents(doc_id, text, lang, source, n_chars)` table: token
@@ -401,6 +402,40 @@ object TextAnalysis {
       .select(col("source"), col("token"), col("tf"), col("df"),
         col("tfidf"), col("_rank").cast("long").as("rk"))
       .orderBy("source", "rk")
+  }
+
+  /** Per-document character-bigram entropy — the gibberish / wrong-
+    * charset / binary-blob detector ([[qualityScores]]'s rules catch
+    * structural junk; entropy catches STATISTICAL junk: base64 blobs
+    * and random strings score near the uniform bound, single-char
+    * spam near 0, natural language in between). Computed as
+    * `H = (ln n − Σ c·ln c / n) / ln 2` over the bigram counts — the
+    * scalar-applied-once form both engines mirror exactly
+    * ([[unigramLogProb]]'s evaluation shape). Docs with < 2 chars have
+    * no bigrams and score 0. Output: (doc_id, n_bigrams, entropy_bits
+    * 4 dp), ordered by doc_id.
+    *
+    * Scale shape: one narrow bigram explode + a map-side-combinable
+    * (doc_id, gram) count + one doc_id aggregate; the reattach join
+    * moves only (doc_id, 2 numbers). */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i => col("text").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val counts = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id")
+      .agg(sum("c").as("nb"), sum(col("c") * log(col("c"))).as("s"))
+      .select(col("doc_id"), col("nb").cast(LongType).as("n_bigrams"),
+        (round((log(col("nb")) - col("s") / col("nb")) / log(lit(2.0)), 4)
+          + lit(0.0)).as("entropy_bits"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("entropy_bits"), lit(0.0)).as("entropy_bits"))
+      .orderBy("doc_id")
   }
 
   /** Per-source Zipf fit — OLS slope of ln(freq) vs ln(rank) over each

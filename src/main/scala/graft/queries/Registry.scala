@@ -1580,6 +1580,65 @@ object Registry {
           ORDER BY doc_id"""
       }),
 
+    // snapshot diff: the old snapshot is `documents`; the new one
+    // deterministically removes doc_id % 13 == 0, rewrites the text of
+    // doc_id % 17 == 0, and adds doc_id + 1000000 for doc_id % 11 == 0
+    QueryDef("corpus_snapshot_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val newer = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        CorpusOps.snapshotDiff(docs, newer)
+      },
+      Some("""WITH newdocs AS (
+          SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+            ELSE text END AS text
+          FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        n AS (SELECT doc_id, md5(text) AS new_md5 FROM newdocs),
+        j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT doc_id,
+          CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 <> new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          old_md5, new_md5
+        FROM j
+        WHERE NOT (old_md5 IS NOT NULL AND new_md5 IS NOT NULL
+          AND old_md5 = new_md5)
+        ORDER BY doc_id""")),
+
+    // char-bigram entropy: statistical-junk detector; the oracle
+    // mirrors the exact scalar-applied-once arithmetic
+    QueryDef("txt_char_entropy",
+      (s, d) => TextAnalysis.charEntropy(t(s, d, "documents")),
+      Some("""WITH b AS (SELECT doc_id,
+          unnest(list_transform(range(1, length(text)),
+            i -> substr(text, i, 2))) AS g
+          FROM documents WHERE length(text) >= 2),
+        c AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        e AS (SELECT doc_id, sum(c)::BIGINT AS nb,
+          round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 4) + 0.0 AS h
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+          coalesce(h, 0.0) AS entropy_bits
+        FROM documents d LEFT JOIN e USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // k-anonymity release audit over the (lang, source) quasi-identifier
+    QueryDef("corpus_k_anonymity",
+      (s, d) => CorpusOps.kAnonymityAudit(t(s, d, "documents"),
+        Seq("lang", "source"), 10),
+      Some("""SELECT lang, source, count(*)::BIGINT AS n,
+          count(*) < 10 AS at_risk
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
     // exact-k-per-source sampling: fixed quota of 5 docs per source by
     // ascending u32(md5) order, via the graft_topk heap (never a
     // corpus-wide ranking window)

@@ -824,6 +824,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
+  test("snapshotDiff reports only the delta with correct statuses") {
+    val old = docs(1L -> "one", 2L -> "two", 3L -> "three")
+    val neu = docs(2L -> "two CHANGED", 3L -> "three", 4L -> "four")
+    val out = CorpusOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+    // identical snapshots: empty delta
+    assert(CorpusOps.snapshotDiff(old, old).collect().isEmpty)
+  }
+
+  test("charEntropy hits the exact uniform bound and zero floors") {
+    val d = docs(
+      1L -> "abcdefghi", // 8 distinct bigrams, each once -> exactly 3 bits
+      2L -> "aaa",       // one distinct bigram -> 0 bits
+      3L -> "x",         // no bigrams at all
+      4L -> "abab")      // ab x2, ba x1
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((8L, 3.0)))
+    assert(out(2L) == ((2L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))
+    val expected4 = (math.log(3) - (2 * math.log(2)) / 3) / math.log(2)
+    assert(out(4L)._1 == 3L &&
+      math.abs(out(4L)._2 - expected4) < 5e-4)
+  }
+
+  test("kAnonymityAudit flags under-k quasi-identifier groups") {
+    import spark.implicits._
+    val d = (1L to 12L).map(i =>
+      (i, "t", if (i <= 9) "en" else "de", if (i <= 9) "a" else "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps.kAnonymityAudit(d, Seq("lang", "source"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("de", "b", 3L, true), ("en", "a", 9L, false)))
+  }
+
   test("winnowPairs pairs substring-sharing docs; stop fingerprints are capped") {
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(
