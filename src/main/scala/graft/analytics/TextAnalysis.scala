@@ -404,6 +404,31 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** Corpus-wide adjacent-symbol pair counts — the first iteration of
+    * BPE tokenizer training (count every within-word adjacent char
+    * pair; the argmax pair is the first merge). Real BPE iterates
+    * merge-recount — THAT loop is a driver-side training harness over
+    * shrinking vocab tables; this operator is the corpus-scan step it
+    * repeats, which is the only part that touches all the data. Ties
+    * break by pair text so the top-k is a total order. Output: (pair,
+    * n), count-descending, top `topK`.
+    *
+    * Scale shape: two narrow explodes (word, then pair — never
+    * cross-word, never cross-space), one map-side-combinable pair
+    * count, and a TakeOrderedAndProject heap for the top-k (no full
+    * sort of the pair vocabulary). */
+  def bpePairCounts(documents: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val pairs = graft.util.SparkUtil.widen(documents)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-document character-bigram entropy — the gibberish / wrong-
     * charset / binary-blob detector ([[qualityScores]]'s rules catch
     * structural junk; entropy catches STATISTICAL junk: base64 blobs

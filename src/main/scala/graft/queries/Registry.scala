@@ -1631,6 +1631,17 @@ object Registry {
         FROM documents d LEFT JOIN e USING (doc_id)
         ORDER BY doc_id""")),
 
+    // BPE first-merge statistics: top-20 within-word adjacent char
+    // pairs (the corpus-scan step the merge loop repeats)
+    QueryDef("txt_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairCounts(t(s, d, "documents"), 20),
+      Some("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents),
+        p AS (SELECT unnest(list_transform(range(1, length(w)),
+          i -> substr(w, i, 2))) AS pair FROM w WHERE length(w) >= 2)
+        SELECT pair, count(*)::BIGINT AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
     // k-anonymity release audit over the (lang, source) quasi-identifier
     QueryDef("corpus_k_anonymity",
       (s, d) => CorpusOps.kAnonymityAudit(t(s, d, "documents"),

@@ -850,6 +850,20 @@ class AnalyticsSpec extends SparkSpec {
       math.abs(out(4L)._2 - expected4) < 5e-4)
   }
 
+  test("bpePairCounts counts within-word pairs only, tie-broken by pair") {
+    val d = docs(1L -> "aba ab x", 2L -> "ba")
+    // word "aba": ab, ba; "ab": ab; "x": no pair; "ba": ba
+    // -> ab x2, ba x2; tie broken by pair text ascending
+    val out = TextAnalysis.bpePairCounts(d, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("ab", 2L), ("ba", 2L)))
+    // cross-word pairs never counted: "a b" has none
+    assert(TextAnalysis.bpePairCounts(docs(1L -> "a b"), 5).collect().isEmpty)
+    // topK truncates after the count-desc, pair-asc order
+    assert(TextAnalysis.bpePairCounts(d, 1).collect()
+      .map(_.getString(0)).toSeq == Seq("ab"))
+  }
+
   test("kAnonymityAudit flags under-k quasi-identifier groups") {
     import spark.implicits._
     val d = (1L to 12L).map(i =>
@@ -913,6 +927,35 @@ class AnalyticsSpec extends SparkSpec {
     // permille 0 flags nothing
     assert(Similarity.centroidOutliers(vecs, 0)
       .collect().forall(!_.getBoolean(3)))
+  }
+
+  test("pqEncode stays compiled at real quantizer size (m=16, ksub=256, dim=1024)") {
+    import spark.implicits._
+    // m NearestCellExpr instances, each ksub x dsub: total matrix =
+    // ksub x dim doubles — the same pinned regime as the coarse
+    // quantizer, but spread over 16 expressions in ONE projection.
+    // CODEGEN_ONLY + fallback=false: a generated-method/constant-pool
+    // blowout throws instead of silently degrading to interpreted
+    val m = 16; val ksub = 256; val dim = 1024; val dsub = dim / m
+    val cents = (0 until ksub).map(c =>
+      (0 until dsub).map(j => ((c * 31 + j * 7) % 13 - 6).toDouble / 6.0))
+    val cb = (0 until m).flatMap(s => (0 until ksub).map(c => (s, c, cents(c))))
+      .toDF("sub", "cell", "centroid")
+    val vecs = (1L to 8L).map(i =>
+      (i, (0 until dim).map(j => ((i * 17 + j * 3) % 11 - 5).toFloat / 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try Similarity.pqEncode(vecs, cb).orderBy("vec_id").collect()
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
+    assert(got.length == 8 && got.forall(_.getSeq[Byte](2).length == m))
+    // codes decode to valid cells and agree with interpreted eval
+    val interp = Similarity.pqEncode(vecs, cb).orderBy("vec_id").collect()
+    assert(got.map(_.getSeq[Byte](2)).toSeq == interp.map(_.getSeq[Byte](2)).toSeq)
   }
 
   test("mmrRerank swaps a redundant near-dup for a diverse candidate") {
