@@ -116,25 +116,31 @@ object CorpusOps {
     * eval-side plan should cache `evalDocs` or pass a pre-computed
     * decision via `broadcastBytesThreshold` (0 forces the shuffle
     * join; `Long.MaxValue` forces the broadcast). */
-  def decontaminate(documents: DataFrame, evalDocs: DataFrame,
-                    k: Int = 3,
-                    broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
+  /** The distinct eval-side k-shingle set, size-gate-broadcast —
+    * shared by [[decontaminate]] and [[contaminationScore]] so the
+    * estimate's padding constants and the gate live in ONE place. The
+    * gate is one EAGER narrow eval-side agg (see the caller docs):
+    * gram payload ≤ k × eval text bytes (each word lands in ≤ k
+    * shingles; distinct only shrinks it), padded ×2 for chars→UTF-8
+    * bytes plus a per-doc constant for per-gram broadcast overhead
+    * (UnsafeRow headers dominate when grams are many and short). A
+    * forced hint above the threshold would OOM the driver — past it
+    * the join runs as a plain shuffle instead. */
+  private def gatedEvalGrams(evalDocs: DataFrame, k: Int,
+                             broadcastBytesThreshold: Long): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
-    // size-gate the broadcast: a forced hint on a large eval union (the
-    // 8–13-gram real recipe against many benchmarks) would OOM the
-    // driver — above the threshold the semi-join runs as a plain
-    // shuffle join instead. The estimate is one narrow eval-side agg:
-    // gram payload ≤ k × eval text bytes (each word lands in ≤ k
-    // shingles; distinct only shrinks it), padded ×2 for chars→UTF-8
-    // bytes plus a per-doc constant for per-gram broadcast overhead
-    // (UnsafeRow headers dominate when grams are many and short).
     val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0) * k * 2 + r.getLong(1) * 64
     }
-    val gated =
-      if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
+    if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
+  }
+
+  def decontaminate(documents: DataFrame, evalDocs: DataFrame,
+                    k: Int = 3,
+                    broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
+    val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
     val contaminated = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("gram"))
       .join(gated, Seq("gram"), "left_semi")
@@ -179,15 +185,21 @@ object CorpusOps {
     * at scan time — the full-outer join shuffles hashes, never text;
     * one doc_id-keyed exchange per side, nothing funnels. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // presence rides as an explicit flag, NOT md5 nullability: a doc
+    // whose text is NULL is still PRESENT (md5(NULL) is NULL — status
+    // inferred from the hash would call an x→NULL edit "removed");
+    // the null-safe <=> compare then treats NULL→NULL as unchanged
     val o = graft.util.SparkUtil.widen(oldDocs)
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"),
+        lit(true).as("in_old"))
     val n = graft.util.SparkUtil.widen(newDocs)
-      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+      .select(col("doc_id"), md5(col("text")).as("new_md5"),
+        lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_md5").isNull, "added")
-          .when(col("new_md5").isNull, "removed")
-          .when(col("old_md5") =!= col("new_md5"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_md5") <=> col("new_md5")), "changed")
           .otherwise("unchanged"))
       .filter(col("status") =!= "unchanged")
       .select("doc_id", "status", "old_md5", "new_md5")
@@ -213,15 +225,8 @@ object CorpusOps {
   def contaminationScore(documents: DataFrame, evalDocs: DataFrame,
                          k: Int = 3,
                          broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
+    val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
       .withColumn("hit", lit(1L))
-    val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) * k * 2 + r.getLong(1) * 64
-    }
-    val gated =
-      if (estBytes <= broadcastBytesThreshold) broadcast(evalGrams) else evalGrams
     val perDoc = graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text"), k))).as("gram"))

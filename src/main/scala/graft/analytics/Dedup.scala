@@ -163,11 +163,17 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
 
   /** Pairing stage alone, over an existing (doc_id, fp) fingerprint
-    * table (in-plan or read back from [[writeWinnowFingerprints]]). */
-  def winnowPairsFromFingerprints(fps: DataFrame, minShared: Long = 2,
+    * table (in-plan or read back from [[writeWinnowFingerprints]]).
+    * The table is deduplicated on (doc_id, fp) first: the df cap
+    * counts DISTINCT docs, so a duplicated row in a user-supplied
+    * table would otherwise inflate `n_shared` past what the cap
+    * vetted (one extra combinable exchange; the in-repo producers
+    * already emit distinct sets and reduce it to a no-op). */
+  def winnowPairsFromFingerprints(rawFps: DataFrame, minShared: Long = 2,
                                   maxFpDf: Long = 64): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
+    val fps = rawFps.dropDuplicates("doc_id", "fp")
     val rare = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxFpDf)

@@ -488,7 +488,9 @@ object Similarity {
       val n = ids.length
       val taken = Array.fill(n)(false)
       val out = Seq.newBuilder[(Long, Double)]
-      for (_ <- 0 until math.min(kk, n)) {
+      var step = 0
+      var exhausted = false
+      while (step < math.min(kk, n) && !exhausted) {
         var bestI = -1; var bestS = Double.NegativeInfinity
         var i = 0
         while (i < n) { // ids ascend, strict > : ties land on lower vec_id
@@ -505,8 +507,15 @@ object Similarity {
           }
           i += 1
         }
-        taken(bestI) = true
-        out += ((ids(bestI), bestS))
+        // every remaining score NaN (a zero-magnitude vector makes
+        // cosine 0/0): nothing is rankable — stop selecting instead of
+        // indexing with -1 (heapTopK tolerates the same input)
+        if (bestI < 0) exhausted = true
+        else {
+          taken(bestI) = true
+          out += ((ids(bestI), bestS))
+          step += 1
+        }
       }
       out.result()
     }

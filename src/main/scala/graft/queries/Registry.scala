@@ -1599,19 +1599,22 @@ object Registry {
           FROM documents WHERE doc_id % 13 <> 0
           UNION ALL
           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
-        o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
-        n AS (SELECT doc_id, md5(text) AS new_md5 FROM newdocs),
-        j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5
+        o AS (SELECT doc_id, md5(text) AS old_md5, TRUE AS in_old
+          FROM documents),
+        n AS (SELECT doc_id, md5(text) AS new_md5, TRUE AS in_new
+          FROM newdocs),
+        j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            old_md5, new_md5, in_old, in_new
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         SELECT doc_id,
-          CASE WHEN old_md5 IS NULL THEN 'added'
-            WHEN new_md5 IS NULL THEN 'removed'
-            WHEN old_md5 <> new_md5 THEN 'changed'
+          CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN old_md5 IS DISTINCT FROM new_md5 THEN 'changed'
             ELSE 'unchanged' END AS status,
           old_md5, new_md5
         FROM j
-        WHERE NOT (old_md5 IS NOT NULL AND new_md5 IS NOT NULL
-          AND old_md5 = new_md5)
+        WHERE in_old IS NULL OR in_new IS NULL
+          OR old_md5 IS DISTINCT FROM new_md5
         ORDER BY doc_id""")),
 
     // char-bigram entropy: statistical-junk detector; the oracle

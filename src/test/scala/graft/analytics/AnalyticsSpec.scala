@@ -824,6 +824,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 44L + 16L)
   }
 
+  test("snapshotDiff: null text is presence, not absence") {
+    import spark.implicits._
+    def frame(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val old = frame(1L -> "x", 2L -> null, 3L -> null)
+    val neu = frame(1L -> null, 2L -> "y", 3L -> null)
+    val out = CorpusOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // x->NULL and NULL->y are CHANGED (both present); NULL->NULL is
+    // unchanged and filtered — never 'removed'/'added' from a null hash
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("mmrRerank survives zero-magnitude vectors (NaN cosine) without crashing") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 0.0f), 0), // zero vector: cosine NaN everywhere
+      (3L, Array(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // pool contains the zero vector; selection must skip past it and
+    // stop when only NaN-scored candidates remain, never index -1
+    val out = Similarity.mmrRerank(vecs, Seq(0L), 3, poolSize = 3, lambda = 0.5)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getLong(2) != 2L))
+    // an all-NaN pool (zero query) yields an empty result, not a crash
+    val zq = Similarity.mmrRerank(vecs, Seq(2L), 2, poolSize = 3, lambda = 0.5)
+      .collect()
+    assert(zq.forall(r => !r.getDouble(3).isNaN) || zq.isEmpty)
+  }
+
+  test("winnowPairsFromFingerprints dedups user-supplied fingerprint rows") {
+    import spark.implicits._
+    // doc 1 lists fp "f" TWICE; a naive self-join would count the pair
+    // (1,2) with n_shared 2 and pass minShared=2 on one real fingerprint
+    val fps = Seq((1L, "f"), (1L, "f"), (2L, "f"), (1L, "g"), (2L, "g"))
+      .toDF("doc_id", "fp")
+    val out = Dedup.winnowPairsFromFingerprints(fps, minShared = 2, maxFpDf = 8)
+      .collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getLong(2) == 2L) // f and g once each — not f twice
+  }
+
   test("snapshotDiff reports only the delta with correct statuses") {
     val old = docs(1L -> "one", 2L -> "two", 3L -> "three")
     val neu = docs(2L -> "two CHANGED", 3L -> "three", 4L -> "four")
