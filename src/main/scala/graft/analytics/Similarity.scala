@@ -309,20 +309,24 @@ object Similarity {
     * byte. One narrow codegen'd projection ([[nearestCell]] per
     * subspace — generated code O(m), matrix rides codegen references).
     * Output: (vec_id, label, codes: array<tinyint> of length m). */
-  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
-    val cb = collectCodebook(codebook)
+  /** The PQ code column over a `vec` column — `m` [[nearestCell]]
+    * argmaxes, one per subspace slice, stored −128-offset tinyint. */
+  private def pqCodeExpr(cb: Map[Int, IndexedSeq[Seq[Double]]]): Column = {
     val m = cb.size
     val dsub = cb(0).head.length
-    val codes = array((0 until m).map { j =>
+    array((0 until m).map { j =>
       (nearestCell(slice(col("vec"), j * dsub + 1, dsub),
         cb(j).zipWithIndex.map { case (c, i) => i -> c })
         - 128).cast("tinyint")
     }: _*)
+  }
+
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
-      .select(col("vec_id"), col("label"), codes.as("codes"))
-  }
+      .select(col("vec_id"), col("label"),
+        pqCodeExpr(collectCodebook(codebook)).as("codes"))
 
   /** Persist codebook + codes (train once, search many — the
     * [[writeQuantized]] analog; the codes table is the one that is
@@ -389,6 +393,123 @@ object Similarity {
         cosine(col("qvec"), col("vec")).as("cos"))
     heapTopK(scored, k, Some("label"))
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
+  // ---- IVF-PQ: coarse cells + residual product quantization --------
+
+  /** Collect a (cell, centroid) table to the bounded driver form,
+    * sorted by cell — the literal-matrix input of the residual and
+    * reconstruction expressions (≤256 cells × dim, the pinned
+    * regime; past it, the [[assignCellsByJoin]] escape hatch — the
+    * `ivfTopKByCells` gate — is the right index anyway). */
+  private def collectCells(cellCentroids: DataFrame): Seq[Seq[Double]] =
+    cellCentroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+
+  /** Build an IVF-PQ index — the canonical composed ANN layout
+    * (FAISS's IndexIVFPQ): k-means coarse cells ([[kmeansCentroids]]),
+    * then product quantization of the RESIDUAL `vec − centroid(cell)`
+    * (residuals are smaller and better-centered than raw vectors, so
+    * the same ksub × m code budget reconstructs tighter — the
+    * composition is what makes byte-codes usable at billion-vector
+    * scale). Returns (cellCentroids, codebook, codes) where codes =
+    * (vec_id, label, cell, codes: array<tinyint>): the only
+    * corpus-sized table, at 4 + m bytes per vector.
+    *
+    * Scale shape: cell assignment + residual is ONE narrow codegen'd
+    * projection (cell matrix ≤256 × dim literals); PQ training is
+    * [[pqTrain]]'s one-scan-per-round iteration over the residual
+    * frame; nothing beyond the (sub, cell) partials ever reaches the
+    * driver. */
+  def ivfPqIndex(embeddings: DataFrame, nCells: Int = 8, m: Int = 16,
+                 ksub: Int = 32, rounds: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+    val cellCents = kmeansCentroids(embeddings, nCells, rounds)
+    val residuals = residualFrame(embeddings, cellCents)
+    val codebook = pqTrain(
+      residuals.select(col("vec_id"), col("embedding")), m, ksub, rounds)
+    val cb = collectCodebook(codebook)
+    val codes = residuals
+      .select(col("vec_id"), col("label"), col("cell"),
+        asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        pqCodeExpr(cb).as("codes"))
+    (cellCents, codebook, codes)
+  }
+
+  /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the
+    * residual frame IVF-PQ trains and encodes over. One narrow
+    * projection: in-expression cell argmax + a zip_with subtract
+    * against the literal cell matrix. */
+  private def residualFrame(embeddings: DataFrame,
+                            cellCentroids: DataFrame): DataFrame = {
+    val cells = collectCells(cellCentroids)
+    val centsSeq = cells.zipWithIndex.map { case (c, i) => i -> c }
+    val centMat = typedLit(cells.map(_.toSeq).toSeq)
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+      .withColumn("cell", nearestCell(col("vec"), centsSeq))
+      .select(col("vec_id"), col("label"), col("cell"),
+        zip_with(col("vec"), element_at(centMat, col("cell") + 1),
+          (a, b) => a - b).as("embedding"))
+  }
+
+  /** Approximate top-k over an IVF-PQ index: queries rank cells by
+    * cosine to the cell centroid and probe the best `nProbe`
+    * ([[ivfTopKByCells]]'s shape); candidates reconstruct in-plan as
+    * `centroid(cell) + decode(codes)` (a zip_with add over the two
+    * literal-matrix lookups) and score full-precision-query-vs-
+    * reconstruction cosine — asymmetric distance, same trade as
+    * [[pqTopK]]. The corpus scan reads the CODES table (4 + m bytes a
+    * vector), never the float corpus. */
+  def ivfPqTopK(embeddings: DataFrame, cellCentroids: DataFrame,
+                codebook: DataFrame, codes: DataFrame,
+                queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val centMat = typedLit(collectCells(cellCentroids).map(_.toSeq).toSeq)
+    val recon = zip_with(element_at(centMat, col("cell") + 1),
+      pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
+    val corpus = codes.select(col("vec_id"), col("label"), col("cell"),
+      recon.as("vec"))
+    val queries = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cellScores = queries.crossJoin(broadcast(cellCentroids))
+      .select(col("query_id"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("c"))
+    val probed = cellScores.groupBy("query_id")
+      .agg(expr(s"graft_topk(c, CAST(cell AS BIGINT), $nProbe)").as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell_l"))
+      .select(col("query_id"), col("cell_l").cast("int").as("cell"))
+      .join(queries, Seq("query_id"))
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val scored = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(scored, k, Some("cell"))
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"), col("rk"))
+  }
+
+  /** Reconstruction-quality report for an IVF-PQ index — the
+    * [[pqReconstructionStats]] analog over `centroid(cell) +
+    * decode(codes)`; residual encoding should reconstruct TIGHTER
+    * than plain PQ at the same (m, ksub) budget (spec-asserted). */
+  def ivfPqReconstructionStats(embeddings: DataFrame,
+                               cellCentroids: DataFrame,
+                               codebook: DataFrame,
+                               codes: DataFrame): DataFrame = {
+    val centMat = typedLit(collectCells(cellCentroids).map(_.toSeq).toSeq)
+    val reconCol = zip_with(element_at(centMat, col("cell") + 1),
+      pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
+    val recon = codes.select(col("vec_id"), reconCol.as("rvec"))
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+      .join(recon, Seq("vec_id"))
+      .select(col("label"), cosine(col("vec"), col("rvec")).as("c"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("c")), 4).as("mean_cos"),
+        round(min(col("c")), 4).as("min_cos"))
+      .orderBy("label")
   }
 
   // ---- dimension truncation: the Matryoshka/prefix scale path ----

@@ -1343,6 +1343,21 @@ object Registry {
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
         FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // IVF-PQ (coarse cells + residual PQ): same tolerance surface as
+    // sim_pq_recon; the residual-beats-plain-PQ margin is spec-pinned
+    QueryDef("sim_ivfpq_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        Similarity.ivfPqReconstructionStats(emb, cc, cb, codes)
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.8 && col("min_cos") >= 0.7).as("recon_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
     // MMR diversified re-ranking: k=3 from a 10-candidate pool at
     // lambda=0.7 — the oracle hand-unrolls the three sequential argmax
     // steps (recursion-free); (1 - 0.7) is written as the SUBTRACTION

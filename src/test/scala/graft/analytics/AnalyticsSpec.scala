@@ -1027,6 +1027,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(pure == Seq(1L, 2L))
   }
 
+  test("IVF-PQ residual encoding reconstructs tighter than plain PQ on clustered data") {
+    import spark.implicits._
+    // two tight directional clusters with small per-vector jitter: the
+    // coarse cell absorbs the cluster direction, so residual PQ codes
+    // only the jitter — reconstruction must beat plain PQ, which
+    // spends the same byte budget on the full vectors
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 1f, 0f) else Array(0f, -10f, 0f, 1f)
+      val j = (i / 2) % 6
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + (if (d == (j % 4)) 0.2f * (j + 1) else 0.05f * j) }, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val (cc, cb, codes) = Similarity.ivfPqIndex(vecs, nCells = 2, m = 2, ksub = 4, rounds = 3)
+    assert(cc.count() == 2 && cb.count() == 8)
+    val ivfpq = Similarity.ivfPqReconstructionStats(vecs, cc, cb, codes)
+      .collect().map(_.getDouble(2))
+    val pqcb = Similarity.pqTrain(vecs, m = 2, ksub = 4, rounds = 3)
+    val plain = Similarity.pqReconstructionStats(vecs,
+      Similarity.pqEncode(vecs, pqcb), pqcb).collect().map(_.getDouble(2))
+    assert(ivfpq.sum / ivfpq.length > plain.sum / plain.length,
+      s"residual PQ ${ivfpq.toSeq} should beat plain PQ ${plain.toSeq}")
+    // search returns k rows per query with a valid ordering
+    val top = Similarity.ivfPqTopK(vecs, cc, cb, codes, Seq(0L), 3, 2).collect()
+    assert(top.length == 3)
+    assert(top.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+    // determinism: the whole index build + search reproduces exactly
+    val (cc2, cb2, codes2) = Similarity.ivfPqIndex(vecs, nCells = 2, m = 2, ksub = 4, rounds = 3)
+    val again = Similarity.ivfPqTopK(vecs, cc2, cb2, codes2, Seq(0L), 3, 2).collect()
+    assert(again.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      top.map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+  }
+
   test("PQ recovers exactly-representable vectors; ADC search matches brute force") {
     import spark.implicits._
     // 6 vectors = ksub, so every subvector pattern seeds its own cell:
