@@ -436,6 +436,17 @@ object Similarity {
     (cellCents, codebook, codes)
   }
 
+  /** Persist a full IVF-PQ index (cells + codebook + codes) — train
+    * once, search many; only `codes` is corpus-sized (4 + m bytes a
+    * vector). Read the three tables back into [[ivfPqTopK]]. */
+  def writeIvfPq(embeddings: DataFrame, dir: String, nCells: Int = 8,
+                 m: Int = 16, ksub: Int = 32, rounds: Int = 3): Unit = {
+    val (cc, cb, codes) = ivfPqIndex(embeddings, nCells, m, ksub, rounds)
+    cc.write.mode("overwrite").parquet(s"$dir/cells")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
   /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the
     * residual frame IVF-PQ trains and encodes over. One narrow
     * projection: in-expression cell argmax + a zip_with subtract

@@ -1057,6 +1057,14 @@ class AnalyticsSpec extends SparkSpec {
     val again = Similarity.ivfPqTopK(vecs, cc2, cb2, codes2, Seq(0L), 3, 2).collect()
     assert(again.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
       top.map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+    // persist round-trip: the three read-back tables search identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPq(vecs, dir, nCells = 2, m = 2, ksub = 4, rounds = 3)
+    val back = Similarity.ivfPqTopK(vecs,
+      spark.read.parquet(s"$dir/cells"), spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), Seq(0L), 3, 2).collect()
+    assert(back.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      top.map(r => (r.getLong(1), r.getDouble(3))).toSeq)
   }
 
   test("PQ recovers exactly-representable vectors; ADC search matches brute force") {
