@@ -124,6 +124,27 @@ object Dedup {
       .filter(col("bk.key").isNotNull)
   }
 
+  /** Per-source exact-duplication rate — the corpus-health panel row
+    * a crawl operator reads per ingest round ("which source is
+    * re-serving the same pages?"): docs, distinct normalized
+    * fingerprints ([[exactFingerprint]] — whitespace/punct-noise
+    * robust), and the duplicate fraction. Output: (source, n_docs,
+    * n_unique, dup_rate 4 dp), ordered by source.
+    *
+    * Scale shape: one map-side-combinable groupBy on source over
+    * 32-byte fingerprints; output is |sources|-sized. */
+  def dedupRateBySource(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .select(col("source"), exactFingerprint.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+      .select(col("source"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        col("n_unique").cast(LongType).as("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+
   /** Winnowing near-dup pairs — documents sharing at least `minShared`
     * winnowing fingerprints ([[TextAnalysis.winnowSet]]: the MOSS/
     * plagiarism-detection family — position-robust SUBSTRING evidence,

@@ -638,6 +638,25 @@ object Registry {
           list_min(wins) AS min_fp, list_max(wins) AS max_fp
         FROM wfp ORDER BY doc_id""")),
 
+    // per-source duplication rate: the fixture unions a copy of every
+    // doc_id % 10 == 0 document (new ids) so the rate is non-trivial
+    QueryDef("dedup_rate_by_source",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.dedupRateBySource(docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)))
+      },
+      Some("""WITH corpus AS (
+          SELECT source, text FROM documents
+          UNION ALL
+          SELECT source, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::BIGINT AS n_unique,
+          round(1.0 - count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::DOUBLE
+            / count(*), 4) AS dup_rate
+        FROM corpus GROUP BY source ORDER BY source""")),
+
     // winnowing pair generation: substring-evidence near-dup pairs
     // (MOSS family) — docs sharing >= 2 winnow fingerprints after the
     // stop-fingerprint df cap; complements the MinHash bag-of-shingles

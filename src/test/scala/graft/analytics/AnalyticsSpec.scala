@@ -918,6 +918,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("de", "b", 3L, true), ("en", "a", 9L, false)))
   }
 
+  test("dedupRateBySource counts normalized duplicates per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello World", "en", "a", 1L),
+      (2L, "hello,   world!", "en", "a", 1L), // same normalized identity
+      (3L, "different text", "en", "a", 1L),
+      (4L, "unique per b", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dedupRateBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((3L, 2L, 0.3333)))
+    assert(out("b") == ((1L, 1L, 0.0)))
+  }
+
   test("winnowPairs pairs substring-sharing docs; stop fingerprints are capped") {
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(
