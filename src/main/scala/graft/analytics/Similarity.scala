@@ -301,14 +301,6 @@ object Similarity {
         j -> rows.sortBy(_._2).map(_._3).toIndexedSeq
       }
 
-  /** PQ-encode a corpus against a trained codebook: each vector
-    * becomes `m` one-byte codes — 4·dim/m × smaller than float32
-    * (dim=64, m=8: 32×; the difference between an ANN corpus that
-    * fits hot storage and one that doesn't). Codes are stored as
-    * tinyint with a −128 offset so cell ids 0..255 genuinely fit the
-    * byte. One narrow codegen'd projection ([[nearestCell]] per
-    * subspace — generated code O(m), matrix rides codegen references).
-    * Output: (vec_id, label, codes: array<tinyint> of length m). */
   /** The PQ code column over a `vec` column — `m` [[nearestCell]]
     * argmaxes, one per subspace slice, stored −128-offset tinyint. */
   private def pqCodeExpr(cb: Map[Int, IndexedSeq[Seq[Double]]]): Column = {
@@ -321,6 +313,14 @@ object Similarity {
     }: _*)
   }
 
+  /** PQ-encode a corpus against a trained codebook: each vector
+    * becomes `m` one-byte codes — 4·dim/m × smaller than float32
+    * (dim=64, m=8: 32×; the difference between an ANN corpus that
+    * fits hot storage and one that doesn't). Codes are stored as
+    * tinyint with a −128 offset so cell ids 0..255 genuinely fit the
+    * byte. One narrow codegen'd projection ([[nearestCell]] per
+    * subspace — generated code O(m), matrix rides codegen references).
+    * Output: (vec_id, label, codes: array<tinyint> of length m). */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"),
@@ -367,18 +367,9 @@ object Similarity {
     * [[truncateEmbeddings]] caveat — but direction preservation is
     * not). One codes scan + one vec_id join + one combinable agg. */
   def pqReconstructionStats(embeddings: DataFrame, codes: DataFrame,
-                            codebook: DataFrame): DataFrame = {
-    val recon = codes.select(col("vec_id"),
-      pqReconstruct(collectCodebook(codebook)).as("rvec"))
-    graft.util.SparkUtil.widen(embeddings)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
-      .join(recon, Seq("vec_id"))
-      .select(col("label"), cosine(col("vec"), col("rvec")).as("c"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n"), round(avg(col("c")), 4).as("mean_cos"),
-        round(min(col("c")), 4).as("min_cos"))
-      .orderBy("label")
-  }
+                            codebook: DataFrame): DataFrame =
+    reconStats(embeddings, codes.select(col("vec_id"),
+      pqReconstruct(collectCodebook(codebook)).as("rvec")))
 
   def pqTopK(embeddings: DataFrame, codes: DataFrame, codebook: DataFrame,
              queryIds: Seq[Long], k: Int): DataFrame = {
@@ -397,14 +388,22 @@ object Similarity {
 
   // ---- IVF-PQ: coarse cells + residual product quantization --------
 
-  /** Collect a (cell, centroid) table to the bounded driver form,
-    * sorted by cell — the literal-matrix input of the residual and
-    * reconstruction expressions (≤256 cells × dim, the pinned
-    * regime; past it, the [[assignCellsByJoin]] escape hatch — the
-    * `ivfTopKByCells` gate — is the right index anyway). */
-  private def collectCells(cellCentroids: DataFrame): Seq[Seq[Double]] =
-    cellCentroids.select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+  /** Collect a (cell, centroid) table to the bounded driver form —
+    * the literal-matrix input of the residual and reconstruction
+    * expressions (≤256 cells × dim, the pinned regime; past it, the
+    * [[assignCellsByJoin]] escape hatch — the `ivfTopKByCells` gate —
+    * is the right index anyway). The matrix is indexed BY id, so ids
+    * must be contiguous 0..n-1 — a cells table with gaps (e.g. a
+    * low-population cell filtered out) would silently remap and
+    * reconstruct with the wrong centroids; fail at the door instead. */
+  private def collectCells(cellCentroids: DataFrame): Seq[Seq[Double]] = {
+    val rows = cellCentroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      "cell ids must be contiguous 0..n-1 (the literal-matrix lookup " +
+        s"indexes by id): got ${rows.map(_._1).mkString("[", ",", "]")}")
+    rows.map(_._2).toSeq
+  }
 
   /** Build an IVF-PQ index — the canonical composed ANN layout
     * (FAISS's IndexIVFPQ): k-means coarse cells ([[kmeansCentroids]]),
@@ -416,19 +415,27 @@ object Similarity {
     * (vec_id, label, cell, codes: array<tinyint>): the only
     * corpus-sized table, at 4 + m bytes per vector.
     *
-    * Scale shape: cell assignment + residual is ONE narrow codegen'd
-    * projection (cell matrix ≤256 × dim literals); PQ training is
-    * [[pqTrain]]'s one-scan-per-round iteration over the residual
-    * frame; nothing beyond the (sub, cell) partials ever reaches the
-    * driver. */
+    * Scale shape: the cell-argmax + residual is one narrow codegen'd
+    * projection (cell matrix ≤256 × dim literals) — but Spark
+    * materializes nothing between plan branches, so [[pqTrain]]'s
+    * per-round scans and the final encode each RE-EXECUTE it (the
+    * in-plan [[Dedup.winnowPairs]] trade; the projection runs at scan
+    * speed, and [[writeIvfPq]] is the train-once-search-many path
+    * that pays it exactly once per table). The dim probe is skipped —
+    * the cell matrix already knows it. Nothing beyond the (sub, cell)
+    * partials ever reaches the driver. */
   def ivfPqIndex(embeddings: DataFrame, nCells: Int = 8, m: Int = 16,
                  ksub: Int = 32, rounds: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     val cellCents = kmeansCentroids(embeddings, nCells, rounds)
-    val residuals = residualFrame(embeddings, cellCents)
+    val dim = collectCells(cellCents).head.length
+    // training path: pqTrain widens its own input (one exchange);
+    // codes path: widen the SCAN root, per widen()'s contract
     val codebook = pqTrain(
-      residuals.select(col("vec_id"), col("embedding")), m, ksub, rounds)
+      residualFrame(embeddings, cellCents)
+        .select(col("vec_id"), col("embedding")),
+      m, ksub, rounds, dimOpt = Some(dim))
     val cb = collectCodebook(codebook)
-    val codes = residuals
+    val codes = residualFrame(graft.util.SparkUtil.widen(embeddings), cellCents)
       .select(col("vec_id"), col("label"), col("cell"),
         asDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -450,13 +457,16 @@ object Similarity {
   /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the
     * residual frame IVF-PQ trains and encodes over. One narrow
     * projection: in-expression cell argmax + a zip_with subtract
-    * against the literal cell matrix. */
+    * against the literal cell matrix. Deliberately NOT widened here:
+    * [[pqTrain]]/[[pqEncode]] widen their input themselves, and a
+    * second round-robin exchange of dim-double residuals per scan
+    * would double the shuffle bill. */
   private def residualFrame(embeddings: DataFrame,
                             cellCentroids: DataFrame): DataFrame = {
     val cells = collectCells(cellCentroids)
     val centsSeq = cells.zipWithIndex.map { case (c, i) => i -> c }
     val centMat = typedLit(cells.map(_.toSeq).toSeq)
-    graft.util.SparkUtil.widen(embeddings)
+    embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .withColumn("cell", nearestCell(col("vec"), centsSeq))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -472,19 +482,40 @@ object Similarity {
     * reconstruction cosine — asymmetric distance, same trade as
     * [[pqTopK]]. The corpus scan reads the CODES table (4 + m bytes a
     * vector), never the float corpus. */
+  /** The IVF-PQ reconstruction column over (cell, codes):
+    * `centroid(cell) + decode(codes)` — one zip_with add over the two
+    * literal-matrix lookups. Shared by search and the stats audit so
+    * the index conventions (+1 lookup, −128 codes) live once. */
+  private def ivfPqReconCol(cellCentroids: DataFrame,
+                            codebook: DataFrame): Column = {
+    val centMat = typedLit(collectCells(cellCentroids).map(_.toSeq).toSeq)
+    zip_with(element_at(centMat, col("cell") + 1),
+      pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
+  }
+
   def ivfPqTopK(embeddings: DataFrame, cellCentroids: DataFrame,
                 codebook: DataFrame, codes: DataFrame,
                 queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val centMat = typedLit(collectCells(cellCentroids).map(_.toSeq).toSeq)
-    val recon = zip_with(element_at(centMat, col("cell") + 1),
-      pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
-    val corpus = codes.select(col("vec_id"), col("label"), col("cell"),
-      recon.as("vec"))
+    val corpus = codes.select(col("vec_id"), col("cell"),
+      ivfPqReconCol(cellCentroids, codebook).as("vec"))
     val queries = graft.util.SparkUtil.widen(embeddings)
       .filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cellScores = queries.crossJoin(broadcast(cellCentroids))
+    probeCellsTopK(corpus, queries, cellCentroids, k, nProbe)
+  }
+
+  /** The shared probe-then-scan tail of the cell-keyed indexes
+    * ([[ivfTopKByCells]], [[ivfPqTopK]]): rank cells per query against
+    * the centroid table with the `graft_topk` heap, broadcast the
+    * (query, probed-cell) plan, scan `corpus` (vec_id, cell, vec)
+    * filtered to probed cells, per-query top-k in the heap aggregate
+    * tagged with the cell. Probe semantics (NaN, ties) live HERE,
+    * once. */
+  private def probeCellsTopK(corpus: DataFrame, queries: DataFrame,
+                             centroids: DataFrame, k: Int,
+                             nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cellScores = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cell"),
         cosine(col("qvec"), col("centroid")).as("c"))
     val probed = cellScores.groupBy("query_id")
@@ -501,18 +532,10 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"), col("rk"))
   }
 
-  /** Reconstruction-quality report for an IVF-PQ index — the
-    * [[pqReconstructionStats]] analog over `centroid(cell) +
-    * decode(codes)`; residual encoding should reconstruct TIGHTER
-    * than plain PQ at the same (m, ksub) budget (spec-asserted). */
-  def ivfPqReconstructionStats(embeddings: DataFrame,
-                               cellCentroids: DataFrame,
-                               codebook: DataFrame,
-                               codes: DataFrame): DataFrame = {
-    val centMat = typedLit(collectCells(cellCentroids).map(_.toSeq).toSeq)
-    val reconCol = zip_with(element_at(centMat, col("cell") + 1),
-      pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
-    val recon = codes.select(col("vec_id"), reconCol.as("rvec"))
+  /** Per-label reconstruction-quality aggregate shared by
+    * [[pqReconstructionStats]] and [[ivfPqReconstructionStats]] —
+    * `recon` supplies (vec_id, rvec). */
+  private def reconStats(embeddings: DataFrame, recon: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .join(recon, Seq("vec_id"))
@@ -521,7 +544,17 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg(col("c")), 4).as("mean_cos"),
         round(min(col("c")), 4).as("min_cos"))
       .orderBy("label")
-  }
+
+  /** Reconstruction-quality report for an IVF-PQ index — the
+    * [[pqReconstructionStats]] analog over `centroid(cell) +
+    * decode(codes)`; residual encoding should reconstruct TIGHTER
+    * than plain PQ at the same (m, ksub) budget (spec-asserted). */
+  def ivfPqReconstructionStats(embeddings: DataFrame,
+                               cellCentroids: DataFrame,
+                               codebook: DataFrame,
+                               codes: DataFrame): DataFrame =
+    reconStats(embeddings, codes.select(col("vec_id"),
+      ivfPqReconCol(cellCentroids, codebook).as("rvec")))
 
   // ---- dimension truncation: the Matryoshka/prefix scale path ----
 
@@ -785,22 +818,7 @@ object Similarity {
       } else assignCellsByJoin(corpus0, centroids)
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cellScores = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("cell"),
-        cosine(col("qvec"), col("centroid")).as("c"))
-    val probed = cellScores.groupBy("query_id")
-      .agg(expr(s"graft_topk(c, CAST(cell AS BIGINT), $nProbe)").as("cells"))
-      .select(col("query_id"), explode(col("cells.id")).as("cell_l"))
-      .select(col("query_id"), col("cell_l").cast("int").as("cell"))
-      .join(queries, Seq("query_id"))
-      .select(col("query_id"), col("qvec"), col("cell"))
-    val scored = corpus.join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("cell"),
-        cosine(col("qvec"), col("vec")).as("cos"))
-    heapTopK(scored, k, Some("cell"))
-      .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"), col("rk"))
+    probeCellsTopK(corpus, queries, centroids, k, nProbe)
   }
 
   /** IVF-style approximate top-k: coarse cells are the `label` column

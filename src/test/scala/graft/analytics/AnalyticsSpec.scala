@@ -1071,6 +1071,14 @@ class AnalyticsSpec extends SparkSpec {
     val again = Similarity.ivfPqTopK(vecs, cc2, cb2, codes2, Seq(0L), 3, 2).collect()
     assert(again.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
       top.map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+    // a cells table with non-contiguous ids (a filtered-out cell) must
+    // fail at the door — the literal matrix indexes by id, and a
+    // silent remap would reconstruct with the wrong centroids
+    val gappy = cc.filter(col("cell") =!= 0)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(vecs, gappy, cb, codes, Seq(0L), 3, 2).collect()
+    }
+    assert(err.getMessage.contains("contiguous"))
     // persist round-trip: the three read-back tables search identically
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     Similarity.writeIvfPq(vecs, dir, nCells = 2, m = 2, ksub = 4, rounds = 3)
