@@ -109,7 +109,13 @@ object Cleaning {
     *  2. strip NON-whitespace control characters — Cc minus
     *     {TAB LF VT FF CR}, spelled as the explicit codepoint class
     *     `[\x00-\x08\x0E-\x1F\x7F-\x9F]` (C0 + DEL + C1);
-    *  3. collapse every whitespace run to one space, then trim.
+    *  3. collapse every whitespace run to one space, then trim. The
+    *     collapse class is spelled EXPLICITLY as `[ \t\n\x0B\f\r]+`,
+    *     never `\s+`: Java's `\s` matches VT (\x0B) but RE2's does
+    *     not, so `\s+` silently means different things to the two
+    *     engines — a VT in corpus text would become a space in Spark
+    *     yet survive in the DuckDB oracle, an engine-UNSTABLE identity
+    *     in the very pass that exists to guarantee stable hash keys.
     *
     * Rule order matters twice: controls strip BEFORE the collapse so a
     * space-flanked control leaves ONE space, not two ("a  b" →
@@ -129,7 +135,7 @@ object Cleaning {
   def normalizeText(documents: DataFrame): DataFrame = {
     val nfc = graft.functions.NfcNormalizeExpr(col("text"))
     val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]", "")
-    val clean = trim(regexp_replace(stripped, "\\s+", " "))
+    val clean = trim(regexp_replace(stripped, "[ \\t\\n\\x0B\\f\\r]+", " "))
     graft.util.SparkUtil.widen(documents)
       .withColumn("text", clean)
       .withColumn("n_chars", length(col("text")).cast(LongType))

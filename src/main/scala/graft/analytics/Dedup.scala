@@ -162,21 +162,30 @@ object Dedup {
     * stop-list, same shape as [[Cleaning.removeBoilerplate]]'s
     * frequent-line anti-join — a shuffled HAVING on the fp key, no
     * broadcast assumption), bounding any key's fan-out at
-    * maxFpDf². */
+    * maxFpDf².
+    *
+    * Single-pass discipline: the fingerprint table feeds THREE plan
+    * branches (the df cap and both self-join sides), and Spark
+    * materializes nothing between branches — so the winnow-set
+    * computation (length(text) md5s per document) is eagerly
+    * localCheckpoint'ed here and computed exactly ONCE per run;
+    * spec-pinned by the absence of any Generate node in the result's
+    * physical plan. [[writeWinnowFingerprints]] remains the
+    * fingerprint-once-pair-many persist path across runs. */
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
                   minShared: Long = 2, maxFpDf: Long = 64): DataFrame =
     winnowPairsFromFingerprints(
       graft.util.SparkUtil.widen(documents)
-        .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp")),
+        .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp"))
+        .localCheckpoint(true),
       minShared, maxFpDf)
 
   /** Persist the exploded winnowing fingerprint table — the
-    * [[writeSignatures]] analog: the in-plan [[winnowPairs]] form
-    * re-executes the winnow-set computation (length(text) md5s per
-    * document) THREE times — the df table and both self-join sides —
-    * because Spark materializes nothing between plan branches. At
-    * corpus scale, fingerprint ONCE here and pair many times via
-    * [[winnowPairsFromFingerprints]] on the read-back table. */
+    * [[writeSignatures]] analog: fingerprint ONCE per corpus here and
+    * pair many times (across (minShared, maxFpDf) experiments and
+    * repeated dedup runs) via [[winnowPairsFromFingerprints]] on the
+    * read-back table. Within one run, [[winnowPairs]] already
+    * computes the set exactly once (eager localCheckpoint). */
   def writeWinnowFingerprints(documents: DataFrame, path: String,
                               k: Int = 8, w: Int = 16): Unit =
     graft.util.SparkUtil.widen(documents)
@@ -397,17 +406,48 @@ object Dedup {
     * vec_id-keyed count + one left join back — no all-pairs term ever;
     * the quadratic factor is (cell size)², controlled by the upstream
     * clustering's k exactly as in the paper (k grows with the corpus so
-    * cells stay bounded). Skewed giant cells are the real-world hazard:
-    * split them by composing the cell key with an SRP bucket
-    * ([[Similarity.srpBucket]]) before calling this, accepting LSH
-    * recall inside oversized cells. */
-  def semanticDedup(embeddings: DataFrame, tau: Double): DataFrame = {
+    * cells stay bounded). Skewed giant cells are the real-world hazard
+    * — one hot cell is a single task doing (cell size)² work — so the
+    * engine gates them itself: with `maxCellSize > 0`, any cell whose
+    * population exceeds the bound has its join key COMPOSED with an
+    * SRP bucket ([[Similarity.srpBucket]], `splitBits` hyperplanes),
+    * capping per-key fan-out at roughly cellSize/2^splitBits while
+    * cells inside the bound keep the exact quadratic compare
+    * (spec-asserted identical results there). Inside an oversized
+    * cell this is the standard LSH recall trade — near-identical
+    * vectors (the SemDeDup target at high tau) project to the same
+    * bucket with probability ≥ 1 − d(a,b)·splitBits/π, and EXACT
+    * duplicates always do (identical input, identical deterministic
+    * hyperplanes). `maxCellSize = 0` (default) keeps the paper's
+    * exact within-cell semantics. */
+  def semanticDedup(embeddings: DataFrame, tau: Double,
+                    maxCellSize: Long = 0L, splitBits: Int = 4): DataFrame = {
+    require(splitBits >= 1 && splitBits <= 30,
+      s"splitBits must be in [1,30]: $splitBits")
     val v = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
-    val a = v.select(col("label"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("label"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
-    val dupCounts = a.join(b, Seq("label"))
+    val keyed =
+      if (maxCellSize <= 0)
+        v.withColumn("cellkey", col("label").cast("string"))
+      else {
+        val dim = Similarity.embeddingDim(embeddings)
+        // |labels|-sized side table; a plain equi-join on the cell key
+        // (AQE may broadcast it — never forced: labels are unbounded)
+        val big = v.groupBy("label").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxCellSize)
+          .select(col("label"), lit(true).as("_big"))
+        v.join(big, Seq("label"), "left")
+          .withColumn("cellkey",
+            when(col("_big"),
+              concat(col("label").cast("string"), lit("#"),
+                Similarity.srpBucket(col("vec"), dim, splitBits).cast("string")))
+              .otherwise(col("label").cast("string")))
+          .drop("_big")
+      }
+    val a = keyed.select(col("cellkey"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = keyed.select(col("cellkey"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val dupCounts = a.join(b, Seq("cellkey"))
       .filter(col("id_a") < col("id_b"))
       .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= tau)
       .groupBy(col("id_b").as("vec_id"))
@@ -589,19 +629,56 @@ object Dedup {
     * plain shuffle semi-join on the same key (heavy-hitter set,
     * unbounded adversarially — never a forced broadcast). The
     * gaps-and-islands merge runs one window per doc_id — corpus-
-    * cardinality partitions, never a funnel. */
+    * cardinality partitions, never a funnel.
+    *
+    * Single-pass discipline: the gram table feeds BOTH the
+    * doc-frequency groupBy and the semi-join probe side, and Spark
+    * materializes nothing between plan branches — without a
+    * materialization the dominant explode+md5 stage would execute
+    * TWICE per run (the in-plan [[winnowPairs]] trade, fixed the same
+    * way). Here the grams are eagerly localCheckpoint'ed (one job,
+    * lineage truncated, blocks memory-and-disk), so both consumers
+    * read stored blocks — spec-pinned by the absence of any Generate
+    * node in the result's physical plan. For the persist-to-parquet
+    * variant (gram once per corpus, span many times across maxDocFreq
+    * experiments), see [[writeSpanGrams]]/[[repeatedSpansFromGrams]]. */
   def repeatedSpans(documents: DataFrame, n: Int = 3,
-                    maxDocFreq: Long = 1): DataFrame = {
+                    maxDocFreq: Long = 1): DataFrame =
+    repeatedSpansFromGrams(spanGrams(documents, n).localCheckpoint(true),
+      n, maxDocFreq)
+
+  /** The positioned n-gram hash table (doc_id, pos, gh) of
+    * [[repeatedSpans]] — one narrow explode + md5 projection, the
+    * dominant stage of the span pipeline. */
+  def spanGrams(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
-    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
-    import org.apache.spark.sql.expressions.Window
     val w = TextAnalysis.tokens(col("text"))
-    val grams = graft.util.SparkUtil.widen(documents)
+    graft.util.SparkUtil.widen(documents)
       .select(col("doc_id"),
         posexplode(when(size(w) >= n,
           transform(sequence(lit(0), size(w) - n),
             i => md5(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
           .otherwise(array().cast("array<string>"))).as(Seq("pos", "gh")))
+  }
+
+  /** Persist the gram table — the [[writeSignatures]]/
+    * [[writeWinnowFingerprints]] analog: at corpus scale the
+    * explode+md5 stage is the whole cost, and a span-threshold sweep
+    * (several `maxDocFreq` settings over one corpus) should pay it
+    * exactly once. Plain parquet (doc_id, pos, gh); feed the
+    * read-back table to [[repeatedSpansFromGrams]]. */
+  def writeSpanGrams(documents: DataFrame, path: String, n: Int = 3): Unit =
+    spanGrams(documents, n).write.mode("overwrite").parquet(path)
+
+  /** Span detection over an existing (doc_id, pos, gh) gram table
+    * (localCheckpoint'ed in-plan by [[repeatedSpans]], or read back
+    * from [[writeSpanGrams]]). `n` must match the gram table's
+    * n-gram size (it sets each hit's span end = pos + n). */
+  def repeatedSpansFromGrams(grams: DataFrame, n: Int = 3,
+                             maxDocFreq: Long = 1): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    import org.apache.spark.sql.expressions.Window
     val frequent = grams.groupBy("gh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxDocFreq)

@@ -338,16 +338,6 @@ object Similarity {
     pqEncode(embeddings, cb).write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  /** Approximate top-k over a PQ-coded corpus (asymmetric distance:
-    * full-precision queries against in-plan reconstructions — the
-    * standard ADC trade). The reconstruction is `m` literal-matrix
-    * lookups (`element_at` into a ksub × dsub `typedLit` per
-    * subspace — plan weight ksub × dim doubles, the same bounded
-    * regime as the inline coarse quantizer) flattened back to a dim
-    * vector; then the exact [[bruteForceTopK]] shape: broadcast
-    * queries, one corpus scan over the CODES table, heap top-k.
-    * Recall is bounded by codebook resolution (raise `ksub`/`m`);
-    * the scan IO is the point — 4·dim/m× less than the float path. */
   /** In-plan PQ decode: `codes` → the reconstructed dim-vector, as `m`
     * literal-matrix `element_at` lookups (plan weight ksub × dim
     * doubles — the pinned ≤256-cell regime) flattened back together.
@@ -371,17 +361,55 @@ object Similarity {
     reconStats(embeddings, codes.select(col("vec_id"),
       pqReconstruct(collectCodebook(codebook)).as("rvec")))
 
+  /** Approximate top-k over a PQ-coded corpus — the textbook ADC
+    * (asymmetric distance computation) formulation: NO dim-vector is
+    * ever reconstructed on the scan. Per query, a `m × ksub` lookup
+    * table of subspace dot products `dotlut[j][c] = <q_subj,
+    * codeword(j,c)>` is precomputed (driver-side, |queryIds|-bounded —
+    * the same collected regime as the codebook itself) and broadcast
+    * with the query; per-(sub, cell) squared codeword norms are a pure
+    * codebook constant riding as one `typedLit`. Because a plain-PQ
+    * reconstruction is the CONCATENATION of per-subspace codewords,
+    * both its dot with the query and its squared norm decompose
+    * EXACTLY into `m` per-subspace terms — so scoring a candidate is
+    * `m` array lookups + adds (vs `dim` multiplies on a materialized
+    * reconstruction), and cosine(q, reconstruction) is computed
+    * exactly (per-subspace partials summed in fixed j order —
+    * deterministic; association differs from the flat fold by at most
+    * ulps, which the 4 dp presentation rounding absorbs). The scan
+    * reads the CODES table only — 4·dim/m× less IO than the float
+    * path; recall is bounded by codebook resolution (raise ksub/m). */
   def pqTopK(embeddings: DataFrame, codes: DataFrame, codebook: DataFrame,
              queryIds: Seq[Long], k: Int): DataFrame = {
     val cb = collectCodebook(codebook)
-    val corpus = codes.select(col("vec_id"), col("label"),
-      pqReconstruct(cb).as("vec"))
-    val queries = graft.util.SparkUtil.widen(embeddings)
+    val m = cb.size
+    val dsub = cb(0).head.length
+    // pure codebook constant: squared norm of codeword (j, c)
+    val norm2Lut = typedLit(
+      (0 until m).map(j => cb(j).map(c => c.map(x => x * x).sum).toSeq))
+    val spark = codes.sparkSession
+    val qRows = embeddings
       .filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    import spark.implicits._
+    val queries = qRows.map { case (qid, q) =>
+      val dotLut = (0 until m).map { j =>
+        cb(j).map(c =>
+          (0 until dsub).map(i => q(j * dsub + i) * c(i)).sum).toSeq
+      }
+      (qid, math.sqrt(q.map(x => x * x).sum), dotLut)
+    }.toSeq.toDF("query_id", "qnorm", "dotlut")
+    // codes carry the −128 tinyint offset, hence the +129 1-based index
+    def lutAt(lut: Column, j: Int): Column =
+      element_at(element_at(lut, j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 129)
+    val adcDot = (0 until m).map(j => lutAt(col("dotlut"), j)).reduce(_ + _)
+    val reconNorm2 = (0 until m).map(j => lutAt(norm2Lut, j)).reduce(_ + _)
+    val scored = codes
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        (adcDot / (col("qnorm") * sqrt(reconNorm2))).as("cos"))
     heapTopK(scored, k, Some("label"))
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
@@ -474,14 +502,6 @@ object Similarity {
           (a, b) => a - b).as("embedding"))
   }
 
-  /** Approximate top-k over an IVF-PQ index: queries rank cells by
-    * cosine to the cell centroid and probe the best `nProbe`
-    * ([[ivfTopKByCells]]'s shape); candidates reconstruct in-plan as
-    * `centroid(cell) + decode(codes)` (a zip_with add over the two
-    * literal-matrix lookups) and score full-precision-query-vs-
-    * reconstruction cosine — asymmetric distance, same trade as
-    * [[pqTopK]]. The corpus scan reads the CODES table (4 + m bytes a
-    * vector), never the float corpus. */
   /** The IVF-PQ reconstruction column over (cell, codes):
     * `centroid(cell) + decode(codes)` — one zip_with add over the two
     * literal-matrix lookups. Shared by search and the stats audit so
@@ -493,15 +513,33 @@ object Similarity {
       pqReconstruct(collectCodebook(codebook)), (a, b) => a + b)
   }
 
+  /** Approximate top-k over an IVF-PQ index: queries rank cells by
+    * cosine to the cell centroid and probe the best `nProbe`
+    * ([[ivfTopKByCells]]'s shape); candidates reconstruct in-plan as
+    * `centroid(cell) + decode(codes)` and score full-precision-query-
+    * vs-reconstruction cosine — asymmetric distance, same trade as
+    * [[pqTopK]]. The corpus scan reads the CODES table (4 + m bytes a
+    * vector), never the float corpus.
+    *
+    * Probed-cells-FIRST discipline: the codes table joins the
+    * broadcast (query, probed-cell) plan on `cell` BEFORE any ADC
+    * reconstruction is projected — Catalyst will not reorder a join
+    * below a projection, so reconstructing up front would decode
+    * every corpus vector when only ~nProbe/nCells of cells are
+    * scanned. Here only candidates inside probed cells decode (the
+    * reconstruction expression is evaluated above the join via
+    * [[probeCellsTopK]]'s `vecCol` hook); spec-pinned by the literal-
+    * matrix lookup appearing ABOVE the cell join in the physical
+    * plan. */
   def ivfPqTopK(embeddings: DataFrame, cellCentroids: DataFrame,
                 codebook: DataFrame, codes: DataFrame,
                 queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val corpus = codes.select(col("vec_id"), col("cell"),
-      ivfPqReconCol(cellCentroids, codebook).as("vec"))
+    val corpus = codes.select(col("vec_id"), col("cell"), col("codes"))
     val queries = graft.util.SparkUtil.widen(embeddings)
       .filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-    probeCellsTopK(corpus, queries, cellCentroids, k, nProbe)
+    probeCellsTopK(corpus, queries, cellCentroids, k, nProbe,
+      vecCol = ivfPqReconCol(cellCentroids, codebook))
   }
 
   /** The shared probe-then-scan tail of the cell-keyed indexes
@@ -510,10 +548,13 @@ object Similarity {
     * (query, probed-cell) plan, scan `corpus` (vec_id, cell, vec)
     * filtered to probed cells, per-query top-k in the heap aggregate
     * tagged with the cell. Probe semantics (NaN, ties) live HERE,
-    * once. */
+    * once. `vecCol` is the candidate-vector expression scored against
+    * the query — it is evaluated AFTER the probed-cell join, so a
+    * decode expression ([[ivfPqTopK]]'s reconstruction) only runs on
+    * candidates inside probed cells, never the whole corpus. */
   private def probeCellsTopK(corpus: DataFrame, queries: DataFrame,
                              centroids: DataFrame, k: Int,
-                             nProbe: Int): DataFrame = {
+                             nProbe: Int, vecCol: Column = col("vec")): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cellScores = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cell"),
@@ -527,7 +568,7 @@ object Similarity {
     val scored = corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
-        cosine(col("qvec"), col("vec")).as("cos"))
+        cosine(col("qvec"), vecCol).as("cos"))
     heapTopK(scored, k, Some("cell"))
       .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"), col("rk"))
   }

@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * dependency) on both the interpreted and codegen paths, so the
   * expression stays inside whole-stage codegen: the normalize call is
   * a static one-liner in the generated Java, exactly like
-  * [[SimHashExpr]]'s digest helper. Fast path: Normalizer.isNormalized
-  * (a scan, no allocation) returns the INPUT UTF8String unchanged for
-  * already-NFC text — at 100 TB virtually every document is ASCII and
-  * the pass costs one linear probe, no copy.
+  * [[SimHashExpr]]'s digest helper. Fast paths, in order: pure-ASCII
+  * input (numBytes == numChars — every code point one UTF-8 byte) is
+  * NFC-invariant and returns the INPUT UTF8String after one byte
+  * scan, zero allocation — at 100 TB virtually every document takes
+  * this path; non-ASCII-but-already-NFC text pays ONE String
+  * materialization for Normalizer.isNormalized and then returns the
+  * input; only genuinely denormalized text pays the normalize copy.
   *
   * The DuckDB oracle mirrors it as `nfc_normalize(text)`; both
   * implement Unicode TR-15 NFC so outputs agree byte-for-byte.
@@ -31,6 +34,10 @@ object NfcNormalize {
 
   def normalize(text: UTF8String): UTF8String = {
     if (text == null) return null
+    // pure-ASCII short-circuit BEFORE any String materialization:
+    // numChars is a byte scan, and numBytes == numChars iff every code
+    // point is a single UTF-8 byte (ASCII) — ASCII is NFC-invariant
+    if (text.numBytes == text.numChars) return text
     val s = text.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

@@ -1468,7 +1468,7 @@ object Registry {
           CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
           CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height,
           CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 33 END
-            + octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+            + coalesce(octet_length(encode(text)), 0) AS BIGINT) AS payload_bytes,
           round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
         FROM documents ORDER BY doc_id""")),
@@ -1484,7 +1484,7 @@ object Registry {
               ELSE 44100 END AS sr,
             doc_id % 2 + 1 AS ch,
             CASE WHEN (doc_id // 2) % 2 = 0 THEN 8 ELSE 16 END AS bits,
-            octet_length(encode(text)) AS data_len
+            coalesce(octet_length(encode(text)), 0) AS data_len
           FROM documents)
         SELECT doc_id, 'wav' AS format,
           ch::BIGINT AS channels,
@@ -1500,7 +1500,7 @@ object Registry {
     // the container walk read real bytes, not a formula
     QueryDef("mm_frame_sample",
       (s, d) => Multimodal.frameSample(t(s, d, "documents"), 2),
-      Some("""WITH f AS (SELECT doc_id, substr(text, 1, 16) AS p,
+      Some("""WITH f AS (SELECT doc_id, coalesce(substr(text, 1, 16), '') AS p,
             unnest(range(0, doc_id % 7 + 1)) AS frame_idx
           FROM documents)
         SELECT doc_id, frame_idx::BIGINT AS frame_idx,
@@ -1890,7 +1890,8 @@ object Registry {
           FROM (SELECT doc_id,
             trim(regexp_replace(regexp_replace(
               nfc_normalize(text || ' e' || chr(769) || chr(7) || 'x '),
-              '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+              '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
+              '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
             FROM documents) ORDER BY doc_id"""
       }),
 

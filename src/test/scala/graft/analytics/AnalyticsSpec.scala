@@ -1079,6 +1079,20 @@ class AnalyticsSpec extends SparkSpec {
       Similarity.ivfPqTopK(vecs, gappy, cb, codes, Seq(0L), 3, 2).collect()
     }
     assert(err.getMessage.contains("contiguous"))
+    // probed-cells-FIRST plan pin: the ADC reconstruction (the zip_with
+    // add over the two literal matrices) must sit ABOVE the broadcast
+    // cell join — tree printing is parent-first, so the reconstruction
+    // expression appears strictly BEFORE the join node; reconstruction
+    // below the join would decode every corpus vector regardless of
+    // which cells are probed
+    val plan = Similarity.ivfPqTopK(vecs, cc, cb, codes, Seq(0L), 3, 2)
+      .queryExecution.executedPlan.toString
+    val reconIdx = plan.indexOf("zip_with")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(reconIdx >= 0 && joinIdx >= 0,
+      s"expected reconstruction + broadcast cell join in plan:\n$plan")
+    assert(reconIdx < joinIdx,
+      "ADC reconstruction must be projected above the probed-cell join")
     // persist round-trip: the three read-back tables search identically
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     Similarity.writeIvfPq(vecs, dir, nCells = 2, m = 2, ksub = 4, rounds = 3)
@@ -1194,6 +1208,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(cut(5L) == ("unique1", 18L))
   }
 
+  test("repeatedSpans and winnowPairs compute their gram stage exactly once") {
+    // both operators feed one exploded hash table into multiple plan
+    // branches (df cap + join side(s)); the eager localCheckpoint
+    // materializes it ONCE, so the result's physical plan must contain
+    // no Generate (explode) node at all — every branch reads stored
+    // blocks. A Generate reappearing here means the dominant
+    // explode+md5 stage silently executes 2-3x per run again.
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = docs(
+      1L -> s"alpha beta gamma $shared delta",
+      2L -> s"$shared omega psi",
+      3L -> s"prefix words here then $shared")
+    val spans = Dedup.repeatedSpans(d, n = 3, maxDocFreq = 2)
+    assert(!spans.queryExecution.executedPlan.toString.contains("Generate"),
+      "repeatedSpans gram explode must run once (checkpointed), not per branch")
+    val winnow = Dedup.winnowPairs(d, 8, 16, minShared = 1, maxFpDf = 64)
+    assert(!winnow.queryExecution.executedPlan.toString.contains("Generate"),
+      "winnowPairs fingerprint explode must run once (checkpointed), not per branch")
+    // and the checkpointed plans still produce the right answers
+    assert(spans.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(winnow.collect().nonEmpty)
+  }
+
   test("bm25Scores matches the hand-computed Okapi model") {
     val d = docs(
       1L -> "spark spark data lake",      // dl=4, tf(spark)=2
@@ -1275,6 +1312,43 @@ class AnalyticsSpec extends SparkSpec {
     val out = Dedup.semanticDedup(vecs((1L, a, 0), (2L, b, 0), (3L, c, 0)), 0.9)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("semanticDedup maxCellSize splits giant cells, leaves bounded cells exact") {
+    // one giant cell (label 0: 32 spread directions + one exact dup)
+    // and one small cell (label 1): with maxCellSize=8 the giant cell's
+    // join key composes with an SRP bucket; the small cell must be
+    // byte-identical to the exact path
+    val giant = (0 until 32).map { i =>
+      val t = i * 0.19
+      (i.toLong, Seq(math.cos(t).toFloat, math.sin(t).toFloat,
+        (i % 5) * 0.1f), 0)
+    }
+    val dup = Seq((50L, Seq(1f, 0f, 0f), 0)) // exact dup of vec 0
+    val small = Seq(
+      (100L, Seq(1f, 0f, 0f), 1), (101L, Seq(1f, 0f, 0f), 1),
+      (102L, Seq(0f, 1f, 0f), 1), (103L, Seq(0f, 0f, 1f), 1))
+    val d = (giant ++ dup ++ small).toDF("vec_id", "embedding", "label")
+    def byId(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val exact = byId(Dedup.semanticDedup(d, 0.95).collect())
+    val gated = byId(Dedup.semanticDedup(d, 0.95, maxCellSize = 8,
+      splitBits = 3).collect())
+    // small (bounded) cell: identical results on both paths
+    Seq(100L, 101L, 102L, 103L).foreach(id => assert(gated(id) == exact(id)))
+    assert(!gated(101L)._2) // the in-bound dup still pruned
+    // bucketing only RESTRICTS the pair space: counts never grow
+    exact.keys.foreach(id => assert(gated(id)._1 <= exact(id)._1))
+    // an EXACT duplicate always shares its twin's SRP bucket: caught
+    assert(!gated(50L)._2)
+    // and the composed key genuinely split the giant cell: per-key
+    // population (the joined fan-out driver) strictly under cell size
+    val buckets = d.filter(col("label") === 0)
+      .select(Similarity.srpBucket(
+        transform(col("embedding"), x => x.cast("double")), 3, 3).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(buckets.length > 1 && buckets.max < 33,
+      s"giant cell did not split: ${buckets.toSeq}")
   }
 
   test("bigramLogProb matches the hand-computed conditional model") {

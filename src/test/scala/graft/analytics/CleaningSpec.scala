@@ -93,6 +93,31 @@ class CleaningSpec extends SparkSpec {
     assert(out(3L)._1 == "already clean")
   }
 
+  test("normalizeText: VT collapses to a space (explicit class, not dialect-split \\s)") {
+    // Java's \s matches vertical tab but RE2's does not — the collapse
+    // class is spelled [ \t\n\x0B\f\r]+ in BOTH dialects so a VT in
+    // corpus text yields the same normal form (and hash key) in Spark
+    // and the DuckDB oracle
+    val d = docs(1L -> "a\u000Bb", 2L -> "x \u000B\t y", 3L -> "\u000Blead")
+    val out = Cleaning.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b")
+    assert(out(2L) == "x y")
+    assert(out(3L) == "lead") // leading VT collapses then trims away
+  }
+
+  test("NfcNormalize: pure-ASCII fast path returns the input, zero copies") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii stays put")
+    assert(graft.functions.NfcNormalize.normalize(ascii) eq ascii)
+    // non-ASCII but already NFC: one isNormalized probe, input returned
+    val nfc = UTF8String.fromString("café")
+    assert(graft.functions.NfcNormalize.normalize(nfc) eq nfc)
+    // genuinely decomposed text still normalizes
+    val dec = UTF8String.fromString("café")
+    assert(graft.functions.NfcNormalize.normalize(dec).toString == "café")
+  }
+
   test("normalizeText: NFC expression agrees across codegen and interpreted eval") {
     val d = docs(
       1L -> "plain ascii stays put",
