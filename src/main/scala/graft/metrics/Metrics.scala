@@ -27,9 +27,13 @@ object Metrics {
       .orderBy("event_type")
 
   /** A2-analog — conditional error-share per day (the error-rate
-    * dashboard widgets, dashboard.json:141–156). */
+    * dashboard widgets, dashboard.json:141–156). The bucket is a DATE,
+    * not a midnight timestamp: a daily bucket is calendar-valued, and
+    * DuckDB's `date_trunc('day', …)` returns DATE (sub-day units keep
+    * TIMESTAMP) — emitting DATE keeps the cross-engine output type
+    * identical instead of leaning on compare-side canonicalization. */
   def errorShareDaily(events: DataFrame): DataFrame =
-    events.groupBy(date_trunc("day", col("ts")).as("day"))
+    events.groupBy(to_date(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),

@@ -27,18 +27,28 @@ final case class QueryDef(
 
 object Registry {
 
-  /** Table loader. The driver's `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark 4 refuses by default — read nanos as long (runtime
-    * conf) and rebuild a µs timestamp (`div 1000` truncation, matching
-    * DuckDB's ns→µs cast). */
+  /** Table loader. The driver's `events.ts` annotation has varied across
+    * testdata generations — TIMESTAMP(NANOS) (Spark 4 refuses by default;
+    * read nanos as long via the legacy conf and rebuild a µs timestamp,
+    * `div 1000` truncation matching DuckDB's ns→µs cast) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads TIMESTAMP_NTZ;
+    * reinterpret as UTC instant — session timeZone is pinned to UTC, and
+    * DuckDB's `CAST(ts AS TIMESTAMP)` is the same naive-µs no-op). Branch
+    * on the schema actually read so both generations load identically. */
   def table(s: SparkSession, dir: String, n: String): DataFrame = t(s, dir, n)
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$n.parquet")
-    if (n == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (n == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df // already a zoned timestamp
+      }
+    } else df
   }
 
   // deterministic heuristic inputs (mirrored literally in oracle SQL)
@@ -155,15 +165,19 @@ object Registry {
     QueryDef("window_moving_avg",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // DATE bucket on both sides: DuckDB date_trunc('day') returns
+        // DATE while Spark's returns TIMESTAMP — to_date/CAST(AS DATE)
+        // pins one output type across engines and testdata vintages
+        // (o_orderdate has shipped as both DATE and TIMESTAMP_NTZ)
         val daily = t(s, d, "orders")
-          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum("o_totalprice").as("rev"))
         val w = Window.orderBy("day").rowsBetween(-6, 0)
         daily.select(col("day"), round(col("rev"), 2).as("revenue"),
             round(avg("rev").over(w), 2).as("ma7"))
           .orderBy("day")
       },
-      Some("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
           sum(o_totalprice) AS rev FROM orders GROUP BY 1)
         SELECT day, round(rev, 2) AS revenue,
           round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
@@ -230,7 +244,7 @@ object Registry {
 
     QueryDef("a2_error_share_daily",
       (s, d) => Metrics.errorShareDaily(t(s, d, "events")),
-      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events,
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 4) AS error_share
         FROM events GROUP BY 1 ORDER BY day""")),
@@ -683,7 +697,7 @@ object Registry {
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
         ORDER BY doc_a, doc_b"""),
-      bench = false),
+      bench = true),
 
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
@@ -1377,6 +1391,53 @@ object Registry {
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
         FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // IVF-PQ SEARCH (the round-6 probe-first plan fix in one benched
+    // query): index + ADC top-10 at nProbe=4 vs brute-force exact.
+    // Raw recall@10 on unstructured random embeddings is too unstable
+    // to oracle (measured 1–7 hits across SFs), so the oracled surface
+    // is the selection-quality invariant that IS stable: the mean TRUE
+    // cosine of the ADC-selected 10 must sit within 0.15 of the exact
+    // top-10's mean and clear 0.15 absolutely (random-pick baseline is
+    // ~0.0 ± 0.04; measured gap ≤ 0.078, floor ≥ 0.234 across SFs)
+    QueryDef("sim_ivfpq_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        val sel = Similarity.ivfPqTopK(emb, cc, cb, codes, qids, 10, nProbe = 4)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val corpus = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+        val qv = corpus.filter(col("vec_id").isInCollection(qids))
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+        def meanTrueCos(picks: DataFrame, out: String): DataFrame =
+          picks.join(corpus, "vec_id").join(broadcast(qv), "query_id")
+            .select(col("query_id"),
+              (aggregate(zip_with(col("vec"), col("qvec"), (a, b) => a * b),
+                lit(0.0), (acc, x) => acc + x) /
+                (sqrt(aggregate(transform(col("vec"), x => x * x),
+                  lit(0.0), (acc, x) => acc + x)) *
+                 sqrt(aggregate(transform(col("qvec"), x => x * x),
+                   lit(0.0), (acc, x) => acc + x)))).as("cos"))
+            .groupBy("query_id").agg(avg("cos").as(out))
+        import s.implicits._
+        qids.toDF("query_id")
+          .join(meanTrueCos(sel, "sel_cos"), Seq("query_id"), "left")
+          .join(meanTrueCos(exact, "exact_cos"), Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("sel_cos"), lit(-1.0)) >=
+              coalesce(col("exact_cos"), lit(1.0)) - 0.15 &&
+             coalesce(col("sel_cos"), lit(-1.0)) >= 0.15).as("sel_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS sel_ok FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id"""),
+      bench = true),
+
     // MMR diversified re-ranking: k=3 from a 10-candidate pool at
     // lambda=0.7 — the oracle hand-unrolls the three sequential argmax
     // steps (recursion-free); (1 - 0.7) is written as the SUBTRACTION
@@ -1649,7 +1710,8 @@ object Registry {
         FROM j
         WHERE in_old IS NULL OR in_new IS NULL
           OR old_md5 IS DISTINCT FROM new_md5
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     // char-bigram entropy: statistical-junk detector; the oracle
     // mirrors the exact scalar-applied-once arithmetic
@@ -1666,7 +1728,8 @@ object Registry {
         SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
           coalesce(h, 0.0) AS entropy_bits
         FROM documents d LEFT JOIN e USING (doc_id)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     // BPE first-merge statistics: top-20 within-word adjacent char
     // pairs (the corpus-scan step the merge loop repeats)
@@ -1677,7 +1740,8 @@ object Registry {
         p AS (SELECT unnest(list_transform(range(1, length(w)),
           i -> substr(w, i, 2))) AS pair FROM w WHERE length(w) >= 2)
         SELECT pair, count(*)::BIGINT AS n FROM p
-        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
+      bench = true),
 
     // k-anonymity release audit over the (lang, source) quasi-identifier
     QueryDef("corpus_k_anonymity",
@@ -1893,7 +1957,7 @@ object Registry {
               '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g'),
               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
             FROM documents) ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // Gopher-style quality gate: word-count / mean-word-length /
     // alpha-fraction / stopword-hit rules; keep compares the ROUNDED
