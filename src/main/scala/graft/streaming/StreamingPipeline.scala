@@ -299,12 +299,27 @@ object StreamingPipeline {
               // message's ingest stamp, commit is now (after the data
               // sink writes above). Batch-scoped overwrite like every
               // other sink: replayed attempts re-measure, never
-              // double-count.
+              // double-count. The rows are computed ON THE DRIVER from
+              // the already-collected message list, so this sink is a
+              // direct JSONL file write — spending a Spark job (plan +
+              // 1 task + commit protocol) to ship ≤maxMessagesPerTrigger
+              // driver-local rows was pure per-batch fixed cost.
+              // spark.read.json reads the dir identically.
               val commitMs = System.currentTimeMillis()
-              valid.toSeq
-                .map { case (_, f, pub) => (f, pub, commitMs, commitMs - pub) }
-                .toDF("source_file", "publish_ms", "commit_ms", "latency_ms")
-                .write.mode("overwrite").json(s"$outDir/_latency/batch_id=$batchId")
+              def jq(s: String) = "\"" + s.flatMap {
+                case '"' => "\\\""; case '\\' => "\\\\"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"
+                case c => c.toString
+              } + "\""
+              dropBatchDirs(spark, outDir, batchId, "_latency")
+              val latDir = java.nio.file.Paths.get(
+                outDir.stripPrefix("file:"), "_latency", s"batch_id=$batchId")
+              java.nio.file.Files.createDirectories(latDir)
+              java.nio.file.Files.writeString(latDir.resolve("part-00000.json"),
+                valid.map { case (_, f, pub) =>
+                  s"""{"source_file":${jq(f)},"publish_ms":$pub,""" +
+                    s""""commit_ms":$commitMs,"latency_ms":${commitMs - pub}}"""
+                }.mkString("", "\n", "\n"))
             } finally b.unpersist()
           } else if (invalid.nonEmpty) {
             dlqInvalid.write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
@@ -363,6 +378,19 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.hadoop.fs.Path
+        // batch-scoped shuffle width: the SAME knob that bounds the
+        // micro-batch (maxFilesPerTrigger, the admission unit) bounds
+        // the useful parallelism of its batch-local shuffles — the
+        // session default (sized for corpus-scale jobs) just schedules
+        // empty tasks here, and AQE cannot coalesce them inside
+        // foreachBatch. A 100 TB deployment runs a large
+        // maxFilesPerTrigger, so its batches keep wide shuffles; the
+        // conf is restored before the batch returns (session-global:
+        // documented, and admission batches are serial per query).
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(8, maxFilesPerTrigger).toString)
+        try {
         val sigPath = new Path(sigDir)
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpusSig =
@@ -382,25 +410,46 @@ object StreamingPipeline {
               StructType(sigSchema.dropRight(1)))
         // ONE signature pass per batch (the shingle+hash stage dominates
         // at scale — see Dedup.writeSignatures); admission, intra-batch
-        // pairs, and the persisted store all derive from it
-        val sig = Dedup.minhashSignatures(batch, shingleK, numHashes).cache()
+        // pairs, and the persisted store all derive from it. The batch
+        // itself is cached too: it is admission-bounded, and both the
+        // signature pass and the doc sink pull it — uncached each
+        // re-reads the source files
+        val cachedBatch = batch.cache()
+        val sig = Dedup.minhashSignatures(cachedBatch, shingleK, numHashes).cache()
         try {
           val corpusBands = Dedup.bandTable(corpusSig, numHashes, rowsPerBand)
             .select("bk")
           val dupIds = Dedup.bandTable(sig, numHashes, rowsPerBand)
             .join(corpusBands, Seq("bk"), "left_semi")
             .select("doc_id").distinct()
-          val survivorSig = sig.join(dupIds, Seq("doc_id"), "left_anti")
-          val pairs = Dedup.candidatePairsFromSignatures(
-            survivorSig, numHashes, rowsPerBand).select("doc_a", "doc_b")
-          val keep = Dedup.clustersFromPairs(survivorSig.select("doc_id"), pairs)
-            .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-          batch.join(keep, Seq("doc_id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          sig.join(keep, Seq("doc_id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
-          failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
-        } finally sig.unpersist()
+          // cached: the store-read + double-band-join plan above it is
+          // the batch's second-heaviest stage and THREE consumers pull
+          // it (intra-batch pairs, the cluster keep-set, the sig sink);
+          // uncached it re-executed per action — pure per-batch fixed
+          // cost that AQE can't help with inside foreachBatch
+          val survivorSig = sig.join(dupIds, Seq("doc_id"), "left_anti").cache()
+          try {
+            val pairs = Dedup.candidatePairsFromSignatures(
+              survivorSig, numHashes, rowsPerBand).select("doc_a", "doc_b")
+            // Auto: micro-batch pair tables are usually tiny (tens of
+            // pairs per thousand docs), and the distributed component
+            // loop's per-round job overhead dominated the batch fixed
+            // cost; the size gate keeps the distributed path for
+            // genuinely large batches. keep is batch-bounded (≤ one
+            // doc_id per batch doc) — eagerly checkpointed so the two
+            // sink writes below consume materialized ids instead of
+            // re-running the cluster plan each
+            val keep = Dedup.clustersFromPairsAuto(survivorSig.select("doc_id"), pairs)
+              .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+              .localCheckpoint(true)
+            cachedBatch.join(keep, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            sig.join(keep, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+            failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
+          } finally survivorSig.unpersist()
+        } finally { sig.unpersist(); cachedBatch.unpersist() }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         ()
       }
   }

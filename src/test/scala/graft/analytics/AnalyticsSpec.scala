@@ -294,6 +294,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clustersFromPairsAuto: driver path ≡ distributed path at every gate setting") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val n = 60
+    val edges = (0 until 45).map { _ =>
+      val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val want = Dedup.clustersFromPairs(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // under the gate: driver union-find + broadcast join-back
+    val auto = Dedup.clustersFromPairsAuto(docs, pairs)
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "driver path must broadcast the member-label table")
+    assert(auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+    // gate forced below the pair count: the distributed loop runs and agrees
+    val dist = Dedup.clustersFromPairsAuto(docs, pairs, maxDriverPairs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dist == want)
+    // no pairs at all: every doc is its own singleton cluster
+    val none = Dedup.clustersFromPairsAuto(docs,
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(none == (0L until n.toLong).map(i => (i, i)))
+  }
+
   test("persisted simhash fingerprints band to the same near-dup pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash_fp").toString
