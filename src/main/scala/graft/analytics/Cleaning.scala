@@ -98,6 +98,33 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Within-document repeated-line removal — the complement of
+    * [[removeBoilerplate]]'s corpus-frequency rule: chrome that repeats
+    * INSIDE one page (expanded accordion menus, per-item "add to cart"
+    * rows, pagination footers stitched together by an extractor) never
+    * crosses the document-frequency bar but still floods the page.
+    * The RefinedWeb/C4 line-dedup family's in-page rule: first
+    * occurrence wins, original order kept.
+    *
+    * Output: (doc_id, text_dedup, n_lines, n_unique_lines), ordered by
+    * doc_id.
+    *
+    * Scale shape (100 TB): `split → array_distinct → array_join` is ONE
+    * narrow codegen'd projection — per-doc state only, no explode, no
+    * shuffle; it runs at scan speed and composes freely under any
+    * downstream operator. (`array_distinct` preserves first-occurrence
+    * order in Spark; the DuckDB oracle must NOT use `list_distinct`,
+    * which does not — it mirrors the semantics with a min-position
+    * group-by instead.) */
+  def dedupLinesInDoc(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        array_join(array_distinct(col("lines")), "\n").as("text_dedup"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        size(array_distinct(col("lines"))).cast(LongType).as("n_unique_lines"))
+      .orderBy("doc_id")
+
   /** Unicode text canonicalization — the pass a corpus build runs
     * before ANY hash-keyed stage (exact dedup, MinHash shingles,
     * winnowing): visually-identical texts must be byte-identical or

@@ -129,7 +129,9 @@ object CorpusOps {
   private def gatedEvalGrams(evalDocs: DataFrame, k: Int,
                              broadcastBytesThreshold: Long): DataFrame = {
     val evalGrams = evalDocs
-      .select(explode(Dedup.shingles(col("text"), k)).as("gram")).distinct()
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(explode(Dedup.shinglesFromWords(col("__words"), k)).as("gram"))
+      .distinct()
     val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0) * k * 2 + r.getLong(1) * 64
@@ -142,7 +144,9 @@ object CorpusOps {
                     broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
     val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
     val contaminated = graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("gram"))
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromWords(col("__words"), k)).as("gram"))
       .join(gated, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     documents.join(contaminated, Seq("doc_id"), "left_anti")
@@ -228,8 +232,9 @@ object CorpusOps {
     val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
       .withColumn("hit", lit(1L))
     val perDoc = graft.util.SparkUtil.widen(documents)
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), k))).as("gram"))
+        explode(array_distinct(Dedup.shinglesFromWords(col("__words"), k))).as("gram"))
       .join(gated, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

@@ -21,14 +21,26 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Word k-shingles of a text column (empty array when < k words). */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(trim(text), "\\s+")
+  /** Word k-shingles from a BOUND token-array column. Pass an
+    * attribute (`.withColumn("__words", split(...))`), never the split
+    * expression inline: the per-window lambda references `words` once
+    * per window, and lambda-bearing trees get no common-subexpression
+    * elimination (SPARK-35410) — inlined, every window re-splits the
+    * whole document and the linear shingle pass goes quadratic (the
+    * winnowing fingerprint stage measured 38 s → 5 s at sf0.1 from
+    * exactly this bind). */
+  def shinglesFromWords(words: Column, k: Int): Column =
     when(size(words) >= k,
       transform(sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*)))
+        i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Word k-shingles of a text column (empty array when < k words).
+    * Convenience form for one-off/spec use — production operators bind
+    * the split first and call [[shinglesFromWords]] (see its scaladoc
+    * for the SPARK-35410 hazard this avoids). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromWords(split(trim(text), "\\s+"), k)
 
   /** Normalized-text md5 — the exact-dedup grouping key, shared with
     * [[CorpusOps.corpusSelect]]'s survivor set. */
@@ -71,7 +83,9 @@ object Dedup {
     * [[minhashSignatures]] — AnalyticsSpec asserts equality. */
   def minhashSignaturesComposed(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val exploded = graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        explode(shinglesFromWords(col("__words"), k)).as("s"))
     val nGroups = (numHashes + 3) / 4
     val groups = (0 until nGroups).map(g => md5(concat(lit(s"$g:"), col("s"))).as(s"g$g"))
     val hashed = exploded.select(col("doc_id") +: groups: _*)
@@ -175,10 +189,19 @@ object Dedup {
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
                   minShared: Long = 2, maxFpDf: Long = 64): DataFrame =
     winnowPairsFromFingerprints(
-      graft.util.SparkUtil.widen(documents)
-        .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp"))
-        .localCheckpoint(true),
+      winnowFingerprintTable(documents, k, w).localCheckpoint(true),
       minShared, maxFpDf)
+
+  /** The exploded (doc_id, fp) winnowing table — gram hashes BOUND
+    * before the window minima (SPARK-35410: inlined, the fingerprint
+    * pass goes quadratic in document length; see
+    * [[TextAnalysis.winnowSetFromGrams]]). */
+  private def winnowFingerprintTable(documents: DataFrame,
+                                     k: Int, w: Int): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__grams", TextAnalysis.gramHashes(k))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowSetFromGrams(col("__grams"), w)).as("fp"))
 
   /** Persist the exploded winnowing fingerprint table — the
     * [[writeSignatures]] analog: fingerprint ONCE per corpus here and
@@ -188,8 +211,7 @@ object Dedup {
     * computes the set exactly once (eager localCheckpoint). */
   def writeWinnowFingerprints(documents: DataFrame, path: String,
                               k: Int = 8, w: Int = 16): Unit =
-    graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), explode(TextAnalysis.winnowSet(k, w)).as("fp"))
+    winnowFingerprintTable(documents, k, w)
       .write.mode("overwrite").parquet(path)
 
   /** Pairing stage alone, over an existing (doc_id, fp) fingerprint
@@ -702,8 +724,13 @@ object Dedup {
     * dominant stage of the span pipeline. */
   def spanGrams(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
-    val w = TextAnalysis.tokens(col("text"))
+    // tokens BOUND to a column first: the per-position lambda below
+    // references the token array once per n-gram, and lambda-bearing
+    // trees get no common-subexpression elimination (SPARK-35410) —
+    // inlined, every position re-tokenized the whole document
+    val w = col("__toks")
     graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         posexplode(when(size(w) >= n,
           transform(sequence(lit(0), size(w) - n),

@@ -228,6 +228,61 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  /** Binary (sign) quantization — 1 bit per dimension packed into
+    * ceil(dim/64) longs: 32× less scan/shuffle IO than float32, the
+    * most aggressive point on the quantization ladder (float32 →
+    * int8 [[quantizeEmbeddings]] → Matryoshka [[truncateEmbeddings]]
+    * → 1-bit here). Hamming distance between sign patterns estimates
+    * angular distance (the SimHash/SRP hyperplane family — for
+    * axis-aligned planes through the origin, exactly this sign test),
+    * and XOR+popcount over 8 longs is the cheapest distance in the
+    * repo. Bit `d mod 64` of word `d div 64` is set iff
+    * `embedding[d] > 0` — the strict-positive test an oracle applies
+    * to the raw floats verbatim, so quantization is engine-exact and
+    * the Hamming top-k admits a FULL exact oracle (unlike the
+    * tolerance surfaces the lossy-recall paths need). The packing
+    * fold ORs single-bit masks — no addition, so ANSI overflow
+    * semantics never enter. */
+  def binaryQuantize(embeddings: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"), col("label"),
+        expr("""transform(sequence(0, (size(embedding) + 63) div 64 - 1),
+            w -> aggregate(
+              sequence(w * 64, least(size(embedding), w * 64 + 64) - 1),
+              0L,
+              (acc, d) -> CASE WHEN element_at(embedding, CAST(d + 1 AS INT)) > 0
+                THEN acc | shiftleft(1L, d - w * 64) ELSE acc END))""")
+          .as("bits"))
+
+  /** Persist the 1-bit corpus (32× smaller; search many). */
+  def writeBinary(embeddings: DataFrame, path: String): Unit =
+    binaryQuantize(embeddings).write.mode("overwrite").parquet(path)
+
+  /** Exact Hamming top-k over a 1-bit corpus (from [[binaryQuantize]]
+    * or read back from [[writeBinary]]): broadcast queries + the
+    * map-side heap aggregate (same shape as [[bruteForceTopK]] — no
+    * ranking-window funnel), distance = Σ popcount(XOR) over the
+    * packed words. The heap maximizes, so it ranks on −hamming;
+    * output order matches `ORDER BY hamming ASC, vec_id ASC`. */
+  def hammingTopKFromBits(bits: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = bits.select(col("vec_id"), col("bits"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-aggregate(
+          zip_with(col("bits"), col("qbits"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x)).cast("double").as("cos"))
+    heapTopK(scored, k, None)
+      .select(col("query_id"), col("vec_id"),
+        (-col("cosine")).cast("long").as("hamming"), col("rk"))
+  }
+
+  /** [[hammingTopKFromBits]] with in-plan quantization. */
+  def hammingTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    hammingTopKFromBits(binaryQuantize(embeddings), queryIds, k)
+
   // ---- product quantization: the extreme-compression ANN scale path --
 
   /** Train PQ codebooks — split each vector into `m` subvectors of

@@ -61,11 +61,14 @@ object TextAnalysis {
       round(when(size(grams) > 0,
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
         .otherwise(0.0), 4)
-    graft.util.SparkUtil.widen(documents).select(
+    graft.util.SparkUtil.widen(documents)
+      // words bound once (SPARK-35410 — see Dedup.shinglesFromWords)
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
-        dupRatio(Dedup.shingles(col("text"), 2)).as("dup_bigram_ratio"),
-        dupRatio(Dedup.shingles(col("text"), 3)).as("dup_trigram_ratio"))
+        dupRatio(Dedup.shinglesFromWords(col("__words"), 2)).as("dup_bigram_ratio"),
+        dupRatio(Dedup.shinglesFromWords(col("__words"), 3)).as("dup_trigram_ratio"))
       .orderBy("doc_id")
   }
 
@@ -100,36 +103,48 @@ object TextAnalysis {
     * md5 slices (engine-stable). Output: per doc, the fingerprint-set
     * summary (count, min, max) — the full exploded set is what a
     * dedup join would consume at scale. */
-  /** The winnowing fingerprint SET of `text` (shared by
-    * [[winnowingFingerprints]] and [[graft.analytics.Dedup.winnowPairs]]):
-    * k-char-gram hashes → distinct minima of every w-window. */
-  private[analytics] def winnowSet(k: Int, w: Int): Column = {
+  /** The k-char-gram hash array of `text`. MUST be bound to a column
+    * before [[winnowSetFromGrams]] consumes it — see that scaladoc. */
+  private[analytics] def gramHashes(k: Int): Column = {
     val n = length(col("text"))
     // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so texts
     // shorter than k must short-circuit to an empty gram list
-    val grams = when(n >= k,
+    when(n >= k,
       transform(sequence(lit(1), n - (k - 1)),
         i => substring(md5(substring(col("text"), i, lit(k))), 1, 8)))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing fingerprint SET from a BOUND gram-hash column (shared
+    * by [[winnowingFingerprints]] and
+    * [[graft.analytics.Dedup.winnowPairs]]): distinct minima of every
+    * w-window of the gram array.
+    *
+    * `grams` must be an attribute (a `.withColumn` of [[gramHashes]]),
+    * never the raw [[gramHashes]] expression inline: the window
+    * transform's lambda references it once PER WINDOW, and
+    * lambda-bearing trees get no common-subexpression elimination
+    * (SPARK-35410) — inlined, every window re-hashed the whole
+    * document, turning the linear fingerprint pass quadratic
+    * (measured 38 s for 5,000 × 300-char docs; bound, it is ~1 s). */
+  private[analytics] def winnowSetFromGrams(grams: Column, w: Int): Column =
     when(size(grams) >= w,
       array_distinct(transform(sequence(lit(1), size(grams) - (w - 1)),
         j => array_min(slice(grams, j, lit(w))))))
       .otherwise(when(size(grams) > 0, array(array_min(grams))))
-  }
 
-  def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
-    val wins = winnowSet(k, w)
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
     graft.util.SparkUtil.widen(documents)
-      // lambda-bearing trees get no subexpression elimination
-      // (SPARK-35410): materialize the window minima once, not 3x
-      .withColumn("__wins", wins)
+      // two bound steps: grams hashed once, minima computed once
+      // (SPARK-35410 — see winnowSetFromGrams)
+      .withColumn("__grams", gramHashes(k))
+      .withColumn("__wins", winnowSetFromGrams(col("__grams"), w))
       .select(
         col("doc_id"),
         size(col("__wins")).cast("long").as("n_fingerprints"),
         array_min(col("__wins")).as("min_fp"),
         array_max(col("__wins")).as("max_fp"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprint: md5 over lowercased alphanumeric-normalized
     * text — the exact-dedup key that survives whitespace/punct noise. */

@@ -1357,6 +1357,30 @@ object Registry {
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
         ORDER BY query_id""")),
 
+    // 1-bit (sign) quantization + Hamming top-10: the 32×-smaller
+    // extreme of the quantization ladder. Unlike the lossy-recall
+    // tolerance surfaces, this admits a FULL exact oracle: both
+    // engines apply the same strict `> 0` sign test — Spark to packed
+    // longs (XOR+popcount), DuckDB to the raw floats (sign-disagree
+    // count) — and the distance is an integer with a deterministic
+    // vec_id tiebreak, so the ranked rows hash-match exactly
+    QueryDef("sim_binary_hamming_topk",
+      (s, d) => Similarity.hammingTopK(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+        dist AS (SELECT q.query_id, e.vec_id,
+            CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+              p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))
+              AS BIGINT) AS hamming
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, hamming, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS BIGINT) AS rk
+          FROM dist) WHERE rk <= 10
+        ORDER BY query_id, rk"""),
+      bench = true),
+
     // product quantization: 16 one-byte codes per 64-dim vector (16×
     // smaller corpus scan). Top-k recall over UNSTRUCTURED random
     // embeddings is poor by construction (the truncated_topk caveat),
@@ -1822,6 +1846,40 @@ object Registry {
             (len(str_split(l.t, chr(10))) - n_lines_kept)::BIGINT AS n_lines_dropped
           FROM agg a JOIN lined l ON a.doc_id = l.doc_id ORDER BY a.doc_id"""
       }, bench = true),
+
+    // within-doc repeated-line removal: the fixture interleaves the
+    // doc's own body and an "add to cart" chrome line twice each —
+    // in-page repetition that corpus-frequency boilerplate rules
+    // cannot see. The oracle reproduces first-occurrence-wins with a
+    // min-position group-by (DuckDB's list_distinct does NOT preserve
+    // order — never use it where the rejoined text is hashed)
+    QueryDef("corpus_dedup_lines",
+      (s, d) => {
+        val lined = t(s, d, "documents").withColumn("text",
+          concat(col("text"), lit("\nadd to cart\n"), col("text"),
+            lit("\nadd to cart")))
+        Cleaning.dedupLinesInDoc(lined)
+          .select(col("doc_id"), md5(col("text_dedup")).as("dedup_md5"),
+            col("n_lines"), col("n_unique_lines"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (SELECT doc_id,
+            text || chr(10) || 'add to cart' || chr(10) || text ||
+              chr(10) || 'add to cart' AS t
+          FROM documents),
+        lines AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line,
+          unnest(generate_series(1, len(str_split(t, chr(10))))) AS pos
+          FROM lined),
+        firsts AS (SELECT doc_id, line, min(pos) AS fp
+          FROM lines GROUP BY doc_id, line),
+        agg AS (SELECT doc_id,
+            string_agg(line, chr(10) ORDER BY fp) AS text_dedup,
+            count(*)::BIGINT AS n_unique_lines
+          FROM firsts GROUP BY doc_id)
+        SELECT a.doc_id, md5(text_dedup) AS dedup_md5,
+          len(str_split(l.t, chr(10)))::BIGINT AS n_lines, n_unique_lines
+        FROM agg a JOIN lined l ON a.doc_id = l.doc_id
+        ORDER BY a.doc_id""")),
 
     // PII redaction over synthetic PII injected identically on both
     // sides (emails/IPs always, SSN on doc_id%3=0, phone on doc_id%2=0)

@@ -392,6 +392,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inPlan)
   }
 
+  test("binary quantization: bit packing exact, Hamming ≡ JVM reference, persist round-trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = Similarity.binaryQuantize(emb)
+    // packing is exactly the strict-positive sign test, bit d of word d/64
+    val raw = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    bits.collect().take(50).foreach { r =>
+      val (id, words) = (r.getLong(0), r.getSeq[Long](2))
+      val vec = raw(id)
+      assert(words.length == (vec.length + 63) / 64)
+      vec.indices.foreach { d =>
+        val bit = (words(d / 64) >> (d % 64)) & 1L
+        assert((bit == 1L) == (vec(d) > 0f), s"vec $id dim $d")
+      }
+    }
+    // Hamming top-k matches a JVM sign-disagreement reference exactly
+    val qids = Seq(0L, 1L, 2L)
+    val got = Similarity.hammingTopK(emb, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = qids.flatMap { q =>
+      raw.iterator.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.indices.count(d => (v(d) > 0f) != (raw(q)(d) > 0f)).toLong)
+        }
+        .toSeq.sortBy { case (id, h) => (h, id) }.take(5).zipWithIndex
+        .map { case ((id, h), i) => (q, id, h, (i + 1).toLong) }
+    }
+    assert(got.sorted == want.sorted)
+    // persisted 1-bit corpus searches identically to in-plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_binq").toString
+    Similarity.writeBinary(emb, dir)
+    val fromDisk = Similarity.hammingTopKFromBits(
+        spark.read.parquet(dir), qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == got)
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
