@@ -138,6 +138,43 @@ object Dedup {
       .filter(col("bk.key").isNotNull)
   }
 
+  /** Cross-corpus near-dup pairs — corpus A's MinHash-LSH bands
+    * equi-joined against corpus B's (the train-vs-eval near-dup audit:
+    * [[CorpusOps.decontaminate]] catches exact k-gram overlap, this
+    * catches REWRITTEN eval items whose shingle sets still collide —
+    * the MinHash complement at the two-corpus boundary). Output:
+    * (doc_a ∈ a, doc_b ∈ b, sig_agreement), distinct, ordered.
+    *
+    * Scale shape (100 TB): each corpus reduces to its signature table
+    * (numHashes × 8 hex per doc) at scan speed; the only join is the
+    * band-bucket equi-join — never all-pairs, null-key (shingle-less)
+    * docs dropped on both sides before it ([[bandTable]]). Pair the
+    * persisted-signature forms ([[writeSignatures]] on each corpus +
+    * [[crossCorpusPairsFromSignatures]]) to amortize repeated audits. */
+  def crossCorpusPairs(a: DataFrame, b: DataFrame, shingleK: Int = 3,
+                       numHashes: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    crossCorpusPairsFromSignatures(
+      minhashSignatures(a, shingleK, numHashes),
+      minhashSignatures(b, shingleK, numHashes), numHashes, rowsPerBand)
+
+  /** Pairing stage of [[crossCorpusPairs]] over existing signature
+    * tables (in-plan or read back from [[writeSignatures]]). */
+  def crossCorpusPairsFromSignatures(sigA: DataFrame, sigB: DataFrame,
+                                     numHashes: Int,
+                                     rowsPerBand: Int): DataFrame = {
+    def side(sig: DataFrame, idAs: String, suffix: String) =
+      bandTable(sig, numHashes, rowsPerBand)
+        .select(col("doc_id").as(idAs), col("bk").as(s"bk$suffix"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as(s"sig$suffix"))
+    side(sigA, "doc_a", "_a")
+      .join(side(sigB, "doc_b", "_b"), col("bk_a") === col("bk_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / numHashes).as("sig_agreement"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-source exact-duplication rate — the corpus-health panel row
     * a crawl operator reads per ingest round ("which source is
     * re-serving the same pages?"): docs, distinct normalized

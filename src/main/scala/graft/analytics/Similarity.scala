@@ -991,6 +991,190 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- PCA: linear embedding compression / whitening ---------------
+
+  /** PCA model over the embedding column — mean vector + the top
+    * `kComponents` eigenvectors of the covariance matrix, one row per
+    * component plus a `component = -1` row carrying the mean
+    * (eigenvalue 0 there; single-frame so [[writePca]] persists the
+    * whole model as one parquet).
+    *
+    * Scale shape (100 TB): covariance needs ONE pass — a
+    * `mapPartitions` accumulating (n, Σx, Σxxᵀ) per partition (the one
+    * place imperative per-partition code beats expressions: the dim²
+    * outer-product update is a tight primitive loop, and the
+    * alternative — exploding dim² columns per row — multiplies the
+    * scanned data ×dim²). The driver reduces #partitions × (dim²+dim+1)
+    * doubles and runs a cyclic Jacobi eigensolve on the dim×dim
+    * symmetric matrix — dim ≤ a few thousand is driver-trivial; the
+    * corpus never re-scans. Projection ([[pcaProject]]) is a narrow
+    * broadcast-literal matrix multiply. */
+  def pcaTrain(embeddings: DataFrame, kComponents: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddingDim(embeddings)
+    require(kComponents >= 1 && kComponents <= dim,
+      s"kComponents must be in [1, $dim]: $kComponents")
+    val partials = graft.util.SparkUtil.widen(embeddings)
+      .select(asDouble(col("embedding")).as("vec")).as[Seq[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        val s = new Array[Double](dim)
+        val o = new Array[Double](dim * dim)
+        it.foreach { v =>
+          val a = v.toArray
+          n += 1
+          var i = 0
+          while (i < dim) {
+            s(i) += a(i)
+            var j = 0
+            val base = i * dim
+            while (j < dim) { o(base + j) += a(i) * a(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator((n, s.toSeq, o.toSeq))
+      }.collect()
+    require(partials.nonEmpty, "pcaTrain: no embedding rows")
+    val n = partials.map(_._1).sum.toDouble
+    val mean = Array.tabulate(dim)(i => partials.map(_._2(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      partials.map(_._3(i * dim + j)).sum / n - mean(i) * mean(j)
+    }
+    val (eigVals, eigVecs) = jacobiEig(cov)
+    val top = eigVals.zipWithIndex.sortBy(-_._1).take(kComponents)
+    val rows = (-1, 0.0, mean.toSeq) +: top.zipWithIndex.map {
+      case ((ev, src), rank) => (rank, ev, eigVecs(src).toSeq)
+    }
+    rows.toSeq.toDF("component", "eigenvalue", "vec")
+  }
+
+  /** Persist the PCA model (mean + components — model-sized, tiny). */
+  def writePca(embeddings: DataFrame, path: String, kComponents: Int): Unit =
+    pcaTrain(embeddings, kComponents).write.mode("overwrite").parquet(path)
+
+  /** Project embeddings onto a [[pcaTrain]] model: out[c] =
+    * componentsᵀ(vec − mean), optionally whitened (each coordinate
+    * divided by √eigenvalue — unit variance per component, the
+    * standard preprocessing before cosine/k-means on anisotropic
+    * embedding spaces). One narrow projection against k×dim literal
+    * matrices; composes with every search operator downstream at
+    * k/dim of the scan IO. */
+  def pcaProject(embeddings: DataFrame, model: DataFrame,
+                 whiten: Boolean = false): DataFrame = {
+    val rows = model.select(col("component"), col("eigenvalue"), col("vec"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2)))
+    val mean = rows.find(_._1 == -1)
+      .getOrElse(sys.error("pca model has no mean row (component = -1)"))._3
+    val comps = rows.filter(_._1 >= 0).sortBy(_._1)
+    require(comps.nonEmpty, "pca model has no component rows")
+    val meanLit = typedLit(mean)
+    val compCols = comps.map { case (c, ev, v) =>
+      val dot = aggregate(
+        zip_with(col("__centered"), typedLit(v), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+      val scaled = if (whiten) dot / math.sqrt(math.max(ev, 1e-12)) else dot
+      scaled.as(s"c$c")
+    }
+    graft.util.SparkUtil.widen(embeddings)
+      .withColumn("__centered",
+        zip_with(asDouble(col("embedding")), meanLit, (a, b) => a - b))
+      .select(col("vec_id") +: col("label") +: compCols: _*)
+      .select(col("vec_id"), col("label"),
+        array(comps.map { case (c, _, _) => col(s"c$c") }: _*).as("proj"))
+  }
+
+  /** Per-label reconstruction quality of a [[pcaTrain]] model — the
+    * tolerance surface the oracle pins (same pattern as
+    * [[pqReconstructionStats]]): project, reconstruct mean +
+    * componentsᵀ·proj in-plan from the model's literal matrices, and
+    * aggregate cosine(vec, reconstruction) per label. */
+  def pcaReconstructionStats(embeddings: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.select(col("component"), col("vec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val mean = rows.find(_._1 == -1).get._2
+    val comps = rows.filter(_._1 >= 0).sortBy(_._1).map(_._2)
+    val dim = mean.length
+    val meanLit = typedLit(mean)
+    val compsLit = typedLit(comps.map(_.toSeq).toSeq)
+    val recon = transform(sequence(lit(1), lit(dim)), d =>
+      element_at(meanLit, d.cast("int")) +
+        aggregate(sequence(lit(1), lit(comps.length)), lit(0.0d),
+          (acc, c) => acc + element_at(col("proj"), c.cast("int")) *
+            element_at(element_at(compsLit, c.cast("int")), d.cast("int"))))
+    pcaProject(embeddings, model)
+      .join(embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("vec")), "vec_id")
+      .withColumn("recon", recon)
+      .withColumn("cos", cosine(col("vec"), col("recon")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        avg("cos").as("mean_cos"), min("cos").as("min_cos"))
+      .orderBy("label")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm): returns (eigenvalues, eigenvectors-as-rows).
+    * Driver-side, O(dim³) per sweep — dim is embedding width, never
+    * corpus-sized. */
+  private def jacobiEig(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val dim = m.length
+    val a = Array.tabulate(dim, dim)((i, j) => m(i)(j))
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 64) {
+      var off = 0.0
+      var p = 0
+      while (p < dim) {
+        var q = p + 1
+        while (q < dim) { off += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      if (off < 1e-18) sweep = 64
+      else {
+        p = 0
+        while (p < dim) {
+          var q = p + 1
+          while (q < dim) {
+            if (math.abs(a(p)(q)) > 1e-15) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+              val t = math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                  case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                  case x => x
+                }
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val s = t * c
+              var i = 0
+              while (i < dim) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq
+                a(i)(q) = s * aip + c * aiq
+                i += 1
+              }
+              i = 0
+              while (i < dim) {
+                val api = a(p)(i); val aqi = a(q)(i)
+                a(p)(i) = c * api - s * aqi
+                a(q)(i) = s * api + c * aqi
+                val vip = v(i)(p); val viq = v(i)(q)
+                v(i)(p) = c * vip - s * viq
+                v(i)(q) = s * vip + c * viq
+                i += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    val vals = Array.tabulate(dim)(i => a(i)(i))
+    val vecs = Array.tabulate(dim)(j => Array.tabulate(dim)(i => v(i)(j)))
+    (vals, vecs)
+  }
+
   /** Centroid stats per label — the IVF coarse-quantizer building block
     * (mean vector per cluster; at scale: train k-means on a sample,
     * assign via nearest centroid, search within cells). */

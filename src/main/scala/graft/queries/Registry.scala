@@ -913,15 +913,17 @@ object Registry {
 
   /** Parameterized variant: `where` restricts the document subset,
     * `p` prefixes every CTE name so two instantiations (e.g. corpus
-    * vs incoming) can coexist in one WITH clause. */
-  private def minhashBandsCtesFor(where: String, p: String): String = {
+    * vs incoming) can coexist in one WITH clause, `src` swaps the
+    * source relation (a remapping CTE for cross-corpus fixtures). */
+  private def minhashBandsCtesFor(where: String, p: String,
+                                  src: String = "documents"): String = {
     val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j").mkString(", ")
     val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
     val bandKeys = (0 until 2).map { b =>
       val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
       s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM ${p}sig"
     }.mkString(" UNION ALL ")
-    s"""${p}words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents $where),
+    s"""${p}words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src $where),
       ${p}sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM ${p}words),
       ${p}sigs AS (SELECT doc_id, $hs FROM ${p}sh),
       ${p}sig AS (SELECT doc_id, $sigList AS sig FROM ${p}sigs),
@@ -1188,7 +1190,32 @@ object Registry {
             ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
           WHERE a.key IS NOT NULL
           ORDER BY doc_a, doc_b"""
-      }, bench = true))
+      }, bench = true),
+
+    // cross-corpus near-dup audit: corpus A = documents, corpus B =
+    // every 5th doc re-keyed +1,000,000 with UNCHANGED text — each B
+    // doc must band-collide with its A original (plus any A near-dups
+    // of it); the oracle instantiates the full MinHash CTE stack twice
+    QueryDef("corpus_cross_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val b = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        Dedup.crossCorpusPairs(docs, b, 3, 8, 4)
+      },
+      Some {
+        s"""WITH bdocs AS (SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 0),
+          ${minhashBandsCtesFor("", "a")},
+          ${minhashBandsCtesFor("", "b", "bdocs")}
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 8 AS sig_agreement
+          FROM abands a JOIN bbands b
+            ON a.key = b.key AND a.band = b.band
+          WHERE a.key IS NOT NULL
+          ORDER BY doc_a, doc_b"""
+      }))
 
   // ---------------- similarity search ---------------------------------
 
@@ -1356,6 +1383,34 @@ object Registry {
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
         ORDER BY query_id""")),
+
+    // PCA at k=32 of 64 dims: ONE covariance scan (mapPartitions
+    // partials, driver Jacobi eigensolve), then narrow projection.
+    // Tolerance surface (the sketch pattern): per-label mean/min
+    // cosine(vec, reconstruction) over the ACTUAL projections
+    // (measured ≥ 0.75 / ≥ 0.49 across SFs; thresholds 0.7 / 0.4) and
+    // the PCA-optimality floor var_explained ≥ k/dim (measured
+    // 0.57–0.65); exactness is spec-pinned on rank-3 synthetic data
+    QueryDef("sim_pca_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = Similarity.embeddingDim(emb)
+        val full = Similarity.pcaTrain(emb, dim)
+        val ev = full.filter(col("component") >= 0)
+          .agg(sum("eigenvalue").as("tr"),
+            sum(when(col("component") < 32, col("eigenvalue"))
+              .otherwise(0.0)).as("top")).head()
+        val varOk = ev.getDouble(1) / ev.getDouble(0) >= 32.0 / dim
+        Similarity.pcaReconstructionStats(emb,
+            full.filter(col("component") < 32))
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.7 && col("min_cos") >= 0.4 &&
+              lit(varOk)).as("pca_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS pca_ok
+        FROM embeddings GROUP BY label ORDER BY label"""),
+      bench = true),
 
     // 1-bit (sign) quantization + Hamming top-10: the 32×-smaller
     // extreme of the quantization ladder. Unlike the lossy-recall

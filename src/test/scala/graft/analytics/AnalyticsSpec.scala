@@ -294,6 +294,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusPairs: copied doc collides across corpora, persist path agrees") {
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val a = docs(
+      1L -> prose,
+      2L -> "completely different words about cooking pasta with garlic and olive oil",
+      3L -> "short")
+    val b = docs(
+      100L -> prose,                                          // copy of a:1
+      101L -> "yet another unrelated text on mountain weather patterns in spring",
+      102L -> "tiny")                                          // shingle-less
+    val got = Dedup.crossCorpusPairs(a, b, 3, 8, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 100L)))
+    assert(got.head._3 == 1.0) // identical text -> all 8 slots agree
+    // persisted signatures on both sides produce the same pairs
+    val da = java.nio.file.Files.createTempDirectory("graft_xc_a").toString
+    val db = java.nio.file.Files.createTempDirectory("graft_xc_b").toString
+    Dedup.writeSignatures(a, da, 3, 8)
+    Dedup.writeSignatures(b, db, 3, 8)
+    val fromDisk = Dedup.crossCorpusPairsFromSignatures(
+        spark.read.parquet(da), spark.read.parquet(db), 8, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromDisk == got)
+  }
+
   test("clustersFromPairsAuto: driver path ≡ distributed path at every gate setting") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
@@ -427,6 +452,54 @@ class AnalyticsSpec extends SparkSpec {
         spark.read.parquet(dir), qids, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(fromDisk.nonEmpty && fromDisk == got)
+  }
+
+  test("PCA: exact recovery on low-rank data, whitening variance, persist round-trip") {
+    import spark.implicits._
+    // rank-3 data in 16 dims (+ constant offset): top-3 components
+    // must reconstruct every vector exactly (up to float ingest noise)
+    val rng = new scala.util.Random(11)
+    val basis = Array.fill(3, 16)(rng.nextGaussian())
+    val rows = (0 until 300).map { i =>
+      val c = Array.fill(3)(rng.nextGaussian() * 3.0)
+      (i.toLong,
+        Array.tabulate(16)(d =>
+          ((0 until 3).map(j => c(j) * basis(j)(d)).sum + 5.0).toFloat).toSeq,
+        i % 2)
+    }
+    val synth = rows.toDF("vec_id", "embedding", "label")
+    val model = Similarity.pcaTrain(synth, 3)
+    val m = model.collect().map(r => (r.getInt(0), r.getSeq[Double](2))).sortBy(_._1)
+    val mean = m.head._2
+    val comps = m.tail.map(_._2)
+    val proj = Similarity.pcaProject(synth, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    rows.take(40).foreach { case (id, emb, _) =>
+      val rec = Array.tabulate(16)(d =>
+        mean(d) + comps.zipWithIndex.map { case (cv, c) => proj(id)(c) * cv(d) }.sum)
+      val relErr = math.sqrt(
+        emb.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum /
+          emb.map(x => x.toDouble * x).sum)
+      assert(relErr < 1e-3, s"vec $id relative recon err $relErr")
+    }
+    // eigenvalue = variance of the projected coordinate; whitening
+    // rescales every coordinate to unit variance
+    val white = Similarity.pcaProject(synth, model, whiten = true).collect()
+      .map(_.getSeq[Double](2))
+    (0 until 3).foreach { c =>
+      val xs = white.map(_(c))
+      val v = xs.map(x => x * x).sum / xs.length -
+        math.pow(xs.sum / xs.length, 2)
+      assert(math.abs(v - 1.0) < 0.05, s"whitened component $c variance $v")
+    }
+    // persist round-trip: read-back model projects identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    Similarity.writePca(synth, dir, 3)
+    val fromDisk = Similarity.pcaProject(synth, spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(fromDisk.keySet == proj.keySet)
+    assert(proj.keys.forall(id =>
+      fromDisk(id).zip(proj(id)).forall { case (a, b) => math.abs(a - b) < 1e-9 }))
   }
 
   test("persisted IVF centroids round-trip: search equals in-plan training") {
