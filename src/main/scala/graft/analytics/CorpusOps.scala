@@ -99,6 +99,46 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-balanced diversity sampling — up to `quota` vectors per
+    * unsupervised k-means cell, the cluster-then-sample curation pass
+    * (prototype selection; the coverage complement of
+    * [[graft.analytics.Dedup.semanticDedup]]): uniform sampling
+    * oversamples dense regions of embedding space, per-cell quotas
+    * cover it. Within a cell the winners are the `quota` smallest
+    * u32(md5(salt:vec_id)) — the repo's deterministic-coin sampling
+    * discipline (no `rand()`), through the same `graft_topk` heap as
+    * [[exactSamplePerSource]] (map-side combine sends ≤quota rows per
+    * cell per partition; a ranking window would funnel the corpus
+    * through ≤k reducers). Cell assignment is the broadcast-join
+    * argmax ([[graft.analytics.Similarity.assignCellsByJoin]]) — no
+    * driver-side centroid matrix at any k.
+    * Output: (vec_id, cell, n_cell), ordered by vec_id. */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int, quota: Int,
+                            rounds: Int = 3, salt: String = "cbs"): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import graft.analytics.Similarity
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Similarity.kmeansCentroids(embeddings, k, rounds)
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val assigned = Similarity.assignCellsByJoin(corpus, cents)
+      .select(col("vec_id"), col("cell"))
+    val cellSizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).cast(LongType).as("n_cell"))
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    assigned
+      .select(col("cell"), col("vec_id"), (-u32).cast("double").as("neg"))
+      .groupBy("cell")
+      .agg(expr(s"graft_topk(neg, vec_id, $quota)").as("top"))
+      .select(col("cell"), explode(col("top.id")).as("vec_id"))
+      .join(cellSizes, Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("n_cell"))
+      .orderBy("vec_id")
+  }
+
   /** Benchmark decontamination — drop training documents sharing any
     * word k-shingle with an evaluation set (the n-gram-overlap
     * decontamination every serious pretraining corpus runs; k=3 here

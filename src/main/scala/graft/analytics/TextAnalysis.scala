@@ -582,4 +582,55 @@ object TextAnalysis {
         round(sum(score), 4).as("bm25"))
       .orderBy("doc_id")
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, public): candidate
+    * phrases = maximal runs of non-stopword tokens; per-document word
+    * stats freq(w) = occurrences, deg(w) = Σ length of phrases
+    * containing each occurrence; phrase score = Σ deg(w)/freq(w) over
+    * its words; top-k phrases per doc. One simplification, documented:
+    * candidate boundaries are STOPWORDS only — [[bpeishTokens]] strips
+    * punctuation before the phrase split (full RAKE also breaks at
+    * punctuation).
+    *
+    * Output: (doc_id, rk, phrase, score 4 dp), ordered.
+    *
+    * Scale shape (100 TB): the phrase split is one narrow projection
+    * (tokens BOUND first — SPARK-35410); word stats and the score
+    * aggregate are (doc_id[, word])-keyed groupBys — corpus-cardinality
+    * keys, map-side combinable; the rank is a doc_id-partitioned
+    * window over phrase-count rows (corpus-cardinality partitions —
+    * NOT a global funnel). Ranking compares the ROUNDED score with a
+    * (phrase, position) tie-break, the [[tfidfTopTerms]] discipline —
+    * a raw-double rank would be ulp-unstable cross-engine. */
+  def rakeKeywords(documents: DataFrame, stopwords: Seq[String],
+                   topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    require(stopwords.nonEmpty, "RAKE needs a stopword set (phrase delimiters)")
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(stopwords.map(lit): _*)
+    val phrases = graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", bpeishTokens(col("text")))
+      .withColumn("__segs",
+        split(concat_ws(" ", transform(col("__toks"), t =>
+          when(array_contains(stopArr, t), lit("|")).otherwise(t))), "\\|"))
+      .select(col("doc_id"), posexplode(col("__segs")).as(Seq("ppos", "seg")))
+      .select(col("doc_id"), col("ppos"), trim(col("seg")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val words = phrases
+      .withColumn("__ws", split(col("phrase"), " "))
+      .select(col("doc_id"), col("ppos"), col("phrase"),
+        size(col("__ws")).as("plen"), explode(col("__ws")).as("w"))
+    val stats = words.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+    val scored = words.join(stats, Seq("doc_id", "w"))
+      .groupBy("doc_id", "ppos", "phrase")
+      .agg(round(sum(col("deg").cast("double") / col("freq")), 4).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("phrase"), col("ppos"))).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "rk", "phrase", "score")
+      .orderBy("doc_id", "rk")
+  }
 }

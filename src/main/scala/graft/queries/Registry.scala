@@ -1822,6 +1822,66 @@ object Registry {
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
       bench = true),
 
+    // cluster-balanced diversity sampling: k-means cells are not
+    // DuckDB-reproducible, so the oracled surface is the invariant set
+    // that pins the semantics given ANY clustering (the kmeans-recall
+    // pattern): every sampled cell holds exactly min(quota, cell size)
+    // rows, the sampled cells' sizes sum to the whole corpus (no cell
+    // dropped), and no vector repeats; n_corpus anchors real data
+    QueryDef("corpus_cluster_sample",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val smp = CorpusOps.clusterBalancedSample(emb, k = 8, quota = 25)
+        val perCell = smp.groupBy("cell")
+          .agg(count(lit(1)).as("n_smp"), first(col("n_cell")).as("nc"))
+        val pc = perCell.agg(
+          sum(when(col("n_smp") === least(col("nc"), lit(25L)), 0L)
+            .otherwise(1L)).as("bad"),
+          sum(col("nc")).as("covered")).head()
+        val n = smp.count()
+        val dn = smp.select("vec_id").distinct().count()
+        val nCorpus = emb.count()
+        import s.implicits._
+        Seq((nCorpus, pc.getLong(0) == 0L, pc.getLong(1) == nCorpus, dn == n))
+          .toDF("n_corpus", "quota_ok", "coverage_ok", "distinct_ok")
+      },
+      Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
+        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings""")),
+
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // deg/freq word scoring, top-3 per doc. Rank compares the ROUNDED
+    // score (tfidf discipline) with (phrase, position) tie-break;
+    // engine position bases differ by 1 but order is monotonic
+    QueryDef("txt_rake_keywords",
+      (s, d) => TextAnalysis.rakeKeywords(t(s, d, "documents"), stopwords, 3),
+      Some {
+        s"""WITH toks AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              t -> t <> '') AS tk FROM documents),
+          segs AS (SELECT doc_id, str_split(array_to_string(
+              list_transform(tk, t -> CASE WHEN list_contains(${sqlList(stopwords)}, t)
+                THEN '|' ELSE t END), ' '), '|') AS sg FROM toks),
+          phr AS (SELECT doc_id, trim(unnest(sg)) AS phrase,
+              unnest(generate_series(1, len(sg))) AS ppos FROM segs),
+          pw AS (SELECT doc_id, ppos, phrase, str_split(phrase, ' ') AS ws
+            FROM phr WHERE phrase <> ''),
+          wx AS (SELECT doc_id, ppos, phrase, len(ws) AS plen, unnest(ws) AS w
+            FROM pw),
+          stats AS (SELECT doc_id, w, count(*) AS freq,
+              sum(plen)::BIGINT AS deg
+            FROM wx GROUP BY doc_id, w),
+          sc AS (SELECT wx.doc_id, ppos, phrase,
+              round(sum(CAST(deg AS DOUBLE) / freq), 4) AS score
+            FROM wx JOIN stats ON wx.doc_id = stats.doc_id AND wx.w = stats.w
+            GROUP BY wx.doc_id, ppos, phrase)
+          SELECT doc_id, rk, phrase, score FROM (
+            SELECT doc_id, phrase, score,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, phrase, ppos) AS BIGINT) AS rk
+            FROM sc) WHERE rk <= 3
+          ORDER BY doc_id, rk"""
+      }),
+
     // k-anonymity release audit over the (lang, source) quasi-identifier
     QueryDef("corpus_k_anonymity",
       (s, d) => CorpusOps.kAnonymityAudit(t(s, d, "documents"),

@@ -294,6 +294,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSample: exact per-cell quotas, full coverage, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val smp = CorpusOps.clusterBalancedSample(emb, k = 4, quota = 10)
+    val rows = smp.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // no vector twice
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // per cell: exactly min(quota, cell size) sampled
+    val perCell = rows.groupBy(_._2)
+    perCell.foreach { case (cell, rs) =>
+      val nCell = rs.head._3
+      assert(rs.forall(_._3 == nCell), s"cell $cell inconsistent n_cell")
+      assert(rs.length == math.min(10L, nCell), s"cell $cell quota")
+    }
+    // coverage: sampled cells' sizes account for the whole corpus
+    assert(perCell.values.map(_.head._3).sum == emb.count())
+    // deterministic md5 coin: identical output across runs
+    val again = CorpusOps.clusterBalancedSample(emb, k = 4, quota = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("rakeKeywords: hand-computed deg/freq scores, stopword phrase split") {
+    // tokens: the,red,apple,of,the,green,orchard,and,red,apple,pie
+    // phrases: "red apple", "green orchard", "red apple pie"
+    // freq/deg: red 2/5, apple 2/5, green 1/2, orchard 1/2, pie 1/3
+    // scores: red apple pie = 2.5+2.5+3 = 8; red apple = 5; green orchard = 4
+    val d = docs(1L -> "the red apple of the green orchard and red apple pie")
+    val got = TextAnalysis.rakeKeywords(d, Seq("the", "a", "of", "and"), 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, "red apple pie", 8.0),
+      (2L, "red apple", 5.0),
+      (3L, "green orchard", 4.0)))
+    // stopword-only doc: no candidate phrases, no rows, no crash
+    assert(TextAnalysis.rakeKeywords(
+      docs(2L -> "the of and a the"), Seq("the", "a", "of", "and"), 3).count() == 0)
+  }
+
   test("crossCorpusPairs: copied doc collides across corpora, persist path agrees") {
     val prose = "the quick brown fox jumps over the lazy dog near the river bank today"
     val a = docs(
