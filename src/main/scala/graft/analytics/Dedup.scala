@@ -322,6 +322,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter exact-dedup admission — the zero-shuffle scale path
+    * for "is this document's normalized fingerprint already in the
+    * corpus?" (the CCNet/Dolma-family membership gate): the corpus
+    * fingerprint column folds ONCE into a Bloom sketch
+    * (`DataFrameStatFunctions.bloomFilter` — per-partition sketches
+    * OR-merged on the driver; the OR makes the bit array independent
+    * of item order, so admission is DETERMINISTIC), the sketch
+    * broadcasts, and incoming docs filter at scan speed — no join, no
+    * shuffle, the incoming side never leaves its partitions.
+    *
+    * Guarantees: NO false negatives — a true duplicate is never
+    * admitted; a novel doc is wrongly rejected with probability ≈
+    * `fpp` (the conservative direction for corpus hygiene). Chain
+    * [[admitNewDocuments]] (exact anti-join) when the FP loss matters.
+    *
+    * Scale sizing (100 TB): the sketch is ~1.2 bytes/item at fpp 1 %
+    * (≈ 12 GB for 10^10 docs — driver + torrent-broadcast sized,
+    * amortized over every subsequent admission batch); `expectedItems`
+    * MUST cover the corpus cardinality or the real FP rate degrades
+    * silently. The membership probe is a Scala UDF by necessity, and
+    * justified: the sketch's Murmur3 probe sequence has no Catalyst
+    * expression form, the UDF holds only a broadcast reference, and
+    * the alternative — the exact anti-join — shuffles both sides. */
+  def bloomAdmit(incoming: DataFrame, corpus: DataFrame,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val bf = corpus.select(exactFingerprint.as("__f"))
+      .stat.bloomFilter("__f", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    incoming.withColumn("__f", exactFingerprint)
+      .filter(!mightContain(col("__f")))
+      .drop("__f")
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit fingerprint — per token, md5-derived 64 bits vote
     * ±1 per bit position weighted by term frequency; fingerprint bit =
     * sign of the vote. Built from two 32-bit md5 halves (engine-stable).

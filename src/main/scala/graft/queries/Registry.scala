@@ -1822,6 +1822,37 @@ object Registry {
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
       bench = true),
 
+    // Bloom-filter admission: the sketch's Murmur3 probes are not
+    // DuckDB-expressible, so the oracled surface is the guarantee set
+    // computed against the EXACT membership join: no true duplicate
+    // admitted (bloom has no false negatives), and the false-positive
+    // rejection rate among novel docs within 5× the configured 1 %
+    QueryDef("corpus_bloom_admit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val admitted = Dedup.bloomAdmit(docs, corpus,
+          expectedItems = math.max(1L, corpus.count()), fpp = 0.01)
+        val corpusFps = corpus
+          .select(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+            .as("f")).distinct()
+        val incomingF = docs.select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("f"))
+        val dupIds = incomingF.join(corpusFps, Seq("f"), "left_semi")
+          .select("doc_id")
+        val admittedIds = admitted.select("doc_id")
+        val falseNeg = admittedIds.join(dupIds, Seq("doc_id"), "left_semi").count()
+        val nNovel = docs.count() - dupIds.count()
+        val nAdmitted = admittedIds.count()
+        val fpRejected = nNovel - nAdmitted // novel docs the bloom rejected
+        import s.implicits._
+        Seq((docs.count(), falseNeg == 0L,
+            nNovel == 0L || fpRejected.toDouble / nNovel <= 0.05))
+          .toDF("n_incoming", "no_false_negatives", "fp_ok")
+      },
+      Some("""SELECT count(*)::BIGINT AS n_incoming,
+        TRUE AS no_false_negatives, TRUE AS fp_ok FROM documents""")),
+
     // cluster-balanced diversity sampling: k-means cells are not
     // DuckDB-reproducible, so the oracled surface is the invariant set
     // that pins the semantics given ANY clustering (the kmeans-recall

@@ -294,6 +294,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bloomAdmit: duplicates never admitted, novels pass, deterministic") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "omega psi chi phi")
+    val incoming = docs(
+      10L -> "alpha beta gamma delta",        // exact dup of corpus 1
+      11L -> "Alpha, beta gamma DELTA!",      // normalized dup of corpus 1
+      12L -> "completely novel document text",
+      13L -> "another previously unseen page")
+    val admitted = Dedup.bloomAdmit(incoming, corpus,
+        expectedItems = 2, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSeq
+    // no false negatives ever; at fpp 1e-6 with 2 items the novel docs
+    // deterministically pass (bloom bits are a pure function of input)
+    assert(admitted == Seq(12L, 13L))
+    val again = Dedup.bloomAdmit(incoming, corpus, 2, 1e-6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == admitted)
+  }
+
   test("clusterBalancedSample: exact per-cell quotas, full coverage, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val smp = CorpusOps.clusterBalancedSample(emb, k = 4, quota = 10)
@@ -490,6 +510,38 @@ class AnalyticsSpec extends SparkSpec {
         spark.read.parquet(dir), qids, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(fromDisk.nonEmpty && fromDisk == got)
+  }
+
+  test("binary quantization: odd dims (not divisible by 64) pack and search correctly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    for (dim <- Seq(7, 64, 65, 130)) {
+      val rows = (0 until 40).map(i =>
+        (i.toLong, Array.fill(dim)((rng.nextGaussian()).toFloat).toSeq, 0))
+      val emb = rows.toDF("vec_id", "embedding", "label")
+      val raw = rows.map { case (id, v, _) => id -> v }.toMap
+      val bits = Similarity.binaryQuantize(emb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      raw.foreach { case (id, v) =>
+        assert(bits(id).length == (dim + 63) / 64, s"dim $dim word count")
+        v.indices.foreach { d =>
+          assert((((bits(id)(d / 64) >> (d % 64)) & 1L) == 1L) == (v(d) > 0f),
+            s"dim $dim vec $id bit $d")
+        }
+        // padding bits beyond dim stay zero (they'd corrupt distances)
+        ((dim + 63) / 64 * 64 - 1 to dim by -1).foreach { d =>
+          assert(((bits(id)(d / 64) >> (d % 64)) & 1L) == 0L,
+            s"dim $dim vec $id pad bit $d set")
+        }
+      }
+      val got = Similarity.hammingTopK(emb, Seq(0L), 5).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val want = raw.iterator.filter(_._1 != 0L)
+        .map { case (id, v) =>
+          (id, v.indices.count(d => (v(d) > 0f) != (raw(0L)(d) > 0f)).toLong)
+        }.toSeq.sortBy { case (id, h) => (h, id) }.take(5)
+      assert(got == want, s"dim $dim top-5")
+    }
   }
 
   test("PCA: exact recovery on low-rank data, whitening variance, persist round-trip") {
