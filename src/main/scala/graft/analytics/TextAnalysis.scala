@@ -583,6 +583,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pairwise source vocabulary overlap — Jaccard of the DISTINCT
+    * token sets of every source pair (the corpus-health panel next to
+    * [[sourceDrift]]: drift compares frequency SHAPES, this compares
+    * vocabulary MEMBERSHIP — a source whose vocabulary barely
+    * intersects the rest is mislabeled, machine-generated, or another
+    * language). Output: ONE row per source pair (source_a < source_b,
+    * n_common, jaccard 4 dp), ordered — zero-overlap pairs INCLUDED
+    * (the n_common = 0 row IS the mislabeled-source signal).
+    *
+    * Scale shape (100 TB): the corpus reduces to the DISTINCT
+    * (source, token) table at scan speed (combinable distinct); the
+    * common-token join is keyed on `token` — a token in k sources
+    * contributes k·(k−1)/2 pairs, bounded by |sources|², and
+    * |sources| is panel-sized (thousands at most), never
+    * corpus-sized; the complete pair panel is a cross of the
+    * panel-sized vocab-count table with itself. No all-pairs on
+    * documents anywhere. */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val sv = graft.util.SparkUtil.widen(documents)
+      .select(col("source"), explode(bpeishTokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = sv.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_vocab"))
+    val common = sv.select(col("source").as("source_a"), col("token"))
+      .join(sv.select(col("source").as("source_b"), col("token")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    sizes.select(col("source").as("source_a"), col("n_vocab").as("na"))
+      .crossJoin(sizes.select(col("source").as("source_b"), col("n_vocab").as("nb")))
+      .filter(col("source_a") < col("source_b"))
+      .join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_common"), lit(0L))), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, public): candidate
     * phrases = maximal runs of non-stopword tokens; per-document word
     * stats freq(w) = occurrences, deg(w) = Σ length of phrases

@@ -1822,6 +1822,28 @@ object Registry {
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
       bench = true),
 
+    // pairwise source vocabulary Jaccard (membership complement of
+    // the frequency-shape sourceDrift panel)
+    QueryDef("txt_vocab_overlap",
+      (s, d) => TextAnalysis.sourceVocabOverlap(t(s, d, "documents")),
+      Some("""WITH sv AS (SELECT DISTINCT source,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              t -> t <> '')) AS token
+          FROM documents),
+        sizes AS (SELECT source, count(*)::BIGINT AS n_vocab
+          FROM sv GROUP BY source),
+        common AS (SELECT a.source AS source_a, b.source AS source_b,
+            count(*)::BIGINT AS n_common
+          FROM sv a JOIN sv b ON a.token = b.token AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT sa.source AS source_a, sb.source AS source_b,
+          coalesce(n_common, 0)::BIGINT AS n_common,
+          round(CAST(coalesce(n_common, 0) AS DOUBLE) /
+            (sa.n_vocab + sb.n_vocab - coalesce(n_common, 0)), 4) AS jaccard
+        FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN common ON source_a = sa.source AND source_b = sb.source
+        ORDER BY source_a, source_b""")),
+
     // Bloom-filter admission: the sketch's Murmur3 probes are not
     // DuckDB-expressible, so the oracled surface is the guarantee set
     // computed against the EXACT membership join: no true duplicate

@@ -294,6 +294,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sourceVocabOverlap: hand-computed jaccard, zero-overlap pair present") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "red apple pie", "en", "s1"),
+      (2L, "apple pie crust", "en", "s2"),
+      (3L, "zebra", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.sourceVocabOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // s1={red,apple,pie} s2={apple,pie,crust}: common 2, union 4 -> 0.5
+    // zero-overlap pairs with s3 must be PRESENT rows
+    assert(got == Seq(
+      ("s1", "s2", 2L, 0.5),
+      ("s1", "s3", 0L, 0.0),
+      ("s2", "s3", 0L, 0.0)))
+  }
+
   test("bloomAdmit: duplicates never admitted, novels pass, deterministic") {
     val corpus = docs(
       1L -> "alpha beta gamma delta",
