@@ -135,6 +135,28 @@ class CleaningSpec extends SparkSpec {
     assert(byMode.head(2)._2 == null) // null text stays null
   }
 
+  test("dedupLinesInDoc: first occurrence wins, order kept, edge texts safe") {
+    val d = docs(
+      1L -> "nav\nbody one\nnav\nbody two\nnav",
+      2L -> "only line",
+      3L -> "",
+      4L -> "a\n\nb\n\nc") // repeated EMPTY lines collapse too (documented)
+    val out = Cleaning.dedupLinesInDoc(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("nav\nbody one\nbody two", 5L, 3L)))
+    assert(out(2L) == (("only line", 1L, 1L)))
+    assert(out(3L) == (("", 1L, 1L))) // empty text = one empty line
+    assert(out(4L) == (("a\n\nb\nc", 5L, 4L)))
+    // idempotent: a deduped doc passes through unchanged
+    val once = Cleaning.dedupLinesInDoc(d)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val twice = Cleaning.dedupLinesInDoc(once).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, (t, _, _)) => twice(id) == t })
+  }
+
   test("gopherRules: each rule gates independently; stats are exact") {
     val d = docs(
       1L -> "the quick brown fox jumps over a lazy dog today",  // passes all
