@@ -454,6 +454,122 @@ object StreamingPipeline {
       }
   }
 
+  /** Exact-dedup streaming admission over a PERSISTED Bloom sketch —
+    * the zero-shuffle scale form of [[admissionPipeline]] for EXACT
+    * duplicates ([[graft.analytics.Dedup.bloomAdmit]] made
+    * continuous): corpus state is ONE broadcast-sized sketch per
+    * batch, not a per-doc signature store, and the admission filter
+    * never joins or shuffles corpus-sized data.
+    *
+    * Replay discipline — the signature store's batch_id EXCLUSION
+    * expressed as sketch VERSIONING: batch N reads the newest
+    * `sketch_v{id}` with id < N, so a REPLAYED batch (crash after the
+    * sinks, before the checkpoint commit) reads exactly the pre-batch
+    * sketch and can never reject its own insertions (the silent-loss
+    * hazard). The admitted set is a pure function of (pre-batch
+    * sketch, batch) — Bloom bits are order-independent ORs — so a
+    * replay rewrites byte-identical content into the same
+    * batch_id-scoped dir and sketch version. After a successful
+    * batch, versions older than N−1 are pruned: steady-state storage
+    * is ≤ 2 sketches.
+    *
+    * Guarantees: no false negatives across batches AND restarts; a
+    * novel doc is falsely rejected with probability ≈ `fpp`
+    * (conservative for corpus hygiene — chain the exact
+    * [[admissionPipeline]] where FP loss matters). `expectedItems`
+    * must cover the corpus LIFETIME cardinality — the sketch never
+    * resizes (~1.2 B/item at 1 % fpp). Null-text docs carry a null
+    * fingerprint and are admitted untouched (the shingle-less
+    * convention). Intra-batch exact dups collapse to min doc_id. */
+  def bloomAdmissionPipeline(spark: SparkSession, incomingDir: String,
+                             sketchDir: String, outDir: String,
+                             checkpoint: String,
+                             trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                             maxFilesPerTrigger: Int = 16,
+                             expectedItems: Long = 1000000L,
+                             fpp: Double = 0.01,
+                             failHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad sketch params: expectedItems=$expectedItems fpp=$fpp")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(incomingDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.util.sketch.BloomFilter
+        val dir = new Path(sketchDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(dir)
+        val VerName = "sketch_v(\\d+)".r
+        def versions(): Seq[Long] = fs.listStatus(dir).toSeq
+          .flatMap(_.getPath.getName match {
+            case VerName(v) => Some(v.toLong)
+            case _ => None
+          })
+        val prevId = versions().filter(_ < batchId).sorted.lastOption
+        val prev: Option[BloomFilter] = prevId.map { v =>
+          val in = fs.open(new Path(dir, s"sketch_v$v"))
+          try BloomFilter.readFrom(in) finally in.close()
+        }
+        val withFp = batch.withColumn("__f",
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+        val pastSketch = prev match {
+          case Some(bf) =>
+            val bc = spark.sparkContext.broadcast(bf)
+            val mc = udf((s: String) => s != null && bc.value.mightContain(s))
+            withFp.filter(!mc(col("__f")))
+          case None => withFp
+        }
+        // intra-batch exact collapse (batch-bounded groupBy); null
+        // fingerprints bypass it and are admitted as-is
+        val rep = pastSketch.filter(col("__f").isNotNull)
+          .groupBy("__f").agg(min("doc_id").as("doc_id")).select("doc_id")
+        val admitted = pastSketch
+          .join(rep, Seq("doc_id"), "left_semi")
+          .unionByName(pastSketch.filter(col("__f").isNull))
+          .cache()
+        try {
+          admitted.drop("__f")
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          // Spark's stat.bloomFilter NPEs on an EMPTY input (its
+          // internal aggregate yields null bytes) — empty batches
+          // (e.g. the trailing AvailableNow commit batch) carry the
+          // previous sketch forward unchanged
+          val fps = admitted.filter(col("__f").isNotNull).select("__f")
+          val merged =
+            if (fps.isEmpty) prev.getOrElse(BloomFilter.create(expectedItems, fpp))
+            else {
+              val batchBf = fps.stat.bloomFilter("__f", expectedItems, fpp)
+              prev match {
+                case Some(p) => p.mergeInPlace(batchBf); p
+                case None => batchBf
+              }
+            }
+          // tmp + rename: the version either exists complete or not at
+          // all — a half-written sketch must never be readable
+          val tmp = new Path(dir, s".sketch_v$batchId.tmp")
+          val fin = new Path(dir, s"sketch_v$batchId")
+          val os = fs.create(tmp, true)
+          try merged.writeTo(os) finally os.close()
+          if (fs.exists(fin)) fs.delete(fin, false)
+          fs.rename(tmp, fin)
+          failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
+          versions().filter(_ < batchId - 1).foreach(v =>
+            fs.delete(new Path(dir, s"sketch_v$v"), false))
+        } finally admitted.unpersist()
+        ()
+      }
+  }
+
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event
     * stream: tumbling 60 s counts per label with a watermark bounding
     * state (the reference's ALIGN_RATE dashboards; SURVEY §2.4). */

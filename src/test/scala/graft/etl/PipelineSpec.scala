@@ -84,6 +84,61 @@ class PipelineSpec extends SparkSpec {
     assert(sigsReplay == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("bloom admission: sketch rejects cross-batch dups, versioned replay is loss-free") {
+    val in = Files.createTempDirectory("graft_badm_in").toString
+    val base = Files.createTempDirectory("graft_badm").toString
+    val (sk, out, ckpt) = (s"$base/sketch", s"$base/out", s"$base/ckpt")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    def runOnce(hook: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+      val q = StreamingPipeline.bloomAdmissionPipeline(spark, in, sk, out, ckpt,
+        trigger = Trigger.AvailableNow(), expectedItems = 1000, fpp = 1e-6,
+        failHook = hook).start()
+      q.awaitTermination(120000)
+    }
+    val dupText = "the quick brown fox jumps over the lazy dog today"
+    // batch 1: intra-batch exact dup collapses to min doc_id; novel kept
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      doc(1L, dupText) + "\n" + doc(2L, dupText) + "\n" +
+        doc(5L, "an entirely separate document about bloom admission"))
+    runOnce()
+    // batch 2: 3 hits the PERSISTED sketch (punctuation-normalized
+    // dup); 4 is novel
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      doc(3L, "The quick brown fox, jumps over the lazy dog -- today!") + "\n" +
+        doc(4L, "completely different content about spark engines at scale"))
+    runOnce()
+    val admitted = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(1L, 4L, 5L), s"admitted: $admitted")
+    // steady-state sketch storage: at most 2 versions retained
+    val skFiles = new java.io.File(sk).list().filter(_.startsWith("sketch_v"))
+    assert(skFiles.length <= 2, s"sketch versions: ${skFiles.toSeq}")
+
+    // TRUE replay: crash AFTER doc+sketch writes, BEFORE the commit —
+    // the replayed batch must read the PRE-batch sketch (version
+    // exclusion), not its own, or it would reject everything it wrote
+    Files.writeString(Paths.get(in, "b3.jsonl"),
+      doc(6L, "a sixth document that nothing else resembles at all"))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(hook = (_, _) => throw new RuntimeException("crash before commit"))
+    }
+    assert(crashed.getMessage.contains("crash before commit") ||
+      crashed.getCause.getMessage.contains("crash before commit"))
+    runOnce()
+    val afterReplay = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(afterReplay == Seq(1L, 4L, 5L, 6L), s"replay lost/duped docs: $afterReplay")
+    // and the final sketch still rejects everything admitted so far
+    Files.writeString(Paths.get(in, "b4.jsonl"),
+      doc(7L, dupText) + "\n" +
+        doc(8L, "a sixth document that nothing else resembles at all"))
+    runOnce()
+    val end = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(end == Seq(1L, 4L, 5L, 6L), s"post-replay sketch leaked dups: $end")
+  }
+
   test("batch pipeline routes errors, writes events, counts per file") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
