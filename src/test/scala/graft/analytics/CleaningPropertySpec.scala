@@ -22,6 +22,60 @@ class CleaningPropertySpec extends SparkSpec {
   private val line: Gen[String] =
     Gen.chooseNum(0, 9).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
 
+  test("dedupLinesInDoc invariants over adversarial texts: counts, idempotence, membership") {
+    val weird = Gen.oneOf("", " ", "\t", "a|b", "(x)", "[y]", "{z}", "\\", "$1",
+      "^start", "end$", "a.b*c+", "é ü ß", "日本語", "emoji 🙂 line")
+    val anyLine = Gen.oneOf(line, weird)
+    val text: Gen[String] = Gen.chooseNum(0, 8)
+      .flatMap(k => Gen.listOfN(k, anyLine)).map(_.mkString("\n"))
+    val rows = samples(text, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Cleaning.dedupLinesInDoc(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val input = rows.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    input.foreach { case (id, t) =>
+      val (dedup, nLines, nUniq) = out(id)
+      val lines = t.split("\n", -1).toSeq
+      assert(nLines == lines.length && nUniq == lines.distinct.length, s"doc $id counts")
+      // output IS the first-occurrence subsequence of the input lines
+      assert(dedup.split("\n", -1).toSeq == lines.distinct, s"doc $id content")
+    }
+    // idempotence over the whole generated corpus
+    val once = Cleaning.dedupLinesInDoc(rows)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Cleaning.dedupLinesInDoc(once).collect().foreach { r =>
+      assert(r.getString(1) == out(r.getLong(0))._1, s"doc ${r.getLong(0)} not idempotent")
+    }
+  }
+
+  test("rakeKeywords never throws and keeps rank/score invariants over adversarial texts") {
+    val weird = Gen.oneOf("", "   ", "the the the", "a-b c.d!e", "é ü",
+      "12 34 56", "x" * 40, "the a of and", "\tmixed\ncase\rstuff")
+    val text: Gen[String] = Gen.oneOf(line, weird, Gen.zip(line, line)
+      .map { case (a, b) => s"$a the $b" })
+    val rows = samples(text, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.rakeKeywords(rows, Seq("the", "a", "of", "and"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    got.groupBy(_._1).foreach { case (id, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to rs.length), s"doc $id ranks $ranks")
+      // scores weakly decrease in rank; every phrase scores >= 1 (a
+      // single word contributes deg/freq >= 1)
+      val byRank = rs.sortBy(_._2).map(_._4).toSeq
+      assert(byRank == byRank.sorted.reverse, s"doc $id score order")
+      assert(byRank.forall(_ >= 1.0), s"doc $id score floor")
+      rs.foreach { case (_, _, p, _) =>
+        assert(p.nonEmpty && !p.contains("|"), s"doc $id phrase '$p'")
+      }
+    }
+  }
+
   test("redactPii is idempotent and digit-free over its own PII forms") {
     val piiBit = Gen.oneOf(
       Gen.chooseNum(0, 999).map(n => s"user$n@host$n.example.org"),
