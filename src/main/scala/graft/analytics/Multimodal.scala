@@ -178,6 +178,26 @@ object Multimodal {
         round(col("width").cast("double") / col("height"), 4).as("aspect"))
       .orderBy("doc_id")
 
+  /** Exact dedup over the BINARY modality — the multimodal analog of
+    * [[graft.analytics.Dedup.exactDuplicates]]'s normalized-text
+    * fingerprint: group by the payload content md5 (the same
+    * `content_hash` [[decodeBatched]] emits), keep = min id per group.
+    * Re-encoded copies of one asset landing under many documents is
+    * the dominant duplication mode in scraped media corpora.
+    *
+    * Scale shape (100 TB): payloads reduce to 32-byte hashes inside
+    * the scan projection; the groupBy moves hashes, never media
+    * bytes — identical to the text exact-dedup plan. */
+  def payloadDedup(withPayload: DataFrame,
+                   idCol: String = "doc_id"): DataFrame =
+    withPayload
+      .select(col(idCol).as("doc_id"), md5(col("payload")).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_doc_id"),
+        count(lit(1)).cast(LongType).as("group_size"))
+      .select("keep_doc_id", "group_size")
+      .orderBy("keep_doc_id")
+
   // ------------------------------------------------------------------
   // audio: WAV (RIFF) header decode
   // ------------------------------------------------------------------

@@ -1613,6 +1613,29 @@ object Registry {
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
         FROM documents ORDER BY doc_id""")),
 
+    // binary-modality exact dedup: the fixture forges REAL payload
+    // collisions by synthesizing every doc's image from its doc_id
+    // mod 50 base (same dims + same trailing text bytes ⇒ identical
+    // binaries), so the md5 groups are exactly the mod-50 classes —
+    // which the oracle derives from the SAME arithmetic without
+    // rebuilding a CRC-bearing PNG in SQL
+    QueryDef("mm_payload_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("bid"), col("text").as("btext"))
+        val remapped = docs.select(col("doc_id").as("real_id"),
+            (col("doc_id") % 50).as("bid"))
+          .join(base, Seq("bid"))
+          .select(col("real_id"), col("bid").as("doc_id"),
+            col("btext").as("text"))
+        Multimodal.payloadDedup(
+          Multimodal.withPayload(remapped), idCol = "real_id")
+      },
+      Some("""SELECT min(doc_id)::BIGINT AS keep_doc_id,
+          count(*)::BIGINT AS group_size
+        FROM documents GROUP BY doc_id % 50 ORDER BY keep_doc_id""")),
+
     // audio WAV header decode: duration is derived from the PARSED
     // data-chunk length and byte rate — the oracle reconstructs both
     // from the synthesis formulas, so a match proves the RIFF walk

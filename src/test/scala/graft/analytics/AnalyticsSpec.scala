@@ -294,6 +294,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("payloadDedup: identical binaries group, distinct ones don't, bytes never lie") {
+    import spark.implicits._
+    // docs 1 and 3 synthesize the SAME payload (same doc_id fed to the
+    // synthesizer + same text); 2 differs in text only — the trailing
+    // bytes change the md5 even though the image header is identical
+    val fixture = Seq(
+      (1L, 7L, "same pixels"), (3L, 7L, "same pixels"), (2L, 7L, "other bytes"))
+      .toDF("real_id", "doc_id", "text")
+    val got = Multimodal.payloadDedup(
+        Multimodal.withPayload(fixture), idCol = "real_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("sourceVocabOverlap: hand-computed jaccard, zero-overlap pair present") {
     import spark.implicits._
     val d = Seq(
