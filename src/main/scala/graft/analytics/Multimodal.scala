@@ -191,6 +191,10 @@ object Multimodal {
   def payloadDedup(withPayload: DataFrame,
                    idCol: String = "doc_id"): DataFrame =
     withPayload
+      // null payloads (failed fetches) are excluded, not grouped:
+      // md5(NULL) = NULL would collapse every unrelated
+      // fetch-failure into one fake duplicate group
+      .filter(col("payload").isNotNull)
       .select(col(idCol).as("doc_id"), md5(col("payload")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("keep_doc_id"),

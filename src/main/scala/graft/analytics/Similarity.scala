@@ -246,12 +246,17 @@ object Similarity {
   def binaryQuantize(embeddings: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"), col("label"),
-        expr("""transform(sequence(0, (size(embedding) + 63) div 64 - 1),
-            w -> aggregate(
-              sequence(w * 64, least(size(embedding), w * 64 + 64) - 1),
-              0L,
-              (acc, d) -> CASE WHEN element_at(embedding, CAST(d + 1 AS INT)) > 0
-                THEN acc | shiftleft(1L, d - w * 64) ELSE acc END))""")
+        // empty-array guard: sequence(0, -1) is DESCENDING [0, -1] in
+        // Spark (the gramHashes hazard), so a zero-length embedding
+        // must short-circuit to an empty word list, not probe index 0
+        expr("""CASE WHEN size(embedding) > 0 THEN
+            transform(sequence(0, (size(embedding) + 63) div 64 - 1),
+              w -> aggregate(
+                sequence(w * 64, least(size(embedding), w * 64 + 64) - 1),
+                0L,
+                (acc, d) -> CASE WHEN element_at(embedding, CAST(d + 1 AS INT)) > 0
+                  THEN acc | shiftleft(1L, d - w * 64) ELSE acc END))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END""")
           .as("bits"))
 
   /** Persist the 1-bit corpus (32× smaller; search many). */
@@ -1016,6 +1021,9 @@ object Similarity {
     require(kComponents >= 1 && kComponents <= dim,
       s"kComponents must be in [1, $dim]: $kComponents")
     val partials = graft.util.SparkUtil.widen(embeddings)
+      // null rows dropped, matching embeddingDim's contract — an
+      // unguarded null would NPE as an opaque task failure
+      .filter(col("embedding").isNotNull)
       .select(asDouble(col("embedding")).as("vec")).as[Seq[Double]]
       .mapPartitions { it =>
         var n = 0L

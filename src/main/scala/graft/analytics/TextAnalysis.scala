@@ -601,9 +601,13 @@ object TextAnalysis {
     * panel-sized vocab-count table with itself. No all-pairs on
     * documents anywhere. */
   def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    // eager checkpoint: the corpus-dominant explode+distinct feeds the
+    // sizes groupBy AND both self-join sides — the winnowPairs
+    // single-pass discipline (3 consumers, one execution)
     val sv = graft.util.SparkUtil.widen(documents)
       .select(col("source"), explode(bpeishTokens(col("text"))).as("token"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = sv.groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_vocab"))
     val common = sv.select(col("source").as("source_a"), col("token"))
@@ -656,10 +660,14 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("__segs")).as(Seq("ppos", "seg")))
       .select(col("doc_id"), col("ppos"), trim(col("seg")).as("phrase"))
       .filter(col("phrase") =!= "")
+    // eager checkpoint: the tokenize + double-explode stage feeds both
+    // the word-stats groupBy and the score join — single-pass
+    // discipline (see winnowPairs)
     val words = phrases
       .withColumn("__ws", split(col("phrase"), " "))
       .select(col("doc_id"), col("ppos"), col("phrase"),
         size(col("__ws")).as("plen"), explode(col("__ws")).as("w"))
+      .localCheckpoint(true)
     val stats = words.groupBy("doc_id", "w")
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
     val scored = words.join(stats, Seq("doc_id", "w"))

@@ -2046,8 +2046,13 @@ object Registry {
     // order — never use it where the rejoined text is hashed)
     QueryDef("corpus_dedup_lines",
       (s, d) => {
+        // null text coalesced to '' on BOTH sides: Spark's
+        // concat/split null-propagate (the doc would emit a null row)
+        // while DuckDB's unnest of a null split drops it entirely —
+        // the same null-text vintage hazard the mm_* oracles guard
         val lined = t(s, d, "documents").withColumn("text",
-          concat(col("text"), lit("\nadd to cart\n"), col("text"),
+          concat(coalesce(col("text"), lit("")),
+            lit("\nadd to cart\n"), coalesce(col("text"), lit("")),
             lit("\nadd to cart")))
         Cleaning.dedupLinesInDoc(lined)
           .select(col("doc_id"), md5(col("text_dedup")).as("dedup_md5"),
@@ -2055,8 +2060,8 @@ object Registry {
           .orderBy("doc_id")
       },
       Some("""WITH lined AS (SELECT doc_id,
-            text || chr(10) || 'add to cart' || chr(10) || text ||
-              chr(10) || 'add to cart' AS t
+            coalesce(text, '') || chr(10) || 'add to cart' || chr(10) ||
+              coalesce(text, '') || chr(10) || 'add to cart' AS t
           FROM documents),
         lines AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line,
           unnest(generate_series(1, len(str_split(t, chr(10))))) AS pos

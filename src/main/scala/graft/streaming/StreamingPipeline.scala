@@ -312,14 +312,20 @@ object StreamingPipeline {
                 case c => c.toString
               } + "\""
               dropBatchDirs(spark, outDir, batchId, "_latency")
-              val latDir = java.nio.file.Paths.get(
-                outDir.stripPrefix("file:"), "_latency", s"batch_id=$batchId")
-              java.nio.file.Files.createDirectories(latDir)
-              java.nio.file.Files.writeString(latDir.resolve("part-00000.json"),
-                valid.map { case (_, f, pub) =>
-                  s"""{"source_file":${jq(f)},"publish_ms":$pub,""" +
-                    s""""commit_ms":$commitMs,"latency_ms":${commitMs - pub}}"""
-                }.mkString("", "\n", "\n"))
+              // Hadoop FS, not java.nio: outDir may be hdfs://s3a://
+              // (every other sink resolves through the same FS — a
+              // local-only write would silently split the output
+              // across filesystems)
+              val latPath = new org.apache.hadoop.fs.Path(
+                s"$outDir/_latency/batch_id=$batchId/part-00000.json")
+              val latFs = latPath.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val latOs = latFs.create(latPath, true)
+              try latOs.write(valid.map { case (_, f, pub) =>
+                s"""{"source_file":${jq(f)},"publish_ms":$pub,""" +
+                  s""""commit_ms":$commitMs,"latency_ms":${commitMs - pub}}"""
+              }.mkString("", "\n", "\n").getBytes("UTF-8"))
+              finally latOs.close()
             } finally b.unpersist()
           } else if (invalid.nonEmpty) {
             dlqInvalid.write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
@@ -550,7 +556,21 @@ object StreamingPipeline {
             else {
               val batchBf = fps.stat.bloomFilter("__f", expectedItems, fpp)
               prev match {
-                case Some(p) => p.mergeInPlace(batchBf); p
+                case Some(p) =>
+                  // fail LOUD with the cause: restarting with different
+                  // (expectedItems, fpp) changes the bit size and the
+                  // merge throws IncompatibleMergeException on every
+                  // retry of every batch — a permanent wedge whose
+                  // remedy (keep the original params, or wipe sketchDir
+                  // and accept re-admission of history) the operator
+                  // must choose explicitly
+                  require(p.bitSize() == batchBf.bitSize(),
+                    s"persisted sketch (bitSize=${p.bitSize()}) is incompatible " +
+                      s"with expectedItems=$expectedItems fpp=$fpp " +
+                      s"(bitSize=${batchBf.bitSize()}): the sketch never resizes — " +
+                      "restart with the original parameters, or delete the sketch " +
+                      "directory to rebuild membership from scratch")
+                  p.mergeInPlace(batchBf); p
                 case None => batchBf
               }
             }

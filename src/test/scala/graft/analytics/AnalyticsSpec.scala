@@ -306,6 +306,14 @@ class AnalyticsSpec extends SparkSpec {
         Multimodal.withPayload(fixture), idCol = "real_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 2L), (2L, 1L)))
+    // null payloads (failed fetches) are excluded, never grouped as dups
+    val withNulls = Multimodal.withPayload(fixture)
+      .unionByName(Seq((9L, 9L, "x"), (10L, 10L, "y"))
+        .toDF("real_id", "doc_id", "text")
+        .withColumn("payload", lit(null).cast("binary")))
+    val got2 = Multimodal.payloadDedup(withNulls, idCol = "real_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == got)
   }
 
   test("sourceVocabOverlap: hand-computed jaccard, zero-overlap pair present") {
@@ -575,6 +583,12 @@ class AnalyticsSpec extends SparkSpec {
         }.toSeq.sortBy { case (id, h) => (h, id) }.take(5)
       assert(got == want, s"dim $dim top-5")
     }
+    // empty embedding: empty bits, no ANSI descending-sequence crash
+    val empties = Seq((0L, Seq.empty[Float], 0), (1L, Seq(1f, -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val eb = Similarity.binaryQuantize(empties).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(eb(0L).isEmpty && eb(1L).length == 1)
   }
 
   test("PCA: exact recovery on low-rank data, whitening variance, persist round-trip") {

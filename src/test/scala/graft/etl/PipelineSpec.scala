@@ -137,6 +137,20 @@ class PipelineSpec extends SparkSpec {
     val end = spark.read.parquet(out).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(end == Seq(1L, 4L, 5L, 6L), s"post-replay sketch leaked dups: $end")
+
+    // restarting with different sketch params must fail LOUD with the
+    // cause, not wedge on an opaque IncompatibleMergeException
+    Files.writeString(Paths.get(in, "b5.jsonl"),
+      doc(9L, "params drift probe document"))
+    val wedged = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = StreamingPipeline.bloomAdmissionPipeline(spark, in, sk, out, ckpt,
+        trigger = Trigger.AvailableNow(), expectedItems = 50000, fpp = 1e-6).start()
+      q.awaitTermination(120000)
+    }
+    val msg = wedged.getMessage +
+      Option(wedged.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("incompatible") && msg.contains("sketch"),
+      s"wrong failure: $msg")
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
