@@ -99,6 +99,28 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus health report — the one-row-per-source panel a
+    * crawl/ingest operator reads every round, assembled in ONE pass:
+    * volume (docs, tokens, mean chars), exact-duplication rate (the
+    * [[graft.analytics.Dedup.dedupRateBySource]] fingerprint), and
+    * empty-doc share. Every stat is a combinable aggregate over one
+    * `source` groupBy — map-side partials, |sources| output rows, no
+    * joins; at 100 TB this is a single scan. */
+  def sourceHealthReport(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(size(col("__toks"))).cast(LongType).as("n_tokens"),
+        round(avg(col("n_chars")), 2).as("mean_chars"),
+        round(lit(1.0) -
+          countDistinct(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+            .cast("double") / count(lit(1)), 4).as("dup_rate"),
+        round(avg(when(length(trim(col("text"))) === 0 || col("text").isNull,
+          1.0).otherwise(0.0)), 4).as("empty_share"))
+      .orderBy("source")
+
   /** Cluster-balanced diversity sampling — up to `quota` vectors per
     * unsupervised k-means cell, the cluster-then-sample curation pass
     * (prototype selection; the coverage complement of

@@ -1898,6 +1898,20 @@ object Registry {
       Some("""SELECT count(*)::BIGINT AS n_incoming,
         TRUE AS no_false_negatives, TRUE AS fp_ok FROM documents""")),
 
+    // per-source health panel: volume + dup rate + empty share in one
+    // combinable source groupBy (the ingest-round dashboard row)
+    QueryDef("corpus_health_report",
+      (s, d) => CorpusOps.sourceHealthReport(t(s, d, "documents")),
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_tokens,
+          round(avg(n_chars), 2) AS mean_chars,
+          round(1.0 - count(DISTINCT
+              md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::DOUBLE
+            / count(*), 4) AS dup_rate,
+          round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0
+            THEN 1.0 ELSE 0.0 END), 4) AS empty_share
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // cluster-balanced diversity sampling: k-means cells are not
     // DuckDB-reproducible, so the oracled surface is the invariant set
     // that pins the semantics given ANY clustering (the kmeans-recall

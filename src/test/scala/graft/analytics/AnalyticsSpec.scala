@@ -294,6 +294,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sourceHealthReport: hand-computed volume, dup rate, empty share per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "en", "s1"),
+      (2L, "Alpha, BETA!", "en", "s1"),   // normalized dup of 1
+      (3L, "gamma delta echo", "en", "s1"),
+      (4L, "  ", "en", "s2"),             // empty after trim
+      (5L, "zeta", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CorpusOps.sourceHealthReport(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // s1: 3 docs; tokens 2+2+3=7; fingerprints {alphabeta x2, gammadeltaecho}
+    //   -> dup 1 - 2/3 = 0.3333; s2: 2 docs; "  " splits to [""] = 1 token,
+    //   "zeta" = 1; empty share 0.5
+    assert(got == Seq(
+      ("s1", 3L, 7L, 12.67, 0.3333, 0.0),
+      ("s2", 2L, 2L, 3.0, 0.0, 0.5)))
+  }
+
   test("payloadDedup: identical binaries group, distinct ones don't, bytes never lie") {
     import spark.implicits._
     // docs 1 and 3 synthesize the SAME payload (same doc_id fed to the
