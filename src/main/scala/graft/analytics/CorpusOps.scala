@@ -144,8 +144,12 @@ object CorpusOps {
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // eager checkpoint: the centroid broadcast-join argmax feeds BOTH
+    // cellSizes and the graft_topk aggregate — the winnowPairs
+    // single-pass discipline (2 consumers, one execution)
     val assigned = Similarity.assignCellsByJoin(corpus, cents)
       .select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
     val cellSizes = assigned.groupBy("cell")
       .agg(count(lit(1)).cast(LongType).as("n_cell"))
     val u32 = conv(substring(

@@ -245,6 +245,11 @@ object Similarity {
     * semantics never enter. */
   def binaryQuantize(embeddings: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
+      // null rows dropped, matching pcaTrain's contract — an unfiltered
+      // null would map to a null bits array whose Hamming distances are
+      // null, silently vanishing from hammingTopK instead of visibly
+      // being excluded here
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         // empty-array guard: sequence(0, -1) is DESCENDING [0, -1] in
         // Spark (the gramHashes hazard), so a zero-length embedding
@@ -1009,22 +1014,27 @@ object Similarity {
     * place imperative per-partition code beats expressions: the dim²
     * outer-product update is a tight primitive loop, and the
     * alternative — exploding dim² columns per row — multiplies the
-    * scanned data ×dim²). The driver reduces #partitions × (dim²+dim+1)
-    * doubles and runs a cyclic Jacobi eigensolve on the dim×dim
-    * symmetric matrix — dim ≤ a few thousand is driver-trivial; the
-    * corpus never re-scans. Projection ([[pcaProject]]) is a narrow
-    * broadcast-literal matrix multiply. */
+    * scanned data ×dim²). The per-partition partials are merged
+    * DISTRIBUTEDLY (`treeReduce`, depth 2): at the 100 TB design point
+    * (10⁴–10⁵ input partitions × ~8.4 MB per partial at dim=1024) a
+    * driver-side collect of the partials would be a multi-GB-to-TB
+    * funnel — with the tree merge, exactly ONE (dim²+dim+1)-double
+    * matrix ever reaches the driver, which runs a cyclic Jacobi
+    * eigensolve on the dim×dim symmetric result — dim ≤ a few thousand
+    * is driver-trivial; the corpus never re-scans. Projection
+    * ([[pcaProject]]) is a narrow broadcast-literal matrix multiply. */
   def pcaTrain(embeddings: DataFrame, kComponents: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddingDim(embeddings)
     require(kComponents >= 1 && kComponents <= dim,
       s"kComponents must be in [1, $dim]: $kComponents")
-    val partials = graft.util.SparkUtil.widen(embeddings)
+    val (nTotal, sumVec, outerSum) = graft.util.SparkUtil.widen(embeddings)
       // null rows dropped, matching embeddingDim's contract — an
       // unguarded null would NPE as an opaque task failure
       .filter(col("embedding").isNotNull)
       .select(asDouble(col("embedding")).as("vec")).as[Seq[Double]]
+      .rdd
       .mapPartitions { it =>
         var n = 0L
         val s = new Array[Double](dim)
@@ -1041,13 +1051,27 @@ object Similarity {
             i += 1
           }
         }
-        if (n == 0) Iterator.empty else Iterator((n, s.toSeq, o.toSeq))
-      }.collect()
-    require(partials.nonEmpty, "pcaTrain: no embedding rows")
-    val n = partials.map(_._1).sum.toDouble
-    val mean = Array.tabulate(dim)(i => partials.map(_._2(i)).sum / n)
+        // every partition emits (zero partials included, so an
+        // all-empty RDD still reduces instead of throwing the opaque
+        // "empty collection" — the n == 0 require below owns that case)
+        Iterator((n, s, o))
+      }
+      // distributed pairwise merge — mutating the left operand is safe
+      // here (each partial is produced fresh by this stage, never
+      // shared), the standard MLlib treeAggregate economy
+      .treeReduce({ case ((n1, s1, o1), (n2, s2, o2)) =>
+        var i = 0
+        while (i < dim) { s1(i) += s2(i); i += 1 }
+        var j = 0
+        val d2 = dim * dim
+        while (j < d2) { o1(j) += o2(j); j += 1 }
+        (n1 + n2, s1, o1)
+      }, depth = 2)
+    require(nTotal > 0, "pcaTrain: no embedding rows")
+    val n = nTotal.toDouble
+    val mean = Array.tabulate(dim)(i => sumVec(i) / n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
-      partials.map(_._3(i * dim + j)).sum / n - mean(i) * mean(j)
+      outerSum(i * dim + j) / n - mean(i) * mean(j)
     }
     val (eigVals, eigVecs) = jacobiEig(cov)
     val top = eigVals.zipWithIndex.sortBy(-_._1).take(kComponents)
@@ -1085,6 +1109,11 @@ object Similarity {
       scaled.as(s"c$c")
     }
     graft.util.SparkUtil.widen(embeddings)
+      // same null contract as pcaTrain: a null embedding would yield a
+      // null proj and make downstream per-label stats count the row in
+      // n while skipping it in mean/min — filter here so train and
+      // project agree on the population
+      .filter(col("embedding").isNotNull)
       .withColumn("__centered",
         zip_with(asDouble(col("embedding")), meanLit, (a, b) => a - b))
       .select(col("vec_id") +: col("label") +: compCols: _*)

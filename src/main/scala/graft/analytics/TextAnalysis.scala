@@ -616,7 +616,11 @@ object TextAnalysis {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).cast("long").as("n_common"))
     sizes.select(col("source").as("source_a"), col("n_vocab").as("na"))
-      .crossJoin(sizes.select(col("source").as("source_b"), col("n_vocab").as("nb")))
+      // explicit broadcast: panel-sized today, but an UNhinted cross
+      // join is the one shape AQE can turn into a real cartesian stage
+      // at a 10⁴-source panel — pin the nested-loop side
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("source_b"), col("n_vocab").as("nb"))))
       .filter(col("source_a") < col("source_b"))
       .join(common, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),

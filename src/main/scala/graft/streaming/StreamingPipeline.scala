@@ -521,7 +521,22 @@ object StreamingPipeline {
             case VerName(v) => Some(v.toLong)
             case _ => None
           })
-        val prevId = versions().filter(_ < batchId).sorted.lastOption
+        // A version numbered ABOVE the current batch can only come from
+        // a mismatched checkpoint/sketchDir pairing (e.g. the checkpoint
+        // was wiped, restarting batchId at 0, while stale sketch_v* from
+        // the prior incarnation survive). Left alone they would silently
+        // become the "newest version < batchId" once batchId catches up,
+        // merging obsolete membership and over-rejecting novel docs —
+        // fail loud instead, like the bitSize require below. A version
+        // EQUAL to batchId is legitimate (crash-replay after the sketch
+        // write, before the commit) and is overwritten via tmp+rename.
+        val seen = versions()
+        require(seen.forall(_ <= batchId),
+          s"sketch dir $sketchDir has versions ${seen.filter(_ > batchId).sorted.mkString(",")} " +
+            s"ahead of batch $batchId: checkpoint and sketch directory are from " +
+            "different incarnations — restore the matching checkpoint, or delete " +
+            "the sketch directory to rebuild membership from scratch")
+        val prevId = seen.filter(_ < batchId).sorted.lastOption
         val prev: Option[BloomFilter] = prevId.map { v =>
           val in = fs.open(new Path(dir, s"sketch_v$v"))
           try BloomFilter.readFrom(in) finally in.close()
@@ -581,7 +596,11 @@ object StreamingPipeline {
           val os = fs.create(tmp, true)
           try merged.writeTo(os) finally os.close()
           if (fs.exists(fin)) fs.delete(fin, false)
-          fs.rename(tmp, fin)
+          // a silently failed rename would leave no sketch for this
+          // batch — later batches would read an older version and
+          // re-admit this batch's duplicates without any error surfacing
+          require(fs.rename(tmp, fin),
+            s"failed to publish sketch_v$batchId (rename $tmp -> $fin)")
           failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
           versions().filter(_ < batchId - 1).foreach(v =>
             fs.delete(new Path(dir, s"sketch_v$v"), false))

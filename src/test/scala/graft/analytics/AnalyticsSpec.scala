@@ -354,6 +354,14 @@ class AnalyticsSpec extends SparkSpec {
       ("s1", "s2", 2L, 0.5),
       ("s1", "s3", 0L, 0.0),
       ("s2", "s3", 0L, 0.0)))
+    // plan shape: the pair panel must be a broadcast nested loop, never
+    // a CartesianProduct stage (the AQE hazard of an unhinted crossJoin)
+    val plan = TextAnalysis.sourceVocabOverlap(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab-overlap panel fell to a cartesian stage:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab-overlap panel lost its broadcast hint:\n$plan")
   }
 
   test("bloomAdmit: duplicates never admitted, novels pass, deterministic") {
@@ -658,6 +666,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(fromDisk.keySet == proj.keySet)
     assert(proj.keys.forall(id =>
       fromDisk(id).zip(proj(id)).forall { case (a, b) => math.abs(a - b) < 1e-9 }))
+  }
+
+  test("PCA: tree-merged covariance equals naive driver math, partition-invariant, null rows excluded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val dim = 8
+    val data = (0 until 211).map(i =>
+      (i.toLong, Seq.fill(dim)((rng.nextGaussian() * 2.0).toFloat), i % 3))
+    // a null embedding row must be excluded from train AND project
+    val withNull = data :+ (999L, null.asInstanceOf[Seq[Float]], 0)
+    val df = withNull.toDF("vec_id", "embedding", "label")
+    // full-rank model: Σ λ·v·vᵀ reconstructs the covariance exactly
+    val model = Similarity.pcaTrain(df.repartition(7), dim)
+    val m = model.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2))).sortBy(_._1)
+    val mean = m.head._3
+    // naive driver-side mean/cov over the SAME float-ingested values
+    val vecs = data.map(_._2.map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val naiveMean = Array.tabulate(dim)(d => vecs.map(_(d)).sum / n)
+    val naiveCov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - naiveMean(i) * naiveMean(j))
+    mean.zip(naiveMean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, "mean mismatch") }
+    val comps = m.tail
+    (0 until dim).foreach { i => (0 until dim).foreach { j =>
+      val rec = comps.map { case (_, ev, v) => ev * v(i) * v(j) }.sum
+      assert(math.abs(rec - naiveCov(i)(j)) < 1e-7,
+        s"cov($i,$j) recon $rec vs naive ${naiveCov(i)(j)}")
+    }}
+    // partitioning must not change the model (tree merge ≡ one partial)
+    val single = Similarity.pcaTrain(df.coalesce(1), dim).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2))).sortBy(_._1)
+    m.zip(single).foreach { case ((c1, e1, v1), (c2, e2, v2)) =>
+      assert(c1 == c2 && math.abs(e1 - e2) < 1e-9 &&
+        v1.zip(v2).forall { case (a, b) => math.abs(a - b) < 1e-7 },
+        s"component $c1 differs across partitionings")
+    }
+    // null contract: train filtered it; project must agree (no null row out)
+    val proj = Similarity.pcaProject(df, model).collect().map(_.getLong(0)).toSet
+    assert(!proj.contains(999L) && proj.size == data.length)
+    // binaryQuantize shares the contract: null embedding row dropped
+    val bq = Similarity.binaryQuantize(df).collect().map(_.getLong(0)).toSet
+    assert(!bq.contains(999L) && bq.size == data.length)
   }
 
   test("persisted IVF centroids round-trip: search equals in-plan training") {

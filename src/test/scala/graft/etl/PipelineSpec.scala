@@ -151,6 +151,18 @@ class PipelineSpec extends SparkSpec {
       Option(wedged.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("incompatible") && msg.contains("sketch"),
       s"wrong failure: $msg")
+
+    // wiped checkpoint + retained sketchDir = mismatched incarnations:
+    // batchId restarts at 0 while sketch_v3/v4 survive — must fail LOUD
+    // up front, not silently merge the obsolete membership once batchId
+    // catches up to the stale version numbers
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val mismatched = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    val mmsg = mismatched.getMessage +
+      Option(mismatched.getCause).map(_.getMessage).getOrElse("")
+    assert(mmsg.contains("incarnation"), s"wrong failure: $mmsg")
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
