@@ -17,7 +17,34 @@ import scala.util.control.NonFatal
   * interleaving a spike lands on ONE round's pass through the suite and
   * the other rounds still yield a clean sample for every query. */
 object Bench {
+  /** Isolation evidence, embedded in every published JSON line so a
+    * contended run is self-evidencing instead of circumstantial (the
+    * r6→r7 uniform ~1.1–1.6× inflation on untouched queries could only
+    * be argued, not shown):
+    *  - `load_avg_start` — the 1-min system load BEFORE any Spark work:
+    *    ambient load; on an idle box this is ≪ core count.
+    *  - `load_avg_end` — same at exit; includes the bench's own threads
+    *    (≈ concurrent task slots), so alone it proves little, but a
+    *    value far above the core count means someone else ran too.
+    *  - `cpu_share` — this JVM's CPU seconds ÷ (wall × cores): the
+    *    discriminator. External contention steals cycles from the
+    *    bench, so a run whose share drops well below its usual band
+    *    (with the same query set) was contended even if the thief
+    *    exited before the end-of-run load sample. */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  private def processCpuSecs(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
+    val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
@@ -218,7 +245,12 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+      val cpu = processCpuSecs()
+      val wall = (System.nanoTime() - wallStart) / 1e9
+      if (cpu < 0) -1.0
+      else cpu / (wall * Runtime.getRuntime.availableProcessors())
+    }%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,6 +51,65 @@ object Registry {
     } else df
   }
 
+  /** Per-JVM memoized IVF-PQ index dir for `sim_ivfpq_search` — train
+    * once, search many. Keyed by sf dir; a fresh temp dir per JVM means
+    * a regenerated testdata set can never collide with a stale index
+    * (the cross-process staleness a fixed path would invite). */
+  private val ivfPqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexDir(s: SparkSession, d: String): String =
+    ivfPqDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      Similarity.writeIvfPq(t(s, d, "embeddings"), dir,
+        nCells = 8, m = 16, ksub = 32, rounds = 3)
+      dir
+    })
+
+  /** The IVF-PQ selection-quality surface shared by `sim_ivfpq_topk`
+    * (train+search) and `sim_ivfpq_search` (read-back index): ADC
+    * top-10 at nProbe=4 vs brute-force exact — raw recall@10 on
+    * unstructured random embeddings is too unstable to oracle
+    * (measured 1–7 hits across SFs), so the oracled invariant is that
+    * the mean TRUE cosine of the ADC-selected 10 sits within 0.15 of
+    * the exact top-10's mean and clears 0.15 absolutely (random-pick
+    * baseline ~0.0 ± 0.04; measured gap ≤ 0.078, floor ≥ 0.234). */
+  private def ivfPqSelectionSurface(s: SparkSession, emb: DataFrame,
+                                    cc: DataFrame, cb: DataFrame,
+                                    codes: DataFrame): DataFrame = {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val sel = Similarity.ivfPqTopK(emb, cc, cb, codes, qids, 10, nProbe = 4)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(emb, qids, 10)
+      .select(col("query_id"), col("vec_id"))
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val qv = corpus.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    def meanTrueCos(picks: DataFrame, out: String): DataFrame =
+      picks.join(corpus, "vec_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"),
+          (aggregate(zip_with(col("vec"), col("qvec"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(transform(col("vec"), x => x * x),
+              lit(0.0), (acc, x) => acc + x)) *
+             sqrt(aggregate(transform(col("qvec"), x => x * x),
+               lit(0.0), (acc, x) => acc + x)))).as("cos"))
+        .groupBy("query_id").agg(avg("cos").as(out))
+    import s.implicits._
+    qids.toDF("query_id")
+      .join(meanTrueCos(sel, "sel_cos"), Seq("query_id"), "left")
+      .join(meanTrueCos(exact, "exact_cos"), Seq("query_id"), "left")
+      .select(col("query_id"), lit(10L).as("k"),
+        (coalesce(col("sel_cos"), lit(-1.0)) >=
+          coalesce(col("exact_cos"), lit(1.0)) - 0.15 &&
+         coalesce(col("sel_cos"), lit(-1.0)) >= 0.15).as("sel_ok"))
+      .orderBy("query_id")
+  }
+
+  private val ivfPqSelectionOracle: String =
+    """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+      TRUE AS sel_ok FROM embeddings WHERE vec_id < 5
+      ORDER BY query_id"""
+
   // deterministic heuristic inputs (mirrored literally in oracle SQL)
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("batch", "stream"), "en" -> Seq("the", "a"),
@@ -1215,7 +1274,7 @@ object Registry {
             ON a.key = b.key AND a.band = b.band
           WHERE a.key IS NOT NULL
           ORDER BY doc_a, doc_b"""
-      }))
+      }, bench = true))
 
   // ---------------- similarity search ---------------------------------
 
@@ -1481,40 +1540,29 @@ object Registry {
     QueryDef("sim_ivfpq_topk",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val qids = Seq(0L, 1L, 2L, 3L, 4L)
         val (cc, cb, codes) =
           Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
-        val sel = Similarity.ivfPqTopK(emb, cc, cb, codes, qids, 10, nProbe = 4)
-          .select(col("query_id"), col("vec_id"))
-        val exact = Similarity.bruteForceTopK(emb, qids, 10)
-          .select(col("query_id"), col("vec_id"))
-        val corpus = emb.select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("vec"))
-        val qv = corpus.filter(col("vec_id").isInCollection(qids))
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-        def meanTrueCos(picks: DataFrame, out: String): DataFrame =
-          picks.join(corpus, "vec_id").join(broadcast(qv), "query_id")
-            .select(col("query_id"),
-              (aggregate(zip_with(col("vec"), col("qvec"), (a, b) => a * b),
-                lit(0.0), (acc, x) => acc + x) /
-                (sqrt(aggregate(transform(col("vec"), x => x * x),
-                  lit(0.0), (acc, x) => acc + x)) *
-                 sqrt(aggregate(transform(col("qvec"), x => x * x),
-                   lit(0.0), (acc, x) => acc + x)))).as("cos"))
-            .groupBy("query_id").agg(avg("cos").as(out))
-        import s.implicits._
-        qids.toDF("query_id")
-          .join(meanTrueCos(sel, "sel_cos"), Seq("query_id"), "left")
-          .join(meanTrueCos(exact, "exact_cos"), Seq("query_id"), "left")
-          .select(col("query_id"), lit(10L).as("k"),
-            (coalesce(col("sel_cos"), lit(-1.0)) >=
-              coalesce(col("exact_cos"), lit(1.0)) - 0.15 &&
-             coalesce(col("sel_cos"), lit(-1.0)) >= 0.15).as("sel_ok"))
-          .orderBy("query_id")
+        ivfPqSelectionSurface(s, emb, cc, cb, codes)
       },
-      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
-        TRUE AS sel_ok FROM embeddings WHERE vec_id < 5
-        ORDER BY query_id"""),
+      Some(ivfPqSelectionOracle),
+      bench = true),
+
+    // IVF-PQ SEARCH ONLY — the serve path, measured without training:
+    // the index is persisted ONCE per JVM (writeIvfPq to a temp dir,
+    // memoized; ivfPqIndex is deterministic so any build is THE build)
+    // and the query reads the three tables back — under the bench's
+    // min-of-N protocol round 1 pays the build, later rounds measure
+    // the pure probe-first ADC search. Same selection-quality surface
+    // and oracle as sim_ivfpq_topk (which stays benched as the
+    // train+search row, keeping train cost visible).
+    QueryDef("sim_ivfpq_search",
+      (s, d) => {
+        val dir = ivfPqIndexDir(s, d)
+        ivfPqSelectionSurface(s, t(s, d, "embeddings"),
+          s.read.parquet(s"$dir/cells"), s.read.parquet(s"$dir/codebook"),
+          s.read.parquet(s"$dir/codes"))
+      },
+      Some(ivfPqSelectionOracle),
       bench = true),
 
     // MMR diversified re-ranking: k=3 from a 10-candidate pool at
@@ -1611,7 +1659,7 @@ object Registry {
             + coalesce(octet_length(encode(text)), 0) AS BIGINT) AS payload_bytes,
           round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
-        FROM documents ORDER BY doc_id""")),
+        FROM documents ORDER BY doc_id"""), bench = true),
 
     // binary-modality exact dedup: the fixture forges REAL payload
     // collisions by synthesizing every doc's image from its doc_id
@@ -1634,7 +1682,7 @@ object Registry {
       },
       Some("""SELECT min(doc_id)::BIGINT AS keep_doc_id,
           count(*)::BIGINT AS group_size
-        FROM documents GROUP BY doc_id % 50 ORDER BY keep_doc_id""")),
+        FROM documents GROUP BY doc_id % 50 ORDER BY keep_doc_id"""), bench = true),
 
     // audio WAV header decode: duration is derived from the PARSED
     // data-chunk length and byte rate — the oracle reconstructs both
@@ -1669,7 +1717,8 @@ object Registry {
         SELECT doc_id, frame_idx::BIGINT AS frame_idx,
           md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
           octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
-        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""")))
+        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
+      bench = true))
 
   // ---------------- corpus assembly (selection / mixing / budgeting) --
 
@@ -1865,7 +1914,7 @@ object Registry {
             (sa.n_vocab + sb.n_vocab - coalesce(n_common, 0)), 4) AS jaccard
         FROM sizes sa JOIN sizes sb ON sa.source < sb.source
         LEFT JOIN common ON source_a = sa.source AND source_b = sb.source
-        ORDER BY source_a, source_b""")),
+        ORDER BY source_a, source_b"""), bench = true),
 
     // Bloom-filter admission: the sketch's Murmur3 probes are not
     // DuckDB-expressible, so the oracled surface is the guarantee set
@@ -1910,7 +1959,7 @@ object Registry {
             / count(*), 4) AS dup_rate,
           round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0
             THEN 1.0 ELSE 0.0 END), 4) AS empty_share
-        FROM documents GROUP BY source ORDER BY source""")),
+        FROM documents GROUP BY source ORDER BY source"""), bench = true),
 
     // cluster-balanced diversity sampling: k-means cells are not
     // DuckDB-reproducible, so the oracled surface is the invariant set
@@ -1936,7 +1985,7 @@ object Registry {
           .toDF("n_corpus", "quota_ok", "coverage_ok", "distinct_ok")
       },
       Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
-        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings""")),
+        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings"""), bench = true),
 
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // deg/freq word scoring, top-3 per doc. Rank compares the ROUNDED
@@ -1970,7 +2019,7 @@ object Registry {
                 ORDER BY score DESC, phrase, ppos) AS BIGINT) AS rk
             FROM sc) WHERE rk <= 3
           ORDER BY doc_id, rk"""
-      }),
+      }, bench = true),
 
     // k-anonymity release audit over the (lang, source) quasi-identifier
     QueryDef("corpus_k_anonymity",
