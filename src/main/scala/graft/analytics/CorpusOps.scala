@@ -121,6 +121,47 @@ object CorpusOps {
           1.0).otherwise(0.0)), 4).as("empty_share"))
       .orderBy("source")
 
+  /** Temperature-scaled source mixture weights — the domain-weighting
+    * step of every multi-source pretraining recipe (sample source `s`
+    * with probability ∝ n_tokens(s)^α; α = 1 is natural proportions, α
+    * → 0 flattens toward uniform — the public Llama/GPT-3 data-mixing
+    * convention, also the baseline the DoReMi line of work starts
+    * from). For a token `budget`, also reports the expected epoch
+    * count over each source (budget × weight ÷ n_tokens) — the
+    * repetition-rate sanity check (an epochs value ≫ 1 on a small
+    * source means the temperature is over-sampling it into
+    * memorization territory).
+    *
+    * Output: (source, n_tokens, weight 6 dp, epochs 4 dp), ordered.
+    *
+    * Scale shape (100 TB): ONE combinable source groupBy (map-side
+    * partials, |sources| output rows) + a single-row broadcast cross
+    * join for the normalizer — the [[sourceHealthReport]] panel shape;
+    * the corpus is scanned exactly once. */
+  def sourceMixWeights(documents: DataFrame, alpha: Double,
+                       budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val per = graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col("text")))
+      .groupBy("source")
+      // coalesce: a source whose every text is null must report 0
+      // tokens (weight 0), not a null that poisons the normalizer
+      .agg(coalesce(sum(size(col("__toks"))), lit(0L)).cast(LongType)
+        .as("n_tokens"))
+    val w = pow(col("n_tokens").cast("double"), alpha)
+    val tot = per.agg(sum(pow(col("n_tokens").cast("double"), alpha)).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(w / col("__tot"), 6).as("weight"),
+        // a zero-token source (all-null texts) gets weight 0 and, by
+        // convention, 0 epochs rather than a 0/0 null
+        when(col("n_tokens") > 0,
+          round(lit(budgetTokens.toDouble) * (w / col("__tot")) / col("n_tokens"), 4))
+          .otherwise(0.0).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Cluster-balanced diversity sampling — up to `quota` vectors per
     * unsupervised k-means cell, the cluster-then-sample curation pass
     * (prototype selection; the coverage complement of

@@ -175,6 +175,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplicate attribution — which SOURCE PAIRS share
+    * exact-duplicate content ([[exactFingerprint]] identity): the
+    * mirror-site / syndication detector the per-source
+    * [[dedupRateBySource]] rate can't see (a source can be internally
+    * clean while wholly duplicating another). Output: one row per
+    * unordered source pair that shares ≥ 1 fingerprint (source_a <
+    * source_b, n_shared = distinct shared fingerprints), ordered —
+    * the SPARSE nonzero matrix (zero rows carry no attribution signal
+    * here, unlike [[TextAnalysis.sourceVocabOverlap]]'s panel).
+    *
+    * Scale shape (100 TB): the corpus reduces to the DISTINCT
+    * (fingerprint, source) table in the scan projection — 32-byte
+    * hashes cross the shuffle, never text; the only join is the
+    * fingerprint equi-join, whose per-key fan-out is bounded by
+    * |sources|² (panel-sized), never corpus-sized; null texts (null
+    * fingerprint) are dropped before it — the null-bucket O(m²)
+    * hazard [[bandTable]] documents. */
+  def dupSourceMatrix(documents: DataFrame): DataFrame = {
+    val fs = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(exactFingerprint.as("fp"), col("source"))
+      .distinct()
+    fs.select(col("fp"), col("source").as("source_a"))
+      .join(fs.select(col("fp"), col("source").as("source_b")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-source exact-duplication rate — the corpus-health panel row
     * a crawl operator reads per ingest round ("which source is
     * re-serving the same pages?"): docs, distinct normalized

@@ -631,6 +631,41 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Boilerplate n-gram mining — the top-`topK` word 3-shingles by
+    * DOCUMENT frequency (distinct docs containing the gram, df ≥
+    * `minDf`): the blocklist-construction pass behind C4-style
+    * boilerplate rules and [[graft.analytics.Dedup.winnowPairs]]'s
+    * stop-fingerprint cap (a gram in thousands of documents is chrome
+    * — cookie banners, nav text — not content, and feeding it to any
+    * pair generator is quadratic fan-out for zero signal).
+    *
+    * Output: (gram, df), ordered df DESC then gram — the deterministic
+    * total order both engines cut the top-k on.
+    *
+    * Scale shape (100 TB): tokens BOUND once (SPARK-35410), per-doc
+    * `array_distinct` BEFORE the explode (df counts docs, so dedup
+    * happens in the narrow projection — a doc repeating a gram 100×
+    * sends it across the shuffle once), one combinable gram groupBy,
+    * and the global top-k is `orderBy.limit` = TakeOrderedAndProject —
+    * a per-partition heap + driver merge of topK rows, never a full
+    * sort of the vocab-sized df table. */
+  def boilerplateNgrams(documents: DataFrame, minDf: Long = 2,
+                        topK: Int = 20): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.analytics.Dedup.shinglesFromWords(col("__words"), 3)))
+          .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, public): candidate
     * phrases = maximal runs of non-stopword tokens; per-document word
     * stats freq(w) = occurrences, deg(w) = Σ length of phrases

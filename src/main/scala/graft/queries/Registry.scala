@@ -923,6 +923,21 @@ object Registry {
             round(covar_pop(ln(rk), ln(cnt)) / var_pop(ln(rk)), 4) + 0.0
               AS zipf_slope
           FROM r GROUP BY source HAVING count(*) >= 2 ORDER BY source"""
+      }),
+
+    // boilerplate 3-gram mining: top-20 word shingles by DOCUMENT
+    // frequency (per-doc distinct BEFORE the explode), df >= 2; the
+    // global cut is a TakeOrderedAndProject heap on the total order
+    // (df DESC, gram) both engines share
+    QueryDef("txt_boilerplate_ngrams",
+      (s, d) => TextAnalysis.boilerplateNgrams(t(s, d, "documents"), 2, 20),
+      Some {
+        s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
+            AS gram FROM w),
+          d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
+          SELECT gram, df FROM d WHERE df >= 2
+          ORDER BY df DESC, gram LIMIT 20"""
       }))
 
   // ---------------- dedup ---------------------------------------------
@@ -2366,7 +2381,53 @@ object Registry {
             CASE WHEN ('0x' || substr(md5('split:' || cluster_id), 1, 8))::BIGINT
               % 1000 < 200 THEN 'test' ELSE 'train' END AS split
           FROM cl ORDER BY doc_id"""
-      }))
+      }),
+
+    // temperature-scaled source mixture weights (α=0.7, 1M-token
+    // budget): ONE source groupBy + a single-row broadcast normalizer;
+    // weight/epochs are float surfaces → rounded 6/4 dp, identical
+    // operation order in both engines
+    QueryDef("corpus_mix_weights",
+      (s, d) => CorpusOps.sourceMixWeights(t(s, d, "documents"), 0.7, 1000000L),
+      Some("""WITH per AS (SELECT source,
+          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+            AS n_tokens
+          FROM documents GROUP BY source)
+        SELECT source, n_tokens,
+          round(power(n_tokens, 0.7) / sum(power(n_tokens, 0.7)) OVER (), 6)
+            AS weight,
+          CASE WHEN n_tokens > 0
+            THEN round(1000000.0 * (power(n_tokens, 0.7) /
+              sum(power(n_tokens, 0.7)) OVER ()) / n_tokens, 4)
+            ELSE 0.0 END AS epochs
+        FROM per ORDER BY source""")),
+
+    // cross-source exact-dup attribution: sparse nonzero source-pair
+    // matrix over distinct (fingerprint, source) — 32-byte hashes
+    // cross the shuffle, fan-out bounded by |sources|² per key. The
+    // synthetic corpus's dups are all INTRA-source, so the fixture
+    // forges mirror sources from a doc_id slice (the corpus_cross_pairs
+    // pattern) — otherwise the oracle would only ever compare empty
+    QueryDef("corpus_dup_matrix",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val mirror = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", concat(lit("mirror:"), col("source")))
+        Dedup.dupSourceMatrix(docs.unionByName(mirror))
+      },
+      Some("""WITH all_docs AS (
+          SELECT text, source FROM documents
+          UNION ALL
+          SELECT text, 'mirror:' || source AS source FROM documents
+          WHERE doc_id % 7 = 0),
+        f AS (SELECT DISTINCT
+          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, source
+          FROM all_docs WHERE text IS NOT NULL)
+        SELECT a.source AS source_a, b.source AS source_b,
+          count(*)::BIGINT AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source ORDER BY source_a, source_b""")))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

@@ -337,6 +337,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("sourceMixWeights: hand-computed temperature weights, zero-token source, weights sum to 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten", "en", "s1"),
+      (2L, "alpha beta gamma delta eps", "en", "s2"),
+      (3L, null.asInstanceOf[String], "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CorpusOps.sourceMixWeights(d, 0.5, 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // Math.pow, not sqrt: pow(x, 0.5) and sqrt(x) may differ by an ulp
+    val (p10, p5) = (math.pow(10, 0.5), math.pow(5, 0.5))
+    val tot = p10 + p5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("s1", 10L, r6(p10 / tot), r4(100.0 * (p10 / tot) / 10)),
+      ("s2", 5L, r6(p5 / tot), r4(100.0 * (p5 / tot) / 5)),
+      ("s3", 0L, 0.0, 0.0)))
+    // weights sum to 1 (up to the 6 dp rounding)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 2e-6)
+  }
+
+  test("boilerplateNgrams: df counts docs not occurrences, minDf filter, deterministic top-k cut") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),          // grams: "a b c", "b c d"
+      (2L, "a b c x"),          // grams: "a b c", "b c x"
+      (3L, "a b c d"),          // dup of 1
+      (4L, "z z z z z"),        // "z z z" ×3 in ONE doc -> df 1, not 3
+      (5L, "w x"),              // < 3 words: no grams
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.boilerplateNgrams(d, minDf = 2, topK = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b c", 3L), ("b c d", 2L)))
+    // per-doc repetition collapses: at minDf=1 "z z z" has df exactly 1
+    val all = TextAnalysis.boilerplateNgrams(d, minDf = 1, topK = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all("z z z") == 1L)
+    // top-k cuts on the (df DESC, gram) total order
+    val top2 = TextAnalysis.boilerplateNgrams(d, minDf = 1, topK = 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(top2 == Seq("a b c", "b c d"))
+  }
+
+  test("dupSourceMatrix: cross-source attribution over normalized fingerprints, nulls excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello World!", "s1"),
+      (2L, "hello world", "s2"),
+      (3L, "hello, WORLD", "s3"),     // all three sources share fp(helloworld)
+      (4L, "second shared doc", "s1"),
+      (5L, "SECOND shared DOC", "s2"), // s1-s2 share a second fp
+      (6L, "only in s1", "s1"),
+      (7L, "only in s1", "s1"),       // intra-source dup: no pair row
+      (8L, null.asInstanceOf[String], "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.dupSourceMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
   test("sourceVocabOverlap: hand-computed jaccard, zero-overlap pair present") {
     import spark.implicits._
     val d = Seq(
