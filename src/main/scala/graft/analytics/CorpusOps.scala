@@ -121,6 +121,61 @@ object CorpusOps {
           1.0).otherwise(0.0)), 4).as("empty_share"))
       .orderBy("source")
 
+  /** Quality-stratified sampling — `quota` docs from each of
+    * `nBuckets` equal-population strata of the quality distribution
+    * (stratify-then-sample: a uniform sample of a web corpus is
+    * dominated by the low-quality mode; equal-population strata
+    * guarantee the eval/inspection set covers every quality band,
+    * the standard audit-sample construction). The stratification
+    * score is the ROUNDED stopword ratio (the cheapest
+    * [[TextAnalysis.qualityScores]] signal; raw-double ordering would
+    * be ulp-unstable cross-engine), null-text docs pinned to score −1
+    * (Spark sorts nulls first, DuckDB last — an explicit sentinel
+    * instead of engine defaults). Stratum = ((rank − 1) × nBuckets)
+    * div n over the skew-safe [[graft.metrics.Metrics.rankByKey]]
+    * global rank (range partition + per-partition windows — no
+    * single-reducer funnel at any corpus size); within a stratum the
+    * winners are the `quota` smallest u32(md5(salt:doc_id)) through
+    * the `graft_topk` heap (map-side combine, ≤quota rows per stratum
+    * per partition cross the shuffle). Output: (doc_id, bucket,
+    * score), ordered by doc_id; every stratum yields exactly
+    * min(quota, stratum size) rows. */
+  def stratifiedQualitySample(documents: DataFrame, stopwords: Seq[String],
+                              nBuckets: Int = 10, quota: Int = 10,
+                              salt: String = "strat"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    require(quota > 0, s"quota must be positive: $quota")
+    require(stopwords.nonEmpty, "stratification needs a stopword set")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val score = coalesce(
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4),
+      lit(-1.0))
+    val scored = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("_g", lit(1))
+    // eager checkpoint: the ranked corpus feeds the heap AND the
+    // join-back (2 consumers, one execution — the repo discipline)
+    val bucketed = graft.metrics.Metrics.rankByKey(scored, "_g",
+        Seq("score", "doc_id"))
+      .select(col("doc_id"), col("score"),
+        expr(s"((_rank - 1) * $nBuckets) div _nk").cast("long").as("bucket"))
+      .localCheckpoint(true)
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val winners = bucketed
+      .select(col("bucket"), col("doc_id"), (-u32).cast("double").as("neg"))
+      .groupBy("bucket")
+      .agg(expr(s"graft_topk(neg, doc_id, $quota)").as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    bucketed.join(broadcast(winners), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("bucket"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled source mixture weights — the domain-weighting
     * step of every multi-source pretraining recipe (sample source `s`
     * with probability ∝ n_tokens(s)^α; α = 1 is natural proportions, α

@@ -307,6 +307,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment pairs — the ASYMMETRIC near-dup case both Jaccard
+    * and [[winnowPairs]]'s raw shared-count undersell: a short document
+    * wholly quoted inside a long one has low Jaccard (union is
+    * long-doc-sized) but containment ≈ 1 against the SHORT side.
+    * Score = shared winnow fingerprints ÷ the smaller doc's full
+    * winnow-set size (the Broder containment estimate over the winnow
+    * sample); pairs at `containment ≥ minContainment` survive. The
+    * denominator is the PRE-cap set size while the numerator counts
+    * only post-cap shared fingerprints — containment is therefore
+    * conservative (never inflated by dropping stop fingerprints, and
+    * bounded ≤ 1 by construction). Output: (doc_a, doc_b, n_shared,
+    * containment 4 dp — the filter compares the ROUNDED value, the
+    * cross-engine ulp discipline), doc_a < doc_b, ordered.
+    *
+    * Scale shape (100 TB): identical to [[winnowPairs]] — fingerprint
+    * equi-join with the stop-fingerprint df cap bounding per-key
+    * fan-out at maxFpDf²; the set-size table is one combinable doc_id
+    * groupBy joined back pair-sized (pairs ≪ corpus), never all-pairs
+    * anywhere. In-plan entry eagerly checkpoints the fingerprint table
+    * once ([[winnowPairs]]'s single-pass discipline — here it feeds
+    * FOUR branches: sizes, the df cap, and both join sides). */
+  def containmentPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
+                       minContainment: Double = 0.5,
+                       maxFpDf: Long = 64): DataFrame =
+    containmentPairsFromFingerprints(
+      winnowFingerprintTable(documents, k, w).localCheckpoint(true),
+      minContainment, maxFpDf)
+
+  /** Scoring stage of [[containmentPairs]] over an existing (doc_id,
+    * fp) table (in-plan or read back from
+    * [[writeWinnowFingerprints]]). */
+  def containmentPairsFromFingerprints(rawFps: DataFrame,
+                                       minContainment: Double,
+                                       maxFpDf: Long): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0, 1]: $minContainment")
+    require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
+    val fps = rawFps.dropDuplicates("doc_id", "fp")
+    val sizes = fps.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_fp"))
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxFpDf)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val shared = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("__na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("__nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")), 4).as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Banding stage alone, over an existing signature table — computed
     * in-plan by [[minhashSignatures]] or read back from a
     * [[writeSignatures]] parquet (signatures computed ONCE per corpus,

@@ -758,6 +758,42 @@ object Registry {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
+    // winnow containment: the ASYMMETRIC near-dup case (short doc
+    // quoted inside a long one — low Jaccard, high containment vs the
+    // short side); score = shared post-cap fingerprints / the smaller
+    // doc's FULL winnow-set size, filter on the ROUNDED value
+    QueryDef("dedup_containment_pairs",
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"),
+        k = 8, w = 16, minContainment = 0.2, maxFpDf = 16),
+      Some("""WITH g AS (SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+            i -> substr(md5(substr(text, i, 8)), 1, 8)) AS grams
+          FROM documents),
+        wfp AS (SELECT doc_id,
+          CASE WHEN len(grams) >= 16 THEN
+            list_distinct(list_transform(range(1, len(grams) - 15 + 1),
+              j -> list_min(grams[j:j+15])))
+          WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS wins
+          FROM g),
+        fp AS (SELECT doc_id, unnest(wins) AS fp FROM wfp),
+        sizes AS (SELECT doc_id, len(wins)::BIGINT AS n_fp FROM wfp
+          WHERE len(wins) > 0),
+        rare AS (SELECT fp FROM fp GROUP BY fp
+          HAVING count(DISTINCT doc_id) <= 16),
+        kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+        sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*)::BIGINT AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, n_shared,
+          round(CAST(n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp), 4)
+            AS containment
+        FROM sh JOIN sizes na ON na.doc_id = sh.doc_a
+          JOIN sizes nb ON nb.doc_id = sh.doc_b
+        WHERE round(CAST(n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp), 4)
+          >= 0.2
+        ORDER BY doc_a, doc_b""")),
+
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id,
@@ -2427,11 +2463,46 @@ object Registry {
         SELECT a.source AS source_a, b.source AS source_b,
           count(*)::BIGINT AS n_shared
         FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
-        GROUP BY a.source, b.source ORDER BY source_a, source_b""")))
+        GROUP BY a.source, b.source ORDER BY source_a, source_b""")),
+
+    // quality-stratified audit sampling: 10 docs from each of 10
+    // equal-population strata of the ROUNDED stopword-ratio
+    // distribution; global rank is the skew-safe rankByKey (constant
+    // key), stratum = ((rank-1)*B) div n — integer arithmetic, exact
+    // in both engines; winners = smallest u32(md5) per stratum via
+    // the graft_topk heap. (NOT corpus_stratified_sample — that name
+    // is the per-language hash sampler above.)
+    QueryDef("corpus_quality_strata",
+      (s, d) => CorpusOps.stratifiedQualitySample(t(s, d, "documents"),
+        stopwords, 10, 10, "strat"),
+      Some {
+        val w = """regexp_split_to_array(trim(text), '\s+')"""
+        s"""WITH q AS (SELECT doc_id,
+            coalesce(round(CAST(len(list_filter($w,
+              t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE) /
+              len($w), 4), -1.0) AS score
+          FROM documents),
+          r AS (SELECT doc_id, score,
+            row_number() OVER (ORDER BY score, doc_id) AS rk,
+            count(*) OVER () AS n FROM q),
+          b AS (SELECT doc_id, score, ((rk - 1) * 10) // n AS bucket FROM r),
+          s AS (SELECT *, row_number() OVER (PARTITION BY bucket
+            ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              doc_id) AS srk FROM b)
+          SELECT doc_id, bucket::BIGINT AS bucket, score FROM s
+          WHERE srk <= 10 ORDER BY doc_id"""
+      }))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++
       multimodal ++ corpus
+
+  // a duplicated name would silently SHADOW the earlier query in the
+  // maps below (Map last-wins) — the earlier operator's oracle coverage
+  // would vanish without any failure; fail loud at class init instead
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names: " + all.groupBy(_.name).collect {
+      case (n, ds) if ds.size > 1 => n }.mkString(", "))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

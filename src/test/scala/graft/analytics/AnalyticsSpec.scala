@@ -404,6 +404,84 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
 
+  test("containmentPairs: embedded substring scores high containment, unrelated absent, bounded by 1") {
+    val rng = new scala.util.Random(7)
+    def randText(n: Int) =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val long = randText(400)
+    val short = long.substring(120, 270) // 150-char interior quote
+    val d = docs(
+      1L -> long,
+      2L -> short,
+      3L -> long,          // exact dup of 1 -> containment 1.0
+      4L -> randText(300)) // unrelated
+    val got = Dedup.containmentPairs(d, minContainment = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // the quote is contained in BOTH copies of the long doc
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)),
+      s"missing containment pairs: ${got.keySet}")
+    assert(got((1L, 3L))._2 == 1.0, "exact dup must have containment 1.0")
+    assert(got((1L, 2L))._2 >= 0.5 && got.values.forall(_._2 <= 1.0))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc must not pair")
+    // persisted-fingerprint path ≡ in-plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    Dedup.writeWinnowFingerprints(d, dir)
+    val fromDisk = Dedup.containmentPairsFromFingerprints(
+        spark.read.parquet(dir), 0.5, 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(fromDisk == got)
+  }
+
+  test("stratifiedQualitySample: exact per-stratum quotas, integer bucket math, deterministic winners") {
+    import spark.implicits._
+    val sw = Seq("the", "a", "of", "and")
+    // 21 docs with score i/20 (strictly increasing with doc_id) + a null
+    val rows = (0 to 20).map { i =>
+      (i.toLong, (Seq.fill(i)("the") ++ Seq.fill(20 - i)("xyz")).mkString(" "))
+    } :+ (99L, null.asInstanceOf[String])
+    val d = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CorpusOps.stratifiedQualitySample(d, sw, nBuckets = 4, quota = 2,
+        salt = "s8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replicate the contract: rank by (score asc, doc_id), null -> -1.0
+    def score(t: (Long, String)): Double =
+      if (t._2 == null) -1.0
+      else {
+        val w = t._2.trim.split("\\s+")
+        BigDecimal(w.count(sw.contains).toDouble / w.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val ranked = rows.sortBy(t => (score(t), t._1)).zipWithIndex
+    val n = rows.length
+    val expBucket = ranked.map { case ((id, _), idx) =>
+      id -> (idx.toLong * 4 / n)
+    }.toMap
+    got.foreach { case (id, b, _) =>
+      assert(b == expBucket(id), s"doc $id bucket $b != ${expBucket(id)}") }
+    // exact quotas: every stratum has >= 2 docs here, so exactly 2 each
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0L -> 2, 1L -> 2, 2L -> 2, 3L -> 2))
+    // winners are the quota smallest u32(md5(salt:doc_id)) per stratum
+    def u32(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s8:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expWinners = expBucket.groupBy(_._2).view.mapValues(
+      _.keys.toSeq.sortBy(id => (u32(id), id)).take(2).toSet).toMap
+    got.groupBy(_._2).foreach { case (b, xs) =>
+      assert(xs.map(_._1).toSet == expWinners(b), s"bucket $b winners") }
+    // determinism
+    val again = CorpusOps.stratifiedQualitySample(d, sw, 4, 2, "s8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("sourceVocabOverlap: hand-computed jaccard, zero-overlap pair present") {
     import spark.implicits._
     val d = Seq(
