@@ -547,6 +547,35 @@ object Similarity {
     codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Incremental index append — encode NEW vectors against the
+    * PERSISTED model (cells + codebook stay frozen) and append their
+    * codes: the serve-path maintenance op that keeps a billion-vector
+    * index fresh without the train cost (the standard IVF freshness
+    * trade — quantization error drifts as the data distribution moves;
+    * retrain with [[writeIvfPq]] when reconstruction quality decays,
+    * monitored via [[ivfPqReconstructionStats]]).
+    *
+    * Scale shape: ONE narrow pass over the new batch (cell argmax +
+    * residual + code expression — all literal-matrix codegen), an
+    * append-only write of 4 + m bytes a vector; the existing corpus is
+    * never read, let alone re-encoded. Identical vectors encode
+    * identically whenever they're appended (frozen model ⇒
+    * deterministic codes — spec-pinned). NOT idempotent per call: a
+    * re-run appends duplicate code rows (wrap in a batch-id overwrite
+    * like [[graft.streaming.StreamingPipeline]]'s sinks when driving
+    * this from a stream). */
+  def ivfPqAppend(newEmbeddings: DataFrame, dir: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cc = spark.read.parquet(s"$dir/cells")
+    val cb = collectCodebook(spark.read.parquet(s"$dir/codebook"))
+    residualFrame(graft.util.SparkUtil.widen(newEmbeddings), cc)
+      .select(col("vec_id"), col("label"), col("cell"),
+        asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        pqCodeExpr(cb).as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the
     * residual frame IVF-PQ trains and encodes over. One narrow
     * projection: in-expression cell argmax + a zip_with subtract

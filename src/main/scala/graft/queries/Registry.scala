@@ -792,7 +792,8 @@ object Registry {
           JOIN sizes nb ON nb.doc_id = sh.doc_b
         WHERE round(CAST(n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp), 4)
           >= 0.2
-        ORDER BY doc_a, doc_b""")),
+        ORDER BY doc_a, doc_b"""),
+      bench = true),
 
     QueryDef("txt_fingerprints",
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")),
@@ -974,7 +975,7 @@ object Registry {
           d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
           SELECT gram, df FROM d WHERE df >= 2
           ORDER BY df DESC, gram LIMIT 20"""
-      }))
+      }, bench = true))
 
   // ---------------- dedup ---------------------------------------------
 
@@ -2491,7 +2492,7 @@ object Registry {
               doc_id) AS srk FROM b)
           SELECT doc_id, bucket::BIGINT AS bucket, score FROM s
           WHERE srk <= 10 ORDER BY doc_id"""
-      }))
+      }, bench = true))
 
   val all: Seq[QueryDef] =
     relational ++ metrics ++ scalars ++ udm ++ text ++ dedup ++ similarity ++

@@ -857,6 +857,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(!bq.contains(999L) && bq.size == data.length)
   }
 
+  test("ivfPqAppend: frozen-model encode, identical vectors get identical codes, appended vectors searchable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPq(emb, dir, nCells = 8, m = 16, ksub = 32, rounds = 2)
+    val nBase = spark.read.parquet(s"$dir/codes").count()
+    // append EXACT copies of vec_id 0..4 under new ids
+    val copies = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    Similarity.ivfPqAppend(copies, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == nBase + 5)
+    // frozen model: an identical vector encodes to the identical
+    // (cell, codes) whether encoded at build time or appended later
+    val byId = codes.filter(col("vec_id") < 5 || col("vec_id") >= 5000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getSeq[Byte](3).toSeq)).toMap
+    (0L until 5L).foreach { i =>
+      assert(byId(i) == byId(i + 5000000L), s"codes diverge for copy of $i") }
+    // the appended copy is found by searching its original's vector
+    // (identical reconstruction -> it ties the query's own best score)
+    val found = Similarity.ivfPqTopK(emb,
+        spark.read.parquet(s"$dir/cells"),
+        spark.read.parquet(s"$dir/codebook"), codes,
+        Seq(0L, 1L, 2L, 3L, 4L), 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 5L).foreach { i =>
+      assert(found.contains((i, i + 5000000L)),
+        s"appended copy of $i missing from its top-3") }
+  }
+
   test("persisted IVF centroids round-trip: search equals in-plan training") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)

@@ -1,0 +1,45 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins: write-once shuffle, exchange-free SMJ,
+  * loud failure on a bucket mismatch (the silent-reshuffle hazard). */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_bucket").toString
+
+  test("co-located join: no Exchange in the plan, result equals plain join, mismatch fails loud") {
+    val docs = (0L until 500L).map(i => (i, s"doc $i", i % 7)).toDF("doc_id", "txt", "grp")
+    val stats = (0L until 500L by 2L).map(i => (i, i * 10)).toDF("doc_id", "score")
+
+    Bucketing.writeBucketed(docs, "b_docs", "doc_id", 8, Some(tmp()))
+    Bucketing.writeBucketed(stats, "b_stats", "doc_id", 8, Some(tmp()))
+
+    val joined = Bucketing.joinColocated(spark, "b_docs", "b_stats", "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // bucketed scans feed the SMJ pre-sorted: no Sort operator either
+    assert(!plan.contains("Sort "), s"expected sort-free merge:\n$plan")
+
+    val got = joined.select("doc_id", "txt", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = docs.join(stats, Seq("doc_id"))
+      .select("doc_id", "txt", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == want && got.size == 250)
+
+    // mismatched bucket counts would silently re-shuffle — must throw
+    Bucketing.writeBucketed(stats, "b_stats16", "doc_id", 16, Some(tmp()))
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.joinColocated(spark, "b_docs", "b_stats16", "doc_id")
+    }
+    assert(e.getMessage.contains("still shuffles"))
+
+    Seq("b_docs", "b_stats", "b_stats16")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
