@@ -666,6 +666,43 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document n-gram novelty — the fraction of a doc's DISTINCT
+    * word 3-shingles that appear in NO other document (corpus df = 1):
+    * the complement of [[boilerplateNgrams]] at the document grain.
+    * Near-0 novelty flags templated/mirrored/near-dup content that
+    * survived exact dedup; near-1 is genuinely fresh text. Docs with
+    * no shingles (< 3 words, null text) emit no row — the shingle-less
+    * convention every gram operator here shares.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty 4 dp), ordered.
+    *
+    * Scale shape (100 TB): tokens BOUND once (SPARK-35410), per-doc
+    * distinct BEFORE the explode; the df table is one combinable gram
+    * groupBy and joins back on the SAME gram key (the unigram-LM
+    * exchange-reuse shape); the per-doc aggregate is map-side
+    * combinable. The exploded gram table feeds df AND the join-back —
+    * eagerly checkpointed once (the winnowPairs single-pass
+    * discipline). */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val grams = graft.util.SparkUtil.widen(documents)
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.analytics.Dedup.shinglesFromWords(col("__words"), 3)))
+          .as("gram"))
+      .localCheckpoint(true)
+    val dfTab = grams.groupBy("gram")
+      .agg(count(lit(1)).cast("long").as("__df"))
+    grams.join(dfTab, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, public): candidate
     * phrases = maximal runs of non-stopword tokens; per-document word
     * stats freq(w) = occurrences, deg(w) = Σ length of phrases

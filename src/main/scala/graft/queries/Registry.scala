@@ -975,6 +975,25 @@ object Registry {
           d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
           SELECT gram, df FROM d WHERE df >= 2
           ORDER BY df DESC, gram LIMIT 20"""
+      }, bench = true),
+
+    // per-doc n-gram novelty: share of a doc's distinct 3-shingles
+    // with corpus df = 1 (templated-content detector; the doc-grain
+    // complement of the boilerplate miner); shingle-less docs emit no
+    // row, matching the shingle convention
+    QueryDef("txt_ngram_novelty",
+      (s, d) => TextAnalysis.ngramNovelty(t(s, d, "documents")),
+      Some {
+        s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+          sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
+            AS gram FROM w),
+          d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
+          SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
+            sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+            round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE /
+              count(*), 4) AS novelty
+          FROM sh JOIN d USING (gram)
+          GROUP BY sh.doc_id ORDER BY doc_id"""
       }, bench = true))
 
   // ---------------- dedup ---------------------------------------------

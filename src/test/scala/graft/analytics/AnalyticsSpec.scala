@@ -385,6 +385,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2 == Seq("a b c", "b c d"))
   }
 
+  test("ngramNovelty: unique doc scores 1, duplicated pair 0, partial overlap exact, shingle-less absent") {
+    val d = docs(
+      1L -> "wholly original words never repeated anywhere",
+      2L -> "template header common body tail",
+      3L -> "template header common body tail",   // exact dup of 2 -> 0
+      4L -> "template header common unique ending here", // shares 2 of its grams
+      5L -> "too short")                          // < 3 words: no row
+    val got = TextAnalysis.ngramNovelty(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = got.map(x => x._1 -> x).toMap
+    assert(!m.contains(5L) && m.size == 4)
+    assert(m(1L) == (1L, 4L, 4L, 1.0))
+    assert(m(2L)._4 == 0.0 && m(3L)._4 == 0.0)
+    // doc 4 grams: [template header common](df3), [header common unique](1),
+    // [common unique ending](1), [unique ending here](1) -> 3/4
+    assert(m(4L) == (4L, 4L, 3L, 0.75))
+  }
+
   test("dupSourceMatrix: cross-source attribution over normalized fingerprints, nulls excluded") {
     import spark.implicits._
     val d = Seq(
