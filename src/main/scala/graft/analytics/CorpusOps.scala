@@ -204,6 +204,10 @@ object CorpusOps {
       // tokens (weight 0), not a null that poisons the normalizer
       .agg(coalesce(sum(size(col("__toks"))), lit(0L)).cast(LongType)
         .as("n_tokens"))
+      // eager checkpoint: the panel feeds the normalizer AND the output
+      // — without it Spark re-executes the WHOLE corpus scan for the
+      // one-row total (plan-audit finding); the panel is |sources| rows
+      .localCheckpoint(true)
     val w = pow(col("n_tokens").cast("double"), alpha)
     val tot = per.agg(sum(pow(col("n_tokens").cast("double"), alpha)).as("__tot"))
     per.crossJoin(broadcast(tot))

@@ -197,6 +197,10 @@ object Dedup {
       .filter(col("text").isNotNull)
       .select(exactFingerprint.as("fp"), col("source"))
       .distinct()
+      // eager checkpoint: both self-join sides consume this — without
+      // it the corpus text is scanned and md5'd TWICE (plan-audit
+      // finding); the table is hash+source rows, far below text size
+      .localCheckpoint(true)
     fs.select(col("fp"), col("source").as("source_a"))
       .join(fs.select(col("fp"), col("source").as("source_b")), Seq("fp"))
       .filter(col("source_a") < col("source_b"))
@@ -247,17 +251,22 @@ object Dedup {
     *
     * Single-pass discipline: the fingerprint table feeds THREE plan
     * branches (the df cap and both self-join sides), and Spark
-    * materializes nothing between branches — so the winnow-set
-    * computation (length(text) md5s per document) is eagerly
-    * localCheckpoint'ed here and computed exactly ONCE per run;
-    * spec-pinned by the absence of any Generate node in the result's
-    * physical plan. [[writeWinnowFingerprints]] remains the
-    * fingerprint-once-pair-many persist path across runs. */
+    * materializes nothing between branches — so
+    * [[winnowPairsFromFingerprints]] eagerly localCheckpoints the
+    * DEDUP'D table (covering the winnow-set computation — length(text)
+    * md5s per document — upstream) and the post-cap `kept` table, so
+    * every stage executes exactly ONCE per run; spec-pinned by the
+    * absence of any Generate node in the result's physical plan.
+    * [[writeWinnowFingerprints]] remains the fingerprint-once-pair-many
+    * persist path across runs. */
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
                   minShared: Long = 2, maxFpDf: Long = 64): DataFrame =
+    // no checkpoint here: [[winnowPairsFromFingerprints]] checkpoints
+    // the DEDUP'D table, so the gram explode upstream already executes
+    // exactly once — a second raw-table materialization would only
+    // double the storage bill
     winnowPairsFromFingerprints(
-      winnowFingerprintTable(documents, k, w).localCheckpoint(true),
-      minShared, maxFpDf)
+      winnowFingerprintTable(documents, k, w), minShared, maxFpDf)
 
   /** The exploded (doc_id, fp) winnowing table — gram hashes BOUND
     * before the window minima (SPARK-35410: inlined, the fingerprint
@@ -292,12 +301,17 @@ object Dedup {
                                   maxFpDf: Long = 64): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
-    val fps = rawFps.dropDuplicates("doc_id", "fp")
+    // checkpoint at BOTH fan-out points (plan-audit finding, round 8):
+    // fps feeds the df cap and (through kept) both self-join sides, and
+    // kept itself is consumed twice — un-checkpointed, Spark re-ran the
+    // dedup exchange 3× and the df-cap aggregate 2× per query; each
+    // table is (doc_id, 8-hex fp) rows, cheap to hold
+    val fps = rawFps.dropDuplicates("doc_id", "fp").localCheckpoint(true)
     val rare = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxFpDf)
       .select("fp")
-    val kept = fps.join(rare, Seq("fp"))
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint(true)
     kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
@@ -331,9 +345,10 @@ object Dedup {
   def containmentPairs(documents: DataFrame, k: Int = 8, w: Int = 16,
                        minContainment: Double = 0.5,
                        maxFpDf: Long = 64): DataFrame =
+    // no checkpoint here — [[containmentPairsFromFingerprints]]
+    // checkpoints the dedup'd table (see [[winnowPairs]])
     containmentPairsFromFingerprints(
-      winnowFingerprintTable(documents, k, w).localCheckpoint(true),
-      minContainment, maxFpDf)
+      winnowFingerprintTable(documents, k, w), minContainment, maxFpDf)
 
   /** Scoring stage of [[containmentPairs]] over an existing (doc_id,
     * fp) table (in-plan or read back from
@@ -344,14 +359,17 @@ object Dedup {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment must be in (0, 1]: $minContainment")
     require(maxFpDf >= 2, s"maxFpDf must be >= 2 (pairs need two docs): $maxFpDf")
-    val fps = rawFps.dropDuplicates("doc_id", "fp")
+    // same double-checkpoint shape as [[winnowPairsFromFingerprints]]
+    // (plan-audit finding): fps has FOUR consumers here (sizes, the df
+    // cap, both join sides via kept), kept two
+    val fps = rawFps.dropDuplicates("doc_id", "fp").localCheckpoint(true)
     val sizes = fps.groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_fp"))
     val rare = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= maxFpDf)
       .select("fp")
-    val kept = fps.join(rare, Seq("fp"))
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint(true)
     val shared = kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
