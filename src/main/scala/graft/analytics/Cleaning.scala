@@ -168,6 +168,48 @@ object Cleaning {
       .withColumn("n_chars", length(col("text")).cast(LongType))
   }
 
+  /** Mojibake sequence → repaired form. The classic UTF-8-bytes-read-
+    * as-Windows-1252 double-encoding artifacts that survive in every
+    * web crawl (the ftfy problem class, public): the UTF-8 encoding of
+    * a punctuation/accented char, misdecoded, becomes one of these
+    * stable marker sequences — each maps back to exactly one intended
+    * char, so plain literal replacement (no regex) repairs them.
+    * ORDER MATTERS: longer sequences first, so "â€¦" never loses its
+    * tail to the 2-char "â€" prefix rules. Literal-for-literal in BOTH
+    * engines (`replace`, not `regexp_replace` — no dialect surface). */
+  val mojibakePatterns: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘",   // curly single quotes
+    "â€œ" -> "“", "â€" -> "”", // curly double quotes
+    "â€“" -> "–", "â€”" -> "—",   // en/em dash
+    "â€¦" -> "…",                      // ellipsis
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã±" -> "ñ", "Ã§" -> "ç",
+    "Â " -> " ")                            // stray  before nbsp-space
+
+  /** Encoding repair — undo UTF-8-as-Windows-1252 mojibake via the
+    * fixed [[mojibakePatterns]] table. Output: the input frame with
+    * `text` repaired, `n_chars` recomputed, and a `was_broken` flag
+    * (repair changed the text — the per-source rate of this flag is
+    * the crawl-health signal that a source's charset declaration is
+    * lying). Null text passes through null, flag false.
+    *
+    * Scale shape: entirely narrow — a chain of literal `replace`
+    * builtins (codegen'd, no regex engine), one projection at scan
+    * speed, no shuffle. */
+  def fixEncoding(documents: DataFrame): DataFrame = {
+    val repaired = mojibakePatterns.foldLeft(col("text")) {
+      case (acc, (bad, good)) =>
+        call_function("replace", acc, lit(bad), lit(good))
+    }
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__fixed", repaired)
+      .withColumn("was_broken",
+        coalesce(col("__fixed") =!= col("text"), lit(false)))
+      .withColumn("text", col("__fixed"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .drop("__fixed")
+  }
+
   /** PII category → (regex, replacement token). ORDER MATTERS and is
     * part of the contract: emails first (their local/domain parts
     * contain dots and digits that the later patterns must not see),

@@ -121,6 +121,34 @@ object CorpusOps {
           1.0).otherwise(0.0)), 4).as("empty_share"))
       .orderBy("source")
 
+  /** Corpus data card — the ONE-row release summary (datasheet
+    * headline: volume, diversity, hygiene) every dataset publication
+    * leads with; the global companion of the per-source
+    * [[sourceHealthReport]] panel, sharing its dup-rate and
+    * empty-share formulas so the two reports never disagree on
+    * definitions.
+    *
+    * Scale shape (100 TB): ONE scan — a single global aggregate; the
+    * three count-distincts plan through Spark's Expand (×3 row
+    * amplification pre-combine, map-side partials throughout, one
+    * single-partition final reduce of O(distinct) state — fingerprint
+    * cardinality dominates, ≈ one 32-byte hash per unique doc). */
+  def dataCard(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col("text")))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        countDistinct(col("source")).cast(LongType).as("n_sources"),
+        countDistinct(col("lang")).cast(LongType).as("n_langs"),
+        coalesce(sum(size(col("__toks"))), lit(0L)).cast(LongType)
+          .as("n_tokens"),
+        round(avg(col("n_chars")), 2).as("mean_chars"),
+        round(lit(1.0) -
+          countDistinct(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+            .cast("double") / count(lit(1)), 4).as("dup_rate"),
+        round(avg(when(length(trim(col("text"))) === 0 || col("text").isNull,
+          1.0).otherwise(0.0)), 4).as("empty_share"))
+
   /** Quality-stratified sampling — `quota` docs from each of
     * `nBuckets` equal-population strata of the quality distribution
     * (stratify-then-sample: a uniform sample of a web corpus is

@@ -2485,6 +2485,54 @@ object Registry {
         FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
         GROUP BY a.source, b.source ORDER BY source_a, source_b""")),
 
+    // one-row corpus data card (datasheet headline), same dup/empty
+    // formulas as the per-source health report
+    QueryDef("corpus_data_card",
+      (s, d) => CorpusOps.dataCard(t(s, d, "documents")),
+      Some("""SELECT count(*)::BIGINT AS n_docs,
+          count(DISTINCT source)::BIGINT AS n_sources,
+          count(DISTINCT lang)::BIGINT AS n_langs,
+          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+            AS n_tokens,
+          round(avg(n_chars), 2) AS mean_chars,
+          round(1.0 - count(DISTINCT
+              md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::DOUBLE
+            / count(*), 4) AS dup_rate,
+          round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0
+            THEN 1.0 ELSE 0.0 END), 4) AS empty_share
+        FROM documents""")),
+
+    // mojibake repair: the synthetic corpus is clean ASCII, so the
+    // fixture forges UTF-8-as-cp1252 damage in-plan for doc_id % 9 == 0
+    // (suffix built FROM Cleaning.mojibakePatterns — one source of
+    // truth, zero literal drift between engines); oracle chains the
+    // same literal replace()s
+    QueryDef("corpus_fix_encoding",
+      (s, d) => {
+        val suffix = " " + Cleaning.mojibakePatterns.map(_._1).mkString("|")
+        val broken = t(s, d, "documents").withColumn("text",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(suffix)))
+            .otherwise(col("text")))
+        Cleaning.fixEncoding(broken)
+          .select(col("doc_id"), col("text"), col("was_broken"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val suffix = " " + Cleaning.mojibakePatterns.map(_._1).mkString("|")
+        val chain = Cleaning.mojibakePatterns.foldLeft("b.text") {
+          case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+        }
+        s"""WITH b AS (SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN text || '$suffix' ELSE text END
+              AS text FROM documents),
+          f AS (SELECT doc_id, b.text AS orig, $chain AS fixed FROM b)
+          SELECT doc_id, fixed AS text,
+            coalesce(fixed <> orig, FALSE) AS was_broken,
+            length(fixed)::BIGINT AS n_chars
+          FROM f ORDER BY doc_id"""
+      }),
+
     // quality-stratified audit sampling: 10 docs from each of 10
     // equal-population strata of the ROUNDED stopword-ratio
     // distribution; global rank is the skew-safe rankByKey (constant

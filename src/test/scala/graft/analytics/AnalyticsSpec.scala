@@ -385,6 +385,86 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2 == Seq("a b c", "b c d"))
   }
 
+  test("dataCard: one-row summary matches hand computation, formulas agree with health report") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox", "en", "s1"),
+      (2L, "THE QUICK  brown FOX!!", "en", "s2"), // normalized dup of 1
+      (3L, "something else", "fr", "s1"),
+      (4L, "", "en", "s1"),
+      (5L, null.asInstanceOf[String], "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = CorpusOps.dataCard(d).collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getLong(3) == 4 + 4 + 2 + 1) // ''.split -> [''] counts 1; null skipped
+    // 3 distinct fingerprints over 4 non-null texts ('' has a fp too...
+    // md5('') counts) -> distinct fps: fp(1)=fp(2), fp(3), fp(4) = 3; 1 - 3/5
+    assert(r.getDouble(5) == BigDecimal(1.0 - 3.0 / 5).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(6) == 0.4) // '' and null
+    // global dup/empty formulas == health report's, summed over sources
+    val hr = CorpusOps.sourceHealthReport(d).collect()
+    assert(hr.map(_.getLong(1)).sum == r.getLong(0))
+  }
+
+  test("round-8 operator properties on a random corpus: bounded scores, exact quotas, weight normalization") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val words = Seq("alpha", "beta", "gamma", "delta", "the", "a", "of",
+      "epsilon", "zeta", "eta", "theta", "iota")
+    val d = (0 until 60).map { i =>
+      val n = 4 + rng.nextInt(30)
+      (i.toLong, Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" "),
+        "en", s"s${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // containment ∈ (0, 1]
+    val cont = Dedup.containmentPairs(d, minContainment = 0.01, maxFpDf = 64)
+      .collect().map(_.getDouble(3))
+    assert(cont.forall(c => c > 0 && c <= 1.0), "containment out of (0,1]")
+    // novelty ∈ [0, 1], n_novel <= n_grams
+    val nov = TextAnalysis.ngramNovelty(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nov.nonEmpty && nov.forall { case (g, n, s) =>
+      n <= g && s >= 0.0 && s <= 1.0 })
+    // mix weights sum to 1, epochs = budget * weight / tokens
+    val mix = CorpusOps.sourceMixWeights(d, 0.6, 50000L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(mix.map(_._2).sum - 1.0) < 1e-5)
+    mix.foreach { case (n, w, e) =>
+      assert(math.abs(e - 50000.0 * w / n) < 0.01, s"epochs mismatch: $n $w $e") }
+    // stratified: every bucket contributes exactly min(quota, size)
+    val strat = CorpusOps.stratifiedQualitySample(d, Seq("the", "a", "of"),
+      nBuckets = 6, quota = 5, salt = "p8")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perBucket = strat.groupBy(_._2).view.mapValues(_.length).toMap
+    // 60 docs over 6 buckets = 10 each, all >= quota -> exactly 5 each
+    assert(perBucket == (0L until 6L).map(_ -> 5).toMap, s"quotas: $perBucket")
+    assert(strat.map(_._1).distinct.length == strat.length)
+  }
+
+  test("fixEncoding: repairs every mojibake pattern, clean text untouched, null passes through") {
+    import spark.implicits._
+    val allBroken = Cleaning.mojibakePatterns.map(_._1).mkString("|")
+    val allFixed = Cleaning.mojibakePatterns.map(_._2).mkString("|")
+    val d = Seq(
+      (1L, s"prefix $allBroken suffix"),
+      (2L, "perfectly clean ascii text"),
+      (3L, "donâ€™t panic â€” itâ€™s cafÃ© time"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Cleaning.fixEncoding(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("text"),
+        r.getAs[Boolean]("was_broken"))).toSeq
+    assert(got(0) == ((1L, s"prefix $allFixed suffix", true)))
+    assert(got(1) == ((2L, "perfectly clean ascii text", false)))
+    assert(got(2) == ((3L, "don’t panic — it’s café time", true)))
+    assert(got(3)._2 == null && !got(3)._3)
+  }
+
   test("ngramNovelty: unique doc scores 1, duplicated pair 0, partial overlap exact, shingle-less absent") {
     val d = docs(
       1L -> "wholly original words never repeated anywhere",
