@@ -47,4 +47,41 @@ object SparkUtil {
       df.repartition(target)
     } else df
   }
+
+  /** Salted join for a PATHOLOGICALLY skewed key — the explicit tool
+    * for the case AQE's skew-split cannot fix: AQE only splits a
+    * skewed SHUFFLE partition when the other side's matching partition
+    * can be replicated cheaply post-shuffle; with a medium build side
+    * or a single key holding most of the fact table, one reducer still
+    * drowns. Salting rewrites the join key to (key, salt): the skewed
+    * side takes salt = hash(rowKey) mod `saltBuckets` (DETERMINISTIC —
+    * `rowKey` is a stable row id, never rand(); the repo's no-rand
+    * discipline), the dim side replicates each row `saltBuckets`×, and
+    * the hot key's rows spread over `saltBuckets` reducers.
+    *
+    * Cost model: dim side scans/shuffles ×saltBuckets — size salt
+    * buckets to the skew factor, not higher. Join types are restricted
+    * to inner/left_outer/left_semi/left_anti: an unmatched RIGHT row
+    * exists `saltBuckets` times post-replication, so right/full joins
+    * would duplicate it in the output. */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+                 rowKey: org.apache.spark.sql.Column, saltBuckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2: $saltBuckets")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"salted join cannot preserve right/full semantics (an unmatched " +
+        s"right row is replicated $saltBuckets times): $joinType")
+    val l = skewed.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(rowKey),
+        org.apache.spark.sql.functions.lit(saltBuckets)))
+    val r = dim.withColumn("__salt",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit(saltBuckets - 1))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

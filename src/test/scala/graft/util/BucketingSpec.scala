@@ -42,4 +42,32 @@ class BucketingSpec extends SparkSpec {
     Seq("b_docs", "b_stats", "b_stats16")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("saltedJoin: result equals plain join under 90% key skew, shuffle spreads on (key, salt), right joins rejected") {
+    import graft.util.SparkUtil
+    // 90% of fact rows share key 7 — the single-reducer pathology
+    val fact = (0L until 2000L).map(i => (i, if (i % 10 == 0) i % 5 else 7L))
+      .toDF("row_id", "k")
+    val dim = (0L until 10L).map(i => (i, s"label_$i")).toDF("k", "label")
+    val salted = SparkUtil.saltedJoin(fact, dim, "k", col("row_id"), 8)
+    val got = salted.select("row_id", "k", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val want = fact.join(dim, Seq("k")).select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got == want && got.size == 2000)
+    // the join key in the plan is (k, __salt) — the hot key spreads
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    // left_outer keeps unmatched left rows exactly once
+    val factX = fact.union(Seq((9999L, 42L)).toDF("row_id", "k"))
+    val lo = SparkUtil.saltedJoin(factX, dim, "k", col("row_id"), 8, "left_outer")
+    assert(lo.count() == 2001 &&
+      lo.filter(col("row_id") === 9999L && col("label").isNull).count() == 1)
+    // right/full would replicate unmatched right rows — rejected
+    val e = intercept[IllegalArgumentException] {
+      SparkUtil.saltedJoin(fact, dim, "k", col("row_id"), 8, "full_outer")
+    }
+    assert(e.getMessage.contains("right/full"))
+  }
 }
