@@ -2500,7 +2500,7 @@ object Registry {
             / count(*), 4) AS dup_rate,
           round(avg(CASE WHEN text IS NULL OR length(trim(text)) = 0
             THEN 1.0 ELSE 0.0 END), 4) AS empty_share
-        FROM documents""")),
+        FROM documents"""), bench = true),
 
     // mojibake repair: the synthetic corpus is clean ASCII, so the
     // fixture forges UTF-8-as-cp1252 damage in-plan for doc_id % 9 == 0
@@ -2531,7 +2531,7 @@ object Registry {
             coalesce(fixed <> orig, FALSE) AS was_broken,
             length(fixed)::BIGINT AS n_chars
           FROM f ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // quality-stratified audit sampling: 10 docs from each of 10
     // equal-population strata of the ROUNDED stopword-ratio
