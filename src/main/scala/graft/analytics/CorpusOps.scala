@@ -264,11 +264,22 @@ object CorpusOps {
     * driver-side centroid matrix at any k.
     * Output: (vec_id, cell, n_cell), ordered by vec_id. */
   def clusterBalancedSample(embeddings: DataFrame, k: Int, quota: Int,
-                            rounds: Int = 3, salt: String = "cbs"): DataFrame = {
+                            rounds: Int = 3, salt: String = "cbs"): DataFrame =
+    clusterBalancedSampleFromCentroids(embeddings,
+      graft.analytics.Similarity.kmeansCentroids(embeddings, k, rounds),
+      quota, salt)
+
+  /** [[clusterBalancedSample]] over an EXISTING centroid table (from
+    * [[graft.analytics.Similarity.writeCentroids]] read-back, or any
+    * clustering): the train-once-sample-many path — re-sampling with a
+    * new quota or salt (fresh audit sets every release) re-pays only
+    * the assignment scan, never the k-means rounds. */
+  def clusterBalancedSampleFromCentroids(embeddings: DataFrame,
+                                         cents: DataFrame, quota: Int,
+                                         salt: String = "cbs"): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
     import graft.analytics.Similarity
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = Similarity.kmeansCentroids(embeddings, k, rounds)
     val corpus = graft.util.SparkUtil.widen(embeddings)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))

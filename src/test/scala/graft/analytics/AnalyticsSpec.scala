@@ -646,6 +646,14 @@ class AnalyticsSpec extends SparkSpec {
     val again = CorpusOps.clusterBalancedSample(emb, k = 4, quota = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq == rows.toSeq)
+    // persisted-centroids path ≡ in-plan training (train once,
+    // sample many — kmeansCentroids is deterministic)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbs").toString
+    Similarity.writeKmeansCentroids(emb, dir, k = 4, rounds = 3)
+    val fromDisk = CorpusOps.clusterBalancedSampleFromCentroids(
+        emb, spark.read.parquet(dir), quota = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fromDisk.toSeq == rows.toSeq)
   }
 
   test("rakeKeywords: hand-computed deg/freq scores, stopword phrase split") {
