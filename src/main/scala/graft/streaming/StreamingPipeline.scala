@@ -353,14 +353,25 @@ object StreamingPipeline {
     *     the store never double-counts a replayed batch.
     * At 100 TB the signature store is (numHashes × 8 B)-per-doc —
     * orders of magnitude under corpus bytes — and the per-batch work is
-    * bounded by the batch; nothing here re-touches corpus text. */
+    * bounded by the batch; nothing here re-touches corpus text.
+    *
+    * `prepare` is the intake-cleaning hook — applied to each batch
+    * BEFORE fingerprinting, so cleaning feeds dedup (the real-intake
+    * composition: e.g. `Cleaning.fixEncoding` then
+    * [[graft.analytics.Cleaning.normalizeText]] makes a re-crawled
+    * mojibake copy of an admitted page fingerprint-identical and
+    * REJECTED, where the raw bytes would sneak it in as "novel").
+    * Contract: narrow (batch-bounded work), schema-preserving on
+    * (doc_id, text, lang, source), deterministic — a replayed batch
+    * must prepare to the same rows. */
   def admissionPipeline(spark: SparkSession, incomingDir: String, sigDir: String,
                         outDir: String, checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                         maxFilesPerTrigger: Int = 16,
                         shingleK: Int = 3, numHashes: Int = 8,
                         rowsPerBand: Int = 4,
-                        failHook: (DataFrame, Long) => Unit = (_, _) => ())
+                        failHook: (DataFrame, Long) => Unit = (_, _) => (),
+                        prepare: DataFrame => DataFrame = identity)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.analytics.Dedup
     val docSchema = StructType(Seq(
@@ -420,7 +431,7 @@ object StreamingPipeline {
         // itself is cached too: it is admission-bounded, and both the
         // signature pass and the doc sink pull it — uncached each
         // re-reads the source files
-        val cachedBatch = batch.cache()
+        val cachedBatch = prepare(batch).cache()
         val sig = Dedup.minhashSignatures(cachedBatch, shingleK, numHashes).cache()
         try {
           val corpusBands = Dedup.bandTable(corpusSig, numHashes, rowsPerBand)

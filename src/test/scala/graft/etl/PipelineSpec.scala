@@ -84,6 +84,34 @@ class PipelineSpec extends SparkSpec {
     assert(sigsReplay == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("admission prepare hook: mojibake re-crawl rejected under fixEncoding intake, admitted raw") {
+    import org.apache.spark.sql.DataFrame
+    val clean = (0 until 12).map(i => s"café$i word$i").mkString(" ")
+    val broken = clean.replace("é", "Ã©") // every word mojibaked
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    def runPair(prepare: DataFrame => DataFrame): Seq[Long] = {
+      val in = Files.createTempDirectory("graft_prep_in").toString
+      val base = Files.createTempDirectory("graft_prep").toString
+      def runOnce(): Unit = {
+        val q = StreamingPipeline.admissionPipeline(spark, in, s"$base/sig",
+          s"$base/out", s"$base/ckpt", trigger = Trigger.AvailableNow(),
+          prepare = prepare).start()
+        q.awaitTermination(120000)
+      }
+      Files.writeString(Paths.get(in, "b1.jsonl"), doc(1L, clean))
+      runOnce()
+      Files.writeString(Paths.get(in, "b2.jsonl"), doc(2L, broken))
+      runOnce()
+      spark.read.parquet(s"$base/out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    // raw intake: the mojibake copy's shingles all differ -> "novel"
+    assert(runPair(identity) == Seq(1L, 2L))
+    // cleaning feeds dedup: repair makes it fingerprint-identical -> rejected
+    assert(runPair(graft.analytics.Cleaning.fixEncoding) == Seq(1L))
+  }
+
   test("bloom admission: sketch rejects cross-batch dups, versioned replay is loss-free") {
     val in = Files.createTempDirectory("graft_badm_in").toString
     val base = Files.createTempDirectory("graft_badm").toString
