@@ -304,6 +304,36 @@ object CorpusOps {
       .orderBy("vec_id")
   }
 
+  /** Packing-efficiency report — the training-export audit over
+    * [[packSequences]]'s chunked-concatenation layout: per source, the
+    * sequence count at `seqLen`, the fill rate (1 − tail-padding
+    * waste: chunked concatenation only pads the LAST sequence per
+    * source), and the document fragmentation rate (docs split across a
+    * sequence boundary — fragments lose cross-boundary attention, the
+    * packing-quality trade every data team monitors). Output: (source,
+    * n_docs, n_tokens, n_seqs, fill_rate 4 dp, n_split_docs,
+    * split_rate 4 dp), ordered.
+    *
+    * Scale shape: [[packSequences]]'s one running-sum pass + ONE
+    * combinable source groupBy — |sources| output rows. */
+  def packingStats(documents: DataFrame, seqLen: Long,
+                   skewSafe: Option[Boolean] = None): DataFrame =
+    packSequences(documents, seqLen, skewSafe)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("n_tokens"),
+        (max(col("last_seq")) + 1).cast(LongType).as("n_seqs"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .cast(LongType).as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        round(col("n_tokens").cast("double") / (col("n_seqs") * seqLen), 4)
+          .as("fill_rate"),
+        col("n_split_docs"),
+        round(col("n_split_docs").cast("double") / col("n_docs"), 4)
+          .as("split_rate"))
+      .orderBy("source")
+
   /** Benchmark decontamination — drop training documents sharing any
     * word k-shingle with an evaluation set (the n-gram-overlap
     * decontamination every serious pretraining corpus runs; k=3 here

@@ -2269,6 +2269,32 @@ object Registry {
           WHERE n_tokens > 0 ORDER BY doc_id"""
       }),
 
+    // packing-efficiency audit over the same 256-token layout:
+    // per-source fill rate (tail padding only) + doc fragmentation
+    QueryDef("corpus_packing_stats",
+      (s, d) => CorpusOps.packingStats(t(s, d, "documents"), 256L),
+      Some {
+        s"""WITH p AS (SELECT doc_id, source, n_tokens,
+            (cum_tokens - n_tokens) // 256 AS first_seq,
+            (cum_tokens - 1) // 256 AS last_seq
+          FROM (SELECT doc_id, source,
+              CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              CAST(sum(len($toksSql)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM documents)
+          WHERE n_tokens > 0)
+          SELECT source, count(*)::BIGINT AS n_docs,
+            sum(n_tokens)::BIGINT AS n_tokens,
+            (max(last_seq) + 1)::BIGINT AS n_seqs,
+            round(sum(n_tokens)::DOUBLE / ((max(last_seq) + 1) * 256), 4)
+              AS fill_rate,
+            sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)::BIGINT
+              AS n_split_docs,
+            round(sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)::DOUBLE
+              / count(*), 4) AS split_rate
+          FROM p GROUP BY source ORDER BY source"""
+      }),
+
     // shard-assignment audit for the training export: deterministic
     // md5(doc_id) sharding, per-shard count/bytes/id-range. The writer
     // itself ([[CorpusOps.writeShards]]) is spec-tested; this query is

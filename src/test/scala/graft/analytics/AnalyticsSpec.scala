@@ -385,6 +385,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2 == Seq("a b c", "b c d"))
   }
 
+  test("packingStats: hand-computed fill and fragmentation at seqLen=10") {
+    import spark.implicits._
+    // source s1 in doc_id order: 7, 6, 4, 9 tokens; cum 7,13,17,26
+    //   seqs: d1 [0,0], d2 [0,1] SPLIT, d3 [1,1], d4 [1,2] SPLIT
+    //   n_seqs 3, fill 26/30, splits 2/4
+    // source s2: 10, 5; cum 10,15 -> d5 [0,0], d6 [1,1]; fill 15/20
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, mk(7), "s1"), (2L, mk(6), "s1"), (3L, mk(4), "s1"),
+      (4L, mk(9), "s1"), (5L, mk(10), "s2"), (6L, mk(5), "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = CorpusOps.packingStats(d, 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("s1", 4L, 26L, 3L, BigDecimal(26.0 / 30).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 2L, 0.5),
+      ("s2", 2L, 15L, 2L, 0.75, 0L, 0.0)))
+  }
+
   test("dataCard: one-row summary matches hand computation, formulas agree with health report") {
     import spark.implicits._
     val d = Seq(
