@@ -998,4 +998,95 @@ object Dedup {
         (size(w) - size(kept)).cast(LongType).as("n_tokens_removed"))
       .orderBy("doc_id")
   }
+
+  /** EXACT Jaccard threshold self-join via prefix filtering (the
+    * AllPairs / PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08 — public literature):
+    * EVERY pair of documents whose distinct word-`shingleK`-shingle
+    * sets have Jaccard ≥ `threshold`, with NO false negatives. The
+    * deterministic complement of the probabilistic MinHash path
+    * ([[jaccardPairs]] verifies only what the LSH bands catch; this
+    * finds everything above the threshold, at the cost of an exact
+    * candidate join) — use it when recall must be provably 1.0
+    * (eval-set leakage screens, legal/compliance dedup).
+    *
+    * Candidate completeness: order every set by one global total order
+    * — ascending corpus document frequency, shingle text as the
+    * tie-break. Two sets at Jaccard ≥ t must share ≥ 1 element within
+    * their first (n − ⌈t·n⌉ + 1) elements under ANY shared total order
+    * (prefix-filter principle), so the equi-join on prefix shingles is
+    * a COMPLETE candidate generator; the final exact filter makes the
+    * output candidate-independent (the oracle brute-forces all pairs —
+    * a hash match proves the no-false-negative guarantee, not just
+    * plan agreement). Rarest-first ordering puts only LOW-df shingles
+    * in join keys, so per-key fan-out stays small on natural corpora;
+    * the AllPairs length filter (t·|a| ≤ |b| ≤ |a|/t) prunes
+    * impossible pairs inside the join condition before any
+    * verification work.
+    *
+    * Scale shape (100 TB): the shingle-set table is ONE narrow
+    * bound-tokens projection, eagerly checkpointed for its three
+    * consumers (df table, ordering join, both verify sides) — the
+    * multi-consumer checkpoint rule; df and the per-doc ordering
+    * shuffle on the gram key (corpus-vocab cardinality, map-side
+    * combinable); the candidate join shuffles only the PREFIX slice
+    * (the rarest ≈(1−t) fraction of each doc's shingles); verification
+    * joins the pair-sized candidate table back on doc_id. A degenerate
+    * corpus (everything a copy of everything) makes the OUTPUT
+    * quadratic — that is the answer's size, not a plan artifact; run
+    * [[exactDuplicates]] first when the corpus is known-degenerate.
+    * The Jaccard compare is integer-derived IEEE division — identical
+    * in any engine, so the raw (unrounded) threshold filter is
+    * deterministic cross-engine.
+    *
+    * Output: (doc_a, doc_b, n_shared, jaccard 4 dp), doc_a < doc_b,
+    * ordered. */
+  def prefixJaccardPairs(documents: DataFrame, shingleK: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(shingleK >= 1, s"shingleK must be >= 1: $shingleK")
+    val sets = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromWords(col("__words"), shingleK)).as("set"))
+      .filter(size(col("set")) > 0)
+      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("n"))
+      .localCheckpoint(true)
+    val grams = sets.select(col("doc_id"), col("n"), explode(col("set")).as("gram"))
+    val dfTab = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    // per-doc global-order sort: collect (df, gram) structs, array_sort
+    // orders by fields left-to-right — ascending df, gram tie-break
+    val ordered = grams.join(dfTab, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n"),
+        array_sort(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val pref = ordered.select(col("doc_id"), col("n"),
+      explode(slice(transform(col("__sorted"), s => s.getField("gram")),
+        lit(1), prefixLen)).as("gram"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= col("b.n") * threshold &&
+          col("b.n") >= col("a.n") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"),
+      col("set").as("__sa"), col("n").as("__na"))
+    val sb = sets.select(col("doc_id").as("doc_b"),
+      col("set").as("__sb"), col("n").as("__nb"))
+    val shared = size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), shared.as("n_shared"),
+        col("__na"), col("__nb"))
+      .filter(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

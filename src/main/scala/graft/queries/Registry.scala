@@ -1216,6 +1216,28 @@ object Registry {
           WHERE jac >= 0.8 ORDER BY doc_a, doc_b"""
       }, bench = true),
 
+    // prefix-filter EXACT Jaccard join (AllPairs/PPJoin family): the
+    // oracle brute-forces ALL pairs — a match proves the prefix
+    // filter's no-false-negative guarantee, not just plan agreement
+    QueryDef("dedup_prefix_jaccard",
+      (s, d) => Dedup.prefixJaccardPairs(t(s, d, "documents"), 3, 0.5),
+      Some("""WITH w AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (SELECT doc_id,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+              FOR i IN range(1, len(w) - 1)]) AS ts
+          FROM w WHERE len(w) >= 3),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_filter(a.ts, x -> list_contains(b.ts, x)))::BIGINT AS inter,
+            len(a.ts)::BIGINT AS na, len(b.ts)::BIGINT AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, inter AS n_shared,
+          round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+        FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      bench = true),
+
     // ExactSubstr-family repeated spans: 3-gram hits with df > 2 merged
     // gaps-and-islands into maximal per-doc spans (token offsets)
     QueryDef("dedup_repeated_spans",

@@ -2190,4 +2190,67 @@ class AnalyticsSpec extends SparkSpec {
     // docs 1-3 are near-dups (rowsPerBand=1, OR-amplified) -> one cluster
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
+
+  // ---- prefix-filter exact Jaccard join (AllPairs/PPJoin family) ----
+
+  /** JVM reference: brute-force all-pairs Jaccard over distinct word
+    * 3-shingle sets — same tokenization as the operator. */
+  private def bruteJaccardPairs(rows: Seq[(Long, String)], k: Int,
+                                t: Double): Set[(Long, Long, Long)] = {
+    def set(s: String): Set[String] = {
+      val w = s.trim.split("\\s+").toSeq
+      if (w.length < k) Set.empty
+      else w.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, s) => id -> set(s) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= t
+    } yield (a, b, inter.toLong)).toSet
+  }
+
+  test("prefixJaccardPairs: hand-computed pair, threshold gate, disjoint excluded") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> base,                      // 6 shingles
+      2L -> (base + " iota"),          // 7 shingles, shares all 6 → J = 6/7
+      3L -> "one two three four five six seven eight",  // disjoint
+      4L -> "tiny doc",                // < 3 words → no shingles
+      5L -> null.asInstanceOf[String]) // null text → excluded
+    val out = Dedup.prefixJaccardPairs(d, 3, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == (6L, math.round(6.0 / 7.0 * 10000) / 10000.0))
+    // raise the threshold above 6/7 → the pair disappears
+    assert(Dedup.prefixJaccardPairs(d, 3, 0.9).count() == 0L)
+  }
+
+  test("prefixJaccardPairs equals brute force on a templated corpus (no false negatives)") {
+    // templated docs: shared frame with rotating slot words — the shape
+    // that defeats unigram sets and stresses the prefix filter
+    val vocab = Seq("data", "spark", "query", "join", "merge", "scan",
+      "batch", "stream", "table", "index")
+    val rows = (0L until 30L).map { i =>
+      val a = vocab((i % 7).toInt); val b = vocab((i % 5).toInt)
+      val c = vocab(((i * 3 + 1) % 10).toInt)
+      val tail = if (i % 9 == 0) "shared suffix run here" else s"tail $a $c"
+      i -> s"the $a pipeline reads $b rows from the $c store $tail"
+    }
+    val d = docs(rows: _*)
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(d, 3, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = bruteJaccardPairs(rows, 3, t)
+      assert(got == want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("prefixJaccardPairs at threshold 1.0 still pairs exact duplicates (prefix length 1)") {
+    val text = "spark runs fast queries over big data lakes"
+    val d = docs(1L -> text, 2L -> text, 3L -> (text + " nightly"))
+    val out = Dedup.prefixJaccardPairs(d, 3, 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(out == Set((1L, 2L, 1.0)))
+  }
 }
