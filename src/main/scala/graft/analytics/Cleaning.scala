@@ -341,4 +341,62 @@ object Cleaning {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         round(col("pct_rank"), 6).as("len_pct"))
       .orderBy("doc_id")
+
+  /** Markup-removal passes of [[htmlToText]], applied in order. Every
+    * pattern is valid in BOTH Java regex and RE2 (inline (?is) flags,
+    * lazy quantifiers, no lookaround/backrefs) so the DuckDB oracle
+    * runs them verbatim. script/style blocks drop their CONTENT
+    * (machine text, not prose), comments drop, remaining tags become
+    * spaces. */
+  val htmlBlockPatterns: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]*>")
+
+  /** HTML entity decode table for [[htmlToText]]. ORDER MATTERS and is
+    * part of the contract: `&amp;` is decoded LAST — decoding it first
+    * would turn the escaped text `&amp;lt;` into `&lt;` and then
+    * falsely into `<` (double-decode). Entities are decoded AFTER tag
+    * stripping, so `&lt;div&gt;` survives as the literal text `<div>`
+    * (it was escaped prose, not markup). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Visible text of an HTML column: strip script/style/comment blocks
+    * and tags ([[htmlBlockPatterns]]), decode common entities
+    * ([[htmlEntities]]), collapse whitespace, trim. Null → null. */
+  def htmlToText(html: Column): Column = {
+    val noMarkup = htmlBlockPatterns.foldLeft(html)(
+      (acc, p) => regexp_replace(acc, p, " "))
+    val decoded = htmlEntities.foldLeft(noMarkup) {
+      case (acc, (e, c)) => call_function("replace", acc, lit(e), lit(c))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Main-text extraction from raw HTML — the first pass of every
+    * web-crawl corpus pipeline (the C4/CCNet preprocessing step that
+    * precedes all quality/dedup work): [[htmlToText]] per document plus
+    * the removed-volume audit column (markup share ≈ 1 −
+    * text_clean/len is the page-chrome signal). Plain-text documents
+    * pass through with n_chars_removed counting only whitespace
+    * normalization. Output: (doc_id, text_clean, n_chars_removed),
+    * null html → null row values, ordered by doc_id.
+    *
+    * Scale shape: entirely narrow — chained codegen'd regexp_replace +
+    * literal replace builtins in ONE projection at scan speed, no
+    * shuffle, no UDF, no DOM allocation ([[graft.util.SparkUtil.widen]]
+    * keeps the regex CPU parallel on few-file inputs). A DOM-fidelity
+    * extractor (trafilatura-class boilerplate heuristics) would slot in
+    * as a per-partition batch pass, but the regex form IS the
+    * C4-published baseline. */
+  def extractText(documents: DataFrame, htmlCol: String = "text"): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__clean", htmlToText(col(htmlCol)))
+      .select(col("doc_id"), col("__clean").as("text_clean"),
+        (length(col(htmlCol)) - length(col("__clean")))
+          .cast(LongType).as("n_chars_removed"))
+      .orderBy("doc_id")
 }

@@ -117,6 +117,19 @@ object Registry {
     "zh" -> Seq("spark", "vector"))
   val stopwords: Seq[String] = Seq("the", "a", "of", "and")
 
+  /** HTML scaffold for `corpus_extract_html` — documents.text is plain
+    * prose, so the fixture forges markup damage in-plan, identically in
+    * both engines (the corpus_fix_encoding pattern). Deliberately
+    * quote-free so the literals embed in SQL unescaped; exercises every
+    * [[graft.analytics.Cleaning.htmlBlockPatterns]] pass and every
+    * [[graft.analytics.Cleaning.htmlEntities]] entry. */
+  private def htmlFixturePre: String =
+    "<html><head><script>var x = 1;</script><style>p { color: red }" +
+      "</style></head><body><!-- nav --><h1>Title &amp; Summary</h1><p>"
+  private def htmlFixtureSuf: String =
+    "</p><br><div>footer &lt;eof&gt; &#39;q&#39;&nbsp;&quot;z&quot;" +
+      "</div></body></html>"
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -2579,6 +2592,36 @@ object Registry {
             coalesce(fixed <> orig, FALSE) AS was_broken,
             length(fixed)::BIGINT AS n_chars
           FROM f ORDER BY doc_id"""
+      }, bench = true),
+
+    // HTML main-text extraction: markup forged in-plan from the shared
+    // scaffold literals (plain docs every 3rd id exercise passthrough);
+    // the oracle chains the same RE2∩Java patterns and entity replaces
+    QueryDef("corpus_extract_html",
+      (s, d) => {
+        val wrapped = t(s, d, "documents").withColumn("text",
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(lit(htmlFixturePre), col("text"),
+              lit(htmlFixtureSuf))))
+        Cleaning.extractText(wrapped)
+      },
+      Some {
+        val tagStrip = Cleaning.htmlBlockPatterns.foldLeft("html") {
+          (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')"
+        }
+        val entity = Cleaning.htmlEntities.foldLeft(tagStrip) {
+          case (acc, (e, c)) => s"replace($acc, '$e', '${c.replace("'", "''")}')"
+        }
+        s"""WITH h AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE '$htmlFixturePre' || text || '$htmlFixtureSuf' END
+              AS html FROM documents),
+          c AS (SELECT doc_id, html,
+            trim(regexp_replace($entity, '\\s+', ' ', 'g')) AS text_clean
+            FROM h)
+          SELECT doc_id, text_clean,
+            (length(html) - length(text_clean))::BIGINT AS n_chars_removed
+          FROM c ORDER BY doc_id"""
       }, bench = true),
 
     // quality-stratified audit sampling: 10 docs from each of 10

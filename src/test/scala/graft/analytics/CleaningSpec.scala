@@ -179,4 +179,40 @@ class CleaningSpec extends SparkSpec {
       .collect().head
     assert(empty.getLong(1) == 0 && !empty.getBoolean(5))
   }
+
+  test("extractText: tags, script/style content, comments, entities, passthrough") {
+    val d = docs(
+      1L -> ("<html><head><script>var hidden = 'secret';</script>" +
+        "<style>.x { display: none }</style></head><body>" +
+        "<!-- menu markup --><h1>Real &amp; Title</h1>" +
+        "<p>body   text</p><br><div>tail &lt;kept&gt;</div></body></html>"),
+      2L -> "plain  prose   with    gaps",
+      3L -> "&amp;lt;escaped&amp;gt;", // &amp; LAST: must NOT double-decode
+      4L -> null.asInstanceOf[String])
+    val out = Cleaning.extractText(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "Real & Title body text tail <kept>")
+    assert(out(1L).getLong(2) ==
+      d.filter(col("doc_id") === 1).head.getString(1).length -
+        out(1L).getString(1).length)
+    // script/style CONTENT dropped, not just the tags
+    assert(!out(1L).getString(1).contains("secret"))
+    assert(!out(1L).getString(1).contains("display"))
+    // plain text: only whitespace normalization
+    assert(out(2L).getString(1) == "plain prose with gaps")
+    // escaped-entity text decodes ONE level (stays escaped-looking)
+    assert(out(3L).getString(1) == "&lt;escaped&gt;")
+    // null html -> null row values, row kept
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
+  }
+
+  test("extractText: case-insensitive block tags, multiline blocks, attr tags") {
+    val d = docs(
+      1L -> "before <SCRIPT type=\"a\">\nline1\nline2\n</SCRIPT> after",
+      2L -> "x <a href=\"http://e.com/?q=1&amp;r=2\">link text</a> y")
+    val out = Cleaning.extractText(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "before after")
+    // tag ATTRIBUTES stripped with the tag; entity inside prose decoded
+    assert(out(2L).getString(1) == "x link text y")
+  }
 }
