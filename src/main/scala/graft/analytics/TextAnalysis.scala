@@ -196,6 +196,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    * split each SOURCE's documents into `nBuckets` equal-population
+    * bands of the LM score — bucket 0 ("head") = most fluent (lowest
+    * bits/token), last = "tail". CCNet keeps head+middle per language;
+    * here the grain is `source` and the LM is [[unigramLogProb]]'s
+    * oracle-expressible unigram model (the real pipeline drops a KenLM
+    * in the same slot — only the score column changes). Documents with
+    * no tokens have no LM score and are absent, as in CCNet.
+    *
+    * Output: (doc_id, source, bits_per_token, bucket), ordered by
+    * doc_id. Bucket boundaries use the ROUNDED score with a doc_id
+    * tie-break (the rank discipline — a raw-double rank would be
+    * ulp-unstable cross-engine) and ((rank−1)·B) div n integer math
+    * (no float boundary).
+    *
+    * Scale shape (100 TB): the LM fit and per-doc score are
+    * [[unigramLogProb]]'s shape (token groupBy + same-key join back,
+    * one broadcast totals row); source attachment is a doc_id shuffle
+    * join; the per-source rank is the skew-safe
+    * [[graft.metrics.Metrics.rankByKey]] (range partition +
+    * per-partition windows) — a dominant source never funnels through
+    * one reducer, the exact hazard of `Window.partitionBy(source)`. */
+  def perplexityBuckets(documents: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val scored = unigramLogProb(documents)
+      .select(col("doc_id"), col("bits_per_token"))
+    val withSource = scored.join(
+      documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.metrics.Metrics.rankByKey(withSource, "source",
+        Seq("bits_per_token", "doc_id"))
+      .select(col("doc_id"), col("source"), col("bits_per_token"),
+        expr(s"((_rank - 1) * $nBuckets) div _nk").cast("long").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query term
     * set — the lexical-retrieval scorer a corpus pipeline uses for
     * retrieval-based filtering ("keep documents relevant to domain X")

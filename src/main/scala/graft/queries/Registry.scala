@@ -831,6 +831,29 @@ object Registry {
           FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
       }, bench = true),
 
+    // CCNet head/middle/tail perplexity bucketing per source: rank the
+    // ROUNDED unigram-LM score within each source (doc_id tie-break),
+    // bucket = ((rank-1)*3) div n — integer math, exact in both engines
+    QueryDef("txt_perplexity_buckets",
+      (s, d) => TextAnalysis.perplexityBuckets(t(s, d, "documents"), 3),
+      Some {
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          freq AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
+          tot AS (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
+          perdoc AS (SELECT doc_id, avg(ln(tf + 1)) AS avg_ln_tf1
+            FROM toks JOIN freq USING (token) GROUP BY doc_id),
+          sc AS (SELECT p.doc_id, d.source,
+              round((ln(t.n_total + t.n_vocab) - p.avg_ln_tf1) / ln(2.0), 4)
+                AS bits_per_token
+            FROM perdoc p CROSS JOIN tot t JOIN documents d ON d.doc_id = p.doc_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY bits_per_token, doc_id) AS rk,
+            count(*) OVER (PARTITION BY source) AS n FROM sc)
+          SELECT doc_id, source, bits_per_token,
+            (((rk - 1) * 3) // n)::BIGINT AS bucket
+          FROM r ORDER BY doc_id"""
+      }, bench = true),
+
     // Okapi BM25 against a fixed query term set (retrieval-based
     // filtering). Float constants are injected from the SAME Scala
     // doubles the operator uses, cast from their round-trip string

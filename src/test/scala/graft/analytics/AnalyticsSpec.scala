@@ -2191,6 +2191,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("perplexityBuckets: equal-population per-source bands, score-monotone, empty docs absent") {
+    val common = "the the the the the the the the"         // most fluent
+    val d = Seq(
+      (1L, common, "a"), (2L, common + " rare1", "a"),
+      (3L, common + " rare2 rare3", "a"), (4L, common + " r4 r5 r6", "a"),
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8", "a"), (6L, "y1 y2 y3 y4 y5 y6 y7 y8", "a"),
+      (7L, common, "b"), (8L, "z1 z2 z3 z4", "b"),
+      (9L, null.asInstanceOf[String], "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.perplexityBuckets(d, 3).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(!out.contains(9L)) // no tokens -> no LM score -> absent
+    // source a: 6 docs -> exact thirds
+    val a = out.collect { case (id, ("a", bits, bk)) => (id, bits, bk) }.toSeq
+    assert(a.groupBy(_._3).view.mapValues(_.size).toMap == Map(0L -> 2, 1L -> 2, 2L -> 2))
+    // buckets are monotone in the score
+    val byBucket = a.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(0L).max <= byBucket(1L).min)
+    assert(byBucket(1L).max <= byBucket(2L).min)
+    // the all-common-token doc is head, the all-singleton docs are tail
+    assert(out(1L)._3 == 0L && out(5L)._3 == 2L && out(6L)._3 == 2L)
+    // source b: 2 docs -> buckets 0 and 1 (((rk-1)*3) div 2)
+    assert(out(7L) == ("b", out(7L)._2, 0L) && out(8L)._3 == 1L)
+    assert(out(7L)._2 < out(8L)._2)
+  }
+
   // ---- prefix-filter exact Jaccard join (AllPairs/PPJoin family) ----
 
   /** JVM reference: brute-force all-pairs Jaccard over distinct word
