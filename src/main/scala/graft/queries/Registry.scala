@@ -404,6 +404,44 @@ object Registry {
           round(epoch(ts) - epoch(anchor_ts), 3) AS secs_since_anchor
         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""), bench = true),
 
+    // binned range join: 50 synthetic maintenance windows (derived
+    // in-plan from the events ts span — integer arithmetic end to end)
+    // joined to events on start <= ts_us < end via SparkUtil.rangeJoin;
+    // the oracle does the naive BETWEEN join — results are
+    // bin-independent by construction
+    QueryDef("range_join_windows",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+        val st = ev.agg(min("us").as("lo"), max("us").as("hi"))
+        val iv = s.range(50).toDF("interval_id")
+          .crossJoin(broadcast(st))
+          .select(col("interval_id"),
+            (col("lo") + col("interval_id") * 2 *
+              expr("(hi - lo) div 100")).as("start_us"),
+            (col("lo") + col("interval_id") * 2 * expr("(hi - lo) div 100") +
+              expr("(hi - lo) div 100")).as("end_us"))
+        graft.util.SparkUtil.rangeJoin(ev, "us", iv,
+            "start_us", "end_us", binWidth = 3600L * 1000000L)
+          .groupBy("interval_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            min("event_id").as("first_event"),
+            max("event_id").as("last_event"))
+          .orderBy("interval_id")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        st AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        iv AS (SELECT k::BIGINT AS interval_id,
+            lo + k * 2 * ((hi - lo) // 100) AS start_us,
+            lo + k * 2 * ((hi - lo) // 100) + ((hi - lo) // 100) AS end_us
+          FROM st CROSS JOIN range(50) r(k))
+        SELECT interval_id, count(*)::BIGINT AS n_events,
+          min(event_id) AS first_event, max(event_id) AS last_event
+        FROM iv JOIN ev ON us >= start_us AND us < end_us
+        GROUP BY interval_id ORDER BY interval_id"""),
+      bench = true),
+
     QueryDef("a6_histogram_buckets",
       (s, d) => Metrics.histogramBuckets(t(s, d, "events")),
       Some("""SELECT CASE WHEN value < 1 THEN 0

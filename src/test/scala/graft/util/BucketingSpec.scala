@@ -70,4 +70,48 @@ class BucketingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("right/full"))
   }
+
+  test("rangeJoin equals the naive BETWEEN join; boundaries, negatives, wide intervals, no dups") {
+    // deterministic pseudo-random points incl. negative coordinates
+    val pts = (0L until 400L)
+      .map(i => (i, (i * 7919L % 1000L) - 300L)).toDF("pid", "p")
+    // intervals: varied widths (some spanning many bins at w=16, some
+    // degenerate end <= start), negative starts
+    val ivs = (0L until 60L).map { k =>
+      val s0 = (k * 131L % 900L) - 350L
+      val e0 = if (k % 10 == 9) s0 - 5L else s0 + (k % 7) * 40L + 1L
+      (k, s0, e0)
+    }.toDF("iid", "s", "e")
+    val got = SparkUtil.rangeJoin(pts, "p", ivs, "s", "e", binWidth = 16L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pts.crossJoin(ivs)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == got.distinct.length, "multi-bin intervals must not duplicate pairs")
+    assert(want.nonEmpty)
+
+    // explicit boundary semantics: start inclusive, end exclusive
+    val bp = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L)).toDF("pid", "p")
+    val bi = Seq((1L, 10L, 20L)).toDF("iid", "s", "e")
+    val hits = SparkUtil.rangeJoin(bp, "p", bi, "s", "e", 7L)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits == Seq(1L, 2L))
+
+    // the plan must be an equi-join on the bin key, never a nested loop
+    val plan = SparkUtil.rangeJoin(pts, "p", ivs, "s", "e", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+
+    // an interval wider than maxBinsPerInterval bins fails LOUD
+    val wide = Seq((1L, 0L, 10000L)).toDF("iid", "s", "e")
+    val err = intercept[Exception] {
+      SparkUtil.rangeJoin(bp, "p", wide, "s", "e",
+        binWidth = 1L, maxBinsPerInterval = 100L).collect()
+    }
+    assert(err.getMessage.contains("maxBinsPerInterval") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("maxBinsPerInterval"))
+  }
 }
