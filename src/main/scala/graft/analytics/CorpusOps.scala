@@ -587,37 +587,53 @@ object CorpusOps {
     * probe as dominant, erring toward the skew-safe plan. Both
     * candidate plans are correct — the probe only picks the faster
     * one. Returns (maxCounter, slack = total/(k+1), total). */
-  private[analytics] def dominanceProbe(documents: DataFrame,
-                                        k: Int = 8): (Long, Long, Long) = {
+  /** Misra-Gries counter merge + trim, shared by [[dominanceProbe]]
+    * and [[TextAnalysis.frequentTokens]]. LOOP the min-decrement: one
+    * pass removes as few as 1 entry, and merged partials arrive up to
+    * 2k wide — a single trim would let the root sketch grow O(P·k).
+    * Each round decrements ≥ k+1 counters by δ, so total decrement
+    * mass stays ≤ total/(k+1) and the heavy-hitter bound (a counter
+    * survives ≥ f − total/(k+1)) is preserved — the sketch is
+    * MERGEABLE (Agarwal et al., "Mergeable Summaries", public). */
+  private[analytics] def mgAddAll(k: Int)(
+      a: scala.collection.mutable.HashMap[String, Long],
+      b: IterableOnce[(String, Long)])
+      : scala.collection.mutable.HashMap[String, Long] = {
+    b.iterator.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
+    while (a.size > k) {
+      val dec = a.values.min
+      val kept = a.toSeq.collect { case (s, c) if c > dec => (s, c - dec) }
+      a.clear(); a ++= kept
+    }
+    a
+  }
+
+  /** One narrow shuffle-free Misra-Gries(k) pass over a single string
+    * column: per-partition sketches merged by [[mgAddAll]] via
+    * treeAggregate. Returns (sketch, total rows). EAGER — runs a job
+    * at call time. */
+  private[analytics] def mgSketch(values: DataFrame, k: Int)
+      : (scala.collection.mutable.HashMap[String, Long], Long) = {
     import org.apache.spark.sql.Encoders
     import scala.collection.mutable
-    def addAll(a: mutable.HashMap[String, Long],
-               b: IterableOnce[(String, Long)]): mutable.HashMap[String, Long] = {
-      b.iterator.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
-      // LOOP the min-decrement: one pass removes as few as 1 entry, and
-      // merged partials arrive up to 2k wide — a single trim would let
-      // the root sketch grow O(P·k). Each round decrements ≥ k+1
-      // counters by δ, so total decrement mass stays ≤ total/(k+1) and
-      // the heavy-hitter bound is preserved.
-      while (a.size > k) {
-        val dec = a.values.min
-        val kept = a.toSeq.collect { case (s, c) if c > dec => (s, c - dec) }
-        a.clear(); a ++= kept
-      }
-      a
-    }
-    val (sketch, total) = graft.util.SparkUtil
-      .widen(documents.select(col("source").cast("string")))
+    val add = mgAddAll(k) _
+    graft.util.SparkUtil.widen(values)
       .as(Encoders.STRING).rdd
       .mapPartitions { it =>
         val m = mutable.HashMap.empty[String, Long]
         var t = 0L
-        it.foreach { s => t += 1; addAll(m, Iterator.single(s -> 1L)) }
+        it.foreach { s => t += 1; add(m, Iterator.single(s -> 1L)) }
         Iterator.single((m, t))
       }
       .treeAggregate((mutable.HashMap.empty[String, Long], 0L))(
-        { case ((a, ta), (b, tb)) => (addAll(a, b), ta + tb) },
-        { case ((a, ta), (b, tb)) => (addAll(a, b), ta + tb) })
+        { case ((a, ta), (b, tb)) => (add(a, b), ta + tb) },
+        { case ((a, ta), (b, tb)) => (add(a, b), ta + tb) })
+  }
+
+  private[analytics] def dominanceProbe(documents: DataFrame,
+                                        k: Int = 8): (Long, Long, Long) = {
+    val (sketch, total) =
+      mgSketch(documents.select(col("source").cast("string")), k)
     (if (sketch.isEmpty) 0L else sketch.values.max, total / (k + 1), total)
   }
 

@@ -196,6 +196,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Guaranteed-support frequent tokens — the classic TWO-PASS heavy
+    * hitter (Misra-Gries 1982 + exact verify; public): every token
+    * whose corpus frequency exceeds N/(k+1), with its EXACT count, in
+    * O(k) memory and no vocabulary-sized shuffle for candidate
+    * generation. Pass 1 is one narrow shuffle-free job — per-partition
+    * MG(k) sketches merged via treeAggregate (the sketch is mergeable;
+    * [[CorpusOps.mgAddAll]] holds the bound proof); any token with
+    * f > N/(k+1) is GUARANTEED to survive as a candidate. Pass 2
+    * re-scans with a ≤k-token IN filter at scan speed and exact-counts
+    * only candidates, then applies the true threshold — so the output
+    * is EXACTLY {token : cnt·(k+1) > N}, independent of sketch
+    * internals (the oracle computes that set from full counts; a hash
+    * match proves the survival guarantee, not plan agreement).
+    *
+    * Contrast with [[vocabCoverage]]'s top-k (a vocabulary-sized
+    * groupBy + heap — exact but pays the vocab shuffle): this is the
+    * streaming-scale path when the vocabulary itself is too large to
+    * shuffle (token-level 100 TB web text) and the question is
+    * "which tokens exceed share s", not "the k largest".
+    *
+    * EAGER: pass 1 runs a Spark job at CALL time (the candidate list
+    * must exist to build the pass-2 plan — same contract as
+    * [[CorpusOps.cumulativeTokens]]'s dominance probe).
+    *
+    * Output: (token, cnt, share 6 dp), cnt DESC, token ASC. */
+  def frequentTokens(documents: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tokCol = graft.util.SparkUtil.widen(documents)
+      .select(explode(tokens(col("text"))).as("token"))
+    val (sketch, total) =
+      CorpusOps.mgSketch(tokCol.select(col("token")), k)
+    val cands = sketch.keys.toSeq
+    tokCol
+      .filter(col("token").isInCollection(cands))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / lit(total), 6).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
     * split each SOURCE's documents into `nBuckets` equal-population
     * bands of the LM score — bucket 0 ("head") = most fluent (lowest

@@ -869,6 +869,20 @@ object Registry {
           FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
       }, bench = true),
 
+    // two-pass Misra-Gries heavy hitters: output = EXACTLY the tokens
+    // with cnt*(k+1) > N at k=40 — the oracle derives that set from
+    // full counts, so a hash match proves the MG survival guarantee
+    QueryDef("txt_frequent_tokens",
+      (s, d) => TextAnalysis.frequentTokens(t(s, d, "documents"), 40),
+      Some {
+        s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+          tc AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt)::BIGINT AS n FROM tc)
+          SELECT token, cnt, round(cnt::DOUBLE / n, 6) AS share
+          FROM tc CROSS JOIN tot WHERE cnt * 41 > n
+          ORDER BY cnt DESC, token"""
+      }, bench = true),
+
     // CCNet head/middle/tail perplexity bucketing per source: rank the
     // ROUNDED unigram-LM score within each source (doc_id tie-break),
     // bucket = ((rank-1)*3) div n — integer math, exact in both engines

@@ -2191,6 +2191,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("frequentTokens: exact guaranteed-support set under forced sketch trims") {
+    // vocab (200 singletons) >> k=4 counters -> the MG sketch trims
+    // constantly; heavy tokens must still surface with EXACT counts
+    val rare = (0 until 200).map(i => s"rare$i")
+    val text = (Seq.fill(120)("hot") ++ Seq.fill(90)("warm") ++
+      Seq.fill(40)("cool") ++ rare).mkString(" ")
+    // spread across docs so multiple partitions hold partial counts
+    val chunks = text.split(" ").grouped(45).map(_.mkString(" ")).toSeq
+    val d = chunks.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("doc_id", "text")
+    val k = 4
+    val n = 120 + 90 + 40 + 200
+    val out = TextAnalysis.frequentTokens(d, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Map("hot" -> 120L, "warm" -> 90L, "cool" -> 40L)
+      .filter { case (_, c) => c * (k + 1) > n }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    assert(out == want)        // exact counts, exact threshold set, order
+    assert(want.nonEmpty && want.size < 3 || want.size == 3)
+    // share column consistent with counts
+    val shares = TextAnalysis.frequentTokens(d, k).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    want.foreach { case (t, c) =>
+      assert(math.abs(shares(t) - c.toDouble / n) < 1e-6)
+    }
+    // empty corpus -> empty result, no crash
+    assert(TextAnalysis.frequentTokens(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), k).count() == 0L)
+  }
+
   test("perplexityBuckets: equal-population per-source bands, score-monotone, empty docs absent") {
     val common = "the the the the the the the the"         // most fluent
     val d = Seq(
