@@ -1256,4 +1256,44 @@ object Similarity {
           lit(0.0d), (acc, v) => acc + v)), 4).as("centroid_norm"))
       .orderBy("label")
   }
+
+  /** Embedding-table ingest health panel — the vector-modality
+    * counterpart of [[CorpusOps.sourceHealthReport]]: per label, row
+    * count, NULL-embedding count (failed encoder calls), DISTINCT
+    * dimensionality count (anything ≠ 1 means a mixed-model ingest —
+    * the bug every downstream dot product would hit as a runtime zip
+    * error or, worse, silent truncation), zero-vector count (norm
+    * exactly 0 — un-normalizable rows that NaN a cosine), and
+    * norm mean/spread (a drifting norm distribution is the
+    * quantization-calibration alarm for the int8/PQ paths).
+    *
+    * Output: (label BIGINT, n, n_null, n_dims_distinct, n_zero,
+    * mean_norm 4 dp, sd_norm 4 dp), ordered by label. Null embeddings
+    * count in `n`/`n_null` and are excluded from dim/norm stats; the
+    * zero test is exact (a float sum of squares is 0 iff every
+    * component is ±0 — deterministic in any engine).
+    *
+    * Scale shape (100 TB): ONE combinable groupBy over per-row narrow
+    * projections — map-side partials, |labels| output rows, zero
+    * joins, zero UDFs; the same single-scan shape as the text health
+    * report. */
+  def embeddingHealth(embeddings: DataFrame): DataFrame = {
+    val vec = transform(col("embedding"), x => x.cast("double"))
+    val norm = sqrt(aggregate(vec, lit(0.0d), (a, x) => a + x * x))
+    graft.util.SparkUtil.widen(embeddings)
+      .select(col("label").cast("long").as("label"), col("embedding"),
+        when(col("embedding").isNotNull, norm).as("__norm"),
+        when(col("embedding").isNotNull, size(col("embedding")).cast("long"))
+          .as("__dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_null"),
+        countDistinct(col("__dim")).cast("long").as("n_dims_distinct"),
+        sum(when(col("__norm") === 0.0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        round(avg("__norm"), 4).as("mean_norm"),
+        round(stddev_pop("__norm"), 4).as("sd_norm"))
+      .orderBy("label")
+  }
 }

@@ -1818,7 +1818,41 @@ object Registry {
           SELECT vec_id, label, cos_centroid,
             (rk * 1000 <= n * 50) AS outlier
           FROM r ORDER BY vec_id"""
-      }))
+      }),
+
+    // embedding-table ingest health: null embeddings (every 37th id)
+    // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
+    // both engines; one combinable per-label scan
+    QueryDef("sim_embedding_health",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").withColumn("embedding",
+          when(pmod(col("vec_id"), lit(37)) === 0,
+            lit(null).cast("array<float>"))
+            .when(pmod(col("vec_id"), lit(53)) === 1,
+              transform(col("embedding"), _ => lit(0.0f)))
+            .otherwise(col("embedding")))
+        Similarity.embeddingHealth(emb)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            CASE WHEN vec_id % 37 = 0 THEN NULL
+              WHEN vec_id % 53 = 1 THEN
+                list_transform(embedding, x -> CAST(0.0 AS REAL))
+              ELSE embedding END AS embedding
+          FROM embeddings),
+        s AS (SELECT label, embedding,
+            CASE WHEN embedding IS NOT NULL THEN
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm,
+            CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim
+          FROM e)
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+          sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+          count(DISTINCT dim)::BIGINT AS n_dims_distinct,
+          sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+          round(avg(nrm), 4) AS mean_norm,
+          round(stddev_pop(nrm), 4) AS sd_norm
+        FROM s GROUP BY label ORDER BY label"""),
+      bench = true))
 
   // ---------------- multimodal ----------------------------------------
 

@@ -2191,6 +2191,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("embeddingHealth: nulls, zero vectors, and mixed dims surface per label") {
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f), 0),              // norm 5
+      (2L, Array(0.0f, 0.0f), 0),              // zero vector
+      (3L, null.asInstanceOf[Array[Float]], 0), // failed encode
+      (4L, Array(6.0f, 8.0f), 1),              // norm 10
+      (5L, Array(1.0f, 2.0f, 2.0f), 1))        // MIXED DIM (3 vs 2), norm 3
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingHealth(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val l0 = out(0L)
+    assert(l0.getLong(1) == 3 && l0.getLong(2) == 1)  // n, n_null
+    assert(l0.getLong(3) == 1 && l0.getLong(4) == 1)  // dims, n_zero
+    assert(l0.getDouble(5) == 2.5)                    // mean(5, 0)
+    assert(l0.getDouble(6) == 2.5)                    // stddev_pop(5, 0)
+    val l1 = out(1L)
+    assert(l1.getLong(1) == 2 && l1.getLong(2) == 0 && l1.getLong(4) == 0)
+    assert(l1.getLong(3) == 2)                        // mixed-dim ALARM
+    assert(l1.getDouble(5) == 6.5)                    // mean(10, 3)
+    assert(l1.getDouble(6) == 3.5)                    // stddev_pop(10, 3)
+  }
+
   test("frequentTokens: exact guaranteed-support set under forced sketch trims") {
     // vocab (200 singletons) >> k=4 counters -> the MG sketch trims
     // constantly; heavy tokens must still surface with EXACT counts
