@@ -284,4 +284,79 @@ object Metrics {
         round(max("duration_secs"), 3).as("max_session_secs"))
       .orderBy("user_id")
   }
+
+  /** Ordered-sequence funnel — per user, the EARLIEST-ANCHOR greedy
+    * completion of `steps` (the default semantics of the analytics
+    * funnel engines): t₁ = the user's first step-1 event; tᵢ₊₁ = the
+    * first step-(i+1) event strictly after tᵢ and within
+    * `maxGapSeconds` of it. A user appears iff they reached step 1;
+    * unreached steps are null. Greedy-earliest can miss completions a
+    * later anchor would catch — documented simplification, identical
+    * in the oracle.
+    *
+    * Output: (user_id, t1_us … tk_us epoch-micro BIGINTs — exact
+    * integers, no float compare surface, steps_completed), ordered by
+    * user_id.
+    *
+    * Scale shape (100 TB): one per-step pipeline of
+    * (type-filtered scan → user groupBy min → user equi-join back) —
+    * every aggregate map-side combinable on user_id
+    * (corpus-cardinality key, no funnel-shaped window); k type-pruned
+    * column scans beat materializing a (user, type, ts) copy of the
+    * event log (parquet predicate pushdown does the per-step filter at
+    * the stripe level). Per-user state is k timestamps, never an
+    * event list — a heavy user costs nothing extra. */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+                  maxGapSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
+    val gapUs = maxGapSeconds * 1000000L
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("__us"))
+    var acc = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("__us").as("t1_us"))
+    for (i <- 2 to steps.size) {
+      val prev = s"t${i - 1}_us"
+      val si = ev.filter(col("event_type") === steps(i - 1))
+        .select(col("user_id"), col("__us"))
+      val next = acc.select(col("user_id"), col(prev)).join(si, "user_id")
+        .filter(col("__us") > col(prev) && col("__us") <= col(prev) + gapUs)
+        .groupBy("user_id").agg(min("__us").as(s"t${i}_us"))
+      acc = acc.join(next, Seq("user_id"), "left")
+    }
+    val completed = (2 to steps.size)
+      .map(i => when(col(s"t${i}_us").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    acc.select(col("user_id") +:
+        (1 to steps.size).map(i => col(s"t${i}_us")) :+
+        completed.cast("long").as("steps_completed"): _*)
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention — users grouped by the week of their
+    * FIRST event (integer epoch-week: days-since-1970 div 7 — no
+    * engine week-anchor convention in sight), counted at each later
+    * week offset they were active. `n_users` at offset 0 is the cohort
+    * size; the (cohort, offset) grid is the standard retention
+    * triangle.
+    *
+    * Output: (cohort_week, week_offset, n_users), ordered.
+    *
+    * Scale shape: firsts = one combinable user groupBy; activity =
+    * distinct (user, week) — both shuffle on user-grain keys; the
+    * final groupBy is (cohort, offset)-sized. No windows, no joins
+    * bigger than user-grain. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    val ev = events.select(col("user_id"), (day.cast("long")).as("__day"))
+    val firsts = ev.groupBy("user_id")
+      .agg(expr("min(__day) div 7").as("__w0"))
+    val active = ev.select(col("user_id"), expr("__day div 7").as("__w"))
+      .distinct()
+    active.join(firsts, "user_id")
+      .groupBy(col("__w0").as("cohort_week"),
+        (col("__w") - col("__w0")).as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -536,7 +536,46 @@ object Registry {
           max(epoch(ts)) - min(epoch(ts)) AS dur FROM s GROUP BY user_id, session_id)
         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
         round(max(dur), 3) AS max_session_secs
-        FROM per GROUP BY user_id ORDER BY user_id"""), bench = true))
+        FROM per GROUP BY user_id ORDER BY user_id"""), bench = true),
+
+    // earliest-anchor greedy funnel view→click→purchase, 2-day step
+    // gap; epoch-micro BIGINT outputs — exact integers, no float
+    // compare surface
+    QueryDef("funnel_steps",
+      (s, d) => Metrics.funnelSteps(t(s, d, "events"),
+        Seq("view", "click", "purchase"), 2L * 86400L),
+      Some("""WITH ev AS (SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1_us FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, min(us) AS t2_us FROM ev JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND us > t1_us
+            AND us <= t1_us + 172800000000 GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, min(us) AS t3_us FROM ev JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND us > t2_us
+            AND us <= t2_us + 172800000000 GROUP BY ev.user_id)
+        SELECT s1.user_id, t1_us, t2_us, t3_us,
+          (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT
+            AS steps_completed
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id"""),
+      bench = true),
+
+    // weekly cohort retention triangle on integer epoch-weeks
+    // (days-since-1970 div 7 — no engine week-anchor convention)
+    QueryDef("cohort_retention",
+      (s, d) => Metrics.cohortRetention(t(s, d, "events")),
+      Some("""WITH ev AS (SELECT user_id,
+            (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) // 7 AS w0 FROM ev GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, day // 7 AS w FROM ev)
+        SELECT w0::BIGINT AS cohort_week, (w - w0)::BIGINT AS week_offset,
+          count(*)::BIGINT AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset"""),
+      bench = true))
 
   // ---------------- P-series scalar ops over events/documents ---------
 

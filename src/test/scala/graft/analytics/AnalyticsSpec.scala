@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.SparkSpec
+import graft.metrics.Metrics
 import org.apache.spark.sql.functions._
 
 /** Semantic unit tests for the dedup/similarity/text operators on
@@ -2189,6 +2190,75 @@ class AnalyticsSpec extends SparkSpec {
     }
     // docs 1-3 are near-dups (rowsPerBand=1, OR-amplified) -> one cluster
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
+  }
+
+  private def eventsDf(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .drop("ts_s")
+
+  test("funnelSteps: greedy earliest-anchor completion, gap cutoffs, step order") {
+    val d = eventsDf(
+      // user 1: full completion inside the 1h gap
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:30:00", "click"),
+      (1L, "2024-01-01 00:50:00", "purchase"),
+      // user 2: click beyond the gap -> stops at step 1
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 02:00:00", "click"),
+      // user 3: never did step 1 -> absent
+      (3L, "2024-01-01 00:00:00", "click"),
+      // user 4: step 3 beyond the gap FROM STEP 2 -> stops at 2
+      (4L, "2024-01-01 00:00:00", "view"),
+      (4L, "2024-01-01 00:10:00", "click"),
+      (4L, "2024-01-01 01:30:00", "purchase"),
+      // user 5: pre-anchor purchase ignored; later one counts
+      (5L, "2024-01-01 00:00:00", "purchase"),
+      (5L, "2024-01-01 00:10:00", "view"),
+      (5L, "2024-01-01 00:20:00", "click"),
+      (5L, "2024-01-01 00:40:00", "purchase"),
+      // user 6: the documented greedy miss — the 00:30 view would
+      // anchor a completion, but the EARLIEST view is the anchor
+      (6L, "2024-01-01 00:00:00", "view"),
+      (6L, "2024-01-01 00:30:00", "view"),
+      (6L, "2024-01-01 01:10:00", "click"))
+    val out = Metrics.funnelSteps(d, Seq("view", "click", "purchase"), 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))
+      .toMap
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L))
+    assert(out(1L)._1 == 3 && out(1L)._2 == Seq(
+      Some(us("2024-01-01T00:00:00Z")), Some(us("2024-01-01T00:30:00Z")),
+      Some(us("2024-01-01T00:50:00Z"))))
+    assert(out(2L)._1 == 1 && out(2L)._2(1).isEmpty)
+    assert(out(4L)._1 == 2 && out(4L)._2(2).isEmpty)
+    assert(out(5L)._1 == 3 &&
+      out(5L)._2(0) == Some(us("2024-01-01T00:10:00Z")) &&
+      out(5L)._2(2) == Some(us("2024-01-01T00:40:00Z")))
+    assert(out(6L)._1 == 1) // greedy-earliest semantics, by design
+  }
+
+  test("cohortRetention: integer epoch-week cohorts, offsets, distinct weekly actives") {
+    val d = eventsDf(
+      (1L, "2024-01-01 10:00:00", "view"),  // epoch-day 19723
+      (1L, "2024-01-02 10:00:00", "view"),  // same week, still 1 active row
+      (1L, "2024-01-10 10:00:00", "view"),  // +1 week
+      (2L, "2024-01-03 10:00:00", "view"),  // same cohort as user 1
+      (3L, "2024-01-10 10:00:00", "view"))  // next-week cohort
+    def week(s: String): Long = java.time.LocalDate.parse(s).toEpochDay / 7
+    val w0 = week("2024-01-01")
+    assert(week("2024-01-03") == w0 && week("2024-01-10") == w0 + 1)
+    val out = Metrics.cohortRetention(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      (w0, 0L) -> 2L,       // users 1+2 active in their cohort week
+      (w0, 1L) -> 1L,       // only user 1 returns
+      (w0 + 1, 0L) -> 1L))  // user 3's own cohort
   }
 
   test("embeddingHealth: nulls, zero vectors, and mixed dims surface per label") {
