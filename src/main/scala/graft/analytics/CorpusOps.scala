@@ -204,6 +204,51 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential-keys / "A-ES", IPL 2006 — public): the k documents
+    * with the largest key = ln(u)/w, where u is the deterministic
+    * md5-coin in (0, 1] and w the row's weight — inclusion probability
+    * proportional to weight, exactly the reservoir the
+    * quality-weighted corpus draw needs ("sample ∝ classifier score"),
+    * and reproducible run to run because u is content-derived, never
+    * rand() (the repo's no-rand discipline).
+    *
+    * Rows with null or non-positive weight are EXCLUDED (a zero-weight
+    * row has zero inclusion probability; a negative weight is a caller
+    * bug surfaced by absence, and ln(u)/w would invert its ordering
+    * silently). Keys compare ROUNDED to 9 dp (ln differs in the last
+    * ulp across libm implementations — the rank discipline), ties by
+    * doc_id.
+    *
+    * Output: (doc_id, weight, key) for the k winners, ordered by
+    * doc_id.
+    *
+    * Scale shape (100 TB): scoring is one narrow projection; selection
+    * is the `graft_topk` heap as a GLOBAL aggregate — map-side
+    * combine, k-sized state per partition, never a corpus-wide
+    * ranking window; the winner join-back is a broadcast left-semi
+    * (k rows). */
+  def weightedSample(documents: DataFrame, weight: org.apache.spark.sql.Column, k: Int,
+                     salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val scored = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), weight.cast("double").as("weight"))
+      .filter(col("weight").isNotNull && col("weight") > 0)
+      .withColumn("key",
+        round(log((u32 + 1).cast("double") / 4294967296.0d) / col("weight"), 9))
+      .localCheckpoint(true) // 2 consumers: heap + winner join-back
+    val winners = scored
+      .agg(expr(s"graft_topk(key, doc_id, $k)").as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    scored.join(broadcast(winners), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("weight"), col("key"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled source mixture weights — the domain-weighting
     * step of every multi-source pretraining recipe (sample source `s`
     * with probability ∝ n_tokens(s)^α; α = 1 is natural proportions, α

@@ -2742,6 +2742,21 @@ object Registry {
           FROM f ORDER BY doc_id"""
       }, bench = true),
 
+    // Efraimidis-Spirakis weighted sample (∝ n_chars), deterministic
+    // md5 coin, ROUNDED exponential keys, graft_topk heap selection
+    QueryDef("corpus_weighted_sample",
+      (s, d) => CorpusOps.weightedSample(t(s, d, "documents"),
+        col("n_chars"), 100, "ws"),
+      Some("""WITH sc AS (SELECT doc_id, n_chars::DOUBLE AS weight,
+            round(ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1) / 4294967296.0) / n_chars::DOUBLE, 9) AS key
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM sc)
+        SELECT doc_id, weight, key FROM r WHERE rk <= 100
+        ORDER BY doc_id"""),
+      bench = true),
+
     // HTML main-text extraction: markup forged in-plan from the shared
     // scaffold literals (plain docs every 3rd id exercise passthrough);
     // the oracle chains the same RE2∩Java patterns and entity replaces

@@ -2192,6 +2192,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("weightedSample: JVM key-formula replica picks the same winners; bad weights excluded") {
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def key(id: Long, w: Double): Double = {
+      val u = (md5u32(s"ws:$id") + 1).toDouble / 4294967296.0
+      BigDecimal(math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val rows = (1L to 60L).map(i => (i, (i % 7 + 1) * 10.0)) ++
+      Seq((61L, 0.0), (62L, -5.0)) // excluded: zero and negative weight
+    val d = rows.toDF("doc_id", "w")
+    val k = 10
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, kk) => (-kk, id) }.take(k).map(_._1).toSet
+    val out = CorpusOps.weightedSample(d, col("w"), k, "ws").collect()
+    assert(out.map(_.getLong(0)).toSet == want)
+    assert(!out.exists(r => r.getLong(0) == 61L || r.getLong(0) == 62L))
+    // k >= n degenerates to "every positive-weight doc"
+    assert(CorpusOps.weightedSample(d, col("w"), 1000, "ws").count() == 60L)
+    // a different salt draws a different (but equal-size) sample
+    val other = CorpusOps.weightedSample(d, col("w"), k, "ws2").collect()
+      .map(_.getLong(0)).toSet
+    assert(other.size == k && other != want)
+  }
+
   private def eventsDf(rows: (Long, String, String)*) =
     rows.toDF("user_id", "ts_s", "event_type")
       .withColumn("ts", to_timestamp(col("ts_s")))
