@@ -999,6 +999,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster size distribution — the dedup-yield report read
+    * before committing to a removal pass: how many clusters of each
+    * size, how many documents they hold, and how many rows a
+    * keep-one-per-cluster policy would delete (`n_removable` =
+    * Σ (size−1)). Consumes any (doc_id, cluster_id) labeling
+    * ([[clustersFromPairs]] / [[duplicateClusters]] output);
+    * singletons appear as cluster_size 1 with n_removable 0.
+    *
+    * Scale shape: two combinable groupBys (cluster_id — corpus-grain
+    * key — then the ≤log-many distinct sizes); output is
+    * size-histogram-sized. */
+  def clusterSizeReport(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).cast("long")
+          .as("n_removable"))
+      .orderBy("cluster_size")
+
   /** EXACT Jaccard threshold self-join via prefix filtering (the
     * AllPairs / PPJoin family — Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity

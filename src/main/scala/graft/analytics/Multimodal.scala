@@ -178,6 +178,38 @@ object Multimodal {
         round(col("width").cast("double") / col("height"), 4).as("aspect"))
       .orderBy("doc_id")
 
+  /** LAION-style image admission gate over PARSED header dimensions
+    * (the published image-corpus filter shape: minimum side + aspect
+    * band + decodable format): keep iff the REAL decoded header says
+    * width ≥ minDim ∧ height ≥ minDim ∧ 1/maxAspect ≤ w/h ≤ maxAspect
+    * ∧ the format actually decoded (png/jpeg — a stub-decoded unknown
+    * container never passes a dimensional gate it made up). Emits the
+    * gate REPORT (keep flag + the dims it judged), not a filtered
+    * table — the [[graft.analytics.Cleaning.gopherRules]] convention;
+    * callers filter on `keep`.
+    *
+    * The aspect compare uses the RAW w/h division (integer-derived
+    * IEEE division — identical in any engine); the output `aspect`
+    * column is rounded for display only.
+    *
+    * Scale shape: [[decodeBatched]]'s per-partition batched header
+    * walk (headers only — never a full image decode), then one narrow
+    * projection; no shuffle, no UDF beyond the documented batch seam. */
+  def imageFilter(documents: DataFrame, minDim: Int = 64,
+                  maxAspect: Double = 3.0): DataFrame = {
+    require(minDim >= 1, s"minDim must be >= 1: $minDim")
+    require(maxAspect >= 1.0, s"maxAspect must be >= 1: $maxAspect")
+    val rawAspect = col("width").cast("double") / col("height")
+    decodeBatched(documents)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        round(rawAspect, 4).as("aspect"),
+        (col("format").isin("png", "jpeg") &&
+          col("width") >= minDim && col("height") >= minDim &&
+          rawAspect <= maxAspect && rawAspect >= lit(1.0 / maxAspect))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup over the BINARY modality — the multimodal analog of
     * [[graft.analytics.Dedup.exactDuplicates]]'s normalized-text
     * fingerprint: group by the payload content md5 (the same

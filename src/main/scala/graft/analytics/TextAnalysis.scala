@@ -196,6 +196,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language — the tokenizer-fit panel
+    * (fertility = subword tokens per whitespace word; the published
+    * multilingual-tokenizer health metric: a language far above the
+    * corpus norm is being shredded into char-level pieces and will
+    * train poorly at the same sequence budget). Also chars per subword
+    * (compression ratio — the bytes-per-token cost planners budget
+    * with). Uses [[bpeishTokens]] as the deterministic subword proxy;
+    * a real tokenizer changes only the token expression.
+    *
+    * Output: (lang, n_docs, n_words, n_subwords, fertility 4 dp,
+    * chars_per_subword 4 dp), ordered by lang. Null-text docs count in
+    * n_docs with zero tokens.
+    *
+    * Scale shape: ONE combinable lang groupBy over narrow per-row
+    * token counts — map-side partials, |langs| output rows, no joins,
+    * one scan. */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .select(col("lang"),
+        coalesce(size(tokens(col("text"))), lit(0)).cast("long").as("__w"),
+        coalesce(size(bpeishTokens(col("text"))), lit(0)).cast("long").as("__b"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("__w").cast("long").as("n_words"),
+        sum("__b").cast("long").as("n_subwords"),
+        // null, not NaN, for an all-empty language (0/0 is an IEEE NaN
+        // in both engines, but a NULL states "no tokens" honestly)
+        when(sum("__w") > 0,
+          round(sum("__b").cast("double") / sum("__w"), 4)).as("fertility"),
+        when(sum("__b") > 0,
+          round(sum("__c").cast("double") / sum("__b"), 4))
+          .as("chars_per_subword"))
+      .orderBy("lang")
+
   /** Guaranteed-support frequent tokens — the classic TWO-PASS heavy
     * hitter (Misra-Gries 1982 + exact verify; public): every token
     * whose corpus frequency exceeds N/(k+1), with its EXACT count, in

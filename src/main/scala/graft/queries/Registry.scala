@@ -908,6 +908,24 @@ object Registry {
           FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
       }, bench = true),
 
+    // tokenizer fertility / compression per language: one combinable
+    // lang groupBy, bpeish subwords as the deterministic proxy
+    QueryDef("txt_fertility",
+      (s, d) => TextAnalysis.tokenizerFertility(t(s, d, "documents")),
+      Some {
+        val w = s"coalesce(len($toksSql), 0)"
+        val b = "coalesce(len(list_filter(regexp_split_to_array(lower(text), " +
+          "'[^a-z0-9]+'), t -> t <> '')), 0)"
+        val c = "coalesce(length(text), 0)"
+        s"""SELECT lang, count(*)::BIGINT AS n_docs,
+          sum($w)::BIGINT AS n_words, sum($b)::BIGINT AS n_subwords,
+          CASE WHEN sum($w) > 0
+            THEN round(sum($b)::DOUBLE / sum($w), 4) END AS fertility,
+          CASE WHEN sum($b) > 0
+            THEN round(sum($c)::DOUBLE / sum($b), 4) END AS chars_per_subword
+        FROM documents GROUP BY lang ORDER BY lang"""
+      }, bench = true),
+
     // two-pass Misra-Gries heavy hitters: output = EXACTLY the tokens
     // with cnt*(k+1) > N at k=40 — the oracle derives that set from
     // full counts, so a hash match proves the MG survival guarantee
@@ -1320,6 +1338,37 @@ object Registry {
             ON m.src = d.doc_id
           ORDER BY doc_id"""
       }, bench = true),
+
+    // cluster-size histogram over the near-dup labeling: the dedup
+    // yield report (keep-one removal volume) — same recursive CTE as
+    // dedup_clusters, then two groupBys
+    QueryDef("dedup_cluster_sizes",
+      (s, d) => Dedup.clusterSizeReport(
+        Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4)),
+      Some {
+        s"""WITH RECURSIVE $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+          cl AS (SELECT d.doc_id,
+              least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN
+              (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id),
+          sz AS (SELECT cluster_id, count(*)::BIGINT AS s FROM cl
+            GROUP BY cluster_id)
+          SELECT s AS cluster_size, count(*)::BIGINT AS n_clusters,
+            (s * count(*))::BIGINT AS n_docs,
+            ((s - 1) * count(*))::BIGINT AS n_removable
+          FROM sz GROUP BY s ORDER BY cluster_size"""
+      }),
 
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
     // The oracle mirrors the full pipeline including the band join, so
@@ -1914,6 +1963,26 @@ object Registry {
           round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
             / ((doc_id * 13) % 1080 + 1), 4) AS aspect
         FROM documents ORDER BY doc_id"""), bench = true),
+
+    // LAION-style image gate on PARSED header dims: the oracle derives
+    // width/height from the same synthesis formulas mm_media_features
+    // proves the real parser reproduces; raw-division aspect compare
+    QueryDef("mm_image_filter",
+      (s, d) => Multimodal.imageFilter(t(s, d, "documents"), 64, 3.0),
+      Some {
+        val inv = s"CAST('${1.0 / 3.0}' AS DOUBLE)"
+        s"""WITH m AS (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+            CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+            CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height
+          FROM documents)
+          SELECT doc_id, format, width, height,
+            round(width::DOUBLE / height, 4) AS aspect,
+            (format IN ('png', 'jpeg') AND width >= 64 AND height >= 64
+              AND width::DOUBLE / height <= 3.0
+              AND width::DOUBLE / height >= $inv) AS keep
+          FROM m ORDER BY doc_id"""
+      }, bench = true),
 
     // binary-modality exact dedup: the fixture forges REAL payload
     // collisions by synthesizing every doc's image from its doc_id

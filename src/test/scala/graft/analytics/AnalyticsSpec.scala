@@ -2192,6 +2192,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("imageFilter: min-dim and aspect-band gates over REALLY parsed headers") {
+    // ids chosen against the synthesis formulas w=(id*7)%1920+1,
+    // h=(id*13)%1080+1: tiny (1x1), squat panorama, normal
+    val ids = Seq(0L, 250L, 9L, 100L, 333L)
+    val d = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = Multimodal.imageFilter(d, 64, 3.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = (id * 7) % 1920 + 1; val h = (id * 13) % 1080 + 1
+      val r = out(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h,
+        s"id $id: parser said (${r.getInt(2)}, ${r.getInt(3)}), synth ($w, $h)")
+      val expect = w >= 64 && h >= 64 &&
+        w.toDouble / h <= 3.0 && w.toDouble / h >= 1.0 / 3.0
+      assert(r.getBoolean(5) == expect, s"id $id keep")
+    }
+    // the fixture must actually exercise both outcomes
+    assert(!out(0L).getBoolean(5) && !out(250L).getBoolean(5))
+    assert(out.values.exists(_.getBoolean(5)))
+  }
+
+  test("clusterSizeReport: histogram, doc totals, keep-one removal volume") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),  // one 3-cluster
+      (4L, 4L),                       // singleton
+      (5L, 5L), (6L, 5L))             // one 2-cluster
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterSizeReport(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
+  test("tokenizerFertility: hand-computed panel, null-text language yields null ratios") {
+    val d = Seq(
+      (1L, "Ab cd-ef", "en"),      // 2 words, 3 subwords, 8 chars
+      (2L, "one two", "en"),       // 2 words, 2 subwords, 7 chars
+      (3L, null.asInstanceOf[String], "zz"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.tokenizerFertility(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 2 && en.getLong(2) == 4 && en.getLong(3) == 5)
+    assert(en.getDouble(4) == 1.25)            // 5 subwords / 4 words
+    assert(en.getDouble(5) == 3.0)             // 15 chars / 5 subwords
+    val zz = out("zz")
+    assert(zz.getLong(1) == 1 && zz.getLong(2) == 0 && zz.getLong(3) == 0)
+    assert(zz.isNullAt(4) && zz.isNullAt(5))   // null, never NaN
+  }
+
   test("weightedSample: JVM key-formula replica picks the same winners; bad weights excluded") {
     def md5u32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
