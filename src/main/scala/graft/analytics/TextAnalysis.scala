@@ -196,6 +196,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary growth panel — total vs DISTINCT n-gram counts and the
+    * type-token ratio for n = 1…maxN (the Heaps-law audit: natural
+    * corpora grow distinct types ∝ totalᵝ, β≈0.5–0.7; a TTR near 1 at
+    * n=1 is ID-like noise, a collapsing high-n TTR is templating —
+    * the two failure modes boilerplate metrics see one n at a time).
+    *
+    * Output: (n, n_total, n_distinct, ttr 6 dp), ordered by n.
+    *
+    * Scale shape (100 TB): ONE scan — all n-gram orders are built from
+    * the SAME bound token array (SPARK-35410) and explode once as
+    * tagged structs; counting is a two-level combinable groupBy
+    * ((n, gram) partial counts, then the maxN-row rollup) — the
+    * distinct count never funnels through a single reducer. */
+  def vocabGrowth(documents: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1, 8]: $maxN")
+    val tagged = (1 to maxN).map { n =>
+      transform(graft.analytics.Dedup.shinglesFromWords(col("__words"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__words", tokens(col("text")))
+      .select(explode(flatten(array(tagged: _*))).as("t"))
+      .select(col("t.n").as("n"), col("t.gram").as("gram"))
+      .groupBy("n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("n")
+      .agg(sum("c").cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("n_distinct"))
+      .select(col("n").cast("long").as("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_total"), 6).as("ttr"))
+      .orderBy("n")
+  }
+
   /** Tokenizer fertility per language — the tokenizer-fit panel
     * (fertility = subword tokens per whitespace word; the published
     * multilingual-tokenizer health metric: a language far above the

@@ -285,6 +285,40 @@ object Metrics {
       .orderBy("user_id")
   }
 
+  /** EXACT per-key quantile panel at 100 TB shape — value at rank
+    * ⌈p·n⌉ per key for each requested PERMILLE (integer p avoids the
+    * classic `ceil(0.1 × 100) = 11` float trap; the threshold is
+    * (pm·n + 999) div 1000, exact in both engines). Built on the
+    * skew-safe [[rankByKey]] (range partition + per-partition windows)
+    * plus ONE combinable groupBy — `max(value WHERE rank ≤ ⌈p·n⌉)` IS
+    * the rank-p value on a sorted order and is tie-insensitive, so no
+    * per-group sort buffer ever materializes. Contrast
+    * `percentile_disc` / exact `percentile` aggregates, which buffer
+    * each group's values (corpus/|keys| rows per group — the OOM at a
+    * skewed key), and interpolated `percentile_cont`, whose float
+    * arithmetic is cross-engine ulp-unstable. Null values are excluded
+    * (Spark sorts nulls first, DuckDB last — exclusion is the only
+    * portable semantics).
+    *
+    * Output: (key, n, p<pm> per requested permille), ordered by key. */
+  def quantilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+                     permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty, "need at least one permille")
+    require(permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000]: $permilles")
+    require(permilles.distinct.size == permilles.size,
+      s"duplicate permilles: $permilles")
+    val ranked = rankByKey(df.filter(col(valueCol).isNotNull),
+      keyCol, Seq(valueCol))
+    val aggs = permilles.map { pm =>
+      max(when(col("_rank") <= expr(s"($pm * _nk + 999) div 1000"),
+        col(valueCol))).as(s"p$pm")
+    }
+    ranked.groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n"), aggs: _*)
+      .orderBy(keyCol)
+  }
+
   /** Ordered-sequence funnel — per user, the EARLIEST-ANCHOR greedy
     * completion of `steps` (the default semantics of the analytics
     * funnel engines): t₁ = the user's first step-1 event; tᵢ₊₁ = the

@@ -908,6 +908,26 @@ object Registry {
           FROM perdoc CROSS JOIN tot ORDER BY doc_id"""
       }, bench = true),
 
+    // Heaps-law vocabulary growth: distinct vs total n-grams, n = 1..4,
+    // one tagged explode + two-level combinable count
+    QueryDef("txt_vocab_growth",
+      (s, d) => TextAnalysis.vocabGrowth(t(s, d, "documents"), 4),
+      Some("""WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT 1 AS n, unnest(w) AS gram FROM w
+          UNION ALL SELECT 2, unnest([array_to_string(w[i:i+1], ' ')
+            FOR i IN range(1, len(w))]) FROM w WHERE len(w) >= 2
+          UNION ALL SELECT 3, unnest([array_to_string(w[i:i+2], ' ')
+            FOR i IN range(1, len(w) - 1)]) FROM w WHERE len(w) >= 3
+          UNION ALL SELECT 4, unnest([array_to_string(w[i:i+3], ' ')
+            FOR i IN range(1, len(w) - 2)]) FROM w WHERE len(w) >= 4)
+        SELECT n::BIGINT AS n, count(*)::BIGINT AS n_total,
+          count(DISTINCT gram)::BIGINT AS n_distinct,
+          round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS ttr
+        FROM g GROUP BY n ORDER BY n"""),
+      bench = true),
+
     // tokenizer fertility / compression per language: one combinable
     // lang groupBy, bpeish subwords as the deterministic proxy
     QueryDef("txt_fertility",
@@ -2810,6 +2830,22 @@ object Registry {
             length(fixed)::BIGINT AS n_chars
           FROM f ORDER BY doc_id"""
       }, bench = true),
+
+    // skew-safe exact quantile panel: per-source doc-length p10/50/90
+    // via integer permille rank math — no per-group percentile buffer
+    QueryDef("corpus_length_quantiles",
+      (s, d) => Metrics.quantilesByKey(t(s, d, "documents"),
+        "source", "n_chars", Seq(100, 500, 900)),
+      Some("""WITH r AS (SELECT source, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM documents WHERE n_chars IS NOT NULL)
+        SELECT source, count(*)::BIGINT AS n,
+          max(CASE WHEN rk <= (100 * n + 999) // 1000 THEN n_chars END) AS p100,
+          max(CASE WHEN rk <= (500 * n + 999) // 1000 THEN n_chars END) AS p500,
+          max(CASE WHEN rk <= (900 * n + 999) // 1000 THEN n_chars END) AS p900
+        FROM r GROUP BY source ORDER BY source"""),
+      bench = true),
 
     // Efraimidis-Spirakis weighted sample (∝ n_chars), deterministic
     // md5 coin, ROUNDED exponential keys, graft_topk heap selection

@@ -2192,6 +2192,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("vocabGrowth: hand-counted n-gram panel, short docs skip high n, nulls absent") {
+    val d = docs(
+      1L -> "a b a b",         // 1grams: a,b,a,b; 2grams: "a b","b a","a b"; 3: 2; 4: 1
+      2L -> "a b",             // no 3/4-grams
+      3L -> null.asInstanceOf[String])
+    val out = TextAnalysis.vocabGrowth(d, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 2L, math.round(2.0 / 6 * 1e6) / 1e6)))
+    assert(out(2L) == ((4L, 2L, 0.5)))     // "a b","b a","a b" + "a b" = 4 total, 2 distinct
+    assert(out(3L) == ((2L, 2L, 1.0)))     // "a b a","b a b"
+    assert(out(4L) == ((1L, 1L, 1.0)))     // "a b a b"
+  }
+
+  test("quantilesByKey: exact rank-⌈p·n⌉ values, float-trap case, ties, nulls excluded") {
+    // key "a": exactly 100 values 1..100 — the ceil(0.1*100)=11 float
+    // trap: p100 MUST be the rank-10 value, 10
+    val a = (1 to 100).map(v => ("a", v.toLong))
+    // key "b": heavy ties + a null + tiny n
+    val b = Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 9L))
+    val rows = (a ++ b).toDF("k", "v")
+      .union(Seq(("b", Option.empty[Long])).toDF("k", "v"))
+    val out = Metrics.quantilesByKey(rows, "k", "v", Seq(100, 500, 900, 1000))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getLong(1) == 100)
+    assert(ra.getLong(2) == 10 && ra.getLong(3) == 50 &&
+      ra.getLong(4) == 90 && ra.getLong(5) == 100)
+    val rb = out("b")
+    assert(rb.getLong(1) == 4) // null excluded from n
+    // sorted b = [5,5,5,9]: ranks ceil(.1*4)=1, ceil(.5*4)=2, ceil(.9*4)=4
+    assert(rb.getLong(2) == 5 && rb.getLong(3) == 5 && rb.getLong(5) == 9)
+    // JVM reference over a pseudo-random skewed key
+    val c = (0 until 237).map(i => ("c", ((i * 7919) % 83).toLong))
+    val outc = Metrics.quantilesByKey(c.toDF("k", "v"), "k", "v", Seq(250, 750))
+      .collect().head
+    val sorted = c.map(_._2).sorted
+    def atPm(pm: Int) = sorted(((pm * sorted.size + 999) / 1000) - 1)
+    assert(outc.getLong(2) == atPm(250) && outc.getLong(3) == atPm(750))
+  }
+
   test("imageFilter: min-dim and aspect-band gates over REALLY parsed headers") {
     // ids chosen against the synthesis formulas w=(id*7)%1920+1,
     // h=(id*13)%1080+1: tiny (1x1), squat panorama, normal
