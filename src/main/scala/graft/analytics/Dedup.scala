@@ -999,6 +999,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** PageRank centrality over an undirected (doc_a, doc_b) pair graph
+    * (Brin & Page 1998, public) — the template-HUB detector: a
+    * document near-duplicate-linked to many others (boilerplate
+    * masters, mirrored spam nests) earns high rank even when no single
+    * cluster is huge; rank-ordered review is the triage pass before a
+    * removal policy. Fixed-iteration synchronous recurrence, exactly:
+    * r₀ = 1/N;  rᵢ₊₁(v) = (1−d)/N + d·Σ_{u~v} rᵢ(u)/deg(u).
+    * Dangling (edgeless) mass is NOT redistributed — ranks are a
+    * centrality score, not a distribution (Σr < 1 when singletons
+    * exist); this keeps the recurrence oracle-expressible verbatim.
+    *
+    * Output: (doc_id, rank_norm = r·N rounded 6 dp — ≈1 for an average
+    * node), ordered by doc_id. 6 dp absorbs FP-summation order: the
+    * per-node contribution sum is ~2·10⁻³-scale with ~10⁻¹⁷ order
+    * noise after 10 damped rounds.
+    *
+    * Scale shape (100 TB): per iteration ONE edge-keyed shuffle join +
+    * ONE combinable dst groupBy — the standard distributed PR step;
+    * the rank table is eagerly localCheckpoint'ed every round (the
+    * [[clustersFromPairs]] lineage discipline — 10 uncheckpointed
+    * rounds would replay the whole chain per action). N is one
+    * bounded driver count. */
+  def pagerankFromPairs(docs: DataFrame, pairs: DataFrame,
+                        damping: Double = 0.85,
+                        iterations: Int = 10): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations in [1,100]: $iterations")
+    val nodes = docs.select(col("doc_id")).localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty node set")
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("long").as("__deg"))
+    val edges = sym.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.withColumn("__r", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("__r") / col("__deg")).as("__c"))
+      ranks = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("__r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("doc_id"), round(col("__r") * n, 6).as("rank_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster size distribution — the dedup-yield report read
     * before committing to a removal pass: how many clusters of each
     * size, how many documents they hold, and how many rows a

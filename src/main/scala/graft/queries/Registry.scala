@@ -1359,6 +1359,43 @@ object Registry {
           ORDER BY doc_id"""
       }, bench = true),
 
+    // PageRank over the MinHash candidate graph (template-hub triage):
+    // 10 synchronous rounds unrolled as chained CTEs — the exact
+    // recurrence both engines compute; 6 dp absorbs FP sum order
+    QueryDef("dedup_pagerank",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.pagerankFromPairs(docs,
+          Dedup.minhashCandidatePairs(docs, 3, 8, 4)
+            .select(col("doc_a"), col("doc_b")))
+      },
+      Some {
+        val iters = (1 to 10).map { i =>
+          s"""pr$i AS (SELECT d.doc_id,
+              0.15 / nn.n + 0.85 * coalesce(
+                (SELECT sum(p.r / dg.deg) FROM sym e
+                  JOIN pr${i - 1} p ON p.doc_id = e.src
+                  JOIN deg dg ON dg.doc_id = e.src
+                  WHERE e.dst = d.doc_id), 0) AS r
+            FROM documents d CROSS JOIN nn)"""
+        }.mkString(",\n")
+        s"""WITH $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+          deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM sym
+            GROUP BY src),
+          nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+          pr0 AS (SELECT doc_id, 1.0 / nn.n AS r FROM documents
+            CROSS JOIN nn),
+          $iters
+          SELECT p.doc_id, round(p.r * nn.n, 6) AS rank_norm
+          FROM pr10 p CROSS JOIN nn ORDER BY p.doc_id"""
+      }),
+
     // cluster-size histogram over the near-dup labeling: the dedup
     // yield report (keep-one removal volume) — same recursive CTE as
     // dedup_clusters, then two groupBys

@@ -2192,6 +2192,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("pagerankFromPairs: JVM recurrence replica, hub ordering, singleton floor") {
+    // star 1-{2,3,4} plus edge 5-6 plus singleton 7
+    val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.pagerankFromPairs(docs, pairs, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // JVM replica of the exact recurrence
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L), 5L -> Seq(6L), 6L -> Seq(5L), 7L -> Seq.empty[Long])
+    val n = 7
+    var r = (1L to 7L).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10)
+      r = (1L to 7L).map { v =>
+        // keys.toSeq: a Set of EQUAL contributions would collapse
+        val c = adj.filter(_._2.contains(v)).keys.toSeq
+          .map(u => r(u) / adj(u).size).sum
+        v -> (0.15 / n + 0.85 * c)
+      }.toMap
+    (1L to 7L).foreach { v =>
+      val want = math.round(r(v) * n * 1e6) / 1e6
+      assert(math.abs(out(v) - want) < 2e-6, s"node $v: ${out(v)} vs $want")
+    }
+    // hub beats leaves; connected beats singleton; singleton at the floor
+    assert(out(1L) > out(2L) && out(2L) > out(7L))
+    assert(math.abs(out(7L) - 0.15) < 1e-9) // (1-d)/N * N
+  }
+
   test("vocabGrowth: hand-counted n-gram panel, short docs skip high n, nulls absent") {
     val d = docs(
       1L -> "a b a b",         // 1grams: a,b,a,b; 2grams: "a b","b a","a b"; 3: 2; 4: 1
