@@ -204,6 +204,45 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Masked-LM training export (BERT-style token masking, Devlin et
+    * al. 2019 — public): each token position flips an independent
+    * deterministic coin (u32(md5(salt:doc:pos)) under the integer
+    * threshold ⌊permille·2³²/1000⌋ — the [[sampleThreshold]]
+    * discipline: computed ONCE in Scala, injected into both engines);
+    * masked positions render as `[MASK]` in the input and emit their
+    * original token, in order, as the target sequence. Deterministic →
+    * reproducible examples, re-maskable under a new salt per epoch —
+    * the property a 100 TB masking pass needs for resumable export.
+    * The 10%-keep/10%-random refinement of full BERT is a trivial
+    * second coin on the same hash; omitted here, documented.
+    *
+    * Output: (doc_id, input_text, targets, n_masked, n_tokens),
+    * null-text docs excluded, ordered by doc_id.
+    *
+    * Scale shape: ONE narrow codegen'd projection — per-position md5
+    * coins inside bound-array HOFs (SPARK-35410: tokens bound first),
+    * no shuffle, no UDF; scan-speed like the other export passes. */
+  def mlmMask(documents: DataFrame, maskPermille: Int = 150,
+              salt: String = "mlm"): DataFrame = {
+    require(maskPermille >= 1 && maskPermille <= 1000,
+      s"maskPermille in [1, 1000]: $maskPermille")
+    val thr = maskPermille.toLong * 4294967296L / 1000L
+    def coin(i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), i.cast("string"))), 1, 8), 16, 10).cast(LongType) < thr
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__w", graft.analytics.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("__w"),
+          (t, i) => when(coin(i), lit("[MASK]")).otherwise(t)))
+          .as("input_text"),
+        concat_ws(" ", filter(col("__w"), (_, i) => coin(i))).as("targets"),
+        size(filter(col("__w"), (_, i) => coin(i))).cast("long").as("n_masked"),
+        size(col("__w")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * exponential-keys / "A-ES", IPL 2006 — public): the k documents
     * with the largest key = ln(u)/w, where u is the deterministic

@@ -2884,6 +2884,27 @@ object Registry {
         FROM r GROUP BY source ORDER BY source"""),
       bench = true),
 
+    // BERT-style deterministic masking export: per-position md5 coins
+    // under the Scala-computed integer threshold (both engines get the
+    // same literal); 0-based positions in the hash string
+    QueryDef("corpus_mlm_mask",
+      (s, d) => CorpusOps.mlmMask(t(s, d, "documents"), 150, "mlm"),
+      Some {
+        val thr = 150L * 4294967296L / 1000L
+        val coin = "('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) " +
+          s"|| ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT < $thr"
+        s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents
+            WHERE text IS NOT NULL)
+          SELECT doc_id,
+            array_to_string([CASE WHEN $coin THEN '[MASK]' ELSE w[i + 1] END
+              FOR i IN range(0, len(w))], ' ') AS input_text,
+            coalesce(array_to_string([w[i + 1] FOR i IN range(0, len(w))
+              IF $coin], ' '), '') AS targets,
+            len([i FOR i IN range(0, len(w)) IF $coin])::BIGINT AS n_masked,
+            len(w)::BIGINT AS n_tokens
+          FROM w ORDER BY doc_id"""
+      }, bench = true),
+
     // Efraimidis-Spirakis weighted sample (∝ n_chars), deterministic
     // md5 coin, ROUNDED exponential keys, graft_topk heap selection
     QueryDef("corpus_weighted_sample",

@@ -2192,6 +2192,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("mlmMask: reconstruction invariant, deterministic coins, rate, salt independence") {
+    val d = docs((1L to 40L).map(i =>
+      i -> (1 to 25).map(j => s"w${(i * 31 + j) % 90}").mkString(" ")): _*)
+    val out = CorpusOps.mlmMask(d, 150, "mlm").collect()
+    assert(out.length == 40)
+    var totalMasked = 0L; var totalTokens = 0L
+    out.foreach { r =>
+      val input = r.getString(1).split(" ", -1)
+      val targets = if (r.getString(2).isEmpty) Array.empty[String]
+        else r.getString(2).split(" ")
+      val orig = d.filter(col("doc_id") === r.getLong(0))
+        .head.getString(1).split(" ")
+      assert(input.length == orig.length)
+      // reconstruction: replacing [MASK] slots with targets IN ORDER
+      // recovers the original token sequence exactly
+      var ti = 0
+      val rebuilt = input.map { t =>
+        if (t == "[MASK]") { ti += 1; targets(ti - 1) } else t
+      }
+      assert(rebuilt.toSeq == orig.toSeq)
+      assert(ti == targets.length && r.getLong(3) == targets.length)
+      // unmasked positions are untouched originals
+      input.zip(orig).foreach { case (a, b) =>
+        if (a != "[MASK]") assert(a == b)
+      }
+      totalMasked += r.getLong(3); totalTokens += r.getLong(4)
+    }
+    val rate = totalMasked.toDouble / totalTokens
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+    // deterministic: same salt reruns identical; new salt differs
+    val again = CorpusOps.mlmMask(d, 150, "mlm").collect().map(_.getString(1))
+    assert(again.toSeq == out.map(_.getString(1)).toSeq)
+    val other = CorpusOps.mlmMask(d, 150, "epoch2").collect().map(_.getString(1))
+    assert(other.toSeq != out.map(_.getString(1)).toSeq)
+  }
+
   test("pagerankFromPairs: JVM recurrence replica, hub ordering, singleton floor") {
     // star 1-{2,3,4} plus edge 5-6 plus singleton 7
     val docs = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
