@@ -141,4 +141,52 @@ class CleaningPropertySpec extends SparkSpec {
       assert(covered, s"doc $id: planted run at $pos not covered: ${spans.get(id)}")
     }
   }
+
+  test("extractText is idempotent and never leaks script/style content over generated HTML") {
+    val tag = Gen.oneOf("<div>", "</div>", "<p class=\"x\">", "<br>",
+      "<script>var SECRETJS = 1;</script>", "<style>.SECRETCSS {}</style>",
+      "<!-- SECRETCOMMENT -->", "<SPAN>", "</ SPAN>", "<img src='a.png'>")
+    val piece = Gen.oneOf(tag, line, Gen.oneOf("&amp;", "&lt;", "&gt;",
+      "&nbsp;", "&#39;", "&amp;lt;", "plain words here"))
+    val html: Gen[String] = Gen.chooseNum(0, 12)
+      .flatMap(k => Gen.listOfN(k, piece)).map(_.mkString(" "))
+    val rows = samples(html, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = Cleaning.extractText(rows)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val onceRows = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no script/style/comment CONTENT survives
+    onceRows.values.foreach { t =>
+      assert(!t.contains("SECRETJS") && !t.contains("SECRETCSS") &&
+        !t.contains("SECRETCOMMENT"), t)
+    }
+    // idempotence on tag-free text: a second pass is the identity
+    // (&amp;lt; decodes one level to &lt; — decoding is NOT idempotent
+    // by design, so compare after one extra decode-free normalization:
+    // texts without '&' entities and '<' tags must round-trip exactly)
+    val twice = Cleaning.extractText(once).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    onceRows.foreach { case (id, t) =>
+      if (!t.contains("&") && !t.contains("<")) {
+        assert(twice(id) == t, s"doc $id not idempotent: '$t' -> '${twice(id)}'")
+      }
+    }
+  }
+
+  test("rangeJoin is bin-width invariant over random points and intervals") {
+    val pts = (0L until 300L).map(i => (i, (i * 6151L % 2000L) - 700L))
+      .toDF("pid", "p")
+    val ivs = (0L until 40L).map { k =>
+      val s0 = (k * 997L % 1800L) - 800L
+      (k, s0, s0 + (k % 11) * 37L)  // widths 0 (degenerate) .. 370
+    }.toDF("iid", "s", "e")
+    def run(w: Long): Seq[(Long, Long)] =
+      graft.util.SparkUtil.rangeJoin(pts, "p", ivs, "s", "e", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = run(1L)
+    assert(base.nonEmpty)
+    for (w <- Seq(7L, 64L, 1000L, 100000L))
+      assert(run(w) == base, s"binWidth $w changed the result")
+  }
 }
