@@ -999,6 +999,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection — keep the BEST document of each
+    * near-dup cluster instead of the arbitrary min-id: keeper = argmax
+    * score, ties to the smaller doc_id (deterministic), null scores
+    * rank below everything (−∞ sentinel — the null-ordering pin; the
+    * kept row still reports its RAW score). "Keep the longest/highest-
+    * classifier-score copy" is the real-world removal policy the
+    * min-id default approximates badly on asymmetric duplicates
+    * (truncated mirrors, snippet quotes).
+    *
+    * Inputs: `clusters` = (doc_id, cluster_id) labeling
+    * ([[clustersFromPairs]] / [[duplicateClusters]]); `scores` =
+    * (doc_id, score). Output: (cluster_id, keep_doc_id, n_docs,
+    * keep_score), ordered.
+    *
+    * Scale shape: one doc_id shuffle join + ONE combinable cluster
+    * groupBy — the argmax is a `max(struct(score, −doc_id, …))`
+    * lexicographic max with map-side partials, never a per-cluster
+    * ranking window. */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.join(scores, Seq("doc_id"), "left")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(struct(
+          coalesce(col("score"), lit(Double.NegativeInfinity)).as("s"),
+          (-col("doc_id")).as("nid"),
+          col("score").as("raw"),
+          col("doc_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("m.id").as("keep_doc_id"),
+        col("n_docs"), col("m.raw").as("keep_score"))
+      .orderBy("cluster_id")
+
   /** PageRank centrality over an undirected (doc_a, doc_b) pair graph
     * (Brin & Page 1998, public) — the template-HUB detector: a
     * document near-duplicate-linked to many others (boilerplate

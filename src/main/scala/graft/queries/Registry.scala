@@ -1359,6 +1359,43 @@ object Registry {
           ORDER BY doc_id"""
       }, bench = true),
 
+    // quality-aware survivors: keep the LONGEST doc per near-dup
+    // cluster (argmax n_chars, min-id ties) — combinable struct-max,
+    // recursive-CTE clusters + row_number argmax in the oracle
+    QueryDef("dedup_keep_best",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.keepBestPerCluster(
+          Dedup.duplicateClusters(docs, 3, 8, 4),
+          docs.select(col("doc_id"), col("n_chars").cast("double").as("score")))
+      },
+      Some {
+        s"""WITH RECURSIVE $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+          cl AS (SELECT d.doc_id,
+              least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN
+              (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id),
+          sc AS (SELECT cl.doc_id, cl.cluster_id, dd.n_chars::DOUBLE AS score
+            FROM cl JOIN documents dd ON dd.doc_id = cl.doc_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY coalesce(score, '-infinity'::DOUBLE) DESC, doc_id) AS rk,
+            count(*) OVER (PARTITION BY cluster_id) AS n FROM sc)
+          SELECT cluster_id, doc_id AS keep_doc_id, n::BIGINT AS n_docs,
+            score AS keep_score
+          FROM r WHERE rk = 1 ORDER BY cluster_id"""
+      }),
+
     // PageRank over the MinHash candidate graph (template-hub triage):
     // 10 synchronous rounds unrolled as chained CTEs — the exact
     // recurrence both engines compute; 6 dp absorbs FP sum order

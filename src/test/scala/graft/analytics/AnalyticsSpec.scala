@@ -2192,6 +2192,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("keepBestPerCluster: argmax score, min-id ties, null-score sentinel") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, Some(2.0)), (2L, Some(9.0)), (3L, Some(9.0)),
+      (4L, None), (5L, None), (6L, Some(0.5)))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(clusters, scores).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 3L, Some(9.0))))  // tie 2 vs 3 -> smaller id
+    assert(out(4L) == ((4L, 1L, None)))       // all-null singleton keeps raw null
+    assert(out(5L) == ((6L, 2L, Some(0.5)))) // scored doc beats null-score doc
+  }
+
   test("mlmMask: reconstruction invariant, deterministic coins, rate, salt independence") {
     val d = docs((1L to 40L).map(i =>
       i -> (1 to 25).map(j => s"w${(i * 31 + j) % 90}").mkString(" ")): _*)
