@@ -633,6 +633,70 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(labelCol), col("n"))
 
+  /** Streaming TRENDING TOKENS — per event-time window, the top-k
+    * tokens of the documents that arrived in it (the live "what is the
+    * crawl ingesting right now" panel; spam/bot bursts surface as a
+    * token owning a window). Two stages with a clean state story:
+    *
+    *  1. the STREAMING stage is a watermarked tumbling-window
+    *     (window, token) count — Spark's windowed-agg state, evicted
+    *     as the watermark passes (state ≈ in-horizon windows × active
+    *     vocab; for a truly unbounded vocab swap the inner agg for a
+    *     Misra-Gries sketch per window via flatMapGroupsWithState —
+    *     the batch analog's [[graft.analytics.TextAnalysis
+    *     .frequentTokens]] sketch is the drop-in state type);
+    *  2. append mode hands foreachBatch ONLY windows the watermark has
+    *     CLOSED, so the per-window top-k rank inside the batch is
+    *     batch-local work over finalized counts (a ranking window over
+    *     a bounded batch, not the corpus), written batch_id-scoped for
+    *     idempotent replays — the repo's streaming-sink discipline.
+    *
+    * Output rows per closed window: (window_start, window_end, rk,
+    * token, n), rk ≤ k by (n DESC, token ASC) — deterministic. */
+  def trendingTokensPipeline(spark: SparkSession, incomingDir: String,
+                             outDir: String, checkpoint: String,
+                             trigger: Trigger =
+                               Trigger.ProcessingTime("10 seconds"),
+                             maxFilesPerTrigger: Int = 16,
+                             window_ : String = "60 seconds",
+                             watermark: String = "0 seconds",
+                             k: Int = 10)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("ts", TimestampType, nullable = false)))
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(incomingDir)
+    val counts = stream
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), window_), col("token"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("token"), col("n"))
+    counts.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val ranked = batch.withColumn("rk",
+            row_number().over(Window.partitionBy("window_start", "window_end")
+              .orderBy(col("n").desc, col("token"))))
+          .filter(col("rk") <= k)
+          .select(col("window_start"), col("window_end"),
+            col("rk").cast("long").as("rk"), col("token"), col("n"))
+        ranked.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+  }
+
   /** Streaming deduplication — at-least-once upstream delivery (the
     * reference's Pub/Sub redelivery, processor_app.py:190–193) becomes
     * exactly-once per event id downstream: duplicates arriving within

@@ -415,4 +415,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq(("00:00:00", "a", 2L), ("00:00:00", "b", 1L), ("00:01:00", "a", 1L)))
   }
+
+  test("trending tokens: closed windows emit ranked top-k, late data dropped") {
+    val in = Files.createTempDirectory("graft_trend_in").toString
+    val base = Files.createTempDirectory("graft_trend").toString
+    def doc(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"${ts}Z"}"""
+    def run(): Unit = {
+      val q = StreamingPipeline.trendingTokensPipeline(spark, in,
+        s"$base/out", s"$base/ckpt", trigger = Trigger.AvailableNow(),
+        maxFilesPerTrigger = 1, window_ = "60 seconds",
+        watermark = "0 seconds", k = 2).start()
+      q.awaitTermination(120000)
+    }
+    // four files -> four micro-batches (maxFilesPerTrigger=1; distinct
+    // mtimes pin the file-source processing ORDER — same-millisecond
+    // writes coalesce nondeterministically); windows close one
+    // watermark advance behind the data that passes them
+    Files.writeString(Paths.get(in, "f1.jsonl"),
+      doc(1, "spark spark join", "2024-01-01T00:00:10") + "\n" +
+        doc(2, "spark row row", "2024-01-01T00:00:20"))
+    Thread.sleep(1100)
+    Files.writeString(Paths.get(in, "f2.jsonl"),
+      doc(3, "flink flink stream", "2024-01-01T00:01:05"))
+    Thread.sleep(1100)
+    Files.writeString(Paths.get(in, "f3.jsonl"),
+      doc(4, "idle", "2024-01-01T00:02:30"))
+    Thread.sleep(1100)
+    Files.writeString(Paths.get(in, "f4.jsonl"),
+      doc(5, "late spark", "2024-01-01T00:00:30") + "\n" + // LATE: W0 closed
+        doc(6, "tick", "2024-01-01T00:03:30"))
+    run()
+    val out = spark.read.parquet(s"$base/out")
+      .select(date_format(col("window_start"), "HH:mm:ss").as("w"),
+        col("rk"), col("token"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byWindow = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // W0: spark×3 then row×2 (join cut by k=2); the late "spark" at
+    // 00:00:30 arrived after W0 closed and must NOT appear anywhere
+    assert(byWindow("00:00:00") ==
+      Seq(("00:00:00", 1L, "spark", 3L), ("00:00:00", 2L, "row", 2L)))
+    assert(byWindow("00:01:00") ==
+      Seq(("00:01:00", 1L, "flink", 2L), ("00:01:00", 2L, "stream", 1L)))
+    assert(!out.exists(_._3 == "late"))
+    // W2 closes in AvailableNow's final flush batch (watermark reached
+    // 00:03:30 after f4); W3 stays open — never emitted
+    assert(byWindow("00:02:00") == Seq(("00:02:00", 1L, "idle", 1L)))
+    assert(byWindow.keySet == Set("00:00:00", "00:01:00", "00:02:00"))
+  }
 }
