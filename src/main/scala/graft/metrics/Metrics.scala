@@ -285,6 +285,36 @@ object Metrics {
       .orderBy("user_id")
   }
 
+  /** Pre-flight join cardinality probe — the quadratic-blowup detector
+    * run BEFORE an expensive join: per join-key value, the row count
+    * on each side and the exact inner-join output size (left_n ×
+    * right_n). At 100 TB the failure mode this catches is the one key
+    * owning both sides (a null-ish sentinel, a default id): its pairs
+    * term dwarfs the rest and the join never finishes — cheaper to
+    * learn that from two combinable groupBys over DISTINCT-KEY tables
+    * than from the dead executor. Feed the hot keys to
+    * [[graft.util.SparkUtil.saltedJoin]] or filter them out.
+    *
+    * Output: (key, left_rows, right_rows, pairs), pairs DESC (hot keys
+    * first), key tie-break; keys missing from either side are absent
+    * (they contribute zero pairs). Null keys ARE probed — the null
+    * bucket is precisely the classic hazard — via a null-safe join.
+    *
+    * Scale shape: two combinable key groupBys (map-side partials) +
+    * one join between KEY-CARDINALITY tables — never touches the fact
+    * rows themselves. */
+  def joinCardinalityProbe(left: DataFrame, right: DataFrame,
+                           key: String): DataFrame = {
+    val l = left.groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("left_rows"))
+    val r = right.groupBy(col(key).as("__rk"))
+      .agg(count(lit(1)).cast("long").as("right_rows"))
+    l.join(r, col(key) <=> col("__rk"))
+      .select(col(key), col("left_rows"), col("right_rows"),
+        (col("left_rows") * col("right_rows")).cast("long").as("pairs"))
+      .orderBy(col("pairs").desc, col(key))
+  }
+
   /** EXACT per-key quantile panel at 100 TB shape — value at rank
     * ⌈p·n⌉ per key for each requested PERMILLE (integer p avoids the
     * classic `ceil(0.1 × 100) = 11` float trap; the threshold is

@@ -2905,6 +2905,23 @@ object Registry {
           FROM f ORDER BY doc_id"""
       }, bench = true),
 
+    // pre-flight join cardinality: documents self-joined on lang —
+    // per-key pair counts, the quadratic-blowup detector
+    QueryDef("join_cardinality_probe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Metrics.joinCardinalityProbe(docs, docs, "lang")
+      },
+      Some("""WITH l AS (SELECT lang, count(*)::BIGINT AS left_rows
+            FROM documents GROUP BY lang),
+          r AS (SELECT lang, count(*)::BIGINT AS right_rows
+            FROM documents GROUP BY lang)
+        SELECT l.lang AS lang, left_rows, right_rows,
+          (left_rows * right_rows)::BIGINT AS pairs
+        FROM l JOIN r ON l.lang IS NOT DISTINCT FROM r.lang
+        ORDER BY pairs DESC, l.lang"""),
+      bench = true),
+
     // skew-safe exact quantile panel: per-source doc-length p10/50/90
     // via integer permille rank math — no per-group percentile buffer
     QueryDef("corpus_length_quantiles",

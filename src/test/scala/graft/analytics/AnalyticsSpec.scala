@@ -2192,6 +2192,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("joinCardinalityProbe: exact per-key pair counts, null bucket probed, hot key first") {
+    val left = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4),
+      (null.asInstanceOf[String], 5), (null.asInstanceOf[String], 6),
+      ("only_left", 7)).toDF("k", "v")
+    val right = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5),
+      (null.asInstanceOf[String], 6), ("only_right", 7)).toDF("k", "v")
+    val out = Metrics.joinCardinalityProbe(left, right, "k").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact per-key products; the NULL bucket (the classic hazard) probed
+    assert(out.toSet == Set(
+      (Some("a"), 3L, 2L, 6L), (Some("b"), 1L, 3L, 3L), (None, 2L, 1L, 2L)))
+    // hot key leads; one-sided keys absent (zero pairs)
+    assert(out.head._1 == Some("a"))
+    assert(!out.exists(r => r._1 == Some("only_left") || r._1 == Some("only_right")))
+    // the probe's total equals the real inner-join count (null keys
+    // never match in a real join — excluded from both sides)
+    val realJoin = left.filter(col("k").isNotNull)
+      .join(right.filter(col("k").isNotNull), "k").count()
+    val probeTotal = out.filter(_._1.isDefined).map(_._4).sum
+    assert(probeTotal == realJoin)
+  }
+
   test("keepBestPerCluster: argmax score, min-id ties, null-score sentinel") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
       (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
