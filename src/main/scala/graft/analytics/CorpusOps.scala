@@ -204,6 +204,52 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END corpus-build stats — the composed pipeline every other
+    * operator here is a stage of, run as ONE plan and summarized in
+    * ONE row: held-out eval split off → Gopher quality gate →
+    * exact dedup (keep-first) → eval-shingle decontamination → final
+    * token volume. This is the library's composition proof (the stages
+    * share checkpointed intermediates, not re-scans) AND the headline
+    * wall-clock number: docs in, training-ready keep set out.
+    *
+    * Output (one row): (n_input, n_quality, n_unique, n_clean,
+    * n_tokens_final) — all exact BIGINTs, each stage count monotonically
+    * ≤ the previous.
+    *
+    * Scale shape: each stage is its own already-audited operator shape
+    * (narrow gate projection; fingerprint groupBy; gated-broadcast
+    * shingle semi-join); stage outputs are eagerly checkpointed where
+    * the next stage consumes them more than once; the five stage
+    * counts are 1-row aggregates crossJoined at the top (broadcast
+    * scalar rows — the repo-sanctioned cross join). */
+  def buildCorpusStats(documents: DataFrame, stopwords: Seq[String],
+                       evalModulo: Long = 97): DataFrame = {
+    require(evalModulo >= 2, s"evalModulo must be >= 2: $evalModulo")
+    val train = documents.filter(col("doc_id") % evalModulo =!= 0)
+    val evalDocs = documents.filter(col("doc_id") % evalModulo === 0)
+    val qualityIds = graft.analytics.Cleaning
+      .gopherRules(train, minWords = 10, maxWords = 1000,
+        stopwords = stopwords)
+      .filter(col("keep")).select("doc_id")
+    val qualityDocs = train.join(qualityIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // consumers: dedup groupBy + semi-join + count
+    val keepIds = qualityDocs
+      .groupBy(graft.analytics.Dedup.exactFingerprint.as("__fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val uniqueDocs = qualityDocs.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // consumers: decontaminate ×2 + count
+    val cleanIds = decontaminate(uniqueDocs, evalDocs, 3).select("doc_id")
+      .localCheckpoint(true) // consumers: count + token join
+    val tokensFinal = uniqueDocs.join(cleanIds, Seq("doc_id"), "left_semi")
+      .agg(coalesce(sum(size(graft.analytics.TextAnalysis.tokens(col("text")))
+        .cast(LongType)), lit(0L)).as("n_tokens_final"))
+    train.agg(count(lit(1)).cast(LongType).as("n_input"))
+      .crossJoin(qualityDocs.agg(count(lit(1)).cast(LongType).as("n_quality")))
+      .crossJoin(uniqueDocs.agg(count(lit(1)).cast(LongType).as("n_unique")))
+      .crossJoin(cleanIds.agg(count(lit(1)).cast(LongType).as("n_clean")))
+      .crossJoin(tokensFinal)
+  }
+
   /** Masked-LM training export (BERT-style token masking, Devlin et
     * al. 2019 — public): each token position flips an independent
     * deterministic coin (u32(md5(salt:doc:pos)) under the integer

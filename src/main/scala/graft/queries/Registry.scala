@@ -2905,6 +2905,50 @@ object Registry {
           FROM f ORDER BY doc_id"""
       }, bench = true),
 
+    // END-TO-END corpus build: eval split → gopher gate → exact dedup →
+    // decontaminate → token volume, one stats row — the composition
+    // headline; oracle chains the per-stage CTE fragments
+    QueryDef("corpus_e2e_stats",
+      (s, d) => CorpusOps.buildCorpusStats(t(s, d, "documents"), stopwords, 97),
+      Some {
+        s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+          w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '') AS ws
+            FROM train),
+          gs AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+              round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                  / len(ws) END, 4) AS mean_word_len,
+              round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                  / len(ws) END, 4) AS alpha_frac,
+              len(list_filter(ws,
+                x -> list_contains(${sqlList(stopwords)}, lower(x))))::BIGINT
+                AS stop_hits
+            FROM w),
+          q AS (SELECT t.* FROM train t JOIN gs ON gs.doc_id = t.doc_id
+            WHERE gs.n_words >= 10 AND gs.n_words <= 1000
+              AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
+              AND gs.alpha_frac >= 0.8 AND gs.stop_hits >= 2),
+          u AS (SELECT min(doc_id) AS doc_id FROM q
+            GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
+          qq AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM u)),
+          etoks AS (SELECT $toksSql AS w FROM documents WHERE doc_id % 97 = 0),
+          eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram FROM etoks),
+          dtoks AS (SELECT doc_id, $toksSql AS w FROM qq),
+          dg AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS gram FROM dtoks),
+          bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram)),
+          clean AS (SELECT qq.* FROM qq
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+          SELECT (SELECT count(*) FROM train)::BIGINT AS n_input,
+            (SELECT count(*) FROM q)::BIGINT AS n_quality,
+            (SELECT count(*) FROM qq)::BIGINT AS n_unique,
+            (SELECT count(*) FROM clean)::BIGINT AS n_clean,
+            (SELECT coalesce(sum(len($toksSql)), 0) FROM clean)::BIGINT
+              AS n_tokens_final"""
+      }, bench = true),
+
     // pre-flight join cardinality: documents self-joined on lang —
     // per-key pair counts, the quadratic-blowup detector
     QueryDef("join_cardinality_probe",

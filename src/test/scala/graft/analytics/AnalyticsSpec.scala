@@ -2192,6 +2192,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("buildCorpusStats: every stage drops its target, counts and tokens exact") {
+    val good = "the data of a pipeline and the quality of a corpus grows"  // 12 words, stopword-rich
+    val d = Seq(
+      (1L, good + " alpha"),                       // survives everything (13 tokens)
+      (2L, good + " alpha"),                       // exact dup of 1 -> dropped at dedup
+      (3L, "tiny doc here"),                       // < 10 words -> gopher drop
+      (4L, good + " beta"),                        // survives (13 tokens)
+      (5L, "the secret eval answer is and of a the hidden here now"), // shares eval shingles
+      (7L, "the secret eval answer is and of a the withheld items ok")) // eval split (7 % 7 == 0)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = CorpusOps.buildCorpusStats(d,
+      Seq("the", "a", "of", "and"), evalModulo = 7).collect().head
+    assert(r.getLong(0) == 5)  // n_input: eval doc 7 excluded
+    assert(r.getLong(1) == 4)  // doc 3 gated (word count)
+    assert(r.getLong(2) == 3)  // exact dup 2 collapsed into 1
+    assert(r.getLong(3) == 2)  // doc 5 shares "the secret eval"... with eval
+    assert(r.getLong(4) == 26) // docs 1 + 4, 13 tokens each
+  }
+
   test("joinCardinalityProbe: exact per-key pair counts, null bucket probed, hot key first") {
     val left = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4),
       (null.asInstanceOf[String], 5), (null.asInstanceOf[String], 6),
