@@ -204,6 +204,34 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Length–quality correlation per source — the Pearson corr of
+    * document length vs (rounded) stopword ratio, the one-number
+    * answer to "are this source's long documents the good ones?"
+    * (negative = boilerplate grows with length — trim tails; positive
+    * = fragments are junk — raise min length; ≈0 = length-independent
+    * gating is safe). Null-text docs count in `n` but contribute no
+    * pair to the correlation (both engines' corr skips null pairs).
+    *
+    * Scale shape: one narrow scoring projection + ONE combinable
+    * source groupBy (corr merges its co-moment partials map-side);
+    * |sources| output rows, no joins, one scan. */
+  def qualityLengthCorrelation(documents: DataFrame,
+                               stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "needs a stopword set")
+    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val ratio = round(
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4)
+    graft.util.SparkUtil.widen(documents)
+      .select(col("source"), col("n_chars").cast("double").as("__len"),
+        ratio.as("__q"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        round(corr(col("__len"), col("__q")), 4).as("len_quality_corr"))
+      .orderBy("source")
+  }
+
   /** END-TO-END corpus-build stats — the composed pipeline every other
     * operator here is a stage of, run as ONE plan and summarized in
     * ONE row: held-out eval split off → Gopher quality gate →

@@ -999,6 +999,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** LSH banding advisor — the S-curve table behind every
+    * (numHashes, rowsPerBand) choice in this file: for each way to
+    * band `numHashes` signature slots (every divisor r, b = n/r) and
+    * each probe Jaccard J, the candidate probability
+    * P = 1 − (1 − Jʳ)ᵇ and the band threshold estimate (1/b)^(1/r)
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets — public).
+    * Pure model arithmetic — no corpus touched; run it BEFORE a 100 TB
+    * dedup to pick the banding whose threshold brackets the target
+    * similarity, instead of re-running the pipeline per guess.
+    *
+    * Output: (rows_per_band, n_bands, threshold_est 4 dp, jaccard,
+    * p_candidate 6 dp), ordered. */
+  def lshTuningTable(spark: org.apache.spark.sql.SparkSession,
+                     numHashes: Int, jaccards: Seq[Double]): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(jaccards.nonEmpty && jaccards.forall(j => j > 0 && j < 1),
+      s"probe jaccards must lie in (0, 1): $jaccards")
+    import spark.implicits._
+    val rb = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (r.toLong, (numHashes / r).toLong))
+      .toDF("rows_per_band", "n_bands")
+    rb.crossJoin(jaccards.toDF("jaccard"))
+      .select(col("rows_per_band"), col("n_bands"),
+        round(pow(lit(1.0) / col("n_bands"), lit(1.0) / col("rows_per_band")), 4)
+          .as("threshold_est"),
+        col("jaccard"),
+        round(lit(1.0) -
+          pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")),
+            col("n_bands")), 6).as("p_candidate"))
+      .orderBy("rows_per_band", "jaccard")
+  }
+
   /** Quality-aware survivor selection — keep the BEST document of each
     * near-dup cluster instead of the arbitrary min-id: keeper = argmax
     * score, ties to the smaller doc_id (deterministic), null scores

@@ -1433,6 +1433,24 @@ object Registry {
           FROM pr10 p CROSS JOIN nn ORDER BY p.doc_id"""
       }),
 
+    // LSH banding S-curve advisor: pure model arithmetic, identical
+    // literals in both engines (round-trip doubles), rounded pow
+    QueryDef("dedup_lsh_tuning",
+      (s, d) => Dedup.lshTuningTable(s, 8,
+        Seq(0.3, 0.5, 0.7, 0.8, 0.9)),
+      Some("""WITH rb AS (
+          SELECT 1::BIGINT AS rows_per_band, 8::BIGINT AS n_bands
+          UNION ALL SELECT 2, 4 UNION ALL SELECT 4, 2 UNION ALL SELECT 8, 1),
+        js AS (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]::DOUBLE[]) AS jaccard)
+        SELECT rows_per_band, n_bands,
+          round(power(1.0 / n_bands, 1.0 / rows_per_band), 4) AS threshold_est,
+          jaccard,
+          round(1.0 - power(1.0 - power(jaccard, rows_per_band), n_bands), 6)
+            AS p_candidate
+        FROM rb CROSS JOIN js
+        ORDER BY rows_per_band, jaccard"""),
+      bench = false),
+
     // cluster-size histogram over the near-dup labeling: the dedup
     // yield report (keep-one removal volume) — same recursive CTE as
     // dedup_clusters, then two groupBys
@@ -2903,6 +2921,23 @@ object Registry {
             coalesce(fixed <> orig, FALSE) AS was_broken,
             length(fixed)::BIGINT AS n_chars
           FROM f ORDER BY doc_id"""
+      }, bench = true),
+
+    // per-source length-vs-quality Pearson correlation (trim-policy
+    // advisor); ROUNDED ratio feeds corr in both engines
+    QueryDef("corpus_quality_corr",
+      (s, d) => CorpusOps.qualityLengthCorrelation(
+        t(s, d, "documents"), stopwords),
+      Some {
+        val w = """regexp_split_to_array(trim(text), '\s+')"""
+        s"""WITH sc AS (SELECT source, n_chars::DOUBLE AS len,
+            round(len(list_filter($w,
+              t -> list_contains(${sqlList(stopwords)}, t)))::DOUBLE
+              / len($w), 4) AS q
+          FROM documents)
+        SELECT source, count(*)::BIGINT AS n,
+          round(corr(len, q), 4) AS len_quality_corr
+        FROM sc GROUP BY source ORDER BY source"""
       }, bench = true),
 
     // END-TO-END corpus build: eval split → gopher gate → exact dedup →

@@ -2192,6 +2192,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("lshTuningTable: JVM S-curve replica, OR-amplification edge, threshold ordering") {
+    val out = Dedup.lshTuningTable(spark, 8, Seq(0.3, 0.5, 0.9)).collect()
+      .map(r => ((r.getLong(0), r.getDouble(3)), (r.getDouble(2), r.getDouble(4))))
+      .toMap
+    def p(r: Int, b: Int, j: Double) =
+      math.round((1.0 - math.pow(1.0 - math.pow(j, r), b)) * 1e6) / 1e6
+    for (rr <- Seq(1, 2, 4, 8); j <- Seq(0.3, 0.5, 0.9)) {
+      val bb = 8 / rr
+      assert(math.abs(out((rr.toLong, j))._2 - p(rr, bb, j)) < 2e-6,
+        s"r=$rr j=$j")
+    }
+    // r=1 is OR-amplification: P = 1-(1-J)^8
+    assert(out((1L, 0.5))._2 == p(1, 8, 0.5))
+    // P monotone in J at fixed banding; threshold grows with r
+    assert(out((4L, 0.3))._2 < out((4L, 0.5))._2 &&
+      out((4L, 0.5))._2 < out((4L, 0.9))._2)
+    val thresholds = Seq(1L, 2L, 4L, 8L).map(r => out((r, 0.5))._1)
+    assert(thresholds == thresholds.sorted)
+  }
+
+  test("qualityLengthCorrelation: signed correlations and null accounting per source") {
+    // source "pos": ratio rises with length -> corr +1; "neg": falls -> -1
+    val mk = (n: Int, stops: Int, filler: Int) =>
+      (Seq.fill(stops)("the") ++ Seq.fill(filler)(s"x$n")).mkString(" ")
+    val rows = Seq(
+      (1L, mk(1, 1, 9), "pos"), (2L, mk(2, 2, 8), "pos"), (3L, mk(3, 3, 7), "pos"),
+      (4L, mk(4, 3, 7), "neg"), (5L, mk(5, 2, 8), "neg"), (6L, mk(6, 1, 9), "neg"),
+      (7L, null.asInstanceOf[String], "neg"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // lengths: "pos" texts grow with doc index? mk keeps 10 words but
+    // n_chars varies with the filler token digits — force monotone
+    // lengths explicitly instead
+    val d = rows.withColumn("n_chars",
+      when(col("doc_id") <= 3, col("doc_id") * 10)
+        .otherwise((col("doc_id") - 3) * 10).cast("long"))
+    val out = CorpusOps.qualityLengthCorrelation(d, Seq("the", "a", "of", "and"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("pos")._1 == 3 && out("pos")._2 == Some(1.0))
+    assert(out("neg")._1 == 4)            // null-text doc counted in n
+    assert(out("neg")._2 == Some(-1.0))   // ...but not in the correlation
+  }
+
   test("buildCorpusStats: every stage drops its target, counts and tokens exact") {
     val good = "the data of a pipeline and the quality of a corpus grows"  // 12 words, stopword-rich
     val d = Seq(
