@@ -342,6 +342,32 @@ object Cleaning {
         round(col("pct_rank"), 6).as("len_pct"))
       .orderBy("doc_id")
 
+  /** Context-limit head truncation — the export trim before packing
+    * into a fixed training context (a doc beyond the window would be
+    * silently cut by the loader anyway; cutting it HERE makes the
+    * token accounting (`CorpusOps.tokenBudget`/`packSequences`) see
+    * the real lengths). Keeps the first `maxTokens` whitespace tokens,
+    * rejoined single-spaced (the normalizeText convention). Null text
+    * passes through null with zero kept. Output: (doc_id, text_trunc,
+    * n_tokens_kept, was_truncated), ordered by doc_id.
+    *
+    * Scale shape: one narrow codegen'd projection (bound token array,
+    * slice + concat_ws) — scan speed, no shuffle. */
+  def truncateDocs(documents: DataFrame, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__w", graft.analytics.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", slice(col("__w"), 1, maxTokens)))
+          .as("text_trunc"),
+        least(coalesce(size(col("__w")), lit(0)), lit(maxTokens))
+          .cast(LongType).as("n_tokens_kept"),
+        coalesce(size(col("__w")) > maxTokens, lit(false))
+          .as("was_truncated"))
+      .orderBy("doc_id")
+  }
+
   /** Markup-removal passes of [[htmlToText]], applied in order. Every
     * pattern is valid in BOTH Java regex and RE2 (inline (?is) flags,
     * lazy quantifiers, no lookaround/backrefs) so the DuckDB oracle

@@ -175,6 +175,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup decontamination, REMOVAL form — the enforcement half of
+    * the [[crossCorpusPairs]] audit: drop every training document
+    * whose MinHash bands collide with the eval corpus at signature
+    * agreement ≥ `minAgreement` (catches REWRITTEN eval items the
+    * exact k-gram [[CorpusOps.decontaminate]] misses; run both — they
+    * remove different leak classes). The agreement threshold compares
+    * exact dyadic fractions (matches/numHashes) — deterministic in any
+    * engine.
+    *
+    * Output: surviving (doc_id, lang, source), ordered.
+    *
+    * Scale shape: both corpora reduce to signature tables at scan
+    * speed; the only joins are the band equi-join (never all-pairs)
+    * and the pair-sized anti-join back. */
+  def decontaminateNearDup(documents: DataFrame, evalDocs: DataFrame,
+                           shingleK: Int = 3, numHashes: Int = 8,
+                           rowsPerBand: Int = 4,
+                           minAgreement: Double = 0.5): DataFrame = {
+    require(minAgreement > 0 && minAgreement <= 1,
+      s"minAgreement in (0, 1]: $minAgreement")
+    val bad = crossCorpusPairs(documents, evalDocs, shingleK, numHashes,
+        rowsPerBand)
+      .filter(col("sig_agreement") >= minAgreement)
+      .select(col("doc_a").as("doc_id")).distinct()
+    documents.join(bad, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Cross-source duplicate attribution — which SOURCE PAIRS share
     * exact-duplicate content ([[exactFingerprint]] identity): the
     * mirror-site / syndication detector the per-source

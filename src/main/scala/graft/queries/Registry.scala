@@ -1433,6 +1433,30 @@ object Registry {
           FROM pr10 p CROSS JOIN nn ORDER BY p.doc_id"""
       }),
 
+    // near-dup decontamination (removal form): MinHash band collision
+    // vs the eval slice at agreement >= 4/8, anti-joined away — the
+    // rewritten-leak complement of exact k-gram decontaminate
+    QueryDef("corpus_decontaminate_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminateNearDup(docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0), 3, 8, 4, 0.5)
+      },
+      Some {
+        s"""WITH adocs AS (SELECT * FROM documents WHERE doc_id % 41 <> 0),
+          bdocs AS (SELECT * FROM documents WHERE doc_id % 41 = 0),
+          ${minhashBandsCtesFor("", "a", "adocs")},
+          ${minhashBandsCtesFor("", "b", "bdocs")},
+          bad AS (SELECT DISTINCT a.doc_id FROM abands a JOIN bbands b
+              ON a.key = b.key AND a.band = b.band
+            WHERE a.key IS NOT NULL
+              AND list_sum(list_transform(list_zip(a.sig, b.sig),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) >= 4)
+          SELECT doc_id, lang, source FROM adocs
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id"""
+      }, bench = true),
+
     // LSH banding S-curve advisor: pure model arithmetic, identical
     // literals in both engines (round-trip doubles), rounded pow
     QueryDef("dedup_lsh_tuning",
@@ -2921,6 +2945,19 @@ object Registry {
             coalesce(fixed <> orig, FALSE) AS was_broken,
             length(fixed)::BIGINT AS n_chars
           FROM f ORDER BY doc_id"""
+      }, bench = true),
+
+    // context-limit head truncation: first 40 tokens rejoined, exact
+    // kept-count and flag; clamped slice in both engines
+    QueryDef("corpus_truncate_docs",
+      (s, d) => Cleaning.truncateDocs(t(s, d, "documents"), 40),
+      Some {
+        s"""SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+              ELSE array_to_string(($toksSql)[1:40], ' ') END AS text_trunc,
+            coalesce(least(len($toksSql), 40), 0)::BIGINT AS n_tokens_kept,
+            coalesce(len($toksSql) > 40, FALSE) AS was_truncated
+          FROM documents ORDER BY doc_id"""
       }, bench = true),
 
     // per-source length-vs-quality Pearson correlation (trim-policy

@@ -2192,6 +2192,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("decontaminateNearDup: rewritten eval leak removed, unrelated and shingle-less kept") {
+    val evalItem = "what is the capital of france the answer is paris ok then"
+    val rewrite = "what is the capital of france the answer is paris yes then"
+    val d = docs(
+      1L -> rewrite,                    // near-dup of the eval item -> dropped
+      2L -> "completely unrelated prose about spark shuffle behavior today",
+      3L -> "ab")                       // shingle-less -> never banded, kept
+    val ev = docs(100L -> evalItem)
+    val out = Dedup.decontaminateNearDup(d, ev, 3, 8, 1, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L))
+    // a 1.0 threshold only removes exact signature matches -> all kept
+    val strict = Dedup.decontaminateNearDup(d, ev, 3, 8, 1, 1.0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(strict == Seq(1L, 2L, 3L))
+  }
+
+  test("truncateDocs: exact head cut, short docs untouched, null pass-through") {
+    val long = (1 to 50).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> long, 2L -> "short doc here",
+      3L -> null.asInstanceOf[String])
+    val out = Cleaning.truncateDocs(d, 40).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == (1 to 40).map(i => s"t$i").mkString(" "))
+    assert(out(1L).getLong(2) == 40 && out(1L).getBoolean(3))
+    assert(out(2L).getString(1) == "short doc here")
+    assert(out(2L).getLong(2) == 3 && !out(2L).getBoolean(3))
+    assert(out(3L).isNullAt(1) && out(3L).getLong(2) == 0 &&
+      !out(3L).getBoolean(3))
+  }
+
   test("lshTuningTable: JVM S-curve replica, OR-amplification edge, threshold ordering") {
     val out = Dedup.lshTuningTable(spark, 8, Seq(0.3, 0.5, 0.9)).collect()
       .map(r => ((r.getLong(0), r.getDouble(3)), (r.getDouble(2), r.getDouble(4))))
