@@ -753,7 +753,7 @@ object CorpusOps {
     * mass stays ≤ total/(k+1) and the heavy-hitter bound (a counter
     * survives ≥ f − total/(k+1)) is preserved — the sketch is
     * MERGEABLE (Agarwal et al., "Mergeable Summaries", public). */
-  private[analytics] def mgAddAll(k: Int)(
+  private[graft] def mgAddAll(k: Int)(
       a: scala.collection.mutable.HashMap[String, Long],
       b: IterableOnce[(String, Long)])
       : scala.collection.mutable.HashMap[String, Long] = {

@@ -641,10 +641,9 @@ object StreamingPipeline {
     *  1. the STREAMING stage is a watermarked tumbling-window
     *     (window, token) count — Spark's windowed-agg state, evicted
     *     as the watermark passes (state ≈ in-horizon windows × active
-    *     vocab; for a truly unbounded vocab swap the inner agg for a
-    *     Misra-Gries sketch per window via flatMapGroupsWithState —
-    *     the batch analog's [[graft.analytics.TextAnalysis
-    *     .frequentTokens]] sketch is the drop-in state type);
+    *     vocab; for a truly unbounded vocab use
+    *     [[trendingTokensSketch]] — the Misra-Gries sketch held as
+    *     flatMapGroupsWithState state, O(sketchK) per open window);
     *  2. append mode hands foreachBatch ONLY windows the watermark has
     *     CLOSED, so the per-window top-k rank inside the batch is
     *     batch-local work over finalized counts (a ranking window over
@@ -695,6 +694,72 @@ object StreamingPipeline {
           .parquet(s"$outDir/batch_id=$batchId")
         ()
       }
+  }
+
+  /** BOUNDED-STATE trending tokens — the unbounded-vocabulary variant
+    * [[trendingTokensPipeline]]'s scaladoc promises: per event-time
+    * tumbling window, a Misra-Gries(`sketchK`) sketch held as
+    * `flatMapGroupsWithState` state (the batch path's
+    * [[graft.analytics.CorpusOps.mgAddAll]] counter merge — O(sketchK)
+    * memory per OPEN window regardless of vocabulary), emitted as the
+    * top-`topK` when the watermark closes the window (event-time
+    * timeout). Counts are MG LOWER BOUNDS (a surviving counter
+    * undercounts by ≤ N_window/(sketchK+1)) — the price of bounded
+    * state; any token above that support is guaranteed present. Late
+    * rows whose window the watermark already passed are dropped, never
+    * resurrect state.
+    *
+    * Output (append, on window close): (window_start, rk, token,
+    * est_count), rk by (est_count DESC, token ASC). */
+  def trendingTokensSketch(docs: DataFrame, tsCol: String, textCol: String,
+                           windowSeconds: Long, sketchK: Int, topK: Int,
+                           watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    require(sketchK >= topK && topK >= 1,
+      s"need sketchK >= topK >= 1: sketchK=$sketchK topK=$topK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windowMs = windowSeconds * 1000L
+    val typed = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol).as("ts"),
+        explode(graft.analytics.TextAnalysis.tokens(col(textCol))).as("token"))
+      .as[(java.sql.Timestamp, String)]
+    val add = graft.analytics.CorpusOps.mgAddAll(sketchK) _
+    typed.groupByKey { case (ts, _) => (ts.getTime / windowMs) * windowMs }
+      .flatMapGroupsWithState[Map[String, Long],
+        (java.sql.Timestamp, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val sketch = state.get
+            state.remove()
+            sketch.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK)
+              .zipWithIndex.iterator.map { case ((t, c), i) =>
+                (new java.sql.Timestamp(wstart), (i + 1).toLong, t, c)
+              }
+          } else {
+            val windowEnd = wstart + windowMs
+            if (windowEnd <= state.getCurrentWatermarkMs()) {
+              // straggler for an already-closed window: watermark
+              // semantics say drop — never re-open emitted state
+              Iterator.empty
+            } else {
+              val m = scala.collection.mutable.HashMap.empty[String, Long]
+              if (state.exists) m ++= state.get
+              // one element at a time: the sketch stays ≤ sketchK+1
+              // entries THROUGHOUT the batch (a bulk add would hold the
+              // batch's whole distinct vocabulary before trimming)
+              rows.foreach { case (_, t) => add(m, Iterator.single(t -> 1L)) }
+              state.update(m.toMap)
+              state.setTimeoutTimestamp(windowEnd)
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("window_start", "rk", "token", "est_count")
   }
 
   /** Streaming deduplication — at-least-once upstream delivery (the

@@ -463,4 +463,45 @@ class PipelineSpec extends SparkSpec {
     assert(byWindow("00:02:00") == Seq(("00:02:00", 1L, "idle", 1L)))
     assert(byWindow.keySet == Set("00:00:00", "00:01:00", "00:02:00"))
   }
+
+  test("sketch trending tokens: bounded MG state surfaces the heavy hitter on window close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    // sketchK=4 << the ~21-token vocabulary -> the sketch trims
+    // constantly; "hot" holds 20 of 60 tokens (> N/(k+1) = 12 support)
+    // and MUST survive with an estimate within the MG undercount bound
+    val out = StreamingPipeline.trendingTokensSketch(df, "ts", "text",
+      windowSeconds = 60, sketchK = 4, topK = 2)
+    val q = out.writeStream.format("memory").queryName("sketchtrend")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      val noise = (1 to 40).map(i => s"n$i")
+      val w0Text = (Seq.fill(20)("hot") ++ noise).mkString(" ")
+      mem.addData((t("2024-01-01 00:00:10"), w0Text))
+      q.processAllAvailable()
+      assert(spark.table("sketchtrend").count() == 0) // window still open
+      // next-window data pushes the watermark past W0's end
+      mem.addData((t("2024-01-01 00:01:30"), "later words"))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:01:31"), "tick")) // timeout pass
+      q.processAllAvailable()
+      val rows = spark.table("sketchtrend")
+        .filter(date_format(col("window_start"), "HH:mm:ss") === "00:00:00")
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(rows.nonEmpty && rows.head._2 == "hot", s"got: ${rows.toSeq}")
+      // MG bound: estimate in (true - N/(k+1), true]
+      assert(rows.head._3 > 20 - 12 && rows.head._3 <= 20, s"est ${rows.head._3}")
+      assert(rows.length <= 2)
+      // a late straggler for the closed window never re-emits it
+      val before = spark.table("sketchtrend").count()
+      mem.addData((t("2024-01-01 00:00:40"), "hot hot hot"))
+      q.processAllAvailable()
+      assert(spark.table("sketchtrend").count() == before)
+    } finally q.stop()
+  }
 }
