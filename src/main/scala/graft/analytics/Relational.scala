@@ -135,4 +135,22 @@ object Relational {
     orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       .intersect(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
       .orderBy("o_custkey")
+
+  /** PIVOT / crosstab — per-user event-type count matrix via Spark's
+    * `.pivot()` with an EXPLICIT value list (the open-ended form runs
+    * a distinct-values job first and can explode the schema on dirty
+    * data — at 100 TB always pin the columns). Plans as one combinable
+    * groupBy with conditional-count partials — no join, no second
+    * scan; absent combinations are 0, not null (count semantics).
+    * Output: (user_id, one BIGINT column per pinned type), ordered. */
+  def userEventMatrix(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.distinct.size == types.size,
+      s"need a non-empty, duplicate-free type list: $types")
+    events.groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(s"`$t`"), lit(0L)).cast("long").as(t)): _*)
+      .orderBy("user_id")
+  }
 }

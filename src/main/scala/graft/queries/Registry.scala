@@ -404,6 +404,20 @@ object Registry {
           round(epoch(ts) - epoch(anchor_ts), 3) AS secs_since_anchor
         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""), bench = true),
 
+    // pivot/crosstab: per-user event-type count matrix with a PINNED
+    // column list (the 100 TB discipline — no distinct-values pre-job)
+    QueryDef("pivot_user_events",
+      (s, d) => Relational.userEventMatrix(t(s, d, "events"),
+        Seq("click", "error", "purchase", "signup", "view")),
+      Some("""SELECT user_id,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      bench = true),
+
     // binned range join: 50 synthetic maintenance windows (derived
     // in-plan from the events ts span — integer arithmetic end to end)
     // joined to events on start <= ts_us < end via SparkUtil.rangeJoin;

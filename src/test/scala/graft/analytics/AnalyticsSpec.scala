@@ -2192,6 +2192,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._1 <= 3L).map(_._2).distinct.length == 1)
   }
 
+  test("userEventMatrix: pinned-column pivot, zero fills, unlisted types ignored") {
+    val d = eventsDf(
+      (1L, "2024-01-01 00:00:01", "view"), (1L, "2024-01-01 00:00:02", "view"),
+      (1L, "2024-01-01 00:00:03", "click"),
+      (2L, "2024-01-01 00:00:04", "purchase"),
+      (2L, "2024-01-01 00:00:05", "rogue_type")) // not pinned -> ignored
+    val out = Relational.userEventMatrix(d, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0L)))
+    assert(out(2L) == ((0L, 0L, 1L))) // rogue type contributes nothing
+  }
+
   test("decontaminateNearDup: rewritten eval leak removed, unrelated and shingle-less kept") {
     val evalItem = "what is the capital of france the answer is paris ok then"
     val rewrite = "what is the capital of france the answer is paris yes then"
