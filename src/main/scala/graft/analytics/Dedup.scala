@@ -1206,9 +1206,16 @@ object Dedup {
     * corpus (everything a copy of everything) makes the OUTPUT
     * quadratic — that is the answer's size, not a plan artifact; run
     * [[exactDuplicates]] first when the corpus is known-degenerate.
-    * The Jaccard compare is integer-derived IEEE division — identical
-    * in any engine, so the raw (unrounded) threshold filter is
-    * deterministic cross-engine.
+    * Every threshold compare is INTEGER permille math (pm =
+    * round(t·1000)): prefix length n − ⌈pm·n/1000⌉ + 1 via
+    * (pm·n+999) div 1000, AllPairs length filter a.n·1000 ≥ b.n·pm,
+    * and the verify filters shared·1000 ≥ pm·union — never
+    * ceil(double) or a float ratio compare, which the repo's
+    * documented ceil(0.1·100)=11 trap shows can shorten the prefix by
+    * one element and silently break the recall-1.0 guarantee at
+    * thresholds that are not exactly representable (t=0.1, 0.3, …).
+    * The emitted jaccard COLUMN stays integer-derived IEEE division —
+    * identical in any engine.
     *
     * Output: (doc_a, doc_b, n_shared, jaccard 4 dp), doc_a < doc_b,
     * ordered. */
@@ -1217,6 +1224,9 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(shingleK >= 1, s"shingleK must be >= 1: $shingleK")
+    // integer permille — all boundary compares below are exact
+    val pm = math.round(threshold * 1000).toInt
+    require(pm >= 1, s"threshold below 1 permille: $threshold")
     val sets = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .withColumn("__words", split(trim(col("text")), "\\s+"))
@@ -1238,15 +1248,19 @@ object Dedup {
       .groupBy("doc_id")
       .agg(max("n").as("n"),
         array_sort(collect_list(struct(col("__df"), col("gram")))).as("__sorted"))
-    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // ⌈pm·n/1000⌉ in longs — NOT ceil(t*n): double ceil overshoots at
+    // non-dyadic thresholds (ceil(0.1*100) = 11) and a one-short prefix
+    // permits false negatives
+    val prefixLen =
+      (col("n") - expr(s"($pm * n + 999) div 1000") + 1).cast("int")
     val pref = ordered.select(col("doc_id"), col("n"),
       explode(slice(transform(col("__sorted"), s => s.getField("gram")),
         lit(1), prefixLen)).as("gram"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.gram") === col("b.gram") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") >= col("b.n") * threshold &&
-          col("b.n") >= col("a.n") * threshold)
+          col("a.n") * 1000L >= col("b.n") * pm.toLong &&
+          col("b.n") * 1000L >= col("a.n") * pm.toLong)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify PREFILTER on the hashed shadow sets: a templated corpus
@@ -1263,10 +1277,10 @@ object Dedup {
       size(col("hset")).cast("long").as("__nha"))
     val hb = sets.select(col("doc_id").as("doc_b"), col("hset").as("__hb"),
       size(col("hset")).cast("long").as("__nhb"))
-    val hShared = size(array_intersect(col("__ha"), col("__hb"))).cast("double")
+    val hShared = size(array_intersect(col("__ha"), col("__hb"))).cast("long")
     val survivors = cand.join(ha, "doc_a").join(hb, "doc_b")
-      .filter((hShared + 1) /
-        (col("__nha") + col("__nhb") - hShared - 1) >= threshold)
+      .filter((hShared + 1L) * 1000L >=
+        (col("__nha") + col("__nhb") - hShared - 1L) * pm.toLong)
       .select(col("doc_a"), col("doc_b"))
     val sa = sets.select(col("doc_id").as("doc_a"),
       col("set").as("__sa"), col("n").as("__na"))
@@ -1276,8 +1290,8 @@ object Dedup {
     survivors.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"), shared.as("n_shared"),
         col("__na"), col("__nb"))
-      .filter(col("n_shared").cast("double") /
-        (col("__na") + col("__nb") - col("n_shared")) >= threshold)
+      .filter(col("n_shared") * 1000L >=
+        (col("__na") + col("__nb") - col("n_shared")) * pm.toLong)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared")), 4).as("jaccard"))

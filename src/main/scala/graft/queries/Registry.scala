@@ -2969,7 +2969,7 @@ object Registry {
         s"""SELECT doc_id,
             CASE WHEN text IS NULL THEN NULL
               ELSE array_to_string(($toksSql)[1:40], ' ') END AS text_trunc,
-            coalesce(least(len($toksSql), 40), 0)::BIGINT AS n_tokens_kept,
+            least(coalesce(len($toksSql), 0), 40)::BIGINT AS n_tokens_kept,
             coalesce(len($toksSql) > 40, FALSE) AS was_truncated
           FROM documents ORDER BY doc_id"""
       }, bench = true),

@@ -2688,7 +2688,9 @@ class AnalyticsSpec extends SparkSpec {
     (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       inter = (sa & sb).size
-      if inter.toDouble / (sa.size + sb.size - inter) >= t
+      // exact rational compare, matching the operator's permille contract
+      if inter.toLong * 1000L >=
+        math.round(t * 1000) * (sa.size + sb.size - inter).toLong
     } yield (a, b, inter.toLong)).toSet
   }
 
@@ -2720,7 +2722,7 @@ class AnalyticsSpec extends SparkSpec {
       i -> s"the $a pipeline reads $b rows from the $c store $tail"
     }
     val d = docs(rows: _*)
-    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+    for (t <- Seq(0.1, 0.3, 0.5, 0.8, 1.0)) {
       val got = Dedup.prefixJaccardPairs(d, 3, t).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val want = bruteJaccardPairs(rows, 3, t)
@@ -2734,5 +2736,22 @@ class AnalyticsSpec extends SparkSpec {
     val out = Dedup.prefixJaccardPairs(d, 3, 1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
     assert(out == Set((1L, 2L, 1.0)))
+  }
+
+  test("prefixJaccardPairs: integer-permille prefix survives the ceil(0.1*100) trap") {
+    // A: 102 distinct words → exactly 100 distinct 3-shingles; B: a
+    // 12-word substring → 10 shingles, all shared. Jaccard = 10/100 =
+    // 0.1 = t exactly. Double-ceil prefix math (ceil(0.1*100) = 11)
+    // shortens A's prefix to 90 elements, and the 10 shared grams —
+    // df = 2 in this corpus, so sorted LAST, positions 91..100 — would
+    // all fall outside it: a silent false negative. The integer
+    // (pm*n+999) div 1000 form keeps position 91 inside the prefix.
+    val words = (0 until 102).map(i => s"w$i")
+    val d = docs(1L -> words.mkString(" "),
+                 2L -> words.slice(45, 57).mkString(" "))
+    val out = Dedup.prefixJaccardPairs(d, 3, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((1L, 2L, 10L, 0.1)))
   }
 }
