@@ -709,6 +709,21 @@ object StreamingPipeline {
     * rows whose window the watermark already passed are dropped, never
     * resurrect state.
     *
+    * THROUGHPUT (the 100 TB shape): the stateful operator groups on
+    * window-start alone, so naively every token occurrence of the
+    * current window would shuffle into ONE task per trigger — a
+    * single-core ceiling. Instead each input partition first reduces
+    * its slice to a BATCH-LOCAL MG(sketchK) sketch per window (narrow
+    * `mapPartitions`, no shuffle — the streaming twin of
+    * [[graft.analytics.CorpusOps.mgSketch]]'s treeAggregate), and the
+    * stateful task merges those partials as (token, count) pairs via
+    * the same mergeable [[graft.analytics.CorpusOps.mgAddAll]] core.
+    * Per trigger the funnel now carries ≤ partitions·(sketchK+1) pairs
+    * per window — independent of stream rate and vocabulary — and the
+    * merged estimate keeps the identical N_window/(sketchK+1) bound
+    * (Agarwal et al., "Mergeable Summaries": per-partial decrement
+    * mass sums to ≤ ΣN_p/(k+1) = N/(k+1)).
+    *
     * Output (append, on window close): (window_start, rk, token,
     * est_count), rk by (est_count DESC, token ASC). */
   def trendingTokensSketch(docs: DataFrame, tsCol: String, textCol: String,
@@ -722,16 +737,46 @@ object StreamingPipeline {
     import spark.implicits._
     val windowMs = windowSeconds * 1000L
     val typed = docs
-      .withWatermark(tsCol, watermarkDelay)
       .select(col(tsCol).as("ts"),
         explode(graft.analytics.TextAnalysis.tokens(col(textCol))).as("token"))
       .as[(java.sql.Timestamp, String)]
     val add = graft.analytics.CorpusOps.mgAddAll(sketchK) _
-    typed.groupByKey { case (ts, _) => (ts.getTime / windowMs) * windowMs }
+    // batch-local pre-sketch: one MG(sketchK) per (partition, window),
+    // narrow — only the ≤ sketchK+1 surviving (token, count) pairs per
+    // partition shuffle to the per-window state task. Elements feed the
+    // sketch one at a time so it stays ≤ sketchK+1 entries THROUGHOUT
+    // (a bulk add would hold the partition's whole distinct vocabulary
+    // before trimming). Each sketch row carries the MAX raw event time
+    // it absorbed: the analyzer needs a watermark-tagged column to
+    // reach the stateful operator (mapPartitions strips column
+    // metadata, so the watermark is applied AFTER the pre-sketch), and
+    // the per-batch global max survives into some sketch row — the
+    // watermark advances exactly as it would on the raw stream.
+    val pre = typed.mapPartitions { it =>
+      val perWindow = scala.collection.mutable.HashMap
+        .empty[Long, (Array[Long], scala.collection.mutable.HashMap[String, Long])]
+      it.foreach { case (ts, tok) =>
+        val t = ts.getTime
+        val w = (t / windowMs) * windowMs
+        val (maxTs, m) = perWindow.getOrElseUpdate(w,
+          (Array(Long.MinValue), scala.collection.mutable.HashMap.empty))
+        if (t > maxTs(0)) maxTs(0) = t
+        add(m, Iterator.single(tok -> 1L))
+      }
+      perWindow.iterator.flatMap { case (w, (maxTs, m)) =>
+        m.iterator.map { case (tok, c) =>
+          (new java.sql.Timestamp(maxTs(0)), w, tok, c)
+        }
+      }
+    }
+    pre.toDF("ts", "wstart", "token", "cnt")
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._2)
       .flatMapGroupsWithState[Map[String, Long],
         (java.sql.Timestamp, Long, String, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (wstart: Long, rows: Iterator[(java.sql.Timestamp, String)],
+        (wstart: Long, rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
          state: GroupState[Map[String, Long]]) =>
           if (state.hasTimedOut) {
             val sketch = state.get
@@ -749,10 +794,10 @@ object StreamingPipeline {
             } else {
               val m = scala.collection.mutable.HashMap.empty[String, Long]
               if (state.exists) m ++= state.get
-              // one element at a time: the sketch stays ≤ sketchK+1
-              // entries THROUGHOUT the batch (a bulk add would hold the
-              // batch's whole distinct vocabulary before trimming)
-              rows.foreach { case (_, t) => add(m, Iterator.single(t -> 1L)) }
+              // merge the per-partition partials pair-at-a-time — the
+              // mergeable-summaries combine; state stays ≤ sketchK+1
+              rows.foreach { case (_, _, t, c) =>
+                add(m, Iterator.single(t -> c)) }
               state.update(m.toMap)
               state.setTimeoutTimestamp(windowEnd)
               Iterator.empty

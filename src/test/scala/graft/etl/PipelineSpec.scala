@@ -504,4 +504,42 @@ class PipelineSpec extends SparkSpec {
       assert(spark.table("sketchtrend").count() == before)
     } finally q.stop()
   }
+
+  test("sketch trending: per-partition partial sketches merge under the same support bound") {
+    // the de-funneled shape: one window's tokens spread over MANY input
+    // partitions, each reduced to a batch-local MG(k) partial before
+    // the per-window state task merges them. Pin that the merged
+    // estimate keeps the N/(k+1) mergeable-summaries bound — the
+    // support guarantee is partition-layout-independent.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    // 8-way spread → 8 partial sketches for W0 reach the merge
+    val df = mem.toDF().toDF("ts", "text").repartition(8)
+    val out = StreamingPipeline.trendingTokensSketch(df, "ts", "text",
+      windowSeconds = 60, sketchK = 4, topK = 2)
+    val q = out.writeStream.format("memory").queryName("sketchpart")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // N = 70 tokens in W0: hot×30 + 40 distinct noise; support
+      // threshold N/(k+1) = 14 < 30 → "hot" MUST survive any layout,
+      // est in (30 − 14, 30]. One row per token → the repartition
+      // scatters them across all 8 partitions.
+      val rows = Seq.fill(30)("hot") ++ (1 to 40).map(i => s"n$i")
+      mem.addData(rows.map(w => (t("2024-01-01 00:00:10"), w)): _*)
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:01:30"), "later"))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:01:31"), "tick"))
+      q.processAllAvailable()
+      val got = spark.table("sketchpart")
+        .filter(date_format(col("window_start"), "HH:mm:ss") === "00:00:00")
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(got.nonEmpty && got.head._2 == "hot", s"got: ${got.toSeq}")
+      assert(got.head._3 > 30 - 14 && got.head._3 <= 30, s"est ${got.head._3}")
+    } finally q.stop()
+  }
 }
