@@ -293,9 +293,16 @@ object CorpusOps {
     * Output: (doc_id, input_text, targets, n_masked, n_tokens),
     * null-text docs excluded, ordered by doc_id.
     *
-    * Scale shape: ONE narrow codegen'd projection — per-position md5
-    * coins inside bound-array HOFs (SPARK-35410: tokens bound first),
-    * no shuffle, no UDF; scan-speed like the other export passes. */
+    * Scale shape: ONE narrow codegen'd projection — the per-position
+    * coin ARRAY is materialized once in a bound column and consumed by
+    * all three outputs (input render, targets filter, mask count): one
+    * md5 per token position total. Separate per-consumer coin lambdas
+    * would defeat common-subexpression elimination and triple the hash
+    * work — the SPARK-35410 bound-column discipline applied to the
+    * coin, not just the tokens. No shuffle, no UDF; scan-speed like
+    * the other export passes (CollapseProject leaves the coin
+    * projection alone: the attribute is referenced three times and the
+    * producing expression is non-cheap). */
   def mlmMask(documents: DataFrame, maskPermille: Int = 150,
               salt: String = "mlm"): DataFrame = {
     require(maskPermille >= 1 && maskPermille <= 1000,
@@ -307,12 +314,16 @@ object CorpusOps {
     graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .withColumn("__w", graft.analytics.TextAnalysis.tokens(col("text")))
+      .withColumn("__coins", transform(col("__w"), (_, i) => coin(i)))
+      .withColumn("__zip", arrays_zip(col("__w"), col("__coins")))
       .select(col("doc_id"),
-        concat_ws(" ", transform(col("__w"),
-          (t, i) => when(coin(i), lit("[MASK]")).otherwise(t)))
-          .as("input_text"),
-        concat_ws(" ", filter(col("__w"), (_, i) => coin(i))).as("targets"),
-        size(filter(col("__w"), (_, i) => coin(i))).cast("long").as("n_masked"),
+        concat_ws(" ", transform(col("__zip"),
+          s => when(s.getField("__coins"), lit("[MASK]"))
+            .otherwise(s.getField("__w")))).as("input_text"),
+        concat_ws(" ", transform(
+          filter(col("__zip"), s => s.getField("__coins")),
+          s => s.getField("__w"))).as("targets"),
+        size(filter(col("__coins"), c => c)).cast("long").as("n_masked"),
         size(col("__w")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
