@@ -587,6 +587,42 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BPE merge APPLICATION — encode every document with a learned
+    * merge list (the missing half of the tokenizer family:
+    * [[bpePairCounts]] learns pair statistics, [[bpeApply]] spends
+    * them; the per-doc pass a training-data pipeline actually runs).
+    * Each word is encoded independently by the codegen'd
+    * [[graft.functions.BpeEncodeExpr]]: start from code points, each
+    * round splice the adjacent pair with the lowest merge rank
+    * (leftmost on ties), up to `maxRounds` rounds — one merge per
+    * round, so with maxRounds ≥ longest-word − 1 this is the Sennrich
+    * fixpoint, and ANY maxRounds is exactly mirrored by the oracle's
+    * bounded CTE unroll. Reconstruction invariant: pieces concatenate
+    * back to the word (spec-pinned).
+    *
+    * Output: (doc_id, bpe_text = pieces space-joined across words in
+    * order, n_pieces, n_words), null-text docs excluded, ordered by
+    * doc_id.
+    *
+    * Scale shape: ONE narrow codegen'd projection — the merge table
+    * rides in codegen references (no join, no broadcast needed at any
+    * corpus size; the table is tokenizer-sized, KBs); the piece array
+    * is materialized once in a bound column for its two consumers
+    * (SPARK-35410 discipline). No shuffle before the output sort. */
+  def bpeApply(documents: DataFrame, merges: Seq[(String, String)],
+               maxRounds: Int = 64): DataFrame = {
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__w", tokens(col("text")))
+      .withColumn("__pieces", flatten(transform(col("__w"),
+        w => graft.functions.BpeEncodeExpr(w, merges, maxRounds))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__pieces")).as("bpe_text"),
+        size(col("__pieces")).cast(LongType).as("n_pieces"),
+        size(col("__w")).cast(LongType).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document character-bigram entropy — the gibberish / wrong-
     * charset / binary-blob detector ([[qualityScores]]'s rules catch
     * structural junk; entropy catches STATISTICAL junk: base64 blobs

@@ -117,6 +117,19 @@ object Registry {
     "zh" -> Seq("spark", "vector"))
   val stopwords: Seq[String] = Seq("the", "a", "of", "and")
 
+  /** Pinned BPE merge table for `txt_bpe_apply` — rank = position.
+    * Hand-laid over the synthetic vocabulary to exercise multi-round
+    * full-word merges (join/scan/sort/data/the), merged-symbol rules
+    * ((at,a), (s,ort)), rank-priority conflicts (order: (e,r) rank 1
+    * beats (o,r) rank 2) and partial fixpoints (query → q u ery).
+    * Shared verbatim by the Spark expression and the generated oracle
+    * CASE chain — zero literal drift. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "e" -> "r", "o" -> "r", "t" -> "h", "th" -> "e",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "s" -> "c", "sc" -> "a",
+    "sca" -> "n", "or" -> "t", "s" -> "ort", "er" -> "y",
+    "at" -> "a", "d" -> "ata")
+
   /** HTML scaffold for `corpus_extract_html` — documents.text is plain
     * prose, so the fixture forges markup damage in-plan, identically in
     * both engines (the corpus_fix_encoding pattern). Deliberately
@@ -2366,6 +2379,40 @@ object Registry {
         SELECT pair, count(*)::BIGINT AS n FROM p
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
       bench = true),
+
+    // BPE merge APPLICATION — encode every doc with the pinned merge
+    // table (8 bounded rounds = fixpoint at this corpus's max word
+    // length 8; ONE merge per round, exactly unrolled as chained CTE
+    // pairs below — the dedup_pagerank pattern). The rank CASE chain
+    // is generated from the same Scala Seq the Spark expression gets:
+    // zero literal drift.
+    QueryDef("txt_bpe_apply",
+      (s, d) => TextAnalysis.bpeApply(t(s, d, "documents"), bpeMerges, 8),
+      Some {
+        val rankCase = bpeMerges.zipWithIndex.map { case ((l, r), k) =>
+          s"WHEN toks[i] = '$l' AND toks[i+1] = '$r' THEN $k*10000 + i"
+        }.mkString("CASE ", " ", " ELSE NULL END")
+        val best =
+          s"list_min(list_transform(range(1, len(toks)), i -> $rankCase))"
+        val rounds = (1 to 8).map { k =>
+          s"""s$k AS (SELECT doc_id, wl,
+              list_transform(wl, toks -> $best) AS b FROM r${k - 1}),
+            r$k AS (SELECT doc_id, list_transform(range(1, len(wl)+1), wi ->
+              CASE WHEN b[wi] IS NULL THEN wl[wi]
+              ELSE list_concat(list_concat(wl[wi][1:(b[wi]%10000)-1],
+                [wl[wi][b[wi]%10000] || wl[wi][b[wi]%10000+1]]),
+                wl[wi][(b[wi]%10000)+2:]) END) AS wl FROM s$k)"""
+        }.mkString(",\n")
+        s"""WITH r0 AS (SELECT doc_id,
+            list_transform(regexp_split_to_array(trim(text), '\\s+'),
+              w -> list_transform(range(1, length(w)+1), i -> w[i:i])) AS wl
+            FROM documents WHERE text IS NOT NULL),
+          $rounds
+          SELECT doc_id,
+            coalesce(array_to_string(flatten(wl), ' '), '') AS bpe_text,
+            len(flatten(wl))::BIGINT AS n_pieces, len(wl)::BIGINT AS n_words
+          FROM r8 ORDER BY doc_id"""
+      }, bench = true),
 
     // pairwise source vocabulary Jaccard (membership complement of
     // the frequency-shape sourceDrift panel)
