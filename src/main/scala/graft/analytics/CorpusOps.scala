@@ -278,6 +278,67 @@ object CorpusOps {
       .crossJoin(tokensFinal)
   }
 
+  /** JSON string-escape table shared VERBATIM between the Spark render
+    * and the oracle's generated replace chain (the zero-drift
+    * discipline). Order matters: backslash FIRST — escaping it later
+    * would double the backslashes the earlier rules introduced. The
+    * five rules cover everything RFC 8259 requires for the printable
+    * range plus the three whitespace controls; other control chars
+    * (U+0000–U+001F beyond \n \r \t) don't survive [[Cleaning]]'s
+    * normalize pass and are out of contract here. */
+  val jsonEscapes: Seq[(String, String)] = Seq(
+    "\\" -> "\\\\", "\"" -> "\\\"",
+    "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+
+  private def jsonEscape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    jsonEscapes.foldLeft(c) { case (acc, (bad, good)) =>
+      call_function("replace", acc, lit(bad), lit(good))
+    }
+
+  /** Chat-template SFT JSONL export — render each document as one
+    * supervised-fine-tuning chat record: a system message carrying the
+    * source, a user turn holding the first `promptTokens` tokens, an
+    * assistant turn holding the remainder (the continuation task — the
+    * standard way to manufacture SFT pairs from raw corpus text). The
+    * record is a HAND-BUILT `concat` of literal JSON fragments around
+    * the [[jsonEscapes]]-escaped fields — NOT `to_json`, whose struct
+    * key ordering and whitespace are engine-private and make byte
+    * parity untestable; the literal template is byte-identical in any
+    * engine by construction.
+    *
+    * Output: (doc_id, record, n_prompt_tokens, n_response_tokens),
+    * null-text docs excluded, ordered by doc_id. A whole-corpus export
+    * writes `record` as a text file per shard — the JSONL the trainer
+    * ingests.
+    *
+    * Scale shape: ONE narrow codegen'd projection (literal replace
+    * chain + array slices over the bound token array), no shuffle
+    * before the output sort; scan-speed like the other exports. */
+  def sftExport(documents: DataFrame, promptTokens: Int = 10): DataFrame = {
+    require(promptTokens >= 1, s"promptTokens must be >= 1: $promptTokens")
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__w", graft.analytics.TextAnalysis.tokens(col("text")))
+      .withColumn("__p", concat_ws(" ", slice(col("__w"), 1, promptTokens)))
+      .withColumn("__r", concat_ws(" ", slice(col("__w"),
+        lit(promptTokens + 1),
+        greatest(size(col("__w")) - promptTokens, lit(0)))))
+      .select(col("doc_id"),
+        concat(
+          lit("""{"messages":[{"role":"system","content":"source: """),
+          jsonEscape(col("source")),
+          lit(""""},{"role":"user","content":"Continue: """),
+          jsonEscape(col("__p")),
+          lit(""""},{"role":"assistant","content":""""),
+          jsonEscape(col("__r")),
+          lit(""""}]}""")).as("record"),
+        least(size(col("__w")), lit(promptTokens)).cast(LongType)
+          .as("n_prompt_tokens"),
+        greatest(size(col("__w")) - promptTokens, lit(0)).cast(LongType)
+          .as("n_response_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Masked-LM training export (BERT-style token masking, Devlin et
     * al. 2019 — public): each token position flips an independent
     * deterministic coin (u32(md5(salt:doc:pos)) under the integer

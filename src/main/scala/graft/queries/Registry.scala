@@ -3021,6 +3021,40 @@ object Registry {
           FROM documents ORDER BY doc_id"""
       }, bench = true),
 
+    // chat-template SFT JSONL export: literal-template render around
+    // the shared escape chain (to_json key order is engine-private —
+    // the hand-built concat is byte-identical by construction); both
+    // sides of every escape rule come from CorpusOps.jsonEscapes
+    QueryDef("corpus_sft_export",
+      (s, d) => CorpusOps.sftExport(t(s, d, "documents"), 10),
+      Some {
+        def sqlLit(x: String): String = x match {
+          case "\n" => "chr(10)"
+          case "\r" => "chr(13)"
+          case "\t" => "chr(9)"
+          case other => "'" + other.replace("'", "''") + "'"
+        }
+        def esc(c: String): String = CorpusOps.jsonEscapes.foldLeft(c) {
+          case (acc, (bad, good)) =>
+            s"replace($acc, ${sqlLit(bad)}, ${sqlLit(good)})"
+        }
+        s"""WITH w AS (SELECT doc_id, source, $toksSql AS toks
+            FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT doc_id, source,
+            coalesce(array_to_string(toks[1:10], ' '), '') AS p,
+            coalesce(array_to_string(toks[11:], ' '), '') AS r,
+            least(len(toks), 10) AS np,
+            greatest(len(toks) - 10, 0) AS nr FROM w)
+          SELECT doc_id,
+            '{"messages":[{"role":"system","content":"source: ' ||
+              ${esc("source")} ||
+              '"},{"role":"user","content":"Continue: ' || ${esc("p")} ||
+              '"},{"role":"assistant","content":"' || ${esc("r")} ||
+              '"}]}' AS record,
+            np::BIGINT AS n_prompt_tokens, nr::BIGINT AS n_response_tokens
+          FROM f ORDER BY doc_id"""
+      }, bench = true),
+
     // per-source length-vs-quality Pearson correlation (trim-policy
     // advisor); ROUNDED ratio feeds corr in both engines
     QueryDef("corpus_quality_corr",

@@ -2236,6 +2236,36 @@ class AnalyticsSpec extends SparkSpec {
       !out(3L).getBoolean(3))
   }
 
+  test("sftExport: literal template render, JSON validity on hostile text, split counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "src_a", "one two three four"),
+      (2L, "src_b", (1 to 15).map(i => s"w$i").mkString(" ")),
+      (3L, "s\"x\\y\nz\tw", "say \"hi\"\tand\nbye \\ done"),
+      (4L, "src_a", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val out = CorpusOps.sftExport(d, promptTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // null text excluded
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 ==
+      """{"messages":[{"role":"system","content":"source: src_a"},""" +
+      """{"role":"user","content":"Continue: one two three"},""" +
+      """{"role":"assistant","content":"four"}]}""")
+    assert(byId(1L)._3 == 3L && byId(1L)._4 == 1L)
+    assert(byId(2L)._3 == 3L && byId(2L)._4 == 12L)
+    // hostile text: every record must parse as real JSON and round-trip
+    // the original content through Spark's own JSON reader
+    val parsed = spark.read.json(Seq(byId(3L)._2).toDS())
+    val msgs = parsed.select(explode(col("messages")).as("m"))
+      .select(col("m.role"), col("m.content")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(msgs("system") == "source: s\"x\\y\nz\tw")
+    // \t and \n inside text are tokenizer separators — tokens rejoin
+    // with single spaces; the quote and backslash escapes round-trip
+    assert(msgs("user") == "Continue: say \"hi\" and")
+    assert(msgs("assistant") == "bye \\ done")
+  }
+
   test("lshTuningTable: JVM S-curve replica, OR-amplification edge, threshold ordering") {
     val out = Dedup.lshTuningTable(spark, 8, Seq(0.3, 0.5, 0.9)).collect()
       .map(r => ((r.getLong(0), r.getDouble(3)), (r.getDouble(2), r.getDouble(4))))
