@@ -1084,6 +1084,71 @@ object CorpusOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Sentence-ALIGNED chunking — the RAG/embedding-prep variant of
+    * [[chunkWindows]] that never cuts mid-sentence: split each
+    * document into sentences on terminator+whitespace (`[.!?]\s+` —
+    * the RE2∩Java dialect intersection; a trailing terminator run is
+    * stripped so sentences are plain word runs), then pack consecutive
+    * sentences greedily into chunks of at most `maxTokens` whitespace
+    * tokens. A sentence longer than `maxTokens` becomes its own
+    * oversized chunk (never split — feed those through [[chunkWindows]]
+    * downstream when a hard cap matters). Greedy packing is
+    * SEQUENTIAL per document; it folds in one codegen'd
+    * `aggregate` HOF over the bound sentence array — and the oracle
+    * replays the identical walk as a per-doc recursive CTE (the
+    * `leakageSafeSplit` pattern), so the boundary rule is pinned
+    * cross-engine.
+    *
+    * Output: (doc_id, chunk_id 1-based, n_sentences, n_tokens,
+    * chunk_text = sentences space-joined), docs with no non-empty
+    * sentence absent, ordered by (doc_id, chunk_id).
+    *
+    * Scale shape (100 TB): entirely narrow — sentence split, token
+    * counts, and the pack fold all sit in ONE projection per document;
+    * the explode multiplies rows by chunks/doc but introduces no
+    * shuffle before the output sort. */
+  def chunkBySentences(documents: DataFrame, maxTokens: Int = 48): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    val sents = filter(
+      transform(split(trim(col("text")), "[.!?]\\s+"),
+        s => regexp_replace(trim(s), "[.!?]+$", "")),
+      s => length(s) > 0)
+    def ntok(s: org.apache.spark.sql.Column) = size(split(s, "\\s+"))
+    val emptyChunks = array().cast("array<array<string>>")
+    val emptyCur = array().cast("array<string>")
+    val zero = struct(emptyChunks.as("chunks"), emptyCur.as("cur"),
+      lit(0).as("ntok"))
+    val packed = aggregate(col("__sents"), zero,
+      (acc, s) => {
+        val t = ntok(s)
+        when(size(acc.getField("cur")) === 0,
+          struct(acc.getField("chunks").as("chunks"),
+            array(s).as("cur"), t.as("ntok")))
+          .when(acc.getField("ntok") + t <= maxTokens,
+            struct(acc.getField("chunks").as("chunks"),
+              concat(acc.getField("cur"), array(s)).as("cur"),
+              (acc.getField("ntok") + t).as("ntok")))
+          .otherwise(
+            struct(concat(acc.getField("chunks"),
+              array(acc.getField("cur"))).as("chunks"),
+              array(s).as("cur"), t.as("ntok")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("chunks"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("chunks")))
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__sents", sents)
+      .select(col("doc_id"), posexplode(packed))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast(LongType).as("chunk_id"),
+        size(col("col")).cast(LongType).as("n_sentences"),
+        size(split(concat_ws(" ", col("col")), "\\s+")).cast(LongType)
+          .as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Training-export writer: materialize the corpus as exactly
     * `nShards` deterministic shards (`shard=K/` directories, one file
     * each). `repartition(nShards, shard)` routes each shard's rows to

@@ -3021,6 +3021,60 @@ object Registry {
           FROM documents ORDER BY doc_id"""
       }, bench = true),
 
+    // sentence-aligned chunking: the corpus has no natural punctuation,
+    // so the fixture forges deterministic terminators in-plan (the
+    // corpus_extract_html scaffold pattern — same integer arithmetic in
+    // both engines), then packs sentences greedily to <= 12 tokens; the
+    // oracle replays the sequential pack as a per-doc recursive CTE
+    QueryDef("corpus_chunk_sentences",
+      (s, d) => {
+        val forged = t(s, d, "documents").withColumn("text",
+          when(col("text").isNotNull, concat_ws(" ",
+            transform(TextAnalysis.tokens(col("text")), (tk, i) =>
+              concat(tk, element_at(
+                array(lit("."), lit("!"), lit("?"), lit(""), lit(""),
+                  lit(""), lit(""), lit(""), lit("")),
+                (pmod(i.cast("long") * 31 + col("doc_id"), lit(9)) + 1)
+                  .cast("int")))))))
+        CorpusOps.chunkBySentences(forged, maxTokens = 12)
+      },
+      Some {
+        s"""WITH RECURSIVE b AS (
+            SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
+              array_to_string(list_transform(range(1, len(toks)+1), i ->
+                toks[i] || CASE ((i-1)*31 + doc_id) % 9
+                  WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+                  ELSE '' END), ' ')
+              END AS text
+            FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+          sen1 AS (SELECT doc_id,
+              list_filter(list_transform(
+                regexp_split_to_array(trim(text), '[.!?]\\s+'),
+                x -> regexp_replace(trim(x), '[.!?]+$$', '')),
+                x -> x <> '') AS ss
+            FROM b WHERE text IS NOT NULL),
+          senx AS (SELECT doc_id, ss,
+              unnest(range(1, len(ss)+1)) AS idx FROM sen1),
+          sen AS (SELECT doc_id, idx, ss[idx] AS sent,
+              len(regexp_split_to_array(ss[idx], '\\s+')) AS ntok
+            FROM senx),
+          walk AS (
+            SELECT doc_id, idx, sent, ntok, 1 AS chunk_id, ntok AS cur
+            FROM sen WHERE idx = 1
+            UNION ALL
+            SELECT s.doc_id, s.idx, s.sent, s.ntok,
+              CASE WHEN w.cur + s.ntok <= 12 THEN w.chunk_id
+                ELSE w.chunk_id + 1 END,
+              CASE WHEN w.cur + s.ntok <= 12 THEN w.cur + s.ntok
+                ELSE s.ntok END
+            FROM walk w JOIN sen s
+              ON s.doc_id = w.doc_id AND s.idx = w.idx + 1)
+          SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+            count(*)::BIGINT AS n_sentences, sum(ntok)::BIGINT AS n_tokens,
+            string_agg(sent, ' ' ORDER BY idx) AS chunk_text
+          FROM walk GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"""
+      }, bench = true),
+
     // chat-template SFT JSONL export: literal-template render around
     // the shared escape chain (to_json key order is engine-private —
     // the hand-built concat is byte-identical by construction); both

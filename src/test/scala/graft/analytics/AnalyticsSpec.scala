@@ -2236,6 +2236,26 @@ class AnalyticsSpec extends SparkSpec {
       !out(3L).getBoolean(3))
   }
 
+  test("chunkBySentences: greedy pack, oversized sentence, boundary, terminator strip") {
+    val d = docs(
+      // sentences of 3/3/4/2 tokens; max 6 → [3+3], [4+2]
+      1L -> "one two three. four five six! seven eight nine ten? end here.",
+      // an 8-token sentence exceeds max 6 → its own oversized chunk
+      2L -> "a b c d e f g h. tail one",
+      3L -> "only short",           // no terminator → one sentence
+      4L -> "...",                  // terminators only → no sentences
+      5L -> null.asInstanceOf[String])
+    val out = CorpusOps.chunkBySentences(d, maxTokens = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 6L, "one two three four five six"),
+      (1L, 2L, 2L, 6L, "seven eight nine ten end here"),
+      (2L, 1L, 1L, 8L, "a b c d e f g h"),
+      (2L, 2L, 1L, 2L, "tail one"),
+      (3L, 1L, 1L, 2L, "only short")))
+  }
+
   test("sftExport: literal template render, JSON validity on hostile text, split counts") {
     import spark.implicits._
     val d = Seq(
