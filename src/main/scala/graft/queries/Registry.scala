@@ -64,6 +64,41 @@ object Registry {
       dir
     })
 
+  /** Per-JVM memoized k-means centroid dir for
+    * `corpus_cluster_sample_only` — train once, sample many (the
+    * `sim_ivfpq_search` pattern: under min-of-N, round 1 pays Lloyd's
+    * iterations, later rounds measure the pure sampling plan). Same
+    * (k=8, rounds=3) as the train+sample row. */
+  private val kmeansDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def kmeansCentroidDir(s: SparkSession, d: String): String =
+    kmeansDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_cents").toString
+      Similarity.writeKmeansCentroids(t(s, d, "embeddings"), dir,
+        k = 8, rounds = 3)
+      dir
+    })
+
+  /** Clustering-independent invariant panel shared by
+    * `corpus_cluster_sample` (train+sample) and
+    * `corpus_cluster_sample_only` (read-back centroids): per-cell quota
+    * exactness, full coverage, winner distinctness — true for ANY
+    * centroid set, which is what makes the surface oracle-able. */
+  private def clusterSampleSurface(s: SparkSession, emb: DataFrame,
+                                   smp: DataFrame): DataFrame = {
+    val perCell = smp.groupBy("cell")
+      .agg(count(lit(1)).as("n_smp"), first(col("n_cell")).as("nc"))
+    val pc = perCell.agg(
+      sum(when(col("n_smp") === least(col("nc"), lit(25L)), 0L)
+        .otherwise(1L)).as("bad"),
+      sum(col("nc")).as("covered")).head()
+    val n = smp.count()
+    val dn = smp.select("vec_id").distinct().count()
+    val nCorpus = emb.count()
+    import s.implicits._
+    Seq((nCorpus, pc.getLong(0) == 0L, pc.getLong(1) == nCorpus, dn == n))
+      .toDF("n_corpus", "quota_ok", "coverage_ok", "distinct_ok")
+  }
+
   /** The IVF-PQ selection-quality surface shared by `sim_ivfpq_topk`
     * (train+search) and `sim_ivfpq_search` (read-back index): ADC
     * top-10 at nProbe=4 vs brute-force exact — raw recall@10 on
@@ -1458,7 +1493,7 @@ object Registry {
           $iters
           SELECT p.doc_id, round(p.r * nn.n, 6) AS rank_norm
           FROM pr10 p CROSS JOIN nn ORDER BY p.doc_id"""
-      }),
+      }, bench = true),
 
     // near-dup decontamination (removal form): MinHash band collision
     // vs the eval slice at agreement >= 4/8, anti-joined away — the
@@ -1626,7 +1661,7 @@ object Registry {
                sqrt(list_sum(list_transform(b2.vec, x -> x * x)))) AS cos
             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
           WHERE cos >= 0.35 ORDER BY id_a, id_b"""
-      }),
+      }, bench = true),
 
     // hard-negative mining: top-k most-similar DIFFERENT-label
     // neighbors per query (contrastive-training negatives) — the label
@@ -1666,7 +1701,7 @@ object Registry {
             coalesce(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,
             coalesce(d.n_earlier_dups, 0) = 0 AS is_kept
           FROM v LEFT JOIN dups d USING (vec_id) ORDER BY vec_id"""
-      }),
+      }, bench = true),
 
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
@@ -1845,7 +1880,7 @@ object Registry {
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
-        ORDER BY query_id""")),
+        ORDER BY query_id"""), bench = true),
 
     // int8 scalar quantization: exact search over the 4×-smaller
     // quantized corpus must preserve the full-precision top-10 almost
@@ -2490,19 +2525,24 @@ object Registry {
     QueryDef("corpus_cluster_sample",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val smp = CorpusOps.clusterBalancedSample(emb, k = 8, quota = 25)
-        val perCell = smp.groupBy("cell")
-          .agg(count(lit(1)).as("n_smp"), first(col("n_cell")).as("nc"))
-        val pc = perCell.agg(
-          sum(when(col("n_smp") === least(col("nc"), lit(25L)), 0L)
-            .otherwise(1L)).as("bad"),
-          sum(col("nc")).as("covered")).head()
-        val n = smp.count()
-        val dn = smp.select("vec_id").distinct().count()
-        val nCorpus = emb.count()
-        import s.implicits._
-        Seq((nCorpus, pc.getLong(0) == 0L, pc.getLong(1) == nCorpus, dn == n))
-          .toDF("n_corpus", "quota_ok", "coverage_ok", "distinct_ok")
+        clusterSampleSurface(s, emb,
+          CorpusOps.clusterBalancedSample(emb, k = 8, quota = 25))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
+        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings"""), bench = true),
+
+    // SAMPLE ONLY — the serve path, measured without Lloyd's training:
+    // centroids persisted once per JVM (memoized writeKmeansCentroids),
+    // read back each run — under min-of-N round 1 pays the build, later
+    // rounds measure the pure quota-sampling plan (heap + broadcast
+    // argmax). Same invariant surface and oracle; corpus_cluster_sample
+    // stays benched as the train+sample row so train cost is visible.
+    QueryDef("corpus_cluster_sample_only",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = s.read.parquet(kmeansCentroidDir(s, d))
+        clusterSampleSurface(s, emb,
+          CorpusOps.clusterBalancedSampleFromCentroids(emb, cents, quota = 25))
       },
       Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
         TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings"""), bench = true),
