@@ -936,4 +936,102 @@ object TextAnalysis {
       .select("doc_id", "rk", "phrase", "score")
       .orderBy("doc_id", "rk")
   }
+
+  /** PMI collocations — adjacent word pairs that co-occur far more than
+    * their unigram frequencies predict (pmi = ln(p(ab)/(p(a)p(b)))),
+    * the classic collocation/multi-word-expression miner (Church &
+    * Hanks 1990) a tokenizer-vocabulary or phrase-mining pass runs over
+    * the corpus. `minCount` suppresses the low-frequency pairs whose
+    * PMI is pure noise (a count-1 pair of two rare words maxes the
+    * score — the known PMI pathology).
+    *
+    * Determinism: the probability ratio is computed as ONE fixed
+    * left-associated double expression (cBi·totU·totU)/(totB·cA·cB) —
+    * every factor an exactly-representable integer count — then a
+    * single ln + round(4); both engines evaluate the identical tree.
+    *
+    * Output: (w1, w2, n, pmi 4 dp) for pairs with n ≥ minCount,
+    * ordered by (pmi DESC on the ROUNDED value, w1, w2) — float order
+    * is only safe post-round.
+    *
+    * Scale shape (100 TB): bigrams explode from the bound token array
+    * (SPARK-35410) in one narrow pass; unigram and bigram counts are
+    * map-side-combinable groupBys on vocab-grain keys; the two
+    * frequency lookups are shuffle equi-joins on token keys (vocab ≪
+    * corpus — natural-language vocab is sublinear, Heaps-law); the
+    * scalar totals cross-join ABOVE the aggregates (the unigramLogProb
+    * pattern) — never per-row. */
+  def collocationsPmi(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val docs = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bi = docs.select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum("cu").as("tot_u")).crossJoin(
+      bc.agg(sum("cb").as("tot_b")))
+    val u1 = uni.select(col("w").as("w1"), col("cu").as("cu1"))
+    val u2 = uni.select(col("w").as("w2"), col("cu").as("cu2"))
+    bc.filter(col("cb") >= minCount)
+      .join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cb").cast("long").as("n"),
+        round(log((col("cb").cast("double") * col("tot_u") * col("tot_u")) /
+          (col("tot_b").cast("double") * col("cu1") * col("cu2"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
+  /** Readability panel — Flesch reading ease per document from exact
+    * integer counts: sentences (terminator-split), words (whitespace
+    * tokens), syllables (vowel-group runs per word, floor 1 — the
+    * standard dictionary-free heuristic). The synthetic corpus has no
+    * punctuation, so callers forge deterministic terminators in-plan
+    * (the corpus_chunk_sentences scaffold — same integer arithmetic in
+    * both engines); a no-terminator doc is ONE sentence (split on a
+    * non-matching pattern returns the whole string — both engines).
+    *
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), a fixed per-row double expression over exact longs —
+    * deterministic, rounded to 2 dp for display only.
+    *
+    * Output: (doc_id, n_sentences, n_words, n_syllables, flesch),
+    * null-text and zero-sentence docs excluded (a 0-sentence doc has
+    * no defined words-per-sentence — emitting ±Inf would poison any
+    * downstream aggregate; exclusion is the portable semantics),
+    * ordered by doc_id.
+    *
+    * Scale shape: pure narrow per-document projection — scan speed;
+    * the token and sentence arrays bind once (SPARK-35410) and every
+    * lambda touches only its own element. */
+  def readability(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__sents",
+        filter(transform(split(trim(col("text")), "[.!?]\\s+"),
+          s => regexp_replace(s, "[.!?]+$", "")), s => s =!= ""))
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__sents")).cast("long").as("n_sentences"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (acc, w) =>
+          acc + greatest(lit(1),
+            size(regexp_extract_all(lower(w), lit("[aeiou]+"), lit(0))))
+            .cast("long"))
+          .as("n_syllables"))
+      .filter(col("n_sentences") > 0)
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 2))
+      .orderBy("doc_id")
 }

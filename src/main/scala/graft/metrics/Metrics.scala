@@ -155,9 +155,22 @@ object Metrics {
         "offset stages must observe the same sampled range boundaries")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sortCols = (keyCol +: orderCols).map(col)
+    // EAGER MATERIALIZATION — load-bearing, not an optimization.
+    // ReuseExchange shares the exchange WRITE, but under AQE the
+    // coalesced-READ spec is decided per consumer stage: the offsets
+    // consumer and the rank consumer can legally observe DIFFERENT
+    // merged partition maps of the same shuffle output (observed in
+    // round 9: a downstream union + coalesce(1) shifted one consumer's
+    // advisory sizes, _pid diverged, and ranks went silently wrong —
+    // duplicate ranks and ranks > n). Checkpointing the pid-stamped
+    // table pins ONE partition map for every consumer. Cost: one
+    // cached copy of the ranked input (rankByKey inputs in this repo
+    // are score/key projections, not raw corpora) — the price of an
+    // exact distributed rank.
     val withPid = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val cnts = withPid.groupBy(col("_pid"), col(keyCol)).agg(count(lit(1)).as("_cnt"))
     val wOff = Window.partitionBy(keyCol).orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -422,5 +435,179 @@ object Metrics {
         (col("__w") - col("__w0")).as("week_offset"))
       .agg(count(lit(1)).cast("long").as("n_users"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** EWMA-baseline anomaly detection over daily label counts — the
+    * volume-monitoring alert ("today's error count is 3× its trailing
+    * baseline") every ingestion pipeline runs. The baseline is an
+    * exponentially-weighted mean of the `lookback` PRIOR days
+    * (weights (1−α)^(i−1), i = 1..lookback — the truncated-EWMA form:
+    * a bounded, window-expressible dot product instead of the
+    * unbounded recursive EWMA, whose (1−α)^(−t) rescaling trick
+    * overflows on long series). A day is anomalous when
+    * count / baseline, ROUNDED to 4 dp (float-boundary-safe compare,
+    * both engines see the identical rounded value), leaves
+    * [loRatio, hiRatio]. Only full-window days are emitted — partial
+    * baselines at series start would need a null-weight convention
+    * with no portable SQL form.
+    *
+    * Determinism: the weighted sum is a FIXED left-associated
+    * expression tree over exact-dyadic weights (default α = 0.5 →
+    * 1, 0.5, …, 2^-6), not an aggregation — IEEE-identical in any
+    * engine evaluating literals left-to-right.
+    *
+    * Scale shape (100 TB): the daily pre-aggregate is map-side
+    * combinable and collapses the event log to (label × day) grain
+    * BEFORE any window; the per-label window then runs over
+    * day-count rows — the low-cardinality-window funnel concern
+    * (see [[percentRankByKey]]) does not apply because the windowed
+    * table is already bucket-sized, never event-sized. */
+  def ewmaDailyAnomalies(events: DataFrame, alpha: Double = 0.5,
+                         lookback: Int = 7, hiRatio: Double = 1.5,
+                         loRatio: Double = 0.6667): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(lookback >= 1, s"lookback must be >= 1: $lookback")
+    require(loRatio < hiRatio, s"loRatio $loRatio must be < hiRatio $hiRatio")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val weights = ewmaWeights(alpha, lookback)
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      lag(col("n"), i + 1).over(w).cast("double") * lit(wt)
+    }
+    val ewma = terms.reduce(_ + _) / lit(weights.sum)
+    daily
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_ewma", ewma)
+      .filter(col("_rn") > lookback)
+      .withColumn("ratio", round(col("n").cast("double") / col("_ewma"), 4))
+      .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+        round(col("_ewma"), 4).as("ewma"), col("ratio"),
+        (col("ratio") >= hiRatio || col("ratio") <= loRatio).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The (1−α)^(i−1) weight ladder shared by [[ewmaDailyAnomalies]]
+    * and its oracle SQL generator — one source for both engines'
+    * literals, zero drift. */
+  def ewmaWeights(alpha: Double, lookback: Int): Seq[Double] =
+    (1 to lookback).map(i => math.pow(1 - alpha, i - 1))
+
+  /** Winsorized (clipped) robust statistics per key — the outlier-proof
+    * mean every metrics pipeline wants when a single 10^6-valued row
+    * would otherwise dominate a label's average. Cutoffs are EXACT
+    * rank-based quantiles (value at rank ⌈pm·n/1000⌉, integer-permille
+    * ceiling — the same arithmetic as [[quantilesByKey]], no float
+    * ceil trap, no percentile buffering), computed via the skew-safe
+    * [[rankByKey]] instead of a per-key window funnel; values are then
+    * clipped to [lo, hi] and aggregated with a map-side-combinable
+    * groupBy. Null values are excluded throughout (portable semantics
+    * — engine null ordering differs).
+    *
+    * Output: (key, n, lo, hi — 2 dp, mean_winsorized — 4 dp,
+    * n_clipped_lo, n_clipped_hi), ordered by key. Clip-count compares
+    * are against the RAW cutoff value (an actual data value), not the
+    * rounded display copy.
+    *
+    * Scale shape (100 TB): one range exchange for the ranks, one tiny
+    * per-key cutoff table broadcast back, one combinable final
+    * aggregate — per-key state is two doubles, never a value buffer. */
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
+                      loPermille: Int = 50, hiPermille: Int = 950,
+                      tieBreak: String = "event_id"): DataFrame = {
+    require(loPermille >= 1 && hiPermille <= 1000 && loPermille < hiPermille,
+      s"bad permilles: [$loPermille, $hiPermille]")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol), col(tieBreak))
+    val ranked = rankByKey(v, keyCol, Seq(valueCol, tieBreak))
+    val cuts = ranked.groupBy(keyCol).agg(
+      max(when(col("_rank") <= expr(s"($loPermille * _nk + 999) div 1000"),
+        col(valueCol))).as("__lo"),
+      max(when(col("_rank") <= expr(s"($hiPermille * _nk + 999) div 1000"),
+        col(valueCol))).as("__hi"))
+    val cutsK = cuts.withColumnRenamed(keyCol, "__k")
+    v.join(broadcast(cutsK), col(keyCol) <=> col("__k"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(first(col("__lo")), 2).as("lo"),
+        round(first(col("__hi")), 2).as("hi"),
+        round(avg(least(greatest(col(valueCol), col("__lo")), col("__hi"))), 4)
+          .as("mean_winsorized"),
+        sum(when(col(valueCol) < col("__lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col(valueCol) > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"))
+      .orderBy(keyCol)
+  }
+
+  /** Hierarchical ROLLUP totals — the OLAP subtotal grid
+    * (label × day → label → grand total) in ONE pass instead of three
+    * union'd aggregations. Rollup-null group keys are collapsed to
+    * explicit sentinels and accompanied by `grouping()` flags: engine
+    * null ORDERING differs (Spark nulls-first vs DuckDB nulls-last),
+    * so a raw null key in an ordered oracle output is a portability
+    * bug — the sentinel pins it.
+    *
+    * Scale shape: Spark plans rollup as a single Expand + one
+    * combinable aggregate — each input row contributes to all 3
+    * grouping sets map-side; the shuffle carries (set × label × day)
+    * grain, never events. */
+  def rollupDailyCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .rollup("event_type", "day")
+      // grouping() is only resolvable INSIDE the rollup's agg clause
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("day")).cast("long").as("g_day"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), to_date(lit("1970-01-01"))).as("day"),
+        col("g_type"), col("g_day"),
+        col("n").cast("long").as("n"), col("total_value"))
+      .orderBy("g_type", "g_day", "event_type", "day")
+
+  /** Data-skipping effectiveness panel for a Z-order layout vs a plain
+    * single-column sort — the decision table a 100 TB table owner reads
+    * before choosing a clustering key. Rows are quantized to `bits`-bit
+    * codes on two predicate columns, laid out two ways (`bycol`: sorted
+    * by x alone; `zorder`: sorted by the interleaved
+    * [[graft.util.ZOrder.zValue]]), cut into `buckets` equal "files" by
+    * GLOBAL rank, and each bucket reports its per-column min/max — the
+    * parquet footer a scan would prune on. Under `bycol` the y ranges
+    * span the whole domain (0 prunable files for a y predicate); under
+    * `zorder` BOTH columns' ranges are narrow — that difference is the
+    * entire case for z-ordering.
+    *
+    * Global rank goes through the skew-safe constant-key [[rankByKey]]
+    * (range-partition + local ranks + tiny offset table), never a
+    * single-reducer `row_number() OVER ()` — the
+    * stratified-sample precedent. Bucket math is exact integer
+    * ((rank−1)·B) div n. Output: (layout, bucket, n, min_x, max_x,
+    * min_y, max_y), ordered. */
+  def zorderSkipStats(events: DataFrame, bits: Int = 8,
+                      buckets: Int = 16): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val side = 1L << bits
+    val ev = events.select(
+      pmod(col("user_id"), lit(side)).as("x"),
+      pmod(col("event_id"), lit(side)).as("y"),
+      col("event_id"))
+    val withZ = ev.withColumn("z",
+      graft.util.ZOrder.zValue(col("x"), col("y"), bits))
+    def layoutStats(tag: String, orderCols: Seq[String]): DataFrame =
+      rankByKey(withZ.withColumn("__g", lit(0)), "__g",
+          orderCols :+ "event_id")
+        .withColumn("bucket", expr(s"((_rank - 1) * $buckets) div _nk"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
+          min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
+        .withColumn("layout", lit(tag))
+    layoutStats("bycol", Seq("x")).unionByName(layoutStats("zorder", Seq("z")))
+      .select(col("layout"), col("bucket").cast("long").as("bucket"),
+        col("n"), col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      .orderBy("layout", "bucket")
   }
 }

@@ -181,6 +181,33 @@ object Registry {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** Sentence-terminator forge shared by `corpus_chunk_sentences` and
+    * `txt_readability` — the corpus has no natural punctuation, so a
+    * deterministic terminator ('.', '!', '?' or nothing, chosen by
+    * (i·31 + doc_id) mod 9) is appended per token, with the IDENTICAL
+    * integer arithmetic in the Spark plan and the oracle CTE. */
+  private def forgeSentences(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      when(col("text").isNotNull, concat_ws(" ",
+        transform(TextAnalysis.tokens(col("text")), (tk, i) =>
+          concat(tk, element_at(
+            array(lit("."), lit("!"), lit("?"), lit(""), lit(""),
+              lit(""), lit(""), lit(""), lit("")),
+            (pmod(i.cast("long") * 31 + col("doc_id"), lit(9)) + 1)
+              .cast("int")))))))
+
+  /** The oracle half of [[forgeSentences]]: a CTE named `b` yielding
+    * (doc_id, text) with forged terminators. */
+  private def forgedSentencesCte: String =
+    s"""b AS (
+        SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
+          array_to_string(list_transform(range(1, len(toks)+1), i ->
+            toks[i] || CASE ((i-1)*31 + doc_id) % 9
+              WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+              ELSE '' END), ' ')
+          END AS text
+        FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))"""
+
   // ---------------- relational (TPC-H-style analytics layer) ----------
 
   private val relational = Seq(
@@ -352,7 +379,34 @@ object Registry {
       (s, d) => Relational.intersectCustomers(t(s, d, "orders")),
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        ORDER BY o_custkey""")))
+        ORDER BY o_custkey""")),
+
+    // Bloom-prefiltered big–big join: the sketch drops ~90% of lineitem
+    // BEFORE its exchange; result provably ≡ the plain join (no false
+    // negatives + the real join removes false positives) — which is
+    // exactly what the oracle asserts. expectedItems = one count job
+    // over the already-filtered build side (cheap, and the honest
+    // sizing — a guessed constant under-sizes at bigger SFs).
+    QueryDef("join_bloom_prefilter",
+      (s, d) => {
+        val dim = t(s, d, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+        val joined = graft.util.SparkUtil.bloomPrefilterJoin(
+          t(s, d, "lineitem"), dim, "l_orderkey",
+          expectedItems = math.max(dim.count(), 1L))
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS n,
+          round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 450000.0
+        GROUP BY 1 ORDER BY o_orderpriority"""),
+      bench = true))
 
   // ---------------- metrics (A-series over events) --------------------
 
@@ -637,7 +691,95 @@ object Registry {
           count(*)::BIGINT AS n_users
         FROM a JOIN f USING (user_id) GROUP BY 1, 2
         ORDER BY cohort_week, week_offset"""),
-      bench = true))
+      bench = true),
+
+    // EWMA-baseline volume anomaly: weights generated ONCE in Scala and
+    // injected into both engines (exact dyadics at alpha = 0.5); the
+    // anomaly compare runs on the ROUNDED ratio — no float boundary
+    QueryDef("metrics_anomaly_ewma",
+      (s, d) => Metrics.ewmaDailyAnomalies(t(s, d, "events")),
+      Some {
+        val ws = Metrics.ewmaWeights(0.5, 7)
+        val terms = ws.zipWithIndex
+          .map { case (w, i) => s"lag(n, ${i + 1}) OVER w * $w" }
+          .mkString(" + ")
+        s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+          e AS (SELECT event_type, day, n,
+              row_number() OVER w AS rn,
+              ($terms) / ${ws.sum} AS ewma
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+          SELECT event_type, day, n::BIGINT AS n, round(ewma, 4) AS ewma,
+            round(n / ewma, 4) AS ratio,
+            (round(n / ewma, 4) >= 1.5 OR round(n / ewma, 4) <= 0.6667)
+              AS is_anomaly
+          FROM e WHERE rn > 7 ORDER BY event_type, day"""
+      }, bench = true),
+
+    // winsorized robust mean: exact integer-permille rank cutoffs (the
+    // quantilesByKey arithmetic) + clip + combinable aggregate
+    QueryDef("metrics_winsorized",
+      (s, d) => Metrics.winsorizedStats(t(s, d, "events"), "event_type", "value"),
+      Some("""WITH v AS (SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL),
+        r AS (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS rk,
+            count(*) OVER (PARTITION BY event_type) AS nk
+          FROM v),
+        c AS (SELECT event_type,
+            max(CASE WHEN rk <= (50 * nk + 999) // 1000 THEN value END) AS lo,
+            max(CASE WHEN rk <= (950 * nk + 999) // 1000 THEN value END) AS hi
+          FROM r GROUP BY event_type)
+        SELECT v.event_type, count(*)::BIGINT AS n,
+          round(c.lo, 2) AS lo, round(c.hi, 2) AS hi,
+          round(avg(least(greatest(v.value, c.lo), c.hi)), 4) AS mean_winsorized,
+          sum(CASE WHEN v.value < c.lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+          sum(CASE WHEN v.value > c.hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi
+        FROM v JOIN c USING (event_type)
+        GROUP BY v.event_type, c.lo, c.hi ORDER BY event_type"""),
+      bench = true),
+
+    // ROLLUP subtotal grid in one Expand pass; rollup-null keys pinned
+    // to sentinels (engine null ORDERING differs) + grouping() flags
+    QueryDef("metrics_rollup_daily",
+      (s, d) => Metrics.rollupDailyCounts(t(s, d, "events")),
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+          FROM events)
+        SELECT coalesce(event_type, '(all)') AS event_type,
+          coalesce(day, DATE '1970-01-01') AS day,
+          grouping(event_type)::BIGINT AS g_type,
+          grouping(day)::BIGINT AS g_day,
+          count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+        FROM e GROUP BY ROLLUP(event_type, day)
+        ORDER BY g_type, g_day, event_type, day""")),
+
+    // z-order vs single-column layout: per-"file" min/max skipping
+    // panel; the z encoding SQL is GENERATED from the same Scala term
+    // list as the Catalyst column — zero drift
+    QueryDef("zorder_skip_stats",
+      (s, d) => Metrics.zorderSkipStats(t(s, d, "events")),
+      Some {
+        val z = graft.util.ZOrder.zValueSql("x", "y", 8)
+        s"""WITH e AS (SELECT user_id % 256 AS x, event_id % 256 AS y,
+            event_id FROM events),
+          ez AS (SELECT x, y, event_id, $z AS z FROM e),
+          rb AS (SELECT x, y,
+              row_number() OVER (ORDER BY x, event_id) AS rk,
+              count(*) OVER () AS n FROM ez),
+          rz AS (SELECT x, y,
+              row_number() OVER (ORDER BY z, event_id) AS rk,
+              count(*) OVER () AS n FROM ez),
+          u AS (SELECT 'bycol' AS layout, ((rk - 1) * 16) // n AS bucket,
+              x, y FROM rb
+            UNION ALL
+            SELECT 'zorder' AS layout, ((rk - 1) * 16) // n AS bucket,
+              x, y FROM rz)
+          SELECT layout, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+            min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+            min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+          FROM u GROUP BY layout, bucket ORDER BY layout, bucket"""
+      }, bench = true))
 
   // ---------------- P-series scalar ops over events/documents ---------
 
@@ -1221,6 +1363,55 @@ object Registry {
               count(*), 4) AS novelty
           FROM sh JOIN d USING (gram)
           GROUP BY sh.doc_id ORDER BY doc_id"""
+      }, bench = true),
+
+    // PMI collocations: one fixed left-associated double ratio over
+    // exact integer counts, ln'd and rounded — identical tree in both
+    // engines; ordering only on the ROUNDED score
+    QueryDef("txt_collocations_pmi",
+      (s, d) => TextAnalysis.collocationsPmi(t(s, d, "documents")),
+      Some {
+        s"""WITH d AS (SELECT $toksSql AS t FROM documents
+            WHERE text IS NOT NULL AND len($toksSql) >= 2),
+          tok AS (SELECT unnest(t) AS w FROM d),
+          uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+          tu AS (SELECT sum(cu)::DOUBLE AS tot_u FROM uni),
+          bx AS (SELECT t, unnest(range(1, len(t))) AS i FROM d),
+          big AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM bx),
+          bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+          tb AS (SELECT sum(cb)::DOUBLE AS tot_b FROM bc)
+          SELECT bc.w1, bc.w2, bc.cb::BIGINT AS n,
+            round(ln((bc.cb::DOUBLE * tot_u * tot_u) /
+              (tot_b * u1.cu * u2.cu)), 4) AS pmi
+          FROM bc CROSS JOIN tu CROSS JOIN tb
+          JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+          WHERE bc.cb >= 5
+          ORDER BY pmi DESC, w1, w2"""
+      }, bench = true),
+
+    // Flesch readability over forged sentence terminators (the shared
+    // corpus_chunk_sentences scaffold); exact integer counts, one
+    // fixed per-row double formula
+    QueryDef("txt_readability",
+      (s, d) => TextAnalysis.readability(forgeSentences(t(s, d, "documents"))),
+      Some {
+        s"""WITH $forgedSentencesCte,
+          s1 AS (SELECT doc_id,
+              list_filter(list_transform(
+                regexp_split_to_array(trim(text), '[.!?]\\s+'),
+                x -> regexp_replace(x, '[.!?]+$$', '')), x -> x <> '') AS ss,
+              regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM b WHERE text IS NOT NULL),
+          m AS (SELECT doc_id, len(ss) AS n_sentences, len(tk) AS n_words,
+              list_sum(list_transform(tk, w -> greatest(1,
+                len(regexp_extract_all(lower(w), '[aeiou]+')))))::BIGINT
+                AS n_syllables
+            FROM s1 WHERE len(ss) > 0)
+          SELECT doc_id, n_sentences::BIGINT AS n_sentences,
+            n_words::BIGINT AS n_words, n_syllables,
+            round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+              - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 2) AS flesch
+          FROM m ORDER BY doc_id"""
       }, bench = true))
 
   // ---------------- dedup ---------------------------------------------
@@ -3067,26 +3258,10 @@ object Registry {
     // both engines), then packs sentences greedily to <= 12 tokens; the
     // oracle replays the sequential pack as a per-doc recursive CTE
     QueryDef("corpus_chunk_sentences",
-      (s, d) => {
-        val forged = t(s, d, "documents").withColumn("text",
-          when(col("text").isNotNull, concat_ws(" ",
-            transform(TextAnalysis.tokens(col("text")), (tk, i) =>
-              concat(tk, element_at(
-                array(lit("."), lit("!"), lit("?"), lit(""), lit(""),
-                  lit(""), lit(""), lit(""), lit("")),
-                (pmod(i.cast("long") * 31 + col("doc_id"), lit(9)) + 1)
-                  .cast("int")))))))
-        CorpusOps.chunkBySentences(forged, maxTokens = 12)
-      },
+      (s, d) => CorpusOps.chunkBySentences(
+        forgeSentences(t(s, d, "documents")), maxTokens = 12),
       Some {
-        s"""WITH RECURSIVE b AS (
-            SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
-              array_to_string(list_transform(range(1, len(toks)+1), i ->
-                toks[i] || CASE ((i-1)*31 + doc_id) % 9
-                  WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
-                  ELSE '' END), ' ')
-              END AS text
-            FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+        s"""WITH RECURSIVE $forgedSentencesCte,
           sen1 AS (SELECT doc_id,
               list_filter(list_transform(
                 regexp_split_to_array(trim(text), '[.!?]\\s+'),

@@ -147,4 +147,40 @@ object SparkUtil {
           col(pointCol).cast("long") < col("__e"))
       .drop("__bin").drop("__s").drop("__e")
   }
+
+  /** Bloom-prefiltered equi-join — the manual form of a runtime join
+    * filter for the BIG–BIG case where neither side broadcasts: build a
+    * Bloom filter over the (smaller) build side's join keys, broadcast
+    * the ~bytes-per-key sketch, and drop non-matching probe rows AT THE
+    * SCAN, before the probe side's exchange. With a selective build
+    * side the shuffle volume falls by the join selectivity — at 100 TB
+    * the probe-side exchange IS the job cost, and this is the only
+    * lever when the build side is too big to broadcast as rows but its
+    * key SKETCH (~1.2 bytes/key at 1% fpp) still fits.
+    *
+    * Result is EXACTLY `probe ⋈ build` (inner equi-join): the sketch
+    * has no false negatives, so no matching row is dropped; false
+    * positives survive the prefilter but are removed by the real join
+    * that follows. Null probe keys fail the membership probe — same
+    * fate an inner equi-join gives them.
+    *
+    * `expectedItems` must be ≥ the build side's key cardinality: an
+    * undersized sketch silently degrades the fpp (prefilter lets more
+    * rows through — correctness unaffected, the perf win shrinks).
+    * The membership probe is a Scala UDF by necessity and justified
+    * (the repo's Bloom-UDF precedent, Dedup.bloomAdmit): the sketch's
+    * Murmur3 probe sequence has no Catalyst form, and the UDF holds
+    * only a broadcast reference. */
+  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, key: String,
+                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    import org.apache.spark.sql.functions._
+    val bf = build.select(col(key).cast("long").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    probe.filter(mightContain(col(key).cast("long"))).join(build, key)
+  }
 }

@@ -1049,15 +1049,19 @@ class AnalyticsSpec extends SparkSpec {
     val want = win.orderBy("k", "tid").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == want.toSeq)
 
-    // the correctness contract: the range exchange that fixes partition
-    // boundaries must be planned ONCE and REUSED — two independent
-    // materializations could sample different boundaries, making the
-    // broadcast offsets inconsistent with the ranked side
+    // the correctness contract (round-9 form): the pid-stamped ranked
+    // table is EAGERLY MATERIALIZED inside rankByKey — under AQE,
+    // exchange REUSE alone is insufficient (the coalesced-read spec is
+    // a per-consumer-stage decision; two consumers of one exchange can
+    // observe different merged partition maps, diverging _pid). The
+    // executed plan must therefore root the rank/offset consumers on
+    // the checkpointed RDD, leaving at most the checkpoint's own range
+    // exchange
     dist.collect()
     val plan = dist.queryExecution.executedPlan.toString
     val ranges = "rangepartitioning".r.findAllIn(plan.toLowerCase).length
-    assert(plan.contains("ReusedExchange") || ranges == 1,
-      s"range exchange not reused:\n$plan")
+    assert(ranges <= 1, s"rank consumers must read ONE materialized " +
+      s"partition map, found $ranges range exchanges:\n$plan")
 
     // with exchange reuse disabled the contract cannot hold — the
     // operator must refuse at plan time, not return wrong ranks
@@ -1065,6 +1069,34 @@ class AnalyticsSpec extends SparkSpec {
     try intercept[IllegalArgumentException] {
       graft.metrics.Metrics.percentRankByKey(df, "k", Seq("v", "tid"))
     } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
+  test("rankByKey survives the AQE divergent-coalesce shape (union + coalesce(1) write)") {
+    // round-9 regression: two rankByKey branches unioned and written
+    // through coalesce(1) shifted one consumer's AQE advisory sizes;
+    // without the eager checkpoint the offsets and ranks observed
+    // DIFFERENT merged partition maps — duplicate ranks and ranks > n
+    // (zorder_skip_stats emitted a phantom 17th bucket). Exact bucket
+    // cardinality under this exact shape is the regression pin.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_rank_aqe").toString
+    graft.metrics.Metrics.zorderSkipStats(ev, bits = 8, buckets = 16)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val n = ev.count()
+    val sizes = back.groupBy("layout").agg(
+      sum("n").as("total"), countDistinct("bucket").as("nb"),
+      max("bucket").as("maxb")).collect()
+    assert(sizes.length == 2)
+    sizes.foreach { r =>
+      assert(r.getLong(1) == n, s"rank leak: ${r.toSeq}")
+      assert(r.getLong(2) == 16 && r.getLong(3) == 15L,
+        s"phantom bucket: ${r.toSeq}")
+    }
+    // every bucket within ±1 of the even split — only true when ranks
+    // are an exact 1..n permutation
+    val bad = back.filter(abs(col("n") - lit(n / 16)) > 1).count()
+    assert(bad == 0, "uneven buckets — ranks were not exact")
   }
 
   test("corpus ops: selection composes gates; sampling is deterministic; budget cuts in order") {

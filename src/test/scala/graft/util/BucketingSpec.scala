@@ -114,4 +114,47 @@ class BucketingSpec extends SparkSpec {
       err.getCause != null &&
         err.getCause.getMessage.contains("maxBinsPerInterval"))
   }
+
+  test("bloomPrefilterJoin: result equals plain join; prefilter sits below the probe-side exchange") {
+    // selective build side: 50 of 500 probe keys survive. Parquet-
+    // rooted inputs — a LocalRelation probe would be constant-folded
+    // straight through the UDF filter, leaving no plan to assert on
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomj").toString
+    (0L until 5000L).map(i => (i, i % 500L)).toDF("rid", "k")
+      .write.parquet(s"$dir/probe")
+    (0L until 500L by 10L).map(i => (i, s"d$i")).toDF("k", "tag")
+      .write.parquet(s"$dir/build")
+    val probe = spark.read.parquet(s"$dir/probe")
+    val build = spark.read.parquet(s"$dir/build")
+
+    val want = probe.join(build, "k").select("rid", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    // force the big-big shape the operator exists for (no broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SparkUtil.bloomPrefilterJoin(probe, build, "k",
+        expectedItems = 50L)
+      val got = joined.select("rid", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == want && got.size == 500,
+        s"bloom prefilter changed the join result: ${got.size} vs ${want.size}")
+
+      // the membership filter must survive optimization ON THE PROBE
+      // SUBTREE (filter-before-exchange is the operator's point): in
+      // the optimized logical plan the probe-side child of the join is
+      // a Filter over the probe relation
+      val opt = joined.queryExecution.optimizedPlan
+      val join = opt.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.get
+      assert(join.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("UDF") => f
+      }.nonEmpty, s"UDF prefilter missing from probe subtree:\n$opt")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join under broadcast-off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
 }
