@@ -641,6 +641,30 @@ object CorpusOps {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a
+    * quasi-identifier group can be k-large yet still leak when every
+    * member shares ONE sensitive value (the homogeneity attack
+    * k-anonymity misses). Per quasi group: size, DISTINCT sensitive
+    * values, and `at_risk` when diversity < l.
+    *
+    * Scale shape: one combinable groupBy on the quasi key; the
+    * distinct-count state is bounded by the sensitive domain per
+    * group (for a skewed quasi key, salt the distinct as in
+    * [[graft.metrics.Metrics.saltedDistinctUsers]]). */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(l >= 1, s"l must be >= 1: $l")
+    graft.util.SparkUtil.widen(df)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Corpus snapshot diff — the data-versioning report between two
     * corpus snapshots: per doc_id, `added` (new only), `removed` (old
     * only) or `changed` (both, different text md5); unchanged docs are

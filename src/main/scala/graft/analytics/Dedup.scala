@@ -1297,4 +1297,58 @@ object Dedup {
           (col("__na") + col("__nb") - col("n_shared")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Triangle enumeration over an undirected pair graph (doc_a < doc_b
+    * canonical edges — any of this file's pair generators) — the
+    * clustering-coefficient / community-density primitive: a near-dup
+    * graph whose edges close into triangles is template families, not
+    * pairwise noise, and triangle-dense components are the ones worth
+    * a keep-best pass instead of naive drop-b.
+    *
+    * Algorithm: DEGREE-ORDERED wedge join (the MapReduce triangle
+    * literature's standard, Suri & Vassilvitskii WWW'11): orient every
+    * edge from its lower-(degree, id) endpoint to the higher; enumerate
+    * wedges only at each triangle's LOWEST-rank vertex (two oriented
+    * edges out of u, ordered between themselves); close with one more
+    * equi-join on the oriented edge set. Each triangle is found exactly
+    * once, and wedge fan-out at a vertex is bounded by its ORIENTED
+    * out-degree ≤ O(√m) — a celebrity node with 10⁷ neighbors
+    * contributes no wedge explosion because its edges all point INTO
+    * it. A naive a<b-ordered wedge join has no such bound (a low-id hub
+    * explodes); at 100 TB graph scale the orientation IS the operator.
+    *
+    * Output: canonical id-sorted triples (doc_a < doc_b < doc_c),
+    * ordered. The oriented edge table is checkpointed once and feeds
+    * all three join legs (fan-out discipline). */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(true) // feeds degree count + 2 orientation joins
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val da = deg.select(col("v").as("a"), col("d").as("da"))
+    val db = deg.select(col("v").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e.join(da, "a").join(db, "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("db")).otherwise(col("da")).as("degw"))
+      .localCheckpoint(true) // three consumers: wedge legs + closing
+    val x = oriented.select(col("u"), col("w").as("v1"), col("degw").as("d1"))
+    val y = oriented.select(col("u"), col("w").as("v2"), col("degw").as("d2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val closing = oriented.select(col("u").as("v1"), col("w").as("v2"))
+    wedges.join(closing, Seq("v1", "v2"))
+      .select(least(col("u"), col("v1"), col("v2")).as("doc_a"),
+        (col("u") + col("v1") + col("v2") -
+          least(col("u"), col("v1"), col("v2")) -
+          greatest(col("u"), col("v1"), col("v2"))).as("doc_b"),
+        greatest(col("u"), col("v1"), col("v2")).as("doc_c"))
+      .orderBy("doc_a", "doc_b", "doc_c")
+  }
 }

@@ -610,4 +610,87 @@ object Metrics {
         col("n"), col("min_x"), col("max_x"), col("min_y"), col("max_y"))
       .orderBy("layout", "bucket")
   }
+
+  /** Median/MAD robust outlier panel per key — the heavy-tail-proof
+    * complement of [[winsorizedStats]]: median and median-absolute-
+    * deviation are EXACT rank quantiles (two [[quantilesByKey]]
+    * passes — the integer-permille arithmetic, no percentile buffer),
+    * and a value is an outlier when |x − median| > nSigma·1.4826·MAD
+    * (1.4826 = the normal-consistency constant). The cutoff factor is
+    * ONE Scala double injected into both engines; the compare runs on
+    * raw doubles through the identical expression tree — deterministic,
+    * no rounding needed on the decision path (display columns round).
+    *
+    * Output: (key, n, median 4 dp, mad 4 dp, n_outliers), ordered.
+    *
+    * Scale shape (100 TB): two skew-safe rank passes (each one range
+    * exchange over (key, value)) + two tiny per-key cutoff broadcasts
+    * + one combinable final aggregate. Per-key state everywhere is a
+    * constant — never a value buffer. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  nSigma: Double = 3.0): DataFrame = {
+    require(nSigma > 0, s"nSigma must be positive: $nSigma")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol))
+    val med = quantilesByKey(v, keyCol, valueCol, Seq(500))
+      .select(col(keyCol).as("__k"), col("p500").as("__med"))
+    val dev = v.join(broadcast(med), col(keyCol) <=> col("__k"))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = quantilesByKey(dev.select(col(keyCol), col("__dev")),
+        keyCol, "__dev", Seq(500))
+      .select(col(keyCol).as("__k2"), col("p500").as("__mad"))
+    dev.join(broadcast(mad), col(keyCol) <=> col("__k2"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(first("__med"), 4).as("median"),
+        round(first("__mad"), 4).as("mad"),
+        sum(when(col("__dev") > col("__mad") * lit(nSigma * 1.4826), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(keyCol)
+  }
+
+  /** The outlier cutoff factor [[madOutliers]] injects into both
+    * engines — exposed so the oracle SQL quotes the SAME double. */
+  def madCutoff(nSigma: Double): Double = nSigma * 1.4826
+
+  /** Per-column data-profile panel over the event log — the ingest-QA
+    * table (null rates, cardinalities, ranges) read before trusting a
+    * new data drop. One scan: every per-column aggregate lives in a
+    * single agg whose outputs fold into an array of structs and
+    * explode to long format. Numeric ranges land in (min_num, max_num)
+    * as 4-dp doubles (timestamps as epoch-micros — exact under 2⁵³);
+    * string ranges in (min_str, max_str) (binary collation — identical
+    * in both engines for this ASCII data).
+    *
+    * Scale note: six EXACT countDistincts in one agg plan through one
+    * Expand (input ×6) — the profiler's price. At 100 TB swap
+    * `approx_count_distinct` in (mergeable HLL, no Expand); the exact
+    * form is kept here because exactness is what the oracle can pin. */
+  def columnProfile(events: DataFrame): DataFrame = {
+    def p(name: String, num: Option[Column], str: Option[Column]) =
+      struct(lit(name).as("col_name"),
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(name)).as("n_distinct"),
+        num.map(e => round(min(e), 4)).getOrElse(lit(null).cast("double"))
+          .as("min_num"),
+        num.map(e => round(max(e), 4)).getOrElse(lit(null).cast("double"))
+          .as("max_num"),
+        str.map(e => min(e)).getOrElse(lit(null).cast("string")).as("min_str"),
+        str.map(e => max(e)).getOrElse(lit(null).cast("string")).as("max_str"))
+    val num = (c: String) => Some(col(c).cast("double"))
+    val str = (c: String) => Some(col(c))
+    events.agg(array(
+        p("event_id", num("event_id"), None),
+        p("ts", Some(expr("unix_micros(ts)").cast("double")), None),
+        p("user_id", num("user_id"), None),
+        p("event_type", None, str("event_type")),
+        p("value", num("value"), None),
+        p("props", None, str("props"))).as("cols"))
+      .select(explode(col("cols")).as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.n_null").as("n_null"),
+        col("c.n_distinct").as("n_distinct"), col("c.min_num").as("min_num"),
+        col("c.max_num").as("max_num"), col("c.min_str").as("min_str"),
+        col("c.max_str").as("max_str"))
+      .orderBy("col_name")
+  }
 }

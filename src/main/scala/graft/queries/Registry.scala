@@ -779,7 +779,73 @@ object Registry {
             min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
             min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
           FROM u GROUP BY layout, bucket ORDER BY layout, bucket"""
-      }, bench = true))
+      }, bench = true),
+
+    // median/MAD robust outliers: two exact rank-quantile passes; the
+    // cutoff factor is ONE Scala double quoted into both engines and
+    // compared on raw doubles through the identical expression tree
+    QueryDef("metrics_mad_outliers",
+      (s, d) => Metrics.madOutliers(t(s, d, "events"), "event_type", "value"),
+      Some {
+        val cut = Metrics.madCutoff(3.0)
+        s"""WITH v AS (SELECT event_type, event_id, value FROM events
+            WHERE value IS NOT NULL),
+          r1 AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS nk FROM v),
+          m AS (SELECT event_type,
+              max(CASE WHEN rk <= (500 * nk + 999) // 1000 THEN value END)
+                AS med FROM r1 GROUP BY event_type),
+          dv AS (SELECT v.event_type, abs(v.value - m.med) AS dev, m.med
+            FROM v JOIN m USING (event_type)),
+          r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS nk FROM dv),
+          md AS (SELECT event_type,
+              max(CASE WHEN rk <= (500 * nk + 999) // 1000 THEN dev END)
+                AS mad FROM r2 GROUP BY event_type)
+          SELECT dv.event_type, count(*)::BIGINT AS n,
+            round(dv.med, 4) AS median, round(md.mad, 4) AS mad,
+            sum(CASE WHEN dv.dev > md.mad * $cut THEN 1 ELSE 0 END)::BIGINT
+              AS n_outliers
+          FROM dv JOIN md USING (event_type)
+          GROUP BY dv.event_type, dv.med, md.mad ORDER BY event_type"""
+      }, bench = true),
+
+    // per-column ingest-QA profile: one scan, exact distincts (the
+    // oracle-pinnable form; swap HLL in at 100 TB — scaladoc)
+    QueryDef("metrics_column_profile",
+      (s, d) => Metrics.columnProfile(t(s, d, "events")),
+      Some("""SELECT 'event_id' AS col_name,
+          sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+          count(DISTINCT event_id)::BIGINT AS n_distinct,
+          round(min(event_id)::DOUBLE, 4) AS min_num,
+          round(max(event_id)::DOUBLE, 4) AS max_num,
+          NULL AS min_str, NULL AS max_str FROM events
+        UNION ALL SELECT 'ts',
+          sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          count(DISTINCT ts)::BIGINT,
+          round(min(epoch_us(CAST(ts AS TIMESTAMP)))::DOUBLE, 4),
+          round(max(epoch_us(CAST(ts AS TIMESTAMP)))::DOUBLE, 4),
+          NULL, NULL FROM events
+        UNION ALL SELECT 'user_id',
+          sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          count(DISTINCT user_id)::BIGINT,
+          round(min(user_id)::DOUBLE, 4), round(max(user_id)::DOUBLE, 4),
+          NULL, NULL FROM events
+        UNION ALL SELECT 'event_type',
+          sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          count(DISTINCT event_type)::BIGINT,
+          NULL, NULL, min(event_type), max(event_type) FROM events
+        UNION ALL SELECT 'value',
+          sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          count(DISTINCT value)::BIGINT,
+          round(min(value), 4), round(max(value), 4), NULL, NULL FROM events
+        UNION ALL SELECT 'props',
+          sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+          count(DISTINCT props)::BIGINT,
+          NULL, NULL, min(props), max(props) FROM events
+        ORDER BY col_name""")))
 
   // ---------------- P-series scalar ops over events/documents ---------
 
@@ -1909,6 +1975,39 @@ object Registry {
           ORDER BY doc_a, doc_b"""
       }, bench = true),
 
+    // triangle enumeration on the near-dup graph (degree-ordered wedge
+    // join — see Dedup.triangles): the minhash pair graph is sparse at
+    // these SFs, so a deterministic ring fixture (i,i+1)+(i,i+2) over
+    // the first 30 ids is unioned in (the forged-fixture pattern) to
+    // exercise the operator on known dense structure; the oracle's
+    // naive a<b<c 3-way join is plan-free of the degree ordering —
+    // orientation changes the JOIN SHAPE, never the triangle set
+    QueryDef("dedup_triangles",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4)
+          .select(col("doc_a"), col("doc_b"))
+        val ring = s.range(29)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+          .unionAll(s.range(28)
+            .select(col("id").as("doc_a"), (col("id") + 2).as("doc_b")))
+        Dedup.triangles(pairs.unionAll(ring))
+      },
+      Some {
+        s"""WITH $minhashBandsCtes,
+          mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          ring AS (SELECT i AS doc_a, i + 1 AS doc_b FROM range(29) t(i)
+            UNION ALL SELECT i, i + 2 FROM range(28) t(i)),
+          e AS (SELECT DISTINCT doc_a, doc_b FROM
+            (SELECT * FROM mh UNION ALL SELECT * FROM ring))
+          SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+          FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+          ORDER BY doc_a, doc_b, doc_c"""
+      }, bench = true),
+
     // cross-corpus near-dup audit: corpus A = documents, corpus B =
     // every 5th doc re-keyed +1,000,000 with UNCHANGED text — each B
     // doc must band-collide with its A original (plus any A near-dups
@@ -2778,6 +2877,16 @@ object Registry {
         Seq("lang", "source"), 10),
       Some("""SELECT lang, source, count(*)::BIGINT AS n,
           count(*) < 10 AS at_risk
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // l-diversity: the homogeneity-attack screen k-anonymity misses —
+    // distinct sensitive values per quasi group
+    QueryDef("corpus_l_diversity",
+      (s, d) => CorpusOps.lDiversityAudit(t(s, d, "documents"),
+        Seq("lang", "source"), "n_chars", 5),
+      Some("""SELECT lang, source, count(*)::BIGINT AS n,
+          count(DISTINCT n_chars)::BIGINT AS n_sensitive,
+          count(DISTINCT n_chars) < 5 AS at_risk
         FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
     // exact-k-per-source sampling: fixed quota of 5 docs per source by

@@ -295,6 +295,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("triangles match brute force on random graphs; each found once; hub graph has none") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val n = 12 + trial * 6
+      val edges = (0 until n * 2).map { _ =>
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val es = edges.toSet
+      val want = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong
+        c <- b + 1 until n.toLong
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield (a, b, c)).toSeq.sorted
+      val got = Dedup.triangles(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"trial $trial: edges=$edges")
+      assert(got.distinct == got, "a triangle was enumerated twice")
+    }
+    // star hub: the adversarial case the degree ordering exists for —
+    // every edge points INTO the hub after orientation, no wedge at it
+    val star = (1L to 50L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    assert(Dedup.triangles(star).count() == 0)
+    // duplicate + reversed input edges must not duplicate triangles
+    val k3 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 1L)).toDF("doc_a", "doc_b")
+    assert(Dedup.triangles(k3).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L, 2L)))
+  }
+
   test("sourceHealthReport: hand-computed volume, dup rate, empty share per source") {
     import spark.implicits._
     val d = Seq(
