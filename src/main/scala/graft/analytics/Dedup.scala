@@ -1351,4 +1351,46 @@ object Dedup {
         greatest(col("u"), col("v1"), col("v2")).as("doc_c"))
       .orderBy("doc_a", "doc_b", "doc_c")
   }
+
+  /** k-core extraction over an undirected pair graph — iterative peel
+    * of nodes with degree < k (cascading: removing a weak node can
+    * expose its neighbors), the community-density triage that
+    * separates STRUCTURAL duplicate families (cliques/dense cores
+    * worth a keep-best pass) from incidental pairwise matches (which
+    * peel away). The k-core is unique and peel-order-confluent, so a
+    * fixed `rounds` budget is exact once the cascade settles; like
+    * [[pagerankFromPairs]] the round count is a pinned parameter
+    * (spec asserts fixpoint at the fixture scale — one extra round
+    * changes nothing). Cascade length is bounded by the longest
+    * peel chain (≈ component diameter), not corpus size.
+    *
+    * Output: (doc_id, core_degree) for surviving nodes — degree
+    * WITHIN the core subgraph (≥ k by definition at fixpoint),
+    * ordered.
+    *
+    * Scale shape (100 TB graph): per round, one combinable degree
+    * aggregate + two semi-joins on the shrinking edge set; each
+    * round's survivors checkpoint (the iterative-lineage discipline —
+    * pagerank precedent). Rounds are sequential jobs over an edge set
+    * that only shrinks — the first peel does the corpus-scale work,
+    * the tail rounds are cascade-sized. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 24): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds in [1,100]: $rounds")
+    var e = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v").localCheckpoint(true)
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("core_degree"))
+      .orderBy("doc_id")
+  }
 }

@@ -963,10 +963,16 @@ object TextAnalysis {
     * pattern) — never per-row. */
   def collocationsPmi(documents: DataFrame, minCount: Long = 5): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    // checkpoints at every fan-out (the round-8 plan-audit discipline —
+    // ReuseExchange does NOT cover differently-shaped consumers): the
+    // tokenized corpus feeds bigram AND unigram counting (was 5 scans
+    // in-plan); the unigram table feeds u1/u2/total; the bigram table
+    // feeds the pair join and its total
     val docs = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .select(tokens(col("text")).as("__t"))
       .filter(size(col("__t")) >= 2)
+      .localCheckpoint(true)
     val bi = docs.select(explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1),
@@ -974,7 +980,9 @@ object TextAnalysis {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = docs.select(explode(col("__t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
     val totals = uni.agg(sum("cu").as("tot_u")).crossJoin(
       bc.agg(sum("cb").as("tot_b")))
     val u1 = uni.select(col("w").as("w1"), col("cu").as("cu1"))

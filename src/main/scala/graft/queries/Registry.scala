@@ -2008,6 +2008,55 @@ object Registry {
           ORDER BY doc_a, doc_b, doc_c"""
       }, bench = true),
 
+    // k-core extraction (iterative peel, 24 pinned rounds — the
+    // dedup_pagerank fixed-round pattern; fixture fixpoint is 16, spec
+    // asserts convergence): minhash pairs + the ring (which cascades
+    // away entirely at k=3 — every peel exposes the next node) + a
+    // forged K5 at ids 40–44 (the dense family that SURVIVES)
+    QueryDef("dedup_kcore",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4)
+          .select(col("doc_a"), col("doc_b"))
+        val ring = s.range(29)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+          .unionAll(s.range(28)
+            .select(col("id").as("doc_a"), (col("id") + 2).as("doc_b")))
+        import s.implicits._
+        val k5 = (for { a <- 40L to 44L; b <- (a + 1) to 44L } yield (a, b))
+          .toDF("doc_a", "doc_b")
+        Dedup.kCore(pairs.unionAll(ring).unionAll(k5), k = 3, rounds = 24)
+      },
+      Some {
+        // every e_r is referenced THREE times by round r+1 — without
+        // MATERIALIZED, DuckDB's CTE inlining expands the chain ~3^24
+        // (observed as a file-handle explosion on the parquet scan)
+        val rounds = 24
+        val iters = (1 to rounds).map { r =>
+          s"""deg$r AS MATERIALIZED (SELECT v, count(*) AS d FROM
+              (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+              GROUP BY v),
+            keep$r AS (SELECT v FROM deg$r WHERE d >= 3),
+            e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+              JOIN keep$r ka ON ka.v = e.a JOIN keep$r kb ON kb.v = e.b)"""
+        }.mkString(",\n")
+        s"""WITH $minhashBandsCtes,
+          mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          ring AS (SELECT i AS doc_a, i + 1 AS doc_b FROM range(29) t(i)
+            UNION ALL SELECT i, i + 2 FROM range(28) t(i)),
+          k5 AS (SELECT a.i AS doc_a, b.i AS doc_b
+            FROM range(40, 45) a(i), range(40, 45) b(i) WHERE a.i < b.i),
+          e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM
+            (SELECT * FROM mh UNION ALL SELECT * FROM ring
+             UNION ALL SELECT * FROM k5)),
+          $iters
+          SELECT v AS doc_id, count(*)::BIGINT AS core_degree FROM
+            (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+          GROUP BY v ORDER BY doc_id"""
+      }, bench = true),
+
     // cross-corpus near-dup audit: corpus A = documents, corpus B =
     // every 5th doc re-keyed +1,000,000 with UNCHANGED text — each B
     // doc must band-collide with its A original (plus any A near-dups

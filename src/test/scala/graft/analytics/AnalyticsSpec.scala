@@ -325,6 +325,28 @@ class AnalyticsSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L, 2L)))
   }
 
+  test("kCore: full cascade peels the path power graph, K5 survives, fixpoint stable") {
+    import spark.implicits._
+    // path power graph 0..29 ((i,i+1)+(i,i+2)) + K5 at 40..44: at k=3
+    // the path cascades away end-to-end (each peel exposes the next
+    // node — 16 rounds to fixpoint), the clique is untouchable
+    val ring = (0L until 29L).map(i => (i, i + 1)) ++
+      (0L until 28L).map(i => (i, i + 2))
+    val k5 = for { a <- 40L to 44L; b <- (a + 1) to 44L } yield (a, b)
+    val edges = (ring ++ k5).toDF("doc_a", "doc_b")
+    val got = Dedup.kCore(edges, k = 3, rounds = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (40L to 44L).map(v => (v, 4L)),
+      s"3-core must be exactly the K5: $got")
+    // one more round changes nothing — the pinned budget reached the
+    // true (order-confluent) fixpoint
+    val again = Dedup.kCore(edges, k = 3, rounds = 17)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got)
+    // k=2: every path node has degree >= 2, nothing peels
+    assert(Dedup.kCore(edges, k = 2, rounds = 3).count() == 35)
+  }
+
   test("sourceHealthReport: hand-computed volume, dup rate, empty share per source") {
     import spark.implicits._
     val d = Seq(
