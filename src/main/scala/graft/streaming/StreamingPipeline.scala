@@ -807,6 +807,109 @@ object StreamingPipeline {
       .toDF("window_start", "rk", "token", "est_count")
   }
 
+  /** Streaming volume-anomaly alerts — the live twin of
+    * [[graft.metrics.Metrics.ewmaDailyAnomalies]]: per label, each
+    * CLOSED event-time tumbling window's count is compared to the
+    * truncated-EWMA baseline of the `lookback` PREVIOUSLY CLOSED
+    * windows (weights (1−α)^(i−1), same [[graft.metrics.Metrics
+    * .ewmaWeights]] ladder as the batch op), and an alert row is
+    * emitted when the 4-dp-rounded ratio leaves [loRatio, hiRatio].
+    * Warm-up windows (history < lookback) emit nothing — the batch
+    * twin's rn > lookback gate. Windows with zero events never
+    * existed: the baseline is over OBSERVED windows (row semantics,
+    * not calendar), again matching the batch twin.
+    *
+    * State per label: the open-window count map (bounded by windows in
+    * flight inside the watermark horizon) + the last `lookback` closed
+    * (window, count) pairs — O(lookback) forever, label-cardinality
+    * many keys. Stragglers for a window the watermark already closed
+    * are DROPPED, never re-open emitted state (the repo's watermark
+    * discipline).
+    *
+    * THROUGHPUT (100 TB shape, the trendingTokensSketch lesson applied
+    * from day one): events pre-aggregate BATCH-LOCALLY to
+    * (label, window, count) partials in a narrow `mapPartitions` —
+    * the stateful task per label merges ≤ partitions·windows partial
+    * counts per trigger, never raw events; counts are algebraic, so
+    * the merge is exact (no sketch bound needed here).
+    *
+    * Output (append, on window close, once history is warm):
+    * (window_start, label, n, ewma 4 dp, ratio 4 dp, is_anomaly). */
+  def anomalyAlerts(events: DataFrame, tsCol: String, labelCol: String,
+                    windowSeconds: Long, alpha: Double = 0.5,
+                    lookback: Int = 7, hiRatio: Double = 1.5,
+                    loRatio: Double = 0.6667,
+                    watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(lookback >= 1, s"lookback must be >= 1: $lookback")
+    require(loRatio < hiRatio, s"loRatio $loRatio must be < hiRatio $hiRatio")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowSeconds * 1000L
+    val weights = graft.metrics.Metrics.ewmaWeights(alpha, lookback)
+    val wsum = weights.sum
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val typed = events.select(col(tsCol).as("ts"), col(labelCol).as("label"))
+      .as[(java.sql.Timestamp, String)]
+    // batch-local pre-count; each partial carries the max raw event
+    // time it absorbed so the post-mapPartitions watermark advances
+    // exactly as on the raw stream (the trendingTokensSketch pattern)
+    val pre = typed.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Long), Array[Long]]
+      it.foreach { case (ts, label) =>
+        val t = ts.getTime
+        val a = acc.getOrElseUpdate((label, (t / windowMs) * windowMs),
+          Array(Long.MinValue, 0L))
+        if (t > a(0)) a(0) = t
+        a(1) += 1
+      }
+      acc.iterator.map { case ((label, w), a) =>
+        (new java.sql.Timestamp(a(0)), label, w, a(1)) }
+    }
+    pre.toDF("ts", "label", "wstart", "cnt")
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Map[Long, Long], Seq[(Long, Long)]),
+        (java.sql.Timestamp, String, Long, Double, Double, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (label, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (open, hist) = if (state.exists) state.get
+            else (Map.empty[Long, Long], Seq.empty[(Long, Long)])
+          if (!state.hasTimedOut) rows.foreach { case (_, _, w, c) =>
+            // stragglers for an already-closed window are dropped
+            if (w + windowMs > wm)
+              open = open.updated(w, open.getOrElse(w, 0L) + c)
+          }
+          val (toClose, stillOpen) =
+            open.partition { case (w, _) => w + windowMs <= wm }
+          val out = toClose.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+            val emit = if (hist.size >= lookback) {
+              // hist is most-recent-first; fixed left fold like the
+              // batch twin's expression tree
+              val ewma = weights.zip(hist.take(lookback))
+                .map { case (wt, (_, c)) => wt * c }
+                .foldLeft(0.0)(_ + _) / wsum
+              val ratio = round4(n / ewma)
+              Seq((new java.sql.Timestamp(w), label, n, round4(ewma),
+                ratio, ratio >= hiRatio || ratio <= loRatio))
+            } else Seq.empty
+            hist = ((w, n) +: hist).take(lookback)
+            emit
+          }
+          state.update((stillOpen, hist))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(stillOpen.keys.min + windowMs)
+          out.iterator
+      }
+      .toDF("window_start", "event_type", "n", "ewma", "ratio", "is_anomaly")
+  }
+
   /** Streaming deduplication — at-least-once upstream delivery (the
     * reference's Pub/Sub redelivery, processor_app.py:190–193) becomes
     * exactly-once per event id downstream: duplicates arriving within

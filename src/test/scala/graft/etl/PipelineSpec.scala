@@ -542,4 +542,43 @@ class PipelineSpec extends SparkSpec {
       assert(got.head._3 > 30 - 14 && got.head._3 <= 30, s"est ${got.head._3}")
     } finally q.stop()
   }
+
+  test("streaming anomaly alerts: EWMA baseline over closed windows, warm-up silent, stragglers dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "label").repartition(4)
+    val out = StreamingPipeline.anomalyAlerts(df, "ts", "label",
+      windowSeconds = 60, alpha = 0.5, lookback = 2)
+    val q = out.writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def feed(window: String, n: Int): Unit =
+      mem.addData((1 to n).map(i => (t(window), "err")): _*)
+    try {
+      // windows W0=10, W1=20, W2=30, W3=90 events; alpha=.5 lookback=2:
+      // W2 baseline = (1*20 + 0.5*10)/1.5 = 16.6667 -> ratio 1.8
+      // W3 baseline = (1*30 + 0.5*20)/1.5 = 26.6667 -> ratio 3.375
+      feed("2024-01-01 00:00:10", 10); q.processAllAvailable()
+      feed("2024-01-01 00:01:10", 20); q.processAllAvailable()
+      feed("2024-01-01 00:02:10", 30); q.processAllAvailable()
+      // warm-up: W0/W1 closed with history < lookback — no rows
+      assert(spark.table("anomalies").count() == 0)
+      feed("2024-01-01 00:03:10", 90); q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:04:30"), "tick")); q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:04:31"), "tick")); q.processAllAvailable()
+      val rows = spark.table("anomalies").filter(col("event_type") === "err")
+        .orderBy("window_start").collect()
+        .map(r => (new java.text.SimpleDateFormat("HH:mm:ss").format(r.getTimestamp(0)),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      assert(rows.toSeq == Seq(
+        ("00:02:00", 30L, 16.6667, 1.8, true),
+        ("00:03:00", 90L, 26.6667, 3.375, true)), s"got: ${rows.toSeq}")
+      // a straggler for the closed W2 must not re-open or re-emit it
+      val before = spark.table("anomalies").count()
+      feed("2024-01-01 00:02:40", 50); q.processAllAvailable()
+      assert(spark.table("anomalies").count() == before)
+    } finally q.stop()
+  }
 }
