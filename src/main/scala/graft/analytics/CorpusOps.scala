@@ -479,6 +479,55 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Largest-remainder quota plan — the step AFTER [[sourceMixWeights]]
+    * a sampler actually executes: apportion an integer `budgetDocs`
+    * document budget across sources ∝ token volume, with Hamilton's
+    * method run in PURE INTEGER arithmetic (base = ⌊B·nₛ/N⌋ via long
+    * division; the B−Σbase leftover units go to the largest remainders
+    * (B·nₛ) mod N, ties by source name). Quotas sum to EXACTLY the
+    * budget — no float apportionment drift, no engine divergence
+    * surface at all.
+    *
+    * Output: (source, n_tokens, quota, got_extra), ordered by source.
+    *
+    * Scale shape: one combinable source groupBy (the corpus scan),
+    * then all arithmetic on the |sources|-row panel — the remainder
+    * ranking window is panel-sized, never corpus-sized. Overflow
+    * guard: B·nₛ must fit a long — require B ≤ 2⁶² / N (checked
+    * against the actual total, fail loud). */
+  def quotaPlan(documents: DataFrame, budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive: $budgetDocs")
+    val per = graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col("text")))
+      .groupBy("source")
+      .agg(coalesce(sum(size(col("__toks"))), lit(0L)).cast(LongType)
+        .as("n_tokens"))
+      // feeds the total AND the plan rows (the sourceMixWeights
+      // plan-audit discipline)
+      .localCheckpoint(true)
+    val totRow = per.agg(coalesce(sum("n_tokens"), lit(0L))).head()
+    val total = totRow.getLong(0)
+    require(total > 0, "quotaPlan needs a corpus with at least one token")
+    require(budgetDocs <= Long.MaxValue / 2 / total,
+      s"budgetDocs * total tokens overflows a long: $budgetDocs * $total")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("source"))
+    val planned = per
+      .withColumn("__base", expr(s"(${budgetDocs}L * n_tokens) div ${total}L"))
+      .withColumn("__rem", expr(s"(${budgetDocs}L * n_tokens) % ${total}L"))
+    val baseSum = planned.agg(coalesce(sum("__base"), lit(0L))).head().getLong(0)
+    val extras = budgetDocs - baseSum
+    planned
+      // the remainder-rank window runs over the |sources|-row panel —
+      // a single-reducer window is FINE at panel grain
+      .withColumn("__rk", row_number().over(w))
+      .select(col("source"), col("n_tokens"),
+        (col("__base") + when(col("__rk") <= extras, 1L).otherwise(0L))
+          .cast(LongType).as("quota"),
+        (col("__rk") <= extras).as("got_extra"))
+      .orderBy("source")
+  }
+
   /** Cluster-balanced diversity sampling — up to `quota` vectors per
     * unsupervised k-means cell, the cluster-then-sample curation pass
     * (prototype selection; the coverage complement of

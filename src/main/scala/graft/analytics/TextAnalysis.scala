@@ -997,6 +997,57 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Character-trigram language identification — the CLD/langid.py
+    * profile shape upgraded from [[languageId]]'s marker words: per
+    * labeled language, the top-`profileSize` char trigrams (of the
+    * lowercased, whitespace-collapsed-to-'_' text) form the profile;
+    * a document's score per language = its trigram OCCURRENCES found
+    * in that profile (pure integer — no tf-idf float surface), argmax
+    * with language-code tiebreak. Output is the per-language confusion
+    * matrix (actual × predicted doc counts) — the self-train accuracy
+    * audit a curation run uses to decide whether the `lang` column can
+    * be trusted. Docs with < 3 normalized chars or zero profile hits
+    * classify as nothing and are absent (documented; both engines
+    * drop them identically through the inner join).
+    *
+    * Scale shape (100 TB): the trigram table explodes from a BOUND
+    * normalized-string column and is checkpointed once for its two
+    * consumers (profile training + classification); profile ranking
+    * windows run at (lang × trigram-vocab) grain, never corpus grain;
+    * profiles broadcast (|langs|·profileSize rows); the per-doc argmax
+    * window partitions on doc_id — corpus-cardinality, no funnel. */
+  def trigramLangId(documents: DataFrame, profileSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(profileSize >= 1, s"profileSize must be >= 1: $profileSize")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "_")
+    val base = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), norm.as("__s"))
+      .filter(length(col("__s")) >= 3)
+      // __s binds before the HOF (SPARK-35410); sequence is ascending
+      // because the length >= 3 filter guarantees length - 2 >= 1
+      .withColumn("__tg", expr(
+        "transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))"))
+      .select(col("doc_id"), col("lang"), explode(col("__tg")).as("tg"))
+      .localCheckpoint(true) // feeds profile training AND classification
+    val counts = base.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+    val profiles = counts
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
+      .filter(col("__rk") <= profileSize)
+      .select(col("lang").as("plang"), col("tg"))
+    val scored = base.join(broadcast(profiles), "tg")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    scored
+      .withColumn("__p", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+      .filter(col("__p") === 1)
+      .groupBy(col("lang").as("actual_lang"), col("plang").as("predicted_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
   /** Readability panel — Flesch reading ease per document from exact
     * integer counts: sentences (terminator-split), words (whitespace
     * tokens), syllables (vowel-group runs per word, floor 1 — the

@@ -1455,6 +1455,35 @@ object Registry {
           ORDER BY pmi DESC, w1, w2"""
       }, bench = true),
 
+    // char-trigram language ID (CLD-style self-trained profiles):
+    // integer occurrence scoring, argmax with lang tiebreak, confusion
+    // matrix output; DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default
+    QueryDef("txt_langid_trigram",
+      (s, d) => TextAnalysis.trigramLangId(t(s, d, "documents")),
+      Some("""WITH d AS (SELECT doc_id, lang,
+            regexp_replace(lower(trim(text)), '\s+', '_', 'g') AS s
+          FROM documents WHERE text IS NOT NULL),
+        dd AS (SELECT doc_id, lang, s FROM d WHERE length(s) >= 3),
+        tg AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, length(s) - 1),
+              i -> substr(s, i, 3))) AS tg
+          FROM dd),
+        cnt AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY 1, 2),
+        prof AS (SELECT lang AS plang, tg FROM
+          (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY c DESC, tg) AS rk FROM cnt)
+          WHERE rk <= 50),
+        sc AS (SELECT t.doc_id, t.lang, p.plang, count(*) AS score
+          FROM tg t JOIN prof p USING (tg) GROUP BY 1, 2, 3),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, plang) AS rk FROM sc)
+        SELECT lang AS actual_lang, plang AS predicted_lang,
+          count(*)::BIGINT AS n_docs
+        FROM pick WHERE rk = 1
+        GROUP BY 1, 2 ORDER BY actual_lang, predicted_lang"""),
+      bench = true),
+
     // Flesch readability over forged sentence terminators (the shared
     // corpus_chunk_sentences scaffold); exact integer counts, one
     // fixed per-row double formula
@@ -3321,6 +3350,27 @@ object Registry {
               sum(power(n_tokens, 0.7)) OVER ()) / n_tokens, 4)
             ELSE 0.0 END AS epochs
         FROM per ORDER BY source""")),
+
+    // largest-remainder (Hamilton) quota apportionment — the integer
+    // sampling plan sourceMixWeights feeds; pure long arithmetic, the
+    // quotas sum to EXACTLY the budget in both engines
+    QueryDef("corpus_quota_plan",
+      (s, d) => CorpusOps.quotaPlan(t(s, d, "documents"), 10000L),
+      Some("""WITH per AS (SELECT source,
+          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+            AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS n FROM per),
+        q AS (SELECT source, n_tokens,
+            (10000 * n_tokens) // n AS base, (10000 * n_tokens) % n AS rem
+          FROM per CROSS JOIN tot),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q),
+        x AS (SELECT 10000 - sum(base)::BIGINT AS extras FROM r)
+        SELECT source, n_tokens,
+          (base + CASE WHEN rk <= extras THEN 1 ELSE 0 END)::BIGINT AS quota,
+          rk <= extras AS got_extra
+        FROM r CROSS JOIN x ORDER BY source""")),
 
     // cross-source exact-dup attribution: sparse nonzero source-pair
     // matrix over distinct (fingerprint, source) — 32-byte hashes
