@@ -611,6 +611,61 @@ object Metrics {
       .orderBy("layout", "bucket")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the path-analysis complement of [[funnelSteps]]
+    * (which checks ONE ordered path; this measures ALL adjacent
+    * transitions): for each (from, to) event-type pair, the count of
+    * consecutive occurrences and the row-normalized transition
+    * probability.
+    *
+    * Scale shape: one user-grain window (corpus-cardinality partition
+    * key — no funnel) for the `lead`, then a combinable groupBy to the
+    * |types|² matrix; the probability normalization window runs over
+    * that tiny matrix. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Trailing-window counts per event — "how many same-type events in
+    * the hour before (and including) this one", the per-row sliding
+    * aggregate behind rate-limit forensics and burst detection.
+    * Expressed as a KEYED [[graft.util.SparkUtil.rangeJoin]] (anchor
+    * event → interval (ts−w, ts], points → same-type events), NOT a
+    * `RANGE BETWEEN` window: a range-frame window partitioned by a
+    * ≤K-value label funnels the whole log through K reducers, while
+    * the bin-keyed equi-join spreads on (bin × key) — the only shape
+    * that survives 100 TB. Exact long epoch-micro bin math; each
+    * interval spans ≤ 2 bins by construction (width = the window).
+    *
+    * Output: (event_id, event_type, n_trailing ≥ 1 — self included),
+    * ordered by event_id. */
+  def trailingWindowCounts(events: DataFrame,
+                           windowSeconds: Long = 3600): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    val us = windowSeconds * 1000000L
+    // NOT "__p"/"__s"/"__e" — those are rangeJoin's internal scratch
+    // names and get dropped
+    val pts = events.select(col("event_type"),
+      expr("unix_micros(ts)").as("p_us"))
+    val anchors = events.select(col("event_id"), col("event_type"),
+      (expr("unix_micros(ts)") - us + 1L).as("w_s"),
+      (expr("unix_micros(ts)") + 1L).as("w_e"))
+    graft.util.SparkUtil.rangeJoin(pts, "p_us", anchors, "w_s", "w_e",
+        binWidth = us, keyCols = Seq("event_type"))
+      .groupBy("event_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n_trailing"))
+      .orderBy("event_id")
+  }
+
   /** Median/MAD robust outlier panel per key — the heavy-tail-proof
     * complement of [[winsorizedStats]]: median and median-absolute-
     * deviation are EXACT rank quantiles (two [[quantilesByKey]]

@@ -781,6 +781,36 @@ object Registry {
           FROM u GROUP BY layout, bucket ORDER BY layout, bucket"""
       }, bench = true),
 
+    // Markov transition matrix: user-grain lead window -> |types|^2
+    // combinable matrix + tiny row normalization
+    QueryDef("metrics_transition_matrix",
+      (s, d) => Metrics.transitionMatrix(t(s, d, "events")),
+      Some("""WITH o AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events),
+        m AS (SELECT event_type AS from_type, next_type AS to_type,
+            count(*) AS n
+          FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n::BIGINT AS n,
+          round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        FROM m ORDER BY from_type, to_type"""),
+      bench = true),
+
+    // trailing-window counts via the KEYED bin range join (never a
+    // label-partitioned RANGE frame — the K-reducer funnel); oracle is
+    // the naive keyed BETWEEN self-join
+    QueryDef("metrics_trailing_window",
+      (s, d) => Metrics.trailingWindowCounts(t(s, d, "events"), 3600),
+      Some("""SELECT a.event_id, a.event_type, count(*)::BIGINT AS n_trailing
+        FROM events a JOIN events b ON b.event_type = a.event_type
+          AND epoch_us(CAST(b.ts AS TIMESTAMP)) >
+            epoch_us(CAST(a.ts AS TIMESTAMP)) - 3600000000
+          AND epoch_us(CAST(b.ts AS TIMESTAMP)) <=
+            epoch_us(CAST(a.ts AS TIMESTAMP))
+        GROUP BY 1, 2 ORDER BY a.event_id"""),
+      bench = true),
+
     // median/MAD robust outliers: two exact rank-quantile passes; the
     // cutoff factor is ONE Scala double quoted into both engines and
     // compared on raw doubles through the identical expression tree

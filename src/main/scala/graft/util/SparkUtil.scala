@@ -115,10 +115,19 @@ object SparkUtil {
     *
     * Output: points.* ++ intervals.* for each match (caller owns
     * disjoint column names); inner join — absent points/intervals
-    * simply don't appear. */
+    * simply don't appear.
+    *
+    * `keyCols` (round 9) adds per-key semantics — the trailing-window
+    * / per-entity interval-join shape ("events within the hour before
+    * THIS user's event"): both sides must carry the named columns, the
+    * equi-join key becomes (bin ++ keys) so only same-key rows ever
+    * meet, and the output keeps the POINT side's copy. This is also
+    * the skew story: a hot time bin full of DIFFERENT keys spreads
+    * across reducers instead of melting one. */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                binWidth: Long, maxBinsPerInterval: Long = 100000L): DataFrame = {
+                binWidth: Long, maxBinsPerInterval: Long = 100000L,
+                keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive: $maxBinsPerInterval")
@@ -141,11 +150,18 @@ object SparkUtil {
               s"$maxBinsPerInterval bins at binWidth=$binWidth: ["),
             col("__s"), lit(", "), col("__e"), lit(")"))))))
       .drop("__b0", "__b1")
-    p.join(iv,
-        p("__bin") === iv("__bin") &&
-          col(pointCol).cast("long") >= col("__s") &&
-          col(pointCol).cast("long") < col("__e"))
-      .drop("__bin").drop("__s").drop("__e")
+    val ivk = keyCols.foldLeft(iv)((df, k) =>
+      df.withColumnRenamed(k, s"__k_$k"))
+    val keyCond = keyCols
+      .map(k => p(k) === ivk(s"__k_$k"))
+      .foldLeft(p("__bin") === ivk("__bin"))(_ && _)
+    keyCols.foldLeft(
+        p.join(ivk,
+          keyCond &&
+            col(pointCol).cast("long") >= col("__s") &&
+            col(pointCol).cast("long") < col("__e"))
+          .drop("__bin").drop("__s").drop("__e"))(
+        (df, k) => df.drop(s"__k_$k"))
   }
 
   /** Bloom-prefiltered equi-join — the manual form of a runtime join

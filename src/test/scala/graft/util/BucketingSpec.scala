@@ -104,6 +104,26 @@ class BucketingSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
 
+    // keyed variant: only same-key rows meet; equals the naive keyed
+    // BETWEEN join; the point side's key column survives
+    val kpts = (0L until 200L)
+      .map(i => (i, (i * 31L % 97L) - 20L, s"k${i % 3}")).toDF("pid", "p", "grp")
+    val kivs = (0L until 30L)
+      .map(k => (k, (k * 17L % 60L) - 25L, (k * 17L % 60L) - 25L + 30L, s"k${k % 3}"))
+      .toDF("iid", "s", "e", "grp")
+    val kGot = SparkUtil.rangeJoin(kpts, "p", kivs, "s", "e", 16L,
+        keyCols = Seq("grp"))
+      .select("pid", "iid", "grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val kWant = kpts.crossJoin(kivs.withColumnRenamed("grp", "g2"))
+      .filter(col("grp") === col("g2") &&
+        col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid", "grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(kGot == kWant && kGot.nonEmpty)
+    assert(kGot.size < SparkUtil.rangeJoin(kpts, "p", kivs, "s", "e", 16L)
+      .count(), "key condition must restrict matches")
+
     // an interval wider than maxBinsPerInterval bins fails LOUD
     val wide = Seq((1L, 0L, 10000L)).toDF("iid", "s", "e")
     val err = intercept[Exception] {
