@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Registry-wide physical-plan lint — the standing anti-pattern gate:
+  * every declared query's executed plan is checked for the join shapes
+  * that do not survive 100 TB. Complements the per-operator plan
+  * asserts (BucketingSpec, PLANS.md) by covering every FUTURE query
+  * automatically: a new operator that accidentally plans a cartesian
+  * or an unhinted nested loop fails here, not in production.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a CONDITIONED
+    * BroadcastNestedLoopJoin. Every entry's build side is a bounded
+    * broadcast panel, never a data-sized relation:
+    *  - sim_* top-k family: the ≤|query-ids| query-vector panel joined
+    *    with a non-equi self-exclusion (`vec_id != query_id`) — the
+    *    scored side streams, the panel is k rows;
+    *  - range_join_windows: the fixture's 50-window generator crossing
+    *    a ONE-ROW min/max bounds aggregate with the window index;
+    *  - txt_vocab_overlap: the |sources|-row vocab-count panel crossed
+    *    with itself under source_a < source_b — panel-sized both
+    *    sides (broadcast asserted in the operator, r7 fix).
+    * An UNCONDITIONED broadcast Cross (scalar totals) is allowed
+    * structurally and needs no entry. */
+  private val conditionedBnljAllowed: Set[String] = Set(
+    "range_join_windows", "sim_hard_negatives", "sim_cosine_topk",
+    "sim_truncated_topk", "sim_ivf_topk", "sim_kmeans_recall",
+    "sim_quantized_recall", "sim_binary_hamming_topk", "sim_ivfpq_topk",
+    "sim_ivfpq_search", "sim_mmr_rerank", "txt_vocab_overlap")
+
+  private val scalarCross =
+    """^\+?-?\s*:*\s*[+-]*\s*BroadcastNestedLoopJoin Build(Left|Right), Cross$""".r
+
+  test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels") {
+    val sf = "/root/testdata/sf0.001"
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    Registry.all.foreach { q =>
+      // a3 is excluded: its build EXECUTES a full streaming drain and
+      // its final plan is a driver-local relation — nothing to lint
+      if (q.name != "a3_file_latency") {
+        val plan =
+          try Registry.queries(q.name)(spark, sf)
+            .queryExecution.executedPlan.toString
+          catch {
+            case e: Throwable =>
+              failures += s"${q.name}: plan build failed: ${e.getMessage}"
+              ""
+          }
+        if (plan.contains("CartesianProduct"))
+          failures += s"${q.name}: CartesianProduct"
+        plan.linesIterator
+          .filter(_.contains("BroadcastNestedLoopJoin"))
+          .foreach { line =>
+            val bare = line.replaceAll("""^[\s:+-]*""", "").trim
+            val isScalarCross = bare.matches(
+              """BroadcastNestedLoopJoin Build(Left|Right), Cross""")
+            if (!isScalarCross && !conditionedBnljAllowed(q.name))
+              failures += s"${q.name}: unexpected nested loop: $bare"
+          }
+      }
+    }
+    assert(failures.isEmpty,
+      s"plan lint failures:\n${failures.mkString("\n")}")
+  }
+}
