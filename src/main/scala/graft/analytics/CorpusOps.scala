@@ -339,6 +339,35 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** SFT JSONL parse-back — the import half of [[sftExport]] and the
+    * round-trip proof a training-data EXPORT needs: the rendered
+    * record must parse in a FOREIGN JSON reader with the original
+    * content intact (escape → unescape is identity). Consumes any
+    * (doc_id, record) chat-JSONL table, returns the extracted turn
+    * fields; the `corpus_sft_roundtrip` oracle re-parses the SAME
+    * records with DuckDB's JSON reader — two independent parsers
+    * agreeing on every byte of content IS the round-trip guarantee.
+    *
+    * Scale shape: `from_json` is CodegenFallback — the parse is
+    * projected into its OWN column (the SCALE.md boundary discipline:
+    * CollapseProject keeps non-cheap multiply-referenced expressions
+    * out of the consumer projection), so each record parses ONCE for
+    * its five extracted fields; everything narrow, no shuffle. */
+  def sftParse(exported: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "messages ARRAY<STRUCT<role: STRING, content: STRING>>")
+    val msgs = col("__j").getField("messages")
+    exported
+      .withColumn("__j", from_json(col("record"), schema))
+      .select(col("doc_id"),
+        element_at(msgs, 1).getField("content").as("sys_content"),
+        element_at(msgs, 2).getField("role").as("user_role"),
+        element_at(msgs, 2).getField("content").as("user_content"),
+        element_at(msgs, 3).getField("content").as("asst_content"),
+        size(msgs).cast(LongType).as("n_messages"))
+      .orderBy("doc_id")
+  }
+
   /** Masked-LM training export (BERT-style token masking, Devlin et
     * al. 2019 — public): each token position flips an independent
     * deterministic coin (u32(md5(salt:doc:pos)) under the integer

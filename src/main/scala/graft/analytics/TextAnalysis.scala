@@ -997,6 +997,56 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Burrows' Delta stylometric distance between sources — the corpus-
+    * forensics panel (Burrows 2002, the standard authorship-attribution
+    * measure): per source, z-scores of the relative frequencies of the
+    * corpus's `topWords` most frequent words (function words — style,
+    * not topic), and per source PAIR the mean |z difference|. Low delta
+    * = same register/pipeline (a "two sources" pair that is really one
+    * crawl twice); an outlier source against all others is a different
+    * genre — or machine-generated. A function word ABSENT from a
+    * source counts as frequency 0 (the grid is dense by construction);
+    * a word with zero cross-source variance contributes z = 0.
+    *
+    * Output: (source_a < source_b, delta 4 dp, n_words), ordered.
+    *
+    * Scale shape (100 TB): ONE token explode + one combinable
+    * (source, word) groupBy collapse the corpus; everything after is
+    * panel arithmetic (|sources|·topWords rows) — the function-word
+    * cut is a TakeOrdered heap, the dense grid a broadcast cross of
+    * two panel tables (lint-allowed scalar cross), the pair join a
+    * word-keyed equi-join of panels. */
+  def stylometryDelta(documents: DataFrame, topWords: Int = 10): DataFrame = {
+    require(topWords >= 1, s"topWords must be >= 1: $topWords")
+    val sw = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals, global counts, and the grid
+    val totals = sw.groupBy("source").agg(sum("c").as("tot"))
+    val fw = sw.groupBy("w").agg(sum("c").as("gc"))
+      .orderBy(col("gc").desc, col("w")).limit(topWords).select("w")
+    val grid = fw.crossJoin(broadcast(totals))
+      .join(sw, Seq("w", "source"), "left")
+      .withColumn("f",
+        coalesce(col("c"), lit(0L)).cast("double") / col("tot"))
+    val stats = grid.groupBy("w")
+      .agg(avg("f").as("mu"), stddev_pop("f").as("sd"))
+    val z = grid.join(broadcast(stats), "w")
+      .select(col("source"), col("w"),
+        when(col("sd") > 0, (col("f") - col("mu")) / col("sd"))
+          .otherwise(0.0).as("z"))
+    val za = z.select(col("source").as("source_a"), col("w"),
+      col("z").as("za"))
+    val zb = z.select(col("source").as("source_b"), col("w"),
+      col("z").as("zb"))
+    za.join(zb, Seq("w")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(round(avg(abs(col("za") - col("zb"))), 4).as("delta"),
+        count(lit(1)).cast("long").as("n_words"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Character-trigram language identification — the CLD/langid.py
     * profile shape upgraded from [[languageId]]'s marker words: per
     * labeled language, the top-`profileSize` char trigrams (of the

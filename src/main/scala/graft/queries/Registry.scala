@@ -196,6 +196,38 @@ object Registry {
             (pmod(i.cast("long") * 31 + col("doc_id"), lit(9)) + 1)
               .cast("int")))))))
 
+  /** The SFT-export record SQL shared by `corpus_sft_export` (verbatim,
+    * + ORDER BY) and `corpus_sft_roundtrip` (as the CTE its JSON
+    * re-parse reads) — both sides of every escape rule come from
+    * [[CorpusOps.jsonEscapes]], zero literal drift. */
+  private def sftExportSql: String = {
+    def sqlLit(x: String): String = x match {
+      case "\n" => "chr(10)"
+      case "\r" => "chr(13)"
+      case "\t" => "chr(9)"
+      case other => "'" + other.replace("'", "''") + "'"
+    }
+    def esc(c: String): String = CorpusOps.jsonEscapes.foldLeft(c) {
+      case (acc, (bad, good)) =>
+        s"replace($acc, ${sqlLit(bad)}, ${sqlLit(good)})"
+    }
+    s"""WITH w AS (SELECT doc_id, source, $toksSql AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, source,
+        coalesce(array_to_string(toks[1:10], ' '), '') AS p,
+        coalesce(array_to_string(toks[11:], ' '), '') AS r,
+        least(len(toks), 10) AS np,
+        greatest(len(toks) - 10, 0) AS nr FROM w)
+      SELECT doc_id,
+        '{"messages":[{"role":"system","content":"source: ' ||
+          ${esc("source")} ||
+          '"},{"role":"user","content":"Continue: ' || ${esc("p")} ||
+          '"},{"role":"assistant","content":"' || ${esc("r")} ||
+          '"}]}' AS record,
+        np::BIGINT AS n_prompt_tokens, nr::BIGINT AS n_response_tokens
+      FROM f"""
+  }
+
   /** The oracle half of [[forgeSentences]]: a CTE named `b` yielding
     * (doc_id, text) with forged terminators. */
   private def forgedSentencesCte: String =
@@ -1483,6 +1515,35 @@ object Registry {
           JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
           WHERE bc.cb >= 5
           ORDER BY pmi DESC, w1, w2"""
+      }, bench = true),
+
+    // Burrows' Delta stylometric source distance: z-scores of the
+    // top-10 function-word frequencies across the dense word x source
+    // grid (absent word = freq 0; zero-variance word = z 0)
+    QueryDef("txt_stylometry_delta",
+      (s, d) => TextAnalysis.stylometryDelta(t(s, d, "documents")),
+      Some {
+        s"""WITH tok AS (SELECT source, unnest($toksSql) AS w
+            FROM documents WHERE text IS NOT NULL),
+          sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          tot AS (SELECT source, sum(c) AS tot FROM sw GROUP BY source),
+          gl AS (SELECT w, sum(c) AS gc FROM sw GROUP BY w),
+          fw AS (SELECT w FROM gl ORDER BY gc DESC, w LIMIT 10),
+          grid AS (SELECT fw.w, t.source,
+              coalesce(sw.c, 0)::DOUBLE / t.tot AS f
+            FROM fw CROSS JOIN tot t
+            LEFT JOIN sw ON sw.w = fw.w AND sw.source = t.source),
+          st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+            FROM grid GROUP BY w),
+          z AS (SELECT g.source, g.w,
+              CASE WHEN st.sd > 0 THEN (g.f - st.mu) / st.sd
+                ELSE 0.0 END AS z
+            FROM grid g JOIN st USING (w))
+          SELECT a.source AS source_a, b.source AS source_b,
+            round(avg(abs(a.z - b.z)), 4) AS delta,
+            count(*)::BIGINT AS n_words
+          FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY source_a, source_b"""
       }, bench = true),
 
     // char-trigram language ID (CLD-style self-trained profiles):
@@ -3534,33 +3595,27 @@ object Registry {
     // sides of every escape rule come from CorpusOps.jsonEscapes
     QueryDef("corpus_sft_export",
       (s, d) => CorpusOps.sftExport(t(s, d, "documents"), 10),
+      Some(s"$sftExportSql ORDER BY doc_id"), bench = true),
+
+    // round trip: the exported records re-parsed by DuckDB's OWN JSON
+    // reader vs Spark's from_json — two independent parsers agreeing
+    // on every content byte proves escape -> unescape is identity
+    QueryDef("corpus_sft_roundtrip",
+      (s, d) => CorpusOps.sftParse(
+        CorpusOps.sftExport(t(s, d, "documents"), 10)),
       Some {
-        def sqlLit(x: String): String = x match {
-          case "\n" => "chr(10)"
-          case "\r" => "chr(13)"
-          case "\t" => "chr(9)"
-          case other => "'" + other.replace("'", "''") + "'"
-        }
-        def esc(c: String): String = CorpusOps.jsonEscapes.foldLeft(c) {
-          case (acc, (bad, good)) =>
-            s"replace($acc, ${sqlLit(bad)}, ${sqlLit(good)})"
-        }
-        s"""WITH w AS (SELECT doc_id, source, $toksSql AS toks
-            FROM documents WHERE text IS NOT NULL),
-          f AS (SELECT doc_id, source,
-            coalesce(array_to_string(toks[1:10], ' '), '') AS p,
-            coalesce(array_to_string(toks[11:], ' '), '') AS r,
-            least(len(toks), 10) AS np,
-            greatest(len(toks) - 10, 0) AS nr FROM w)
+        s"""WITH exp AS ($sftExportSql)
           SELECT doc_id,
-            '{"messages":[{"role":"system","content":"source: ' ||
-              ${esc("source")} ||
-              '"},{"role":"user","content":"Continue: ' || ${esc("p")} ||
-              '"},{"role":"assistant","content":"' || ${esc("r")} ||
-              '"}]}' AS record,
-            np::BIGINT AS n_prompt_tokens, nr::BIGINT AS n_response_tokens
-          FROM f ORDER BY doc_id"""
-      }, bench = true),
+            json_extract_string(record, '$$.messages[0].content')
+              AS sys_content,
+            json_extract_string(record, '$$.messages[1].role') AS user_role,
+            json_extract_string(record, '$$.messages[1].content')
+              AS user_content,
+            json_extract_string(record, '$$.messages[2].content')
+              AS asst_content,
+            json_array_length(record, '$$.messages')::BIGINT AS n_messages
+          FROM exp ORDER BY doc_id"""
+      }),
 
     // per-source length-vs-quality Pearson correlation (trim-policy
     // advisor); ROUNDED ratio feeds corr in both engines

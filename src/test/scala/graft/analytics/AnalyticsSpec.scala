@@ -325,6 +325,29 @@ class AnalyticsSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L, 2L)))
   }
 
+  test("quotaPlan: quotas sum exactly to the budget; ties break by source; extras bounded") {
+    import spark.implicits._
+    // 3 sources, 3 tokens each — every remainder ties; Hamilton must
+    // hand the single extra to the lexicographically first source
+    val d = Seq((1L, "a a a", "en", "s1"), (2L, "b b b", "en", "s2"),
+        (3L, "c c c", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(5L))
+    val got = CorpusOps.quotaPlan(d, 10L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("s1", 4L, true), ("s2", 3L, false), ("s3", 3L, false)))
+    // the invariant that makes largest-remainder a PLAN: exact budget
+    // sums at any budget, including non-divisible ones
+    Seq(1L, 7L, 14L, 100L, 9999L).foreach { b =>
+      val s = CorpusOps.quotaPlan(d, b).agg(sum("quota")).head().getLong(0)
+      assert(s == b, s"budget $b apportioned to $s")
+    }
+    // and on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(CorpusOps.quotaPlan(docs, 12345L)
+      .agg(sum("quota")).head().getLong(0) == 12345L)
+  }
+
   test("kCore: full cascade peels the path power graph, K5 survives, fixpoint stable") {
     import spark.implicits._
     // path power graph 0..29 ((i,i+1)+(i,i+2)) + K5 at 40..44: at k=3
