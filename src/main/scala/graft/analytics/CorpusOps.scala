@@ -557,6 +557,39 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Source-concentration Gini coefficient — the one-number answer to
+    * "is this corpus a few crawls wearing twenty source labels?":
+    * Gini over per-source token volumes (0 = perfectly balanced mix,
+    * →1 = one source dominates), computed from the sorted-rank form
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with Σ i·xᵢ an EXACT BIGINT
+    * (ranks ascending by (volume, source)) — one double expression at
+    * the end, no accumulation-order surface. The datasheet companion
+    * to [[sourceMixWeights]] (which fixes the imbalance this
+    * measures).
+    *
+    * Scale shape: one combinable source groupBy; the rank window and
+    * final fold run over the |sources|-row panel. */
+  def sourceGini(documents: DataFrame): DataFrame = {
+    val per = graft.util.SparkUtil.widen(documents)
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col("text")))
+      .groupBy("source")
+      .agg(coalesce(sum(size(col("__toks"))), lit(0L)).cast(LongType)
+        .as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("source"))
+    per.withColumn("__i", row_number().over(w).cast(LongType))
+      .agg(count(lit(1)).cast(LongType).as("n_sources"),
+        sum("n_tokens").as("total_tokens"),
+        sum(col("__i") * col("n_tokens")).as("__s"))
+      .select(col("n_sources"), col("total_tokens").cast(LongType)
+          .as("total_tokens"),
+        when(col("total_tokens") > 0,
+          round((lit(2.0) * col("__s") -
+            (col("n_sources") + 1).cast("double") * col("total_tokens")) /
+            (col("n_sources").cast("double") * col("total_tokens")), 6))
+          .otherwise(0.0).as("gini"))
+  }
+
   /** Cluster-balanced diversity sampling — up to `quota` vectors per
     * unsupervised k-means cell, the cluster-then-sample curation pass
     * (prototype selection; the coverage complement of

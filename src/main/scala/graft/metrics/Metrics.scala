@@ -635,6 +635,66 @@ object Metrics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-k most common event paths — per-user ordered event-type
+    * n-grams (the "what do users actually do" path-mining panel, the
+    * exploratory complement of [[funnelSteps]]' fixed hypothesis and
+    * [[transitionMatrix]]'s first-order view). One user-grain lead
+    * window builds the n-gram in place (no self-joins), a combinable
+    * groupBy counts paths, and the global cut is a TakeOrdered heap —
+    * never a full sort.
+    *
+    * Output: (path "a>b>c", n), ordered by (n DESC, path), k rows. */
+  def commonPaths(events: DataFrame, n: Int = 3, topK: Int = 20): DataFrame = {
+    require(n >= 2, s"path length must be >= 2: $n")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = (0 until n).map(i => lead(col("event_type"), i).over(w))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__last", steps.last)
+      .withColumn("path", concat_ws(">", steps: _*))
+      .filter(col("__last").isNotNull)
+      .groupBy("path").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
+  /** Benford's-law first-digit audit of a positive measure column —
+    * the classic fabricated-data / unit-mixing screen: organic
+    * multi-scale quantities follow P(d) = log10(1+1/d); flat or
+    * spiked digit shares mean synthetic values, clipped ranges, or a
+    * unit change mid-stream. First digits are extracted via EXACT
+    * integer arithmetic (2-dp values scale to integer cents — the
+    * leading digit is scale-invariant — then one integer→string cast,
+    * portable in both engines; never log10 on doubles, whose ulp at
+    * exact powers of ten flips the digit). Expected shares are Scala
+    * doubles injected into both engines.
+    *
+    * Output: (digit 1–9, n, share 4 dp, expected 4 dp, dev 4 dp),
+    * ordered by digit. One combinable groupBy to 9 rows. */
+  def benfordAudit(events: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = events.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .withColumn("__cents", round(col(valueCol) * 100, 0).cast("long"))
+      .withColumn("digit",
+        substring(col("__cents").cast("string"), 1, 1).cast("long"))
+    val expected = benfordExpected
+    val expectedCol = (2 to 9).foldLeft(
+      when(col("digit") === 1, lit(expected(0)))) {
+      (acc, d) => acc.when(col("digit") === d, lit(expected(d - 1)))
+    }
+    v.groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy()), 4))
+      .withColumn("expected", round(expectedCol, 4))
+      .withColumn("dev", round(abs(col("share") - round(expectedCol, 4)), 4))
+      .orderBy("digit")
+  }
+
+  /** The log10(1+1/d) Benford shares, d = 1..9 — one Scala source for
+    * both engines' literals. */
+  def benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   /** Trailing-window counts per event — "how many same-type events in
     * the hour before (and including) this one", the per-row sliding
     * aggregate behind rate-limit forensics and burst detection.

@@ -813,6 +813,57 @@ object Registry {
           FROM u GROUP BY layout, bucket ORDER BY layout, bucket"""
       }, bench = true),
 
+    // top-k common event paths: per-user lead-window trigrams, heap cut
+    QueryDef("metrics_common_paths",
+      (s, d) => Metrics.commonPaths(t(s, d, "events"), 3, 20),
+      Some("""WITH p AS (SELECT event_type || '>' ||
+            lead(event_type, 1) OVER w || '>' ||
+            lead(event_type, 2) OVER w AS path,
+            lead(event_type, 2) OVER w AS l2
+          FROM events WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts, event_id))
+        SELECT path, count(*)::BIGINT AS n FROM p WHERE l2 IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+
+    // Benford first-digit audit: exact integer cents -> leading digit
+    // (never log10 on doubles); expected shares injected from Scala
+    QueryDef("metrics_benford",
+      (s, d) => Metrics.benfordAudit(t(s, d, "events")),
+      Some {
+        val exp = Metrics.benfordExpected
+        val cases = (1 to 9)
+          .map(dg => s"WHEN $dg THEN ${exp(dg - 1)}").mkString(" ")
+        s"""WITH v AS (SELECT round(value * 100, 0)::BIGINT AS cents
+            FROM events WHERE value IS NOT NULL AND value > 0),
+          d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1)::BIGINT
+              AS digit FROM v),
+          c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+          e AS (SELECT digit, n,
+              round(n::DOUBLE / sum(n) OVER (), 4) AS share,
+              round((CASE digit $cases END)::DOUBLE, 4) AS expected
+            FROM c)
+          SELECT digit, n, share, expected,
+            round(abs(share - expected), 4) AS dev
+          FROM e ORDER BY digit"""
+      }),
+
+    // source-concentration Gini: exact BIGINT rank-weighted sum, one
+    // double expression at the end
+    QueryDef("corpus_source_gini",
+      (s, d) => CorpusOps.sourceGini(t(s, d, "documents")),
+      Some(s"""WITH per AS (SELECT source,
+          coalesce(sum(len($toksSql)), 0)::BIGINT AS n_tokens
+          FROM documents GROUP BY source),
+        r AS (SELECT *, row_number() OVER (ORDER BY n_tokens, source)
+            AS i FROM per),
+        a AS (SELECT count(*)::BIGINT AS ns, sum(n_tokens)::BIGINT AS tot,
+            sum(i * n_tokens)::BIGINT AS s FROM r)
+        SELECT ns AS n_sources, tot AS total_tokens,
+          CASE WHEN tot > 0 THEN
+            round((2.0 * s - (ns + 1)::DOUBLE * tot) / (ns::DOUBLE * tot), 6)
+          ELSE 0.0 END AS gini
+        FROM a""")),
+
     // Markov transition matrix: user-grain lead window -> |types|^2
     // combinable matrix + tiny row normalization
     QueryDef("metrics_transition_matrix",
