@@ -1321,9 +1321,7 @@ object Dedup {
     * ordered. The oriented edge table is checkpointed once and feeds
     * all three join legs (fan-out discipline). */
   def triangles(pairs: DataFrame): DataFrame = {
-    val e = pairs
-      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct()
+    val e = canonicalEdges(pairs)
       .localCheckpoint(true) // feeds degree count + 2 orientation joins
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -1352,6 +1350,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "doc_c")
   }
 
+  /** Undirected-edge normalization shared by [[triangles]] and
+    * [[kCore]]: orientation-insensitive (a reversed (b, a) input edge
+    * is the SAME edge — dropping it would silently lose triangles and
+    * core members), self-loops removed, duplicates collapsed. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame = {
+    val a = col("doc_a").cast("long")
+    val b = col("doc_b").cast("long")
+    pairs
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .filter(col("a") < col("b")).distinct()
+  }
+
   /** k-core extraction over an undirected pair graph — iterative peel
     * of nodes with degree < k (cascading: removing a weak node can
     * expose its neighbors), the community-density triage that
@@ -1377,10 +1387,7 @@ object Dedup {
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 24): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1 && rounds <= 100, s"rounds in [1,100]: $rounds")
-    var e = pairs
-      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct()
-      .localCheckpoint(true)
+    var e = canonicalEdges(pairs).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))

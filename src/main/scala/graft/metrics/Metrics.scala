@@ -166,7 +166,13 @@ object Metrics {
     // table pins ONE partition map for every consumer. Cost: one
     // cached copy of the ranked input (rankByKey inputs in this repo
     // are score/key projections, not raw corpora) — the price of an
-    // exact distributed rank.
+    // exact distributed rank. The copy lives until the ContextCleaner
+    // collects the unreferenced RDD (no explicit unpersist hook — the
+    // consumers are lazy, so the operator cannot know when the last
+    // action ran); localCheckpoint also trades fault tolerance for
+    // speed — a long-running cluster job that must survive executor
+    // loss should swap in reliable checkpointing (setCheckpointDir)
+    // at this call site.
     val withPid = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
@@ -440,7 +446,12 @@ object Metrics {
   /** EWMA-baseline anomaly detection over daily label counts — the
     * volume-monitoring alert ("today's error count is 3× its trailing
     * baseline") every ingestion pipeline runs. The baseline is an
-    * exponentially-weighted mean of the `lookback` PRIOR days
+    * exponentially-weighted mean of the `lookback` PRIOR OBSERVED
+    * days — ROW semantics, like the streaming twin: a day with zero
+    * events produces no row, so the baseline reaches across gaps and
+    * a drop-to-zero day is invisible (densify per label upstream if
+    * zero-volume days must alarm; observed-day semantics is what the
+    * bucket-grain pre-aggregate can express without a calendar join)
     * (weights (1−α)^(i−1), i = 1..lookback — the truncated-EWMA form:
     * a bounded, window-expressible dot product instead of the
     * unbounded recursive EWMA, whose (1−α)^(−t) rescaling trick
@@ -502,8 +513,10 @@ object Metrics {
     * ceil trap, no percentile buffering), computed via the skew-safe
     * [[rankByKey]] instead of a per-key window funnel; values are then
     * clipped to [lo, hi] and aggregated with a map-side-combinable
-    * groupBy. Null values are excluded throughout (portable semantics
-    * — engine null ordering differs).
+    * groupBy. Null VALUES and null KEYS are excluded throughout
+    * (portable semantics — engine null ordering AND null-join
+    * semantics differ; a null-key group would also need a null-safe
+    * join the oracle's USING cannot express).
     *
     * Output: (key, n, lo, hi — 2 dp, mean_winsorized — 4 dp,
     * n_clipped_lo, n_clipped_hi), ordered by key. Clip-count compares
@@ -518,7 +531,7 @@ object Metrics {
                       tieBreak: String = "event_id"): DataFrame = {
     require(loPermille >= 1 && hiPermille <= 1000 && loPermille < hiPermille,
       s"bad permilles: [$loPermille, $hiPermille]")
-    val v = df.filter(col(valueCol).isNotNull)
+    val v = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(valueCol), col(tieBreak))
     val ranked = rankByKey(v, keyCol, Seq(valueCol, tieBreak))
     val cuts = ranked.groupBy(keyCol).agg(
@@ -527,7 +540,7 @@ object Metrics {
       max(when(col("_rank") <= expr(s"($hiPermille * _nk + 999) div 1000"),
         col(valueCol))).as("__hi"))
     val cutsK = cuts.withColumnRenamed(keyCol, "__k")
-    v.join(broadcast(cutsK), col(keyCol) <=> col("__k"))
+    v.join(broadcast(cutsK), col(keyCol) === col("__k"))
       .groupBy(keyCol)
       .agg(count(lit(1)).cast("long").as("n"),
         round(first(col("__lo")), 2).as("lo"),
@@ -595,7 +608,10 @@ object Metrics {
       pmod(col("event_id"), lit(side)).as("y"),
       col("event_id"))
     val withZ = ev.withColumn("z",
-      graft.util.ZOrder.zValue(col("x"), col("y"), bits))
+        graft.util.ZOrder.zValue(col("x"), col("y"), bits))
+      // one scan + one z encoding for BOTH layout branches (the
+      // fan-out checkpoint discipline)
+      .localCheckpoint(true)
     def layoutStats(tag: String, orderCols: Seq[String]): DataFrame =
       rankByKey(withZ.withColumn("__g", lit(0)), "__g",
           orderCols :+ "event_id")
@@ -666,14 +682,20 @@ object Metrics {
     * integer arithmetic (2-dp values scale to integer cents — the
     * leading digit is scale-invariant — then one integer→string cast,
     * portable in both engines; never log10 on doubles, whose ulp at
-    * exact powers of ten flips the digit). Expected shares are Scala
-    * doubles injected into both engines.
+    * exact powers of ten flips the digit). CONTRACT: values are
+    * quantized to <= 2 decimals (this repo's fixture is exactly 2-dp)
+    * — a sub-cent value would round to 0 cents (excluded by the
+    * cents > 0 guard, never a phantom digit-0 row) and a 3rd decimal
+    * would misread e.g. 0.098 as digit 1; generalize by scaling to the
+    * data's quantum. Expected shares are Scala doubles injected into
+    * both engines.
     *
     * Output: (digit 1–9, n, share 4 dp, expected 4 dp, dev 4 dp),
     * ordered by digit. One combinable groupBy to 9 rows. */
   def benfordAudit(events: DataFrame, valueCol: String = "value"): DataFrame = {
     val v = events.filter(col(valueCol).isNotNull && col(valueCol) > 0)
       .withColumn("__cents", round(col(valueCol) * 100, 0).cast("long"))
+      .filter(col("__cents") > 0)
       .withColumn("digit",
         substring(col("__cents").cast("string"), 1, 1).cast("long"))
     val expected = benfordExpected
@@ -745,16 +767,18 @@ object Metrics {
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
                   nSigma: Double = 3.0): DataFrame = {
     require(nSigma > 0, s"nSigma must be positive: $nSigma")
-    val v = df.filter(col(valueCol).isNotNull)
+    // null VALUES and null KEYS excluded — the winsorizedStats
+    // portability contract
+    val v = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(valueCol))
     val med = quantilesByKey(v, keyCol, valueCol, Seq(500))
       .select(col(keyCol).as("__k"), col("p500").as("__med"))
-    val dev = v.join(broadcast(med), col(keyCol) <=> col("__k"))
+    val dev = v.join(broadcast(med), col(keyCol) === col("__k"))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = quantilesByKey(dev.select(col(keyCol), col("__dev")),
         keyCol, "__dev", Seq(500))
       .select(col(keyCol).as("__k2"), col("p500").as("__mad"))
-    dev.join(broadcast(mad), col(keyCol) <=> col("__k2"))
+    dev.join(broadcast(mad), col(keyCol) === col("__k2"))
       .groupBy(keyCol)
       .agg(count(lit(1)).cast("long").as("n"),
         round(first("__med"), 4).as("median"),

@@ -753,7 +753,7 @@ object Registry {
     QueryDef("metrics_winsorized",
       (s, d) => Metrics.winsorizedStats(t(s, d, "events"), "event_type", "value"),
       Some("""WITH v AS (SELECT event_type, event_id, value FROM events
-          WHERE value IS NOT NULL),
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
         r AS (SELECT event_type, value,
             row_number() OVER (PARTITION BY event_type
               ORDER BY value, event_id) AS rk,
@@ -902,7 +902,7 @@ object Registry {
       Some {
         val cut = Metrics.madCutoff(3.0)
         s"""WITH v AS (SELECT event_type, event_id, value FROM events
-            WHERE value IS NOT NULL),
+            WHERE value IS NOT NULL AND event_type IS NOT NULL),
           r1 AS (SELECT event_type, value,
               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
               count(*) OVER (PARTITION BY event_type) AS nk FROM v),

@@ -907,7 +907,9 @@ object StreamingPipeline {
             state.setTimeoutTimestamp(stillOpen.keys.min + windowMs)
           out.iterator
       }
-      .toDF("window_start", "event_type", "n", "ewma", "ratio", "is_anomaly")
+      // the label column keeps the CALLER'S name — a hard-coded
+      // "event_type" would silently mislabel any other label column
+      .toDF("window_start", labelCol, "n", "ewma", "ratio", "is_anomaly")
   }
 
   /** Streaming deduplication — at-least-once upstream delivery (the

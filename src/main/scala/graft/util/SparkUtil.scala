@@ -192,11 +192,45 @@ object SparkUtil {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     import org.apache.spark.sql.functions._
-    val bf = build.select(col(key).cast("long").as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    probe.filter(mightContain(col(key).cast("long"))).join(build, key)
+    import org.apache.spark.sql.types._
+    // an EMPTY build side NPEs stat.bloomFilter (the round-7
+    // bloomAdmissionPipeline pitfall) — the correct join result is
+    // empty anyway, so short-circuit with the plain (empty) join; the
+    // limit(1) probe costs one build-side partition scan
+    if (build.limit(1).count() == 0) return probe.join(build, key)
+    // key-type dispatch: the sketch probes longs for integral keys and
+    // UTF-8 strings otherwise — a blanket cast("long") would THROW on
+    // string keys under ANSI (or silently null-empty the prefilter
+    // without it)
+    val keyType = probe.schema(key).dataType
+    build.schema(key).dataType match {
+      case t if t != keyType =>
+        throw new IllegalArgumentException(
+          s"bloomPrefilterJoin: key '$key' type mismatch: probe $keyType " +
+            s"vs build ${build.schema(key).dataType}")
+      case _ =>
+    }
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloomPrefilterJoin: unsupported key type $other for '$key' " +
+          "(integral or string)")
+    }
+    if (integral) {
+      val bf = build.select(col(key).cast("long").as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+      val bc = probe.sparkSession.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      probe.filter(mightContain(col(key).cast("long"))).join(build, key)
+    } else {
+      val bf = build.select(col(key).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+      val bc = probe.sparkSession.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      probe.filter(mightContain(col(key))).join(build, key)
+    }
   }
 }

@@ -319,10 +319,18 @@ class AnalyticsSpec extends SparkSpec {
     // every edge points INTO the hub after orientation, no wedge at it
     val star = (1L to 50L).map(i => (0L, i)).toDF("doc_a", "doc_b")
     assert(Dedup.triangles(star).count() == 0)
-    // duplicate + reversed input edges must not duplicate triangles
-    val k3 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 1L)).toDF("doc_a", "doc_b")
+    // duplicate, REVERSED (2,1 delivered as (2,1) not (1,2)) and
+    // self-loop input edges: reversed edges canonicalize (a drop would
+    // silently lose the triangle), dups collapse, loops vanish
+    val k3 = Seq((0L, 1L), (2L, 1L), (0L, 2L), (0L, 1L), (1L, 1L))
+      .toDF("doc_a", "doc_b")
     assert(Dedup.triangles(k3).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L, 2L)))
+    // same canonicalization contract for kCore: the reversed-edge K3
+    // is a complete 2-core
+    assert(Dedup.kCore(k3, k = 2, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (1L, 2L), (2L, 2L)))
   }
 
   test("quotaPlan: quotas sum exactly to the budget; ties break by source; extras bounded") {

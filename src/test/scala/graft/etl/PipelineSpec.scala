@@ -568,7 +568,8 @@ class PipelineSpec extends SparkSpec {
       feed("2024-01-01 00:03:10", 90); q.processAllAvailable()
       mem.addData((t("2024-01-01 00:04:30"), "tick")); q.processAllAvailable()
       mem.addData((t("2024-01-01 00:04:31"), "tick")); q.processAllAvailable()
-      val rows = spark.table("anomalies").filter(col("event_type") === "err")
+      // output label column carries the CALLER'S column name ("label")
+      val rows = spark.table("anomalies").filter(col("label") === "err")
         .orderBy("window_start").collect()
         .map(r => (new java.text.SimpleDateFormat("HH:mm:ss").format(r.getTimestamp(0)),
           r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))

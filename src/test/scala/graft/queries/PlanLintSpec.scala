@@ -30,9 +30,6 @@ class PlanLintSpec extends SparkSpec {
     "sim_quantized_recall", "sim_binary_hamming_topk", "sim_ivfpq_topk",
     "sim_ivfpq_search", "sim_mmr_rerank", "txt_vocab_overlap")
 
-  private val scalarCross =
-    """^\+?-?\s*:*\s*[+-]*\s*BroadcastNestedLoopJoin Build(Left|Right), Cross$""".r
-
   test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels") {
     val sf = "/root/testdata/sf0.001"
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -175,6 +175,25 @@ class BucketingSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffled join under broadcast-off:\n$plan")
+
+      // EMPTY build side: stat.bloomFilter NPEs on zero rows (the
+      // round-7 pitfall) — the util must return the correct empty join
+      assert(SparkUtil.bloomPrefilterJoin(probe,
+        build.filter(col("k") < 0), "k", 10L).count() == 0)
+
+      // STRING keys probe the sketch as strings (a blanket long cast
+      // would throw under ANSI); result still ≡ the plain join
+      val sp = probe.withColumn("k", concat(lit("id"), col("k")))
+      val sb = build.withColumn("k", concat(lit("id"), col("k")))
+      val sGot = SparkUtil.bloomPrefilterJoin(sp, sb, "k", 50L)
+        .select("rid", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(sGot == want)
+
+      // mismatched key types across sides fail loud, never silently
+      intercept[IllegalArgumentException] {
+        SparkUtil.bloomPrefilterJoin(sp, build, "k", 50L)
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
   }
 }
