@@ -1257,6 +1257,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Centroid drift between two ingest halves — the embedding-MODEL
+    * change detector [[embeddingHealth]]'s norm panel can miss: if the
+    * encoder was silently swapped or re-trained mid-ingest, the two
+    * halves' per-label centroids point in measurably different
+    * directions even when norms look alike. Vectors split
+    * deterministically by vec_id mod 2 (the id-parity proxy for
+    * ingest time — swap in a real batch column when one exists);
+    * per (label, half) centroids are per-dim means ROUNDED to 6 dp
+    * (collapsing the cross-engine sum-order ulps) and compared by
+    * cosine. A healthy table scores ≈ 1; anything materially below
+    * means the halves are not the same embedding space.
+    *
+    * Output: (label, n_a, n_b, centroid_cosine 4 dp), labels present
+    * in BOTH halves, ordered by label.
+    *
+    * Scale shape: one combinable (label, half) groupBy of per-dim
+    * sums (dim columns in one agg — the [[ivfCentroids]] shape);
+    * everything after is |labels|-row panel arithmetic. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val dim = embeddingDim(embeddings)
+    val e = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        asDouble(col("embedding")).as("vec"))
+    val cents = e.groupBy("label", "half")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("vec"), i + 1))): _*).as("sums"))
+      .select(col("label"), col("half"), col("n"),
+        transform(col("sums"), s => round(s / col("n"), 6)).as("c"))
+      .localCheckpoint(true) // two half-filtered consumers, one scan
+    val a = cents.filter(col("half") === 0)
+      .select(col("label"), col("n").cast("long").as("n_a"), col("c").as("ca"))
+    val b = cents.filter(col("half") === 1)
+      .select(col("label"), col("n").cast("long").as("n_b"), col("c").as("cb"))
+    a.join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(cosine(col("ca"), col("cb")), 4).as("centroid_cosine"))
+      .orderBy("label")
+  }
+
   /** Embedding-table ingest health panel — the vector-modality
     * counterpart of [[CorpusOps.sourceHealthReport]]: per label, row
     * count, NULL-embedding count (failed encoder calls), DISTINCT

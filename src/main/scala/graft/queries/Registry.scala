@@ -2619,6 +2619,31 @@ object Registry {
     // embedding-table ingest health: null embeddings (every 37th id)
     // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
     // both engines; one combinable per-label scan
+    // centroid drift across id-parity halves: per-dim means rounded
+    // 6 dp (sum-order ulps collapsed) then the proven cosine mirror
+    QueryDef("sim_centroid_drift",
+      (s, d) => Similarity.centroidDrift(t(s, d, "embeddings"))
+        .withColumn("label", col("label").cast("long")),
+      Some("""WITH e AS (SELECT label, vec_id % 2 AS half,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        x AS (SELECT label, half, v,
+            unnest(range(1, len(v) + 1)) AS i FROM e),
+        s AS (SELECT label, half, i, sum(v[i]) AS sm, count(*) AS n
+          FROM x GROUP BY 1, 2, 3),
+        c AS (SELECT label, half, max(n) AS n,
+            list(round(sm / n, 6) ORDER BY i) AS cv
+          FROM s GROUP BY label, half)
+        SELECT a.label::BIGINT AS label, a.n::BIGINT AS n_a,
+          b.n::BIGINT AS n_b,
+          round(list_sum(list_transform(list_zip(a.cv, b.cv),
+              p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(a.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 4)
+            AS centroid_cosine
+        FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        ORDER BY label""")),
+
     QueryDef("sim_embedding_health",
       (s, d) => {
         val emb = t(s, d, "embeddings").withColumn("embedding",
