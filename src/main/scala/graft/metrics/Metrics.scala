@@ -581,6 +581,102 @@ object Metrics {
         col("n").cast("long").as("n"), col("total_value"))
       .orderBy("g_type", "g_day", "event_type", "day")
 
+  /** Distinct users across ROLLUP levels — count-distinct at every
+    * subtotal grain in ONE pass, with BOTH the exact count (oracle-
+    * pinnable) and the mergeable-HLL estimate wearing a tolerance
+    * boolean (the approxPercentiles pattern: the oracle asserts
+    * literal TRUE, so the hash matches iff the sketch holds ±5%).
+    * The point at 100 TB: the EXACT distinct per grouping set is an
+    * Expand×sets blowup with per-group distinct state, while the HLL
+    * column is a fixed-size mergeable sketch whose partials combine
+    * map-side across ALL sets — drop the exact column there and keep
+    * the sketch; this query keeps both precisely so the sketch is
+    * verified against the exact value at every level.
+    *
+    * Output: (event_type sentinel-coalesced, g_type, n, n_users_exact,
+    * hll_within_tol), ordered. */
+  def rollupDistinctUsers(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("user_id"))
+      .rollup("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("__hll"),
+        grouping(col("event_type")).cast("long").as("g_type"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        col("g_type"), col("n").cast("long").as("n"),
+        col("n_users_exact").cast("long").as("n_users_exact"),
+        (abs(col("__hll").cast("double") / col("n_users_exact") - 1.0)
+          <= 0.05).as("hll_within_tol"))
+      .orderBy("g_type", "event_type")
+
+  /** Deterministic rate-limit sampling — keep at most `perBucket`
+    * events per (label, time bucket of `bucketSeconds`), chosen by
+    * md5-coin order (the no-rand() discipline: reproducible, and a
+    * re-run keeps the SAME sample). The log-volume control a 100 TB
+    * ingest applies before expensive downstream enrichment: hot
+    * buckets are capped, quiet buckets pass untouched.
+    *
+    * Scale shape: ONE window over (label, bucket) — a HIGH-cardinality
+    * composite key (buckets × labels), so the exchange spreads; per-key
+    * state is a counter. Output is the kept rows' ids, ordered. */
+  def rateLimitSample(events: DataFrame, perBucket: Int = 3,
+                      bucketSeconds: Long = 1L,
+                      salt: String = "rate"): DataFrame = {
+    require(perBucket >= 1, s"perBucket must be >= 1: $perBucket")
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1: $bucketSeconds")
+    val sec = expr(s"unix_micros(ts) div ${bucketSeconds * 1000000L}L")
+    val coin = conv(substring(
+      md5(concat(lit(s"$salt:"), col("event_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("event_type"), col("__sec"))
+      .orderBy(col("__coin"), col("event_id"))
+    events
+      .select(col("event_id"), col("event_type"), sec.as("__sec"),
+        coin.as("__coin"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perBucket)
+      .select(col("event_id"), col("event_type"),
+        col("__sec").cast("long").as("sec"))
+      .orderBy("event_id")
+  }
+
+  /** Lag-k autocorrelation of daily label counts — the seasonality /
+    * self-similarity detector ([[ewmaDailyAnomalies]]'s diagnostic
+    * sibling: a high lag-7 autocorrelation says the baseline should be
+    * day-of-week-aware). Pearson corr between the daily series and its
+    * row-lagged self (observed-day row semantics, like the EWMA op),
+    * per requested lag.
+    *
+    * Output: (event_type, lag, n_pairs, autocorr 4 dp), ordered;
+    * labels with < 3 overlapping pairs are excluded (corr is noise
+    * there, and undefined on constant series — both engines yield
+    * NULL, which is dropped rather than compared).
+    *
+    * Scale shape: daily pre-agg collapses to bucket grain; the lag
+    * window and corr run over day-count rows per label. */
+  def autocorrelation(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags: $lags")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // one pre-agg for all requested lags
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val perLag = lags.map { k =>
+      daily
+        .withColumn("__prev", lag(col("n"), k).over(w))
+        .filter(col("__prev").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(corr(col("n").cast("double"),
+            col("__prev").cast("double")), 4).as("autocorr"))
+        .withColumn("lag", lit(k.toLong))
+    }
+    perLag.reduce(_ unionByName _)
+      .filter(col("n_pairs") >= 3 && col("autocorr").isNotNull)
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("autocorr"))
+      .orderBy("event_type", "lag")
+  }
+
   /** Data-skipping effectiveness panel for a Z-order layout vs a plain
     * single-column sort — the decision table a 100 TB table owner reads
     * before choosing a clustering key. Rows are quantized to `bits`-bit

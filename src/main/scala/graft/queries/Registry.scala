@@ -813,6 +813,55 @@ object Registry {
           FROM u GROUP BY layout, bucket ORDER BY layout, bucket"""
       }, bench = true),
 
+    // rollup-level distinct users: exact count pinned by the oracle,
+    // mergeable HLL verified via the tolerance-boolean pattern
+    QueryDef("metrics_rollup_distinct",
+      (s, d) => Metrics.rollupDistinctUsers(t(s, d, "events")),
+      Some("""SELECT coalesce(event_type, '(all)') AS event_type,
+          grouping(event_type)::BIGINT AS g_type,
+          count(*)::BIGINT AS n,
+          count(DISTINCT user_id)::BIGINT AS n_users_exact,
+          TRUE AS hll_within_tol
+        FROM events GROUP BY ROLLUP(event_type)
+        ORDER BY g_type, event_type""")),
+
+    // deterministic per-(label, hour) rate-limit sampling on the md5
+    // coin — reproducible log-volume control; HOUR buckets so the cap
+    // actually bites at this fixture's density (~13 events/label/hour
+    // vs < 1/sec — a per-second cap would be a vacuous no-op query)
+    QueryDef("metrics_rate_limit_sample",
+      (s, d) => Metrics.rateLimitSample(t(s, d, "events"), 3, 3600L),
+      Some("""WITH e AS (SELECT event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS sec,
+            ('0x' || substr(md5('rate:' || CAST(event_id AS VARCHAR)),
+              1, 8))::BIGINT AS coin
+          FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type, sec
+            ORDER BY coin, event_id) AS rk FROM e)
+        SELECT event_id, event_type, sec::BIGINT AS sec
+        FROM r WHERE rk <= 3 ORDER BY event_id"""),
+      bench = true),
+
+    // lag-k autocorrelation of daily counts (row semantics, like the
+    // EWMA op); constant-series NULL corr dropped in both engines
+    QueryDef("metrics_autocorrelation",
+      (s, d) => Metrics.autocorrelation(t(s, d, "events"), Seq(1, 7)),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, n, 1 AS lag,
+            lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+          FROM daily
+          UNION ALL
+          SELECT event_type, n, 7,
+            lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+          FROM daily),
+        c AS (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+            round(corr(n::DOUBLE, p::DOUBLE), 4) AS autocorr
+          FROM l WHERE p IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, lag::BIGINT AS lag, n_pairs, autocorr
+        FROM c WHERE n_pairs >= 3 AND autocorr IS NOT NULL
+        ORDER BY event_type, lag""")),
+
     // top-k common event paths: per-user lead-window trigrams, heap cut
     QueryDef("metrics_common_paths",
       (s, d) => Metrics.commonPaths(t(s, d, "events"), 3, 20),
