@@ -234,6 +234,46 @@ object Multimodal {
       .select("keep_doc_id", "group_size")
       .orderBy("keep_doc_id")
 
+  /** Byte-level NEAR-duplicate candidates over the binary modality —
+    * [[payloadDedup]]'s fuzzy sibling: re-muxed/trailer-appended copies
+    * of one asset share most of their byte stream but not their md5.
+    * The payload hex-encodes once (bound column), slides into
+    * `gramBytes`-byte grams at `strideBytes` steps, and the gram
+    * stream feeds the EXISTING MinHash+LSH machinery verbatim
+    * ([[Dedup.minhashCandidatePairs]] at shingle k = 1 — a gram IS
+    * the shingle): band-key equi-join candidates, never all-pairs.
+    * Payloads shorter than one gram are excluded (an empty gram set
+    * must not form a universal collision bucket), as are nulls.
+    *
+    * This is format-blind (bytes are opaque): it catches
+    * truncation/append/concatenation variants, NOT re-encodes —
+    * perceptual hashing needs a real decoder and lives behind the
+    * documented decode stubs.
+    *
+    * Scale shape: identical to text MinHash — one narrow hex+gram
+    * projection at scan speed, signature table, banded join. */
+  def payloadNearDupPairs(withPayload: DataFrame, gramBytes: Int = 8,
+                          strideBytes: Int = 4, numHashes: Int = 8,
+                          rowsPerBand: Int = 4): DataFrame = {
+    require(gramBytes >= 1, s"gramBytes must be >= 1: $gramBytes")
+    require(strideBytes >= 1 && strideBytes <= gramBytes,
+      s"strideBytes must be in [1, gramBytes]: $strideBytes")
+    val gl = 2 * gramBytes
+    val st = 2 * strideBytes
+    val grams = withPayload
+      .filter(col("payload").isNotNull)
+      .withColumn("__h", hex(col("payload")))
+      .filter(length(col("__h")) >= gl)
+      // __h binds before the HOF (SPARK-35410); the filter guarantees
+      // the sequence is non-empty and ascending
+      .withColumn("text", expr(
+        s"concat_ws(' ', transform(sequence(0, (length(__h) - $gl) div $st)," +
+          s" k -> substring(__h, 1 + $st * k, $gl)))"))
+      .select(col("doc_id"), col("text"))
+    Dedup.minhashCandidatePairs(grams, k = 1, numHashes = numHashes,
+      rowsPerBand = rowsPerBand)
+  }
+
   // ------------------------------------------------------------------
   // audio: WAV (RIFF) header decode
   // ------------------------------------------------------------------

@@ -2772,6 +2772,56 @@ object Registry {
     // binaries), so the md5 groups are exactly the mod-50 classes —
     // which the oracle derives from the SAME arithmetic without
     // rebuilding a CRC-bearing PNG in SQL
+    // byte-level near-dup over the binary modality: hex 8-byte grams
+    // at 4-byte stride through the standard MinHash+LSH stack (gram =
+    // k=1 shingle). Payload bound to utf8(text) so BOTH engines build
+    // identical bytes (the mm fixtures' CRC-bearing PNGs cannot be
+    // rebuilt in SQL — mm_payload_dedup's documented limit); forged
+    // trailer-append copies at doc_id % 13 must band-collide with
+    // their originals
+    QueryDef("mm_payload_neardup",
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val copies = base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("payload"),
+              encode(lit(" tail tail tail"), "UTF-8")).as("payload"))
+        Multimodal.payloadNearDupPairs(base.unionAll(copies))
+      },
+      Some {
+        val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j")
+          .mkString(", ")
+        val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
+        val bandKeys = (0 until 2).map { b =>
+          val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM psig"
+        }.mkString(" UNION ALL ")
+        s"""WITH pbase AS (SELECT doc_id, encode(text) AS payload
+            FROM documents WHERE text IS NOT NULL),
+          pcp AS (SELECT doc_id + 1000000 AS doc_id,
+              payload || encode(' tail tail tail') AS payload
+            FROM pbase WHERE doc_id % 13 = 0),
+          pu AS (SELECT * FROM pbase UNION ALL SELECT * FROM pcp),
+          ph AS (SELECT doc_id, hex(payload) AS h FROM pu),
+          pg AS (SELECT doc_id,
+              list_transform(range(0, (length(h) - 16) // 8 + 1),
+                k -> substr(h, 1 + 8 * k, 16)) AS sh
+            FROM ph WHERE length(h) >= 16),
+          psigs AS (SELECT doc_id, $hs FROM pg),
+          psig AS (SELECT doc_id, $sigList AS sig FROM psigs),
+          pbands AS ($bandKeys)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 8
+              AS sig_agreement
+          FROM pbands a JOIN pbands b
+            ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.key IS NOT NULL
+          ORDER BY doc_a, doc_b"""
+      }, bench = true),
+
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -421,6 +421,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("payloadNearDupPairs: trailer-append variant collides, unrelated bytes don't, short/null payloads excluded") {
+    import spark.implicits._
+    def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val longA = "the quick brown fox jumps over the lazy dog again and again"
+    val fixture = Seq(
+      (1L, bytes(longA)),
+      (2L, bytes(longA + " TRAILER")),     // near-dup of 1 (append)
+      (3L, bytes("completely different content with no shared windows")),
+      (4L, bytes("tiny")),                 // < one 8-byte gram — excluded
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.payloadNearDupPairs(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)), s"append variant must collide: $pairs")
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"unrelated/short/null payloads must not pair: $pairs")
+  }
+
   test("sourceMixWeights: hand-computed temperature weights, zero-token source, weights sum to 1") {
     import spark.implicits._
     val d = Seq(
