@@ -557,6 +557,56 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Quantile normalization of a per-doc quality score ACROSS sources —
+    * the batch-effect correction a multi-classifier curation run needs:
+    * when each source's score distribution has its own scale (different
+    * scorer versions, different genres), a single global threshold
+    * keeps the wrong docs. Each doc's score is replaced by the CORPUS
+    * distribution's value at the doc's within-source quantile —
+    * distributions align exactly, per-source orderings are preserved.
+    * All rank arithmetic is EXACT integers (permille = ⌈1000·r/n⌉,
+    * global pick at rank ⌈pm·N/1000⌉ — the quantilesByKey ceiling
+    * discipline); the normalized score is an actual data value. Null
+    * text scores the −1 sentinel (the corpus_quality_strata
+    * convention).
+    *
+    * Output: (doc_id, source, score, norm_score), ordered by doc_id.
+    *
+    * Scale shape (100 TB): two skew-safe [[graft.metrics.Metrics
+    * .rankByKey]] passes (per-source and constant-key global), then
+    * ONE equi-join of docs to the global rank table on the computed
+    * target rank — rank keys spread, nothing funnels. */
+  def quantileNormalize(documents: DataFrame,
+                        stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword set for the score")
+    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val score = coalesce(
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4),
+      lit(-1.0))
+    val scored = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), col("source"), score.as("score"))
+      .localCheckpoint(true) // feeds the per-source AND global ranks
+    val perSource = graft.metrics.Metrics.rankByKey(scored, "source",
+        Seq("score", "doc_id"))
+    val global = graft.metrics.Metrics.rankByKey(
+        scored.withColumn("__g", lit(0)), "__g", Seq("score", "doc_id"))
+      .select(col("_rank").as("__gr"), col("score").as("norm_score"),
+        col("_nk").as("__N"))
+    // __N rides on the global table; join it in before computing the
+    // target rank (a 1-row broadcast would also do — the rank join
+    // already carries it)
+    val g = global.localCheckpoint(true)
+    val n1 = g.select(col("__N")).limit(1)
+    perSource.crossJoin(broadcast(n1))
+      .withColumn("__target", expr("((1000 * _rank + _nk - 1) div _nk * __N + 999) div 1000"))
+      .join(g.select(col("__gr"), col("norm_score")),
+        col("__target") === col("__gr"))
+      .select(col("doc_id"), col("source"), col("score"), col("norm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Source-concentration Gini coefficient — the one-number answer to
     * "is this corpus a few crawls wearing twenty source labels?":
     * Gini over per-source token volumes (0 = perfectly balanced mix,

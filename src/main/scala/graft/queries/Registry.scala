@@ -3617,6 +3617,33 @@ object Registry {
             ELSE 0.0 END AS epochs
         FROM per ORDER BY source""")),
 
+    // quantile normalization across sources: within-source permille
+    // mapped onto the corpus distribution — all integer rank math,
+    // normalized scores are actual data values
+    QueryDef("corpus_quantile_normalize",
+      (s, d) => CorpusOps.quantileNormalize(t(s, d, "documents"), stopwords),
+      Some {
+        val w = """regexp_split_to_array(trim(text), '\s+')"""
+        s"""WITH sc AS (SELECT doc_id, source,
+            coalesce(round(CAST(len(list_filter($w,
+              t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE) /
+              len($w), 4), -1.0) AS score
+          FROM documents),
+          ps AS (SELECT doc_id, source, score,
+              row_number() OVER (PARTITION BY source
+                ORDER BY score, doc_id) AS r,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM sc),
+          g AS (SELECT score AS norm_score,
+              row_number() OVER (ORDER BY score, doc_id) AS gr,
+              count(*) OVER () AS nn
+            FROM sc)
+          SELECT ps.doc_id, ps.source, ps.score, g.norm_score
+          FROM ps JOIN g
+            ON g.gr = (((1000 * ps.r + ps.n - 1) // ps.n) * g.nn + 999) // 1000
+          ORDER BY ps.doc_id"""
+      }, bench = true),
+
     // largest-remainder (Hamilton) quota apportionment — the integer
     // sampling plan sourceMixWeights feeds; pure long arithmetic, the
     // quotas sum to EXACTLY the budget in both engines
