@@ -594,13 +594,15 @@ object CorpusOps {
         scored.withColumn("__g", lit(0)), "__g", Seq("score", "doc_id"))
       .select(col("_rank").as("__gr"), col("score").as("norm_score"),
         col("_nk").as("__N"))
-    // __N rides on the global table; join it in before computing the
-    // target rank (a 1-row broadcast would also do — the rank join
-    // already carries it)
+    // N as a driver literal off the checkpointed rank table (bounded:
+    // one row) — a 1-row crossJoin would plan as a conditioned BNLJ
+    // once the rank join's null filter pushes into it (PlanLintSpec
+    // caught exactly that)
     val g = global.localCheckpoint(true)
-    val n1 = g.select(col("__N")).limit(1)
-    perSource.crossJoin(broadcast(n1))
-      .withColumn("__target", expr("((1000 * _rank + _nk - 1) div _nk * __N + 999) div 1000"))
+    val nTotal = g.select(col("__N")).head().getLong(0)
+    perSource
+      .withColumn("__target",
+        expr(s"((1000 * _rank + _nk - 1) div _nk * ${nTotal}L + 999) div 1000"))
       .join(g.select(col("__gr"), col("norm_score")),
         col("__target") === col("__gr"))
       .select(col("doc_id"), col("source"), col("score"), col("norm_score"))
