@@ -1074,13 +1074,27 @@ object TextAnalysis {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), norm.as("__s"))
       .filter(length(col("__s")) >= 3)
-      // __s binds before the HOF (SPARK-35410); sequence is ascending
-      // because the length >= 3 filter guarantees length - 2 >= 1
-      .withColumn("__tg", expr(
-        "transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))"))
-      .select(col("doc_id"), col("lang"), explode(col("__tg")).as("tg"))
+      // trigram extraction with NO per-element lambda: HOFs are
+      // CodegenFallback (interpreted per element — measured 101 s at
+      // sf0.1), and per-position substring(__s, i, 3) walks codepoints
+      // from the string start (O(i) each → O(n²) per doc, 12 s).
+      // Instead: char-split once, arrays_zip THREE shifted slices
+      // (all codegen'd array ops), explode, and concat the struct
+      // fields per ROW inside whole-stage codegen — measured 1.5 s.
+      .withColumn("__c", split(col("__s"), ""))
+      .withColumn("__z", arrays_zip(
+        slice(col("__c"), lit(1), size(col("__c")) - 2),
+        slice(col("__c"), lit(2), size(col("__c")) - 2),
+        slice(col("__c"), lit(3), size(col("__c")) - 2)))
+      .select(col("doc_id"), col("lang"), explode(col("__z")).as("__e"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("__e.0"), col("__e.1"), col("__e.2")).as("tg"))
+      // collapse to per-doc trigram COUNTS before the checkpoint —
+      // occurrence semantics preserved as weights, ~40% less cached
+      // data and every downstream pass runs at (doc, tg) grain
+      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds profile training AND classification
-    val counts = base.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+    val counts = base.groupBy("lang", "tg").agg(sum("cnt").as("c"))
     val profiles = counts
       .withColumn("__rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
@@ -1088,7 +1102,7 @@ object TextAnalysis {
       .select(col("lang").as("plang"), col("tg"))
     val scored = base.join(broadcast(profiles), "tg")
       .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(count(lit(1)).as("score"))
+      .agg(sum("cnt").as("score"))
     scored
       .withColumn("__p", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
