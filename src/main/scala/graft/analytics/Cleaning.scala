@@ -276,6 +276,35 @@ object Cleaning {
     * regex-per-word JVM object churn beyond the single `[A-Za-z]`
     * probe. [[graft.util.SparkUtil.widen]] keeps it parallel on
     * few-file inputs. */
+  /** Blocklist gate — the C4 "bad words" rule (any page containing a
+    * blocklisted token is dropped entirely; Raffel et al. 2020): per
+    * document, the blocked-token occurrence count and the keep flag.
+    * Membership is lowercased whole-token compare (substring matches
+    * would false-positive on benign carriers — the documented C4
+    * over-blocking criticism cuts the other way; choose the list, not
+    * the matcher). Gate REPORT, not a filtered table (the gopherRules
+    * convention — composition sites filter on `keep`).
+    *
+    * Scale shape: one narrow codegen'd projection — the word array
+    * binds once, the blocklist rides as an array literal
+    * (array_contains per token); no shuffle, no UDF, no regex. */
+  def blocklistFilter(documents: DataFrame,
+                      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter needs a non-empty list")
+    require(blocklist.forall(w => w == w.toLowerCase),
+      s"blocklist must be lowercase (tokens are lowercased): $blocklist")
+    val blockArr = array(blocklist.map(lit): _*)
+    graft.util.SparkUtil.widen(documents)
+      .withColumn("__w", graft.analytics.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(size(filter(col("__w"),
+          t => array_contains(blockArr, lower(t)))), lit(0))
+          .cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+      .orderBy("doc_id")
+  }
+
   def gopherRules(documents: DataFrame,
                   minWords: Long = 50, maxWords: Long = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,

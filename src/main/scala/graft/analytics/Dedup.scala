@@ -1350,6 +1350,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "doc_c")
   }
 
+  /** Soft-dedup weights — down-weight duplicates instead of dropping
+    * them (the keep-all-with-1/n-weight alternative the hard-removal
+    * debate keeps landing on: deletion loses the natural duplication
+    * signal, full retention over-trains on boilerplate; 1/cluster_size
+    * weights make every duplicate FAMILY contribute exactly one
+    * document's worth of gradient). Consumes any (doc_id, cluster_id)
+    * labeling ([[clustersFromPairs]]/[[duplicateClusters]]);
+    * singletons weigh 1.
+    *
+    * Output: (doc_id, cluster_id, cluster_size, weight 6 dp — an
+    * exact reciprocal of an integer, identical in both engines),
+    * ordered by doc_id.
+    *
+    * Scale shape: one combinable cluster-size groupBy + one equi-join
+    * back on cluster_id — the keep-best plan shape without the argmax. */
+  def softDedupWeights(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Undirected-edge normalization shared by [[triangles]] and
     * [[kCore]]: orientation-insensitive (a reversed (b, a) input edge
     * is the SAME edge — dropping it would silently lose triangles and

@@ -677,6 +677,49 @@ object Metrics {
       .orderBy("event_type", "lag")
   }
 
+  /** Theil–Sen robust trend of daily label counts — the
+    * outlier-immune slope (median of all pairwise slopes) that a
+    * least-squares fit gets wrong the moment one incident day spikes:
+    * the volume-drift number to alarm on. Slopes are
+    * (nⱼ−nᵢ)/(dayⱼ−dayᵢ) in events/day over CALENDAR day distances,
+    * ROUNDED to 4 dp before ranking (float order only safe
+    * post-round); the median is the exact integer-rank pick
+    * (⌈n/2⌉ — the quantilesByKey ceiling discipline).
+    *
+    * Output: (event_type, n_days, n_pairs, slope_per_day), ordered.
+    *
+    * Scale shape: the pair generation is quadratic in DAYS PER LABEL
+    * (bucket grain — bounded by the time horizon, never corpus size;
+    * 2 years ≈ 266k pairs/label) over the checkpointed daily panel;
+    * ranking runs per label on the pair table. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__d",
+        datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val a = daily.select(col("event_type"), col("__d").as("da"),
+      col("n").as("na"))
+    val b = daily.select(col("event_type"), col("__d").as("db"),
+      col("n").as("nb"))
+    val pairs = a.join(b, "event_type").filter(col("da") < col("db"))
+      .select(col("event_type"),
+        round((col("nb") - col("na")).cast("double") /
+          (col("db") - col("da")).cast("double"), 4).as("slope"))
+    val ranked = rankByKey(pairs, "event_type", Seq("slope"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max(when(col("_rank") * 2 <= col("_nk") + 1, col("slope")))
+          .as("slope_per_day"))
+      .join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_per_day"))
+      .orderBy("event_type")
+  }
+
   /** Data-skipping effectiveness panel for a Z-order layout vs a plain
     * single-column sort — the decision table a 100 TB table owner reads
     * before choosing a clustering key. Rows are quantized to `bits`-bit

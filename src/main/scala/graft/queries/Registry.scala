@@ -842,6 +842,30 @@ object Registry {
         FROM r WHERE rk <= 3 ORDER BY event_id"""),
       bench = true),
 
+    // Theil-Sen robust trend: median of all pairwise daily-count
+    // slopes (rounded before ranking), exact integer median rank
+    QueryDef("metrics_trend_theil_sen",
+      (s, d) => Metrics.theilSenTrend(t(s, d, "events")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*) AS n FROM events GROUP BY 1, 2),
+        dd AS (SELECT event_type, (day - DATE '1970-01-01') AS d, n
+          FROM daily),
+        p AS (SELECT a.event_type,
+            round((b.n - a.n)::DOUBLE / (b.d - a.d), 4) AS slope
+          FROM dd a JOIN dd b
+            ON a.event_type = b.event_type AND a.d < b.d),
+        r AS (SELECT event_type, slope,
+            row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+            count(*) OVER (PARTITION BY event_type) AS nk FROM p),
+        m AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+            max(CASE WHEN rk * 2 <= nk + 1 THEN slope END) AS slope_per_day
+          FROM r GROUP BY event_type),
+        sd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily
+          GROUP BY event_type)
+        SELECT m.event_type, sd.n_days, m.n_pairs, m.slope_per_day
+        FROM m JOIN sd USING (event_type) ORDER BY event_type"""),
+      bench = true),
+
     // lag-k autocorrelation of daily counts (row semantics, like the
     // EWMA op); constant-series NULL corr dropped in both engines
     QueryDef("metrics_autocorrelation",
@@ -2043,6 +2067,35 @@ object Registry {
             (s * count(*))::BIGINT AS n_docs,
             ((s - 1) * count(*))::BIGINT AS n_removable
           FROM sz GROUP BY s ORDER BY cluster_size"""
+      }),
+
+    // soft dedup: 1/cluster_size weights over the same recursive-CTE
+    // cluster labeling — keep-all-with-weights instead of removal
+    QueryDef("dedup_soft_weights",
+      (s, d) => Dedup.softDedupWeights(
+        Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4)),
+      Some {
+        s"""WITH RECURSIVE $minhashBandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.key IS NOT NULL),
+          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+          cl AS (SELECT d.doc_id,
+              least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN
+              (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id),
+          sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+            FROM cl GROUP BY cluster_id)
+          SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+            round(1.0 / sz.cluster_size, 6) AS weight
+          FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"""
       }),
 
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
@@ -3505,6 +3558,21 @@ object Registry {
               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
             FROM documents) ORDER BY doc_id"""
       }, bench = true),
+
+    // C4 bad-words rule: any blocklisted token drops the whole doc;
+    // whole-token lowercased membership, gate-report form
+    QueryDef("corpus_blocklist_filter",
+      (s, d) => Cleaning.blocklistFilter(t(s, d, "documents"),
+        Seq("merge", "window")),
+      Some(s"""SELECT doc_id,
+          len($toksSql)::BIGINT AS n_tokens,
+          coalesce(len(list_filter($toksSql,
+            t -> list_contains(['merge', 'window'], lower(t)))), 0)::BIGINT
+            AS n_blocked,
+          coalesce(len(list_filter($toksSql,
+            t -> list_contains(['merge', 'window'], lower(t)))), 0) = 0
+            AS keep
+        FROM documents ORDER BY doc_id""")),
 
     // Gopher-style quality gate: word-count / mean-word-length /
     // alpha-fraction / stopword-hit rules; keep compares the ROUNDED
