@@ -285,9 +285,13 @@ object Cleaning {
     * the matcher). Gate REPORT, not a filtered table (the gopherRules
     * convention — composition sites filter on `keep`).
     *
-    * Scale shape: one narrow codegen'd projection — the word array
-    * binds once, the blocklist rides as an array literal
-    * (array_contains per token); no shuffle, no UDF, no regex. */
+    * Scale shape: one narrow projection, no shuffle, no UDF, no
+    * regex. The per-token membership check is a `filter` HOF lambda —
+    * INTERPRETED per element (the SCALE.md HOF rule), acceptable here
+    * because the step is one small-array containment; for a C4-scale
+    * blocklist (hundreds of terms) the O(tokens × terms) interpreted
+    * scan matters — swap the literal array for a broadcast semi-join
+    * of exploded lowered tokens against a blocklist table. */
   def blocklistFilter(documents: DataFrame,
                       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklistFilter needs a non-empty list")

@@ -149,6 +149,24 @@ object CorpusOps {
         round(avg(when(length(trim(col("text"))) === 0 || col("text").isNull,
           1.0).otherwise(0.0)), 4).as("empty_share"))
 
+  /** The 4-dp stopword-ratio quality score shared by
+    * [[stratifiedQualitySample]], [[qualityLengthCorrelation]] and
+    * [[quantileNormalize]] — every consumer's oracle mirrors this
+    * exact nesting (rounding INSIDE the null handling), so the
+    * definition lives in ONE place. `nullScore` pins the null-text
+    * sentinel (None propagates null — the corr consumer skips nulls
+    * instead of ranking a sentinel). */
+  private[analytics] def stopwordQualityScore(
+      stopwords: Seq[String],
+      nullScore: Option[Double] = Some(-1.0)): org.apache.spark.sql.Column = {
+    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val ratio = round(
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4)
+    nullScore.map(sv => coalesce(ratio, lit(sv))).getOrElse(ratio)
+  }
+
   /** Quality-stratified sampling — `quota` docs from each of
     * `nBuckets` equal-population strata of the quality distribution
     * (stratify-then-sample: a uniform sample of a web corpus is
@@ -175,14 +193,8 @@ object CorpusOps {
     require(quota > 0, s"quota must be positive: $quota")
     require(stopwords.nonEmpty, "stratification needs a stopword set")
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
-    val stopArr = array(stopwords.map(lit): _*)
-    val score = coalesce(
-      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4),
-      lit(-1.0))
     val scored = graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), score.as("score"))
+      .select(col("doc_id"), stopwordQualityScore(stopwords).as("score"))
       .withColumn("_g", lit(1))
     // eager checkpoint: the ranked corpus feeds the heap AND the
     // join-back (2 consumers, one execution — the repo discipline)
@@ -218,14 +230,9 @@ object CorpusOps {
   def qualityLengthCorrelation(documents: DataFrame,
                                stopwords: Seq[String]): DataFrame = {
     require(stopwords.nonEmpty, "needs a stopword set")
-    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
-    val stopArr = array(stopwords.map(lit): _*)
-    val ratio = round(
-      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4)
     graft.util.SparkUtil.widen(documents)
       .select(col("source"), col("n_chars").cast("double").as("__len"),
-        ratio.as("__q"))
+        stopwordQualityScore(stopwords, nullScore = None).as("__q"))
       .groupBy("source")
       .agg(count(lit(1)).cast(LongType).as("n"),
         round(corr(col("__len"), col("__q")), 4).as("len_quality_corr"))
@@ -579,14 +586,9 @@ object CorpusOps {
   def quantileNormalize(documents: DataFrame,
                         stopwords: Seq[String]): DataFrame = {
     require(stopwords.nonEmpty, "need a stopword set for the score")
-    val toks = graft.analytics.TextAnalysis.tokens(col("text"))
-    val stopArr = array(stopwords.map(lit): _*)
-    val score = coalesce(
-      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4),
-      lit(-1.0))
     val scored = graft.util.SparkUtil.widen(documents)
-      .select(col("doc_id"), col("source"), score.as("score"))
+      .select(col("doc_id"), col("source"),
+        stopwordQualityScore(stopwords).as("score"))
       .localCheckpoint(true) // feeds the per-source AND global ranks
     val perSource = graft.metrics.Metrics.rankByKey(scored, "source",
         Seq("score", "doc_id"))
@@ -599,7 +601,10 @@ object CorpusOps {
     // once the rank join's null filter pushes into it (PlanLintSpec
     // caught exactly that)
     val g = global.localCheckpoint(true)
-    val nTotal = g.select(col("__N")).head().getLong(0)
+    val nHead = g.select(col("__N")).head(1)
+    require(nHead.nonEmpty,
+      "quantileNormalize: empty documents input — nothing to normalize")
+    val nTotal = nHead(0).getLong(0)
     perSource
       .withColumn("__target",
         expr(s"((1000 * _rank + _nk - 1) div _nk * ${nTotal}L + 999) div 1000"))

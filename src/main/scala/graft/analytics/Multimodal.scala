@@ -258,17 +258,34 @@ object Multimodal {
     require(gramBytes >= 1, s"gramBytes must be >= 1: $gramBytes")
     require(strideBytes >= 1 && strideBytes <= gramBytes,
       s"strideBytes must be in [1, gramBytes]: $strideBytes")
+    require(gramBytes % strideBytes == 0,
+      s"gramBytes must be a multiple of strideBytes (grams are built " +
+        s"from stride-aligned blocks): $gramBytes % $strideBytes")
     val gl = 2 * gramBytes
-    val st = 2 * strideBytes
+    val blockChars = 2 * strideBytes
+    val perGram = gramBytes / strideBytes
+    // gram extraction with NO per-position substring and no composite
+    // lambda (the SCALE.md HOF rule, learned on trigramLangId at
+    // 101 s): the hex string splits ONCE into stride-aligned blocks
+    // via a codegen'd regex (trailing partial block dropped — a gram
+    // needs full blocks), and gram k = blocks[k] || … || blocks[k+g-1]
+    // assembles through g−1 zip_with folds whose lambdas are a SINGLE
+    // cheap concat each — linear in payload bytes. Identical gram set
+    // to the per-position definition (starts are stride-aligned).
     val grams = withPayload
       .filter(col("payload").isNotNull)
       .withColumn("__h", hex(col("payload")))
       .filter(length(col("__h")) >= gl)
-      // __h binds before the HOF (SPARK-35410); the filter guarantees
-      // the sequence is non-empty and ascending
-      .withColumn("text", expr(
-        s"concat_ws(' ', transform(sequence(0, (length(__h) - $gl) div $st)," +
-          s" k -> substring(__h, 1 + $st * k, $gl)))"))
+      .withColumn("__b", regexp_extract_all(col("__h"),
+        lit(s".{$blockChars}"), lit(0)))
+      .withColumn("text", concat_ws(" ",
+        (2 to perGram).foldLeft(
+          slice(col("__b"), lit(1), size(col("__b")) - (perGram - 1))) {
+          (acc, j) =>
+            zip_with(acc,
+              slice(col("__b"), lit(j), size(col("__b")) - (perGram - 1)),
+              (a, b) => concat(a, b))
+        }))
       .select(col("doc_id"), col("text"))
     Dedup.minhashCandidatePairs(grams, k = 1, numHashes = numHashes,
       rowsPerBand = rowsPerBand)

@@ -1276,9 +1276,17 @@ object Similarity {
     * sums (dim columns in one agg — the [[ivfCentroids]] shape);
     * everything after is |labels|-row panel arithmetic. */
   def centroidDrift(embeddings: DataFrame): DataFrame = {
-    val dim = embeddingDim(embeddings)
+    // dim = the MAX dimensionality (deterministic, SQL-expressible —
+    // "first row" is not), and rows of any OTHER dim are filtered:
+    // under ANSI, element_at past a short vector's end would throw,
+    // and a mixed-dim ingest is precisely the condition
+    // embeddingHealth flags — this op must keep working while it does
+    val dimRow = embeddings.filter(col("embedding").isNotNull)
+      .agg(max(size(col("embedding")))).head()
+    require(!dimRow.isNullAt(0), "centroidDrift: no non-null embeddings")
+    val dim = dimRow.getInt(0)
     val e = graft.util.SparkUtil.widen(embeddings)
-      .filter(col("embedding").isNotNull)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
         asDouble(col("embedding")).as("vec"))
     val cents = e.groupBy("label", "half")

@@ -649,8 +649,13 @@ object Metrics {
     *
     * Output: (event_type, lag, n_pairs, autocorr 4 dp), ordered;
     * labels with < 3 overlapping pairs are excluded (corr is noise
-    * there, and undefined on constant series — both engines yield
-    * NULL, which is dropped rather than compared).
+    * there), and so are zero-variance series — where Pearson is
+    * undefined. The Spark side computes Pearson MANUALLY
+    * (covar/(sd·sd)) behind an explicit variance guard: under ANSI
+    * mode `corr` itself throws DIVIDE_BY_ZERO on a constant series
+    * (confirmed by execution — the null filter can never fire because
+    * the aggregation explodes first), while DuckDB's corr returns the
+    * NULL the filter drops.
     *
     * Scale shape: daily pre-agg collapses to bucket grain; the lag
     * window and corr run over day-count rows per label. */
@@ -667,8 +672,13 @@ object Metrics {
         .filter(col("__prev").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("n_pairs"),
-          round(corr(col("n").cast("double"),
-            col("__prev").cast("double")), 4).as("autocorr"))
+          covar_samp(col("n").cast("double"), col("__prev").cast("double"))
+            .as("__cov"),
+          stddev_samp(col("n").cast("double")).as("__s1"),
+          stddev_samp(col("__prev").cast("double")).as("__s2"))
+        .select(col("event_type"), col("n_pairs"),
+          round(when(col("__s1") > 0 && col("__s2") > 0,
+            col("__cov") / (col("__s1") * col("__s2"))), 4).as("autocorr"))
         .withColumn("lag", lit(k.toLong))
     }
     perLag.reduce(_ unionByName _)

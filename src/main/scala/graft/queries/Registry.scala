@@ -2718,9 +2718,6 @@ object Registry {
           FROM r ORDER BY vec_id"""
       }),
 
-    // embedding-table ingest health: null embeddings (every 37th id)
-    // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
-    // both engines; one combinable per-label scan
     // centroid drift across id-parity halves: per-dim means rounded
     // 6 dp (sum-order ulps collapsed) then the proven cosine mirror
     QueryDef("sim_centroid_drift",
@@ -2728,7 +2725,9 @@ object Registry {
         .withColumn("label", col("label").cast("long")),
       Some("""WITH e AS (SELECT label, vec_id % 2 AS half,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings WHERE embedding IS NOT NULL
+            AND len(embedding) = (SELECT max(len(embedding))
+              FROM embeddings WHERE embedding IS NOT NULL)),
         x AS (SELECT label, half, v,
             unnest(range(1, len(v) + 1)) AS i FROM e),
         s AS (SELECT label, half, i, sum(v[i]) AS sm, count(*) AS n
@@ -2746,6 +2745,9 @@ object Registry {
         FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
         ORDER BY label""")),
 
+    // embedding-table ingest health: null embeddings (every 37th id)
+    // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
+    // both engines; one combinable per-label scan
     QueryDef("sim_embedding_health",
       (s, d) => {
         val emb = t(s, d, "embeddings").withColumn("embedding",
@@ -2819,12 +2821,6 @@ object Registry {
           FROM m ORDER BY doc_id"""
       }, bench = true),
 
-    // binary-modality exact dedup: the fixture forges REAL payload
-    // collisions by synthesizing every doc's image from its doc_id
-    // mod 50 base (same dims + same trailing text bytes ⇒ identical
-    // binaries), so the md5 groups are exactly the mod-50 classes —
-    // which the oracle derives from the SAME arithmetic without
-    // rebuilding a CRC-bearing PNG in SQL
     // byte-level near-dup over the binary modality: hex 8-byte grams
     // at 4-byte stride through the standard MinHash+LSH stack (gram =
     // k=1 shingle). Payload bound to utf8(text) so BOTH engines build
@@ -2875,6 +2871,12 @@ object Registry {
           ORDER BY doc_a, doc_b"""
       }, bench = true),
 
+    // binary-modality exact dedup: the fixture forges REAL payload
+    // collisions by synthesizing every doc's image from its doc_id
+    // mod 50 base (same dims + same trailing text bytes ⇒ identical
+    // binaries), so the md5 groups are exactly the mod-50 classes —
+    // which the oracle derives from the SAME arithmetic without
+    // rebuilding a CRC-bearing PNG in SQL
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -333,6 +333,24 @@ class AnalyticsSpec extends SparkSpec {
       Seq((0L, 2L), (1L, 2L), (2L, 2L)))
   }
 
+  test("autocorrelation: constant series drops silently instead of ANSI DIVIDE_BY_ZERO") {
+    import spark.implicits._
+    // 'flat' logs exactly 2 events/day (zero variance — Pearson is
+    // undefined; ANSI corr() THROWS here, the round-9 confirmed crash);
+    // 'vary' has a real varying series and must survive
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows =
+      (1 to 6).flatMap(d => Seq(("flat", t(d, 1)), ("flat", t(d, 2)))) ++
+      (1 to 6).flatMap(d => (0 until d).map(h => ("vary", t(d, h))))
+    val ev = rows.zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.metrics.Metrics.autocorrelation(ev, Seq(1))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(got == Seq("vary"), s"constant series must drop, got: $got")
+  }
+
   test("quotaPlan: quotas sum exactly to the budget; ties break by source; extras bounded") {
     import spark.implicits._
     // 3 sources, 3 tokens each — every remainder ties; Hamilton must
