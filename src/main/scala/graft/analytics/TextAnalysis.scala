@@ -735,6 +735,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Jensen–Shannon divergence of each source's token distribution vs
+    * the corpus — [[sourceDrift]]'s KL made SYMMETRIC and BOUNDED
+    * ([0, 1] bits): KL explodes toward ∞ when a source merely lacks
+    * corpus-common tokens, JS saturates — the cross-source comparison
+    * number that can actually be thresholded.
+    *
+    * Computed SPARSELY: both half-KLs sum only over tokens PRESENT in
+    * the source, and the q-side mass of ABSENT tokens enters in closed
+    * form (p = 0 ⇒ m = q/2 ⇒ Σ_absent q·ln(q/m) = ln2·(1 − Σ_present
+    * q)) — no dense source×vocab grid at any vocabulary size; the
+    * grid-free trick is what makes exact per-source JS viable when the
+    * vocab is web-scale.
+    *
+    * Output: (source, n_tokens, js_bits 4 dp, −0.0 collapsed),
+    * ordered. Scale shape: the sourceDrift plan — one (source, token)
+    * combinable groupBy, vocab-keyed join, panel arithmetic. */
+  def sourceJsDivergence(documents: DataFrame): DataFrame = {
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // feeds vocab totals, source totals, sums
+    val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val n = ct.agg(sum("c_t").as("n"))
+    val ln2 = log(lit(2.0))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n")
+    val m = (p + q) / lit(2.0)
+    st.join(ct, Seq("token")).join(ns, Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_s"),
+        sum(p * log(p / m)).as("__kl_pm"),
+        sum(q * log(q / m)).as("__kl_qm_present"),
+        sum(q).as("__q_cov"))
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        (round((lit(0.5) * col("__kl_pm") +
+          lit(0.5) * (col("__kl_qm_present") +
+            ln2 * (lit(1.0) - col("__q_cov")))) / ln2, 4) + lit(0.0))
+          .as("js_bits"))
+      .orderBy("source")
+  }
+
   def bm25Scores(documents: DataFrame, terms: Seq[String],
                  k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     require(terms.nonEmpty, "query term set must be non-empty")

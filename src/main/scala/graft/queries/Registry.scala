@@ -823,7 +823,7 @@ object Registry {
           count(DISTINCT user_id)::BIGINT AS n_users_exact,
           TRUE AS hll_within_tol
         FROM events GROUP BY ROLLUP(event_type)
-        ORDER BY g_type, event_type""")),
+        ORDER BY g_type, event_type"""), bench = true),
 
     // deterministic per-(label, hour) rate-limit sampling on the md5
     // coin — reproducible log-volume control; HOUR buckets so the cap
@@ -1031,7 +1031,7 @@ object Registry {
           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
           count(DISTINCT props)::BIGINT,
           NULL, NULL, min(props), max(props) FROM events
-        ORDER BY col_name""")))
+        ORDER BY col_name"""), bench = true))
 
   // ---------------- P-series scalar ops over events/documents ---------
 
@@ -2096,7 +2096,7 @@ object Registry {
           SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
             round(1.0 / sz.cluster_size, 6) AS weight
           FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // LSH-then-verify: MinHash band candidates → exact Jaccard ≥ 0.8.
     // The oracle mirrors the full pipeline including the band join, so
@@ -3639,6 +3639,35 @@ object Registry {
           FROM agg JOIN ns USING (source) CROSS JOIN n ORDER BY source"""
       }),
 
+    // symmetric bounded drift: Jensen-Shannon vs the corpus, sparse
+    // form (absent-token q-mass in closed form: ln2 * (1 - q_cov))
+    QueryDef("corpus_source_js",
+      (s, d) => TextAnalysis.sourceJsDivergence(t(s, d, "documents")),
+      Some {
+        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token
+            FROM documents),
+          st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
+            GROUP BY source, token),
+          ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st
+            GROUP BY token),
+          ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st
+            GROUP BY source),
+          n AS (SELECT sum(c_t)::BIGINT AS n FROM ct),
+          terms AS (SELECT st.source,
+              (c_st::DOUBLE / n_s) AS p, (c_t::DOUBLE / n) AS q
+            FROM st JOIN ct USING (token) JOIN ns USING (source)
+            CROSS JOIN n),
+          agg AS (SELECT source,
+              sum(p * ln(p / ((p + q) / 2.0))) AS kl_pm,
+              sum(q * ln(q / ((p + q) / 2.0))) AS kl_qm_present,
+              sum(q) AS q_cov
+            FROM terms GROUP BY source)
+          SELECT a.source, ns.n_s AS n_tokens,
+            round((0.5 * kl_pm + 0.5 * (kl_qm_present +
+              ln(2.0) * (1.0 - q_cov))) / ln(2.0), 4) + 0 AS js_bits
+          FROM agg a JOIN ns ON ns.source = a.source ORDER BY a.source"""
+      }),
+
     // leakage-safe train/test split: whole near-dup clusters land on
     // one side (md5 of the cluster id), so a test doc's near-duplicate
     // can never sit in train. Oracle = the dedup_clusters recursive
@@ -3733,7 +3762,7 @@ object Registry {
         SELECT source, n_tokens,
           (base + CASE WHEN rk <= extras THEN 1 ELSE 0 END)::BIGINT AS quota,
           rk <= extras AS got_extra
-        FROM r CROSS JOIN x ORDER BY source""")),
+        FROM r CROSS JOIN x ORDER BY source"""), bench = true),
 
     // cross-source exact-dup attribution: sparse nonzero source-pair
     // matrix over distinct (fingerprint, source) — 32-byte hashes
@@ -3887,7 +3916,7 @@ object Registry {
               AS asst_content,
             json_array_length(record, '$$.messages')::BIGINT AS n_messages
           FROM exp ORDER BY doc_id"""
-      }),
+      }, bench = true),
 
     // per-source length-vs-quality Pearson correlation (trim-policy
     // advisor); ROUNDED ratio feeds corr in both engines
