@@ -333,6 +333,51 @@ class AnalyticsSpec extends SparkSpec {
       Seq((0L, 2L), (1L, 2L), (2L, 2L)))
   }
 
+  test("quantileNormalize: per-source order preserved; outputs drawn from the global score multiset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusOps.quantileNormalize(docs, graft.queries.Registry.stopwords)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == docs.count())
+    // monotone within each source: ranks by score and by norm_score agree
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val byScore = rows.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(byScore.sameElements(byScore.sorted), s"order broken in $src")
+    }
+    // every normalized value is an actual corpus score value
+    val globalScores = out.map(_._3).toSet
+    assert(out.forall(r => globalScores.contains(r._4)))
+  }
+
+  test("theilSenTrend recovers an exact linear slope and shrugs off one outlier day") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 06:00:00")
+    // 'lin': exactly 2*day events/day for 8 days -> slope 2.0; one
+    // wild outlier day (day 5 logs 100) must not move the MEDIAN slope
+    val lin = (1 to 8).flatMap(d => (0 until 2 * d).map(_ => ("lin", t(d))))
+    val outlier = (1 to 8).flatMap { d =>
+      val n = if (d == 5) 100 else 3 * d
+      (0 until n).map(_ => ("out", t(d)))
+    }
+    val ev = (lin ++ outlier).zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.metrics.Metrics.theilSenTrend(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got("lin") == 2.0, s"exact linear slope: ${got("lin")}")
+    assert(math.abs(got("out") - 3.0) <= 1.0,
+      s"median slope must resist the outlier day: ${got("out")}")
+  }
+
+  test("stylometryDelta: nonnegative symmetric-form deltas over full word panels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.stylometryDelta(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 >= 0.0), "delta is a mean of absolute values")
+    assert(out.forall(_._4 == 10L), "every pair scores over the full panel")
+    assert(out.forall(p => p._1 < p._2), "canonical a < b pairs only")
+  }
+
   test("autocorrelation: constant series drops silently instead of ANSI DIVIDE_BY_ZERO") {
     import spark.implicits._
     // 'flat' logs exactly 2 events/day (zero variance — Pearson is
