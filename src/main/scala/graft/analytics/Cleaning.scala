@@ -24,13 +24,13 @@ object Cleaning {
     * length (the raw line would ship whole boilerplate paragraphs
     * through the exchange). */
   private def lineHash(line: Column): Column =
-    md5(regexp_replace(lower(trim(line)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(line)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Words-per-line, empty-safe: `split` of an empty string yields
     * `[""]`, which must count 0, not 1 (both engines agree after the
     * non-empty filter). */
   private def wordCount(line: Column): Column =
-    size(filter(split(trim(line), "\\s+"), w => w =!= ""))
+    size(filter(split(trim(line), "[ \\t\\n\\x0B\\f\\r]+"), w => w =!= ""))
 
   /** Default drop-line patterns (applied to the lowercased line) — the
     * C4 "javascript / lorem ipsum / curly brace" family plus the usual
@@ -330,7 +330,7 @@ object Cleaning {
     graft.util.SparkUtil.widen(documents)
       // lambda-bearing trees get no subexpression elimination
       // (SPARK-35410): split/filter the word array once, not per rule
-      .withColumn("__ws", filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+      .withColumn("__ws", filter(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"), w => w =!= ""))
       .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
         alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
       .withColumn("keep",
@@ -432,7 +432,7 @@ object Cleaning {
     val decoded = htmlEntities.foldLeft(noMarkup) {
       case (acc, (e, c)) => call_function("replace", acc, lit(e), lit(c))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** Main-text extraction from raw HTML — the first pass of every

@@ -762,7 +762,7 @@ object CorpusOps {
   private def gatedEvalGrams(evalDocs: DataFrame, k: Int,
                              broadcastBytesThreshold: Long): DataFrame = {
     val evalGrams = evalDocs
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(explode(Dedup.shinglesFromWords(col("__words"), k)).as("gram"))
       .distinct()
     val estBytes = evalDocs.agg(sum(length(col("text"))), count(lit(1))).head() match {
@@ -777,7 +777,7 @@ object CorpusOps {
                     broadcastBytesThreshold: Long = 64L << 20): DataFrame = {
     val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
     val contaminated = graft.util.SparkUtil.widen(documents)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         explode(Dedup.shinglesFromWords(col("__words"), k)).as("gram"))
       .join(gated, Seq("gram"), "left_semi")
@@ -889,7 +889,7 @@ object CorpusOps {
     val gated = gatedEvalGrams(evalDocs, k, broadcastBytesThreshold)
       .withColumn("hit", lit(1L))
     val perDoc = graft.util.SparkUtil.widen(documents)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shinglesFromWords(col("__words"), k))).as("gram"))
       .join(gated, Seq("gram"), "left")
@@ -1105,8 +1105,18 @@ object CorpusOps {
         "cumulativeTokens requires spark.sql.exchange.reuse=true: the row and " +
           "offset stages must observe the same sampled range boundaries")
       val p = documents.sparkSession.sessionState.conf.numShufflePartitions
+      // EAGER MATERIALIZATION — same load-bearing fix as
+      // Metrics.rankByKey (round-9 AQE incident): ReuseExchange shares
+      // the exchange WRITE but the coalesced-READ spec is decided per
+      // consumer stage — the offsets aggregate and the join side can
+      // legally observe DIFFERENT merged partition maps of the same
+      // shuffle, so _pid diverges and cum_tokens goes silently wrong
+      // (Verify/drive write through coalesce(1), which is exactly the
+      // plan shape that triggered it). Checkpointing the pid-stamped
+      // table pins ONE partition map for every consumer.
       val withPid = toks.repartitionByRange(p, col("source"), col("doc_id"))
         .withColumn("_pid", spark_partition_id())
+        .localCheckpoint(true)
       val wOff = Window.partitionBy("source").orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = withPid.groupBy(col("_pid"), col("source"))
@@ -1302,10 +1312,10 @@ object CorpusOps {
   def chunkBySentences(documents: DataFrame, maxTokens: Int = 48): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
     val sents = filter(
-      transform(split(trim(col("text")), "[.!?]\\s+"),
+      transform(split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"),
         s => regexp_replace(trim(s), "[.!?]+$", "")),
       s => length(s) > 0)
-    def ntok(s: org.apache.spark.sql.Column) = size(split(s, "\\s+"))
+    def ntok(s: org.apache.spark.sql.Column) = size(split(s, "[ \\t\\n\\x0B\\f\\r]+"))
     val emptyChunks = array().cast("array<array<string>>")
     val emptyCur = array().cast("array<string>")
     val zero = struct(emptyChunks.as("chunks"), emptyCur.as("cur"),
@@ -1335,7 +1345,7 @@ object CorpusOps {
       .select(col("doc_id"),
         (col("pos") + 1).cast(LongType).as("chunk_id"),
         size(col("col")).cast(LongType).as("n_sentences"),
-        size(split(concat_ws(" ", col("col")), "\\s+")).cast(LongType)
+        size(split(concat_ws(" ", col("col")), "[ \\t\\n\\x0B\\f\\r]+")).cast(LongType)
           .as("n_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
       .orderBy("doc_id", "chunk_id")

@@ -40,7 +40,7 @@ object Dedup {
     * the split first and call [[shinglesFromWords]] (see its scaladoc
     * for the SPARK-35410 hazard this avoids). */
   def shingles(text: Column, k: Int): Column =
-    shinglesFromWords(split(trim(text), "\\s+"), k)
+    shinglesFromWords(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"), k)
 
   /** Normalized-text md5 — the exact-dedup grouping key, shared with
     * [[CorpusOps.corpusSelect]]'s survivor set. */
@@ -83,7 +83,7 @@ object Dedup {
     * [[minhashSignatures]] — AnalyticsSpec asserts equality. */
   def minhashSignaturesComposed(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val exploded = graft.util.SparkUtil.widen(documents)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         explode(shinglesFromWords(col("__words"), k)).as("s"))
     val nGroups = (numHashes + 3) / 4
@@ -875,7 +875,7 @@ object Dedup {
     val candidates = minhashCandidatePairs(documents, shingleK, numHashes, rowsPerBand)
       .select("doc_a", "doc_b")
     val toks = documents
-      .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      .select(col("doc_id"), array_distinct(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("toks"))
     candidates
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
@@ -1229,7 +1229,7 @@ object Dedup {
     require(pm >= 1, s"threshold below 1 permille: $threshold")
     val sets = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         array_distinct(shinglesFromWords(col("__words"), shingleK)).as("set"))
       .filter(size(col("set")) > 0)
@@ -1392,11 +1392,11 @@ object Dedup {
     * separates STRUCTURAL duplicate families (cliques/dense cores
     * worth a keep-best pass) from incidental pairwise matches (which
     * peel away). The k-core is unique and peel-order-confluent, so a
-    * fixed `rounds` budget is exact once the cascade settles; like
-    * [[pagerankFromPairs]] the round count is a pinned parameter
-    * (spec asserts fixpoint at the fixture scale — one extra round
-    * changes nothing). Cascade length is bounded by the longest
-    * peel chain (≈ component diameter), not corpus size.
+    * `rounds` is a CAP, not a cost: peeling is monotone, so the loop
+    * exits at the first round that removes no edge (one cheap count
+    * per round — VERDICT r9 §6); the spec still asserts the fixpoint
+    * (one extra round changes nothing). Cascade length is bounded by
+    * the longest peel chain (≈ component diameter), not corpus size.
     *
     * Output: (doc_id, core_degree) for surviving nodes — degree
     * WITHIN the core subgraph (≥ k by definition at fixpoint),
@@ -1412,13 +1412,23 @@ object Dedup {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1 && rounds <= 100, s"rounds in [1,100]: $rounds")
     var e = canonicalEdges(pairs).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // fixpoint early-exit (VERDICT r9 §6): peeling is monotone — once a
+    // round removes no edge, no later round can (the degree aggregate
+    // is a pure function of the unchanged edge set), so `rounds` is a
+    // CAP, not a cost. One cheap count per round over the already-
+    // checkpointed (materialized) edge set detects the settled tail.
+    var nEdges = e.count()
+    var settled = false
+    for (_ <- 1 to rounds if !settled) {
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("v").localCheckpoint(true)
       e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .localCheckpoint(true)
+      val n = e.count()
+      settled = n == nEdges
+      nEdges = n
     }
     e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("core_degree"))

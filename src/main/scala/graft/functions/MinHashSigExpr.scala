@@ -42,7 +42,7 @@ object MinHashSig {
     new String(out)
   }
 
-  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val wsPattern = java.util.regex.Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
 
   /** null when < k words (matching the composed form's left-join nulls).
     * Tokenization replicates the SQL pipeline exactly: `trim` is

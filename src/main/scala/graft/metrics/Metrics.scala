@@ -789,8 +789,14 @@ object Metrics {
     * that tiny matrix. */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // CONTRACT (ADVICE r9): null-typed events are excluded BEFORE
+    // sequencing — a null from_type would otherwise group and ORDER
+    // with engine-divergent null placement (Spark nulls-first asc,
+    // DuckDB last), the nullable-ORDER-BY hazard. Matches the
+    // winsorizedStats null-key contract; mirrored in the oracle.
     events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .filter(col("event_type").isNotNull)
       .withColumn("__next", lead(col("event_type"), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
@@ -814,8 +820,13 @@ object Metrics {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val steps = (0 until n).map(i => lead(col("event_type"), i).over(w))
+    // CONTRACT (ADVICE r9): null-typed events are excluded BEFORE
+    // sequencing — concat_ws silently SKIPS nulls ('a>b' for a 3-step
+    // path with a null middle) while the oracle's '||' nulls the whole
+    // path; dropping them first gives both engines the same sequences.
     events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .filter(col("event_type").isNotNull)
       .withColumn("__last", steps.last)
       .withColumn("path", concat_ws(">", steps: _*))
       .filter(col("__last").isNotNull)

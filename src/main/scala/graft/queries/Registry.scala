@@ -424,9 +424,10 @@ object Registry {
         val dim = t(s, d, "orders")
           .filter(col("o_totalprice") > 450000.0)
           .withColumnRenamed("o_orderkey", "l_orderkey")
+        // expectedItems derived inside from the single materialized
+        // build-side count (ADVICE r9 — was a fourth build execution)
         val joined = graft.util.SparkUtil.bloomPrefilterJoin(
-          t(s, d, "lineitem"), dim, "l_orderkey",
-          expectedItems = math.max(dim.count(), 1L))
+          t(s, d, "lineitem"), dim, "l_orderkey")
         joined.groupBy("o_orderpriority")
           .agg(count(lit(1)).cast("long").as("n"),
             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -577,9 +578,9 @@ object Registry {
             max("event_id").as("last_event"))
           .orderBy("interval_id")
       },
-      Some("""WITH ev AS (SELECT event_id,
+      Some("""WITH ev AS MATERIALIZED (SELECT event_id,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        st AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        st AS MATERIALIZED (SELECT min(us) AS lo, max(us) AS hi FROM ev),
         iv AS (SELECT k::BIGINT AS interval_id,
             lo + k * 2 * ((hi - lo) // 100) AS start_us,
             lo + k * 2 * ((hi - lo) // 100) + ((hi - lo) // 100) AS end_us
@@ -692,7 +693,7 @@ object Registry {
     QueryDef("funnel_steps",
       (s, d) => Metrics.funnelSteps(t(s, d, "events"),
         Seq("view", "click", "purchase"), 2L * 86400L),
-      Some("""WITH ev AS (SELECT user_id, event_type,
+      Some("""WITH ev AS MATERIALIZED (SELECT user_id, event_type,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         s1 AS (SELECT user_id, min(us) AS t1_us FROM ev
           WHERE event_type = 'view' GROUP BY user_id),
@@ -714,7 +715,7 @@ object Registry {
     // (days-since-1970 div 7 — no engine week-anchor convention)
     QueryDef("cohort_retention",
       (s, d) => Metrics.cohortRetention(t(s, d, "events")),
-      Some("""WITH ev AS (SELECT user_id,
+      Some("""WITH ev AS MATERIALIZED (SELECT user_id,
             (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS day
           FROM events),
         f AS (SELECT user_id, min(day) // 7 AS w0 FROM ev GROUP BY user_id),
@@ -737,7 +738,7 @@ object Registry {
           .mkString(" + ")
         s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
             count(*) AS n FROM events GROUP BY 1, 2),
-          e AS (SELECT event_type, day, n,
+          e AS MATERIALIZED (SELECT event_type, day, n,
               row_number() OVER w AS rn,
               ($terms) / ${ws.sum} AS ewma
             FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
@@ -752,14 +753,14 @@ object Registry {
     // quantilesByKey arithmetic) + clip + combinable aggregate
     QueryDef("metrics_winsorized",
       (s, d) => Metrics.winsorizedStats(t(s, d, "events"), "event_type", "value"),
-      Some("""WITH v AS (SELECT event_type, event_id, value FROM events
+      Some("""WITH v AS MATERIALIZED (SELECT event_type, event_id, value FROM events
           WHERE value IS NOT NULL AND event_type IS NOT NULL),
         r AS (SELECT event_type, value,
             row_number() OVER (PARTITION BY event_type
               ORDER BY value, event_id) AS rk,
             count(*) OVER (PARTITION BY event_type) AS nk
           FROM v),
-        c AS (SELECT event_type,
+        c AS MATERIALIZED (SELECT event_type,
             max(CASE WHEN rk <= (50 * nk + 999) // 1000 THEN value END) AS lo,
             max(CASE WHEN rk <= (950 * nk + 999) // 1000 THEN value END) AS hi
           FROM r GROUP BY event_type)
@@ -776,7 +777,7 @@ object Registry {
     // to sentinels (engine null ORDERING differs) + grouping() flags
     QueryDef("metrics_rollup_daily",
       (s, d) => Metrics.rollupDailyCounts(t(s, d, "events")),
-      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+      Some("""WITH e AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day, value
           FROM events)
         SELECT coalesce(event_type, '(all)') AS event_type,
           coalesce(day, DATE '1970-01-01') AS day,
@@ -793,7 +794,7 @@ object Registry {
       (s, d) => Metrics.zorderSkipStats(t(s, d, "events")),
       Some {
         val z = graft.util.ZOrder.zValueSql("x", "y", 8)
-        s"""WITH e AS (SELECT user_id % 256 AS x, event_id % 256 AS y,
+        s"""WITH e AS MATERIALIZED (SELECT user_id % 256 AS x, event_id % 256 AS y,
             event_id FROM events),
           ez AS (SELECT x, y, event_id, $z AS z FROM e),
           rb AS (SELECT x, y,
@@ -831,7 +832,7 @@ object Registry {
     // vs < 1/sec — a per-second cap would be a vacuous no-op query)
     QueryDef("metrics_rate_limit_sample",
       (s, d) => Metrics.rateLimitSample(t(s, d, "events"), 3, 3600L),
-      Some("""WITH e AS (SELECT event_id, event_type,
+      Some("""WITH e AS MATERIALIZED (SELECT event_id, event_type,
             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS sec,
             ('0x' || substr(md5('rate:' || CAST(event_id AS VARCHAR)),
               1, 8))::BIGINT AS coin
@@ -879,7 +880,7 @@ object Registry {
           SELECT event_type, n, 7,
             lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
           FROM daily),
-        c AS (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+        c AS MATERIALIZED (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
             round(corr(n::DOUBLE, p::DOUBLE), 4) AS autocorr
           FROM l WHERE p IS NOT NULL GROUP BY 1, 2)
         SELECT event_type, lag::BIGINT AS lag, n_pairs, autocorr
@@ -893,7 +894,8 @@ object Registry {
             lead(event_type, 1) OVER w || '>' ||
             lead(event_type, 2) OVER w AS path,
             lead(event_type, 2) OVER w AS l2
-          FROM events WINDOW w AS (PARTITION BY user_id
+          FROM events WHERE event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id
             ORDER BY ts, event_id))
         SELECT path, count(*)::BIGINT AS n FROM p WHERE l2 IS NOT NULL
         GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
@@ -906,12 +908,12 @@ object Registry {
         val exp = Metrics.benfordExpected
         val cases = (1 to 9)
           .map(dg => s"WHEN $dg THEN ${exp(dg - 1)}").mkString(" ")
-        s"""WITH v AS (SELECT round(value * 100, 0)::BIGINT AS cents
+        s"""WITH v AS MATERIALIZED (SELECT round(value * 100, 0)::BIGINT AS cents
             FROM events WHERE value IS NOT NULL AND value > 0),
           d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1)::BIGINT
               AS digit FROM v),
-          c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
-          e AS (SELECT digit, n,
+          c AS MATERIALIZED (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+          e AS MATERIALIZED (SELECT digit, n,
               round(n::DOUBLE / sum(n) OVER (), 4) AS share,
               round((CASE digit $cases END)::DOUBLE, 4) AS expected
             FROM c)
@@ -944,7 +946,7 @@ object Registry {
       Some("""WITH o AS (SELECT user_id, event_type,
             lead(event_type) OVER (PARTITION BY user_id
               ORDER BY ts, event_id) AS next_type
-          FROM events),
+          FROM events WHERE event_type IS NOT NULL),
         m AS (SELECT event_type AS from_type, next_type AS to_type,
             count(*) AS n
           FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
@@ -974,7 +976,7 @@ object Registry {
       (s, d) => Metrics.madOutliers(t(s, d, "events"), "event_type", "value"),
       Some {
         val cut = Metrics.madCutoff(3.0)
-        s"""WITH v AS (SELECT event_type, event_id, value FROM events
+        s"""WITH v AS MATERIALIZED (SELECT event_type, event_id, value FROM events
             WHERE value IS NOT NULL AND event_type IS NOT NULL),
           r1 AS (SELECT event_type, value,
               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
@@ -1165,7 +1167,7 @@ object Registry {
 
   private val bm25Terms = Seq("spark", "vector", "merge", "customer", "window")
 
-  private def toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private def toksSql = """regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')"""
 
   private val text = Seq(
     QueryDef("txt_token_stats",
@@ -1204,9 +1206,9 @@ object Registry {
               ELSE [] END"""
         }
         def dupSql(g: String): String =
-          s"""round(CASE WHEN len($g) > 0
+          s"""round((CASE WHEN len($g) > 0
               THEN 1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / len($g)
-              ELSE 0.0 END, 4)"""
+              ELSE 0.0 END)::DOUBLE, 4)"""
         s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
             ${dupSql("bi")} AS dup_bigram_ratio,
             ${dupSql("tri")} AS dup_trigram_ratio
@@ -1218,7 +1220,7 @@ object Registry {
     QueryDef("txt_language_id",
       (s, d) => TextAnalysis.languageId(t(s, d, "documents"), langMarkers),
       Some {
-        val lt = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+        val lt = """regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')"""
         val score = (ws: Seq[String]) =>
           s"len(list_filter($lt, t -> list_contains(${sqlList(ws)}, t)))"
         val langs = langMarkers.toSeq.sortBy(_._1)
@@ -1293,7 +1295,7 @@ object Registry {
               j -> list_min(grams[j:j+15])))
           WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS wins
           FROM g),
-        fp AS (SELECT doc_id, unnest(wins) AS fp FROM wfp),
+        fp AS MATERIALIZED (SELECT doc_id, unnest(wins) AS fp FROM wfp),
         rare AS (SELECT fp FROM fp GROUP BY fp
           HAVING count(DISTINCT doc_id) <= 16),
         kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
@@ -1321,13 +1323,13 @@ object Registry {
               j -> list_min(grams[j:j+15])))
           WHEN len(grams) > 0 THEN [list_min(grams)] ELSE [] END AS wins
           FROM g),
-        fp AS (SELECT doc_id, unnest(wins) AS fp FROM wfp),
+        fp AS MATERIALIZED (SELECT doc_id, unnest(wins) AS fp FROM wfp),
         sizes AS (SELECT doc_id, len(wins)::BIGINT AS n_fp FROM wfp
           WHERE len(wins) > 0),
         rare AS (SELECT fp FROM fp GROUP BY fp
           HAVING count(DISTINCT doc_id) <= 16),
         kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
-        sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        sh AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             count(*)::BIGINT AS n_shared
           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
@@ -1353,9 +1355,9 @@ object Registry {
     QueryDef("txt_unigram_lm",
       (s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents")),
       Some {
-        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
           freq AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
-          tot AS (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
+          tot AS MATERIALIZED (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
           perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
             avg(ln(tf + 1)) AS avg_ln_tf1
           FROM toks JOIN freq USING (token) GROUP BY doc_id)
@@ -1368,7 +1370,7 @@ object Registry {
     // one tagged explode + two-level combinable count
     QueryDef("txt_vocab_growth",
       (s, d) => TextAnalysis.vocabGrowth(t(s, d, "documents"), 4),
-      Some("""WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+      Some("""WITH w AS (SELECT regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
           FROM documents WHERE text IS NOT NULL),
         g AS (
           SELECT 1 AS n, unnest(w) AS gram FROM w
@@ -1408,9 +1410,9 @@ object Registry {
     QueryDef("txt_frequent_tokens",
       (s, d) => TextAnalysis.frequentTokens(t(s, d, "documents"), 40),
       Some {
-        s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS token FROM documents),
           tc AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
-          tot AS (SELECT sum(cnt)::BIGINT AS n FROM tc)
+          tot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS n FROM tc)
           SELECT token, cnt, round(cnt::DOUBLE / n, 6) AS share
           FROM tc CROSS JOIN tot WHERE cnt * 41 > n
           ORDER BY cnt DESC, token"""
@@ -1422,9 +1424,9 @@ object Registry {
     QueryDef("txt_perplexity_buckets",
       (s, d) => TextAnalysis.perplexityBuckets(t(s, d, "documents"), 3),
       Some {
-        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
           freq AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
-          tot AS (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
+          tot AS MATERIALIZED (SELECT sum(tf)::BIGINT AS n_total, count(*)::BIGINT AS n_vocab FROM freq),
           perdoc AS (SELECT doc_id, avg(ln(tf + 1)) AS avg_ln_tf1
             FROM toks JOIN freq USING (token) GROUP BY doc_id),
           sc AS (SELECT p.doc_id, d.source,
@@ -1452,8 +1454,8 @@ object Registry {
         val c2 = s"CAST('${1 - Bm25B}' AS DOUBLE)"  // 1 − b
         val cb = s"CAST('$Bm25B' AS DOUBLE)"        // b
         val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-          dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
           stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
           matched AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
             WHERE token IN $inList GROUP BY doc_id, token),
@@ -1474,7 +1476,7 @@ object Registry {
       (s, d) => TextAnalysis.importanceWeights(
         t(s, d, "documents"), col("lang") === "en", 256),
       Some {
-        s"""WITH toks AS (SELECT doc_id,
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id,
             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
             unnest($toksSql) AS token FROM documents),
           tb AS (SELECT doc_id, is_target,
@@ -1517,9 +1519,9 @@ object Registry {
         s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
           bi AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
             FROM w WHERE len(w) >= 2),
-          c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
-          c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
-          v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM c12)
+          c12 AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+          c1 AS MATERIALIZED (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+          v AS MATERIALIZED (SELECT count(DISTINCT w2)::BIGINT AS v FROM c12)
           SELECT doc_id, count(*)::BIGINT AS n_bigrams,
             round(avg(ln(c1 + v) - ln(c12 + 1)) / ln(2.0), 4) AS bits_per_bigram
           FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
@@ -1534,7 +1536,7 @@ object Registry {
     QueryDef("txt_vocab_coverage",
       (s, d) => TextAnalysis.vocabCoverage(t(s, d, "documents"), 16),
       Some {
-        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
           vocab AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM toks
             GROUP BY token ORDER BY cnt DESC, token LIMIT 16)),
           perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -1552,8 +1554,8 @@ object Registry {
     QueryDef("txt_tfidf_terms",
       (s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"), 5),
       Some {
-        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
-          tf AS (SELECT source, token, count(*)::BIGINT AS tf FROM toks
+        s"""WITH toks AS MATERIALIZED (SELECT source, unnest($toksSql) AS token FROM documents),
+          tf AS MATERIALIZED (SELECT source, token, count(*)::BIGINT AS tf FROM toks
             GROUP BY source, token),
           dfs AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
           ns AS (SELECT count(DISTINCT source)::BIGINT AS n_sources FROM tf),
@@ -1572,8 +1574,8 @@ object Registry {
     QueryDef("txt_zipf_slope",
       (s, d) => TextAnalysis.zipfSlope(t(s, d, "documents")),
       Some {
-        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
-          tf AS (SELECT source, token, count(*) AS cnt FROM toks
+        s"""WITH toks AS MATERIALIZED (SELECT source, unnest($toksSql) AS token FROM documents),
+          tf AS MATERIALIZED (SELECT source, token, count(*) AS cnt FROM toks
             GROUP BY source, token),
           r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
             ORDER BY cnt DESC, token) AS rk FROM tf)
@@ -1591,7 +1593,7 @@ object Registry {
       (s, d) => TextAnalysis.boilerplateNgrams(t(s, d, "documents"), 2, 20),
       Some {
         s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
-          sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
+          sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
             AS gram FROM w),
           d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
           SELECT gram, df FROM d WHERE df >= 2
@@ -1606,7 +1608,7 @@ object Registry {
       (s, d) => TextAnalysis.ngramNovelty(t(s, d, "documents")),
       Some {
         s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
-          sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
+          sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")}))
             AS gram FROM w),
           d AS (SELECT gram, count(*)::BIGINT AS df FROM sh GROUP BY gram)
           SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
@@ -1617,28 +1619,30 @@ object Registry {
           GROUP BY sh.doc_id ORDER BY doc_id"""
       }, bench = true),
 
-    // PMI collocations: one fixed left-associated double ratio over
-    // exact integer counts, ln'd and rounded — identical tree in both
-    // engines; ordering only on the ROUNDED score
+    // PMI collocations, hardened (VERDICT r9 §1): the hashed output is
+    // the exactly-representable LIFT ratio (integer-count products +
+    // one division — IEEE-correctly-rounded, bit-identical on any
+    // engine build), never ln (libm last-ulp drift); ordering only on
+    // the ROUNDED score (same ranking — ln is monotone)
     QueryDef("txt_collocations_pmi",
       (s, d) => TextAnalysis.collocationsPmi(t(s, d, "documents")),
       Some {
         s"""WITH d AS (SELECT $toksSql AS t FROM documents
             WHERE text IS NOT NULL AND len($toksSql) >= 2),
           tok AS (SELECT unnest(t) AS w FROM d),
-          uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+          uni AS MATERIALIZED (SELECT w, count(*) AS cu FROM tok GROUP BY w),
           tu AS (SELECT sum(cu)::DOUBLE AS tot_u FROM uni),
           bx AS (SELECT t, unnest(range(1, len(t))) AS i FROM d),
           big AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM bx),
           bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
           tb AS (SELECT sum(cb)::DOUBLE AS tot_b FROM bc)
           SELECT bc.w1, bc.w2, bc.cb::BIGINT AS n,
-            round(ln((bc.cb::DOUBLE * tot_u * tot_u) /
-              (tot_b * u1.cu * u2.cu)), 4) AS pmi
+            round((bc.cb::DOUBLE * tot_u * tot_u) /
+              (tot_b * u1.cu * u2.cu), 4) AS lift
           FROM bc CROSS JOIN tu CROSS JOIN tb
           JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
           WHERE bc.cb >= 5
-          ORDER BY pmi DESC, w1, w2"""
+          ORDER BY lift DESC, w1, w2"""
       }, bench = true),
 
     // Burrows' Delta stylometric source distance: z-scores of the
@@ -1649,17 +1653,17 @@ object Registry {
       Some {
         s"""WITH tok AS (SELECT source, unnest($toksSql) AS w
             FROM documents WHERE text IS NOT NULL),
-          sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
-          tot AS (SELECT source, sum(c) AS tot FROM sw GROUP BY source),
+          sw AS MATERIALIZED (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          tot AS MATERIALIZED (SELECT source, sum(c) AS tot FROM sw GROUP BY source),
           gl AS (SELECT w, sum(c) AS gc FROM sw GROUP BY w),
           fw AS (SELECT w FROM gl ORDER BY gc DESC, w LIMIT 10),
           grid AS (SELECT fw.w, t.source,
               coalesce(sw.c, 0)::DOUBLE / t.tot AS f
             FROM fw CROSS JOIN tot t
             LEFT JOIN sw ON sw.w = fw.w AND sw.source = t.source),
-          st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+          st AS MATERIALIZED (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
             FROM grid GROUP BY w),
-          z AS (SELECT g.source, g.w,
+          z AS MATERIALIZED (SELECT g.source, g.w,
               CASE WHEN st.sd > 0 THEN (g.f - st.mu) / st.sd
                 ELSE 0.0 END AS z
             FROM grid g JOIN st USING (w))
@@ -1677,10 +1681,10 @@ object Registry {
     QueryDef("txt_langid_trigram",
       (s, d) => TextAnalysis.trigramLangId(t(s, d, "documents")),
       Some("""WITH d AS (SELECT doc_id, lang,
-            regexp_replace(lower(trim(text)), '\s+', '_', 'g') AS s
+            regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', '_', 'g') AS s
           FROM documents WHERE text IS NOT NULL),
         dd AS (SELECT doc_id, lang, s FROM d WHERE length(s) >= 3),
-        tg AS (SELECT doc_id, lang,
+        tg AS MATERIALIZED (SELECT doc_id, lang,
             unnest(list_transform(range(1, length(s) - 1),
               i -> substr(s, i, 3))) AS tg
           FROM dd),
@@ -1708,9 +1712,9 @@ object Registry {
         s"""WITH $forgedSentencesCte,
           s1 AS (SELECT doc_id,
               list_filter(list_transform(
-                regexp_split_to_array(trim(text), '[.!?]\\s+'),
+                regexp_split_to_array(trim(text), '[.!?][ \\t\\n\\x0B\\f\\r]+'),
                 x -> regexp_replace(x, '[.!?]+$$', '')), x -> x <> '') AS ss,
-              regexp_split_to_array(trim(text), '\\s+') AS tk
+              regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tk
             FROM b WHERE text IS NOT NULL),
           m AS (SELECT doc_id, len(ss) AS n_sentences, len(tk) AS n_words,
               list_sum(list_transform(tk, w -> greatest(1,
@@ -1781,10 +1785,10 @@ object Registry {
       val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
       s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM ${p}sig"
     }.mkString(" UNION ALL ")
-    s"""${p}words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src $where),
-      ${p}sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM ${p}words),
+    s"""${p}words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM $src $where),
+      ${p}sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql("w")} AS sh FROM ${p}words),
       ${p}sigs AS (SELECT doc_id, $hs FROM ${p}sh),
-      ${p}sig AS (SELECT doc_id, $sigList AS sig FROM ${p}sigs),
+      ${p}sig AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM ${p}sigs),
       ${p}bands AS ($bandKeys)"""
   }
 
@@ -1806,11 +1810,11 @@ object Registry {
     def fp(half: String) = (0 until 32).map(b =>
       s"CASE WHEN ${half}$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
       .mkString(" | ")
-    s"""toks AS (SELECT doc_id,
+    s"""toks AS MATERIALIZED (SELECT doc_id,
         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
         FROM documents),
-      v AS (SELECT doc_id, ${votes("hi", 1)}, ${votes("lo", 9)} FROM toks GROUP BY doc_id),
-      fp AS (SELECT doc_id, ${fp("hi")} AS hi, ${fp("lo")} AS lo FROM v)"""
+      v AS MATERIALIZED (SELECT doc_id, ${votes("hi", 1)}, ${votes("lo", 9)} FROM toks GROUP BY doc_id),
+      fp AS MATERIALIZED (SELECT doc_id, ${fp("hi")} AS hi, ${fp("lo")} AS lo FROM v)"""
   }
 
   private val dedup = Seq(
@@ -1830,9 +1834,9 @@ object Registry {
       },
       Some {
         val hs = (0 until 8).map(j => s"coalesce(${minhashSliceSql(j)}, '')")
-        s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
             FROM documents),
-          sh AS (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words)
+          sh AS MATERIALIZED (SELECT doc_id, ${shinglesSql("w")} AS sh FROM words)
           SELECT doc_id, ${hs.mkString(" || '-' || ")} AS sig
           FROM sh ORDER BY doc_id"""
       }, bench = true),
@@ -1905,11 +1909,11 @@ object Registry {
       (s, d) => Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4),
       Some {
         s"""WITH RECURSIVE $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION SELECT doc_b, doc_a FROM cand),
           reach(src, dst) AS (
             SELECT src, dst FROM sym
@@ -1934,11 +1938,11 @@ object Registry {
       },
       Some {
         s"""WITH RECURSIVE $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION SELECT doc_b, doc_a FROM cand),
           reach(src, dst) AS (
             SELECT src, dst FROM sym
@@ -1980,15 +1984,15 @@ object Registry {
             FROM documents d CROSS JOIN nn)"""
         }.mkString(",\n")
         s"""WITH $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION ALL SELECT doc_b, doc_a FROM cand),
-          deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM sym
+          deg AS MATERIALIZED (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM sym
             GROUP BY src),
-          nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+          nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
           pr0 AS (SELECT doc_id, 1.0 / nn.n AS r FROM documents
             CROSS JOIN nn),
           $iters
@@ -2046,11 +2050,11 @@ object Registry {
         Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4)),
       Some {
         s"""WITH RECURSIVE $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION SELECT doc_b, doc_a FROM cand),
           reach(src, dst) AS (
             SELECT src, dst FROM sym
@@ -2076,11 +2080,11 @@ object Registry {
         Dedup.duplicateClusters(t(s, d, "documents"), 3, 8, 4)),
       Some {
         s"""WITH RECURSIVE $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION SELECT doc_b, doc_a FROM cand),
           reach(src, dst) AS (
             SELECT src, dst FROM sym
@@ -2105,12 +2109,12 @@ object Registry {
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), 3, 8, 4, 0.8),
       Some {
         s"""WITH $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          toks AS (SELECT doc_id,
-            list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+          toks AS MATERIALIZED (SELECT doc_id,
+            list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS toks FROM documents),
           j AS (SELECT doc_a, doc_b,
             CAST(len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS DOUBLE) /
               (len(ta.toks) + len(tb.toks) -
@@ -2126,9 +2130,9 @@ object Registry {
     QueryDef("dedup_prefix_jaccard",
       (s, d) => Dedup.prefixJaccardPairs(t(s, d, "documents"), 3, 0.5),
       Some("""WITH w AS (SELECT doc_id,
-            regexp_split_to_array(trim(text), '\s+') AS w
+            regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS w
           FROM documents WHERE text IS NOT NULL),
-        sh AS (SELECT doc_id,
+        sh AS MATERIALIZED (SELECT doc_id,
             list_distinct([array_to_string(w[i:i+2], ' ')
               FOR i IN range(1, len(w) - 1)]) AS ts
           FROM w WHERE len(w) >= 3),
@@ -2181,7 +2185,7 @@ object Registry {
     QueryDef("dedup_embedding_cosine",
       (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 4, 0.35),
       Some {
-        s"""WITH v AS (SELECT vec_id,
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
           b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v)
           SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
@@ -2199,9 +2203,9 @@ object Registry {
     // graft_topk_tag heap
     QueryDef("sim_hard_negatives",
       (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
-      Some("""WITH v AS (SELECT vec_id, label,
+      Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-        q AS (SELECT vec_id AS qid, vec AS qvec, label AS qlabel FROM v WHERE vec_id < 5),
+        q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec, label AS qlabel FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
           (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
@@ -2218,9 +2222,9 @@ object Registry {
     QueryDef("dedup_semantic",
       (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), 0.3),
       Some {
-        s"""WITH v AS (SELECT vec_id, label,
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-          n AS (SELECT vec_id, label, vec,
+          n AS MATERIALIZED (SELECT vec_id, label, vec,
             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v),
           dups AS (SELECT b.vec_id, count(*)::BIGINT AS n_earlier_dups
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -2273,7 +2277,7 @@ object Registry {
             WHERE a.key IS NOT NULL),
           ring AS (SELECT i AS doc_a, i + 1 AS doc_b FROM range(29) t(i)
             UNION ALL SELECT i, i + 2 FROM range(28) t(i)),
-          e AS (SELECT DISTINCT doc_a, doc_b FROM
+          e AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM
             (SELECT * FROM mh UNION ALL SELECT * FROM ring))
           SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
           FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
@@ -2360,9 +2364,9 @@ object Registry {
   private val similarity = Seq(
     QueryDef("sim_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
-      Some("""WITH v AS (SELECT vec_id, label,
+      Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-        q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
           (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
@@ -2381,9 +2385,9 @@ object Registry {
       (s, d) => Similarity.truncatedTopK(
         Similarity.truncateEmbeddings(t(s, d, "embeddings"), 32),
         Seq(0L, 1L, 2L, 3L, 4L), 10),
-      Some("""WITH v AS (SELECT vec_id, label,
+      Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE))[1:32] AS vec FROM embeddings),
-        q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
           (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
@@ -2399,10 +2403,10 @@ object Registry {
       Some {
         // mirror srpBucket (see srpBucketSql): dimension derived from
         // the row (len(vec)), matching the Scala side's dim discovery
-        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
           b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v),
-          q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+          q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
           sc AS (SELECT q.query_id, b.vec_id,
             list_sum(list_transform(list_zip(q.qvec, b.vec), p -> p[1] * p[2])) /
             (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
@@ -2431,10 +2435,10 @@ object Registry {
           s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
              (sqrt(list_sum(list_transform($a, x -> x * x))) *
               sqrt(list_sum(list_transform($b, x -> x * x))))"""
-        s"""WITH v AS (SELECT vec_id, label,
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
           cent AS (SELECT label, $centroid AS c FROM v GROUP BY label),
-          q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+          q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
           cells AS (SELECT query_id, qvec, label FROM (
             SELECT q.query_id, q.qvec, cent.label,
               row_number() OVER (PARTITION BY q.query_id
@@ -2456,7 +2460,7 @@ object Registry {
         val dim = 64
         val sums = (1 to dim).map(i => s"sum(vec[$i]) AS s$i").mkString(", ")
         val sq = (1 to dim).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
-        s"""WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        s"""WITH v AS MATERIALIZED (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
           agg AS (SELECT label, count(*) AS n, $sums FROM v GROUP BY label)
           SELECT label, n, round(sqrt($sq), 4) AS centroid_norm
@@ -2560,7 +2564,7 @@ object Registry {
     QueryDef("sim_binary_hamming_topk",
       (s, d) => Similarity.hammingTopK(t(s, d, "embeddings"),
         Seq(0L, 1L, 2L, 3L, 4L), 10),
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      Some("""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < 5),
         dist AS (SELECT q.query_id, e.vec_id,
             CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
@@ -2656,16 +2660,16 @@ object Registry {
           s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
             (sqrt(list_sum(list_transform($a, x -> x * x))) *
              sqrt(list_sum(list_transform($b, x -> x * x)))))"""
-        s"""WITH v AS (SELECT vec_id,
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
-          q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+          q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
           sc AS (SELECT q.qid, v.vec_id, v.vec, ${cos("q.qvec", "v.vec")} AS rel
             FROM q, v WHERE v.vec_id <> q.qid),
-          cand AS (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+          cand AS MATERIALIZED (SELECT qid, vec_id, vec, rel FROM (SELECT *,
               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
             FROM sc) WHERE rk <= 10),
-          p1 AS (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+          p1 AS MATERIALIZED (SELECT qid, vec_id, vec, rel FROM (SELECT *,
               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS r
             FROM cand) WHERE r = 1),
           s2 AS (SELECT c.qid, c.vec_id, c.vec, c.rel,
@@ -2700,12 +2704,12 @@ object Registry {
           s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
             (sqrt(list_sum(list_transform($a, x -> x * x))) *
              sqrt(list_sum(list_transform($b, x -> x * x)))))"""
-        s"""WITH e AS (SELECT vec_id, label,
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings),
           u AS (SELECT label, unnest(vec) AS val,
             unnest(range(1, len(vec) + 1)) AS dim FROM e),
-          c AS (SELECT label, dim, avg(val) AS cv FROM u GROUP BY label, dim),
+          c AS MATERIALIZED (SELECT label, dim, avg(val) AS cv FROM u GROUP BY label, dim),
           cent AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label),
           sc AS (SELECT e.vec_id, e.label,
             round(${cos("e.vec", "cent.cvec")}, 4) AS cos_centroid
@@ -2723,16 +2727,16 @@ object Registry {
     QueryDef("sim_centroid_drift",
       (s, d) => Similarity.centroidDrift(t(s, d, "embeddings"))
         .withColumn("label", col("label").cast("long")),
-      Some("""WITH e AS (SELECT label, vec_id % 2 AS half,
+      Some("""WITH e AS MATERIALIZED (SELECT label, vec_id % 2 AS half,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings WHERE embedding IS NOT NULL
             AND len(embedding) = (SELECT max(len(embedding))
               FROM embeddings WHERE embedding IS NOT NULL)),
-        x AS (SELECT label, half, v,
+        x AS MATERIALIZED (SELECT label, half, v,
             unnest(range(1, len(v) + 1)) AS i FROM e),
         s AS (SELECT label, half, i, sum(v[i]) AS sm, count(*) AS n
           FROM x GROUP BY 1, 2, 3),
-        c AS (SELECT label, half, max(n) AS n,
+        c AS MATERIALIZED (SELECT label, half, max(n) AS n,
             list(round(sm / n, 6) ORDER BY i) AS cv
           FROM s GROUP BY label, half)
         SELECT a.label::BIGINT AS label, a.n::BIGINT AS n_a,
@@ -2758,7 +2762,7 @@ object Registry {
             .otherwise(col("embedding")))
         Similarity.embeddingHealth(emb)
       },
-      Some("""WITH e AS (SELECT vec_id, label,
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, label,
             CASE WHEN vec_id % 37 = 0 THEN NULL
               WHEN vec_id % 53 = 1 THEN
                 list_transform(embedding, x -> CAST(0.0 AS REAL))
@@ -2947,7 +2951,7 @@ object Registry {
       Some {
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
-          q AS (SELECT doc_id, lang, source, len($toksSql) AS n_tokens,
+          q AS MATERIALIZED (SELECT doc_id, lang, source, len($toksSql) AS n_tokens,
             round(CAST(len(list_filter($toksSql, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE)
               / len($toksSql), 4) AS stopword_ratio
             FROM documents)
@@ -2997,7 +3001,7 @@ object Registry {
           docs.filter(col("doc_id") % 50 === 0), 3)
       },
       Some {
-        s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
           eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram
             FROM toks WHERE doc_id % 50 = 0),
           dg AS (SELECT doc_id, unnest(${shinglesSql("w")}) AS gram
@@ -3018,7 +3022,7 @@ object Registry {
           docs.filter(col("doc_id") % 50 === 0), 3)
       },
       Some {
-        s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
           eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram
             FROM toks WHERE doc_id % 50 = 0),
           dg AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("w")})) AS gram
@@ -3057,7 +3061,7 @@ object Registry {
           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
         o AS (SELECT doc_id, md5(text) AS old_md5, TRUE AS in_old
           FROM documents),
-        n AS (SELECT doc_id, md5(text) AS new_md5, TRUE AS in_new
+        n AS MATERIALIZED (SELECT doc_id, md5(text) AS new_md5, TRUE AS in_new
           FROM newdocs),
         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             old_md5, new_md5, in_old, in_new
@@ -3082,8 +3086,8 @@ object Registry {
           unnest(list_transform(range(1, length(text)),
             i -> substr(text, i, 2))) AS g
           FROM documents WHERE length(text) >= 2),
-        c AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
-        e AS (SELECT doc_id, sum(c)::BIGINT AS nb,
+        c AS MATERIALIZED (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        e AS MATERIALIZED (SELECT doc_id, sum(c)::BIGINT AS nb,
           round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 4) + 0.0 AS h
           FROM c GROUP BY doc_id)
         SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
@@ -3096,7 +3100,7 @@ object Registry {
     // pairs (the corpus-scan step the merge loop repeats)
     QueryDef("txt_bpe_pairs",
       (s, d) => TextAnalysis.bpePairCounts(t(s, d, "documents"), 20),
-      Some("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      Some("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS w
           FROM documents),
         p AS (SELECT unnest(list_transform(range(1, length(w)),
           i -> substr(w, i, 2))) AS pair FROM w WHERE length(w) >= 2)
@@ -3128,7 +3132,7 @@ object Registry {
                 wl[wi][(b[wi]%10000)+2:]) END) AS wl FROM s$k)"""
         }.mkString(",\n")
         s"""WITH r0 AS (SELECT doc_id,
-            list_transform(regexp_split_to_array(trim(text), '\\s+'),
+            list_transform(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
               w -> list_transform(range(1, length(w)+1), i -> w[i:i])) AS wl
             FROM documents WHERE text IS NOT NULL),
           $rounds
@@ -3142,7 +3146,7 @@ object Registry {
     // the frequency-shape sourceDrift panel)
     QueryDef("txt_vocab_overlap",
       (s, d) => TextAnalysis.sourceVocabOverlap(t(s, d, "documents")),
-      Some("""WITH sv AS (SELECT DISTINCT source,
+      Some("""WITH sv AS MATERIALIZED (SELECT DISTINCT source,
             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
               t -> t <> '')) AS token
           FROM documents),
@@ -3196,7 +3200,7 @@ object Registry {
     QueryDef("corpus_health_report",
       (s, d) => CorpusOps.sourceHealthReport(t(s, d, "documents")),
       Some("""SELECT source, count(*)::BIGINT AS n_docs,
-          sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_tokens,
+          sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')))::BIGINT AS n_tokens,
           round(avg(n_chars), 2) AS mean_chars,
           round(1.0 - count(DISTINCT
               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::DOUBLE
@@ -3243,7 +3247,7 @@ object Registry {
     QueryDef("txt_rake_keywords",
       (s, d) => TextAnalysis.rakeKeywords(t(s, d, "documents"), stopwords, 3),
       Some {
-        s"""WITH toks AS (SELECT doc_id,
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
               t -> t <> '') AS tk FROM documents),
           segs AS (SELECT doc_id, str_split(array_to_string(
@@ -3309,7 +3313,7 @@ object Registry {
         60L, "mix1"),
       Some("""WITH tgt(source, permille) AS (VALUES
           ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)),
-        thr AS (SELECT d.source,
+        thr AS MATERIALIZED (SELECT d.source,
             least(4294967296, ((permille * 60) // 1000) * 4294967296 // count(*)) AS thr
           FROM documents d JOIN tgt USING (source) GROUP BY d.source, permille)
         SELECT doc_id, lang, source FROM documents JOIN thr USING (source)
@@ -3346,8 +3350,8 @@ object Registry {
           lines AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line,
             unnest(generate_series(1, len(str_split(t, chr(10))))) AS pos FROM lined),
           norm AS (SELECT doc_id, pos, line,
-            md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')) AS lh,
-            len(list_filter(regexp_split_to_array(trim(line), '\\s+'), w -> w <> '')) AS nw
+            md5(regexp_replace(lower(trim(line)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS lh,
+            len(list_filter(regexp_split_to_array(trim(line), '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) AS nw
           FROM lines),
           freq AS (SELECT lh FROM norm GROUP BY lh HAVING count(DISTINCT doc_id) > 2),
           kept AS (SELECT * FROM norm WHERE nw >= 3
@@ -3584,7 +3588,7 @@ object Registry {
         minWords = 10, maxWords = 1000, stopwords = stopwords),
       Some {
         s"""WITH w AS (SELECT doc_id,
-            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
               x -> x <> '') AS ws
           FROM documents),
         s AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
@@ -3612,7 +3616,7 @@ object Registry {
       (s, d) => CorpusOps.chunkWindows(t(s, d, "documents"), 32, 24),
       Some {
         s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
-          c AS (SELECT doc_id, unnest(range(0, len(w), 24)) AS st, w FROM w)
+          c AS MATERIALIZED (SELECT doc_id, unnest(range(0, len(w), 24)) AS st, w FROM w)
           SELECT doc_id, (st // 24)::BIGINT AS chunk_id, st::BIGINT AS chunk_start,
             len(w[st+1:st+32])::BIGINT AS chunk_tokens,
             md5(array_to_string(w[st+1:st+32], ' ')) AS chunk_md5
@@ -3625,13 +3629,13 @@ object Registry {
     QueryDef("corpus_source_drift",
       (s, d) => TextAnalysis.sourceDrift(t(s, d, "documents")),
       Some {
-        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token FROM documents),
-          st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
+        s"""WITH toks AS MATERIALIZED (SELECT source, unnest($toksSql) AS token FROM documents),
+          st AS MATERIALIZED (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
             GROUP BY source, token),
           ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY token),
           ns AS (SELECT source, sum(c_st)::BIGINT AS n_s, count(*)::BIGINT AS vocab
             FROM st GROUP BY source),
-          n AS (SELECT sum(c_t)::BIGINT AS n FROM ct),
+          n AS MATERIALIZED (SELECT sum(c_t)::BIGINT AS n FROM ct),
           agg AS (SELECT source, sum(c_st * (ln(c_st) - ln(c_t))) AS s
             FROM st JOIN ct USING (token) GROUP BY source)
           SELECT source, n_s AS n_tokens, vocab,
@@ -3644,15 +3648,15 @@ object Registry {
     QueryDef("corpus_source_js",
       (s, d) => TextAnalysis.sourceJsDivergence(t(s, d, "documents")),
       Some {
-        s"""WITH toks AS (SELECT source, unnest($toksSql) AS token
+        s"""WITH toks AS MATERIALIZED (SELECT source, unnest($toksSql) AS token
             FROM documents),
-          st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
+          st AS MATERIALIZED (SELECT source, token, count(*)::BIGINT AS c_st FROM toks
             GROUP BY source, token),
           ct AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st
             GROUP BY token),
           ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st
             GROUP BY source),
-          n AS (SELECT sum(c_t)::BIGINT AS n FROM ct),
+          n AS MATERIALIZED (SELECT sum(c_t)::BIGINT AS n FROM ct),
           terms AS (SELECT st.source,
               (c_st::DOUBLE / n_s) AS p, (c_t::DOUBLE / n) AS q
             FROM st JOIN ct USING (token) JOIN ns USING (source)
@@ -3676,11 +3680,11 @@ object Registry {
       (s, d) => Dedup.leakageSafeSplit(t(s, d, "documents"), 3, 8, 4, 200),
       Some {
         s"""WITH RECURSIVE $minhashBandsCtes,
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
             WHERE a.key IS NOT NULL),
-          sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand
             UNION SELECT doc_b, doc_a FROM cand),
           reach(src, dst) AS (
             SELECT src, dst FROM sym
@@ -3704,7 +3708,7 @@ object Registry {
     QueryDef("corpus_mix_weights",
       (s, d) => CorpusOps.sourceMixWeights(t(s, d, "documents"), 0.7, 1000000L),
       Some("""WITH per AS (SELECT source,
-          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+          coalesce(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))), 0)::BIGINT
             AS n_tokens
           FROM documents GROUP BY source)
         SELECT source, n_tokens,
@@ -3722,7 +3726,7 @@ object Registry {
     QueryDef("corpus_quantile_normalize",
       (s, d) => CorpusOps.quantileNormalize(t(s, d, "documents"), stopwords),
       Some {
-        val w = """regexp_split_to_array(trim(text), '\s+')"""
+        val w = """regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')"""
         s"""WITH sc AS (SELECT doc_id, source,
             coalesce(round(CAST(len(list_filter($w,
               t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE) /
@@ -3749,16 +3753,16 @@ object Registry {
     QueryDef("corpus_quota_plan",
       (s, d) => CorpusOps.quotaPlan(t(s, d, "documents"), 10000L),
       Some("""WITH per AS (SELECT source,
-          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+          coalesce(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))), 0)::BIGINT
             AS n_tokens
           FROM documents GROUP BY source),
-        tot AS (SELECT sum(n_tokens)::BIGINT AS n FROM per),
-        q AS (SELECT source, n_tokens,
+        tot AS MATERIALIZED (SELECT sum(n_tokens)::BIGINT AS n FROM per),
+        q AS MATERIALIZED (SELECT source, n_tokens,
             (10000 * n_tokens) // n AS base, (10000 * n_tokens) % n AS rem
           FROM per CROSS JOIN tot),
         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
           FROM q),
-        x AS (SELECT 10000 - sum(base)::BIGINT AS extras FROM r)
+        x AS MATERIALIZED (SELECT 10000 - sum(base)::BIGINT AS extras FROM r)
         SELECT source, n_tokens,
           (base + CASE WHEN rk <= extras THEN 1 ELSE 0 END)::BIGINT AS quota,
           rk <= extras AS got_extra
@@ -3798,7 +3802,7 @@ object Registry {
       Some("""SELECT count(*)::BIGINT AS n_docs,
           count(DISTINCT source)::BIGINT AS n_sources,
           count(DISTINCT lang)::BIGINT AS n_langs,
-          coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0)::BIGINT
+          coalesce(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))), 0)::BIGINT
             AS n_tokens,
           round(avg(n_chars), 2) AS mean_chars,
           round(1.0 - count(DISTINCT
@@ -3864,14 +3868,14 @@ object Registry {
         s"""WITH RECURSIVE $forgedSentencesCte,
           sen1 AS (SELECT doc_id,
               list_filter(list_transform(
-                regexp_split_to_array(trim(text), '[.!?]\\s+'),
+                regexp_split_to_array(trim(text), '[.!?][ \\t\\n\\x0B\\f\\r]+'),
                 x -> regexp_replace(trim(x), '[.!?]+$$', '')),
                 x -> x <> '') AS ss
             FROM b WHERE text IS NOT NULL),
           senx AS (SELECT doc_id, ss,
               unnest(range(1, len(ss)+1)) AS idx FROM sen1),
           sen AS (SELECT doc_id, idx, ss[idx] AS sent,
-              len(regexp_split_to_array(ss[idx], '\\s+')) AS ntok
+              len(regexp_split_to_array(ss[idx], '[ \\t\\n\\x0B\\f\\r]+')) AS ntok
             FROM senx),
           walk AS (
             SELECT doc_id, idx, sent, ntok, 1 AS chunk_id, ntok AS cur
@@ -3924,7 +3928,7 @@ object Registry {
       (s, d) => CorpusOps.qualityLengthCorrelation(
         t(s, d, "documents"), stopwords),
       Some {
-        val w = """regexp_split_to_array(trim(text), '\s+')"""
+        val w = """regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')"""
         s"""WITH sc AS (SELECT source, n_chars::DOUBLE AS len,
             round(len(list_filter($w,
               t -> list_contains(${sqlList(stopwords)}, t)))::DOUBLE
@@ -3941,9 +3945,9 @@ object Registry {
     QueryDef("corpus_e2e_stats",
       (s, d) => CorpusOps.buildCorpusStats(t(s, d, "documents"), stopwords, 97),
       Some {
-        s"""WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        s"""WITH train AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 97 <> 0),
           w AS (SELECT doc_id,
-              list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                 x -> x <> '') AS ws
             FROM train),
           gs AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
@@ -3957,13 +3961,13 @@ object Registry {
                 x -> list_contains(${sqlList(stopwords)}, lower(x))))::BIGINT
                 AS stop_hits
             FROM w),
-          q AS (SELECT t.* FROM train t JOIN gs ON gs.doc_id = t.doc_id
+          q AS MATERIALIZED (SELECT t.* FROM train t JOIN gs ON gs.doc_id = t.doc_id
             WHERE gs.n_words >= 10 AND gs.n_words <= 1000
               AND gs.mean_word_len >= 3.0 AND gs.mean_word_len <= 10.0
               AND gs.alpha_frac >= 0.8 AND gs.stop_hits >= 2),
           u AS (SELECT min(doc_id) AS doc_id FROM q
             GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
-          qq AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM u)),
+          qq AS MATERIALIZED (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM u)),
           etoks AS (SELECT $toksSql AS w FROM documents WHERE doc_id % 97 = 0),
           eg AS (SELECT DISTINCT unnest(${shinglesSql("w")}) AS gram FROM etoks),
           dtoks AS (SELECT doc_id, $toksSql AS w FROM qq),
@@ -4028,7 +4032,7 @@ object Registry {
               FOR i IN range(0, len(w))], ' ') AS input_text,
             coalesce(array_to_string([w[i + 1] FOR i IN range(0, len(w))
               IF $coin], ' '), '') AS targets,
-            len([i FOR i IN range(0, len(w)) IF $coin])::BIGINT AS n_masked,
+            coalesce(len([i FOR i IN range(0, len(w)) IF $coin]), 0)::BIGINT AS n_masked,
             len(w)::BIGINT AS n_tokens
           FROM w ORDER BY doc_id"""
       }, bench = true),
@@ -4070,8 +4074,8 @@ object Registry {
             CASE WHEN doc_id % 3 = 0 THEN text
               ELSE '$htmlFixturePre' || text || '$htmlFixtureSuf' END
               AS html FROM documents),
-          c AS (SELECT doc_id, html,
-            trim(regexp_replace($entity, '\\s+', ' ', 'g')) AS text_clean
+          c AS MATERIALIZED (SELECT doc_id, html,
+            trim(regexp_replace($entity, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_clean
             FROM h)
           SELECT doc_id, text_clean,
             (length(html) - length(text_clean))::BIGINT AS n_chars_removed
@@ -4089,8 +4093,8 @@ object Registry {
       (s, d) => CorpusOps.stratifiedQualitySample(t(s, d, "documents"),
         stopwords, 10, 10, "strat"),
       Some {
-        val w = """regexp_split_to_array(trim(text), '\s+')"""
-        s"""WITH q AS (SELECT doc_id,
+        val w = """regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')"""
+        s"""WITH q AS MATERIALIZED (SELECT doc_id,
             coalesce(round(CAST(len(list_filter($w,
               t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE) /
               len($w), 4), -1.0) AS score
@@ -4121,7 +4125,7 @@ object Registry {
     all.map(q => q.name -> q.build).toMap
 
   val oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
+    all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim)).toMap
 
   val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
 }

@@ -183,21 +183,31 @@ object SparkUtil {
     * `expectedItems` must be ≥ the build side's key cardinality: an
     * undersized sketch silently degrades the fpp (prefilter lets more
     * rows through — correctness unaffected, the perf win shrinks).
+    * Pass ≤ 0 (the default) to derive it from the build side's row
+    * count — always ≥ key cardinality, and free given the
+    * materialization below.
     * The membership probe is a Scala UDF by necessity and justified
     * (the repo's Bloom-UDF precedent, Dedup.bloomAdmit): the sketch's
     * Murmur3 probe sequence has no Catalyst form, and the UDF holds
     * only a broadcast reference. */
-  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, key: String,
-                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+  def bloomPrefilterJoin(probe: DataFrame, buildIn: DataFrame, key: String,
+                         expectedItems: Long = -1L,
+                         fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // fan-out checkpoint discipline (ADVICE r9): the build side has
+    // THREE consumers — the emptiness/cardinality count, the sketch
+    // build, and the real join — and an expensive build subplan would
+    // otherwise execute three times (ReuseExchange does not cover
+    // differently-shaped consumers). Materialize it ONCE.
+    val build = buildIn.localCheckpoint(true)
+    val nBuild = build.count()
     // an EMPTY build side NPEs stat.bloomFilter (the round-7
     // bloomAdmissionPipeline pitfall) — the correct join result is
-    // empty anyway, so short-circuit with the plain (empty) join; the
-    // limit(1) probe costs one build-side partition scan
-    if (build.limit(1).count() == 0) return probe.join(build, key)
+    // empty anyway, so short-circuit with the plain (empty) join
+    if (nBuild == 0) return probe.join(build, key)
+    val items = if (expectedItems > 0) expectedItems else nBuild
     // key-type dispatch: the sketch probes longs for integral keys and
     // UTF-8 strings otherwise — a blanket cast("long") would THROW on
     // string keys under ANSI (or silently null-empty the prefilter
@@ -219,14 +229,14 @@ object SparkUtil {
     }
     if (integral) {
       val bf = build.select(col(key).cast("long").as("__k"))
-        .stat.bloomFilter("__k", expectedItems, fpp)
+        .stat.bloomFilter("__k", items, fpp)
       val bc = probe.sparkSession.sparkContext.broadcast(bf)
       val mightContain =
         udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
       probe.filter(mightContain(col(key).cast("long"))).join(build, key)
     } else {
       val bf = build.select(col(key).as("__k"))
-        .stat.bloomFilter("__k", expectedItems, fpp)
+        .stat.bloomFilter("__k", items, fpp)
       val bc = probe.sparkSession.sparkContext.broadcast(bf)
       val mightContain =
         udf((k: String) => k != null && bc.value.mightContainString(k))

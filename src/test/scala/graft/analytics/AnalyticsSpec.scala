@@ -1263,6 +1263,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad == 0, "uneven buckets — ranks were not exact")
   }
 
+  test("cumulativeTokens skew-safe survives the AQE divergent-coalesce shape") {
+    // ADVICE r9: the skew-safe branch uses the same pid-stamp pattern
+    // as rankByKey (repartitionByRange + spark_partition_id with two
+    // consumers: offsets aggregate and join side) and was exposed to
+    // the same round-9 AQE hazard — per-consumer coalesced-read specs
+    // diverging under a union + coalesce(1) write. The eager
+    // localCheckpoint pins one partition map; this pins the fix: the
+    // skew-safe output written through that exact shape must equal the
+    // plain-window prefix sum bit-for-bit.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_cum_aqe").toString
+    val skewed = graft.analytics.CorpusOps.cumulativeTokens(d, skewSafe = Some(true))
+    skewed.union(skewed)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).select("doc_id", "cum_tokens")
+    val truth = graft.analytics.CorpusOps.cumulativeTokens(d, skewSafe = Some(false))
+      .select("doc_id", "cum_tokens")
+    assert(back.count() == 2 * d.count(), "row leak through the union")
+    // distinct of the union must be EXACTLY the truth set: if the two
+    // branches observed different partition maps, a doc appears with
+    // two different cum_tokens and the distinct set grows
+    assert(back.distinct().count() == d.count(),
+      "the two union branches disagreed — divergent partition maps")
+    assert(back.distinct().except(truth).isEmpty,
+      "skew-safe cum_tokens diverged from the window prefix sum under coalesce(1)")
+  }
+
   test("corpus ops: selection composes gates; sampling is deterministic; budget cuts in order") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 

@@ -176,6 +176,14 @@ class BucketingSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffled join under broadcast-off:\n$plan")
 
+      // derived expectedItems (the ≤0 default): identical result from
+      // the single internal build-side count — no caller-side count()
+      // re-executing the build plan (ADVICE r9)
+      val gotD = SparkUtil.bloomPrefilterJoin(probe, build, "k")
+        .select("rid", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(gotD == want, "derived-expectedItems path changed the join result")
+
       // EMPTY build side: stat.bloomFilter NPEs on zero rows (the
       // round-7 pitfall) — the util must return the correct empty join
       assert(SparkUtil.bloomPrefilterJoin(probe,
