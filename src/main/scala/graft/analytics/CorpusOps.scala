@@ -679,6 +679,7 @@ object CorpusOps {
     import graft.analytics.Similarity
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
     // eager checkpoint: the centroid broadcast-join argmax feeds BOTH

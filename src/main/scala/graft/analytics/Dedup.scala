@@ -608,6 +608,7 @@ object Dedup {
                             dimOpt: Option[Int] = None): DataFrame = {
     val dim = dimOpt.getOrElse(Similarity.embeddingDim(embeddings))
     val v = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
       .withColumn("bucket", Similarity.srpBucket(col("vec"), dim, nBits))
     val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
@@ -660,6 +661,7 @@ object Dedup {
     require(splitBits >= 1 && splitBits <= 30,
       s"splitBits must be in [1,30]: $splitBits")
     val v = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
     val keyed =

@@ -82,6 +82,7 @@ object Similarity {
     * aggregate (see [[heapTopK]]). */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -105,6 +106,7 @@ object Similarity {
     * label, cosine, rk), ordered by (query_id, rk). */
   def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
@@ -149,6 +151,7 @@ object Similarity {
               dimOpt: Option[Int] = None): DataFrame = {
     val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("bucket", srpBucket(col("vec"), dim, nBits))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
@@ -165,6 +168,7 @@ object Similarity {
   def ivfCentroids(embeddings: DataFrame, dimOpt: Option[Int] = None): DataFrame = {
     val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
       .select(col("label"), asDouble(col("embedding")).as("vec"))
       .groupBy("label").agg(
         count(lit(1)).as("n"),
@@ -194,6 +198,7 @@ object Similarity {
     * consumers. Output: (vec_id, label, scale, qvec: array<tinyint>). */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
       // the STORED scale is the one codes are computed against — a
@@ -318,6 +323,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subquantizers")
     val dsub = dim / m
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val seeds = corpus.orderBy(md5(col("vec_id").cast("string"))).limit(ksub)
       .select(col("vec")).collect().map(_.getSeq[Double](0))
@@ -388,6 +394,7 @@ object Similarity {
     * Output: (vec_id, label, codes: array<tinyint> of length m). */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("label"),
@@ -454,7 +461,7 @@ object Similarity {
       (0 until m).map(j => cb(j).map(c => c.map(x => x * x).sum).toSeq))
     val spark = codes.sparkSession
     val qRows = embeddings
-      .filter(col("vec_id").isInCollection(queryIds))
+      .filter(col("vec_id").isInCollection(queryIds) && col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("qvec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     import spark.implicits._
@@ -528,7 +535,8 @@ object Similarity {
         .select(col("vec_id"), col("embedding")),
       m, ksub, rounds, dimOpt = Some(dim))
     val cb = collectCodebook(codebook)
-    val codes = residualFrame(graft.util.SparkUtil.widen(embeddings), cellCents)
+    val codes = residualFrame(graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull), cellCents)
       .select(col("vec_id"), col("label"), col("cell"),
         asDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -568,7 +576,8 @@ object Similarity {
     val spark = newEmbeddings.sparkSession
     val cc = spark.read.parquet(s"$dir/cells")
     val cb = collectCodebook(spark.read.parquet(s"$dir/codebook"))
-    residualFrame(graft.util.SparkUtil.widen(newEmbeddings), cc)
+    residualFrame(graft.util.SparkUtil.widen(newEmbeddings)
+      .filter(col("embedding").isNotNull), cc)
       .select(col("vec_id"), col("label"), col("cell"),
         asDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -589,6 +598,7 @@ object Similarity {
     val centsSeq = cells.zipWithIndex.map { case (c, i) => i -> c }
     val centMat = typedLit(cells.map(_.toSeq).toSeq)
     embeddings
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .withColumn("cell", nearestCell(col("vec"), centsSeq))
       .select(col("vec_id"), col("label"), col("cell"),
@@ -630,7 +640,7 @@ object Similarity {
                 queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val corpus = codes.select(col("vec_id"), col("cell"), col("codes"))
     val queries = graft.util.SparkUtil.widen(embeddings)
-      .filter(col("vec_id").isInCollection(queryIds))
+      .filter(col("vec_id").isInCollection(queryIds) && col("embedding").isNotNull)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
     probeCellsTopK(corpus, queries, cellCentroids, k, nProbe,
       vecCol = ivfPqReconCol(cellCentroids, codebook))
@@ -672,6 +682,7 @@ object Similarity {
     * `recon` supplies (vec_id, rvec). */
   private def reconStats(embeddings: DataFrame, recon: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .join(recon, Seq("vec_id"))
       .select(col("label"), cosine(col("vec"), col("rvec")).as("c"))
@@ -706,6 +717,7 @@ object Similarity {
   def truncateEmbeddings(embeddings: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1: $dims")
     graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"),
         slice(asDouble(col("embedding")), 1, dims).as("tvec"))
   }
@@ -757,6 +769,7 @@ object Similarity {
     require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize: $k, $poolSize")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -896,6 +909,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     var cents: Seq[(Int, Seq[Double])] = corpus
       .orderBy(md5(col("vec_id").cast("string"))).limit(k)
@@ -944,6 +958,7 @@ object Similarity {
     val nCells = centroids.count()
     val dim = centroids.select(size(col("centroid"))).head().getInt(0)
     val corpus0 = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val corpus =
       if (nCells * dim <= maxInlineCentroidDoubles) {
@@ -974,6 +989,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
               k: Int, nProbe: Int): DataFrame = {
     val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -1019,6 +1035,7 @@ object Similarity {
                        permille: Long = 50): DataFrame = {
     require(permille >= 0 && permille <= 1000, s"permille in [0,1000]: $permille")
     val scored = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
       .join(broadcast(ivfCentroids(embeddings)), Seq("label"))
       .select(col("vec_id"), col("label"),
@@ -1246,7 +1263,9 @@ object Similarity {
     * assign via nearest centroid, search within cells). */
   def labelCentroidNorms(embeddings: DataFrame): DataFrame = {
     val dim = embeddingDim(embeddings)
-    val withVec = embeddings.select(col("label"), asDouble(col("embedding")).as("vec"))
+    val withVec = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("label"), asDouble(col("embedding")).as("vec"))
     // mean per dimension: aggregate array sums via element-wise reduce
     val summed = withVec.groupBy("label").agg(
       count(lit(1)).as("n"),
@@ -1286,7 +1305,8 @@ object Similarity {
     require(!dimRow.isNullAt(0), "centroidDrift: no non-null embeddings")
     val dim = dimRow.getInt(0)
     val e = graft.util.SparkUtil.widen(embeddings)
-      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim &&
+        col("label").isNotNull)
       .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
         asDouble(col("embedding")).as("vec"))
     val cents = e.groupBy("label", "half")

@@ -1118,8 +1118,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(profileSize >= 1, s"profileSize must be >= 1: $profileSize")
     val norm = regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", "_")
+    // CONTRACT: null-lang docs are excluded — an unlabeled doc cannot
+    // train a profile nor appear in a supervised confusion matrix
     val base = graft.util.SparkUtil.widen(documents)
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), norm.as("__s"))
       .filter(length(col("__s")) >= 3)
       // trigram extraction with NO per-element lambda: HOFs are

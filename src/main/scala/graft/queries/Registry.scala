@@ -93,7 +93,9 @@ object Registry {
       sum(col("nc")).as("covered")).head()
     val n = smp.count()
     val dn = smp.select("vec_id").distinct().count()
-    val nCorpus = emb.count()
+    // null embeddings are excluded by the sampler's contract — the
+    // coverage invariant counts the sampleable corpus, not raw rows
+    val nCorpus = emb.filter(col("embedding").isNotNull).count()
     import s.implicits._
     Seq((nCorpus, pc.getLong(0) == 0L, pc.getLong(1) == nCorpus, dn == n))
       .toDF("n_corpus", "quota_ok", "coverage_ok", "distinct_ok")
@@ -115,8 +117,9 @@ object Registry {
       .select(col("query_id"), col("vec_id"))
     val exact = Similarity.bruteForceTopK(emb, qids, 10)
       .select(col("query_id"), col("vec_id"))
-    val corpus = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val corpus = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
     val qv = corpus.filter(col("vec_id").isInCollection(qids))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     def meanTrueCos(picks: DataFrame, out: String): DataFrame =
@@ -130,7 +133,8 @@ object Registry {
                lit(0.0), (acc, x) => acc + x)))).as("cos"))
         .groupBy("query_id").agg(avg("cos").as(out))
     import s.implicits._
-    qids.toDF("query_id")
+    emb.filter(col("vec_id").isInCollection(qids) && col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"))
       .join(meanTrueCos(sel, "sel_cos"), Seq("query_id"), "left")
       .join(meanTrueCos(exact, "exact_cos"), Seq("query_id"), "left")
       .select(col("query_id"), lit(10L).as("k"),
@@ -142,7 +146,8 @@ object Registry {
 
   private val ivfPqSelectionOracle: String =
     """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
-      TRUE AS sel_ok FROM embeddings WHERE vec_id < 5
+      TRUE AS sel_ok FROM embeddings
+      WHERE vec_id < 5 AND embedding IS NOT NULL
       ORDER BY query_id"""
 
   // deterministic heuristic inputs (mirrored literally in oracle SQL)
@@ -447,7 +452,7 @@ object Registry {
     QueryDef("a1_counts_by_type",
       (s, d) => Metrics.countsByType(t(s, d, "events")),
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     QueryDef("a2_error_share_daily",
       (s, d) => Metrics.errorShareDaily(t(s, d, "events")),
@@ -460,7 +465,7 @@ object Registry {
       (s, d) => Metrics.windowedRates(t(s, d, "events"), "hour"),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         count(*) AS n, round(count(*) / 3600.0, 6) AS rate_per_sec
-        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""), bench = true),
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type NULLS FIRST"""), bench = true),
 
     QueryDef("a6_value_percentiles",
       (s, d) => Metrics.valuePercentiles(t(s, d, "events")),
@@ -469,7 +474,7 @@ object Registry {
         round(quantile_cont(value, 0.95), 4) AS p95,
         round(quantile_cont(value, 0.99), 4) AS p99,
         round(max(value), 2) AS max_value
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     QueryDef("a7_liveness_gaps",
       (s, d) => Metrics.maxGapPerUser(t(s, d, "events"), 3600),
@@ -478,7 +483,7 @@ object Registry {
         FROM events)
         SELECT user_id, round(max(gap), 3) AS max_gap_secs,
         CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over
-        FROM g GROUP BY user_id ORDER BY user_id""")),
+        FROM g GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
     // A3 per-file processing latency — the reference's per-file
     // PROCESSING_DURATION_SECONDS metric (processor_app.py:174–176,
@@ -550,7 +555,7 @@ object Registry {
           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
-        FROM events GROUP BY user_id ORDER BY user_id"""),
+        FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""),
       bench = true),
 
     // binned range join: 50 synthetic maintenance windows (derived
@@ -601,7 +606,7 @@ object Registry {
     QueryDef("salted_distinct_users",
       (s, d) => Metrics.saltedDistinctUsers(t(s, d, "events")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     // tolerance-boolean oracle: DuckDB reproduces the exact columns and
     // asserts the within_tol flags as literal TRUE — the hash matches
@@ -610,7 +615,7 @@ object Registry {
       (s, d) => Metrics.approxDistinctUsers(t(s, d, "events")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
         count(*) AS n, TRUE AS within_tol
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     QueryDef("a6_approx_percentiles",
       (s, d) => Metrics.approxPercentiles(t(s, d, "events")),
@@ -619,7 +624,7 @@ object Registry {
         round(quantile_cont(value, 0.95), 4) AS p95,
         round(quantile_cont(value, 0.99), 4) AS p99,
         TRUE AS p50_within_tol, TRUE AS p95_within_tol, TRUE AS p99_within_tol
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     QueryDef("pivot_user_type_counts",
       (s, d) => t(s, d, "events")
@@ -639,13 +644,14 @@ object Registry {
         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        FROM events GROUP BY user_id ORDER BY user_id""")),
+        FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""")),
 
     QueryDef("a4_label_extraction",
       // the reference's log-based metrics extract sniffer_id/interface
       // labels with regexes (terraform/main.tf:261-264); synthesize the
       // log line and extract the label back
       (s, d) => t(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .select(format_string("HEARTBEAT: SNIFFER sniffer-%d INTERFACE eth0 OK",
           col("user_id")).as("log_line"))
         .select(regexp_extract(col("log_line"), "SNIFFER (sniffer-\\d+) INTERFACE (\\w+)", 1)
@@ -654,7 +660,8 @@ object Registry {
         .orderBy("sniffer_id"),
       Some("""SELECT regexp_extract('HEARTBEAT: SNIFFER sniffer-' || CAST(user_id AS VARCHAR)
           || ' INTERFACE eth0 OK', 'SNIFFER (sniffer-\d+) INTERFACE (\w+)', 1) AS sniffer_id,
-        count(*) AS n FROM events GROUP BY 1 ORDER BY sniffer_id""")),
+        count(*) AS n FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1 ORDER BY sniffer_id""")),
 
     // percent_rank over a 5-value key — computed by the distributed
     // range-partition + offset implementation (Metrics.percentRankByKey)
@@ -671,7 +678,7 @@ object Registry {
       },
       Some("""SELECT event_id, event_type, round(pr, 6) AS pct_rank FROM (
         SELECT event_id, event_type,
-          percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr
+          percent_rank() OVER (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS pr
         FROM events) WHERE event_id < 100 ORDER BY event_id""")),
 
     QueryDef("sessionize_events",
@@ -685,7 +692,7 @@ object Registry {
           max(epoch(ts)) - min(epoch(ts)) AS dur FROM s GROUP BY user_id, session_id)
         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
         round(max(dur), 3) AS max_session_secs
-        FROM per GROUP BY user_id ORDER BY user_id"""), bench = true),
+        FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST"""), bench = true),
 
     // earliest-anchor greedy funnel view→click→purchase, 2-day step
     // gap; epoch-micro BIGINT outputs — exact integers, no float
@@ -708,7 +715,7 @@ object Registry {
              + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT
             AS steps_completed
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        ORDER BY user_id"""),
+        ORDER BY user_id NULLS FIRST"""),
       bench = true),
 
     // weekly cohort retention triangle on integer epoch-weeks
@@ -746,7 +753,7 @@ object Registry {
             round(n / ewma, 4) AS ratio,
             (round(n / ewma, 4) >= 1.5 OR round(n / ewma, 4) <= 0.6667)
               AS is_anomaly
-          FROM e WHERE rn > 7 ORDER BY event_type, day"""
+          FROM e WHERE rn > 7 ORDER BY event_type NULLS FIRST, day"""
       }, bench = true),
 
     // winsorized robust mean: exact integer-permille rank cutoffs (the
@@ -791,11 +798,14 @@ object Registry {
     // panel; the z encoding SQL is GENERATED from the same Scala term
     // list as the Catalyst column — zero drift
     QueryDef("zorder_skip_stats",
-      (s, d) => Metrics.zorderSkipStats(t(s, d, "events")),
+      // null user_id excluded: a null z-order key has no defined rank
+      // placement (engine null ordering differs) — both sides drop it
+      (s, d) => Metrics.zorderSkipStats(
+        t(s, d, "events").filter(col("user_id").isNotNull)),
       Some {
         val z = graft.util.ZOrder.zValueSql("x", "y", 8)
         s"""WITH e AS MATERIALIZED (SELECT user_id % 256 AS x, event_id % 256 AS y,
-            event_id FROM events),
+            event_id FROM events WHERE user_id IS NOT NULL),
           ez AS (SELECT x, y, event_id, $z AS z FROM e),
           rb AS (SELECT x, y,
               row_number() OVER (ORDER BY x, event_id) AS rk,
@@ -1138,10 +1148,19 @@ object Registry {
         // order-sensitive compare (green at sf0.001/0.01/0.1) is the
         // enforcement. See CLAUDE.md invariant note.
       },
+      // a NULL user_id renders as the string "null" in format_string,
+      // so tcp/udp packets get srcport="null" → the int-cast error path
+      // (P14 containment, UdmExpressions intCastError) → ERROR; signup
+      // (ARP) has no tcp/udp layer, so it still classifies as ARP with
+      // null port/host — the oracle mirrors both branches
       Some("""SELECT event_id,
-        CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'
-          WHEN 'view' THEN 'NETWORK_DNS' WHEN 'click' THEN 'NETWORK_HTTP'
-          WHEN 'signup' THEN 'NETWORK_ARP' ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
+        CASE WHEN user_id IS NULL AND event_type = 'signup' THEN 'NETWORK_ARP'
+          WHEN user_id IS NULL THEN 'NETWORK_EVENT_ERROR'
+          WHEN event_type = 'purchase' THEN 'NETWORK_SSL'
+          WHEN event_type = 'view' THEN 'NETWORK_DNS'
+          WHEN event_type = 'click' THEN 'NETWORK_HTTP'
+          WHEN event_type = 'signup' THEN 'NETWORK_ARP'
+          ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
         CASE WHEN event_type IN ('click', 'purchase') THEN 10000 + user_id
           WHEN event_type = 'view' THEN 20000 + user_id END AS src_port,
         CASE WHEN event_type = 'click' THEN 'host' || CAST(user_id AS VARCHAR) || '.example.com'
@@ -1158,9 +1177,13 @@ object Registry {
           .groupBy(col("event.metadata.event_type").as("udm_type"))
           .agg(count(lit(1)).as("n")).orderBy("udm_type")
       },
-      Some("""SELECT CASE event_type WHEN 'purchase' THEN 'NETWORK_SSL'
-          WHEN 'view' THEN 'NETWORK_DNS' WHEN 'click' THEN 'NETWORK_HTTP'
-          WHEN 'signup' THEN 'NETWORK_ARP' ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
+      Some("""SELECT CASE WHEN user_id IS NULL AND event_type = 'signup' THEN 'NETWORK_ARP'
+          WHEN user_id IS NULL THEN 'NETWORK_EVENT_ERROR'
+          WHEN event_type = 'purchase' THEN 'NETWORK_SSL'
+          WHEN event_type = 'view' THEN 'NETWORK_DNS'
+          WHEN event_type = 'click' THEN 'NETWORK_HTTP'
+          WHEN event_type = 'signup' THEN 'NETWORK_ARP'
+          ELSE 'NETWORK_EVENT_ERROR' END AS udm_type,
         count(*) AS n FROM events GROUP BY 1 ORDER BY udm_type""")))
 
   // ---------------- text analysis -------------------------------------
@@ -1401,7 +1424,7 @@ object Registry {
             THEN round(sum($b)::DOUBLE / sum($w), 4) END AS fertility,
           CASE WHEN sum($b) > 0
             THEN round(sum($c)::DOUBLE / sum($b), 4) END AS chars_per_subword
-        FROM documents GROUP BY lang ORDER BY lang"""
+        FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""
       }, bench = true),
 
     // two-pass Misra-Gries heavy hitters: output = EXACTLY the tokens
@@ -1682,7 +1705,7 @@ object Registry {
       (s, d) => TextAnalysis.trigramLangId(t(s, d, "documents")),
       Some("""WITH d AS (SELECT doc_id, lang,
             regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', '_', 'g') AS s
-          FROM documents WHERE text IS NOT NULL),
+          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
         dd AS (SELECT doc_id, lang, s FROM d WHERE length(s) >= 3),
         tg AS MATERIALIZED (SELECT doc_id, lang,
             unnest(list_transform(range(1, length(s) - 1),
@@ -1822,7 +1845,7 @@ object Registry {
       (s, d) => Dedup.exactDuplicates(t(s, d, "documents")),
       Some("""SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         min(doc_id) AS keep_doc_id, count(*) AS group_size,
-        string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        coalesce(string_agg(DISTINCT lang, ',' ORDER BY lang), '') AS langs
         FROM documents GROUP BY 1 ORDER BY keep_doc_id"""), bench = true),
 
     QueryDef("dedup_minhash_signatures",
@@ -2186,7 +2209,7 @@ object Registry {
       (s, d) => Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), 4, 0.35),
       Some {
         s"""WITH v AS MATERIALIZED (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
           b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v)
           SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
             SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -2204,7 +2227,7 @@ object Registry {
     QueryDef("sim_hard_negatives",
       (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
       Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
         q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec, label AS qlabel FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
@@ -2223,7 +2246,7 @@ object Registry {
       (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), 0.3),
       Some {
         s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
           n AS MATERIALIZED (SELECT vec_id, label, vec,
             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v),
           dups AS (SELECT b.vec_id, count(*)::BIGINT AS n_earlier_dups
@@ -2365,7 +2388,7 @@ object Registry {
     QueryDef("sim_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
       Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
         q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
@@ -2386,7 +2409,7 @@ object Registry {
         Similarity.truncateEmbeddings(t(s, d, "embeddings"), 32),
         Seq(0L, 1L, 2L, 3L, 4L), 10),
       Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
-          list_transform(embedding, x -> CAST(x AS DOUBLE))[1:32] AS vec FROM embeddings),
+          list_transform(embedding, x -> CAST(x AS DOUBLE))[1:32] AS vec FROM embeddings WHERE embedding IS NOT NULL),
         q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
         sc AS (SELECT q.qid, v.vec_id, v.label,
           list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
@@ -2404,7 +2427,7 @@ object Registry {
         // mirror srpBucket (see srpBucketSql): dimension derived from
         // the row (len(vec)), matching the Scala side's dim discovery
         s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
           b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v),
           q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
           sc AS (SELECT q.query_id, b.vec_id,
@@ -2436,7 +2459,7 @@ object Registry {
              (sqrt(list_sum(list_transform($a, x -> x * x))) *
               sqrt(list_sum(list_transform($b, x -> x * x))))"""
         s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
           cent AS (SELECT label, $centroid AS c FROM v GROUP BY label),
           q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
           cells AS (SELECT query_id, qvec, label FROM (
@@ -2461,7 +2484,8 @@ object Registry {
         val sums = (1 to dim).map(i => s"sum(vec[$i]) AS s$i").mkString(", ")
         val sq = (1 to dim).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
         s"""WITH v AS MATERIALIZED (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-            FROM embeddings),
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL),
           agg AS (SELECT label, count(*) AS n, $sums FROM v GROUP BY label)
           SELECT label, n, round(sqrt($sq), 4) AS centroid_norm
           FROM agg ORDER BY label"""
@@ -2488,14 +2512,19 @@ object Registry {
         val overlap = exact.join(ivf, Seq("query_id", "vec_id"))
           .groupBy("query_id").agg(count(lit(1)).as("hits"))
         import s.implicits._
-        qids.toDF("query_id")
+        // query universe = the qids that EXIST with a non-null
+        // embedding (the sim null-contract): a null-embedding query is
+        // not searchable and appears on neither side
+        emb.filter(col("vec_id").isInCollection(qids) && col("embedding").isNotNull)
+          .select(col("vec_id").as("query_id"))
           .join(overlap, Seq("query_id"), "left")
           .select(col("query_id"), lit(10L).as("k"),
             (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
           .orderBy("query_id")
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
-        TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+        TRUE AS recall_ok FROM embeddings
+        WHERE vec_id < 5 AND embedding IS NOT NULL
         ORDER BY query_id"""), bench = true),
 
     // int8 scalar quantization: exact search over the 4×-smaller
@@ -2516,14 +2545,19 @@ object Registry {
         val overlap = exact.join(quant, Seq("query_id", "vec_id"))
           .groupBy("query_id").agg(count(lit(1)).as("hits"))
         import s.implicits._
-        qids.toDF("query_id")
+        // query universe = the qids that EXIST with a non-null
+        // embedding (the sim null-contract): a null-embedding query is
+        // not searchable and appears on neither side
+        emb.filter(col("vec_id").isInCollection(qids) && col("embedding").isNotNull)
+          .select(col("vec_id").as("query_id"))
           .join(overlap, Seq("query_id"), "left")
           .select(col("query_id"), lit(10L).as("k"),
             (coalesce(col("hits"), lit(0L)) >= 8).as("recall_ok"))
           .orderBy("query_id")
       },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
-        TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+        TRUE AS recall_ok FROM embeddings
+        WHERE vec_id < 5 AND embedding IS NOT NULL
         ORDER BY query_id""")),
 
     // PCA at k=32 of 64 dims: ONE covariance scan (mapPartitions
@@ -2551,7 +2585,8 @@ object Registry {
           .orderBy("label")
       },
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS pca_ok
-        FROM embeddings GROUP BY label ORDER BY label"""),
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST"""),
       bench = true),
 
     // 1-bit (sign) quantization + Hamming top-10: the 32×-smaller
@@ -2565,12 +2600,13 @@ object Registry {
       (s, d) => Similarity.hammingTopK(t(s, d, "embeddings"),
         Seq(0L, 1L, 2L, 3L, 4L), 10),
       Some("""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv
-          FROM embeddings WHERE vec_id < 5),
+          FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
         dist AS (SELECT q.query_id, e.vec_id,
             CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
               p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))
               AS BIGINT) AS hamming
-          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL)
         SELECT query_id, vec_id, hamming, rk FROM (
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY hamming, vec_id) AS BIGINT) AS rk
@@ -2595,7 +2631,8 @@ object Registry {
           .orderBy("label")
       },
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
-        FROM embeddings GROUP BY label ORDER BY label""")),
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST""")),
 
     // IVF-PQ (coarse cells + residual PQ): same tolerance surface as
     // sim_pq_recon; the residual-beats-plain-PQ margin is spec-pinned
@@ -2610,7 +2647,8 @@ object Registry {
           .orderBy("label")
       },
       Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
-        FROM embeddings GROUP BY label ORDER BY label""")),
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST""")),
 
     // IVF-PQ SEARCH (the round-6 probe-first plan fix in one benched
     // query): index + ADC top-10 at nProbe=4 vs brute-force exact.
@@ -2662,7 +2700,7 @@ object Registry {
              sqrt(list_sum(list_transform($b, x -> x * x)))))"""
         s"""WITH v AS MATERIALIZED (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
           q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
           sc AS (SELECT q.qid, v.vec_id, v.vec, ${cos("q.qvec", "v.vec")} AS rel
             FROM q, v WHERE v.vec_id <> q.qid),
@@ -2706,7 +2744,8 @@ object Registry {
              sqrt(list_sum(list_transform($b, x -> x * x)))))"""
         s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-            FROM embeddings),
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL),
           u AS (SELECT label, unnest(vec) AS val,
             unnest(range(1, len(vec) + 1)) AS dim FROM e),
           c AS MATERIALIZED (SELECT label, dim, avg(val) AS cv FROM u GROUP BY label, dim),
@@ -2780,7 +2819,7 @@ object Registry {
           sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
           round(avg(nrm), 4) AS mean_norm,
           round(stddev_pop(nrm), 4) AS sd_norm
-        FROM s GROUP BY label ORDER BY label"""),
+        FROM s GROUP BY label ORDER BY label NULLS FIRST"""),
       bench = true))
 
   // ---------------- multimodal ----------------------------------------
@@ -3222,7 +3261,8 @@ object Registry {
           CorpusOps.clusterBalancedSample(emb, k = 8, quota = 25))
       },
       Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
-        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings"""), bench = true),
+        TRUE AS coverage_ok, TRUE AS distinct_ok
+        FROM embeddings WHERE embedding IS NOT NULL"""), bench = true),
 
     // SAMPLE ONLY — the serve path, measured without Lloyd's training:
     // centroids persisted once per JVM (memoized writeKmeansCentroids),
@@ -3238,7 +3278,8 @@ object Registry {
           CorpusOps.clusterBalancedSampleFromCentroids(emb, cents, quota = 25))
       },
       Some("""SELECT count(*)::BIGINT AS n_corpus, TRUE AS quota_ok,
-        TRUE AS coverage_ok, TRUE AS distinct_ok FROM embeddings"""), bench = true),
+        TRUE AS coverage_ok, TRUE AS distinct_ok
+        FROM embeddings WHERE embedding IS NOT NULL"""), bench = true),
 
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // deg/freq word scoring, top-3 per doc. Rank compares the ROUNDED
@@ -3280,7 +3321,8 @@ object Registry {
         Seq("lang", "source"), 10),
       Some("""SELECT lang, source, count(*)::BIGINT AS n,
           count(*) < 10 AS at_risk
-        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+        FROM documents GROUP BY lang, source
+        ORDER BY lang NULLS FIRST, source""")),
 
     // l-diversity: the homogeneity-attack screen k-anonymity misses —
     // distinct sensitive values per quasi group
@@ -3290,7 +3332,8 @@ object Registry {
       Some("""SELECT lang, source, count(*)::BIGINT AS n,
           count(DISTINCT n_chars)::BIGINT AS n_sensitive,
           count(DISTINCT n_chars) < 5 AS at_risk
-        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+        FROM documents GROUP BY lang, source
+        ORDER BY lang NULLS FIRST, source""")),
 
     // exact-k-per-source sampling: fixed quota of 5 docs per source by
     // ascending u32(md5) order, via the graft_topk heap (never a
@@ -3506,7 +3549,7 @@ object Registry {
     QueryDef("corpus_curriculum",
       (s, d) => CorpusOps.curriculumStages(t(s, d, "documents"), col("n_chars"), 8),
       Some("""WITH r AS (SELECT doc_id, n_chars,
-            row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+            row_number() OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS rk,
             count(*) OVER () AS n FROM documents)
         SELECT doc_id, n_chars AS score,
           CAST(floor((rk - 1) * 8 / n) AS BIGINT) AS stage
@@ -3530,7 +3573,7 @@ object Registry {
       Some("""WITH r AS (SELECT doc_id, lang, n_chars,
             count(*) OVER (PARTITION BY lang) AS nk,
             CASE WHEN count(*) OVER (PARTITION BY lang) > 1
-              THEN CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+              THEN CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS DOUBLE)
                 / (count(*) OVER (PARTITION BY lang) - 1)
               ELSE 0.0 END AS pr
           FROM documents)
