@@ -235,9 +235,91 @@ object Bench {
       (-1.0, 0)
     }
 
+    // streaming twins with DataFrame→DataFrame shape (anomalyAlerts,
+    // trendingTokensSketch): file-source AvailableNow drain through a
+    // noop sink. Inputs are written in ts order so the watermark (and
+    // therefore window closure + state eviction) advances with the
+    // batch sequence exactly as in production; throughput = rows/s.
+    def twinDrain(label: String, rows: Array[String],
+                  schema: org.apache.spark.sql.types.StructType,
+                  nFiles: Int, maxFilesPerTrigger: Int)
+                 (xform: org.apache.spark.sql.DataFrame
+                    => org.apache.spark.sql.DataFrame): Double = {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory(s"graft_bench_$label")
+      def drainOnce(attempt: Int): Double = {
+        val (in, ckpt) = (s"$base/in$attempt", s"$base/ckpt$attempt")
+        Files.createDirectories(Paths.get(in))
+        rows.grouped(math.max(1, rows.length / nFiles)).zipWithIndex.foreach {
+          case (chunk, i) =>
+            Files.writeString(Paths.get(in, f"part_$i%03d.jsonl"),
+              chunk.mkString("\n"))
+        }
+        val t0 = System.nanoTime()
+        try {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", maxFilesPerTrigger).json(in)
+          val q = xform(stream).writeStream.format("noop")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else { q.stop(); System.err.println(s"[bench] $label timed out"); -1.0 }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val a = drainOnce(0)
+      if (a < 0) a else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) }
+    }
+    import org.apache.spark.sql.types.{StructType, StructField, TimestampType, StringType}
+
+    // streaming EWMA anomaly twin: per-label windowed counts →
+    // flatMapGroupsWithState baseline/ratio labels over closed windows
+    val (anomSecs, anomEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("event_type IS NOT NULL")
+        .selectExpr("ts", "event_type AS label")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("label", StringType)))
+      (twinDrain("anomaly_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.anomalyAlerts(
+          df, "ts", "label", windowSeconds = 3600)
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] anomaly_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
+    // streaming MG-sketch trending-tokens twin: token explode →
+    // batch-local MG(sketchK) pre-sketch → per-window sketch state;
+    // synthetic ts spreads the corpus over 10 closed 60 s windows
+    val (trendSecs, trendDocs) = try {
+      val rows = Registry.table(spark, sfDir, "documents")
+        .where("text IS NOT NULL")
+        .selectExpr("timestamp_seconds(1700000000 + doc_id % 600) AS ts",
+          "text")
+        .orderBy("ts", "text").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("text", StringType)))
+      (twinDrain("trending_stream_sketch", rows, schema,
+        nFiles = 8, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.trendingTokensSketch(
+          df, "ts", "text", windowSeconds = 60, sketchK = 30, topK = 10)
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] trending_stream_sketch setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
-      "admission_stream_big" -> admBigSecs)
+      "admission_stream_big" -> admBigSecs,
+      "anomaly_stream" -> anomSecs,
+      "trending_stream_sketch" -> trendSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -245,7 +327,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

@@ -792,7 +792,7 @@ object Registry {
           grouping(day)::BIGINT AS g_day,
           count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
         FROM e GROUP BY ROLLUP(event_type, day)
-        ORDER BY g_type, g_day, event_type, day""")),
+        ORDER BY g_type, g_day, event_type, day"""), bench = true),
 
     // z-order vs single-column layout: per-"file" min/max skipping
     // panel; the z encoding SQL is GENERATED from the same Scala term
@@ -895,7 +895,7 @@ object Registry {
           FROM l WHERE p IS NOT NULL GROUP BY 1, 2)
         SELECT event_type, lag::BIGINT AS lag, n_pairs, autocorr
         FROM c WHERE n_pairs >= 3 AND autocorr IS NOT NULL
-        ORDER BY event_type, lag""")),
+        ORDER BY event_type, lag"""), bench = true),
 
     // top-k common event paths: per-user lead-window trigrams, heap cut
     QueryDef("metrics_common_paths",
@@ -908,7 +908,7 @@ object Registry {
           WINDOW w AS (PARTITION BY user_id
             ORDER BY ts, event_id))
         SELECT path, count(*)::BIGINT AS n FROM p WHERE l2 IS NOT NULL
-        GROUP BY path ORDER BY n DESC, path LIMIT 20""")),
+        GROUP BY path ORDER BY n DESC, path LIMIT 20"""), bench = true),
 
     // Benford first-digit audit: exact integer cents -> leading digit
     // (never log10 on doubles); expected shares injected from Scala
@@ -930,7 +930,7 @@ object Registry {
           SELECT digit, n, share, expected,
             round(abs(share - expected), 4) AS dev
           FROM e ORDER BY digit"""
-      }),
+      }, bench = true),
 
     // source-concentration Gini: exact BIGINT rank-weighted sum, one
     // double expression at the end
@@ -2786,7 +2786,7 @@ object Registry {
              sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 4)
             AS centroid_cosine
         FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
-        ORDER BY label""")),
+        ORDER BY label"""), bench = true),
 
     // embedding-table ingest health: null embeddings (every 37th id)
     // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
@@ -3333,7 +3333,7 @@ object Registry {
           count(DISTINCT n_chars)::BIGINT AS n_sensitive,
           count(DISTINCT n_chars) < 5 AS at_risk
         FROM documents GROUP BY lang, source
-        ORDER BY lang NULLS FIRST, source""")),
+        ORDER BY lang NULLS FIRST, source"""), bench = true),
 
     // exact-k-per-source sampling: fixed quota of 5 docs per source by
     // ascending u32(md5) order, via the graft_topk heap (never a
@@ -3621,7 +3621,7 @@ object Registry {
           coalesce(len(list_filter($toksSql,
             t -> list_contains(['merge', 'window'], lower(t)))), 0) = 0
             AS keep
-        FROM documents ORDER BY doc_id""")),
+        FROM documents ORDER BY doc_id"""), bench = true),
 
     // Gopher-style quality gate: word-count / mean-word-length /
     // alpha-fraction / stopword-hit rules; keep compares the ROUNDED
@@ -3713,7 +3713,7 @@ object Registry {
             round((0.5 * kl_pm + 0.5 * (kl_qm_present +
               ln(2.0) * (1.0 - q_cov))) / ln(2.0), 4) + 0 AS js_bits
           FROM agg a JOIN ns ON ns.source = a.source ORDER BY a.source"""
-      }),
+      }, bench = true),
 
     // leakage-safe train/test split: whole near-dup clusters land on
     // one side (md5 of the cluster id), so a test doc's near-duplicate
