@@ -1200,11 +1200,31 @@ object TextAnalysis {
             .cast("long"))
           .as("n_syllables"))
       .filter(col("n_sentences") > 0)
+      // Flesch in EXACT integer arithmetic end to end:
+      //   206.835 - 1.015*W/S - 84.6*Y/W
+      //   = (206835*S*W - 1015*W^2 - 84600*Y*S) / (1000*S*W) = num/den.
+      // Two chained double divisions drift in the last ulp across
+      // engines (flipped a .xx5 2-dp boundary at sf0.1), and even a
+      // bit-identical num/den double can't be round()ed portably:
+      // den = 1000*S*W makes exact 3-decimal .xx5 rationals SYSTEMATIC,
+      // and on those Spark's round (shortest-repr BigDecimal, sees
+      // "73.365", rounds up) disagrees with DuckDB's (C round of the
+      // binary value 73.36499..., rounds down). So the HALF-UP round to
+      // 2 dp is integer math too — k = ±((200*|num| + den) div (2*den))
+      // — and the only float op is the final exact-integer k/100
+      // division (IEEE correctly-rounded, bit-identical anywhere).
+      // Exact while BIGINTs fit: W up to ~6e6 tokens/doc
+      // (200*1015*W^2 < 9.2e18); ANSI overflow fails loud past it.
+      .withColumn("__rnum",
+        lit(206835L) * col("n_sentences") * col("n_words")
+          - lit(1015L) * col("n_words") * col("n_words")
+          - lit(84600L) * col("n_syllables") * col("n_sentences"))
+      .withColumn("__rden", lit(1000L) * col("n_sentences") * col("n_words"))
       .withColumn("flesch",
-        round(lit(206.835) -
-          lit(1.015) * (col("n_words").cast("double") /
-            col("n_sentences").cast("double")) -
-          lit(84.6) * (col("n_syllables").cast("double") /
-            col("n_words").cast("double")), 2))
+        expr("""CASE WHEN __rnum >= 0L
+            THEN (200L * __rnum + __rden) DIV (2L * __rden)
+            ELSE -((200L * -__rnum + __rden) DIV (2L * __rden)) END""")
+          .cast("double") / lit(100.0))
+      .drop("__rnum", "__rden")
       .orderBy("doc_id")
 }

@@ -1744,11 +1744,18 @@ object Registry {
                 len(regexp_extract_all(lower(w), '[aeiou]+')))))::BIGINT
                 AS n_syllables
             FROM s1 WHERE len(ss) > 0)
+          , m2 AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+              206835::BIGINT * n_sentences * n_words
+                - 1015::BIGINT * n_words * n_words
+                - 84600::BIGINT * n_syllables * n_sentences AS rnum,
+              1000::BIGINT * n_sentences * n_words AS rden
+            FROM m)
           SELECT doc_id, n_sentences::BIGINT AS n_sentences,
             n_words::BIGINT AS n_words, n_syllables,
-            round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
-              - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 2) AS flesch
-          FROM m ORDER BY doc_id"""
+            (CASE WHEN rnum >= 0 THEN (200 * rnum + rden) // (2 * rden)
+              ELSE -((200 * -rnum + rden) // (2 * rden)) END)::DOUBLE
+              / 100.0::DOUBLE AS flesch
+          FROM m2 ORDER BY doc_id"""
       }, bench = true))
 
   // ---------------- dedup ---------------------------------------------
