@@ -453,6 +453,50 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_md5", "frame_bytes")
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** The pinned aspect-ratio bucket panel for [[aspectBuckets]] —
+    * (p, q, name), SDXL-style. The lcm of the q's (144) scales every
+    * per-bucket error to a common integer denominator. */
+  val aspectBucketPanel: Seq[(Int, Int, String)] = Seq(
+    (1, 1, "1:1"), (4, 3, "4:3"), (3, 4, "3:4"), (16, 9, "16:9"),
+    (9, 16, "9:16"), (3, 2, "3:2"), (2, 3, "2:3"), (21, 9, "21:9"))
+  val aspectBucketLcm: Long = 144L
+
+  /** Aspect-ratio bucketing over PARSED header dimensions — the
+    * SDXL/LAION training-batch layout step: every image is assigned to
+    * the nearest of a pinned ratio panel so batches can be formed from
+    * same-bucket images (mixed aspect in one batch forces destructive
+    * center-crops). Nearest is by EXACT integer cross-product math:
+    * |w/h − p/q| ranks identically to |w·q − p·h|·(L/q) with
+    * L = lcm(q) = 144 (the common h drops out), so assignment has zero
+    * float surface and cannot drift between engines; ties break on
+    * panel order. The argmin is an `array_min` over (err, idx)
+    * structs — lexicographic struct compare, codegen'd, no HOF lambda
+    * (SCALE.md interpretation rule) and no join.
+    *
+    * Output: (doc_id, width, height, bucket, err_scaled), ordered by
+    * doc_id; only decodable raster formats (png/jpeg) are bucketed —
+    * a stub-decoded container never enters a geometry decision.
+    *
+    * Scale shape: [[decodeBatched]]'s batched header walk, then one
+    * narrow projection; no shuffle. */
+  def aspectBuckets(documents: DataFrame): DataFrame = {
+    val entries = aspectBucketPanel.zipWithIndex.map {
+      case ((p, q, name), i) =>
+        struct(
+          (abs(col("width").cast(LongType) * q -
+            lit(p.toLong) * col("height").cast(LongType)) *
+            lit(aspectBucketLcm / q)).as("e"),
+          lit(i.toLong).as("i"), lit(name).as("b"))
+    }
+    decodeBatched(documents)
+      .filter(col("format").isin("png", "jpeg") &&
+        col("width").isNotNull && col("height").isNotNull)
+      .withColumn("__best", array_min(array(entries: _*)))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("__best.b").as("bucket"), col("__best.e").as("err_scaled"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Parsed WAV format metadata ([[MediaDecode.wav]]). */

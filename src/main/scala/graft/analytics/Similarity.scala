@@ -840,6 +840,98 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** k-center (farthest-point) greedy diversity sampling — the
+    * coverage-maximizing seed picker (diverse few-shot exemplars,
+    * annotation budgets, codebook warm starts): starting from the
+    * lowest-id pool vector, each step adds the pool vector FARTHEST
+    * from the chosen set (max over candidates of min cosine distance ≡
+    * argmin of max-cosine-to-chosen; ties on vec_id). The greedy
+    * 2-approximation of the k-center objective [Gonzalez 1985].
+    *
+    * Pool-bounded like [[mmrRerank]]: the distributed stage selects
+    * `poolSize` vectors by ascending u32(md5(salt:vec_id)) — the
+    * deterministic-coin discipline, a TakeOrdered, no full sort — and
+    * the O(pool²·dim) greedy folds over ONE gathered row. At 100 TB
+    * the pool cap is the contract: k-center is a seed picker, not a
+    * corpus partitioner (that's [[kmeansCentroids]]).
+    *
+    * Zero-magnitude vectors are excluded from the POOL (cosine to them
+    * is NaN = unrankable; worse, a degenerate seed would stall the
+    * whole fold) — so every cosine in the greedy is finite by
+    * construction.
+    *
+    * Output: (rank 1..k, vec_id, max_cos 4 dp — cosine to the nearest
+    * already-chosen center, NULL for the seed), ordered by rank. */
+  def kcenterSample(embeddings: DataFrame, k: Int, poolSize: Int = 12,
+                    salt: String = "kc"): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize: $k, $poolSize")
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .filter(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x) > 0)
+    val u32 = conv(substring(
+      md5(concat(lit(s"$salt:"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val pool = corpus.withColumn("__u", u32)
+      .orderBy(col("__u"), col("vec_id")).limit(poolSize)
+    val gathered = pool.groupBy()
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("vec"))))
+        .as("pool"))
+      .select(transform(col("pool"), s => s.getField("vec_id")).as("ids"),
+        transform(col("pool"), s => s.getField("vec")).as("vecs"))
+    val kk = k
+    val kcUdf = udf { (ids: Seq[Long], vecs: Seq[Seq[Double]]) =>
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dab = 0.0; var da = 0.0; var db = 0.0; var i = 0
+        while (i < a.length) {
+          dab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
+        }
+        dab / (math.sqrt(da) * math.sqrt(db))
+      }
+      val n = ids.length
+      val taken = Array.fill(n)(false)
+      val out = Seq.newBuilder[(Long, Option[Double])]
+      if (n > 0) {
+        taken(0) = true // ids ascend: seed = lowest vec_id
+        out += ((ids(0), None))
+        var step = 1
+        var exhausted = false
+        while (step < math.min(kk, n) && !exhausted) {
+          var bestI = -1; var bestM = Double.PositiveInfinity
+          var i = 0
+          while (i < n) { // strict < : ties land on the lower vec_id
+            if (!taken(i)) {
+              var maxCos = Double.NegativeInfinity
+              var j = 0
+              while (j < n) {
+                if (taken(j)) {
+                  val s = cos(vecs(i), vecs(j)); if (s > maxCos) maxCos = s
+                }
+                j += 1
+              }
+              // pool excludes zero vectors, so maxCos is finite here;
+              // NaN would never satisfy < (fails closed, not crashes)
+              if (maxCos < bestM) { bestM = maxCos; bestI = i }
+            }
+            i += 1
+          }
+          if (bestI < 0) exhausted = true
+          else {
+            taken(bestI) = true
+            out += ((ids(bestI), Some(bestM)))
+            step += 1
+          }
+        }
+      }
+      out.result()
+    }
+    gathered
+      .select(posexplode(kcUdf(col("ids"), col("vecs"))))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("vec_id"), round(col("col._2"), 4).as("max_cos"))
+      .orderBy("rank")
+  }
+
   // ---- unlabeled coarse quantizer: distributed Lloyd's k-means ----
 
   /** Nearest-cell assignment against a small centroid set, as a single

@@ -1227,4 +1227,46 @@ object TextAnalysis {
           .cast("double") / lit(100.0))
       .drop("__rnum", "__rden")
       .orderBy("doc_id")
+
+  /** Weighted-lexicon document scoring — the classifier-free quality /
+    * sentiment / toxicity panel stage (a VADER/LIWC-style lexicon is
+    * the standard cheap gate before a learned scorer): per document,
+    * the token count, lexicon hit count, signed weight sum, and the
+    * length-normalized score in EXACT integer permille
+    * (±((2000·|wsum| + n) div (2n)) — half-away rounding with zero
+    * float surface, the readability discipline; ratio rounding on
+    * doubles flips shortest-repr .5 boundaries across engines).
+    *
+    * Null-text docs are excluded (token contract); docs with zero
+    * lexicon hits still report (wsum 0). Weights are caller-supplied
+    * (token → signed int) so the same operator serves quality,
+    * sentiment, and toxicity lexicons.
+    *
+    * Scale shape: ONE scan — explode(tokens) → broadcast LEFT join on
+    * the lexicon (real lexicons are ≤100k rows — always broadcast) →
+    * one combinable per-doc aggregate. The per-element CASE-chain
+    * alternative is the SPARK-35410 interpreted-lambda trap AND scales
+    * with |lexicon| per token; the join form scales with corpus only. */
+  def lexiconScore(documents: DataFrame,
+                   lexicon: Seq[(String, Int)]): DataFrame = {
+    require(lexicon.nonEmpty, "lexiconScore: empty lexicon")
+    require(lexicon.map(_._1).distinct.size == lexicon.size,
+      "lexiconScore: duplicate lexicon tokens")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toDF("__ltoken", "__w")
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("__token"))
+      .join(broadcast(lex), col("__token") === col("__ltoken"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("lex_hits"),
+        coalesce(sum(col("__w").cast("long")), lit(0L)).as("wsum"))
+      .withColumn("score_permille",
+        expr("""CASE WHEN wsum >= 0L
+            THEN (2000L * wsum + n_tokens) DIV (2L * n_tokens)
+            ELSE -((2000L * -wsum + n_tokens) DIV (2L * n_tokens)) END"""))
+      .orderBy("doc_id")
+  }
 }

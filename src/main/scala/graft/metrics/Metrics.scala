@@ -992,4 +992,138 @@ object Metrics {
         col("c.max_str").as("max_str"))
       .orderBy("col_name")
   }
+
+  /** Day-of-week seasonality index per label — the "is Monday always
+    * like this" baseline the EWMA/changepoint alarms need as context
+    * (an alert that fires every weekend is a seasonality bug, not an
+    * incident). Per (event_type, ISO weekday 0=Mon..6=Sun): the number
+    * of distinct days observed, the event count, and the seasonality
+    * index = dow daily mean ÷ overall daily mean, computed as the
+    * exactly-representable integer-product ratio
+    * (n_events·n_days_total)/(n_days_dow·total_events) — ONE IEEE
+    * division, bit-identical on any engine (the readability
+    * discipline); 1.0 = no seasonality. Null labels are kept as their
+    * own group (count panels never silently drop).
+    *
+    * Output: (event_type, dow, n_days, n_events, round(season_idx, 4)),
+    * ordered (event_type NULLS FIRST, dow).
+    *
+    * Scale shape: one combinable (label × day) pre-agg — bucket-grain
+    * cardinality — then a (label × 7) panel; the per-label totals join
+    * is broadcast-sized by construction. */
+  def seasonalityDow(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the dow panel AND the label totals
+    val byDow = daily
+      .groupBy(col("event_type"), weekday(col("day")).cast("long").as("dow"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum("n").cast("long").as("n_events"))
+    val totals = daily.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("__days_total"),
+        sum("n").cast("long").as("__events_total"))
+      .withColumnRenamed("event_type", "__k")
+    // null-safe key: the null-label group must survive the totals join
+    byDow.join(broadcast(totals), col("event_type") <=> col("__k"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+        round((col("n_events") * col("__days_total")).cast("double")
+          / (col("n_days") * col("__events_total")).cast("double"), 4)
+          .as("season_idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** CUSUM changepoint scan per label — "WHEN did the level shift":
+    * the classic cumulative-sum statistic over the daily count series,
+    * in EXACT integer arithmetic end to end (zero float surface, so
+    * the oracle compare cannot drift on any engine build). With daily
+    * counts n_1..n_T (observed days, ordered) and total = Σn, the
+    * scaled statistic S_t = T·(Σ_{i≤t} n_i) − t·total is T× the usual
+    * Σ(n_i − mean) cusum; the reported changepoint is the earliest day
+    * attaining max|S_t|, with `cusum_abs` = max|S_t| (in T·events
+    * units) and `mean_shift_permille` = the exact integer
+    * ⌊1000·max|S_t| / (T·total)⌋ — a 0–250 scale-free shift magnitude
+    * (¼·T·total is the max attainable at a mid-series full shift).
+    *
+    * Output: (event_type, n_days, total, cp_day, cusum_abs,
+    * mean_shift_permille), ordered by event_type NULLS FIRST.
+    *
+    * Scale shape: daily pre-agg (combinable, bucket grain) → per-label
+    * windows at DAY cardinality — never event grain; labels partition
+    * the window so no funnel. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("__cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__total", sum("n").over(wAll))
+      .withColumn("__days", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__s", col("__days") * col("__cum") - col("__t") * col("__total"))
+      .withColumn("__abs", abs(col("__s")))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("__abs").desc, col("day").asc)
+    scored
+      .withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("__days").as("n_days"),
+        col("__total").as("total"), col("day").as("cp_day"),
+        col("__abs").as("cusum_abs"),
+        expr("(1000L * __abs) DIV (__days * __total)")
+          .as("mean_shift_permille"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise Pearson correlation between labels' daily count series —
+    * "which metrics move together" (a co-moving error/traffic pair is
+    * a dependency signal; an anti-correlated pair is a substitution
+    * signal). Series are joined on shared observed days; pairs are
+    * oriented type_a < type_b. Sums of integer counts are exact, so
+    * r = (k·Σxy − Σx·Σy) / √((k·Σx²−(Σx)²)·(k·Σy²−(Σy)²)) has an
+    * exactly-representable integer numerator and a
+    * correctly-rounded-√ denominator — two IEEE ops from exact
+    * integers (the manual-Pearson variance guard: ANSI corr() raises
+    * DIVIDE_BY_ZERO on constant series, so zero-variance pairs are
+    * excluded by construction). Null labels excluded: a null series
+    * name identifies nothing to correlate (winsorizedStats contract).
+    *
+    * Output: (type_a, type_b, n_days, corr 4 dp) ordered; pairs with
+    * < minDays shared days or zero variance dropped.
+    *
+    * Scale shape: daily pre-agg (bucket grain, checkpointed once for
+    * both join sides) → day-keyed equi-join fanning out to
+    * |labels|²/2 pairs per day → combinable pair aggregation. Day
+    * cardinality × label-pairs stays panel-sized at any event count. */
+  def crossCorrelation(events: DataFrame, minDays: Int = 3): DataFrame = {
+    require(minDays >= 2, s"minDays must be >= 2: $minDays")
+    val daily = events
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true) // both sides of the pair join
+    val a = daily.select(col("day"), col("event_type").as("type_a"),
+      col("n").as("x"))
+    val b = daily.select(col("day"), col("event_type").as("type_b"),
+      col("n").as("y"))
+    a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"),
+        sum(col("x") * col("y")).as("__sxy"))
+      .withColumn("__vx", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n_days") * col("__syy") - col("__sy") * col("__sy"))
+      .filter(col("n_days") >= minDays && col("__vx") > 0 && col("__vy") > 0)
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        round((col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / sqrt((col("__vx") * col("__vy")).cast("double")), 4).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
 }

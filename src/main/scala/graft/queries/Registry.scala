@@ -157,6 +157,12 @@ object Registry {
     "zh" -> Seq("spark", "vector"))
   val stopwords: Seq[String] = Seq("the", "a", "of", "and")
 
+  /** Pinned sentiment-ish lexicon for `txt_lexicon_score` — injected
+    * verbatim into BOTH the Spark call and the oracle VALUES list. */
+  val scoringLexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 3, "slow" -> -3, "merge" -> 2, "join" -> 1,
+    "query" -> 2, "error" -> -2, "spill" -> -2, "broken" -> -3)
+
   /** Pinned BPE merge table for `txt_bpe_apply` — rank = position.
     * Hand-laid over the synthetic vocabulary to exercise multi-round
     * full-word merges (join/scan/sort/data/the), merged-symbol rules
@@ -931,6 +937,77 @@ object Registry {
             round(abs(share - expected), 4) AS dev
           FROM e ORDER BY digit"""
       }, bench = true),
+
+    // day-of-week seasonality index: exact integer-product ratio, ONE
+    // IEEE division (readability discipline); Spark weekday ≡ DuckDB
+    // isodow-1 (both 0=Monday); null labels kept as a group
+    QueryDef("metrics_seasonality_dow",
+      (s, d) => Metrics.seasonalityDow(t(s, d, "events")),
+      Some("""WITH daily AS MATERIALIZED (SELECT event_type,
+            CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        dw AS (SELECT event_type, isodow(day) - 1 AS dow,
+            count(*)::BIGINT AS n_days, sum(n)::BIGINT AS n_events
+          FROM daily GROUP BY 1, 2),
+        tot AS (SELECT event_type, count(*)::BIGINT AS days_total,
+            sum(n)::BIGINT AS events_total FROM daily GROUP BY 1)
+        SELECT dw.event_type, dow::BIGINT AS dow, n_days, n_events,
+          round((n_events * days_total)::DOUBLE
+            / (n_days * events_total)::DOUBLE, 4) AS season_idx
+        FROM dw JOIN tot
+          ON dw.event_type IS NOT DISTINCT FROM tot.event_type
+        ORDER BY dw.event_type NULLS FIRST, dow"""), bench = true),
+
+    // CUSUM changepoint: EXACT integer statistic end to end (zero float
+    // surface); earliest-day tie-break pins the argmax
+    QueryDef("metrics_cusum_changepoint",
+      (s, d) => Metrics.cusumChangepoint(t(s, d, "events")),
+      Some("""WITH daily AS MATERIALIZED (SELECT event_type,
+            CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, day, n,
+            sum(n) OVER w AS cum,
+            row_number() OVER w AS t,
+            sum(n) OVER (PARTITION BY event_type) AS total,
+            count(*) OVER (PARTITION BY event_type) AS days
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        sc AS (SELECT event_type, day, days, total,
+            abs(days * cum - t * total) AS sabs FROM s),
+        pk AS (SELECT event_type, days, total, day, sabs,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY sabs DESC, day) AS rk
+          FROM sc)
+        SELECT event_type, days::BIGINT AS n_days, total::BIGINT AS total,
+          day AS cp_day, sabs::BIGINT AS cusum_abs,
+          ((1000 * sabs) // (days * total))::BIGINT AS mean_shift_permille
+        FROM pk WHERE rk = 1 ORDER BY event_type NULLS FIRST"""),
+      bench = true),
+
+    // pairwise Pearson of daily count series: exact integer sums, an
+    // exactly-representable numerator over a correctly-rounded sqrt;
+    // manual-Pearson variance guard (ANSI corr() DIVIDE_BY_ZERO class);
+    // null labels excluded by contract
+    QueryDef("metrics_cross_correlation",
+      (s, d) => Metrics.crossCorrelation(t(s, d, "events")),
+      Some("""WITH daily AS MATERIALIZED (SELECT event_type,
+            CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            a.n AS x, b.n AS y
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type),
+        g AS (SELECT type_a, type_b, count(*)::BIGINT AS n_days,
+            sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+            sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+            sum(x * y)::BIGINT AS sxy
+          FROM p GROUP BY 1, 2),
+        v AS (SELECT *, n_days * sxx - sx * sx AS vx,
+            n_days * syy - sy * sy AS vy FROM g)
+        SELECT type_a, type_b, n_days,
+          round((n_days * sxy - sx * sy)::DOUBLE
+            / sqrt((vx * vy)::DOUBLE), 4) AS corr
+        FROM v WHERE n_days >= 3 AND vx > 0 AND vy > 0
+        ORDER BY type_a, type_b"""), bench = true),
 
     // source-concentration Gini: exact BIGINT rank-weighted sum, one
     // double expression at the end
@@ -1756,6 +1833,34 @@ object Registry {
               ELSE -((200 * -rnum + rden) // (2 * rden)) END)::DOUBLE
               / 100.0::DOUBLE AS flesch
           FROM m2 ORDER BY doc_id"""
+      }, bench = true),
+
+    // weighted-lexicon scoring: broadcast LEFT join over exploded
+    // tokens, exact integer-permille normalization; lexicon injected
+    // from ONE Scala value on both sides
+    QueryDef("txt_lexicon_score",
+      (s, d) => TextAnalysis.lexiconScore(t(s, d, "documents"),
+        scoringLexicon),
+      Some {
+        val rows = scoringLexicon
+          .map { case (tk, w) => s"('$tk', $w)" }.mkString(", ")
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+              unnest($toksSql) AS token
+            FROM documents WHERE text IS NOT NULL),
+          lex AS (SELECT * FROM (VALUES $rows) v(token, weight)),
+          j AS (SELECT t.doc_id, l.weight
+            FROM toks t LEFT JOIN lex l ON t.token = l.token),
+          g AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE WHEN weight IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                AS lex_hits,
+              coalesce(sum(weight), 0)::BIGINT AS wsum
+            FROM j GROUP BY doc_id)
+          SELECT doc_id, n_tokens, lex_hits, wsum,
+            (CASE WHEN wsum >= 0
+              THEN (2000 * wsum + n_tokens) // (2 * n_tokens)
+              ELSE -((2000 * -wsum + n_tokens) // (2 * n_tokens))
+              END)::BIGINT AS score_permille
+          FROM g ORDER BY doc_id"""
       }, bench = true))
 
   // ---------------- dedup ---------------------------------------------
@@ -2697,6 +2802,59 @@ object Registry {
     // lambda=0.7 — the oracle hand-unrolls the three sequential argmax
     // steps (recursion-free); (1 - 0.7) is written as the SUBTRACTION
     // in both engines so the IEEE constant is bit-identical
+    // k-center greedy diversity sampling: deterministic md5-coin pool,
+    // hand-unrolled 3 greedy steps + seed (the mmr oracle pattern);
+    // argmin over the UNROUNDED max-cos (proven IEEE-identical by the
+    // mmr cos form); zero vectors excluded from the pool on both sides
+    QueryDef("sim_kcenter_sample",
+      (s, d) => Similarity.kcenterSample(t(s, d, "embeddings"), 4, 12),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL
+              AND list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * x)) > 0),
+          pool AS MATERIALIZED (SELECT vec_id, vec FROM (SELECT vec_id, vec,
+              row_number() OVER (ORDER BY ('0x' || substr(
+                md5('kc:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                vec_id) AS rk
+            FROM v) WHERE rk <= 12),
+          p1 AS MATERIALIZED (SELECT vec_id, vec FROM pool
+            ORDER BY vec_id LIMIT 1),
+          s2 AS (SELECT c.vec_id, c.vec, ${cos("c.vec", "p1.vec")} AS m
+            FROM pool c JOIN p1 ON c.vec_id <> p1.vec_id),
+          p2 AS MATERIALIZED (SELECT vec_id, vec, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s2)
+            WHERE r = 1),
+          s3 AS (SELECT c.vec_id, c.vec,
+              greatest(${cos("c.vec", "p1.vec")},
+                ${cos("c.vec", "p2.vec")}) AS m
+            FROM pool c JOIN p1 ON true JOIN p2 ON true
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+          p3 AS MATERIALIZED (SELECT vec_id, vec, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s3)
+            WHERE r = 1),
+          s4 AS (SELECT c.vec_id,
+              greatest(${cos("c.vec", "p1.vec")}, ${cos("c.vec", "p2.vec")},
+                ${cos("c.vec", "p3.vec")}) AS m
+            FROM pool c JOIN p1 ON true JOIN p2 ON true JOIN p3 ON true
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+              AND c.vec_id <> p3.vec_id),
+          p4 AS (SELECT vec_id, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s4)
+            WHERE r = 1)
+          SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+            CAST(NULL AS DOUBLE) AS max_cos FROM p1
+          UNION ALL SELECT 2, vec_id, round(m, 4) FROM p2
+          UNION ALL SELECT 3, vec_id, round(m, 4) FROM p3
+          UNION ALL SELECT 4, vec_id, round(m, 4) FROM p4
+          ORDER BY rank"""
+      }, bench = true),
+
     QueryDef("sim_mmr_rerank",
       (s, d) => Similarity.mmrRerank(t(s, d, "embeddings"),
         Seq(0L, 1L, 2L, 3L, 4L), 3, 10, 0.7),
@@ -2869,6 +3027,33 @@ object Registry {
               AND width::DOUBLE / height <= 3.0
               AND width::DOUBLE / height >= $inv) AS keep
           FROM m ORDER BY doc_id"""
+      }, bench = true),
+
+    // SDXL-style aspect-ratio bucketing on parsed dims: EXACT integer
+    // cross-product argmin (common-h drop + lcm(q) scaling), panel and
+    // lcm injected from the same Scala values — zero literal drift
+    QueryDef("mm_aspect_buckets",
+      (s, d) => Multimodal.aspectBuckets(t(s, d, "documents")),
+      Some {
+        val rows = Multimodal.aspectBucketPanel.zipWithIndex.map {
+          case ((p, q, name), i) => s"($i, $p, $q, '$name')"
+        }.mkString(", ")
+        val lcm = Multimodal.aspectBucketLcm
+        s"""WITH m AS (SELECT doc_id,
+            CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+            CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height
+          FROM documents),
+          e AS (SELECT doc_id, width, height, b.bucket,
+              abs(width::BIGINT * b.q - b.p * height::BIGINT)
+                * ($lcm // b.q) AS err, b.i
+            FROM m CROSS JOIN
+              (SELECT * FROM (VALUES $rows) v(i, p, q, bucket)) b),
+          r AS (SELECT doc_id, width, height, bucket, err,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY err, i) AS rk
+            FROM e)
+          SELECT doc_id, width, height, bucket, err::BIGINT AS err_scaled
+          FROM r WHERE rk = 1 ORDER BY doc_id"""
       }, bench = true),
 
     // byte-level near-dup over the binary modality: hex 8-byte grams

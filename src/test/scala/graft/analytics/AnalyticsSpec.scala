@@ -3027,4 +3027,143 @@ class AnalyticsSpec extends SparkSpec {
       .toSet
     assert(out == Set((1L, 2L, 10L, 0.1)))
   }
+
+  test("seasonalityDow: exact index on a hand dow pattern; weighted identity; null label kept") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday. Two weeks: Mondays log 4/day, the other
+    // days 1/day → Monday mean 4, overall mean (2*4+12*1)/14 = 10/7,
+    // Monday idx = 4/(10/7) = 2.8 exactly; others = 0.7.
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val rows = (1 to 14).flatMap { d =>
+      val n = if ((d - 1) % 7 == 0) 4 else 1
+      (0 until n).map(_ => ("e", t(d)))
+    } ++ Seq((null.asInstanceOf[String], t(3)))
+    val ev = rows.zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.metrics.Metrics.seasonalityDow(ev).collect()
+    val e = out.filter(r => r.getString(0) == "e")
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(e(0L) == 2.8 && (1L to 6L).forall(e(_) == 0.7), s"got $e")
+    // Σ n_days·idx = days_total (the weighted identity), within rounding
+    val ident = out.filter(r => r.getString(0) == "e")
+      .map(r => r.getLong(2) * r.getDouble(4)).sum
+    assert(math.abs(ident - 14.0) < 0.01, s"identity: $ident")
+    // the null label survives as its own group
+    assert(out.exists(r => r.isNullAt(0)), "null label group must be kept")
+  }
+
+  test("cusumChangepoint: exact integer statistic finds a step shift at its boundary") {
+    import spark.implicits._
+    // 3 days at 2/day then 3 at 10/day: total=36, T=6; S_t peaks at
+    // t=3 (|6*6 - 3*36| = 72); mean_shift_permille = 72000/(6*36)=333
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 12:00:00")
+    val rows = (1 to 6).flatMap { d =>
+      (0 until (if (d <= 3) 2 else 10)).map(_ => ("s", t(d)))
+    }
+    val ev = rows.zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val r = graft.metrics.Metrics.cusumChangepoint(ev).head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 36L)
+    assert(r.getDate(3).toString == "2024-02-03", s"cp_day: ${r.getDate(3)}")
+    assert(r.getLong(4) == 72L && r.getLong(5) == 333L, s"got $r")
+  }
+
+  test("crossCorrelation: +1 for proportional series, -1 for mirrored; constant pairs dropped") {
+    import spark.implicits._
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    // a: 1,2,3,4 events/day; b = 2a (corr +1); c = 5-a (corr -1);
+    // k: constant 3/day (zero variance — every pair with k drops)
+    val rows = (1 to 4).flatMap { d =>
+      (0 until d).map(h => ("a", t(d, h))) ++
+      (0 until 2 * d).map(h => ("b", t(d, h))) ++
+      (0 until 5 - d).map(h => ("c", t(d, h))) ++
+      (0 until 3).map(h => ("k", t(d, h)))
+    }
+    val ev = rows.zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.metrics.Metrics.crossCorrelation(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == 1.0 && out(("a", "c")) == -1.0
+      && out(("b", "c")) == -1.0, s"got $out")
+    assert(!out.keys.exists(p => p._1 == "k" || p._2 == "k"),
+      "constant series must never pair")
+  }
+
+  test("aspectBuckets: exact cross-product assignment, err 0 on panel ratios, panel-order ties") {
+    // doc_id formulas: width=(id*7)%1920+1, height=(id*13)%1080+1.
+    // Use ids whose synth dims hit known ratios is fiddly — instead
+    // assert the invariants on the real fixture: every bucket name is
+    // from the panel, err_scaled >= 0, and recomputing the argmin in
+    // plain Scala over the panel matches row-for-row.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Multimodal.aspectBuckets(docs).collect()
+    assert(out.length == 500)
+    val panel = Multimodal.aspectBucketPanel.zipWithIndex
+    val names = panel.map(_._1._3).toSet
+    out.foreach { r =>
+      val (w, h) = (r.getInt(1).toLong, r.getInt(2).toLong)
+      val errs = panel.map { case ((p, q, name), i) =>
+        (math.abs(w * q - p * h) * (Multimodal.aspectBucketLcm / q), i, name)
+      }
+      val best = errs.minBy(e => (e._1, e._2))
+      assert(r.getString(3) == best._3 && r.getLong(4) == best._1,
+        s"doc ${r.getLong(0)} ($w x $h): got ${r.getString(3)}/${r.getLong(4)}, want $best")
+      assert(names.contains(r.getString(3)))
+    }
+    // a square image errs 0 on 1:1 and ties nothing
+    val sq = out.find(r => r.getInt(1) == r.getInt(2))
+    sq.foreach(r => assert(r.getString(3) == "1:1" && r.getLong(4) == 0L))
+  }
+
+  test("lexiconScore: hit-free docs kept at 0, null text excluded, half-away integer permille") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast fast slow pad"),          // wsum 3+3-3=3, n=4 → 750
+      (2L, "pad pad pad"),                 // no hits → 0
+      (3L, "slow"),                        // wsum -3, n=1 → -3000
+      (4L, null.asInstanceOf[String]),     // excluded
+      (5L, "slow pad pad pad pad pad pad pad")) // -3/8 → -375
+      .toDF("doc_id", "text")
+    val lex = Seq("fast" -> 3, "slow" -> -3)
+    val out = TextAnalysis.lexiconScore(docs, lex).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((4L, 3L, 3L, 750L)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 1L, -3L, -3000L)))
+    assert(out(5L) == ((8L, 1L, -3L, -375L)))
+    // negative fractional permille rounds away from zero: one "slow"
+    // in 4000 tokens → -3000/4000 = -0.75 permille →
+    // -((2000*3 + 4000) div 8000) = -1
+    val edge = Seq((9L, (Seq.fill(3999)("pad") :+ "slow").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.lexiconScore(edge, lex).head()
+    assert(e.getLong(4) == -1L, s"half-away permille: ${e.getLong(4)}")
+  }
+
+  test("kcenterSample: seed is lowest pool id; greedy picks the farthest; k rows out") {
+    import spark.implicits._
+    // orthogonal axes + a near-duplicate of the seed: with pool = all
+    // 4, greedy from the seed must pick an orthogonal vector (cos 0)
+    // before the near-duplicate (cos ~1)
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0L),
+      (2L, Array(0.99f, 0.14f, 0f, 0f), 0L), // near-dup of 1
+      (3L, Array(0f, 1f, 0f, 0f), 0L),
+      (4L, Array(0f, 0f, 1f, 0f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kcenterSample(emb, k = 3, poolSize = 4).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 1L && out(0).isNullAt(2), "seed = lowest id")
+    val picked = out.map(_.getLong(1)).toSet
+    assert(!picked.contains(2L),
+      s"near-duplicate must lose to orthogonal axes: $picked")
+    assert(out(1).getDouble(2) == 0.0 && out(2).getDouble(2) == 0.0,
+      "orthogonal picks have max_cos 0")
+  }
 }

@@ -62,7 +62,10 @@ class OracleLintSpec extends AnyFunSuite {
         "0 grams for null text on both sides"),
     ("sim_mmr_rerank", "greatest-nullable") ->
       ("candidate pool filters null embeddings upstream (the r8 ADVICE " +
-        "pcaTrain contract) — cosine args non-null by construction")
+        "pcaTrain contract) — cosine args non-null by construction"),
+    ("sim_kcenter_sample", "greatest-nullable") ->
+      ("pool CTE filters null AND zero-magnitude embeddings — every " +
+        "greatest arg is a finite cosine of non-null vectors")
   )
 
   /** Substring inside the balanced parens opening at `open` (the index
