@@ -1228,6 +1228,41 @@ object TextAnalysis {
       .drop("__rnum", "__rden")
       .orderBy("doc_id")
 
+  /** Sentence-length burstiness per document — the variance-to-mean
+    * ratio (index of dispersion) of tokens-per-sentence: uniform prose
+    * sits near 0–1, machine-generated boilerplate near 0, and
+    * concatenated-fragment spam ≫ 1 — a cheap structural-quality gate
+    * alongside [[readability]] (same sentence scaffold). EXACT integer
+    * end to end: with sentence token counts x_i (n sentences, S = Σx,
+    * Q = Σx²), vmr_permille = (1000·(n·Q − S²)) div (n·S) — population
+    * variance over mean, half-floor, zero float surface.
+    *
+    * Output: (doc_id, n_sentences, n_words, vmr_permille), ordered;
+    * null-text and zero-sentence docs excluded (readability contract).
+    *
+    * Scale shape: explode to sentence rows (the per-element-lambda
+    * split stays OUT of a HOF — SPARK-35410 interpretation rule), then
+    * ONE combinable per-doc aggregate. */
+  def burstiness(documents: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__sents",
+        filter(transform(split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"),
+          s => regexp_replace(s, "[.!?]+$", "")), s => s =!= ""))
+      .select(col("doc_id"), explode(col("__sents")).as("__s"))
+      .select(col("doc_id"),
+        size(split(trim(col("__s")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long")
+          .as("__x"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_sentences"),
+        sum("__x").as("n_words"),
+        sum(col("__x") * col("__x")).as("__q"))
+      .withColumn("vmr_permille",
+        expr("""(1000L * (n_sentences * __q - n_words * n_words))
+          DIV (n_sentences * n_words)"""))
+      .drop("__q")
+      .orderBy("doc_id")
+
   /** Weighted-lexicon document scoring — the classifier-free quality /
     * sentiment / toxicity panel stage (a VADER/LIWC-style lexicon is
     * the standard cheap gate before a learned scorer): per document,

@@ -993,6 +993,86 @@ object Metrics {
       .orderBy("col_name")
   }
 
+  /** Per-user inter-arrival histogram per label — request periodicity
+    * in power-of-2 second buckets, EXACT integer end to end: gaps are
+    * whole seconds (epoch-micros difference div 1e6), and the bucket
+    * index floor(log2(gap)) is `length(bin(gap)) − 1` — a bit-length,
+    * never a float log (the Benford never-log10 discipline). Bucket −1
+    * collects sub-second gaps. Gaps are PER (user, label) — the
+    * metrically meaningful periodicity, and the scale-safe one: the
+    * lag window partitions on user-grain keys (corpus cardinality),
+    * never on the handful of labels (a per-label event-grain window
+    * funnels a dominant label through one task).
+    *
+    * Null users are excluded (gaps across unidentified actors are
+    * noise, the winsorizedStats null-key contract); null labels kept
+    * as their own group.
+    *
+    * Output: (event_type, bucket, n_gaps, min_gap_s, max_gap_s) — all
+    * BIGINT — ordered (event_type NULLS FIRST, bucket). */
+  def interarrivalHist(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        expr("unix_micros(ts)").as("__us"))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(w))
+      .filter(col("__prev_us").isNotNull)
+      .withColumn("__gap_s", expr("(__us - __prev_us) DIV 1000000L"))
+      .withColumn("bucket",
+        when(col("__gap_s") < 1L, lit(-1L))
+          .otherwise((length(bin(col("__gap_s"))) - 1).cast("long")))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        min("__gap_s").as("min_gap_s"), max("__gap_s").as("max_gap_s"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Same-day co-occurrence affinity between labels — the
+    * market-basket "users who did X that day also did Y" lift matrix
+    * (dependency discovery across product events; the complement of
+    * [[transitionMatrix]]'s SEQUENTIAL view). Unit of observation is
+    * the distinct (user, day, label) triple; for each oriented pair
+    * a < b: n_ab = user-days with both, and
+    * lift = n_ab·N / (n_a·n_b) in EXACT integer permille
+    * ((1000·n_ab·N) div (n_a·n_b); 1000 = independence). Null users
+    * and null labels are excluded (identity/label contracts).
+    *
+    * Output: (type_a, type_b, n_ab, lift_permille), ordered.
+    *
+    * Scale shape: the distinct triple table is checkpointed once and
+    * feeds totals + both join sides; the pair join is keyed on
+    * (user, day) — corpus-cardinality keys — and fans out to at most
+    * |labels|² rows per user-day before a combinable aggregate. N and
+    * the per-label totals are broadcast-joined panels. */
+  def affinityMatrix(events: DataFrame): DataFrame = {
+    val ud = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // consumers: N, per-label totals, pair join ×2
+    val nTotal = ud.select(col("user_id"), col("day")).distinct().count()
+    val perType = ud.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("__n_t"))
+    val a = ud.select(col("user_id"), col("day"),
+      col("event_type").as("type_a"))
+    val b = ud.select(col("user_id"), col("day"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("__n_t", "__n_a")), Seq("type_a"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("__n_t", "__n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr(s"(1000L * n_ab * ${nTotal}L) DIV (__n_a * __n_b)")
+          .as("lift_permille"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Day-of-week seasonality index per label — the "is Monday always
     * like this" baseline the EWMA/changepoint alarms need as context
     * (an alert that fires every weekend is a seasonality bug, not an

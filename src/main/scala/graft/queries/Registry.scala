@@ -1009,6 +1009,51 @@ object Registry {
         FROM v WHERE n_days >= 3 AND vx > 0 AND vy > 0
         ORDER BY type_a, type_b"""), bench = true),
 
+    // per-user inter-arrival power-of-2 histogram: whole-second gaps,
+    // bucket = bit-length (never float log); user-grain lag windows
+    QueryDef("metrics_interarrival_hist",
+      (s, d) => Metrics.interarrivalHist(t(s, d, "events")),
+      Some("""WITH g AS (SELECT event_type,
+            (epoch_us(CAST(ts AS TIMESTAMP))
+              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id)) // 1000000 AS gap_s
+          FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT event_type,
+            CASE WHEN gap_s < 1 THEN -1
+              ELSE length(bin(gap_s)) - 1 END AS bucket, gap_s
+          FROM g WHERE gap_s IS NOT NULL)
+        SELECT event_type, bucket::BIGINT AS bucket,
+          count(*)::BIGINT AS n_gaps, min(gap_s)::BIGINT AS min_gap_s,
+          max(gap_s)::BIGINT AS max_gap_s
+        FROM b GROUP BY 1, 2
+        ORDER BY event_type NULLS FIRST, bucket"""), bench = true),
+
+    // same-day co-occurrence lift matrix: distinct user-day-label
+    // triples, exact integer permille; 1000 = independence
+    QueryDef("metrics_affinity_matrix",
+      (s, d) => Metrics.affinityMatrix(t(s, d, "events")),
+      Some("""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
+            CAST(ts AS DATE) AS day, event_type
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        n AS (SELECT count(*)::BIGINT AS n_total
+          FROM (SELECT DISTINCT user_id, day FROM ud)),
+        t AS (SELECT event_type, count(*)::BIGINT AS n_t
+          FROM ud GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            count(*)::BIGINT AS n_ab
+          FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab,
+          ((1000 * n_ab * n_total) // (ta.n_t * tb.n_t))::BIGINT
+            AS lift_permille
+        FROM p JOIN t ta ON ta.event_type = p.type_a
+          JOIN t tb ON tb.event_type = p.type_b
+          CROSS JOIN n
+        ORDER BY type_a, type_b"""), bench = true),
+
     // source-concentration Gini: exact BIGINT rank-weighted sum, one
     // double expression at the end
     QueryDef("corpus_source_gini",
@@ -1833,6 +1878,30 @@ object Registry {
               ELSE -((200 * -rnum + rden) // (2 * rden)) END)::DOUBLE
               / 100.0::DOUBLE AS flesch
           FROM m2 ORDER BY doc_id"""
+      }, bench = true),
+
+    // sentence-length burstiness (index of dispersion): exact integer
+    // permille over the readability sentence scaffold
+    QueryDef("txt_burstiness",
+      (s, d) => TextAnalysis.burstiness(forgeSentences(t(s, d, "documents"))),
+      Some {
+        s"""WITH $forgedSentencesCte,
+          s1 AS (SELECT doc_id,
+              list_filter(list_transform(
+                regexp_split_to_array(trim(text), '[.!?][ \\t\\n\\x0B\\f\\r]+'),
+                x -> regexp_replace(x, '[.!?]+$$', '')), x -> x <> '') AS ss
+            FROM b WHERE text IS NOT NULL),
+          xs AS (SELECT doc_id,
+              len(regexp_split_to_array(trim(unnest(ss)),
+                '[ \\t\\n\\x0B\\f\\r]+'))::BIGINT AS x
+            FROM s1 WHERE len(ss) > 0),
+          g AS (SELECT doc_id, count(*)::BIGINT AS n_sentences,
+              sum(x)::BIGINT AS n_words, sum(x * x)::BIGINT AS q
+            FROM xs GROUP BY doc_id)
+          SELECT doc_id, n_sentences, n_words,
+            ((1000 * (n_sentences * q - n_words * n_words))
+              // (n_sentences * n_words))::BIGINT AS vmr_permille
+          FROM g ORDER BY doc_id"""
       }, bench = true),
 
     // weighted-lexicon scoring: broadcast LEFT join over exploded

@@ -3146,6 +3146,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(e.getLong(4) == -1L, s"half-away permille: ${e.getLong(4)}")
   }
 
+  test("interarrivalHist: bit-length buckets, sub-second bucket -1, per-user gaps, null users out") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1, type e: gaps 1 s (bucket 0), 4 s (bucket 2), 0.4 s (-1)
+      (1L, 10L, "e", t("2024-01-01 00:00:00")),
+      (2L, 10L, "e", t("2024-01-01 00:00:01")),
+      (3L, 10L, "e", t("2024-01-01 00:00:05")),
+      (4L, 10L, "e", t("2024-01-01 00:00:05.4")),
+      // user 2, type e: one 1024 s gap → bucket 10
+      (5L, 20L, "e", t("2024-01-01 01:00:00")),
+      (6L, 20L, "e", t("2024-01-01 01:17:04")),
+      // null user: must contribute nothing
+      (7L, -1L, "e", t("2024-01-01 02:00:00")),
+      (8L, -1L, "e", t("2024-01-01 02:00:01")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("user_id",
+        when(col("user_id") === -1L, lit(null)).otherwise(col("user_id")))
+    val out = graft.metrics.Metrics.interarrivalHist(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((-1L, 1L, 0L, 0L), (0L, 1L, 1L, 1L),
+      (2L, 1L, 4L, 4L), (10L, 1L, 1024L, 1024L)), s"got $out")
+  }
+
+  test("affinityMatrix: exact permille lift on a hand basket; nulls excluded") {
+    import spark.implicits._
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-04-$d%02d $h%02d:00:00")
+    // user-days: (u1,d1):{x,y} (u1,d2):{x} (u2,d1):{y} (u2,d2):{x,y}
+    // N=4, n_x=3, n_y=3, n_xy=2 → lift = 1000*2*4/(3*3) = 888
+    val rows = Seq(
+      (1L, 1L, "x", t(1, 1)), (2L, 1L, "y", t(1, 2)),
+      (3L, 1L, "x", t(1, 3)), // dup (u1,d1,x) — distinct-triple dedup
+      (4L, 1L, "x", t(2, 1)),
+      (5L, 2L, "y", t(1, 1)),
+      (6L, 2L, "x", t(2, 1)), (7L, 2L, "y", t(2, 2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.metrics.Metrics.affinityMatrix(rows).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(("x", "y") -> ((2L, 888L))), s"got $out")
+  }
+
+  test("burstiness: exact integer VMR permille; uniform prose scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b. c d."),       // x = [2,2]: vmr 0
+      (2L, "a. b c d."),       // x = [1,3]: n=2 S=4 Q=10 → 4000/8 = 500
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(1L -> ((2L, 4L, 0L)), 2L -> ((2L, 4L, 500L))),
+      s"got $out")
+  }
+
   test("kcenterSample: seed is lowest pool id; greedy picks the farthest; k rows out") {
     import spark.implicits._
     // orthogonal axes + a near-duplicate of the seed: with pool = all

@@ -48,6 +48,8 @@ class OracleLintSpec extends AnyFunSuite {
       "$-anchored pattern ([.!?]+$) — at most one match, g irrelevant",
     ("corpus_chunk_sentences", "replace-no-g") ->
       "$-anchored pattern ([.!?]+$) — at most one match, g irrelevant",
+    ("txt_burstiness", "replace-no-g") ->
+      "$-anchored pattern ([.!?]+$) — at most one match, g irrelevant",
     ("txt_language_id", "greatest-nullable") ->
       ("every greatest arg derives from the SAME text column — they are " +
         "null together, and greatest(all-null) is NULL in both engines"),
