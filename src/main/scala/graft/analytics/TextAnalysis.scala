@@ -1228,6 +1228,54 @@ object TextAnalysis {
       .drop("__rnum", "__rden")
       .orderBy("doc_id")
 
+  /** OOV-rate-vs-vocabulary-size curve — the tokenizer-budget design
+    * panel: for each candidate vocab size V (top-V types by frequency,
+    * ties on token), the share of corpus TOKENS that would fall out of
+    * vocabulary, in EXACT integer permille. The curve's knee is the
+    * standard vocab-size pick; computing it from one ranked type table
+    * beats re-running a tokenizer trainer per candidate.
+    *
+    * Output: (vocab_size, n_types, total_tokens, covered_tokens,
+    * oov_permille), one row per candidate V, ordered; empty corpora
+    * emit nothing (no 0-division row).
+    *
+    * Scale shape: one combinable (token, cnt) aggregate at VOCABULARY
+    * cardinality, the constant-key skew-safe [[graft.metrics.Metrics
+    * .rankByKey]] global rank (a ranking window would funnel the
+    * vocabulary through one task), then ONE pass of conditional sums —
+    * all candidates from a single scan of the ranked types. */
+  def oovCurve(documents: DataFrame,
+               vocabSizes: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L))
+      : DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ >= 1) &&
+      vocabSizes == vocabSizes.sorted && vocabSizes.distinct == vocabSizes,
+      s"vocabSizes must be sorted positive distinct: $vocabSizes")
+    val counts = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("__k", lit(1)).withColumn("__neg", -col("cnt"))
+    val ranked = graft.metrics.Metrics.rankByKey(counts, "__k",
+      Seq("__neg", "token"))
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_types"),
+      sum("cnt").cast("long").as("total_tokens")) ++
+      vocabSizes.map(v =>
+        coalesce(sum(when(col("_rank") <= v, col("cnt"))), lit(0L))
+          .as(s"__c$v"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    agg
+      .select(col("n_types"), col("total_tokens"),
+        explode(array(vocabSizes.map(v =>
+          struct(lit(v).as("v"), col(s"__c$v").as("c"))): _*)).as("e"))
+      .filter(col("total_tokens") > 0)
+      .select(col("e.v").as("vocab_size"), col("n_types"),
+        col("total_tokens"), col("e.c").as("covered_tokens"))
+      .withColumn("oov_permille",
+        expr("(1000L * (total_tokens - covered_tokens)) DIV total_tokens"))
+      .orderBy("vocab_size")
+  }
+
   /** Sentence-length burstiness per document — the variance-to-mean
     * ratio (index of dispersion) of tokens-per-sentence: uniform prose
     * sits near 0–1, machine-generated boilerplate near 0, and

@@ -993,6 +993,41 @@ object Metrics {
       .orderBy("col_name")
   }
 
+  /** Per-user session summaries via Spark's NATIVE `session_window` —
+    * the merging-interval session operator (not a gaps-and-islands
+    * window): each user's events coalesce into sessions closed by a
+    * `gapSeconds` silence; session_end is last-event + gap (Spark's
+    * session semantics, mirrored exactly in the oracle). The same
+    * expression composes unchanged into Structured Streaming with a
+    * watermark (see [[graft.streaming.StreamingPipeline
+    * .sessionSummaryPipeline]]) — THE reason to use the native
+    * operator over islands arithmetic: streaming state merge comes
+    * free. Null users excluded (unidentified actors have no
+    * sessions — the interarrival contract).
+    *
+    * Output: (user_id, session_start, session_end, n_events,
+    * duration_s BIGINT — exact micros div), ordered.
+    *
+    * Scale shape: one shuffle on user_id; session merge is
+    * per-partition state, no window funnel. */
+  def sessionWindowSummaries(events: DataFrame,
+                             gapSeconds: Long = 1800): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1: $gapSeconds")
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        expr("(unix_micros(session_window.end) " +
+          "- unix_micros(session_window.start)) DIV 1000000L")
+          .as("duration_s"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Per-user inter-arrival histogram per label — request periodicity
     * in power-of-2 second buckets, EXACT integer end to end: gaps are
     * whole seconds (epoch-micros difference div 1e6), and the bucket

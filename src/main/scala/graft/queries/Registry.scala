@@ -163,6 +163,10 @@ object Registry {
     "fast" -> 3, "slow" -> -3, "merge" -> 2, "join" -> 1,
     "query" -> 2, "error" -> -2, "spill" -> -2, "broken" -> -3)
 
+  /** Candidate vocab sizes for `txt_oov_curve` — one Scala value feeds
+    * the Spark call and the oracle unnest list. */
+  val oovVocabSizes: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L)
+
   /** Pinned BPE merge table for `txt_bpe_apply` — rank = position.
     * Hand-laid over the synthetic vocabulary to exercise multi-round
     * full-word merges (join/scan/sort/data/the), merged-symbol rules
@@ -699,6 +703,31 @@ object Registry {
         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
         round(max(dur), 3) AS max_session_secs
         FROM per GROUP BY user_id ORDER BY user_id NULLS FIRST"""), bench = true),
+
+    // NATIVE session_window sessions (merging-interval semantics,
+    // session_end = last event + gap); oracle = gaps-and-islands with
+    // the STRICT > gap break (an event at exactly last+gap MERGES —
+    // spec-pinned Spark behavior) and +gap end; null users excluded
+    QueryDef("session_window_summaries",
+      (s, d) => Metrics.sessionWindowSummaries(t(s, d, "events"), 1800),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE user_id IS NOT NULL),
+        o AS (SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+        g AS (SELECT user_id, sid, min(ts) AS session_start,
+            max(ts) AS session_end0, count(*)::BIGINT AS n_events
+          FROM i GROUP BY 1, 2)
+        SELECT user_id, session_start,
+          session_end0 + to_seconds(1800) AS session_end, n_events,
+          ((epoch_us(session_end0) + 1800000000
+            - epoch_us(session_start)) // 1000000)::BIGINT AS duration_s
+        FROM g ORDER BY user_id, session_start"""), bench = true),
 
     // earliest-anchor greedy funnel view→click→purchase, 2-day step
     // gap; epoch-micro BIGINT outputs — exact integers, no float
@@ -1878,6 +1907,31 @@ object Registry {
               ELSE -((200 * -rnum + rden) // (2 * rden)) END)::DOUBLE
               / 100.0::DOUBLE AS flesch
           FROM m2 ORDER BY doc_id"""
+      }, bench = true),
+
+    // OOV-vs-vocab-size curve: skew-safe constant-key global type rank,
+    // one conditional-sum pass for all candidates, exact permille
+    QueryDef("txt_oov_curve",
+      (s, d) => TextAnalysis.oovCurve(t(s, d, "documents"), oovVocabSizes),
+      Some {
+        val vs = oovVocabSizes.mkString("[", ", ", "]")
+        s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS token
+            FROM documents WHERE text IS NOT NULL),
+          c AS (SELECT token, count(*)::BIGINT AS cnt
+            FROM toks GROUP BY token),
+          r AS MATERIALIZED (SELECT token, cnt,
+              row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM c),
+          t AS (SELECT count(*)::BIGINT AS n_types,
+              sum(cnt)::BIGINT AS total FROM r),
+          v AS (SELECT unnest($vs) AS vocab_size),
+          cov AS (SELECT v.vocab_size,
+              coalesce(sum(CASE WHEN r.rk <= v.vocab_size
+                THEN r.cnt END), 0)::BIGINT AS covered
+            FROM v CROSS JOIN r GROUP BY 1)
+          SELECT vocab_size::BIGINT AS vocab_size, n_types,
+            total AS total_tokens, covered AS covered_tokens,
+            ((1000 * (total - covered)) // total)::BIGINT AS oov_permille
+          FROM cov CROSS JOIN t WHERE total > 0 ORDER BY vocab_size"""
       }, bench = true),
 
     // sentence-length burstiness (index of dispersion): exact integer

@@ -965,6 +965,40 @@ object StreamingPipeline {
       .toDF("label", "last_seen", "silent_for_secs")
   }
 
+  /** Streaming per-user session summaries via the NATIVE
+    * `session_window` — the streaming twin of
+    * [[graft.metrics.Metrics.sessionWindowSummaries]] (same
+    * expression, same semantics: sessions merge while events arrive
+    * within `gapSeconds`; session_end = last event + gap). Append
+    * mode: a session row is emitted EXACTLY ONCE, when the watermark
+    * passes its end — the whole point of using the native operator
+    * over islands arithmetic is that this streaming state merge
+    * (including out-of-order events joining or MERGING two open
+    * sessions) comes built in.
+    *
+    * State per key is one open session interval + count — O(1) per
+    * (user, open session); watermark eviction bounds total state by
+    * the number of users active inside the lateness horizon.
+    *
+    * Output (append, on close): (user_id, session_start, session_end,
+    * n_events). */
+  def sessionSummaryPipeline(events: DataFrame, tsCol: String,
+                             userCol: String, gapSeconds: Long,
+                             watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1: $gapSeconds")
+    events
+      .filter(col(userCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds"),
+        col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col(userCol).as("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

@@ -3204,6 +3204,48 @@ class AnalyticsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("oovCurve: exact coverage at each vocab size; frequency-then-token rank; empty corpus silent") {
+    import spark.implicits._
+    // types: a×5, b×3, c×3, d×1 → total 12. Rank: a(1), b(2), c(3)
+    // (b<c tie on cnt 3), d(4). V=1: covered 5 → oov 583; V=2: 8 →
+    // 333; V=4: 12 → 0
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovCurve(docs, Seq(1L, 2L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 4L, 12L, 5L, 583L),
+      (2L, 4L, 12L, 8L, 333L), (4L, 4L, 12L, 12L, 0L)), s"got ${out.toSeq}")
+    val empty = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextAnalysis.oovCurve(empty, Seq(1L)).collect().isEmpty)
+  }
+
+  test("sessionWindowSummaries: native session merge, end = last + gap, null users out") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: events at 0 s, 20 s (merge, gap 30), then 100 s (new)
+      (1L, 10L, "e", t("2024-01-01 00:00:00")),
+      (2L, 10L, "e", t("2024-01-01 00:00:20")),
+      (3L, 10L, "e", t("2024-01-01 00:01:40")),
+      // boundary: an event at EXACTLY last+gap MERGES (Spark inclusive
+      // end — the oracle's break condition must be strict >)
+      (4L, 20L, "e", t("2024-01-01 00:00:00")),
+      (5L, 20L, "e", t("2024-01-01 00:00:30")),
+      (6L, -1L, "e", t("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("user_id",
+        when(col("user_id") === -1L, lit(null)).otherwise(col("user_id")))
+    val out = graft.metrics.Metrics.sessionWindowSummaries(rows, 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (10L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:50.0", 2L, 50L),
+      (10L, "2024-01-01 00:01:40.0", "2024-01-01 00:02:10.0", 1L, 30L),
+      (20L, "2024-01-01 00:00:00.0", "2024-01-01 00:01:00.0", 2L, 60L)),
+      s"got ${out.toSeq}")
+  }
+
   test("kcenterSample: seed is lowest pool id; greedy picks the farthest; k rows out") {
     import spark.implicits._
     // orthogonal axes + a near-duplicate of the seed: with pool = all

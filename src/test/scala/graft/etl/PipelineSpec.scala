@@ -582,4 +582,43 @@ class PipelineSpec extends SparkSpec {
       assert(spark.table("anomalies").count() == before)
     } finally q.stop()
   }
+
+  test("streaming session_window: sessions emit exactly once on close; in-horizon events merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id").repartition(4)
+    val out = StreamingPipeline.sessionSummaryPipeline(
+      df, "ts", "user_id", gapSeconds = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user 7: two events 20 s apart (one session), same batch
+      mem.addData((t("2024-01-01 00:00:00"), 7L), (t("2024-01-01 00:00:20"), 7L))
+      q.processAllAvailable()
+      // session still open — watermark at 00:00:20 < end 00:00:50
+      assert(spark.table("sessions").count() == 0)
+      // next batch: a same-session straggler at 00:00:40 (watermark
+      // 00:00:20 — inside the open window) MERGES and extends the end
+      mem.addData((t("2024-01-01 00:00:40"), 7L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0)
+      // far-future tick closes it; emitted exactly once with n=3
+      mem.addData((t("2024-01-01 01:00:00"), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (7L, "2024-01-01 00:00:00.0", "2024-01-01 00:01:10.0", 3L)),
+        s"got ${rows.toSeq}")
+      // and the closed session never re-emits
+      mem.addData((t("2024-01-01 02:00:00"), 7L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 2, // + the 01:00 session
+        s"closed sessions must not re-emit")
+    } finally q.stop()
+  }
 }
