@@ -315,11 +315,31 @@ object Bench {
       (-1.0, 0)
     }
 
+    // native session_window streaming twin: per-user session state
+    // merge + watermark-close emission
+    val (sessSecs, sessEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("user_id IS NOT NULL")
+        .selectExpr("ts", "user_id")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType)))
+      (twinDrain("session_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.sessionSummaryPipeline(
+          df, "ts", "user_id", gapSeconds = 1800)
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] session_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
       "admission_stream_big" -> admBigSecs,
       "anomaly_stream" -> anomSecs,
-      "trending_stream_sketch" -> trendSecs)
+      "trending_stream_sketch" -> trendSecs,
+      "session_stream" -> sessSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -327,7 +347,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

@@ -993,6 +993,33 @@ object Metrics {
       .orderBy("col_name")
   }
 
+  /** Day-over-day top movers — the "what changed most" triage panel:
+    * per (label, observed day), the count delta vs the label's
+    * PREVIOUS observed day, global top-k by |delta| (ties: label,
+    * day). EXACT integers end to end; first observed day per label
+    * has no baseline and is excluded. Null labels kept (count-panel
+    * contract).
+    *
+    * Output: (event_type, day, n, prev_n, delta), ordered
+    * (|delta| DESC, event_type NULLS FIRST, day), k rows.
+    *
+    * Scale shape: bucket-grain daily pre-agg → per-label lag at day
+    * cardinality → global top-k as a TakeOrdered (never a full
+    * sort). */
+  def topMovers(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+      .limit(k)
+      .select("event_type", "day", "n", "prev_n", "delta")
+  }
+
   /** Per-user session summaries via Spark's NATIVE `session_window` —
     * the merging-interval session operator (not a gaps-and-islands
     * window): each user's events coalesce into sessions closed by a

@@ -1058,6 +1058,23 @@ object Registry {
         FROM b GROUP BY 1, 2
         ORDER BY event_type NULLS FIRST, bucket"""), bench = true),
 
+    // day-over-day top movers: exact integer deltas, global top-k as a
+    // TakeOrdered with a total tie-break
+    QueryDef("metrics_top_movers",
+      (s, d) => Metrics.topMovers(t(s, d, "events"), 10),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, day, n,
+            lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+          FROM daily),
+        m AS (SELECT event_type, day, n, prev_n, n - prev_n AS delta
+          FROM l WHERE prev_n IS NOT NULL)
+        SELECT event_type, day, n, prev_n, delta
+        FROM m
+        ORDER BY abs(delta) DESC, event_type NULLS FIRST, day
+        LIMIT 10"""), bench = true),
+
     // same-day co-occurrence lift matrix: distinct user-day-label
     // triples, exact integer permille; 1000 = independence
     QueryDef("metrics_affinity_matrix",

@@ -3204,6 +3204,25 @@ class AnalyticsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("topMovers: exact deltas vs previous OBSERVED day; first day excluded; |delta| rank") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-05-$d%02d 09:00:00")
+    // x: 5, 2, (gap), 9 → deltas -3 and +7 (vs previous OBSERVED day)
+    // y: 1, 2 → delta +1
+    val rows =
+      (0 until 5).map(_ => ("x", t(1))) ++ (0 until 2).map(_ => ("x", t(2))) ++
+      (0 until 9).map(_ => ("x", t(5))) ++
+      Seq(("y", t(1)), ("y", t(2)), ("y", t(2)))
+    val ev = rows.zipWithIndex
+      .map { case ((ty, ts), i) => (i.toLong, ts, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.metrics.Metrics.topMovers(ev, 2).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("x", "2024-05-05", 9L, 2L, 7L),
+      ("x", "2024-05-02", 2L, 5L, -3L)), s"got ${out.toSeq}")
+  }
+
   test("oovCurve: exact coverage at each vocab size; frequency-then-token rank; empty corpus silent") {
     import spark.implicits._
     // types: a×5, b×3, c×3, d×1 → total 12. Rank: a(1), b(2), c(3)
