@@ -1115,7 +1115,7 @@ object Registry {
           CASE WHEN tot > 0 THEN
             round((2.0 * s - (ns + 1)::DOUBLE * tot) / (ns::DOUBLE * tot), 6)
           ELSE 0.0 END AS gini
-        FROM a""")),
+        FROM a"""), bench = true),
 
     // Markov transition matrix: user-grain lead window -> |types|^2
     // combinable matrix + tiny row normalization
