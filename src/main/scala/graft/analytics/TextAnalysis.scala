@@ -1187,12 +1187,22 @@ object TextAnalysis {
   def readability(documents: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
-      .withColumn("__sents",
-        filter(transform(split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"),
-          s => regexp_replace(s, "[.!?]+$", "")), s => s =!= ""))
+      // sentence COUNT with row-level regexps only (no regexp inside a
+      // HOF lambda — SPARK-35410 interpretation rule): replace each
+      // terminator+ws separator with \\u0000, drop every terminator
+      // char, and count runs of non-separator chars. An element of the
+      // original split survives its trailing-[.!?]+ trim iff it
+      // contains ANY non-terminator char, so the run count equals the
+      // original filter(transform(...)) size exactly.
+      .withColumn("__sflat",
+        regexp_replace(
+          regexp_replace(trim(col("text")),
+            "[.!?][ \\t\\n\\x0B\\f\\r]+", "\u0000"),
+          "[.!?]", ""))
       .withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"),
-        size(col("__sents")).cast("long").as("n_sentences"),
+        size(regexp_extract_all(col("__sflat"), lit("[^\u0000]+"), lit(0)))
+          .cast("long").as("n_sentences"),
         size(col("__toks")).cast("long").as("n_words"),
         aggregate(col("__toks"), lit(0L), (acc, w) =>
           acc + greatest(lit(1),
@@ -1294,10 +1304,16 @@ object TextAnalysis {
   def burstiness(documents: DataFrame): DataFrame =
     graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
+      // explode FIRST, then trim trailing terminators at ROW level —
+      // the regexp never runs inside a HOF lambda (SPARK-35410
+      // interpretation rule); semantics identical to trimming inside
+      // the array.
       .withColumn("__sents",
-        filter(transform(split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"),
-          s => regexp_replace(s, "[.!?]+$", "")), s => s =!= ""))
-      .select(col("doc_id"), explode(col("__sents")).as("__s"))
+        split(trim(col("text")), "[.!?][ \\t\\n\\x0B\\f\\r]+"))
+      .select(col("doc_id"), explode(col("__sents")).as("__s0"))
+      .select(col("doc_id"),
+        regexp_replace(col("__s0"), "[.!?]+$", "").as("__s"))
+      .filter(col("__s") =!= "")
       .select(col("doc_id"),
         size(split(trim(col("__s")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long")
           .as("__x"))
