@@ -334,12 +334,68 @@ object Bench {
       (-1.0, 0)
     }
 
+    // stream–stream interval join twin: clicks ⋈ purchases on user_id
+    // within 6 h — TWO correlated file streams (the processor's
+    // notification+object shape), both watermarked, state bounded by
+    // the horizon; throughput = (left+right rows)/s drained.
+    val (ijSecs, ijEvents) = try {
+      import java.nio.file.{Files, Paths}
+      val ev = Registry.table(spark, sfDir, "events")
+        .where("user_id IS NOT NULL")
+      def rowsOf(kind: String): Array[String] = ev
+        .where(s"event_type = '$kind'")
+        .selectExpr("ts", "user_id", "event_id")
+        .orderBy("ts").toJSON.collect()
+      val (lRows, rRows) = (rowsOf("click"), rowsOf("purchase"))
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("event_id", org.apache.spark.sql.types.LongType)))
+      val base = Files.createTempDirectory("graft_bench_interval_join")
+      def drainOnce(attempt: Int): Double = {
+        val (inL, inR, ckpt) =
+          (s"$base/l$attempt", s"$base/r$attempt", s"$base/ckpt$attempt")
+        for ((dir, rows) <- Seq(inL -> lRows, inR -> rRows)) {
+          Files.createDirectories(Paths.get(dir))
+          rows.grouped(math.max(1, rows.length / 8)).zipWithIndex.foreach {
+            case (chunk, i) =>
+              Files.writeString(Paths.get(dir, f"part_$i%03d.jsonl"),
+                chunk.mkString("\n"))
+          }
+        }
+        val t0 = System.nanoTime()
+        try {
+          def src(dir: String) = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).json(dir)
+          val q = graft.streaming.StreamingPipeline.intervalJoinPipeline(
+              src(inL), "ts", src(inR), "ts", "user_id", 6L * 3600L)
+            .writeStream.format("noop")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else { q.stop()
+            System.err.println("[bench] interval_join_stream timed out"); -1.0 }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] interval_join_stream failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val a = drainOnce(0)
+      (if (a < 0) a
+       else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) },
+        lRows.length + rRows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] interval_join_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
       "admission_stream_big" -> admBigSecs,
       "anomaly_stream" -> anomSecs,
       "trending_stream_sketch" -> trendSecs,
-      "session_stream" -> sessSecs)
+      "session_stream" -> sessSecs,
+      "interval_join_stream" -> ijSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -347,7 +403,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

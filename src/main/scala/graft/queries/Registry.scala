@@ -732,6 +732,49 @@ object Registry {
     // earliest-anchor greedy funnel view→click→purchase, 2-day step
     // gap; epoch-micro BIGINT outputs — exact integers, no float
     // compare surface
+    // BATCH TWIN of the stream–stream interval join
+    // (StreamingPipeline.intervalJoinPipeline — the SAME code path the
+    // streaming query runs; withWatermark is a no-op in batch): click →
+    // purchase attribution, purchases within 6 h of a click by the same
+    // user, aggregated per user. Exact integer lag seconds; the plan is
+    // an equi-join on user_id with the range residual (SMJ — PlanLint
+    // enforces no cartesian/BNLJ).
+    QueryDef("interval_join_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.streaming.StreamingPipeline.intervalJoinPipeline(
+            clicks, "ts", purchases, "ts", "user_id", 6L * 3600L)
+          .groupBy("join_key")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            countDistinct("l_event_id").cast("long").as("n_clicks"),
+            countDistinct("r_event_id").cast("long").as("n_purchases"),
+            min("lag_s").as("min_lag_s"),
+            max("lag_s").as("max_lag_s"))
+          .select(col("join_key").as("user_id"), col("n_pairs"),
+            col("n_clicks"), col("n_purchases"), col("min_lag_s"),
+            col("max_lag_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS MATERIALIZED (SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        p AS MATERIALIZED (SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        SELECT c.user_id AS user_id, count(*)::BIGINT AS n_pairs,
+          count(DISTINCT c.event_id)::BIGINT AS n_clicks,
+          count(DISTINCT p.event_id)::BIGINT AS n_purchases,
+          (min(p.us - c.us) // 1000000)::BIGINT AS min_lag_s,
+          (max(p.us - c.us) // 1000000)::BIGINT AS max_lag_s
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.us >= c.us AND p.us <= c.us + 21600000000
+        GROUP BY c.user_id ORDER BY user_id"""),
+      bench = true),
+
     QueryDef("funnel_steps",
       (s, d) => Metrics.funnelSteps(t(s, d, "events"),
         Seq("view", "click", "purchase"), 2L * 86400L),

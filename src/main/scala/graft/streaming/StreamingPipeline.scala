@@ -999,6 +999,70 @@ object StreamingPipeline {
         col("n_events"))
   }
 
+  /** Watermark-bounded STREAM–STREAM interval join — the one
+    * first-class Structured Streaming join family: two live event
+    * streams correlated on a key within an event-time horizon
+    * (`r_ts ∈ [l_ts, l_ts + horizonSeconds]`, both bounds inclusive).
+    * The reference's processor consumes exactly this shape — two
+    * correlated inbound streams, Pub/Sub notifications + the GCS
+    * objects they announce (processor_app.py:108–147); this is the
+    * general operator (click→purchase attribution, notify→object
+    * pairing, alert→ack matching).
+    *
+    * BOTH sides are watermarked and the join condition bounds the
+    * event-time distance in BOTH directions, so Spark derives state
+    * eviction for each side: a left row is dropped once the watermark
+    * passes `l_ts + horizon`, a right row once it passes `r_ts` —
+    * state is bounded by (rows inside horizon+delay) per side, never
+    * the stream history. Inner join, append mode: a pair is emitted
+    * exactly once, when both rows have arrived.
+    *
+    * Works identically on BATCH frames (`withWatermark` is a no-op in
+    * batch; the plan is a plain equi-join on the key with the range
+    * residual — SMJ/SHJ, never a cartesian), which is how the
+    * oracle-checked twin (`interval_join_attribution`) runs the SAME
+    * code the stream runs.
+    *
+    * Input contract: both frames carry `keyCol` (null keys dropped —
+    * a null never equi-matches anyway, shedding them early keeps them
+    * out of join state) and an event-time timestamp column. Other
+    * columns pass through prefixed `l_` / `r_`; callers must avoid
+    * pre-prefixed names that would collide.
+    *
+    * Output: (join_key, l_ts, r_ts, lag_s [exact integer seconds,
+    * floor], l_<cols>..., r_<cols>...). */
+  def intervalJoinPipeline(left: DataFrame, leftTsCol: String,
+                           right: DataFrame, rightTsCol: String,
+                           keyCol: String, horizonSeconds: Long,
+                           watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    require(horizonSeconds >= 1,
+      s"intervalJoinPipeline: horizonSeconds must be >= 1: $horizonSeconds")
+    def side(df: DataFrame, tsCol: String, p: String): DataFrame = {
+      val others = df.columns.filter(c => c != keyCol && c != tsCol)
+      val clash = others.filter(c => c.startsWith("l_") || c.startsWith("r_"))
+      require(clash.isEmpty,
+        s"intervalJoinPipeline: pre-prefixed columns would collide: ${clash.mkString(",")}")
+      df.filter(col(keyCol).isNotNull)
+        .select(col(keyCol).as(p + "key") +: col(tsCol).as(p + "ts") +:
+          others.map(c => col(c).as(p + c)): _*)
+        .withWatermark(p + "ts", watermarkDelay)
+    }
+    val l = side(left, leftTsCol, "l_")
+    val r = side(right, rightTsCol, "r_")
+    val lOthers = l.columns.filter(c => c != "l_key" && c != "l_ts")
+    val rOthers = r.columns.filter(c => c != "r_key" && c != "r_ts")
+    l.join(r,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+        "inner")
+      .select(col("l_key").as("join_key") +: col("l_ts") +: col("r_ts") +:
+        expr("(unix_micros(r_ts) - unix_micros(l_ts)) DIV 1000000")
+          .as("lag_s") +:
+        (lOthers ++ rOthers).map(col): _*)
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

@@ -621,4 +621,83 @@ class PipelineSpec extends SparkSpec {
         s"closed sessions must not re-emit")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: inclusive horizon, exactly-once pairs, state evicted past watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val dfL = memL.toDF().toDF("ts", "user_id", "event_id").repartition(4)
+    val dfR = memR.toDF().toDF("ts", "user_id", "event_id").repartition(4)
+    val out = StreamingPipeline.intervalJoinPipeline(
+      dfL, "ts", dfR, "ts", "user_id", horizonSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("ij_pairs")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // left: one click for user 7 at 00:00:00
+      memL.addData((t("2024-01-01 00:00:00"), 7L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("ij_pairs").count() == 0)
+      // right: in-horizon (30 s), boundary (exactly +60 s — INCLUSIVE),
+      // past-horizon (+61 s), and a different key
+      memR.addData(
+        (t("2024-01-01 00:00:30"), 7L, 101L),
+        (t("2024-01-01 00:01:00"), 7L, 102L),
+        (t("2024-01-01 00:01:01"), 7L, 103L),
+        (t("2024-01-01 00:00:10"), 8L, 104L))
+      q.processAllAvailable()
+      val pairs = spark.table("ij_pairs")
+        .select("join_key", "l_event_id", "r_event_id", "lag_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._3)
+      assert(pairs.toSeq == Seq((7L, 1L, 101L, 30L), (7L, 1L, 102L, 60L)),
+        s"got: ${pairs.toSeq}")
+      // a pair never re-emits: unrelated far-future ticks on BOTH
+      // sides (distinct keys — no accidental match) advance the
+      // watermark; pair count must stay 2
+      memL.addData((t("2024-01-01 01:00:00"), 90L, 900L))
+      memR.addData((t("2024-01-01 01:00:00"), 91L, 901L))
+      q.processAllAvailable()
+      memL.addData((t("2024-01-01 01:10:00"), 90L, 902L))
+      memR.addData((t("2024-01-01 01:10:00"), 91L, 903L))
+      q.processAllAvailable()
+      assert(spark.table("ij_pairs").count() == 2,
+        "closed pairs must not re-emit")
+      // state-eviction bound: with the watermark at 01:10:00, every
+      // 00:0x row is past l_ts+horizon / r_ts — only the four tick
+      // rows may remain in join state
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.exists(_ <= 4L),
+        s"join state not evicted: $stateRows")
+    } finally q.stop()
+  }
+
+  test("interval join batch twin: same code path, exact lag arithmetic, prefixed passthrough columns") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((t("2024-01-01 00:00:00"), 7L, 1L),
+      (t("2024-01-01 00:05:00"), 7L, 2L),
+      (t("2024-01-01 00:00:00"), 9L, 3L))
+      .toDF("ts", "user_id", "event_id")
+    val r = Seq((t("2024-01-01 00:00:59"), 7L, 101L),
+      (t("2024-01-01 00:01:00"), 7L, 102L),   // exactly +60 s: kept
+      (t("2024-01-01 00:01:01"), 7L, 103L),   // +61 s: dropped
+      (t("2024-01-01 00:05:30"), 7L, 104L),
+      (t("2023-12-31 23:59:59"), 7L, 105L),   // BEFORE the click: dropped
+      (t("2024-01-01 00:00:01"), 8L, 106L))   // no matching left key
+      .toDF("ts", "user_id", "event_id")
+    val out = StreamingPipeline.intervalJoinPipeline(
+      l, "ts", r, "ts", "user_id", horizonSeconds = 60)
+    assert(out.columns.toSeq == Seq("join_key", "l_ts", "r_ts", "lag_s",
+      "l_event_id", "r_event_id"))
+    val got = out.select("join_key", "l_event_id", "r_event_id", "lag_s")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).sortBy(p => (p._2, p._3))
+    assert(got.toSeq == Seq((7L, 1L, 101L, 59L), (7L, 1L, 102L, 60L),
+      (7L, 2L, 104L, 30L)), s"got: ${got.toSeq}")
+  }
 }
