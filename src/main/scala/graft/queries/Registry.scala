@@ -775,6 +775,48 @@ object Registry {
         GROUP BY c.user_id ORDER BY user_id"""),
       bench = true),
 
+    // LEFT-OUTER twin of the interval join (same function, joinType
+    // switched): clicks that never saw a purchase inside the horizon —
+    // streaming, this is the timeout detector (unmatched rows emit
+    // null-padded once the watermark proves no partner can arrive).
+    // Disjointness invariant: a click is matched XOR unmatched, so
+    // n_matched + n_unmatched = n_clicks.
+    QueryDef("interval_join_unmatched",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.streaming.StreamingPipeline.intervalJoinPipeline(
+            clicks, "ts", purchases, "ts", "user_id", 6L * 3600L,
+            joinType = "left_outer")
+          .groupBy("join_key")
+          .agg(countDistinct("l_event_id").cast("long").as("n_clicks"),
+            countDistinct(when(col("r_ts").isNotNull, col("l_event_id")))
+              .cast("long").as("n_matched"),
+            countDistinct(when(col("r_ts").isNull, col("l_event_id")))
+              .cast("long").as("n_unmatched"))
+          .select(col("join_key").as("user_id"), col("n_clicks"),
+            col("n_matched"), col("n_unmatched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS MATERIALIZED (SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        p AS MATERIALIZED (SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        SELECT c.user_id AS user_id,
+          count(DISTINCT c.event_id)::BIGINT AS n_clicks,
+          count(DISTINCT CASE WHEN p.us IS NOT NULL THEN c.event_id END)::BIGINT
+            AS n_matched,
+          count(DISTINCT CASE WHEN p.us IS NULL THEN c.event_id END)::BIGINT
+            AS n_unmatched
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+          AND p.us >= c.us AND p.us <= c.us + 21600000000
+        GROUP BY c.user_id ORDER BY user_id""")),
+
     QueryDef("funnel_steps",
       (s, d) => Metrics.funnelSteps(t(s, d, "events"),
         Seq("view", "click", "purchase"), 2L * 86400L),

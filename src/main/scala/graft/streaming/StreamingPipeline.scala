@@ -1017,6 +1017,15 @@ object StreamingPipeline {
     * the stream history. Inner join, append mode: a pair is emitted
     * exactly once, when both rows have arrived.
     *
+    * `joinType` extends the family to the OUTER variants (left_outer /
+    * right_outer / full_outer): an unmatched row emits null-padded
+    * (null partner ts + lag_s) — but only once the watermark proves no
+    * partner can still arrive (left: watermark past `l_ts + horizon`;
+    * right: past `r_ts`), so outer results trail the watermark by the
+    * horizon. This is the timeout detector of the reference's shape —
+    * "a notification whose object never arrived" — as the same
+    * operator.
+    *
     * Works identically on BATCH frames (`withWatermark` is a no-op in
     * batch; the plan is a plain equi-join on the key with the range
     * residual — SMJ/SHJ, never a cartesian), which is how the
@@ -1034,10 +1043,14 @@ object StreamingPipeline {
   def intervalJoinPipeline(left: DataFrame, leftTsCol: String,
                            right: DataFrame, rightTsCol: String,
                            keyCol: String, horizonSeconds: Long,
-                           watermarkDelay: String = "0 seconds")
+                           watermarkDelay: String = "0 seconds",
+                           joinType: String = "inner")
       : DataFrame = {
     require(horizonSeconds >= 1,
       s"intervalJoinPipeline: horizonSeconds must be >= 1: $horizonSeconds")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")
+        .contains(joinType),
+      s"intervalJoinPipeline: unsupported joinType: $joinType")
     def side(df: DataFrame, tsCol: String, p: String): DataFrame = {
       val others = df.columns.filter(c => c != keyCol && c != tsCol)
       val clash = others.filter(c => c.startsWith("l_") || c.startsWith("r_"))
@@ -1056,8 +1069,10 @@ object StreamingPipeline {
         col("l_key") === col("r_key") &&
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
-        "inner")
-      .select(col("l_key").as("join_key") +: col("l_ts") +: col("r_ts") +:
+        joinType)
+      // coalesce: outer variants null the unmatched side's key
+      .select(coalesce(col("l_key"), col("r_key")).as("join_key") +:
+        col("l_ts") +: col("r_ts") +:
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) DIV 1000000")
           .as("lag_s") +:
         (lOthers ++ rOthers).map(col): _*)

@@ -676,6 +676,47 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched left emits null-padded only after watermark proves no partner") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamingPipeline.intervalJoinPipeline(
+      memL.toDF().toDF("ts", "user_id", "event_id"), "ts",
+      memR.toDF().toDF("ts", "user_id", "event_id"), "ts",
+      "user_id", horizonSeconds = 60, joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user 7's click gets a purchase; user 9's never does
+      memL.addData((t("2024-01-01 00:00:00"), 7L, 1L),
+        (t("2024-01-01 00:00:00"), 9L, 2L))
+      memR.addData((t("2024-01-01 00:00:30"), 7L, 101L))
+      q.processAllAvailable()
+      // the matched pair may emit, but user 9 must NOT be declared
+      // unmatched yet — the horizon hasn't expired
+      assert(spark.table("ij_outer").where("r_ts IS NULL").count() == 0,
+        "unmatched row emitted before the watermark proved it")
+      // advance BOTH watermarks far past l_ts + horizon (two rounds:
+      // eviction runs in the batch after the watermark update)
+      for (i <- 1 to 2) {
+        memL.addData((t(s"2024-01-01 01:0$i:00"), 90L, 900L + i))
+        memR.addData((t(s"2024-01-01 01:0$i:00"), 91L, 910L + i))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ij_outer")
+        .select("join_key", "l_event_id", "r_event_id", "lag_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .filter(_._1 < 90L).sortBy(_._2).toSeq
+      assert(rows == Seq((7L, 1L, 101L, 30L), (9L, 2L, -1L, -1L)),
+        s"got: $rows")
+    } finally q.stop()
+  }
+
   test("interval join batch twin: same code path, exact lag arithmetic, prefixed passthrough columns") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
