@@ -640,6 +640,42 @@ object Metrics {
       .orderBy("event_id")
   }
 
+  /** Deterministic HARD per-key quota — admit the first `cap` events
+    * per (event_type, event-time window of `windowSeconds`) in strict
+    * (ts, event_id) order, reject the rest. The exact complement of
+    * [[rateLimitSample]]'s probabilistic cap: billing/abuse limits
+    * need "exactly the first N", not "about N chosen fairly".
+    *
+    * All window math is integer epoch-micros (floor-div — never a
+    * float bucket edge); `admit_seq` is the row's 1-based admission
+    * rank. Null type/id rows are excluded (portable-null contract).
+    * The streaming twin is
+    * [[graft.streaming.StreamingPipeline.quotaLimitPipeline]] — same
+    * admission rule under transformWithState state; the two agree
+    * whenever micro-batches arrive in event-time order.
+    *
+    * Scale shape: ONE window over (event_type, window_start) — a
+    * high-cardinality composite key (the [[rateLimitSample]] pattern),
+    * so the exchange spreads; per-key state is a counter. */
+  def quotaEnforce(events: DataFrame, cap: Int,
+                   windowSeconds: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    val winUs = windowSeconds * 1000000L
+    val w = Window.partitionBy(col("event_type"), col("window_start_s"))
+      .orderBy(col("__us"), col("event_id"))
+    events
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts)").as("__us"), col("event_id"))
+      .withColumn("window_start_s",
+        expr(s"(__us div ${winUs}L) * ${windowSeconds}L"))
+      .withColumn("admit_seq", row_number().over(w).cast("long"))
+      .filter(col("admit_seq") <= cap)
+      .select(col("event_type"), col("window_start_s").cast("long"),
+        col("event_id").cast("long").as("event_id"), col("admit_seq"))
+  }
+
   /** Lag-k autocorrelation of daily label counts — the seasonality /
     * self-similarity detector ([[ewmaDailyAnomalies]]'s diagnostic
     * sibling: a high lag-7 autocorrelation says the baseline should be

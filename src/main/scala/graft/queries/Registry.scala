@@ -973,6 +973,30 @@ object Registry {
         FROM r WHERE rk <= 3 ORDER BY event_id"""),
       bench = true),
 
+    // deterministic HARD quota — first `cap` events per (type, DAY
+    // window) in exact (ts, id) order (rateLimitSample's exact
+    // complement; streaming twin quotaLimitPipeline runs the same rule
+    // under transformWithState). Daily windows so the cap bites
+    // (~67 events/type/day at sf0.01 vs cap 2); all-BIGINT outputs.
+    QueryDef("metrics_quota_enforce",
+      (s, d) => Metrics.quotaEnforce(t(s, d, "events"), cap = 2,
+          windowSeconds = 86400L)
+        .orderBy("event_type", "window_start_s", "admit_seq"),
+      Some("""WITH e AS (SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events
+          WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+        r AS (SELECT event_type,
+            (us // 86400000000) * 86400 AS window_start_s, event_id,
+            row_number() OVER (PARTITION BY event_type, us // 86400000000
+              ORDER BY us, event_id) AS seq
+          FROM e)
+        SELECT event_type, window_start_s::BIGINT AS window_start_s,
+          event_id::BIGINT AS event_id, seq::BIGINT AS admit_seq
+        FROM r WHERE seq <= 2
+        ORDER BY event_type, window_start_s, admit_seq"""),
+      bench = true),
+
     // Theil-Sen robust trend: median of all pairwise daily-count
     // slopes (rounded before ranking), exact integer median rank
     QueryDef("metrics_trend_theil_sen",

@@ -1078,6 +1078,141 @@ object StreamingPipeline {
         (lOthers ++ rOthers).map(col): _*)
   }
 
+  /** Streaming HARD quota limiter — the live twin of
+    * [[graft.metrics.Metrics.quotaEnforce]], built on Spark 4's
+    * `transformWithState` (the arbitrary-state API that supersedes
+    * flatMapGroupsWithState: typed state variables, first-class
+    * event-time timers, RocksDB-backed): admit the first `cap` events
+    * per (event_type, event-time window), reject the rest — the
+    * billing/abuse cap where "about N" (md5-coin sampling) is not
+    * enough.
+    *
+    * State/parallelism shape (the 100 TB funnel rule): the stateful
+    * key is (event_type, window_start) — windows spread one type's
+    * stream across tasks over time — and state per key is ONE counter
+    * (`ValueState[Long]`), evicted by an event-time TIMER at window
+    * end. An exact cap must see candidate rows per key in one place
+    * (inherent to exactness; [[graft.metrics.Metrics.rateLimitSample]]
+    * stays the fully-parallel probabilistic alternative), so each
+    * input partition first keeps only its `cap` EARLIEST (ts, id)
+    * rows per key in a narrow mapPartitions heap — a pruned row had
+    * `cap` earlier rows in its own partition, so it can never be among
+    * the first `cap` globally; the shuffle then carries
+    * ≤ partitions × cap rows per key per trigger, independent of
+    * stream rate.
+    *
+    * Admission is (ts, id)-ordered WITHIN each micro-batch and
+    * count-cumulative across batches, so the stream agrees with the
+    * batch twin exactly when micro-batches arrive in event-time order
+    * (the admissionPipeline caveat class). Stragglers for windows the
+    * watermark has closed are dropped — never re-admitted against
+    * evicted state. The watermark is taken from the SURVIVING rows'
+    * own event times (pruned rows advance it at most one window later
+    * — state lives ≤ 2 windows instead of 1, still bounded).
+    *
+    * REQUIRES the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState needs
+    * multi-column-family state; checked fail-loud at construction for
+    * streaming inputs.
+    *
+    * Output (append): (event_type, window_start_s, event_id,
+    * admit_seq) — admitted rows only, `admit_seq` the 1-based
+    * admission rank within its window. */
+  def quotaLimitPipeline(events: DataFrame, windowSeconds: Long, cap: Int,
+                         watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val spark = events.sparkSession
+    if (events.isStreaming) {
+      val provider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+      require(provider.contains("RocksDB"),
+        "quotaLimitPipeline: transformWithState requires " +
+          "spark.sql.streaming.stateStore.providerClass=" +
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+    import spark.implicits._
+    val winUs = windowSeconds * 1000000L
+    val typed = events
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+    // narrow per-partition pre-trim: cap earliest (us, id) per key —
+    // a bounded max-heap per (type, window) seen this partition/batch
+    val pre = typed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[(String, Long), scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (t, ts, id) =>
+        val inst = ts.toInstant
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        val w = Math.floorDiv(us, winUs) * windowSeconds
+        val h = heaps.getOrElseUpdate((t, w),
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+        if (h.size < cap) h.enqueue((us, id))
+        else if (us < h.head._1 || (us == h.head._1 && id < h.head._2)) {
+          h.dequeue(); h.enqueue((us, id))
+        }
+      }
+      heaps.iterator.flatMap { case ((t, w), h) =>
+        h.iterator.map { case (us, id) => (t, w, us, id) }
+      }
+    }
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pre.toDF("event_type", "window_start_s", "__us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(__us)"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new QuotaStateProcessor(windowSeconds, cap),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("event_type", "window_start_s", "event_id", "admit_seq")
+  }
+
+  /** transformWithState processor for [[quotaLimitPipeline]]: one
+    * `ValueState[Long]` admission counter per (event_type, window),
+    * cleaned by an event-time timer at window end (by which point the
+    * watermark guarantees no row for the window survives upstream). */
+  private final class QuotaStateProcessor(windowSeconds: Long, cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), (String, Long, Long, Long, java.sql.Timestamp),
+        (String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[(String, Long, Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val windowEndMs = (key._2 + windowSeconds) * 1000L
+      // straggler for a closed window: state is (or is about to be)
+      // evicted — admitting would exceed the cap on replayed history
+      if (windowEndMs <= timerValues.getCurrentWatermarkInMs()) Iterator.empty
+      else {
+        getHandle.registerTimer(windowEndMs)
+        var c = if (admitted.exists()) admitted.get() else 0L
+        val out = Seq.newBuilder[(String, Long, Long, Long)]
+        rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (t, w, _, id, _) =>
+          if (c < cap) { c += 1; out += ((t, w, id, c)) }
+        }
+        admitted.update(c)
+        out.result().iterator
+      }
+    }
+    override def handleExpiredTimer(
+        key: (String, Long), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(String, Long, Long, Long)] = {
+      admitted.clear()
+      Iterator.empty
+    }
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

@@ -717,6 +717,82 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState quota limiter: hard cap per window, cross-batch count, straggler drop, batch-twin agreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.quotaLimitPipeline(
+      mem.toDF().toDF("event_type", "ts", "event_id"),
+      windowSeconds = 60, cap = 2)
+    val q = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def w(s: String) = t(s).getTime / 1000L / 60L * 60L
+    val w0 = w("2024-01-01 00:00:00")
+    val w1 = w("2024-01-01 00:01:00")
+    def rows() = spark.table("quota_out")
+      .select("event_type", "window_start_s", "event_id", "admit_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    try {
+      // batch 1: three "a" rows in window 0 arrive OUT of event-time
+      // order — the earliest two by (ts, id) must win, not the first
+      // two in arrival order; "b" has one row
+      mem.addData(("a", t("2024-01-01 00:00:02"), 3L),
+        ("a", t("2024-01-01 00:00:00"), 1L),
+        ("a", t("2024-01-01 00:00:01"), 2L),
+        ("b", t("2024-01-01 00:00:05"), 10L))
+      q.processAllAvailable()
+      assert(rows() == Set(("a", w0, 1L, 1L), ("a", w0, 2L, 2L),
+        ("b", w0, 10L, 1L)), s"got: ${rows()}")
+      // batch 2: the counter is CROSS-batch — another window-0 "a" is
+      // over quota; a next-window "a" starts a fresh counter
+      mem.addData(("a", t("2024-01-01 00:00:03"), 4L),
+        ("a", t("2024-01-01 00:01:05"), 5L))
+      q.processAllAvailable()
+      assert(rows() == Set(("a", w0, 1L, 1L), ("a", w0, 2L, 2L),
+        ("b", w0, 10L, 1L), ("a", w1, 5L, 1L)), s"got: ${rows()}")
+      // advance the watermark far past both windows (two rounds: the
+      // cleanup timers fire in the batch after the watermark update)
+      for (i <- 1 to 2) {
+        mem.addData(("z", t(s"2024-01-01 01:0$i:00"), 900L + i))
+        q.processAllAvailable()
+      }
+      // straggler for the closed window 0: dropped, never re-admitted
+      // against evicted state (a fresh counter would wrongly admit it)
+      mem.addData(("a", t("2024-01-01 00:00:04"), 6L))
+      q.processAllAvailable()
+      assert(!rows().exists(_._3 == 6L), s"straggler admitted: ${rows()}")
+      // batch-twin agreement: quotaEnforce over everything the stream
+      // could see in order (the straggler is over quota there too)
+      val all = Seq(("a", t("2024-01-01 00:00:02"), 3L),
+        ("a", t("2024-01-01 00:00:00"), 1L),
+        ("a", t("2024-01-01 00:00:01"), 2L),
+        ("b", t("2024-01-01 00:00:05"), 10L),
+        ("a", t("2024-01-01 00:00:03"), 4L),
+        ("a", t("2024-01-01 00:01:05"), 5L),
+        ("a", t("2024-01-01 00:00:04"), 6L))
+        .toDF("event_type", "ts", "event_id")
+      val twin = graft.metrics.Metrics.quotaEnforce(all, cap = 2,
+        windowSeconds = 60)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(twin == rows() -- rows().filter(_._1 == "z"),
+        s"stream ${rows()} vs batch twin $twin")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("interval join batch twin: same code path, exact lag arithmetic, prefixed passthrough columns") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
