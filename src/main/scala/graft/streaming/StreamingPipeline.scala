@@ -1213,6 +1213,178 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming funnel — the EXACT live twin of
+    * [[graft.metrics.Metrics.funnelSteps]] (earliest-anchor greedy:
+    * t₁ = the user's first step-1 event ever, tᵢ₊₁ = first step-(i+1)
+    * event in (tᵢ, tᵢ+gap]), via the buffer-until-watermark pattern on
+    * `transformWithState`: per user, candidate step events are held in
+    * a `ListState` until the watermark proves the funnel's full
+    * horizon (t₁ + (k−1)·gap) has closed — at that point every event
+    * that can influence the fold has arrived, so one in-memory pass of
+    * the batch algorithm over the buffer is EXACT, not approximate.
+    * An event-time timer fires the fold; a new (earlier) candidate
+    * anchor re-registers an earlier timer, and stale later timers
+    * no-op against cleared state.
+    *
+    * State bound per user: the anchor (`ValueState[Long]`), a done
+    * flag (one boolean, kept so a post-resolution step-1 event cannot
+    * restart a funnel the batch twin would not restart), and the
+    * buffered step-≥2 events — prunable above t₁+(k−1)·gap (the
+    * anchor only moves EARLIER, so nothing beyond the current horizon
+    * can ever enter a future fold) and naturally bounded below by the
+    * watermark: O(events in horizon + allowed lateness), the
+    * stream–stream join bound, never the user's history. ANCHORLESS
+    * users (step-≥2 events but no step-1 yet) have no fold timer, so
+    * they register a probe timer at their newest buffered time — when
+    * it fires, every buffered event at or before the watermark is
+    * dead (a future anchor would have to be older still) and is
+    * dropped; no key's buffer outlives the watermark horizon.
+    *
+    * The watermark advances on STEP-TYPE traffic (the type filter
+    * pushes below any earlier watermark node — a non-step "heartbeat"
+    * row cannot advance it; feed the unfiltered stream a step-typed
+    * tick if quiet funnels must close promptly). Agreement with the
+    * batch twin is exact for data within the watermark allowance;
+    * stragglers past it are dropped (the documented streaming caveat
+    * class). Requires the RocksDB state store provider
+    * (transformWithState).
+    *
+    * Output (append, one row per user with ≥1 step-1 event, emitted
+    * once at horizon close): (user_id, t1_us..tk_us nullable BIGINT,
+    * steps_completed) — the batch twin's exact schema. */
+  def funnelPipeline(events: DataFrame, steps: Seq[String],
+                     maxGapSeconds: Long,
+                     watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
+    val spark = events.sparkSession
+    if (events.isStreaming) {
+      val provider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+      require(provider.contains("RocksDB"),
+        "funnelPipeline: transformWithState requires " +
+          "spark.sql.streaming.stateStore.providerClass=" +
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin(steps.map(lit): _*))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+    typed
+      .groupByKey(_._1)
+      .transformWithState(
+        new FunnelStateProcessor(stepIdx, k, maxGapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "__ts", "steps_completed")
+      .select(col("user_id") +:
+        (1 to k).map(i => when(element_at(col("__ts"), i) === -1L, lit(null))
+          .otherwise(element_at(col("__ts"), i)).cast("long")
+          .as(s"t${i}_us")) :+
+        col("steps_completed"): _*)
+  }
+
+  /** transformWithState processor for [[funnelPipeline]]: ValueState
+    * anchor + ListState buffer + done flag; the event-time timer at
+    * t₁+(k−1)·gap runs the exact greedy fold. */
+  private final class FunnelStateProcessor(stepIdx: Map[String, Int], k: Int,
+                                           gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, String), (Long, Seq[Long], Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var anchor: ValueState[Long] = _
+    @transient private var buf: ListState[(Int, Long)] = _
+    @transient private var done: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchor = getHandle.getValueState[Long]("anchor",
+        Encoders.scalaLong, TTLConfig.NONE)
+      buf = getHandle.getListState[(Int, Long)]("buf",
+        Encoders.product[(Int, Long)], TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean]("done",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    private def horizonMs(t1Us: Long): Long =
+      (t1Us + (k - 1).toLong * gapUs) / 1000L + 1L // +1: strictly past
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[(Long, Seq[Long], Long)] = {
+      if (done.exists()) Iterator.empty
+      else {
+        var a = if (anchor.exists()) anchor.get() else Long.MaxValue
+        val a0 = a
+        var maxBufUs = Long.MinValue
+        rows.foreach { case (_, ts, tpe) =>
+          val inst = ts.toInstant
+          val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          stepIdx(tpe) match {
+            case 0 => if (us < a) a = us
+            case i =>
+              // prunable above the CURRENT horizon: the anchor only
+              // moves earlier, so this event can never enter a fold
+              if (a == Long.MaxValue || us <= a + (k - 1).toLong * gapUs) {
+                buf.appendValue((i, us))
+                if (us > maxBufUs) maxBufUs = us
+              }
+          }
+        }
+        if (a < a0) {
+          anchor.update(a)
+          getHandle.registerTimer(horizonMs(a))
+        } else if (a == Long.MaxValue && maxBufUs > Long.MinValue) {
+          // ANCHORLESS user: no fold timer exists, so buffered events
+          // would live forever. A future anchor must carry an event
+          // time above the watermark, and fold membership needs
+          // us > t₁ — so once the watermark passes a buffered event it
+          // is dead. Probe at the newest buffered time: by then every
+          // currently-buffered event is ≤ the watermark and the probe
+          // clears them (fresh events re-register later probes).
+          getHandle.registerTimer(maxBufUs / 1000L + 1L)
+        }
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Seq[Long], Long)] = {
+      // stale timer after resolution: the anchor only moves EARLIER,
+      // so of several registered timers the earliest is the true
+      // horizon; it resolves first and later ones no-op here
+      if (done.exists()) Iterator.empty
+      else if (!anchor.exists()) {
+        // anchorless probe: everything buffered at or before the
+        // watermark can never join a future fold (its t₁ would have to
+        // be even older) — drop it; newer arrivals re-probe later
+        val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+        val survivors = buf.get().filter(_._2 > wmUs).toArray
+        if (survivors.isEmpty) buf.clear() else buf.put(survivors)
+        Iterator.empty
+      } else {
+        val t1 = anchor.get()
+        val pending = buf.get().toArray.sortBy(e => (e._2, e._1))
+        val ts = Array.fill(k)(-1L)
+        ts(0) = t1
+        for (i <- 1 until k) {
+          if (ts(i - 1) >= 0) {
+            val prev = ts(i - 1)
+            val hit = pending.find { case (s, us) =>
+              s == i && us > prev && us <= prev + gapUs }
+            hit.foreach { case (_, us) => ts(i) = us }
+          }
+        }
+        anchor.clear(); buf.clear(); done.update(true)
+        val completed = ts.count(_ >= 0).toLong
+        Iterator.single((key, ts.toSeq, completed))
+      }
+    }
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

@@ -793,6 +793,96 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState streaming funnel: exact batch-twin agreement at horizon close, no restart after resolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val steps = Seq("view", "click", "purchase")
+    val out = StreamingPipeline.funnelPipeline(
+      mem.toDF().toDF("user_id", "ts", "event_type"),
+      steps, maxGapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    def rows() = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4))).toSet
+    // user 7 completes all 3 steps (out-of-order arrival, with a
+    // decoy later click the greedy must skip); user 8 stalls at step 1
+    // (click past the gap); user 9 has no anchor (click only) — the
+    // same fixture feeds the batch twin at the end
+    val fixture = Seq(
+      (7L, t("2024-01-01 00:00:30"), "click"),
+      (7L, t("2024-01-01 00:00:00"), "view"),
+      (8L, t("2024-01-01 00:00:00"), "view"),
+      (9L, t("2024-01-01 00:00:10"), "click"),
+      (7L, t("2024-01-01 00:00:50"), "purchase"),
+      (7L, t("2024-01-01 00:01:10"), "click"),
+      (8L, t("2024-01-01 00:01:40"), "click"))
+    try {
+      // split across two batches (cross-batch buffering); batch 2's
+      // rows all sit ABOVE batch 1's watermark (00:00:30) — a row at
+      // or under it would be dropped as late, which is watermark
+      // semantics, not a funnel bug
+      mem.addData(fixture.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(4): _*)
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"emitted before horizon closed: ${rows()}")
+      // step-typed ticks for a throwaway user advance the watermark
+      // (non-step traffic is filtered before the watermark node and
+      // cannot); two rounds for the timer batch. User 99's own funnel
+      // stays OPEN (its horizon never closes here) — no row expected
+      for (i <- 1 to 2) {
+        mem.addData((99L, t(s"2024-01-01 01:0$i:00"), "view"))
+        q.processAllAvailable()
+      }
+      val expect = Set(
+        (7L, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:30"),
+          us("2024-01-01 00:00:50"), 3L),
+        (8L, us("2024-01-01 00:00:00"), -1L, -1L, 1L))
+      assert(rows() == expect, s"got ${rows()}")
+      // resolved funnels never restart: a fresh post-resolution anchor
+      // for user 7 must not open a second funnel (the batch twin has
+      // ONE row per user). The fresh ticks (user 98) also push the
+      // watermark past user 99's horizon, closing ITS funnel — that
+      // stall row is expected; a second row for 7 is not
+      mem.addData((7L, t("2024-01-01 01:05:00"), "view"))
+      q.processAllAvailable()
+      for (i <- 1 to 2) {
+        mem.addData((98L, t(s"2024-01-01 02:0$i:00"), "view"))
+        q.processAllAvailable()
+      }
+      assert(rows() == expect +
+        ((99L, us("2024-01-01 01:01:00"), -1L, -1L, 1L)),
+        s"funnel restarted or tick-user close wrong: ${rows()}")
+      // exact agreement with the batch twin over the pre-restart fixture
+      val twin = graft.metrics.Metrics.funnelSteps(
+        fixture.toDF("user_id", "ts", "event_type"), steps, 60L)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4))).toSet
+      assert(twin == expect, s"batch twin disagrees: $twin")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("interval join batch twin: same code path, exact lag arithmetic, prefixed passthrough columns") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
