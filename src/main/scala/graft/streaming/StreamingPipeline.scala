@@ -1116,11 +1116,21 @@ object StreamingPipeline {
     * multi-column-family state; checked fail-loud at construction for
     * streaming inputs.
     *
+    * `initialCounts` WARM-STARTS the counters from a batch backfill
+    * (columns: event_type, window_start_s, admitted) via
+    * `StatefulProcessorWithInitialState` — the mid-window
+    * deployment/migration story: enforcement starts at the backfilled
+    * count instead of re-admitting `cap` fresh rows per already-spent
+    * window. Initial state applies on a FRESH checkpoint's first
+    * batch only (Spark's contract); warm windows still evict by the
+    * same window-end timer.
+    *
     * Output (append): (event_type, window_start_s, event_id,
     * admit_seq) — admitted rows only, `admit_seq` the 1-based
     * admission rank within its window. */
   def quotaLimitPipeline(events: DataFrame, windowSeconds: Long, cap: Int,
-                         watermarkDelay: String = "0 seconds")
+                         watermarkDelay: String = "0 seconds",
+                         initialCounts: Option[DataFrame] = None)
       : DataFrame = {
     require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
     require(cap >= 1, s"cap must be >= 1: $cap")
@@ -1160,24 +1170,38 @@ object StreamingPipeline {
       }
     }
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    pre.toDF("event_type", "window_start_s", "__us", "event_id")
+    val grouped = pre.toDF("event_type", "window_start_s", "__us", "event_id")
       .withColumn("ts", expr("timestamp_micros(__us)"))
       .withWatermark("ts", watermarkDelay)
       .as[(String, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
-      .transformWithState(new QuotaStateProcessor(windowSeconds, cap),
-        TimeMode.EventTime(), OutputMode.Append())
-      .toDF("event_type", "window_start_s", "event_id", "admit_seq")
+    val proc = new QuotaStateProcessor(windowSeconds, cap)
+    (initialCounts match {
+      case Some(init) =>
+        val initGrouped = init
+          .select(col("event_type"), col("window_start_s").cast("long"),
+            col("admitted").cast("long"))
+          .as[(String, Long, Long)]
+          .groupByKey(r => (r._1, r._2))
+        grouped.transformWithState(proc,
+          TimeMode.EventTime(), OutputMode.Append(), initGrouped)
+      case None =>
+        grouped.transformWithState(proc,
+          TimeMode.EventTime(), OutputMode.Append())
+    }).toDF("event_type", "window_start_s", "event_id", "admit_seq")
   }
 
   /** transformWithState processor for [[quotaLimitPipeline]]: one
     * `ValueState[Long]` admission counter per (event_type, window),
     * cleaned by an event-time timer at window end (by which point the
-    * watermark guarantees no row for the window survives upstream). */
+    * watermark guarantees no row for the window survives upstream).
+    * Extends the WithInitialState variant so a batch backfill can
+    * warm-start the counters (a plain transformWithState call accepts
+    * it unchanged — the base class is StatefulProcessor). */
   private final class QuotaStateProcessor(windowSeconds: Long, cap: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
         (String, Long), (String, Long, Long, Long, java.sql.Timestamp),
-        (String, Long, Long, Long)] {
+        (String, Long, Long, Long), (String, Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
       TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var admitted: ValueState[Long] = _
@@ -1210,6 +1234,14 @@ object StreamingPipeline {
         : Iterator[(String, Long, Long, Long)] = {
       admitted.clear()
       Iterator.empty
+    }
+    override def handleInitialState(
+        key: (String, Long), initialState: (String, Long, Long),
+        timerValues: TimerValues): Unit = {
+      admitted.update(math.max(0L, initialState._3))
+      // warm windows evict by the same window-end timer; if the
+      // watermark is already past, it fires on the next batch
+      getHandle.registerTimer((key._2 + windowSeconds) * 1000L)
     }
   }
 

@@ -793,6 +793,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quota limiter warm-start: backfilled counts gate the first streaming batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val w0 = t("2024-01-01 00:00:00").getTime / 1000L / 60L * 60L
+    // backfill: "a" already exhausted (2 of cap 2), "b" half-spent
+    val init = Seq(("a", w0, 2L), ("b", w0, 1L))
+      .toDF("event_type", "window_start_s", "admitted")
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.quotaLimitPipeline(
+      mem.toDF().toDF("event_type", "ts", "event_id"),
+      windowSeconds = 60, cap = 2, initialCounts = Some(init))
+    val q = out.writeStream.format("memory").queryName("quota_warm")
+      .outputMode("append").start()
+    try {
+      // same window: "a" is over quota from the BACKFILL alone; "b"
+      // has exactly one slot left; "c" (no backfill row) starts fresh
+      mem.addData(("a", t("2024-01-01 00:00:10"), 1L),
+        ("b", t("2024-01-01 00:00:10"), 2L),
+        ("b", t("2024-01-01 00:00:20"), 3L),
+        ("c", t("2024-01-01 00:00:10"), 4L))
+      q.processAllAvailable()
+      val rows = spark.table("quota_warm")
+        .select("event_type", "event_id", "admit_seq")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(("b", 2L, 2L), ("c", 4L, 1L)), s"got: $rows")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState streaming funnel: exact batch-twin agreement at horizon close, no restart after resolution") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
