@@ -1304,4 +1304,243 @@ object Metrics {
           / sqrt((col("__vx") * col("__vy")).cast("double")), 4).as("corr"))
       .orderBy("type_a", "type_b")
   }
+
+  /** EXACT sliding-window distinct users per label — "7-day active
+    * users" without approximation and without recomputing a distinct
+    * per window. The classic rolling-distinct trap is a per-window
+    * `count(DISTINCT)` (re-scans the window for every end day — w×
+    * work and a ranking funnel per label); the scalable exact form is
+    * the CONTRIBUTION-INTERVAL transform: dedup to (label, user, day)
+    * grain, then each appearance covers window-end days
+    * [day, min(day + w−1, next_appearance − 1)] — the span where THIS
+    * appearance is the user's most recent one inside the window. Each
+    * user therefore counts exactly once per covered end day, the
+    * explode is bounded by w (7), and the final count is a plain
+    * combinable `count(*)` at (label, day) grain. End days are
+    * restricted to days the label actually observed traffic (the
+    * window-end universe the daily panel reports on).
+    *
+    * Output: (event_type, end_day DATE, n_distinct_users), ordered by
+    * (event_type NULLS FIRST, end_day). Null users identify nobody and
+    * are excluded (rollupDistinctUsers contract); a null label is a
+    * real group and survives via the null-safe end-day join.
+    *
+    * Scale shape: one distinct at (label, user, day) grain (bounded by
+    * users × days × labels, never event count), one per-(label, user)
+    * lead window at the same grain, a ≤w-wide narrow explode, and a
+    * combinable count — no window over a label-partitioned event
+    * stream, no per-end-day rescan, at any corpus size. */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val triples = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds the contribution explode AND the end-day universe
+    val w = Window.partitionBy("event_type", "user_id").orderBy("day")
+    val contrib = triples
+      .withColumn("__next", lead("day", 1).over(w))
+      .withColumn("__end", when(col("__next").isNull,
+          date_add(col("day"), windowDays - 1))
+        .otherwise(least(date_add(col("day"), windowDays - 1),
+          date_sub(col("__next"), 1))))
+      .select(col("event_type"),
+        explode(sequence(col("day"), col("__end"))).as("end_day"))
+    val counts = contrib.groupBy("event_type", "end_day")
+      .agg(count(lit(1)).cast("long").as("n_distinct_users"))
+    val observed = triples
+      .select(col("event_type").as("__k"), col("day").as("__d")).distinct()
+    counts.join(observed,
+        col("event_type") <=> col("__k") && col("end_day") === col("__d"))
+      .select(col("event_type"), col("end_day"), col("n_distinct_users"))
+      .orderBy("event_type", "end_day")
+  }
+
+  /** Mutual-information panel between the event label and day-of-week —
+    * "is traffic mix a function of weekday" as per-cell pointwise MI
+    * (the association-strength read behind seasonality triage: a cell
+    * with |pmi| ≫ 0 is a label whose share genuinely shifts on that
+    * weekday, not just a busy day). pmi = ln(n·N / (rowtot·coltot))
+    * over EXACT integer counts — the only float ops are one division
+    * and one ln per cell; mi_contrib = (n/N)·pmi is the cell's share
+    * of total MI (Σ over the panel = I(label; dow)).
+    *
+    * Output: (event_type, dow 0=Monday, n, pmi 4 dp, mi_contrib 4 dp),
+    * ordered (event_type NULLS FIRST, dow). Null labels are a real
+    * category (their timing structure is itself signal). Null ts rows
+    * carry no weekday and are excluded.
+    *
+    * Scale shape: one combinable count at (label, dow) grain, then
+    * window sums over the ≤|labels|·7 panel — marginals never touch
+    * event grain. */
+  def mutualInfoPanel(events: DataFrame): DataFrame = {
+    val cells = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        weekday(to_date(col("ts"))).cast("long").as("dow"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    cells
+      .withColumn("__rt", sum("n").over(Window.partitionBy("event_type")))
+      .withColumn("__ct", sum("n").over(Window.partitionBy("dow")))
+      .withColumn("__N", sum("n").over(Window.partitionBy()))
+      .withColumn("__pmi",
+        log((col("n") * col("__N")).cast("double")
+          / (col("__rt") * col("__ct")).cast("double")))
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("__pmi"), 4).as("pmi"),
+        round(col("n").cast("double") / col("__N").cast("double")
+          * col("__pmi"), 4).as("mi_contrib"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** SCD2 interval build — collapse each user's event-type run history
+    * into slowly-changing-dimension rows (valid_from, valid_to,
+    * version): the gaps-and-islands transform that turns an
+    * event-sourced attribute log into the dimension table an as-of
+    * join consumes (see [[asOfEnrichment]] for the probe side).
+    * Consecutive same-type events (null-safe: a run of null types is
+    * one run) merge into one interval; valid_to = the next run's
+    * valid_from, open (null) on the current run.
+    *
+    * Output: (user_id, version 1-based, event_type, valid_from,
+    * valid_to, n_events), ordered by (user_id, version). Deterministic
+    * run order: (ts, event_id) — event_id breaks timestamp ties.
+    * Null users/ts excluded (no identity / no position in history).
+    *
+    * Scale shape: two windows at the SAME (user) partitioning — the
+    * run-boundary scan at event grain and the valid_to lead at run
+    * grain — plus one combinable per-run aggregate; users partition
+    * the windows, so no funnel at any event count. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      // row_number guard: a user whose FIRST event has a null type must
+      // still open version 1 (lag's null would null-safe-equal it)
+      .withColumn("__chg",
+        when(row_number().over(w) > 1
+          && (lag("event_type", 1).over(w) <=> col("event_type")), 0L)
+          .otherwise(1L))
+      .withColumn("__grp", sum("__chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "__grp")
+      .agg(min("event_type").as("event_type"),
+        min("ts").as("valid_from"),
+        count(lit(1)).cast("long").as("n_events"))
+    val wRun = Window.partitionBy("user_id").orderBy("__grp")
+    runs
+      .withColumn("valid_to", lead("valid_from", 1).over(wRun))
+      .select(col("user_id"), col("__grp").cast("long").as("version"),
+        col("event_type"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Two-proportion z-test per label — the A/B read "does arm A emit a
+    * different share of label t than arm B", with the deterministic
+    * arm assignment `user_id % 2` (the hash-split every experiment
+    * framework uses; here the identity split keeps both engines
+    * trivially in agreement). For each label: x = events of that label
+    * in the arm, n = ALL events in the arm;
+    * z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    * proportion — exact integer counts in, three IEEE ops out.
+    *
+    * Output: (event_type, n_a, x_a, n_b, x_b, p_a 4 dp, p_b 4 dp,
+    * z 4 dp, significant = |z| > 1.96), ordered event_type NULLS
+    * FIRST. Null-user rows have no arm and are excluded; zero-pooled
+    * or degenerate (p̂ ∈ {0,1}) labels are dropped (z undefined).
+    *
+    * Scale shape: one combinable count at (label, arm) grain + a
+    * window sum over the ≤2·|labels| panel. */
+  def abProportionTest(events: DataFrame): DataFrame = {
+    val byArm = events.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), (col("user_id") % 2).cast("long").as("__arm"))
+      .agg(count(lit(1)).cast("long").as("__x"))
+      .withColumn("__n", sum("__x").over(Window.partitionBy("__arm")))
+    val a = byArm.filter(col("__arm") === 0)
+      .select(col("event_type").as("__ka"), col("__x").as("x_a"), col("__n").as("n_a"))
+    val b = byArm.filter(col("__arm") === 1)
+      .select(col("event_type").as("__kb"), col("__x").as("x_b"), col("__n").as("n_b"))
+    a.join(b, col("__ka") <=> col("__kb"))
+      .withColumn("__pooled",
+        (col("x_a") + col("x_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .filter(col("__pooled") > 0 && col("__pooled") < 1)
+      .withColumn("__z",
+        (col("x_a").cast("double") / col("n_a").cast("double")
+          - col("x_b").cast("double") / col("n_b").cast("double"))
+          / sqrt(col("__pooled") * (lit(1.0) - col("__pooled"))
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))))
+      .select(col("__ka").as("event_type"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a").cast("double"), 4).as("p_a"),
+        round(col("x_b").cast("double") / col("n_b").cast("double"), 4).as("p_b"),
+        round(col("__z"), 4).as("z"),
+        (abs(col("__z")) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** Kaplan-Meier time-to-event curve — "what share of users has NOT
+    * yet converted d days after first touch", with RIGHT CENSORING: a
+    * user with no `eventType` event is censored at the observation end
+    * (corpus max day), contributing to risk sets but never to deaths
+    * (dropping them instead biases conversion optimistically — the
+    * classic funnel-latency mistake). Duration = whole days from the
+    * user's first event to their first `eventType` event (or to the
+    * corpus end if censored); at each conversion duration d:
+    * at_risk = users with duration ≥ d, S(d) = Π_{d'≤d}
+    * (1 − deaths_{d'}/at_risk_{d'}), computed as exp(Σ ln) over the
+    * ordered duration panel with an explicit all-convert guard
+    * (Spark's ANSI `log(0)` is NULL, DuckDB's is −inf — the one
+    * divergence the closed form would hit; the guard pins S = 0 on
+    * both engines).
+    *
+    * Output: (duration_days, n_at_risk, n_deaths, n_censored_at,
+    * survival 4 dp) at conversion durations only (KM step points),
+    * ordered by duration. Null users/ts excluded.
+    *
+    * Scale shape: per-user min aggregates (combinable, user grain) →
+    * a duration-grain panel (≤ observation-span days) for the
+    * cumulative windows — event count never reaches a window. */
+  def survivalKm(events: DataFrame, eventType: String = "purchase"): DataFrame = {
+    val base = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val spans = base.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("__first"),
+        min(when(col("event_type") === eventType, to_date(col("ts"))))
+          .as("__conv"))
+    // one tiny scalar (the corpus end) cross-joined above the per-user
+    // aggregate — the unigramLogProb totals pattern
+    val horizon = base.agg(max(to_date(col("ts"))).as("__hend"))
+    val lifetimes = spans.crossJoin(broadcast(horizon))
+      .select(when(col("__conv").isNotNull,
+          datediff(col("__conv"), col("__first")))
+        .otherwise(datediff(col("__hend"), col("__first")))
+        .cast("long").as("__dur"),
+        col("__conv").isNull.as("__censored"))
+    val panel = lifetimes.groupBy("__dur")
+      .agg(count(lit(1)).cast("long").as("__total"),
+        sum(when(col("__censored"), 0L).otherwise(1L)).cast("long").as("n_deaths"))
+    val wAsc = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("__dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    panel
+      .withColumn("__at_risk", sum("__total").over(wDesc))
+      .withColumn("__term",
+        when(col("n_deaths") < col("__at_risk"),
+          log((col("__at_risk") - col("n_deaths")).cast("double")
+            / col("__at_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("__dead", max(when(col("n_deaths") >= col("__at_risk"), 1L)
+        .otherwise(0L)).over(wAsc))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum("__term").over(wAsc)), 4)))
+      .filter(col("n_deaths") > 0)
+      .select(col("__dur").as("duration_days"),
+        col("__at_risk").as("n_at_risk"), col("n_deaths"),
+        (col("__total") - col("n_deaths")).cast("long").as("n_censored_at"),
+        col("survival"))
+      .orderBy("duration_days")
+  }
 }

@@ -1147,6 +1147,138 @@ object Registry {
         FROM v WHERE n_days >= 3 AND vx > 0 AND vy > 0
         ORDER BY type_a, type_b"""), bench = true),
 
+    // EXACT 7-day rolling distinct users: contribution-interval
+    // transform (each (label,user,day) appearance covers end days
+    // [day, min(day+6, next-1)] — bounded explode, combinable count);
+    // the oracle is the naive day×window self-join at panel scale
+    QueryDef("metrics_rolling_distinct",
+      (s, d) => Metrics.rollingDistinctUsers(t(s, d, "events"), 7),
+      Some("""WITH t AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
+            CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        d AS MATERIALIZED (SELECT DISTINCT event_type, day FROM t)
+        SELECT d.event_type, d.day AS end_day,
+          count(DISTINCT t.user_id)::BIGINT AS n_distinct_users
+        FROM d JOIN t ON t.event_type IS NOT DISTINCT FROM d.event_type
+          AND t.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2 ORDER BY d.event_type NULLS FIRST, end_day"""),
+      bench = true),
+
+    // label × weekday mutual information: exact integer counts, one
+    // division + one ln per cell; marginals are window sums over the
+    // ≤|labels|·7 panel
+    QueryDef("metrics_mutual_info",
+      (s, d) => Metrics.mutualInfoPanel(t(s, d, "events")),
+      Some("""WITH c AS MATERIALIZED (SELECT event_type,
+            isodow(CAST(ts AS DATE)) - 1 AS dow, count(*)::BIGINT AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT event_type, dow, n,
+            sum(n) OVER (PARTITION BY event_type) AS rt,
+            sum(n) OVER (PARTITION BY dow) AS ct,
+            sum(n) OVER () AS nn
+          FROM c)
+        SELECT event_type, dow::BIGINT AS dow, n,
+          round(ln((n * nn)::DOUBLE / (rt * ct)::DOUBLE), 4) AS pmi,
+          round(n::DOUBLE / nn::DOUBLE
+            * ln((n * nn)::DOUBLE / (rt * ct)::DOUBLE), 4) AS mi_contrib
+        FROM m ORDER BY event_type NULLS FIRST, dow"""), bench = true),
+
+    // SCD2 interval build: gaps-and-islands over per-user type runs →
+    // (valid_from, valid_to, version) dimension rows; run order is
+    // (ts, event_id), null-type runs merge null-safely
+    QueryDef("scd2_intervals",
+      (s, d) => Metrics.scd2Intervals(t(s, d, "events")),
+      Some("""WITH e AS (SELECT user_id, event_type,
+            CAST(ts AS TIMESTAMP) AS ts, event_id
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT user_id, event_type, ts,
+            CASE WHEN row_number() OVER w > 1
+                AND lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg,
+            event_id
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, event_type, ts,
+            sum(chg) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS grp
+          FROM m),
+        runs AS MATERIALIZED (SELECT user_id, grp,
+            min(event_type) AS event_type, min(ts) AS valid_from,
+            count(*)::BIGINT AS n_events
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, grp::BIGINT AS version, event_type, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+            AS valid_to,
+          n_events
+        FROM runs ORDER BY user_id, version"""), bench = true),
+
+    // two-proportion z-test per label over the deterministic
+    // user_id%2 arm split: exact integer counts in, three IEEE ops out
+    QueryDef("metrics_ab_ztest",
+      (s, d) => Metrics.abProportionTest(t(s, d, "events")),
+      Some("""WITH c AS MATERIALIZED (SELECT event_type,
+            user_id % 2 AS arm, count(*)::BIGINT AS x
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        w AS (SELECT event_type, arm, x,
+            sum(x) OVER (PARTITION BY arm) AS n FROM c),
+        j AS (SELECT a.event_type, a.x::BIGINT AS x_a, a.n::BIGINT AS n_a,
+            b.x::BIGINT AS x_b, b.n::BIGINT AS n_b
+          FROM w a JOIN w b
+            ON a.event_type IS NOT DISTINCT FROM b.event_type
+            AND a.arm = 0 AND b.arm = 1),
+        p AS (SELECT *,
+            (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pooled FROM j),
+        z AS (SELECT event_type, n_a, x_a, n_b, x_b,
+            x_a::DOUBLE / n_a::DOUBLE AS pa,
+            x_b::DOUBLE / n_b::DOUBLE AS pb,
+            (x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE)
+              / sqrt(pooled * (1 - pooled)
+                * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)) AS zv
+          FROM p WHERE pooled > 0 AND pooled < 1)
+        SELECT event_type, n_a, x_a, n_b, x_b, round(pa, 4) AS p_a,
+          round(pb, 4) AS p_b, round(zv, 4) AS z,
+          abs(zv) > 1.96 AS significant
+        FROM z ORDER BY event_type NULLS FIRST"""), bench = true),
+
+    // Kaplan-Meier time-to-conversion with right censoring (no
+    // purchase by corpus end = censored at the horizon): exp(Σ ln)
+    // product with the explicit all-convert guard (Spark ANSI log(0)
+    // is NULL, DuckDB's is -inf — never let either engine evaluate it)
+    QueryDef("metrics_survival_km",
+      (s, d) => Metrics.survivalKm(t(s, d, "events"), "purchase"),
+      Some("""WITH spans AS MATERIALIZED (SELECT user_id,
+            min(CAST(ts AS DATE)) AS f,
+            min(CASE WHEN event_type = 'purchase'
+              THEN CAST(ts AS DATE) END) AS c
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1),
+        h AS (SELECT max(CAST(ts AS DATE)) AS hend FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        lt AS (SELECT (CASE WHEN c IS NOT NULL THEN c - f
+              ELSE hend - f END)::BIGINT AS dur,
+            c IS NULL AS censored FROM spans, h),
+        panel AS MATERIALIZED (SELECT dur, count(*)::BIGINT AS total,
+            sum(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_deaths
+          FROM lt GROUP BY 1),
+        r AS (SELECT *, sum(total) OVER (ORDER BY dur DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS at_risk
+          FROM panel),
+        s AS (SELECT *, CASE WHEN n_deaths < at_risk
+              THEN ln((at_risk - n_deaths)::DOUBLE / at_risk::DOUBLE)
+              ELSE 0 END AS term,
+            CASE WHEN n_deaths >= at_risk THEN 1 ELSE 0 END AS deadflag
+          FROM r),
+        acc AS (SELECT *, sum(term) OVER w AS lnsum,
+            max(deadflag) OVER w AS dead
+          FROM s WINDOW w AS (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT dur AS duration_days, at_risk AS n_at_risk, n_deaths,
+          (total - n_deaths)::BIGINT AS n_censored_at,
+          CASE WHEN dead = 1 THEN 0.0::DOUBLE
+            ELSE round(exp(lnsum), 4) END AS survival
+        FROM acc WHERE n_deaths > 0 ORDER BY duration_days"""),
+      bench = true),
+
     // per-user inter-arrival power-of-2 histogram: whole-second gaps,
     // bucket = bit-length (never float log); user-grain lag windows
     QueryDef("metrics_interarrival_hist",

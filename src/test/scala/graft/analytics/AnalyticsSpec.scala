@@ -3285,4 +3285,124 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1).getDouble(2) == 0.0 && out(2).getDouble(2) == 0.0,
       "orthogonal picks have max_cos 0")
   }
+
+  private def evTs(d: Int, h: Int = 9): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-04-$d%02d $h%02d:00:00")
+
+  test("rollingDistinctUsers: contribution intervals count each user once per window") {
+    import spark.implicits._
+    // window=3 days over type e: u1 @ d1,d3; u2 @ d1 (twice — day-grain
+    // dedup); u3 @ d4. Null user excluded; null label is its own group.
+    val rows = Seq(
+      ("e", Some(1L), evTs(1)), ("e", Some(2L), evTs(1, 8)),
+      ("e", Some(2L), evTs(1, 10)), ("e", Some(1L), evTs(3)),
+      ("e", Some(3L), evTs(4)), ("e", None, evTs(1)),
+      (null.asInstanceOf[String], Some(5L), evTs(1)))
+    val ev = rows.zipWithIndex.map { case ((ty, u, ts), i) =>
+      (i.toLong, ts, u, ty) }.toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.rollingDistinctUsers(ev, 3).collect()
+    val e = out.filter(r => r.getString(0) == "e")
+      .map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    // d1: {u1,u2}=2; d3: u1(d3 wins over d1)+u2(d1)=2; d4: u1(d3)+u3=2
+    assert(e == Map("2024-04-01" -> 2L, "2024-04-03" -> 2L,
+      "2024-04-04" -> 2L), s"got $e")
+    val nullGroup = out.filter(_.isNullAt(0))
+    assert(nullGroup.length == 1 && nullGroup.head.getLong(2) == 1L,
+      "null label must survive with its own count")
+  }
+
+  test("mutualInfoPanel: zero on an independent grid, ln2 on a diagonal one") {
+    import spark.implicits._
+    // independent: both labels spread 2:3 across Mon/Tue -> pmi 0
+    // (2024-04-01 is a Monday)
+    val ind = (Seq.fill(2)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq.fill(4)(("b", 1)) ++ Seq.fill(6)(("b", 2)))
+    val indDf = ind.zipWithIndex.map { case ((ty, d), i) =>
+      (i.toLong, evTs(d), Some(1L), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r1 = graft.metrics.Metrics.mutualInfoPanel(indDf).collect()
+    assert(r1.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0),
+      s"independent grid must be flat-zero: ${r1.mkString(";")}")
+    // diagonal: a only Monday (2), b only Tuesday (2) -> pmi = ln 2
+    val diag = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("b", 2)))
+    val diagDf = diag.zipWithIndex.map { case ((ty, d), i) =>
+      (i.toLong, evTs(d), Some(1L), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r2 = graft.metrics.Metrics.mutualInfoPanel(diagDf).collect()
+    assert(r2.length == 2 &&
+      r2.forall(r => r.getDouble(3) == 0.6931 && r.getDouble(4) == 0.3466),
+      s"diagonal grid: ${r2.mkString(";")}")
+  }
+
+  test("scd2Intervals: runs collapse, versions 1-based even for a null-first history") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", evTs(1)), (1L, "A", evTs(2)), (1L, "B", evTs(3)),
+      (1L, "A", evTs(4)),
+      (2L, null.asInstanceOf[String], evTs(1)),
+      (2L, null.asInstanceOf[String], evTs(2)), (2L, "C", evTs(3)))
+    val ev = rows.zipWithIndex.map { case ((u, ty, ts), i) =>
+      (i.toLong, ts, Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.scd2Intervals(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getTimestamp(3).toString,
+        Option(r.getTimestamp(4)).map(_.toString), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, Some("A"), "2024-04-01 09:00:00.0",
+        Some("2024-04-03 09:00:00.0"), 2L),
+      (1L, 2L, Some("B"), "2024-04-03 09:00:00.0",
+        Some("2024-04-04 09:00:00.0"), 1L),
+      (1L, 3L, Some("A"), "2024-04-04 09:00:00.0", None, 1L),
+      (2L, 1L, None, "2024-04-01 09:00:00.0",
+        Some("2024-04-03 09:00:00.0"), 2L),
+      (2L, 2L, Some("C"), "2024-04-03 09:00:00.0", None, 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("abProportionTest: symmetric split gives mirrored z; pooled guard drops uniform labels") {
+    import spark.implicits._
+    // arm0 (even users): 3 x + 1 y; arm1 (odd): 1 x + 3 y
+    val rows = Seq.fill(3)(("x", 2L)) ++ Seq(("y", 2L)) ++
+      Seq(("x", 3L)) ++ Seq.fill(3)(("y", 3L))
+    val ev = rows.zipWithIndex.map { case ((ty, u), i) =>
+      (i.toLong, evTs(1), Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.abProportionTest(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getBoolean(8))).toMap
+    // p_a=.75 vs p_b=.25, pooled .5: z = .5/sqrt(.25*.5) = 1.4142
+    assert(out("x") == ((0.75, 0.25, 1.4142, false)), s"got ${out("x")}")
+    assert(out("y") == ((0.25, 0.75, -1.4142, false)), s"got ${out("y")}")
+  }
+
+  test("survivalKm: hand KM with censoring; all-convert step pins survival 0") {
+    import spark.implicits._
+    // u1 first d1 purchase d2 (dur 1); u2 first d1 purchase d3 (dur 2);
+    // u3, u4 never purchase; horizon d5 via u4's view -> censored dur 4
+    val rows = Seq(
+      (1L, "view", evTs(1)), (1L, "purchase", evTs(2)),
+      (2L, "view", evTs(1)), (2L, "purchase", evTs(3)),
+      (3L, "view", evTs(1)),
+      (4L, "view", evTs(1)), (4L, "view", evTs(5)))
+    val ev = rows.zipWithIndex.map { case ((u, ty, ts), i) =>
+      (i.toLong, ts, Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.survivalKm(ev, "purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 4L, 1L, 0L, 0.75), (2L, 3L, 1L, 0L, 0.5)),
+      s"got ${out.toSeq}")
+    // all remaining users convert at the last step: S must hit EXACT 0
+    // through the dead-flag guard (never ln(0) on either engine)
+    val all = Seq(
+      (1L, "view", evTs(1)), (1L, "purchase", evTs(2)),
+      (2L, "view", evTs(1)), (2L, "purchase", evTs(2)))
+    val ev2 = all.zipWithIndex.map { case ((u, ty, ts), i) =>
+      (i.toLong, ts, Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out2 = graft.metrics.Metrics.survivalKm(ev2, "purchase").collect()
+    assert(out2.length == 1 && out2.head.getDouble(4) == 0.0,
+      s"all-convert step must survive to exactly 0: ${out2.mkString(";")}")
+  }
 }
