@@ -454,6 +454,28 @@ object Bench {
       (-1.0, 0)
     }
 
+    // chained stateful drain: dedup-within-watermark -> windowed count
+    // in ONE streaming plan (two stateful operators, watermark
+    // propagated through the dedup); 1 h delay keeps real dedup state
+    val (novSecs, novEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .selectExpr("ts", "user_id", "event_type")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("event_type", StringType)))
+      (twinDrain("novelty_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.noveltyPipeline(
+          df, "ts", Seq("user_id", "event_type"), "event_type",
+          windowSeconds = 3600, watermarkDelay = "1 hour")
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] novelty_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
       "admission_stream_big" -> admBigSecs,
@@ -462,7 +484,8 @@ object Bench {
       "session_stream" -> sessSecs,
       "interval_join_stream" -> ijSecs,
       "quota_stream" -> quotaSecs,
-      "funnel_stream" -> funSecs)
+      "funnel_stream" -> funSecs,
+      "novelty_stream" -> novSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -470,7 +493,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

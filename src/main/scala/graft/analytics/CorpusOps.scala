@@ -834,6 +834,73 @@ object CorpusOps {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** t-closeness audit — the distribution-skew screen completing the
+    * k-anonymity / l-diversity trio: a quasi group can be k-large AND
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * diverges from the corpus (the skewness attack — "90% of this
+    * group's docs are in the one rare language"). Per quasi group:
+    * total-variation distance between the group's sensitive
+    * distribution and the global one,
+    * TV = ½ Σ_v |p_group(v) − p_global(v)|, computed SPARSELY — values
+    * absent from a group enter in closed form as the uncovered global
+    * mass (Σ_{v∉group} p_global = 1 − covered), the
+    * [[graft.analytics.TextAnalysis]] JS-divergence trick — so no
+    * dense group × domain grid at any domain size.
+    *
+    * All mass arithmetic runs on EXACT integers over the common
+    * denominator n_group·N: TV = (Σ_v |c_v·N − g_v·n_group|
+    * + (N − covered)·n_group) / (2·n_group·N) — ONE float division at
+    * the end, IEEE-identical on both engines (for corpora where
+    * c_v·N overflows BIGINT (~3·10⁹ rows each side), cast the products
+    * to DECIMAL first; ANSI mode fails loud, never silently wraps).
+    *
+    * Output: (quasiCols..., n [rows with non-null sensitive], tv 4 dp,
+    * at_risk = ROUNDED tv > t), ordered by the quasi columns. Rows
+    * with a null sensitive value are excluded from both distributions
+    * (null identifies no sensitive category); a group with only null
+    * sensitive rows is absent. Null quasi keys are real groups.
+    *
+    * Scale shape: one combinable groupBy at (quasi × sensitive) cell
+    * grain, a broadcast join against the sensitive-domain-sized global
+    * table, and panel-grain window/group sums — event grain is left
+    * behind at the first aggregate. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, t: Double = 0.2): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    val base = graft.util.SparkUtil.widen(df)
+      .filter(col(sensitiveCol).isNotNull)
+      .select((quasiCols :+ sensitiveCol).map(col): _*)
+    val cells = base
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val glob = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).cast("long").as("__g"))
+      .withColumn("__N", sum("__g")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val withTotals = cells
+      .withColumn("__ng",
+        sum("__c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(quasiCols.map(col): _*)))
+      .join(broadcast(glob), col(sensitiveCol) === col("__v"))
+    withTotals.groupBy(quasiCols.map(col): _*)
+      .agg(max("__ng").as("__ngF"), max("__N").as("__NF"),
+        sum(abs(col("__c") * col("__N") - col("__g") * col("__ng")))
+          .cast("long").as("__num"),
+        sum("__g").cast("long").as("__cov"))
+      .withColumn("tv", round(
+        (col("__num") + (col("__NF") - col("__cov")) * col("__ngF"))
+          .cast("double")
+          / (lit(2.0) * col("__ngF").cast("double")
+            * col("__NF").cast("double")), 4))
+      .select(quasiCols.map(col) ++ Seq(
+        col("__ngF").cast("long").as("n"), col("tv"),
+        (col("tv") > t).as("at_risk")): _*)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Corpus snapshot diff — the data-versioning report between two
     * corpus snapshots: per doc_id, `added` (new only), `removed` (old
     * only) or `changed` (both, different text md5); unchanged docs are

@@ -1543,4 +1543,152 @@ object Metrics {
         col("survival"))
       .orderBy("duration_days")
   }
+
+  /** Holt double-exponential (level + trend) weight vectors — the
+    * closed form of the Holt recursion over a FIXED lookback window:
+    * with l₁ = y₁, b₁ = y₂ − y₁ and
+    * lₜ = α·yₜ + (1−α)(lₜ₋₁ + bₜ₋₁), bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁,
+    * both states are LINEAR in the observations, so (l_L, b_L) are dot
+    * products of precomputed weight vectors with (y₁..y_L). Generated
+    * ONCE here and injected into both engines' literals (the
+    * [[ewmaWeights]] pattern — zero drift); at the default
+    * α = β = 0.5 every coefficient is an exact dyadic rational.
+    * Invariants (spec-pinned): Σ level weights = 1, Σ trend weights
+    * = 0 — a constant series forecasts itself with zero trend. */
+  def holtWeights(alpha: Double, beta: Double,
+                  lookback: Int): (Seq[Double], Seq[Double]) = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    val l = Array.fill(lookback)(0.0)
+    val b = Array.fill(lookback)(0.0)
+    l(0) = 1.0
+    b(0) = -1.0; b(1) = 1.0
+    for (t <- 2 to lookback) {
+      val lPrev = l.clone()
+      for (i <- 0 until lookback)
+        l(i) = (1 - alpha) * (lPrev(i) + b(i))
+      l(t - 1) += alpha
+      for (i <- 0 until lookback)
+        b(i) = beta * (l(i) - lPrev(i)) + (1 - beta) * b(i)
+    }
+    (l.toSeq, b.toSeq)
+  }
+
+  /** Holt linear-trend forecast of daily label volumes — the capacity
+    * question "how many events of each type tomorrow / this week" with
+    * trend (which the EWMA baseline deliberately lacks). CALENDAR
+    * semantics over the last `lookback` days anchored at the GLOBAL
+    * corpus last day (every label forecasts the same target dates):
+    * unobserved days are true zeros — and because the Holt closed form
+    * is a dot product ([[holtWeights]]), zero days contribute nothing,
+    * so the series is never densified: the pivot keeps only OBSERVED
+    * (label, day) rows and `coalesce(…, 0)` fills the gaps at panel
+    * grain.
+    *
+    * Determinism: level and trend are FIXED left-associated expression
+    * trees over exact-dyadic literal weights and exact integer counts
+    * (the [[ewmaDailyAnomalies]] rule) — IEEE-identical in any engine;
+    * forecast = level + h·trend evaluated in the same literal order.
+    *
+    * Output: (event_type, base_day = global last day, horizon 1..h,
+    * level 4 dp, trend 4 dp, forecast 4 dp), ordered (event_type NULLS
+    * FIRST, horizon). Null ts rows excluded; a label with no events
+    * inside the window is absent (no observed row reaches the pivot).
+    *
+    * Scale shape: one combinable daily pre-aggregate (label × day
+    * grain), a broadcast scalar cross for the anchor day, then ONE
+    * combinable pivot aggregate to a ≤|labels|-row panel — the window
+    * math never touches event grain, and there is no per-label
+    * ordered window at all (the closed form replaced the recursion). */
+  def holtForecast(events: DataFrame, lookback: Int = 14,
+                   horizons: Int = 3, alpha: Double = 0.5,
+                   beta: Double = 0.5): DataFrame = {
+    require(horizons >= 1, s"horizons must be >= 1: $horizons")
+    val (lw, tw) = holtWeights(alpha, beta, lookback)
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val anchor = events.filter(col("ts").isNotNull)
+      .agg(max(to_date(col("ts"))).as("__ld"))
+    // window membership lives INSIDE the pivot aggregate, never as a
+    // post-cross filter: a filter over (__ld, __day) would be pushed
+    // into the scalar cross join and condition it into a BNLJ — the
+    // PlanLint-banned shape (the corpus_quantile_normalize precedent)
+    val win = daily.crossJoin(broadcast(anchor))
+      .withColumn("__i", lit(lookback) - datediff(col("__ld"), col("__day")))
+    val ys = (1 to lookback).map(j =>
+      coalesce(max(when(col("__i") === j, col("__n"))), lit(0L))
+        .cast("double").as(s"__y$j"))
+    val aggs = max(col("__ld")).as("base_day") +: ys :+
+      max(when(col("__i") >= 1 && col("__i") <= lookback, 1L)
+        .otherwise(0L)).as("__seen")
+    val panel = win.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      // a label with no observed day inside the window is ABSENT (an
+      // observed day always has n >= 1, so all-zero y's ⟺ never seen)
+      .filter(col("__seen") === 1)
+    def dot(ws: Seq[Double]): Column =
+      ws.zipWithIndex.map { case (w, i) => lit(w) * col(s"__y${i + 1}") }
+        .reduce(_ + _)
+    panel
+      .withColumn("__lev", dot(lw))
+      .withColumn("__tr", dot(tw))
+      .withColumn("horizon", explode(sequence(lit(1L), lit(horizons.toLong))))
+      .select(col("event_type"), col("base_day"), col("horizon"),
+        round(col("__lev"), 4).as("level"),
+        round(col("__tr"), 4).as("trend"),
+        round(col("__lev") + col("horizon").cast("double") * col("__tr"), 4)
+          .as("forecast"))
+      .orderBy("event_type", "horizon")
+  }
+
+  /** First touch per (user, label) — the deterministic canonical-dedup
+    * twin of the streaming
+    * [[graft.streaming.StreamingPipeline.dedupStream]]: for every
+    * (user_id, event_type) pair, the single earliest event by the
+    * total order (ts, event_id) — event_id breaks timestamp ties, so
+    * the survivor is a FUNCTION of the data, never of arrival or plan
+    * order (what makes this oracle-able where a bare `dropDuplicates`
+    * is not). First-touch attribution, signup funnels, and the
+    * batch backfill a streaming dedup restart reconciles against.
+    *
+    * Output: (user_id, event_type, first_ts, event_id), ordered by
+    * (user_id, event_type). Null users/ts excluded (no identity / no
+    * position); a null label is a real key.
+    *
+    * Scale shape: one (user, label)-keyed window — high-cardinality
+    * partitioning, no funnel; survivors are pair-grain. */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("first_ts"), col("event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Hourly novelty rate — NEW (user, label) combinations appearing
+    * per hour (the growth/recency read behind "are we still seeing
+    * new users do X, or only repeats"): [[firstTouch]] bucketed to
+    * the survivor's hour. This is also the oracled batch twin of the
+    * CHAINED streaming plan (dedup-within-watermark → windowed count,
+    * [[graft.streaming.StreamingPipeline.noveltyPipeline]]) — fed in
+    * event-time order the stream's first-arrival survivor IS the
+    * (ts, event_id) minimum, so both agree exactly (spec-pinned).
+    * Hour buckets are TIMESTAMP on both engines (`date_trunc('hour')`
+    * keeps TIMESTAMP in DuckDB — only the DAY bucket demotes to DATE).
+    *
+    * Output: (hour, event_type, n_new), ordered (hour, event_type).
+    *
+    * Scale shape: [[firstTouch]]'s pair-grain window, then one
+    * combinable (hour × label) count. */
+  def noveltyHourly(events: DataFrame): DataFrame =
+    firstTouch(events)
+      .groupBy(date_trunc("hour", col("first_ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+      .orderBy("hour", "event_type")
 }

@@ -1279,6 +1279,69 @@ object Registry {
         FROM acc WHERE n_deaths > 0 ORDER BY duration_days"""),
       bench = true),
 
+    // Holt level+trend forecast: closed-form weight vectors generated
+    // ONCE in Scala (exact dyadics at alpha = beta = 0.5) and injected
+    // as CAST('w' AS DOUBLE) literals — string->double parse is
+    // correctly rounded in both engines, zero drift; calendar window
+    // pivoted to y1..yL so the dot product is a fixed expression tree
+    QueryDef("metrics_forecast_holt",
+      (s, d) => Metrics.holtForecast(t(s, d, "events")),
+      Some {
+        val (lw, tw) = Metrics.holtWeights(0.5, 0.5, 14)
+        def dot(ws: Seq[Double]) = ws.zipWithIndex
+          .map { case (w, i) => s"CAST('$w' AS DOUBLE) * y${i + 1}" }
+          .mkString(" + ")
+        val ys = (1 to 14)
+          .map(j => s"coalesce(max(CASE WHEN i = $j THEN n END), 0)::DOUBLE AS y$j")
+          .mkString(", ")
+        s"""WITH lastd AS (SELECT max(CAST(ts AS DATE)) AS ld FROM events
+            WHERE ts IS NOT NULL),
+          daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+          win AS (SELECT event_type, 14 - (ld - day) AS i, n
+            FROM daily, lastd WHERE 14 - (ld - day) BETWEEN 1 AND 14),
+          piv AS MATERIALIZED (SELECT event_type, $ys
+            FROM win GROUP BY event_type),
+          lt AS (SELECT event_type, (${dot(lw)}) AS lev, (${dot(tw)}) AS tr
+            FROM piv)
+          SELECT event_type, (SELECT ld FROM lastd) AS base_day,
+            h::BIGINT AS horizon, round(lev, 4) AS level,
+            round(tr, 4) AS trend, round(lev + h * tr, 4) AS forecast
+          FROM lt CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          ORDER BY event_type NULLS FIRST, horizon"""
+      }, bench = true),
+
+    // deterministic first touch per (user, label): the canonical-dedup
+    // batch twin of the streaming dropDuplicatesWithinWatermark
+    // pipeline — survivor = min (ts, event_id), a function of the data
+    QueryDef("events_first_touch",
+      (s, d) => Metrics.firstTouch(t(s, d, "events")),
+      Some("""SELECT user_id, event_type, first_ts, event_id FROM (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
+            event_id,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        WHERE rn = 1 ORDER BY user_id, event_type NULLS FIRST"""),
+      bench = true),
+
+    // hourly novelty rate: NEW (user, label) combinations per hour —
+    // the oracled batch twin of the CHAINED streaming plan
+    // (dedup-within-watermark -> windowed count); hour buckets stay
+    // TIMESTAMP on both engines (only DAY demotes to DATE)
+    QueryDef("events_novelty_hourly",
+      (s, d) => Metrics.noveltyHourly(t(s, d, "events")),
+      Some("""WITH f AS (SELECT user_id, event_type,
+            CAST(ts AS TIMESTAMP) AS first_ts,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT date_trunc('hour', first_ts) AS hour, event_type,
+          count(*)::BIGINT AS n_new
+        FROM f WHERE rn = 1 GROUP BY 1, 2
+        ORDER BY hour, event_type NULLS FIRST"""), bench = true),
+
     // per-user inter-arrival power-of-2 histogram: whole-second gaps,
     // bucket = bit-length (never float log); user-grain lag windows
     QueryDef("metrics_interarrival_hist",
@@ -3907,6 +3970,36 @@ object Registry {
           count(DISTINCT n_chars) < 5 AS at_risk
         FROM documents GROUP BY lang, source
         ORDER BY lang NULLS FIRST, source"""), bench = true),
+
+    // t-closeness: the skewness-attack screen completing the privacy
+    // trio — per-source total-variation distance of the lang
+    // distribution vs the corpus, all mass arithmetic on exact
+    // integers over the common denominator n_group*N (one float
+    // division at the end); uncovered global mass in closed form
+    QueryDef("corpus_t_closeness",
+      (s, d) => CorpusOps.tClosenessAudit(t(s, d, "documents"),
+        Seq("source"), "lang", 0.2),
+      Some("""WITH b AS MATERIALIZED (SELECT source, lang FROM documents
+            WHERE lang IS NOT NULL),
+          cells AS MATERIALIZED (SELECT source, lang, count(*)::BIGINT AS c
+            FROM b GROUP BY 1, 2),
+          gl AS (SELECT lang, count(*)::BIGINT AS g FROM b GROUP BY 1),
+          nn AS (SELECT count(*)::BIGINT AS nt FROM b),
+          grp AS (SELECT source, sum(c)::BIGINT AS ng FROM cells GROUP BY 1),
+          agg AS (SELECT cells.source,
+              sum(abs(c * nt - g * ng))::BIGINT AS num,
+              sum(g)::BIGINT AS cov
+            FROM cells JOIN gl USING (lang) CROSS JOIN nn
+              JOIN grp ON cells.source IS NOT DISTINCT FROM grp.source
+            GROUP BY 1)
+        SELECT agg.source, grp.ng AS n,
+          round((num + (nt - cov) * ng)::DOUBLE
+            / (2.0::DOUBLE * ng::DOUBLE * nt::DOUBLE), 4) AS tv,
+          round((num + (nt - cov) * ng)::DOUBLE
+            / (2.0::DOUBLE * ng::DOUBLE * nt::DOUBLE), 4) > 0.2 AS at_risk
+        FROM agg JOIN grp ON agg.source IS NOT DISTINCT FROM grp.source
+          CROSS JOIN nn
+        ORDER BY agg.source NULLS FIRST"""), bench = true),
 
     // exact-k-per-source sampling: fixed quota of 5 docs per source by
     // ascending u32(md5) order, via the graft_topk heap (never a

@@ -917,7 +917,14 @@ object StreamingPipeline {
     * exactly-once per event id downstream: duplicates arriving within
     * the watermark horizon are dropped, and state is evicted as the
     * watermark advances (bounded memory — the 100 TB requirement; a
-    * plain `dropDuplicates` would grow state forever). */
+    * plain `dropDuplicates` would grow state forever). A duplicate
+    * arriving after its key's state was evicted re-emits, by design —
+    * size `watermarkDelay` to the source's real duplicate window.
+    * Deterministic oracled batch twin:
+    * [[graft.metrics.Metrics.firstTouch]] (survivor = min
+    * (ts, event_id), a function of the data, where the stream's is
+    * first-arrival — identical when fed in event-time order,
+    * spec-pinned via [[noveltyPipeline]]). */
   def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
                   watermarkDelay: String = "10 minutes"): DataFrame = {
     require(idCols.nonEmpty, "dedupStream needs at least one id column")
@@ -1076,6 +1083,42 @@ object StreamingPipeline {
         expr("(unix_micros(r_ts) - unix_micros(l_ts)) DIV 1000000")
           .as("lag_s") +:
         (lOthers ++ rOthers).map(col): _*)
+  }
+
+  /** CHAINED stateful streaming — novelty rate as [[dedupStream]]
+    * (dedup-within-watermark) feeding a time-window aggregate in ONE
+    * query (TWO stateful operators; Spark 4 propagates the watermark
+    * through the dedup into the window, so closed windows still emit
+    * exactly once in append mode): "how many NEVER-BEFORE-SEEN
+    * `keyCols` combinations appeared per bucket per label" — the live
+    * growth/recency panel. The oracled batch twin is
+    * [[graft.metrics.Metrics.noveltyHourly]] (firstTouch → hour-bucket
+    * count, `events_novelty_hourly`); fed in event-time order the
+    * stream's first-arrival survivor IS firstTouch's (ts, event_id)
+    * minimum and the chain agrees exactly (spec-pinned — `window()`
+    * buckets align to the epoch, so a 3600 s window start IS the hour
+    * truncation). Duplicates re-admitted after their dedup state was
+    * evicted (the [[dedupStream]] contract) would count again — size
+    * `watermarkDelay` to the source's duplicate horizon.
+    *
+    * State shape: dedup state bounded by keys-per-watermark-window
+    * ([[dedupStream]]); window state one count per open
+    * (bucket, label) cell.
+    *
+    * Output (append, closed buckets only): (bucket_start, `labelCol`,
+    * n_new). */
+  def noveltyPipeline(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                      labelCol: String, windowSeconds: Long = 3600,
+                      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    require(!keyCols.contains(tsCol),
+      s"noveltyPipeline: event-time column $tsCol cannot be a dedup key")
+    dedupStream(events, keyCols, tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"),
+        col(labelCol))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+      .select(col("window.start").as("bucket_start"), col(labelCol),
+        col("n_new"))
   }
 
   /** Streaming HARD quota limiter — the live twin of

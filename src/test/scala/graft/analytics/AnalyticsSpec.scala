@@ -3405,4 +3405,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2.length == 1 && out2.head.getDouble(4) == 0.0,
       s"all-convert step must survive to exactly 0: ${out2.mkString(";")}")
   }
+
+  test("tClosenessAudit: hand TV per group, null sensitive excluded, null quasi survives") {
+    import spark.implicits._
+    // corpus: g1 4×a (+1 null lang, excluded), g2 4×b, g3 2a+2b,
+    // null-source 1×a  ->  global a=7 b=6 N=13
+    val rows = Seq.fill(4)(("g1", "a")) ++ Seq(("g1", null)) ++
+      Seq.fill(4)(("g2", "b")) ++
+      Seq(("g3", "a"), ("g3", "a"), ("g3", "b"), ("g3", "b")) ++
+      Seq((null.asInstanceOf[String], "a"))
+    val df = rows.zipWithIndex.map { case ((src, lg), i) =>
+      (i.toLong, src, lg) }.toDF("doc_id", "source", "lang")
+    val out = graft.analytics.CorpusOps
+      .tClosenessAudit(df, Seq("source"), "lang", 0.2).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // g1: (|4·13−7·4| + (13−7)·4) / (2·4·13) = 48/104
+    assert(out(Some("g1")) == ((4L, 0.4615, true)), s"g1: ${out(Some("g1"))}")
+    assert(out(Some("g2")) == ((4L, 0.5385, true)), s"g2: ${out(Some("g2"))}")
+    assert(out(Some("g3")) == ((4L, 0.0385, false)), s"g3: ${out(Some("g3"))}")
+    assert(out(None) == ((1L, 0.4615, true)), s"null group: ${out(None)}")
+  }
+
+  test("holtForecast: weight invariants; linear series tracked exactly; zero-fill via absent terms") {
+    import spark.implicits._
+    val M = graft.metrics.Metrics
+    val (lw14, tw14) = M.holtWeights(0.5, 0.5, 14)
+    assert(math.abs(lw14.sum - 1.0) < 1e-12, "level weights must sum to 1")
+    assert(math.abs(tw14.sum) < 1e-12, "trend weights must sum to 0")
+    // linear daily counts n(d) = 2 + 3d on days 1..5: Holt with exact
+    // init reproduces level = y5 = 17, trend = 3 (induction in the
+    // holtWeights scaladoc) -> forecast h = 17 + 3h exactly
+    val lin = (1 to 5).flatMap(d => Seq.fill(2 + 3 * d)(("e", d)))
+    // plus a label observed ONLY on window day 1 (count 4): the other
+    // 4 days are zero-fills that never materialize as rows
+    val gap = Seq.fill(4)(("g", 1))
+    val ev = (lin ++ gap).zipWithIndex.map { case ((ty, d), i) =>
+      (i.toLong, evTs(d), Some(1L), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = M.holtForecast(ev, lookback = 5, horizons = 2).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getDate(1).toString, r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out(("e", 1L)) == (("2024-04-05", 17.0, 3.0, 20.0)),
+      s"e h1: ${out(("e", 1L))}")
+    assert(out(("e", 2L)) == (("2024-04-05", 17.0, 3.0, 23.0)),
+      s"e h2: ${out(("e", 2L))}")
+    val (lw5, tw5) = M.holtWeights(0.5, 0.5, 5)
+    val (glev, gtr) = (lw5.head * 4.0, tw5.head * 4.0)
+    def r4(x: Double) = // Spark round() is HALF_UP, never rint/HALF_EVEN
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g1 = out(("g", 1L))
+    assert(g1._2 == r4(glev) && g1._3 == r4(gtr),
+      s"gap label must price absent days as zeros: $g1 vs ($glev, $gtr)")
+  }
+
+  test("firstTouch + noveltyHourly: (ts, event_id) survivor, hour buckets count new pairs") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (10L, 1L, "a", ts("2024-04-01 09:10:00")),
+      (11L, 1L, "a", ts("2024-04-01 09:50:00")), // later dup
+      (12L, 1L, "b", ts("2024-04-01 10:05:00")),
+      (13L, 2L, "a", ts("2024-04-01 09:20:00")),
+      (15L, 3L, "a", ts("2024-04-01 09:30:00")), // ts tie: higher id
+      (14L, 3L, "a", ts("2024-04-01 09:30:00"))) //   loses to this one
+    val ev = rows.map { case (id, u, ty, t) => (id, t, Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val ft = graft.metrics.Metrics.firstTouch(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(ft == Map((1L, "a") -> 10L, (1L, "b") -> 12L,
+      (2L, "a") -> 13L, (3L, "a") -> 14L), s"got $ft")
+    val nov = graft.metrics.Metrics.noveltyHourly(ev).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(nov == Map(("2024-04-01 09:00:00.0", "a") -> 3L,
+      ("2024-04-01 10:00:00.0", "b") -> 1L), s"got $nov")
+  }
 }

@@ -367,6 +367,58 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful novelty: dedup feeds windowed count in one query, agrees with batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    // watermarkDelay 1h: dedup state for an hour-0 first-touch lives to
+    // ~01:10+1h — long enough that the 00:40 cross-batch dup still hits
+    // live state, while hour windows still close as the watermark moves
+    val out = StreamingPipeline.noveltyPipeline(
+      df, "ts", Seq("user_id", "event_type"), "event_type",
+      windowSeconds = 3600, watermarkDelay = "1 hour")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, java.sql.Timestamp)]
+    def feed(rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      fed ++= rows; mem.addData(rows: _*)
+    }
+    val q = out.writeStream.format("memory").queryName("novelty_chain")
+      .outputMode("append").start()
+    try {
+      feed((1L, 1L, "view", t("2024-01-01 00:10:00")),
+        (2L, 1L, "view", t("2024-01-01 00:20:00")), // same-batch dup
+        (3L, 2L, "view", t("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      feed((4L, 1L, "view", t("2024-01-01 00:40:00")), // cross-batch dup
+        (5L, 1L, "click", t("2024-01-01 01:10:00")))
+      q.processAllAvailable()
+      // watermark 01:30 closes the hour-0 window; both stateful
+      // operators sit in ONE streaming plan
+      feed((6L, 9L, "view", t("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+      feed((7L, 8L, "view", t("2024-01-01 03:30:00"))) // closes hour 1
+      q.processAllAvailable()
+      val closed = spark.table("novelty_chain").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(closed == Map(
+        ("2024-01-01 00:00:00.0", "view") -> 2L, // dups never inflated
+        ("2024-01-01 01:00:00.0", "click") -> 1L), s"got $closed")
+      // batch-twin agreement (in-order feed): noveltyHourly over ALL fed
+      // rows, restricted to the closed hours, matches the stream exactly
+      val twin = graft.metrics.Metrics.noveltyHourly(
+          fed.toSeq.toDF("event_id", "user_id", "event_type", "ts"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((h, _), _) => h < "2024-01-01 02:00" }
+      assert(twin == closed, s"twin $twin != stream $closed")
+    } finally q.stop()
+  }
+
   test("A7 stateful absence alert fires on true silence via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
