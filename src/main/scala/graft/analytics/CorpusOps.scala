@@ -850,9 +850,11 @@ object CorpusOps {
     * All mass arithmetic runs on EXACT integers over the common
     * denominator n_group·N: TV = (Σ_v |c_v·N − g_v·n_group|
     * + (N − covered)·n_group) / (2·n_group·N) — ONE float division at
-    * the end, IEEE-identical on both engines (for corpora where
-    * c_v·N overflows BIGINT (~3·10⁹ rows each side), cast the products
-    * to DECIMAL first; ANSI mode fails loud, never silently wraps).
+    * the end, IEEE-identical on both engines. The products run in
+    * DECIMAL(38,0) (exact to 10³⁸ — c_v·N fits for any BIGINT row
+    * counts, where a BIGINT product overflows near ~3·10⁹ rows per
+    * side; DuckDB's hugeint-backed sums are exact the same way), so
+    * the closed form survives corpus scale without ANSI overflow.
     *
     * Output: (quasiCols..., n [rows with non-null sensitive], tv 4 dp,
     * at_risk = ROUNDED tv > t), ordered by the quasi columns. Rows
@@ -876,8 +878,22 @@ object CorpusOps {
     val cells = base
       .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
       .agg(count(lit(1)).cast("long").as("__c"))
-    val glob = base.groupBy(col(sensitiveCol).as("__v"))
-      .agg(count(lit(1)).cast("long").as("__g"))
+    tClosenessFromCells(cells, quasiCols, sensitiveCol, t)
+  }
+
+  /** TV arithmetic over pre-counted (quasi × sensitive, __c BIGINT)
+    * cells — split from [[tClosenessAudit]] so the near-BIGINT-overflow
+    * products can be exercised with forged counts (a spec can't forge
+    * 3·10⁹ input rows, but it can forge a cell with __c = 4·10¹⁸).
+    * The global marginals derive FROM the cells (one fewer base scan
+    * than counting them independently — same values by construction). */
+  private[graft] def tClosenessFromCells(cells: DataFrame,
+                                         quasiCols: Seq[String],
+                                         sensitiveCol: String,
+                                         t: Double): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val glob = cells.groupBy(col(sensitiveCol).as("__v"))
+      .agg(sum("__c").cast("long").as("__g"))
       .withColumn("__N", sum("__g")
         .over(org.apache.spark.sql.expressions.Window.partitionBy()))
     val withTotals = cells
@@ -887,11 +903,14 @@ object CorpusOps {
       .join(broadcast(glob), col(sensitiveCol) === col("__v"))
     withTotals.groupBy(quasiCols.map(col): _*)
       .agg(max("__ng").as("__ngF"), max("__N").as("__NF"),
-        sum(abs(col("__c") * col("__N") - col("__g") * col("__ng")))
-          .cast("long").as("__num"),
+        // c·N and g·ng overflow BIGINT near ~3·10⁹ rows per side;
+        // DECIMAL(38,0) holds any long×long product exactly (≤ 8.5·10³⁷)
+        sum(abs(dec(col("__c")) * dec(col("__N"))
+          - dec(col("__g")) * dec(col("__ng"))))
+          .cast("decimal(38,0)").as("__num"),
         sum("__g").cast("long").as("__cov"))
       .withColumn("tv", round(
-        (col("__num") + (col("__NF") - col("__cov")) * col("__ngF"))
+        (col("__num") + dec(col("__NF") - col("__cov")) * dec(col("__ngF")))
           .cast("double")
           / (lit(2.0) * col("__ngF").cast("double")
             * col("__NF").cast("double")), 4))

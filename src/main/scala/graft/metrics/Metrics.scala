@@ -392,6 +392,8 @@ object Metrics {
   def funnelSteps(events: DataFrame, steps: Seq[String],
                   maxGapSeconds: Long): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
     val gapUs = maxGapSeconds * 1000000L
     val ev = events.select(col("user_id"), col("event_type"),
@@ -648,7 +650,8 @@ object Metrics {
     *
     * All window math is integer epoch-micros (floor-div — never a
     * float bucket edge); `admit_seq` is the row's 1-based admission
-    * rank. Null type/id rows are excluded (portable-null contract).
+    * rank. Null type/id/ts rows are excluded (portable-null contract;
+    * a null ts has no window position).
     * The streaming twin is
     * [[graft.streaming.StreamingPipeline.quotaLimitPipeline]] — same
     * admission rule under transformWithState state; the two agree
@@ -665,7 +668,11 @@ object Metrics {
     val w = Window.partitionBy(col("event_type"), col("window_start_s"))
       .orderBy(col("__us"), col("event_id"))
     events
-      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      // null ts has no window position — excluded here AND in the
+      // streaming twin (whose mapPartitions pre-trim would NPE on
+      // ts.toInstant); batch and stream stay input-for-input identical
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts)").as("__us"), col("event_id"))
       .withColumn("window_start_s",
@@ -1447,21 +1454,25 @@ object Metrics {
     *
     * Output: (event_type, n_a, x_a, n_b, x_b, p_a 4 dp, p_b 4 dp,
     * z 4 dp, significant = |z| > 1.96), ordered event_type NULLS
-    * FIRST. Null-user rows have no arm and are excluded; zero-pooled
-    * or degenerate (p̂ ∈ {0,1}) labels are dropped (z undefined).
+    * FIRST. Null-user rows have no arm and are excluded; degenerate
+    * (p̂ ∈ {0,1}) labels are dropped (z undefined). A label whose
+    * events all land in ONE arm — the strongest possible imbalance —
+    * is KEPT (x = 0 on the other side is a well-defined count, z is
+    * computable and maximally significant); only an arm that is empty
+    * corpus-wide drops the whole panel (no denominator exists).
     *
-    * Scale shape: one combinable count at (label, arm) grain + a
-    * window sum over the ≤2·|labels| panel. */
+    * Scale shape: one combinable conditional-count at label grain +
+    * window sums over the ≤|labels| panel. */
   def abProportionTest(events: DataFrame): DataFrame = {
-    val byArm = events.filter(col("user_id").isNotNull)
-      .groupBy(col("event_type"), (col("user_id") % 2).cast("long").as("__arm"))
-      .agg(count(lit(1)).cast("long").as("__x"))
-      .withColumn("__n", sum("__x").over(Window.partitionBy("__arm")))
-    val a = byArm.filter(col("__arm") === 0)
-      .select(col("event_type").as("__ka"), col("__x").as("x_a"), col("__n").as("n_a"))
-    val b = byArm.filter(col("__arm") === 1)
-      .select(col("event_type").as("__kb"), col("__x").as("x_b"), col("__n").as("n_b"))
-    a.join(b, col("__ka") <=> col("__kb"))
+    val arm = (col("user_id") % 2).cast("long")
+    val perLabel = events.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(when(arm === 0, 1L).otherwise(0L)).cast("long").as("x_a"),
+        sum(when(arm === 1, 1L).otherwise(0L)).cast("long").as("x_b"))
+      .withColumn("n_a", sum("x_a").over(Window.partitionBy()).cast("long"))
+      .withColumn("n_b", sum("x_b").over(Window.partitionBy()).cast("long"))
+    perLabel
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("__pooled",
         (col("x_a") + col("x_b")).cast("double")
           / (col("n_a") + col("n_b")).cast("double"))
@@ -1472,7 +1483,7 @@ object Metrics {
           / sqrt(col("__pooled") * (lit(1.0) - col("__pooled"))
             * (lit(1.0) / col("n_a").cast("double")
               + lit(1.0) / col("n_b").cast("double"))))
-      .select(col("__ka").as("event_type"), col("n_a"), col("x_a"),
+      .select(col("event_type"), col("n_a"), col("x_a"),
         col("n_b"), col("x_b"),
         round(col("x_a").cast("double") / col("n_a").cast("double"), 4).as("p_a"),
         round(col("x_b").cast("double") / col("n_b").cast("double"), 4).as("p_b"),

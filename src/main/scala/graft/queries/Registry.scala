@@ -985,7 +985,8 @@ object Registry {
       Some("""WITH e AS (SELECT event_type,
             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
           FROM events
-          WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+          WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+            AND ts IS NOT NULL),
         r AS (SELECT event_type,
             (us // 86400000000) * 86400 AS window_start_s, event_id,
             row_number() OVER (PARTITION BY event_type, us // 86400000000
@@ -1216,15 +1217,13 @@ object Registry {
     QueryDef("metrics_ab_ztest",
       (s, d) => Metrics.abProportionTest(t(s, d, "events")),
       Some("""WITH c AS MATERIALIZED (SELECT event_type,
-            user_id % 2 AS arm, count(*)::BIGINT AS x
-          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        w AS (SELECT event_type, arm, x,
-            sum(x) OVER (PARTITION BY arm) AS n FROM c),
-        j AS (SELECT a.event_type, a.x::BIGINT AS x_a, a.n::BIGINT AS n_a,
-            b.x::BIGINT AS x_b, b.n::BIGINT AS n_b
-          FROM w a JOIN w b
-            ON a.event_type IS NOT DISTINCT FROM b.event_type
-            AND a.arm = 0 AND b.arm = 1),
+            sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS x_a,
+            sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS x_b
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        w AS (SELECT event_type, x_a, x_b,
+            sum(x_a) OVER ()::BIGINT AS n_a,
+            sum(x_b) OVER ()::BIGINT AS n_b FROM c),
+        j AS (SELECT * FROM w WHERE n_a > 0 AND n_b > 0),
         p AS (SELECT *,
             (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pooled FROM j),
         z AS (SELECT event_type, n_a, x_a, n_b, x_b,

@@ -1189,7 +1189,11 @@ object StreamingPipeline {
     import spark.implicits._
     val winUs = windowSeconds * 1000000L
     val typed = events
-      .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+      // null ts would NPE in the pre-trim's ts.toInstant (it runs
+      // BEFORE withWatermark); batch twin Metrics.quotaEnforce
+      // applies the same exclusion — the twins agree input-for-input
+      .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull)
       .select(col("event_type"), col("ts"), col("event_id"))
       .as[(String, java.sql.Timestamp, Long)]
     // narrow per-partition pre-trim: cap earliest (us, id) per key —
@@ -1331,6 +1335,8 @@ object StreamingPipeline {
                      maxGapSeconds: Long,
                      watermarkDelay: String = "0 seconds"): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
     val spark = events.sparkSession
     if (events.isStreaming) {
@@ -1347,7 +1353,10 @@ object StreamingPipeline {
     val stepIdx = steps.zipWithIndex.toMap
     val typed = events
       .select(col("user_id"), col("ts"), col("event_type"))
-      .filter(col("user_id").isNotNull &&
+      // null ts would NPE in the processor's ts.toInstant; the batch
+      // twin ignores null-ts events too (min over null __us) — same
+      // no-op semantics on both sides
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isin(steps.map(lit): _*))
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, String)]

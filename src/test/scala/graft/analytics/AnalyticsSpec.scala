@@ -3376,6 +3376,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("y") == ((0.25, 0.75, -1.4142, false)), s"got ${out("y")}")
   }
 
+  test("abProportionTest: one-arm label KEPT with x=0 on the other side") {
+    import spark.implicits._
+    // "solo" fires only for even users (arm 0); "both" hits both arms.
+    // n_a = 3, n_b = 1 corpus-wide.
+    val rows = Seq(("solo", 2L), ("solo", 2L), ("both", 2L), ("both", 3L))
+    val ev = rows.zipWithIndex.map { case ((ty, u), i) =>
+      (i.toLong, evTs(1), Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.abProportionTest(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // solo: p_a = 2/3, p_b = 0/1 — x_b = 0 is a well-defined count and
+    // z = (2/3)/sqrt(.5*.5*(1/3+1)) = 1.1547 is computable (ADVICE r12:
+    // the strongest imbalance must not be silently dropped)
+    assert(out("solo") == ((3L, 2L, 1L, 0L, 0.6667, 0.0, 1.1547)),
+      s"got ${out("solo")}")
+    assert(out("both") == ((3L, 1L, 1L, 1L, 0.3333, 1.0, -1.1547)),
+      s"got ${out("both")}")
+  }
+
   test("survivalKm: hand KM with censoring; all-convert step pins survival 0") {
     import spark.implicits._
     // u1 first d1 purchase d2 (dur 1); u2 first d1 purchase d3 (dur 2);
@@ -3425,6 +3445,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(Some("g2")) == ((4L, 0.5385, true)), s"g2: ${out(Some("g2"))}")
     assert(out(Some("g3")) == ((4L, 0.0385, false)), s"g3: ${out(Some("g3"))}")
     assert(out(None) == ((1L, 0.4615, true)), s"null group: ${out(None)}")
+  }
+
+  test("tClosenessFromCells: near-BIGINT-overflow products exact via DECIMAL(38,0)") {
+    import spark.implicits._
+    // forged cell counts no BIGINT product survives: c·N ≈ 2.4·10³⁷
+    // (a spec can't forge 3·10⁹ input rows, but it can forge the cells)
+    val C = 1000000000000000000L // 10¹⁸
+    val cells = Seq(("g1", "a", 4 * C), ("g1", "b", C), ("g2", "a", C))
+      .toDF("source", "lang", "__c")
+    val out = graft.analytics.CorpusOps
+      .tClosenessFromCells(cells, Seq("source"), "lang", 0.1).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // global a=5C b=C, N=6C (BigInt-exact by hand):
+    // g1: (|4C·6C−5C·5C| + |C·6C−C·5C| + 0)/(2·5C·6C) = 2C²/60C² = .0333
+    // g2: (|C·6C−5C·C| + (6C−5C)·C)/(2·C·6C) = 2C²/12C² = .1667
+    assert(out("g1") == ((5 * C, 0.0333, false)), s"g1: ${out("g1")}")
+    assert(out("g2") == ((C, 0.1667, true)), s"g2: ${out("g2")}")
   }
 
   test("holtForecast: weight invariants; linear series tracked exactly; zero-fill via absent terms") {

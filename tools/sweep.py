@@ -42,7 +42,12 @@ def run_verify(sfdir: str, outdir: str) -> None:
 
 
 def run_check(sfdir: str, outdir: str) -> dict:
-    """Parse oracle_check.py stdout into {query: 'pass'|'fail ...'}."""
+    """Parse oracle_check.py stdout into {query: 'pass'|'fail ...'}.
+
+    Fails LOUD (not silently-green) when the compare crashes or emits
+    zero PASS/FAIL lines — a crashed compare would otherwise contribute
+    zero entries and the artifact would read as all-green (ADVICE r12).
+    """
     p = subprocess.run(
         [sys.executable, str(REPO / "tools" / "oracle_check.py"),
          sfdir, outdir],
@@ -53,6 +58,15 @@ def run_check(sfdir: str, outdir: str) -> dict:
         if m:
             res[m.group(2)] = ("pass" if m.group(1) == "PASS"
                                else line.strip())
+    if not res:
+        raise RuntimeError(
+            f"oracle_check produced no PASS/FAIL lines for {sfdir} "
+            f"(rc={p.returncode}); stderr tail: {p.stderr[-800:]}")
+    if p.returncode != 0 and all(v == "pass" for v in res.values()):
+        raise RuntimeError(
+            f"oracle_check exited rc={p.returncode} for {sfdir} with no "
+            f"FAIL line parsed — partial output? stderr tail: "
+            f"{p.stderr[-800:]}")
     return res
 
 
@@ -89,8 +103,11 @@ def main() -> None:
             capture_output=True, text=True).stdout.strip(),
         "input_dir_md5": hashes,
         "n_queries": len(queries),
+        # MISSING (query absent from a sweep tag) counts as a failure —
+        # a query that silently vanished from one SF is not green
         "n_fail_total": sum(
-            1 for s in sweeps.values() for v in s.values() if v != "pass"),
+            1 for q in queries for s in sweeps.values()
+            if s.get(q, "MISSING") != "pass"),
         "results": {q: {tag: sweeps[tag].get(q, "MISSING")
                         for tag in sweeps} for q in queries},
     }
