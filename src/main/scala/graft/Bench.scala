@@ -294,6 +294,26 @@ object Bench {
       (-1.0, 0)
     }
 
+    // trend-aware Holt capacity alerts over the same closed-window
+    // fold (per-label level+trend dot products, horizons emitted)
+    val (holtSecs, holtEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("event_type IS NOT NULL")
+        .selectExpr("ts", "event_type AS label")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("label", StringType)))
+      (twinDrain("holt_alert_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.holtCapacityAlerts(
+          df, "ts", "label", windowSeconds = 3600, capacity = 1000.0,
+          lookback = 7)
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] holt_alert_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     // streaming MG-sketch trending-tokens twin: token explode →
     // batch-local MG(sketchK) pre-sketch → per-window sketch state;
     // synthetic ts spreads the corpus over 10 closed 60 s windows
@@ -476,16 +496,39 @@ object Bench {
       (-1.0, 0)
     }
 
+    // THREE chained stateful operators: day-grain dedup -> sliding
+    // 7d/1d window expand + (window,label,user) agg (the structural
+    // dedup) -> (window,label) count
+    val (rdSecs, rdEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("user_id IS NOT NULL AND ts IS NOT NULL")
+        .selectExpr("ts", "user_id", "event_type")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("event_type", StringType)))
+      (twinDrain("rolling_distinct_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.rollingDistinctPipeline(
+          df, windowDays = 7, watermarkDelay = "1 hour")
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] rolling_distinct_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
       "admission_stream_big" -> admBigSecs,
       "anomaly_stream" -> anomSecs,
+      "holt_alert_stream" -> holtSecs,
       "trending_stream_sketch" -> trendSecs,
       "session_stream" -> sessSecs,
       "interval_join_stream" -> ijSecs,
       "quota_stream" -> quotaSecs,
       "funnel_stream" -> funSecs,
-      "novelty_stream" -> novSecs)
+      "novelty_stream" -> novSecs,
+      "rolling_distinct_stream" -> rdSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -493,7 +536,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

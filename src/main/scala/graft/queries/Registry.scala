@@ -1165,6 +1165,27 @@ object Registry {
         GROUP BY 1, 2 ORDER BY d.event_type NULLS FIRST, end_day"""),
       bench = true),
 
+    // batch twin of the THREE-stateful-operator streaming plan
+    // (rollingDistinctPipeline — sliding-window expand + dedup-by-agg
+    // + count, the SAME function): every sliding window, not just
+    // observed traffic days; oracle enumerates each user-day's 7
+    // covered end days and counts distinct (label, user, end) triples
+    QueryDef("rolling_distinct_windows",
+      (s, d) => graft.streaming.StreamingPipeline
+        .rollingDistinctPipeline(t(s, d, "events"), 7)
+        .orderBy(col("event_type"), col("end_day")),
+      Some("""WITH t AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
+            CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT DISTINCT event_type, user_id,
+            day + i.o::INTEGER AS end_day
+          FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS o) i)
+        SELECT end_day, event_type,
+          count(*)::BIGINT AS n_distinct_users
+        FROM c GROUP BY 1, 2
+        ORDER BY event_type NULLS FIRST, end_day"""),
+      bench = true),
+
     // label × weekday mutual information: exact integer counts, one
     // division + one ln per cell; marginals are window sums over the
     // ≤|labels|·7 panel

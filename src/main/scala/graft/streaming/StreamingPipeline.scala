@@ -847,16 +847,54 @@ object StreamingPipeline {
     require(loRatio < hiRatio, s"loRatio $loRatio must be < hiRatio $hiRatio")
     val spark = events.sparkSession
     import spark.implicits._
-    val windowMs = windowSeconds * 1000L
     val weights = graft.metrics.Metrics.ewmaWeights(alpha, lookback)
     val wsum = weights.sum
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    foldClosedWindows[(java.sql.Timestamp, String, Long, Double, Double,
+      Boolean)](events, tsCol, labelCol, windowSeconds, lookback,
+      watermarkDelay) { (label, w, n, hist) =>
+      if (hist.size >= lookback) {
+        // hist is most-recent-first; fixed left fold like the
+        // batch twin's expression tree
+        val ewma = weights.zip(hist.take(lookback))
+          .map { case (wt, (_, c)) => wt * c }
+          .foldLeft(0.0)(_ + _) / wsum
+        val ratio = round4(n / ewma)
+        Seq((new java.sql.Timestamp(w), label, n, round4(ewma),
+          ratio, ratio >= hiRatio || ratio <= loRatio))
+      } else Seq.empty
+    }
+      // the label column keeps the CALLER'S name — a hard-coded
+      // "event_type" would silently mislabel any other label column
+      .toDF("window_start", labelCol, "n", "ewma", "ratio", "is_anomaly")
+  }
+
+  /** Shared closed-window fold behind [[anomalyAlerts]] and
+    * [[holtCapacityAlerts]]: batch-local pre-count to (label, window,
+    * count) partials in a narrow `mapPartitions` (each partial carries
+    * the max raw event time it absorbed so the post-mapPartitions
+    * watermark advances exactly as on the raw stream — the
+    * trendingTokensSketch pattern), then one flatMapGroupsWithState
+    * per label holding (open-window count map, last `keep` CLOSED
+    * (window, count) pairs most-recent-first) — O(keep) state per
+    * label forever. Stragglers for a window the watermark already
+    * closed are DROPPED, never re-open emitted state. `emit(label,
+    * wstart, n, histBefore)` runs per closing window in window order
+    * with the history as it stood BEFORE this window; the fold then
+    * prepends (wstart, n) and truncates to `keep`. */
+  private def foldClosedWindows[T](
+      events: DataFrame, tsCol: String, labelCol: String,
+      windowSeconds: Long, keep: Int, watermarkDelay: String)(
+      emit: (String, Long, Long, Seq[(Long, Long)]) => Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowSeconds * 1000L
     val typed = events.select(col(tsCol).as("ts"), col(labelCol).as("label"))
       .as[(java.sql.Timestamp, String)]
-    // batch-local pre-count; each partial carries the max raw event
-    // time it absorbed so the post-mapPartitions watermark advances
-    // exactly as on the raw stream (the trendingTokensSketch pattern)
     val pre = typed.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
         .empty[(String, Long), Array[Long]]
@@ -874,8 +912,7 @@ object StreamingPipeline {
       .withWatermark("ts", watermarkDelay)
       .as[(java.sql.Timestamp, String, Long, Long)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[(Map[Long, Long], Seq[(Long, Long)]),
-        (java.sql.Timestamp, String, Long, Double, Double, Boolean)](
+      .flatMapGroupsWithState[(Map[Long, Long], Seq[(Long, Long)]), T](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (label, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
@@ -889,27 +926,71 @@ object StreamingPipeline {
           val (toClose, stillOpen) =
             open.partition { case (w, _) => w + windowMs <= wm }
           val out = toClose.toSeq.sortBy(_._1).flatMap { case (w, n) =>
-            val emit = if (hist.size >= lookback) {
-              // hist is most-recent-first; fixed left fold like the
-              // batch twin's expression tree
-              val ewma = weights.zip(hist.take(lookback))
-                .map { case (wt, (_, c)) => wt * c }
-                .foldLeft(0.0)(_ + _) / wsum
-              val ratio = round4(n / ewma)
-              Seq((new java.sql.Timestamp(w), label, n, round4(ewma),
-                ratio, ratio >= hiRatio || ratio <= loRatio))
-            } else Seq.empty
-            hist = ((w, n) +: hist).take(lookback)
-            emit
+            val e = emit(label, w, n, hist)
+            hist = ((w, n) +: hist).take(keep)
+            e
           }
           state.update((stillOpen, hist))
           if (stillOpen.nonEmpty)
             state.setTimeoutTimestamp(stillOpen.keys.min + windowMs)
           out.iterator
       }
-      // the label column keeps the CALLER'S name — a hard-coded
-      // "event_type" would silently mislabel any other label column
-      .toDF("window_start", labelCol, "n", "ewma", "ratio", "is_anomaly")
+  }
+
+  /** Holt TREND-AWARE capacity alerts — the live "will the next
+    * windows breach capacity" panel, the forecasting close of the
+    * [[anomalyAlerts]] loop: on each CLOSED event-time window, fit
+    * Holt level+trend over the label's last `lookback` closed windows
+    * (the just-closed one included — the forecast uses everything up
+    * to now) via the [[graft.metrics.Metrics.holtWeights]] closed-form
+    * dot products — the same O(lookback) closed-window state as the
+    * EWMA scorer, no recursion — and emit one row per horizon
+    * h = 1..`horizons` with `breach = forecast >= capacity`.
+    *
+    * Same row semantics as [[anomalyAlerts]]: the series is the label's
+    * OBSERVED closed windows (a zero-traffic window never existed);
+    * for gap-free traffic this is calendar Holt (the batch
+    * [[graft.metrics.Metrics.holtForecast]] is the calendar-semantic,
+    * zero-filled audit of the same weights — spec-pinned shared math).
+    * Warm-up (history < lookback) emits nothing. Determinism: fixed
+    * left-fold dot products over exact-dyadic weights — the batch
+    * op's expression-tree order.
+    *
+    * Output (append, on window close, once warm): (window_start,
+    * `labelCol`, n, horizon, level 4 dp, trend 4 dp, forecast 4 dp,
+    * breach). */
+  def holtCapacityAlerts(events: DataFrame, tsCol: String, labelCol: String,
+                         windowSeconds: Long, capacity: Double,
+                         lookback: Int = 14, horizons: Int = 3,
+                         alpha: Double = 0.5, beta: Double = 0.5,
+                         watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1: $windowSeconds")
+    require(horizons >= 1, s"horizons must be >= 1: $horizons")
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val (lw, tw) = graft.metrics.Metrics.holtWeights(alpha, beta, lookback)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    foldClosedWindows[(java.sql.Timestamp, String, Long, Long, Double,
+      Double, Double, Boolean)](events, tsCol, labelCol, windowSeconds,
+      lookback - 1, watermarkDelay) { (label, w, n, hist) =>
+      val series = ((w, n) +: hist).take(lookback)
+      if (series.size >= lookback) {
+        // series is most-recent-first; y1..yL are oldest-first
+        val ys = series.reverseIterator.map(_._2.toDouble).toIndexedSeq
+        def dot(ws: Seq[Double]): Double =
+          ws.zip(ys).map { case (wt, y) => wt * y }.foldLeft(0.0)(_ + _)
+        val (lev, tr) = (dot(lw), dot(tw))
+        (1 to horizons).map { h =>
+          val f = lev + h * tr
+          (new java.sql.Timestamp(w), label, n, h.toLong, round4(lev),
+            round4(tr), round4(f), f >= capacity)
+        }
+      } else Seq.empty
+    }
+      .toDF("window_start", labelCol, "n", "horizon", "level", "trend",
+        "forecast", "breach")
   }
 
   /** Streaming deduplication — at-least-once upstream delivery (the
@@ -1119,6 +1200,64 @@ object StreamingPipeline {
       .agg(count(lit(1)).cast("long").as("n_new"))
       .select(col("window.start").as("bucket_start"), col(labelCol),
         col("n_new"))
+  }
+
+  /** EXACT sliding-window distinct users, live — the streaming twin of
+    * [[graft.metrics.Metrics.rollingDistinctUsers]] ("7-day active
+    * users per label" on a dashboard, no approximation). Streaming
+    * cannot run `count(DISTINCT)` per window, and the batch
+    * contribution-interval transform needs the NEXT appearance
+    * (future) — so the live plan makes the distinctness STRUCTURAL:
+    * assign each event to its `windowDays` containing sliding windows
+    * (`window(ts, "7 days", "1 day")` — the expand is bounded by w),
+    * aggregate once at (window, label, user) grain (a user's repeats
+    * inside a window collapse into ONE cell — this aggregate IS the
+    * dedup, and its state lives exactly until the watermark closes the
+    * window), then count cells at (window, label) grain. Three chained
+    * stateful operators in ONE query (Spark 4 propagates the
+    * watermark through each: dedup → agg → agg — one step past
+    * [[noveltyPipeline]]'s two): an upfront
+    * [[dedupStream]] at (label, user, day) grain trims event-grain
+    * volume BEFORE the w-way expand (best-effort: a duplicate
+    * re-admitted after dedup-state eviction lands in the same
+    * (window, label, user) cell and changes nothing — exactness never
+    * depends on the trim).
+    *
+    * Closed windows emit once (append); `end_day` = the window's last
+    * covered day, matching the batch operator's end-day convention.
+    * CONTRACT vs the batch twin: this panel reports EVERY sliding
+    * window a user appeared in — including end days where the label
+    * itself saw no fresh traffic (a live "active users" panel has a
+    * value every day); the batch operator restricts to observed
+    * traffic days. Restricted to those days the two agree EXACTLY
+    * (spec-pinned). In batch mode the same function runs the same
+    * expand + two aggregates (watermark is a no-op, the pre-trim is
+    * skipped — the first aggregate already dedups) and is oracled as
+    * `rolling_distinct_windows`.
+    *
+    * State shape: day-grain dedup state within the watermark horizon;
+    * first-agg state = one empty-payload cell per (open window, label,
+    * active user); second-agg state = one counter per (open window,
+    * label). ≤ w+1 windows are open per label at any watermark. */
+  def rollingDistinctPipeline(events: DataFrame, windowDays: Int = 7,
+                              watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val prepped = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val trimmed =
+      if (prepped.isStreaming)
+        dedupStream(prepped.withColumn("__day", to_date(col("ts"))),
+          Seq("event_type", "user_id", "__day"), "ts", watermarkDelay)
+      else prepped
+    trimmed
+      .groupBy(window(col("ts"), s"$windowDays days", "1 day"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_distinct_users"))
+      .select(date_sub(to_date(col("window.end")), 1).as("end_day"),
+        col("event_type"), col("n_distinct_users"))
   }
 
   /** Streaming HARD quota limiter — the live twin of

@@ -419,6 +419,73 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained rolling distinct: three stateful operators, exact counts, agrees with both batch twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val out = StreamingPipeline.rollingDistinctPipeline(
+      df, windowDays = 3, watermarkDelay = "1 day")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, java.sql.Timestamp)]
+    def feed(rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      fed ++= rows; mem.addData(rows: _*)
+    }
+    val q = out.writeStream.format("memory").queryName("rolling_chain")
+      .outputMode("append").start()
+    try {
+      feed((1L, 1L, "view", t("2024-01-01 10:00:00")),
+        (2L, 1L, "view", t("2024-01-01 11:00:00")), // same-day dup
+        (3L, 2L, "view", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      feed((4L, 1L, "view", t("2024-01-02 09:00:00")), // new day, same user
+        (5L, 3L, "click", t("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      // watermark Jan4 01:00 closes windows ending Jan2/3/4 = end days 1..3
+      feed((6L, 9L, "view", t("2024-01-05 01:00:00")))
+      q.processAllAvailable()
+      // watermark Jan7 12:00 closes end days 4..6
+      feed((7L, 8L, "view", t("2024-01-08 12:00:00")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.size == 3,
+        s"expected dedup + 2 aggs, got ${q.lastProgress.stateOperators.size}")
+      val closed = spark.table("rolling_chain").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      // end day E covers days E-2..E; u1 repeats collapse; u2 ages out
+      // of end day 4; u9 (Jan5) covers end days 5..7, 7 still open
+      assert(closed == Map(
+        ("2024-01-01", "view") -> 2L, ("2024-01-02", "view") -> 2L,
+        ("2024-01-03", "view") -> 2L, ("2024-01-04", "view") -> 1L,
+        ("2024-01-05", "view") -> 1L, ("2024-01-06", "view") -> 1L,
+        ("2024-01-02", "click") -> 1L, ("2024-01-03", "click") -> 1L,
+        ("2024-01-04", "click") -> 1L), s"got $closed")
+      val fedDf = fed.toSeq.toDF("event_id", "user_id", "event_type", "ts")
+      // batch twin 1: the SAME function in batch mode (full panel),
+      // restricted to the closed end days, matches the stream exactly
+      val sameFn = StreamingPipeline.rollingDistinctPipeline(fedDf, 3)
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((d, ty), _) =>
+          d <= (if (ty == "view") "2024-01-06" else "2024-01-04") }
+      assert(sameFn == closed, s"batch-mode twin $sameFn != stream $closed")
+      // batch twin 2: Metrics.rollingDistinctUsers restricts to
+      // OBSERVED traffic days — the stream agrees on exactly those days
+      val observed = graft.metrics.Metrics.rollingDistinctUsers(fedDf, 3)
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+        .toMap
+        .filter { case ((_, d), _) => d <= "2024-01-06" }
+      val streamOnObserved = closed.collect {
+        case ((d, ty), n) if observed.contains((ty, d)) => (ty, d) -> n }
+      assert(streamOnObserved == observed,
+        s"observed-day twin $observed != stream $streamOnObserved")
+    } finally q.stop()
+  }
+
   test("A7 stateful absence alert fires on true silence via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -632,6 +699,52 @@ class PipelineSpec extends SparkSpec {
       val before = spark.table("anomalies").count()
       feed("2024-01-01 00:02:40", 50); q.processAllAvailable()
       assert(spark.table("anomalies").count() == before)
+    } finally q.stop()
+  }
+
+  test("streaming Holt capacity alerts: trend-aware forecast per closed window, warm-up silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "label").repartition(4)
+    // lookback=2 => holtWeights give level = y2, trend = y2 - y1 (the
+    // exact Holt init — hand-checkable forecasts)
+    val out = StreamingPipeline.holtCapacityAlerts(df, "ts", "label",
+      windowSeconds = 60, capacity = 100.0, lookback = 2, horizons = 2)
+    val q = out.writeStream.format("memory").queryName("holt_alerts")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def feed(window: String, n: Int): Unit =
+      mem.addData((1 to n).map(i => (t(window), "err")): _*)
+    try {
+      feed("2024-01-01 00:00:10", 10); q.processAllAvailable()
+      feed("2024-01-01 00:01:10", 20); q.processAllAvailable()
+      // W0 closed with history < lookback: silent warm-up
+      assert(spark.table("holt_alerts").count() == 0)
+      feed("2024-01-01 00:02:10", 30); q.processAllAvailable()
+      feed("2024-01-01 00:03:10", 90); q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:04:30"), "tick")); q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:04:31"), "tick")); q.processAllAvailable()
+      val rows = spark.table("holt_alerts").filter(col("label") === "err")
+        .orderBy("window_start", "horizon").collect()
+        .map(r => (new java.text.SimpleDateFormat("HH:mm:ss").format(r.getTimestamp(0)),
+          r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7)))
+      // W1: series (10,20) -> level 20 trend 10 -> f 30, 40
+      // W2: series (20,30) -> level 30 trend 10 -> f 40, 50
+      // W3: series (30,90) -> level 90 trend 60 -> f 150*, 210*
+      assert(rows.toSeq == Seq(
+        ("00:01:00", 20L, 1L, 20.0, 10.0, 30.0, false),
+        ("00:01:00", 20L, 2L, 20.0, 10.0, 40.0, false),
+        ("00:02:00", 30L, 1L, 30.0, 10.0, 40.0, false),
+        ("00:02:00", 30L, 2L, 30.0, 10.0, 50.0, false),
+        ("00:03:00", 90L, 1L, 90.0, 60.0, 150.0, true),
+        ("00:03:00", 90L, 2L, 90.0, 60.0, 210.0, true)), s"got: ${rows.toSeq}")
+      // stragglers for closed windows never re-emit
+      val before = spark.table("holt_alerts").count()
+      feed("2024-01-01 00:02:40", 50); q.processAllAvailable()
+      assert(spark.table("holt_alerts").count() == before)
     } finally q.stop()
   }
 
