@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.analytics._
+import graft.metrics.Metrics
+import graft.udm.{SynthPackets, UdmTransform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry._
+
+/** The `multimodal` domain of the query registry, split out of
+  * [[Registry]] (round 13) purely for file size: shared table
+  * loaders, fixtures and SQL helpers stay on [[Registry]], and
+  * composition + the fail-loud duplicate-name gate are unchanged
+  * in [[Registry.all]]. */
+private[queries] object RegistryMultimodal {
+  val defs: Seq[QueryDef] = Seq(
+    // REAL decode oracle: payloads are synthesized PNG/JPEG binaries
+    // (even/odd doc_id) whose IHDR/SOF dimensions follow a doc_id
+    // formula; Spark parses the BYTES (MediaDecode), DuckDB mirrors
+    // the formula — a parser regression (wrong offset, endianness,
+    // segment walk) hash-mismatches. content_hash (md5 over the
+    // CRC-bearing binary) is not SQL-reconstructible and stays on the
+    // decodeBatched surface, spec-covered.
+    QueryDef("mm_media_features",
+      (s, d) => Multimodal.mediaFeatures(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+          CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 33 END
+            + coalesce(octet_length(encode(text)), 0) AS BIGINT) AS payload_bytes,
+          round(CAST((doc_id * 7) % 1920 + 1 AS DOUBLE)
+            / ((doc_id * 13) % 1080 + 1), 4) AS aspect
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // LAION-style image gate on PARSED header dims: the oracle derives
+    // width/height from the same synthesis formulas mm_media_features
+    // proves the real parser reproduces; raw-division aspect compare
+    QueryDef("mm_image_filter",
+      (s, d) => Multimodal.imageFilter(t(s, d, "documents"), 64, 3.0),
+      Some {
+        val inv = s"CAST('${1.0 / 3.0}' AS DOUBLE)"
+        s"""WITH m AS (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+            CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+            CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height
+          FROM documents)
+          SELECT doc_id, format, width, height,
+            round(width::DOUBLE / height, 4) AS aspect,
+            (format IN ('png', 'jpeg') AND width >= 64 AND height >= 64
+              AND width::DOUBLE / height <= 3.0
+              AND width::DOUBLE / height >= $inv) AS keep
+          FROM m ORDER BY doc_id"""
+      }, bench = true),
+
+    // SDXL-style aspect-ratio bucketing on parsed dims: EXACT integer
+    // cross-product argmin (common-h drop + lcm(q) scaling), panel and
+    // lcm injected from the same Scala values — zero literal drift
+    QueryDef("mm_aspect_buckets",
+      (s, d) => Multimodal.aspectBuckets(t(s, d, "documents")),
+      Some {
+        val rows = Multimodal.aspectBucketPanel.zipWithIndex.map {
+          case ((p, q, name), i) => s"($i, $p, $q, '$name')"
+        }.mkString(", ")
+        val lcm = Multimodal.aspectBucketLcm
+        s"""WITH m AS (SELECT doc_id,
+            CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+            CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height
+          FROM documents),
+          e AS (SELECT doc_id, width, height, b.bucket,
+              abs(width::BIGINT * b.q - b.p * height::BIGINT)
+                * ($lcm // b.q) AS err, b.i
+            FROM m CROSS JOIN
+              (SELECT * FROM (VALUES $rows) v(i, p, q, bucket)) b),
+          r AS (SELECT doc_id, width, height, bucket, err,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY err, i) AS rk
+            FROM e)
+          SELECT doc_id, width, height, bucket, err::BIGINT AS err_scaled
+          FROM r WHERE rk = 1 ORDER BY doc_id"""
+      }, bench = true),
+
+    // byte-level near-dup over the binary modality: hex 8-byte grams
+    // at 4-byte stride through the standard MinHash+LSH stack (gram =
+    // k=1 shingle). Payload bound to utf8(text) so BOTH engines build
+    // identical bytes (the mm fixtures' CRC-bearing PNGs cannot be
+    // rebuilt in SQL — mm_payload_dedup's documented limit); forged
+    // trailer-append copies at doc_id % 13 must band-collide with
+    // their originals
+    QueryDef("mm_payload_neardup",
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val copies = base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("payload"),
+              encode(lit(" tail tail tail"), "UTF-8")).as("payload"))
+        Multimodal.payloadNearDupPairs(base.unionAll(copies))
+      },
+      Some {
+        val hs = (0 until 8).map(j => s"${minhashSliceSql(j)} AS h$j")
+          .mkString(", ")
+        val sigList = (0 until 8).map(j => s"h$j").mkString("[", ", ", "]")
+        val bandKeys = (0 until 2).map { b =>
+          val slots = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, sig, $b AS band, md5($slots) AS key FROM psig"
+        }.mkString(" UNION ALL ")
+        s"""WITH pbase AS (SELECT doc_id, encode(text) AS payload
+            FROM documents WHERE text IS NOT NULL),
+          pcp AS (SELECT doc_id + 1000000 AS doc_id,
+              payload || encode(' tail tail tail') AS payload
+            FROM pbase WHERE doc_id % 13 = 0),
+          pu AS (SELECT * FROM pbase UNION ALL SELECT * FROM pcp),
+          ph AS (SELECT doc_id, hex(payload) AS h FROM pu),
+          pg AS (SELECT doc_id,
+              list_transform(range(0, (length(h) - 16) // 8 + 1),
+                k -> substr(h, 1 + 8 * k, 16)) AS sh
+            FROM ph WHERE length(h) >= 16),
+          psigs AS (SELECT doc_id, $hs FROM pg),
+          psig AS (SELECT doc_id, $sigList AS sig FROM psigs),
+          pbands AS ($bandKeys)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 8
+              AS sig_agreement
+          FROM pbands a JOIN pbands b
+            ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.key IS NOT NULL
+          ORDER BY doc_a, doc_b"""
+      }, bench = true),
+
+    // binary-modality exact dedup: the fixture forges REAL payload
+    // collisions by synthesizing every doc's image from its doc_id
+    // mod 50 base (same dims + same trailing text bytes ⇒ identical
+    // binaries), so the md5 groups are exactly the mod-50 classes —
+    // which the oracle derives from the SAME arithmetic without
+    // rebuilding a CRC-bearing PNG in SQL
+    QueryDef("mm_payload_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("bid"), col("text").as("btext"))
+        val remapped = docs.select(col("doc_id").as("real_id"),
+            (col("doc_id") % 50).as("bid"))
+          .join(base, Seq("bid"))
+          .select(col("real_id"), col("bid").as("doc_id"),
+            col("btext").as("text"))
+        Multimodal.payloadDedup(
+          Multimodal.withPayload(remapped), idCol = "real_id")
+      },
+      Some("""SELECT min(doc_id)::BIGINT AS keep_doc_id,
+          count(*)::BIGINT AS group_size
+        FROM documents GROUP BY doc_id % 50 ORDER BY keep_doc_id"""), bench = true),
+
+    // audio WAV header decode: duration is derived from the PARSED
+    // data-chunk length and byte rate — the oracle reconstructs both
+    // from the synthesis formulas, so a match proves the RIFF walk
+    // read real little-endian bytes, not a formula
+    QueryDef("mm_audio_features",
+      (s, d) => Multimodal.audioFeatures(t(s, d, "documents")),
+      Some("""WITH a AS (SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS sr,
+            doc_id % 2 + 1 AS ch,
+            CASE WHEN (doc_id // 2) % 2 = 0 THEN 8 ELSE 16 END AS bits,
+            coalesce(octet_length(encode(text)), 0) AS data_len
+          FROM documents)
+        SELECT doc_id, 'wav' AS format,
+          ch::BIGINT AS channels,
+          sr::BIGINT AS sample_rate_hz,
+          bits::BIGINT AS bits_per_sample,
+          (data_len * 1000 // (sr * ch * (bits // 8)))::BIGINT AS duration_ms,
+          (44 + data_len)::BIGINT AS payload_bytes
+        FROM a ORDER BY doc_id""")),
+
+    // video frame sampling: every 2nd frame of each synthetic container
+    // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
+    // bytes from the deterministic formula, so the md5 compare proves
+    // the container walk read real bytes, not a formula
+    QueryDef("mm_frame_sample",
+      (s, d) => Multimodal.frameSample(t(s, d, "documents"), 2),
+      Some("""WITH f AS (SELECT doc_id, coalesce(substr(text, 1, 16), '') AS p,
+            unnest(range(0, doc_id % 7 + 1)) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+          md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
+          octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
+        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
+      bench = true))
+}

@@ -1,0 +1,507 @@
+package graft.queries
+
+import graft.analytics._
+import graft.metrics.Metrics
+import graft.udm.{SynthPackets, UdmTransform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry._
+
+/** The `similarity` domain of the query registry, split out of
+  * [[Registry]] (round 13) purely for file size: shared table
+  * loaders, fixtures and SQL helpers stay on [[Registry]], and
+  * composition + the fail-loud duplicate-name gate are unchanged
+  * in [[Registry.all]]. */
+private[queries] object RegistrySimilarity {
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
+        q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id, v.label,
+          list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+           sqrt(list_sum(list_transform(v.vec, x -> x * x)))) AS cos
+          FROM q, v WHERE v.vec_id <> q.qid)
+        SELECT qid AS query_id, vec_id, label, cosine, rk FROM (
+          SELECT qid, vec_id, label, round(cos, 4) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        WHERE rk <= 10 ORDER BY query_id, rk"""), bench = true),
+
+    // Matryoshka-style prefix truncation: exact cosine top-k over the
+    // first 32 of 64 dims — half the scan IO; ranking over the
+    // truncated vectors oracled exactly (the synthetic embeddings are
+    // unstructured, so recall-vs-full is not the contract here)
+    QueryDef("sim_truncated_topk",
+      (s, d) => Similarity.truncatedTopK(
+        Similarity.truncateEmbeddings(t(s, d, "embeddings"), 32),
+        Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS MATERIALIZED (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE))[1:32] AS vec FROM embeddings WHERE embedding IS NOT NULL),
+        q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id, v.label,
+          list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+          (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+           sqrt(list_sum(list_transform(v.vec, x -> x * x)))) AS cos
+          FROM q, v WHERE v.vec_id <> q.qid)
+        SELECT qid AS query_id, vec_id, label, cosine, rk FROM (
+          SELECT qid, vec_id, label, round(cos, 4) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
+        WHERE rk <= 10 ORDER BY query_id, rk""")),
+
+    QueryDef("sim_lsh_topk",
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10, 4),
+      Some {
+        // mirror srpBucket (see srpBucketSql): dimension derived from
+        // the row (len(vec)), matching the Scala side's dim discovery
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL),
+          b AS (SELECT vec_id, vec, ${srpBucketSql(4)} AS bucket FROM v),
+          q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+          sc AS (SELECT q.query_id, b.vec_id,
+            list_sum(list_transform(list_zip(q.qvec, b.vec), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.vec, x -> x * x)))) AS cos
+            FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+          SELECT query_id, vec_id, cosine, rk FROM (
+            SELECT query_id, vec_id, round(cos, 4) AS cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
+      }, bench = true),
+
+    QueryDef("sim_ivf_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // the oracle's centroid SQL is generated for dim=64; fail loudly
+        // if the dataset ever changes shape instead of mismatching
+        // subtly (one dim-discovery job, reused by the query)
+        val dim = Similarity.embeddingDim(emb)
+        require(dim == 64, s"sim_ivf_topk oracle assumes dim=64, data has $dim")
+        Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10, 3, Some(dim))
+      },
+      Some {
+        val dim = 64
+        val centroid = (1 to dim).map(i => s"sum(vec[$i]) / count(*)").mkString("[", ", ", "]")
+        def cosList(a: String, b: String) =
+          s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+             (sqrt(list_sum(list_transform($a, x -> x * x))) *
+              sqrt(list_sum(list_transform($b, x -> x * x))))"""
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings WHERE embedding IS NOT NULL),
+          cent AS (SELECT label, $centroid AS c FROM v GROUP BY label),
+          q AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+          cells AS (SELECT query_id, qvec, label FROM (
+            SELECT q.query_id, q.qvec, cent.label,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${cosList("q.qvec", "cent.c")} DESC, cent.label) AS cr
+            FROM q, cent) WHERE cr <= 3),
+          sc AS (SELECT cells.query_id, v.vec_id, v.label,
+            ${cosList("cells.qvec", "v.vec")} AS cos
+            FROM cells JOIN v ON v.label = cells.label AND v.vec_id <> cells.query_id)
+          SELECT query_id, vec_id, label, cosine, rk FROM (
+            SELECT query_id, vec_id, label, round(cos, 4) AS cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+            FROM sc)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
+      }, bench = true),
+
+    QueryDef("sim_label_centroids",
+      (s, d) => Similarity.labelCentroidNorms(t(s, d, "embeddings")),
+      Some {
+        val dim = 64
+        val sums = (1 to dim).map(i => s"sum(vec[$i]) AS s$i").mkString(", ")
+        val sq = (1 to dim).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
+        s"""WITH v AS MATERIALIZED (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL),
+          agg AS (SELECT label, count(*) AS n, $sums FROM v GROUP BY label)
+          SELECT label, n, round(sqrt($sq), 4) AS centroid_norm
+          FROM agg ORDER BY label"""
+      }),
+
+    // Unlabeled IVF: Lloyd's k-means quantizer (deterministic md5-order
+    // seeds, 4 rounds) + nearest-centroid cell assignment in-plan.
+    // Tolerance-boolean oracle (the sketch pattern): Spark computes
+    // recall@10 of the kmeans-IVF search (4 of 8 cells probed) against
+    // brute force and asserts >= 0.4 per query (measured min across
+    // sf0.001/0.01/0.1 is 0.5 — the slack absorbs float-sum ordering
+    // in the distributed centroid aggregate); DuckDB reproduces the
+    // query list and the TRUE flags — a recall regression
+    // hash-mismatches.
+    QueryDef("sim_kmeans_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val cells = Similarity.kmeansCentroids(emb, 8, 4)
+        val ivf = Similarity.ivfTopKByCells(emb, cells, qids, 10, 4)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val overlap = exact.join(ivf, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        import s.implicits._
+        // query universe = the qids that EXIST with a non-null
+        // embedding (the sim null-contract): a null-embedding query is
+        // not searchable and appears on neither side
+        emb.filter(col("vec_id").isInCollection(qids) && col("embedding").isNotNull)
+          .select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS recall_ok FROM embeddings
+        WHERE vec_id < 5 AND embedding IS NOT NULL
+        ORDER BY query_id"""), bench = true),
+
+    // int8 scalar quantization: exact search over the 4×-smaller
+    // quantized corpus must preserve the full-precision top-10 almost
+    // perfectly — recall@10 >= 0.8 per query (measured min 0.9 across
+    // the three SFs; the slack absorbs rank flips between near-tied
+    // neighbors).
+    // Tolerance-boolean oracle like the sketches.
+    QueryDef("sim_quantized_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val quant = Similarity.quantizedTopK(
+          Similarity.quantizeEmbeddings(emb), qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val overlap = exact.join(quant, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        import s.implicits._
+        // query universe = the qids that EXIST with a non-null
+        // embedding (the sim null-contract): a null-embedding query is
+        // not searchable and appears on neither side
+        emb.filter(col("vec_id").isInCollection(qids) && col("embedding").isNotNull)
+          .select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("hits"), lit(0L)) >= 8).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS recall_ok FROM embeddings
+        WHERE vec_id < 5 AND embedding IS NOT NULL
+        ORDER BY query_id""")),
+
+    // PCA at k=32 of 64 dims: ONE covariance scan (mapPartitions
+    // partials, driver Jacobi eigensolve), then narrow projection.
+    // Tolerance surface (the sketch pattern): per-label mean/min
+    // cosine(vec, reconstruction) over the ACTUAL projections
+    // (measured ≥ 0.75 / ≥ 0.49 across SFs; thresholds 0.7 / 0.4) and
+    // the PCA-optimality floor var_explained ≥ k/dim (measured
+    // 0.57–0.65); exactness is spec-pinned on rank-3 synthetic data
+    QueryDef("sim_pca_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = Similarity.embeddingDim(emb)
+        val full = Similarity.pcaTrain(emb, dim)
+        val ev = full.filter(col("component") >= 0)
+          .agg(sum("eigenvalue").as("tr"),
+            sum(when(col("component") < 32, col("eigenvalue"))
+              .otherwise(0.0)).as("top")).head()
+        val varOk = ev.getDouble(1) / ev.getDouble(0) >= 32.0 / dim
+        Similarity.pcaReconstructionStats(emb,
+            full.filter(col("component") < 32))
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.7 && col("min_cos") >= 0.4 &&
+              lit(varOk)).as("pca_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS pca_ok
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST"""),
+      bench = true),
+
+    // 1-bit (sign) quantization + Hamming top-10: the 32×-smaller
+    // extreme of the quantization ladder. Unlike the lossy-recall
+    // tolerance surfaces, this admits a FULL exact oracle: both
+    // engines apply the same strict `> 0` sign test — Spark to packed
+    // longs (XOR+popcount), DuckDB to the raw floats (sign-disagree
+    // count) — and the distance is an integer with a deterministic
+    // vec_id tiebreak, so the ranked rows hash-match exactly
+    QueryDef("sim_binary_hamming_topk",
+      (s, d) => Similarity.hammingTopK(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
+        dist AS (SELECT q.query_id, e.vec_id,
+            CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+              p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))
+              AS BIGINT) AS hamming
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL)
+        SELECT query_id, vec_id, hamming, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS BIGINT) AS rk
+          FROM dist) WHERE rk <= 10
+        ORDER BY query_id, rk"""),
+      bench = true),
+
+    // product quantization: 16 one-byte codes per 64-dim vector (16×
+    // smaller corpus scan). Top-k recall over UNSTRUCTURED random
+    // embeddings is poor by construction (the truncated_topk caveat),
+    // so the oracled surface is the stable invariant: per-label mean
+    // cosine(vec, reconstruction) >= 0.8 AND min >= 0.7 (measured
+    // ~0.86/~0.78 across the three SFs; exact-recovery search
+    // semantics are spec-pinned on structured vectors)
+    QueryDef("sim_pq_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cb = Similarity.pqTrain(emb, m = 16, ksub = 32, rounds = 3)
+        Similarity.pqReconstructionStats(emb, Similarity.pqEncode(emb, cb), cb)
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.8 && col("min_cos") >= 0.7).as("recon_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST""")),
+
+    // IVF-PQ (coarse cells + residual PQ): same tolerance surface as
+    // sim_pq_recon; the residual-beats-plain-PQ margin is spec-pinned
+    QueryDef("sim_ivfpq_recon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        Similarity.ivfPqReconstructionStats(emb, cc, cb, codes)
+          .select(col("label"), col("n").cast("long").as("n"),
+            (col("mean_cos") >= 0.8 && col("min_cos") >= 0.7).as("recon_ok"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*)::BIGINT AS n, TRUE AS recon_ok
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY label ORDER BY label NULLS FIRST""")),
+
+    // IVF-PQ SEARCH (the round-6 probe-first plan fix in one benched
+    // query): index + ADC top-10 at nProbe=4 vs brute-force exact.
+    // Raw recall@10 on unstructured random embeddings is too unstable
+    // to oracle (measured 1–7 hits across SFs), so the oracled surface
+    // is the selection-quality invariant that IS stable: the mean TRUE
+    // cosine of the ADC-selected 10 must sit within 0.15 of the exact
+    // top-10's mean and clear 0.15 absolutely (random-pick baseline is
+    // ~0.0 ± 0.04; measured gap ≤ 0.078, floor ≥ 0.234 across SFs)
+    QueryDef("sim_ivfpq_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        ivfPqSelectionSurface(s, emb, cc, cb, codes)
+      },
+      Some(ivfPqSelectionOracle),
+      bench = true),
+
+    // IVF-PQ SEARCH ONLY — the serve path, measured without training:
+    // the index is persisted ONCE per JVM (writeIvfPq to a temp dir,
+    // memoized; ivfPqIndex is deterministic so any build is THE build)
+    // and the query reads the three tables back — under the bench's
+    // min-of-N protocol round 1 pays the build, later rounds measure
+    // the pure probe-first ADC search. Same selection-quality surface
+    // and oracle as sim_ivfpq_topk (which stays benched as the
+    // train+search row, keeping train cost visible).
+    QueryDef("sim_ivfpq_search",
+      (s, d) => {
+        val dir = ivfPqIndexDir(s, d)
+        ivfPqSelectionSurface(s, t(s, d, "embeddings"),
+          s.read.parquet(s"$dir/cells"), s.read.parquet(s"$dir/codebook"),
+          s.read.parquet(s"$dir/codes"))
+      },
+      Some(ivfPqSelectionOracle),
+      bench = true),
+
+    // MMR diversified re-ranking: k=3 from a 10-candidate pool at
+    // lambda=0.7 — the oracle hand-unrolls the three sequential argmax
+    // steps (recursion-free); (1 - 0.7) is written as the SUBTRACTION
+    // in both engines so the IEEE constant is bit-identical
+    // k-center greedy diversity sampling: deterministic md5-coin pool,
+    // hand-unrolled 3 greedy steps + seed (the mmr oracle pattern);
+    // argmin over the UNROUNDED max-cos (proven IEEE-identical by the
+    // mmr cos form); zero vectors excluded from the pool on both sides
+    QueryDef("sim_kcenter_sample",
+      (s, d) => Similarity.kcenterSample(t(s, d, "embeddings"), 4, 12),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL
+              AND list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * x)) > 0),
+          pool AS MATERIALIZED (SELECT vec_id, vec FROM (SELECT vec_id, vec,
+              row_number() OVER (ORDER BY ('0x' || substr(
+                md5('kc:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                vec_id) AS rk
+            FROM v) WHERE rk <= 12),
+          p1 AS MATERIALIZED (SELECT vec_id, vec FROM pool
+            ORDER BY vec_id LIMIT 1),
+          s2 AS (SELECT c.vec_id, c.vec, ${cos("c.vec", "p1.vec")} AS m
+            FROM pool c JOIN p1 ON c.vec_id <> p1.vec_id),
+          p2 AS MATERIALIZED (SELECT vec_id, vec, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s2)
+            WHERE r = 1),
+          s3 AS (SELECT c.vec_id, c.vec,
+              greatest(${cos("c.vec", "p1.vec")},
+                ${cos("c.vec", "p2.vec")}) AS m
+            FROM pool c JOIN p1 ON true JOIN p2 ON true
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+          p3 AS MATERIALIZED (SELECT vec_id, vec, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s3)
+            WHERE r = 1),
+          s4 AS (SELECT c.vec_id,
+              greatest(${cos("c.vec", "p1.vec")}, ${cos("c.vec", "p2.vec")},
+                ${cos("c.vec", "p3.vec")}) AS m
+            FROM pool c JOIN p1 ON true JOIN p2 ON true JOIN p3 ON true
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+              AND c.vec_id <> p3.vec_id),
+          p4 AS (SELECT vec_id, m FROM (SELECT *,
+              row_number() OVER (ORDER BY m, vec_id) AS r FROM s4)
+            WHERE r = 1)
+          SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+            CAST(NULL AS DOUBLE) AS max_cos FROM p1
+          UNION ALL SELECT 2, vec_id, round(m, 4) FROM p2
+          UNION ALL SELECT 3, vec_id, round(m, 4) FROM p3
+          UNION ALL SELECT 4, vec_id, round(m, 4) FROM p4
+          ORDER BY rank"""
+      }, bench = true),
+
+    QueryDef("sim_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(t(s, d, "embeddings"),
+        Seq(0L, 1L, 2L, 3L, 4L), 3, 10, 0.7),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL),
+          q AS MATERIALIZED (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+          sc AS (SELECT q.qid, v.vec_id, v.vec, ${cos("q.qvec", "v.vec")} AS rel
+            FROM q, v WHERE v.vec_id <> q.qid),
+          cand AS MATERIALIZED (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+            FROM sc) WHERE rk <= 10),
+          p1 AS MATERIALIZED (SELECT qid, vec_id, vec, rel FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS r
+            FROM cand) WHERE r = 1),
+          s2 AS (SELECT c.qid, c.vec_id, c.vec, c.rel,
+              0.7 * c.rel - (1 - 0.7) * ${cos("c.vec", "p1.vec")} AS mmr
+            FROM cand c JOIN p1 ON c.qid = p1.qid AND c.vec_id <> p1.vec_id),
+          p2 AS (SELECT qid, vec_id, vec, mmr FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS r
+            FROM s2) WHERE r = 1),
+          s3 AS (SELECT c.qid, c.vec_id,
+              0.7 * c.rel - (1 - 0.7) * greatest(${cos("c.vec", "p1.vec")},
+                ${cos("c.vec", "p2.vec")}) AS mmr
+            FROM cand c JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+            WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+          p3 AS (SELECT qid, vec_id, mmr FROM (SELECT *,
+              row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS r
+            FROM s3) WHERE r = 1)
+          SELECT qid AS query_id, 1::BIGINT AS rank, vec_id,
+            round(rel, 4) AS mmr_score FROM p1
+          UNION ALL SELECT qid, 2::BIGINT, vec_id, round(mmr, 4) FROM p2
+          UNION ALL SELECT qid, 3::BIGINT, vec_id, round(mmr, 4) FROM p3
+          ORDER BY query_id, rank"""
+      }, bench = true),
+
+    // centroid-distance outlier audit: bottom 5% per label by ROUNDED
+    // cosine to the label centroid (rank over the rounded score +
+    // vec_id tiebreak; the cutoff is the exact integer test
+    // rank*1000 <= n*50 — no float threshold anywhere)
+    QueryDef("sim_centroid_outliers",
+      (s, d) => Similarity.centroidOutliers(t(s, d, "embeddings"), 50),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL),
+          u AS (SELECT label, unnest(vec) AS val,
+            unnest(range(1, len(vec) + 1)) AS dim FROM e),
+          c AS MATERIALIZED (SELECT label, dim, avg(val) AS cv FROM u GROUP BY label, dim),
+          cent AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY label),
+          sc AS (SELECT e.vec_id, e.label,
+            round(${cos("e.vec", "cent.cvec")}, 4) AS cos_centroid
+            FROM e JOIN cent USING (label)),
+          r AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY cos_centroid, vec_id) AS rk,
+            count(*) OVER (PARTITION BY label) AS n FROM sc)
+          SELECT vec_id, label, cos_centroid,
+            (rk * 1000 <= n * 50) AS outlier
+          FROM r ORDER BY vec_id"""
+      }),
+
+    // centroid drift across id-parity halves: per-dim means rounded
+    // 6 dp (sum-order ulps collapsed) then the proven cosine mirror
+    QueryDef("sim_centroid_drift",
+      (s, d) => Similarity.centroidDrift(t(s, d, "embeddings"))
+        .withColumn("label", col("label").cast("long")),
+      Some("""WITH e AS MATERIALIZED (SELECT label, vec_id % 2 AS half,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+            AND len(embedding) = (SELECT max(len(embedding))
+              FROM embeddings WHERE embedding IS NOT NULL)),
+        x AS MATERIALIZED (SELECT label, half, v,
+            unnest(range(1, len(v) + 1)) AS i FROM e),
+        s AS (SELECT label, half, i, sum(v[i]) AS sm, count(*) AS n
+          FROM x GROUP BY 1, 2, 3),
+        c AS MATERIALIZED (SELECT label, half, max(n) AS n,
+            list(round(sm / n, 6) ORDER BY i) AS cv
+          FROM s GROUP BY label, half)
+        SELECT a.label::BIGINT AS label, a.n::BIGINT AS n_a,
+          b.n::BIGINT AS n_b,
+          round(list_sum(list_transform(list_zip(a.cv, b.cv),
+              p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform(a.cv, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 4)
+            AS centroid_cosine
+        FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        ORDER BY label"""), bench = true),
+
+    // embedding-table ingest health: null embeddings (every 37th id)
+    // and zero vectors (every 53rd ≡ 1) forged in-plan identically in
+    // both engines; one combinable per-label scan
+    QueryDef("sim_embedding_health",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").withColumn("embedding",
+          when(pmod(col("vec_id"), lit(37)) === 0,
+            lit(null).cast("array<float>"))
+            .when(pmod(col("vec_id"), lit(53)) === 1,
+              transform(col("embedding"), _ => lit(0.0f)))
+            .otherwise(col("embedding")))
+        Similarity.embeddingHealth(emb)
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, label,
+            CASE WHEN vec_id % 37 = 0 THEN NULL
+              WHEN vec_id % 53 = 1 THEN
+                list_transform(embedding, x -> CAST(0.0 AS REAL))
+              ELSE embedding END AS embedding
+          FROM embeddings),
+        s AS (SELECT label, embedding,
+            CASE WHEN embedding IS NOT NULL THEN
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm,
+            CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim
+          FROM e)
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+          sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+          count(DISTINCT dim)::BIGINT AS n_dims_distinct,
+          sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+          round(avg(nrm), 4) AS mean_norm,
+          round(stddev_pop(nrm), 4) AS sd_norm
+        FROM s GROUP BY label ORDER BY label NULLS FIRST"""),
+      bench = true))
+}
