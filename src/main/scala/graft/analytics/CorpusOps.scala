@@ -851,10 +851,13 @@ object CorpusOps {
     * denominator n_group·N: TV = (Σ_v |c_v·N − g_v·n_group|
     * + (N − covered)·n_group) / (2·n_group·N) — ONE float division at
     * the end, IEEE-identical on both engines. The products run in
-    * DECIMAL(38,0) (exact to 10³⁸ — c_v·N fits for any BIGINT row
-    * counts, where a BIGINT product overflows near ~3·10⁹ rows per
-    * side; DuckDB's hugeint-backed sums are exact the same way), so
-    * the closed form survives corpus scale without ANSI overflow.
+    * DECIMAL(38,0): each c_v·N fits for ANY BIGINT counts (≤ 8.5·10³⁷
+    * where a BIGINT product overflows near ~3·10⁹ rows per side;
+    * DuckDB's hugeint-backed arithmetic is exact the same way). The
+    * per-group SUM of |c·N − g·ng| is bounded by 2·ng·N, which itself
+    * clears 10³⁸ only when BOTH factors approach long-max (~5·10¹⁸
+    * rows per side — beyond any corpus); if ever reached, ANSI mode
+    * fails loud on the decimal sum, never silently wraps.
     *
     * Output: (quasiCols..., n [rows with non-null sensitive], tv 4 dp,
     * at_risk = ROUNDED tv > t), ordered by the quasi columns. Rows
@@ -904,7 +907,9 @@ object CorpusOps {
     withTotals.groupBy(quasiCols.map(col): _*)
       .agg(max("__ng").as("__ngF"), max("__N").as("__NF"),
         // c·N and g·ng overflow BIGINT near ~3·10⁹ rows per side;
-        // DECIMAL(38,0) holds any long×long product exactly (≤ 8.5·10³⁷)
+        // DECIMAL(38,0) holds each long×long product exactly (≤ 8.5·10³⁷;
+        // the group SUM could only clear 10³⁸ at ~5·10¹⁸ rows per side,
+        // where ANSI fails loud — see the scaladoc bound)
         sum(abs(dec(col("__c")) * dec(col("__N"))
           - dec(col("__g")) * dec(col("__ng"))))
           .cast("decimal(38,0)").as("__num"),

@@ -849,8 +849,6 @@ object StreamingPipeline {
     import spark.implicits._
     val weights = graft.metrics.Metrics.ewmaWeights(alpha, lookback)
     val wsum = weights.sum
-    def round4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     foldClosedWindows[(java.sql.Timestamp, String, Long, Double, Double,
       Boolean)](events, tsCol, labelCol, windowSeconds, lookback,
       watermarkDelay) { (label, w, n, hist) =>
@@ -882,7 +880,13 @@ object StreamingPipeline {
     * closed are DROPPED, never re-open emitted state. `emit(label,
     * wstart, n, histBefore)` runs per closing window in window order
     * with the history as it stood BEFORE this window; the fold then
-    * prepends (wstart, n) and truncates to `keep`. */
+    * prepends (wstart, n) and truncates to `keep`. Null-ts rows have
+    * no window position and are excluded HERE (the quota/funnel
+    * null-ts contract — a null Timestamp would NPE in the pre-count's
+    * `ts.getTime` and kill the query). */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def foldClosedWindows[T](
       events: DataFrame, tsCol: String, labelCol: String,
       windowSeconds: Long, keep: Int, watermarkDelay: String)(
@@ -893,7 +897,8 @@ object StreamingPipeline {
     val spark = events.sparkSession
     import spark.implicits._
     val windowMs = windowSeconds * 1000L
-    val typed = events.select(col(tsCol).as("ts"), col(labelCol).as("label"))
+    val typed = events.filter(col(tsCol).isNotNull)
+      .select(col(tsCol).as("ts"), col(labelCol).as("label"))
       .as[(java.sql.Timestamp, String)]
     val pre = typed.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
@@ -958,7 +963,9 @@ object StreamingPipeline {
     *
     * Output (append, on window close, once warm): (window_start,
     * `labelCol`, n, horizon, level 4 dp, trend 4 dp, forecast 4 dp,
-    * breach). */
+    * breach = ROUNDED forecast >= capacity — the flag never
+    * contradicts the printed value). Null-ts rows are excluded by the
+    * shared fold. */
   def holtCapacityAlerts(events: DataFrame, tsCol: String, labelCol: String,
                          windowSeconds: Long, capacity: Double,
                          lookback: Int = 14, horizons: Int = 3,
@@ -968,8 +975,6 @@ object StreamingPipeline {
     require(horizons >= 1, s"horizons must be >= 1: $horizons")
     require(capacity > 0, s"capacity must be positive: $capacity")
     val (lw, tw) = graft.metrics.Metrics.holtWeights(alpha, beta, lookback)
-    def round4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark = events.sparkSession
     import spark.implicits._
     foldClosedWindows[(java.sql.Timestamp, String, Long, Long, Double,
@@ -983,9 +988,12 @@ object StreamingPipeline {
           ws.zip(ys).map { case (wt, y) => wt * y }.foldLeft(0.0)(_ + _)
         val (lev, tr) = (dot(lw), dot(tw))
         (1 to horizons).map { h =>
-          val f = lev + h * tr
+          // breach is decided on the ROUNDED forecast — the value the
+          // row actually reports (the anomalyAlerts rounded-ratio rule:
+          // flag and printed number must never contradict each other)
+          val f = round4(lev + h * tr)
           (new java.sql.Timestamp(w), label, n, h.toLong, round4(lev),
-            round4(tr), round4(f), f >= capacity)
+            round4(tr), f, f >= capacity)
         }
       } else Seq.empty
     }

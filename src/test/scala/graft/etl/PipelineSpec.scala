@@ -719,6 +719,10 @@ class PipelineSpec extends SparkSpec {
       mem.addData((1 to n).map(i => (t(window), "err")): _*)
     try {
       feed("2024-01-01 00:00:10", 10); q.processAllAvailable()
+      // a null-ts row has no window position: excluded by the shared
+      // fold, never an NPE in the pre-count (the quota/funnel contract)
+      mem.addData((null.asInstanceOf[java.sql.Timestamp], "err"))
+      q.processAllAvailable()
       feed("2024-01-01 00:01:10", 20); q.processAllAvailable()
       // W0 closed with history < lookback: silent warm-up
       assert(spark.table("holt_alerts").count() == 0)

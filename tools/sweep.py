@@ -67,6 +67,13 @@ def run_check(sfdir: str, outdir: str) -> dict:
             f"oracle_check exited rc={p.returncode} for {sfdir} with no "
             f"FAIL line parsed — partial output? stderr tail: "
             f"{p.stderr[-800:]}")
+    # the expected universe comes from the Verify DUMP, not from the
+    # union of compare outputs — a query whose compare line never
+    # prints in ANY tag would otherwise be invisible (self-review r13)
+    expected = {d.name for d in Path(outdir).iterdir()
+                if d.is_dir() and not d.name.startswith("_")}
+    for q in expected - set(res):
+        res[q] = "FAIL no compare line emitted"
     return res
 
 
