@@ -496,6 +496,38 @@ object Bench {
       (-1.0, 0)
     }
 
+    // transformWithState SCD2 drain: buffer-until-watermark version
+    // builder per user; RocksDB required by the operator
+    val (scd2Secs, scd2Events) = try {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rows = Registry.table(spark, sfDir, "events")
+          .where("user_id IS NOT NULL AND ts IS NOT NULL")
+          .selectExpr("user_id", "ts", "event_id", "event_type")
+          .orderBy("ts").toJSON.collect()
+        val schema = StructType(Seq(
+          StructField("user_id", org.apache.spark.sql.types.LongType),
+          StructField("ts", TimestampType),
+          StructField("event_id", org.apache.spark.sql.types.LongType),
+          StructField("event_type", StringType)))
+        (twinDrain("scd2_stream", rows, schema,
+          nFiles = 16, maxFilesPerTrigger = 2) { df =>
+          graft.streaming.StreamingPipeline.scd2Pipeline(df)
+        }, rows.length)
+      } finally {
+        oldProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] scd2_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     // THREE chained stateful operators: day-grain dedup -> sliding
     // 7d/1d window expand + (window,label,user) agg (the structural
     // dedup) -> (window,label) count
@@ -528,7 +560,8 @@ object Bench {
       "quota_stream" -> quotaSecs,
       "funnel_stream" -> funSecs,
       "novelty_stream" -> novSecs,
-      "rolling_distinct_stream" -> rdSecs)
+      "rolling_distinct_stream" -> rdSecs,
+      "scd2_stream" -> scd2Secs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -536,7 +569,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

@@ -1616,6 +1616,138 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming SCD2 dimension maintenance — the live twin of
+    * [[graft.metrics.Metrics.scd2Intervals]] (the third
+    * `transformWithState` operator, same buffer-until-watermark
+    * discipline as [[funnelPipeline]]): per user, collapse the
+    * event-type run history into slowly-changing-dimension versions
+    * and emit each version EXACTLY when it provably closes — the
+    * watermark has passed the successor run's first event, so no
+    * late arrival can reorder, extend or split anything at or below
+    * it (TWS drops rows at-or-under the watermark before the
+    * processor, so every buffered event above the watermark is the
+    * complete final history once the watermark passes it).
+    *
+    * Exactness: arrivals buffer in `ListState`; on every input batch
+    * and timer fire the processor drains the buffered events at or
+    * below the CURRENT watermark in the batch twin's total order
+    * (ts, event_id) into the open-run `ValueState`, emitting a closed
+    * version whenever the type changes (null-safe: a run of null
+    * types is one run, and the first run opens version 1 regardless
+    * of type). The OPEN version is never emitted (its valid_to is
+    * unknown — append semantics; the batch twin reports it with a
+    * null valid_to, which is exactly the row a restart backfill
+    * recomputes). Fed in event-time order the emitted rows are the
+    * batch twin's closed-version rows, field for field (spec-pinned).
+    *
+    * State shape: one O(1) open-run record per user + the buffer of
+    * events inside the watermark horizon (bounded by the user's
+    * traffic within `watermarkDelay` — the funnel bound); timers
+    * re-register at the earliest still-buffered event.
+    *
+    * Output (append): (user_id, version 1-based, event_type,
+    * valid_from, valid_to, n_events) — the batch twin's closed-row
+    * schema. Null users/ts excluded (no identity / no position). */
+  def scd2Pipeline(events: DataFrame,
+                   watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    require(events.isStreaming,
+      "scd2Pipeline is the STREAMING twin — use Metrics.scd2Intervals in batch")
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "scd2Pipeline: transformWithState requires " +
+        "spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .transformWithState(new Scd2StateProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "version", "__tn", "__tp", "__from_us", "__to_us",
+        "n_events")
+      .select(col("user_id"), col("version"),
+        when(col("__tn"), lit(null).cast("string"))
+          .otherwise(col("__tp")).as("event_type"),
+        expr("timestamp_micros(__from_us)").as("valid_from"),
+        expr("timestamp_micros(__to_us)").as("valid_to"),
+        col("n_events"))
+  }
+
+  /** transformWithState processor for [[scd2Pipeline]]: ListState
+    * event buffer + ValueState open run; drains buffered events at or
+    * below the watermark in (ts, event_id) order, closing a version on
+    * every type change. Null types ride as an explicit flag (an
+    * encoder-null string field and "no type" must not collide). */
+  private final class Scd2StateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long, String),
+        (Long, Long, Boolean, String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    // buffered event: (tsUs, event_id, typeIsNull, type-or-"")
+    @transient private var buf: ListState[(Long, Long, Boolean, String)] = _
+    // open run: (version, typeIsNull, type-or-"", validFromUs, nEvents)
+    @transient private var run: ValueState[(Long, Boolean, String, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, Boolean, String)]("buf",
+        Encoders.product[(Long, Long, Boolean, String)], TTLConfig.NONE)
+      run = getHandle.getValueState[(Long, Boolean, String, Long, Long)](
+        "run", Encoders.product[(Long, Boolean, String, Long, Long)],
+        TTLConfig.NONE)
+    }
+    private def drain(key: Long, wmMs: Long)
+        : Iterator[(Long, Long, Boolean, String, Long, Long, Long)] = {
+      val wmUs = wmMs * 1000L
+      val all = buf.get().toArray
+      if (all.isEmpty) return Iterator.empty
+      val (ready, rest) = all.partition(_._1 <= wmUs)
+      if (rest.isEmpty) buf.clear() else buf.put(rest)
+      if (rest.nonEmpty) // earliest pending event re-arms the drain
+        getHandle.registerTimer(rest.map(_._1).min / 1000L + 1L)
+      if (ready.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean, String, Long, Long, Long)]
+      var st = if (run.exists()) Option(run.get()) else None
+      ready.sortBy(e => (e._1, e._2)).foreach { case (us, _, tn, tp) =>
+        st match {
+          case Some((v, rtn, rt, from, n)) if rtn == tn && (tn || rt == tp) =>
+            st = Some((v, rtn, rt, from, n + 1)) // same run, null-safe
+          case Some((v, rtn, rt, from, n)) =>
+            out += ((key, v, rtn, rt, from, us, n)) // version closes
+            st = Some((v + 1, tn, tp, us, 1L))
+          case None =>
+            st = Some((1L, tn, tp, us, 1L)) // first run opens version 1
+        }
+      }
+      run.update(st.get)
+      out.iterator
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, Boolean, String, Long, Long, Long)] = {
+      rows.foreach { case (_, ts, id, tpe) =>
+        val inst = ts.toInstant
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        buf.appendValue((us, id, tpe == null, if (tpe == null) "" else tpe))
+      }
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(Long, Long, Boolean, String, Long, Long, Long)] =
+      drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

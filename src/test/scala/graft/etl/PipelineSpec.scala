@@ -791,6 +791,80 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState SCD2: versions close exactly at the watermark, agree with the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Option[String])]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val out = StreamingPipeline.scd2Pipeline(df)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long, Option[String])]
+    def feed(rows: (Long, java.sql.Timestamp, Long, Option[String])*): Unit = {
+      fed ++= rows; mem.addData(rows: _*)
+    }
+    val q = out.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      // u1: out-of-order WITHIN the batch (10:01 arrives after 10:02);
+      // u2 opens with a NULL-type run
+      feed((1L, t("2024-01-01 10:00:00"), 1L, Some("a")),
+        (1L, t("2024-01-01 10:02:00"), 3L, Some("b")),
+        (1L, t("2024-01-01 10:01:00"), 2L, Some("a")),
+        (2L, t("2024-01-01 10:00:00"), 6L, None),
+        (2L, t("2024-01-01 10:02:00"), 7L, None))
+      q.processAllAvailable()
+      // watermark 10:02: only u1's v1 is provably closed (successor
+      // "b" run's start drained); u2's null run is still open
+      val afterB1 = spark.table("scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(afterB1.toSeq == Seq((1L, 1L)), s"got ${afterB1.toSeq}")
+      // cross-batch continuation: same type extends the open run, no
+      // spurious close
+      feed((1L, t("2024-01-01 10:05:00"), 4L, Some("b")),
+        (2L, t("2024-01-01 10:20:00"), 8L, Some("x")))
+      q.processAllAvailable()
+      feed((1L, t("2024-01-01 10:30:00"), 5L, Some("c")),
+        (99L, t("2024-01-01 12:00:00"), 9L, Some("tick")))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_stream")
+        .orderBy("user_id", "version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+          r.getLong(5)))
+      assert(rows.toSeq == Seq(
+        (1L, 1L, Some("a"), "2024-01-01 10:00:00.0",
+          "2024-01-01 10:02:00.0", 2L),
+        (1L, 2L, Some("b"), "2024-01-01 10:02:00.0",
+          "2024-01-01 10:30:00.0", 2L),
+        (2L, 1L, None, "2024-01-01 10:00:00.0",
+          "2024-01-01 10:20:00.0", 2L)), s"got ${rows.toSeq}")
+      // batch-twin agreement: scd2Intervals over ALL fed rows,
+      // restricted to versions closed at or below the final watermark,
+      // matches the stream field for field (open runs never emit)
+      val twin = graft.metrics.Metrics.scd2Intervals(
+          fed.toSeq.toDF("user_id", "ts", "event_id", "event_type"))
+        .filter(col("valid_to").isNotNull &&
+          col("valid_to") <= t("2024-01-01 12:00:00"))
+        .orderBy("user_id", "version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          r.getTimestamp(3).toString, r.getTimestamp(4).toString,
+          r.getLong(5)))
+      assert(twin.toSeq == rows.toSeq, s"twin ${twin.toSeq} != ${rows.toSeq}")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join: inclusive horizon, exactly-once pairs, state evicted past watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
