@@ -1492,6 +1492,82 @@ object Metrics {
       .orderBy("event_type")
   }
 
+  /** Mann-Whitney U rank-sum test per label — the NONPARAMETRIC A/B
+    * read over per-user engagement: does arm A's distribution of
+    * per-user `event_type` counts differ from arm B's (the
+    * [[abProportionTest]] companion for heavy-tailed count data where
+    * a proportion hides the shift; same deterministic user_id % 2 arm
+    * split). Average ranks over the POOLED per-user counts, tie
+    * corrected: z = (U_a − n_a·n_b/2) / σ with
+    * σ² = n_a·n_b·(n(n−1)(n+1) − Σ(t³−t)) / (12·n(n−1)).
+    *
+    * Exactness discipline (the t-closeness DECIMAL rule): ranks never
+    * materialize per user — per VALUE group (count value v, group size
+    * t, arm-A members t_a, pooled count of smaller values c), the
+    * doubled rank-sum 2R_a = Σ t_a·(2c + t + 1) is exact INTEGER in
+    * DECIMAL(38,0) (a BIGINT t³ overflows at t > 2·10⁶ users on one
+    * value), as are 2U_a and the tie term; the only floats are one
+    * fixed-order product/quotient, one sqrt, one division — IEEE-
+    * identical in both engines (DuckDB's HUGEINT sums match).
+    *
+    * Output: (event_type, n_a, n_b [users per arm], u2_a = 2·U_a
+    * BIGINT, z 4 dp, significant = |ROUNDED z| > 1.96 — the flag never
+    * contradicts the printed value), ordered event_type NULLS FIRST.
+    * Null-user rows have no arm and are excluded; a label missing from
+    * an ARM entirely is dropped (no sample to rank — unlike the
+    * proportion test, where x = 0 is itself a count), as are
+    * degenerate panels (n < 2 or all counts tied: σ = 0, z undefined).
+    *
+    * Scale shape: one combinable count at (label, user) grain, one
+    * combinable group-by at (label, value) grain (≤ distinct count
+    * values — tiny), a window cumsum over that panel, and a per-label
+    * aggregate. Event grain is left behind at the first count. */
+  def mannWhitneyArms(events: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("__v"))
+      .withColumn("__arm", (col("user_id") % 2).cast("long"))
+    val groups = perUser.groupBy(col("event_type"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__t"),
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).cast("long").as("__ta"))
+    val wCum = Window.partitionBy("event_type").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val panel = groups
+      .withColumn("__cum", coalesce(sum("__t").over(wCum), lit(0L)))
+      .groupBy("event_type")
+      .agg(
+        sum(dec(col("__ta"))
+          * (lit(2) * dec(col("__cum")) + dec(col("__t")) + lit(1)))
+          .cast("decimal(38,0)").as("__r2a"),
+        sum("__ta").cast("long").as("n_a"),
+        sum(col("__t") - col("__ta")).cast("long").as("n_b"),
+        sum("__t").cast("long").as("__n"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t"))
+          - dec(col("__t"))).cast("decimal(38,0)").as("__T"))
+    val z = col("__num") / col("__den")
+    panel
+      .filter(col("n_a") > 0 && col("n_b") > 0 && col("__n") >= 2)
+      .withColumn("__u2a",
+        col("__r2a") - dec(col("n_a")) * (dec(col("n_a")) + lit(1)))
+      .withColumn("__inner", dec(col("__n")) * dec(col("__n") - 1)
+        * dec(col("__n") + 1) - col("__T"))
+      .filter(col("__inner") > 0) // all-tied panel: sigma = 0, z undefined
+      .withColumn("__num",
+        (col("__u2a") - dec(col("n_a")) * dec(col("n_b"))).cast("double"))
+      // fixed order: (n_a*n_b)::dbl * inner::dbl / (3.0 * (n(n-1))::dbl)
+      .withColumn("__den", sqrt(
+        (dec(col("n_a")) * dec(col("n_b"))).cast("double")
+          * col("__inner").cast("double")
+          / (lit(3.0)
+            * (dec(col("__n")) * dec(col("__n") - 1)).cast("double"))))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("__u2a").cast("long").as("u2_a"),
+        round(z, 4).as("z"),
+        (abs(round(z, 4)) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Kaplan-Meier time-to-event curve — "what share of users has NOT
     * yet converted d days after first touch", with RIGHT CENSORING: a
     * user with no `eventType` event is censored at the observation end

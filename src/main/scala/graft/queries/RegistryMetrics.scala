@@ -815,6 +815,43 @@ private[queries] object RegistryMetrics {
           abs(zv) > 1.96 AS significant
         FROM z ORDER BY event_type NULLS FIRST"""), bench = true),
 
+    // Mann-Whitney U rank-sum per label over per-user counts: average
+    // ranks via the value-group identity 2R_a = Σ t_a(2c + t + 1) —
+    // exact integer in DECIMAL/HUGEINT (BIGINT t³ overflows at
+    // t > 2e6), tie-corrected sigma, one fixed-order float tail
+    QueryDef("metrics_mann_whitney",
+      (s, d) => Metrics.mannWhitneyArms(t(s, d, "events")),
+      Some("""WITH pu AS MATERIALIZED (SELECT event_type,
+            user_id % 2 AS arm, count(*)::BIGINT AS v
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY event_type, user_id),
+        g AS (SELECT event_type, v, count(*)::BIGINT AS t,
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS ta
+          FROM pu GROUP BY 1, 2),
+        w AS (SELECT event_type, t, ta,
+            coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0)::BIGINT AS cum
+          FROM g),
+        a AS (SELECT event_type,
+            sum(ta::HUGEINT * (2 * cum + t + 1)) AS r2a,
+            sum(ta)::BIGINT AS n_a, sum(t - ta)::BIGINT AS n_b,
+            sum(t)::BIGINT AS n,
+            sum(t::HUGEINT * t * t - t) AS tie
+          FROM w GROUP BY 1),
+        u AS (SELECT event_type, n_a, n_b, n,
+            r2a - n_a::HUGEINT * (n_a + 1) AS u2a,
+            n::HUGEINT * (n - 1) * (n + 1) - tie AS innr
+          FROM a WHERE n_a > 0 AND n_b > 0 AND n >= 2),
+        z AS (SELECT event_type, n_a, n_b, u2a,
+            (u2a - n_a::HUGEINT * n_b)::DOUBLE
+              / sqrt((n_a::HUGEINT * n_b)::DOUBLE * innr::DOUBLE
+                / (3.0 * (n::HUGEINT * (n - 1))::DOUBLE)) AS zv
+          FROM u WHERE innr > 0)
+        SELECT event_type, n_a, n_b, u2a::BIGINT AS u2_a,
+          round(zv, 4) AS z, abs(round(zv, 4)) > 1.96 AS significant
+        FROM z ORDER BY event_type NULLS FIRST"""), bench = true),
+
     // Kaplan-Meier time-to-conversion with right censoring (no
     // purchase by corpus end = censored at the horizon): exp(Σ ln)
     // product with the explicit all-convert guard (Spark ANSI log(0)

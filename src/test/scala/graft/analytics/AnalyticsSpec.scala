@@ -3396,6 +3396,28 @@ class AnalyticsSpec extends SparkSpec {
       s"got ${out("both")}")
   }
 
+  test("mannWhitneyArms: hand rank-sum with ties; all-tied and one-arm labels dropped") {
+    import spark.implicits._
+    // label "x" per-user counts: arm1 u1=1, arm0 u2=2, arm1 u3=3,
+    // arm0 u4=3 -> pooled ranks 1, 2, 3.5, 3.5; R_a = 5.5 (2R_a = 11),
+    // 2U_a = 11 - 2*3 = 5; T = 2^3-2 = 6; inner = 4*3*5 - 6 = 54;
+    // den = sqrt(4*54/(3*12)) = sqrt(6); z = 1/sqrt(6) = 0.4082
+    val x = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3))
+      .flatMap { case (u, k) => Seq.fill(k)(("x", u)) }
+    // "y": every user one event -> all tied, sigma 0 -> dropped
+    val y = (1L to 4L).map(u => ("y", u))
+    // "z": odd users only -> arm0 empty -> dropped (no sample to rank)
+    val z = Seq(("z", 1L), ("z", 3L))
+    val ev = (x ++ y ++ z).zipWithIndex.map { case ((ty, u), i) =>
+      (i.toLong, evTs(1), Some(u), ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.mannWhitneyArms(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq("x" -> ((2L, 2L, 5L, 0.4082, false))),
+      s"got ${out.toSeq}")
+  }
+
   test("survivalKm: hand KM with censoring; all-convert step pins survival 0") {
     import spark.implicits._
     // u1 first d1 purchase d2 (dur 1); u2 first d1 purchase d3 (dur 2);
