@@ -1568,6 +1568,89 @@ object Metrics {
       .orderBy("event_type")
   }
 
+  /** CUPED variance-reduced lift per label — the experimentation
+    * workhorse (Deng et al., "Improving the Sensitivity of Online
+    * Controlled Experiments by Utilizing Pre-Experiment Data"): use
+    * each user's PRE-period activity X as a control covariate for
+    * their experiment-period metric Y, θ = cov(X,Y)/var(X) pooled
+    * across arms, adjusted lift = (ȳ_a − ȳ_b) − θ(x̄_a − x̄_b), and
+    * var_reduction = ρ²(X,Y) — the fraction of metric variance the
+    * covariate removes. Period split: the corpus GLOBAL time midpoint
+    * ((min+max) epoch-µs div 2 — deterministic from the data; the same
+    * cutoff for every label keeps panels comparable); X/Y = the user's
+    * event counts below/at-or-above the cutoff, arms = user_id % 2.
+    *
+    * Exactness: X/Y are integer counts; every moment (Σx, Σy, Σxy,
+    * Σx², Σy², per-arm Σ) is an exact integer sum, and the centered
+    * second moments v_x = nΣx²−(Σx)², v_y, c_xy = nΣxy−ΣxΣy run in
+    * DECIMAL(38,0) (the t-closeness rule — n·Σxy overflows BIGINT
+    * long before any interesting corpus). The float tail is fixed-
+    * order: θ = c/v_x, ρ² = c·c/(v_x·v_y), two mean differences —
+    * IEEE-identical in both engines. The midpoint comparison lives in
+    * a PROJECTION over the broadcast scalar, never a join condition
+    * (the conditioned-scalar-cross BNLJ trap, holtForecast pattern).
+    *
+    * Output: (event_type, n_a, n_b [users per arm], theta 4 dp,
+    * diff_raw 4 dp, diff_adj 4 dp, var_reduction 4 dp), ordered
+    * event_type NULLS FIRST. Null users/ts excluded; labels with an
+    * empty arm or zero var(X)/var(Y) are dropped (θ / ρ² undefined —
+    * no pre-period signal means CUPED has nothing to adjust with).
+    *
+    * Scale shape: one combinable conditional count at (label, user)
+    * grain, one label-grain aggregate, one broadcast scalar cross —
+    * event grain is left behind at the first aggregate. */
+  def cupedLift(events: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("__us"))
+    val mid = ev.agg(expr("(min(__us) + max(__us)) div 2")
+      .cast("long").as("__mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      // midpoint test INSIDE the aggregate's projection — a post-cross
+      // filter would condition the scalar cross into a BNLJ
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("__us") < col("__mid"), 1L).otherwise(0L))
+        .cast("long").as("__x"),
+        sum(when(col("__us") >= col("__mid"), 1L).otherwise(0L))
+          .cast("long").as("__y"))
+      .withColumn("__arm", (col("user_id") % 2).cast("long"))
+    val panel = perUser.groupBy("event_type").agg(
+      count(lit(1)).cast("long").as("__n"),
+      sum("__x").cast("long").as("__sx"), sum("__y").cast("long").as("__sy"),
+      sum(dec(col("__x")) * dec(col("__y"))).cast("decimal(38,0)").as("__sxy"),
+      sum(dec(col("__x")) * dec(col("__x"))).cast("decimal(38,0)").as("__sxx"),
+      sum(dec(col("__y")) * dec(col("__y"))).cast("decimal(38,0)").as("__syy"),
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("__arm") === 0, col("__x")).otherwise(0L))
+        .cast("long").as("__sxa"),
+      sum(when(col("__arm") === 0, col("__y")).otherwise(0L))
+        .cast("long").as("__sya"))
+    val theta = col("__cxy").cast("double") / col("__vx").cast("double")
+    val diffRaw = col("__sya").cast("double") / col("n_a").cast("double") -
+      (col("__sy") - col("__sya")).cast("double") / col("n_b").cast("double")
+    val diffX = col("__sxa").cast("double") / col("n_a").cast("double") -
+      (col("__sx") - col("__sxa")).cast("double") / col("n_b").cast("double")
+    panel
+      .withColumn("n_b", (col("__n") - col("n_a")).cast("long"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__vx",
+        dec(col("__n")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
+      .withColumn("__vy",
+        dec(col("__n")) * col("__syy") - dec(col("__sy")) * dec(col("__sy")))
+      .withColumn("__cxy",
+        dec(col("__n")) * col("__sxy") - dec(col("__sx")) * dec(col("__sy")))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(theta, 4).as("theta"),
+        round(diffRaw, 4).as("diff_raw"),
+        round(diffRaw - theta * diffX, 4).as("diff_adj"),
+        round(col("__cxy").cast("double") * col("__cxy").cast("double")
+          / (col("__vx").cast("double") * col("__vy").cast("double")), 4)
+          .as("var_reduction"))
+      .orderBy("event_type")
+  }
+
   /** Kaplan-Meier time-to-event curve — "what share of users has NOT
     * yet converted d days after first touch", with RIGHT CENSORING: a
     * user with no `eventType` event is censored at the observation end

@@ -852,6 +852,47 @@ private[queries] object RegistryMetrics {
           round(zv, 4) AS z, abs(round(zv, 4)) > 1.96 AS significant
         FROM z ORDER BY event_type NULLS FIRST"""), bench = true),
 
+    // CUPED variance-reduced lift: pre/post split at the global
+    // epoch-us midpoint, theta from pooled exact-integer moments in
+    // DECIMAL/HUGEINT, fixed-order float tail (midpoint test inside
+    // the aggregate projection — never a conditioned scalar cross)
+    QueryDef("metrics_cuped",
+      (s, d) => Metrics.cupedLift(t(s, d, "events")),
+      Some("""WITH e AS MATERIALIZED (SELECT event_type, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        pu AS (SELECT event_type, user_id,
+            sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+            sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS y
+          FROM e CROSS JOIN m GROUP BY 1, 2),
+        p AS (SELECT event_type, count(*)::BIGINT AS n,
+            sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+            sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+            sum(y::HUGEINT * y) AS syy,
+            sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+            sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)::BIGINT AS sxa,
+            sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS sya
+          FROM pu GROUP BY 1),
+        v AS (SELECT *, (n - n_a)::BIGINT AS n_b,
+            n::HUGEINT * sxx - sx::HUGEINT * sx AS vx,
+            n::HUGEINT * syy - sy::HUGEINT * sy AS vy,
+            n::HUGEINT * sxy - sx::HUGEINT * sy AS cxy
+          FROM p)
+        SELECT event_type, n_a, n_b,
+          round(cxy::DOUBLE / vx::DOUBLE, 4) AS theta,
+          round(sya::DOUBLE / n_a::DOUBLE
+            - (sy - sya)::DOUBLE / n_b::DOUBLE, 4) AS diff_raw,
+          round(sya::DOUBLE / n_a::DOUBLE
+            - (sy - sya)::DOUBLE / n_b::DOUBLE
+            - cxy::DOUBLE / vx::DOUBLE
+              * (sxa::DOUBLE / n_a::DOUBLE
+                - (sx - sxa)::DOUBLE / n_b::DOUBLE), 4) AS diff_adj,
+          round(cxy::DOUBLE * cxy::DOUBLE
+            / (vx::DOUBLE * vy::DOUBLE), 4) AS var_reduction
+        FROM v WHERE n_a > 0 AND n_b > 0 AND vx > 0 AND vy > 0
+        ORDER BY event_type NULLS FIRST"""), bench = true),
+
     // Kaplan-Meier time-to-conversion with right censoring (no
     // purchase by corpus end = censored at the horizon): exp(Σ ln)
     // product with the explicit all-convert guard (Spark ANSI log(0)

@@ -3396,6 +3396,35 @@ class AnalyticsSpec extends SparkSpec {
       s"got ${out("both")}")
   }
 
+  test("cupedLift: hand theta/adjusted lift; zero-variance covariate dropped") {
+    import spark.implicits._
+    // pre = day 1 (< global midpoint between day-1 and day-3 events),
+    // post = day 3. Per-user (x, y): u1(arm1) (1,2), u2(arm0) (2,4),
+    // u3(arm1) (0,1), u4(arm0) (1,3) -> n=4 sx=4 sy=10 sxy=13 sxx=6
+    // syy=30; vx=8 vy=20 cxy=12; theta=1.5, rho^2=144/160=0.9;
+    // arm0: sya=7 sxa=3 -> diff_raw=3.5-1.5=2, diff_adj=2-1.5*1=0.5
+    val per = Seq((1L, 1, 2), (2L, 2, 4), (3L, 0, 1), (4L, 1, 3))
+    val rows = per.flatMap { case (u, x, y) =>
+      Seq.fill(x)((u, 1)) ++ Seq.fill(y)((u, 3)) }
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, evTs(d), Some(u), "x") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.cupedLift(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq("x" -> ((2L, 2L, 1.5, 2.0, 0.5, 0.9))),
+      s"got ${out.toSeq}")
+    // a label whose every user has the same pre-count: var(X)=0 ->
+    // theta undefined -> dropped (no pre-period signal to adjust with)
+    val flat = (1L to 4L).flatMap(u => Seq((u, 1), (u, 3)))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (1000L + i, evTs(d), Some(u), "flat") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out2 = graft.metrics.Metrics.cupedLift(ev.union(flat)).collect()
+      .map(_.getString(0))
+    assert(out2.toSeq == Seq("x"), s"got ${out2.toSeq}")
+  }
+
   test("mannWhitneyArms: hand rank-sum with ties; all-tied and one-arm labels dropped") {
     import spark.implicits._
     // label "x" per-user counts: arm1 u1=1, arm0 u2=2, arm1 u3=3,
