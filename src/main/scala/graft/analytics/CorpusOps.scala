@@ -810,6 +810,56 @@ object CorpusOps {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Laplace noisy-count release — the differential-privacy-mechanics
+    * capstone of the release screens ([[kAnonymityAudit]] /
+    * [[lDiversityAudit]] / [[tClosenessAudit]] AUDIT a release; this
+    * one PRODUCES the release): per group, count + Laplace(1/ε) noise
+    * (count queries have sensitivity 1), clamped at 0 and floored to
+    * an integer — the noisy histogram a data card publishes instead of
+    * exact counts.
+    *
+    * Noise is DETERMINISTIC by design: u ∈ (0,1) from the md5 coin
+    * over (seed, group key) — 48 bits, the (k+0.5)/2⁴⁸ offset keeps u
+    * off 0/½/1 so the inverse CDF never hits ln(0) — then the Laplace
+    * inverse CDF −b·sign(u−½)·ln(1−2|u−½|), identical expression
+    * order in both engines. TRUE ε-DP requires fresh randomness per
+    * release; the seeded coin is the REPRODUCIBLE-release variant
+    * (one fixed release per seed is auditable and re-derivable — and
+    * re-releasing under many seeds spends ε each time, exactly as the
+    * real mechanism would; the scaladoc states this honestly rather
+    * than claiming DP). Floor, not round, for the integer release —
+    * half-up vs half-even rounding diverges across engines on exact
+    * .5 noise.
+    *
+    * Output: (groupCols..., n_noisy BIGINT ≥ 0), ordered by the group
+    * columns — the TRUE count never appears in the output.
+    *
+    * Scale shape: one combinable groupBy + a narrow md5 projection at
+    * group grain; output is group-count-sized. */
+  def dpNoisyCountRelease(df: DataFrame, groupCols: Seq[String],
+                          epsilon: Double = 1.0,
+                          seed: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val b = 1.0 / epsilon
+    // null rides as an explicit presence flag in the hash key — any
+    // sentinel STRING could collide with a real value equal to it
+    val keyStr = concat_ws(":", lit(seed) +: groupCols.flatMap(c => Seq(
+      when(col(c).isNull, lit("0")).otherwise(lit("1")),
+      coalesce(col(c).cast("string"), lit("")))): _*)
+    val u = (conv(substring(md5(keyStr), 1, 12), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val noise = lit(-b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    graft.util.SparkUtil.widen(df)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .withColumn("n_noisy",
+        greatest(lit(0L), col("__n") + floor(noise).cast("long")))
+      .select(groupCols.map(col) :+ col("n_noisy"): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a
     * quasi-identifier group can be k-large yet still leak when every
     * member shares ONE sensitive value (the homogeneity attack

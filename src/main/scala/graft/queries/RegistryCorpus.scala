@@ -358,6 +358,28 @@ private[queries] object RegistryCorpus {
         FROM documents GROUP BY lang, source
         ORDER BY lang NULLS FIRST, source""")),
 
+    // Laplace noisy-count release (reproducible-seed variant): u off
+    // 0/half/1 via (k+0.5)/2^48 from the md5 coin, inverse-CDF noise in
+    // IDENTICAL expression order, floor (never round — half-up vs
+    // half-even diverges on exact .5), clamp at 0
+    QueryDef("corpus_dp_release",
+      (s, d) => CorpusOps.dpNoisyCountRelease(t(s, d, "documents"),
+        Seq("lang", "source")),
+      Some("""WITH g AS (SELECT lang, source, count(*)::BIGINT AS n
+          FROM documents GROUP BY 1, 2),
+        k AS (SELECT lang, source, n,
+            (('0x' || substr(md5('dp:'
+                || (CASE WHEN lang IS NULL THEN '0' ELSE '1' END)
+                || ':' || coalesce(lang, '') || ':'
+                || (CASE WHEN source IS NULL THEN '0' ELSE '1' END)
+                || ':' || coalesce(source, '')), 1, 12))::BIGINT::DOUBLE
+              + 0.5) / 281474976710656.0 AS u
+          FROM g)
+        SELECT lang, source,
+          greatest(0, n + floor((-1.0) * sign(u - 0.5)
+            * ln(1.0 - 2.0 * abs(u - 0.5)))::BIGINT)::BIGINT AS n_noisy
+        FROM k ORDER BY lang NULLS FIRST, source""")),
+
     // l-diversity: the homogeneity-attack screen k-anonymity misses —
     // distinct sensitive values per quasi group
     QueryDef("corpus_l_diversity",

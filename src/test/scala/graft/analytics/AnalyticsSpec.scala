@@ -3477,6 +3477,38 @@ class AnalyticsSpec extends SparkSpec {
       s"all-convert step must survive to exactly 0: ${out2.mkString(";")}")
   }
 
+  test("dpNoisyCountRelease: deterministic, clamped, null key never collides with empty string") {
+    import spark.implicits._
+    val rows = Seq.fill(30)(("web", "d")) ++ Seq.fill(30)((null, "d")) ++
+      Seq.fill(30)(("", "d")) ++ Seq(("tiny", "d"))
+    val df = rows.zipWithIndex.map { case ((src, tx), i) =>
+      (i.toLong, src, tx) }.toDF("doc_id", "source", "text")
+    def run() = graft.analytics.CorpusOps
+      .dpNoisyCountRelease(df, Seq("source"), epsilon = 1.0, seed = "s1")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run(), "release must be deterministic per seed")
+    assert(a.values.forall(_ >= 0L), s"clamped at zero: $a")
+    // Laplace(1) noise: |floor(noise)| <= ~34 at 48-bit resolution
+    assert(a.values.forall(v => v <= 70L), s"noise out of range: $a")
+    // the explicit null flag keeps NULL and '' on different coins:
+    // independent draws can still FLOOR equal under one seed, but
+    // colliding keys would be equal under EVERY seed — sweep a few
+    val diverges = (1 to 5).exists { i =>
+      val r = graft.analytics.CorpusOps
+        .dpNoisyCountRelease(df, Seq("source"), epsilon = 1.0,
+          seed = s"probe$i")
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      r(None) != r(Some(""))
+    }
+    assert(diverges, "null and '' must ride different noise coins")
+    // a different seed is a different release
+    val b = graft.analytics.CorpusOps
+      .dpNoisyCountRelease(df, Seq("source"), epsilon = 1.0, seed = "s2")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(a != b, "seed must select the release")
+  }
+
   test("tClosenessAudit: hand TV per group, null sensitive excluded, null quasi survives") {
     import spark.implicits._
     // corpus: g1 4×a (+1 null lang, excluded), g2 4×b, g3 2a+2b,
