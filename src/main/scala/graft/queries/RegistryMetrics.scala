@@ -110,6 +110,46 @@ private[queries] object RegistryMetrics {
           round(epoch(ts) - epoch(anchor_ts), 3) AS secs_since_anchor
         FROM w WHERE event_type = 'purchase' ORDER BY event_id"""), bench = true),
 
+    // pandas-style merge_asof, nearest direction with tolerance: for
+    // every purchase, the user's closest view within a day — union-tag
+    // + per-key window (ONE exchange, no join); oracle is the argmin
+    // over the tolerance-bounded join with the IDENTICAL tie rule
+    // (backward wins equal |lag|, max id wins equal ts)
+    QueryDef("asof_merge_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val ref = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        graft.util.SparkUtil.mergeAsOf(probe, ref, "user_id", "ts",
+            "event_id", Nil, "nearest", 86400L)
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_lag_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS MATERIALIZED (SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'purchase'
+            AND user_id IS NOT NULL AND ts IS NOT NULL),
+        r AS MATERIALIZED (SELECT event_id AS rid, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS rus
+          FROM events WHERE event_type = 'view'
+            AND user_id IS NOT NULL AND ts IS NOT NULL),
+        j AS (SELECT p.event_id, r.rid, p.us - r.rus AS lag_us,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY abs(p.us - r.rus),
+                CASE WHEN r.rus <= p.us THEN 0 ELSE 1 END,
+                r.rid DESC) AS rk
+          FROM p JOIN r ON p.user_id = r.user_id
+            AND abs(p.us - r.rus) <= 86400000000)
+        SELECT p.event_id, p.user_id, j.rid AS asof_event_id,
+          j.lag_us AS asof_lag_us
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+          ON p.event_id = j.event_id
+        ORDER BY p.event_id"""), bench = true),
+
     // pivot/crosstab: per-user event-type count matrix with a PINNED
     // column list (the 100 TB discipline — no distinct-values pre-job)
     QueryDef("pivot_user_events",

@@ -243,4 +243,113 @@ object SparkUtil {
       probe.filter(mightContain(col(key))).join(build, key)
     }
   }
+
+  /** pandas/kdb `merge_asof` — for every probe row, the single
+    * reference row with the same key whose timestamp is the nearest
+    * at-or-before (`backward`), at-or-after (`forward`), or closest
+    * either way (`nearest`, ties to backward), optionally within
+    * `toleranceSeconds`. The feature-join every training-data
+    * pipeline runs against slowly-arriving reference data (prices,
+    * model versions, dimension snapshots) where an equi-join on time
+    * can never hit.
+    *
+    * Plan shape (100 TB): NO join at all — both sides union under one
+    * tagged schema and a per-key ordered window carries the latest
+    * (or, scanned descending, the next) reference struct onto each
+    * probe row: ONE exchange on the key, per-key sorts, no pair
+    * blow-up, no range-bin tuning (the [[rangeJoin]] alternative for
+    * interval semantics). `nearest` runs both scans over the SAME
+    * exchange (two sorts, one shuffle).
+    *
+    * Determinism: reference rows tie-broken by `refIdCol` — at equal
+    * |Δt| backward wins, and among same-timestamp references the MAX
+    * id wins, in every direction (the oracle mirrors the exact rule).
+    * Matches outside tolerance become nulls (the probe row survives —
+    * pandas semantics). Null keys group together and match only each
+    * other; null probe timestamps never match.
+    *
+    * Output: every probe column, then `asof_<refIdCol>`,
+    * `asof_lag_us` = probe.ts − ref.ts in µs (signed; negative =
+    * forward match), and `asof_<c>` for each requested `refValueCols`
+    * column. */
+  def mergeAsOf(probe: DataFrame, ref: DataFrame, keyCol: String,
+                tsCol: String, refIdCol: String,
+                refValueCols: Seq[String] = Nil,
+                direction: String = "backward",
+                toleranceSeconds: Long = -1L): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest: $direction")
+    require(toleranceSeconds == -1L || toleranceSeconds > 0,
+      s"toleranceSeconds must be positive or -1 (unbounded): $toleranceSeconds")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val tolUs =
+      if (toleranceSeconds == -1L) Long.MaxValue
+      else toleranceSeconds * 1000000L
+    val probeCols = probe.columns.toSeq
+    val refStruct = struct(col(refIdCol).as("__rid") +:
+      col("__us").as("__rus") +: refValueCols.map(col): _*)
+    val rSide = ref
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .select(col(keyCol).as("__k"), col("__us"), lit(0).as("__tag"),
+        col(refIdCol).cast("long").as("__oid"),
+        lit(null).cast(probe.select(struct(probeCols.map(col): _*))
+          .schema.head.dataType).as("__p"),
+        refStruct.as("__r"))
+    val pSide = probe
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .select(col(keyCol).as("__k"), col("__us"), lit(1).as("__tag"),
+        lit(0L).as("__oid"),
+        struct(probeCols.map(col): _*).as("__p"),
+        lit(null).cast(ref.withColumn("__us", expr(s"unix_micros($tsCol)"))
+          .select(refStruct).schema.head.dataType).as("__r"))
+    val u = pSide.unionByName(rSide)
+    // at equal ts the reference sorts BEFORE the probe (tag 0 < 1) so
+    // an exactly-simultaneous reference matches; among equal-ts
+    // references the scan-last (max id) wins
+    val bwW = Window.partitionBy("__k")
+      .orderBy(col("__us").asc, col("__tag").asc, col("__oid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwW = Window.partitionBy("__k")
+      .orderBy(col("__us").desc, col("__tag").asc, col("__oid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tolerance applies PER CANDIDATE, before nearest chooses — else a
+    // just-out-of-tolerance nearer match would null out a valid
+    // farther one on the other side (the oracle is argmin WITHIN
+    // tolerance)
+    def tolOnly(m: org.apache.spark.sql.Column,
+                diff: org.apache.spark.sql.Column) =
+      when(m.isNotNull && diff <= tolUs, m)
+    val withMatch = direction match {
+      case "backward" =>
+        val bw = last("__r", ignoreNulls = true).over(bwW)
+        u.withColumn("__bw", bw).withColumn("__m",
+          tolOnly(col("__bw"), col("__us") - col("__bw.__rus")))
+      case "forward" =>
+        val fw = last("__r", ignoreNulls = true).over(fwW)
+        u.withColumn("__fw", fw).withColumn("__m",
+          tolOnly(col("__fw"), col("__fw.__rus") - col("__us")))
+      case "nearest" =>
+        val bw = last("__r", ignoreNulls = true).over(bwW)
+        val fw = last("__r", ignoreNulls = true).over(fwW)
+        u.withColumn("__bw", bw).withColumn("__fw", fw)
+          .withColumn("__vb",
+            tolOnly(col("__bw"), col("__us") - col("__bw.__rus")))
+          .withColumn("__vf",
+            tolOnly(col("__fw"), col("__fw.__rus") - col("__us")))
+          .withColumn("__m",
+            when(col("__vb").isNull, col("__vf"))
+              .when(col("__vf").isNull, col("__vb"))
+              // strict <: an equal-|Δ| tie goes to the backward match
+              .when((col("__vf.__rus") - col("__us"))
+                < (col("__us") - col("__vb.__rus")), col("__vf"))
+              .otherwise(col("__vb")))
+    }
+    withMatch
+      .filter(col("__tag") === 1)
+      .select(probeCols.map(c => col(s"__p.$c").as(c)) ++ Seq(
+        col("__m.__rid").as(s"asof_$refIdCol"),
+        (col("__us") - col("__m.__rus")).as("asof_lag_us")) ++
+        refValueCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
 }

@@ -204,4 +204,62 @@ class BucketingSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
   }
+
+  test("mergeAsOf: directions, tolerance, equal-ts and equal-distance ties, unmatched survive") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key 1 refs at t=10 (r1), t=10 (r2, same ts — max id must win),
+    // t=40 (r3); key 2 has no refs
+    val ref = Seq((1L, 10L, 1L), (1L, 10L, 2L), (1L, 40L, 3L))
+      .map { case (k, t, id) => (k, ts(t), id) }
+      .toDF("user_id", "ts", "event_id")
+    // probes: p1 t=25 (nearest tie 15/15 -> backward), p2 t=39
+    // (nearest -> forward r3), p3 t=5 (only forward exists),
+    // p4 t=100 (backward r3; forward none), p5 key 2 (no refs at all)
+    val probe = Seq((1L, 25L, 101L), (1L, 39L, 102L), (1L, 5L, 103L),
+      (1L, 100L, 104L), (2L, 50L, 105L))
+      .map { case (k, t, id) => (k, ts(t), id) }
+      .toDF("user_id", "ts", "event_id")
+    def run(dir: String, tol: Long = -1L) =
+      SparkUtil.mergeAsOf(probe, ref, "user_id", "ts", "event_id",
+          Nil, dir, tol)
+        .collect()
+        .map(r => r.getLong(2) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long] / 1000000L))).toMap
+    val bw = run("backward")
+    assert(bw == Map(
+      101L -> ((Some(2L), Some(15L))), // same-ts refs: max id wins
+      102L -> ((Some(2L), Some(29L))),
+      103L -> ((None, None)),          // nothing at-or-before
+      104L -> ((Some(3L), Some(60L))),
+      105L -> ((None, None))), s"backward: $bw")
+    val fw = run("forward")
+    assert(fw == Map(
+      101L -> ((Some(3L), Some(-15L))),
+      102L -> ((Some(3L), Some(-1L))),
+      103L -> ((Some(2L), Some(-5L))), // max id among same-ts, forward
+      104L -> ((None, None)),
+      105L -> ((None, None))), s"forward: $fw")
+    val nr = run("nearest")
+    assert(nr == Map(
+      101L -> ((Some(2L), Some(15L))), // 15 vs 15: tie -> backward
+      102L -> ((Some(3L), Some(-1L))),
+      103L -> ((Some(2L), Some(-5L))),
+      104L -> ((Some(3L), Some(60L))),
+      105L -> ((None, None))), s"nearest: $nr")
+    // tolerance: nearest within 10 s — p1's backward (15 s) AND
+    // forward (15 s) both out; p4's backward (60 s) out; p2 fine
+    val nt = run("nearest", tol = 10L)
+    assert(nt == Map(
+      101L -> ((None, None)),
+      102L -> ((Some(3L), Some(-1L))),
+      103L -> ((Some(2L), Some(-5L))),
+      104L -> ((None, None)),
+      105L -> ((None, None))), s"nearest tol: $nt")
+    // per-candidate tolerance: backward 29 s out, forward 1 s in — the
+    // valid farther side must win, not null out
+    val nt2 = run("nearest", tol = 5L)
+    assert(nt2(102L) == ((Some(3L), Some(-1L))), s"tol per side: $nt2")
+  }
 }
