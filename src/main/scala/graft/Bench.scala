@@ -409,15 +409,25 @@ object Bench {
       (-1.0, 0)
     }
 
-    // transformWithState hard-quota drain: first-N per (type, minute
-    // window); RocksDB provider required by the operator — set for the
-    // drain, restored after
-    val (quotaSecs, quotaEvents) = try {
+    // RocksDB provider save/set/restore shared by every TWS drain
+    def withRocksDbProvider[A](f: => A): A = {
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val oldProvider = spark.conf.getOption(providerKey)
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      try f finally {
+        oldProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+
+    // transformWithState hard-quota drain: first-N per (type, minute
+    // window); RocksDB provider required by the operator — set for the
+    // drain, restored after
+    val (quotaSecs, quotaEvents) = try {
+      withRocksDbProvider {
         val rows = Registry.table(spark, sfDir, "events")
           .where("event_type IS NOT NULL AND event_id IS NOT NULL")
           .selectExpr("ts", "event_type", "event_id")
@@ -430,11 +440,6 @@ object Bench {
           graft.streaming.StreamingPipeline.quotaLimitPipeline(
             df, windowSeconds = 60, cap = 3)
         }, rows.length)
-      } finally {
-        oldProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
-        }
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] quota_stream setup failed: ${e.getMessage}")
@@ -444,11 +449,7 @@ object Bench {
     // transformWithState streaming funnel drain (view→click→purchase,
     // 2-day gap — the batch funnel_steps parameters); RocksDB required
     val (funSecs, funEvents) = try {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider {
         val rows = Registry.table(spark, sfDir, "events")
           .where("user_id IS NOT NULL AND " +
             "event_type IN ('view','click','purchase')")
@@ -463,11 +464,6 @@ object Bench {
           graft.streaming.StreamingPipeline.funnelPipeline(
             df, Seq("view", "click", "purchase"), 2L * 86400L)
         }, rows.length)
-      } finally {
-        oldProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
-        }
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] funnel_stream setup failed: ${e.getMessage}")
@@ -499,11 +495,7 @@ object Bench {
     // transformWithState SCD2 drain: buffer-until-watermark version
     // builder per user; RocksDB required by the operator
     val (scd2Secs, scd2Events) = try {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider {
         val rows = Registry.table(spark, sfDir, "events")
           .where("user_id IS NOT NULL AND ts IS NOT NULL")
           .selectExpr("user_id", "ts", "event_id", "event_type")
@@ -517,11 +509,6 @@ object Bench {
           nFiles = 16, maxFilesPerTrigger = 2) { df =>
           graft.streaming.StreamingPipeline.scd2Pipeline(df)
         }, rows.length)
-      } finally {
-        oldProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
-        }
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] scd2_stream setup failed: ${e.getMessage}")

@@ -819,7 +819,9 @@ object CorpusOps {
     * exact counts.
     *
     * Noise is DETERMINISTIC by design: u ∈ (0,1) from the md5 coin
-    * over (seed, group key) — 48 bits, the (k+0.5)/2⁴⁸ offset keeps u
+    * over (seed, group key) — components are individually md5'd before
+    * joining so no value can inject the delimiter and alias another
+    * group's coin — 48 bits, the (k+0.5)/2⁴⁸ offset keeps u
     * off 0/½/1 so the inverse CDF never hits ln(0) — then the Laplace
     * inverse CDF −b·sign(u−½)·ln(1−2|u−½|), identical expression
     * order in both engines. TRUE ε-DP requires fresh randomness per
@@ -842,11 +844,14 @@ object CorpusOps {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
     val b = 1.0 / epsilon
-    // null rides as an explicit presence flag in the hash key — any
-    // sentinel STRING could collide with a real value equal to it
+    // each component is md5'd BEFORE joining: fixed-width hex can't
+    // contain the delimiter, so ("a", "1:b") and ("a:1", "b") can
+    // never serialize to one key (delimiter injection — the collision
+    // a raw concat_ws invites); null rides as an explicit presence
+    // flag (any sentinel STRING could collide with a real value)
     val keyStr = concat_ws(":", lit(seed) +: groupCols.flatMap(c => Seq(
       when(col(c).isNull, lit("0")).otherwise(lit("1")),
-      coalesce(col(c).cast("string"), lit("")))): _*)
+      md5(coalesce(col(c).cast("string"), lit(""))))): _*)
     val u = (conv(substring(md5(keyStr), 1, 12), 16, 10).cast("long")
       .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
     val noise = lit(-b) * signum(u - lit(0.5)) *

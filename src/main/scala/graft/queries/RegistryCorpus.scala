@@ -370,9 +370,9 @@ private[queries] object RegistryCorpus {
         k AS (SELECT lang, source, n,
             (('0x' || substr(md5('dp:'
                 || (CASE WHEN lang IS NULL THEN '0' ELSE '1' END)
-                || ':' || coalesce(lang, '') || ':'
+                || ':' || md5(coalesce(lang, '')) || ':'
                 || (CASE WHEN source IS NULL THEN '0' ELSE '1' END)
-                || ':' || coalesce(source, '')), 1, 12))::BIGINT::DOUBLE
+                || ':' || md5(coalesce(source, ''))), 1, 12))::BIGINT::DOUBLE
               + 0.5) / 281474976710656.0 AS u
           FROM g)
         SELECT lang, source,

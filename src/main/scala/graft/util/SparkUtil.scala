@@ -263,7 +263,8 @@ object SparkUtil {
     *
     * Determinism: reference rows tie-broken by `refIdCol` — at equal
     * |Δt| backward wins, and among same-timestamp references the MAX
-    * id wins, in every direction (the oracle mirrors the exact rule).
+    * id under the column's NATURAL ordering wins (lexicographic for
+    * string ids), in every direction (the oracle mirrors the rule).
     * Matches outside tolerance become nulls (the probe row survives —
     * pandas semantics). Null keys group together and match only each
     * other; null probe timestamps never match.
@@ -289,20 +290,30 @@ object SparkUtil {
     val probeCols = probe.columns.toSeq
     val refStruct = struct(col(refIdCol).as("__rid") +:
       col("__us").as("__rus") +: refValueCols.map(col): _*)
+    // null-struct types built directly from the schemas — no throwaway
+    // plan analysis, and nothing to keep textually in sync
+    val probeType = org.apache.spark.sql.types.StructType(
+      probeCols.map(c => probe.schema(c)))
+    val refType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rid",
+        ref.schema(refIdCol).dataType) +:
+      org.apache.spark.sql.types.StructField("__rus",
+        org.apache.spark.sql.types.LongType) +:
+      refValueCols.map(c => ref.schema(c)))
     val rSide = ref
       .withColumn("__us", expr(s"unix_micros($tsCol)"))
       .select(col(keyCol).as("__k"), col("__us"), lit(0).as("__tag"),
-        col(refIdCol).cast("long").as("__oid"),
-        lit(null).cast(probe.select(struct(probeCols.map(col): _*))
-          .schema.head.dataType).as("__p"),
+        // tie order in the id column's NATURAL type (a long cast would
+        // ANSI-throw on string ids; lexicographic for strings, noted)
+        col(refIdCol).as("__oid"),
+        lit(null).cast(probeType).as("__p"),
         refStruct.as("__r"))
     val pSide = probe
       .withColumn("__us", expr(s"unix_micros($tsCol)"))
       .select(col(keyCol).as("__k"), col("__us"), lit(1).as("__tag"),
-        lit(0L).as("__oid"),
+        lit(null).cast(ref.schema(refIdCol).dataType).as("__oid"),
         struct(probeCols.map(col): _*).as("__p"),
-        lit(null).cast(ref.withColumn("__us", expr(s"unix_micros($tsCol)"))
-          .select(refStruct).schema.head.dataType).as("__r"))
+        lit(null).cast(refType).as("__r"))
     val u = pSide.unionByName(rSide)
     // at equal ts the reference sorts BEFORE the probe (tag 0 < 1) so
     // an exactly-simultaneous reference matches; among equal-ts
