@@ -411,7 +411,7 @@ private[queries] object RegistryMetrics {
             AS n_unmatched
         FROM c LEFT JOIN p ON c.user_id = p.user_id
           AND p.us >= c.us AND p.us <= c.us + 21600000000
-        GROUP BY c.user_id ORDER BY user_id""")),
+        GROUP BY c.user_id ORDER BY user_id"""), bench = true),
 
     QueryDef("funnel_steps",
       (s, d) => Metrics.funnelSteps(t(s, d, "events"),
