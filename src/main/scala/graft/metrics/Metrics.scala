@@ -1651,6 +1651,59 @@ object Metrics {
       .orderBy("event_type")
   }
 
+  /** Difference-in-differences per label — the quasi-experimental
+    * companion to [[cupedLift]] over the SAME pre/post design: how
+    * much more did arm A's per-user activity grow than arm B's,
+    * did = (ȳ_a,post − ȳ_a,pre) − (ȳ_b,post − ȳ_b,pre). Where CUPED
+    * uses the pre period to DENOISE a randomized comparison, DiD uses
+    * it to DIFFERENCE OUT a shared trend when assignment is not
+    * random — both belong in the same experiment-readout panel.
+    * Period split and arm rule are identical to [[cupedLift]] (global
+    * epoch-µs midpoint, user_id % 2).
+    *
+    * Output: (event_type, n_a, n_b [users per arm], pre_a, post_a,
+    * pre_b, post_b [4 dp per-user means], did 4 dp), ordered
+    * event_type NULLS FIRST. Null users/ts excluded; labels with an
+    * empty arm are dropped (no trend to difference). All sums exact
+    * integers; the float tail is four fixed-order divisions and three
+    * subtractions — IEEE-identical in both engines.
+    *
+    * Scale shape: the [[cupedLift]] shape — one conditional count at
+    * (label, user) grain, one label-grain aggregate, one broadcast
+    * scalar cross. */
+  def didLift(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("__us"))
+    val mid = ev.agg(expr("(min(__us) + max(__us)) div 2")
+      .cast("long").as("__mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("__us") < col("__mid"), 1L).otherwise(0L))
+        .cast("long").as("__x"),
+        sum(when(col("__us") >= col("__mid"), 1L).otherwise(0L))
+          .cast("long").as("__y"))
+      .withColumn("__arm", (col("user_id") % 2).cast("long"))
+    def armSum(arm: Int, c: String) =
+      sum(when(col("__arm") === arm, col(c)).otherwise(0L)).cast("long")
+    val panel = perUser.groupBy("event_type").agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      armSum(0, "__x").as("__xa"), armSum(0, "__y").as("__ya"),
+      armSum(1, "__x").as("__xb"), armSum(1, "__y").as("__yb"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    panel.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(mean("__xa", "n_a"), 4).as("pre_a"),
+        round(mean("__ya", "n_a"), 4).as("post_a"),
+        round(mean("__xb", "n_b"), 4).as("pre_b"),
+        round(mean("__yb", "n_b"), 4).as("post_b"),
+        round(mean("__ya", "n_a") - mean("__xa", "n_a")
+          - (mean("__yb", "n_b") - mean("__xb", "n_b")), 4).as("did"))
+      .orderBy("event_type")
+  }
+
   /** Kaplan-Meier time-to-event curve — "what share of users has NOT
     * yet converted d days after first touch", with RIGHT CENSORING: a
     * user with no `eventType` event is censored at the observation end

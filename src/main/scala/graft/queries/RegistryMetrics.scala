@@ -933,6 +933,38 @@ private[queries] object RegistryMetrics {
         FROM v WHERE n_a > 0 AND n_b > 0 AND vx > 0 AND vy > 0
         ORDER BY event_type NULLS FIRST"""), bench = true),
 
+    // difference-in-differences over the same pre/post design as
+    // metrics_cuped: exact integer arm x period sums, four fixed-order
+    // divisions and three subtractions
+    QueryDef("metrics_did",
+      (s, d) => Metrics.didLift(t(s, d, "events")),
+      Some("""WITH e AS MATERIALIZED (SELECT event_type, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        pu AS (SELECT event_type, user_id,
+            sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+            sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)::BIGINT AS y
+          FROM e CROSS JOIN m GROUP BY 1, 2),
+        p AS (SELECT event_type,
+            sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+            sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+            sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)::BIGINT AS xa,
+            sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS ya,
+            sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)::BIGINT AS xb,
+            sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)::BIGINT AS yb
+          FROM pu GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+          round(xa::DOUBLE / n_a::DOUBLE, 4) AS pre_a,
+          round(ya::DOUBLE / n_a::DOUBLE, 4) AS post_a,
+          round(xb::DOUBLE / n_b::DOUBLE, 4) AS pre_b,
+          round(yb::DOUBLE / n_b::DOUBLE, 4) AS post_b,
+          round(ya::DOUBLE / n_a::DOUBLE - xa::DOUBLE / n_a::DOUBLE
+            - (yb::DOUBLE / n_b::DOUBLE - xb::DOUBLE / n_b::DOUBLE), 4)
+            AS did
+        FROM p WHERE n_a > 0 AND n_b > 0
+        ORDER BY event_type NULLS FIRST"""), bench = true),
+
     // Kaplan-Meier time-to-conversion with right censoring (no
     // purchase by corpus end = censored at the horizon): exp(Σ ln)
     // product with the explicit all-convert guard (Spark ANSI log(0)

@@ -3425,6 +3425,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2.toSeq == Seq("x"), s"got ${out2.toSeq}")
   }
 
+  test("didLift: hand difference-in-differences over the CUPED fixture") {
+    import spark.implicits._
+    // same per-user (x, y) panel as the CUPED spec: arm0 pre 1.5 ->
+    // post 3.5 (+2), arm1 pre 0.5 -> post 1.5 (+1) -> did = 1.0
+    val per = Seq((1L, 1, 2), (2L, 2, 4), (3L, 0, 1), (4L, 1, 3))
+    val rows = per.flatMap { case (u, x, y) =>
+      Seq.fill(x)((u, 1)) ++ Seq.fill(y)((u, 3)) }
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, evTs(d), Some(u), "x") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.didLift(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(out.toSeq ==
+      Seq("x" -> ((2L, 2L, 1.5, 3.5, 0.5, 1.5, 1.0))), s"got ${out.toSeq}")
+  }
+
   test("mannWhitneyArms: hand rank-sum with ties; all-tied and one-arm labels dropped") {
     import spark.implicits._
     // label "x" per-user counts: arm1 u1=1, arm0 u2=2, arm1 u3=3,
