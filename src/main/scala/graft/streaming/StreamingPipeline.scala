@@ -1710,8 +1710,21 @@ object StreamingPipeline {
       if (all.isEmpty) return Iterator.empty
       val (ready, rest) = all.partition(_._1 <= wmUs)
       if (rest.isEmpty) buf.clear() else buf.put(rest)
-      if (rest.nonEmpty) // earliest pending event re-arms the drain
-        getHandle.registerTimer(rest.map(_._1).min / 1000L + 1L)
+      // exactly ONE pending timer per key = the earliest still-buffered
+      // event's drain time. A partial drain used to re-register without
+      // deleting the superseded timer, so stale timers accumulated per
+      // key and fired as no-op drains; reconcile against listTimers()
+      // instead (0–1 entries per key, a cheap keyed range scan).
+      val pending = getHandle.listTimers().toArray
+      if (rest.nonEmpty) {
+        val want = rest.map(_._1).min / 1000L + 1L
+        if (pending.contains(want))
+          pending.filter(_ != want).foreach(getHandle.deleteTimer)
+        else {
+          pending.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(want)
+        }
+      } else pending.foreach(getHandle.deleteTimer)
       if (ready.isEmpty) return Iterator.empty
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Boolean, String, Long, Long, Long)]
