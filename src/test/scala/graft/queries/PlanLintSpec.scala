@@ -30,16 +30,20 @@ class PlanLintSpec extends SparkSpec {
     "sim_quantized_recall", "sim_binary_hamming_topk", "sim_ivfpq_topk",
     "sim_ivfpq_search", "sim_mmr_rerank", "txt_vocab_overlap")
 
-  test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels") {
+  test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels; plan shape matches the committed manifest") {
     val sf = "/root/testdata/sf0.001"
+    val regen = """regen: sbt -batch "runMain graft.tools.PlanManifestGen""""
+    val manifest = graft.util.PlanSig.read(graft.util.PlanSig.ManifestPath)
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
     Registry.all.foreach { q =>
       // a3 is excluded: its build EXECUTES a full streaming drain and
       // its final plan is a driver-local relation — nothing to lint
       if (q.name != "a3_file_latency") {
+        seen += q.name
         val plan =
-          try Registry.queries(q.name)(spark, sf)
-            .queryExecution.executedPlan.toString
+          try graft.util.PlanSig.planString(spark)(
+            Registry.queries(q.name)(spark, sf))
           catch {
             case e: Throwable =>
               failures += s"${q.name}: plan build failed: ${e.getMessage}"
@@ -50,13 +54,33 @@ class PlanLintSpec extends SparkSpec {
         plan.linesIterator
           .filter(_.contains("BroadcastNestedLoopJoin"))
           .foreach { line =>
-            val bare = line.replaceAll("""^[\s:+-]*""", "").trim
+            // strip tree art AND the whole-stage-codegen "*(n) " marker —
+            // present now that the lint plans with AQE off (PlanSig)
+            val bare = line.replaceAll("""^[\s:+-]*(\*\(\d+\)\s*)?""", "").trim
             val isScalarCross = bare.matches(
               """BroadcastNestedLoopJoin Build(Left|Right), Cross""")
             if (!isScalarCross && !conditionedBnljAllowed(q.name))
               failures += s"${q.name}: unexpected nested loop: $bare"
           }
+        // plan-SHAPE pin: an added exchange or a lost broadcast fails
+        // HERE, not as bench drift adjudicated by a same-box A/B
+        if (plan.nonEmpty) {
+          val sig = graft.util.PlanSig.sigOf(plan)
+          manifest.get(q.name) match {
+            case None =>
+              failures += s"${q.name}: not in plan_manifest.json ($regen)"
+            case Some(want) if want != sig =>
+              failures += s"${q.name}: plan shape drifted\n" +
+                s"    manifest: $want\n    current:  $sig\n" +
+                s"    (intentional? $regen and review the diff)"
+            case _ => ()
+          }
+        }
       }
+    }
+    // a manifest entry whose query no longer exists is stale coverage
+    (manifest.keySet -- seen).toSeq.sorted.foreach { n =>
+      failures += s"$n: stale plan_manifest.json entry ($regen)"
     }
     assert(failures.isEmpty,
       s"plan lint failures:\n${failures.mkString("\n")}")
