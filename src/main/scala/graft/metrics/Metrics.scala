@@ -1590,10 +1590,22 @@ object Metrics {
     * a PROJECTION over the broadcast scalar, never a join condition
     * (the conditioned-scalar-cross BNLJ trap, holtForecast pattern).
     *
+    * Uncertainty: diff_adj = r̄_a − r̄_b exactly, where r = y − θx is
+    * the CUPED residual, so se = √(s²_r,a/n_a + s²_r,b/n_b) over
+    * per-user residuals (θ treated as fixed — its estimation error is
+    * second-order, Deng et al. §4; user = cluster, so this is
+    * cluster-robust by user for free). Per-arm residual moments come
+    * from the SAME exact integer sums: Σr = Σy − θΣx,
+    * Σr² = Σy² − 2θΣxy + θ²Σx² — three extra arm-0 DECIMAL columns in
+    * the one aggregate, arm-b by exact subtraction from the totals.
+    * ci_lo/ci_hi = diff_adj ∓ 1.96·se; the √ argument is clamped at 0
+    * (float cancellation in n·Σr² − (Σr)² can graze −0).
+    *
     * Output: (event_type, n_a, n_b [users per arm], theta 4 dp,
-    * diff_raw 4 dp, diff_adj 4 dp, var_reduction 4 dp), ordered
-    * event_type NULLS FIRST. Null users/ts excluded; labels with an
-    * empty arm or zero var(X)/var(Y) are dropped (θ / ρ² undefined —
+    * diff_raw 4 dp, diff_adj, se, ci_lo, ci_hi 4 dp,
+    * var_reduction 4 dp), ordered event_type NULLS FIRST. Null
+    * users/ts excluded; labels with fewer than 2 users in either arm
+    * or zero var(X)/var(Y) are dropped (θ / ρ² / s² undefined —
     * no pre-period signal means CUPED has nothing to adjust with).
     *
     * Scale shape: one combinable conditional count at (label, user)
@@ -1625,15 +1637,44 @@ object Metrics {
       sum(when(col("__arm") === 0, col("__x")).otherwise(0L))
         .cast("long").as("__sxa"),
       sum(when(col("__arm") === 0, col("__y")).otherwise(0L))
-        .cast("long").as("__sya"))
+        .cast("long").as("__sya"),
+      sum(when(col("__arm") === 0, dec(col("__x")) * dec(col("__y"))))
+        .cast("decimal(38,0)").as("__sxya"),
+      sum(when(col("__arm") === 0, dec(col("__x")) * dec(col("__x"))))
+        .cast("decimal(38,0)").as("__sxxa"),
+      sum(when(col("__arm") === 0, dec(col("__y")) * dec(col("__y"))))
+        .cast("decimal(38,0)").as("__syya"))
     val theta = col("__cxy").cast("double") / col("__vx").cast("double")
     val diffRaw = col("__sya").cast("double") / col("n_a").cast("double") -
       (col("__sy") - col("__sya")).cast("double") / col("n_b").cast("double")
     val diffX = col("__sxa").cast("double") / col("n_a").cast("double") -
       (col("__sx") - col("__sxa")).cast("double") / col("n_b").cast("double")
+    // per-arm Var(r̄) from the residual moments; every input column is
+    // an exact integer/DECIMAL sum, the tail is fixed-order doubles
+    def varMeanR(n: org.apache.spark.sql.Column,
+                 sx: org.apache.spark.sql.Column,
+                 sy: org.apache.spark.sql.Column,
+                 sxy: org.apache.spark.sql.Column,
+                 sxx: org.apache.spark.sql.Column,
+                 syy: org.apache.spark.sql.Column) = {
+      val sr = sy.cast("double") - theta * sx.cast("double")
+      val sr2 = syy.cast("double") -
+        lit(2.0) * theta * sxy.cast("double") +
+        theta * theta * sxx.cast("double")
+      (n.cast("double") * sr2 - sr * sr) /
+        (dec(n) * dec(n) * dec(n - 1)).cast("double")
+    }
+    val vmA = varMeanR(col("n_a"), col("__sxa"), col("__sya"),
+      col("__sxya"), col("__sxxa"), col("__syya"))
+    val vmB = varMeanR(col("n_b"),
+      col("__sx") - col("__sxa"), col("__sy") - col("__sya"),
+      col("__sxy") - col("__sxya"), col("__sxx") - col("__sxxa"),
+      col("__syy") - col("__syya"))
+    val seE = sqrt(greatest(vmA + vmB, lit(0.0)))
+    val diffAdj = diffRaw - theta * diffX
     panel
       .withColumn("n_b", (col("__n") - col("n_a")).cast("long"))
-      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
       .withColumn("__vx",
         dec(col("__n")) * col("__sxx") - dec(col("__sx")) * dec(col("__sx")))
       .withColumn("__vy",
@@ -1644,7 +1685,10 @@ object Metrics {
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(theta, 4).as("theta"),
         round(diffRaw, 4).as("diff_raw"),
-        round(diffRaw - theta * diffX, 4).as("diff_adj"),
+        round(diffAdj, 4).as("diff_adj"),
+        round(seE, 4).as("se"),
+        round(diffAdj - lit(1.96) * seE, 4).as("ci_lo"),
+        round(diffAdj + lit(1.96) * seE, 4).as("ci_hi"),
         round(col("__cxy").cast("double") * col("__cxy").cast("double")
           / (col("__vx").cast("double") * col("__vy").cast("double")), 4)
           .as("var_reduction"))
@@ -1661,17 +1705,28 @@ object Metrics {
     * Period split and arm rule are identical to [[cupedLift]] (global
     * epoch-µs midpoint, user_id % 2).
     *
+    * Uncertainty (cluster-robust by USER — the honest variant for a
+    * per-user panel): each user is one cluster contributing a single
+    * growth observation d = y − x, so did = d̄_a − d̄_b and
+    * Var(did) = s²_a/n_a + s²_b/n_b over the per-user d's — arbitrary
+    * within-user event correlation is absorbed because d is summed
+    * INSIDE the cluster before any variance is taken. se = √Var,
+    * ci_lo/ci_hi = did ∓ 1.96·se. The centered second moment
+    * n·Σd² − (Σd)² runs exact in DECIMAL(38,0) (≥ 0 by
+    * Cauchy-Schwarz, so the √ argument never dips negative); the
+    * float tail is fixed-order — IEEE-identical in both engines.
+    *
     * Output: (event_type, n_a, n_b [users per arm], pre_a, post_a,
-    * pre_b, post_b [4 dp per-user means], did 4 dp), ordered
-    * event_type NULLS FIRST. Null users/ts excluded; labels with an
-    * empty arm are dropped (no trend to difference). All sums exact
-    * integers; the float tail is four fixed-order divisions and three
-    * subtractions — IEEE-identical in both engines.
+    * pre_b, post_b [4 dp per-user means], did, se, ci_lo, ci_hi
+    * [4 dp]), ordered event_type NULLS FIRST. Null users/ts excluded;
+    * labels with FEWER THAN 2 users in either arm are dropped (the
+    * variance needs n−1; a 1-user arm has no interval to report).
     *
     * Scale shape: the [[cupedLift]] shape — one conditional count at
     * (label, user) grain, one label-grain aggregate, one broadcast
     * scalar cross. */
   def didLift(events: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val ev = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_type"), col("user_id"),
         expr("unix_micros(ts)").as("__us"))
@@ -1684,23 +1739,41 @@ object Metrics {
         sum(when(col("__us") >= col("__mid"), 1L).otherwise(0L))
           .cast("long").as("__y"))
       .withColumn("__arm", (col("user_id") % 2).cast("long"))
+      .withColumn("__d", col("__y") - col("__x"))
     def armSum(arm: Int, c: String) =
       sum(when(col("__arm") === arm, col(c)).otherwise(0L)).cast("long")
+    def armSumD2(arm: Int) = // Σd² per arm, exact (d can be negative)
+      sum(when(col("__arm") === arm, dec(col("__d")) * dec(col("__d"))))
+        .cast("decimal(38,0)")
     val panel = perUser.groupBy("event_type").agg(
       sum(when(col("__arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
       sum(when(col("__arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
       armSum(0, "__x").as("__xa"), armSum(0, "__y").as("__ya"),
-      armSum(1, "__x").as("__xb"), armSum(1, "__y").as("__yb"))
+      armSum(1, "__x").as("__xb"), armSum(1, "__y").as("__yb"),
+      armSumD2(0).as("__dda"), armSumD2(1).as("__ddb"))
     def mean(s: String, n: String) =
       col(s).cast("double") / col(n).cast("double")
-    panel.filter(col("n_a") > 0 && col("n_b") > 0)
+    // Var(d̄) per arm = (nΣd² − (Σd)²) / (n²(n−1)), the centered moment
+    // exact in DECIMAL; Σd per arm = Σy − Σx (already-summed longs)
+    def varMean(dd: String, y: String, x: String, n: String) = {
+      val sd = dec(col(y) - col(x))
+      (dec(col(n)) * col(dd) - sd * sd).cast("double") /
+        (dec(col(n)) * dec(col(n)) * dec(col(n) - 1)).cast("double")
+    }
+    val didE = mean("__ya", "n_a") - mean("__xa", "n_a") -
+      (mean("__yb", "n_b") - mean("__xb", "n_b"))
+    val seE = sqrt(varMean("__dda", "__ya", "__xa", "n_a")
+      + varMean("__ddb", "__yb", "__xb", "n_b"))
+    panel.filter(col("n_a") >= 2 && col("n_b") >= 2)
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(mean("__xa", "n_a"), 4).as("pre_a"),
         round(mean("__ya", "n_a"), 4).as("post_a"),
         round(mean("__xb", "n_b"), 4).as("pre_b"),
         round(mean("__yb", "n_b"), 4).as("post_b"),
-        round(mean("__ya", "n_a") - mean("__xa", "n_a")
-          - (mean("__yb", "n_b") - mean("__xb", "n_b")), 4).as("did"))
+        round(didE, 4).as("did"),
+        round(seE, 4).as("se"),
+        round(didE - lit(1.96) * seE, 4).as("ci_lo"),
+        round(didE + lit(1.96) * seE, 4).as("ci_hi"))
       .orderBy("event_type")
   }
 

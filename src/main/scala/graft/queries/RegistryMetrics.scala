@@ -912,26 +912,49 @@ private[queries] object RegistryMetrics {
             sum(y::HUGEINT * y) AS syy,
             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
             sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)::BIGINT AS sxa,
-            sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS sya
+            sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS sya,
+            sum(CASE WHEN user_id % 2 = 0 THEN x::HUGEINT * y END) AS sxya,
+            sum(CASE WHEN user_id % 2 = 0 THEN x::HUGEINT * x END) AS sxxa,
+            sum(CASE WHEN user_id % 2 = 0 THEN y::HUGEINT * y END) AS syya
           FROM pu GROUP BY 1),
         v AS (SELECT *, (n - n_a)::BIGINT AS n_b,
             n::HUGEINT * sxx - sx::HUGEINT * sx AS vx,
             n::HUGEINT * syy - sy::HUGEINT * sy AS vy,
             n::HUGEINT * sxy - sx::HUGEINT * sy AS cxy
-          FROM p)
+          FROM p),
+        tt AS (SELECT *, cxy::DOUBLE / vx::DOUBLE AS th,
+            sya::DOUBLE / n_a::DOUBLE
+              - (sy - sya)::DOUBLE / n_b::DOUBLE
+              - cxy::DOUBLE / vx::DOUBLE
+                * (sxa::DOUBLE / n_a::DOUBLE
+                  - (sx - sxa)::DOUBLE / n_b::DOUBLE) AS adj
+          FROM v WHERE n_a >= 2 AND n_b >= 2 AND vx > 0 AND vy > 0),
+        se AS (SELECT *, sqrt(greatest(
+            (n_a::DOUBLE * (syya::DOUBLE
+                - 2.0::DOUBLE * th * sxya::DOUBLE
+                + th * th * sxxa::DOUBLE)
+              - (sya::DOUBLE - th * sxa::DOUBLE)
+                * (sya::DOUBLE - th * sxa::DOUBLE))
+              / (n_a::HUGEINT * n_a * (n_a - 1))::DOUBLE
+            + (n_b::DOUBLE * ((syy - syya)::DOUBLE
+                - 2.0::DOUBLE * th * (sxy - sxya)::DOUBLE
+                + th * th * (sxx - sxxa)::DOUBLE)
+              - ((sy - sya)::DOUBLE - th * (sx - sxa)::DOUBLE)
+                * ((sy - sya)::DOUBLE - th * (sx - sxa)::DOUBLE))
+              / (n_b::HUGEINT * n_b * (n_b - 1))::DOUBLE,
+            0.0::DOUBLE)) AS sev
+          FROM tt)
         SELECT event_type, n_a, n_b,
-          round(cxy::DOUBLE / vx::DOUBLE, 4) AS theta,
+          round(th, 4) AS theta,
           round(sya::DOUBLE / n_a::DOUBLE
             - (sy - sya)::DOUBLE / n_b::DOUBLE, 4) AS diff_raw,
-          round(sya::DOUBLE / n_a::DOUBLE
-            - (sy - sya)::DOUBLE / n_b::DOUBLE
-            - cxy::DOUBLE / vx::DOUBLE
-              * (sxa::DOUBLE / n_a::DOUBLE
-                - (sx - sxa)::DOUBLE / n_b::DOUBLE), 4) AS diff_adj,
+          round(adj, 4) AS diff_adj,
+          round(sev, 4) AS se,
+          round(adj - 1.96::DOUBLE * sev, 4) AS ci_lo,
+          round(adj + 1.96::DOUBLE * sev, 4) AS ci_hi,
           round(cxy::DOUBLE * cxy::DOUBLE
             / (vx::DOUBLE * vy::DOUBLE), 4) AS var_reduction
-        FROM v WHERE n_a > 0 AND n_b > 0 AND vx > 0 AND vy > 0
-        ORDER BY event_type NULLS FIRST"""), bench = true),
+        FROM se ORDER BY event_type NULLS FIRST"""), bench = true),
 
     // difference-in-differences over the same pre/post design as
     // metrics_cuped: exact integer arm x period sums, four fixed-order
@@ -952,18 +975,33 @@ private[queries] object RegistryMetrics {
             sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)::BIGINT AS xa,
             sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS ya,
             sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)::BIGINT AS xb,
-            sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)::BIGINT AS yb
-          FROM pu GROUP BY 1)
+            sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)::BIGINT AS yb,
+            sum(CASE WHEN user_id % 2 = 0
+              THEN (y - x)::HUGEINT * (y - x) END) AS dda,
+            sum(CASE WHEN user_id % 2 = 1
+              THEN (y - x)::HUGEINT * (y - x) END) AS ddb
+          FROM pu GROUP BY 1),
+        se AS (SELECT *,
+            ya::DOUBLE / n_a::DOUBLE - xa::DOUBLE / n_a::DOUBLE
+              - (yb::DOUBLE / n_b::DOUBLE - xb::DOUBLE / n_b::DOUBLE)
+              AS didv,
+            sqrt((n_a::HUGEINT * dda
+                - (ya - xa)::HUGEINT * (ya - xa))::DOUBLE
+                / (n_a::HUGEINT * n_a * (n_a - 1))::DOUBLE
+              + (n_b::HUGEINT * ddb
+                - (yb - xb)::HUGEINT * (yb - xb))::DOUBLE
+                / (n_b::HUGEINT * n_b * (n_b - 1))::DOUBLE) AS sev
+          FROM p WHERE n_a >= 2 AND n_b >= 2)
         SELECT event_type, n_a, n_b,
           round(xa::DOUBLE / n_a::DOUBLE, 4) AS pre_a,
           round(ya::DOUBLE / n_a::DOUBLE, 4) AS post_a,
           round(xb::DOUBLE / n_b::DOUBLE, 4) AS pre_b,
           round(yb::DOUBLE / n_b::DOUBLE, 4) AS post_b,
-          round(ya::DOUBLE / n_a::DOUBLE - xa::DOUBLE / n_a::DOUBLE
-            - (yb::DOUBLE / n_b::DOUBLE - xb::DOUBLE / n_b::DOUBLE), 4)
-            AS did
-        FROM p WHERE n_a > 0 AND n_b > 0
-        ORDER BY event_type NULLS FIRST"""), bench = true),
+          round(didv, 4) AS did,
+          round(sev, 4) AS se,
+          round(didv - 1.96::DOUBLE * sev, 4) AS ci_lo,
+          round(didv + 1.96::DOUBLE * sev, 4) AS ci_hi
+        FROM se ORDER BY event_type NULLS FIRST"""), bench = true),
 
     // Kaplan-Meier time-to-conversion with right censoring (no
     // purchase by corpus end = censored at the horizon): exp(Σ ln)

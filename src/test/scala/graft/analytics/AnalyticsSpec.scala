@@ -3411,8 +3411,13 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type")
     val out = graft.metrics.Metrics.cupedLift(ev).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
-    assert(out.toSeq == Seq("x" -> ((2L, 2L, 1.5, 2.0, 0.5, 0.9))),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+    // residuals r = y - 1.5x: arm0 {1, 1.5}, arm1 {0.5, 1} -> each arm
+    // nΣr²−(Σr)² = 0.25, Var(r̄) = 0.25/4 = 0.0625; se = √0.125 =
+    // 0.3536; ci = 0.5 ∓ 1.96·0.35355… = (−0.193, 1.193)
+    assert(out.toSeq ==
+      Seq("x" -> ((2L, 2L, 1.5, 2.0, 0.5, 0.3536, -0.193, 1.193, 0.9))),
       s"got ${out.toSeq}")
     // a label whose every user has the same pre-count: var(X)=0 ->
     // theta undefined -> dropped (no pre-period signal to adjust with)
@@ -3428,7 +3433,9 @@ class AnalyticsSpec extends SparkSpec {
   test("didLift: hand difference-in-differences over the CUPED fixture") {
     import spark.implicits._
     // same per-user (x, y) panel as the CUPED spec: arm0 pre 1.5 ->
-    // post 3.5 (+2), arm1 pre 0.5 -> post 1.5 (+1) -> did = 1.0
+    // post 3.5 (+2), arm1 pre 0.5 -> post 1.5 (+1) -> did = 1.0.
+    // Per-user growth d = y−x is 2 for BOTH arm0 users and 1 for both
+    // arm1 users -> zero within-arm variance: se = 0, ci = [1, 1]
     val per = Seq((1L, 1, 2), (2L, 2, 4), (3L, 0, 1), (4L, 1, 3))
     val rows = per.flatMap { case (u, x, y) =>
       Seq.fill(x)((u, 1)) ++ Seq.fill(y)((u, 3)) }
@@ -3438,9 +3445,38 @@ class AnalyticsSpec extends SparkSpec {
     val out = graft.metrics.Metrics.didLift(ev).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
-        r.getDouble(7)))
+        r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getDouble(10)))
     assert(out.toSeq ==
-      Seq("x" -> ((2L, 2L, 1.5, 3.5, 0.5, 1.5, 1.0))), s"got ${out.toSeq}")
+      Seq("x" -> ((2L, 2L, 1.5, 3.5, 0.5, 1.5, 1.0, 0.0, 1.0, 1.0))),
+      s"got ${out.toSeq}")
+  }
+
+  test("didLift: cluster-robust se by hand; 1-user arm dropped") {
+    import spark.implicits._
+    // arm0 growths d = {1, 3} (Σd=4, Σd²=10, nΣd²−(Σd)² = 4 ->
+    // Var(d̄)=4/(4·1)=1), arm1 d = {1, 1} (variance 0) -> did = 2−1 = 1,
+    // se = 1, ci = (1 − 1.96, 1 + 1.96) = (−0.96, 2.96)
+    val per = Seq((1L, 1, 2), (2L, 1, 2), (3L, 1, 2), (4L, 1, 4))
+    val rows = per.flatMap { case (u, x, y) =>
+      Seq.fill(x)((u, 1)) ++ Seq.fill(y)((u, 3)) }
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, evTs(d), Some(u), "x") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.metrics.Metrics.didLift(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(7), r.getDouble(8),
+        r.getDouble(9), r.getDouble(10)))
+    assert(out.toSeq == Seq("x" -> ((1.0, 1.0, -0.96, 2.96))),
+      s"got ${out.toSeq}")
+    // a label with a single user in one arm has no variance to report:
+    // dropped by the n >= 2 gate (u5 is the only odd user for "solo")
+    val solo = Seq((100L, evTs(1), Some(5L), "solo"),
+      (101L, evTs(3), Some(5L), "solo"),
+      (102L, evTs(1), Some(2L), "solo"), (103L, evTs(3), Some(2L), "solo"),
+      (104L, evTs(1), Some(4L), "solo"), (105L, evTs(3), Some(4L), "solo"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out2 = graft.metrics.Metrics.didLift(ev.union(solo)).collect()
+      .map(_.getString(0))
+    assert(out2.toSeq == Seq("x"), s"got ${out2.toSeq}")
   }
 
   test("mannWhitneyArms: hand rank-sum with ties; all-tied and one-arm labels dropped") {
