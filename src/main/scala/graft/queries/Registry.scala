@@ -388,6 +388,12 @@ object Registry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
 
+  /** Queries whose BUILD executes a bounded streaming drain — the
+    * DataFrame that comes back is a summary over the drain's sink, so
+    * there is no static plan to lint or pin in plan_manifest.json
+    * (PlanLintSpec and PlanManifestGen both skip these). */
+  val planExempt: Set[String] = Set("a3_file_latency", "stream_monitoring_panel")
+
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim)).toMap
 

@@ -99,6 +99,23 @@ private[queries] object RegistryMetrics {
           AS source_file, TRUE AS latency_ok, TRUE AS p95_ok
         FROM range(8) t(i) ORDER BY source_file""")),
 
+    // Streaming ENGINE observability (the reference dashboard covers
+    // DATA metrics; state size / watermark lag / late-row loss are
+    // engine-side): attachMonitoring writes one JSONL row per
+    // (query, micro-batch) from a StreamingQueryListener, and this
+    // panel drains a 3-file fixture with two FORGED-LATE rows —
+    // exact counts (3 input batches, 13 rows, 2 dropped by the
+    // watermark) plus tolerance booleans for the wall-clock columns
+    // (the a3_file_latency pattern). Deterministic because
+    // maxFilesPerTrigger=1 + AvailableNow + spaced mtimes pin the
+    // batch sequence.
+    QueryDef("stream_monitoring_panel",
+      (s, d) => graft.streaming.StreamingPipeline.monitoringDemoPanel(s),
+      Some("""SELECT 3::BIGINT AS n_input_batches, 13::BIGINT AS rows_in,
+          2::BIGINT AS rows_dropped_late, TRUE AS saw_state,
+          TRUE AS saw_state_bytes, TRUE AS durations_ok,
+          TRUE AS watermark_advanced"""), bench = true),
+
     QueryDef("asof_join_enrichment",
       (s, d) => Metrics.asOfEnrichment(t(s, d, "events")),
       Some("""WITH w AS (SELECT event_id, user_id, ts, event_type,

@@ -1774,4 +1774,179 @@ object StreamingPipeline {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         onProgress(s"""{"heartbeat":"terminated","id":"${e.id}"}""")
     })
+
+  private def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** ENGINE-metrics monitoring sink — the reference dashboard's
+    * operational widgets (terraform/dashboards/
+    * main_operational_dashboard.json; log-based metrics
+    * terraform/main.tf:238–311) cover DATA health; what they cannot see
+    * is the ENGINE: state growth, watermark lag, and late-row loss are
+    * invisible until they become wrong answers. This listener writes,
+    * for every (query, micro-batch), ONE JSONL row with the per-trigger
+    * engine counters a 100 TB dashboard alerts on:
+    *
+    *  - `rows_dropped_by_watermark` — silent-data-loss counter: late
+    *    rows an operator DISCARDED (the alert is "should be ~0; a step
+    *    means the delay is too tight for the source's lateness").
+    *    Measured AT the stateful operator: for aggregations Spark's
+    *    partial (map-side) aggregate runs first, so N late input rows
+    *    landing in the same group count as ONE dropped row — a
+    *    late-GROUP counter, never an undercount of zero. The
+    *    late-input filter also lags eviction by one micro-batch
+    *    (measured: a late row arriving in the batch IMMEDIATELY after
+    *    the watermark-advancing data is admitted, updates state, and
+    *    is evicted at that batch's close with dropped = 0; from the
+    *    second batch on it is filtered and counted) — so the counter
+    *    is a steady-state lateness signal, not an exactly-once audit
+    *    of the boundary batch;
+    *  - `state_rows` / `state_bytes` — stateful-operator footprint
+    *    (the alert: unbounded growth means an eviction bug, cf. the
+    *    documented per-operator state budgets in SCALE.md);
+    *  - `batch_duration_ms`, `num_input_rows` — throughput/backlog
+    *    (duration approaching the trigger interval = falling behind);
+    *  - `watermark` — end-to-end event-time progress.
+    *
+    * The `_latency` sink discipline (notifyPipeline): rows are
+    * driver-local, so this is a direct Hadoop-FS JSONL write (no Spark
+    * job), one file per (query, batch) at a DETERMINISTIC path —
+    * `dir/_monitoring/<queryName>/batch_<id>.json`, overwritten on
+    * replay so a restarted run never double-counts a batch.
+    * [[monitoringTable]] reads the directory back as a DataFrame.
+    *
+    * Scoped to `queryName` (set `.queryName(...)` on the stream):
+    * listeners on a shared session see EVERY query's progress — an
+    * unscoped sink would interleave foreign batches. Returns the
+    * listener; callers running bounded drains should
+    * `spark.streams.removeListener` it when done. Listener events are
+    * delivered asynchronously AFTER batch commit — a reader that needs
+    * batch N's row must poll for the file, not assume it exists the
+    * instant `awaitTermination` returns. */
+  def attachMonitoring(spark: SparkSession, dir: String, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.name != null && p.name == queryName) {
+          val so = p.stateOperators
+          def sumL(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+            if (so == null) 0L else so.map(f).sum
+          val wm = Option(p.eventTime)
+            .flatMap(m => Option(m.get("watermark"))).getOrElse("")
+          val row =
+            s"""{"query_name":${jsonQuote(p.name)},"query_id":"${p.id}",""" +
+              s""""run_id":"${p.runId}","batch_id":${p.batchId},""" +
+              s""""ts":${jsonQuote(p.timestamp)},""" +
+              s""""batch_duration_ms":${p.batchDuration},""" +
+              s""""num_input_rows":${p.numInputRows},""" +
+              s""""state_rows":${sumL(_.numRowsTotal)},""" +
+              s""""state_rows_updated":${sumL(_.numRowsUpdated)},""" +
+              s""""state_bytes":${sumL(_.memoryUsedBytes)},""" +
+              s""""rows_dropped_by_watermark":${sumL(_.numRowsDroppedByWatermark)},""" +
+              s""""watermark":${jsonQuote(wm)}}"""
+          val path = new org.apache.hadoop.fs.Path(
+            s"$dir/_monitoring/$queryName/batch_${p.batchId}.json")
+          val fs = path.getFileSystem(hconf)
+          val os = fs.create(path, true)
+          try os.write((row + "\n").getBytes("UTF-8")) finally os.close()
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
+
+  /** Read the [[attachMonitoring]] sink back as a table — one row per
+    * (query, micro-batch). Fails loud if the query never progressed. */
+  def monitoringTable(spark: SparkSession, dir: String,
+                      queryName: String): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(s"$dir/_monitoring/$queryName")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(d) && fs.listStatus(d).nonEmpty,
+      s"no monitoring rows for query '$queryName' under $dir")
+    spark.read.json(fs.listStatus(d).map(_.getPath.toString).toSeq: _*)
+  }
+
+  /** Bounded end-to-end demonstration of [[attachMonitoring]] for the
+    * oracle gate (`stream_monitoring_panel`): a watermarked windowed
+    * count drains a 3-file fixture whose third file carries two rows
+    * FORGED LATE (below the watermark the second file advanced), then
+    * the `_monitoring` table is summarized into a deterministic panel:
+    * exact input-batch/row/dropped-row counts plus tolerance booleans
+    * for the wall-clock-valued columns (the a3_file_latency pattern).
+    * `maxFilesPerTrigger=1` + AvailableNow + mtimes spaced >1 s make
+    * the batch sequence deterministic: batch 0 = file 0 (6 rows, max
+    * event time 00:05), batch 1 = file 1 (4 rows at 01:00), batch 2 =
+    * file 2 (2 rows at 00:02 and 00:03 — DISTINCT 60 s windows, both
+    * below batch 2's late-input-filter watermark 00:04, the
+    * batch-0-derived value per the one-batch filter lag — plus 1
+    * on-time row) → rows_dropped_by_watermark = 2 exactly (the
+    * counter is post-partial-agg, so the late rows must land in
+    * distinct groups to count separately — see [[attachMonitoring]]). */
+  def monitoringDemoPanel(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_monitor")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(Paths.get(in))
+    val t0 = "2024-01-01T00:0"
+    val files = Seq(
+      // file 0: 6 on-time rows, 00:00..00:05
+      (0 to 5).map(m => s"""{"ts":"${t0}$m:00.000Z","label":"a"}"""),
+      // file 1: 4 rows at 01:00 — advances the watermark to 00:59
+      (0 until 4).map(i => s"""{"ts":"2024-01-01T01:00:0$i.000Z","label":"b"}"""),
+      // file 2: 2 late rows in DISTINCT windows (00:02 and 00:03,
+      // both < watermark 00:59) + 1 on-time
+      Seq(s"""{"ts":"${t0}2:01.000Z","label":"a"}""",
+        s"""{"ts":"${t0}3:02.000Z","label":"a"}""",
+        s"""{"ts":"2024-01-01T01:01:00.000Z","label":"b"}"""))
+    files.zipWithIndex.foreach { case (lines, i) =>
+      val f = Paths.get(in, f"f$i%02d.json")
+      Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      // file-source batch order follows mtime: space >1 s apart (the
+      // micro-batch-coalescing trap) and strictly increasing
+      f.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    val name = "graft_monitoring_demo"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("label", StringType)))
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("label")).count()
+    val listener = attachMonitoring(spark, base.toString, name)
+    try {
+      val q = counts.writeStream.queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").start(out)
+      require(q.awaitTermination(300000), "monitoring demo drain timed out")
+      // listener delivery is async post-commit: poll for all 3 input
+      // batches' rows (plus however many no-data batches Spark ran)
+      val monDir = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+      val fs = monDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!fs.exists(monDir) || fs.listStatus(monDir).length < 3) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val m = monitoringTable(spark, base.toString, name)
+      m.agg(
+        sum(when(col("num_input_rows") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_input_batches"),
+        sum("num_input_rows").cast("long").as("rows_in"),
+        sum("rows_dropped_by_watermark").cast("long").as("rows_dropped_late"),
+        (max("state_rows") > 0).as("saw_state"),
+        (max("state_bytes") > 0).as("saw_state_bytes"),
+        (min("batch_duration_ms") >= 0 &&
+          max("batch_duration_ms") < 600000L).as("durations_ok"),
+        (max("watermark") >= "2024-01-01T00:59:00.000Z")
+          .as("watermark_advanced"))
+    } finally spark.streams.removeListener(listener)
+  }
 }

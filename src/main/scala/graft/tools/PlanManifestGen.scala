@@ -27,10 +27,9 @@ object PlanManifestGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // a3 is excluded for the same reason as in PlanLintSpec: its build
-    // EXECUTES a full streaming drain and the final plan is a
-    // driver-local relation — no shape to pin
-    val sigs = Registry.all.filter(_.name != "a3_file_latency").map { q =>
+    // drain-executing queries (Registry.planExempt) have no static
+    // plan to pin — same exclusion as PlanLintSpec
+    val sigs = Registry.all.filterNot(q => Registry.planExempt(q.name)).map { q =>
       val sig = PlanSig.sigOf(
         PlanSig.planString(spark)(Registry.queries(q.name)(spark, sfDir)))
       println(s"[plan-manifest] ${q.name}: $sig")

@@ -535,6 +535,77 @@ class PipelineSpec extends SparkSpec {
       Seq(("00:00:00", "a", 2L), ("00:00:00", "b", 1L), ("00:01:00", "a", 1L)))
   }
 
+  test("monitoring listener: one engine row per batch, late rows land in the dropped counter") {
+    val base = Files.createTempDirectory("graft_mon_spec").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    // file 0 (batch 0): 4 on-time rows at 01:00 — their max event time
+    // becomes the LATE-INPUT-FILTER watermark (00:59:03) from batch 2
+    // on (the filter lags one batch behind eviction — see the
+    // attachMonitoring scaladoc; a late row arriving in batch 1 would
+    // be admitted then silently evicted, counting 0); file 1 (batch 1):
+    // 1 on-time row; file 2 (batch 2): 3 rows forged late in DISTINCT
+    // windows (00:10/00:11/00:12, all below 00:59:03 — the dropped
+    // counter is post-partial-agg, so same-group late rows would merge
+    // to one) + 1 on-time at 01:06
+    val f0 = (0 until 4).map(i => s"""{"ts":"2024-01-01T01:00:0$i.000Z","label":"a"}""")
+    val f1 = Seq(s"""{"ts":"2024-01-01T01:05:00.000Z","label":"a"}""")
+    val f2 = (0 until 3).map(i => s"""{"ts":"2024-01-01T00:1$i:00.000Z","label":"a"}""") :+
+      s"""{"ts":"2024-01-01T01:06:00.000Z","label":"a"}"""
+    Seq(f0, f1, f2).zipWithIndex.foreach { case (lines, i) =>
+      val f = Paths.get(in, s"f$i.json")
+      Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 2000L) // >1 s apart
+    }
+    val name = "graft_mon_spec_q"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType)))
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("label")).count()
+    val listener = StreamingPipeline.attachMonitoring(spark, base, name)
+    try {
+      val q = counts.writeStream.queryName(name)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").start(s"$base/out")
+      assert(q.awaitTermination(120000), "drain timed out")
+      // listener delivery is async post-commit: poll for both batches
+      val monDir = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+      val fs = monDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!fs.exists(monDir) || fs.listStatus(monDir).length < 3) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val rows = StreamingPipeline.monitoringTable(spark, base, name)
+        .filter(col("num_input_rows") > 0)
+        .select("batch_id", "num_input_rows", "rows_dropped_by_watermark",
+          "state_rows", "batch_duration_ms", "watermark")
+        .orderBy("batch_id").collect()
+      assert(rows.length == 3, s"got ${rows.toSeq}")
+      val b0 = rows(0); val b2 = rows(2)
+      assert(b0.getLong(1) == 4 && b0.getLong(2) == 0, s"batch0: $b0")
+      assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 0,
+        s"batch1: ${rows(1)}")
+      // the 3 late rows show up in batch 2's dropped counter — the
+      // silent-data-loss signal this sink exists for
+      assert(b2.getLong(1) == 4 && b2.getLong(2) == 3, s"batch2: $b2")
+      assert(b0.getLong(3) > 0, s"state rows missing: $b0") // open windows
+      assert(rows.forall(_.getLong(4) >= 0))
+      assert(b2.getString(5) >= "2024-01-01T00:59:00.000Z",
+        s"watermark did not advance: $b2")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("monitoring demo panel matches its oracle constants") {
+    val row = StreamingPipeline.monitoringDemoPanel(spark).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 13L, 2L)),
+      s"got $row")
+    assert((3 to 6).forall(row.getBoolean), s"got $row")
+  }
+
   test("trending tokens: closed windows emit ranked top-k, late data dropped") {
     val in = Files.createTempDirectory("graft_trend_in").toString
     val base = Files.createTempDirectory("graft_trend").toString

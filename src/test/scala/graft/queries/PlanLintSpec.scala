@@ -37,9 +37,9 @@ class PlanLintSpec extends SparkSpec {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val seen = scala.collection.mutable.Set.empty[String]
     Registry.all.foreach { q =>
-      // a3 is excluded: its build EXECUTES a full streaming drain and
-      // its final plan is a driver-local relation — nothing to lint
-      if (q.name != "a3_file_latency") {
+      // drain-executing queries are excluded (Registry.planExempt):
+      // their final plan is a summary over a sink — nothing to lint
+      if (!Registry.planExempt(q.name)) {
         seen += q.name
         val plan =
           try graft.util.PlanSig.planString(spark)(
