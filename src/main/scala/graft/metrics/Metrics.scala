@@ -1363,6 +1363,77 @@ object Metrics {
       .orderBy("event_type", "end_day")
   }
 
+  /** Sliding-window distinct users via HLL SKETCH MERGE — the
+    * bounded-state companion to [[rollingDistinctUsers]] for the
+    * 100 TB dashboard: the exact form's state is the irreducible
+    * (windows × labels × users) membership set, while this panel
+    * keeps ONE ~2^lgConfigK-byte Datasketches HLL per (label, day)
+    * cell and answers any window by UNIONING w daily sketches —
+    * the union of HLLs is the HLL of the union, so the per-window
+    * estimate carries the same ±1.04/√2^lgConfigK relative error as
+    * a single sketch, independent of window width. lgConfigK = 12
+    * (4 KiB/cell, RSE ≈ 1.6%).
+    *
+    * Output: (event_type, end_day DATE, n_distinct_approx BIGINT) on
+    * the SAME end-day universe as the exact twin (days the label
+    * observed traffic), ordered (event_type NULLS FIRST, end_day).
+    * Null users excluded, null label a real group — the exact twin's
+    * contracts.
+    *
+    * Scale shape: one combinable sketch-agg at (label, day) grain
+    * (map-side partial sketches merge — event grain never shuffles),
+    * a ≤w-wide explode of the ≤labels×days PANEL (not of events or
+    * user-days), one combinable sketch-union agg. No window function,
+    * no join against user-grain data at any corpus size. */
+  def rollingDistinctUsersHll(events: DataFrame, windowDays: Int = 7,
+                              lgConfigK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val daily = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgConfigK)").as("__sk"))
+      .localCheckpoint(true) // feeds the window expand AND the end-day universe
+    // each day's sketch contributes to end days [day, day+w−1]; the
+    // explode is panel-grain (≤ labels × days × w rows — tiny)
+    val approx = daily
+      .select(col("event_type"), col("__sk"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("end_day"))
+      .groupBy("event_type", "end_day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .cast("long").as("n_distinct_approx"))
+    val observed = daily
+      .select(col("event_type").as("__k"), col("day").as("__d"))
+    approx.join(observed,
+        col("event_type") <=> col("__k") && col("end_day") === col("__d"))
+      .select(col("event_type"), col("end_day"), col("n_distinct_approx"))
+      .orderBy("event_type", "end_day")
+  }
+
+  /** Tolerance audit of [[rollingDistinctUsersHll]] against the exact
+    * [[rollingDistinctUsers]] panel (the hll_approx_distinct oracle
+    * pattern): both twins on the same end-day universe, row-matched
+    * 1:1 via an inner null-safe join (a key mismatch would DROP rows
+    * and fail the oracle's row count — universe agreement is itself
+    * under test). within_tol pins |approx − exact| ≤ tol·exact; at
+    * 5% that is ≳3σ for lgConfigK=12, and below the sketch's dense
+    * threshold HLL is exact in sparse mode, so the flag is
+    * deterministic-in-practice at every fixture SF. */
+  def rollingDistinctUsersHllAudit(events: DataFrame, windowDays: Int = 7,
+                                   tolerance: Double = 0.05): DataFrame = {
+    val exact = rollingDistinctUsers(events, windowDays)
+    val approx = rollingDistinctUsersHll(events, windowDays)
+      .withColumnRenamed("event_type", "__k")
+      .withColumnRenamed("end_day", "__d")
+    exact.join(approx,
+        col("event_type") <=> col("__k") && col("end_day") === col("__d"))
+      .select(col("event_type"), col("end_day"), col("n_distinct_users"),
+        (abs(col("n_distinct_approx") - col("n_distinct_users"))
+          .cast("double") <= lit(tolerance)
+            * col("n_distinct_users").cast("double")).as("within_tol"))
+      .orderBy("event_type", "end_day")
+  }
+
   /** Mutual-information panel between the event label and day-of-week —
     * "is traffic mix a function of weekday" as per-cell pointwise MI
     * (the association-strength read behind seasonality triage: a cell

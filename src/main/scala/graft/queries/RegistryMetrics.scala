@@ -778,6 +778,40 @@ private[queries] object RegistryMetrics {
         GROUP BY 1, 2 ORDER BY d.event_type NULLS FIRST, end_day"""),
       bench = true),
 
+    // bounded-state rolling distinct: one 4 KiB HLL sketch per
+    // (label, day) cell, any window answered by unioning w sketches
+    // (union of HLLs = HLL of the union) — the 100 TB dashboard's
+    // option next to the exact membership-set panel. Audit twin joins
+    // approx vs exact 1:1 on the shared end-day universe; the
+    // tolerance boolean is the oracled column (hll_approx_distinct
+    // pattern)
+    QueryDef("metrics_rolling_distinct_hll",
+      (s, d) => Metrics.rollingDistinctUsersHllAudit(t(s, d, "events"), 7),
+      Some("""WITH t AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
+            CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        d AS MATERIALIZED (SELECT DISTINCT event_type, day FROM t)
+        SELECT d.event_type, d.day AS end_day,
+          count(DISTINCT t.user_id)::BIGINT AS n_distinct_users,
+          TRUE AS within_tol
+        FROM d JOIN t ON t.event_type IS NOT DISTINCT FROM d.event_type
+          AND t.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2 ORDER BY d.event_type NULLS FIRST, end_day""")),
+
+    // pure sketch panel (no exact twin in-plan) — the production/bench
+    // row; approx values are engine-specific, so the oracle pins the
+    // key universe + positivity (the cluster_sample_only discipline)
+    QueryDef("rolling_distinct_hll_only",
+      (s, d) => Metrics.rollingDistinctUsersHll(t(s, d, "events"), 7)
+        .select(col("event_type"), col("end_day"),
+          (col("n_distinct_approx") > 0).as("n_positive")),
+      Some("""WITH t AS MATERIALIZED (SELECT DISTINCT event_type,
+            CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT event_type, day AS end_day, TRUE AS n_positive
+        FROM t ORDER BY event_type NULLS FIRST, end_day"""),
+      bench = true),
+
     // batch twin of the THREE-stateful-operator streaming plan
     // (rollingDistinctPipeline — sliding-window expand + dedup-by-agg
     // + count, the SAME function): every sliding window, not just

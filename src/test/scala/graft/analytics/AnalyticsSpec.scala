@@ -3451,6 +3451,27 @@ class AnalyticsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("rollingDistinctUsersHll: sparse-mode sketch matches the exact panel on a hand fixture") {
+    import spark.implicits._
+    // u1 on day 1, u2 on days 1 and 9, u3 on day 3 — 7-day windows:
+    // observed end days {1, 3, 9}: day1 → {u1,u2}=2, day3 → {u1,u2,u3}=3
+    // (both within 7 days), day9 → {u2,u3}=2 (u1's day-1 fell out)
+    val ev = Seq((1L, 1), (2L, 1), (2L, 9), (3L, 3)).zipWithIndex
+      .map { case ((u, d), i) => (i.toLong, evTs(d), Some(u), "x") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val approx = graft.metrics.Metrics.rollingDistinctUsersHll(ev, 7)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2)))
+    // far below the dense threshold, the HLL is in sparse mode — exact
+    val exact = graft.metrics.Metrics.rollingDistinctUsers(ev, 7)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2)))
+    assert(approx.toSeq == exact.toSeq, s"approx ${approx.toSeq} vs exact ${exact.toSeq}")
+    assert(exact.map(_._2).toSeq == Seq(2L, 3L, 2L), s"got ${exact.toSeq}")
+    val audit = graft.metrics.Metrics.rollingDistinctUsersHllAudit(ev, 7)
+      .collect()
+    assert(audit.length == 3 && audit.forall(_.getBoolean(3)),
+      s"got ${audit.toSeq}")
+  }
+
   test("didLift: cluster-robust se by hand; 1-user arm dropped") {
     import spark.implicits._
     // arm0 growths d = {1, 3} (Σd=4, Σd²=10, nΣd²−(Σd)² = 4 ->
