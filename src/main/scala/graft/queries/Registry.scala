@@ -388,6 +388,42 @@ object Registry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
 
+  /** Deterministic mixture-of-Gaussians embedding fixture for the ANN
+    * recall oracles (r13 verdict #5): the shipped `embeddings` table is
+    * uniform-random, which has NO cluster structure — flattering to
+    * nobody and actively unflattering to IVF (every cell holds a slice
+    * of every query's true neighbors, so low-probe recall is luck).
+    * This forge keeps the table's SF-scaled id universe and labels but
+    * replaces each vector with `center(vec_id % nClusters) + sigma·z`:
+    * centers are 3.0·one-hot blocks of dim/nClusters coordinates
+    * (pairwise distance 3√2 ≫ sigma — separable by construction), and
+    * z is a per-(id, dim) Box-Muller gaussian over two md5 coins (the
+    * corpus_dp_release inverse-CDF discipline: (k+0.5)/2⁴⁸ keeps u
+    * strictly inside (0,1), so ln/cos never hit a pole). Fully
+    * deterministic — same fixture every run, any engine.
+    * Fixture-gen only (interpreted-HOF cost is paid once per query,
+    * bounded by rows × dim, never part of the measured operator). */
+  def forgeClusteredEmbeddings(
+      s: SparkSession, d: String, dim: Int = 32, nClusters: Int = 8,
+      sigma: Double = 0.5): DataFrame = {
+    require(dim % nClusters == 0, s"dim $dim must divide into $nClusters blocks")
+    val block = dim / nClusters
+    def u(salt: String) =
+      s"""(CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), '_',
+         |CAST(j AS STRING), '_$salt')), 1, 12), 16, 10) AS DOUBLE) + 0.5d)
+         | / 281474976710656.0d""".stripMargin.replaceAll("\n", " ")
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % nClusters).cast("int").as("__c"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+           |CAST((CASE WHEN j div $block = __c THEN 3.0d ELSE 0.0d END)
+           |  + $sigma * sqrt(-2.0d * ln(${u("u1")}))
+           |    * cos(2.0d * pi() * ${u("u2")}) AS FLOAT))"""
+          .stripMargin.replaceAll("\n", " ")))
+      .select(col("vec_id"), col("label"), col("embedding"))
+  }
+
   /** Queries whose BUILD executes a bounded streaming drain — the
     * DataFrame that comes back is a summary over the drain's sink, so
     * there is no static plan to lint or pin in plan_manifest.json
