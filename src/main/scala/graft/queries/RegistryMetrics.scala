@@ -167,6 +167,49 @@ private[queries] object RegistryMetrics {
           ON p.event_id = j.event_id
         ORDER BY p.event_id"""), bench = true),
 
+    // multi-key merge_asof (pandas by=[user_id, day] parity): for
+    // every purchase, the user's nearest CLICK on the SAME calendar
+    // day — the composite key is (user_id, day), so cross-day clicks
+    // can never match even when closer in time; same union-tag
+    // one-exchange plan, partition key widened to a struct. Oracle:
+    // argmin over the two-key equi-join with the identical tie rule.
+    QueryDef("asof_merge_multikey",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        val probe = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            to_date(col("ts")).as("day"), col("ts"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            to_date(col("ts")).as("day"), col("ts"))
+        graft.util.SparkUtil.mergeAsOf(probe, ref,
+            Seq("user_id", "day"), "ts", "event_id",
+            Nil, "nearest", -1L)
+          .select(col("event_id"), col("user_id"), col("day"),
+            col("asof_event_id"), col("asof_lag_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS MATERIALIZED (SELECT event_id, user_id,
+            CAST(ts AS DATE) AS day, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'purchase'
+            AND user_id IS NOT NULL AND ts IS NOT NULL),
+        r AS MATERIALIZED (SELECT event_id AS rid, user_id,
+            CAST(ts AS DATE) AS day, epoch_us(CAST(ts AS TIMESTAMP)) AS rus
+          FROM events WHERE event_type = 'click'
+            AND user_id IS NOT NULL AND ts IS NOT NULL),
+        j AS (SELECT p.event_id, r.rid, p.us - r.rus AS lag_us,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY abs(p.us - r.rus),
+                CASE WHEN r.rus <= p.us THEN 0 ELSE 1 END,
+                r.rid DESC) AS rk
+          FROM p JOIN r ON p.user_id = r.user_id AND p.day = r.day)
+        SELECT p.event_id, p.user_id, p.day, j.rid AS asof_event_id,
+          j.lag_us AS asof_lag_us
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+          ON p.event_id = j.event_id
+        ORDER BY p.event_id""")),
+
     // pivot/crosstab: per-user event-type count matrix with a PINNED
     // column list (the 100 TB discipline — no distinct-values pre-job)
     QueryDef("pivot_user_events",

@@ -275,9 +275,32 @@ object SparkUtil {
     * column. */
   def mergeAsOf(probe: DataFrame, ref: DataFrame, keyCol: String,
                 tsCol: String, refIdCol: String,
+                refValueCols: Seq[String],
+                direction: String,
+                toleranceSeconds: Long): DataFrame =
+    mergeAsOf(probe, ref, Seq(keyCol), tsCol, refIdCol, refValueCols,
+      direction, toleranceSeconds)
+
+  /** Single-key [[mergeAsOf]] with the usual defaults (Scala permits
+    * defaults on only one overload — the multi-key core carries them). */
+  def mergeAsOf(probe: DataFrame, ref: DataFrame, keyCol: String,
+                tsCol: String, refIdCol: String): DataFrame =
+    mergeAsOf(probe, ref, Seq(keyCol), tsCol, refIdCol)
+
+  /** Multi-key [[mergeAsOf]] — pandas `by=[k1, k2, …]` parity
+    * (device+metric, user+experiment: the first thing a real caller
+    * hits). The union-tag window generalizes for free: the partition
+    * key widens from one column to a STRUCT of the key columns, whose
+    * grouping equality is field-wise null-safe — so composite null
+    * keys group exactly like the single-key contract. Everything else
+    * (one exchange, per-candidate tolerance, tie rules) is unchanged
+    * and the single-key specs re-run verbatim through the overload. */
+  def mergeAsOf(probe: DataFrame, ref: DataFrame, keyCols: Seq[String],
+                tsCol: String, refIdCol: String,
                 refValueCols: Seq[String] = Nil,
                 direction: String = "backward",
                 toleranceSeconds: Long = -1L): DataFrame = {
+    require(keyCols.nonEmpty, "mergeAsOf: at least one key column")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest: $direction")
     require(toleranceSeconds == -1L || toleranceSeconds > 0,
@@ -300,9 +323,12 @@ object SparkUtil {
       org.apache.spark.sql.types.StructField("__rus",
         org.apache.spark.sql.types.LongType) +:
       refValueCols.map(c => ref.schema(c)))
+    // composite partition key as a struct — grouping equality is
+    // field-wise null-safe, preserving the null-key contract
+    val keyStruct = struct(keyCols.map(col): _*)
     val rSide = ref
       .withColumn("__us", expr(s"unix_micros($tsCol)"))
-      .select(col(keyCol).as("__k"), col("__us"), lit(0).as("__tag"),
+      .select(keyStruct.as("__k"), col("__us"), lit(0).as("__tag"),
         // tie order in the id column's NATURAL type (a long cast would
         // ANSI-throw on string ids; lexicographic for strings, noted)
         col(refIdCol).as("__oid"),
@@ -310,7 +336,7 @@ object SparkUtil {
         refStruct.as("__r"))
     val pSide = probe
       .withColumn("__us", expr(s"unix_micros($tsCol)"))
-      .select(col(keyCol).as("__k"), col("__us"), lit(1).as("__tag"),
+      .select(keyStruct.as("__k"), col("__us"), lit(1).as("__tag"),
         lit(null).cast(ref.schema(refIdCol).dataType).as("__oid"),
         struct(probeCols.map(col): _*).as("__p"),
         lit(null).cast(refType).as("__r"))

@@ -262,4 +262,53 @@ class BucketingSpec extends SparkSpec {
     val nt2 = run("nearest", tol = 5L)
     assert(nt2(102L) == ((Some(3L), Some(-1L))), s"tol per side: $nt2")
   }
+
+  test("mergeAsOf multi-key: per-composite-group semantics identical, cross-group never matches") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // the single-key fixture REPLICATED under two metric values with
+    // per-metric id offsets; plus metric "n" holds a ref at the exact
+    // probe timestamps of metric "m" — a key-blind (or single-key)
+    // merge would prefer those 0-lag foreign refs, so every assertion
+    // below doubles as a cross-group-leak detector
+    val refBase = Seq((1L, 10L, 1L), (1L, 10L, 2L), (1L, 40L, 3L))
+    val probeBase = Seq((1L, 25L, 101L), (1L, 39L, 102L), (1L, 5L, 103L),
+      (1L, 100L, 104L), (2L, 50L, 105L))
+    val ref = (refBase.map { case (k, t, id) => (k, "m", ts(t), id) } ++
+      refBase.map { case (k, t, id) => (k, "n", ts(t), id + 1000L) } ++
+      // 0-lag decoys in "n" at "m"'s probe times
+      probeBase.map { case (k, t, id) => (k, "n", ts(t), id + 5000L) })
+      .toDF("user_id", "metric", "ts", "event_id")
+    val probe = (probeBase.map { case (k, t, id) => (k, "m", ts(t), id) } ++
+      probeBase.map { case (k, t, id) => (k, "n", ts(t), id + 1000L) })
+      .toDF("user_id", "metric", "ts", "event_id")
+    def run(dir: String, tol: Long = -1L) =
+      SparkUtil.mergeAsOf(probe, ref, Seq("user_id", "metric"), "ts",
+          "event_id", Nil, dir, tol)
+        .collect()
+        .map(r => r.getLong(3) ->
+          (Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long] / 1000000L))).toMap
+    // metric "m" reproduces the single-key nearest semantics verbatim
+    // (the decoys live in "n" — any leak flips these)
+    val nr = run("nearest")
+    assert(nr(101L) == ((Some(2L), Some(15L))) &&
+      nr(102L) == ((Some(3L), Some(-1L))) &&
+      nr(103L) == ((Some(2L), Some(-5L))) &&
+      nr(104L) == ((Some(3L), Some(60L))) &&
+      nr(105L) == ((None, None)), s"metric m: $nr")
+    // metric "n" probes sit exactly ON their decoy refs: 0-lag match
+    assert(nr(1101L) == ((Some(5101L), Some(0L))) &&
+      nr(1105L) == ((Some(5105L), Some(0L))), s"metric n: $nr")
+    // directions + tolerance re-run over the composite key
+    val bw = run("backward")
+    assert(bw(101L) == ((Some(2L), Some(15L))) &&
+      bw(103L) == ((None, None)), s"backward: $bw")
+    val fw = run("forward")
+    assert(fw(103L) == ((Some(2L), Some(-5L))) &&
+      fw(104L) == ((None, None)), s"forward: $fw")
+    val nt = run("nearest", tol = 10L)
+    assert(nt(101L) == ((None, None)) &&
+      nt(102L) == ((Some(3L), Some(-1L))), s"tolerance: $nt")
+  }
 }
