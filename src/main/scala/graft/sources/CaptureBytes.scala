@@ -219,6 +219,30 @@ object CaptureBytes {
   val srcIp: Array[Int] = Array(10, 0, 0, 1)
   val dstIp: Array[Int] = Array(10, 0, 0, 2)
 
+  /** The SELF-GOLDEN decode fixtures (r13 verdict #8): the tshark
+    * differential has never executed in this sandbox (no tshark binary
+    * since round 7), so the next-best regression guard is a FROZEN
+    * copy of the native decoder's own output over a canonical capture
+    * set — future parser edits diff field-by-field against the pinned
+    * artifact (src/test/resources/golden/native_decode.golden.tsv,
+    * regen: `sbt "runMain graft.tools.GoldenDecodeGen"`) instead of
+    * only property specs. NOT an independent second opinion (TESTDATA
+    * .md notes it as self-golden); it catches unintended drift, not
+    * day-one bugs. Byte-deterministic by construction. Covers all
+    * three link layers and both container formats. */
+  def goldenFixtures: Seq[(String, Array[Byte])] = Seq(
+    "pcap_sample" -> pcapFile(samplePackets),
+    "pcapng_nanos" -> ngFile(ngShb(), ngIdb(Some(9)),
+      ngEpb(1757075696123456789L, samplePackets.head),
+      ngEpb(1757075697123456789L, samplePackets(3))),
+    "sll_cooked" -> pcapFile(Seq(
+      sll(0x0800, ipv4(6, srcIp, dstIp, tcp(49160, 80, 0x18,
+        "GET /sll HTTP/1.1\r\nHost: sll.example.com\r\n\r\n"
+          .getBytes("ASCII"))))), linkType = 113),
+    "raw_ip" -> pcapFile(Seq(
+      ipv4(17, srcIp, dstIp, udp(40000, 53, dnsQuery("raw.example.org", 1)))),
+      linkType = 101))
+
   /** One of each decoded protocol — the parser spec's canonical set. */
   def samplePackets: Seq[Array[Byte]] = Seq(
     // 1: HTTP GET with Host + User-Agent
