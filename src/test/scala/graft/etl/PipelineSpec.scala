@@ -936,6 +936,99 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState as-of join: exactly-once backward matches, ref compaction, batch-twin agreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val probe = pMem.toDF().toDF("user_id", "ts", "event_id")
+    val ref = rMem.toDF().toDF("user_id", "ts", "event_id")
+    val out = StreamingPipeline.asofPipeline(probe, ref,
+      toleranceSeconds = 3600L)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fedP = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long)]
+    val fedR = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long)]
+    def feedP(rows: (Long, java.sql.Timestamp, Long)*): Unit = {
+      fedP ++= rows; pMem.addData(rows: _*) }
+    def feedR(rows: (Long, java.sql.Timestamp, Long)*): Unit = {
+      fedR ++= rows; rMem.addData(rows: _*) }
+    val q = out.writeStream.format("memory").queryName("asof_stream_t")
+      .outputMode("append").start()
+    try {
+      // batch 1 — u1: refs at 10:00 (r1, r2 same ts: max id must win)
+      // and a probe at 10:30; u2: probe with NO ref ever (null-padded)
+      feedR((1L, t("2024-01-01 10:00:00"), 1L),
+        (1L, t("2024-01-01 10:00:00"), 2L))
+      feedP((1L, t("2024-01-01 10:30:00"), 101L),
+        (2L, t("2024-01-01 10:30:00"), 102L))
+      q.processAllAvailable()
+      // watermark is still the epoch during batch 1 — nothing emits
+      // until a later batch advances it past 10:30
+      // probe 103 (11:00) must be FED while the watermark is still
+      // below it (TWS drops at-or-under-watermark input rows before
+      // the processor) — batch 2, where the watermark is 10:30
+      feedR((1L, t("2024-01-01 12:00:00"), 3L)) // also the wm driver
+      feedP((1L, t("2024-01-01 11:00:00"), 103L))
+      q.processAllAvailable()
+      val after2 = spark.table("asof_stream_t").collect()
+        .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long] / 1000000L))).toMap
+      // exactly-once: u1 matched the max-id equal-ts ref (id 2, lag
+      // 1800 s), u2 null-padded; 103 already emitted too —
+      // processAllAvailable runs the no-data watermark-advance batch,
+      // where the wm reaches 12:00 and the 11:00 timer fires: backward
+      // picked the COMPACTED 10:00 ref (max id 2) over the closer but
+      // LATER 12:00 ref — direction, not distance
+      assert(after2 == Map(101L -> ((Some(2L), Some(1800L))),
+        102L -> ((None, None)),
+        103L -> ((Some(2L), Some(3600L)))), s"after batch 2: $after2")
+      // probe 103 sat BETWEEN the compacted ref (10:00) and the
+      // buffered one (12:00): backward must pick 10:00's max id even
+      // though 12:00 is closer (direction, not distance) — asserted in
+      // the final map; batch 3: probe at 12:30 catches ref 3 within
+      // tolerance, probe at 23:00 is out of the 1 h tolerance
+      feedP((1L, t("2024-01-01 12:30:00"), 104L),
+        (1L, t("2024-01-01 23:00:00"), 105L))
+      q.processAllAvailable()
+      feedR((99L, t("2024-01-02 06:00:00"), 9L)) // wm driver only
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream_t").collect()
+        .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long] / 1000000L))).toMap
+      assert(rows == Map(
+        101L -> ((Some(2L), Some(1800L))),
+        102L -> ((None, None)),
+        103L -> ((Some(2L), Some(3600L))),
+        104L -> ((Some(3L), Some(1800L))),
+        105L -> ((None, None))), s"final: $rows")
+      // batch-twin agreement: mergeAsOf backward over ALL fed rows,
+      // restricted to probes at or below the final watermark, matches
+      // the stream field for field
+      val twin = graft.util.SparkUtil.mergeAsOf(
+          fedP.toSeq.toDF("user_id", "ts", "event_id"),
+          fedR.toSeq.toDF("user_id", "ts", "event_id"),
+          "user_id", "ts", "event_id", Nil, "backward", 3600L)
+        .filter(col("ts") <= t("2024-01-01 23:00:00"))
+        .collect()
+        .map(r => r.getLong(2) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long] / 1000000L))).toMap
+      assert(twin == rows, s"twin $twin != stream $rows")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join: inclusive horizon, exactly-once pairs, state evicted past watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
