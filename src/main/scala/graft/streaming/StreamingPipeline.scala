@@ -1680,6 +1680,29 @@ object StreamingPipeline {
         col("n_events"))
   }
 
+  /** Shared timer discipline for the buffer-until-watermark processors
+    * (SCD2, as-of): keep EXACTLY the wanted pending event-time timer
+    * per key, deleting superseded ones — the 323d1de fix (stale timers
+    * accumulated per key and fired as no-op drains), in ONE place so
+    * the next timer-semantics change cannot silently miss a copy.
+    * listTimers() is a cheap keyed range scan of 0–1 entries here. */
+  private trait TimerReconcile {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[_, _, _] =>
+    protected def reconcileTimer(want: Option[Long]): Unit = {
+      val pending = getHandle.listTimers().toArray
+      want match {
+        case Some(w) =>
+          if (pending.contains(w))
+            pending.filter(_ != w).foreach(getHandle.deleteTimer)
+          else {
+            pending.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(w)
+          }
+        case None => pending.foreach(getHandle.deleteTimer)
+      }
+    }
+  }
+
   /** transformWithState processor for [[scd2Pipeline]]: ListState
     * event buffer + ValueState open run; drains buffered events at or
     * below the watermark in (ts, event_id) order, closing a version on
@@ -1688,7 +1711,8 @@ object StreamingPipeline {
   private final class Scd2StateProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Long, String),
-        (Long, Long, Boolean, String, Long, Long, Long)] {
+        (Long, Long, Boolean, String, Long, Long, Long)]
+      with TimerReconcile {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
       OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
@@ -1711,20 +1735,9 @@ object StreamingPipeline {
       val (ready, rest) = all.partition(_._1 <= wmUs)
       if (rest.isEmpty) buf.clear() else buf.put(rest)
       // exactly ONE pending timer per key = the earliest still-buffered
-      // event's drain time. A partial drain used to re-register without
-      // deleting the superseded timer, so stale timers accumulated per
-      // key and fired as no-op drains; reconcile against listTimers()
-      // instead (0–1 entries per key, a cheap keyed range scan).
-      val pending = getHandle.listTimers().toArray
-      if (rest.nonEmpty) {
-        val want = rest.map(_._1).min / 1000L + 1L
-        if (pending.contains(want))
-          pending.filter(_ != want).foreach(getHandle.deleteTimer)
-        else {
-          pending.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(want)
-        }
-      } else pending.foreach(getHandle.deleteTimer)
+      // event's drain time (TimerReconcile)
+      reconcileTimer(
+        if (rest.nonEmpty) Some(rest.map(_._1).min / 1000L + 1L) else None)
       if (ready.isEmpty) return Iterator.empty
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Boolean, String, Long, Long, Long)]
@@ -1854,7 +1867,8 @@ object StreamingPipeline {
   private final class AsofStateProcessor(tolUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Int, Long),
-        (Long, Long, Long, Boolean, Long, Long)] {
+        (Long, Long, Long, Boolean, Long, Long)]
+      with TimerReconcile {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
       OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
@@ -1882,19 +1896,16 @@ object StreamingPipeline {
       if (pRest.length != probes.length) {
         if (pRest.isEmpty) probeBuf.clear() else probeBuf.put(pRest)
       }
-      // one pending timer per key = the earliest still-buffered PROBE
-      // (refs emit nothing on their own — they compact lazily at the
-      // next drain any input or probe timer triggers)
-      val pending = getHandle.listTimers().toArray
-      if (pRest.nonEmpty) {
-        val want = pRest.map(_._1).min / 1000L + 1L
-        if (pending.contains(want))
-          pending.filter(_ != want).foreach(getHandle.deleteTimer)
-        else {
-          pending.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(want)
-        }
-      } else pending.foreach(getHandle.deleteTimer)
+      // one pending timer per key = the earliest still-buffered PROBE,
+      // or — when no probe is pending — the earliest still-buffered
+      // REF: without the ref fallback a key whose traffic ENDS would
+      // strand its above-watermark refs forever (no input, no probe
+      // timer → no drain → no compaction; state grows with every
+      // departed key — the round-14 self-review leak)
+      reconcileTimer(
+        if (pRest.nonEmpty) Some(pRest.map(_._1).min / 1000L + 1L)
+        else if (refRest.nonEmpty) Some(refRest.map(_._1).min / 1000L + 1L)
+        else None)
       if (refReady.isEmpty && pReady.isEmpty) return Iterator.empty
       var last = if (lastRef.exists()) Option(lastRef.get()) else None
       val out = scala.collection.mutable.ArrayBuffer

@@ -35,7 +35,8 @@ object GoldenDecodeGen {
     val out = if (args.nonEmpty) args(0) else GoldenPath
     val p = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, render().getBytes("UTF-8"))
-    println(s"[golden-decode] wrote ${render().linesIterator.size} packets to $out")
+    val content = render()
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    println(s"[golden-decode] wrote ${content.linesIterator.size} packets to $out")
   }
 }

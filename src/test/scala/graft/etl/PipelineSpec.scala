@@ -1029,6 +1029,67 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: ref-only key compacts via the fallback timer (no stranded-ref state leak)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_asof_leak").toString
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.asofPipeline(
+      pMem.toDF().toDF("user_id", "ts", "event_id"),
+      rMem.toDF().toDF("user_id", "ts", "event_id"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val name = "asof_leak_t"
+    val listener = StreamingPipeline.attachMonitoring(spark, base, name)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // u1 produces THREE refs and then goes silent — no probe for it
+      // ever arrives. Before the fallback timer, these refs stayed in
+      // refBuf forever (drain only ran on input or a probe timer):
+      // state grew with every departed key.
+      rMem.addData((1L, t("2024-01-01 10:00:00"), 1L),
+        (1L, t("2024-01-01 10:01:00"), 2L), (1L, t("2024-01-01 10:02:00"), 3L))
+      q.processAllAvailable()
+      // a different key drives the watermark far past u1's refs twice
+      // (the second batch lets u1's fallback timer FIRE under the
+      // advanced watermark)
+      rMem.addData((99L, t("2024-01-01 12:00:00"), 8L))
+      q.processAllAvailable()
+      rMem.addData((99L, t("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      // read the engine state rows from the monitoring sink: after
+      // compaction each key holds its ValueState lastRef (+99's one
+      // buffered ref) — a stranded u1 would add its 3 refBuf rows
+      val fs = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000
+      def lastStateRows(): Long = {
+        val m = StreamingPipeline.monitoringTable(spark, base, name)
+        m.orderBy(col("batch_id").desc).select("state_rows").head().getLong(0)
+      }
+      while (System.currentTimeMillis() < deadline && {
+        val p = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+        !fs.exists(p) || fs.listStatus(p).length < 3
+      }) Thread.sleep(200)
+      val rows = lastStateRows()
+      assert(rows <= 3,
+        s"stranded ref state: $rows rows (compaction timer did not fire)")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join: inclusive horizon, exactly-once pairs, state evicted past watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
