@@ -424,11 +424,17 @@ object Registry {
       .select(col("vec_id"), col("label"), col("embedding"))
   }
 
-  /** Queries whose BUILD executes a bounded streaming drain — the
-    * DataFrame that comes back is a summary over the drain's sink, so
-    * there is no static plan to lint or pin in plan_manifest.json
-    * (PlanLintSpec and PlanManifestGen both skip these). */
-  val planExempt: Set[String] = Set("a3_file_latency", "stream_monitoring_panel")
+  /** Queries whose BUILD executes heavy work — a bounded streaming
+    * drain, or ANN training over a forged fixture — so the DataFrame
+    * that comes back is a summary over executed results, not a plan
+    * worth pinning; PlanLintSpec and PlanManifestGen both skip these
+    * (linting them would EXECUTE the drain/training just to stringify
+    * a summary plan). */
+  val planExempt: Set[String] = Set(
+    "a3_file_latency", "stream_monitoring_panel",
+    // forge + localCheckpoint + kmeans/IVF-PQ training run at build
+    // time; their plan shape is a joined summary over trained models
+    "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered")
 
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim)).toMap

@@ -1801,6 +1801,15 @@ object StreamingPipeline {
     * within the watermark delay — the funnel/SCD2 bound). Tolerance is
     * applied per candidate at emit, exactly the batch rule.
     *
+    * The O(1) is PER KEY: the compacted record lives as long as the
+    * key does (semantically required — a probe may arrive years after
+    * the key's last reference and the backward match must still be
+    * it), so total state grows with LIFETIME distinct keys. That is
+    * the right contract for entity keys (users, devices, symbols);
+    * for provably-retiring key spaces (session ids) bound the key
+    * universe upstream — an automatic TTL here would silently turn
+    * late probes into false unmatched rows.
+    *
     * Tie rules are the batch twin's, verbatim: an exactly-simultaneous
     * reference matches (refs fold before probes at equal ts), among
     * equal-ts references the max id wins. Fed watermark-safely the
@@ -2014,43 +2023,68 @@ object StreamingPipeline {
     * `spark.streams.removeListener` it when done. Listener events are
     * delivered asynchronously AFTER batch commit — a reader that needs
     * batch N's row must poll for the file, not assume it exists the
-    * instant `awaitTermination` returns. */
-  def attachMonitoring(spark: SparkSession, dir: String, queryName: String)
-      : org.apache.spark.sql.streaming.StreamingQueryListener = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        if (p.name != null && p.name == queryName) {
-          val so = p.stateOperators
-          def sumL(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
-            if (so == null) 0L else so.map(f).sum
-          val wm = Option(p.eventTime)
-            .flatMap(m => Option(m.get("watermark"))).getOrElse("")
-          val row =
-            s"""{"query_name":${jsonQuote(p.name)},"query_id":"${p.id}",""" +
-              s""""run_id":"${p.runId}","batch_id":${p.batchId},""" +
-              s""""ts":${jsonQuote(p.timestamp)},""" +
-              s""""batch_duration_ms":${p.batchDuration},""" +
-              s""""num_input_rows":${p.numInputRows},""" +
-              s""""state_rows":${sumL(_.numRowsTotal)},""" +
-              s""""state_rows_updated":${sumL(_.numRowsUpdated)},""" +
-              s""""state_bytes":${sumL(_.memoryUsedBytes)},""" +
-              s""""rows_dropped_by_watermark":${sumL(_.numRowsDroppedByWatermark)},""" +
-              s""""watermark":${jsonQuote(wm)}}"""
+    * instant `awaitTermination` returns.
+    *
+    * A failed row WRITE (disk full, permissions) would otherwise be
+    * swallowed by Spark's listener bus — a hole in the very record
+    * built to catch silent loss — so the listener counts write
+    * failures ([[MonitoringListener.writeFailures]]) for the operator
+    * of the monitoring job to alert on, in addition to the stderr
+    * trace the bus logs. */
+  def attachMonitoring(spark: SparkSession, dir: String,
+                       queryName: String): MonitoringListener = {
+    val listener = new MonitoringListener(
+      spark.sparkContext.hadoopConfiguration, dir, queryName)
+    spark.streams.addListener(listener)
+    listener
+  }
+
+  /** The [[attachMonitoring]] listener — see there for the contract. */
+  final class MonitoringListener(
+      hconf: org.apache.hadoop.conf.Configuration,
+      dir: String, queryName: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val failures = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Rows that could not be written — nonzero means the monitoring
+      * record has gaps and must not be trusted as complete. */
+    def writeFailures: Long = failures.get()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (p.name != null && p.name == queryName) {
+        val so = p.stateOperators
+        def sumL(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          if (so == null) 0L else so.map(f).sum
+        val wm = Option(p.eventTime)
+          .flatMap(m => Option(m.get("watermark"))).getOrElse("")
+        val row =
+          s"""{"query_name":${jsonQuote(p.name)},"query_id":"${p.id}",""" +
+            s""""run_id":"${p.runId}","batch_id":${p.batchId},""" +
+            s""""ts":${jsonQuote(p.timestamp)},""" +
+            s""""batch_duration_ms":${p.batchDuration},""" +
+            s""""num_input_rows":${p.numInputRows},""" +
+            s""""state_rows":${sumL(_.numRowsTotal)},""" +
+            s""""state_rows_updated":${sumL(_.numRowsUpdated)},""" +
+            s""""state_bytes":${sumL(_.memoryUsedBytes)},""" +
+            s""""rows_dropped_by_watermark":${sumL(_.numRowsDroppedByWatermark)},""" +
+            s""""watermark":${jsonQuote(wm)}}"""
+        try {
           val path = new org.apache.hadoop.fs.Path(
             s"$dir/_monitoring/$queryName/batch_${p.batchId}.json")
           val fs = path.getFileSystem(hconf)
           val os = fs.create(path, true)
           try os.write((row + "\n").getBytes("UTF-8")) finally os.close()
+        } catch {
+          case scala.util.control.NonFatal(e2) =>
+            failures.incrementAndGet()
+            System.err.println(
+              s"[graft-monitoring] row write FAILED for $queryName " +
+                s"batch ${p.batchId}: ${e2.getMessage}")
         }
       }
     }
-    spark.streams.addListener(listener)
-    listener
   }
 
   /** Read the [[attachMonitoring]] sink back as a table — one row per
@@ -2118,14 +2152,25 @@ object StreamingPipeline {
         .format("parquet").start(out)
       require(q.awaitTermination(300000), "monitoring demo drain timed out")
       // listener delivery is async post-commit: poll for all 3 input
-      // batches' rows (plus however many no-data batches Spark ran)
+      // batches' rows (plus however many no-data batches Spark ran) —
+      // and FAIL LOUD on timeout or dropped writes, never summarize a
+      // partial record (it would surface as a baffling oracle
+      // data-mismatch instead of this error)
       val monDir = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
       val fs = monDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val deadline = System.currentTimeMillis() + 60000
       while ((!fs.exists(monDir) || fs.listStatus(monDir).length < 3) &&
              System.currentTimeMillis() < deadline) Thread.sleep(200)
+      require(listener.writeFailures == 0,
+        s"monitoring listener dropped ${listener.writeFailures} row writes")
+      require(fs.exists(monDir) && fs.listStatus(monDir).length >= 3,
+        "monitoring rows incomplete after 60 s — listener lagging or writes lost")
       val m = monitoringTable(spark, base.toString, name)
-      m.agg(
+      // materialize the one-row panel EAGERLY so the temp dir (parquet
+      // sink + checkpoint + RocksDB + monitoring rows, re-created on
+      // every Verify/sweep run) can be deleted before returning — a
+      // lazy DataFrame over the files would leak one dir per build
+      val row = m.agg(
         sum(when(col("num_input_rows") > 0, 1L).otherwise(0L))
           .cast("long").as("n_input_batches"),
         sum("num_input_rows").cast("long").as("rows_in"),
@@ -2136,6 +2181,15 @@ object StreamingPipeline {
           max("batch_duration_ms") < 600000L).as("durations_ok"),
         (max("watermark") >= "2024-01-01T00:59:00.000Z")
           .as("watermark_advanced"))
-    } finally spark.streams.removeListener(listener)
+      val rows = row.collect().toSeq
+      val schema = row.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally {
+      spark.streams.removeListener(listener)
+      val basePath = new org.apache.hadoop.fs.Path(base.toString)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+    }
   }
 }

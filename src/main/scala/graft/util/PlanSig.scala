@@ -94,11 +94,22 @@ object PlanSig {
   }
 
   /** Read a manifest written by [[write]] (names and signatures are
-    * quote-free identifiers — the fixed format needs no JSON library). */
+    * quote-free identifiers — the fixed format needs no JSON library).
+    * FAIL-LOUD parse: a malformed line or a duplicated query name
+    * (bad merge, hand edit) would otherwise lint against the wrong
+    * pin via silent skip/last-wins — the Registry duplicate-name
+    * lesson applied to the manifest. */
   def read(path: String): Map[String, String] = {
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")
-    """"([^"]+)":\s*"([^"]+)"""".r
-      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+    val lineRe = """\s*"([^"]+)":\s*"([^"]+)",?\s*""".r
+    val pairs = scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .filterNot(l => l.trim == "{" || l.trim == "}" || l.trim.isEmpty)
+      .map {
+        case lineRe(n, s) => n -> s
+        case bad => throw new IllegalStateException(
+          s"$path: malformed manifest line: '$bad'")
+      }.toSeq
+    val dups = pairs.groupBy(_._1).collect { case (n, ps) if ps.size > 1 => n }
+    require(dups.isEmpty, s"$path: duplicate manifest entries: ${dups.mkString(", ")}")
+    pairs.toMap
   }
 }
