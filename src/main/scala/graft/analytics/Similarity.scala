@@ -646,6 +646,61 @@ object Similarity {
       vecCol = ivfPqReconCol(cellCentroids, codebook))
   }
 
+  /** IVF-PQ search with an exact re-rank (refine) stage — the
+    * production composition every large ANN deployment runs (FAISS's
+    * `IndexRefineFlat` over `IndexIVFPQ`): the ADC scan is a recall
+    * FUNNEL, not the final ranking. Stage 1 takes an ADC shortlist of
+    * `refine × k` candidates per query ([[ivfPqTopK]] — codes-table
+    * scan, 4 + m bytes a vector); stage 2 re-scores ONLY the shortlist
+    * against the full-precision corpus with the codegen'd
+    * [[cosine]] and keeps the true top-k. This provably clears the ADC
+    * quantization floor whenever the true neighbors reach the
+    * shortlist: on the clustered fixture recall@10 was 0.4–0.7 at ANY
+    * nProbe (quantization, not cell selection — see
+    * `sim_ivfpq_recall_clustered`); refined it is 1.0 (measured,
+    * `sim_ivfpq_recall_refined`).
+    *
+    * Scale shape (100 TB): the shortlist is |queries| × refine × k
+    * (query-panel-sized, REQUIRED bounded ≤ 1M rows) and is collected
+    * so the full-precision re-scan arrives as an `In(vec_id, …)`
+    * pushdown — the float corpus is read at shortlist row-group
+    * granularity, never scanned (a broadcast join on vec_id would
+    * stream every corpus row past the probe). The collect is one
+    * bounded ADC job; re-scoring is a two-broadcast join over ≤
+    * shortlist rows. `refine = 1` degenerates to a pure re-ordering of
+    * the ADC top-k (it cannot recover candidates ADC missed — use
+    * refine ≥ 5 to clear the floor). Output matches
+    * [[bruteForceTopK]]: (query_id, vec_id, label, cosine, rk). */
+  def ivfPqTopKRefined(embeddings: DataFrame, cellCentroids: DataFrame,
+                       codebook: DataFrame, codes: DataFrame,
+                       queryIds: Seq[Long], k: Int, nProbe: Int,
+                       refine: Int = 5): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1: $refine")
+    require(queryIds.size.toLong * refine * k <= 1000000L,
+      s"shortlist |queries|*refine*k = ${queryIds.size.toLong * refine * k} " +
+        "exceeds the 1M bounded-collect guard — shrink refine or batch the queries")
+    val spark = embeddings.sparkSession
+    val pairs = ivfPqTopK(embeddings, cellCentroids, codebook, codes,
+        queryIds, refine * k, nProbe)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val shortlist = pairs.toSeq.toDF("query_id", "vec_id")
+    val candIds = (pairs.map(_._2) ++ queryIds).distinct.toSeq
+    // In() pushdown: only shortlist (+ query) vectors leave the scan
+    val corpus = embeddings
+      .filter(col("vec_id").isInCollection(candIds) && col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"), col("label"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val rescored = corpus.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("vec")).as("cos"))
+    heapTopK(rescored, k, Some("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
   /** The shared probe-then-scan tail of the cell-keyed indexes
     * ([[ivfTopKByCells]], [[ivfPqTopK]]): rank cells per query against
     * the centroid table with the `graft_topk` heap, broadcast the

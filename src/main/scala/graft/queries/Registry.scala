@@ -111,10 +111,15 @@ object Registry {
     * baseline ~0.0 ± 0.04; measured gap ≤ 0.078, floor ≥ 0.234). */
   private[queries] def ivfPqSelectionSurface(s: SparkSession, emb: DataFrame,
                                     cc: DataFrame, cb: DataFrame,
-                                    codes: DataFrame): DataFrame = {
+                                    codes: DataFrame,
+                                    refine: Option[Int] = None): DataFrame = {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
-    val sel = Similarity.ivfPqTopK(emb, cc, cb, codes, qids, 10, nProbe = 4)
-      .select(col("query_id"), col("vec_id"))
+    val sel = (refine match {
+      case Some(r) =>
+        Similarity.ivfPqTopKRefined(emb, cc, cb, codes, qids, 10, nProbe = 4, refine = r)
+      case None =>
+        Similarity.ivfPqTopK(emb, cc, cb, codes, qids, 10, nProbe = 4)
+    }).select(col("query_id"), col("vec_id"))
     val exact = Similarity.bruteForceTopK(emb, qids, 10)
       .select(col("query_id"), col("vec_id"))
     val corpus = emb.filter(col("embedding").isNotNull)
@@ -434,7 +439,8 @@ object Registry {
     "a3_file_latency", "stream_monitoring_panel",
     // forge + localCheckpoint + kmeans/IVF-PQ training run at build
     // time; their plan shape is a joined summary over trained models
-    "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered")
+    "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered",
+    "sim_ivfpq_recall_refined")
 
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim)).toMap

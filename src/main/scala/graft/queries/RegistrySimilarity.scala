@@ -220,6 +220,38 @@ private[queries] object RegistrySimilarity {
         TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
         ORDER BY query_id""")),
 
+    // IVF-PQ + exact re-rank (refine) on the same clustered fixture —
+    // the r14-verdict #1 composition: the ADC scan becomes a recall
+    // FUNNEL (shortlist of refine×k = 50) and full-precision cosine
+    // re-scores only the shortlist. This clears the measured ADC
+    // quantization floor: un-refined recall@10 was 0.4–0.7 at ANY
+    // nProbe (sim_ivfpq_recall_clustered); refined it is 1.0 for every
+    // query at every SF (measured; threshold 0.8 = hits >= 8, the
+    // established slack discipline).
+    QueryDef("sim_ivfpq_recall_refined",
+      (s, d) => {
+        val emb = Registry.forgeClusteredEmbeddings(s, d).localCheckpoint(true)
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        val pq = Similarity.ivfPqTopKRefined(emb, cc, cb, codes, qids, 10,
+            nProbe = 2, refine = 5)
+          .select(col("query_id"), col("vec_id"))
+        val exact = Similarity.bruteForceTopK(emb, qids, 10)
+          .select(col("query_id"), col("vec_id"))
+        val overlap = exact.join(pq, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        emb.filter(col("vec_id").isInCollection(qids))
+          .select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"), lit(10L).as("k"),
+            (coalesce(col("hits"), lit(0L)) >= 8).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        TRUE AS recall_ok FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id""")),
+
     // int8 scalar quantization: exact search over the 4×-smaller
     // quantized corpus must preserve the full-precision top-10 almost
     // perfectly — recall@10 >= 0.8 per query (measured min 0.9 across
@@ -375,6 +407,23 @@ private[queries] object RegistrySimilarity {
         ivfPqSelectionSurface(s, t(s, d, "embeddings"),
           s.read.parquet(s"$dir/cells"), s.read.parquet(s"$dir/codebook"),
           s.read.parquet(s"$dir/codes"))
+      },
+      Some(ivfPqSelectionOracle),
+      bench = true),
+
+    // IVF-PQ + refine over the SAME persisted read-back index — the
+    // bench row that prices the refine stage itself: delta vs
+    // sim_ivfpq_search is the cost of collecting the 50-per-query ADC
+    // shortlist and re-scoring it full-precision (one bounded extra
+    // job + an In()-pushdown point scan; never a corpus scan). Same
+    // selection-quality surface and oracle — refined picks can only
+    // score >= the ADC picks, so the invariant holds a fortiori.
+    QueryDef("sim_ivfpq_refined_search",
+      (s, d) => {
+        val dir = ivfPqIndexDir(s, d)
+        ivfPqSelectionSurface(s, t(s, d, "embeddings"),
+          s.read.parquet(s"$dir/cells"), s.read.parquet(s"$dir/codebook"),
+          s.read.parquet(s"$dir/codes"), refine = Some(5))
       },
       Some(ivfPqSelectionOracle),
       bench = true),

@@ -1978,6 +1978,48 @@ class AnalyticsSpec extends SparkSpec {
       top.map(r => (r.getLong(1), r.getDouble(3))).toSeq)
   }
 
+  test("ivfPqTopKRefined: full shortlist equals brute force exactly; refine=1 re-orders the ADC picks; guards") {
+    import spark.implicits._
+    // same two-cluster jitter fixture as the residual test: ADC blurs
+    // within-cluster order, so re-ranking has real work to do
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 1f, 0f) else Array(0f, -10f, 0f, 1f)
+      val j = (i / 2) % 6
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + (if (d == (j % 4)) 0.2f * (j + 1) else 0.05f * j) }, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val (cc, cb, codes) = Similarity.ivfPqIndex(vecs, nCells = 2, m = 2, ksub = 4, rounds = 3)
+    // refine=8 at k=3, both cells probed → the shortlist is the whole
+    // corpus, so refined output must EQUAL the exact brute-force top-k
+    // row for row (ids, labels, cosines, ranks — the strongest pin)
+    val refined = Similarity.ivfPqTopKRefined(vecs, cc, cb, codes,
+      Seq(0L, 1L), 3, nProbe = 2, refine = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    val exact = Similarity.bruteForceTopK(vecs, Seq(0L, 1L), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    assert(refined.toSeq == exact.toSeq,
+      s"full-shortlist refine must reproduce brute force:\n${refined.toSeq}\nvs\n${exact.toSeq}")
+    // refine=1 cannot recover ADC misses — it re-scores exactly the
+    // ADC top-k set (same ids, full-precision cosines/order)
+    val adc = Similarity.ivfPqTopK(vecs, cc, cb, codes, Seq(0L), 3, 2)
+      .collect().map(_.getLong(1)).toSet
+    val re1 = Similarity.ivfPqTopKRefined(vecs, cc, cb, codes,
+      Seq(0L), 3, nProbe = 2, refine = 1).collect()
+    assert(re1.map(_.getLong(1)).toSet == adc)
+    // refined cosines are the exact full-precision scores
+    val exactByScore = Similarity.bruteForceTopK(vecs, Seq(0L), 24).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    re1.foreach(r => assert(r.getDouble(3) == exactByScore(r.getLong(1))))
+    // guards: refine < 1 and the bounded-collect ceiling both fail loud
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefined(vecs, cc, cb, codes, Seq(0L), 3, 2, refine = 0)
+    }.getMessage.contains("refine"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefined(vecs, cc, cb, codes,
+        (0L until 100L), 3000, 2, refine = 400)
+    }.getMessage.contains("bounded-collect"))
+  }
+
   test("PQ recovers exactly-representable vectors; ADC search matches brute force") {
     import spark.implicits._
     // 6 vectors = ksub, so every subvector pattern seeds its own cell:

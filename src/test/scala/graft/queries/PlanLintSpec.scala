@@ -28,7 +28,8 @@ class PlanLintSpec extends SparkSpec {
     "range_join_windows", "sim_hard_negatives", "sim_cosine_topk",
     "sim_truncated_topk", "sim_ivf_topk", "sim_kmeans_recall",
     "sim_quantized_recall", "sim_binary_hamming_topk", "sim_ivfpq_topk",
-    "sim_ivfpq_search", "sim_mmr_rerank", "txt_vocab_overlap",
+    "sim_ivfpq_search", "sim_ivfpq_refined_search", "sim_mmr_rerank",
+    "txt_vocab_overlap",
     "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered")
 
   test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels; plan shape matches the committed manifest") {
