@@ -698,6 +698,69 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** One semantic-admission decision over a persisted SRP-bucket store
+    * — the embedding-modality batch core of
+    * [[graft.streaming.StreamingPipeline.semanticAdmissionPipeline]]
+    * (and a usable batch gate on its own): an incoming vector is
+    * admitted iff NO already-admitted store vector in its SRP bucket
+    * sits at cosine ≥ `tau`, AND no SMALLER-vec_id batch-mate in its
+    * bucket does. The intra-batch rule is [[semanticDedup]]'s
+    * deterministic pessimistic greedy (an earlier near-dup rejects you
+    * even if it was itself rejected — upper-bounds removal; compose
+    * [[clustersFromPairs]] offline when exact keep-one-per-component
+    * semantics are required).
+    *
+    * `store`: (bucket: long, vec: array<double>) — admitted corpus
+    * vectors, bucketed at the SAME (nBits, dim) as this call (the
+    * store's invariant; drifting params silently mis-bucket, so
+    * persist them with the store). `incoming`: (vec_id, …, embedding).
+    * Output: EVERY incoming row as (vec_id, bucket, n_store_dups,
+    * n_batch_earlier_dups, admitted) — null-embedding rows carry a
+    * null bucket, zero counts, admitted = true (the shingle-less
+    * convention: an unscoreable row is never silently dropped; it is
+    * also never stored).
+    *
+    * Recall contract (the LSH trade, stated honestly): a pair is only
+    * COMPARED when it shares the bucket. Exact duplicates and
+    * positive-scaled copies always collide (SRP is sign-of-projection
+    * — scale-invariant); a near-dup at angle θ lands same-bucket with
+    * probability (1 − θ/π)^nBits. Lower `nBits` for recall, raise it
+    * to shrink candidate sets. Scale shape (100 TB): candidates cross
+    * only as bucket-equi-join rows (batch × bucket-slice, never
+    * store²); callers should slice the store scan to the batch's
+    * buckets first (the pipeline collects the ≤batch-sized bucket list
+    * and gets an In() pushdown). */
+  def semanticAdmit(store: DataFrame, incoming: DataFrame, tau: Double,
+                    nBits: Int, dimOpt: Option[Int] = None): DataFrame = {
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1,30]: $nBits")
+    val dim = dimOpt.getOrElse(Similarity.embeddingDim(incoming))
+    val inc = graft.util.SparkUtil.widen(incoming)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+      .withColumn("bucket",
+        when(col("vec").isNotNull, Similarity.srpBucket(col("vec"), dim, nBits)))
+    val scored = inc.filter(col("vec").isNotNull)
+    val storeDups = scored
+      .join(store.select(col("bucket"), col("vec").as("vec_s")), Seq("bucket"))
+      .filter(Similarity.cosine(col("vec"), col("vec_s")) >= tau)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_store_dups"))
+    val a = scored.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = scored.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val batchDups = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_batch_earlier_dups"))
+    inc.select(col("vec_id"), col("bucket"))
+      .join(storeDups, Seq("vec_id"), "left")
+      .join(batchDups, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_store_dups", "n_batch_earlier_dups"))
+      .select(col("vec_id"), col("bucket"),
+        col("n_store_dups"), col("n_batch_earlier_dups"),
+        (col("n_store_dups") === 0 && col("n_batch_earlier_dups") === 0)
+          .as("admitted"))
+  }
+
   /** Duplicate-cluster formation — the stage AFTER pair generation:
     * near-dup candidate pairs form a graph; its connected components
     * are the duplicate clusters, and `cluster_id = min(doc_id in

@@ -434,6 +434,72 @@ private[queries] object RegistryDedup {
           FROM v LEFT JOIN dups d USING (vec_id) ORDER BY vec_id"""
       }, bench = true),
 
+    // Semantic admission batch twin (r14 verdict #2): the SAME
+    // Dedup.semanticAdmit the streaming semanticAdmissionPipeline runs
+    // per micro-batch, exercised over a forged store/incoming split of
+    // the embeddings table — store = even vec_ids (SRP-bucketed),
+    // incoming = odd vec_ids PLUS planted positive-scaled copies of
+    // the %10 store vectors (×2.0 — SRP is sign-of-projection, so a
+    // scaled copy lands in the SAME bucket with cosine ≈ 1: MUST be
+    // rejected via the store; null-embedding incoming rows are
+    // admitted untouched with a null bucket). The scaling happens
+    // AFTER the double cast on BOTH engines so the floats are
+    // bit-identical; cos >= tau compares unrounded doubles (the
+    // dedup_embedding_cosine precedent).
+    QueryDef("corpus_admit_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = Similarity.embeddingDim(emb)
+        val vecd = transform(col("embedding"), x => x.cast("double"))
+        val store = emb
+          .filter(col("vec_id") % 2 === 0 && col("embedding").isNotNull)
+          .select(Similarity.srpBucket(vecd, dim, 4).as("bucket"),
+            vecd.as("vec"))
+        val incoming = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), vecd.as("embedding"))
+          .unionByName(emb
+            .filter(col("vec_id") % 10 === 0 && col("embedding").isNotNull)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              transform(vecd, x => x * lit(2.0d)).as("embedding")))
+        Dedup.semanticAdmit(store, incoming, 0.35, 4, Some(dim))
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+            col("n_store_dups").cast("long").as("n_store_dups"),
+            col("n_batch_earlier_dups").cast("long").as("n_batch_earlier_dups"),
+            col("admitted"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH base AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          st AS MATERIALIZED (SELECT ${srpBucketSql(4)} AS bucket, vec
+            FROM base WHERE vec_id % 2 = 0 AND vec IS NOT NULL),
+          inc0 AS (SELECT vec_id, vec FROM base WHERE vec_id % 2 = 1
+            UNION ALL
+            SELECT vec_id + 10000000, list_transform(vec, x -> x * 2.0)
+            FROM base WHERE vec_id % 10 = 0 AND vec IS NOT NULL),
+          inc AS MATERIALIZED (SELECT vec_id, vec,
+            CASE WHEN vec IS NULL THEN NULL ELSE ${srpBucketSql(4)} END AS bucket
+            FROM inc0),
+          sd AS (SELECT i.vec_id, count(*)::BIGINT AS n
+            FROM inc i JOIN st s ON i.bucket = s.bucket
+            WHERE ${cos("i.vec", "s.vec")} >= 0.35 GROUP BY i.vec_id),
+          bd AS (SELECT b.vec_id, count(*)::BIGINT AS n
+            FROM inc a JOIN inc b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${cos("a.vec", "b.vec")} >= 0.35 GROUP BY b.vec_id)
+          SELECT i.vec_id, i.bucket::BIGINT AS bucket,
+            coalesce(sd.n, 0)::BIGINT AS n_store_dups,
+            coalesce(bd.n, 0)::BIGINT AS n_batch_earlier_dups,
+            (coalesce(sd.n, 0) = 0 AND coalesce(bd.n, 0) = 0) AS admitted
+          FROM inc i LEFT JOIN sd ON i.vec_id = sd.vec_id
+          LEFT JOIN bd ON i.vec_id = bd.vec_id
+          ORDER BY i.vec_id"""
+      }, bench = true),
+
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
       Some {

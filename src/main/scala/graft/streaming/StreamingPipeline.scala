@@ -620,6 +620,141 @@ object StreamingPipeline {
       }
   }
 
+  /** Continuous SEMANTIC admission — the third gate at the admission
+    * seam ([[admissionPipeline]] = lexical near-dup MinHash store,
+    * [[bloomAdmissionPipeline]] = exact Bloom sketch; this = embedding
+    * near-dup over a persisted SRP-bucket store). Incoming vector
+    * files (JSONL: vec_id, label, embedding: double array) land in
+    * `incomingDir`; each micro-batch
+    *  1. buckets incoming embeddings
+    *     ([[graft.analytics.Similarity.srpBucket]], deterministic),
+    *  2. reads ONLY the store slice sharing the batch's buckets (the
+    *     ≤batch-sized distinct-bucket list is collected and pushed as
+    *     an `In(bucket, …)` parquet filter — per-batch store IO is
+    *     bucket-sliced, never a full store scan),
+    *  3. decides admission with the batch core
+    *     [[graft.analytics.Dedup.semanticAdmit]]: rejected iff an
+    *     admitted store vector OR a smaller-vec_id batch-mate in the
+    *     same bucket sits at cosine ≥ `tau` (exact verify on
+    *     batch × candidate, never corpus),
+    *  4. writes admitted rows and their (vec_id, bucket, vec) store
+    *     records under batch_id-scoped overwrite dirs.
+    * Replay discipline is [[admissionPipeline]]'s batch_id EXCLUSION:
+    * a replayed batch filters its own partition out of the store read,
+    * so it computes against exactly the pre-batch store and rewrites
+    * byte-identical content (admission is a pure function of
+    * (pre-batch store, batch) — SRP, cosine and the greedy are all
+    * deterministic).
+    *
+    * State budget at 100 TB: the store holds (8 + 8 + 8·dim) B per
+    * admitted vector — the full-precision vector is REQUIRED (the
+    * exact-cosine verify is what keeps false rejections at zero among
+    * colliding candidates); at dim=64 that is ~528 B/vector, ~0.5 TB
+    * per 10⁹ admitted vectors, and the per-batch read slice is the
+    * batch's bucket cover, not the store. Recall follows the SRP
+    * contract on [[graft.analytics.Dedup.semanticAdmit]]: exact and
+    * positive-scaled duplicates ALWAYS collide; angle-θ near-dups
+    * collide with probability (1 − θ/π)^nBits. Null-embedding rows are
+    * admitted untouched and never stored (the shingle-less
+    * convention). `dim` is part of the store's identity — changing it
+    * (or `nBits`) against an existing store mis-buckets silently, so
+    * both are pinned in a `_params` file and checked fail-loud. */
+  def semanticAdmissionPipeline(spark: SparkSession, incomingDir: String,
+                                storeDir: String, outDir: String,
+                                checkpoint: String,
+                                trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                                maxFilesPerTrigger: Int = 16,
+                                tau: Double = 0.9, nBits: Int = 8,
+                                dim: Int = 64,
+                                failHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.analytics.{Dedup, Similarity}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("label", LongType, nullable = true),
+      StructField("embedding", ArrayType(DoubleType), nullable = true)))
+    val storeSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("bucket", LongType),
+      StructField("vec", ArrayType(DoubleType)),
+      StructField("batch_id", LongType)))
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(incomingDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        // batch-scoped shuffle width (admissionPipeline's rationale)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(8, maxFilesPerTrigger).toString)
+        try {
+          val storePath = new Path(storeDir)
+          val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // (nBits, dim, tau-independent) bucketing params are the
+          // store's identity: drifting them mis-buckets every lookup
+          // with zero errors surfaced — pin on first write, verify after
+          val paramsFile = new Path(storeDir + "_params")
+          val wantParams = s"nBits=$nBits dim=$dim"
+          if (fs.exists(paramsFile)) {
+            val in = fs.open(paramsFile)
+            val got = try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+            require(got == wantParams,
+              s"semantic store $storeDir was built with ($got) but this " +
+                s"pipeline runs ($wantParams): bucketing params are the " +
+                "store's identity — restart with the original parameters, " +
+                "or delete the store to rebuild membership from scratch")
+          }
+          val cachedBatch = batch.cache()
+          try {
+            // the batch's bucket cover — bounded by batch rows; pushed
+            // into the store scan as an In() filter (never a full scan)
+            val batchBuckets = cachedBatch
+              .filter(col("embedding").isNotNull)
+              .select(Similarity.srpBucket(col("embedding"), dim, nBits)
+                .as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val store =
+              if (fs.exists(storePath))
+                spark.read.schema(storeSchema).parquet(storeDir)
+                  // replay: never see this batch's own persisted slice
+                  .filter(col("batch_id") =!= batchId)
+                  .filter(col("bucket").isInCollection(
+                    if (batchBuckets.isEmpty) Seq(-1L) else batchBuckets))
+                  .select("bucket", "vec")
+              else
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  StructType(Seq(StructField("bucket", LongType),
+                    StructField("vec", ArrayType(DoubleType)))))
+            // eagerly materialized: both sinks consume the decision —
+            // uncheckpointed, each would re-run the store join
+            val admitted = Dedup.semanticAdmit(store, cachedBatch, tau, nBits,
+                Some(dim))
+              .filter(col("admitted")).select("vec_id", "bucket")
+              .localCheckpoint(true)
+            cachedBatch.join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            cachedBatch.filter(col("embedding").isNotNull)
+              .select(col("vec_id"), col("embedding").as("vec"))
+              .join(admitted, Seq("vec_id"))
+              .select(col("vec_id"), col("bucket"), col("vec"))
+              .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+            if (!fs.exists(paramsFile)) {
+              val os = fs.create(paramsFile, false)
+              try os.write(wantParams.getBytes("UTF-8")) finally os.close()
+            }
+            failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
+          } finally cachedBatch.unpersist()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        ()
+      }
+  }
+
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event
     * stream: tumbling 60 s counts per label with a watermark bounding
     * state (the reference's ALIGN_RATE dashboards; SURVEY §2.4). */

@@ -193,6 +193,71 @@ class PipelineSpec extends SparkSpec {
     assert(mmsg.contains("incarnation"), s"wrong failure: $mmsg")
   }
 
+  test("semantic admission: persisted SRP store rejects cross-batch embedding dups, replay is loss-free, params pinned") {
+    val in = Files.createTempDirectory("graft_sadm_in").toString
+    val base = Files.createTempDirectory("graft_sadm").toString
+    val (st, out, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+    def vec(id: Long, e: Seq[Double]) =
+      s"""{"vec_id":$id,"label":0,"embedding":[${e.mkString(",")}]}"""
+    def runOnce(hook: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => (),
+                dim: Int = 4): Unit = {
+      val q = StreamingPipeline.semanticAdmissionPipeline(spark, in, st, out,
+        ckpt, trigger = Trigger.AvailableNow(), tau = 0.9, nBits = 4,
+        dim = dim, failHook = hook).start()
+      q.awaitTermination(120000)
+    }
+    def admittedIds(): Seq[Long] = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0)
+    // batch 1: 2 is a ×3-scaled copy of 1 (same SRP bucket — scale
+    // invariant — cosine 1) → intra-batch greedy keeps the smaller id;
+    // 5 is orthogonal (admitted); 7 has a null embedding (admitted
+    // untouched, never stored)
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      vec(1L, v1) + "\n" + vec(2L, v1.map(_ * 3)) + "\n" +
+        vec(5L, Seq(0.0, 1.0, 0.0, 0.0)) + "\n" +
+        """{"vec_id":7,"label":0,"embedding":null}""")
+    runOnce()
+    assert(admittedIds() == Seq(1L, 5L, 7L))
+    val stored = spark.read.parquet(st).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(stored == Seq(1L, 5L), s"store must hold only scoreable admits: $stored")
+    // batch 2: 10 collides with the PERSISTED store (scaled copy of 1,
+    // corpus embeddings never re-read beyond the bucket slice); 11 novel
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      vec(10L, v1.map(_ * 2)) + "\n" + vec(11L, Seq(0.0, 0.0, 1.0, 0.0)))
+    runOnce()
+    assert(admittedIds() == Seq(1L, 5L, 7L, 11L))
+    // TRUE replay: crash AFTER both sinks, BEFORE the checkpoint commit
+    // — the replayed batch must exclude its own store partition (else
+    // it self-rejects and overwrites the dirs with empty: silent loss)
+    Files.writeString(Paths.get(in, "b3.jsonl"),
+      vec(20L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(hook = (_, _) => throw new RuntimeException("crash before commit"))
+    }
+    assert(crashed.getMessage.contains("crash before commit") ||
+      crashed.getCause.getMessage.contains("crash before commit"))
+    runOnce()
+    assert(admittedIds() == Seq(1L, 5L, 7L, 11L, 20L),
+      s"replay lost/duped vectors: ${admittedIds()}")
+    // and the replayed store still rejects an old dup
+    Files.writeString(Paths.get(in, "b4.jsonl"),
+      vec(30L, v1.map(_ * 5)))
+    runOnce()
+    assert(admittedIds() == Seq(1L, 5L, 7L, 11L, 20L))
+    // bucketing params are the store's identity: a restart with a
+    // different dim must fail LOUD, not silently mis-bucket
+    Files.writeString(Paths.get(in, "b5.jsonl"),
+      vec(40L, Seq(0.5, 0.5, 0.0, 0.0)))
+    val wedged = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(dim = 8)
+    }
+    val msg = wedged.getMessage +
+      Option(wedged.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("store's identity"), s"wrong failure: $msg")
+  }
+
   test("batch pipeline routes errors, writes events, counts per file") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
