@@ -637,6 +637,29 @@ object Bench {
       (-1.0, 0)
     }
 
+    // the bounded-state twin of the drain above: ONE stateful
+    // hll_sketch_agg under the sliding window (state = 4 KiB per open
+    // (window, label) cell vs the exact chain's per-user membership) —
+    // the 100 TB dashboard runs THIS; the delta vs
+    // rolling_distinct_stream is the price of exactness
+    val (rdHllSecs, rdHllEvents) = try {
+      val rows = Registry.table(spark, sfDir, "events")
+        .where("user_id IS NOT NULL AND ts IS NOT NULL")
+        .selectExpr("ts", "user_id", "event_type")
+        .orderBy("ts").toJSON.collect()
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("event_type", StringType)))
+      (twinDrain("rolling_distinct_hll_stream", rows, schema,
+        nFiles = 16, maxFilesPerTrigger = 2) { df =>
+        graft.streaming.StreamingPipeline.rollingDistinctHllPipeline(
+          df, windowDays = 7, watermarkDelay = "1 hour")
+      }, rows.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] rolling_distinct_hll_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     val all = results ++ Seq("stream_json" -> jsonSecs,
       "stream_binary" -> binSecs, "admission_stream" -> admSecs,
       "admission_stream_big" -> admBigSecs,
@@ -649,6 +672,7 @@ object Bench {
       "funnel_stream" -> funSecs,
       "novelty_stream" -> novSecs,
       "rolling_distinct_stream" -> rdSecs,
+      "rolling_distinct_hll_stream" -> rdHllSecs,
       "scd2_stream" -> scd2Secs,
       "asof_stream" -> asofSecs,
       "semantic_admission_stream" -> semSecs)
@@ -659,7 +683,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"rolling_distinct_hll_events_per_sec":${rate(rdHllEvents, rdHllSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

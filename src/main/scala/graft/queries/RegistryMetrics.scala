@@ -876,6 +876,43 @@ private[queries] object RegistryMetrics {
         ORDER BY event_type NULLS FIRST, end_day"""),
       bench = true),
 
+    // batch-mode audit of the LIVE bounded-state HLL pipeline
+    // (rollingDistinctHllPipeline — ONE stateful sliding-window
+    // hll_sketch_agg; no dedup stage because HLL insertion is
+    // idempotent): the SAME function joined 1:1 against the exact
+    // rollingDistinctPipeline on the full sliding-window universe
+    // (universe agreement is itself under test — a key mismatch drops
+    // rows and fails the oracle's row count); within_tol pins
+    // |approx − exact| ≤ 5%·exact (≳3σ at lgConfigK=12, and the
+    // sketch is sparse-mode EXACT at fixture cardinalities)
+    QueryDef("rolling_distinct_hll_windows",
+      (s, d) => {
+        val exact = graft.streaming.StreamingPipeline
+          .rollingDistinctPipeline(t(s, d, "events"), 7)
+        val approx = graft.streaming.StreamingPipeline
+          .rollingDistinctHllPipeline(t(s, d, "events"), 7)
+          .withColumnRenamed("event_type", "__k")
+          .withColumnRenamed("end_day", "__d")
+        exact.join(approx,
+            col("event_type") <=> col("__k") && col("end_day") === col("__d"))
+          .select(col("end_day"), col("event_type"), col("n_distinct_users"),
+            (abs(col("n_distinct_approx") - col("n_distinct_users"))
+              .cast("double") <= lit(0.05)
+                * col("n_distinct_users").cast("double")).as("within_tol"))
+          .orderBy(col("event_type"), col("end_day"))
+      },
+      Some("""WITH t AS MATERIALIZED (SELECT DISTINCT event_type, user_id,
+            CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT DISTINCT event_type, user_id,
+            day + i.o::INTEGER AS end_day
+          FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS o) i)
+        SELECT end_day, event_type,
+          count(*)::BIGINT AS n_distinct_users, TRUE AS within_tol
+        FROM c GROUP BY 1, 2
+        ORDER BY event_type NULLS FIRST, end_day"""),
+      bench = true),
+
     // label × weekday mutual information: exact integer counts, one
     // division + one ln per cell; marginals are window sums over the
     // ≤|labels|·7 panel

@@ -1403,6 +1403,55 @@ object StreamingPipeline {
         col("event_type"), col("n_distinct_users"))
   }
 
+  /** BOUNDED-STATE live rolling distinct — the streaming form of
+    * [[graft.metrics.Metrics.rollingDistinctUsersHll]] and the 100 TB
+    * answer to [[rollingDistinctPipeline]]'s state bill: the exact
+    * plan's first aggregate holds one cell per (open window, label,
+    * ACTIVE USER) — the irreducible exact-answer membership set — while
+    * this plan holds ONE ~2^lgConfigK-byte Datasketches HLL sketch per
+    * (open window, label): ≤ (w+1) × labels × 4 KiB at lgConfigK=12,
+    * independent of user cardinality and stream rate.
+    *
+    * The whole operator is ONE stateful sliding-window aggregate —
+    * `hll_sketch_agg(user_id)` under `window(ts, "w days", "1 day")`.
+    * No dedup stage exists because none is needed: HLL insertion is
+    * IDEMPOTENT (a repeated user re-sets the same register), so
+    * repeats collapse inside the sketch where the exact plan needed a
+    * (window, label, user) cell to collapse them structurally. Closed
+    * windows emit once (append); `end_day` = the window's last covered
+    * day, the panel's established convention.
+    *
+    * Estimate quality: ±1.04/√2^lgConfigK relative error (≈1.6% at
+    * lgConfigK=12); below the sketch's dense threshold HLL runs in
+    * sparse mode and is EXACT — at the fixture SFs the stream agrees
+    * with the exact twin verbatim (spec-pinned); at production
+    * cardinalities the 5% audit tolerance is ≳3σ. In batch mode the
+    * SAME function runs the same expand + sketch aggregate (watermark
+    * no-op) and is oracled as `rolling_distinct_hll_windows` via the
+    * exact-join audit. Output (append): (end_day DATE, event_type,
+    * n_distinct_approx BIGINT). */
+  def rollingDistinctHllPipeline(events: DataFrame, windowDays: Int = 7,
+                                 lgConfigK: Int = 12,
+                                 watermarkDelay: String = "0 seconds")
+      : DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"lgConfigK must be in [4,21]: $lgConfigK")
+    val prepped = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val src =
+      if (prepped.isStreaming) prepped.withWatermark("ts", watermarkDelay)
+      else prepped
+    src
+      .groupBy(window(col("ts"), s"$windowDays days", "1 day"),
+        col("event_type"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgConfigK))")
+        .cast("long").as("n_distinct_approx"))
+      .select(date_sub(to_date(col("window.end")), 1).as("end_day"),
+        col("event_type"), col("n_distinct_approx"))
+  }
+
   /** Streaming HARD quota limiter — the live twin of
     * [[graft.metrics.Metrics.quotaEnforce]], built on Spark 4's
     * `transformWithState` (the arbitrary-state API that supersedes

@@ -551,6 +551,64 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL rolling distinct live: one stateful sketch aggregate, sparse-mode exact, agrees with the exact stream twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val out = StreamingPipeline.rollingDistinctHllPipeline(
+      df, windowDays = 3, watermarkDelay = "1 day")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, java.sql.Timestamp)]
+    def feed(rows: (Long, Long, String, java.sql.Timestamp)*): Unit = {
+      fed ++= rows; mem.addData(rows: _*)
+    }
+    val q = out.writeStream.format("memory").queryName("rolling_hll")
+      .outputMode("append").start()
+    try {
+      // the exact chained test's fixture verbatim — same closure points
+      feed((1L, 1L, "view", t("2024-01-01 10:00:00")),
+        (2L, 1L, "view", t("2024-01-01 11:00:00")), // same-day dup
+        (3L, 2L, "view", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      feed((4L, 1L, "view", t("2024-01-02 09:00:00")),
+        (5L, 3L, "click", t("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      feed((6L, 9L, "view", t("2024-01-05 01:00:00")))
+      q.processAllAvailable()
+      feed((7L, 8L, "view", t("2024-01-08 12:00:00")))
+      q.processAllAvailable()
+      // the whole operator is ONE stateful aggregate (the exact chain
+      // needed three); its state is sketches, not user membership
+      assert(q.lastProgress.stateOperators.size == 1,
+        s"expected one sketch agg, got ${q.lastProgress.stateOperators.size}")
+      val closed = spark.table("rolling_hll").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      // sparse-mode HLL is exact at these cardinalities: the stream
+      // must reproduce the exact twin's closed panel verbatim (repeats
+      // collapse INSIDE the sketch — no dedup operator anywhere)
+      assert(closed == Map(
+        ("2024-01-01", "view") -> 2L, ("2024-01-02", "view") -> 2L,
+        ("2024-01-03", "view") -> 2L, ("2024-01-04", "view") -> 1L,
+        ("2024-01-05", "view") -> 1L, ("2024-01-06", "view") -> 1L,
+        ("2024-01-02", "click") -> 1L, ("2024-01-03", "click") -> 1L,
+        ("2024-01-04", "click") -> 1L), s"got $closed")
+      // batch mode of the SAME function, restricted to closed windows,
+      // matches the stream field for field
+      val fedDf = fed.toSeq.toDF("event_id", "user_id", "event_type", "ts")
+      val sameFn = StreamingPipeline.rollingDistinctHllPipeline(fedDf, 3)
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+        .filter { case ((d, ty), _) =>
+          d <= (if (ty == "view") "2024-01-06" else "2024-01-04") }
+      assert(sameFn == closed, s"batch-mode twin $sameFn != stream $closed")
+    } finally q.stop()
+  }
+
   test("A7 stateful absence alert fires on true silence via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
