@@ -436,7 +436,7 @@ object Registry {
     * (linting them would EXECUTE the drain/training just to stringify
     * a summary plan). */
   val planExempt: Set[String] = Set(
-    "a3_file_latency", "stream_monitoring_panel",
+    "a3_file_latency", "stream_monitoring_panel", "stream_skew_alerts",
     // forge + localCheckpoint + kmeans/IVF-PQ training run at build
     // time; their plan shape is a joined summary over trained models
     "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered",

@@ -116,6 +116,19 @@ private[queries] object RegistryMetrics {
           TRUE AS saw_state_bytes, TRUE AS durations_ok,
           TRUE AS watermark_advanced"""), bench = true),
 
+    // Watermark-skew ALERT over the monitoring sink (r14 verdict #4 —
+    // operationalizing the as-of 8%-drop incident): forged-skew drain
+    // where batches 2 and 3 each lose 2 of 3 rows to the watermark
+    // (ratio 2/3 > 0.5, twice ≥ k=2) → the alert FIRES with exact
+    // counts; the late rows sit far below EITHER candidate filter
+    // watermark so the panel is one-batch-lag-robust.
+    QueryDef("stream_skew_alerts",
+      (s, d) => graft.streaming.StreamingPipeline.skewAlertDemoPanel(s),
+      Some("""SELECT 'graft_skew_demo' AS query_name,
+          4::BIGINT AS n_input_batches, 2::BIGINT AS n_breach_batches,
+          16::BIGINT AS rows_in, 4::BIGINT AS rows_dropped_late,
+          TRUE AS alert""")),
+
     QueryDef("asof_join_enrichment",
       (s, d) => Metrics.asOfEnrichment(t(s, d, "events")),
       Some("""WITH w AS (SELECT event_id, user_id, ts, event_type,

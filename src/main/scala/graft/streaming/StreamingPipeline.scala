@@ -1989,10 +1989,15 @@ object StreamingPipeline {
     * key does (semantically required — a probe may arrive years after
     * the key's last reference and the backward match must still be
     * it), so total state grows with LIFETIME distinct keys. That is
-    * the right contract for entity keys (users, devices, symbols);
-    * for provably-retiring key spaces (session ids) bound the key
-    * universe upstream — an automatic TTL here would silently turn
-    * late probes into false unmatched rows.
+    * the right contract for entity keys (users, devices, symbols) and
+    * it is the DEFAULT (`keyTtl = None`). For provably-retiring key
+    * spaces (session ids), `keyTtl = Some(duration)` opts into a
+    * PROCESSING-TIME TTL on the compacted reference: a key idle longer
+    * than the TTL forgets its reference, so a probe arriving after
+    * expiry emits UNMATCHED even though a semantically-correct backward
+    * match once existed — that is the explicit trade (bounded state for
+    * retired keys vs wrong-for-late-probes), never a silent default;
+    * size the TTL well past the key space's retirement age.
     *
     * Tie rules are the batch twin's, verbatim: an exactly-simultaneous
     * reference matches (refs fold before probes at equal ts), among
@@ -2001,20 +2006,25 @@ object StreamingPipeline {
     * field (spec-pinned; also measured 202/202 on a real two-file-
     * stream drain at sf0.001 with zero lateness).
     *
-    * Size `watermarkDelay` to the INTER-STREAM skew, not just each
-    * stream's own lateness: the union watermark advances with the
-    * faster source, so a ref/probe arriving a batch behind the other
-    * stream is dropped as late (correct streaming semantics — the
-    * `_monitoring` sink's rows_dropped_by_watermark counter is the
-    * alert for exactly this; measured: two 8-file streams drained 2
-    * files/trigger with 0 s delay dropped ~8% of probes to skew).
+    * `watermarkDelay` has NO default — deliberately, unlike the
+    * single-stream pipelines: size it to the INTER-STREAM skew, not
+    * just each stream's own lateness. The union watermark advances
+    * with the faster source, so a ref/probe arriving a batch behind
+    * the other stream is dropped as late (correct streaming semantics
+    * — the `_monitoring` sink's rows_dropped_by_watermark counter and
+    * [[watermarkSkewAlerts]] are the alert for exactly this; measured:
+    * two 8-file streams drained 2 files/trigger with 0 s delay dropped
+    * ~8% of probes to skew). An implicit "0 seconds" here silently
+    * lost data even when each stream was individually in-order, so the
+    * zero must be typed by the caller who can see their sources.
     *
     * Output (append): (user_id, event_id, ts, asof_event_id,
     * asof_lag_us) — nulls when no reference within tolerance. Null
     * users/ts excluded on both streams. */
   def asofPipeline(probe: DataFrame, ref: DataFrame,
-                   watermarkDelay: String = "0 seconds",
-                   toleranceSeconds: Long = -1L): DataFrame = {
+                   watermarkDelay: String,
+                   toleranceSeconds: Long = -1L,
+                   keyTtl: Option[java.time.Duration] = None): DataFrame = {
     val spark = probe.sparkSession
     require(probe.isStreaming && ref.isStreaming,
       "asofPipeline is the STREAMING twin — use SparkUtil.mergeAsOf in batch")
@@ -2041,7 +2051,7 @@ object StreamingPipeline {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Int, Long)]
     u.groupByKey(_._1)
-      .transformWithState(new AsofStateProcessor(tolUs),
+      .transformWithState(new AsofStateProcessor(tolUs, keyTtl),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "event_id", "__ts_us", "__matched", "__rid", "__lag")
       .select(col("user_id"), col("event_id"),
@@ -2057,7 +2067,8 @@ object StreamingPipeline {
     * refs into the compacted record and emitting each ready probe
     * against it. Exactly one pending timer per key at the earliest
     * still-buffered probe (the SCD2 listTimers reconcile). */
-  private final class AsofStateProcessor(tolUs: Long)
+  private final class AsofStateProcessor(tolUs: Long,
+                                         keyTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Int, Long),
         (Long, Long, Long, Boolean, Long, Long)]
@@ -2068,15 +2079,22 @@ object StreamingPipeline {
     @transient private var lastRef: ValueState[(Long, Long)] = _ // (tsUs, id)
     @transient private var refBuf: ListState[(Long, Long)] = _   // (tsUs, id)
     @transient private var probeBuf: ListState[(Long, Long)] = _ // (tsUs, id)
+    // opt-in key retirement (see asofPipeline's keyTtl contract): a
+    // processing-time last-compaction stamp checked at read — Spark's
+    // own TTLConfig is rejected under TimeMode.EventTime, so the TTL
+    // is enforced manually with the same expire-on-read semantics
+    @transient private var lastTouchMs: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastRef = getHandle.getValueState[(Long, Long)]("lastRef",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
+      lastTouchMs = getHandle.getValueState[Long]("lastTouchMs",
+        Encoders.scalaLong, TTLConfig.NONE)
       refBuf = getHandle.getListState[(Long, Long)]("refBuf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       probeBuf = getHandle.getListState[(Long, Long)]("probeBuf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
     }
-    private def drain(key: Long, wmMs: Long)
+    private def drain(key: Long, wmMs: Long, nowMs: Long)
         : Iterator[(Long, Long, Long, Boolean, Long, Long)] = {
       val wmUs = wmMs * 1000L
       val refs = refBuf.get().toArray
@@ -2101,6 +2119,15 @@ object StreamingPipeline {
         else None)
       if (refReady.isEmpty && pReady.isEmpty) return Iterator.empty
       var last = if (lastRef.exists()) Option(lastRef.get()) else None
+      // keyTtl expiry, checked BEFORE this drain's refs fold: a key
+      // whose compacted ref has not been refreshed within the TTL
+      // forgets it (expire-on-read — the documented late-probe trade)
+      if (keyTtl.isDefined && last.isDefined) {
+        val touched = if (lastTouchMs.exists()) lastTouchMs.get() else Long.MinValue
+        if (nowMs - touched > keyTtl.get.toMillis) {
+          lastRef.clear(); lastTouchMs.clear(); last = None
+        }
+      }
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Boolean, Long, Long)]
       // the batch twin's total order: ts asc, ref (tag 0) before probe
@@ -2121,7 +2148,10 @@ object StreamingPipeline {
               out += ((key, id, ts, false, 0L, 0L))
           }
       }
-      last.foreach(lastRef.update)
+      last.foreach { l =>
+        lastRef.update(l)
+        if (keyTtl.isDefined) lastTouchMs.update(nowMs)
+      }
       out.iterator
     }
     override def handleInputRows(
@@ -2134,13 +2164,15 @@ object StreamingPipeline {
         if (tag == 0) refBuf.appendValue((us, id))
         else probeBuf.appendValue((us, id))
       }
-      drain(key, timerValues.getCurrentWatermarkInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs(),
+        timerValues.getCurrentProcessingTimeInMs())
     }
     override def handleExpiredTimer(
         key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[(Long, Long, Long, Boolean, Long, Long)] =
-      drain(key, timerValues.getCurrentWatermarkInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs(),
+        timerValues.getCurrentProcessingTimeInMs())
   }
 
   /** Streaming heartbeat — the sniffer's 60 s liveness log
@@ -2280,6 +2312,117 @@ object StreamingPipeline {
     require(fs.exists(d) && fs.listStatus(d).nonEmpty,
       s"no monitoring rows for query '$queryName' under $dir")
     spark.read.json(fs.listStatus(d).map(_.getPath.toString).toSeq: _*)
+  }
+
+  /** Watermark-SKEW alert policy over the [[attachMonitoring]] sink —
+    * the engine alerting on ITSELF (the reference's alert-policy shape,
+    * terraform/main.tf:583–622, pointed at the engine counters instead
+    * of data-health metrics). The round-14 as-of incident is the
+    * motivating failure: a 0 s watermark delay on a two-stream union
+    * silently dropped ~8% of probes to inter-stream skew, visible ONLY
+    * as a step in `rows_dropped_by_watermark`. This panel reads the
+    * monitoring table and flags, per query, how many input-carrying
+    * batches breached `ratioThreshold` (dropped/input), alerting when
+    * at least `kBatches` did — k-of-n debouncing, so one straggler file
+    * does not page anyone but sustained skew does.
+    *
+    * Pure batch function over the (tiny: one row per query × batch)
+    * monitoring table — run it on a schedule or after a drain. Batches
+    * with zero input rows carry no lateness evidence and are excluded
+    * from both denominators. Output: one row per query_name —
+    * (query_name, n_input_batches, n_breach_batches, rows_in,
+    * rows_dropped_late, alert), ordered by query_name. */
+  def watermarkSkewAlerts(monitoring: DataFrame,
+                          ratioThreshold: Double = 0.05,
+                          kBatches: Int = 2): DataFrame = {
+    require(ratioThreshold >= 0, s"ratioThreshold must be >= 0: $ratioThreshold")
+    require(kBatches >= 1, s"kBatches must be >= 1: $kBatches")
+    monitoring
+      .filter(col("num_input_rows") > 0)
+      .select(col("query_name"), col("num_input_rows"),
+        col("rows_dropped_by_watermark"),
+        (col("rows_dropped_by_watermark").cast("double") >
+          lit(ratioThreshold) * col("num_input_rows").cast("double"))
+          .as("__breach"))
+      .groupBy("query_name")
+      .agg(count(lit(1)).cast("long").as("n_input_batches"),
+        sum(when(col("__breach"), 1L).otherwise(0L)).cast("long")
+          .as("n_breach_batches"),
+        sum("num_input_rows").cast("long").as("rows_in"),
+        sum("rows_dropped_by_watermark").cast("long").as("rows_dropped_late"))
+      .withColumn("alert", col("n_breach_batches") >= kBatches)
+      .orderBy("query_name")
+  }
+
+  /** Bounded forged-skew drain for the `stream_skew_alerts` oracle
+    * gate: the [[monitoringDemoPanel]] fixture extended with a FOURTH
+    * file that lands two more late-window rows, so TWO consecutive
+    * batches breach a 0.5 drop ratio and the k=2 alert FIRES — the
+    * deterministic end-to-end of [[watermarkSkewAlerts]] over a real
+    * drain's monitoring rows. Batch sequence (maxFilesPerTrigger=1,
+    * mtimes spaced >1 s): b0 = 6 on-time rows; b1 = 4 rows at 01:00
+    * (advances the watermark); b2 = 2 late-distinct-window rows + 1
+    * on-time (ratio 2/3 > 0.5 — breach); b3 = same shape (breach).
+    * The late rows sit far below EITHER candidate filter watermark
+    * (00:04 from b0 per the one-batch filter lag, 00:59 from b1), so
+    * the dropped counts are lag-robust: 0, 0, 2, 2 exactly. */
+  def skewAlertDemoPanel(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_skew")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(Paths.get(in))
+    val t0 = "2024-01-01T00:0"
+    val files = Seq(
+      (0 to 5).map(m => s"""{"ts":"${t0}$m:00.000Z","label":"a"}"""),
+      (0 until 4).map(i => s"""{"ts":"2024-01-01T01:00:0$i.000Z","label":"b"}"""),
+      Seq(s"""{"ts":"${t0}2:01.000Z","label":"a"}""",
+        s"""{"ts":"${t0}3:02.000Z","label":"a"}""",
+        s"""{"ts":"2024-01-01T01:01:00.000Z","label":"b"}"""),
+      Seq(s"""{"ts":"${t0}0:30.000Z","label":"a"}""",
+        s"""{"ts":"${t0}1:30.000Z","label":"a"}""",
+        s"""{"ts":"2024-01-01T01:02:00.000Z","label":"b"}"""))
+    files.zipWithIndex.foreach { case (lines, i) =>
+      val f = Paths.get(in, f"f$i%02d.json")
+      Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    val name = "graft_skew_demo"
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("label", StringType)))
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("label")).count()
+    val listener = attachMonitoring(spark, base.toString, name)
+    try {
+      val q = counts.writeStream.queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .format("parquet").start(out)
+      require(q.awaitTermination(300000), "skew demo drain timed out")
+      val monDir = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+      val fs = monDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!fs.exists(monDir) || fs.listStatus(monDir).length < 4) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      require(listener.writeFailures == 0,
+        s"monitoring listener dropped ${listener.writeFailures} row writes")
+      require(fs.exists(monDir) && fs.listStatus(monDir).length >= 4,
+        "monitoring rows incomplete after 60 s — listener lagging or writes lost")
+      val panel = watermarkSkewAlerts(
+        monitoringTable(spark, base.toString, name),
+        ratioThreshold = 0.5, kBatches = 2)
+      // eager materialization so the temp dirs can be deleted (the
+      // monitoringDemoPanel discipline)
+      val rows = panel.collect().toSeq
+      val schema2 = panel.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema2)
+    } finally {
+      spark.streams.removeListener(listener)
+      val basePath = new org.apache.hadoop.fs.Path(base.toString)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+    }
   }
 
   /** Bounded end-to-end demonstration of [[attachMonitoring]] for the

@@ -609,6 +609,44 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarkSkewAlerts: k-of-n breach debouncing over monitoring rows; zero-input batches carry no evidence") {
+    import spark.implicits._
+    val mon = Seq(
+      // q_ok: one straggler breach of 4 input batches — below k=2
+      ("q_ok", 0L, 100L, 0L), ("q_ok", 1L, 100L, 0L),
+      ("q_ok", 2L, 10L, 2L), ("q_ok", 3L, 100L, 1L),
+      // q_skew: sustained loss — 2 breaches → alert
+      ("q_skew", 0L, 100L, 0L), ("q_skew", 1L, 30L, 9L),
+      ("q_skew", 2L, 30L, 12L),
+      // q_idle: zero-input batches must not divide by zero or count
+      ("q_idle", 0L, 0L, 0L), ("q_idle", 1L, 0L, 0L))
+      .toDF("query_name", "batch_id", "num_input_rows",
+        "rows_dropped_by_watermark")
+    val out = StreamingPipeline.watermarkSkewAlerts(mon,
+        ratioThreshold = 0.1, kBatches = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // q_idle vanishes entirely: no input-carrying batches
+    assert(out.keySet == Set("q_ok", "q_skew"), s"got ${out.keySet}")
+    // q_ok: 4 input batches, ONE breach (2/10 > 0.1; 1/100 is not) — no alert
+    assert(out("q_ok") == (4L, 1L, 310L, 3L, false), s"got ${out("q_ok")}")
+    // q_skew: 9/30 and 12/30 both breach → alert fires
+    assert(out("q_skew") == (3L, 2L, 160L, 21L, true), s"got ${out("q_skew")}")
+    // threshold is strict >: a ratio exactly AT the threshold is no breach
+    val edge = StreamingPipeline.watermarkSkewAlerts(
+      Seq(("q", 0L, 100L, 10L), ("q", 1L, 100L, 10L))
+        .toDF("query_name", "batch_id", "num_input_rows",
+          "rows_dropped_by_watermark"),
+      ratioThreshold = 0.1, kBatches = 1).collect()
+    assert(edge.length == 1 && !edge(0).getBoolean(5),
+      "10/100 at threshold 0.1 must not breach (strict >)")
+    // guards fail loud
+    assert(intercept[IllegalArgumentException] {
+      StreamingPipeline.watermarkSkewAlerts(mon, kBatches = 0)
+    }.getMessage.contains("kBatches"))
+  }
+
   test("A7 stateful absence alert fires on true silence via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1071,8 +1109,10 @@ class PipelineSpec extends SparkSpec {
     val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val probe = pMem.toDF().toDF("user_id", "ts", "event_id")
     val ref = rMem.toDF().toDF("user_id", "ts", "event_id")
+    // 0 s is an EXPLICIT choice here: MemoryStream batches are fed
+    // watermark-safely, so no inter-stream skew exists by construction
     val out = StreamingPipeline.asofPipeline(probe, ref,
-      toleranceSeconds = 3600L)
+      watermarkDelay = "0 seconds", toleranceSeconds = 3600L)
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val fedP = scala.collection.mutable.ArrayBuffer
       .empty[(Long, java.sql.Timestamp, Long)]
@@ -1152,6 +1192,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("as-of join keyTtl: an expired compacted ref turns a late probe into an unmatched row (the documented trade)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.asofPipeline(
+      pMem.toDF().toDF("user_id", "ts", "event_id"),
+      rMem.toDF().toDF("user_id", "ts", "event_id"),
+      watermarkDelay = "0 seconds",
+      keyTtl = Some(java.time.Duration.ofSeconds(2)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = out.writeStream.format("memory").queryName("asof_ttl_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1's ref + a watermark driver well past it
+      rMem.addData((1L, t("2024-01-01 10:00:00"), 100L),
+        (9L, t("2024-01-01 12:00:00"), 900L))
+      q.processAllAvailable()
+      // batch 2 (wm now 12:00): u1's ref-fallback timer fires and the
+      // ref COMPACTS into lastRef — the state the TTL will expire
+      rMem.addData((9L, t("2024-01-01 12:30:00"), 901L))
+      q.processAllAvailable()
+      // idle past the 2 s processing-time TTL
+      Thread.sleep(2600)
+      // batch 3: u1's probe (buffers above wm) + wm driver
+      pMem.addData((1L, t("2024-01-01 13:00:00"), 500L))
+      rMem.addData((9L, t("2024-01-01 14:00:00"), 902L))
+      q.processAllAvailable()
+      // batch 4: wm reaches 14:00, the probe timer fires — lastRef has
+      // EXPIRED, so the probe emits unmatched even though a correct
+      // backward match (10:00) once existed: the opt-in trade
+      rMem.addData((9L, t("2024-01-01 15:00:00"), 903L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_ttl_t").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3))).toMap
+      assert(rows.contains(500L), s"probe never emitted: $rows")
+      assert(rows(500L).isEmpty,
+        s"expired key must emit UNMATCHED, got match: ${rows(500L)}")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("as-of join: ref-only key compacts via the fallback timer (no stranded-ref state leak)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1165,7 +1257,8 @@ class PipelineSpec extends SparkSpec {
     val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val out = StreamingPipeline.asofPipeline(
       pMem.toDF().toDF("user_id", "ts", "event_id"),
-      rMem.toDF().toDF("user_id", "ts", "event_id"))
+      rMem.toDF().toDF("user_id", "ts", "event_id"),
+      watermarkDelay = "0 seconds")
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val name = "asof_leak_t"
     val listener = StreamingPipeline.attachMonitoring(spark, base, name)
