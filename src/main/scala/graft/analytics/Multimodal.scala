@@ -246,9 +246,10 @@ object Multimodal {
     * must not form a universal collision bucket), as are nulls.
     *
     * This is format-blind (bytes are opaque): it catches
-    * truncation/append/concatenation variants, NOT re-encodes —
-    * perceptual hashing needs a real decoder and lives behind the
-    * documented decode stubs.
+    * truncation/append/concatenation variants, NOT re-encodes — those
+    * need pixels; [[imageNearDupPairs]] (PNG pixel decode + dHash) is
+    * the perceptual path for stills, and JPEG remains byte-level until
+    * an entropy decoder exists.
     *
     * Scale shape: identical to text MinHash — one narrow hex+gram
     * projection at scan speed, signature table, banded join. */
@@ -290,6 +291,158 @@ object Multimodal {
     Dedup.minhashCandidatePairs(grams, k = 1, numHashes = numHashes,
       rowsPerBand = rowsPerBand)
   }
+
+  // ------------------------------------------------------------------
+  // perceptual image near-dup: PNG pixel decode + dHash (round 15)
+  // ------------------------------------------------------------------
+
+  /** A COMPLETE grayscale PNG (8-bit, color type 0) with real pixel
+    * data: signature + IHDR + one IDAT (zlib at `level`, filter 0
+    * scanlines) + IEND, CRC32s included. Two encodings of the SAME
+    * pixels at different `level`s are byte-DIFFERENT but decode
+    * identical — the re-encoded-duplicate fixture byte-level dedup
+    * provably misses. */
+  def pngBytesGray(width: Int, height: Int, gray: Array[Byte],
+                   level: Int = 6): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gray must be width*height bytes: ${gray.length} != ${width * height}")
+    val o = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      u32(data.length.toLong)
+      val tagged = ctype.getBytes("ASCII") ++ data
+      o.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      u32(crc.getValue)
+    }
+    o.write(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    def ih32(v: Int): Unit = {
+      ihdr.write((v >> 24) & 0xff); ihdr.write((v >> 16) & 0xff)
+      ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ih32(width); ih32(height)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      // filter byte 0 (None) + the row
+      System.arraycopy(gray, y * width, raw, y * (1 + width) + 1, width)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(level)
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.empty)
+    o.toByteArray
+  }
+
+  /** Deterministic per-doc grayscale pattern for the pixel fixture —
+    * docId enters MULTIPLICATIVELY (an additive offset would give every
+    * doc the same gradients, hence the same dHash). */
+  def synthGray(docId: Long, width: Int, height: Int): Array[Byte] = {
+    val g = new Array[Byte](width * height)
+    val m = (docId % 97 + 2).toInt
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        g(y * width + x) =
+          (((x * 31 + y * 17) * m + x * y * ((docId % 7) + 3)) % 251).toByte
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  /** Attach REAL pixel-bearing grayscale PNGs (24×16, [[synthGray]]
+    * pixels, zlib `level`) — the fixture for the perceptual near-dup
+    * path. `pixelSeedOffset` lets a forged RE-ENCODED copy (new doc_id,
+    * different zlib level) carry the ORIGINAL's pixels: seed =
+    * doc_id − offset. Fixture synthesis, not a 100 TB operator (UDF is
+    * fine). */
+  def withPixelPayload(documents: DataFrame, level: Int = 6,
+                       pixelSeedOffset: Long = 0L): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      pngBytesGray(24, 16, synthGray(docId - pixelSeedOffset, 24, 16), level)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** 64-bit dHash of a grayscale image: nearest-neighbor sample onto a
+    * 9×8 grid, bit (y·8+x) set when grid(x,y) > grid(x+1,y) — the
+    * horizontal-gradient perceptual hash. Nearest sampling at
+    * px = x·w/9 (integer floor) makes the hash EXACTLY invariant to
+    * pixel-doubling (floor(floor(2t)/2) = floor(t) — spec-pinned), and
+    * stable under re-encoding by construction (same pixels, same
+    * hash). */
+  def dHash64(gray: Array[Byte], w: Int, h: Int): Long = {
+    require(w >= 1 && h >= 1 && gray.length == w * h,
+      s"bad gray buffer: ${gray.length} for ${w}x$h")
+    def g(x: Int, y: Int): Int =
+      gray(math.min(y * h / 8, h - 1) * w + math.min(x * w / 9, w - 1)) & 0xff
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(x, y) > g(x + 1, y)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-doc dHash fingerprints over the binary payload column —
+    * batched per-partition PNG PIXEL decode ([[MediaDecode
+    * .pngGrayPixels]]: IDAT inflate + unfilter, pure JVM) + [[dHash64]],
+    * split into the two 32-bit halves the SimHash band machinery
+    * expects. Rows whose payload is null or does not decode as a
+    * supported PNG are DROPPED (perceptual identity is defined over
+    * decodable stills; header-only JPEGs stay byte-level —
+    * [[payloadNearDupPairs]] — until a JPEG entropy decoder exists,
+    * documented at the stub). Output: (doc_id, simhash_hi, simhash_lo). */
+  def imageDHash(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = graft.util.SparkUtil.widen(withPayload)
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, payload) =>
+          MediaDecode.pngGrayPixels(payload).map { case (w, h, gray) =>
+            val d = dHash64(gray, w, h)
+            (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
+          }
+        }
+      }
+    }.toDF("doc_id", "simhash_hi", "simhash_lo")
+  }
+
+  /** Perceptual image near-dup pairs — the content-level dedup the
+    * byte-level [[payloadDedup]]/[[payloadNearDupPairs]] provably miss
+    * (a re-encoded copy shares ~no bytes but every pixel): dHash
+    * fingerprints feed the UNCHANGED SimHash 4×16-bit pigeonhole band
+    * join ([[Dedup.simhashNearDupPairsFromFingerprints]] — complete
+    * for Hamming ≤ 3, never all-pairs). Output: (doc_a, doc_b,
+    * hamming), ordered. Scale shape: one batched narrow decode pass
+    * (pixels never shuffle — 8 B of hash per image crosses the wire)
+    * + the banded equi-join. */
+  def imageNearDupPairs(withPayload: DataFrame, maxDist: Int = 3,
+                        batchSize: Int = 64): DataFrame =
+    Dedup.simhashNearDupPairsFromFingerprints(
+      imageDHash(withPayload, batchSize), maxDist)
 
   // ------------------------------------------------------------------
   // audio: WAV (RIFF) header decode
@@ -579,6 +732,104 @@ object MediaDecode {
     val w = be32(b, 16); val h = be32(b, 20)
     if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
     else Some(("png", w.toInt, h.toInt))
+  }
+
+  /** PNG PIXEL decode — pure JVM (`java.util.zip.Inflater` is in the
+    * JDK; the IDAT stream is zlib): signature + chunk walk collecting
+    * every IDAT, inflate, per-scanline UNFILTER (all five PNG filter
+    * types: None/Sub/Up/Average/Paeth), grayscale out. Supports bit
+    * depth 8, color types 0 (grayscale, 1 byte/px), 2 (RGB → integer
+    * luma (77R+150G+29B)>>8) and 6 (RGBA — alpha ignored, same luma);
+    * no interlace. Anything else — and any malformed stream — returns
+    * None (the P14 containment stance: a corrupt image is DATA).
+    * Returns (width, height, row-major gray bytes). */
+  def pngGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (b.length < 33) return None
+      var i = 0
+      while (i < 8) { if ((b(i) & 0xff) != pngSig(i)) return None; i += 1 }
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+      val w = be32(b, 16).toInt; val h = be32(b, 20).toInt
+      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (w < 1 || h < 1 || bitDepth != 8 || interlace != 0) return None
+      val bpp = colorType match {
+        case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+      }
+      // guard pathological dims before allocating (w·h could overflow)
+      if (w.toLong * h.toLong * bpp > 256L * 1024 * 1024) return None
+      // chunk walk: concatenate IDAT bodies in order
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 8
+      var done = false
+      while (!done && p + 8 <= b.length) {
+        val len = be32(b, p).toInt
+        if (len < 0 || p + 12 + len > b.length) return None
+        val ctype = new String(b.slice(p + 4, p + 8), "US-ASCII")
+        if (ctype == "IDAT") idat.write(b, p + 8, len)
+        if (ctype == "IEND") done = true
+        p += 12 + len
+      }
+      val compressed = idat.toByteArray
+      if (compressed.isEmpty) return None
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(compressed)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        off += n
+      }
+      inf.end()
+      if (off < raw.length) return None
+      // unfilter in place into `px` (h × stride)
+      val px = new Array[Byte](h * stride)
+      def paeth(a: Int, bb: Int, c: Int): Int = {
+        val pp = a + bb - c
+        val pa = math.abs(pp - a); val pb = math.abs(pp - bb); val pc = math.abs(pp - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+      }
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        val rowIn = y * (1 + stride) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val left = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
+          val up = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) px(rowOut - stride + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 => cur + paeth(left, up, ul)
+            case _ => return None
+          }
+          px(rowOut + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val gray =
+        if (bpp == 1) px
+        else {
+          val g = new Array[Byte](w * h)
+          var i2 = 0
+          while (i2 < w * h) {
+            val o = i2 * bpp
+            g(i2) = (((77 * (px(o) & 0xff) + 150 * (px(o + 1) & 0xff) +
+              29 * (px(o + 2) & 0xff)) >> 8) & 0xff).toByte
+            i2 += 1
+          }
+          g
+        }
+      Some((w, h, gray))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** JPEG: SOI, then marker segments; the SOFn frame header (C0–CF

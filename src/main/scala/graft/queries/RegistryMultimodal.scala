@@ -137,6 +137,45 @@ private[queries] object RegistryMultimodal {
     // binaries), so the md5 groups are exactly the mod-50 classes —
     // which the oracle derives from the SAME arithmetic without
     // rebuilding a CRC-bearing PNG in SQL
+    // PERCEPTUAL image near-dup (r14 verdict #5): real pixel-bearing
+    // grayscale PNGs (IDAT zlib + filter-0 scanlines); each doc_id%5==0
+    // doc gets a RE-ENCODED copy — same pixels, zlib level 9 vs 1, new
+    // doc_id — whose bytes differ (md5-checked in-plan) but whose dHash
+    // is identical, so the pigeonhole band join MUST find it at
+    // Hamming 0. DuckDB cannot inflate zlib, so the oracle pins the
+    // planted-pair audit surface (the recall-panel discipline); the
+    // full no-false-positive pair set is spec-pinned on a hand fixture.
+    QueryDef("mm_image_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        val base = Multimodal.withPixelPayload(docs, level = 1)
+        val copies = Multimodal.withPixelPayload(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id")),
+          level = 9, pixelSeedOffset = 10000000L)
+        val pairs = Multimodal
+          .imageNearDupPairs(base.unionByName(copies))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val md5A = base.select(col("doc_id").as("doc_a"),
+          md5(col("payload")).as("__ma"))
+        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
+          md5(col("payload")).as("__mb"))
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 10000000L).as("doc_b"))
+          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
+          .join(pairs, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__ma") =!= col("__mb")).as("bytes_differ"),
+            col("hamming").isNotNull.as("pair_found"),
+            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
+          .orderBy("doc_a")
+      },
+      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
+        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
+      bench = true),
+
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -484,6 +484,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("imageNearDupPairs: re-encoded copy found at Hamming 0, byte dedup misses it, unrelated images and non-PNGs excluded") {
+    import spark.implicits._
+    val gray = Multimodal.synthGray(5L, 24, 16)
+    val inverted = gray.map(b => (255 - (b & 0xff)).toByte) // opposite gradients
+    val fixture = Seq(
+      (1L, Multimodal.pngBytesGray(24, 16, gray, level = 1)),
+      (2L, Multimodal.pngBytesGray(24, 16, gray, level = 9)), // re-encode of 1
+      (3L, Multimodal.pngBytesGray(24, 16, inverted, level = 6)),
+      (4L, Multimodal.jpegBytes(24, 16)),   // header-only JPEG: dropped
+      (5L, Array[Byte](1, 2, 3)))           // garbage: dropped
+      .toDF("doc_id", "payload")
+      .unionByName(Seq(Tuple1(6L)).toDF("doc_id")
+        .withColumn("payload", lit(null).cast("binary")))
+    // byte-level dedup PROVABLY misses the re-encode (different md5)
+    val byteGroups = Multimodal.payloadDedup(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byteGroups.forall(_._2 == 1L),
+      s"re-encode must not collide at byte level: $byteGroups")
+    // perceptual: EXACTLY the planted pair, at Hamming 0
+    val pairs = Multimodal.imageNearDupPairs(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0L)), s"pair set: $pairs")
+    // an inverted image shares NO horizontal-gradient signs: its hash
+    // is the planted pair's complement, far outside Hamming 3
+    val fps = Multimodal.imageDHash(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L),
+      s"only decodable PNGs fingerprint: ${fps.keySet}")
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+
   test("payloadNearDupPairs: trailer-append variant collides, unrelated bytes don't, short/null payloads excluded") {
     import spark.implicits._
     def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")

@@ -57,6 +57,114 @@ class MultimodalPropertySpec extends AnyFunSuite {
     (0 to jpg.length).foreach(cut => MediaDecode.decode(jpg.take(cut)))
   }
 
+  test("png pixel decode: round-trips both zlib levels byte-differently; never throws on corruption") {
+    val gray = Multimodal.synthGray(42L, 24, 16)
+    val p1 = Multimodal.pngBytesGray(24, 16, gray, level = 1)
+    val p9 = Multimodal.pngBytesGray(24, 16, gray, level = 9)
+    assert(!java.util.Arrays.equals(p1, p9),
+      "levels 1 and 9 must produce different bytes (the re-encode fixture)")
+    for (p <- Seq(p1, p9)) {
+      val Some((w, h, g)) = MediaDecode.pngGrayPixels(p)
+      assert(w == 24 && h == 16)
+      assert(java.util.Arrays.equals(g, gray), "pixels must round-trip exactly")
+    }
+    // containment: every truncation + arbitrary bytes, None not throw
+    (0 to p1.length).foreach(cut => MediaDecode.pngGrayPixels(p1.take(cut)))
+    samples(bytesGen, 300).foreach(b => MediaDecode.pngGrayPixels(b))
+    // header-only PNG (no IDAT) and JPEG are None — not perceptual input
+    assert(MediaDecode.pngGrayPixels(Multimodal.pngBytes(8, 8)).isEmpty)
+    assert(MediaDecode.pngGrayPixels(Multimodal.jpegBytes(8, 8)).isEmpty)
+  }
+
+  test("png unfilter: all five filter types reconstruct; RGB converts via integer luma") {
+    // hand-build a 4x5 grayscale PNG using filter type y per row (0..4)
+    // and check the decode against the reference pixels
+    val w = 4; val h = 5
+    val px = Array.tabulate[Byte](w * h)(i => ((i * 37 + 11) % 251).toByte)
+    def buildPng(raw: Array[Byte], width: Int, height: Int,
+                 colorType: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      def chunk(t: String, d: Array[Byte]): Unit = {
+        u32(d.length.toLong)
+        val tagged = t.getBytes("ASCII") ++ d
+        o.write(tagged)
+        val crc = new java.util.zip.CRC32(); crc.update(tagged); u32(crc.getValue)
+      }
+      o.write(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ih = new java.io.ByteArrayOutputStream()
+      def i32(v: Int): Unit = { ih.write(v >> 24); ih.write((v >> 16) & 0xff)
+        ih.write((v >> 8) & 0xff); ih.write(v & 0xff) }
+      i32(width); i32(height); ih.write(8); ih.write(colorType)
+      ih.write(0); ih.write(0); ih.write(0)
+      chunk("IHDR", ih.toByteArray)
+      val defl = new java.util.zip.Deflater(6)
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val z = new java.io.ByteArrayOutputStream()
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      chunk("IDAT", z.toByteArray); chunk("IEND", Array.empty)
+      o.toByteArray
+    }
+    // reference FORWARD filters (PNG spec) applied per row, bpp=1
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      for (x <- 0 until w) {
+        val cur = px(y * w + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (y > 0 && x > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw.write(f & 0xff)
+      }
+    }
+    val Some((dw, dh, g)) = MediaDecode.pngGrayPixels(buildPng(raw.toByteArray, w, h, 0))
+    assert(dw == w && dh == h)
+    assert(java.util.Arrays.equals(g, px),
+      s"all-filter decode mismatch: ${g.toSeq} vs ${px.toSeq}")
+    // RGB (color type 2): luma = (77R + 150G + 29B) >> 8
+    val rgb = Array[Byte](
+      0, // filter byte, then 2 px: (255,0,0), (0,255,0)
+      255.toByte, 0, 0, 0, 255.toByte, 0)
+    val Some((w2, h2, g2)) = MediaDecode.pngGrayPixels(buildPng(rgb, 2, 1, 2))
+    assert(w2 == 2 && h2 == 1)
+    assert((g2(0) & 0xff) == (77 * 255) >> 8 && (g2(1) & 0xff) == (150 * 255) >> 8)
+  }
+
+  test("dHash64: exactly invariant to re-encoding and pixel-doubling; distinct patterns differ") {
+    val gray = Multimodal.synthGray(7L, 24, 16)
+    val d0 = Multimodal.dHash64(gray, 24, 16)
+    // pixel-doubled image (nearest): floor(floor(2t)/2) = floor(t)
+    val doubled = new Array[Byte](48 * 32)
+    for (y <- 0 until 32; x <- 0 until 48)
+      doubled(y * 48 + x) = gray((y / 2) * 24 + x / 2)
+    assert(Multimodal.dHash64(doubled, 48, 32) == d0,
+      "dHash must be exactly invariant to 2x upscaling")
+    // different doc patterns give different hashes (docId enters
+    // multiplicatively — the all-same-gradient trap is the thing
+    // synthGray is built to avoid)
+    val others = (0L until 40L).map(i =>
+      Multimodal.dHash64(Multimodal.synthGray(i, 24, 16), 24, 16))
+    assert(others.distinct.size > 30, s"dHashes collapse: ${others.distinct.size}")
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
