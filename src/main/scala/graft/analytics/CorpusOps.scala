@@ -865,6 +865,63 @@ object CorpusOps {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** USER-level Laplace noisy-count release — [[dpNoisyCountRelease]]
+    * protects ROWS; real releases protect PEOPLE, and one user can
+    * contribute many rows (removing them shifts a cell by their whole
+    * row count, so row-level noise under-protects them exactly that
+    * much). This variant first CLAMPS each user's contribution to the
+    * `maxPerUser` deterministically-first rows (row_number over
+    * (`userCol` order by `orderCol`) — a stable unique order makes the
+    * clamp reproducible), then releases per-group noisy counts at
+    * scale b = maxPerUser/ε: after clamping, adding or removing one
+    * user changes the histogram's L1 by at most `maxPerUser`, so that
+    * is the (ε, user-level) sensitivity contract. Rows with a NULL
+    * user identify nobody — the privacy unit is undefined — and are
+    * EXCLUDED from the release (never smuggled in noise-free).
+    *
+    * Same reproducible-seed caveat as the row-level release: the md5
+    * coin makes ONE auditable release per seed; fresh randomness per
+    * release is what true ε-DP spends. Same floor/clamp/injection
+    * discipline (components md5'd before joining; floor, never round).
+    *
+    * Output: (groupCols..., n_noisy BIGINT ≥ 0), ordered by the group
+    * columns — neither the true nor the clamped count appears.
+    *
+    * Scale shape: the clamp is one window over the HIGH-cardinality
+    * user key (partitions ∝ users — never a low-card funnel), then the
+    * row-level release's combinable groupBy + narrow md5 projection. */
+  def dpNoisyCountReleaseUser(df: DataFrame, groupCols: Seq[String],
+                              userCol: String, orderCol: String,
+                              maxPerUser: Int = 3, epsilon: Double = 1.0,
+                              seed: String = "dpu"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.contains(userCol) && !groupCols.contains(orderCol),
+      s"user/order columns cannot be group columns: $userCol, $orderCol")
+    require(maxPerUser >= 1, s"maxPerUser must be >= 1: $maxPerUser")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val b = maxPerUser / epsilon
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(orderCol))
+    val capped = graft.util.SparkUtil.widen(df)
+      .filter(col(userCol).isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxPerUser)
+    val keyStr = concat_ws(":", lit(seed) +: groupCols.flatMap(c => Seq(
+      when(col(c).isNull, lit("0")).otherwise(lit("1")),
+      md5(coalesce(col(c).cast("string"), lit(""))))): _*)
+    val u = (conv(substring(md5(keyStr), 1, 12), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val noise = lit(-b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    capped
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .withColumn("n_noisy",
+        greatest(lit(0L), col("__n") + floor(noise).cast("long")))
+      .select(groupCols.map(col) :+ col("n_noisy"): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a
     * quasi-identifier group can be k-large yet still leak when every
     * member shares ONE sensitive value (the homogeneity attack

@@ -380,6 +380,33 @@ private[queries] object RegistryCorpus {
             * ln(1.0 - 2.0 * abs(u - 0.5)))::BIGINT)::BIGINT AS n_noisy
         FROM k ORDER BY lang NULLS FIRST, source""")),
 
+    // USER-level DP release (r14 verdict #6): each user clamped to
+    // their 3 deterministically-first events (row_number over
+    // (user_id ORDER BY event_id)), then Laplace at b = 3/1 — the
+    // post-clamp user-level sensitivity. Null users excluded (the
+    // privacy unit is undefined). Same md5 coin / inverse-CDF / floor
+    // discipline as corpus_dp_release, noise scale ×3.
+    QueryDef("corpus_dp_release_user",
+      (s, d) => CorpusOps.dpNoisyCountReleaseUser(t(s, d, "events"),
+        Seq("event_type"), "user_id", "event_id",
+        maxPerUser = 3, epsilon = 1.0),
+      Some("""WITH capped AS (SELECT event_type FROM (
+            SELECT event_type,
+              row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r
+            FROM events WHERE user_id IS NOT NULL) WHERE r <= 3),
+          g AS (SELECT event_type, count(*)::BIGINT AS n
+            FROM capped GROUP BY 1),
+          k AS (SELECT event_type, n,
+              (('0x' || substr(md5('dpu:'
+                  || (CASE WHEN event_type IS NULL THEN '0' ELSE '1' END)
+                  || ':' || md5(coalesce(event_type, ''))), 1, 12))
+                ::BIGINT::DOUBLE + 0.5) / 281474976710656.0 AS u
+            FROM g)
+          SELECT event_type,
+            greatest(0, n + floor((-3.0) * sign(u - 0.5)
+              * ln(1.0 - 2.0 * abs(u - 0.5)))::BIGINT)::BIGINT AS n_noisy
+          FROM k ORDER BY event_type NULLS FIRST""")),
+
     // l-diversity: the homogeneity-attack screen k-anonymity misses —
     // distinct sensitive values per quasi group
     QueryDef("corpus_l_diversity",

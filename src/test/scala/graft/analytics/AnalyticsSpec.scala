@@ -3662,6 +3662,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(seedMatters, "seed must select the release")
   }
 
+  test("dpNoisyCountReleaseUser: clamp is per-user deterministic-first, null users excluded, scale follows maxPerUser") {
+    import spark.implicits._
+    // user 1 has 10 rows of type "a" (clamped to 3), user 2 has 2 "b"
+    // rows + 2 "a" rows (4 total — clamped to 3 by EVENT_ID order:
+    // a@1, a@2, b@3 survive); a null user has 50 rows that must vanish
+    val rows =
+      (0 until 10).map(i => (1L, "a", 100L + i)) ++
+        Seq((2L, "a", 1L), (2L, "a", 2L), (2L, "b", 3L), (2L, "b", 4L)) ++
+        (0 until 50).map(i => (-1L, "c", 1000L + i))
+    val df = rows.map { case (u, ty, id) =>
+      (if (u < 0) null else java.lang.Long.valueOf(u), ty, id)
+    }.toDF("user_id", "event_type", "event_id")
+    def release(c: Int, seed: String) = graft.analytics.CorpusOps
+      .dpNoisyCountReleaseUser(df, Seq("event_type"), "user_id", "event_id",
+        maxPerUser = c, epsilon = 1.0, seed = seed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = release(3, "t1")
+    assert(a == release(3, "t1"), "deterministic per seed")
+    // clamped true counts: a = 3 (user1) + 2 (user2) = 5, b = 1
+    // (user2's third-by-event_id row), c GONE (null user). Laplace(3)
+    // noise floors within |.| <= ~102 at 48-bit resolution
+    assert(a.keySet == Set("a", "b"), s"null-user rows leaked: $a")
+    assert(a("a") <= 5L + 105L && a("b") <= 1L + 105L, s"noise range: $a")
+    assert(a.values.forall(_ >= 0L))
+    // the clamp itself (noise-free check): with a huge epsilon the
+    // noise floors to -1..0, pinning the clamped counts tightly
+    val tight = graft.analytics.CorpusOps
+      .dpNoisyCountReleaseUser(df, Seq("event_type"), "user_id", "event_id",
+        maxPerUser = 3, epsilon = 1e9, seed = "t1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight("a") == 5L || tight("a") == 4L, s"clamped a: $tight")
+    assert(tight("b") == 1L || tight("b") == 0L, s"clamped b: $tight")
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      graft.analytics.CorpusOps.dpNoisyCountReleaseUser(
+        df, Seq("event_type"), "user_id", "event_id", maxPerUser = 0)
+    }.getMessage.contains("maxPerUser"))
+    assert(intercept[IllegalArgumentException] {
+      graft.analytics.CorpusOps.dpNoisyCountReleaseUser(
+        df, Seq("user_id"), "user_id", "event_id")
+    }.getMessage.contains("group"))
+  }
+
   test("tClosenessAudit: hand TV per group, null sensitive excluded, null quasi survives") {
     import spark.implicits._
     // corpus: g1 4×a (+1 null lang, excluded), g2 4×b, g3 2a+2b,
