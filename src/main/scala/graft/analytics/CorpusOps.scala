@@ -843,12 +843,26 @@ object CorpusOps {
                           seed: String = "dp"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    val b = 1.0 / epsilon
-    // each component is md5'd BEFORE joining: fixed-width hex can't
-    // contain the delimiter, so ("a", "1:b") and ("a:1", "b") can
-    // never serialize to one key (delimiter injection — the collision
-    // a raw concat_ws invites); null rides as an explicit presence
-    // flag (any sentinel STRING could collide with a real value)
+    noisyCountTail(graft.util.SparkUtil.widen(df), groupCols,
+      b = 1.0 / epsilon, seed = seed)
+  }
+
+  /** The shared release tail of [[dpNoisyCountRelease]] and
+    * [[dpNoisyCountReleaseUser]]: seeded md5-coin Laplace(b) noise on
+    * per-group counts, floored and clamped at 0. The coin/injection
+    * subtleties live ONCE here:
+    *  - each key component is md5'd BEFORE joining — fixed-width hex
+    *    can't contain the delimiter, so ("a", "1:b") and ("a:1", "b")
+    *    can never serialize to one key (delimiter injection — the
+    *    collision a raw concat_ws invites); null rides as an explicit
+    *    presence flag (any sentinel STRING could collide with a real
+    *    value);
+    *  - u ∈ (0,1) as (k+0.5)/2⁴⁸ — off 0/½/1 so the inverse CDF never
+    *    hits ln(0);
+    *  - FLOOR, never round (half-up vs half-even diverges across
+    *    engines on exact .5 noise). */
+  private def noisyCountTail(rows: DataFrame, groupCols: Seq[String],
+                             b: Double, seed: String): DataFrame = {
     val keyStr = concat_ws(":", lit(seed) +: groupCols.flatMap(c => Seq(
       when(col(c).isNull, lit("0")).otherwise(lit("1")),
       md5(coalesce(col(c).cast("string"), lit(""))))): _*)
@@ -856,7 +870,7 @@ object CorpusOps {
       .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
     val noise = lit(-b) * signum(u - lit(0.5)) *
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
-    graft.util.SparkUtil.widen(df)
+    rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__n"))
       .withColumn("n_noisy",
@@ -899,27 +913,13 @@ object CorpusOps {
       s"user/order columns cannot be group columns: $userCol, $orderCol")
     require(maxPerUser >= 1, s"maxPerUser must be >= 1: $maxPerUser")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    val b = maxPerUser / epsilon
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(orderCol))
     val capped = graft.util.SparkUtil.widen(df)
       .filter(col(userCol).isNotNull)
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= maxPerUser)
-    val keyStr = concat_ws(":", lit(seed) +: groupCols.flatMap(c => Seq(
-      when(col(c).isNull, lit("0")).otherwise(lit("1")),
-      md5(coalesce(col(c).cast("string"), lit(""))))): _*)
-    val u = (conv(substring(md5(keyStr), 1, 12), 16, 10).cast("long")
-      .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
-    val noise = lit(-b) * signum(u - lit(0.5)) *
-      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
-    capped
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).cast("long").as("__n"))
-      .withColumn("n_noisy",
-        greatest(lit(0L), col("__n") + floor(noise).cast("long")))
-      .select(groupCols.map(col) :+ col("n_noisy"): _*)
-      .orderBy(groupCols.map(col): _*)
+    noisyCountTail(capped, groupCols, b = maxPerUser / epsilon, seed = seed)
   }
 
   /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling: a

@@ -779,7 +779,11 @@ object MediaDecode {
       var off = 0
       while (!inf.finished() && off < raw.length) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        // n == 0 while unfinished covers truncation (needsInput) AND
+        // a preset-dictionary stream (FDICT — needsDictionary, which
+        // needsInput does NOT report): both are malformed for PNG
+        // (the spec forbids FDICT) and looping on either spins forever
+        if (n == 0) { inf.end(); return None }
         off += n
       }
       inf.end()

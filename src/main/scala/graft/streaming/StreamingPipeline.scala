@@ -708,6 +708,13 @@ object StreamingPipeline {
                 s"pipeline runs ($wantParams): bucketing params are the " +
                 "store's identity — restart with the original parameters, " +
                 "or delete the store to rebuild membership from scratch")
+          } else {
+            // pin BEFORE the first store write: a crash between a sink
+            // write and a later pin would leave store rows whose params
+            // the next (possibly drifted) incarnation could not check —
+            // the exact silent mis-bucketing the pin exists to prevent
+            val os = fs.create(paramsFile, false)
+            try os.write(wantParams.getBytes("UTF-8")) finally os.close()
           }
           val cachedBatch = batch.cache()
           try {
@@ -744,10 +751,6 @@ object StreamingPipeline {
               .join(admitted, Seq("vec_id"))
               .select(col("vec_id"), col("bucket"), col("vec"))
               .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
-            if (!fs.exists(paramsFile)) {
-              val os = fs.create(paramsFile, false)
-              try os.write(wantParams.getBytes("UTF-8")) finally os.close()
-            }
             failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
           } finally cachedBatch.unpersist()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -1991,13 +1994,22 @@ object StreamingPipeline {
     * it), so total state grows with LIFETIME distinct keys. That is
     * the right contract for entity keys (users, devices, symbols) and
     * it is the DEFAULT (`keyTtl = None`). For provably-retiring key
-    * spaces (session ids), `keyTtl = Some(duration)` opts into a
-    * PROCESSING-TIME TTL on the compacted reference: a key idle longer
-    * than the TTL forgets its reference, so a probe arriving after
-    * expiry emits UNMATCHED even though a semantically-correct backward
-    * match once existed — that is the explicit trade (bounded state for
-    * retired keys vs wrong-for-late-probes), never a silent default;
-    * size the TTL well past the key space's retirement age.
+    * spaces (session ids), `keyTtl = Some(duration)` opts into an
+    * EVENT-TIME (watermark-denominated) TTL on the compacted
+    * reference: a key that has drained no traffic (refs OR probes) for
+    * `keyTtl` of WATERMARK progress forgets it — checked on read AND
+    * actively retired by an event-time timer, so the state really is
+    * deleted for keys that never return (not just masked until they
+    * do). Watermark denomination is deliberate: a processing-time TTL
+    * would expire everything spuriously on a checkpoint replay or a
+    * historical backfill and make the emitted rows
+    * replay-nondeterministic; event time keeps admission a pure
+    * function of the stream. The trade stays explicit: a probe
+    * arriving after expiry emits UNMATCHED even though a
+    * semantically-correct backward match once existed — size the TTL
+    * well past the key space's retirement age. A reference compacted
+    * BEFORE the TTL was enabled carries no refresh stamp and counts as
+    * already expired.
     *
     * Tie rules are the batch twin's, verbatim: an exactly-simultaneous
     * reference matches (refs fold before probes at equal ts), among
@@ -2079,22 +2091,23 @@ object StreamingPipeline {
     @transient private var lastRef: ValueState[(Long, Long)] = _ // (tsUs, id)
     @transient private var refBuf: ListState[(Long, Long)] = _   // (tsUs, id)
     @transient private var probeBuf: ListState[(Long, Long)] = _ // (tsUs, id)
-    // opt-in key retirement (see asofPipeline's keyTtl contract): a
-    // processing-time last-compaction stamp checked at read — Spark's
-    // own TTLConfig is rejected under TimeMode.EventTime, so the TTL
-    // is enforced manually with the same expire-on-read semantics
-    @transient private var lastTouchMs: ValueState[Long] = _
+    // opt-in key retirement (see asofPipeline's keyTtl contract): the
+    // WATERMARK at the last compaction, checked on read and retired by
+    // an event-time timer — Spark's own TTLConfig is rejected under
+    // TimeMode.EventTime (and would be processing-time-denominated,
+    // breaking replay determinism), so the TTL is enforced manually
+    @transient private var lastTouchWm: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastRef = getHandle.getValueState[(Long, Long)]("lastRef",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
-      lastTouchMs = getHandle.getValueState[Long]("lastTouchMs",
+      lastTouchWm = getHandle.getValueState[Long]("lastTouchWm",
         Encoders.scalaLong, TTLConfig.NONE)
       refBuf = getHandle.getListState[(Long, Long)]("refBuf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       probeBuf = getHandle.getListState[(Long, Long)]("probeBuf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
     }
-    private def drain(key: Long, wmMs: Long, nowMs: Long)
+    private def drain(key: Long, wmMs: Long)
         : Iterator[(Long, Long, Long, Boolean, Long, Long)] = {
       val wmUs = wmMs * 1000L
       val refs = refBuf.get().toArray
@@ -2107,27 +2120,22 @@ object StreamingPipeline {
       if (pRest.length != probes.length) {
         if (pRest.isEmpty) probeBuf.clear() else probeBuf.put(pRest)
       }
-      // one pending timer per key = the earliest still-buffered PROBE,
-      // or — when no probe is pending — the earliest still-buffered
-      // REF: without the ref fallback a key whose traffic ENDS would
-      // strand its above-watermark refs forever (no input, no probe
-      // timer → no drain → no compaction; state grows with every
-      // departed key — the round-14 self-review leak)
-      reconcileTimer(
-        if (pRest.nonEmpty) Some(pRest.map(_._1).min / 1000L + 1L)
-        else if (refRest.nonEmpty) Some(refRest.map(_._1).min / 1000L + 1L)
-        else None)
-      if (refReady.isEmpty && pReady.isEmpty) return Iterator.empty
-      var last = if (lastRef.exists()) Option(lastRef.get()) else None
-      // keyTtl expiry, checked BEFORE this drain's refs fold: a key
-      // whose compacted ref has not been refreshed within the TTL
-      // forgets it (expire-on-read — the documented late-probe trade)
-      if (keyTtl.isDefined && last.isDefined) {
-        val touched = if (lastTouchMs.exists()) lastTouchMs.get() else Long.MinValue
-        if (nowMs - touched > keyTtl.get.toMillis) {
-          lastRef.clear(); lastTouchMs.clear(); last = None
-        }
+      // EVENT-TIME keyTtl expiry, BEFORE anything reads the ref: a key
+      // that has drained no traffic for keyTtl of WATERMARK progress
+      // forgets its compacted reference. A missing stamp (a ref
+      // compacted before the TTL was enabled) counts as already
+      // expired — never compute `wm − Long.MinValue` (it wraps
+      // negative and inverts the sentinel's intent).
+      if (keyTtl.isDefined && lastRef.exists()) {
+        val fresh = lastTouchWm.exists() &&
+          wmMs - lastTouchWm.get() <= keyTtl.get.toMillis
+        if (!fresh) { lastRef.clear(); lastTouchWm.clear() }
       }
+      if (refReady.isEmpty && pReady.isEmpty) {
+        reconcilePostDrain(pRest, refRest)
+        return Iterator.empty
+      }
+      var last = if (lastRef.exists()) Option(lastRef.get()) else None
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Boolean, Long, Long)]
       // the batch twin's total order: ts asc, ref (tag 0) before probe
@@ -2150,10 +2158,30 @@ object StreamingPipeline {
       }
       last.foreach { l =>
         lastRef.update(l)
-        if (keyTtl.isDefined) lastTouchMs.update(nowMs)
+        // the stamp refreshes whenever this key drains traffic —
+        // probes count as liveness too (an actively-probed key must
+        // not go falsely unmatched under the TTL)
+        if (keyTtl.isDefined) lastTouchWm.update(wmMs)
       }
+      reconcilePostDrain(pRest, refRest)
       out.iterator
     }
+    /** One pending timer per key, reflecting the POST-drain state:
+      * the earliest still-buffered PROBE; else the earliest
+      * still-buffered REF (without this fallback a key whose traffic
+      * ends would strand its above-watermark refs forever — the
+      * round-14 self-review leak); else, under `keyTtl`, the ref's
+      * RETIREMENT time (stamp + ttl — the timer that makes expiry
+      * actually DELETE state for keys that never return, instead of
+      * masking it until a read that never comes). */
+    private def reconcilePostDrain(pRest: Array[(Long, Long)],
+                                   refRest: Array[(Long, Long)]): Unit =
+      reconcileTimer(
+        if (pRest.nonEmpty) Some(pRest.map(_._1).min / 1000L + 1L)
+        else if (refRest.nonEmpty) Some(refRest.map(_._1).min / 1000L + 1L)
+        else if (keyTtl.isDefined && lastRef.exists() && lastTouchWm.exists())
+          Some(lastTouchWm.get() + keyTtl.get.toMillis + 1L)
+        else None)
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
         timerValues: TimerValues)
@@ -2164,15 +2192,13 @@ object StreamingPipeline {
         if (tag == 0) refBuf.appendValue((us, id))
         else probeBuf.appendValue((us, id))
       }
-      drain(key, timerValues.getCurrentWatermarkInMs(),
-        timerValues.getCurrentProcessingTimeInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs())
     }
     override def handleExpiredTimer(
         key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo)
         : Iterator[(Long, Long, Long, Boolean, Long, Long)] =
-      drain(key, timerValues.getCurrentWatermarkInMs(),
-        timerValues.getCurrentProcessingTimeInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs())
   }
 
   /** Streaming heartbeat — the sniffer's 60 s liveness log

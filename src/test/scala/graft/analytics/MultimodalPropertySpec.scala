@@ -74,6 +74,34 @@ class MultimodalPropertySpec extends AnyFunSuite {
     // header-only PNG (no IDAT) and JPEG are None — not perceptual input
     assert(MediaDecode.pngGrayPixels(Multimodal.pngBytes(8, 8)).isEmpty)
     assert(MediaDecode.pngGrayPixels(Multimodal.jpegBytes(8, 8)).isEmpty)
+    // FDICT regression: a zlib stream demanding a preset dictionary
+    // (header 0x78 0xBB — checksum-valid, FDICT bit set; forbidden in
+    // PNG) makes Inflater return 0 with needsInput()==false — must be
+    // None, never an infinite loop
+    val fdict = {
+      val good = p1
+      // splice a poisoned IDAT in place of the real one
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(good, 0, 8 + 25) // sig + IHDR
+      val bad = Array[Byte](0x78.toByte, 0xBB.toByte, 1, 2, 3, 4)
+      def u32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      u32(bad.length.toLong)
+      val tagged = "IDAT".getBytes("ASCII") ++ bad
+      o.write(tagged)
+      val crc = new java.util.zip.CRC32(); crc.update(tagged); u32(crc.getValue)
+      u32(0); o.write("IEND".getBytes("ASCII")); u32(0xae426082L)
+      o.toByteArray
+    }
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var res: Option[(Int, Int, Array[Byte])] = Some((-1, -1, Array()))
+    val th = new Thread(() => { res = MediaDecode.pngGrayPixels(fdict); done.countDown() })
+    th.setDaemon(true); th.start()
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "FDICT stream must not hang the decoder")
+    assert(res.isEmpty, s"FDICT stream must decode to None: $res")
   }
 
   test("png unfilter: all five filter types reconstruct; RGB converts via integer luma") {

@@ -1192,7 +1192,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("as-of join keyTtl: an expired compacted ref turns a late probe into an unmatched row (the documented trade)") {
+  test("as-of join keyTtl: watermark-denominated expiry — within-TTL probe matches, post-TTL probe unmatched, state retired") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -1200,43 +1200,69 @@ class PipelineSpec extends SparkSpec {
     val oldProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_asof_ttl").toString
     val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val out = StreamingPipeline.asofPipeline(
       pMem.toDF().toDF("user_id", "ts", "event_id"),
       rMem.toDF().toDF("user_id", "ts", "event_id"),
       watermarkDelay = "0 seconds",
-      keyTtl = Some(java.time.Duration.ofSeconds(2)))
+      keyTtl = Some(java.time.Duration.ofHours(1)))
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    val q = out.writeStream.format("memory").queryName("asof_ttl_t")
+    val name = "asof_ttl_t"
+    val listener = StreamingPipeline.attachMonitoring(spark, base, name)
+    val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      // batch 1: u1's ref + a watermark driver well past it
+      // b1: u1 and u2 refs at 10:00 + a watermark driver
       rMem.addData((1L, t("2024-01-01 10:00:00"), 100L),
-        (9L, t("2024-01-01 12:00:00"), 900L))
+        (2L, t("2024-01-01 10:00:00"), 200L),
+        (9L, t("2024-01-01 10:30:00"), 900L))
       q.processAllAvailable()
-      // batch 2 (wm now 12:00): u1's ref-fallback timer fires and the
-      // ref COMPACTS into lastRef — the state the TTL will expire
-      rMem.addData((9L, t("2024-01-01 12:30:00"), 901L))
+      // b2 (wm 10:30): both refs compact, stamp = 10:30. u2's probe at
+      // 10:45 buffers above the watermark
+      pMem.addData((2L, t("2024-01-01 10:45:00"), 500L))
+      rMem.addData((9L, t("2024-01-01 11:00:00"), 901L))
       q.processAllAvailable()
-      // idle past the 2 s processing-time TTL
-      Thread.sleep(2600)
-      // batch 3: u1's probe (buffers above wm) + wm driver
-      pMem.addData((1L, t("2024-01-01 13:00:00"), 500L))
-      rMem.addData((9L, t("2024-01-01 14:00:00"), 902L))
+      // b3 (wm 11:00 ≥ 10:45): u2's probe drains WITHIN the TTL
+      // (11:00 − stamp 10:30 = 30 min ≤ 1 h) → MATCHED
+      rMem.addData((9L, t("2024-01-01 12:00:00"), 902L))
       q.processAllAvailable()
-      // batch 4: wm reaches 14:00, the probe timer fires — lastRef has
-      // EXPIRED, so the probe emits unmatched even though a correct
-      // backward match (10:00) once existed: the opt-in trade
-      rMem.addData((9L, t("2024-01-01 15:00:00"), 903L))
+      // watermark marches past every retirement timer (stamp + 1 h):
+      // u1/u2's refs are actively DELETED by the timer, not just
+      // masked — observed below through the monitoring state counter
+      rMem.addData((9L, t("2024-01-01 16:00:00"), 903L))
       q.processAllAvailable()
-      val rows = spark.table("asof_ttl_t").collect()
+      rMem.addData((9L, t("2024-01-01 17:00:00"), 904L))
+      q.processAllAvailable()
+      // u1's probe arrives AFTER expiry; next driver closes it
+      pMem.addData((1L, t("2024-01-01 17:30:00"), 600L))
+      rMem.addData((9L, t("2024-01-01 18:30:00"), 905L))
+      q.processAllAvailable()
+      rMem.addData((9L, t("2024-01-01 19:00:00"), 906L))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
         .map(r => r.getLong(1) -> Option(r.get(3))).toMap
-      assert(rows.contains(500L), s"probe never emitted: $rows")
-      assert(rows(500L).isEmpty,
-        s"expired key must emit UNMATCHED, got match: ${rows(500L)}")
+      assert(rows.get(500L).contains(Some(200L)),
+        s"within-TTL probe must match its ref: $rows")
+      assert(rows.contains(600L) && rows(600L).isEmpty,
+        s"post-TTL probe must emit UNMATCHED (the documented trade): $rows")
+      // retirement really deletes state: by the last batch the only
+      // live key is the driver u9 (u1/u2 cleared by their timers, the
+      // 600L probe drained) — ≤ 2 state rows (u9's lastRef + stamp)
+      val monDir = new org.apache.hadoop.fs.Path(s"$base/_monitoring/$name")
+      val fs = monDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!fs.exists(monDir) || fs.listStatus(monDir).length < 7) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val lastState = StreamingPipeline.monitoringTable(spark, base, name)
+        .orderBy(col("batch_id").desc).select("state_rows")
+        .head().getLong(0)
+      assert(lastState <= 3L,
+        s"expired keys must be DELETED from state, got $lastState rows")
     } finally {
       q.stop()
+      spark.streams.removeListener(listener)
       oldProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
