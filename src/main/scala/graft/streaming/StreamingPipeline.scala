@@ -758,6 +758,99 @@ object StreamingPipeline {
       }
   }
 
+  /** Compact a batch_id-partitioned admission STORE — the small-files
+    * maintenance op the continuous pipelines need at scale: a 10 s
+    * trigger writes 8,640 partitions per DAY into the signature /
+    * semantic store, and every micro-batch re-lists and re-plans over
+    * all of them (store read cost grows with LIFETIME batches, not
+    * store rows). This folds every COMMITTED partition into one.
+    *
+    * Crash-safe by DUPLICATION, never loss — every step leaves the
+    * store complete and readable, because duplicate store rows are
+    * semantically harmless for admission (a membership candidate
+    * compared twice returns the same verdict; the band/bucket
+    * semi-joins are set-semantics):
+    *  1. target = the second-largest batch id. Every id < max(ids) is
+    *     COMMITTED (micro-batch N runs only after N−1's checkpoint
+    *     commit), so the compacted partition can never be excluded by
+    *     a crash-replay of the newest batch — compacting INTO max(ids)
+    *     itself would vanish from a replay of that batch (the
+    *     batch_id =!= current exclusion) and re-admit history.
+    *  2. The union of all partitions ≤ target is written (without the
+    *     partition column — it is directory-derived) to a dot-prefixed
+    *     temp dir Spark's reader ignores.
+    *  3. Each temp file moves into `batch_id=<target>/` under a
+    *     `compact-<token>-` name (per-file rename — partial completion
+    *     is partial duplication).
+    *  4. Only then are the covered originals deleted: partitions
+    *     strictly below target, then target's own files not named
+    *     `compact-<token>-` (earlier compactions' files included) —
+    *     every deleted row already lives in the new files.
+    * A crash anywhere re-converges by simply re-running. Safe offline
+    * (the intended mode); run concurrently with the pipeline it can at
+    * worst make one micro-batch retry on a listing race
+    * (FileNotFoundException → Spark retries the batch; at-least-once
+    * semantics already absorb this).
+    *
+    * Returns (partitions before, partitions after). No-op (returns
+    * unchanged counts) when fewer than 3 partitions exist — max(ids)
+    * is never touched, so 2 partitions have nothing to fold. Applies
+    * to the parquet stores ([[admissionPipeline]]'s signatures,
+    * [[semanticAdmissionPipeline]]'s vectors); the Bloom store is one
+    * sketch file per version and self-prunes. */
+  def compactAdmissionStore(spark: SparkSession, storeDir: String,
+                            outputFiles: Int = 1): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(outputFiles >= 1, s"outputFiles must be >= 1: $outputFiles")
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"store $storeDir does not exist")
+    val Part = "batch_id=(\\d+)".r
+    def partitions(): Seq[Long] = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).flatMap(_.getPath.getName match {
+        case Part(id) => Some(id.toLong)
+        case _ => None
+      }).sorted
+    val ids = partitions()
+    if (ids.size < 3) return (ids.size, ids.size)
+    val target = ids(ids.size - 2)
+    val covered = ids.filter(_ <= target)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    // 2. union of covered partitions → dot temp dir (reader-invisible)
+    val tmp = new Path(root, s".compact_$token")
+    // leaf dirs are read directly, so no partition column is inferred
+    // and the compacted FILES carry none (batch_id stays dir-derived);
+    // outputFiles sizes the compacted partition (1 for test-scale, more
+    // when the store outgrows a single object)
+    spark.read.parquet(covered.map(id => s"$storeDir/batch_id=$id"): _*)
+      .coalesce(outputFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // 3. publish: move data files into the target partition
+    val targetDir = new Path(root, s"batch_id=$target")
+    val dataFiles = fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    require(dataFiles.nonEmpty, s"compaction produced no data files in $tmp")
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      val dst = new Path(targetDir, s"compact-$token-$i.parquet")
+      require(fs.rename(f.getPath, dst), s"failed to publish ${f.getPath} -> $dst")
+    }
+    // 4. retire the covered originals (each row now lives in the
+    // compact files): partitions below target, then target's own
+    // non-this-token files
+    covered.filter(_ < target).foreach { id =>
+      fs.delete(new Path(root, s"batch_id=$id"), true)
+    }
+    fs.listStatus(targetDir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(s"compact-$token-"))
+      // keep commit-protocol markers out of scope; data files only
+      .filter(f => f.getPath.getName.endsWith(".parquet") ||
+        f.getPath.getName.startsWith("part-") ||
+        f.getPath.getName.startsWith("compact-"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    (ids.size, partitions().size)
+  }
+
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event
     * stream: tumbling 60 s counts per label with a watermark bounding
     * state (the reference's ALIGN_RATE dashboards; SURVEY §2.4). */

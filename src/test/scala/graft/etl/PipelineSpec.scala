@@ -258,6 +258,73 @@ class PipelineSpec extends SparkSpec {
     assert(msg.contains("store's identity"), s"wrong failure: $msg")
   }
 
+  test("compactAdmissionStore: folds committed partitions, preserves membership, duplication-tolerant, admission unchanged") {
+    val in = Files.createTempDirectory("graft_cadm_in").toString
+    val base = Files.createTempDirectory("graft_cadm").toString
+    val (st, out, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+    def vec(id: Long, e: Seq[Double]) =
+      s"""{"vec_id":$id,"label":0,"embedding":[${e.mkString(",")}]}"""
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.semanticAdmissionPipeline(spark, in, st, out,
+        ckpt, trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+        tau = 0.9, nBits = 4, dim = 4).start()
+      q.awaitTermination(120000)
+    }
+    def axis(i: Int) = Seq.tabulate(4)(d => if (d == i % 4) 1.0 + i / 4 else 0.0)
+    // four batches, one novel vector each → four store partitions
+    (0 until 4).foreach { i =>
+      val f = Paths.get(in, s"b$i.jsonl")
+      Files.writeString(f, vec(i.toLong, axis(i)))
+      f.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    runOnce()
+    def partDirs(): Seq[String] = new java.io.File(st).list().toSeq
+      .filter(_.startsWith("batch_id=")).sorted
+    def storeRows(): Set[(Long, Long)] = spark.read.parquet(st)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = storeRows()
+    assert(partDirs().size >= 3, s"need >=3 partitions: ${partDirs()}")
+    val maxId = partDirs().map(_.stripPrefix("batch_id=").toLong).max
+    val (nb, na) = StreamingPipeline.compactAdmissionStore(spark, st)
+    assert(na == 2 && nb >= 3, s"expected fold to 2 partitions: $nb -> $na")
+    // membership preserved exactly; max(ids) partition untouched
+    assert(storeRows() == before, "compaction must preserve membership")
+    assert(partDirs().map(_.stripPrefix("batch_id=").toLong).max == maxId)
+    // admission continuity over the compacted store: an old dup (scaled
+    // copy of batch-0's vector) must still be rejected, a novel admitted
+    Files.writeString(Paths.get(in, "b5.jsonl"),
+      vec(50L, axis(0).map(_ * 2)) + "\n" +
+        vec(51L, Seq(0.5, 0.5, 0.5, 0.5)))
+    runOnce()
+    val admitted = spark.read.parquet(out).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(0L, 1L, 2L, 3L, 51L), s"admitted: $admitted")
+    // duplication tolerance (the crash-window state): resurrect a fake
+    // old partition duplicating existing rows — admission verdicts are
+    // unchanged, and a re-run of compaction converges
+    val dupDir = Paths.get(st, "batch_id=0")
+    Files.createDirectories(dupDir)
+    val srcFile = new java.io.File(s"$st/batch_id=${maxId - 1}").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(srcFile.toPath, dupDir.resolve("compact-old-0.parquet"))
+    Files.writeString(Paths.get(in, "b6.jsonl"),
+      vec(60L, axis(1).map(_ * 3)) + "\n" +
+        vec(61L, Seq(-0.5, 0.5, -0.5, 0.5)))
+    runOnce()
+    val admitted2 = spark.read.parquet(out).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(admitted2 == Seq(0L, 1L, 2L, 3L, 51L, 61L),
+      s"duplicated store rows changed verdicts: $admitted2")
+    val rowsWithDup = storeRows()
+    val (_, na2) = StreamingPipeline.compactAdmissionStore(spark, st)
+    assert(na2 == 2, s"re-run must re-converge: $na2")
+    assert(storeRows() == rowsWithDup, "convergence must preserve membership")
+    // no-op below 3 partitions
+    val again = StreamingPipeline.compactAdmissionStore(spark, st)
+    assert(again == ((2, 2)), s"expected no-op: $again")
+  }
+
   test("batch pipeline routes errors, writes events, counts per file") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
