@@ -709,12 +709,17 @@ object StreamingPipeline {
                 "store's identity — restart with the original parameters, " +
                 "or delete the store to rebuild membership from scratch")
           } else {
-            // pin BEFORE the first store write: a crash between a sink
+            // pin BEFORE the first store write (a crash between a sink
             // write and a later pin would leave store rows whose params
-            // the next (possibly drifted) incarnation could not check —
-            // the exact silent mis-bucketing the pin exists to prevent
-            val os = fs.create(paramsFile, false)
+            // the next, possibly drifted, incarnation could not check)
+            // and ATOMICALLY via tmp+rename (the Bloom-sketch publish
+            // pattern): a crash mid-write must never leave a truncated
+            // pin that bricks every restart with a garbage mismatch
+            val tmpPin = new Path(storeDir + "_params.tmp")
+            val os = fs.create(tmpPin, true)
             try os.write(wantParams.getBytes("UTF-8")) finally os.close()
+            require(fs.rename(tmpPin, paramsFile),
+              s"failed to publish params pin $tmpPin -> $paramsFile")
           }
           val cachedBatch = batch.cache()
           try {
@@ -786,11 +791,20 @@ object StreamingPipeline {
     *     strictly below target, then target's own files not named
     *     `compact-<token>-` (earlier compactions' files included) —
     *     every deleted row already lives in the new files.
-    * A crash anywhere re-converges by simply re-running. Safe offline
-    * (the intended mode); run concurrently with the pipeline it can at
-    * worst make one micro-batch retry on a listing race
-    * (FileNotFoundException → Spark retries the batch; at-least-once
-    * semantics already absorb this).
+    * A crash anywhere re-converges by simply re-running; stale
+    * `.compact_*` temp dirs from crashed runs are swept at entry.
+    * CONCURRENT compactions are excluded by an atomic lock file
+    * (create-if-absent): two interleaved runs would delete each
+    * other's published files — the one sequence that CAN lose rows —
+    * so the second invocation fails loud instead (a crash leaves the
+    * lock behind; the error says how old it is and that deleting it is
+    * safe once no compaction is running). Run it OFFLINE (the intended
+    * mode): concurrent with a live pipeline, a store scan whose file
+    * list was planned before a delete fails that micro-batch with
+    * FileNotFoundException and TERMINATES the streaming query — the
+    * query must be restarted, and at-least-once replay absorbs the
+    * batch; this op never loses store rows either way, but it does not
+    * keep a live query running.
     *
     * Returns (partitions before, partitions after). No-op (returns
     * unchanged counts) when fewer than 3 partitions exist — max(ids)
@@ -813,6 +827,31 @@ object StreamingPipeline {
       }).sorted
     val ids = partitions()
     if (ids.size < 3) return (ids.size, ids.size)
+    // exclusive lock: two INTERLEAVED compactions delete each other's
+    // published files — the one sequence that can lose rows — so the
+    // second fails loud. fs.create(overwrite=false) is the atomic
+    // create-if-absent primitive (the Bloom-sketch publish pattern).
+    val lock = new Path(root, ".compact_lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val age = try {
+            (System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime) / 1000
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+          throw new IllegalStateException(
+            s"compaction lock $lock already exists (age ${age}s): another " +
+              "compaction is running, or a previous one crashed — delete the " +
+              "lock once you are sure no compaction is in flight and re-run")
+      }
+    lockStream.close()
+    try {
+    // sweep temp dirs stranded by crashed runs (safe under the lock:
+    // no other run can be mid-publish)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
+      .foreach(s => fs.delete(s.getPath, true))
     val target = ids(ids.size - 2)
     val covered = ids.filter(_ <= target)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -849,6 +888,7 @@ object StreamingPipeline {
       .foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
     (ids.size, partitions().size)
+    } finally fs.delete(lock, false)
   }
 
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event
@@ -2088,21 +2128,23 @@ object StreamingPipeline {
     * the right contract for entity keys (users, devices, symbols) and
     * it is the DEFAULT (`keyTtl = None`). For provably-retiring key
     * spaces (session ids), `keyTtl = Some(duration)` opts into an
-    * EVENT-TIME (watermark-denominated) TTL on the compacted
-    * reference: a key that has drained no traffic (refs OR probes) for
-    * `keyTtl` of WATERMARK progress forgets it — checked on read AND
-    * actively retired by an event-time timer, so the state really is
-    * deleted for keys that never return (not just masked until they
-    * do). Watermark denomination is deliberate: a processing-time TTL
-    * would expire everything spuriously on a checkpoint replay or a
-    * historical backfill and make the emitted rows
-    * replay-nondeterministic; event time keeps admission a pure
-    * function of the stream. The trade stays explicit: a probe
-    * arriving after expiry emits UNMATCHED even though a
-    * semantically-correct backward match once existed — size the TTL
-    * well past the key space's retirement age. A reference compacted
-    * BEFORE the TTL was enabled carries no refresh stamp and counts as
-    * already expired.
+    * EVENT-TIME TTL measured from the compacted reference's OWN
+    * timestamp: a probe matches only when `probeTs − refTs ≤ keyTtl`
+    * (on top of `toleranceSeconds` — the effective match window is the
+    * min of the two), and an event-time timer DELETES the reference
+    * once the watermark passes refTs + ttl, so state is really
+    * retired for keys that never return. Denominating in the rows' own
+    * event times is deliberate, twice over: a processing-time TTL
+    * expires spuriously on checkpoint replays and backfills, and even
+    * a watermark-stamped TTL makes a buffered probe's verdict depend
+    * on how large the watermark jump that drained it happened to be —
+    * per-row event time keeps the emitted rows a pure function of the
+    * data under ANY micro-batch division. The trade stays explicit: a
+    * probe arriving more than `keyTtl` after the key's last reference
+    * emits UNMATCHED even though a semantically-correct backward match
+    * once existed — size the TTL well past the key space's retirement
+    * age (keyTtl is toleranceSeconds PLUS state deletion; use
+    * tolerance alone when state growth is acceptable).
     *
     * Tie rules are the batch twin's, verbatim: an exactly-simultaneous
     * reference matches (refs fold before probes at equal ts), among
@@ -2184,17 +2226,22 @@ object StreamingPipeline {
     @transient private var lastRef: ValueState[(Long, Long)] = _ // (tsUs, id)
     @transient private var refBuf: ListState[(Long, Long)] = _   // (tsUs, id)
     @transient private var probeBuf: ListState[(Long, Long)] = _ // (tsUs, id)
-    // opt-in key retirement (see asofPipeline's keyTtl contract): the
-    // WATERMARK at the last compaction, checked on read and retired by
-    // an event-time timer — Spark's own TTLConfig is rejected under
-    // TimeMode.EventTime (and would be processing-time-denominated,
-    // breaking replay determinism), so the TTL is enforced manually
-    @transient private var lastTouchWm: ValueState[Long] = _
+    // keyTtl (see asofPipeline's contract) is measured from the
+    // compacted reference's OWN event time — no clock and no watermark
+    // stamp enters the MATCH decision, so emitted rows stay a pure
+    // function of the data under any micro-batch division (a
+    // watermark-stamped variant made a buffered probe's verdict depend
+    // on how large the watermark jump that drained it happened to be).
+    // The watermark only drives the PHYSICAL deletion, which is
+    // unobservable: state clears once wm > refTs + ttl, and any probe
+    // admitted after that has ts > wm > refTs + ttl — already
+    // unmatched by the per-probe rule.
+    private val ttlUs: Long =
+      keyTtl.map(d => math.min(d.toMillis, Long.MaxValue / 2000L) * 1000L)
+        .getOrElse(Long.MaxValue)
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastRef = getHandle.getValueState[(Long, Long)]("lastRef",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
-      lastTouchWm = getHandle.getValueState[Long]("lastTouchWm",
-        Encoders.scalaLong, TTLConfig.NONE)
       refBuf = getHandle.getListState[(Long, Long)]("refBuf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       probeBuf = getHandle.getListState[(Long, Long)]("probeBuf",
@@ -2213,58 +2260,49 @@ object StreamingPipeline {
       if (pRest.length != probes.length) {
         if (pRest.isEmpty) probeBuf.clear() else probeBuf.put(pRest)
       }
-      // EVENT-TIME keyTtl expiry, BEFORE anything reads the ref: a key
-      // that has drained no traffic for keyTtl of WATERMARK progress
-      // forgets its compacted reference. A missing stamp (a ref
-      // compacted before the TTL was enabled) counts as already
-      // expired — never compute `wm − Long.MinValue` (it wraps
-      // negative and inverts the sentinel's intent).
-      if (keyTtl.isDefined && lastRef.exists()) {
-        val fresh = lastTouchWm.exists() &&
-          wmMs - lastTouchWm.get() <= keyTtl.get.toMillis
-        if (!fresh) { lastRef.clear(); lastTouchWm.clear() }
-      }
-      if (refReady.isEmpty && pReady.isEmpty) {
-        reconcilePostDrain(pRest, refRest)
-        return Iterator.empty
-      }
-      var last = if (lastRef.exists()) Option(lastRef.get()) else None
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Boolean, Long, Long)]
-      // the batch twin's total order: ts asc, ref (tag 0) before probe
-      // at equal ts, id asc (so the max-id equal-ts ref folds last)
-      val events = (refReady.map(r => (r._1, 0, r._2)) ++
-        pReady.map(p => (p._1, 1, p._2))).sortBy(identity)
-      events.foreach {
-        case (ts, 0, id) =>
-          last = last match {
-            case Some((lts, lid)) if lts > ts || (lts == ts && lid >= id) => last
-            case _ => Some((ts, id))
-          }
-        case (ts, _, id) =>
-          last match {
-            case Some((rts, rid)) if ts - rts <= tolUs =>
-              out += ((key, id, ts, true, rid, ts - rts))
-            case _ =>
-              out += ((key, id, ts, false, 0L, 0L))
-          }
+      val hadReady = refReady.nonEmpty || pReady.nonEmpty
+      if (hadReady) {
+        var last = if (lastRef.exists()) Option(lastRef.get()) else None
+        // the batch twin's total order: ts asc, ref (tag 0) before
+        // probe at equal ts, id asc (the max-id equal-ts ref folds
+        // last)
+        val events = (refReady.map(r => (r._1, 0, r._2)) ++
+          pReady.map(p => (p._1, 1, p._2))).sortBy(identity)
+        events.foreach {
+          case (ts, 0, id) =>
+            last = last match {
+              case Some((lts, lid)) if lts > ts || (lts == ts && lid >= id) => last
+              case _ => Some((ts, id))
+            }
+          case (ts, _, id) =>
+            last match {
+              // per-probe visibility: within tolerance AND within the
+              // key TTL of the reference's own event time — both are
+              // pure functions of the two rows, never of the watermark
+              case Some((rts, rid)) if ts - rts <= tolUs && ts - rts <= ttlUs =>
+                out += ((key, id, ts, true, rid, ts - rts))
+              case _ =>
+                out += ((key, id, ts, false, 0L, 0L))
+            }
+        }
+        last.foreach(lastRef.update)
       }
-      last.foreach { l =>
-        lastRef.update(l)
-        // the stamp refreshes whenever this key drains traffic —
-        // probes count as liveness too (an actively-probed key must
-        // not go falsely unmatched under the TTL)
-        if (keyTtl.isDefined) lastTouchWm.update(wmMs)
-      }
+      // PHYSICAL retirement, strictly AFTER the fold (a ready probe in
+      // this very drain may still be within ttl of a ref the watermark
+      // has outrun): unobservable, see the ttlUs note
+      if (keyTtl.isDefined && lastRef.exists() &&
+          wmUs - lastRef.get()._1 > ttlUs) lastRef.clear()
       reconcilePostDrain(pRest, refRest)
-      out.iterator
+      if (hadReady) out.iterator else Iterator.empty
     }
     /** One pending timer per key, reflecting the POST-drain state:
       * the earliest still-buffered PROBE; else the earliest
       * still-buffered REF (without this fallback a key whose traffic
       * ends would strand its above-watermark refs forever — the
       * round-14 self-review leak); else, under `keyTtl`, the ref's
-      * RETIREMENT time (stamp + ttl — the timer that makes expiry
+      * RETIREMENT time (refTs + ttl — the timer that makes expiry
       * actually DELETE state for keys that never return, instead of
       * masking it until a read that never comes). */
     private def reconcilePostDrain(pRest: Array[(Long, Long)],
@@ -2272,8 +2310,8 @@ object StreamingPipeline {
       reconcileTimer(
         if (pRest.nonEmpty) Some(pRest.map(_._1).min / 1000L + 1L)
         else if (refRest.nonEmpty) Some(refRest.map(_._1).min / 1000L + 1L)
-        else if (keyTtl.isDefined && lastRef.exists() && lastTouchWm.exists())
-          Some(lastTouchWm.get() + keyTtl.get.toMillis + 1L)
+        else if (keyTtl.isDefined && lastRef.exists())
+          Some(lastRef.get()._1 / 1000L + keyTtl.get.toMillis + 1L)
         else None)
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],

@@ -323,6 +323,27 @@ class PipelineSpec extends SparkSpec {
     // no-op below 3 partitions
     val again = StreamingPipeline.compactAdmissionStore(spark, st)
     assert(again == ((2, 2)), s"expected no-op: $again")
+    // concurrent-run exclusion: a held lock fails LOUD (two interleaved
+    // compactions deleting each other's published files is the one
+    // sequence that can lose rows)
+    Files.writeString(Paths.get(st, ".compact_lock"), "")
+    // re-grow to 3 partitions so compaction would otherwise proceed
+    Files.writeString(Paths.get(in, "b7.jsonl"), vec(70L, Seq(0.1, 0.9, 0.2, 0.1)))
+    runOnce()
+    val locked = intercept[IllegalStateException] {
+      StreamingPipeline.compactAdmissionStore(spark, st)
+    }
+    assert(locked.getMessage.contains("lock"), locked.getMessage)
+    Files.delete(Paths.get(st, ".compact_lock"))
+    // stale temp dirs from a crashed run are swept at entry
+    val stale = Paths.get(st, ".compact_deadbeef")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("junk.parquet"), "not parquet")
+    val (_, naf) = StreamingPipeline.compactAdmissionStore(spark, st)
+    assert(naf == 2 && !Files.exists(stale),
+      s"stale tmp must be swept: exists=${Files.exists(stale)}")
+    // the lock is released after a successful run
+    assert(!Files.exists(Paths.get(st, ".compact_lock")))
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
@@ -1259,7 +1280,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("as-of join keyTtl: watermark-denominated expiry — within-TTL probe matches, post-TTL probe unmatched, state retired") {
+  test("as-of join keyTtl: event-time expiry — within-TTL probe matches, post-TTL probe unmatched, state retired") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -1330,6 +1351,64 @@ class PipelineSpec extends SparkSpec {
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("as-of keyTtl is per-probe event time: a watermark jump past the ttl cannot un-match a within-ttl buffered probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingPipeline.asofPipeline(
+      pMem.toDF().toDF("user_id", "ts", "event_id"),
+      rMem.toDF().toDF("user_id", "ts", "event_id"),
+      watermarkDelay = "0 seconds",
+      keyTtl = Some(java.time.Duration.ofHours(1)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = out.writeStream.format("memory").queryName("asof_ttl_jump")
+      .outputMode("append").start()
+    try {
+      // ref at 10:00; a driver advances the wm so the ref compacts
+      rMem.addData((1L, t("2024-01-01 10:00:00"), 100L),
+        (9L, t("2024-01-01 10:30:00"), 900L))
+      q.processAllAvailable()
+      // probe 45 min after the ref — WITHIN the 1 h ttl — buffers
+      pMem.addData((1L, t("2024-01-01 10:45:00"), 500L))
+      q.processAllAvailable()
+      // the next traffic is 12+ hours later: the probe's drain happens
+      // under a watermark far past refTs + ttl. A watermark-stamped
+      // expiry would clear the ref FIRST and emit unmatched — the
+      // verdict would depend on how the batches divided. Per-probe
+      // event time must match it regardless.
+      rMem.addData((9L, t("2024-01-01 23:00:00"), 901L))
+      q.processAllAvailable()
+      rMem.addData((9L, t("2024-01-02 00:00:00"), 902L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_ttl_jump").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3))).toMap
+      assert(rows.get(500L).contains(Some(100L)),
+        s"within-ttl probe must match under ANY batch division: $rows")
+      // and the ttl still bites on a genuinely-late probe
+      pMem.addData((1L, t("2024-01-02 00:30:00"), 600L))
+      rMem.addData((9L, t("2024-01-02 02:00:00"), 903L))
+      q.processAllAvailable()
+      rMem.addData((9L, t("2024-01-02 03:00:00"), 904L))
+      q.processAllAvailable()
+      val rows2 = spark.table("asof_ttl_jump").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3))).toMap
+      assert(rows2.contains(600L) && rows2(600L).isEmpty,
+        s"probe past the ttl must be unmatched: $rows2")
+    } finally {
+      q.stop()
       oldProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
