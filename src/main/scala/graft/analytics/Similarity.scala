@@ -119,6 +119,76 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  /** Hybrid retrieval fusion — Reciprocal Rank Fusion (RRF, Cormack et
+    * al.'s rank-only combiner, the standard lexical+vector fusion in
+    * production retrieval stacks): fuse a BM25 ranking of `documents`
+    * against a fixed term set with an exact-cosine ranking of
+    * `embeddings` against the query vector `queryVecId`, by
+    * rrf(id) = Σ_pools 1/(rrfK + rank(id)), items absent from a pool
+    * contributing 0. Ranks are over the top-`poolN` of each pool
+    * (the truncated-list RRF definition) and are taken on the
+    * ROUNDED scores (4 dp, id tie-break) — the cross-engine-stable
+    * rank discipline every oracled ranking here uses. Ids fuse on
+    * doc_id = vec_id (the corpus convention: an embedding row is the
+    * vector modality of the same-id document; an id present in only
+    * one modality still fuses, with one null rank).
+    *
+    * Output: (id, lex_rank, vec_rank — null when absent from that
+    * pool, rrf 6 dp, rk), top `k` by (rrf desc, id), ordered by rk.
+    *
+    * Scale shape (100 TB): each pool reduces corpus-side via the
+    * `graft_topk` map-side heap (≤poolN rows per partition cross the
+    * shuffle — never a ranking window over the scored corpus); the
+    * fusion join and final rank run over ≤2·poolN rows — a bounded
+    * panel, not a corpus funnel. The query vector is a 1-row
+    * broadcast (unconditioned scalar cross + filter — the PlanLint
+    * whitelist shape). */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+                    terms: Seq[String], queryVecId: Long, k: Int,
+                    poolN: Int = 50, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(poolN >= k, s"poolN must be >= k: $poolN < $k")
+    require(rrfK >= 1, s"rrfK must be >= 1: $rrfK")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // lexical pool: bm25Scores already emits the 4-dp-rounded score
+    val lexPool = TextAnalysis.bm25Scores(documents, terms)
+      .agg(expr(s"graft_topk(bm25, doc_id, $poolN)").as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("id"),
+        (col("pos") + 1).cast(LongType).as("lex_rank"))
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val qvec = corpus.filter(col("vec_id") === queryVecId)
+      .select(col("vec").as("qvec"))
+    // explicit crossJoin: a condition-less .join plans as an INNER
+    // BNLJ, which the plan lint (correctly) rejects — only the
+    // unconditioned scalar Cross is structurally allowed
+    val vecPool = corpus.crossJoin(broadcast(qvec))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(cosine(col("qvec"), col("vec")), 4).as("cos"))
+      .agg(expr(s"graft_topk(cos, vec_id, $poolN)").as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("id"),
+        (col("pos") + 1).cast(LongType).as("vec_rank"))
+    // the two reciprocals sum in a fixed order (lex first) — the
+    // oracle mirrors it, so the fused double is IEEE-identical
+    val fused = lexPool.join(vecPool, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .as("__rrf"))
+    fused
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("__rrf").desc, col("id"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("lex_rank"), col("vec_rank"),
+        round(col("__rrf"), 6).as("rrf"), col("rk"))
+      .orderBy("rk")
+  }
+
   /** Sign-random-projection LSH bucket key: `nBits` hyperplanes with
     * deterministic md5-derived ±1 components; bucket = bit pattern of
     * projection signs. Same-bucket vectors are candidate neighbors —

@@ -30,6 +30,61 @@ private[queries] object RegistrySimilarity {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sc)
         WHERE rk <= 10 ORDER BY query_id, rk"""), bench = true),
 
+    // Hybrid lexical+vector retrieval via Reciprocal Rank Fusion: the
+    // BM25 pool (txt_bm25_scores' exact CTE chain, rank on the 4-dp
+    // score) fuses with the exact-cosine pool (sim_cosine_topk's
+    // mirror, rank on the 4-dp cosine) through
+    // 1/(60+lex_rank) + 1/(60+vec_rank) in a FIXED addend order —
+    // both engines sum the same two doubles the same way, so the fused
+    // rank is deterministic; 1.0::DOUBLE guards DuckDB's
+    // DECIMAL-literal division
+    QueryDef("sim_hybrid_rrf",
+      (s, d) => Similarity.hybridRrfTopK(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        bm25Terms, queryVecId = 0L, k = 20, poolN = 50, rrfK = 60),
+      Some {
+        import graft.analytics.TextAnalysis.{Bm25K1, Bm25B}
+        val c1 = s"CAST('${Bm25K1 + 1}' AS DOUBLE)"
+        val ck = s"CAST('$Bm25K1' AS DOUBLE)"
+        val c2 = s"CAST('${1 - Bm25B}' AS DOUBLE)"
+        val cb = s"CAST('$Bm25B' AS DOUBLE)"
+        val inList = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+        s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+          stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+          matched AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+            WHERE token IN $inList GROUP BY doc_id, token),
+          dfs AS (SELECT token, count(*)::BIGINT AS df FROM matched GROUP BY token),
+          bm AS (SELECT doc_id,
+              round(sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                * tf * $c1 / (tf + $ck * ($c2 + $cb * dl / avgdl))), 4) AS bm25
+            FROM matched JOIN dfs USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN stats GROUP BY doc_id),
+          lexpool AS (SELECT doc_id AS id, rk::BIGINT AS lex_rank FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+            FROM bm) WHERE rk <= 50),
+          v AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL),
+          q AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+          sc AS (SELECT v.vec_id,
+              round(list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+                (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+                 sqrt(list_sum(list_transform(v.vec, x -> x * x)))), 4) AS cos
+            FROM q, v WHERE v.vec_id <> 0),
+          vecpool AS (SELECT vec_id AS id, rk::BIGINT AS vec_rank FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+            FROM sc) WHERE rk <= 50),
+          fused AS (SELECT coalesce(l.id, p.id) AS id, l.lex_rank, p.vec_rank,
+              coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE) +
+                coalesce(1.0::DOUBLE / (60 + p.vec_rank), 0.0::DOUBLE) AS rrf_raw
+            FROM lexpool l FULL OUTER JOIN vecpool p ON l.id = p.id)
+          SELECT id, lex_rank, vec_rank, round(rrf_raw, 6) AS rrf, rk
+          FROM (SELECT *, row_number() OVER (ORDER BY rrf_raw DESC, id)::BIGINT AS rk
+            FROM fused)
+          WHERE rk <= 20 ORDER BY rk"""
+      }, bench = true),
+
     // Matryoshka-style prefix truncation: exact cosine top-k over the
     // first 32 of 64 dims — half the scan IO; ranking over the
     // truncated vectors oracled exactly (the synthetic embeddings are

@@ -2367,6 +2367,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1L), (4L, 2L)))
   }
 
+  test("hybridRrfTopK fuses lexical and vector ranks by reciprocal rank") {
+    // lex ranking on 'apple' (k1=1.2, b=0.75, avgdl=2): doc1 (tf3,dl3)
+    // > doc10 (tf1,dl1) > doc2 (tf1,dl2); doc3 matches nothing.
+    // vec ranking vs query 0=(1,0): v2 cos 1.0 > v10 cos 0.8 > v5 cos
+    // 0.6. Fused: doc2 = 1/63+1/61, doc10 = 2/62, doc1 = 1/61 (vec rank
+    // null), v5 = 1/63 (lex rank null); doc3 absent everywhere.
+    val d = docs(1L -> "apple apple apple", 2L -> "apple banana",
+      3L -> "cherry plum", 10L -> "apple")
+    val e = vecs((0L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (10L, Seq(0.8f, 0.6f), 0), (5L, Seq(0.6f, 0.8f), 0))
+    val out = Similarity.hybridRrfTopK(d, e, Seq("apple"), 0L, k = 10,
+      poolN = 10).collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 10L, 1L, 5L), s"got $ids")
+    val byId = out.map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+        (if (r.isNullAt(2)) -1L else r.getLong(2)), r.getDouble(3))).toMap
+    assert(byId(2L)._1 == 3L && byId(2L)._2 == 1L)
+    assert(byId(10L)._1 == 2L && byId(10L)._2 == 2L)
+    assert(byId(1L)._1 == 1L && byId(1L)._2 == -1L) // vec rank null
+    assert(byId(5L)._1 == -1L && byId(5L)._2 == 3L) // lex rank null
+    assert(math.abs(byId(2L)._3 - (1.0 / 63 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(byId(10L)._3 - 2.0 / 62) < 1e-6)
+    assert(math.abs(byId(1L)._3 - 1.0 / 61) < 1e-6)
+  }
+
+  test("hybridRrfTopK breaks exact RRF ties by ascending id") {
+    // lex pool = {1} (rank 1), vec pool = {5} (rank 1): both fuse to
+    // exactly 1/61 — the lower id must rank first
+    val d = docs(1L -> "apple", 3L -> "cherry")
+    val e = vecs((0L, Seq(1f, 0f), 0), (5L, Seq(1f, 0f), 0))
+    val ids = Similarity.hybridRrfTopK(d, e, Seq("apple"), 0L, k = 10,
+      poolN = 10).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 5L), s"got $ids")
+  }
+
   test("curriculumStages cuts the global score order into equal stages") {
     val d = (1L to 16L).map(i => (i, 17L - i)) // score DESC in doc order
       .toDF("doc_id", "n_chars")
