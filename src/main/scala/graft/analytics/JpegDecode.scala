@@ -1,0 +1,396 @@
+package graft.analytics
+
+/** Pure-JVM BASELINE JPEG entropy decoder (ITU-T T.81 sequential DCT,
+  * Huffman coding) — the decode stage that unlocks perceptual
+  * (pixel-level) dedup for the JPEG modality, previously documented as
+  * byte-level-only. Scope is the baseline profile every camera/export
+  * pipeline emits:
+  *
+  *  - SOF0 (baseline) and SOF1 (extended sequential-Huffman) frames at
+  *    8-bit precision; SOF2 (progressive) and arithmetic-coded frames
+  *    return None;
+  *  - 1-component (grayscale) and 3-component (JFIF YCbCr) images, any
+  *    sampling factors 1–4 (4:4:4, 4:2:0, 4:2:2, …) — only the LUMA
+  *    component is dequantized/IDCT'd (JFIF's Y IS BT.601 luma, the
+  *    plane [[Multimodal.dHash64]] consumes); chroma blocks are still
+  *    Huffman-decoded to advance the bitstream, then discarded;
+  *  - restart markers (DRI/RSTn) with DC-predictor reset and
+  *    byte-alignment;
+  *  - 0xFF00 byte unstuffing inside the entropy segment.
+  *
+  * One interleaved scan covering all frame components (the shape every
+  * baseline encoder writes, including the JDK's own `ImageIO` JPEG
+  * plugin — which the differential spec uses as the INDEPENDENT
+  * reference decoder). Anything else — multi-scan, 12-bit, truncated
+  * entropy data, malformed tables — returns None: a corrupt image is
+  * DATA, not an engine error (the P14 containment stance shared with
+  * [[MediaDecode.pngGrayPixels]]).
+  *
+  * The IDCT is the exact separable float definition (precomputed
+  * c(u)/2·cos((2x+1)uπ/16) table, rows then columns) — deterministic
+  * JVM double math, no fast-integer approximation whose rounding could
+  * drift between builds. Reference anchor: the reference treats media
+  * payloads as opaque bytes end-to-end; pixel decode is part of this
+  * repo's mandated multimodal surface, not a port.
+  */
+private[analytics] object JpegDecode {
+
+  /** Natural-order index for each zigzag position (T.81 figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** idct1d(u)(x) = c(u)/2 · cos((2x+1)·u·π/16). */
+  private val IdctTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def fail(): Nothing = throw new Malformed
+
+  /** Canonical Huffman table in the T.81 mincode/maxcode/valptr form. */
+  private final class Huff(counts: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l)
+          k += counts(l)
+          maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) fail()
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len)) & 0xff
+  }
+
+  /** Entropy-segment bit reader: 0xFF00 unstuffing; ANY bare marker is
+    * end-of-data (reading past it is malformed). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    private var ended = false
+
+    def bit(): Int = {
+      if (bitCnt == 0) {
+        if (ended || pos >= b.length) fail()
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) fail()
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { ended = true; fail() } // marker mid-entropy: truncated
+        }
+        bitBuf = v
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decode(h: Huff): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= code && code >= h.minCode(l)) return h.value(l, code)
+        code = (code << 1) | bit()
+        l += 1
+      }
+      fail()
+    }
+
+    /** Byte-align and consume the expected RSTn marker (fill 0xFFs
+      * allowed before it per the spec). */
+    def restart(n: Int): Unit = {
+      bitCnt = 0
+      ended = false
+      // skip to the marker: expect 0xFF+ then 0xD0+n
+      if (pos >= b.length) fail()
+      while (pos < b.length && (b(pos) & 0xff) == 0xff &&
+        pos + 1 < b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != (0xd0 + n)) fail()
+      pos += 2
+    }
+  }
+
+  private def ext(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v + ((-1 << s) + 1) else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode to the LUMA plane: (width, height, row-major gray bytes),
+    * or None for anything outside the supported baseline profile. */
+  def lumaPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      def be16(o: Int): Int = {
+        if (o + 1 >= b.length) fail()
+        ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      }
+      val quant = new Array[Array[Int]](4) // zigzag order, as stored
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var comps: Array[Comp] = null
+      var w = 0; var h = 0
+      var restartInterval = 0
+      var p = 2
+      var sosAt = -1
+      // ---- marker segment walk up to SOS ----
+      while (sosAt < 0) {
+        if (p + 1 >= b.length) fail()
+        if ((b(p) & 0xff) != 0xff) fail()
+        var m = b(p + 1) & 0xff
+        while (m == 0xff) { p += 1; if (p + 1 >= b.length) fail(); m = b(p + 1) & 0xff }
+        if (m == 0xd9) fail() // EOI before SOS
+        if (m >= 0xd0 && m <= 0xd7) { p += 2 } // stray RSTn pre-scan
+        else {
+          val len = be16(p + 2)
+          if (len < 2 || p + 2 + len > b.length) fail()
+          val seg = p + 4 // segment payload start
+          val segEnd = p + 2 + len
+          m match {
+            case 0xdb => // DQT: one or more (pq|tq, 64/128 bytes) entries
+              var q = seg
+              while (q < segEnd) {
+                val pq = (b(q) & 0xff) >> 4
+                val tq = b(q) & 0x0f
+                if (tq > 3 || pq > 1) fail()
+                val tab = new Array[Int](64)
+                var i = 0
+                q += 1
+                while (i < 64) {
+                  if (pq == 1) { tab(i) = be16(q); q += 2 }
+                  else { if (q >= segEnd) fail(); tab(i) = b(q) & 0xff; q += 1 }
+                  i += 1
+                }
+                quant(tq) = tab
+              }
+            case 0xc4 => // DHT: one or more tables
+              var q = seg
+              while (q < segEnd) {
+                val tc = (b(q) & 0xff) >> 4
+                val th = b(q) & 0x0f
+                if (tc > 1 || th > 3) fail()
+                q += 1
+                val counts = new Array[Int](17)
+                var tot = 0
+                var l = 1
+                while (l <= 16) {
+                  if (q >= segEnd) fail()
+                  counts(l) = b(q) & 0xff; tot += counts(l); q += 1; l += 1
+                }
+                if (q + tot > segEnd || tot > 256) fail()
+                val vals = java.util.Arrays.copyOfRange(b, q, q + tot)
+                q += tot
+                val huff = new Huff(counts, vals)
+                if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+              }
+            case 0xc0 | 0xc1 => // SOF0/SOF1: the supported frames
+              if (comps != null) fail()
+              if (len < 8) fail()
+              val prec = b(seg) & 0xff
+              h = be16(seg + 1); w = be16(seg + 3)
+              val nc = b(seg + 5) & 0xff
+              if (prec != 8 || w < 1 || h < 1 || (nc != 1 && nc != 3)) return None
+              if (len != 8 + 3 * nc) fail()
+              comps = Array.tabulate(nc) { i =>
+                val o = seg + 6 + 3 * i
+                val c = Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4,
+                  b(o + 1) & 0x0f, b(o + 2) & 0x0f)
+                if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) fail()
+                c
+              }
+            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                 0xcd | 0xce | 0xcf =>
+              return None // progressive/lossless/arithmetic: out of profile
+            case 0xdd => // DRI
+              if (len != 4) fail()
+              restartInterval = be16(seg)
+            case 0xda => sosAt = p
+            case _ => () // APPn/COM/DNL/…: skip
+          }
+          p = segEnd
+        }
+      }
+      if (comps == null) fail()
+      // ---- SOS header ----
+      val sosLen = be16(sosAt + 2)
+      val ns = b(sosAt + 4) & 0xff
+      if (ns != comps.length || sosLen != 6 + 2 * ns) return None // multi-scan
+      val scanDc = new Array[Huff](comps.length)
+      val scanAc = new Array[Huff](comps.length)
+      var i = 0
+      while (i < ns) {
+        val cs = b(sosAt + 5 + 2 * i) & 0xff
+        val ci = comps.indexWhere(_.id == cs)
+        if (ci != i) fail() // scan order must match frame order
+        val td = (b(sosAt + 6 + 2 * i) & 0xff) >> 4
+        val ta = b(sosAt + 6 + 2 * i) & 0x0f
+        scanDc(ci) = dcTabs(td); scanAc(ci) = acTabs(ta)
+        if (scanDc(ci) == null || scanAc(ci) == null) fail()
+        i += 1
+      }
+      // Ss/Se/Ah/Al at sosAt+5+2ns .. +3: baseline fixes 0/63/0/0 —
+      // tolerate other values only by rejecting (progressive leftovers)
+      val ssOff = sosAt + 5 + 2 * ns
+      if ((b(ssOff) & 0xff) != 0 || (b(ssOff + 1) & 0xff) != 63 ||
+        (b(ssOff + 2) & 0xff) != 0) return None
+      // ---- MCU geometry ----
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val lumaIdx = 0 // JFIF: first frame component is Y; gray: the only one
+      val luma = comps(lumaIdx)
+      if (quant(luma.tq) == null) fail()
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      // padded luma plane (block-aligned)
+      val lw = mcusX * 8 * luma.h
+      val lh = mcusY * 8 * luma.v
+      if (lw.toLong * lh.toLong > 256L * 1024 * 1024) return None
+      val plane = new Array[Byte](lw * lh)
+      val lumaQt = quant(luma.tq)
+      val reader = new BitReader(b, sosAt + 4 + sosLen - 2)
+      val dcPred = new Array[Int](comps.length)
+      val zz = new Array[Int](64)
+      val coef = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      var rstN = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          reader.restart(rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val mcuX = mcu % mcusX
+        val mcuY = mcu / mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val isLuma = ci == lumaIdx
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              // entropy-decode one block into zz (zigzag order)
+              java.util.Arrays.fill(zz, 0)
+              val s = reader.decode(scanDc(ci))
+              if (s > 11) fail()
+              dcPred(ci) += ext(reader.receive(s), s)
+              zz(0) = dcPred(ci)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = reader.decode(scanAc(ci))
+                val r = rs >> 4
+                val sz = rs & 15
+                if (sz == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  if (k > 63 || sz > 10) fail()
+                  zz(k) = ext(reader.receive(sz), sz)
+                  k += 1
+                }
+              }
+              if (isLuma) {
+                // dequant + de-zigzag into natural order
+                java.util.Arrays.fill(coef, 0.0)
+                var j = 0
+                while (j < 64) {
+                  if (zz(j) != 0) coef(Zigzag(j)) = zz(j).toDouble * lumaQt(j)
+                  j += 1
+                }
+                // separable IDCT: rows (over u) then columns (over v)
+                var y0 = 0
+                while (y0 < 8) {
+                  var x0 = 0
+                  while (x0 < 8) {
+                    var acc = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      acc += IdctTab(u)(x0) * coef(y0 * 8 + u)
+                      u += 1
+                    }
+                    tmp(y0 * 8 + x0) = acc
+                    x0 += 1
+                  }
+                  y0 += 1
+                }
+                val ox = (mcuX * c.h + bx) * 8
+                val oy = (mcuY * c.v + by) * 8
+                var x1 = 0
+                while (x1 < 8) {
+                  var y1 = 0
+                  while (y1 < 8) {
+                    var acc = 0.0
+                    var v = 0
+                    while (v < 8) {
+                      acc += IdctTab(v)(y1) * tmp(v * 8 + x1)
+                      v += 1
+                    }
+                    val px = acc + 128.0
+                    val clamped =
+                      if (px <= 0.0) 0
+                      else if (px >= 255.0) 255
+                      else math.round(px).toInt
+                    plane((oy + y1) * lw + (ox + x1)) = clamped.toByte
+                    y1 += 1
+                  }
+                  x1 += 1
+                }
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      // crop the padded plane; if Y is subsampled relative to another
+      // component (non-JFIF oddity), nearest-sample up to frame dims
+      val out = new Array[Byte](w * h)
+      var y2 = 0
+      while (y2 < h) {
+        val sy = if (luma.v == vmax) y2 else y2 * luma.v / vmax
+        var x2 = 0
+        while (x2 < w) {
+          val sx = if (luma.h == hmax) x2 else x2 * luma.h / hmax
+          out(y2 * w + x2) = plane(sy * lw + sx)
+          x2 += 1
+        }
+        y2 += 1
+      }
+      Some((w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

@@ -247,9 +247,8 @@ object Multimodal {
     *
     * This is format-blind (bytes are opaque): it catches
     * truncation/append/concatenation variants, NOT re-encodes — those
-    * need pixels; [[imageNearDupPairs]] (PNG pixel decode + dHash) is
-    * the perceptual path for stills, and JPEG remains byte-level until
-    * an entropy decoder exists.
+    * need pixels; [[imageNearDupPairs]] (PNG pixel decode / baseline
+    * JPEG entropy decode + dHash) is the perceptual path for stills.
     *
     * Scale shape: identical to text MinHash — one narrow hex+gram
     * projection at scan speed, signature table, banded join. */
@@ -405,14 +404,14 @@ object Multimodal {
   }
 
   /** Per-doc dHash fingerprints over the binary payload column —
-    * batched per-partition PNG PIXEL decode ([[MediaDecode
-    * .pngGrayPixels]]: IDAT inflate + unfilter, pure JVM) + [[dHash64]],
-    * split into the two 32-bit halves the SimHash band machinery
-    * expects. Rows whose payload is null or does not decode as a
-    * supported PNG are DROPPED (perceptual identity is defined over
-    * decodable stills; header-only JPEGs stay byte-level —
-    * [[payloadNearDupPairs]] — until a JPEG entropy decoder exists,
-    * documented at the stub). Output: (doc_id, simhash_hi, simhash_lo). */
+    * batched per-partition PIXEL decode (PNG: [[MediaDecode
+    * .pngGrayPixels]] IDAT inflate + unfilter; JPEG: [[MediaDecode
+    * .jpegLumaPixels]] baseline Huffman + IDCT, luma plane — both pure
+    * JVM) + [[dHash64]], split into the two 32-bit halves the SimHash
+    * band machinery expects. Rows whose payload is null or does not
+    * decode as a supported PNG/baseline-JPEG are DROPPED (perceptual
+    * identity is defined over decodable stills). Output: (doc_id,
+    * simhash_hi, simhash_lo). */
   def imageDHash(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
     val src = graft.util.SparkUtil.widen(withPayload)
       .filter(col("payload").isNotNull)
@@ -421,13 +420,82 @@ object Multimodal {
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { case (id, payload) =>
-          MediaDecode.pngGrayPixels(payload).map { case (w, h, gray) =>
-            val d = dHash64(gray, w, h)
-            (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
-          }
+          MediaDecode.pngGrayPixels(payload)
+            .orElse(MediaDecode.jpegLumaPixels(payload)).map {
+              case (w, h, gray) =>
+                val d = dHash64(gray, w, h)
+                (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
+            }
         }
       }
     }.toDF("doc_id", "simhash_hi", "simhash_lo")
+  }
+
+  // ------------------------------------------------------------------
+  // JPEG pixel fixtures (round 15): ImageIO is the INDEPENDENT encoder
+  // — the operator path decodes its output with graft's own
+  // JpegDecode, and the differential spec cross-checks both decoders
+  // ------------------------------------------------------------------
+
+  /** A REAL baseline JPEG of the given grayscale pixels, encoded by
+    * the JDK's ImageIO JPEG plugin at `quality` — fixture synthesis
+    * (headless-safe), never on the 100 TB path. */
+  def jpegBytesGrayEncoded(width: Int, height: Int, gray: Array[Byte],
+                           quality: Float): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gray must be width*height bytes: ${gray.length} != ${width * height}")
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    try {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+  }
+
+  /** Insert a COM (comment) segment right after SOI — the
+    * byte-different, pixel-IDENTICAL metadata variant (same image, new
+    * comment/EXIF: the duplication mode byte-level dedup provably
+    * misses and perceptual dedup must catch at Hamming 0). */
+  def jpegWithComment(jpeg: Array[Byte], comment: String): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG payload")
+    val c = comment.getBytes("UTF-8")
+    require(c.length <= 65533, "comment too long for one COM segment")
+    val out = new Array[Byte](jpeg.length + 4 + c.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    out(2) = 0xff.toByte; out(3) = 0xfe.toByte
+    val len = c.length + 2
+    out(4) = ((len >> 8) & 0xff).toByte; out(5) = (len & 0xff).toByte
+    System.arraycopy(c, 0, out, 6, c.length)
+    System.arraycopy(jpeg, 2, out, 6 + c.length, jpeg.length - 2)
+    out
+  }
+
+  /** Attach REAL pixel-bearing baseline JPEGs (24×16 [[synthGray]]
+    * pixels through ImageIO at `quality`); `comment` forges the
+    * metadata variant, `pixelSeedOffset` the re-encoded-copy seed
+    * mapping (the [[withPixelPayload]] convention). Fixture synthesis,
+    * not a 100 TB operator (UDF is fine). */
+  def withJpegPixelPayload(documents: DataFrame, quality: Float = 0.9f,
+                           pixelSeedOffset: Long = 0L,
+                           comment: Option[String] = None): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val base = jpegBytesGrayEncoded(24, 16,
+        synthGray(docId - pixelSeedOffset, 24, 16), quality)
+      comment.map(jpegWithComment(base, _)).getOrElse(base)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
   }
 
   /** Perceptual image near-dup pairs — the content-level dedup the
@@ -835,6 +903,13 @@ object MediaDecode {
       Some((w, h, gray))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** JPEG PIXEL decode — the baseline entropy decoder
+    * ([[JpegDecode.lumaPixels]]: Huffman + dequant + IDCT, pure JVM),
+    * luma plane out. Anything outside the baseline profile — and any
+    * malformed stream — returns None (P14 containment). */
+  def jpegLumaPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    JpegDecode.lumaPixels(b)
 
   /** JPEG: SOI, then marker segments; the SOFn frame header (C0–CF
     * minus C4/C8/CC) carries height @+3, width @+5 of its payload. */

@@ -176,6 +176,50 @@ private[queries] object RegistryMultimodal {
         FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
       bench = true),
 
+    // PERCEPTUAL near-dup over the JPEG modality — the round-15
+    // baseline entropy decoder (JpegDecode: Huffman + dequant + IDCT)
+    // feeding the same dHash + SimHash band join as the PNG path. Each
+    // doc_id%5==0 doc gets a METADATA-VARIANT copy: a COM segment
+    // inserted after SOI — bytes differ (md5-checked in-plan), pixels
+    // are byte-identical, so the pair MUST surface at Hamming 0. The
+    // JPEGs are REAL (ImageIO-encoded, the independent encoder); a
+    // decoder that fails to entropy-decode drops the row and
+    // pair_found flips false. DuckDB cannot decode JPEG, so the oracle
+    // pins the planted-pair audit surface (the mm_image_neardup
+    // discipline); decode CORRECTNESS is the JpegDecodeSpec
+    // differential vs ImageIO.
+    QueryDef("mm_jpeg_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        val base = Multimodal.withJpegPixelPayload(docs, quality = 0.9f)
+        val copies = Multimodal.withJpegPixelPayload(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id")),
+          quality = 0.9f, pixelSeedOffset = 10000000L,
+          comment = Some("re-exported asset, same pixels"))
+        val pairs = Multimodal
+          .imageNearDupPairs(base.unionByName(copies))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val md5A = base.select(col("doc_id").as("doc_a"),
+          md5(col("payload")).as("__ma"))
+        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
+          md5(col("payload")).as("__mb"))
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 10000000L).as("doc_b"))
+          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
+          .join(pairs, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__ma") =!= col("__mb")).as("bytes_differ"),
+            col("hamming").isNotNull.as("pair_found"),
+            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
+          .orderBy("doc_a")
+      },
+      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
+        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
+      bench = true),
+
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")
