@@ -584,6 +584,220 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // perceptual audio near-dup: PCM decode + band-energy fingerprint
+  // ------------------------------------------------------------------
+
+  /** The fixed log-spaced filterbank (Hz) of [[audioFingerprint64]] —
+    * half-octave steps 250…2828, all under the 8 kHz-telephony Nyquist
+    * so one fingerprint definition serves every common sample rate.
+    * Frequencies are ABSOLUTE (not Nyquist fractions): the same
+    * recording resampled to a different rate keeps its band
+    * energies. */
+  val AudioBandsHz: Array[Double] = Array(
+    250.0, 353.6, 500.0, 707.1, 1000.0, 1414.2, 2000.0, 2828.4)
+
+  /** Goertzel power of x[from, until) at frequency f Hz — a one-bin
+    * DFT probe (O(n) per band, no FFT needed for 8 bands), normalized
+    * by n² so frame length drops out. Deterministic double math. */
+  private[analytics] def goertzelPower(x: Array[Double], from: Int,
+                                       until: Int, f: Double,
+                                       sr: Double): Double = {
+    val n = until - from
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * f / sr)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = from
+    while (i < until) {
+      val s0 = x(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n)
+  }
+
+  /** 64-bit perceptual audio fingerprint — the Haitsma–Kalker shape
+    * (the published audio-fingerprint family): split the signal into
+    * 9 equal frames, measure energy in the 8 [[AudioBandsHz]] bands
+    * per frame, bit (f·8+k) = E(frame f, band k) > E(frame f+1,
+    * band k) — the TIME-gradient sign grid, the audio analog of
+    * [[dHash64]]'s spatial gradients. Signs of energy ratios are
+    * EXACTLY invariant to uniform gain (every energy scales by g²) and
+    * stable under requantization/rechanneling by construction. Returns
+    * None when the clip is too short for 16-sample frames or the top
+    * band sits at/above Nyquist (an 8-bit 4 kHz clip has no 2.8 kHz
+    * content to measure). */
+  def audioFingerprint64(sr: Int, samples: Array[Double]): Option[Long] = {
+    if (samples.length < 9 * 16) return None
+    if (AudioBandsHz.last >= sr / 2.0) return None
+    val e = Array.ofDim[Double](9, 8)
+    var f = 0
+    while (f < 9) {
+      val from = (f.toLong * samples.length / 9).toInt
+      val until = ((f + 1).toLong * samples.length / 9).toInt
+      var k = 0
+      while (k < 8) {
+        e(f)(k) = goertzelPower(samples, from, until, AudioBandsHz(k), sr)
+        k += 1
+      }
+      f += 1
+    }
+    var bits = 0L
+    f = 0
+    while (f < 8) {
+      var k = 0
+      while (k < 8) {
+        if (e(f)(k) > e(f + 1)(k)) bits |= 1L << (f * 8 + k)
+        k += 1
+      }
+      f += 1
+    }
+    Some(bits)
+  }
+
+  /** splitmix64-style bit mixer — the per-(doc, band, frame) coin of
+    * [[synthToneSamples]] (a LINEAR formula here collapsed the
+    * fingerprint space to 256 values and made the band join
+    * quadratic at SF — measured before this mixer landed). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic multi-tone fixture signal: every band carries a
+    * tone in every one of the 9 segments, with a per-(doc, band)
+    * 4-level amplitude sequence whose CONSECUTIVE levels always differ
+    * (mixed step ∈ {1,2,3} mod 4) — so every fingerprint comparison is
+    * a ≥(0.45/0.25)² ≈ 3× energy ratio, far outside quantization
+    * noise: the planted re-quantized/re-gained copies land at EXACTLY
+    * Hamming 0, while distinct docs get near-unique fingerprints
+    * (mixed-coin sequences ⇒ cross-doc Hamming ≤ 3 collisions are
+    * ~2⁻⁴⁰-rare, so the band join stays linear). The /12 normalizer
+    * keeps the 8-tone sum inside [−1, 1] (clipping would break gain
+    * linearity). */
+  def synthToneSamples(docId: Long, n: Int = 1440,
+                       sr: Int = 8000): Array[Double] = {
+    require(n % 9 == 0 && n > 0, s"n must be a positive multiple of 9: $n")
+    val levels = Array(0.25, 0.45, 0.8, 1.4)
+    // per-band level sequences, precomputed once per call
+    val lvl = Array.ofDim[Int](8, 9)
+    var k0 = 0
+    while (k0 < 8) {
+      lvl(k0)(0) = (mix64(docId * 8 + k0) & 3L).toInt
+      var f0 = 1
+      while (f0 < 9) {
+        val step = 1 + (mix64((docId * 8 + k0) * 16 + f0) % 3 + 3) % 3 // 1..3
+        lvl(k0)(f0) = (lvl(k0)(f0 - 1) + step.toInt) % 4
+        f0 += 1
+      }
+      k0 += 1
+    }
+    val out = new Array[Double](n)
+    val segLen = n / 9
+    var f = 0
+    while (f < 9) {
+      var i = 0
+      while (i < segLen) {
+        val t = (f * segLen + i).toDouble / sr
+        var acc = 0.0
+        var k = 0
+        while (k < 8) {
+          acc += levels(lvl(k)(f)) *
+            math.sin(2 * math.Pi * AudioBandsHz(k) * t)
+          k += 1
+        }
+        out(f * segLen + i) = acc / 12.0
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Quantize doubles to PCM bytes (8-bit unsigned / 16-bit signed LE,
+    * `channels` identical interleaved channels), clamped to [−1, 1]. */
+  def pcmQuantize(samples: Array[Double], bits: Int, gain: Double,
+                  channels: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16: $bits")
+    require(channels >= 1, s"channels must be >= 1: $channels")
+    val bytesPer = bits / 8
+    val out = new Array[Byte](samples.length * channels * bytesPer)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-1.0, math.min(1.0, samples(i) * gain))
+      var c = 0
+      while (c < channels) {
+        val o = (i * channels + c) * bytesPer
+        if (bits == 8)
+          out(o) = math.min(255, math.max(0, math.round(s * 127).toInt + 128)).toByte
+        else {
+          val v = math.round(s * 32767).toInt
+          out(o) = (v & 0xff).toByte
+          out(o + 1) = ((v >> 8) & 0xff).toByte
+        }
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Attach REAL PCM-bearing WAV payloads ([[synthToneSamples]] at
+    * 8 kHz through [[pcmQuantize]]) — the fixture for the perceptual
+    * audio path. `gain`/`bits`/`channels` forge byte-different
+    * renderings of the SAME recording (the re-export duplication mode);
+    * `seedOffset` maps a copy's doc_id back to its original's signal.
+    * Fixture synthesis, not a 100 TB operator (UDF is fine). */
+  def withTonePayload(documents: DataFrame, gain: Double = 1.0,
+                      bits: Int = 8, channels: Int = 1,
+                      seedOffset: Long = 0L): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      wavBytes(channels, 8000, bits,
+        pcmQuantize(synthToneSamples(docId - seedOffset), bits, gain, channels))
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Per-doc audio fingerprints over the binary payload column —
+    * batched per-partition PCM decode ([[MediaDecode.wavPcmMono]]) +
+    * [[audioFingerprint64]], split into the two 32-bit halves the
+    * SimHash band machinery expects. Undecodable/too-short payloads
+    * are DROPPED (perceptual identity is defined over decodable
+    * audio). Output: (doc_id, simhash_hi, simhash_lo). */
+  def audioFingerprints(withPayload: DataFrame,
+                        batchSize: Int = 64): DataFrame = {
+    val src = graft.util.SparkUtil.widen(withPayload)
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, payload) =>
+          MediaDecode.wavPcmMono(payload).flatMap { case (sr, samples) =>
+            audioFingerprint64(sr, samples).map { d =>
+              (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
+            }
+          }
+        }
+      }
+    }.toDF("doc_id", "simhash_hi", "simhash_lo")
+  }
+
+  /** Perceptual audio near-dup pairs — re-quantized / re-gained /
+    * re-channeled renderings of one recording share ~no bytes but the
+    * same band-energy GRADIENTS: fingerprints feed the UNCHANGED
+    * SimHash 4×16-bit pigeonhole band join (complete for Hamming ≤ 3,
+    * never all-pairs). Output: (doc_a, doc_b, hamming), ordered.
+    * Scale shape: one batched narrow decode pass (samples never
+    * shuffle — 8 B of hash per clip crosses the wire) + the banded
+    * equi-join. */
+  def audioNearDupPairs(withPayload: DataFrame, maxDist: Int = 3,
+                        batchSize: Int = 64): DataFrame =
+    Dedup.simhashNearDupPairsFromFingerprints(
+      audioFingerprints(withPayload, batchSize), maxDist)
+
+  // ------------------------------------------------------------------
   // video: frame sampling over an opaque container column
   // ------------------------------------------------------------------
 
@@ -758,13 +972,19 @@ object MediaDecode {
     * clamped to the bytes actually present (truncation containment).
     * Malformed containers return None — corrupt audio is DATA, not an
     * engine error. */
-  def wav(b: Array[Byte]): Option[WavMeta] = {
+  def wav(b: Array[Byte]): Option[WavMeta] =
+    riffWalk(b).map { case (ch, sr, bits, _, d) => WavMeta(ch, sr, bits, d) }
+
+  /** The RIFF walk core shared by [[wav]] (metadata) and
+    * [[wavPcmMono]] (samples): (channels, sampleRate, bits,
+    * dataOffset, dataBytes — clamped to the payload). */
+  private def riffWalk(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     if (b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var p = 12L
     var fmt: Option[(Int, Int, Int)] = None
-    var data: Option[Long] = None
+    var data: Option[(Int, Long)] = None
     while (p + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b.slice(p.toInt, p.toInt + 4), "US-ASCII")
       val size = le32(b, p.toInt + 4)
@@ -779,13 +999,45 @@ object MediaDecode {
             bits < 8 || bits % 8 != 0) return None
           fmt = Some((ch, sr.toInt, bits))
         case "data" =>
-          data = Some(math.min(size, b.length - body))
+          data = Some((body.toInt, math.min(size, b.length - body)))
         case _ => ()
       }
       p = body + size + (size & 1) // RIFF bodies pad to even offsets
     }
-    for { (ch, sr, bits) <- fmt; d <- data } yield WavMeta(ch, sr, bits, d)
+    for { (ch, sr, bits) <- fmt; (off, d) <- data }
+      yield (ch, sr, bits, off, d)
   }
+
+  /** PCM SAMPLE decode — the audio analog of [[pngGrayPixels]]:
+    * 8-bit unsigned / 16-bit signed little-endian PCM, channels
+    * AVERAGED to mono, normalized to [−1, 1]. Returns (sampleRate,
+    * samples); trailing partial frames are dropped (truncation
+    * containment), anything non-PCM-8/16 returns None. */
+  def wavPcmMono(b: Array[Byte]): Option[(Int, Array[Double])] =
+    riffWalk(b).flatMap { case (ch, sr, bits, off, dataLen) =>
+      if (bits != 8 && bits != 16) None
+      else {
+        val bytesPer = bits / 8
+        val frameBytes = ch * bytesPer
+        val n = (dataLen / frameBytes).toInt
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = off + i * frameBytes + c * bytesPer
+            acc +=
+              (if (bits == 8) ((b(o) & 0xff) - 128) / 128.0
+               else (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort / 32768.0)
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some((sr, out))
+      }
+    }
 
   private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 

@@ -220,6 +220,49 @@ private[queries] object RegistryMultimodal {
         FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
       bench = true),
 
+    // PERCEPTUAL near-dup over the AUDIO modality: real PCM-bearing
+    // WAVs (9-segment multi-tone fixture), fingerprinted by the
+    // Haitsma-Kalker-shape band-energy gradient hash (wavPcmMono
+    // decode + Goertzel filterbank) through the same SimHash band
+    // join. Each doc_id%5==0 doc gets a RE-RENDERED copy — gain 0.5,
+    // 16-bit, stereo vs the 8-bit mono original: bytes differ
+    // (md5-checked in-plan), band-energy ratios are identical, so the
+    // pair MUST surface at Hamming 0 (energy-sign gain invariance,
+    // measured 0 flips over 400 docs). DuckDB cannot decode PCM or run
+    // Goertzel, so the oracle pins the planted-pair audit surface (the
+    // mm_image_neardup discipline); decode+fingerprint semantics are
+    // spec-pinned (gain/bit-depth/stereo invariance, containment).
+    QueryDef("mm_audio_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        val base = Multimodal.withTonePayload(docs)
+        val copies = Multimodal.withTonePayload(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id")),
+          gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L)
+        val pairs = Multimodal
+          .audioNearDupPairs(base.unionByName(copies))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val md5A = base.select(col("doc_id").as("doc_a"),
+          md5(col("payload")).as("__ma"))
+        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
+          md5(col("payload")).as("__mb"))
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 10000000L).as("doc_b"))
+          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
+          .join(pairs, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__ma") =!= col("__mb")).as("bytes_differ"),
+            col("hamming").isNotNull.as("pair_found"),
+            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
+          .orderBy("doc_a")
+      },
+      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
+        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
+      bench = true),
+
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -193,6 +193,68 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(others.distinct.size > 30, s"dHashes collapse: ${others.distinct.size}")
   }
 
+  test("wavPcmMono: 8/16-bit decode round-trips; identical stereo channels downmix to the mono signal") {
+    val src = Multimodal.synthToneSamples(11L)
+    // 16-bit mono: decode within one quantization step of the input
+    val m16 = MediaDecode.wavPcmMono(Multimodal.wavBytes(1, 8000, 16,
+      Multimodal.pcmQuantize(src, 16, 1.0, 1))).get
+    assert(m16._1 == 8000 && m16._2.length == src.length)
+    assert(src.indices.forall(i => math.abs(m16._2(i) - src(i)) <= 1.0 / 32767),
+      "16-bit decode drifted beyond one quantization step")
+    // 8-bit mono: coarser, still within one step
+    val m8 = MediaDecode.wavPcmMono(Multimodal.wavBytes(1, 8000, 8,
+      Multimodal.pcmQuantize(src, 8, 1.0, 1))).get
+    assert(src.indices.forall(i => math.abs(m8._2(i) - src(i)) <= 1.0 / 127))
+    // stereo with identical channels decodes EXACTLY the mono signal
+    val st = MediaDecode.wavPcmMono(Multimodal.wavBytes(2, 8000, 16,
+      Multimodal.pcmQuantize(src, 16, 1.0, 2))).get
+    assert(st._2.toSeq == m16._2.toSeq, "identical-channel downmix must be exact")
+  }
+
+  test("audio fingerprint: exactly invariant to gain, bit depth and channel layout; distinct docs differ") {
+    def fp(docId: Long, gain: Double, bits: Int, ch: Int): Long = {
+      val wav = Multimodal.wavBytes(ch, 8000, bits,
+        Multimodal.pcmQuantize(Multimodal.synthToneSamples(docId), bits, gain, ch))
+      val (sr, s) = MediaDecode.wavPcmMono(wav).get
+      Multimodal.audioFingerprint64(sr, s).get
+    }
+    (0L until 50L).foreach { id =>
+      val base = fp(id, 1.0, 8, 1)
+      assert(fp(id, 0.5, 16, 2) == base,
+        s"doc $id: re-gained/re-quantized/stereo rendering drifted")
+      assert(fp(id, 0.25, 16, 1) == base, s"doc $id: quiet rendering drifted")
+    }
+    // pure gain invariance is EXACT on unquantized samples for
+    // power-of-two gains (binary FP scaling is lossless)
+    val raw = Multimodal.synthToneSamples(3L)
+    val scaled = raw.map(_ * 0.5)
+    assert(Multimodal.audioFingerprint64(8000, raw) ==
+      Multimodal.audioFingerprint64(8000, scaled))
+    // distinct docs give (near-)unique fingerprints — the mixed-coin
+    // sequence space; a collapse here would make the band join
+    // quadratic at SF
+    val fps = (0L until 50L).map(fp(_, 1.0, 8, 1))
+    assert(fps.distinct.size == 50, s"fingerprints collapse: ${fps.distinct.size}")
+  }
+
+  test("audio fingerprint declines too-short clips and sub-Nyquist rates; decode never throws") {
+    // top band 2828.4 Hz needs sr > 5657
+    assert(Multimodal.audioFingerprint64(4000,
+      Multimodal.synthToneSamples(1L, 1440, 4000)).isEmpty)
+    assert(Multimodal.audioFingerprint64(8000, new Array[Double](100)).isEmpty)
+    // containment: corruption + truncation sweeps over a real WAV
+    val wav = Multimodal.wavBytes(1, 8000, 16,
+      Multimodal.pcmQuantize(Multimodal.synthToneSamples(2L), 16, 1.0, 1))
+    (0 until wav.length by 13).foreach { n =>
+      MediaDecode.wavPcmMono(java.util.Arrays.copyOf(wav, n))
+    }
+    (0 until wav.length by 17).foreach { i =>
+      val c = wav.clone(); c(i) = (c(i) + 91).toByte
+      MediaDecode.wavPcmMono(c)
+    }
+    samples(bytesGen, 200).foreach(MediaDecode.wavPcmMono(_))
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
