@@ -278,6 +278,53 @@ object Bench {
       (-1.0, 0)
     }
 
+    // continuous ANN index maintenance (frozen-model delta encode,
+    // r15 second wave): vectors/s over an AvailableNow drain of the
+    // whole embeddings table. The index TRAIN sits OUTSIDE the timed
+    // window — train-once-search-many; the steady-state per-batch
+    // encode + delta write is the cost being priced. Best-of-2 drains.
+    val (idxmSecs, idxmVecs) = try {
+      val embT = Registry.table(spark, sfDir, "embeddings")
+      val vecs = embT.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .toJSON.collect()
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_bench_index_maint")
+      val idx = s"$base/index"
+      graft.analytics.Similarity.writeIvfPq(embT, idx,
+        nCells = 8, m = 16, ksub = 32, rounds = 3)
+      def drainOnce(attempt: Int): Double = {
+        val (in, delta, ckpt) = (s"$base/in$attempt",
+          s"$base/delta$attempt", s"$base/ckpt$attempt")
+        Files.createDirectories(Paths.get(in))
+        vecs.grouped(math.max(1, vecs.length / 16)).zipWithIndex.foreach {
+          case (chunk, i) =>
+            Files.writeString(Paths.get(in, f"vecs_$i%03d.jsonl"),
+              chunk.mkString("\n"))
+        }
+        val t0 = System.nanoTime()
+        try {
+          val q = graft.streaming.StreamingPipeline.indexMaintenancePipeline(
+            spark, in, idx, delta, ckpt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            maxFilesPerTrigger = 4).start()
+          if (q.awaitTermination(600000)) (System.nanoTime() - t0) / 1e9
+          else { q.stop()
+            System.err.println("[bench] index_maintenance_stream timed out"); -1.0 }
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] index_maintenance_stream failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val a = drainOnce(0)
+      (if (a < 0) a
+       else { val x = drainOnce(1); if (x < 0) a else math.min(a, x) },
+        vecs.length)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] index_maintenance_stream setup failed: ${e.getMessage}")
+      (-1.0, 0)
+    }
+
     // streaming twins with DataFrame→DataFrame shape (anomalyAlerts,
     // trendingTokensSketch): file-source AvailableNow drain through a
     // noop sink. Inputs are written in ts order so the watermark (and
@@ -675,7 +722,8 @@ object Bench {
       "rolling_distinct_hll_stream" -> rdHllSecs,
       "scd2_stream" -> scd2Secs,
       "asof_stream" -> asofSecs,
-      "semantic_admission_stream" -> semSecs)
+      "semantic_admission_stream" -> semSecs,
+      "index_maintenance_stream" -> idxmSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently
@@ -683,7 +731,7 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"rolling_distinct_hll_events_per_sec":${rate(rdHllEvents, rdHllSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"rolling_distinct_hll_events_per_sec":${rate(rdHllEvents, rdHllSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"index_maintenance_vecs_per_sec":${rate(idxmVecs, idxmSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0

@@ -644,15 +644,50 @@ object Similarity {
     * this from a stream). */
   def ivfPqAppend(newEmbeddings: DataFrame, dir: String): Unit = {
     val spark = newEmbeddings.sparkSession
-    val cc = spark.read.parquet(s"$dir/cells")
-    val cb = collectCodebook(spark.read.parquet(s"$dir/codebook"))
+    ivfPqEncodeFrozen(newEmbeddings,
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebook"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** The frozen-model encode core shared by [[ivfPqAppend]] (batch,
+    * append-mode) and [[graft.streaming.StreamingPipeline
+    * .indexMaintenancePipeline]] (batch_id-scoped overwrite): new
+    * vectors → (vec_id, label, cell, codes) against an EXISTING cells
+    * + codebook pair — one narrow literal-matrix projection, no
+    * training, corpus never read. */
+  def ivfPqEncodeFrozen(newEmbeddings: DataFrame, cellCentroids: DataFrame,
+                        codebook: DataFrame): DataFrame = {
+    val cb = collectCodebook(codebook)
     residualFrame(graft.util.SparkUtil.widen(newEmbeddings)
-      .filter(col("embedding").isNotNull), cc)
+      .filter(col("embedding").isNotNull), cellCentroids)
       .select(col("vec_id"), col("label"), col("cell"),
         asDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("label"), col("cell"),
         pqCodeExpr(cb).as("codes"))
-      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** The maintained codes table — the base index's `codes` unioned
+    * with every batch_id-scoped delta partition the streaming
+    * maintenance pipeline has published (absent delta dir = base
+    * only). Search is unchanged: pass this wherever the base codes
+    * frame went; schema is identical (the partition column drops).
+    *
+    * NOTE on compaction: delta partitions inherit the admission
+    * stores' small-files growth, but [[graft.streaming
+    * .StreamingPipeline.compactAdmissionStore]] must NOT be pointed
+    * here — its crash-safety is duplication-based, and duplicate CODE
+    * rows are not verdict-neutral (a vector appearing twice can
+    * displace a genuine top-k result). Folding a delta requires the
+    * exclusive rewrite: stop the pipeline, rewrite, restart. */
+  def maintainedCodes(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, deltaDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/codes")
+    val dPath = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dPath))
+      base.unionByName(spark.read.parquet(deltaDir).drop("batch_id"))
+    else base
   }
 
   /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the

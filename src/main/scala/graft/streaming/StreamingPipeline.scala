@@ -763,6 +763,61 @@ object StreamingPipeline {
       }
   }
 
+  /** Continuous ANN INDEX MAINTENANCE — the streaming wrapper
+    * [[graft.analytics.Similarity.ivfPqAppend]]'s own scaladoc
+    * demands (append-mode parquet is NOT replay-idempotent: a replayed
+    * micro-batch would append duplicate code rows, and duplicate codes
+    * are not harmless — a vector appearing twice can displace a
+    * genuine top-k result). New embedding files (JSONL: vec_id, label,
+    * embedding) land in `incomingDir`; each micro-batch encodes them
+    * against the FROZEN model (`indexDir`'s cells + codebook —
+    * train-once-search-many: maintenance never retrains; retrain with
+    * writeIvfPq when [[graft.analytics.Similarity
+    * .ivfPqReconstructionStats]] decays) and OVERWRITES
+    * `deltaDir/batch_id=N` — a replayed batch rewrites byte-identical
+    * content (the encode is a pure function of (model, batch)).
+    * Search reads [[graft.analytics.Similarity.maintainedCodes]] =
+    * base ∪ delta, plan-identical to the base search.
+    *
+    * State budget at 100 TB: NONE — no stateful operators; the index
+    * delta IS the state and it is idempotent per batch by
+    * construction. Per-batch cost is one narrow literal-matrix encode
+    * pass + a (4 + m)-bytes-per-vector write; the base index is never
+    * read in the hot loop (cells + codebook are model-sized, reread
+    * per batch to honor an out-of-band retrain). */
+  def indexMaintenancePipeline(spark: SparkSession, incomingDir: String,
+                               indexDir: String, deltaDir: String,
+                               checkpoint: String,
+                               trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                               maxFilesPerTrigger: Int = 16,
+                               failHook: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("label", LongType, nullable = true),
+      StructField("embedding", ArrayType(DoubleType), nullable = true)))
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(incomingDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-scoped shuffle width (admissionPipeline's rationale)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(8, maxFilesPerTrigger).toString)
+        try {
+          graft.analytics.Similarity.ivfPqEncodeFrozen(batch,
+              spark.read.parquet(s"$indexDir/cells"),
+              spark.read.parquet(s"$indexDir/codebook"))
+            .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+          failHook(batch, batchId) // test seam: crash AFTER sink, BEFORE commit
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        ()
+      }
+  }
+
   /** Compact a batch_id-partitioned admission STORE — the small-files
     * maintenance op the continuous pipelines need at scale: a 10 s
     * trigger writes 8,640 partitions per DAY into the signature /

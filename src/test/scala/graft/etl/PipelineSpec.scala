@@ -258,6 +258,75 @@ class PipelineSpec extends SparkSpec {
     assert(msg.contains("store's identity"), s"wrong failure: $msg")
   }
 
+  test("index maintenance: frozen-model delta encode agrees with the batch twin, replay is idempotent, maintained search finds appends") {
+    import graft.analytics.Similarity
+    val in = Files.createTempDirectory("graft_idxm_in").toString
+    val base = Files.createTempDirectory("graft_idxm").toString
+    val (idx, delta, ckpt) = (s"$base/index", s"$base/delta", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfPq(emb, idx, nCells = 4, m = 4, ksub = 8, rounds = 2)
+    val nBase = spark.read.parquet(s"$idx/codes").count()
+    def newVecs(lo: Long, hi: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .withColumn("vec_id", col("vec_id") + 6000000L)
+    def toJsonl(df: org.apache.spark.sql.DataFrame): String = df
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+      .toJSON.collect().mkString("\n")
+    def runOnce(hook: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+      val q = StreamingPipeline.indexMaintenancePipeline(spark, in, idx, delta,
+        ckpt, trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+        failHook = hook).start()
+      q.awaitTermination(120000)
+    }
+    // two micro-batches (file mtimes must differ >1 s or they coalesce)
+    val f1 = Paths.get(in, "b1.jsonl"); Files.writeString(f1, toJsonl(newVecs(0, 5)))
+    f1.toFile.setLastModified(1700000000000L)
+    val f2 = Paths.get(in, "b2.jsonl"); Files.writeString(f2, toJsonl(newVecs(5, 10)))
+    f2.toFile.setLastModified(1700000002000L)
+    runOnce()
+    val deltaDf = spark.read.parquet(delta)
+    assert(deltaDf.count() == 10)
+    assert(deltaDf.select("batch_id").distinct().count() == 2,
+      "two files at distinct mtimes must form two batch partitions")
+    // batch-twin agreement: the frozen-model encode of the same vectors
+    // produces identical (cell, codes) field-for-field
+    val twin = Similarity.ivfPqEncodeFrozen(newVecs(0, 10),
+        spark.read.parquet(s"$idx/cells"), spark.read.parquet(s"$idx/codebook"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getSeq[Byte](3).toSeq)).toMap
+    deltaDf.collect().foreach { r =>
+      assert(twin(r.getLong(0)) == (r.getInt(2), r.getSeq[Byte](3).toSeq),
+        s"stream/batch encode diverge for ${r.getLong(0)}")
+    }
+    // TRUE replay: crash AFTER the delta write, BEFORE the commit —
+    // the overwrite makes the rerun byte-identical, never duplicated
+    val f3 = Paths.get(in, "b3.jsonl"); Files.writeString(f3, toJsonl(newVecs(10, 15)))
+    f3.toFile.setLastModified(1700000004000L)
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(hook = (_, _) => throw new RuntimeException("crash before commit"))
+    }
+    assert(crashed.getMessage.contains("crash before commit") ||
+      crashed.getCause.getMessage.contains("crash before commit"))
+    runOnce()
+    val maintained = Similarity.maintainedCodes(spark, idx, delta)
+    assert(maintained.count() == nBase + 15, "replay duplicated or lost codes")
+    val appended = maintained.filter(col("vec_id") >= 6000000L)
+    assert(appended.select("vec_id").distinct().count() == 15)
+    // maintained search: an appended exact copy surfaces in its
+    // original's top-3 (the batch ivfPqAppend spec's property, now
+    // through the stream path over base ∪ delta)
+    val found = Similarity.ivfPqTopK(emb,
+        spark.read.parquet(s"$idx/cells"),
+        spark.read.parquet(s"$idx/codebook"), maintained,
+        Seq(0L, 1L, 2L), 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 3L).foreach { i =>
+      assert(found.contains((i, i + 6000000L)),
+        s"appended copy of $i missing from maintained top-3")
+    }
+  }
+
   test("compactAdmissionStore: folds committed partitions, preserves membership, duplication-tolerant, admission unchanged") {
     val in = Files.createTempDirectory("graft_cadm_in").toString
     val base = Files.createTempDirectory("graft_cadm").toString
