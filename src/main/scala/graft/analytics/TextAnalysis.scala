@@ -519,6 +519,141 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TRAIN the fastText-shape quality classifier [[hashClassifierScore]]
+    * applies: full-batch logistic regression over hashing-trick
+    * features — the CCNet/LLaMA-pipeline "quality classifier" step
+    * (seed-labeled docs → linear scorer → corpus-wide keep decision),
+    * expressed for a cluster. Model: logit(doc) = bias +
+    * Σ_{distinct hashed tokens b} w(b) — BINARY presence features (the
+    * set-of-words bag): a marker token's gradient is then O(class
+    * share) per epoch instead of O(1/doc-length) — the tf/dl
+    * formulation measured ~majority-class accuracy on the forged
+    * fixture because every update was diluted by document length.
+    *
+    * Per epoch: broadcast (w, bias), ONE `treeAggregate` over the
+    * cached sparse feature set accumulates the exact full-batch
+    * gradient Σ (σ(logit)−y)·x as a single dense `nBuckets`-double
+    * partial per partition, merged depth-2 (the [[graft.analytics
+    * .Similarity]] pcaTrain shape: driver receives O(nBuckets), never
+    * O(corpus)). Features materialize ONCE (persisted) — epochs re-run
+    * only the gradient pass. Docs with null text are excluded
+    * (seed-label semantics are undefined on absent text).
+    *
+    * Float-sum order inside the gradient follows partitioning, so
+    * weights are deterministic only per layout — the oracled surface
+    * ([[classifierTrainReport]]) asserts partition-stable BOOLEANS
+    * (accuracy/separation thresholds), the sketch/recall tolerance
+    * discipline. Returns (weights, bias). */
+  def trainHashedLogReg(documents: DataFrame, positive: Column,
+                        nBuckets: Int = 1024, epochs: Int = 30,
+                        lr: Double = 5.0): (Array[Double], Double) = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    require(lr > 0, s"lr must be > 0: $lr")
+    val spark = documents.sparkSession
+    val toks = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), positive.cast("double").as("__y"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("__b", hashBucket(col("token"), nBuckets).cast("int"))
+    val perDoc = toks.groupBy("doc_id", "__y")
+      .agg(collect_set(col("__b")).as("__f"))
+    val data = perDoc.select(col("__y"), col("__f")).rdd.map { r =>
+      (r.getDouble(0), r.getSeq[Int](1).toArray)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = data.count()
+      require(n > 0, "no trainable documents (all text null or empty)")
+      val w = new Array[Double](nBuckets)
+      var bias = 0.0
+      var e = 0
+      while (e < epochs) {
+        val bw = spark.sparkContext.broadcast((w.clone(), bias))
+        val (gw, gb) = data.treeAggregate((new Array[Double](nBuckets), 0.0))(
+          seqOp = { case ((gacc, gbAcc), (y, x)) =>
+            val (wc, bc) = bw.value
+            var z = bc
+            var i = 0
+            while (i < x.length) { z += wc(x(i)); i += 1 }
+            val d = 1.0 / (1.0 + math.exp(-z)) - y
+            i = 0
+            while (i < x.length) { gacc(x(i)) += d; i += 1 }
+            (gacc, gbAcc + d)
+          },
+          combOp = { case ((a, ab), (b, bb)) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, ab + bb)
+          }, depth = 2)
+        var j = 0
+        while (j < nBuckets) { w(j) -= lr * gw(j) / n; j += 1 }
+        bias -= lr * gb / n
+        bw.destroy()
+        e += 1
+      }
+      (w, bias)
+    } finally { data.unpersist(); () }
+  }
+
+  /** Apply TRAINED weights with [[hashClassifierScore]]'s plan shape
+    * (featurize → look up → reduce → squash, one narrow projection) —
+    * the promised swap-in: the weight table rides as a literal array
+    * (codegen'd `element_at`, no join, no shuffle), logit = bias +
+    * Σ_{distinct hashed tokens} w(b) (the training model's binary
+    * presence features — `array_distinct` before the fold), probability
+    * = sigmoid. Output: (doc_id, n_tokens, p_keep 4 dp, is_kept),
+    * ordered by doc_id. */
+  def hashedLogRegScore(documents: DataFrame, weights: Array[Double],
+                        bias: Double): DataFrame = {
+    val nBuckets = weights.length
+    val wLit = typedLit(weights.toSeq)
+    // bucket each token ONCE in its own projected column (SPARK-35410:
+    // an expression inside a HOF lambda re-evaluates per consumer),
+    // then dedup buckets and fold the literal-array lookups
+    val wsum = aggregate(array_distinct(col("__b")), lit(0.0),
+      (acc, bkt) => acc + element_at(wLit, bkt + 1))
+    graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .withColumn("__t", tokens(col("text")))
+      .withColumn("__b", transform(col("__t"),
+        t => hashBucket(t, nBuckets).cast("int")))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (wsum + lit(bias)).as("logit"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("p_keep"),
+        (col("logit") >= 0).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracled TRAIN surface: fit [[trainHashedLogReg]] on
+    * seed-labeled docs, score the same corpus, report exact class
+    * counts plus partition-stable quality booleans — train accuracy
+    * and mean-probability separation over thresholds (trained weights
+    * themselves are float-sum-order-dependent; the booleans are the
+    * engine-stable contract, the recall-panel discipline). One row:
+    * (n_pos, n_neg, acc_ok, sep_ok). */
+  def classifierTrainReport(documents: DataFrame, positive: Column,
+                            nBuckets: Int = 1024, epochs: Int = 30,
+                            lr: Double = 5.0, accMin: Double = 0.95,
+                            sepMin: Double = 0.5): DataFrame = {
+    val (w, b) = trainHashedLogReg(documents, positive, nBuckets, epochs, lr)
+    val labeled = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), positive.as("__pos"))
+    hashedLogRegScore(documents, w, b)
+      .join(labeled, Seq("doc_id"))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"),
+        avg(when(col("is_kept") === col("__pos"), 1.0).otherwise(0.0)).as("__acc"),
+        avg(when(col("__pos"), col("p_keep"))).as("__mp"),
+        avg(when(!col("__pos"), col("p_keep"))).as("__mn"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("__acc") >= accMin).as("acc_ok"),
+        (col("__mp") - coalesce(col("__mn"), lit(0.0)) >= sepMin).as("sep_ok"))
+  }
+
   /** Per-source characteristic terms by TF-IDF — the "what is this
     * slice about" profile a corpus build runs per domain/source before
     * deciding mixture weights (and the quickest way to spot a crawl

@@ -290,6 +290,30 @@ private[queries] object RegistryText {
     // filtering). Float constants are injected from the SAME Scala
     // doubles the operator uses, cast from their round-trip string
     // form — both engines then compute with bit-identical constants
+    // TRAINED quality classifier (fastText-shape logistic regression
+    // over hashed binary presence features, full-batch treeAggregate
+    // GD): the fixture plants a marker token on the positive class
+    // in-plan, so the seed-labeled corpus is linearly separable up to
+    // hash collisions — the oracled surface is exact class counts plus
+    // partition-stable quality booleans (train acc >= 0.95, mean-prob
+    // separation >= 0.5; measured 1.0 / ~0.996 at all three SFs —
+    // trained weights themselves are float-sum-order-dependent, the
+    // recall-panel discipline)
+    QueryDef("txt_classifier_train",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val forged = docs.withColumn("text",
+          when(col("doc_id") % 3 === 0 && col("text").isNotNull,
+            concat(col("text"), lit(" qualmarker qualmarker qualmarker")))
+            .otherwise(col("text")))
+        TextAnalysis.classifierTrainReport(forged, col("doc_id") % 3 === 0)
+      },
+      Some("""SELECT count(CASE WHEN doc_id % 3 = 0 THEN 1 END)::BIGINT AS n_pos,
+          count(CASE WHEN doc_id % 3 <> 0 THEN 1 END)::BIGINT AS n_neg,
+          TRUE AS acc_ok, TRUE AS sep_ok
+        FROM documents WHERE text IS NOT NULL"""),
+      bench = true),
+
     QueryDef("txt_bm25_scores",
       (s, d) => TextAnalysis.bm25Scores(t(s, d, "documents"), bm25Terms),
       Some {

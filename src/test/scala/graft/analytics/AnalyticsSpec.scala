@@ -2403,6 +2403,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L), s"got $ids")
   }
 
+  test("trainHashedLogReg separates a marker class; report booleans are partition-invariant") {
+    // pos docs carry 'alpha', neg carry 'beta' — linearly separable
+    val d = docs((1L to 12L).map { i =>
+      i -> (if (i % 2 == 0) s"common words here alpha t$i"
+            else s"common words here beta t$i")
+    }: _*)
+    val pos = col("doc_id") % 2 === 0
+    val (w, b) = TextAnalysis.trainHashedLogReg(d, pos,
+      nBuckets = 64, epochs = 40, lr = 5.0)
+    val scored = TextAnalysis.hashedLogRegScore(d, w, b).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    (1L to 12L).foreach { i =>
+      assert(scored(i) == (i % 2 == 0), s"doc $i misclassified")
+    }
+    // the REPORT booleans must not depend on the physical layout
+    // (weights are float-sum-order-dependent; the surface is not)
+    Seq(1, 5).foreach { p =>
+      val rep = TextAnalysis.classifierTrainReport(d.repartition(p), pos,
+        nBuckets = 64, epochs = 40, lr = 5.0).head()
+      assert(rep.getLong(0) == 6L && rep.getLong(1) == 6L)
+      assert(rep.getBoolean(2) && rep.getBoolean(3),
+        s"partitioning $p flipped the report booleans")
+    }
+  }
+
+  test("trainHashedLogReg excludes null text and fails loud on an empty corpus") {
+    val d = docs(1L -> "alpha x", 2L -> "beta y")
+      .unionByName(Seq((9L, null.asInstanceOf[String], "en", "src", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rep = TextAnalysis.classifierTrainReport(d, col("doc_id") === 1L,
+      nBuckets = 32, epochs = 10, lr = 5.0).head()
+    // the null-text doc contributes to NEITHER class count
+    assert(rep.getLong(0) == 1L && rep.getLong(1) == 1L)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.trainHashedLogReg(
+        docs().withColumn("text", lit(null).cast("string")),
+        col("doc_id") === 1L, nBuckets = 32, epochs = 1, lr = 1.0)
+    }
+    assert(err.getMessage.contains("no trainable documents"))
+  }
+
   test("curriculumStages cuts the global score order into equal stages") {
     val d = (1L to 16L).map(i => (i, 17L - i)) // score DESC in doc order
       .toDF("doc_id", "n_chars")
