@@ -858,6 +858,89 @@ object Multimodal {
     documents.withColumn("payload", synth(col("doc_id"), col("text")))
   }
 
+  /** Attach GVID containers whose frames are REAL pixel-bearing
+    * grayscale PNGs (doc_id % 3 + 2 frames, [[synthGray]] pixels
+    * seeded per (doc, frame), zlib `level`) — the fixture for the
+    * perceptual VIDEO path. `pixelSeedOffset` maps a re-encoded copy's
+    * doc_id back to its original's pixels (the [[withPixelPayload]]
+    * convention). Fixture synthesis, not a 100 TB operator. */
+  def withVideoPixelPayload(documents: DataFrame, level: Int = 6,
+                            pixelSeedOffset: Long = 0L): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val seed = docId - pixelSeedOffset
+      videoBytes((0 until (seed % 3 + 2).toInt).map(i =>
+        pngBytesGray(24, 16, synthGray(seed * 31 + i, 24, 16), level)))
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** 64-bit perceptual VIDEO fingerprint — temporal majority pooling
+    * of per-frame [[dHash64]]s: bit k is set when MORE than half of
+    * the decodable frames set bit k (the strict majority makes the
+    * pool invariant to per-frame re-encoding by construction — same
+    * pixels, same frame hashes, same pool. Thinning robustness is a
+    * property of TEMPORAL CORRELATION, not of the pool: on real
+    * (correlated) clips an every-2nd-frame sample preserves the
+    * majorities (spec-measured on a correlated fixture), while a clip
+    * of unrelated stills has near-tie majorities where any dropped
+    * vote can flip bits — measured 16/64 on an uncorrelated fixture,
+    * which is correct behavior: such a "clip" has no single perceptual
+    * identity to preserve). Videos whose container yields no decodable
+    * frame return None. */
+  def videoFingerprint64(payload: Array[Byte]): Option[Long] = {
+    val hashes = parseFrames(payload).flatMap { f =>
+      MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
+        .map { case (w, h, g) => dHash64(g, w, h) }
+    }
+    if (hashes.isEmpty) None
+    else {
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        var c = 0
+        hashes.foreach { d => if (((d >> k) & 1L) != 0L) c += 1 }
+        if (2 * c > hashes.length) bits |= 1L << k
+        k += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Per-doc video fingerprints over the binary payload column —
+    * batched per-partition container walk + frame pixel decode +
+    * [[videoFingerprint64]], split into the two 32-bit halves the
+    * SimHash band machinery expects. Output: (doc_id, simhash_hi,
+    * simhash_lo); undecodable payloads are DROPPED. */
+  def videoFingerprints(withPayload: DataFrame,
+                        batchSize: Int = 64): DataFrame = {
+    val src = graft.util.SparkUtil.widen(withPayload)
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (id, payload) =>
+          videoFingerprint64(payload).map { d =>
+            (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
+          }
+        }
+      }
+    }.toDF("doc_id", "simhash_hi", "simhash_lo")
+  }
+
+  /** Perceptual VIDEO near-dup pairs — completes the trilogy next to
+    * [[imageNearDupPairs]] (stills) and [[audioNearDupPairs]] (PCM):
+    * per-frame re-encoded copies of one clip share ~no bytes but every
+    * pooled gradient; fingerprints feed the UNCHANGED SimHash 4×16-bit
+    * pigeonhole band join (complete for Hamming ≤ 3). Output: (doc_a,
+    * doc_b, hamming), ordered. Scale shape: one batched narrow
+    * decode pass (8 B of hash per clip crosses the wire) + the banded
+    * equi-join. */
+  def videoNearDupPairs(withPayload: DataFrame, maxDist: Int = 3,
+                        batchSize: Int = 64): DataFrame =
+    Dedup.simhashNearDupPairsFromFingerprints(
+      videoFingerprints(withPayload, batchSize), maxDist)
+
   /** Frame sampling — keep every `everyK`-th frame of each video
     * payload, emitting (doc_id, frame_idx, frame_md5, frame_bytes).
     * The training-data use: thin a video corpus to representative

@@ -301,6 +301,46 @@ private[queries] object RegistryMultimodal {
           (44 + data_len)::BIGINT AS payload_bytes
         FROM a ORDER BY doc_id""")),
 
+    // PERCEPTUAL near-dup over the VIDEO modality — completes the
+    // image/audio/video trilogy: GVID containers carrying REAL
+    // pixel-bearing PNG frames; fingerprint = temporal majority pool
+    // of per-frame dHashes. Each doc_id%5==0 doc gets a copy with
+    // every frame RE-ENCODED (zlib 9 vs 1): container bytes differ
+    // (md5-checked in-plan), frame pixels identical, so the pool is
+    // bit-identical and the pair MUST surface at Hamming 0. Planted-
+    // pair audit oracle (mm_image_neardup discipline); pooling
+    // semantics spec-pinned.
+    QueryDef("mm_video_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        val base = Multimodal.withVideoPixelPayload(docs, level = 1)
+        val copies = Multimodal.withVideoPixelPayload(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id")),
+          level = 9, pixelSeedOffset = 10000000L)
+        val pairs = Multimodal
+          .videoNearDupPairs(base.unionByName(copies))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val md5A = base.select(col("doc_id").as("doc_a"),
+          md5(col("payload")).as("__ma"))
+        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
+          md5(col("payload")).as("__mb"))
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 10000000L).as("doc_b"))
+          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
+          .join(pairs, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("__ma") =!= col("__mb")).as("bytes_differ"),
+            col("hamming").isNotNull.as("pair_found"),
+            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
+          .orderBy("doc_a")
+      },
+      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
+        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
+      bench = true),
+
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
     // bytes from the deterministic formula, so the md5 compare proves

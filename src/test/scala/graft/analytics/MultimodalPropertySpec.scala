@@ -255,6 +255,61 @@ class MultimodalPropertySpec extends AnyFunSuite {
     samples(bytesGen, 200).foreach(MediaDecode.wavPcmMono(_))
   }
 
+  test("videoFingerprint64: majority pooling, re-encode invariance, thinning robustness, containment") {
+    def clip(frames: Seq[Array[Byte]]): Array[Byte] = Multimodal.videoBytes(frames)
+    def gray(seed: Long) = Multimodal.synthGray(seed, 24, 16)
+    // strict-majority semantics on a hand pool: 2-of-3 frames share a
+    // hash -> the pool IS that hash (the third can't flip any bit that
+    // the two agree on... verify against a brute recomputation)
+    val f1 = Multimodal.pngBytesGray(24, 16, gray(1), 1)
+    val f2 = Multimodal.pngBytesGray(24, 16, gray(1), 9) // same pixels
+    val f3 = Multimodal.pngBytesGray(24, 16, gray(99), 1)
+    val d1 = Multimodal.dHash64(gray(1), 24, 16)
+    val d3 = Multimodal.dHash64(gray(99), 24, 16)
+    val pooled = Multimodal.videoFingerprint64(clip(Seq(f1, f2, f3))).get
+    var want = 0L
+    (0 until 64).foreach { k =>
+      val c = Seq(d1, d1, d3).count(d => ((d >> k) & 1L) != 0L)
+      if (2 * c > 3) want |= 1L << k
+    }
+    assert(pooled == want, "pool must be the strict per-bit majority")
+    // per-frame re-encode invariance: every frame at a different zlib
+    // level -> byte-different container, identical fingerprint
+    val a = clip(Seq(gray(5), gray(6), gray(7)).map(g =>
+      Multimodal.pngBytesGray(24, 16, g, 1)))
+    val b = clip(Seq(gray(5), gray(6), gray(7)).map(g =>
+      Multimodal.pngBytesGray(24, 16, g, 9)))
+    assert(!java.util.Arrays.equals(a, b))
+    assert(Multimodal.videoFingerprint64(a) == Multimodal.videoFingerprint64(b))
+    // thinning robustness holds for TEMPORALLY CORRELATED frames (real
+    // video): consecutive frames share all but one row of pixels, so
+    // per-frame hashes nearly agree and majorities survive an
+    // every-2nd-frame sample. (On UNRELATED stills majorities are
+    // near-ties and thinning measured 16/64 flipped bits — correct:
+    // that clip has no single perceptual identity. The scaladoc states
+    // the condition.)
+    val baseG = gray(40)
+    val frames6 = (0 until 6).map { i =>
+      val g = baseG.clone()
+      val alt = gray(41)
+      System.arraycopy(alt, (i % 16) * 24, g, (i % 16) * 24, 24)
+      Multimodal.pngBytesGray(24, 16, g, 5)
+    }
+    val full = Multimodal.videoFingerprint64(clip(frames6)).get
+    val thin = Multimodal.videoFingerprint64(
+      clip(frames6.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f })).get
+    assert(java.lang.Long.bitCount(full ^ thin) <= 3,
+      s"thinned clip drifted ${java.lang.Long.bitCount(full ^ thin)} bits")
+    // containment: no decodable frame -> None; corruption never throws
+    assert(Multimodal.videoFingerprint64(
+      clip(Seq("not a png".getBytes("UTF-8")))).isEmpty)
+    assert(Multimodal.videoFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+    (0 until a.length by 11).foreach { i =>
+      val c = a.clone(); c(i) = (c(i) + 53).toByte
+      Multimodal.videoFingerprint64(c)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
