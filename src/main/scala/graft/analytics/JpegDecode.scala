@@ -13,7 +13,10 @@ package graft.analytics
   *    sampling factors 1–4 (4:4:4, 4:2:0, 4:2:2, …) — only the LUMA
   *    component is dequantized/IDCT'd (JFIF's Y IS BT.601 luma, the
   *    plane [[Multimodal.dHash64]] consumes); chroma blocks are still
-  *    Huffman-decoded to advance the bitstream, then discarded;
+  *    Huffman-decoded to advance the bitstream, then discarded. A
+  *    single-component scan is NON-interleaved per T.81 A.2 (one data
+  *    unit per MCU in raster order — declared sampling factors never
+  *    form multi-block MCUs there);
   *  - restart markers (DRI/RSTn) with DC-predictor reset and
   *    byte-alignment;
   *  - 0xFF00 byte unstuffing inside the entropy segment.
@@ -186,8 +189,16 @@ private[analytics] object JpegDecode {
                 var i = 0
                 q += 1
                 while (i < 64) {
-                  if (pq == 1) { tab(i) = be16(q); q += 2 }
-                  else { if (q >= segEnd) fail(); tab(i) = b(q) & 0xff; q += 1 }
+                  // bounds are the SEGMENT's, not the payload's: a
+                  // table overrunning its declared length must not
+                  // silently read the next marker segment as quant
+                  // values (Some(wrong pixels) where None is owed)
+                  if (pq == 1) {
+                    if (q + 2 > segEnd) fail()
+                    tab(i) = be16(q); q += 2
+                  } else {
+                    if (q >= segEnd) fail(); tab(i) = b(q) & 0xff; q += 1
+                  }
                   i += 1
                 }
                 quant(tq) = tab
@@ -227,6 +238,14 @@ private[analytics] object JpegDecode {
                 if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) fail()
                 c
               }
+              // T.81 A.2: a single-component scan is NON-interleaved —
+              // one data unit per MCU over the component's own
+              // ceil(w/8)×ceil(h/8) block grid, regardless of declared
+              // sampling factors (an interleaved h×v-blocks-per-MCU
+              // walk would place blocks scrambled). Normalizing the
+              // factors to 1×1 makes the generic MCU loop below BE the
+              // raster walk.
+              if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
             case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                  0xcd | 0xce | 0xcf =>
               return None // progressive/lossless/arithmetic: out of profile

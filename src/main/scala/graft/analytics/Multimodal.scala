@@ -403,16 +403,15 @@ object Multimodal {
     bits
   }
 
-  /** Per-doc dHash fingerprints over the binary payload column —
-    * batched per-partition PIXEL decode (PNG: [[MediaDecode
-    * .pngGrayPixels]] IDAT inflate + unfilter; JPEG: [[MediaDecode
-    * .jpegLumaPixels]] baseline Huffman + IDCT, luma plane — both pure
-    * JVM) + [[dHash64]], split into the two 32-bit halves the SimHash
-    * band machinery expects. Rows whose payload is null or does not
-    * decode as a supported PNG/baseline-JPEG are DROPPED (perceptual
-    * identity is defined over decodable stills). Output: (doc_id,
-    * simhash_hi, simhash_lo). */
-  def imageDHash(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+  /** The batched 64-bit-fingerprint scaffold shared by the three
+    * perceptual modalities ([[imageDHash]], [[audioFingerprints]],
+    * [[videoFingerprints]]): widen → drop null payloads → per-
+    * partition batched decode+hash → split into the two 32-bit halves
+    * the SimHash band machinery expects. Undecodable payloads are
+    * DROPPED (perceptual identity is defined over decodable media).
+    * Output: (doc_id, simhash_hi, simhash_lo). */
+  private def fingerprintPayloads(withPayload: DataFrame, batchSize: Int)
+                                 (hash: Array[Byte] => Option[Long]): DataFrame = {
     val src = graft.util.SparkUtil.widen(withPayload)
       .filter(col("payload").isNotNull)
       .select(col("doc_id"), col("payload"))
@@ -420,16 +419,26 @@ object Multimodal {
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { case (id, payload) =>
-          MediaDecode.pngGrayPixels(payload)
-            .orElse(MediaDecode.jpegLumaPixels(payload)).map {
-              case (w, h, gray) =>
-                val d = dHash64(gray, w, h)
-                (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
-            }
+          hash(payload).map { d =>
+            (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
+          }
         }
       }
     }.toDF("doc_id", "simhash_hi", "simhash_lo")
   }
+
+  /** Per-doc dHash fingerprints over the binary payload column —
+    * batched per-partition PIXEL decode (PNG: [[MediaDecode
+    * .pngGrayPixels]] IDAT inflate + unfilter; JPEG: [[MediaDecode
+    * .jpegLumaPixels]] baseline Huffman + IDCT, luma plane — both pure
+    * JVM) + [[dHash64]] through the shared [[fingerprintPayloads]]
+    * scaffold. */
+  def imageDHash(withPayload: DataFrame, batchSize: Int = 64): DataFrame =
+    fingerprintPayloads(withPayload, batchSize) { payload =>
+      MediaDecode.pngGrayPixels(payload)
+        .orElse(MediaDecode.jpegLumaPixels(payload))
+        .map { case (w, h, gray) => dHash64(gray, w, h) }
+    }
 
   // ------------------------------------------------------------------
   // JPEG pixel fixtures (round 15): ImageIO is the INDEPENDENT encoder
@@ -761,28 +770,15 @@ object Multimodal {
 
   /** Per-doc audio fingerprints over the binary payload column —
     * batched per-partition PCM decode ([[MediaDecode.wavPcmMono]]) +
-    * [[audioFingerprint64]], split into the two 32-bit halves the
-    * SimHash band machinery expects. Undecodable/too-short payloads
-    * are DROPPED (perceptual identity is defined over decodable
-    * audio). Output: (doc_id, simhash_hi, simhash_lo). */
+    * [[audioFingerprint64]] through the shared [[fingerprintPayloads]]
+    * scaffold (too-short/undecodable clips drop). */
   def audioFingerprints(withPayload: DataFrame,
-                        batchSize: Int = 64): DataFrame = {
-    val src = graft.util.SparkUtil.widen(withPayload)
-      .filter(col("payload").isNotNull)
-      .select(col("doc_id"), col("payload"))
-    import src.sparkSession.implicits._
-    src.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { case (id, payload) =>
-          MediaDecode.wavPcmMono(payload).flatMap { case (sr, samples) =>
-            audioFingerprint64(sr, samples).map { d =>
-              (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
-            }
-          }
-        }
+                        batchSize: Int = 64): DataFrame =
+    fingerprintPayloads(withPayload, batchSize) { payload =>
+      MediaDecode.wavPcmMono(payload).flatMap { case (sr, samples) =>
+        audioFingerprint64(sr, samples)
       }
-    }.toDF("doc_id", "simhash_hi", "simhash_lo")
-  }
+    }
 
   /** Perceptual audio near-dup pairs — re-quantized / re-gained /
     * re-channeled renderings of one recording share ~no bytes but the
@@ -908,25 +904,11 @@ object Multimodal {
 
   /** Per-doc video fingerprints over the binary payload column —
     * batched per-partition container walk + frame pixel decode +
-    * [[videoFingerprint64]], split into the two 32-bit halves the
-    * SimHash band machinery expects. Output: (doc_id, simhash_hi,
-    * simhash_lo); undecodable payloads are DROPPED. */
+    * [[videoFingerprint64]] through the shared [[fingerprintPayloads]]
+    * scaffold. */
   def videoFingerprints(withPayload: DataFrame,
-                        batchSize: Int = 64): DataFrame = {
-    val src = graft.util.SparkUtil.widen(withPayload)
-      .filter(col("payload").isNotNull)
-      .select(col("doc_id"), col("payload"))
-    import src.sparkSession.implicits._
-    src.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { case (id, payload) =>
-          videoFingerprint64(payload).map { d =>
-            (id, (d >>> 32) & 0xffffffffL, d & 0xffffffffL)
-          }
-        }
-      }
-    }.toDF("doc_id", "simhash_hi", "simhash_lo")
-  }
+                        batchSize: Int = 64): DataFrame =
+    fingerprintPayloads(withPayload, batchSize)(videoFingerprint64)
 
   /** Perceptual VIDEO near-dup pairs — completes the trilogy next to
     * [[imageNearDupPairs]] (stills) and [[audioNearDupPairs]] (PCM):
@@ -1056,17 +1038,18 @@ object MediaDecode {
     * Malformed containers return None — corrupt audio is DATA, not an
     * engine error. */
   def wav(b: Array[Byte]): Option[WavMeta] =
-    riffWalk(b).map { case (ch, sr, bits, _, d) => WavMeta(ch, sr, bits, d) }
+    riffWalk(b).map { case (_, ch, sr, bits, _, d) => WavMeta(ch, sr, bits, d) }
 
-  /** The RIFF walk core shared by [[wav]] (metadata) and
-    * [[wavPcmMono]] (samples): (channels, sampleRate, bits,
-    * dataOffset, dataBytes — clamped to the payload). */
-  private def riffWalk(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+  /** The RIFF walk core shared by [[wav]] (metadata — format-agnostic)
+    * and [[wavPcmMono]] (samples — linear PCM only): (formatTag,
+    * channels, sampleRate, bits, dataOffset, dataBytes — clamped to
+    * the payload). */
+  private def riffWalk(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
     if (b.length < 12) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var p = 12L
-    var fmt: Option[(Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int)] = None
     var data: Option[(Int, Long)] = None
     while (p + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b.slice(p.toInt, p.toInt + 4), "US-ASCII")
@@ -1075,30 +1058,33 @@ object MediaDecode {
       id match {
         case "fmt " =>
           if (size < 16 || body + 16 > b.length) return None
+          val tag = le16(b, body.toInt)
           val ch = le16(b, body.toInt + 2)
           val sr = le32(b, body.toInt + 4)
           val bits = le16(b, body.toInt + 14)
           if (ch < 1 || sr < 1 || sr > Int.MaxValue ||
             bits < 8 || bits % 8 != 0) return None
-          fmt = Some((ch, sr.toInt, bits))
+          fmt = Some((tag, ch, sr.toInt, bits))
         case "data" =>
           data = Some((body.toInt, math.min(size, b.length - body)))
         case _ => ()
       }
       p = body + size + (size & 1) // RIFF bodies pad to even offsets
     }
-    for { (ch, sr, bits) <- fmt; (off, d) <- data }
-      yield (ch, sr, bits, off, d)
+    for { (tag, ch, sr, bits) <- fmt; (off, d) <- data }
+      yield (tag, ch, sr, bits, off, d)
   }
 
   /** PCM SAMPLE decode — the audio analog of [[pngGrayPixels]]:
-    * 8-bit unsigned / 16-bit signed little-endian PCM, channels
-    * AVERAGED to mono, normalized to [−1, 1]. Returns (sampleRate,
-    * samples); trailing partial frames are dropped (truncation
-    * containment), anything non-PCM-8/16 returns None. */
+    * 8-bit unsigned / 16-bit signed little-endian LINEAR PCM
+    * (fmt format tag 1 — a companded μ-law/A-law stream decoded as
+    * linear would silently fingerprint garbage), channels AVERAGED to
+    * mono, normalized to [−1, 1]. Returns (sampleRate, samples);
+    * trailing partial frames are dropped (truncation containment),
+    * anything non-linear-PCM-8/16 returns None. */
   def wavPcmMono(b: Array[Byte]): Option[(Int, Array[Double])] =
-    riffWalk(b).flatMap { case (ch, sr, bits, off, dataLen) =>
-      if (bits != 8 && bits != 16) None
+    riffWalk(b).flatMap { case (tag, ch, sr, bits, off, dataLen) =>
+      if (tag != 1 || (bits != 8 && bits != 16)) None
       else {
         val bytesPer = bits / 8
         val frameBytes = ch * bytesPer

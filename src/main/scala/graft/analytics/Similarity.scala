@@ -667,11 +667,37 @@ object Similarity {
         pqCodeExpr(cb).as("codes"))
   }
 
+  /** Content identity of an IVF-PQ MODEL (cells + codebook) — md5 of
+    * the canonically-ordered centroid values. Codes are meaningful
+    * ONLY against the model that produced them: a retrain changes
+    * every byte's decode table, so the delta store pins this id and
+    * every consumer checks it fail-loud (the semantic-admission
+    * `_params` discipline applied to the model itself). Model-sized
+    * collect (k·dim + m·ksub·dsub doubles), never corpus. */
+  def ivfPqModelId(cellCentroids: DataFrame, codebook: DataFrame): String = {
+    val cellsStr = collectCells(cellCentroids)
+      .map(_.mkString(",")).mkString(";")
+    val cbStr = collectCodebook(codebook).toSeq.sortBy(_._1)
+      .map { case (j, cents) =>
+        s"$j:" + cents.map(_.mkString(",")).mkString(";")
+      }.mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$cellsStr#$cbStr".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** The maintained codes table — the base index's `codes` unioned
     * with every batch_id-scoped delta partition the streaming
     * maintenance pipeline has published (absent delta dir = base
     * only). Search is unchanged: pass this wherever the base codes
     * frame went; schema is identical (the partition column drops).
+    *
+    * FAIL-LOUD identity check: the pipeline pins [[ivfPqModelId]] at
+    * `<deltaDir>_model_id`; a delta whose pin is missing or does not
+    * match the CURRENT index's model is refused — after an out-of-band
+    * retrain, old delta codes ADC-decode through the new codebook into
+    * meaningless distances with zero errors surfaced (discard the
+    * delta or re-encode it, then restart the pipeline to re-pin).
     *
     * NOTE on compaction: delta partitions inherit the admission
     * stores' small-files growth, but [[graft.streaming
@@ -685,9 +711,26 @@ object Similarity {
     val base = spark.read.parquet(s"$indexDir/codes")
     val dPath = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dPath))
+    if (!fs.exists(dPath)) base
+    else {
+      val pinPath = new org.apache.hadoop.fs.Path(deltaDir + "_model_id")
+      require(fs.exists(pinPath),
+        s"delta $deltaDir carries no model-id pin: cannot prove its codes " +
+          s"were encoded against $indexDir's current model — discard the " +
+          "delta or re-run the maintenance pipeline (which pins it)")
+      val in = fs.open(pinPath)
+      val pinned = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      val current = ivfPqModelId(
+        spark.read.parquet(s"$indexDir/cells"),
+        spark.read.parquet(s"$indexDir/codebook"))
+      require(pinned == current,
+        s"delta $deltaDir was encoded against model $pinned but $indexDir " +
+          s"now holds model $current (retrained?): old delta codes decode " +
+          "through the new codebook into meaningless distances — discard " +
+          "the delta or re-encode it against the new model")
       base.unionByName(spark.read.parquet(deltaDir).drop("batch_id"))
-    else base
+    }
   }
 
   /** (vec_id, label, cell, embedding = vec − centroid(cell)) — the

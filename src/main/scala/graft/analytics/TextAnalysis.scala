@@ -536,8 +536,9 @@ object TextAnalysis {
     * partial per partition, merged depth-2 (the [[graft.analytics
     * .Similarity]] pcaTrain shape: driver receives O(nBuckets), never
     * O(corpus)). Features materialize ONCE (persisted) — epochs re-run
-    * only the gradient pass. Docs with null text are excluded
-    * (seed-label semantics are undefined on absent text).
+    * only the gradient pass. Docs with null text OR a null seed label
+    * are excluded (a null predicate value is an undefined label, not a
+    * class — unguarded it would NPE deep in an executor).
     *
     * Float-sum order inside the gradient follows partitioning, so
     * weights are deterministic only per layout — the oracled surface
@@ -552,7 +553,7 @@ object TextAnalysis {
     require(lr > 0, s"lr must be > 0: $lr")
     val spark = documents.sparkSession
     val toks = graft.util.SparkUtil.widen(documents)
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && positive.isNotNull)
       .select(col("doc_id"), positive.cast("double").as("__y"),
         explode(tokens(col("text"))).as("token"))
       .withColumn("__b", hashBucket(col("token"), nBuckets).cast("int"))
@@ -631,16 +632,20 @@ object TextAnalysis {
     * counts plus partition-stable quality booleans — train accuracy
     * and mean-probability separation over thresholds (trained weights
     * themselves are float-sum-order-dependent; the booleans are the
-    * engine-stable contract, the recall-panel discipline). One row:
-    * (n_pos, n_neg, acc_ok, sep_ok). */
+    * engine-stable contract, the recall-panel discipline). A corpus
+    * with an EMPTY class reports acc_ok = sep_ok = FALSE — one-class
+    * "accuracy" is the majority baseline and "separation" has nothing
+    * to separate (the abProportionTest degenerate-label discipline).
+    * One row: (n_pos, n_neg, acc_ok, sep_ok). */
   def classifierTrainReport(documents: DataFrame, positive: Column,
                             nBuckets: Int = 1024, epochs: Int = 30,
                             lr: Double = 5.0, accMin: Double = 0.95,
                             sepMin: Double = 0.5): DataFrame = {
     val (w, b) = trainHashedLogReg(documents, positive, nBuckets, epochs, lr)
     val labeled = graft.util.SparkUtil.widen(documents)
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && positive.isNotNull)
       .select(col("doc_id"), positive.as("__pos"))
+    val bothClasses = col("n_pos") > 0 && col("n_neg") > 0
     hashedLogRegScore(documents, w, b)
       .join(labeled, Seq("doc_id"))
       .agg(
@@ -650,8 +655,8 @@ object TextAnalysis {
         avg(when(col("__pos"), col("p_keep"))).as("__mp"),
         avg(when(!col("__pos"), col("p_keep"))).as("__mn"))
       .select(col("n_pos"), col("n_neg"),
-        (col("__acc") >= accMin).as("acc_ok"),
-        (col("__mp") - coalesce(col("__mn"), lit(0.0)) >= sepMin).as("sep_ok"))
+        (bothClasses && col("__acc") >= accMin).as("acc_ok"),
+        (bothClasses && col("__mp") - col("__mn") >= sepMin).as("sep_ok"))
   }
 
   /** Per-source characteristic terms by TF-IDF — the "what is this

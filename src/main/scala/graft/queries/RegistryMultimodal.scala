@@ -14,6 +14,43 @@ import graft.queries.Registry._
   * composition + the fail-loud duplicate-name gate are unchanged
   * in [[Registry.all]]. */
 private[queries] object RegistryMultimodal {
+
+  /** The planted-pair audit surface shared by the four perceptual
+    * near-dup queries (image/jpeg/audio/video): every doc_id%5==0 doc
+    * gets ONE forged copy at doc_id+10⁷ (built by the caller with a
+    * byte-different, perceptually-identical rendering), the pair
+    * generator runs over base ∪ copies, and the audit left-joins the
+    * planted pairs: bytes_differ (md5-checked in-plan), pair_found,
+    * hamming_zero. The oracle for every instance is
+    * [[plantedPairOracleSql]]. */
+  private def plantedNearDupAudit(docs: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      copies: org.apache.spark.sql.DataFrame,
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = pairsOf(base.unionByName(copies))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val md5A = base.select(col("doc_id").as("doc_a"),
+      md5(col("payload")).as("__ma"))
+    val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
+      md5(col("payload")).as("__mb"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 10000000L).as("doc_b"))
+      .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("__ma") =!= col("__mb")).as("bytes_differ"),
+        col("hamming").isNotNull.as("pair_found"),
+        (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
+      .orderBy("doc_a")
+  }
+
+  private val plantedPairOracleSql: String =
+    """SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+        TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
+      FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""
+
   val defs: Seq[QueryDef] = Seq(
     // REAL decode oracle: payloads are synthesized PNG/JPEG binaries
     // (even/odd doc_id) whose IHDR/SOF dimensions follow a doc_id
@@ -148,33 +185,15 @@ private[queries] object RegistryMultimodal {
     QueryDef("mm_image_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
-        val base = Multimodal.withPixelPayload(docs, level = 1)
-        val copies = Multimodal.withPixelPayload(
-          docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id")),
-          level = 9, pixelSeedOffset = 10000000L)
-        val pairs = Multimodal
-          .imageNearDupPairs(base.unionByName(copies))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-        val md5A = base.select(col("doc_id").as("doc_a"),
-          md5(col("payload")).as("__ma"))
-        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
-          md5(col("payload")).as("__mb"))
-        docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 10000000L).as("doc_b"))
-          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
-          .join(pairs, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("__ma") =!= col("__mb")).as("bytes_differ"),
-            col("hamming").isNotNull.as("pair_found"),
-            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
-          .orderBy("doc_a")
+        plantedNearDupAudit(docs,
+          Multimodal.withPixelPayload(docs, level = 1),
+          Multimodal.withPixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            level = 9, pixelSeedOffset = 10000000L),
+          Multimodal.imageNearDupPairs(_))
       },
-      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
-          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
-        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
-      bench = true),
+      Some(plantedPairOracleSql), bench = true),
 
     // PERCEPTUAL near-dup over the JPEG modality — the round-15
     // baseline entropy decoder (JpegDecode: Huffman + dequant + IDCT)
@@ -191,34 +210,16 @@ private[queries] object RegistryMultimodal {
     QueryDef("mm_jpeg_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
-        val base = Multimodal.withJpegPixelPayload(docs, quality = 0.9f)
-        val copies = Multimodal.withJpegPixelPayload(
-          docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id")),
-          quality = 0.9f, pixelSeedOffset = 10000000L,
-          comment = Some("re-exported asset, same pixels"))
-        val pairs = Multimodal
-          .imageNearDupPairs(base.unionByName(copies))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-        val md5A = base.select(col("doc_id").as("doc_a"),
-          md5(col("payload")).as("__ma"))
-        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
-          md5(col("payload")).as("__mb"))
-        docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 10000000L).as("doc_b"))
-          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
-          .join(pairs, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("__ma") =!= col("__mb")).as("bytes_differ"),
-            col("hamming").isNotNull.as("pair_found"),
-            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
-          .orderBy("doc_a")
+        plantedNearDupAudit(docs,
+          Multimodal.withJpegPixelPayload(docs, quality = 0.9f),
+          Multimodal.withJpegPixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            quality = 0.9f, pixelSeedOffset = 10000000L,
+            comment = Some("re-exported asset, same pixels")),
+          Multimodal.imageNearDupPairs(_))
       },
-      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
-          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
-        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
-      bench = true),
+      Some(plantedPairOracleSql), bench = true),
 
     // PERCEPTUAL near-dup over the AUDIO modality: real PCM-bearing
     // WAVs (9-segment multi-tone fixture), fingerprinted by the
@@ -235,33 +236,15 @@ private[queries] object RegistryMultimodal {
     QueryDef("mm_audio_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
-        val base = Multimodal.withTonePayload(docs)
-        val copies = Multimodal.withTonePayload(
-          docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id")),
-          gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L)
-        val pairs = Multimodal
-          .audioNearDupPairs(base.unionByName(copies))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-        val md5A = base.select(col("doc_id").as("doc_a"),
-          md5(col("payload")).as("__ma"))
-        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
-          md5(col("payload")).as("__mb"))
-        docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 10000000L).as("doc_b"))
-          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
-          .join(pairs, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("__ma") =!= col("__mb")).as("bytes_differ"),
-            col("hamming").isNotNull.as("pair_found"),
-            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
-          .orderBy("doc_a")
+        plantedNearDupAudit(docs,
+          Multimodal.withTonePayload(docs),
+          Multimodal.withTonePayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L),
+          Multimodal.audioNearDupPairs(_))
       },
-      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
-          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
-        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
-      bench = true),
+      Some(plantedPairOracleSql), bench = true),
 
     QueryDef("mm_payload_dedup",
       (s, d) => {
@@ -313,33 +296,15 @@ private[queries] object RegistryMultimodal {
     QueryDef("mm_video_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
-        val base = Multimodal.withVideoPixelPayload(docs, level = 1)
-        val copies = Multimodal.withVideoPixelPayload(
-          docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id")),
-          level = 9, pixelSeedOffset = 10000000L)
-        val pairs = Multimodal
-          .videoNearDupPairs(base.unionByName(copies))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-        val md5A = base.select(col("doc_id").as("doc_a"),
-          md5(col("payload")).as("__ma"))
-        val md5B = copies.select((col("doc_id") - 10000000L).as("doc_a"),
-          md5(col("payload")).as("__mb"))
-        docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 10000000L).as("doc_b"))
-          .join(md5A, Seq("doc_a")).join(md5B, Seq("doc_a"))
-          .join(pairs, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("__ma") =!= col("__mb")).as("bytes_differ"),
-            col("hamming").isNotNull.as("pair_found"),
-            (coalesce(col("hamming"), lit(-1L)) === 0L).as("hamming_zero"))
-          .orderBy("doc_a")
+        plantedNearDupAudit(docs,
+          Multimodal.withVideoPixelPayload(docs, level = 1),
+          Multimodal.withVideoPixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            level = 9, pixelSeedOffset = 10000000L),
+          Multimodal.videoNearDupPairs(_))
       },
-      Some("""SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
-          TRUE AS bytes_differ, TRUE AS pair_found, TRUE AS hamming_zero
-        FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_a"""),
-      bench = true),
+      Some(plantedPairOracleSql), bench = true),
 
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame

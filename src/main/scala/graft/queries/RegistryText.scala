@@ -286,10 +286,6 @@ private[queries] object RegistryText {
           FROM r ORDER BY doc_id"""
       }, bench = true),
 
-    // Okapi BM25 against a fixed query term set (retrieval-based
-    // filtering). Float constants are injected from the SAME Scala
-    // doubles the operator uses, cast from their round-trip string
-    // form — both engines then compute with bit-identical constants
     // TRAINED quality classifier (fastText-shape logistic regression
     // over hashed binary presence features, full-batch treeAggregate
     // GD): the fixture plants a marker token on the positive class
@@ -314,6 +310,10 @@ private[queries] object RegistryText {
         FROM documents WHERE text IS NOT NULL"""),
       bench = true),
 
+    // Okapi BM25 against a fixed query term set (retrieval-based
+    // filtering). Float constants are injected from the SAME Scala
+    // doubles the operator uses, cast from their round-trip string
+    // form — both engines then compute with bit-identical constants
     QueryDef("txt_bm25_scores",
       (s, d) => TextAnalysis.bm25Scores(t(s, d, "documents"), bm25Terms),
       Some {

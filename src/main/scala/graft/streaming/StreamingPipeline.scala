@@ -808,9 +808,36 @@ object StreamingPipeline {
         spark.conf.set("spark.sql.shuffle.partitions",
           math.max(8, maxFilesPerTrigger).toString)
         try {
-          graft.analytics.Similarity.ivfPqEncodeFrozen(batch,
-              spark.read.parquet(s"$indexDir/cells"),
-              spark.read.parquet(s"$indexDir/codebook"))
+          import org.apache.hadoop.fs.Path
+          val cells = spark.read.parquet(s"$indexDir/cells")
+          val codebook = spark.read.parquet(s"$indexDir/codebook")
+          // the MODEL is the delta's identity (the semantic store's
+          // _params discipline): pin its content id before the first
+          // write, verify every batch — encoding against a retrained
+          // index would mix two codebooks' bytes in one delta with
+          // zero errors surfaced until search returns garbage
+          val modelId = graft.analytics.Similarity.ivfPqModelId(cells, codebook)
+          val pinPath = new Path(deltaDir + "_model_id")
+          val fs = pinPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(pinPath)) {
+            val in = fs.open(pinPath)
+            val got = try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+            require(got == modelId,
+              s"delta $deltaDir is pinned to model $got but $indexDir now " +
+                s"holds model $modelId (retrained?): appending would mix " +
+                "codebooks in one delta — discard the delta (and this " +
+                "checkpoint) to maintain the new model, or restore the old " +
+                "index")
+          } else {
+            // atomic tmp+rename, pinned BEFORE the first delta write
+            val tmpPin = new Path(deltaDir + "_model_id.tmp")
+            val os = fs.create(tmpPin, true)
+            try os.write(modelId.getBytes("UTF-8")) finally os.close()
+            require(fs.rename(tmpPin, pinPath),
+              s"failed to publish model-id pin $tmpPin -> $pinPath")
+          }
+          graft.analytics.Similarity.ivfPqEncodeFrozen(batch, cells, codebook)
             .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
           failHook(batch, batchId) // test seam: crash AFTER sink, BEFORE commit
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

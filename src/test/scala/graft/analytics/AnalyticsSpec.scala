@@ -2442,6 +2442,24 @@ class AnalyticsSpec extends SparkSpec {
         col("doc_id") === 1L, nBuckets = 32, epochs = 1, lr = 1.0)
     }
     assert(err.getMessage.contains("no trainable documents"))
+    // null seed labels are EXCLUDED, not NPE'd deep in an executor
+    val nullLabel = docs(1L -> "alpha x", 2L -> "beta y", 3L -> "gamma z")
+    val repN = TextAnalysis.classifierTrainReport(nullLabel,
+      when(col("doc_id") < 3L, col("doc_id") === 1L), // doc 3: null label
+      nBuckets = 32, epochs = 10, lr = 5.0).head()
+    assert(repN.getLong(0) == 1L && repN.getLong(1) == 1L,
+      "null-label docs must not enter either class")
+  }
+
+  test("classifierTrainReport reports FALSE booleans on a one-class corpus") {
+    // all docs positive: one-class 'accuracy' is the majority baseline
+    // and separation has nothing to separate — both must read false
+    val d = docs(1L -> "alpha x", 2L -> "alpha y")
+    val rep = TextAnalysis.classifierTrainReport(d, lit(true),
+      nBuckets = 32, epochs = 10, lr = 5.0).head()
+    assert(rep.getLong(0) == 2L && rep.getLong(1) == 0L)
+    assert(!rep.getBoolean(2) && !rep.getBoolean(3),
+      "degenerate corpus must not report quality booleans true")
   }
 
   test("curriculumStages cuts the global score order into equal stages") {

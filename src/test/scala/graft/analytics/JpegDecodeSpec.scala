@@ -178,11 +178,15 @@ class JpegDecodeSpec extends AnyFunSuite {
   // 8x16 gray, quant all-ones, two vertical MCUs with DRI=1:
   // MCU1 DC=63 (block 136s), RST0, MCU2 DC diff 0 — which is pixel 128
   // ONLY if the predictor reset to 0 at the restart.
-  private def restartJpeg(rstByte: Int): Array[Byte] = {
+  private def restartJpeg(rstByte: Int, sampling: Int = 0x11,
+                          dqtPrecisionLie: Boolean = false): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
     u16(0xffd8) // SOI
-    u16(0xffdb); u16(2 + 1 + 64); o.write(0x00) // DQT: 8-bit table 0
+    // dqtPrecisionLie: declare pq=1 (16-bit entries) over an
+    // 8-bit-sized payload — the table overruns its own segment
+    u16(0xffdb); u16(2 + 1 + 64)
+    o.write(if (dqtPrecisionLie) 0x10 else 0x00)
     (0 until 64).foreach(_ => o.write(1))
     // DHT DC table 0: len1 -> size 0; len2 -> size 6
     u16(0xffc4); u16(2 + 1 + 16 + 2); o.write(0x00)
@@ -194,7 +198,7 @@ class JpegDecodeSpec extends AnyFunSuite {
     acCounts.foreach(o.write); o.write(0x00)
     u16(0xffc0); u16(8 + 3); o.write(8) // SOF0
     u16(16); u16(8) // h=16 w=8
-    o.write(1); o.write(1); o.write(0x11); o.write(0) // 1 comp, 1x1, tq 0
+    o.write(1); o.write(1); o.write(sampling); o.write(0) // 1 comp, tq 0
     u16(0xffdd); u16(4); u16(1) // DRI = 1 MCU
     u16(0xffda); u16(6 + 2); o.write(1) // SOS, 1 comp
     o.write(1); o.write(0x00) // comp 1, DC 0 / AC 0
@@ -223,6 +227,25 @@ class JpegDecodeSpec extends AnyFunSuite {
 
   test("wrong restart marker number is malformed, not a crash") {
     assert(MediaDecode.jpegLumaPixels(restartJpeg(0xd1)).isEmpty)
+  }
+
+  test("single-component scan is non-interleaved: declared sampling factors never form MCUs") {
+    // T.81 A.2: with one component the MCU is ONE data unit in raster
+    // order — a 2x2-sampled grayscale frame must decode EXACTLY like
+    // the 1x1 one (an interleaved walk would scramble block placement
+    // or reject the block count)
+    val plain = MediaDecode.jpegLumaPixels(restartJpeg(0xd0, sampling = 0x11))
+    val sampled = MediaDecode.jpegLumaPixels(restartJpeg(0xd0, sampling = 0x22))
+    assert(plain.isDefined && sampled.isDefined)
+    assert(java.util.Arrays.equals(plain.get._3, sampled.get._3),
+      "2x2-sampled grayscale must decode identically to 1x1")
+  }
+
+  test("a DQT overrunning its declared segment is malformed, not silently misread") {
+    // pq=1 (16-bit) declared over an 8-bit-sized payload: reading 128
+    // bytes would cross into the next marker segment — must be None
+    assert(MediaDecode.jpegLumaPixels(
+      restartJpeg(0xd0, dqtPrecisionLie = true)).isEmpty)
   }
 
   test("progressive JPEG is out of profile and returns None") {

@@ -237,6 +237,22 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(fps.distinct.size == 50, s"fingerprints collapse: ${fps.distinct.size}")
   }
 
+  test("wavPcmMono declines non-linear-PCM formats instead of decoding companded bytes as linear") {
+    // forge a mu-law WAV: same RIFF frame, fmt format tag 7 — decoding
+    // its companded bytes as linear PCM would silently fingerprint
+    // garbage (the scaladoc's None contract)
+    val wav = Multimodal.wavBytes(1, 8000, 8,
+      Multimodal.pcmQuantize(Multimodal.synthToneSamples(4L), 8, 1.0, 1))
+    assert(MediaDecode.wavPcmMono(wav).isDefined)
+    val mulaw = wav.clone()
+    mulaw(20) = 7 // fmt body byte 0 (LE low byte of the format tag)
+    assert(MediaDecode.wavPcmMono(mulaw).isEmpty,
+      "format tag 7 (mu-law) must not decode as linear PCM")
+    // the metadata walk stays format-agnostic (mm_audio_features
+    // reports container facts, not sample semantics)
+    assert(MediaDecode.wav(mulaw).isDefined)
+  }
+
   test("audio fingerprint declines too-short clips and sub-Nyquist rates; decode never throws") {
     // top band 2828.4 Hz needs sr > 5657
     assert(Multimodal.audioFingerprint64(4000,

@@ -327,6 +327,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("index maintenance refuses a retrained model: the delta's model-id pin fails loud") {
+    import graft.analytics.Similarity
+    val in = Files.createTempDirectory("graft_idxr_in").toString
+    val base = Files.createTempDirectory("graft_idxr").toString
+    val (idx, delta, ckpt) = (s"$base/index", s"$base/delta", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfPq(emb, idx, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      emb.filter(col("vec_id") < 3)
+        .selectExpr("vec_id + 7000000 AS vec_id",
+          "CAST(label AS BIGINT) AS label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .toJSON.collect().mkString("\n"))
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.indexMaintenancePipeline(spark, in, idx, delta,
+        ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(Similarity.maintainedCodes(spark, idx, delta).count() > 0)
+    // out-of-band RETRAIN with different geometry: the delta's codes
+    // now decode through the wrong codebook — every consumer must
+    // refuse, not return silently wrong distances
+    Similarity.writeIvfPq(emb, idx, nCells = 2, m = 2, ksub = 4, rounds = 1)
+    val readErr = intercept[IllegalArgumentException] {
+      Similarity.maintainedCodes(spark, idx, delta)
+    }
+    assert(readErr.getMessage.contains("retrained"), readErr.getMessage)
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      emb.filter(col("vec_id") === 5)
+        .selectExpr("vec_id + 7000000 AS vec_id",
+          "CAST(label AS BIGINT) AS label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .toJSON.collect().mkString("\n"))
+    val pipeErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    val msg = pipeErr.getMessage +
+      Option(pipeErr.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("pinned to model"), s"wrong failure: $msg")
+  }
+
   test("compactAdmissionStore: folds committed partitions, preserves membership, duplication-tolerant, admission unchanged") {
     val in = Files.createTempDirectory("graft_cadm_in").toString
     val base = Files.createTempDirectory("graft_cadm").toString
