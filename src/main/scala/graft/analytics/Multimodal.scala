@@ -1058,7 +1058,17 @@ object MediaDecode {
       id match {
         case "fmt " =>
           if (size < 16 || body + 16 > b.length) return None
-          val tag = le16(b, body.toInt)
+          val rawTag = le16(b, body.toInt)
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE) wraps the REAL format in
+          // the SubFormat GUID at body+24 (its first two bytes are the
+          // equivalent wFormatTag — KSDATAFORMAT_SUBTYPE_PCM starts
+          // 01 00): many encoders emit 16-bit/multichannel linear PCM
+          // this way, and a blanket tag!=1 rejection would silently
+          // drop those clips from fingerprinting
+          val tag =
+            if (rawTag == 0xfffe && size >= 40 && body + 26 <= b.length)
+              le16(b, body.toInt + 24)
+            else rawTag
           val ch = le16(b, body.toInt + 2)
           val sr = le32(b, body.toInt + 4)
           val bits = le16(b, body.toInt + 14)

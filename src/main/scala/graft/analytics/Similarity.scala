@@ -657,14 +657,27 @@ object Similarity {
     * + codebook pair — one narrow literal-matrix projection, no
     * training, corpus never read. */
   def ivfPqEncodeFrozen(newEmbeddings: DataFrame, cellCentroids: DataFrame,
-                        codebook: DataFrame): DataFrame = {
+                        codebook: DataFrame): DataFrame =
+    ivfPqFrozenEncoder(cellCentroids, codebook)._2(newEmbeddings)
+
+  /** ONE-collect bundle for per-batch consumers: collects the model
+    * (cells + codebook) a single time and returns (modelId, encode
+    * function over that collected model). The maintenance pipeline
+    * calls this once per micro-batch — computing the id and the
+    * encode from separate collects would read the model parquet
+    * twice per batch (the round-7 admission fixed-cost lesson). */
+  def ivfPqFrozenEncoder(cellCentroids: DataFrame, codebook: DataFrame)
+      : (String, DataFrame => DataFrame) = {
+    val cells = collectCells(cellCentroids)
     val cb = collectCodebook(codebook)
-    residualFrame(graft.util.SparkUtil.widen(newEmbeddings)
-      .filter(col("embedding").isNotNull), cellCentroids)
-      .select(col("vec_id"), col("label"), col("cell"),
-        asDouble(col("embedding")).as("vec"))
-      .select(col("vec_id"), col("label"), col("cell"),
-        pqCodeExpr(cb).as("codes"))
+    val id = ivfPqModelIdFromCollected(cells, cb)
+    (id, newEmbeddings =>
+      residualFrameFromCells(graft.util.SparkUtil.widen(newEmbeddings)
+        .filter(col("embedding").isNotNull), cells)
+        .select(col("vec_id"), col("label"), col("cell"),
+          asDouble(col("embedding")).as("vec"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          pqCodeExpr(cb).as("codes")))
   }
 
   /** Content identity of an IVF-PQ MODEL (cells + codebook) — md5 of
@@ -674,10 +687,15 @@ object Similarity {
     * every consumer checks it fail-loud (the semantic-admission
     * `_params` discipline applied to the model itself). Model-sized
     * collect (k·dim + m·ksub·dsub doubles), never corpus. */
-  def ivfPqModelId(cellCentroids: DataFrame, codebook: DataFrame): String = {
-    val cellsStr = collectCells(cellCentroids)
-      .map(_.mkString(",")).mkString(";")
-    val cbStr = collectCodebook(codebook).toSeq.sortBy(_._1)
+  def ivfPqModelId(cellCentroids: DataFrame, codebook: DataFrame): String =
+    ivfPqModelIdFromCollected(collectCells(cellCentroids),
+      collectCodebook(codebook))
+
+  private def ivfPqModelIdFromCollected(
+      cells: Seq[Seq[Double]],
+      cb: Map[Int, IndexedSeq[Seq[Double]]]): String = {
+    val cellsStr = cells.map(_.mkString(",")).mkString(";")
+    val cbStr = cb.toSeq.sortBy(_._1)
       .map { case (j, cents) =>
         s"$j:" + cents.map(_.mkString(",")).mkString(";")
       }.mkString("|")
@@ -717,7 +735,8 @@ object Similarity {
       require(fs.exists(pinPath),
         s"delta $deltaDir carries no model-id pin: cannot prove its codes " +
           s"were encoded against $indexDir's current model — discard the " +
-          "delta or re-run the maintenance pipeline (which pins it)")
+          "delta, or restore its pin file (the pipeline refuses to stamp " +
+          "pre-existing unpinned codes for the same reason)")
       val in = fs.open(pinPath)
       val pinned = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
@@ -741,8 +760,11 @@ object Similarity {
     * second round-robin exchange of dim-double residuals per scan
     * would double the shuffle bill. */
   private def residualFrame(embeddings: DataFrame,
-                            cellCentroids: DataFrame): DataFrame = {
-    val cells = collectCells(cellCentroids)
+                            cellCentroids: DataFrame): DataFrame =
+    residualFrameFromCells(embeddings, collectCells(cellCentroids))
+
+  private def residualFrameFromCells(embeddings: DataFrame,
+                                     cells: Seq[Seq[Double]]): DataFrame = {
     val centsSeq = cells.zipWithIndex.map { case (c, i) => i -> c }
     val centMat = typedLit(cells.map(_.toSeq).toSeq)
     embeddings

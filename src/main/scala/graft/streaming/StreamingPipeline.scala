@@ -809,35 +809,58 @@ object StreamingPipeline {
           math.max(8, maxFilesPerTrigger).toString)
         try {
           import org.apache.hadoop.fs.Path
-          val cells = spark.read.parquet(s"$indexDir/cells")
-          val codebook = spark.read.parquet(s"$indexDir/codebook")
+          // ONE model collect per batch: id + encoder share it (two
+          // separate collects would read the model parquet twice per
+          // batch — the round-7 admission fixed-cost lesson)
+          val (modelId, encode) = graft.analytics.Similarity.ivfPqFrozenEncoder(
+            spark.read.parquet(s"$indexDir/cells"),
+            spark.read.parquet(s"$indexDir/codebook"))
           // the MODEL is the delta's identity (the semantic store's
           // _params discipline): pin its content id before the first
           // write, verify every batch — encoding against a retrained
           // index would mix two codebooks' bytes in one delta with
           // zero errors surfaced until search returns garbage
-          val modelId = graft.analytics.Similarity.ivfPqModelId(cells, codebook)
           val pinPath = new Path(deltaDir + "_model_id")
           val fs = pinPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(pinPath)) {
+          val dPath = new Path(deltaDir)
+          // "has codes" = at least one published batch partition — the
+          // guard BOTH pin transitions need: a pin may only be written
+          // (or replaced) while the delta holds NO codes. Stamping a
+          // pre-existing unpinned delta would launder the very
+          // mismatch the pin detects; refusing to replace an ORPHAN
+          // pin (batch 0 crashed between pin and first write) would
+          // wedge a legitimate retrain against data that doesn't exist.
+          def deltaHasCodes: Boolean = fs.exists(dPath) &&
+            fs.listStatus(dPath).exists(_.getPath.getName.startsWith("batch_id="))
+          val pinOk = if (fs.exists(pinPath)) {
             val in = fs.open(pinPath)
             val got = try scala.io.Source.fromInputStream(in).mkString.trim
               finally in.close()
-            require(got == modelId,
+            require(got == modelId || !deltaHasCodes,
               s"delta $deltaDir is pinned to model $got but $indexDir now " +
                 s"holds model $modelId (retrained?): appending would mix " +
                 "codebooks in one delta — discard the delta (and this " +
                 "checkpoint) to maintain the new model, or restore the old " +
                 "index")
+            got == modelId
           } else {
-            // atomic tmp+rename, pinned BEFORE the first delta write
+            require(!deltaHasCodes,
+              s"delta $deltaDir holds code partitions but no model-id pin: " +
+                "their producing model cannot be proven — discard the delta " +
+                "(and this checkpoint), or restore its pin file")
+            false
+          }
+          if (!pinOk) {
+            // empty delta: (re)pin atomically, tmp+rename, BEFORE the
+            // first write of this incarnation
             val tmpPin = new Path(deltaDir + "_model_id.tmp")
             val os = fs.create(tmpPin, true)
             try os.write(modelId.getBytes("UTF-8")) finally os.close()
+            if (fs.exists(pinPath)) fs.delete(pinPath, false)
             require(fs.rename(tmpPin, pinPath),
               s"failed to publish model-id pin $tmpPin -> $pinPath")
           }
-          graft.analytics.Similarity.ivfPqEncodeFrozen(batch, cells, codebook)
+          encode(batch)
             .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
           failHook(batch, batchId) // test seam: crash AFTER sink, BEFORE commit
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

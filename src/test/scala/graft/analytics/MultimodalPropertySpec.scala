@@ -253,6 +253,39 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(MediaDecode.wav(mulaw).isDefined)
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE wrapping linear PCM decodes; wrapping mu-law declines") {
+    // many encoders emit 16-bit PCM under the extensible container
+    // (tag 0xFFFE, real format in the SubFormat GUID at fmt body+24) —
+    // a blanket tag!=1 rejection silently dropped those clips
+    val src = Multimodal.synthToneSamples(6L)
+    val data = Multimodal.pcmQuantize(src, 16, 1.0, 1)
+    def extensibleWav(subTag: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+      def tag(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+      tag("RIFF"); u32(4 + 8 + 40 + 8 + data.length); tag("WAVE")
+      tag("fmt "); u32(40L)
+      u16(0xfffe); u16(1); u32(8000L); u32(16000L); u16(2); u16(16) // base 16
+      u16(22) // cbSize
+      u16(16); u32(0x4L) // valid bits + channel mask
+      // SubFormat GUID: first two bytes are the effective format tag
+      u16(subTag); u16(0)
+      o.write(Array[Int](0x10, 0x00, 0x80, 0x00, 0x00, 0xaa, 0x00, 0x38,
+        0x9b, 0x71).map(_.toByte))
+      o.write(Array[Byte](0, 0)) // pad GUID to 16 bytes... (12 so far)
+      tag("data"); u32(data.length.toLong); o.write(data)
+      o.toByteArray
+    }
+    val pcm = MediaDecode.wavPcmMono(extensibleWav(1))
+    assert(pcm.isDefined, "extensible linear PCM must decode")
+    val direct = MediaDecode.wavPcmMono(Multimodal.wavBytes(1, 8000, 16, data)).get
+    assert(pcm.get._2.toSeq == direct._2.toSeq,
+      "extensible PCM must decode to the same samples as the plain container")
+    assert(MediaDecode.wavPcmMono(extensibleWav(7)).isEmpty,
+      "extensible mu-law must still decline")
+  }
+
   test("audio fingerprint declines too-short clips and sub-Nyquist rates; decode never throws") {
     // top band 2828.4 Hz needs sr > 5657
     assert(Multimodal.audioFingerprint64(4000,

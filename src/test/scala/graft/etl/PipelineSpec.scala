@@ -367,6 +367,29 @@ class PipelineSpec extends SparkSpec {
     val msg = pipeErr.getMessage +
       Option(pipeErr.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("pinned to model"), s"wrong failure: $msg")
+    // ORPHAN pin: the operator discards the delta (as the error says)
+    // but the stale pin survives — with NO code partitions present the
+    // pipeline must RE-pin to the current model and proceed, not wedge
+    // a legitimate retrain against data that no longer exists
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delta))
+    runOnce()
+    assert(Similarity.maintainedCodes(spark, idx, delta).count() > 0,
+      "re-pinned delta must serve the maintained union again")
+    // UNPINNED pre-existing codes: stamping them with the CURRENT
+    // model would launder the exact mismatch the pin detects — refuse
+    new java.io.File(delta + "_model_id").delete()
+    Files.writeString(Paths.get(in, "b3.jsonl"),
+      emb.filter(col("vec_id") === 7)
+        .selectExpr("vec_id + 7000000 AS vec_id",
+          "CAST(label AS BIGINT) AS label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .toJSON.collect().mkString("\n"))
+    val unpinned = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    val umsg = unpinned.getMessage +
+      Option(unpinned.getCause).map(_.getMessage).getOrElse("")
+    assert(umsg.contains("no model-id pin"), s"wrong failure: $umsg")
   }
 
   test("compactAdmissionStore: folds committed partitions, preserves membership, duplication-tolerant, admission unchanged") {
