@@ -325,6 +325,54 @@ object Bench {
       (-1.0, 0)
     }
 
+    // maintained-search cost vs delta LIFETIME batches — the datapoint
+    // behind compactMaintainedDelta: search must be flat in store ROWS,
+    // not in lifetime batch count (every maintainedCodes query re-lists
+    // the delta). 16 single-file micro-batches build a 16-partition
+    // delta; the IDENTICAL ivfPqTopK probe is timed (best-of-2) over it
+    // before and after the atomic-swap fold (16 partitions → 2).
+    val (msPreSecs, msPostSecs) = try {
+      val embT = Registry.table(spark, sfDir, "embeddings")
+      val vecs = embT.selectExpr("vec_id + 8000000 AS vec_id",
+          "CAST(label AS BIGINT) AS label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .toJSON.collect()
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_bench_maint_compact")
+      val idx = s"$base/index"
+      graft.analytics.Similarity.writeIvfPq(embT, idx,
+        nCells = 8, m = 16, ksub = 32, rounds = 3)
+      val (in, delta, ckpt) = (s"$base/in", s"$base/delta", s"$base/ckpt")
+      Files.createDirectories(Paths.get(in))
+      vecs.grouped(math.max(1, vecs.length / 16)).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val f = Paths.get(in, f"vecs_$i%03d.jsonl")
+          Files.writeString(f, chunk.mkString("\n"))
+          f.toFile.setLastModified(1700000000000L + i * 2000L)
+      }
+      val q = graft.streaming.StreamingPipeline.indexMaintenancePipeline(
+        spark, in, idx, delta, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        maxFilesPerTrigger = 1).start()
+      require(q.awaitTermination(600000), "maintenance drain timed out")
+      def searchOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.analytics.Similarity.ivfPqTopK(embT,
+          spark.read.parquet(s"$idx/cells"),
+          spark.read.parquet(s"$idx/codebook"),
+          graft.analytics.Similarity.maintainedCodes(spark, idx, delta),
+          Seq(0L, 1L, 2L, 3L, 4L), 10, nProbe = 4).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pre = math.min(searchOnce(), searchOnce())
+      graft.streaming.StreamingPipeline.compactMaintainedDelta(spark, delta)
+      val post = math.min(searchOnce(), searchOnce())
+      (pre, post)
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] maintained_search setup failed: ${e.getMessage}")
+      (-1.0, -1.0)
+    }
+
     // streaming twins with DataFrame→DataFrame shape (anomalyAlerts,
     // trendingTokensSketch): file-source AvailableNow drain through a
     // noop sink. Inputs are written in ts order so the watermark (and
@@ -723,7 +771,9 @@ object Bench {
       "scd2_stream" -> scd2Secs,
       "asof_stream" -> asofSecs,
       "semantic_admission_stream" -> semSecs,
-      "index_maintenance_stream" -> idxmSecs)
+      "index_maintenance_stream" -> idxmSecs,
+      "maintained_search_delta16" -> msPreSecs,
+      "maintained_search_compacted" -> msPostSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are UNMISTAKABLE: named in "failed", never silently

@@ -172,7 +172,10 @@ private[analytics] object JpegDecode {
         var m = b(p + 1) & 0xff
         while (m == 0xff) { p += 1; if (p + 1 >= b.length) fail(); m = b(p + 1) & 0xff }
         if (m == 0xd9) fail() // EOI before SOS
-        if (m >= 0xd0 && m <= 0xd7) { p += 2 } // stray RSTn pre-scan
+        // standalone markers carry NO length word (T.81 B.1.1.3): RSTn,
+        // TEM (0x01), and a stray second SOI — reading a 2-byte
+        // "length" for them would misparse otherwise-decodable streams
+        if ((m >= 0xd0 && m <= 0xd7) || m == 0x01 || m == 0xd8) { p += 2 }
         else {
           val len = be16(p + 2)
           if (len < 2 || p + 2 + len > b.length) fail()

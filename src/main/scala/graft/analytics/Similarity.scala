@@ -162,6 +162,15 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val qvec = corpus.filter(col("vec_id") === queryVecId)
       .select(col("vec").as("qvec"))
+    // FAIL-LOUD: a missing/null-embedding query vector would make the
+    // 1-row broadcast EMPTY and silently degrade the output to
+    // lexical-only ranking (k rows, every vec_rank null) — the one
+    // shape the fail-loud discipline elsewhere forbids. Bounded check:
+    // a 1-row collect behind the vec_id pushdown filter.
+    require(qvec.limit(1).collect().nonEmpty,
+      s"query vector $queryVecId is absent from embeddings (or its " +
+        "embedding is null): the vector pool would be empty and the " +
+        "fusion silently lexical-only — pass an id with a non-null embedding")
     // explicit crossJoin: a condition-less .join plans as an INNER
     // BNLJ, which the plan lint (correctly) rejects — only the
     // unconditioned scalar Cross is structurally allowed
@@ -717,13 +726,26 @@ object Similarity {
     * meaningless distances with zero errors surfaced (discard the
     * delta or re-encode it, then restart the pipeline to re-pin).
     *
+    * SNAPSHOT semantics: the pin is verified at DataFrame-CONSTRUCTION
+    * time; the returned frame reads the delta lazily, so a retrain
+    * that lands between construction and an action (or while a frame
+    * is held long-term) is NOT re-detected — old delta codes would
+    * decode through the new codebook in that window. Construct the
+    * frame close to its action (the search entry points do) and treat
+    * a held frame as a snapshot of the model it was checked against;
+    * retrains go through [[graft.streaming.StreamingPipeline
+    * .reindexMaintained]], whose rotation empties the delta first, so
+    * the stale window closes at the next construction.
+    *
     * NOTE on compaction: delta partitions inherit the admission
     * stores' small-files growth, but [[graft.streaming
     * .StreamingPipeline.compactAdmissionStore]] must NOT be pointed
     * here — its crash-safety is duplication-based, and duplicate CODE
     * rows are not verdict-neutral (a vector appearing twice can
-    * displace a genuine top-k result). Folding a delta requires the
-    * exclusive rewrite: stop the pipeline, rewrite, restart. */
+    * displace a genuine top-k result). The duplicate-INtolerant fold
+    * is [[graft.streaming.StreamingPipeline.compactMaintainedDelta]]
+    * (atomic directory swap, newest batch excluded) — run it offline,
+    * same lock discipline. */
   def maintainedCodes(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, deltaDir: String): DataFrame = {
     val base = spark.read.parquet(s"$indexDir/codes")

@@ -807,7 +807,14 @@ object StreamingPipeline {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
           math.max(8, maxFilesPerTrigger).toString)
-        try {
+        // EMPTY batch: skip the delta write AND the pin transition — a
+        // zero-row batch_id partition would flip deltaHasCodes true
+        // permanently, wedging a later legitimate retrain against data
+        // that does not exist (replaying the skip is trivially
+        // idempotent: nothing was written either time). NOT a `return`:
+        // a return inside this lambda would throw NonLocalReturnControl
+        // at runtime (the enclosing method has long since returned).
+        try if (!batch.isEmpty) {
           import org.apache.hadoop.fs.Path
           // ONE model collect per batch: id + encoder share it (two
           // separate collects would read the model parquet twice per
@@ -823,15 +830,22 @@ object StreamingPipeline {
           val pinPath = new Path(deltaDir + "_model_id")
           val fs = pinPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val dPath = new Path(deltaDir)
-          // "has codes" = at least one published batch partition — the
-          // guard BOTH pin transitions need: a pin may only be written
-          // (or replaced) while the delta holds NO codes. Stamping a
-          // pre-existing unpinned delta would launder the very
-          // mismatch the pin detects; refusing to replace an ORPHAN
-          // pin (batch 0 crashed between pin and first write) would
-          // wedge a legitimate retrain against data that doesn't exist.
+          // "has codes" = at least one published batch partition
+          // holding a COMMITTED parquet data file — the guard BOTH pin
+          // transitions need: a pin may only be written (or replaced)
+          // while the delta holds NO codes. Stamping a pre-existing
+          // unpinned delta would launder the very mismatch the pin
+          // detects; refusing to replace an ORPHAN pin (batch 0
+          // crashed between pin and first write) would wedge a
+          // legitimate retrain against data that doesn't exist. The
+          // part-file requirement keeps a crashed write that left only
+          // `_temporary` under batch_id=N from counting as codes.
           def deltaHasCodes: Boolean = fs.exists(dPath) &&
-            fs.listStatus(dPath).exists(_.getPath.getName.startsWith("batch_id="))
+            fs.listStatus(dPath).exists { st =>
+              st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+                fs.listStatus(st.getPath).exists(f =>
+                  f.isFile && f.getPath.getName.startsWith("part-"))
+            }
           val pinOk = if (fs.exists(pinPath)) {
             val in = fs.open(pinPath)
             val got = try scala.io.Source.fromInputStream(in).mkString.trim
@@ -994,6 +1008,273 @@ object StreamingPipeline {
     fs.delete(tmp, true)
     (ids.size, partitions().size)
     } finally fs.delete(lock, false)
+  }
+
+  /** Compact the MAINTAINED-INDEX codes delta — the duplicate-
+    * INtolerant sibling of [[compactAdmissionStore]], for the one
+    * batch_id-partitioned store that op must refuse: duplicate CODE
+    * rows are not verdict-neutral (a vector appearing twice can
+    * displace a genuine top-k result), so the fold here is by ATOMIC
+    * DIRECTORY SWAP, never duplication-tolerant overlap. Kills the
+    * same small-files growth on the SEARCH path — every
+    * [[graft.analytics.Similarity.maintainedCodes]] query re-lists the
+    * delta, so its read cost otherwise grows with LIFETIME batches
+    * (8,640 partitions/day at a 10 s trigger).
+    *
+    *  1. target = the second-largest batch id; covered = every id <
+    *     max(ids). Ids below max are COMMITTED (micro-batch N runs only
+    *     after N−1's checkpoint commit) and the newest batch is
+    *     EXCLUDED — a replay of it overwrites `batch_id=max` untouched
+    *     by the fold, so replay safety is preserved by construction.
+    *  2. The union of covered partitions (those holding committed
+    *     part files; a crashed write's `_temporary`-only dir holds no
+    *     rows and is simply retired) is written to a dot-prefixed temp
+    *     dir Spark's reader ignores — at no point can a reader see a
+    *     code row twice.
+    *  3. A journal file is published (tmp+rename). From this point the
+    *     swap WILL complete: this run, or the resume at the next run's
+    *     entry. Before the journal exists, a crash leaves only an
+    *     invisible temp (swept at next entry).
+    *  4. Covered partition dirs are deleted, then the temp dir is
+    *     renamed to `batch_id=<target>` (one atomic rename publishes
+    *     every compacted row), then the journal is deleted.
+    * A crash between 4's delete and rename leaves the covered range
+    * UNREADABLE (not duplicated) until the next run resumes — which is
+    * why this op is OFFLINE-ONLY, with the pipeline stopped (the same
+    * operational stance as [[compactAdmissionStore]], which moreover
+    * can fail a live query's planned-file-list batch either way).
+    * Concurrent runs are excluded by the same atomic lock file. The
+    * model-id pin is never touched. Returns (partitions before,
+    * after); no-op below 3 partitions (max is never folded, and one
+    * covered partition has nothing to merge with). */
+  def compactMaintainedDelta(spark: SparkSession, deltaDir: String,
+                             outputFiles: Int = 1,
+                             failAt: String => Unit = _ => ()): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(outputFiles >= 1, s"outputFiles must be >= 1: $outputFiles")
+    val root = new Path(deltaDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"delta $deltaDir does not exist")
+    val Part = "batch_id=(\\d+)".r
+    def partitions(): Seq[Long] = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).flatMap(_.getPath.getName match {
+        case Part(id) => Some(id.toLong)
+        case _ => None
+      }).sorted
+    val lock = new Path(root, ".compact_lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val age = try {
+            (System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime) / 1000
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+          throw new IllegalStateException(
+            s"compaction lock $lock already exists (age ${age}s): another " +
+              "compaction is running, or a previous one crashed — delete the " +
+              "lock once you are sure no compaction is in flight and re-run")
+      }
+    lockStream.close()
+    try {
+      val journal = new Path(root, ".compact_journal")
+      // FIRST: complete any journaled in-flight swap from a crashed run
+      // (its temp holds rows whose originals may be partially deleted —
+      // sweeping it would LOSE codes)
+      if (fs.exists(journal)) resumeDeltaFold(fs, root, journal)
+      // only then are unjournaled temps garbage
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
+        .foreach(s => fs.delete(s.getPath, true))
+      val ids = partitions()
+      if (ids.size < 3) return (ids.size, ids.size)
+      val covered = ids.dropRight(1)
+      val target = covered.last
+      def hasData(id: Long): Boolean =
+        fs.listStatus(new Path(root, s"batch_id=$id")).exists(f =>
+          f.isFile && f.getPath.getName.startsWith("part-"))
+      val readable = covered.filter(hasData)
+      if (readable.isEmpty) {
+        // every covered dir is a crashed write holding no committed
+        // rows — retiring them loses nothing and needs no journal
+        covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+        return (ids.size, partitions().size)
+      }
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(root, s".compact_$token")
+      spark.read.parquet(readable.map(id => s"$deltaDir/batch_id=$id"): _*)
+        .coalesce(outputFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.exists(new Path(tmp, "_SUCCESS")),
+        s"compacted temp $tmp carries no _SUCCESS marker")
+      val jTmp = new Path(root, ".compact_journal.tmp")
+      val os = fs.create(jTmp, true)
+      try os.write(s"$token\n$target\n${covered.mkString(" ")}\n".getBytes("UTF-8"))
+      finally os.close()
+      require(fs.rename(jTmp, journal), s"failed to publish journal $journal")
+      failAt("journaled") // test seam: crash with journal + temp + originals
+      covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+      failAt("covered_deleted") // test seam: crash mid-swap, originals gone
+      require(fs.rename(tmp, new Path(root, s"batch_id=$target")),
+        s"failed to swap $tmp -> batch_id=$target")
+      fs.delete(journal, false)
+      (ids.size, partitions().size)
+    } finally fs.delete(lock, false)
+  }
+
+  /** Complete a [[compactMaintainedDelta]] swap whose run crashed after
+    * publishing its journal: the temp (if still present) holds every
+    * covered row, so the only safe direction is FORWARD — delete the
+    * remaining covered originals and rename the temp in. If the temp is
+    * gone the rename already happened and only the journal is stale. */
+  private def resumeDeltaFold(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              journal: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val in = fs.open(journal)
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    require(lines.size >= 3, s"corrupt compaction journal $journal: $lines")
+    val token = lines.head.trim
+    val target = lines(1).trim.toLong
+    val covered = lines(2).trim.split("\\s+").filter(_.nonEmpty).map(_.toLong)
+    val tmp = new Path(root, s".compact_$token")
+    val targetDir = new Path(root, s"batch_id=$target")
+    if (fs.exists(tmp)) {
+      require(fs.exists(new Path(tmp, "_SUCCESS")),
+        s"journaled temp $tmp lacks _SUCCESS — journals are only published " +
+          "after a complete temp write; refusing to guess")
+      covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+      require(fs.rename(tmp, targetDir), s"failed to swap $tmp -> $targetDir")
+    } else {
+      require(fs.exists(targetDir),
+        s"corrupt compaction state: neither $tmp nor $targetDir exists")
+    }
+    fs.delete(journal, false)
+  }
+
+  /** First-class RETRAIN of the maintained IVF-PQ index — the
+    * sanctioned path out of the model-id pin's deliberate dead end
+    * (the pipeline and [[graft.analytics.Similarity.maintainedCodes]]
+    * refuse a retrained model against a live delta; previously the
+    * only recovery was a manual "discard the delta and checkpoint").
+    * Trains a NEW model + codes over `embeddings` — the CURRENT
+    * source-of-truth corpus, which MUST cover base ∪ delta ∪ every
+    * vector still sitting in `incomingDir` (the caller materializes
+    * that union; embeddings are the system of record, the index is
+    * derived) — then rotates atomically-by-journal:
+    *
+    *  1. new cells/codebook/codes are written to a dot-suffixed temp
+    *     index dir and stamped `.complete`;
+    *  2. a journal is published (tmp+rename) — from here the rotation
+    *     WILL complete, on this run or on the resume a re-run performs;
+    *  3. the old pin is deleted FIRST (while the old delta still
+    *     exists, `maintainedCodes` now REFUSES loudly rather than ever
+    *     pairing old codes with any model), then the delta dir, then
+    *     the incoming files (all represented in the new base — leaving
+    *     them would replay into duplicate codes against the new model),
+    *     then the old checkpoint (EXPLICITLY invalidated: its offsets
+    *     describe files that no longer exist, and a replayed batch
+    *     would re-encode vectors the new base already holds);
+    *  4. the index dirs swap (old → aside, temp → live, aside deleted)
+    *     and the NEW model id is pinned (tmp+rename) onto the
+    *     now-empty delta, so the restarted pipeline's first batch
+    *     starts pinned;
+    *  5. the journal is deleted.
+    *
+    * Run OFFLINE: pipeline stopped and ingestion quiesced (a file
+    * landing in `incomingDir` after the `embeddings` snapshot was
+    * taken would be swept without ever being indexed). After a crash,
+    * RE-RUN this op before restarting the pipeline — the journal
+    * resumes the rotation idempotently (every step is a delete or an
+    * existence-guarded rename). Returns the new model id. */
+  def reindexMaintained(spark: SparkSession, embeddings: DataFrame,
+                        indexDir: String, deltaDir: String,
+                        incomingDir: String, checkpoint: String,
+                        nCells: Int = 8, m: Int = 16, ksub: Int = 32,
+                        rounds: Int = 3,
+                        failAt: String => Unit = _ => ()): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val journal = new Path(indexDir + ".reindex_journal")
+    val token =
+      if (fs.exists(journal)) {
+        // resume a crashed rotation: the journaled temp was complete
+        // before the journal was published
+        val in = fs.open(journal)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      } else {
+        val t = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = indexDir + s".reindex_$t"
+        graft.analytics.Similarity.writeIvfPq(embeddings, tmp,
+          nCells, m, ksub, rounds)
+        fs.create(new Path(tmp, ".complete"), true).close()
+        failAt("trained")
+        val jTmp = new Path(indexDir + ".reindex_journal.tmp")
+        val os = fs.create(jTmp, true)
+        try os.write(t.getBytes("UTF-8")) finally os.close()
+        require(fs.rename(jTmp, journal),
+          s"failed to publish reindex journal $journal")
+        failAt("journaled")
+        t
+      }
+    val tmp = new Path(indexDir + s".reindex_$token")
+    val idxPath = new Path(indexDir)
+    val aside = new Path(indexDir + s".reindex_old_$token")
+    if (fs.exists(tmp)) {
+      require(fs.exists(new Path(tmp, ".complete")),
+        s"journaled temp index $tmp lacks its .complete marker — journals " +
+          "are only published after a complete train; refusing to guess")
+      fs.delete(new Path(deltaDir + "_model_id"), false)
+      failAt("pin_deleted")
+      fs.delete(new Path(deltaDir), true)
+      failAt("delta_deleted")
+      // sweep incoming: every vector there is in the new base; leaving
+      // the files would make a fresh checkpoint replay them into
+      // duplicate codes
+      val inPath = new Path(incomingDir)
+      if (fs.exists(inPath))
+        fs.listStatus(inPath).filter(_.isFile)
+          .foreach(f => fs.delete(f.getPath, false))
+      failAt("incoming_swept")
+      fs.delete(new Path(checkpoint), true)
+      failAt("checkpoint_deleted")
+      if (fs.exists(idxPath))
+        require(fs.rename(idxPath, aside), s"failed to move $idxPath aside")
+      failAt("old_moved")
+      require(fs.rename(tmp, idxPath), s"failed to swap $tmp -> $idxPath")
+      failAt("swapped")
+      fs.delete(aside, true)
+    } else {
+      // temp already swapped in: only post-swap cleanup can be pending
+      require(fs.exists(idxPath),
+        s"corrupt reindex state: neither $tmp nor $idxPath exists")
+      fs.delete(aside, true)
+      // pre-swap deletes are idempotent — redo them (a pin deleted here
+      // can only be a new pin written just before a crash; it is
+      // rewritten below over the empty delta, a legal transition)
+      fs.delete(new Path(deltaDir + "_model_id"), false)
+      fs.delete(new Path(deltaDir), true)
+      val inPath = new Path(incomingDir)
+      if (fs.exists(inPath))
+        fs.listStatus(inPath).filter(_.isFile)
+          .foreach(f => fs.delete(f.getPath, false))
+      fs.delete(new Path(checkpoint), true)
+    }
+    val newId = graft.analytics.Similarity.ivfPqModelId(
+      spark.read.parquet(s"$indexDir/cells"),
+      spark.read.parquet(s"$indexDir/codebook"))
+    val pinTmp = new Path(deltaDir + "_model_id.tmp")
+    val pin = new Path(deltaDir + "_model_id")
+    val os = fs.create(pinTmp, true)
+    try os.write(newId.getBytes("UTF-8")) finally os.close()
+    if (fs.exists(pin)) fs.delete(pin, false)
+    require(fs.rename(pinTmp, pin), s"failed to publish new pin $pin")
+    failAt("pinned")
+    fs.delete(journal, false)
+    newId
   }
 
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event

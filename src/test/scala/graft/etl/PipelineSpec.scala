@@ -480,6 +480,186 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(st, ".compact_lock")))
   }
 
+  test("compactMaintainedDelta: atomic-swap fold, codes exactly preserved, search identical, crash re-converges, replay safe") {
+    import graft.analytics.Similarity
+    val in = Files.createTempDirectory("graft_cmd_in").toString
+    val base = Files.createTempDirectory("graft_cmd").toString
+    val (idx, delta, ckpt) = (s"$base/index", s"$base/delta", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfPq(emb, idx, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    def toJsonl(lo: Long, hi: Long): String = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .selectExpr("vec_id + 6000000 AS vec_id",
+        "CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+      .toJSON.collect().mkString("\n")
+    def runOnce(hook: (org.apache.spark.sql.DataFrame, Long) => Unit =
+                  (_, _) => ()): Unit = {
+      val q = StreamingPipeline.indexMaintenancePipeline(spark, in, idx, delta,
+        ckpt, trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+        failHook = hook).start()
+      q.awaitTermination(120000)
+    }
+    var nextFile = 0
+    def addBatches(ranges: (Long, Long)*): Unit = ranges.foreach { case (lo, hi) =>
+      val f = Paths.get(in, f"b$nextFile%03d.jsonl")
+      Files.writeString(f, toJsonl(lo, hi))
+      f.toFile.setLastModified(1700000000000L + nextFile * 2000L)
+      nextFile += 1
+    }
+    def partDirs(): Seq[String] = new java.io.File(delta).list().toSeq
+      .filter(_.startsWith("batch_id=")).sorted
+    def codesSet(): Set[(Long, Int, Seq[Byte])] =
+      Similarity.maintainedCodes(spark, idx, delta).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Byte](3).toSeq)).toSet
+    def searchSet(): Set[(Long, Long, Long)] =
+      Similarity.ivfPqTopK(emb, spark.read.parquet(s"$idx/cells"),
+          spark.read.parquet(s"$idx/codebook"),
+          Similarity.maintainedCodes(spark, idx, delta),
+          Seq(0L, 1L, 2L), 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    addBatches((0L, 3L), (3L, 6L), (6L, 9L), (9L, 12L))
+    runOnce()
+    assert(partDirs().size == 4, s"need 4 partitions: ${partDirs()}")
+    val before = codesSet()
+    val searchBefore = searchSet()
+    // crash AFTER the journal publishes, BEFORE any original is deleted:
+    // the temp is reader-invisible, so the maintained view is unchanged
+    val c1 = intercept[RuntimeException] {
+      StreamingPipeline.compactMaintainedDelta(spark, delta,
+        failAt = s => if (s == "journaled") throw new RuntimeException("crash1"))
+    }
+    assert(c1.getMessage == "crash1")
+    assert(codesSet() == before, "pre-swap crash must leave the view unchanged")
+    // re-run resumes the journaled swap, then has nothing further to fold
+    StreamingPipeline.compactMaintainedDelta(spark, delta)
+    assert(partDirs().size == 2, s"fold to [target, max]: ${partDirs()}")
+    assert(codesSet() == before, "fold must preserve codes EXACTLY (no dup, no loss)")
+    assert(searchSet() == searchBefore, "search must be identical over the folded delta")
+    // grow again, then crash mid-swap (originals deleted, temp pending)
+    addBatches((12L, 15L), (15L, 18L))
+    runOnce()
+    assert(partDirs().size == 4)
+    val full = codesSet()
+    val c2 = intercept[RuntimeException] {
+      StreamingPipeline.compactMaintainedDelta(spark, delta,
+        failAt = s => if (s == "covered_deleted") throw new RuntimeException("crash2"))
+    }
+    assert(c2.getMessage == "crash2")
+    StreamingPipeline.compactMaintainedDelta(spark, delta)
+    assert(partDirs().size == 2, s"resume must complete the swap: ${partDirs()}")
+    assert(codesSet() == full, "mid-swap crash + resume must converge to the exact set")
+    // replay safety: the newest batch is EXCLUDED from the fold, so a
+    // crash-replay of it (overwrite) still lands on its own partition
+    addBatches((18L, 21L))
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(hook = (_, _) => throw new RuntimeException("crash before commit"))
+    }
+    assert(crashed.getMessage.contains("crash before commit") ||
+      crashed.getCause.getMessage.contains("crash before commit"))
+    runOnce()
+    assert(codesSet().size == full.size + 3, "replay duplicated or lost codes")
+    // the model-id pin was never touched
+    assert(Files.exists(Paths.get(delta + "_model_id")))
+    // a third fold converges again (3 → 2), then 2 partitions are a
+    // no-op (max is never folded; one covered dir has no merge partner)
+    val afterReplay = codesSet()
+    assert(StreamingPipeline.compactMaintainedDelta(spark, delta) == ((3, 2)))
+    assert(codesSet() == afterReplay)
+    val noop = StreamingPipeline.compactMaintainedDelta(spark, delta)
+    assert(noop == ((2, 2)), s"expected no-op: $noop")
+    assert(!Files.exists(Paths.get(delta, ".compact_lock")))
+  }
+
+  test("reindexMaintained: atomic retrain rotation, crash re-converges at both seams, pipeline restarts pinned") {
+    import graft.analytics.Similarity
+    val in = Files.createTempDirectory("graft_ridx_in").toString
+    val base = Files.createTempDirectory("graft_ridx").toString
+    val (idx, delta, ckpt) = (s"$base/index", s"$base/delta", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfPq(emb, idx, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    def newVecs(lo: Long, hi: Long, offset: Long) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .withColumn("vec_id", col("vec_id") + offset)
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.indexMaintenancePipeline(spark, in, idx, delta,
+        ckpt, trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1).start()
+      q.awaitTermination(120000)
+    }
+    val f1 = Paths.get(in, "b1.jsonl")
+    Files.writeString(f1, newVecs(0, 6, 6000000L)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+      .toJSON.collect().mkString("\n"))
+    runOnce()
+    assert(spark.read.parquet(delta).count() == 6)
+    val fullEmb = emb.unionByName(newVecs(0, 6, 6000000L))
+    val nFull = fullEmb.filter(col("embedding").isNotNull).count()
+    // crash mid-rotation: pin + delta already gone, index not yet swapped
+    val c1 = intercept[RuntimeException] {
+      StreamingPipeline.reindexMaintained(spark, fullEmb, idx, delta, in, ckpt,
+        nCells = 4, m = 4, ksub = 8, rounds = 1,
+        failAt = s => if (s == "delta_deleted") throw new RuntimeException("boom1"))
+    }
+    assert(c1.getMessage == "boom1")
+    assert(Files.exists(Paths.get(idx + ".reindex_journal")),
+      "crashed rotation must leave its journal")
+    // re-run RESUMES the journaled rotation (no retrain — the journal
+    // path never calls writeIvfPq)
+    val newId = StreamingPipeline.reindexMaintained(spark, fullEmb, idx, delta,
+      in, ckpt, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    assert(newId == Similarity.ivfPqModelId(
+      spark.read.parquet(s"$idx/cells"), spark.read.parquet(s"$idx/codebook")))
+    assert(!Files.exists(Paths.get(idx + ".reindex_journal")))
+    // rotated state: new base holds EVERY vector exactly once, the delta
+    // and checkpoint are gone, incoming is swept, the NEW pin is stamped
+    val maintained = Similarity.maintainedCodes(spark, idx, delta)
+    assert(maintained.count() == nFull, "new base must hold base ∪ delta, once")
+    assert(maintained.filter(col("vec_id") >= 6000000L).count() == 6)
+    assert(!Files.exists(Paths.get(delta)))
+    assert(!Files.exists(Paths.get(ckpt)))
+    assert(new java.io.File(in).listFiles().forall(_.isDirectory),
+      "incoming files must be swept (they are in the new base)")
+    assert(Files.readString(Paths.get(delta + "_model_id")).trim == newId)
+    // search continuity: an appended copy still surfaces in its
+    // original's top-3 — now served from the NEW base, no delta
+    val found = Similarity.ivfPqTopK(fullEmb,
+        spark.read.parquet(s"$idx/cells"),
+        spark.read.parquet(s"$idx/codebook"), maintained,
+        Seq(0L, 1L, 2L), 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L until 3L).foreach { i =>
+      assert(found.contains((i, i + 6000000L)),
+        s"copy of $i missing from post-retrain top-3")
+    }
+    // the restarted pipeline accepts the stamped pin and encodes new
+    // vectors against the NEW model
+    val f2 = Paths.get(in, "b2.jsonl")
+    Files.writeString(f2, newVecs(8, 10, 7000000L)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+      .toJSON.collect().mkString("\n"))
+    runOnce()
+    assert(Similarity.maintainedCodes(spark, idx, delta).count() == nFull + 2)
+    // second crash seam: AFTER the index swap (temp gone), before the
+    // journal clears — the resume's else-branch
+    val fullEmb2 = fullEmb.unionByName(newVecs(8, 10, 7000000L))
+    val c2 = intercept[RuntimeException] {
+      StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+        nCells = 4, m = 4, ksub = 8, rounds = 1,
+        failAt = s => if (s == "swapped") throw new RuntimeException("boom2"))
+    }
+    assert(c2.getMessage == "boom2")
+    val newId2 = StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta,
+      in, ckpt, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    assert(Similarity.maintainedCodes(spark, idx, delta).count() ==
+      fullEmb2.filter(col("embedding").isNotNull).count())
+    assert(Files.readString(Paths.get(delta + "_model_id")).trim == newId2)
+    assert(new java.io.File(base).list().toSeq
+      .forall(n => !n.startsWith("index.reindex_")),
+      "no temp/aside/journal residue after a completed rotation")
+  }
+
   test("batch pipeline routes errors, writes events, counts per file") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
