@@ -624,28 +624,70 @@ object Multimodal {
     (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n)
   }
 
+  /** The fixed INTERNAL rate every clip is resampled to before the
+    * Goertzel grid — [[audioFingerprint64]]'s normalization step. */
+  val AudioInternalRateHz: Int = 8000
+
+  /** Linear-interpolation resample (srIn → srOut) — the internal-rate
+    * normalizer. Linear interp attenuates each frequency by a fixed
+    * sinc²-shaped factor of f/srIn; that factor is CONSTANT across
+    * time for a given (band, source rate), so per-band TIME-gradient
+    * signs — the only thing the fingerprint keeps — survive exactly,
+    * the same argument as gain invariance. Output length floors to
+    * n·srOut/srIn; the last input sample clamps. */
+  private[analytics] def resampleLinear(x: Array[Double], srIn: Int,
+                                        srOut: Int): Array[Double] = {
+    val n = (x.length.toLong * srOut / srIn).toInt
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val t = j.toDouble * srIn / srOut
+      val i = t.toInt
+      val frac = t - i
+      val a = x(math.min(i, x.length - 1))
+      val b = x(math.min(i + 1, x.length - 1))
+      out(j) = a * (1.0 - frac) + b * frac
+      j += 1
+    }
+    out
+  }
+
   /** 64-bit perceptual audio fingerprint — the Haitsma–Kalker shape
-    * (the published audio-fingerprint family): split the signal into
-    * 9 equal frames, measure energy in the 8 [[AudioBandsHz]] bands
-    * per frame, bit (f·8+k) = E(frame f, band k) > E(frame f+1,
-    * band k) — the TIME-gradient sign grid, the audio analog of
-    * [[dHash64]]'s spatial gradients. Signs of energy ratios are
-    * EXACTLY invariant to uniform gain (every energy scales by g²) and
-    * stable under requantization/rechanneling by construction. Returns
-    * None when the clip is too short for 16-sample frames or the top
-    * band sits at/above Nyquist (an 8-bit 4 kHz clip has no 2.8 kHz
-    * content to measure). */
+    * (the published audio-fingerprint family): resample to the fixed
+    * [[AudioInternalRateHz]] (so the SAME recording re-rendered at
+    * 22.05/44.1/48 kHz fingerprints identically — frame boundaries,
+    * Goertzel bin widths and leakage patterns are all functions of the
+    * sample grid, and normalizing the grid is what makes them line up;
+    * measured 0 bit flips across those re-renders, spec-pinned), split
+    * the signal into 9 equal frames, measure energy in the 8
+    * [[AudioBandsHz]] bands per frame, bit (f·8+k) = E(frame f, band
+    * k) > E(frame f+1, band k) — the TIME-gradient sign grid, the
+    * audio analog of [[dHash64]]'s spatial gradients. Signs of energy
+    * ratios are EXACTLY invariant to uniform gain (every energy scales
+    * by g²) and stable under requantization/rechanneling by
+    * construction; the per-band attenuation a resample introduces is
+    * time-constant, so it cancels in the gradient the same way gain
+    * does. An 8 kHz clip takes the identity path (fingerprints
+    * byte-compatible with every prior round). Returns None when the
+    * clip is too short for 16-sample internal frames or the top band
+    * sits at/above the SOURCE Nyquist (an 8-bit 4 kHz clip has no
+    * 2.8 kHz content to measure — resampling cannot invent it). */
   def audioFingerprint64(sr: Int, samples: Array[Double]): Option[Long] = {
-    if (samples.length < 9 * 16) return None
     if (AudioBandsHz.last >= sr / 2.0) return None
+    val x =
+      if (sr == AudioInternalRateHz) samples
+      else if (samples.length < 2) return None
+      else resampleLinear(samples, sr, AudioInternalRateHz)
+    if (x.length < 9 * 16) return None
     val e = Array.ofDim[Double](9, 8)
     var f = 0
     while (f < 9) {
-      val from = (f.toLong * samples.length / 9).toInt
-      val until = ((f + 1).toLong * samples.length / 9).toInt
+      val from = (f.toLong * x.length / 9).toInt
+      val until = ((f + 1).toLong * x.length / 9).toInt
       var k = 0
       while (k < 8) {
-        e(f)(k) = goertzelPower(samples, from, until, AudioBandsHz(k), sr)
+        e(f)(k) = goertzelPower(x, from, until, AudioBandsHz(k),
+          AudioInternalRateHz.toDouble)
         k += 1
       }
       f += 1
@@ -752,18 +794,23 @@ object Multimodal {
     out
   }
 
-  /** Attach REAL PCM-bearing WAV payloads ([[synthToneSamples]] at
-    * 8 kHz through [[pcmQuantize]]) — the fixture for the perceptual
-    * audio path. `gain`/`bits`/`channels` forge byte-different
-    * renderings of the SAME recording (the re-export duplication mode);
-    * `seedOffset` maps a copy's doc_id back to its original's signal.
-    * Fixture synthesis, not a 100 TB operator (UDF is fine). */
+  /** Attach REAL PCM-bearing WAV payloads ([[synthToneSamples]]
+    * through [[pcmQuantize]]) — the fixture for the perceptual audio
+    * path. `gain`/`bits`/`channels`/`sr` forge byte-different
+    * renderings of the SAME recording (the re-export duplication
+    * modes, now including a RESAMPLE: `sr` keeps the clip duration
+    * fixed at 0.18 s, so a 44.1 kHz render is the same continuous
+    * signal on a denser grid); `seedOffset` maps a copy's doc_id back
+    * to its original's signal. Fixture synthesis, not a 100 TB
+    * operator (UDF is fine). */
   def withTonePayload(documents: DataFrame, gain: Double = 1.0,
                       bits: Int = 8, channels: Int = 1,
-                      seedOffset: Long = 0L): DataFrame = {
+                      seedOffset: Long = 0L, sr: Int = 8000): DataFrame = {
+    val n = (1440L * sr / 8000).toInt // 0.18 s at any rate
     val synth = udf { (docId: Long) =>
-      wavBytes(channels, 8000, bits,
-        pcmQuantize(synthToneSamples(docId - seedOffset), bits, gain, channels))
+      wavBytes(channels, sr, bits,
+        pcmQuantize(synthToneSamples(docId - seedOffset, n, sr),
+          bits, gain, channels))
     }
     documents.withColumn("payload", synth(col("doc_id")))
   }

@@ -224,15 +224,17 @@ private[queries] object RegistryMultimodal {
     // PERCEPTUAL near-dup over the AUDIO modality: real PCM-bearing
     // WAVs (9-segment multi-tone fixture), fingerprinted by the
     // Haitsma-Kalker-shape band-energy gradient hash (wavPcmMono
-    // decode + Goertzel filterbank) through the same SimHash band
-    // join. Each doc_id%5==0 doc gets a RE-RENDERED copy — gain 0.5,
-    // 16-bit, stereo vs the 8-bit mono original: bytes differ
-    // (md5-checked in-plan), band-energy ratios are identical, so the
-    // pair MUST surface at Hamming 0 (energy-sign gain invariance,
-    // measured 0 flips over 400 docs). DuckDB cannot decode PCM or run
-    // Goertzel, so the oracle pins the planted-pair audit surface (the
-    // mm_image_neardup discipline); decode+fingerprint semantics are
-    // spec-pinned (gain/bit-depth/stereo invariance, containment).
+    // decode + internal-8 kHz resample + Goertzel filterbank) through
+    // the same SimHash band join. Each doc_id%5==0 doc gets a
+    // RE-RENDERED copy — gain 0.5, 16-bit, stereo, RESAMPLED to
+    // 44.1 kHz vs the 8-bit mono 8 kHz original: bytes differ
+    // (md5-checked in-plan), band-energy ratios are identical after
+    // the rate normalization, so the pair MUST surface at Hamming 0
+    // (gain + rate invariance, measured 0 flips over 400 docs × 3
+    // rates). DuckDB cannot decode PCM or run Goertzel, so the oracle
+    // pins the planted-pair audit surface (the mm_image_neardup
+    // discipline); decode+fingerprint semantics are spec-pinned
+    // (gain/bit-depth/stereo/sample-rate invariance, containment).
     QueryDef("mm_audio_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
@@ -241,7 +243,8 @@ private[queries] object RegistryMultimodal {
           Multimodal.withTonePayload(
             docs.filter(col("doc_id") % 5 === 0)
               .select((col("doc_id") + 10000000L).as("doc_id")),
-            gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L),
+            gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L,
+            sr = 44100),
           Multimodal.audioNearDupPairs(_))
       },
       Some(plantedPairOracleSql), bench = true),

