@@ -548,9 +548,57 @@ object TextAnalysis {
   def trainHashedLogReg(documents: DataFrame, positive: Column,
                         nBuckets: Int = 1024, epochs: Int = 30,
                         lr: Double = 5.0): (Array[Double], Double) = {
+    val m = trainHashedLogRegHeldOut(documents, positive, nBuckets, epochs,
+      lr, l2 = 0.0, holdoutMod = 0)
+    (m.weights, m.bias)
+  }
+
+  /** Trained model + the selection evidence [[trainHashedLogRegHeldOut]]
+    * reports: `bestEpoch` is the epoch whose weights were kept (the
+    * FINAL epoch when no holdout drives selection), accuracies are the
+    * kept weights' exact correct/total fractions over the train and
+    * holdout subsets (`holdoutAcc` = `trainAcc` when the holdout is
+    * empty — the selection metric's fallback). */
+  final case class TrainedLogReg(weights: Array[Double], bias: Double,
+                                 bestEpoch: Int, trainAcc: Double,
+                                 holdoutAcc: Double, nTrain: Long,
+                                 nHoldout: Long)
+
+  /** The generalized training core behind [[trainHashedLogReg]] —
+    * ridge (L2) regularization plus a DETERMINISTIC hash-split holdout
+    * with best-epoch selection, the two guards the fixed-lr fixed-
+    * epoch trainer lacks on real (noisy) labels:
+    *
+    *  - `l2`: the update becomes w ← w − lr·(∇/n + l2·w) (bias
+    *    unregularized, the standard convention) — on noisy labels the
+    *    penalty shrinks the memorizing weights (spec-measured);
+    *  - `holdoutMod`: docs with md5(doc_id)[:8] mod `holdoutMod` == 0
+    *    are HELD OUT of the gradient (the [[graft.analytics.Dedup]]
+    *    md5-coin discipline: deterministic, partition-independent,
+    *    and mirrorable in SQL for the oracle's exact n_holdout);
+    *    every epoch's weights are scored on the holdout in the SAME
+    *    treeAggregate pass that computes the gradient (one pass per
+    *    epoch, epochs+1 passes total — the final weights are scored
+    *    too), and the kept model is the EARLIEST epoch maximizing
+    *    holdout accuracy — early stopping by selection, so a run past
+    *    the overfit point returns the pre-overfit weights.
+    *    `holdoutMod = 0` disables both (every doc trains, final
+    *    weights returned — [[trainHashedLogReg]]'s exact behavior).
+    *
+    * Accuracies are exact integer correct/total fractions — but over
+    * float-sum-order-dependent weights, so the oracled surface stays
+    * threshold BOOLEANS ([[classifierTrainReport]]). Scale shape
+    * unchanged: features persist once; each epoch is one depth-2
+    * treeAggregate whose partial is a dense nBuckets-double array. */
+  def trainHashedLogRegHeldOut(documents: DataFrame, positive: Column,
+                               nBuckets: Int = 1024, epochs: Int = 30,
+                               lr: Double = 5.0, l2: Double = 0.0,
+                               holdoutMod: Int = 5): TrainedLogReg = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     require(epochs >= 1, s"epochs must be >= 1: $epochs")
     require(lr > 0, s"lr must be > 0: $lr")
+    require(l2 >= 0, s"l2 must be >= 0: $l2")
+    require(holdoutMod >= 0, s"holdoutMod must be >= 0: $holdoutMod")
     val spark = documents.sparkSession
     val toks = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull && positive.isNotNull)
@@ -559,40 +607,68 @@ object TextAnalysis {
       .withColumn("__b", hashBucket(col("token"), nBuckets).cast("int"))
     val perDoc = toks.groupBy("doc_id", "__y")
       .agg(collect_set(col("__b")).as("__f"))
-    val data = perDoc.select(col("__y"), col("__f")).rdd.map { r =>
-      (r.getDouble(0), r.getSeq[Int](1).toArray)
+    val hm = holdoutMod // avoid closing over the method's this
+    val data = perDoc.select(col("doc_id"), col("__y"), col("__f")).rdd.map { r =>
+      val hold = hm > 0 && {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % hm == 0
+      }
+      (r.getDouble(1), r.getSeq[Int](2).toArray, hold)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = data.count()
-      require(n > 0, "no trainable documents (all text null or empty)")
+      val nHold = data.filter(_._3).count()
+      val nTrain = data.count() - nHold
+      require(nTrain > 0,
+        "no trainable documents (all text null or empty, or every doc held out)")
       val w = new Array[Double](nBuckets)
       var bias = 0.0
+      var best: TrainedLogReg = null
       var e = 0
-      while (e < epochs) {
+      while (e <= epochs) {
         val bw = spark.sparkContext.broadcast((w.clone(), bias))
-        val (gw, gb) = data.treeAggregate((new Array[Double](nBuckets), 0.0))(
-          seqOp = { case ((gacc, gbAcc), (y, x)) =>
+        // ONE pass: gradient over the train subset + exact correct
+        // counts for BOTH subsets at the current (pre-update) weights
+        val (gw, gb, cTrain, cHold) = data.treeAggregate(
+          (new Array[Double](nBuckets), 0.0, 0L, 0L))(
+          seqOp = { case ((gacc, gbAcc, ct, ch), (y, x, hold)) =>
             val (wc, bc) = bw.value
             var z = bc
             var i = 0
             while (i < x.length) { z += wc(x(i)); i += 1 }
-            val d = 1.0 / (1.0 + math.exp(-z)) - y
-            i = 0
-            while (i < x.length) { gacc(x(i)) += d; i += 1 }
-            (gacc, gbAcc + d)
+            val correct = if ((z >= 0) == (y == 1.0)) 1L else 0L
+            if (hold) (gacc, gbAcc, ct, ch + correct)
+            else {
+              val d = 1.0 / (1.0 + math.exp(-z)) - y
+              i = 0
+              while (i < x.length) { gacc(x(i)) += d; i += 1 }
+              (gacc, gbAcc + d, ct + correct, ch)
+            }
           },
-          combOp = { case ((a, ab), (b, bb)) =>
+          combOp = { case ((a, ab, act, ach), (b, bb, bct, bch)) =>
             var i = 0
             while (i < a.length) { a(i) += b(i); i += 1 }
-            (a, ab + bb)
+            (a, ab + bb, act + bct, ach + bch)
           }, depth = 2)
-        var j = 0
-        while (j < nBuckets) { w(j) -= lr * gw(j) / n; j += 1 }
-        bias -= lr * gb / n
         bw.destroy()
+        val trainAcc = cTrain.toDouble / nTrain
+        val holdAcc = if (nHold > 0) cHold.toDouble / nHold else trainAcc
+        val keepFinal = hm == 0 && e == epochs
+        val keepBest = hm > 0 && (best == null || holdAcc > best.holdoutAcc)
+        if (keepFinal || keepBest)
+          best = TrainedLogReg(w.clone(), bias, e, trainAcc, holdAcc,
+            nTrain, nHold)
+        if (e < epochs) {
+          var j = 0
+          while (j < nBuckets) {
+            w(j) -= lr * (gw(j) / nTrain + l2 * w(j)); j += 1
+          }
+          bias -= lr * gb / nTrain
+        }
         e += 1
       }
-      (w, bias)
+      best
     } finally { data.unpersist(); () }
   }
 
@@ -627,26 +703,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** The oracled TRAIN surface: fit [[trainHashedLogReg]] on
-    * seed-labeled docs, score the same corpus, report exact class
-    * counts plus partition-stable quality booleans — train accuracy
-    * and mean-probability separation over thresholds (trained weights
-    * themselves are float-sum-order-dependent; the booleans are the
-    * engine-stable contract, the recall-panel discipline). A corpus
-    * with an EMPTY class reports acc_ok = sep_ok = FALSE — one-class
-    * "accuracy" is the majority baseline and "separation" has nothing
-    * to separate (the abProportionTest degenerate-label discipline).
-    * One row: (n_pos, n_neg, acc_ok, sep_ok). */
+  /** The oracled TRAIN surface: fit [[trainHashedLogRegHeldOut]] on
+    * seed-labeled docs (ridge `l2`, deterministic `holdoutMod` split
+    * with best-epoch selection), score the same corpus, report exact
+    * counts plus partition-stable quality booleans — whole-corpus
+    * accuracy, mean-probability separation, and the kept model's
+    * HOLDOUT accuracy over thresholds (trained weights themselves are
+    * float-sum-order-dependent; the booleans are the engine-stable
+    * contract, the recall-panel discipline). `n_holdout` is exact and
+    * oracle-mirrorable (the md5 split is the same arithmetic in SQL).
+    * A corpus with an EMPTY class reports every boolean FALSE —
+    * one-class "accuracy" is the majority baseline and "separation"
+    * has nothing to separate (the abProportionTest degenerate-label
+    * discipline). One row: (n_pos, n_neg, n_holdout, acc_ok, sep_ok,
+    * holdout_acc_ok). */
   def classifierTrainReport(documents: DataFrame, positive: Column,
                             nBuckets: Int = 1024, epochs: Int = 30,
                             lr: Double = 5.0, accMin: Double = 0.95,
-                            sepMin: Double = 0.5): DataFrame = {
-    val (w, b) = trainHashedLogReg(documents, positive, nBuckets, epochs, lr)
+                            sepMin: Double = 0.5, l2: Double = 0.0,
+                            holdoutMod: Int = 5): DataFrame = {
+    val m = trainHashedLogRegHeldOut(documents, positive, nBuckets, epochs,
+      lr, l2, holdoutMod)
     val labeled = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull && positive.isNotNull)
       .select(col("doc_id"), positive.as("__pos"))
     val bothClasses = col("n_pos") > 0 && col("n_neg") > 0
-    hashedLogRegScore(documents, w, b)
+    hashedLogRegScore(documents, m.weights, m.bias)
       .join(labeled, Seq("doc_id"))
       .agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
@@ -655,8 +737,10 @@ object TextAnalysis {
         avg(when(col("__pos"), col("p_keep"))).as("__mp"),
         avg(when(!col("__pos"), col("p_keep"))).as("__mn"))
       .select(col("n_pos"), col("n_neg"),
+        lit(m.nHoldout).as("n_holdout"),
         (bothClasses && col("__acc") >= accMin).as("acc_ok"),
-        (bothClasses && col("__mp") - col("__mn") >= sepMin).as("sep_ok"))
+        (bothClasses && col("__mp") - col("__mn") >= sepMin).as("sep_ok"),
+        (bothClasses && lit(m.holdoutAcc) >= accMin).as("holdout_acc_ok"))
   }
 
   /** Per-source characteristic terms by TF-IDF — the "what is this

@@ -288,13 +288,15 @@ private[queries] object RegistryText {
 
     // TRAINED quality classifier (fastText-shape logistic regression
     // over hashed binary presence features, full-batch treeAggregate
-    // GD): the fixture plants a marker token on the positive class
-    // in-plan, so the seed-labeled corpus is linearly separable up to
-    // hash collisions — the oracled surface is exact class counts plus
-    // partition-stable quality booleans (train acc >= 0.95, mean-prob
-    // separation >= 0.5; measured 1.0 / ~0.996 at all three SFs —
-    // trained weights themselves are float-sum-order-dependent, the
-    // recall-panel discipline)
+    // GD, ridge l2=0.001, md5-split 1-in-5 holdout with best-epoch
+    // selection): the fixture plants a marker token on the positive
+    // class in-plan, so the seed-labeled corpus is linearly separable
+    // up to hash collisions — the oracled surface is exact class
+    // counts, the EXACT holdout size (the md5 split is the same
+    // arithmetic in both engines), and partition-stable quality
+    // booleans (whole-corpus acc >= 0.95, mean-prob separation >= 0.5,
+    // holdout acc >= 0.95; trained weights themselves are
+    // float-sum-order-dependent, the recall-panel discipline)
     QueryDef("txt_classifier_train",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -302,11 +304,14 @@ private[queries] object RegistryText {
           when(col("doc_id") % 3 === 0 && col("text").isNotNull,
             concat(col("text"), lit(" qualmarker qualmarker qualmarker")))
             .otherwise(col("text")))
-        TextAnalysis.classifierTrainReport(forged, col("doc_id") % 3 === 0)
+        TextAnalysis.classifierTrainReport(forged, col("doc_id") % 3 === 0,
+          l2 = 0.001, holdoutMod = 5)
       },
       Some("""SELECT count(CASE WHEN doc_id % 3 = 0 THEN 1 END)::BIGINT AS n_pos,
           count(CASE WHEN doc_id % 3 <> 0 THEN 1 END)::BIGINT AS n_neg,
-          TRUE AS acc_ok, TRUE AS sep_ok
+          count(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0
+            THEN 1 END)::BIGINT AS n_holdout,
+          TRUE AS acc_ok, TRUE AS sep_ok, TRUE AS holdout_acc_ok
         FROM documents WHERE text IS NOT NULL"""),
       bench = true),
 

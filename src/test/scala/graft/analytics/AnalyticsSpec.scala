@@ -2418,22 +2418,65 @@ class AnalyticsSpec extends SparkSpec {
       assert(scored(i) == (i % 2 == 0), s"doc $i misclassified")
     }
     // the REPORT booleans must not depend on the physical layout
-    // (weights are float-sum-order-dependent; the surface is not)
+    // (weights are float-sum-order-dependent; the surface is not);
+    // the default 1-in-5 md5 holdout takes {1,2,3,6,10,11} of 1..12 —
+    // train keeps both classes and the held-out docs classify by the
+    // marker buckets alone
     Seq(1, 5).foreach { p =>
       val rep = TextAnalysis.classifierTrainReport(d.repartition(p), pos,
         nBuckets = 64, epochs = 40, lr = 5.0).head()
       assert(rep.getLong(0) == 6L && rep.getLong(1) == 6L)
-      assert(rep.getBoolean(2) && rep.getBoolean(3),
+      assert(rep.getLong(2) == 6L, s"md5 holdout drifted: ${rep.getLong(2)}")
+      assert(rep.getBoolean(3) && rep.getBoolean(4) && rep.getBoolean(5),
         s"partitioning $p flipped the report booleans")
     }
+  }
+
+  test("trainHashedLogRegHeldOut: ridge shrinks weights under label noise; holdout selection early-stops") {
+    // 40 docs, marker-separable, with 20% of labels FLIPPED (noise):
+    // the unregularized fit memorizes per-doc unique tokens to absorb
+    // the noise; the ridge penalty shrinks exactly those weights
+    val d = docs((1L to 40L).map { i =>
+      i -> (if (i % 2 == 0) s"common words here alpha u$i"
+            else s"common words here beta u$i")
+    }: _*)
+    val noisy = when(col("doc_id") % 10 === 4, col("doc_id") % 2 =!= 0)
+      .otherwise(col("doc_id") % 2 === 0)
+    def norm(w: Array[Double]): Double = math.sqrt(w.map(x => x * x).sum)
+    val plain = TextAnalysis.trainHashedLogRegHeldOut(d, noisy,
+      nBuckets = 64, epochs = 30, lr = 5.0, l2 = 0.0, holdoutMod = 0)
+    val ridge = TextAnalysis.trainHashedLogRegHeldOut(d, noisy,
+      nBuckets = 64, epochs = 30, lr = 5.0, l2 = 0.1, holdoutMod = 0)
+    assert(norm(ridge.weights) < norm(plain.weights),
+      s"ridge must shrink weights: ${norm(ridge.weights)} >= ${norm(plain.weights)}")
+    // holdout selection on the CLEAN corpus: the split is the md5 coin
+    // (deterministic, partition-independent), accuracy hits 1.0 well
+    // before the epoch budget, and the kept model is the EARLIEST
+    // epoch attaining the best holdout accuracy
+    val pos = col("doc_id") % 2 === 0
+    val m = TextAnalysis.trainHashedLogRegHeldOut(d, pos,
+      nBuckets = 64, epochs = 30, lr = 5.0, l2 = 0.0, holdoutMod = 5)
+    assert(m.nTrain + m.nHoldout == 40 && m.nHoldout > 0,
+      s"split lost docs: ${m.nTrain}+${m.nHoldout}")
+    assert(m.holdoutAcc == 1.0, s"separable holdout must score 1.0: ${m.holdoutAcc}")
+    assert(m.bestEpoch < 30,
+      s"selection must keep the earliest best epoch, not the last: ${m.bestEpoch}")
+    // holdoutMod = 0 reproduces trainHashedLogReg exactly (final epoch)
+    val (w0, b0) = TextAnalysis.trainHashedLogReg(d, pos,
+      nBuckets = 64, epochs = 10, lr = 5.0)
+    val m0 = TextAnalysis.trainHashedLogRegHeldOut(d, pos,
+      nBuckets = 64, epochs = 10, lr = 5.0, l2 = 0.0, holdoutMod = 0)
+    assert(m0.weights.toSeq == w0.toSeq && m0.bias == b0 && m0.bestEpoch == 10)
   }
 
   test("trainHashedLogReg excludes null text and fails loud on an empty corpus") {
     val d = docs(1L -> "alpha x", 2L -> "beta y")
       .unionByName(Seq((9L, null.asInstanceOf[String], "en", "src", 0L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // holdoutMod = 0: the 2-doc corpus would otherwise be entirely
+    // held out (md5 split takes both ids 1 and 2)
     val rep = TextAnalysis.classifierTrainReport(d, col("doc_id") === 1L,
-      nBuckets = 32, epochs = 10, lr = 5.0).head()
+      nBuckets = 32, epochs = 10, lr = 5.0, holdoutMod = 0).head()
     // the null-text doc contributes to NEITHER class count
     assert(rep.getLong(0) == 1L && rep.getLong(1) == 1L)
     val err = intercept[IllegalArgumentException] {
@@ -2446,7 +2489,7 @@ class AnalyticsSpec extends SparkSpec {
     val nullLabel = docs(1L -> "alpha x", 2L -> "beta y", 3L -> "gamma z")
     val repN = TextAnalysis.classifierTrainReport(nullLabel,
       when(col("doc_id") < 3L, col("doc_id") === 1L), // doc 3: null label
-      nBuckets = 32, epochs = 10, lr = 5.0).head()
+      nBuckets = 32, epochs = 10, lr = 5.0, holdoutMod = 0).head()
     assert(repN.getLong(0) == 1L && repN.getLong(1) == 1L,
       "null-label docs must not enter either class")
   }
@@ -2456,9 +2499,9 @@ class AnalyticsSpec extends SparkSpec {
     // and separation has nothing to separate — both must read false
     val d = docs(1L -> "alpha x", 2L -> "alpha y")
     val rep = TextAnalysis.classifierTrainReport(d, lit(true),
-      nBuckets = 32, epochs = 10, lr = 5.0).head()
+      nBuckets = 32, epochs = 10, lr = 5.0, holdoutMod = 0).head()
     assert(rep.getLong(0) == 2L && rep.getLong(1) == 0L)
-    assert(!rep.getBoolean(2) && !rep.getBoolean(3),
+    assert(!rep.getBoolean(3) && !rep.getBoolean(4) && !rep.getBoolean(5),
       "degenerate corpus must not report quality booleans true")
   }
 
