@@ -198,6 +198,117 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Multi-query hybrid RRF retrieval — [[hybridRrfTopK]] generalized
+    * from one (terms, vector) query to a PANEL of (query_id, terms,
+    * vecId) queries, the shape production retrieval evaluation runs
+    * (a relevance suite is a query table, not a scalar). Semantics per
+    * query are IDENTICAL to the single-query op: truncated-list RRF
+    * over the BM25 and exact-cosine pools, ranks on the ROUNDED scores
+    * (4 dp, id tie-break), reciprocals summed in the fixed lex-first
+    * addend order, per-query top-k by (rrf desc, id). Every panel
+    * query's vector must exist with a non-null embedding (fail-loud,
+    * the single-query contract).
+    *
+    * Scale shape (100 TB): the corpus tokenizes ONCE for all queries —
+    * per-(doc, matched-term) BM25 contributions are computed against
+    * the union term set, then the broadcast (query_id, token) panel
+    * fans each contribution to its queries; each pool reduces via the
+    * `graft_topk` map-side heap GROUPED by query_id (≤poolN rows per
+    * query per partition cross the shuffle); fusion and the final rank
+    * run over ≤2·poolN rows per query, windowed BY query_id — bounded
+    * panels, never corpus funnels. The query-vector side is an
+    * `In(vec_id…)` pushdown + broadcast panel; the cosine scan is one
+    * corpus pass for ALL queries (the bruteForceTopK panel-BNLJ shape,
+    * plan-lint whitelisted).
+    *
+    * Output: (query_id, id, lex_rank, vec_rank, rrf, rk), ordered by
+    * (query_id, rk). */
+  def hybridRrfPanel(documents: DataFrame, embeddings: DataFrame,
+                     queries: Seq[(Long, Seq[String], Long)], k: Int,
+                     poolN: Int = 50, rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "query panel must be non-empty")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_id in the panel")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(poolN >= k, s"poolN must be >= k: $poolN < $k")
+    require(rrfK >= 1, s"rrfK must be >= 1: $rrfK")
+    queries.foreach { case (qid, terms, _) =>
+      require(terms.nonEmpty, s"query $qid has an empty term set") }
+    val spark = documents.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // lexical pools: ONE tokenization for the union term set; the
+    // constants and operation order mirror TextAnalysis.bm25Scores
+    // (and the oracle SQL) exactly
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = graft.util.SparkUtil.widen(documents)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val matched = toks.filter(col("token").isInCollection(allTerms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val k1 = TextAnalysis.Bm25K1
+    val b = TextAnalysis.Bm25B
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val score = idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val qTerms = queries.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
+      .toDF("query_id", "token")
+    val perQueryBm = matched.join(broadcast(dfTab), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(score), 4).as("bm25"))
+    val lexPool = perQueryBm.groupBy("query_id")
+      .agg(expr(s"graft_topk(bm25, doc_id, $poolN)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("id"),
+        (col("pos") + 1).cast(LongType).as("lex_rank"))
+    // vector pools: In() pushdown fetches the panel's vectors; the
+    // cosine pass is one corpus scan against the broadcast panel
+    val corpus = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val vids = queries.map(_._3)
+    val panel = queries.map { case (qid, _, vid) => (qid, vid) }
+      .toDF("query_id", "qvid")
+    val qvecs = corpus.filter(col("vec_id").isInCollection(vids))
+      .join(broadcast(panel), col("vec_id") === col("qvid"))
+      .select(col("query_id"), col("qvid"), col("vec").as("qvec"))
+    val got = qvecs.select("query_id").collect().map(_.getLong(0)).toSet
+    val missing = queries.map(_._1).filterNot(got)
+    require(missing.isEmpty,
+      s"query vectors missing from embeddings (or null) for query ids " +
+        s"${missing.mkString(", ")}: the vector pools would silently be " +
+        "empty — pass ids with non-null embeddings")
+    val vecPool = corpus.join(broadcast(qvecs), col("vec_id") =!= col("qvid"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("vec")), 4).as("cos"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos, vec_id, $poolN)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("id"),
+        (col("pos") + 1).cast(LongType).as("vec_rank"))
+    // fixed addend order (lex first) — IEEE-identical to the oracle
+    val fused = lexPool.join(vecPool, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .as("__rrf"))
+    fused
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__rrf").desc, col("id"))).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id"), col("lex_rank"), col("vec_rank"),
+        round(col("__rrf"), 6).as("rrf"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Sign-random-projection LSH bucket key: `nBits` hyperplanes with
     * deterministic md5-derived ±1 components; bucket = bit pattern of
     * projection signs. Same-bucket vectors are candidate neighbors —

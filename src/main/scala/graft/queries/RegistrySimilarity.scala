@@ -85,6 +85,73 @@ private[queries] object RegistrySimilarity {
           WHERE rk <= 20 ORDER BY rk"""
       }, bench = true),
 
+    // Multi-query hybrid RRF panel — sim_hybrid_rrf generalized to a
+    // 3-query (query_id, terms, vecId) panel: ONE corpus tokenization
+    // for the union term set, per-(doc, term) BM25 contributions
+    // fanned to queries by the broadcast term panel, pools via the
+    // query-grouped graft_topk heap, fusion windowed per query_id.
+    // Same cross-engine discipline as the scalar op: ranks on 4-dp
+    // rounded scores, fixed lex-first addend order, per-query
+    // (rrf desc, id) rank.
+    QueryDef("sim_hybrid_rrf_panel",
+      (s, d) => Similarity.hybridRrfPanel(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        Seq((0L, Seq("spark", "vector"), 0L),
+          (1L, Seq("merge", "customer"), 1L),
+          (2L, Seq("window", "spark"), 2L)),
+        k = 10, poolN = 30, rrfK = 60),
+      Some {
+        import graft.analytics.TextAnalysis.{Bm25K1, Bm25B}
+        val c1 = s"CAST('${Bm25K1 + 1}' AS DOUBLE)"
+        val ck = s"CAST('$Bm25K1' AS DOUBLE)"
+        val c2 = s"CAST('${1 - Bm25B}' AS DOUBLE)"
+        val cb = s"CAST('$Bm25B' AS DOUBLE)"
+        s"""WITH qt(query_id, token) AS (VALUES (0, 'spark'), (0, 'vector'),
+            (1, 'merge'), (1, 'customer'), (2, 'window'), (2, 'spark')),
+          qv(query_id, qvid) AS (VALUES (0, 0), (1, 1), (2, 2)),
+          toks AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+          dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+          stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+          matched AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+            WHERE token IN ('spark', 'vector', 'merge', 'customer', 'window')
+            GROUP BY doc_id, token),
+          dfs AS (SELECT token, count(*)::BIGINT AS df FROM matched GROUP BY token),
+          bm AS (SELECT query_id, doc_id,
+              round(sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                * tf * $c1 / (tf + $ck * ($c2 + $cb * dl / avgdl))), 4) AS bm25
+            FROM matched JOIN dfs USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN stats JOIN qt USING (token) GROUP BY query_id, doc_id),
+          lexpool AS (SELECT query_id, doc_id AS id, rk::BIGINT AS lex_rank FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+            FROM bm) WHERE rk <= 30),
+          v AS MATERIALIZED (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings WHERE embedding IS NOT NULL),
+          qvec AS (SELECT query_id, qvid, vec AS qvec FROM qv JOIN v ON v.vec_id = qv.qvid),
+          sc AS (SELECT q.query_id, v.vec_id,
+              round(list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
+                (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
+                 sqrt(list_sum(list_transform(v.vec, x -> x * x)))), 4) AS cos
+            FROM qvec q, v WHERE v.vec_id <> q.qvid),
+          vecpool AS (SELECT query_id, vec_id AS id, rk::BIGINT AS vec_rank FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+            FROM sc) WHERE rk <= 30),
+          fused AS (SELECT coalesce(l.query_id, p.query_id) AS query_id,
+              coalesce(l.id, p.id) AS id, l.lex_rank, p.vec_rank,
+              coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE) +
+                coalesce(1.0::DOUBLE / (60 + p.vec_rank), 0.0::DOUBLE) AS rrf_raw
+            FROM lexpool l FULL OUTER JOIN vecpool p
+              ON l.query_id = p.query_id AND l.id = p.id)
+          SELECT query_id::BIGINT AS query_id, id, lex_rank, vec_rank,
+            round(rrf_raw, 6) AS rrf, rk
+          FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rrf_raw DESC, id)::BIGINT AS rk
+            FROM fused)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
+      }, bench = true),
+
     // Matryoshka-style prefix truncation: exact cosine top-k over the
     // first 32 of 64 dims — half the scan IO; ranking over the
     // truncated vectors oracled exactly (the synthetic embeddings are

@@ -2403,6 +2403,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L), s"got $ids")
   }
 
+  test("hybridRrfPanel agrees with the single-query op per query; missing query vector fails loud") {
+    val d = docs(1L -> "apple banana", 2L -> "banana cherry", 3L -> "cherry date",
+      4L -> "apple apple date", 5L -> "banana banana banana")
+    val e = vecs((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0), (2L, Seq(1f, 1f), 0),
+      (3L, Seq(0.9f, 0.1f), 0), (4L, Seq(0.1f, 0.9f), 0))
+    val panel = Seq((10L, Seq("apple"), 0L), (11L, Seq("banana", "cherry"), 1L))
+    val got = Similarity.hybridRrfPanel(d, e, panel, k = 5, poolN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getDouble(4), r.getLong(5)))
+    panel.foreach { case (qid, terms, vid) =>
+      val single = Similarity.hybridRrfTopK(d, e, terms, vid, k = 5, poolN = 5)
+        .collect().map(r => (qid, r.getLong(0),
+          Option(r.get(1)), Option(r.get(2)), r.getDouble(3), r.getLong(4))).toSeq
+      assert(got.filter(_._1 == qid).toSeq == single,
+        s"panel query $qid diverges from the single-query op")
+    }
+    // a panel query whose vector is absent must fail loud, naming it
+    val err = intercept[IllegalArgumentException] {
+      Similarity.hybridRrfPanel(d, e,
+        Seq((7L, Seq("apple"), 999L)), k = 2, poolN = 2)
+    }
+    assert(err.getMessage.contains("7"), err.getMessage)
+  }
+
   test("trainHashedLogReg separates a marker class; report booleans are partition-invariant") {
     // pos docs carry 'alpha', neg carry 'beta' — linearly separable
     val d = docs((1L to 12L).map { i =>

@@ -30,7 +30,10 @@ class PlanLintSpec extends SparkSpec {
     "sim_quantized_recall", "sim_binary_hamming_topk", "sim_ivfpq_topk",
     "sim_ivfpq_search", "sim_ivfpq_refined_search", "sim_mmr_rerank",
     "txt_vocab_overlap",
-    "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered")
+    "sim_ivf_recall_clustered", "sim_ivfpq_recall_clustered",
+    // the 3-row query-vector panel joined with the vec_id != qvid
+    // self-exclusion (the bruteForceTopK panel shape, per-query pools)
+    "sim_hybrid_rrf_panel")
 
   test("no CartesianProduct; nested loops only as scalar crosses or whitelisted bounded panels; plan shape matches the committed manifest") {
     val sf = "/root/testdata/sf0.001"
