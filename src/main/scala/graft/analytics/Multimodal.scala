@@ -446,11 +446,17 @@ object Multimodal {
   // JpegDecode, and the differential spec cross-checks both decoders
   // ------------------------------------------------------------------
 
-  /** A REAL baseline JPEG of the given grayscale pixels, encoded by
-    * the JDK's ImageIO JPEG plugin at `quality` — fixture synthesis
-    * (headless-safe), never on the 100 TB path. */
+  /** A REAL JPEG of the given grayscale pixels, encoded by the JDK's
+    * ImageIO JPEG plugin at `quality` — fixture synthesis
+    * (headless-safe), never on the 100 TB path. `progressive` emits
+    * SOF2 via the writer's MODE_DEFAULT progression script: the SAME
+    * quality quantizes to the SAME coefficients, so a progressive
+    * re-encode decodes to BIT-IDENTICAL pixels (entropy-coding order
+    * is the only difference — the mm_jpeg_neardup planted-copy
+    * guarantee, spec-pinned). */
   def jpegBytesGrayEncoded(width: Int, height: Int, gray: Array[Byte],
-                           quality: Float): Array[Byte] = {
+                           quality: Float,
+                           progressive: Boolean = false): Array[Byte] = {
     require(gray.length == width * height,
       s"gray must be width*height bytes: ${gray.length} != ${width * height}")
     System.setProperty("java.awt.headless", "true")
@@ -463,6 +469,8 @@ object Multimodal {
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
+      if (progressive)
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
@@ -491,17 +499,20 @@ object Multimodal {
     out
   }
 
-  /** Attach REAL pixel-bearing baseline JPEGs (24×16 [[synthGray]]
-    * pixels through ImageIO at `quality`); `comment` forges the
-    * metadata variant, `pixelSeedOffset` the re-encoded-copy seed
-    * mapping (the [[withPixelPayload]] convention). Fixture synthesis,
-    * not a 100 TB operator (UDF is fine). */
+  /** Attach REAL pixel-bearing JPEGs (24×16 [[synthGray]] pixels
+    * through ImageIO at `quality`); `comment` forges the metadata
+    * variant, `progressive` the SOF2 re-export variant (same
+    * coefficients, different entropy-coding order — pixel-identical),
+    * `pixelSeedOffset` the re-encoded-copy seed mapping (the
+    * [[withPixelPayload]] convention). Fixture synthesis, not a
+    * 100 TB operator (UDF is fine). */
   def withJpegPixelPayload(documents: DataFrame, quality: Float = 0.9f,
                            pixelSeedOffset: Long = 0L,
-                           comment: Option[String] = None): DataFrame = {
+                           comment: Option[String] = None,
+                           progressive: Boolean = false): DataFrame = {
     val synth = udf { (docId: Long) =>
       val base = jpegBytesGrayEncoded(24, 16,
-        synthGray(docId - pixelSeedOffset, 24, 16), quality)
+        synthGray(docId - pixelSeedOffset, 24, 16), quality, progressive)
       comment.map(jpegWithComment(base, _)).getOrElse(base)
     }
     documents.withColumn("payload", synth(col("doc_id")))
@@ -1282,9 +1293,10 @@ object MediaDecode {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** JPEG PIXEL decode — the baseline entropy decoder
-    * ([[JpegDecode.lumaPixels]]: Huffman + dequant + IDCT, pure JVM),
-    * luma plane out. Anything outside the baseline profile — and any
+  /** JPEG PIXEL decode — the Huffman entropy decoder
+    * ([[JpegDecode.lumaPixels]]: baseline/extended-sequential AND
+    * progressive (SOF2) profiles, Huffman + dequant + IDCT, pure JVM),
+    * luma plane out. Anything outside those profiles — and any
     * malformed stream — returns None (P14 containment). */
   def jpegLumaPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     JpegDecode.lumaPixels(b)

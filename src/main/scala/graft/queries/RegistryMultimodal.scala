@@ -195,18 +195,21 @@ private[queries] object RegistryMultimodal {
       },
       Some(plantedPairOracleSql), bench = true),
 
-    // PERCEPTUAL near-dup over the JPEG modality — the round-15
-    // baseline entropy decoder (JpegDecode: Huffman + dequant + IDCT)
+    // PERCEPTUAL near-dup over the JPEG modality — the entropy decoder
+    // (JpegDecode: Huffman + dequant + IDCT, baseline AND progressive)
     // feeding the same dHash + SimHash band join as the PNG path. Each
-    // doc_id%5==0 doc gets a METADATA-VARIANT copy: a COM segment
-    // inserted after SOI — bytes differ (md5-checked in-plan), pixels
-    // are byte-identical, so the pair MUST surface at Hamming 0. The
-    // JPEGs are REAL (ImageIO-encoded, the independent encoder); a
-    // decoder that fails to entropy-decode drops the row and
-    // pair_found flips false. DuckDB cannot decode JPEG, so the oracle
-    // pins the planted-pair audit surface (the mm_image_neardup
-    // discipline); decode CORRECTNESS is the JpegDecodeSpec
-    // differential vs ImageIO.
+    // doc_id%5==0 doc gets a RE-EXPORT copy: PROGRESSIVE (SOF2)
+    // re-encode of the same pixels PLUS a COM metadata segment — bytes
+    // differ thoroughly (different entropy-coding order, md5-checked
+    // in-plan), but same quality = same quant tables = same
+    // coefficients, so the decoded pixels are BIT-identical
+    // (spec-pinned) and the pair MUST surface at Hamming 0. The JPEGs
+    // are REAL (ImageIO-encoded, the independent encoder); a decoder
+    // that cannot entropy-decode SOF2 drops the copy row and
+    // pair_found flips false — this query IS the progressive-coverage
+    // gate. DuckDB cannot decode JPEG, so the oracle pins the
+    // planted-pair audit surface (the mm_image_neardup discipline);
+    // decode CORRECTNESS is the JpegDecodeSpec differential vs ImageIO.
     QueryDef("mm_jpeg_neardup",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id")
@@ -216,7 +219,8 @@ private[queries] object RegistryMultimodal {
             docs.filter(col("doc_id") % 5 === 0)
               .select((col("doc_id") + 10000000L).as("doc_id")),
             quality = 0.9f, pixelSeedOffset = 10000000L,
-            comment = Some("re-exported asset, same pixels")),
+            comment = Some("re-exported asset, same pixels"),
+            progressive = true),
           Multimodal.imageNearDupPairs(_))
       },
       Some(plantedPairOracleSql), bench = true),

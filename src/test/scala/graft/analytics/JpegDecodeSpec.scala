@@ -248,15 +248,50 @@ class JpegDecodeSpec extends AnyFunSuite {
       restartJpeg(0xd0, dqtPrecisionLie = true)).isEmpty)
   }
 
-  test("progressive JPEG is out of profile and returns None") {
+  test("progressive gray JPEG decodes within tolerance of the ImageIO reference") {
+    // the writer's MODE_DEFAULT progression script exercises DC
+    // first+refine and AC first+refine with spectral selection —
+    // the full annex-G surface. SOF marker checked to prove the
+    // fixture really is SOF2, not silently sequential.
+    for ((w, h) <- Seq((24, 16), (17, 13), (64, 48), (129, 65))) {
+      val jpeg = Multimodal.jpegBytesGrayEncoded(w, h, smoothGray(w, h),
+        0.9f, progressive = true)
+      assert(sofMarker(jpeg) == 0xc2, s"fixture at ${w}x$h is not progressive")
+      val mine = MediaDecode.jpegLumaPixels(jpeg)
+      assert(mine.isDefined, s"progressive decode failed at ${w}x$h")
+      val (mw, mh, mg) = mine.get
+      assert(mw == w && mh == h)
+      val (_, _, ref) = imageIoGray(jpeg)
+      // measured: mean <= 0.014, max 1 at every size — same agreement
+      // as the baseline path (the two IDCTs' last rounding step)
+      val (mean, mx) = diffStats(mg, ref)
+      assert(mean <= 0.5 && mx <= 2,
+        s"${w}x$h progressive: mean abs diff $mean, max $mx vs ImageIO")
+    }
+  }
+
+  test("progressive color (4:2:0) JPEG luma decodes within tolerance of ImageIO") {
     System.setProperty("java.awt.headless", "true")
-    val img = new java.awt.image.BufferedImage(24, 16,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    img.getRaster.setDataElements(0, 0, 24, 16, smoothGray(24, 16))
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255) / (w - 1); val g = (y * 255) / (h - 1)
+        val b = ((x + y) * 127) / (w + h - 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val bos = new java.io.ByteArrayOutputStream()
     try {
       val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
       p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
@@ -264,22 +299,76 @@ class JpegDecodeSpec extends AnyFunSuite {
       ios.close()
     } finally writer.dispose()
     val jpeg = bos.toByteArray
-    assert(imageIoGray(jpeg)._3.length == 24 * 16) // ImageIO CAN read it
-    assert(MediaDecode.jpegLumaPixels(jpeg).isEmpty) // graft declines it
+    assert(sofMarker(jpeg) == 0xc2, "color fixture is not progressive")
+    val mine = MediaDecode.jpegLumaPixels(jpeg)
+    assert(mine.isDefined, "progressive color decode failed")
+    val (mw, mh, mg) = mine.get
+    assert(mw == w && mh == h)
+    // interleaved DC scan across all 3 components + per-component AC
+    // scans: the chroma-skip path AND the interleaved-DC path both run
+    val (_, _, ref) = imageIoLumaFromRgb(jpeg)
+    val (mean, mx) = diffStats(mg, ref)
+    assert(mean <= 1.0 && mx <= 3,
+      s"progressive color: mean abs diff $mean, max $mx vs ImageIO luma")
+  }
+
+  test("progressive re-encode of the same pixels decodes BIT-identical to the baseline encode") {
+    // same encoder, same quality => same quant tables => same
+    // coefficients; progressive only reorders the entropy coding — so
+    // the two decodes must agree exactly, which is what makes a
+    // progressive re-export a Hamming-0 planted pair in mm_jpeg_neardup
+    val px = Multimodal.synthGray(7L, 24, 16)
+    val base = Multimodal.jpegBytesGrayEncoded(24, 16, px, 0.9f)
+    val prog = Multimodal.jpegBytesGrayEncoded(24, 16, px, 0.9f,
+      progressive = true)
+    assert(!java.util.Arrays.equals(base, prog)) // bytes thoroughly differ
+    val a = MediaDecode.jpegLumaPixels(base)
+    val b = MediaDecode.jpegLumaPixels(prog)
+    assert(a.isDefined && b.isDefined)
+    assert(java.util.Arrays.equals(a.get._3, b.get._3),
+      "baseline and progressive decodes of the same coefficients must be bit-identical")
+  }
+
+  test("lossless/arithmetic frames remain out of profile") {
+    // forge an SOF3 (lossless) header on an otherwise-valid stream
+    val jpeg = Multimodal.jpegBytesGrayEncoded(24, 16, smoothGray(24, 16), 0.9f)
+    var i = 2
+    var sofAt = -1
+    while (i + 1 < jpeg.length && sofAt < 0) {
+      if ((jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xc0) sofAt = i
+      i += 1
+    }
+    assert(sofAt > 0)
+    val forged = jpeg.clone()
+    forged(sofAt + 1) = 0xc3.toByte
+    assert(MediaDecode.jpegLumaPixels(forged).isEmpty)
   }
 
   test("truncation and corruption never throw (P14 containment)") {
-    val jpeg = Multimodal.jpegBytesGrayEncoded(24, 16,
-      Multimodal.synthGray(3L, 24, 16), 0.9f)
-    // every prefix: None or a successful decode, never an exception
-    (0 until jpeg.length by 7).foreach { n =>
-      MediaDecode.jpegLumaPixels(java.util.Arrays.copyOf(jpeg, n))
+    for (progressive <- Seq(false, true)) {
+      val jpeg = Multimodal.jpegBytesGrayEncoded(24, 16,
+        Multimodal.synthGray(3L, 24, 16), 0.9f, progressive)
+      // every prefix: None or a successful decode, never an exception
+      (0 until jpeg.length by 7).foreach { n =>
+        MediaDecode.jpegLumaPixels(java.util.Arrays.copyOf(jpeg, n))
+      }
+      // deterministic single-byte corruption sweep
+      (0 until jpeg.length by 11).foreach { i =>
+        val c = jpeg.clone()
+        c(i) = (c(i) + 37).toByte
+        MediaDecode.jpegLumaPixels(c)
+      }
     }
-    // deterministic single-byte corruption sweep
-    (0 until jpeg.length by 11).foreach { i =>
-      val c = jpeg.clone()
-      c(i) = (c(i) + 37).toByte
-      MediaDecode.jpegLumaPixels(c)
+  }
+
+  private def sofMarker(jpeg: Array[Byte]): Int = {
+    var i = 2
+    while (i + 1 < jpeg.length) {
+      val m = jpeg(i + 1) & 0xff
+      if ((jpeg(i) & 0xff) == 0xff && m >= 0xc0 && m <= 0xcf &&
+        m != 0xc4 && m != 0xc8 && m != 0xcc) return m
+      i += 1
     }
+    -1
   }
 }
