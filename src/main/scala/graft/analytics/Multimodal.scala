@@ -912,6 +912,110 @@ object Multimodal {
     documents.withColumn("payload", synth(col("doc_id"), col("text")))
   }
 
+  /** A REAL MJPEG-in-AVI container of the given JPEG frames — RIFF
+    * `AVI ` form with a spec-shaped `hdrl` (avih + strl(strh `vids`/
+    * `MJPG` + strf BITMAPINFOHEADER)), an optional JUNK pad chunk (the
+    * byte-different re-container knob), and the `movi` LIST holding
+    * one `00dc` chunk per frame. Fixture synthesis per the public AVI
+    * RIFF spec — the DEMUX under test is [[MediaDecode
+    * .aviMjpegFrames]]; the JPEG frames themselves come from ImageIO
+    * (the independent encoder). Never on the 100 TB path. */
+  def aviMjpegBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    junk: Int = 0): Array[Byte] = {
+    def u16le(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def u32le(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+      o.write(id.getBytes("US-ASCII")); u32le(o, body.length.toLong)
+      o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF even padding
+      o.toByteArray
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write(listType.getBytes("US-ASCII"))
+      bodies.foreach(inner.write)
+      chunk("LIST", inner.toByteArray)
+    }
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream(56)
+      u32le(o, 40000L); u32le(o, 0L); u32le(o, 0L); u32le(o, 0L)
+      u32le(o, frames.length.toLong); u32le(o, 0L); u32le(o, 1L)
+      u32le(o, maxFrame.toLong); u32le(o, width.toLong); u32le(o, height.toLong)
+      (0 until 4).foreach(_ => u32le(o, 0L))
+      chunk("avih", o.toByteArray)
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream(56)
+      o.write("vids".getBytes("US-ASCII")); o.write("MJPG".getBytes("US-ASCII"))
+      u32le(o, 0L); u16le(o, 0); u16le(o, 0); u32le(o, 0L)
+      u32le(o, 1L); u32le(o, 25L) // scale 1, rate 25 fps
+      u32le(o, 0L); u32le(o, frames.length.toLong); u32le(o, maxFrame.toLong)
+      u32le(o, 0xffffffffL); u32le(o, 0L)
+      u16le(o, 0); u16le(o, 0); u16le(o, width); u16le(o, height)
+      chunk("strh", o.toByteArray)
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream(40)
+      u32le(o, 40L); u32le(o, width.toLong); u32le(o, height.toLong)
+      u16le(o, 1); u16le(o, 24)
+      o.write("MJPG".getBytes("US-ASCII"))
+      u32le(o, width.toLong * height * 3)
+      (0 until 4).foreach(_ => u32le(o, 0L))
+      chunk("strf", o.toByteArray)
+    }
+    val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+    val junkChunk =
+      if (junk > 0) Seq(chunk("JUNK", Array.fill[Byte](junk)(0x4a)))
+      else Seq.empty
+    val movi = list("movi", frames.map(chunk("00dc", _)))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    (Seq(hdrl) ++ junkChunk :+ movi).foreach(body.write)
+    val bytes = body.toByteArray
+    val o = new java.io.ByteArrayOutputStream(8 + bytes.length)
+    o.write("RIFF".getBytes("US-ASCII")); u32le(o, bytes.length.toLong)
+    o.write(bytes)
+    o.toByteArray
+  }
+
+  /** Frames of an opaque video payload, by container magic: the GVID
+    * fixture walk, or the REAL MJPEG-in-AVI demux ([[MediaDecode
+    * .aviMjpegFrames]]). Unknown containers yield no frames (the
+    * fingerprint drops the doc — perceptual identity is defined over
+    * decodable media). */
+  def videoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val gvid = parseFrames(payload)
+    if (gvid.nonEmpty) gvid else MediaDecode.aviMjpegFrames(payload)
+  }
+
+  /** Attach MJPEG-in-AVI payloads whose frames are REAL ImageIO JPEGs
+    * (seed % 3 + 2 frames of 24×16 [[synthGray]] pixels at `quality`)
+    * — the real-container fixture for the perceptual VIDEO path.
+    * `progressive` re-encodes every frame as SOF2 (pixel-identical,
+    * byte-different) and `junk` pads the container with a JUNK chunk —
+    * together the re-export duplication mode; `pixelSeedOffset` maps a
+    * copy's doc_id back to its original's pixels. Fixture synthesis,
+    * not a 100 TB operator (UDF is fine). */
+  def withAviPixelPayload(documents: DataFrame, quality: Float = 0.9f,
+                          pixelSeedOffset: Long = 0L,
+                          progressive: Boolean = false,
+                          junk: Int = 0): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val seed = docId - pixelSeedOffset
+      aviMjpegBytes((0 until (seed % 3 + 2).toInt).map(i =>
+        jpegBytesGrayEncoded(24, 16, synthGray(seed * 31 + i, 24, 16),
+          quality, progressive)), 24, 16, junk)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
   /** Attach GVID containers whose frames are REAL pixel-bearing
     * grayscale PNGs (doc_id % 3 + 2 frames, [[synthGray]] pixels
     * seeded per (doc, frame), zlib `level`) — the fixture for the
@@ -939,10 +1043,12 @@ object Multimodal {
     * of unrelated stills has near-tie majorities where any dropped
     * vote can flip bits — measured 16/64 on an uncorrelated fixture,
     * which is correct behavior: such a "clip" has no single perceptual
-    * identity to preserve). Videos whose container yields no decodable
-    * frame return None. */
+    * identity to preserve). Containers: the GVID fixture walk and REAL
+    * MJPEG-in-AVI ([[videoFrames]] dispatch — the AVI demux + the JPEG
+    * entropy decoder composed); videos whose container yields no
+    * decodable frame return None. */
   def videoFingerprint64(payload: Array[Byte]): Option[Long] = {
-    val hashes = parseFrames(payload).flatMap { f =>
+    val hashes = videoFrames(payload).flatMap { f =>
       MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
         .map { case (w, h, g) => dHash64(g, w, h) }
     }
@@ -1175,6 +1281,47 @@ object MediaDecode {
         Some((sr, out))
       }
     }
+
+  /** MJPEG-in-AVI frame demux — the first REAL video container on the
+    * perceptual path (the GVID walk is a fixture stand-in): RIFF
+    * `AVI ` form, LIST chunks walked recursively, frame bytes = the
+    * bodies of `##dc`/`##db` stream chunks inside the `movi` LIST
+    * (including `rec ` groupings). Each frame body is a complete JPEG
+    * for MJPEG streams — [[jpegLumaPixels]] decodes it directly, so
+    * the demux composes the two decoders this repo already has (RIFF
+    * walk + JPEG entropy decode). Truncation-contained: a chunk whose
+    * declared size overruns the payload ends the walk with the frames
+    * that fully parsed (one bad video must not poison a batch);
+    * non-AVI payloads return empty. */
+  def aviMjpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b.length < 12) return Seq.empty
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return Seq.empty
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return Seq.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    def fourcc(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until && p + 8 <= b.length) {
+        val id = fourcc(p.toInt)
+        val size = le32(b, p.toInt + 4)
+        val body = p + 8
+        val bodyEnd = body + size
+        if (bodyEnd > b.length || bodyEnd > until) return // truncated
+        if (id == "LIST" && size >= 4) {
+          val lt = fourcc(body.toInt)
+          walk(body + 4, bodyEnd, inMovi || lt == "movi" || lt == "rec ")
+        } else if (inMovi && size > 0 &&
+          Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+          (id.endsWith("dc") || id.endsWith("db"))) {
+          out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+        }
+        p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
+      }
+    }
+    walk(12L, b.length.toLong, inMovi = false)
+    out.result()
+  }
 
   private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 

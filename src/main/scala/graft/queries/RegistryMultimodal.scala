@@ -313,6 +313,33 @@ private[queries] object RegistryMultimodal {
       },
       Some(plantedPairOracleSql), bench = true),
 
+    // PERCEPTUAL near-dup over REAL MJPEG-in-AVI containers — the
+    // first real video container on the perceptual path (the GVID walk
+    // above is a fixture stand-in): the RIFF/AVI demux
+    // (MediaDecode.aviMjpegFrames) hands each 00dc chunk to the JPEG
+    // entropy decoder, per-frame dHashes majority-pool exactly as for
+    // GVID. Each doc_id%5==0 doc gets a RE-EXPORT copy: every frame
+    // progressively re-encoded (SOF2 — pixel-identical bytes-different
+    // per the spec-pinned coefficient argument) AND the container
+    // JUNK-padded — bytes differ thoroughly (md5-checked in-plan), the
+    // pooled fingerprint is bit-identical, so the pair MUST surface at
+    // Hamming 0. Planted-pair audit oracle (mm_image_neardup
+    // discipline); demux semantics spec-pinned (GVID/AVI fingerprint
+    // equality on identical frames, truncation containment).
+    QueryDef("mm_avi_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        plantedNearDupAudit(docs,
+          Multimodal.withAviPixelPayload(docs, quality = 0.9f),
+          Multimodal.withAviPixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            quality = 0.9f, pixelSeedOffset = 10000000L,
+            progressive = true, junk = 64),
+          Multimodal.videoNearDupPairs(_))
+      },
+      Some(plantedPairOracleSql), bench = true),
+
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
     // bytes from the deterministic formula, so the md5 compare proves

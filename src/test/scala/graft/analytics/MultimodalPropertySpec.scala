@@ -340,6 +340,47 @@ class MultimodalPropertySpec extends AnyFunSuite {
     samples(bytesGen, 200).foreach(MediaDecode.wavPcmMono(_))
   }
 
+  test("aviMjpegFrames: demuxes movi 00dc chunks exactly; container-invariant fingerprint; containment") {
+    def jpegFrame(seed: Long): Array[Byte] = Multimodal.jpegBytesGrayEncoded(
+      24, 16, Multimodal.synthGray(seed, 24, 16), 0.9f)
+    val frames = (0L until 3L).map(jpegFrame)
+    val avi = Multimodal.aviMjpegBytes(frames, 24, 16)
+    val got = MediaDecode.aviMjpegFrames(avi)
+    assert(got.size == 3, s"demuxed ${got.size} frames")
+    got.zip(frames).zipWithIndex.foreach { case ((g, f), i) =>
+      assert(java.util.Arrays.equals(g, f), s"frame $i bytes drifted")
+    }
+    // the perceptual identity is CONTAINER-invariant: the same frames
+    // in GVID and AVI fingerprint identically (the dispatch seam)
+    assert(Multimodal.videoFingerprint64(avi) ==
+      Multimodal.videoFingerprint64(Multimodal.videoBytes(frames)),
+      "GVID and AVI of the same frames must fingerprint identically")
+    // JUNK padding + progressive frame re-encode: bytes differ, the
+    // fingerprint does not (the mm_avi_neardup planted-copy guarantee)
+    val reExport = Multimodal.aviMjpegBytes(
+      (0L until 3L).map(s => Multimodal.jpegBytesGrayEncoded(
+        24, 16, Multimodal.synthGray(s, 24, 16), 0.9f, progressive = true)),
+      24, 16, junk = 64)
+    assert(!java.util.Arrays.equals(avi, reExport))
+    assert(Multimodal.videoFingerprint64(avi) ==
+      Multimodal.videoFingerprint64(reExport),
+      "progressive re-export in a padded container must fingerprint identically")
+    // non-AVI payloads yield no frames; truncation returns the frames
+    // that fully parsed, never an exception
+    assert(MediaDecode.aviMjpegFrames("notriff".getBytes).isEmpty)
+    assert(MediaDecode.aviMjpegFrames(Array.empty[Byte]).isEmpty)
+    (0 until avi.length by 13).foreach { n =>
+      val part = MediaDecode.aviMjpegFrames(java.util.Arrays.copyOf(avi, n))
+      assert(part.size <= 3)
+      part.foreach(f => assert(frames.exists(java.util.Arrays.equals(f, _)),
+        "a truncated walk must never emit a frame that was not in the container"))
+    }
+    (0 until avi.length by 17).foreach { i =>
+      val c = avi.clone(); c(i) = (c(i) + 55).toByte
+      MediaDecode.aviMjpegFrames(c) // no throw
+    }
+  }
+
   test("videoFingerprint64: majority pooling, re-encode invariance, thinning robustness, containment") {
     def clip(frames: Seq[Array[Byte]]): Array[Byte] = Multimodal.videoBytes(frames)
     def gray(seed: Long) = Multimodal.synthGray(seed, 24, 16)
