@@ -128,7 +128,7 @@ private[queries] object RegistrySimilarity {
           v AS MATERIALIZED (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings WHERE embedding IS NOT NULL),
-          qvec AS (SELECT query_id, qvid, vec AS qvec FROM qv JOIN v ON v.vec_id = qv.qvid),
+          qvec AS MATERIALIZED (SELECT query_id, qvid, vec AS qvec FROM qv JOIN v ON v.vec_id = qv.qvid),
           sc AS (SELECT q.query_id, v.vec_id,
               round(list_sum(list_transform(list_zip(q.qvec, v.vec), p -> p[1] * p[2])) /
                 (sqrt(list_sum(list_transform(q.qvec, x -> x * x))) *
