@@ -131,7 +131,11 @@ object Similarity {
     * rank discipline every oracled ranking here uses. Ids fuse on
     * doc_id = vec_id (the corpus convention: an embedding row is the
     * vector modality of the same-id document; an id present in only
-    * one modality still fuses, with one null rank).
+    * one modality still fuses, with one null rank). A `queryVecId`
+    * that is absent (or null-embedded) makes the vector pool EMPTY
+    * and the output LEXICAL-ONLY (every vec_rank null) — the
+    * truncated-list definition's limiting case, documented rather
+    * than an error so the operator stays total on degenerate corpora.
     *
     * Output: (id, lex_rank, vec_rank — null when absent from that
     * pool, rrf 6 dp, rk), top `k` by (rrf desc, id), ordered by rk.
@@ -162,15 +166,15 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val qvec = corpus.filter(col("vec_id") === queryVecId)
       .select(col("vec").as("qvec"))
-    // FAIL-LOUD: a missing/null-embedding query vector would make the
-    // 1-row broadcast EMPTY and silently degrade the output to
-    // lexical-only ranking (k rows, every vec_rank null) — the one
-    // shape the fail-loud discipline elsewhere forbids. Bounded check:
-    // a 1-row collect behind the vec_id pushdown filter.
-    require(qvec.limit(1).collect().nonEmpty,
-      s"query vector $queryVecId is absent from embeddings (or its " +
-        "embedding is null): the vector pool would be empty and the " +
-        "fusion silently lexical-only — pass an id with a non-null embedding")
+    // DOCUMENTED DEGRADATION, not an error: a missing/null-embedding
+    // query vector makes the 1-row broadcast empty and the output
+    // LEXICAL-ONLY (every vec_rank null). This is the truncated-list
+    // RRF definition's limiting case — an id absent from a pool
+    // contributes 0, and an empty pool is absence for every id — and
+    // it is what keeps the operator total on degenerate corpora (the
+    // all-null twin, where the oracle computes the same fallback).
+    // Callers needing a hard guarantee check the panel op's
+    // per-query vec_rank nullity on the output.
     // explicit crossJoin: a condition-less .join plans as an INNER
     // BNLJ, which the plan lint (correctly) rejects — only the
     // unconditioned scalar Cross is structurally allowed
@@ -205,9 +209,10 @@ object Similarity {
     * query are IDENTICAL to the single-query op: truncated-list RRF
     * over the BM25 and exact-cosine pools, ranks on the ROUNDED scores
     * (4 dp, id tie-break), reciprocals summed in the fixed lex-first
-    * addend order, per-query top-k by (rrf desc, id). Every panel
-    * query's vector must exist with a non-null embedding (fail-loud,
-    * the single-query contract).
+    * addend order, per-query top-k by (rrf desc, id). A panel query
+    * whose vector is absent (or null-embedded) fuses LEXICAL-ONLY
+    * (vec_rank null) — the single-query op's documented degradation,
+    * applied per query.
     *
     * Scale shape (100 TB): the corpus tokenizes ONCE for all queries —
     * per-(doc, matched-term) BM25 contributions are computed against
@@ -277,15 +282,13 @@ object Similarity {
     val vids = queries.map(_._3)
     val panel = queries.map { case (qid, _, vid) => (qid, vid) }
       .toDF("query_id", "qvid")
+    // a panel query whose vector is missing (or null-embedded) gets an
+    // EMPTY vector pool and fuses lexical-only (vec_rank null) — the
+    // single-query op's documented degradation, per query; total on
+    // degenerate corpora (the all-null twin)
     val qvecs = corpus.filter(col("vec_id").isInCollection(vids))
       .join(broadcast(panel), col("vec_id") === col("qvid"))
       .select(col("query_id"), col("qvid"), col("vec").as("qvec"))
-    val got = qvecs.select("query_id").collect().map(_.getLong(0)).toSet
-    val missing = queries.map(_._1).filterNot(got)
-    require(missing.isEmpty,
-      s"query vectors missing from embeddings (or null) for query ids " +
-        s"${missing.mkString(", ")}: the vector pools would silently be " +
-        "empty — pass ids with non-null embeddings")
     val vecPool = corpus.join(broadcast(qvecs), col("vec_id") =!= col("qvid"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("vec")), 4).as("cos"))

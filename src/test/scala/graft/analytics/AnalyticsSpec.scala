@@ -2419,12 +2419,14 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.filter(_._1 == qid).toSeq == single,
         s"panel query $qid diverges from the single-query op")
     }
-    // a panel query whose vector is absent must fail loud, naming it
-    val err = intercept[IllegalArgumentException] {
-      Similarity.hybridRrfPanel(d, e,
-        Seq((7L, Seq("apple"), 999L)), k = 2, poolN = 2)
-    }
-    assert(err.getMessage.contains("7"), err.getMessage)
+    // a panel query whose vector is absent degrades LEXICAL-ONLY
+    // (vec_rank null on every row) — the documented truncated-list
+    // limiting case, which keeps the op total on the all-null twin
+    val lexOnly = Similarity.hybridRrfPanel(d, e,
+      Seq((7L, Seq("apple"), 999L)), k = 2, poolN = 2).collect()
+    assert(lexOnly.nonEmpty, "lexical pool must still rank")
+    assert(lexOnly.forall(_.isNullAt(3)), "vec_rank must be null throughout")
+    assert(lexOnly.forall(!_.isNullAt(2)), "every row must come from the lex pool")
   }
 
   test("trainHashedLogReg separates a marker class; report booleans are partition-invariant") {
