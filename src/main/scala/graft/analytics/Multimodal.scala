@@ -1097,17 +1097,26 @@ object Multimodal {
     * O(batch) memory, no shuffle; a real demuxer slots into the batch
     * loop without plan changes. */
   def frameSample(documents: DataFrame, everyK: Int,
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64): DataFrame =
+    frameSampleFrom(
+      withVideoPayload(graft.util.SparkUtil.widen(documents)), everyK,
+      batchSize)
+
+  /** Frame sampling over an ALREADY-ATTACHED payload column —
+    * container-dispatched ([[videoFrames]]: GVID or real MJPEG-in-AVI),
+    * so the same thinning op runs over whichever container the corpus
+    * carries. Same batched per-partition walk as [[frameSample]]. */
+  def frameSampleFrom(withPayload: DataFrame, everyK: Int,
+                      batchSize: Int = 64): DataFrame = {
     require(everyK >= 1, s"everyK must be >= 1: $everyK")
-    val src = withVideoPayload(graft.util.SparkUtil.widen(documents))
-      .select(col("doc_id"), col("payload"))
+    val src = withPayload.select(col("doc_id"), col("payload"))
     import src.sparkSession.implicits._
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real demuxer would hand `batch` to one vectorized call here
         batch.iterator.flatMap { case (id, payload) =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          parseFrames(payload).zipWithIndex.collect {
+          videoFrames(payload).zipWithIndex.collect {
             case (f, i) if i % everyK == 0 =>
               (id, i.toLong, md.digest(f).map("%02x".format(_)).mkString,
                 f.length.toLong)
@@ -1116,6 +1125,25 @@ object Multimodal {
       }
     }.toDF("doc_id", "frame_idx", "frame_md5", "frame_bytes")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Attach MJPEG-in-AVI containers whose `00dc` frames carry the SAME
+    * deterministic bytes as [[withVideoPayload]]'s GVID fixture
+    * (`frame:<doc_id>:<i>:<first-16-codepoints>`, doc_id % 7 + 1
+    * frames) — an AVI chunk body is opaque bytes, so the container is
+    * spec-legal regardless of content. The point: `mm_avi_frame_sample`
+    * gets an EXACT formula oracle (the mm_frame_sample SQL verbatim) —
+    * a match proves the RIFF/LIST/movi walk read the real
+    * little-endian chunk bytes, not a formula. Fixture synthesis. */
+  def withAviPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long, text: String) =>
+      val s = Option(text).getOrElse("")
+      val cps = s.codePoints().limit(16).toArray
+      val p = new String(cps, 0, cps.length)
+      aviMjpegBytes((0 until (docId % 7 + 1).toInt)
+        .map(i => s"frame:$docId:$i:$p".getBytes("UTF-8")), 24, 16)
+    }
+    documents.withColumn("payload", synth(col("doc_id"), col("text")))
   }
 
   /** The pinned aspect-ratio bucket panel for [[aspectBuckets]] —

@@ -1063,6 +1063,56 @@ object Similarity {
     reconStats(embeddings, codes.select(col("vec_id"),
       ivfPqReconCol(cellCentroids, codebook).as("rvec")))
 
+  /** Retrain-decision monitor for the MAINTAINED index — the metric
+    * that tells an operator WHEN to call [[graft.streaming
+    * .StreamingPipeline.reindexMaintained]]: the frozen model was
+    * trained on the base distribution, so as the appended stream
+    * drifts, the DELTA's reconstruction quality decays while the
+    * base's stays put (the standard IVF freshness trade, now
+    * measured per segment instead of guessed). One row:
+    * (n_base, n_delta, base_ok, delta_ok, needs_reindex) —
+    * `*_ok` = segment mean reconstruction cosine ≥ `minCos` (empty
+    * delta reads ok), `needs_reindex` = delta not ok OR the delta mean
+    * sits more than `maxDrop` below the base mean. `embeddings` must
+    * cover both segments' vec_ids (the reindex contract's
+    * source-of-truth corpus — reconstruction compares against the TRUE
+    * vectors).
+    *
+    * Scale shape (100 TB): ONE embeddings scan joined against the
+    * tagged union of the two codes tables (4 + m bytes a row); the
+    * reconstruction is the literal-matrix expression evaluated
+    * post-join; the aggregate is one row of conditional sums. */
+  def maintainedReconDrift(embeddings: DataFrame, cellCentroids: DataFrame,
+                           codebook: DataFrame, baseCodes: DataFrame,
+                           deltaCodes: DataFrame, minCos: Double = 0.5,
+                           maxDrop: Double = 0.1): DataFrame = {
+    val reconCol = ivfPqReconCol(cellCentroids, codebook)
+    val tagged = baseCodes
+      .select(col("vec_id"), col("cell"), col("codes"), lit(true).as("__base"))
+      .unionByName(deltaCodes
+        .select(col("vec_id"), col("cell"), col("codes"), lit(false).as("__base")))
+      .select(col("vec_id"), col("__base"), reconCol.as("rvec"))
+    val scored = graft.util.SparkUtil.widen(embeddings)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .join(tagged, Seq("vec_id"))
+      .select(col("__base"), cosine(col("vec"), col("rvec")).as("c"))
+    // coalesce: a global agg over an EMPTY join (degenerate corpus)
+    // returns null sums — the counts must read 0 so the booleans below
+    // take their defined empty-segment values
+    scored.agg(
+        coalesce(sum(when(col("__base"), 1L).otherwise(0L)), lit(0L)).as("n_base"),
+        coalesce(sum(when(!col("__base"), 1L).otherwise(0L)), lit(0L)).as("n_delta"),
+        avg(when(col("__base"), col("c"))).as("__mb"),
+        avg(when(!col("__base"), col("c"))).as("__md"))
+      .select(col("n_base"), col("n_delta"),
+        (col("n_base") === 0L || col("__mb") >= minCos).as("base_ok"),
+        (col("n_delta") === 0L || col("__md") >= minCos).as("delta_ok"),
+        (col("n_delta") > 0L &&
+          (col("__md") < minCos || col("__mb") - col("__md") > maxDrop))
+          .as("needs_reindex"))
+  }
+
   // ---- dimension truncation: the Matryoshka/prefix scale path ----
 
   /** Truncate embeddings to their first `dims` dimensions — the

@@ -353,5 +353,24 @@ private[queries] object RegistryMultimodal {
           md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
           octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
         FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
+      bench = true),
+
+    // frame sampling over the REAL container: the SAME deterministic
+    // frame bytes ride as AVI movi/00dc chunk bodies (a chunk body is
+    // opaque bytes — spec-legal), so the md5 compare is an EXACT
+    // formula oracle for the RIFF/LIST walk itself: a wrong chunk
+    // offset, a missed even-pad, or a misread little-endian size
+    // hash-mismatches. Same everyK=2 thinning as mm_frame_sample.
+    QueryDef("mm_avi_frame_sample",
+      (s, d) => Multimodal.frameSampleFrom(
+        Multimodal.withAviPayload(
+          graft.util.SparkUtil.widen(t(s, d, "documents"))), 2),
+      Some("""WITH f AS (SELECT doc_id, coalesce(substr(text, 1, 16), '') AS p,
+            unnest(range(0, doc_id % 7 + 1)) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+          md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
+          octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
+        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
       bench = true))
 }

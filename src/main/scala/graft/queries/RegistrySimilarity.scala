@@ -497,6 +497,38 @@ private[queries] object RegistrySimilarity {
         FROM embeddings WHERE embedding IS NOT NULL
         GROUP BY label ORDER BY label NULLS FIRST""")),
 
+    // Maintained-index DRIFT monitor — the retrain trigger for
+    // reindexMaintained: per-segment reconstruction quality of base vs
+    // delta codes under the frozen model. The fixture encodes a
+    // PLANTED-drift delta (every vector shifted +2.0 in dim 0, ids
+    // +6M) against the base-trained model — measured means are stable
+    // across SFs (base 0.87–0.88, drifted 0.59–0.61; an undrifted
+    // delta reads IDENTICAL to base), so minCos=0.7 / maxDrop=0.1
+    // split them with >=0.09 margin on both sides. The oracle derives
+    // the exact counts and the booleans via count() CASEs so the
+    // all-null twin (zero segments -> base_ok/delta_ok true,
+    // needs_reindex false) matches too.
+    QueryDef("sim_maintained_drift",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (cc, cb, codes) =
+          Similarity.ivfPqIndex(emb, nCells = 8, m = 16, ksub = 32, rounds = 3)
+        val drifted = emb.filter(col("embedding").isNotNull)
+          .select((col("vec_id") + 6000000L).as("vec_id"), col("label"),
+            expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+              "CASE WHEN i = 0 THEN 2.0 ELSE 0.0 END)").as("embedding"))
+        val deltaCodes = Similarity.ivfPqEncodeFrozen(drifted, cc, cb)
+        Similarity.maintainedReconDrift(emb.unionByName(drifted), cc, cb,
+          codes, deltaCodes, minCos = 0.7, maxDrop = 0.1)
+      },
+      // unbenched like sim_ivfpq_recon: the fixture's index TRAIN
+      // dominates (~12 s); the monitor itself is one codes-sized
+      // scan + join + single-row aggregate
+      Some("""SELECT count(*)::BIGINT AS n_base, count(*)::BIGINT AS n_delta,
+          TRUE AS base_ok, (count(*) = 0) AS delta_ok,
+          (count(*) > 0) AS needs_reindex
+        FROM embeddings WHERE embedding IS NOT NULL""")),
+
     // IVF-PQ SEARCH (the round-6 probe-first plan fix in one benched
     // query): index + ADC top-10 at nProbe=4 vs brute-force exact.
     // Raw recall@10 on unstructured random embeddings is too unstable

@@ -2403,6 +2403,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L), s"got $ids")
   }
 
+  test("maintainedReconDrift: clean delta reads identical to base, planted drift trips the flag, empty segments are ok") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cc, cb, codes) = Similarity.ivfPqIndex(emb, 4, 4, 8, 1)
+    val ccP = cc.localCheckpoint(true)
+    val cbP = cb.localCheckpoint(true)
+    val codesP = codes.localCheckpoint(true)
+    def shifted(off: Long, dim0Shift: Double) = emb
+      .filter(col("embedding").isNotNull)
+      .select((col("vec_id") + off).as("vec_id"), col("label"),
+        expr(s"transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+          s"CASE WHEN i = 0 THEN CAST($dim0Shift AS DOUBLE) ELSE 0.0 END)")
+          .as("embedding"))
+    // clean delta: identical vectors encode to identical codes, so the
+    // delta's reconstruction quality IS the base's — no flag even at a
+    // tight maxDrop. (The SMALL spec model reconstructs at mean ~0.435
+    // on the uniform table, drift ~0.324, gap ~0.11 — measured;
+    // thresholds below sit on those margins.)
+    val clean = shifted(7000000L, 0.0)
+    val cleanCodes = Similarity.ivfPqEncodeFrozen(clean, ccP, cbP)
+    val okRow = Similarity.maintainedReconDrift(emb.unionByName(clean),
+      ccP, cbP, codesP, cleanCodes, minCos = 0.3, maxDrop = 0.05).head()
+    assert(okRow.getLong(0) > 0 && okRow.getLong(0) == okRow.getLong(1))
+    assert(okRow.getBoolean(2) && okRow.getBoolean(3) && !okRow.getBoolean(4),
+      s"clean delta must not trip the reindex flag: $okRow")
+    // planted drift, minCos path: delta mean (~0.324) under 0.4, base
+    // (~0.435) above it
+    val drifted = shifted(6000000L, 2.0)
+    val driftCodes = Similarity.ivfPqEncodeFrozen(drifted, ccP, cbP)
+    val badRow = Similarity.maintainedReconDrift(emb.unionByName(drifted),
+      ccP, cbP, codesP, driftCodes, minCos = 0.4, maxDrop = 0.2).head()
+    assert(badRow.getBoolean(2) && !badRow.getBoolean(3) && badRow.getBoolean(4),
+      s"planted drift must trip the reindex flag (minCos path): $badRow")
+    // planted drift, gap path: both segments clear an easy minCos but
+    // the ~0.11 base-delta gap exceeds maxDrop
+    val gapRow = Similarity.maintainedReconDrift(emb.unionByName(drifted),
+      ccP, cbP, codesP, driftCodes, minCos = 0.0, maxDrop = 0.05).head()
+    assert(gapRow.getBoolean(2) && gapRow.getBoolean(3) && gapRow.getBoolean(4),
+      s"planted drift must trip the reindex flag (gap path): $gapRow")
+    // empty delta: ok by definition (nothing to decay), flag off —
+    // and the counts come back 0, not null (the empty-agg coalesce)
+    val empty = Similarity.maintainedReconDrift(emb, ccP, cbP, codesP,
+      cleanCodes.filter(lit(false)), minCos = 0.7, maxDrop = 0.1).head()
+    assert(empty.getLong(1) == 0L && empty.getBoolean(3) && !empty.getBoolean(4))
+    // fully empty corpus: one all-ok row with zero counts, never nulls
+    val allEmpty = Similarity.maintainedReconDrift(
+      emb.filter(lit(false)), ccP, cbP,
+      codesP.filter(lit(false)), cleanCodes.filter(lit(false)),
+      minCos = 0.7, maxDrop = 0.1).head()
+    assert(allEmpty.getLong(0) == 0L && allEmpty.getLong(1) == 0L &&
+      allEmpty.getBoolean(2) && allEmpty.getBoolean(3) && !allEmpty.getBoolean(4))
+  }
+
   test("hybridRrfPanel agrees with the single-query op per query; missing query vector fails loud") {
     val d = docs(1L -> "apple banana", 2L -> "banana cherry", 3L -> "cherry date",
       4L -> "apple apple date", 5L -> "banana banana banana")
