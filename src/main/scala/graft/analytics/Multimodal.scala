@@ -817,7 +817,11 @@ object Multimodal {
   def withTonePayload(documents: DataFrame, gain: Double = 1.0,
                       bits: Int = 8, channels: Int = 1,
                       seedOffset: Long = 0L, sr: Int = 8000): DataFrame = {
-    val n = (1440L * sr / 8000).toInt // 0.18 s at any rate
+    // ~0.18 s at any rate, floored to a multiple of 9 on the DRIVER —
+    // synthToneSamples requires n % 9 == 0, and a bare floor(1440·sr/
+    // 8000) violates it for rates like 11025 (would throw inside the
+    // executor-side UDF instead of synthesizing a fixture)
+    val n = 9 * (160L * sr / 8000).toInt
     val synth = udf { (docId: Long) =>
       wavBytes(channels, sr, bits,
         pcmQuantize(synthToneSamples(docId - seedOffset, n, sr),
@@ -1328,26 +1332,43 @@ object MediaDecode {
     val out = Seq.newBuilder[Array[Byte]]
     def fourcc(o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
-      var p = from
-      while (p + 8 <= until && p + 8 <= b.length) {
+    // ITERATIVE walk with an explicit frame stack — a recursive walk
+    // would StackOverflowError (an Error, uncatchable by NonFatal, so
+    // it would poison the whole task) on a crafted payload of tens of
+    // thousands of nested LIST headers; containment must hold on
+    // adversarial depth, not just byte corruption
+    var stack = List((12L, b.length.toLong, false)) // (pos, until, inMovi)
+    while (stack.nonEmpty) {
+      val (p0, until, inMovi) = stack.head
+      stack = stack.tail
+      var p = p0
+      var stop = false
+      while (!stop && p + 8 <= until && p + 8 <= b.length) {
         val id = fourcc(p.toInt)
         val size = le32(b, p.toInt + 4)
         val body = p + 8
         val bodyEnd = body + size
-        if (bodyEnd > b.length || bodyEnd > until) return // truncated
-        if (id == "LIST" && size >= 4) {
-          val lt = fourcc(body.toInt)
-          walk(body + 4, bodyEnd, inMovi || lt == "movi" || lt == "rec ")
-        } else if (inMovi && size > 0 &&
-          Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
-          (id.endsWith("dc") || id.endsWith("db"))) {
-          out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+        if (bodyEnd > b.length || bodyEnd > until) stop = true // truncated: keep parsed
+        else {
+          if (id == "LIST" && size >= 4) {
+            val lt = fourcc(body.toInt)
+            // descend FIRST, then resume this level after the list —
+            // pushed in that order so frames inside a list are emitted
+            // before siblings that follow it (the container order)
+            stack = (body + 4, bodyEnd, inMovi || lt == "movi" || lt == "rec ") ::
+              (bodyEnd + (size & 1), until, inMovi) :: stack
+            stop = true // hand control to the pushed frames
+          } else {
+            if (inMovi && size > 0 &&
+              Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+              out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+            }
+            p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
+          }
         }
-        p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
       }
     }
-    walk(12L, b.length.toLong, inMovi = false)
     out.result()
   }
 

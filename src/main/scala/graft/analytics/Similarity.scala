@@ -1108,8 +1108,12 @@ object Similarity {
       .select(col("n_base"), col("n_delta"),
         (col("n_base") === 0L || col("__mb") >= minCos).as("base_ok"),
         (col("n_delta") === 0L || col("__md") >= minCos).as("delta_ok"),
+        // the gap clause needs BOTH means: with an empty base, __mb is
+        // null and three-valued logic would bubble a NULL verdict out
+        // of the OR — coalesce pins it to "no gap evidence"
         (col("n_delta") > 0L &&
-          (col("__md") < minCos || col("__mb") - col("__md") > maxDrop))
+          (col("__md") < minCos ||
+            coalesce(col("__mb") - col("__md") > maxDrop, lit(false))))
           .as("needs_reindex"))
   }
 

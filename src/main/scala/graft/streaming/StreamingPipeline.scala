@@ -1206,6 +1206,19 @@ object StreamingPipeline {
         try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
       } else {
+        // no journal: any `.reindex_*` sibling is an orphan of a crash
+        // BEFORE its journal published (mid-train, or between the
+        // .complete stamp and the journal rename) — a full-size index
+        // copy each; sweep them or every failed retrain strands one
+        // permanently (compactMaintainedDelta's unjournaled-temp sweep,
+        // applied here)
+        val parent = new Path(indexDir).getParent
+        val baseName = new Path(indexDir).getName
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(baseName + ".reindex_"))
+            .foreach(st => fs.delete(st.getPath, true))
         val t = java.util.UUID.randomUUID().toString.take(8)
         val tmp = indexDir + s".reindex_$t"
         graft.analytics.Similarity.writeIvfPq(embeddings, tmp,

@@ -2453,9 +2453,18 @@ class AnalyticsSpec extends SparkSpec {
       minCos = 0.7, maxDrop = 0.1).head()
     assert(allEmpty.getLong(0) == 0L && allEmpty.getLong(1) == 0L &&
       allEmpty.getBoolean(2) && allEmpty.getBoolean(3) && !allEmpty.getBoolean(4))
+    // EMPTY BASE with a healthy delta: the gap clause has no base mean
+    // to compare against — the verdict must be a REAL false, not a SQL
+    // NULL bubbled through three-valued logic (round-16 review finding)
+    val emptyBase = Similarity.maintainedReconDrift(
+      emb.unionByName(clean), ccP, cbP,
+      codesP.filter(lit(false)), cleanCodes, minCos = 0.3, maxDrop = 0.05).head()
+    assert(emptyBase.getLong(0) == 0L && emptyBase.getLong(1) > 0L)
+    assert(!emptyBase.isNullAt(4) && !emptyBase.getBoolean(4),
+      s"empty base + healthy delta must verdict false, not null: $emptyBase")
   }
 
-  test("hybridRrfPanel agrees with the single-query op per query; missing query vector fails loud") {
+  test("hybridRrfPanel agrees with the single-query op per query; missing query vector degrades lexical-only") {
     val d = docs(1L -> "apple banana", 2L -> "banana cherry", 3L -> "cherry date",
       4L -> "apple apple date", 5L -> "banana banana banana")
     val e = vecs((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0), (2L, Seq(1f, 1f), 0),

@@ -262,6 +262,17 @@ class MultimodalPropertySpec extends AnyFunSuite {
     // linear-doc_id lesson: a collapse makes the band join quadratic)
     val fps = (0L until 100L).map(fp(_, 44100, 16, 1.0, 1))
     assert(fps.distinct.size == 100, s"fingerprints collapse: ${fps.distinct.size}")
+    // a rate where floor(1440·sr/8000) is NOT a multiple of 9: the
+    // fixture's sample count floors to one on the driver instead of
+    // throwing inside the UDF (round-16 review finding); no invariance
+    // claim here — the clip duration rounds slightly differently
+    val n11 = 9 * (160L * 11025 / 8000).toInt
+    assert(n11 % 9 == 0 && n11 > 0)
+    val wav11 = Multimodal.wavBytes(1, 11025, 16,
+      Multimodal.pcmQuantize(Multimodal.synthToneSamples(3L, n11, 11025), 16, 1.0, 1))
+    val (sr11, x11) = MediaDecode.wavPcmMono(wav11).get
+    assert(Multimodal.audioFingerprint64(sr11, x11).isDefined,
+      "11025 Hz fixture must fingerprint, not crash")
     // 8 kHz input takes the IDENTITY path: byte-compatible with every
     // prior round's persisted fingerprints
     val raw = Multimodal.synthToneSamples(5L)
@@ -379,6 +390,26 @@ class MultimodalPropertySpec extends AnyFunSuite {
       val c = avi.clone(); c(i) = (c(i) + 55).toByte
       MediaDecode.aviMjpegFrames(c) // no throw
     }
+    // ADVERSARIAL DEPTH containment: ~60k nested LIST headers — a
+    // recursive walk would StackOverflowError (an Error, outside
+    // NonFatal, poisoning the whole task); the iterative walk must
+    // return cleanly (regression: round-16 review finding)
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write("RIFF".getBytes("US-ASCII"))
+    val n = 60000
+    def le(v: Long, o: java.io.ByteArrayOutputStream): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    le(4L + n * 12L, deep)
+    deep.write("AVI ".getBytes("US-ASCII"))
+    (0 until n).foreach { i =>
+      deep.write("LIST".getBytes("US-ASCII"))
+      le((n - i - 1) * 12L + 4L, deep)
+      deep.write("movi".getBytes("US-ASCII"))
+    }
+    assert(MediaDecode.aviMjpegFrames(deep.toByteArray).isEmpty,
+      "deeply nested LISTs must parse to no frames, never overflow the stack")
   }
 
   test("videoFingerprint64: majority pooling, re-encode invariance, thinning robustness, containment") {

@@ -658,6 +658,23 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(base).list().toSeq
       .forall(n => !n.startsWith("index.reindex_")),
       "no temp/aside/journal residue after a completed rotation")
+    // ORPHAN sweep (round-16 review finding): a crash BEFORE the
+    // journal publishes strands a full-size trained temp index with
+    // nothing referencing it — the next run must sweep it, not let
+    // every failed retrain leak one index copy forever
+    val c3 = intercept[RuntimeException] {
+      StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+        nCells = 4, m = 4, ksub = 8, rounds = 1,
+        failAt = s => if (s == "trained") throw new RuntimeException("boom3"))
+    }
+    assert(c3.getMessage == "boom3")
+    assert(new java.io.File(base).list().exists(_.startsWith("index.reindex_")),
+      "the crashed run should have left an unjournaled temp")
+    StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+      nCells = 4, m = 4, ksub = 8, rounds = 1)
+    assert(new java.io.File(base).list().toSeq
+      .forall(n => !n.startsWith("index.reindex_")),
+      "unjournaled orphan temps must be swept at the next run's entry")
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
