@@ -820,8 +820,11 @@ object Multimodal {
     // ~0.18 s at any rate, floored to a multiple of 9 on the DRIVER —
     // synthToneSamples requires n % 9 == 0, and a bare floor(1440·sr/
     // 8000) violates it for rates like 11025 (would throw inside the
-    // executor-side UDF instead of synthesizing a fixture)
+    // executor-side UDF instead of synthesizing a fixture); the >0
+    // guard must ALSO fire here, or sr < 50 just moves the crash to
+    // the n > 0 clause of the same executor-side require
     val n = 9 * (160L * sr / 8000).toInt
+    require(n > 0, s"sample rate $sr is too low for the 0.18 s tone fixture")
     val synth = udf { (docId: Long) =>
       wavBytes(channels, sr, bits,
         pcmQuantize(synthToneSamples(docId - seedOffset, n, sr),
@@ -1332,41 +1335,55 @@ object MediaDecode {
     val out = Seq.newBuilder[Array[Byte]]
     def fourcc(o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // ITERATIVE walk with an explicit frame stack — a recursive walk
-    // would StackOverflowError (an Error, uncatchable by NonFatal, so
-    // it would poison the whole task) on a crafted payload of tens of
-    // thousands of nested LIST headers; containment must hold on
-    // adversarial depth, not just byte corruption
-    var stack = List((12L, b.length.toLong, false)) // (pos, until, inMovi)
-    while (stack.nonEmpty) {
-      val (p0, until, inMovi) = stack.head
-      stack = stack.tail
-      var p = p0
-      var stop = false
-      while (!stop && p + 8 <= until && p + 8 <= b.length) {
+    // ITERATIVE walk, descend-in-place with a BOUNDED resume stack —
+    // a recursive walk would StackOverflowError on a crafted payload
+    // of tens of thousands of nested LIST headers (an Error,
+    // uncatchable by NonFatal, poisoning the whole task), and an
+    // UNbounded explicit stack merely converts that into heap
+    // amplification (~5× payload as boxed frames → executor OOM, the
+    // same Error class). Descending mutates (p, until, inMovi) in
+    // place and pushes only the RESUME frame; depth past `maxDepth`
+    // skips the nested list wholesale — no real AVI nests beyond a
+    // handful of levels, so the cap is containment, not a feature
+    // loss. Containment holds by BOUND, not by heap size.
+    val maxDepth = 1024
+    var p = 12L
+    var until = b.length.toLong
+    var inMovi = false
+    var stack = List.empty[(Long, Long, Boolean)] // resume frames
+    var depth = 0
+    var running = true
+    while (running) {
+      if (p + 8 <= until && p + 8 <= b.length) {
         val id = fourcc(p.toInt)
         val size = le32(b, p.toInt + 4)
         val body = p + 8
         val bodyEnd = body + size
-        if (bodyEnd > b.length || bodyEnd > until) stop = true // truncated: keep parsed
-        else {
-          if (id == "LIST" && size >= 4) {
-            val lt = fourcc(body.toInt)
-            // descend FIRST, then resume this level after the list —
-            // pushed in that order so frames inside a list are emitted
-            // before siblings that follow it (the container order)
-            stack = (body + 4, bodyEnd, inMovi || lt == "movi" || lt == "rec ") ::
-              (bodyEnd + (size & 1), until, inMovi) :: stack
-            stop = true // hand control to the pushed frames
+        if (bodyEnd > b.length || bodyEnd > until) {
+          p = until // truncated: this level keeps what parsed
+        } else if (id == "LIST" && size >= 4) {
+          val lt = fourcc(body.toInt)
+          if (depth < maxDepth) {
+            stack = (bodyEnd + (size & 1), until, inMovi) :: stack
+            depth += 1
+            p = body + 4
+            until = bodyEnd
+            inMovi = inMovi || lt == "movi" || lt == "rec "
           } else {
-            if (inMovi && size > 0 &&
-              Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
-              (id.endsWith("dc") || id.endsWith("db"))) {
-              out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
-            }
-            p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
+            p = bodyEnd + (size & 1) // too deep: skip the nested list
           }
+        } else {
+          if (inMovi && size > 0 &&
+            Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+            out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+          }
+          p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
         }
+      } else stack match {
+        case (np, nu, nm) :: rest =>
+          p = np; until = nu; inMovi = nm; stack = rest; depth -= 1
+        case Nil => running = false
       }
     }
     out.result()

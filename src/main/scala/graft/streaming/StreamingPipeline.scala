@@ -1197,6 +1197,28 @@ object StreamingPipeline {
     import org.apache.hadoop.fs.Path
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exclusive lock (the compactMaintainedDelta discipline): the
+    // orphan sweep below would otherwise delete a CONCURRENT run's
+    // in-flight temp — run B sweeping run A's trained-but-unjournaled
+    // index turns a race into rotating an EMPTY index dir live. A
+    // crashed run leaves the lock; the error says when deleting it is
+    // safe.
+    val lock = new Path(indexDir + ".reindex_lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val age = try {
+            (System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime) / 1000
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+          throw new IllegalStateException(
+            s"reindex lock $lock already exists (age ${age}s): another " +
+              "reindex is running, or a previous one crashed — delete the " +
+              "lock once you are sure no reindex is in flight and re-run")
+      }
+    lockStream.close()
+    try {
     val journal = new Path(indexDir + ".reindex_journal")
     val token =
       if (fs.exists(journal)) {
@@ -1288,6 +1310,7 @@ object StreamingPipeline {
     failAt("pinned")
     fs.delete(journal, false)
     newId
+    } finally fs.delete(lock, false)
   }
 
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event

@@ -675,6 +675,20 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(base).list().toSeq
       .forall(n => !n.startsWith("index.reindex_")),
       "unjournaled orphan temps must be swept at the next run's entry")
+    // concurrent-run exclusion (round-16 second review pass): the
+    // orphan sweep is only safe under the lock — a held lock must
+    // refuse loud, and a completed run must have released it
+    Files.writeString(Paths.get(idx + ".reindex_lock"), "")
+    val locked = intercept[IllegalStateException] {
+      StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+        nCells = 4, m = 4, ksub = 8, rounds = 1)
+    }
+    assert(locked.getMessage.contains("lock"), locked.getMessage)
+    Files.delete(Paths.get(idx + ".reindex_lock"))
+    StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+      nCells = 4, m = 4, ksub = 8, rounds = 1)
+    assert(!Files.exists(Paths.get(idx + ".reindex_lock")),
+      "the lock must be released after a successful run")
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
