@@ -499,6 +499,7 @@ private[analytics] object JpegDecode {
       var mcusX = 0; var mcusY = 0
       var padBW = 0; var padBH = 0 // padded luma block grid
       var lumaCoef: Array[Array[Int]] = null // per block, zigzag order
+      var sawLumaScan = false // ≥1 luma SOS decoded; else all-zero coefs
       val lumaIdx = 0
       var p = 2
       var sawEoi = false
@@ -610,6 +611,9 @@ private[analytics] object JpegDecode {
                 if (se != 0) fail()
                 if (ns > 1 && (ns != comps.length ||
                   scanComps.map(_._1).toSeq != comps.indices.toSeq)) fail()
+                // interleaved always covers luma; single-comp covers it
+                // only when the component IS luma
+                if (ns > 1 || scanComps(0)._1 == lumaIdx) sawLumaScan = true
                 val reader = new BitReader(b, entropyStart)
                 val dcPred = new Array[Int](comps.length)
                 val dcs = scanComps.map { case (ci, td, _) =>
@@ -694,6 +698,7 @@ private[analytics] object JpegDecode {
                   // chroma band: an independent entropy segment — skip
                   p = nextMarker(b, entropyStart)
                 } else {
+                  sawLumaScan = true
                   val ac = acTabs(ta)
                   if (ac == null) fail()
                   val reader = new BitReader(b, entropyStart)
@@ -805,7 +810,11 @@ private[analytics] object JpegDecode {
           if (m != 0xda) p = segEnd
         }
       }
-      if (comps == null || lumaCoef == null) fail()
+      // a crafted SOF2+EOI stream with ZERO SOS scans would otherwise
+      // reconstruct the all-zero coefficient store into Some(mid-gray)
+      // where the baseline path returns None — require ≥1 luma scan
+      // (the baseline path's implicit SOS requirement)
+      if (comps == null || lumaCoef == null || !sawLumaScan) fail()
       val luma = comps(lumaIdx)
       if (quant(luma.tq) == null) fail()
       // reconstruct: one dequant + IDCT pass over the accumulated

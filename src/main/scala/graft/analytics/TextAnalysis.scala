@@ -585,6 +585,16 @@ object TextAnalysis {
     *    `holdoutMod = 0` disables both (every doc trains, final
     *    weights returned — [[trainHashedLogReg]]'s exact behavior).
     *
+    * CONTRACT: `nTrain`/`nHoldout` count docs that survive
+    * tokenization (≥1 exploded token). With the whitespace [[tokens]]
+    * tokenizer this is EVERY non-null-text doc — `split("", pat)`
+    * yields `[""]`, one (empty-string) token, so empty/whitespace-only
+    * text still produces a feature row and the oracle's
+    * pre-tokenization `WHERE text IS NOT NULL` count matches exactly
+    * (spec-pinned). A future tokenizer that can emit ZERO tokens would
+    * silently shrink these counts below the oracle's — re-mirror the
+    * oracle on `len(toks) > 0` if the tokenizer ever changes.
+    *
     * Accuracies are exact integer correct/total fractions — but over
     * float-sum-order-dependent weights, so the oracled surface stays
     * threshold BOOLEANS ([[classifierTrainReport]]). Scale shape

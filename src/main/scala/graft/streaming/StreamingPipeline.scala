@@ -948,8 +948,11 @@ object StreamingPipeline {
     if (ids.size < 3) return (ids.size, ids.size)
     // exclusive lock: two INTERLEAVED compactions delete each other's
     // published files — the one sequence that can lose rows — so the
-    // second fails loud. fs.create(overwrite=false) is the atomic
-    // create-if-absent primitive (the Bloom-sketch publish pattern).
+    // second fails loud. fs.create(overwrite=false) is the
+    // create-if-absent primitive (the Bloom-sketch publish pattern);
+    // truly atomic on HDFS, check-then-create (best-effort) on
+    // ChecksumFileSystem/object stores. The finally clause releases it
+    // even on exception — only a hard process kill strands it.
     val lock = new Path(root, ".compact_lock")
     val lockStream =
       try fs.create(lock, false)
@@ -1043,8 +1046,9 @@ object StreamingPipeline {
     * why this op is OFFLINE-ONLY, with the pipeline stopped (the same
     * operational stance as [[compactAdmissionStore]], which moreover
     * can fail a live query's planned-file-list batch either way).
-    * Concurrent runs are excluded by the same atomic lock file. The
-    * model-id pin is never touched. Returns (partitions before,
+    * Concurrent runs are excluded by the same create-if-absent lock
+    * file (atomic on HDFS, best-effort on local/object stores — see
+    * [[compactAdmissionStore]]). The model-id pin is never touched. Returns (partitions before,
     * after); no-op below 3 partitions (max is never folded, and one
     * covered partition has nothing to merge with). */
   def compactMaintainedDelta(spark: SparkSession, deltaDir: String,
@@ -1200,9 +1204,13 @@ object StreamingPipeline {
     // exclusive lock (the compactMaintainedDelta discipline): the
     // orphan sweep below would otherwise delete a CONCURRENT run's
     // in-flight temp — run B sweeping run A's trained-but-unjournaled
-    // index turns a race into rotating an EMPTY index dir live. A
-    // crashed run leaves the lock; the error says when deleting it is
-    // safe.
+    // index turns a race into rotating an EMPTY index dir live. The
+    // finally clause releases the lock even on exception; only a hard
+    // process KILL strands it, and the error below says when deleting
+    // it by hand is safe. NOTE fs.create(overwrite=false) is truly
+    // atomic on HDFS; on ChecksumFileSystem (local) and most object
+    // stores it is check-then-create, so mutual exclusion is
+    // best-effort there — same caveat as both `.compact_lock`s.
     val lock = new Path(indexDir + ".reindex_lock")
     val lockStream =
       try fs.create(lock, false)

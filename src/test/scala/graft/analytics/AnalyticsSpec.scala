@@ -2556,6 +2556,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(m0.weights.toSeq == w0.toSeq && m0.bias == b0 && m0.bestEpoch == 10)
   }
 
+  test("trainHashedLogRegHeldOut counts empty-text docs: n_train+n_holdout == non-null-text docs") {
+    // the oracle's n_holdout counts every NON-NULL-text doc via the md5
+    // split; the trainer counts docs surviving tokenization — with the
+    // whitespace tokenizer split("", pat) = [""] so the two sets are
+    // IDENTICAL even for empty/whitespace-only text (scaladoc contract;
+    // a zero-token-capable tokenizer would silently break this pin)
+    val d = docs((1L to 18L).map(i => i -> s"alpha tok$i"): _*)
+      .unionByName(Seq((19L, "", "en", "src", 0L), (20L, "   \t ", "en", "src", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val m = TextAnalysis.trainHashedLogRegHeldOut(d, col("doc_id") % 2 === 0,
+      nBuckets = 32, epochs = 3, lr = 5.0, l2 = 0.0, holdoutMod = 5)
+    assert(m.nTrain + m.nHoldout == 20,
+      s"empty-text docs fell out of the split: ${m.nTrain}+${m.nHoldout} != 20")
+  }
+
   test("trainHashedLogReg excludes null text and fails loud on an empty corpus") {
     val d = docs(1L -> "alpha x", 2L -> "beta y")
       .unionByName(Seq((9L, null.asInstanceOf[String], "en", "src", 0L))

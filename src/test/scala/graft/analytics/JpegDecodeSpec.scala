@@ -329,6 +329,23 @@ class JpegDecodeSpec extends AnyFunSuite {
       "baseline and progressive decodes of the same coefficients must be bit-identical")
   }
 
+  test("a progressive frame with ZERO SOS scans is malformed, not mid-gray") {
+    // crafted SOI + DQT + SOF2 + EOI: comps and the coefficient store
+    // are both allocated, but no scan ever ran — reconstructing would
+    // emit Some(uniform mid-gray) where the baseline path returns None
+    val o = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+    u16(0xffd8)                       // SOI
+    u16(0xffdb); u16(67); o.write(0x00) // DQT pq=0 tq=0
+    (0 until 64).foreach(_ => o.write(1))
+    u16(0xffc2); u16(11)              // SOF2, 1 component
+    o.write(8); u16(16); u16(16); o.write(1)
+    o.write(1); o.write(0x11); o.write(0)
+    u16(0xffd9)                       // EOI — no SOS ever
+    assert(MediaDecode.jpegLumaPixels(o.toByteArray).isEmpty,
+      "zero-scan progressive stream must be rejected, not decoded as gray")
+  }
+
   test("lossless/arithmetic frames remain out of profile") {
     // forge an SOF3 (lossless) header on an otherwise-valid stream
     val jpeg = Multimodal.jpegBytesGrayEncoded(24, 16, smoothGray(24, 16), 0.9f)
