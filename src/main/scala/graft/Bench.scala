@@ -331,7 +331,7 @@ object Bench {
     // the delta). 16 single-file micro-batches build a 16-partition
     // delta; the IDENTICAL ivfPqTopK probe is timed (best-of-2) over it
     // before and after the atomic-swap fold (16 partitions → 2).
-    val (msPreSecs, msPostSecs) = try {
+    val (msPreSecs, msDuringSecs, msPostSecs) = try {
       val embT = Registry.table(spark, sfDir, "embeddings")
       val vecs = embT.selectExpr("vec_id + 8000000 AS vec_id",
           "CAST(label AS BIGINT) AS label",
@@ -365,12 +365,25 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val pre = math.min(searchOnce(), searchOnce())
+      // the probe DURING a live fold — the manifest protocol's claim:
+      // search runs unbroken (and roughly flat) while compaction
+      // publishes its segment and swaps the manifest concurrently
+      @volatile var compactErr: Throwable = null
+      val folder = new Thread(() =>
+        try graft.streaming.StreamingPipeline.compactMaintainedDelta(spark, delta)
+        catch { case e: Throwable => compactErr = e })
+      folder.start()
+      val during = searchOnce()
+      folder.join()
+      if (compactErr != null) throw compactErr
+      // second maintenance entry sweeps the retired partitions, so the
+      // "compacted" probe measures the steady state
       graft.streaming.StreamingPipeline.compactMaintainedDelta(spark, delta)
       val post = math.min(searchOnce(), searchOnce())
-      (pre, post)
+      (pre, during, post)
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] maintained_search setup failed: ${e.getMessage}")
-      (-1.0, -1.0)
+      (-1.0, -1.0, -1.0)
     }
 
     // streaming twins with DataFrame→DataFrame shape (anomalyAlerts,
@@ -773,6 +786,7 @@ object Bench {
       "semantic_admission_stream" -> semSecs,
       "index_maintenance_stream" -> idxmSecs,
       "maintained_search_delta16" -> msPreSecs,
+      "maintained_search_live_compact" -> msDuringSecs,
       "maintained_search_compacted" -> msPostSecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -851,15 +851,16 @@ object Similarity {
     * .reindexMaintained]], whose rotation empties the delta first, so
     * the stale window closes at the next construction.
     *
-    * NOTE on compaction: delta partitions inherit the admission
-    * stores' small-files growth, but [[graft.streaming
-    * .StreamingPipeline.compactAdmissionStore]] must NOT be pointed
-    * here — its crash-safety is duplication-based, and duplicate CODE
-    * rows are not verdict-neutral (a vector appearing twice can
-    * displace a genuine top-k result). The duplicate-INtolerant fold
-    * is [[graft.streaming.StreamingPipeline.compactMaintainedDelta]]
-    * (atomic directory swap, newest batch excluded) — run it offline,
-    * same lock discipline. */
+    * COMPACTION: the delta's live partitions resolve through the
+    * store MANIFEST ([[graft.util.StoreManifest]]), so
+    * [[graft.streaming.StreamingPipeline.compactMaintainedDelta]] may
+    * run CONCURRENTLY with searches — the fold publishes a new
+    * segment, swaps the manifest atomically, and defers deleting the
+    * covered originals to the next maintenance entry, so a frame
+    * constructed against either manifest generation reads a complete,
+    * duplicate-free store (a held frame must still be acted on within
+    * one maintenance cycle — after the NEXT fold its resolved files
+    * are swept). */
   def maintainedCodes(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, deltaDir: String): DataFrame = {
     val base = spark.read.parquet(s"$indexDir/codes")
@@ -884,7 +885,9 @@ object Similarity {
           s"now holds model $current (retrained?): old delta codes decode " +
           "through the new codebook into meaningless distances — discard " +
           "the delta or re-encode it against the new model")
-      base.unionByName(spark.read.parquet(deltaDir).drop("batch_id"))
+      val live = graft.util.StoreManifest.livePaths(fs, deltaDir)
+      if (live.isEmpty) base
+      else base.unionByName(spark.read.parquet(live: _*))
     }
   }
 

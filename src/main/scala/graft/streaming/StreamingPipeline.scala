@@ -379,14 +379,14 @@ object StreamingPipeline {
       StructField("text", StringType, nullable = true),
       StructField("lang", StringType, nullable = true),
       StructField("source", StringType, nullable = true)))
-    // explicit read schema for the store (batch_id is the partition
-    // column): no footer-driven schema inference, so a crash-leftover
-    // batch dir with zero committed files reads as empty instead of
+    // explicit read schema for the store leaves (batch_id never
+    // appears — live partitions are resolved through the manifest and
+    // read as leaf dirs): no footer-driven schema inference, so an
+    // empty live path list or a fileless dir reads as empty instead of
     // wedging every retry in UNABLE_TO_INFER_SCHEMA
     val sigSchema = StructType(
       StructField("doc_id", org.apache.spark.sql.types.LongType) +:
-        (0 until numHashes).map(i => StructField(s"h$i", StringType)) :+
-        StructField("batch_id", org.apache.spark.sql.types.LongType))
+        (0 until numHashes).map(i => StructField(s"h$i", StringType)))
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(incomingDir)
@@ -410,21 +410,24 @@ object StreamingPipeline {
         try {
         val sigPath = new Path(sigDir)
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // live partitions resolve through the store MANIFEST (segments
+        // + unfolded batch dirs) so compaction can run concurrently —
+        // a REPLAYED batch (crash after the sink writes, before the
+        // checkpoint commit) must not see its own persisted signatures
+        // (it would band-collide every one of its docs with itself and
+        // overwrite the batch dirs with empty: permanent loss), so its
+        // own partition is excluded at PATH level; the fold never
+        // covers the newest partition, so replayed rows can never hide
+        // inside a segment.
+        val sigLive = graft.util.StoreManifest.livePaths(fs, sigDir,
+          excludeBatchId = Some(batchId))
         val corpusSig =
-          if (fs.exists(sigPath))
-            // a REPLAYED batch (crash after the sink writes, before the
-            // checkpoint commit) must not see its own persisted
-            // signatures — it would band-collide every one of its docs
-            // with itself and overwrite the batch dirs with empty:
-            // permanent loss. Excluding this batch's partition makes
-            // the replay compute against exactly the pre-batch store.
-            spark.read.schema(sigSchema).parquet(sigDir)
-              .filter(col("batch_id") =!= batchId)
-              .drop("batch_id")
+          if (sigLive.nonEmpty)
+            spark.read.schema(sigSchema).parquet(sigLive: _*)
           else
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(sigSchema.dropRight(1)))
+              sigSchema)
         // ONE signature pass per batch (the shingle+hash stage dominates
         // at scale — see Dedup.writeSignatures); admission, intra-batch
         // pairs, and the persisted store all derive from it. The batch
@@ -675,10 +678,11 @@ object StreamingPipeline {
       StructField("vec_id", LongType, nullable = false),
       StructField("label", LongType, nullable = true),
       StructField("embedding", ArrayType(DoubleType), nullable = true)))
+    // leaf-dir read schema: batch_id never appears (live partitions
+    // resolve through the store manifest)
     val storeSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("bucket", LongType),
-      StructField("vec", ArrayType(DoubleType)),
-      StructField("batch_id", LongType)))
+      StructField("vec", ArrayType(DoubleType))))
     val stream = spark.readStream.schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(incomingDir)
@@ -730,11 +734,15 @@ object StreamingPipeline {
               .select(Similarity.srpBucket(col("embedding"), dim, nBits)
                 .as("bucket"))
               .distinct().collect().map(_.getLong(0)).toSeq
+            // live partitions resolve through the store MANIFEST so
+            // compaction can run concurrently; replay exclusion is at
+            // PATH level (admissionPipeline's rationale — the fold
+            // never covers the newest partition)
+            val storeLive = graft.util.StoreManifest.livePaths(fs,
+              storeDir, excludeBatchId = Some(batchId))
             val store =
-              if (fs.exists(storePath))
-                spark.read.schema(storeSchema).parquet(storeDir)
-                  // replay: never see this batch's own persisted slice
-                  .filter(col("batch_id") =!= batchId)
+              if (storeLive.nonEmpty)
+                spark.read.schema(storeSchema).parquet(storeLive: _*)
                   .filter(col("bucket").isInCollection(
                     if (batchBuckets.isEmpty) Seq(-1L) else batchBuckets))
                   .select("bucket", "vec")
@@ -887,72 +895,66 @@ object StreamingPipeline {
     * trigger writes 8,640 partitions per DAY into the signature /
     * semantic store, and every micro-batch re-lists and re-plans over
     * all of them (store read cost grows with LIFETIME batches, not
-    * store rows). This folds every COMMITTED partition into one.
+    * store rows). Folds every committed partition below the newest
+    * into one segment via the MANIFEST protocol ([[compactStoreCore]]
+    * / [[graft.util.StoreManifest]]) — LIVE-safe: it may run
+    * concurrently with the admission pipeline, because readers resolve
+    * the partition list through the manifest, the swap is one atomic
+    * create-once manifest file, and nothing a pre-swap reader planned
+    * is deleted until the NEXT maintenance entry. The pre-manifest
+    * protocol published duplicate rows into a shared partition and had
+    * to run offline (a live reader's planned file list could be
+    * deleted under it); both constraints are gone.
     *
-    * Crash-safe by DUPLICATION, never loss — every step leaves the
-    * store complete and readable, because duplicate store rows are
-    * semantically harmless for admission (a membership candidate
-    * compared twice returns the same verdict; the band/bucket
-    * semi-joins are set-semantics):
-    *  1. target = the second-largest batch id. Every id < max(ids) is
-    *     COMMITTED (micro-batch N runs only after N−1's checkpoint
-    *     commit), so the compacted partition can never be excluded by
-    *     a crash-replay of the newest batch — compacting INTO max(ids)
-    *     itself would vanish from a replay of that batch (the
-    *     batch_id =!= current exclusion) and re-admit history.
-    *  2. The union of all partitions ≤ target is written (without the
-    *     partition column — it is directory-derived) to a dot-prefixed
-    *     temp dir Spark's reader ignores.
-    *  3. Each temp file moves into `batch_id=<target>/` under a
-    *     `compact-<token>-` name (per-file rename — partial completion
-    *     is partial duplication).
-    *  4. Only then are the covered originals deleted: partitions
-    *     strictly below target, then target's own files not named
-    *     `compact-<token>-` (earlier compactions' files included) —
-    *     every deleted row already lives in the new files.
-    * A crash anywhere re-converges by simply re-running; stale
-    * `.compact_*` temp dirs from crashed runs are swept at entry.
-    * CONCURRENT compactions are excluded by an atomic lock file
-    * (create-if-absent): two interleaved runs would delete each
-    * other's published files — the one sequence that CAN lose rows —
-    * so the second invocation fails loud instead (a crash leaves the
-    * lock behind; the error says how old it is and that deleting it is
-    * safe once no compaction is running). Run it OFFLINE (the intended
-    * mode): concurrent with a live pipeline, a store scan whose file
-    * list was planned before a delete fails that micro-batch with
-    * FileNotFoundException and TERMINATES the streaming query — the
-    * query must be restarted, and at-least-once replay absorbs the
-    * batch; this op never loses store rows either way, but it does not
-    * keep a live query running.
-    *
-    * Returns (partitions before, partitions after). No-op (returns
-    * unchanged counts) when fewer than 3 partitions exist — max(ids)
-    * is never touched, so 2 partitions have nothing to fold. Applies
-    * to the parquet stores ([[admissionPipeline]]'s signatures,
-    * [[semanticAdmissionPipeline]]'s vectors); the Bloom store is one
-    * sketch file per version and self-prunes. */
+    * Applies to the parquet stores ([[admissionPipeline]]'s
+    * signatures, [[semanticAdmissionPipeline]]'s vectors); the Bloom
+    * store is one sketch file per version and self-prunes. */
   def compactAdmissionStore(spark: SparkSession, storeDir: String,
-                            outputFiles: Int = 1): (Int, Int) = {
+                            outputFiles: Int = 1,
+                            failAt: String => Unit = _ => ()): (Int, Int) =
+    compactStoreCore(spark, storeDir, outputFiles, failAt)
+
+  /** The shared manifest-fold core behind [[compactAdmissionStore]]
+    * and [[compactMaintainedDelta]] — LIVE-safe by construction:
+    *
+    *  1. Under the `.compact_lock` (create-if-absent; atomic on HDFS,
+    *     best-effort on local/object stores; released in finally —
+    *     only a hard process kill strands it), sweep everything the
+    *     PREVIOUS manifest swap retired ([[graft.util.StoreManifest
+    *     .sweepStale]]). Deferring each fold's deletions to the NEXT
+    *     fold's entry is the whole trick: a reader that resolved the
+    *     pre-swap manifest keeps every file it planned until one full
+    *     maintenance cycle later.
+    *  2. covered = committed batch partitions with coveredMax < id <
+    *     max(ids) — the NEWEST partition is always excluded, so a
+    *     crash-replay of the in-flight micro-batch (always the newest)
+    *     still lands on its own partition and its rows can never hide
+    *     inside a segment.
+    *  3. The union of (current segments ∪ covered) is written to a new
+    *     `seg-<token>` dir. Readers never discover segments by listing
+    *     — only manifested names are read — so the unmanifested dir is
+    *     invisible; a crash here leaves garbage the next entry sweeps.
+    *  4. Manifest generation gen+1 is published naming ONLY the new
+    *     segment, coveredMax advanced (one atomic create-once file —
+    *     [[graft.util.StoreManifest.publish]]). Readers switch
+    *     atomically; nothing is deleted.
+    *
+    * Duplicate-intolerant for free (the fold product replaces its
+    * inputs in one manifest swap), so the codes delta and the
+    * duplication-tolerant admission stores share this path. Returns
+    * (live units before, after) where a unit is a segment or an
+    * unfolded batch partition; no-op when there are fewer than two
+    * units to merge below the newest batch. `failAt` is a test seam
+    * ("swept" / "segment_published" / "manifest_swapped"). */
+  private def compactStoreCore(spark: SparkSession, storeDir: String,
+                               outputFiles: Int,
+                               failAt: String => Unit): (Int, Int) = {
     import org.apache.hadoop.fs.Path
+    import graft.util.StoreManifest
     require(outputFiles >= 1, s"outputFiles must be >= 1: $outputFiles")
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"store $storeDir does not exist")
-    val Part = "batch_id=(\\d+)".r
-    def partitions(): Seq[Long] = fs.listStatus(root).toSeq
-      .filter(_.isDirectory).flatMap(_.getPath.getName match {
-        case Part(id) => Some(id.toLong)
-        case _ => None
-      }).sorted
-    val ids = partitions()
-    if (ids.size < 3) return (ids.size, ids.size)
-    // exclusive lock: two INTERLEAVED compactions delete each other's
-    // published files — the one sequence that can lose rows — so the
-    // second fails loud. fs.create(overwrite=false) is the
-    // create-if-absent primitive (the Bloom-sketch publish pattern);
-    // truly atomic on HDFS, check-then-create (best-effort) on
-    // ChecksumFileSystem/object stores. The finally clause releases it
-    // even on exception — only a hard process kill strands it.
     val lock = new Path(root, ".compact_lock")
     val lockStream =
       try fs.create(lock, false)
@@ -969,192 +971,68 @@ object StreamingPipeline {
       }
     lockStream.close()
     try {
-    // sweep temp dirs stranded by crashed runs (safe under the lock:
-    // no other run can be mid-publish)
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
-      .foreach(s => fs.delete(s.getPath, true))
-    val target = ids(ids.size - 2)
-    val covered = ids.filter(_ <= target)
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    // 2. union of covered partitions → dot temp dir (reader-invisible)
-    val tmp = new Path(root, s".compact_$token")
-    // leaf dirs are read directly, so no partition column is inferred
-    // and the compacted FILES carry none (batch_id stays dir-derived);
-    // outputFiles sizes the compacted partition (1 for test-scale, more
-    // when the store outgrows a single object)
-    spark.read.parquet(covered.map(id => s"$storeDir/batch_id=$id"): _*)
-      .coalesce(outputFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // 3. publish: move data files into the target partition
-    val targetDir = new Path(root, s"batch_id=$target")
-    val dataFiles = fs.listStatus(tmp).toSeq
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    require(dataFiles.nonEmpty, s"compaction produced no data files in $tmp")
-    dataFiles.zipWithIndex.foreach { case (f, i) =>
-      val dst = new Path(targetDir, s"compact-$token-$i.parquet")
-      require(fs.rename(f.getPath, dst), s"failed to publish ${f.getPath} -> $dst")
-    }
-    // 4. retire the covered originals (each row now lives in the
-    // compact files): partitions below target, then target's own
-    // non-this-token files
-    covered.filter(_ < target).foreach { id =>
-      fs.delete(new Path(root, s"batch_id=$id"), true)
-    }
-    fs.listStatus(targetDir).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith(s"compact-$token-"))
-      // keep commit-protocol markers out of scope; data files only
-      .filter(f => f.getPath.getName.endsWith(".parquet") ||
-        f.getPath.getName.startsWith("part-") ||
-        f.getPath.getName.startsWith("compact-"))
-      .foreach(f => fs.delete(f.getPath, false))
-    fs.delete(tmp, true)
-    (ids.size, partitions().size)
+      StoreManifest.sweepStale(fs, root)
+      failAt("swept")
+      val listing = fs.listStatus(root).toSeq
+      val m = StoreManifest.currentFrom(fs, root, listing)
+      val batchIds = StoreManifest.committedBatchDirs(fs, listing)
+        .map(_._1).filter(_ > m.coveredMax)
+      val liveBefore = m.segments.size + batchIds.size
+      val newestId = if (batchIds.nonEmpty) batchIds.max else Long.MinValue
+      val covered = batchIds.filter(_ < newestId)
+      val foldInputs = m.segments.map(s => s"$storeDir/$s") ++
+        covered.map(id => s"$storeDir/batch_id=$id")
+      if (foldInputs.size < 2) return (liveBefore, liveBefore)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val segName = s"seg-$token"
+      // leaf dirs are read directly (no batch_id column is inferred and
+      // the fold product carries none); outputFiles sizes the segment
+      // (1 for test-scale, more when the store outgrows one object)
+      spark.read.parquet(foldInputs: _*)
+        .coalesce(outputFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/$segName")
+      require(fs.exists(new Path(s"$storeDir/$segName/_SUCCESS")),
+        s"fold segment $segName carries no _SUCCESS marker")
+      failAt("segment_published")
+      val newCoveredMax = if (covered.nonEmpty) covered.max else m.coveredMax
+      StoreManifest.publish(fs, root,
+        StoreManifest(m.gen + 1, newCoveredMax, Seq(segName)))
+      failAt("manifest_swapped")
+      (liveBefore, 1 + batchIds.count(_ > newCoveredMax))
     } finally fs.delete(lock, false)
   }
 
-  /** Compact the MAINTAINED-INDEX codes delta — the duplicate-
-    * INtolerant sibling of [[compactAdmissionStore]], for the one
-    * batch_id-partitioned store that op must refuse: duplicate CODE
-    * rows are not verdict-neutral (a vector appearing twice can
-    * displace a genuine top-k result), so the fold here is by ATOMIC
-    * DIRECTORY SWAP, never duplication-tolerant overlap. Kills the
-    * same small-files growth on the SEARCH path — every
-    * [[graft.analytics.Similarity.maintainedCodes]] query re-lists the
-    * delta, so its read cost otherwise grows with LIFETIME batches
+  /** Compact the MAINTAINED-INDEX codes delta — kills the small-files
+    * growth on the SEARCH path: every [[graft.analytics.Similarity
+    * .maintainedCodes]] query resolves the delta's live partitions, so
+    * its read cost otherwise grows with LIFETIME batches
     * (8,640 partitions/day at a 10 s trigger).
     *
-    *  1. target = the second-largest batch id; covered = every id <
-    *     max(ids). Ids below max are COMMITTED (micro-batch N runs only
-    *     after N−1's checkpoint commit) and the newest batch is
-    *     EXCLUDED — a replay of it overwrites `batch_id=max` untouched
-    *     by the fold, so replay safety is preserved by construction.
-    *  2. The union of covered partitions (those holding committed
-    *     part files; a crashed write's `_temporary`-only dir holds no
-    *     rows and is simply retired) is written to a dot-prefixed temp
-    *     dir Spark's reader ignores — at no point can a reader see a
-    *     code row twice.
-    *  3. A journal file is published (tmp+rename). From this point the
-    *     swap WILL complete: this run, or the resume at the next run's
-    *     entry. Before the journal exists, a crash leaves only an
-    *     invisible temp (swept at next entry).
-    *  4. Covered partition dirs are deleted, then the temp dir is
-    *     renamed to `batch_id=<target>` (one atomic rename publishes
-    *     every compacted row), then the journal is deleted.
-    * A crash between 4's delete and rename leaves the covered range
-    * UNREADABLE (not duplicated) until the next run resumes — which is
-    * why this op is OFFLINE-ONLY, with the pipeline stopped (the same
-    * operational stance as [[compactAdmissionStore]], which moreover
-    * can fail a live query's planned-file-list batch either way).
-    * Concurrent runs are excluded by the same create-if-absent lock
-    * file (atomic on HDFS, best-effort on local/object stores — see
-    * [[compactAdmissionStore]]). The model-id pin is never touched. Returns (partitions before,
-    * after); no-op below 3 partitions (max is never folded, and one
-    * covered partition has nothing to merge with). */
+    * Same manifest fold as [[compactAdmissionStore]]
+    * ([[compactStoreCore]]): LIVE-safe — may run concurrently with the
+    * maintenance pipeline AND with searches, because a reader's
+    * resolved file list survives until the next maintenance entry and
+    * the swap is one atomic manifest publish. The manifest protocol is
+    * also duplicate-INtolerant by construction (the fold product
+    * replaces its inputs in one swap — a reader can never see a code
+    * row twice), which is what this store requires: duplicate CODE
+    * rows displace genuine top-k results. The pre-manifest journaled
+    * directory-swap protocol (offline-only — its swap window was
+    * unreadable) is retired; a store carrying a pending
+    * `.compact_journal` from a crashed pre-manifest run must complete
+    * that fold with the old release first (fail-loud below). The
+    * model-id pin is never touched. */
   def compactMaintainedDelta(spark: SparkSession, deltaDir: String,
                              outputFiles: Int = 1,
                              failAt: String => Unit = _ => ()): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    require(outputFiles >= 1, s"outputFiles must be >= 1: $outputFiles")
-    val root = new Path(deltaDir)
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"delta $deltaDir does not exist")
-    val Part = "batch_id=(\\d+)".r
-    def partitions(): Seq[Long] = fs.listStatus(root).toSeq
-      .filter(_.isDirectory).flatMap(_.getPath.getName match {
-        case Part(id) => Some(id.toLong)
-        case _ => None
-      }).sorted
-    val lock = new Path(root, ".compact_lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          val age = try {
-            (System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime) / 1000
-          } catch { case scala.util.control.NonFatal(_) => -1L }
-          throw new IllegalStateException(
-            s"compaction lock $lock already exists (age ${age}s): another " +
-              "compaction is running, or a previous one crashed — delete the " +
-              "lock once you are sure no compaction is in flight and re-run")
-      }
-    lockStream.close()
-    try {
-      val journal = new Path(root, ".compact_journal")
-      // FIRST: complete any journaled in-flight swap from a crashed run
-      // (its temp holds rows whose originals may be partially deleted —
-      // sweeping it would LOSE codes)
-      if (fs.exists(journal)) resumeDeltaFold(fs, root, journal)
-      // only then are unjournaled temps garbage
-      fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
-        .foreach(s => fs.delete(s.getPath, true))
-      val ids = partitions()
-      if (ids.size < 3) return (ids.size, ids.size)
-      val covered = ids.dropRight(1)
-      val target = covered.last
-      def hasData(id: Long): Boolean =
-        fs.listStatus(new Path(root, s"batch_id=$id")).exists(f =>
-          f.isFile && f.getPath.getName.startsWith("part-"))
-      val readable = covered.filter(hasData)
-      if (readable.isEmpty) {
-        // every covered dir is a crashed write holding no committed
-        // rows — retiring them loses nothing and needs no journal
-        covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
-        return (ids.size, partitions().size)
-      }
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new Path(root, s".compact_$token")
-      spark.read.parquet(readable.map(id => s"$deltaDir/batch_id=$id"): _*)
-        .coalesce(outputFiles)
-        .write.mode("overwrite").parquet(tmp.toString)
-      require(fs.exists(new Path(tmp, "_SUCCESS")),
-        s"compacted temp $tmp carries no _SUCCESS marker")
-      val jTmp = new Path(root, ".compact_journal.tmp")
-      val os = fs.create(jTmp, true)
-      try os.write(s"$token\n$target\n${covered.mkString(" ")}\n".getBytes("UTF-8"))
-      finally os.close()
-      require(fs.rename(jTmp, journal), s"failed to publish journal $journal")
-      failAt("journaled") // test seam: crash with journal + temp + originals
-      covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
-      failAt("covered_deleted") // test seam: crash mid-swap, originals gone
-      require(fs.rename(tmp, new Path(root, s"batch_id=$target")),
-        s"failed to swap $tmp -> batch_id=$target")
-      fs.delete(journal, false)
-      (ids.size, partitions().size)
-    } finally fs.delete(lock, false)
-  }
-
-  /** Complete a [[compactMaintainedDelta]] swap whose run crashed after
-    * publishing its journal: the temp (if still present) holds every
-    * covered row, so the only safe direction is FORWARD — delete the
-    * remaining covered originals and rename the temp in. If the temp is
-    * gone the rename already happened and only the journal is stale. */
-  private def resumeDeltaFold(fs: org.apache.hadoop.fs.FileSystem,
-                              root: org.apache.hadoop.fs.Path,
-                              journal: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.Path
-    val in = fs.open(journal)
-    val lines = try scala.io.Source.fromInputStream(in).getLines().toList
-      finally in.close()
-    require(lines.size >= 3, s"corrupt compaction journal $journal: $lines")
-    val token = lines.head.trim
-    val target = lines(1).trim.toLong
-    val covered = lines(2).trim.split("\\s+").filter(_.nonEmpty).map(_.toLong)
-    val tmp = new Path(root, s".compact_$token")
-    val targetDir = new Path(root, s"batch_id=$target")
-    if (fs.exists(tmp)) {
-      require(fs.exists(new Path(tmp, "_SUCCESS")),
-        s"journaled temp $tmp lacks _SUCCESS — journals are only published " +
-          "after a complete temp write; refusing to guess")
-      covered.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
-      require(fs.rename(tmp, targetDir), s"failed to swap $tmp -> $targetDir")
-    } else {
-      require(fs.exists(targetDir),
-        s"corrupt compaction state: neither $tmp nor $targetDir exists")
-    }
-    fs.delete(journal, false)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ".compact_journal")),
+      s"$deltaDir carries a pending pre-manifest compaction journal: its " +
+        "covered originals may be partially deleted and the only complete " +
+        "copy of those rows is the journaled temp — complete the fold with " +
+        "the release that wrote the journal before compacting here")
+    compactStoreCore(spark, deltaDir, outputFiles, failAt)
   }
 
   /** First-class RETRAIN of the maintained IVF-PQ index — the
@@ -1226,6 +1104,27 @@ object StreamingPipeline {
               "lock once you are sure no reindex is in flight and re-run")
       }
     lockStream.close()
+    // ALSO hold the delta's .compact_lock while the rotation runs: the
+    // now-LIVE-safe compactMaintainedDelta may be scheduled
+    // independently, and a fold mid-flight while this rotation deletes
+    // the delta dir would resurrect covered rows from its segment (or
+    // crash half-published). Same create-if-absent discipline; the
+    // rotation deleting deltaDir deletes the held lock with it — the
+    // finally tolerates that.
+    val deltaLock = new Path(deltaDir + "/.compact_lock")
+    if (fs.exists(new Path(deltaDir))) {
+      val dls =
+        try fs.create(deltaLock, false)
+        catch {
+          case _: java.io.IOException =>
+            fs.delete(lock, false)
+            throw new IllegalStateException(
+              s"delta compaction lock $deltaLock is held: a compaction is " +
+                "running (or crashed) on the delta this reindex would " +
+                "retire — wait for it or clear the lock, then re-run")
+        }
+      dls.close()
+    }
     try {
     val journal = new Path(indexDir + ".reindex_journal")
     val token =
@@ -1318,7 +1217,10 @@ object StreamingPipeline {
     failAt("pinned")
     fs.delete(journal, false)
     newId
-    } finally fs.delete(lock, false)
+    } finally {
+      fs.delete(deltaLock, false) // gone already if the delta was retired
+      fs.delete(lock, false)
+    }
   }
 
   /** A4/A5/A7 — streaming windowed metrics over a timestamped event

@@ -392,7 +392,7 @@ class PipelineSpec extends SparkSpec {
     assert(umsg.contains("no model-id pin"), s"wrong failure: $umsg")
   }
 
-  test("compactAdmissionStore: folds committed partitions, preserves membership, duplication-tolerant, admission unchanged") {
+  test("compactAdmissionStore: manifest fold preserves membership, deferred deletion, admission unchanged") {
     val in = Files.createTempDirectory("graft_cadm_in").toString
     val base = Files.createTempDirectory("graft_cadm").toString
     val (st, out, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
@@ -412,19 +412,30 @@ class PipelineSpec extends SparkSpec {
       f.toFile.setLastModified(1700000000000L + i * 2000L)
     }
     runOnce()
-    def partDirs(): Seq[String] = new java.io.File(st).list().toSeq
-      .filter(_.startsWith("batch_id=")).sorted
-    def storeRows(): Set[(Long, Long)] = spark.read.parquet(st)
-      .select("vec_id", "bucket").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val before = storeRows()
-    assert(partDirs().size >= 3, s"need >=3 partitions: ${partDirs()}")
-    val maxId = partDirs().map(_.stripPrefix("batch_id=").toLong).max
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirsOnDisk(): Seq[Long] = new java.io.File(st).list().toSeq
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+      .sorted
+    // the manifest-resolved LIVE view — what the pipeline reads
+    def liveRows(): Set[(Long, Long)] = {
+      val paths = graft.util.StoreManifest.livePaths(fs, st)
+      if (paths.isEmpty) Set.empty
+      else spark.read.parquet(paths: _*).select("vec_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = liveRows()
+    assert(batchDirsOnDisk().size >= 3, s"need >=3 partitions: ${batchDirsOnDisk()}")
+    val maxId = batchDirsOnDisk().max
     val (nb, na) = StreamingPipeline.compactAdmissionStore(spark, st)
-    assert(na == 2 && nb >= 3, s"expected fold to 2 partitions: $nb -> $na")
-    // membership preserved exactly; max(ids) partition untouched
-    assert(storeRows() == before, "compaction must preserve membership")
-    assert(partDirs().map(_.stripPrefix("batch_id=").toLong).max == maxId)
+    assert(na == 2 && nb >= 3, s"expected fold to 2 live units: $nb -> $na")
+    assert(liveRows() == before, "the fold must preserve membership exactly")
+    // DEFERRED DELETION: the covered originals are still on disk (a
+    // reader that resolved the pre-fold manifest keeps its file list
+    // until the NEXT maintenance entry) but no longer live
+    assert(batchDirsOnDisk().max == maxId)
+    assert(batchDirsOnDisk().size >= 3,
+      "covered originals must survive until the next maintenance entry")
     // admission continuity over the compacted store: an old dup (scaled
     // copy of batch-0's vector) must still be rejected, a novel admitted
     Files.writeString(Paths.get(in, "b5.jsonl"),
@@ -434,14 +445,12 @@ class PipelineSpec extends SparkSpec {
     val admitted = spark.read.parquet(out).select("vec_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(admitted == Seq(0L, 1L, 2L, 3L, 51L), s"admitted: $admitted")
-    // duplication tolerance (the crash-window state): resurrect a fake
-    // old partition duplicating existing rows — admission verdicts are
-    // unchanged, and a re-run of compaction converges
+    // a resurrected COVERED partition (the crash-window state of the old
+    // protocol) is invisible through the manifest: verdicts unchanged
     val dupDir = Paths.get(st, "batch_id=0")
-    Files.createDirectories(dupDir)
     val srcFile = new java.io.File(s"$st/batch_id=${maxId - 1}").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
-    Files.copy(srcFile.toPath, dupDir.resolve("compact-old-0.parquet"))
+    Files.copy(srcFile.toPath, dupDir.resolve("resurrected-dup.parquet"))
     Files.writeString(Paths.get(in, "b6.jsonl"),
       vec(60L, axis(1).map(_ * 3)) + "\n" +
         vec(61L, Seq(-0.5, 0.5, -0.5, 0.5)))
@@ -449,19 +458,22 @@ class PipelineSpec extends SparkSpec {
     val admitted2 = spark.read.parquet(out).select("vec_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(admitted2 == Seq(0L, 1L, 2L, 3L, 51L, 61L),
-      s"duplicated store rows changed verdicts: $admitted2")
-    val rowsWithDup = storeRows()
-    val (_, na2) = StreamingPipeline.compactAdmissionStore(spark, st)
-    assert(na2 == 2, s"re-run must re-converge: $na2")
-    assert(storeRows() == rowsWithDup, "convergence must preserve membership")
-    // no-op below 3 partitions
+      s"resurrected covered rows changed verdicts: $admitted2")
+    val afterB6 = liveRows()
+    // the NEXT maintenance entry sweeps everything the last swap retired
+    // (covered originals incl. the resurrected file, superseded segment,
+    // old manifest generations) and folds the post-fold batches in
+    val (nb2, na2) = StreamingPipeline.compactAdmissionStore(spark, st)
+    assert(na2 == 2, s"re-fold must converge to 2 live units: $nb2 -> $na2")
+    assert(liveRows() == afterB6, "membership preserved across re-fold")
+    assert(!batchDirsOnDisk().exists(_ < maxId),
+      s"retired partitions must be swept at the next entry: ${batchDirsOnDisk()}")
+    // no-op when only [segment, newest] remain
     val again = StreamingPipeline.compactAdmissionStore(spark, st)
     assert(again == ((2, 2)), s"expected no-op: $again")
     // concurrent-run exclusion: a held lock fails LOUD (two interleaved
-    // compactions deleting each other's published files is the one
-    // sequence that can lose rows)
+    // folds could sweep each other's in-flight segment)
     Files.writeString(Paths.get(st, ".compact_lock"), "")
-    // re-grow to 3 partitions so compaction would otherwise proceed
     Files.writeString(Paths.get(in, "b7.jsonl"), vec(70L, Seq(0.1, 0.9, 0.2, 0.1)))
     runOnce()
     val locked = intercept[IllegalStateException] {
@@ -469,13 +481,13 @@ class PipelineSpec extends SparkSpec {
     }
     assert(locked.getMessage.contains("lock"), locked.getMessage)
     Files.delete(Paths.get(st, ".compact_lock"))
-    // stale temp dirs from a crashed run are swept at entry
-    val stale = Paths.get(st, ".compact_deadbeef")
+    // a crashed fold's unmanifested segment is swept at entry
+    val stale = Paths.get(st, "seg-deadbeef")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("junk.parquet"), "not parquet")
     val (_, naf) = StreamingPipeline.compactAdmissionStore(spark, st)
     assert(naf == 2 && !Files.exists(stale),
-      s"stale tmp must be swept: exists=${Files.exists(stale)}")
+      s"stale unmanifested segment must be swept: exists=${Files.exists(stale)}")
     // the lock is released after a successful run
     assert(!Files.exists(Paths.get(st, ".compact_lock")))
   }
@@ -523,32 +535,46 @@ class PipelineSpec extends SparkSpec {
     assert(partDirs().size == 4, s"need 4 partitions: ${partDirs()}")
     val before = codesSet()
     val searchBefore = searchSet()
-    // crash AFTER the journal publishes, BEFORE any original is deleted:
-    // the temp is reader-invisible, so the maintained view is unchanged
+    // LIVE-safety, part 1: a frame resolved BEFORE the fold must still
+    // collect correctly AFTER it (deferred deletion keeps its files)
+    val preFoldFrame = Similarity.maintainedCodes(spark, idx, delta)
+    // crash AFTER the segment publishes, BEFORE the manifest swap: the
+    // unmanifested segment is reader-invisible — view unchanged
     val c1 = intercept[RuntimeException] {
       StreamingPipeline.compactMaintainedDelta(spark, delta,
-        failAt = s => if (s == "journaled") throw new RuntimeException("crash1"))
+        failAt = s => if (s == "segment_published") throw new RuntimeException("crash1"))
     }
     assert(c1.getMessage == "crash1")
     assert(codesSet() == before, "pre-swap crash must leave the view unchanged")
-    // re-run resumes the journaled swap, then has nothing further to fold
-    StreamingPipeline.compactMaintainedDelta(spark, delta)
-    assert(partDirs().size == 2, s"fold to [target, max]: ${partDirs()}")
+    // LIVE-safety, part 2: the full fold with a READER AT EVERY SEAM —
+    // the deterministic interleaving of a concurrent search with every
+    // step of the protocol; each must see the identical code set
+    val seams = scala.collection.mutable.Buffer[String]()
+    StreamingPipeline.compactMaintainedDelta(spark, delta, failAt = { s =>
+      seams += s
+      assert(codesSet() == before, s"concurrent reader at seam $s diverged")
+    })
+    assert(seams.toSeq == Seq("swept", "segment_published", "manifest_swapped"),
+      s"unexpected seams: $seams")
     assert(codesSet() == before, "fold must preserve codes EXACTLY (no dup, no loss)")
     assert(searchSet() == searchBefore, "search must be identical over the folded delta")
-    // grow again, then crash mid-swap (originals deleted, temp pending)
+    // deferred deletion: the pre-fold frame's resolved files survive
+    assert(preFoldFrame.count() == before.size.toLong,
+      "a frame resolved before the fold must still collect after it")
+    assert(partDirs().size == 4,
+      "covered originals must survive until the next maintenance entry")
+    // grow again; the next entry sweeps the retired partitions and folds
     addBatches((12L, 15L), (15L, 18L))
     runOnce()
-    assert(partDirs().size == 4)
     val full = codesSet()
-    val c2 = intercept[RuntimeException] {
-      StreamingPipeline.compactMaintainedDelta(spark, delta,
-        failAt = s => if (s == "covered_deleted") throw new RuntimeException("crash2"))
-    }
-    assert(c2.getMessage == "crash2")
-    StreamingPipeline.compactMaintainedDelta(spark, delta)
-    assert(partDirs().size == 2, s"resume must complete the swap: ${partDirs()}")
-    assert(codesSet() == full, "mid-swap crash + resume must converge to the exact set")
+    assert(full.size == before.size + 6)
+    val (nb2, na2) = StreamingPipeline.compactMaintainedDelta(spark, delta)
+    assert(na2 == 2, s"re-fold must converge to [segment, newest]: $nb2 -> $na2")
+    assert(codesSet() == full, "re-fold must preserve the exact set")
+    // the FIRST fold's covered partitions (0..2) were swept at this
+    // entry; THIS fold's covered (3, 4) stay until the next one
+    assert(partDirs().forall(_.stripPrefix("batch_id=").toLong >= 3),
+      s"retired partitions must be swept at the next entry: ${partDirs()}")
     // replay safety: the newest batch is EXCLUDED from the fold, so a
     // crash-replay of it (overwrite) still lands on its own partition
     addBatches((18L, 21L))
@@ -561,14 +587,22 @@ class PipelineSpec extends SparkSpec {
     assert(codesSet().size == full.size + 3, "replay duplicated or lost codes")
     // the model-id pin was never touched
     assert(Files.exists(Paths.get(delta + "_model_id")))
-    // a third fold converges again (3 → 2), then 2 partitions are a
-    // no-op (max is never folded; one covered dir has no merge partner)
+    // a third fold converges again (3 → 2), then [segment, newest] is a
+    // no-op (the newest is never folded; one segment has no merge partner)
     val afterReplay = codesSet()
     assert(StreamingPipeline.compactMaintainedDelta(spark, delta) == ((3, 2)))
     assert(codesSet() == afterReplay)
     val noop = StreamingPipeline.compactMaintainedDelta(spark, delta)
     assert(noop == ((2, 2)), s"expected no-op: $noop")
     assert(!Files.exists(Paths.get(delta, ".compact_lock")))
+    // a pending PRE-MANIFEST journal refuses loudly (its covered
+    // originals may be half-deleted; only the old release can finish it)
+    Files.writeString(Paths.get(delta, ".compact_journal"), "tok\n1\n0 1\n")
+    val legacy = intercept[IllegalArgumentException] {
+      StreamingPipeline.compactMaintainedDelta(spark, delta)
+    }
+    assert(legacy.getMessage.contains("pre-manifest"), legacy.getMessage)
+    Files.delete(Paths.get(delta, ".compact_journal"))
   }
 
   test("reindexMaintained: atomic retrain rotation, crash re-converges at both seams, pipeline restarts pinned") {
