@@ -864,9 +864,22 @@ object Similarity {
   def maintainedCodes(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, deltaDir: String): DataFrame = {
     val base = spark.read.parquet(s"$indexDir/codes")
+    maintainedDeltaCodes(spark, indexDir, deltaDir) match {
+      case Some(delta) => base.unionByName(delta)
+      case None => base
+    }
+  }
+
+  /** The pin-checked DELTA side of [[maintainedCodes]] on its own —
+    * `None` when the delta dir is absent or holds no live rows (same
+    * fail-loud pin semantics as the union; the drift monitor needs the
+    * segments separately, so the check lives once here). */
+  def maintainedDeltaCodes(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String,
+                           deltaDir: String): Option[DataFrame] = {
     val dPath = new org.apache.hadoop.fs.Path(deltaDir)
     val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dPath)) base
+    if (!fs.exists(dPath)) None
     else {
       val pinPath = new org.apache.hadoop.fs.Path(deltaDir + "_model_id")
       require(fs.exists(pinPath),
@@ -886,8 +899,8 @@ object Similarity {
           "through the new codebook into meaningless distances — discard " +
           "the delta or re-encode it against the new model")
       val live = graft.util.StoreManifest.livePaths(fs, deltaDir)
-      if (live.isEmpty) base
-      else base.unionByName(spark.read.parquet(live: _*))
+      if (live.isEmpty) None
+      else Some(spark.read.parquet(live: _*))
     }
   }
 

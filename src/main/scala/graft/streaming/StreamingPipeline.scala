@@ -2843,6 +2843,61 @@ object StreamingPipeline {
       .orderBy("query_name")
   }
 
+  /** One scheduled tick of the maintained-index DRIFT MONITOR into the
+    * `_monitoring` sink — [[graft.analytics.Similarity
+    * .maintainedReconDrift]] is a batch op an operator must remember
+    * to run; this emits its one-row verdict as a JSONL row next to the
+    * engine counters (the [[attachMonitoring]] discipline), so
+    * `needs_reindex` PAGES through the same [[monitoringTable]] /
+    * alert-policy path instead of waiting to be queried. Run it on a
+    * caller-chosen cadence (cron next to the compaction schedule).
+    *
+    * Segments read through the same pin-checked manifest resolution as
+    * search ([[graft.analytics.Similarity.maintainedDeltaCodes]]) —
+    * live-safe against a concurrent fold; an absent/empty delta
+    * measures base-only (n_delta 0, the defined ok reading).
+    * `embeddings` must cover both segments' vec_ids (the reindex
+    * contract's source-of-truth corpus). Row:
+    * (query_name, tick, model_id, n_base, n_delta, base_ok, delta_ok,
+    * needs_reindex) at `dir/_monitoring/<queryName>/tick_<n>.json` —
+    * n = one past the highest existing tick, so rows append and
+    * [[monitoringTable]] reads the history back. Returns
+    * `needs_reindex`. */
+  def driftMonitorTick(spark: SparkSession, embeddings: DataFrame,
+                       indexDir: String, deltaDir: String, dir: String,
+                       queryName: String = "maintained_drift",
+                       minCos: Double = 0.5,
+                       maxDrop: Double = 0.1): Boolean = {
+    import graft.analytics.Similarity
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val base = spark.read.parquet(s"$indexDir/codes")
+    val delta = Similarity.maintainedDeltaCodes(spark, indexDir, deltaDir)
+      .getOrElse(base.limit(0))
+    val r = Similarity.maintainedReconDrift(embeddings, cells, codebook,
+      base, delta, minCos, maxDrop).head()
+    val modelId = Similarity.ivfPqModelId(cells, codebook)
+    val qdir = new org.apache.hadoop.fs.Path(s"$dir/_monitoring/$queryName")
+    val fs = qdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Tick = "tick_(\\d+)\\.json".r
+    val next =
+      if (!fs.exists(qdir)) 0L
+      else fs.listStatus(qdir).flatMap(_.getPath.getName match {
+        case Tick(n) => Some(n.toLong)
+        case _ => None
+      }).foldLeft(-1L)(math.max) + 1L
+    val needsReindex = r.getBoolean(4)
+    val row =
+      s"""{"query_name":${jsonQuote(queryName)},"tick":$next,""" +
+        s""""model_id":${jsonQuote(modelId)},""" +
+        s""""n_base":${r.getLong(0)},"n_delta":${r.getLong(1)},""" +
+        s""""base_ok":${r.getBoolean(2)},"delta_ok":${r.getBoolean(3)},""" +
+        s""""needs_reindex":$needsReindex}"""
+    val os = fs.create(new org.apache.hadoop.fs.Path(qdir, s"tick_$next.json"), true)
+    try os.write((row + "\n").getBytes("UTF-8")) finally os.close()
+    needsReindex
+  }
+
   /** Bounded forged-skew drain for the `stream_skew_alerts` oracle
     * gate: the [[monitoringDemoPanel]] fixture extended with a FOURTH
     * file that lands two more late-window rows, so TWO consecutive

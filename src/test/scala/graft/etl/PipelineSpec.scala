@@ -723,6 +723,71 @@ class PipelineSpec extends SparkSpec {
       nCells = 4, m = 4, ksub = 8, rounds = 1)
     assert(!Files.exists(Paths.get(idx + ".reindex_lock")),
       "the lock must be released after a successful run")
+    // a live-scheduled delta COMPACTION must exclude the rotation (the
+    // rotation deletes the delta dir a concurrent fold is mid-publish
+    // into) — reindex refuses while the delta's .compact_lock is held
+    Files.createDirectories(Paths.get(delta))
+    Files.writeString(Paths.get(delta, ".compact_lock"), "")
+    val foldLocked = intercept[IllegalStateException] {
+      StreamingPipeline.reindexMaintained(spark, fullEmb2, idx, delta, in, ckpt,
+        nCells = 4, m = 4, ksub = 8, rounds = 1)
+    }
+    assert(foldLocked.getMessage.contains("compaction lock"),
+      foldLocked.getMessage)
+    assert(!Files.exists(Paths.get(idx + ".reindex_lock")),
+      "a refused run must not strand its own reindex lock")
+    Files.delete(Paths.get(delta, ".compact_lock"))
+  }
+
+  test("driftMonitorTick: pages needs_reindex into the _monitoring sink, ticks append, read-back shape") {
+    import graft.analytics.Similarity
+    val in = Files.createTempDirectory("graft_drift_in").toString
+    val base = Files.createTempDirectory("graft_drift").toString
+    val (idx, delta, ckpt) = (s"$base/index", s"$base/delta", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeIvfPq(emb, idx, nCells = 4, m = 4, ksub = 8, rounds = 1)
+    // planted drift: +2.0 on dim 0 (the maintainedReconDrift spec's
+    // fixture — measured base ~0.435 vs drifted ~0.324 on this small
+    // model, so minCos 0.4 separates the segments)
+    val drifted = emb.filter(col("embedding").isNotNull)
+      .select((col("vec_id") + 6000000L).as("vec_id"), col("label"),
+        expr("transform(embedding, (x, i) -> CAST(x AS DOUBLE) + " +
+          "CASE WHEN i = 0 THEN 2.0D ELSE 0.0D END)").as("embedding"))
+    val f = Paths.get(in, "b1.jsonl")
+    Files.writeString(f, drifted.toJSON.collect().mkString("\n"))
+    val q = StreamingPipeline.indexMaintenancePipeline(spark, in, idx, delta,
+      ckpt, trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1).start()
+    q.awaitTermination(120000)
+    val truth = emb.unionByName(drifted) // source-of-truth corpus
+    // tick 0: the drifted delta trips the flag and the verdict lands in
+    // the monitoring sink
+    val fired = StreamingPipeline.driftMonitorTick(spark, truth, idx, delta,
+      base.toString, minCos = 0.4, maxDrop = 0.2)
+    assert(fired, "planted drift must page")
+    // tick 1: thresholds nothing can breach — appends, reads false
+    val quiet = StreamingPipeline.driftMonitorTick(spark, truth, idx, delta,
+      base.toString, minCos = 0.0, maxDrop = 10.0)
+    assert(!quiet)
+    val mon = StreamingPipeline.monitoringTable(spark, base.toString,
+      "maintained_drift").orderBy("tick")
+    val rows = mon.select("tick", "query_name", "model_id", "n_base",
+      "n_delta", "base_ok", "delta_ok", "needs_reindex").collect()
+    assert(rows.length == 2, s"expected 2 ticks: ${rows.length}")
+    val nDelta = drifted.count()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong && r.getString(1) == "maintained_drift")
+      assert(r.getString(2).length == 32, "model_id must be the md5 pin")
+      assert(r.getLong(3) > 0 && r.getLong(4) == nDelta, s"counts: $r")
+    }
+    assert(rows(0).getBoolean(7) && !rows(1).getBoolean(7))
+    // agreement with the batch op it wraps
+    val direct = Similarity.maintainedReconDrift(truth,
+      spark.read.parquet(s"$idx/cells"), spark.read.parquet(s"$idx/codebook"),
+      spark.read.parquet(s"$idx/codes"),
+      Similarity.maintainedDeltaCodes(spark, idx, delta).get,
+      minCos = 0.4, maxDrop = 0.2).head()
+    assert(direct.getBoolean(4) == rows(0).getBoolean(7),
+      "tick verdict must equal the batch op's")
   }
 
   test("batch pipeline routes errors, writes events, counts per file") {
