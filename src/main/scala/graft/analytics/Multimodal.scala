@@ -1053,12 +1053,29 @@ object Multimodal {
     * identity to preserve). Containers: the GVID fixture walk and REAL
     * MJPEG-in-AVI ([[videoFrames]] dispatch — the AVI demux + the JPEG
     * entropy decoder composed); videos whose container yields no
-    * decodable frame return None. */
-  def videoFingerprint64(payload: Array[Byte]): Option[Long] = {
-    val hashes = videoFrames(payload).flatMap { f =>
-      MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
-        .map { case (w, h, g) => dHash64(g, w, h) }
-    }
+    * decodable frame return None.
+    *
+    * `frameStep` bounds the per-video DECODE cost: the demux yields
+    * frame boundaries without decoding pixels, so hashing only every
+    * `frameStep`-th frame (from frame 0) cuts the entropy-decode bill
+    * ~frameStep× — the dominant cost at video scale (mm_avi_neardup's
+    * 180k frame decodes). The default 1 keeps persisted fingerprints
+    * byte-compatible; thinned pools carry the CORRELATED-thinning
+    * contract (≤3 Hamming vs the full pool on real clips,
+    * spec-measured — uncorrelated stills have no stable identity to
+    * preserve, the documented videoFingerprint64 caveat). Copies with
+    * frame-aligned content (re-exports) thin to the SAME frame
+    * indices, so planted near-dup pairs stay Hamming 0 at any step. */
+  def videoFingerprint64(payload: Array[Byte],
+                         frameStep: Int = 1): Option[Long] = {
+    require(frameStep >= 1, s"frameStep must be >= 1: $frameStep")
+    val frames = videoFrames(payload)
+    val hashes = frames.iterator.zipWithIndex
+      .filter(_._2 % frameStep == 0)
+      .flatMap { case (f, _) =>
+        MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
+          .map { case (w, h, g) => dHash64(g, w, h) }
+      }.toSeq
     if (hashes.isEmpty) None
     else {
       var bits = 0L
@@ -1078,8 +1095,10 @@ object Multimodal {
     * [[videoFingerprint64]] through the shared [[fingerprintPayloads]]
     * scaffold. */
   def videoFingerprints(withPayload: DataFrame,
-                        batchSize: Int = 64): DataFrame =
-    fingerprintPayloads(withPayload, batchSize)(videoFingerprint64)
+                        batchSize: Int = 64,
+                        frameStep: Int = 1): DataFrame =
+    fingerprintPayloads(withPayload, batchSize)(
+      videoFingerprint64(_, frameStep))
 
   /** Perceptual VIDEO near-dup pairs — completes the trilogy next to
     * [[imageNearDupPairs]] (stills) and [[audioNearDupPairs]] (PCM):
@@ -1090,9 +1109,9 @@ object Multimodal {
     * decode pass (8 B of hash per clip crosses the wire) + the banded
     * equi-join. */
   def videoNearDupPairs(withPayload: DataFrame, maxDist: Int = 3,
-                        batchSize: Int = 64): DataFrame =
+                        batchSize: Int = 64, frameStep: Int = 1): DataFrame =
     Dedup.simhashNearDupPairsFromFingerprints(
-      videoFingerprints(withPayload, batchSize), maxDist)
+      videoFingerprints(withPayload, batchSize, frameStep), maxDist)
 
   /** Frame sampling — keep every `everyK`-th frame of each video
     * payload, emitting (doc_id, frame_idx, frame_md5, frame_bytes).

@@ -340,6 +340,27 @@ private[queries] object RegistryMultimodal {
       },
       Some(plantedPairOracleSql), bench = true),
 
+    // the SAME real-container near-dup with frameStep=4 thinning — the
+    // bounded-decode-cost path (only every 4th frame's entropy decode
+    // runs; boundaries come free from the demux). The planted oracle
+    // is UNCHANGED: a re-export copy has frame-aligned pixel-identical
+    // content, so both sides thin to the same frame indices and the
+    // pooled fingerprints stay bit-identical — Hamming 0 at any step.
+    // Benched next to mm_avi_neardup to price the thinning.
+    QueryDef("mm_avi_neardup_step4",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        plantedNearDupAudit(docs,
+          Multimodal.withAviPixelPayload(docs, quality = 0.9f),
+          Multimodal.withAviPixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            quality = 0.9f, pixelSeedOffset = 10000000L,
+            progressive = true, junk = 64),
+          Multimodal.videoNearDupPairs(_, frameStep = 4))
+      },
+      Some(plantedPairOracleSql), bench = true),
+
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
     // bytes from the deterministic formula, so the md5 compare proves

@@ -457,6 +457,23 @@ class MultimodalPropertySpec extends AnyFunSuite {
       clip(frames6.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f })).get
     assert(java.lang.Long.bitCount(full ^ thin) <= 3,
       s"thinned clip drifted ${java.lang.Long.bitCount(full ^ thin)} bits")
+    // the frameStep knob IS that thinning, done in-place (the demux
+    // yields boundaries without decoding — only every k-th frame's
+    // pixel decode runs): step-2 over the full clip must equal the
+    // hand-thinned clip exactly, and the correlated bound carries over
+    assert(Multimodal.videoFingerprint64(clip(frames6), frameStep = 2)
+      .contains(thin), "frameStep=2 must equal the hand-thinned pool")
+    val step3 = Multimodal.videoFingerprint64(clip(frames6), frameStep = 3).get
+    assert(java.lang.Long.bitCount(full ^ step3) <= 3,
+      s"step-3 pool drifted ${java.lang.Long.bitCount(full ^ step3)} bits")
+    // frame-aligned copies (re-exports) thin to the SAME indices: the
+    // planted-pair Hamming stays 0 at any step
+    assert(Multimodal.videoFingerprint64(a, frameStep = 2) ==
+      Multimodal.videoFingerprint64(b, frameStep = 2),
+      "re-encoded copies must stay identical under thinning")
+    // step beyond the frame count degenerates to frame 0 only, not None
+    assert(Multimodal.videoFingerprint64(clip(frames6), frameStep = 100)
+      .contains(Multimodal.videoFingerprint64(clip(frames6.take(1))).get))
     // containment: no decodable frame -> None; corruption never throws
     assert(Multimodal.videoFingerprint64(
       clip(Seq("not a png".getBytes("UTF-8")))).isEmpty)
