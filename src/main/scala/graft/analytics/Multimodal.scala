@@ -992,14 +992,203 @@ object Multimodal {
     o.toByteArray
   }
 
+  /** A REAL MJPEG-in-MP4 container of the given sample bodies — an
+    * ISO-BMFF (14496-12) file: `ftyp`, optional `free` pad (the
+    * byte-different re-container knob), `mdat` holding the samples,
+    * and a spec-shaped `moov` (mvhd; trak: tkhd + mdia(mdhd timescale
+    * 25 / duration = n frames, hdlr `vide`, minf(vmhd + dinf/dref +
+    * stbl(stsd `jpeg` VisualSampleEntry w×h, stts, stsc 1-per-chunk,
+    * stsz per-sample sizes, stco/co64 absolute offsets)))). One chunk
+    * per sample, offsets computed against the final layout. Fixture
+    * synthesis per the public spec — the DEMUX under test is
+    * [[MediaDecode.mp4JpegSamples]]/[[MediaDecode.mp4Tracks]]. Never
+    * on the 100 TB path. */
+  def mp4MjpegBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    freePad: Int = 0, co64: Boolean = false): Array[Byte] = {
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >> 8) & 0xff); o.write(v & 0xff)
+    }
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def w64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w32(o, v >>> 32); w32(o, v & 0xffffffffL)
+    }
+    def box(tp: String)(fill: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      fill(body)
+      val bb = body.toByteArray
+      val o = new java.io.ByteArrayOutputStream(8 + bb.length)
+      w32(o, 8L + bb.length); o.write(tp.getBytes("US-ASCII")); o.write(bb)
+      o.toByteArray
+    }
+    val ftyp = box("ftyp") { o =>
+      o.write("isom".getBytes("US-ASCII")); w32(o, 0x200L)
+      o.write("isom".getBytes("US-ASCII")); o.write("mp41".getBytes("US-ASCII"))
+    }
+    val free =
+      if (freePad > 0) box("free")(o => (0 until freePad).foreach(_ => o.write(0x66)))
+      else Array.emptyByteArray
+    val mdat = box("mdat")(o => frames.foreach(o.write))
+    val base = ftyp.length.toLong + free.length + 8L // first sample offset
+    val offsets = frames.scanLeft(base)(_ + _.length).init
+    val n = frames.length.toLong
+    val mvhd = box("mvhd") { o =>
+      w32(o, 0L); w32(o, 0L); w32(o, 0L) // v0+flags, creation, modification
+      w32(o, 1000L); w32(o, n * 40L)     // movie timescale, duration
+      w32(o, 0x00010000L); w16(o, 0x0100); w16(o, 0) // rate, volume, reserved
+      w32(o, 0L); w32(o, 0L)             // reserved
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(w32(o, _))              // unity matrix
+      (0 until 6).foreach(_ => w32(o, 0L)) // pre_defined
+      w32(o, 2L)                          // next track id
+    }
+    val tkhd = box("tkhd") { o =>
+      w32(o, 7L)                          // v0 + flags: enabled|in-movie|preview
+      w32(o, 0L); w32(o, 0L); w32(o, 1L); w32(o, 0L) // times, track id, reserved
+      w32(o, n * 40L)                     // duration (movie timescale)
+      w32(o, 0L); w32(o, 0L)              // reserved
+      w16(o, 0); w16(o, 0); w16(o, 0); w16(o, 0) // layer, group, volume, reserved
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+        .foreach(w32(o, _))
+      w32(o, width.toLong << 16); w32(o, height.toLong << 16) // 16.16 fixed
+    }
+    val mdhd = box("mdhd") { o =>
+      w32(o, 0L); w32(o, 0L); w32(o, 0L)
+      w32(o, 25L); w32(o, n)              // media timescale 25, duration n
+      w16(o, 0x55c4); w16(o, 0)           // language 'und', pre_defined
+    }
+    val hdlr = box("hdlr") { o =>
+      w32(o, 0L); w32(o, 0L)
+      o.write("vide".getBytes("US-ASCII"))
+      (0 until 3).foreach(_ => w32(o, 0L))
+      o.write(0)                          // empty name
+    }
+    val stsd = box("stsd") { o =>
+      w32(o, 0L); w32(o, 1L)              // v0+flags, entry count
+      val entry = box("jpeg") { e =>
+        (0 until 6).foreach(_ => e.write(0)); w16(e, 1) // reserved, dref index
+        (0 until 4).foreach(_ => w32(e, 0L))            // pre_defined/reserved
+        w16(e, width); w16(e, height)
+        w32(e, 0x00480000L); w32(e, 0x00480000L)        // 72 dpi h/v
+        w32(e, 0L); w16(e, 1)                            // reserved, frame count
+        (0 until 32).foreach(_ => e.write(0))            // compressorname
+        w16(e, 24); w16(e, 0xffff)                       // depth, pre_defined -1
+      }
+      o.write(entry)
+    }
+    val stts = box("stts") { o =>
+      w32(o, 0L); w32(o, 1L); w32(o, n); w32(o, 1L)
+    }
+    val stsc = box("stsc") { o =>
+      w32(o, 0L); w32(o, 1L); w32(o, 1L); w32(o, 1L); w32(o, 1L)
+    }
+    val stsz = box("stsz") { o =>
+      w32(o, 0L); w32(o, 0L); w32(o, n)
+      frames.foreach(f => w32(o, f.length.toLong))
+    }
+    val stcoBox = box(if (co64) "co64" else "stco") { o =>
+      w32(o, 0L); w32(o, n)
+      offsets.foreach(off => if (co64) w64(o, off) else w32(o, off))
+    }
+    val stbl = box("stbl") { o =>
+      o.write(stsd); o.write(stts); o.write(stsc); o.write(stsz); o.write(stcoBox)
+    }
+    val minf = box("minf") { o =>
+      o.write(box("vmhd") { v => w32(v, 1L); w32(v, 0L); w32(v, 0L) })
+      o.write(box("dinf") { d =>
+        d.write(box("dref") { r =>
+          w32(r, 0L); w32(r, 1L)
+          r.write(box("url ")(u => w32(u, 1L))) // self-contained flag
+        })
+      })
+      o.write(stbl)
+    }
+    val mdia = box("mdia") { o => o.write(mdhd); o.write(hdlr); o.write(minf) }
+    val trak = box("trak") { o => o.write(tkhd); o.write(mdia) }
+    val moov = box("moov") { o => o.write(mvhd); o.write(trak) }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(free); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+
+  /** Attach MJPEG-in-MP4 payloads whose frames are REAL ImageIO JPEGs
+    * — the [[withAviPixelPayload]] analog over the ISO-BMFF writer
+    * (same seed → same pixels, so a GVID/AVI/MP4 triple of one doc
+    * pools to the identical fingerprint). `progressive` re-encodes
+    * every frame as SOF2 and `freePad` re-containers with a `free`
+    * box — the re-export duplication mode. Fixture synthesis, not a
+    * 100 TB operator. */
+  def withMp4PixelPayload(documents: DataFrame, quality: Float = 0.9f,
+                          pixelSeedOffset: Long = 0L,
+                          progressive: Boolean = false,
+                          freePad: Int = 0): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val seed = docId - pixelSeedOffset
+      mp4MjpegBytes((0 until (seed % 3 + 2).toInt).map(i =>
+        jpegBytesGrayEncoded(24, 16, synthGray(seed * 31 + i, 24, 16),
+          quality, progressive)), 24, 16, freePad)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Attach metadata-shape MP4 payloads (deterministic opaque sample
+    * bytes — the [[withVideoPayload]] formula — inside a real ISO-BMFF
+    * container whose dims follow a doc_id formula): the
+    * [[mp4Features]] oracle fixture. doc_id % 2 picks stco vs co64 so
+    * both offset-table widths stay exercised. */
+  def withMp4Payload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long, text: String) =>
+      val s = Option(text).getOrElse("")
+      val cps = s.codePoints().limit(16).toArray
+      val p = new String(cps, 0, cps.length)
+      mp4MjpegBytes((0 until (docId % 7 + 1).toInt)
+        .map(i => s"frame:$docId:$i:$p".getBytes("UTF-8")),
+        (docId % 640 + 16).toInt, (docId % 360 + 9).toInt,
+        co64 = docId % 2 == 1)
+    }
+    documents.withColumn("payload", synth(col("doc_id"), col("text")))
+  }
+
+  /** Parsed MP4 track panel over synthesized containers — the
+    * [[mediaFeatures]]/[[audioFeatures]] analog for the dominant real
+    * video container: one row per (doc, track) from [[MediaDecode
+    * .mp4Tracks]] parsing REAL bytes (box walk + sample tables), so a
+    * wrong offset, endianness, or largesize/co64 misread breaks the
+    * formula oracle. Output: (doc_id, track_idx, handler, codec,
+    * width, height, duration_ms, n_samples), ordered. */
+  def mp4Features(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val withP = withMp4Payload(graft.util.SparkUtil.widen(documents))
+    withP.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap {
+        case (id, payload) =>
+          MediaDecode.mp4Tracks(payload).zipWithIndex.map { case (t, i) =>
+            (id, i.toLong, t.handler, t.codec, t.width.toLong,
+              t.height.toLong, t.durationMs, t.nSamples)
+          }
+      }))
+      .toDF("doc_id", "track_idx", "handler", "codec", "width", "height",
+        "duration_ms", "n_samples")
+      .orderBy("doc_id", "track_idx")
+  }
+
   /** Frames of an opaque video payload, by container magic: the GVID
-    * fixture walk, or the REAL MJPEG-in-AVI demux ([[MediaDecode
-    * .aviMjpegFrames]]). Unknown containers yield no frames (the
-    * fingerprint drops the doc — perceptual identity is defined over
-    * decodable media). */
+    * fixture walk, the REAL MJPEG-in-AVI demux ([[MediaDecode
+    * .aviMjpegFrames]]), or the REAL MJPEG-in-MP4 sample walk
+    * ([[MediaDecode.mp4JpegSamples]]). Unknown containers yield no
+    * frames (the fingerprint drops the doc — perceptual identity is
+    * defined over decodable media). */
   def videoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
     val gvid = parseFrames(payload)
-    if (gvid.nonEmpty) gvid else MediaDecode.aviMjpegFrames(payload)
+    if (gvid.nonEmpty) gvid
+    else {
+      val avi = MediaDecode.aviMjpegFrames(payload)
+      if (avi.nonEmpty) avi else MediaDecode.mp4JpegSamples(payload)
+    }
   }
 
   /** Attach MJPEG-in-AVI payloads whose frames are REAL ImageIO JPEGs
@@ -1406,6 +1595,227 @@ object MediaDecode {
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO-BMFF (ISO/IEC 14496-12) — the dominant real video
+  // container: a box tree (4-byte big-endian size + 4-byte type;
+  // size==1 → 64-bit largesize follows; size==0 → to the end of the
+  // enclosing container). The demux walks moov/trak/mdia/minf/stbl,
+  // reads the sample tables (stsd codec + dims, stsz sizes, stsc
+  // sample-to-chunk runs, stco/co64 chunk offsets, mdhd
+  // timescale/duration, hdlr handler) and resolves per-sample byte
+  // ranges — so `jpeg`-codec tracks (MJPEG-in-MP4) feed the JPEG
+  // entropy decoder exactly like AVI `00dc` bodies, and every track
+  // yields dims/duration metadata. Containment discipline per the AVI
+  // walk lesson: descent depth capped (the containers we descend are a
+  // fixed five-deep hierarchy; a crafted payload nesting them 10k deep
+  // must bound, not overflow), every offset bounds-checked, declared
+  // sizes clamped, total extracted bytes capped.
+
+  /** One parsed MP4 track: handler fourcc (`vide`/`soun`), sample-
+    * entry codec fourcc, visual dims (0 for non-visual), media
+    * duration in ms (from mdhd duration/timescale), sample count. */
+  final case class Mp4Track(handler: String, codec: String,
+                            width: Int, height: Int,
+                            durationMs: Long, nSamples: Long)
+
+  private final class Mp4TrakRaw {
+    var handler: String = ""
+    var codec: String = ""
+    var width: Int = 0
+    var height: Int = 0
+    var timescale: Long = 0L
+    var duration: Long = 0L
+    var fixedSize: Long = 0L
+    var nSamples: Long = 0L
+    var sizes: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
+    var chunkOffsets: Array[Long] = null
+  }
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** Parse the moov tree into raw per-track sample tables. Non-MP4
+    * payloads (no `ftyp`/`moov` leading box) return empty; any
+    * malformed region ends ITS level with what parsed (one bad video
+    * must not poison a batch). */
+  private def mp4Parse(b: Array[Byte]): Seq[Mp4TrakRaw] = {
+    if (b.length < 12) return Nil
+    val lead = new String(b, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (lead != "ftyp" && lead != "moov") return Nil
+    val traks = Seq.newBuilder[Mp4TrakRaw]
+    val maxSamples = 1 << 20
+    def fourcc(o: Long): String =
+      new String(b, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // recursion bounded by maxDepth (only the fixed container set
+    // descends; 32 >> the real 5-level moov tree) — containment by
+    // BOUND, the aviMjpegFrames discipline
+    def walk(start: Long, end: Long, depth: Int, cur: Mp4TrakRaw): Unit = {
+      if (depth > 32) return
+      var p = start
+      var running = true
+      while (running && p + 8 <= end) {
+        var size: Long = be32(b, p.toInt)
+        val tp = fourcc(p + 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (p + 16 > end) return
+          size = be64(b, p.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - p
+        if (size < hdr || p + size > end) return // truncated: keep what parsed
+        val body = p + hdr
+        val bodyEnd = p + size
+        def has(n: Long): Boolean = body + n <= bodyEnd
+        tp match {
+          case "moov" => walk(body, bodyEnd, depth + 1, cur)
+          case "trak" =>
+            val t = new Mp4TrakRaw
+            walk(body, bodyEnd, depth + 1, t)
+            traks += t
+          case "mdia" | "minf" | "stbl" if cur != null =>
+            walk(body, bodyEnd, depth + 1, cur)
+          case "mdhd" if cur != null && has(4) =>
+            val v = b(body.toInt) & 0xff
+            if (v == 1 && has(32)) {
+              cur.timescale = be32(b, body.toInt + 20)
+              cur.duration = be64(b, body.toInt + 24)
+            } else if (v == 0 && has(20)) {
+              cur.timescale = be32(b, body.toInt + 12)
+              cur.duration = be32(b, body.toInt + 16)
+            }
+          case "hdlr" if cur != null && has(12) =>
+            cur.handler = fourcc(body + 8)
+          case "stsd" if cur != null && has(16) =>
+            // fullbox(4) + entry_count(4), then the first sample entry:
+            // size(4) + format(4); VisualSampleEntry dims sit at entry
+            // offset 32/34 (8 header + 6 reserved + 2 dref index + 16
+            // pre_defined/reserved)
+            val entry = body + 8
+            cur.codec = fourcc(entry + 4)
+            val entrySize = be32(b, entry.toInt)
+            if (entrySize >= 36 && entry + 36 <= bodyEnd) {
+              cur.width = be16(b, entry.toInt + 32)
+              cur.height = be16(b, entry.toInt + 34)
+            }
+          case "stsz" if cur != null && has(12) =>
+            cur.fixedSize = be32(b, body.toInt + 4)
+            cur.nSamples = be32(b, body.toInt + 8)
+            if (cur.fixedSize == 0L) {
+              val n = math.min(cur.nSamples,
+                math.min(maxSamples.toLong, (bodyEnd - body - 12) / 4))
+              val sz = new Array[Long](n.toInt)
+              var i = 0
+              while (i < sz.length) {
+                sz(i) = be32(b, (body + 12 + 4L * i).toInt); i += 1
+              }
+              cur.sizes = sz
+            }
+          case "stsc" if cur != null && has(8) =>
+            val n = math.min(be32(b, body.toInt + 4),
+              math.min(maxSamples.toLong, (bodyEnd - body - 8) / 12))
+            val runs = new Array[(Long, Long)](n.toInt)
+            var i = 0
+            while (i < runs.length) {
+              val o = (body + 8 + 12L * i).toInt
+              runs(i) = (be32(b, o), be32(b, o + 4))
+              i += 1
+            }
+            cur.stscRuns = runs
+          case "stco" if cur != null && has(8) =>
+            val n = math.min(be32(b, body.toInt + 4),
+              math.min(maxSamples.toLong, (bodyEnd - body - 8) / 4))
+            val off = new Array[Long](n.toInt)
+            var i = 0
+            while (i < off.length) {
+              off(i) = be32(b, (body + 8 + 4L * i).toInt); i += 1
+            }
+            cur.chunkOffsets = off
+          case "co64" if cur != null && has(8) =>
+            val n = math.min(be32(b, body.toInt + 4),
+              math.min(maxSamples.toLong, (bodyEnd - body - 8) / 8))
+            val off = new Array[Long](n.toInt)
+            var i = 0
+            while (i < off.length) {
+              off(i) = be64(b, (body + 8 + 8L * i).toInt); i += 1
+            }
+            cur.chunkOffsets = off
+          case _ => () // ftyp/mdat/free/unknown: opaque, skip
+        }
+        p = bodyEnd
+        if (p <= start) running = false // paranoia: forward progress
+      }
+    }
+    try walk(0L, b.length.toLong, 0, null)
+    catch { case scala.util.control.NonFatal(_) => () }
+    traks.result()
+  }
+
+  /** Track metadata for an MP4 payload — the [[wav]]/[[decode]]
+    * analog for the dominant real container: one [[Mp4Track]] per
+    * trak (handler, codec, dims, duration ms, sample count); empty
+    * for non-MP4 or metadata-free payloads. */
+  def mp4Tracks(b: Array[Byte]): Seq[Mp4Track] =
+    mp4Parse(b).map { t =>
+      val ms =
+        if (t.timescale > 0) t.duration * 1000L / t.timescale else 0L
+      Mp4Track(t.handler, t.codec, t.width, t.height, ms, t.nSamples)
+    }
+
+  /** MJPEG-in-MP4 frame demux — the MP4 sibling of
+    * [[aviMjpegFrames]]: resolves per-sample byte ranges of the FIRST
+    * `vide` track whose sample-entry codec is `jpeg`/`mjpa`/`MJPG`
+    * through the sample tables (stsc runs expand to per-chunk sample
+    * counts; offsets accumulate sizes within each chunk at stco/co64
+    * anchors) and hands each sample to the caller as a complete JPEG.
+    * A sample range that leaves the payload ends the walk with the
+    * frames that fully resolved (truncation containment); total
+    * extracted bytes are capped (a crafted table repeating one huge
+    * range must bound, not OOM). */
+  def mp4JpegSamples(b: Array[Byte]): Seq[Array[Byte]] = {
+    val jpegCodecs = Set("jpeg", "mjpa", "MJPG")
+    mp4Parse(b).find(t => t.handler == "vide" && jpegCodecs(t.codec) &&
+        t.chunkOffsets != null && t.stscRuns != null &&
+        (t.fixedSize > 0L || t.sizes != null)) match {
+      case None => Seq.empty
+      case Some(t) =>
+        val out = Seq.newBuilder[Array[Byte]]
+        val nSamples =
+          if (t.fixedSize > 0L) t.nSamples
+          else t.sizes.length.toLong
+        var copied = 0L
+        val copyCap = 256L * 1024 * 1024
+        var sample = 0L
+        var run = 0
+        var chunk = 0
+        var ok = true
+        while (ok && chunk < t.chunkOffsets.length && sample < nSamples) {
+          // samples-per-chunk for 1-based chunk index from the stsc runs
+          while (run + 1 < t.stscRuns.length &&
+            t.stscRuns(run + 1)._1 <= chunk + 1L) run += 1
+          val spc =
+            if (t.stscRuns.isEmpty) 0L else t.stscRuns(run)._2
+          var off = t.chunkOffsets(chunk)
+          var s = 0L
+          while (ok && s < spc && sample < nSamples) {
+            val size =
+              if (t.fixedSize > 0L) t.fixedSize
+              else t.sizes(sample.toInt)
+            if (size < 0 || off < 0 || off + size > b.length ||
+              copied + size > copyCap) ok = false
+            else {
+              out += java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+              copied += size
+              off += size
+              sample += 1
+              s += 1
+            }
+          }
+          chunk += 1
+        }
+        out.result()
+    }
   }
 
   private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)

