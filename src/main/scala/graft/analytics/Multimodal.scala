@@ -563,6 +563,280 @@ object Multimodal {
     o.toByteArray
   }
 
+  /** Quantize [−1,1] samples to interleaved SIGNED ints with EXACTLY
+    * [[pcmQuantize]]'s arithmetic (8-bit: the unsigned WAV byte minus
+    * 128; 16-bit: the same signed short) — so a FLAC built from these
+    * values decodes to the identical doubles as the WAV twin (FLAC
+    * samples are signed at every depth). */
+  def pcmQuantizeInt(samples: Array[Double], bits: Int, gain: Double,
+                     channels: Int): Array[Int] = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16: $bits")
+    require(channels >= 1, s"channels must be >= 1: $channels")
+    val out = new Array[Int](samples.length * channels)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-1.0, math.min(1.0, samples(i) * gain))
+      val v =
+        if (bits == 8)
+          math.min(255, math.max(0, math.round(s * 127).toInt + 128)) - 128
+        else math.round(s * 32767).toInt
+      var c = 0
+      while (c < channels) { out(i * channels + c) = v; c += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** A REAL FLAC file of the given interleaved signed samples — the
+    * fixture ENCODER for [[MediaDecode.flacPcmMono]] (spec-valid:
+    * correct CRC-8/CRC-16, STREAMINFO, fixed-blocksize frames; any
+    * conforming decoder accepts it). Subframes per `mode`: `auto` =
+    * CONSTANT where a block-channel is flat, else FIXED order 2 with a
+    * Rice order-0 residual (escape partition when the residuals
+    * overflow every bounded Rice parameter); `verbatim` / `fixed0` …
+    * `fixed4` force those paths for the spec sweeps. Lossless by
+    * construction — encode∘decode is the identity on the quantized
+    * ints, which is the near-dup oracle's whole argument. Never on
+    * the 100 TB path. */
+  def flacBytes(channels: Int, sampleRate: Int, bits: Int,
+                pcm: Array[Int], blockSize: Int = 4096,
+                mode: String = "auto"): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16: $bits")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize: $blockSize")
+    require(pcm.length % channels == 0, "pcm length must be a channel multiple")
+    val nSamples = pcm.length / channels
+    def crc8(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { b =>
+        c ^= (b & 0xff)
+        var i = 0
+        while (i < 8) { c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff; i += 1 }
+      }
+      c
+    }
+    def crc16(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { b =>
+        c ^= (b & 0xff) << 8
+        var i = 0
+        while (i < 8) { c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff else (c << 1) & 0xffff; i += 1 }
+      }
+      c
+    }
+    final class BitW {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var n = 0
+      def put(v: Long, bitsN: Int): Unit = {
+        var i = bitsN - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt
+          n += 1
+          if (n == 8) { buf.write(cur); cur = 0; n = 0 }
+          i -= 1
+        }
+      }
+      def align(): Unit = if (n > 0) { cur <<= (8 - n); buf.write(cur); cur = 0; n = 0 }
+      def bytes: Array[Byte] = { require(n == 0, "unaligned"); buf.toByteArray }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO (type 0, last metadata block)
+    val si = new BitW
+    si.put(blockSize.toLong, 16); si.put(blockSize.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24) // frame sizes unknown
+    si.put(sampleRate.toLong, 20)
+    si.put(channels.toLong - 1, 3)
+    si.put(bits.toLong - 1, 5)
+    si.put(nSamples.toLong, 36)
+    (0 until 16).foreach(_ => si.put(0L, 8)) // md5 unknown
+    val siBytes = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+    // stereo-decorrelation modes need exactly two channels
+    val stereoAsgn = mode match {
+      case "leftside" => 8
+      case "rightside" => 9
+      case "midside" => 10
+      case _ => -1
+    }
+    require(stereoAsgn < 0 || channels == 2,
+      s"mode $mode needs exactly 2 channels")
+    // one subframe: samples at `eb` effective bits, per `m`
+    def writeSub(fw: BitW, ch: Array[Int], eb: Int, m: String): Unit = {
+      def mask(v: Long, n: Int): Long = v & ((1L << n) - 1)
+      def predict(order: Int, s: Array[Int], i: Int): Long = order match {
+        case 0 => 0L
+        case 1 => s(i - 1).toLong
+        case 2 => 2L * s(i - 1) - s(i - 2)
+        case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+        case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+      }
+      def writeResidual(res: Array[Long]): Unit = {
+        fw.put(0L, 2); fw.put(0L, 4) // method 0 (4-bit Rice), 1 partition
+        val zzMax = res.foldLeft(0L)((a, e) => math.max(a, (e << 1) ^ (e >> 63)))
+        var param = 0
+        while (param < 15 && (zzMax >> param) > 30) param += 1
+        if (param >= 15) { // escape: raw at the needed width
+          var raw = 2
+          while (raw < 32 && res.exists(e => e < -(1L << (raw - 1)) ||
+            e >= (1L << (raw - 1)))) raw += 1
+          fw.put(15L, 4); fw.put(raw.toLong, 5)
+          res.foreach(e => fw.put(mask(e, raw), raw))
+        } else {
+          fw.put(param.toLong, 4)
+          res.foreach { e =>
+            val zz = (e << 1) ^ (e >> 63)
+            val q = (zz >>> param).toInt
+            var k = 0
+            while (k < q) { fw.put(0L, 1); k += 1 }
+            fw.put(1L, 1)
+            if (param > 0) fw.put(mask(zz, param), param)
+          }
+        }
+      }
+      def writeFixed(order: Int, s: Array[Int], ebF: Int): Unit = {
+        require(order >= 0 && order <= 4 && order <= s.length, s"order $order")
+        fw.put(8L + order, 6); fw.put(0L, 1) // type, no wasted bits
+        var i = 0
+        while (i < order) { fw.put(mask(s(i).toLong, ebF), ebF); i += 1 }
+        val res = new Array[Long](s.length - order)
+        i = order
+        while (i < s.length) {
+          res(i - order) = s(i).toLong - predict(order, s, i); i += 1
+        }
+        writeResidual(res)
+      }
+      fw.put(0L, 1) // padding bit
+      m match {
+        case "constant" =>
+          fw.put(0L, 6); fw.put(0L, 1)
+          fw.put(mask(ch(0).toLong, eb), eb)
+        case "verbatim" =>
+          fw.put(1L, 6); fw.put(0L, 1)
+          ch.foreach(v => fw.put(mask(v.toLong, eb), eb))
+        case "fixed1w" =>
+          // wasted-bits path: every sample must be even; encode v>>1 at
+          // eb−1 bits with wasted-flag + unary count 1 (= one 1-bit:
+          // the terminating 1 with zero leading 0s means wasted = 1)
+          require(ch.forall(v => (v & 1) == 0), "fixed1w needs even samples")
+          fw.put(9L, 6) // FIXED order 1
+          fw.put(1L, 1) // wasted flag
+          fw.put(1L, 1) // unary 0 zeros → wasted = 0+1 = 1
+          val half = ch.map(_ >> 1)
+          val ebW = eb - 1
+          fw.put(mask(half(0).toLong, ebW), ebW)
+          val res = new Array[Long](half.length - 1)
+          var i = 1
+          while (i < half.length) { res(i - 1) = half(i).toLong - half(i - 1); i += 1 }
+          writeResidual(res)
+        case "lpc2" =>
+          // LPC order 2, precision 15, shift 0, coefs [2, −1] — the
+          // arithmetic of FIXED order 2 expressed through the LPC path
+          fw.put(33L, 6); fw.put(0L, 1) // 0b100001 = LPC order 2
+          fw.put(mask(ch(0).toLong, eb), eb)
+          fw.put(mask(ch(1).toLong, eb), eb)
+          fw.put(14L, 4)  // precision − 1
+          fw.put(0L, 5)   // shift
+          fw.put(mask(2L, 15), 15); fw.put(mask(-1L, 15), 15)
+          val res = new Array[Long](ch.length - 2)
+          var i = 2
+          while (i < ch.length) {
+            res(i - 2) = ch(i).toLong - (2L * ch(i - 1) - ch(i - 2)); i += 1
+          }
+          writeResidual(res)
+        case fx if fx.startsWith("fixed") =>
+          writeFixed(fx.stripPrefix("fixed").toInt, ch, eb)
+        case _ => // auto / stereo parents: constant where flat else fixed2
+          if (ch.forall(_ == ch(0))) {
+            fw.put(0L, 6); fw.put(0L, 1)
+            fw.put(mask(ch(0).toLong, eb), eb)
+          } else if (ch.length > 4) writeFixed(2, ch, eb)
+          else { fw.put(1L, 6); fw.put(0L, 1); ch.foreach(v => fw.put(mask(v.toLong, eb), eb)) }
+      }
+    }
+    var frame = 0
+    var pos = 0
+    while (pos < nSamples) {
+      val bs = math.min(blockSize, nSamples - pos)
+      // byte-aligned header prefix (sync .. block size), then CRC-8
+      val hdr = new BitW
+      hdr.put(0x3ffeL, 14); hdr.put(0L, 1); hdr.put(0L, 1) // sync, res, fixed-bs
+      hdr.put(7L, 4)  // block size: 16-bit field follows
+      hdr.put(0L, 4)  // sample rate: from STREAMINFO
+      hdr.put(if (stereoAsgn >= 0) stereoAsgn.toLong else channels.toLong - 1, 4)
+      hdr.put(if (bits == 8) 1L else 4L, 3)
+      hdr.put(0L, 1)
+      // UTF-8-coded frame number
+      val fn = frame.toLong
+      if (fn < 0x80) hdr.put(fn, 8)
+      else if (fn < 0x800) { hdr.put(0xc0L | (fn >> 6), 8); hdr.put(0x80L | (fn & 0x3f), 8) }
+      else { hdr.put(0xe0L | (fn >> 12), 8); hdr.put(0x80L | ((fn >> 6) & 0x3f), 8); hdr.put(0x80L | (fn & 0x3f), 8) }
+      hdr.put(bs.toLong - 1, 16)
+      val hdrBytes = hdr.bytes
+      val fw = new BitW
+      hdrBytes.foreach(b => fw.put(b & 0xffL, 8))
+      fw.put(crc8(hdrBytes).toLong, 8)
+      // subframes
+      if (stereoAsgn >= 0) {
+        val l = new Array[Int](bs); val rr = new Array[Int](bs)
+        var i = 0
+        while (i < bs) {
+          l(i) = pcm((pos + i) * 2); rr(i) = pcm((pos + i) * 2 + 1); i += 1
+        }
+        val side = Array.tabulate(bs)(i => l(i) - rr(i))
+        stereoAsgn match {
+          case 8 => // left/side
+            writeSub(fw, l, bits, "auto")
+            writeSub(fw, side, bits + 1, "auto")
+          case 9 => // right/side: side first per spec channel order
+            writeSub(fw, side, bits + 1, "auto")
+            writeSub(fw, rr, bits, "auto")
+          case _ => // mid/side
+            val mid = Array.tabulate(bs)(i => (l(i) + rr(i)) >> 1)
+            writeSub(fw, mid, bits, "auto")
+            writeSub(fw, side, bits + 1, "auto")
+        }
+      } else {
+        var c = 0
+        while (c < channels) {
+          val ch = new Array[Int](bs)
+          var i = 0
+          while (i < bs) { ch(i) = pcm((pos + i) * channels + c); i += 1 }
+          writeSub(fw, ch, bits, if (mode == "auto") "auto" else mode)
+          c += 1
+        }
+      }
+      fw.align()
+      val frameBytes = fw.bytes
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      pos += bs
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** Attach REAL FLAC payloads of the SAME tone samples as
+    * [[withTonePayload]] — the compressed-audio re-export duplication
+    * mode: lossless, so the decoded doubles (and the fingerprint) are
+    * BIT-identical to the WAV twin's. */
+  def withFlacTonePayload(documents: DataFrame, gain: Double = 1.0,
+                          bits: Int = 8, channels: Int = 1,
+                          seedOffset: Long = 0L, sr: Int = 8000,
+                          blockSize: Int = 1024): DataFrame = {
+    val n = 9 * (160L * sr / 8000).toInt
+    require(n > 0, s"sample rate $sr is too low for the 0.18 s tone fixture")
+    val synth = udf { (docId: Long) =>
+      flacBytes(channels, sr, bits,
+        pcmQuantizeInt(synthToneSamples(docId - seedOffset, n, sr),
+          bits, gain, channels), blockSize)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
     * deterministic formulas, document text riding as the PCM data
     * bytes (stands in for samples read from object storage). */
@@ -840,9 +1114,11 @@ object Multimodal {
   def audioFingerprints(withPayload: DataFrame,
                         batchSize: Int = 64): DataFrame =
     fingerprintPayloads(withPayload, batchSize) { payload =>
-      MediaDecode.wavPcmMono(payload).flatMap { case (sr, samples) =>
-        audioFingerprint64(sr, samples)
-      }
+      MediaDecode.wavPcmMono(payload)
+        .orElse(MediaDecode.flacPcmMono(payload))
+        .flatMap { case (sr, samples) =>
+          audioFingerprint64(sr, samples)
+        }
     }
 
   /** Perceptual audio near-dup pairs — re-quantized / re-gained /
@@ -1595,6 +1871,304 @@ object MediaDecode {
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC (xiph.org spec) — the compressed-audio rung: losslessly
+  // decodable in pure JVM (fixed + LPC predictors, Rice/escape
+  // residuals, stereo decorrelation), so a FLAC re-export of a PCM
+  // clip decodes to BIT-identical samples and fingerprints Hamming 0
+  // against its WAV twin — the exact differential the near-dup oracle
+  // pins. Scope: STREAMINFO + frames with 8/16-bit samples (the WAV
+  // profile this repo fingerprints), all subframe types (CONSTANT /
+  // VERBATIM / FIXED 0–4 / LPC any order), both Rice methods + escape
+  // partitions, wasted bits, independent + left/right/mid-side
+  // channels. CRCs are not verified (sequential parse, not resync);
+  // any malformed region ends the decode with the frames that fully
+  // parsed (truncation containment — corrupt audio is DATA).
+
+  /** MSB-first big-endian bit reader over a byte array; every read is
+    * bounds-checked via [[FlacEos]] so a truncated stream unwinds to
+    * the frame boundary instead of overrunning. */
+  private final class BitReaderBE(b: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0 // 0..7 within b(bytePos)
+    def bits(n: Int): Long = {
+      var got = 0
+      var acc = 0L
+      while (got < n) {
+        if (bytePos >= b.length) throw FlacEos
+        val avail = 8 - bitPos
+        val take = math.min(avail, n - got)
+        val shift = avail - take
+        val mask = (1 << take) - 1
+        acc = (acc << take) | (((b(bytePos) & 0xff) >> shift) & mask)
+        bitPos += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        got += take
+      }
+      acc
+    }
+    def sbits(n: Int): Int = {
+      if (n == 0) return 0
+      val v = bits(n)
+      ((v << (64 - n)).toLong >> (64 - n)).toInt // sign-extend
+    }
+    /** FLAC unary: count of 0 bits before the terminating 1. */
+    def unary(): Int = {
+      var q = 0
+      while (bits(1) == 0L) {
+        q += 1
+        if (q > (1 << 20)) throw FlacEos // runaway quotient: malformed
+      }
+      q
+    }
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+  private object FlacEos extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** FLAC PCM decode to normalized mono — the [[wavPcmMono]] analog
+    * for the compressed rung: (sampleRate, channel-averaged samples in
+    * [−1, 1]). FLAC samples are SIGNED at every depth (8-bit too,
+    * unlike WAV's unsigned 8-bit), so an n-bit sample normalizes as
+    * v / 2^(n−1) — a WAV and a FLAC holding the same quantized values
+    * decode to identical doubles. Non-FLAC payloads and streams
+    * outside the 8/16-bit profile return None; a malformed frame ends
+    * the decode with the samples that fully parsed. */
+  def flacPcmMono(b: Array[Byte]): Option[(Int, Array[Double])] = {
+    try {
+      if (b.length < 42) return None
+      if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+      // metadata blocks: 1-byte (last<<7 | type) + 3-byte BE length
+      var p = 4
+      var sr = 0; var channels = 0; var bps = 0; var total = 0L
+      var sawStreaminfo = false
+      var last = false
+      while (!last && p + 4 <= b.length) {
+        val hdr = b(p) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (p + 4 + len > b.length) return None
+        if (btype == 0 && len >= 34) {
+          val r = new BitReaderBE(b, p + 4)
+          r.bits(16); r.bits(16) // min/max block size
+          r.bits(24); r.bits(24) // min/max frame size
+          sr = r.bits(20).toInt
+          channels = r.bits(3).toInt + 1
+          bps = r.bits(5).toInt + 1
+          total = r.bits(36)
+          sawStreaminfo = true
+        }
+        p += 4 + len
+      }
+      if (!sawStreaminfo || sr < 1 || channels < 1 || channels > 8) return None
+      if (bps != 8 && bps != 16) return None // the fingerprint profile
+      if (total > (1L << 26)) return None    // cap output allocation
+      val out = Array.newBuilder[Double]
+      var decoded = 0L
+      val r = new BitReaderBE(b, p)
+      var ok = true
+      while (ok && (total == 0L || decoded < total) && r.bytePos < b.length) {
+        val before = decoded
+        try {
+          // ---- frame header ----
+          if (r.bits(14) != 0x3ffe) throw FlacEos // sync
+          r.bits(1) // reserved
+          r.bits(1) // blocking strategy
+          val bsCode = r.bits(4).toInt
+          val srCode = r.bits(4).toInt
+          val chAsgn = r.bits(4).toInt
+          val ssCode = r.bits(3).toInt
+          r.bits(1) // reserved
+          // UTF-8-coded frame/sample number: leading-ones byte count
+          val first = r.bits(8).toInt
+          var follow = 0
+          var m = first
+          while ((m & 0x80) != 0) { follow += 1; m <<= 1 }
+          if (follow == 1 || follow > 7) throw FlacEos
+          var i = 1
+          while (i < follow) { r.bits(8); i += 1 }
+          val blockSize = bsCode match {
+            case 0 => throw FlacEos // reserved
+            case 1 => 192
+            case c if c >= 2 && c <= 5 => 576 << (c - 2)
+            case 6 => r.bits(8).toInt + 1
+            case 7 => r.bits(16).toInt + 1
+            case c => 256 << (c - 8)
+          }
+          srCode match { // values redundant with STREAMINFO; consume bits
+            case 12 => r.bits(8)
+            case 13 | 14 => r.bits(16)
+            case _ => ()
+          }
+          val frameBps = ssCode match {
+            case 0 => bps
+            case 1 => 8
+            case 2 => 12
+            case 4 => 16
+            case 5 => 20
+            case 6 => 24
+            case 7 => 32
+            case _ => throw FlacEos
+          }
+          if (frameBps != bps) throw FlacEos // profile: uniform depth
+          r.bits(8) // header CRC-8 (not verified — sequential parse)
+          if (blockSize < 1 || blockSize > 65536) throw FlacEos
+          val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
+          if (chAsgn <= 7 && nCh != channels) throw FlacEos
+          if (chAsgn > 10) throw FlacEos
+          // ---- subframes ----
+          val chans = Array.ofDim[Int](nCh, blockSize)
+          var c = 0
+          while (c < nCh) {
+            // side channel carries one extra bit
+            val sideBps = bps + (chAsgn match {
+              case 8 if c == 1 => 1 // left/side
+              case 9 if c == 0 => 1 // right/side
+              case 10 if c == 1 => 1 // mid/side
+              case _ => 0
+            })
+            decodeSubframe(r, chans(c), blockSize, sideBps)
+            c += 1
+          }
+          r.alignByte()
+          r.bits(16) // frame CRC-16 (not verified)
+          // ---- stereo decorrelation + downmix ----
+          val want =
+            if (total > 0L) math.min(blockSize.toLong, total - decoded).toInt
+            else blockSize
+          var s = 0
+          while (s < want) {
+            val mono = chAsgn match {
+              case 8 => // left/side: r = l − s
+                val l = chans(0)(s); (l + (l - chans(1)(s))) / 2.0
+              case 9 => // right/side: l = r + s
+                val rr = chans(1)(s); ((rr + chans(0)(s)) + rr) / 2.0
+              case 10 => // mid/side
+                val mm = chans(0)(s); val ss = chans(1)(s)
+                val l = (((mm << 1) | (ss & 1)) + ss) >> 1
+                val rr = (((mm << 1) | (ss & 1)) - ss) >> 1
+                (l + rr) / 2.0
+              case _ =>
+                var acc = 0.0
+                var cc = 0
+                while (cc < nCh) { acc += chans(cc)(s); cc += 1 }
+                acc / nCh
+            }
+            out += mono / (1L << (bps - 1)).toDouble
+            s += 1
+          }
+          decoded += want
+        } catch {
+          case FlacEos =>
+            decoded = before // a half-decoded frame contributes nothing
+            ok = false
+        }
+      }
+      val samples = out.result()
+      val keep =
+        if (total > 0L) math.min(decoded, samples.length.toLong).toInt
+        else samples.length
+      if (keep == 0) None else Some((sr, samples.take(keep)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One FLAC subframe into `dst` (blockSize samples at sideBps). */
+  private def decodeSubframe(r: BitReaderBE, dst: Array[Int],
+                             blockSize: Int, sideBps: Int): Unit = {
+    if (r.bits(1) != 0L) throw FlacEos // padding bit
+    val tpe = r.bits(6).toInt
+    val wastedFlag = r.bits(1)
+    val wasted = if (wastedFlag == 1L) r.unary() + 1 else 0
+    val eb = sideBps - wasted // effective bits
+    if (eb < 1 || eb > 33) throw FlacEos
+    def residual(order: Int): Array[Int] = {
+      val method = r.bits(2).toInt
+      if (method > 1) throw FlacEos
+      val paramBits = if (method == 0) 4 else 5
+      val escape = (1 << paramBits) - 1
+      val po = r.bits(4).toInt
+      val nPart = 1 << po
+      if (blockSize % nPart != 0) throw FlacEos
+      val res = new Array[Int](blockSize - order)
+      var idx = 0
+      var part = 0
+      while (part < nPart) {
+        val count = blockSize / nPart - (if (part == 0) order else 0)
+        if (count < 0) throw FlacEos
+        val param = r.bits(paramBits).toInt
+        if (param == escape) {
+          val raw = r.bits(5).toInt
+          var i = 0
+          while (i < count) { res(idx) = if (raw == 0) 0 else r.sbits(raw); idx += 1; i += 1 }
+        } else {
+          var i = 0
+          while (i < count) {
+            val q = r.unary().toLong
+            val v = (q << param) | r.bits(param)
+            res(idx) = ((v >>> 1) ^ -(v & 1L)).toInt // zigzag
+            idx += 1; i += 1
+          }
+        }
+        part += 1
+      }
+      res
+    }
+    tpe match {
+      case 0 => // CONSTANT
+        val v = r.sbits(eb)
+        java.util.Arrays.fill(dst, 0, blockSize, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { dst(i) = r.sbits(eb); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0–4
+        val order = t - 8
+        if (order > blockSize) throw FlacEos
+        var i = 0
+        while (i < order) { dst(i) = r.sbits(eb); i += 1 }
+        val res = residual(order)
+        i = order
+        while (i < blockSize) {
+          val e = res(i - order).toLong
+          val p = order match {
+            case 0 => 0L
+            case 1 => dst(i - 1).toLong
+            case 2 => 2L * dst(i - 1) - dst(i - 2)
+            case 3 => 3L * dst(i - 1) - 3L * dst(i - 2) + dst(i - 3)
+            case _ => 4L * dst(i - 1) - 6L * dst(i - 2) + 4L * dst(i - 3) - dst(i - 4)
+          }
+          dst(i) = (e + p).toInt
+          i += 1
+        }
+      case t if t >= 32 => // LPC, order 1–32
+        val order = (t & 31) + 1
+        if (order > blockSize) throw FlacEos
+        var i = 0
+        while (i < order) { dst(i) = r.sbits(eb); i += 1 }
+        val precision = r.bits(4).toInt + 1
+        if (precision == 16) throw FlacEos // 1111 is invalid per spec
+        val shift = r.sbits(5)
+        if (shift < 0) throw FlacEos
+        val coef = new Array[Int](order)
+        i = 0
+        while (i < order) { coef(i) = r.sbits(precision); i += 1 }
+        val res = residual(order)
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coef(j).toLong * dst(i - 1 - j); j += 1 }
+          dst(i) = (res(i - order).toLong + (acc >> shift)).toInt
+          i += 1
+        }
+      case _ => throw FlacEos // reserved types
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { dst(i) = dst(i) << wasted; i += 1 }
+    }
   }
 
   // ------------------------------------------------------------------

@@ -253,6 +253,29 @@ private[queries] object RegistryMultimodal {
       },
       Some(plantedPairOracleSql), bench = true),
 
+    // COMPRESSED-audio near-dup: the copy is a FLAC re-export carrying
+    // the FULL re-render stack (16-bit, stereo, gain 0.5, 44.1 kHz)
+    // of the 8-bit mono 8 kHz WAV original — FLAC is lossless, so the
+    // decoded doubles are bit-identical to an equivalent WAV's
+    // (spec-pinned) and the fingerprint survives the container change
+    // exactly like the gain/rate re-renders: Hamming 0. The decode
+    // under test is the pure-JVM FLAC frame walk (fixed predictors +
+    // Rice residuals); its correctness gate is the lossless
+    // encode∘decode identity in MultimodalPropertySpec.
+    QueryDef("mm_flac_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        plantedNearDupAudit(docs,
+          Multimodal.withTonePayload(docs),
+          Multimodal.withFlacTonePayload(
+            docs.filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id")),
+            gain = 0.5, bits = 16, channels = 2, seedOffset = 10000000L,
+            sr = 44100),
+          Multimodal.audioNearDupPairs(_))
+      },
+      Some(plantedPairOracleSql), bench = true),
+
     QueryDef("mm_payload_dedup",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -412,6 +412,84 @@ class MultimodalPropertySpec extends AnyFunSuite {
       "deeply nested LISTs must parse to no frames, never overflow the stack")
   }
 
+  test("flac decode: lossless identity across every subframe path, WAV-twin bit equality, fingerprint invariance") {
+    val tone = Multimodal.synthToneSamples(42L, 1440, 8000)
+    // encode∘decode is the identity on the quantized ints through
+    // every subframe path the decoder has: constant-in-auto, verbatim,
+    // fixed 0–4 (Rice), LPC (coefs [2,−1] ≡ fixed2 arithmetic)
+    for (mode <- Seq("auto", "verbatim", "fixed0", "fixed1", "fixed2",
+        "fixed3", "fixed4", "lpc2")) {
+      val ints = Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1)
+      val flac = Multimodal.flacBytes(1, 8000, 8, ints, blockSize = 256,
+        mode = mode)
+      val dec = MediaDecode.flacPcmMono(flac)
+      assert(dec.isDefined, s"$mode: decode failed")
+      val (sr, s) = dec.get
+      assert(sr == 8000 &&
+        s.map(v => math.round(v * 128).toInt).sameElements(ints),
+        s"$mode: samples drifted")
+    }
+    // wasted-bits subframe (all-even samples encoded one bit narrower)
+    val evens = Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1).map(v => (v >> 1) << 1)
+    val (_, sw) = MediaDecode.flacPcmMono(
+      Multimodal.flacBytes(1, 8000, 8, evens, 256, "fixed1w")).get
+    assert(sw.map(v => math.round(v * 128).toInt).sameElements(evens),
+      "wasted-bits path drifted")
+    // stereo decorrelation: left/side, right/side (side is channel 0),
+    // mid/side (the lost bit rides the side LSB) — mono downmix must
+    // equal the independent-channel downmix EXACTLY
+    val n = tone.length
+    val l = Multimodal.pcmQuantizeInt(tone, 16, 1.0, 1)
+    val r = Multimodal.pcmQuantizeInt(tone, 16, 0.5, 1)
+    val inter = new Array[Int](2 * n)
+    (0 until n).foreach { i => inter(2 * i) = l(i); inter(2 * i + 1) = r(i) }
+    val wantMono = (0 until n).map(i => (l(i) + r(i)) / 2.0 / 32768.0).toArray
+    for (mode <- Seq("auto", "leftside", "rightside", "midside")) {
+      val (_, s) = MediaDecode.flacPcmMono(
+        Multimodal.flacBytes(2, 8000, 16, inter, 240, mode)).get
+      assert(s.length == n &&
+        s.zip(wantMono).forall { case (a, b) => a == b },
+        s"$mode: stereo downmix drifted")
+    }
+    // escape partitions: alternating extremes overflow every bounded
+    // Rice parameter at order 4 — the raw-bits path must round-trip
+    val alt = Array.tabulate(512)(i => if (i % 2 == 0) 32767 else -32767)
+    val (_, se) = MediaDecode.flacPcmMono(
+      Multimodal.flacBytes(1, 8000, 16, alt, 256, "fixed4")).get
+    assert(se.map(v => math.round(v * 32768).toInt).sameElements(alt),
+      "escape-partition path drifted")
+    // the near-dup argument: a WAV and a FLAC of the same quantized
+    // values decode to BIT-identical doubles (FLAC samples are signed
+    // at every depth; pcmQuantizeInt mirrors pcmQuantize exactly), so
+    // the fingerprints match across container, depth, gain, channels
+    // and sample rate — the full re-render stack in one copy
+    val wav = Multimodal.wavBytes(1, 8000, 8, Multimodal.pcmQuantize(tone, 8, 1.0, 1))
+    val (srW, sW) = MediaDecode.wavPcmMono(wav).get
+    val (srF, sF) = MediaDecode.flacPcmMono(
+      Multimodal.flacBytes(1, 8000, 8, Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1), 512)).get
+    assert(srW == srF && sW.zip(sF).forall { case (a, b) => a == b },
+      "WAV and FLAC twins must decode to bit-identical doubles")
+    val fpW = Multimodal.audioFingerprint64(srW, sW)
+    val n44 = 9 * (160 * 44100 / 8000)
+    val tone44 = Multimodal.synthToneSamples(42L, n44, 44100)
+    val (sr44, s44) = MediaDecode.flacPcmMono(Multimodal.flacBytes(2, 44100, 16,
+      Multimodal.pcmQuantizeInt(tone44, 16, 0.5, 2), 4096)).get
+    assert(Multimodal.audioFingerprint64(sr44, s44) == fpW && fpW.isDefined,
+      "FLAC re-render (16-bit stereo gain-0.5 44.1 kHz) must fingerprint identically")
+    // containment: truncation and corruption sweeps never throw;
+    // non-FLAC returns None
+    val flac = Multimodal.flacBytes(1, 8000, 8,
+      Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1), 512)
+    (0 to flac.length by 7).foreach(cut =>
+      MediaDecode.flacPcmMono(java.util.Arrays.copyOf(flac, cut)))
+    (0 until flac.length by 5).foreach { i =>
+      val c = flac.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.flacPcmMono(c)
+    }
+    assert(MediaDecode.flacPcmMono("noflac".getBytes).isEmpty)
+    assert(MediaDecode.flacPcmMono(Array.empty[Byte]).isEmpty)
+  }
+
   test("mp4 demux: sample round-trip both offset widths, track metadata, re-container invariance") {
     def jpegFrame(seed: Long): Array[Byte] = Multimodal.jpegBytesGrayEncoded(
       24, 16, Multimodal.synthGray(seed, 24, 16), 0.9f)
