@@ -857,6 +857,88 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One trained BPE merge: rank order, the two merged symbols, and
+    * the weighted pair count that won the round. */
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, n: Long)
+
+  /** Iterative BPE MERGE TRAINING — closes the tokenizer story
+    * end-to-end ([[bpePairCounts]] is the single-merge statistic,
+    * [[bpeApply]] spends a FIXED list; this produces the list): the
+    * Sennrich loop over a distributed word-frequency vocabulary.
+    *
+    * Round r: adjacent symbol pairs of every vocab word (lambda-free
+    * shifted-slice zip — overlapping positions count, the Sennrich
+    * convention), weighted by word frequency; the argmax (count DESC,
+    * then (lhs, rhs) lexicographic — a deterministic total order both
+    * engines agree on) becomes merge r and is folded into every
+    * symbol array GREEDILY LEFT-TO-RIGHT (an `aggregate` fold whose
+    * merged token never re-merges in the same round — the resume-
+    * after-match convention the oracle's string `replace` shares
+    * exactly). Vocab is checkpointed per round (the PageRank round
+    * discipline: nMerges bounded jobs, lineage truncated) — only the
+    * one argmax ROW ever reaches the driver per round, plus the merge
+    * list itself (tokenizer-sized by definition).
+    *
+    * Words come from [[bpeishTokens]] (lowercase alnum runs) so the
+    * symbol alphabet is delimiter-safe for the oracle's wrapped-string
+    * mirror. Training stops early when no pair remains (every word a
+    * single symbol). Scale shape: the vocab table is DISTINCT words —
+    * orders of magnitude below corpus rows — and each round is one
+    * narrow fold + one tiny aggregate; the corpus is scanned ONCE. */
+  def bpeTrainMerges(documents: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges out of range: $nMerges")
+    var vocab = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(explode(bpeishTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+        .select(col("freq"), col("p.0").as("a"), col("p.1").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += BpeMerge(r, a, b, top(0).getLong(2))
+        val folded = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        vocab = vocab.select(col("freq"), folded.as("sym"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The oracled TRAIN surface: [[bpeTrainMerges]] as a one-row-per-
+    * merge table (rank, lhs, rhs, n), ordered by rank — fully
+    * mirrorable in SQL by unrolling the rounds as CTEs over a wrapped
+    * symbol-string encoding whose `replace` is exactly the fold. */
+  def bpeTrainReport(documents: DataFrame, nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(documents, nMerges)
+      .map(m => (m.rank.toLong, m.lhs, m.rhs, m.n))
+      .toDF("rank", "lhs", "rhs", "n")
+      .orderBy("rank")
+  }
+
   /** Per-document character-bigram entropy — the gibberish / wrong-
     * charset / binary-blob detector ([[qualityScores]]'s rules catch
     * structural junk; entropy catches STATISTICAL junk: base64 blobs

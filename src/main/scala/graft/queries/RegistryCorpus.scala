@@ -215,6 +215,46 @@ private[queries] object RegistryCorpus {
           FROM r8 ORDER BY doc_id"""
       }, bench = true),
 
+    // BPE merge TRAINING — the Sennrich loop producing the list
+    // txt_bpe_apply spends: 8 rounds, each = weighted adjacent-pair
+    // argmax (count DESC, then lexicographic — a total order) over the
+    // word-frequency vocab + greedy left-to-right fold of the winner.
+    // Oracle: rounds unrolled as CTE pairs over a WRAPPED symbol
+    // string ('|a||b||c|' — every symbol carries its own delimiters,
+    // so plain replace() has exactly the fold's token-level resume-
+    // after-match semantics: no cross-symbol false match, no consumed
+    // shared boundary).
+    QueryDef("txt_bpe_train",
+      (s, d) => TextAnalysis.bpeTrainReport(t(s, d, "documents"), 8),
+      Some {
+        val rounds = (1 to 8).map { k =>
+          s"""p$k AS MATERIALIZED (SELECT a, b, n FROM (
+              SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS n
+              FROM (SELECT freq, string_split(trim(w, '|'), '||') AS syms,
+                      unnest(range(1, len(string_split(trim(w, '|'), '||')))) AS i
+                    FROM v${k - 1})
+              GROUP BY 1, 2)
+            ORDER BY n DESC, a, b LIMIT 1),
+          v$k AS MATERIALIZED (SELECT v.freq,
+              replace(v.w, '|' || p.a || '||' || p.b || '|',
+                '|' || p.a || p.b || '|') AS w
+            FROM v${k - 1} v, p$k p)"""
+        }.mkString(",\n")
+        val unions = (1 to 8).map(k =>
+          s"SELECT ${k - 1}::BIGINT AS rank, a AS lhs, b AS rhs, n FROM p$k")
+          .mkString(" UNION ALL ")
+        s"""WITH v0 AS MATERIALIZED (SELECT
+            '|' || array_to_string(list_transform(range(1, length(w) + 1),
+              i -> w[i]), '||') || '|' AS w,
+            count(*)::BIGINT AS freq
+          FROM (SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+          $rounds
+          SELECT * FROM ($unions) ORDER BY rank"""
+      }, bench = true),
+
     // pairwise source vocabulary Jaccard (membership complement of
     // the frequency-shape sourceDrift panel)
     QueryDef("txt_vocab_overlap",

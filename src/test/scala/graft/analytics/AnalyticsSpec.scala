@@ -2556,6 +2556,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(m0.weights.toSeq == w0.toSeq && m0.bias == b0 && m0.bestEpoch == 10)
   }
 
+  test("bpeTrainMerges: Sennrich hand corpus, overlap fold semantics, early exhaustion, fertility drops") {
+    // the classic corpus: low(5) lower(2) newest(6) widest(3) — every
+    // merge below is the hand-computed weighted-pair argmax
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => i.toLong -> w }
+    val d = docs(corpus: _*)
+    val m = TextAnalysis.bpeTrainMerges(d, 6)
+    assert(m.map(x => (x.lhs, x.rhs, x.n)) == Seq(
+      ("e", "s", 9L),   // newest 6 + widest 3
+      ("es", "t", 9L),  // same words, cascaded
+      ("l", "o", 7L),   // low 5 + lower 2
+      ("lo", "w", 7L),
+      ("e", "w", 6L),   // newest (n-e-w); tie group resolved lexicographically
+      ("ew", "est", 6L)), s"merge list drifted: $m")
+    // overlapping pairs count per POSITION, and the fold is greedy
+    // left-to-right (merged token never re-merges in-round): "aaaa"
+    // has 3 (a,a) pairs, folds to [aa, aa], then 1 (aa, aa) pair —
+    // the convention the oracle's wrapped-string replace() shares
+    val aaaa = TextAnalysis.bpeTrainMerges(docs(1L -> "aaaa"), 2)
+    assert(aaaa.map(x => (x.lhs, x.rhs, x.n)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)), s"overlap semantics: $aaaa")
+    // early exhaustion: single-char words have no pairs
+    assert(TextAnalysis.bpeTrainMerges(docs(1L -> "a b a"), 8).isEmpty)
+    // the trained list FEEDS bpeApply and reduces fertility vs the
+    // char-level baseline (a no-op merge list)
+    val before = TextAnalysis.bpeApply(d, Seq(("q", "q")))
+      .agg(sum("n_pieces")).head.getLong(0)
+    val after = TextAnalysis.bpeApply(d, m.map(x => (x.lhs, x.rhs)))
+      .agg(sum("n_pieces")).head.getLong(0)
+    assert(after < before, s"fertility must drop: $before -> $after")
+    // report surface: (rank, lhs, rhs, n) ordered
+    val rep = TextAnalysis.bpeTrainReport(d, 3).collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L) &&
+      rep(0).getString(1) == "e" && rep(0).getString(2) == "s")
+  }
+
   test("trainHashedLogRegHeldOut counts empty-text docs: n_train+n_holdout == non-null-text docs") {
     // the oracle's n_holdout counts every NON-NULL-text doc via the md5
     // split; the trainer counts docs surviving tokenization — with the
