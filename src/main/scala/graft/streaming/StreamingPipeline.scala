@@ -419,6 +419,9 @@ object StreamingPipeline {
         // own partition is excluded at PATH level; the fold never
         // covers the newest partition, so replayed rows can never hide
         // inside a segment.
+        // fresh-checkpoint hazard: a restarted-id batch at or below the
+        // folded watermark would write reader-invisible rows — refuse
+        graft.util.StoreManifest.requireBatchAboveFold(fs, sigDir, batchId)
         val sigLive = graft.util.StoreManifest.livePaths(fs, sigDir,
           excludeBatchId = Some(batchId))
         val corpusSig =
@@ -738,6 +741,8 @@ object StreamingPipeline {
             // compaction can run concurrently; replay exclusion is at
             // PATH level (admissionPipeline's rationale — the fold
             // never covers the newest partition)
+            // fresh-checkpoint hazard (admissionPipeline's rationale)
+            graft.util.StoreManifest.requireBatchAboveFold(fs, storeDir, batchId)
             val storeLive = graft.util.StoreManifest.livePaths(fs,
               storeDir, excludeBatchId = Some(batchId))
             val store =
@@ -882,6 +887,10 @@ object StreamingPipeline {
             require(fs.rename(tmpPin, pinPath),
               s"failed to publish model-id pin $tmpPin -> $pinPath")
           }
+          // fresh-checkpoint hazard (admissionPipeline's rationale): a
+          // restarted-id batch at or below the delta's folded watermark
+          // would write reader-invisible codes — refuse loudly
+          graft.util.StoreManifest.requireBatchAboveFold(fs, deltaDir, batchId)
           encode(batch)
             .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
           failHook(batch, batchId) // test seam: crash AFTER sink, BEFORE commit

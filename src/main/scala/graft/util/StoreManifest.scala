@@ -135,6 +135,25 @@ object StoreManifest {
     (segs ++ live).map(_.toString)
   }
 
+  /** Fail loud when a micro-batch id sits at or below the store's
+    * folded watermark — the FRESH-CHECKPOINT hazard: a stream
+    * restarted with a new checkpoint restarts batch ids at 0, and a
+    * write into `batch_id=N ≤ coveredMax` would be reader-INVISIBLE
+    * (the manifest hides folded ids) and silently swept at the next
+    * maintenance entry. The streaming pipelines call this before every
+    * store write; the legal restart paths (original checkpoint, or a
+    * reindex that retires delta + checkpoint together) never trip it. */
+  def requireBatchAboveFold(fs: FileSystem, rootDir: String,
+                            batchId: Long): Unit = {
+    val m = current(fs, new Path(rootDir))
+    require(m.coveredMax < batchId,
+      s"micro-batch $batchId is at or below $rootDir's folded watermark " +
+        s"${m.coveredMax}: a FRESH checkpoint is writing into a store whose " +
+        "history has been compacted — its rows would be reader-invisible " +
+        "and swept at the next maintenance entry. Restore the original " +
+        "checkpoint, or start a fresh store directory")
+  }
+
   /** Sweep everything a PREVIOUS manifest swap retired: batch
     * partitions at or below coveredMax, `seg-*` dirs the current
     * manifest does not name (covers crashed folds too — a segment

@@ -603,6 +603,18 @@ class PipelineSpec extends SparkSpec {
     }
     assert(legacy.getMessage.contains("pre-manifest"), legacy.getMessage)
     Files.delete(Paths.get(delta, ".compact_journal"))
+    // FRESH-CHECKPOINT refusal: a new checkpoint restarts batch ids at
+    // 0 — at or below the folded watermark, its writes would be
+    // reader-invisible and swept; the pipeline must refuse loudly
+    val hfs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val fresh = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    val fmsg = fresh.getMessage +
+      Option(fresh.getCause).map(_.getMessage).getOrElse("")
+    assert(fmsg.contains("folded watermark"), s"wrong failure: $fmsg")
   }
 
   test("reindexMaintained: atomic retrain rotation, crash re-converges at both seams, pipeline restarts pinned") {
