@@ -1458,12 +1458,18 @@ object Multimodal {
     * ([[MediaDecode.mp4JpegSamples]]). Unknown containers yield no
     * frames (the fingerprint drops the doc — perceptual identity is
     * defined over decodable media). */
-  def videoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+  def videoFrames(payload: Array[Byte], step: Int = 1): Seq[Array[Byte]] = {
     val gvid = parseFrames(payload)
-    if (gvid.nonEmpty) gvid
-    else {
-      val avi = MediaDecode.aviMjpegFrames(payload)
-      if (avi.nonEmpty) avi else MediaDecode.mp4JpegSamples(payload)
+    if (gvid.nonEmpty) {
+      if (step == 1) gvid
+      else gvid.iterator.zipWithIndex.collect {
+        case (f, i) if i % step == 0 => f
+      }.toSeq
+    } else {
+      // the REAL demuxers take the step inline: skipped frames are
+      // never byte-copied (the whole point of the thinning knob)
+      val avi = MediaDecode.aviMjpegFrames(payload, step)
+      if (avi.nonEmpty) avi else MediaDecode.mp4JpegSamples(payload, step)
     }
   }
 
@@ -1534,13 +1540,12 @@ object Multimodal {
   def videoFingerprint64(payload: Array[Byte],
                          frameStep: Int = 1): Option[Long] = {
     require(frameStep >= 1, s"frameStep must be >= 1: $frameStep")
-    val frames = videoFrames(payload)
-    val hashes = frames.iterator.zipWithIndex
-      .filter(_._2 % frameStep == 0)
-      .flatMap { case (f, _) =>
-        MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
-          .map { case (w, h, g) => dHash64(g, w, h) }
-      }.toSeq
+    // the step rides into the demux: skipped frames are neither
+    // byte-copied nor pixel-decoded
+    val hashes = videoFrames(payload, frameStep).flatMap { f =>
+      MediaDecode.pngGrayPixels(f).orElse(MediaDecode.jpegLumaPixels(f))
+        .map { case (w, h, g) => dHash64(g, w, h) }
+    }
     if (hashes.isEmpty) None
     else {
       var bits = 0L
@@ -1811,8 +1816,11 @@ object MediaDecode {
     * walk + JPEG entropy decode). Truncation-contained: a chunk whose
     * declared size overruns the payload ends the walk with the frames
     * that fully parsed (one bad video must not poison a batch);
-    * non-AVI payloads return empty. */
-  def aviMjpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    * non-AVI payloads return empty. `step` keeps only every step-th
+    * frame WITHOUT byte-copying the skipped ones (chunk walking is
+    * header reads; the copy is the cost frameStep exists to cut). */
+  def aviMjpegFrames(b: Array[Byte], step: Int = 1): Seq[Array[Byte]] = {
+    require(step >= 1, s"step must be >= 1: $step")
     if (b.length < 12) return Seq.empty
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return Seq.empty
     if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return Seq.empty
@@ -1836,6 +1844,7 @@ object MediaDecode {
     var inMovi = false
     var stack = List.empty[(Long, Long, Boolean)] // resume frames
     var depth = 0
+    var frameIdx = 0
     var running = true
     while (running) {
       if (p + 8 <= until && p + 8 <= b.length) {
@@ -1860,7 +1869,9 @@ object MediaDecode {
           if (inMovi && size > 0 &&
             Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
             (id.endsWith("dc") || id.endsWith("db"))) {
-            out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+            if (frameIdx % step == 0)
+              out += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
+            frameIdx += 1
           }
           p = bodyEnd + (size & 1) // RIFF bodies pad to even offsets
         }
@@ -2346,8 +2357,11 @@ object MediaDecode {
     * A sample range that leaves the payload ends the walk with the
     * frames that fully resolved (truncation containment); total
     * extracted bytes are capped (a crafted table repeating one huge
-    * range must bound, not OOM). */
-  def mp4JpegSamples(b: Array[Byte]): Seq[Array[Byte]] = {
+    * range must bound, not OOM — the cap counts only KEPT samples).
+    * `step` keeps every step-th sample without byte-copying the
+    * skipped ones (offsets advance from the size table for free). */
+  def mp4JpegSamples(b: Array[Byte], step: Int = 1): Seq[Array[Byte]] = {
+    require(step >= 1, s"step must be >= 1: $step")
     val jpegCodecs = Set("jpeg", "mjpa", "MJPG")
     mp4Parse(b).find(t => t.handler == "vide" && jpegCodecs(t.codec) &&
         t.chunkOffsets != null && t.stscRuns != null &&
@@ -2376,11 +2390,14 @@ object MediaDecode {
             val size =
               if (t.fixedSize > 0L) t.fixedSize
               else t.sizes(sample.toInt)
+            val keep = sample % step == 0L
             if (size < 0 || off < 0 || off + size > b.length ||
-              copied + size > copyCap) ok = false
+              (keep && copied + size > copyCap)) ok = false
             else {
-              out += java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
-              copied += size
+              if (keep) {
+                out += java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+                copied += size
+              }
               off += size
               sample += 1
               s += 1

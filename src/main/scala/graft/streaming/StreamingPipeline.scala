@@ -419,11 +419,10 @@ object StreamingPipeline {
         // own partition is excluded at PATH level; the fold never
         // covers the newest partition, so replayed rows can never hide
         // inside a segment.
-        // fresh-checkpoint hazard: a restarted-id batch at or below the
-        // folded watermark would write reader-invisible rows — refuse
-        graft.util.StoreManifest.requireBatchAboveFold(fs, sigDir, batchId)
-        val sigLive = graft.util.StoreManifest.livePaths(fs, sigDir,
-          excludeBatchId = Some(batchId))
+        // one listing serves BOTH the fresh-checkpoint watermark
+        // refusal and the live-path resolution
+        val sigLive = graft.util.StoreManifest.livePathsChecked(fs, sigDir,
+          batchId)
         val corpusSig =
           if (sigLive.nonEmpty)
             spark.read.schema(sigSchema).parquet(sigLive: _*)
@@ -741,10 +740,9 @@ object StreamingPipeline {
             // compaction can run concurrently; replay exclusion is at
             // PATH level (admissionPipeline's rationale — the fold
             // never covers the newest partition)
-            // fresh-checkpoint hazard (admissionPipeline's rationale)
-            graft.util.StoreManifest.requireBatchAboveFold(fs, storeDir, batchId)
-            val storeLive = graft.util.StoreManifest.livePaths(fs,
-              storeDir, excludeBatchId = Some(batchId))
+            // one listing: watermark refusal + live-path resolution
+            val storeLive = graft.util.StoreManifest.livePathsChecked(fs,
+              storeDir, batchId)
             val store =
               if (storeLive.nonEmpty)
                 spark.read.schema(storeSchema).parquet(storeLive: _*)
@@ -964,6 +962,15 @@ object StreamingPipeline {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"store $storeDir does not exist")
+    // a pending PRE-manifest journal means a legacy fold crashed
+    // mid-swap: its dot-temp holds the ONLY complete copy of the
+    // covered rows, and this core's sweep would delete it — refuse
+    // HERE (not per wrapper) so no core caller can reach the sweep
+    require(!fs.exists(new Path(root, ".compact_journal")),
+      s"$storeDir carries a pending pre-manifest compaction journal: its " +
+        "covered originals may be partially deleted and the only complete " +
+        "copy of those rows is the journaled temp — complete the fold with " +
+        "the release that wrote the journal before compacting here")
     val lock = new Path(root, ".compact_lock")
     val lockStream =
       try fs.create(lock, false)
@@ -1033,16 +1040,8 @@ object StreamingPipeline {
     * model-id pin is never touched. */
   def compactMaintainedDelta(spark: SparkSession, deltaDir: String,
                              outputFiles: Int = 1,
-                             failAt: String => Unit = _ => ()): (Int, Int) = {
-    val root = new org.apache.hadoop.fs.Path(deltaDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ".compact_journal")),
-      s"$deltaDir carries a pending pre-manifest compaction journal: its " +
-        "covered originals may be partially deleted and the only complete " +
-        "copy of those rows is the journaled temp — complete the fold with " +
-        "the release that wrote the journal before compacting here")
+                             failAt: String => Unit = _ => ()): (Int, Int) =
     compactStoreCore(spark, deltaDir, outputFiles, failAt)
-  }
 
   /** First-class RETRAIN of the maintained IVF-PQ index — the
     * sanctioned path out of the model-id pin's deliberate dead end
@@ -2896,14 +2895,31 @@ object StreamingPipeline {
         case _ => None
       }).foldLeft(-1L)(math.max) + 1L
     val needsReindex = r.getBoolean(4)
-    val row =
-      s"""{"query_name":${jsonQuote(queryName)},"tick":$next,""" +
+    def row(tick: Long): String =
+      s"""{"query_name":${jsonQuote(queryName)},"tick":$tick,""" +
         s""""model_id":${jsonQuote(modelId)},""" +
         s""""n_base":${r.getLong(0)},"n_delta":${r.getLong(1)},""" +
         s""""base_ok":${r.getBoolean(2)},"delta_ok":${r.getBoolean(3)},""" +
         s""""needs_reindex":$needsReindex}"""
-    val os = fs.create(new org.apache.hadoop.fs.Path(qdir, s"tick_$next.json"), true)
-    try os.write((row + "\n").getBytes("UTF-8")) finally os.close()
+    // CREATE-ONCE per tick (overwrite=false + advance-on-collision):
+    // two overlapping cron fires computing the same `next` must land
+    // as TWO history rows — an overwrite could silently replace a
+    // needs_reindex=true page with the quieter verdict
+    var tick = next
+    var written = false
+    while (!written) {
+      try {
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(qdir, s"tick_$tick.json"), false)
+        try os.write((row(tick) + "\n").getBytes("UTF-8")) finally os.close()
+        written = true
+      } catch {
+        case _: java.io.IOException =>
+          tick += 1
+          require(tick - next < 1000,
+            s"could not allocate a tick file under $qdir after 1000 tries")
+      }
+    }
     needsReindex
   }
 

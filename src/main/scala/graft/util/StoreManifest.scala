@@ -90,9 +90,14 @@ object StoreManifest {
     require(fs.rename(tmp, dst), s"failed to publish store manifest $dst")
   }
 
-  /** `batch_id=N` partitions holding committed data (≥1 part file —
+  /** `batch_id=N` partitions holding committed data (≥1 data file —
     * a dir holding only an in-flight `_temporary` is not yet a
-    * partition), as (id → path), from a listing. */
+    * partition), as (id → path), from a listing. Data files are
+    * `part-*` (Spark writes) OR any `*.parquet` — the PRE-manifest
+    * admission fold published its products as `compact-<token>-N
+    * .parquet` into a shared partition, and treating those dirs as
+    * uncommitted would hide (and at the next entry SWEEP) a legacy
+    * store's entire folded history. */
   def committedBatchDirs(fs: FileSystem,
                          listing: Seq[FileStatus]): Seq[(Long, Path)] =
     listing.filter(_.isDirectory).flatMap { s =>
@@ -101,8 +106,10 @@ object StoreManifest {
         case _ => None
       }
     }.filter { case (_, p) =>
-      fs.listStatus(p).exists(f =>
-        f.isFile && f.getPath.getName.startsWith("part-"))
+      fs.listStatus(p).exists { f =>
+        val n = f.getPath.getName
+        f.isFile && (n.startsWith("part-") || n.endsWith(".parquet"))
+      }
     }.sortBy(_._1)
 
   /** Resolve the live partition list: manifested segments first, then
@@ -117,7 +124,27 @@ object StoreManifest {
                 excludeBatchId: Option[Long] = None): Seq[String] = {
     val root = new Path(rootDir)
     if (!fs.exists(root)) return Nil
+    resolve(fs, root, fs.listStatus(root).toSeq, excludeBatchId)._2
+  }
+
+  /** The hot-path combination the streaming pipelines use: ONE root
+    * listing serves both the fresh-checkpoint watermark refusal
+    * ([[requireBatchAboveFold]]'s check) and the live-path resolution
+    * (a second listing per 10 s trigger is a billable object-store
+    * round-trip for nothing). */
+  def livePathsChecked(fs: FileSystem, rootDir: String,
+                       batchId: Long): Seq[String] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) return Nil
     val listing = fs.listStatus(root).toSeq
+    val (m, paths) = resolve(fs, root, listing, Some(batchId))
+    requireAbove(m, rootDir, batchId)
+    paths
+  }
+
+  private def resolve(fs: FileSystem, root: Path, listing: Seq[FileStatus],
+                      excludeBatchId: Option[Long])
+      : (StoreManifest, Seq[String]) = {
     val m = currentFrom(fs, root, listing)
     val segs = m.segments.map { s =>
       val p = new Path(root, s)
@@ -132,7 +159,7 @@ object StoreManifest {
         id > m.coveredMax && !excludeBatchId.contains(id)
       }
       .map(_._2)
-    (segs ++ live).map(_.toString)
+    (m, (segs ++ live).map(_.toString))
   }
 
   /** Fail loud when a micro-batch id sits at or below the store's
@@ -144,15 +171,17 @@ object StoreManifest {
     * store write; the legal restart paths (original checkpoint, or a
     * reindex that retires delta + checkpoint together) never trip it. */
   def requireBatchAboveFold(fs: FileSystem, rootDir: String,
-                            batchId: Long): Unit = {
-    val m = current(fs, new Path(rootDir))
+                            batchId: Long): Unit =
+    requireAbove(current(fs, new Path(rootDir)), rootDir, batchId)
+
+  private def requireAbove(m: StoreManifest, rootDir: String,
+                           batchId: Long): Unit =
     require(m.coveredMax < batchId,
       s"micro-batch $batchId is at or below $rootDir's folded watermark " +
         s"${m.coveredMax}: a FRESH checkpoint is writing into a store whose " +
         "history has been compacted — its rows would be reader-invisible " +
         "and swept at the next maintenance entry. Restore the original " +
         "checkpoint, or start a fresh store directory")
-  }
 
   /** Sweep everything a PREVIOUS manifest swap retired: batch
     * partitions at or below coveredMax, `seg-*` dirs the current

@@ -579,9 +579,84 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
     assert(MediaDecode.mp4Tracks(deep.toByteArray).isEmpty,
       "deeply nested boxes must parse to no tracks, never overflow")
-    // a crafted sample table repeating one huge range must hit the
-    // copy cap, not OOM: sizes all = payload length, offsets all 0
     assert(MediaDecode.mp4JpegSamples("notmp4!!".getBytes).isEmpty)
+    // a crafted sample table repeating ONE huge in-bounds range must
+    // hit the 256 MiB copy cap, not OOM: hand-rolled moov whose stco
+    // lists 1000 chunks all at the same offset and stsz declares a
+    // fixed 1 MiB sample size — every range is in-bounds, so only the
+    // cap stops the walk at 256 copies
+    val mib = 1 << 20
+    def bx(tp: String)(fill: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      fill(body)
+      val bb = body.toByteArray
+      val o = new java.io.ByteArrayOutputStream()
+      be32(o, 8L + bb.length); o.write(tp.getBytes("US-ASCII")); o.write(bb)
+      o.toByteArray
+    }
+    val ftyp = bx("ftyp") { o =>
+      o.write("isom".getBytes("US-ASCII")); be32(o, 0L)
+      o.write("isom".getBytes("US-ASCII"))
+    }
+    val mdat = bx("mdat")(o => o.write(new Array[Byte](mib + 16)))
+    val sampleOff = ftyp.length.toLong + 8L
+    val moov = bx("moov") { o =>
+      o.write(bx("trak") { t =>
+        t.write(bx("mdia") { md =>
+          md.write(bx("hdlr") { h =>
+            be32(h, 0L); be32(h, 0L)
+            h.write("vide".getBytes("US-ASCII"))
+            (0 until 3).foreach(_ => be32(h, 0L)); h.write(0)
+          })
+          md.write(bx("minf") { mi =>
+            mi.write(bx("stbl") { st =>
+              st.write(bx("stsd") { s =>
+                be32(s, 0L); be32(s, 1L)
+                s.write(bx("jpeg") { e =>
+                  (0 until 6).foreach(_ => e.write(0))
+                  e.write(0); e.write(1)
+                  (0 until 4).foreach(_ => be32(e, 0L))
+                })
+              })
+              st.write(bx("stsc") { s =>
+                be32(s, 0L); be32(s, 1L)
+                be32(s, 1L); be32(s, 1L); be32(s, 1L) // 1 sample/chunk
+              })
+              st.write(bx("stsz") { s =>
+                be32(s, 0L); be32(s, mib.toLong); be32(s, 1000L) // fixed 1 MiB
+              })
+              st.write(bx("stco") { s =>
+                be32(s, 0L); be32(s, 1000L)
+                (0 until 1000).foreach(_ => be32(s, sampleOff))
+              })
+            })
+          })
+        })
+      })
+    }
+    val huge = new java.io.ByteArrayOutputStream()
+    huge.write(ftyp); huge.write(mdat); huge.write(moov)
+    val capped = MediaDecode.mp4JpegSamples(huge.toByteArray)
+    assert(capped.size == 256,
+      s"copy cap must stop at 256 MiB of 1 MiB samples: got ${capped.size}")
+  }
+
+  test("demux-level frame stepping: every step-th frame byte-identical, skipped frames never copied") {
+    val frames = (0 until 7).map(i =>
+      Array.tabulate[Byte](10 + i)(j => (j * 3 + i).toByte))
+    val avi = Multimodal.aviMjpegBytes(frames, 24, 16)
+    val mp4 = Multimodal.mp4MjpegBytes(frames, 24, 16)
+    for (step <- Seq(1, 2, 3, 100)) {
+      val want = frames.zipWithIndex.collect { case (f, i) if i % step == 0 => f }
+      val gotA = MediaDecode.aviMjpegFrames(avi, step)
+      val gotM = MediaDecode.mp4JpegSamples(mp4, step)
+      assert(gotA.size == want.size &&
+        gotA.zip(want).forall { case (a, b) => a.sameElements(b) },
+        s"AVI step=$step drifted")
+      assert(gotM.size == want.size &&
+        gotM.zip(want).forall { case (a, b) => a.sameElements(b) },
+        s"MP4 step=$step drifted")
+    }
   }
 
   test("videoFingerprint64: majority pooling, re-encode invariance, thinning robustness, containment") {
