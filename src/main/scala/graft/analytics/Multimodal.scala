@@ -1612,9 +1612,12 @@ object Multimodal {
         // a real demuxer would hand `batch` to one vectorized call here
         batch.iterator.flatMap { case (id, payload) =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          videoFrames(payload).zipWithIndex.collect {
-            case (f, i) if i % everyK == 0 =>
-              (id, i.toLong, md.digest(f).map("%02x".format(_)).mkString,
+          // the step rides into the demux (skipped frames never
+          // byte-copied); the original index is keptIdx·everyK
+          videoFrames(payload, everyK).zipWithIndex.map {
+            case (f, k) =>
+              (id, k.toLong * everyK,
+                md.digest(f).map("%02x".format(_)).mkString,
                 f.length.toLong)
           }
         }

@@ -849,14 +849,15 @@ object StreamingPipeline {
           // detects; refusing to replace an ORPHAN pin (batch 0
           // crashed between pin and first write) would wedge a
           // legitimate retrain against data that doesn't exist. The
-          // part-file requirement keeps a crashed write that left only
-          // `_temporary` under batch_id=N from counting as codes.
-          def deltaHasCodes: Boolean = fs.exists(dPath) &&
-            fs.listStatus(dPath).exists { st =>
-              st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-                fs.listStatus(st.getPath).exists(f =>
-                  f.isFile && f.getPath.getName.startsWith("part-"))
-            }
+          // "holds codes" = EXACTLY what a reader would resolve
+          // (manifested segments ∪ committed batch dirs) — the pin
+          // gate and maintainedCodes must never disagree about
+          // whether rows exist, or a retrain-mismatch could be
+          // laundered by re-stamping the pin over live-but-unseen
+          // codes (a crashed write's `_temporary`-only dir still
+          // counts as nothing)
+          def deltaHasCodes: Boolean =
+            graft.util.StoreManifest.livePaths(fs, deltaDir).nonEmpty
           val pinOk = if (fs.exists(pinPath)) {
             val in = fs.open(pinPath)
             val got = try scala.io.Source.fromInputStream(in).mkString.trim
@@ -2906,20 +2907,24 @@ object StreamingPipeline {
     // as TWO history rows — an overwrite could silently replace a
     // needs_reindex=true page with the quieter verdict
     var tick = next
-    var written = false
-    while (!written) {
-      try {
-        val os = fs.create(
-          new org.apache.hadoop.fs.Path(qdir, s"tick_$tick.json"), false)
-        try os.write((row(tick) + "\n").getBytes("UTF-8")) finally os.close()
-        written = true
-      } catch {
-        case _: java.io.IOException =>
+    var os: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (os == null) {
+      // ONLY an already-exists collision advances the tick — a genuine
+      // write failure (disk full, permissions) must propagate, not
+      // strand up to 1000 empty tick files and a misleading error
+      try os = fs.create(
+        new org.apache.hadoop.fs.Path(qdir, s"tick_$tick.json"), false)
+      catch {
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              (e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("exist")) =>
           tick += 1
           require(tick - next < 1000,
-            s"could not allocate a tick file under $qdir after 1000 tries")
+            s"could not allocate a tick file under $qdir after 1000 collisions")
       }
     }
+    try os.write((row(tick) + "\n").getBytes("UTF-8")) finally os.close()
     needsReindex
   }
 

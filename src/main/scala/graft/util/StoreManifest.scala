@@ -98,6 +98,15 @@ object StoreManifest {
     * .parquet` into a shared partition, and treating those dirs as
     * uncommitted would hide (and at the next entry SWEEP) a legacy
     * store's entire folded history. */
+  /** Committed data file — `part-*` (Spark writes) OR any `*.parquet`
+    * (the pre-manifest fold's `compact-<token>-N.parquet` layout).
+    * The ONE definition every committed-data decision shares: the
+    * reader ([[committedBatchDirs]]) and the model-pin laundering
+    * gate (indexMaintenancePipeline's delta-holds-codes check) must
+    * never disagree about whether a partition holds rows. */
+  def isDataFile(name: String): Boolean =
+    name.startsWith("part-") || name.endsWith(".parquet")
+
   def committedBatchDirs(fs: FileSystem,
                          listing: Seq[FileStatus]): Seq[(Long, Path)] =
     listing.filter(_.isDirectory).flatMap { s =>
@@ -106,10 +115,7 @@ object StoreManifest {
         case _ => None
       }
     }.filter { case (_, p) =>
-      fs.listStatus(p).exists { f =>
-        val n = f.getPath.getName
-        f.isFile && (n.startsWith("part-") || n.endsWith(".parquet"))
-      }
+      fs.listStatus(p).exists(f => f.isFile && isDataFile(f.getPath.getName))
     }.sortBy(_._1)
 
   /** Resolve the live partition list: manifested segments first, then

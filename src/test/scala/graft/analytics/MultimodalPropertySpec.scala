@@ -639,6 +639,13 @@ class MultimodalPropertySpec extends AnyFunSuite {
     val capped = MediaDecode.mp4JpegSamples(huge.toByteArray)
     assert(capped.size == 256,
       s"copy cap must stop at 256 MiB of 1 MiB samples: got ${capped.size}")
+    // the no-copy property of stepping, pinned through the SAME cap:
+    // true skip-without-copy charges only KEPT samples against the cap
+    // (reaches 256 kept = 512 walked); a copy-then-filter regression
+    // would charge every walked sample and stop at 128 kept
+    val cappedStep = MediaDecode.mp4JpegSamples(huge.toByteArray, step = 2)
+    assert(cappedStep.size == 256,
+      s"skipped samples must not charge the copy cap: got ${cappedStep.size}")
   }
 
   test("demux-level frame stepping: every step-th frame byte-identical, skipped frames never copied") {
