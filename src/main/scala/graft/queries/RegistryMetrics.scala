@@ -14,6 +14,31 @@ import graft.queries.Registry._
   * composition + the fail-loud duplicate-name gate are unchanged
   * in [[Registry.all]]. */
 private[queries] object RegistryMetrics {
+
+  /** Forged engine-monitoring panel for the alert-policy oracles —
+    * deterministic doc_id formulas (SF-scaling, null-twin-consistent:
+    * text never enters): 3 queries, per-query consecutive batch ids;
+    * q0's state grows every batch (the eviction-bug shape), q1 is
+    * flat, q2 saw-tooths; durations cycle 0..1980 ms. The SQL twin
+    * [[forgedEnginePanelSql]] is the same formulas verbatim. */
+  private def forgedEnginePanel(docs: DataFrame): DataFrame =
+    graft.util.SparkUtil.widen(docs).select(
+      concat(lit("q"), (col("doc_id") % 3).cast("string")).as("query_name"),
+      expr("doc_id div 3").as("batch_id"),
+      (((col("doc_id") * 37) % 100) * 20).as("batch_duration_ms"),
+      when(col("doc_id") % 3 === 0, expr("doc_id div 3") * 100)
+        .when(col("doc_id") % 3 === 1, lit(500L))
+        .otherwise((expr("doc_id div 3") % 5) * 50).as("state_bytes"))
+
+  private val forgedEnginePanelSql: String =
+    """p AS (SELECT 'q' || (doc_id % 3)::VARCHAR AS query_name,
+        doc_id // 3 AS batch_id,
+        ((doc_id * 37) % 100) * 20 AS batch_duration_ms,
+        CASE WHEN doc_id % 3 = 0 THEN (doc_id // 3) * 100
+             WHEN doc_id % 3 = 1 THEN 500
+             ELSE ((doc_id // 3) % 5) * 50 END AS state_bytes
+      FROM documents)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a1_counts_by_type",
       (s, d) => Metrics.countsByType(t(s, d, "events")),
@@ -128,6 +153,46 @@ private[queries] object RegistryMetrics {
           4::BIGINT AS n_input_batches, 2::BIGINT AS n_breach_batches,
           16::BIGINT AS rows_in, 4::BIGINT AS rows_dropped_late,
           TRUE AS alert""")),
+
+    // BACKLOG alert policy (batch_duration_ms vs the trigger budget —
+    // the falling-behind signal): the policy arithmetic is oracled
+    // over a FORGED engine panel whose duration/state formulas derive
+    // from doc_id (SF-scaling, twin-consistent), so a wrong threshold
+    // compare or k-of-n fold hash-mismatches; the real-drain
+    // integration is spec-side (monitoringTable read-back).
+    QueryDef("stream_backlog_alerts",
+      (s, d) => graft.streaming.StreamingPipeline.backlogAlerts(
+        forgedEnginePanel(t(s, d, "documents")), slowMs = 1500, kBatches = 2),
+      Some(s"""WITH $forgedEnginePanelSql
+        SELECT query_name, count(*)::BIGINT AS n_batches,
+          sum(CASE WHEN batch_duration_ms > 1500 THEN 1 ELSE 0 END)::BIGINT
+            AS n_slow_batches,
+          max(batch_duration_ms)::BIGINT AS max_duration_ms,
+          sum(CASE WHEN batch_duration_ms > 1500 THEN 1 ELSE 0 END) >= 2
+            AS alert
+        FROM p GROUP BY query_name ORDER BY query_name"""), bench = true),
+
+    // STATE-GROWTH alert policy (strictly-monotone state_bytes tail =
+    // eviction bug): same forged panel — q0 grows every batch (fires),
+    // q1 is flat, q2 saw-tooths (fires only when the tail happens to
+    // climb — both engines compute the same verdict from batch count)
+    QueryDef("stream_state_growth_alerts",
+      (s, d) => graft.streaming.StreamingPipeline.stateGrowthAlerts(
+        forgedEnginePanel(t(s, d, "documents")), kBatches = 3),
+      Some(s"""WITH $forgedEnginePanelSql,
+        dd AS (SELECT query_name, batch_id, state_bytes,
+            state_bytes - lag(state_bytes) OVER
+              (PARTITION BY query_name ORDER BY batch_id) AS d,
+            row_number() OVER
+              (PARTITION BY query_name ORDER BY batch_id DESC) AS rk
+          FROM p)
+        SELECT query_name, count(*)::BIGINT AS n_batches,
+          max(CASE WHEN rk = 1 THEN state_bytes END)::BIGINT
+            AS last_state_bytes,
+          sum(CASE WHEN rk <= 3 AND d > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_tail_growth,
+          sum(CASE WHEN rk <= 3 AND d > 0 THEN 1 ELSE 0 END) = 3 AS alert
+        FROM dd GROUP BY query_name ORDER BY query_name"""), bench = true),
 
     QueryDef("asof_join_enrichment",
       (s, d) => Metrics.asOfEnrichment(t(s, d, "events")),

@@ -454,5 +454,24 @@ private[queries] object RegistryMultimodal {
           md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
           octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
         FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
+      bench = true),
+
+    // frame sampling over the REAL MP4 container: the SAME
+    // deterministic frame bytes ride as mdat samples resolved through
+    // the FULL table walk (stsc runs → stsz sizes → stco/co64 offsets,
+    // BOTH widths by doc parity) — an EXACT md5 formula oracle for the
+    // sample-range arithmetic itself (the near-dup oracle is only
+    // planted-pair level; a one-byte offset error here hash-mismatches)
+    QueryDef("mm_mp4_frame_sample",
+      (s, d) => Multimodal.frameSampleFrom(
+        Multimodal.withMp4Payload(
+          graft.util.SparkUtil.widen(t(s, d, "documents"))), 2),
+      Some("""WITH f AS (SELECT doc_id, coalesce(substr(text, 1, 16), '') AS p,
+            unnest(range(0, doc_id % 7 + 1)) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+          md5('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p) AS frame_md5,
+          octet_length(encode('frame:' || CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR) || ':' || p))::BIGINT AS frame_bytes
+        FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
       bench = true))
 }

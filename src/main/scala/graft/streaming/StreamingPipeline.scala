@@ -2852,6 +2852,66 @@ object StreamingPipeline {
       .orderBy("query_name")
   }
 
+  /** BACKLOG alert policy over the [[attachMonitoring]] sink — the
+    * second of the three signals the monitoring scaladoc names
+    * (`batch_duration_ms` approaching the trigger interval = falling
+    * behind; [[watermarkSkewAlerts]] covers lateness,
+    * [[stateGrowthAlerts]] covers eviction bugs). Flags, per query,
+    * how many batches ran longer than `slowMs` (choose ≈0.8× the
+    * trigger interval), alerting at `kBatches` or more — the k-of-n
+    * debouncing discipline, so one GC pause does not page but a
+    * falling-behind stream does. Pure batch function over the tiny
+    * monitoring table. Output: (query_name, n_batches,
+    * n_slow_batches, max_duration_ms, alert), ordered. */
+  def backlogAlerts(monitoring: DataFrame, slowMs: Long,
+                    kBatches: Int = 2): DataFrame = {
+    require(slowMs > 0, s"slowMs must be > 0: $slowMs")
+    require(kBatches >= 1, s"kBatches must be >= 1: $kBatches")
+    monitoring.groupBy("query_name")
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        sum(when(col("batch_duration_ms") > slowMs, 1L).otherwise(0L))
+          .as("n_slow_batches"),
+        max(col("batch_duration_ms")).cast("long").as("max_duration_ms"))
+      .select(col("query_name"), col("n_batches"), col("n_slow_batches"),
+        col("max_duration_ms"),
+        (col("n_slow_batches") >= kBatches).as("alert"))
+      .orderBy("query_name")
+  }
+
+  /** STATE-GROWTH alert policy over the [[attachMonitoring]] sink —
+    * the eviction-bug detector (every stateful operator in this repo
+    * documents a bounded state budget; `state_bytes` growing on EVERY
+    * recent batch means something is not evicting): flags a query when
+    * its state bytes strictly increased across each of the last
+    * `kBatches` batch-to-batch transitions. Strictly-monotone-tail
+    * (not net growth) so a legitimately filling window does not page
+    * once it plateaus, but unbounded growth always does. Queries with
+    * ≤ kBatches batches carry no verdict-strength evidence and read
+    * false. Output: (query_name, n_batches, last_state_bytes,
+    * n_tail_growth, alert), ordered. */
+  def stateGrowthAlerts(monitoring: DataFrame,
+                        kBatches: Int = 3): DataFrame = {
+    require(kBatches >= 1, s"kBatches must be >= 1: $kBatches")
+    import org.apache.spark.sql.expressions.Window
+    val byBatch = Window.partitionBy("query_name").orderBy("batch_id")
+    val fromEnd = Window.partitionBy("query_name")
+      .orderBy(col("batch_id").desc)
+    monitoring.select(col("query_name"), col("batch_id"), col("state_bytes"))
+      .withColumn("__d",
+        col("state_bytes") - lag("state_bytes", 1).over(byBatch))
+      .withColumn("__rk", row_number().over(fromEnd))
+      .groupBy("query_name")
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        max(when(col("__rk") === 1, col("state_bytes"))).cast("long")
+          .as("last_state_bytes"),
+        sum(when(col("__rk") <= kBatches && col("__d") > 0, 1L)
+          .otherwise(0L)).as("n_tail_growth"))
+      .select(col("query_name"), col("n_batches"), col("last_state_bytes"),
+        col("n_tail_growth"),
+        (col("n_tail_growth") === kBatches.toLong).as("alert"))
+      .orderBy("query_name")
+  }
+
   /** One scheduled tick of the maintained-index DRIFT MONITOR into the
     * `_monitoring` sink — [[graft.analytics.Similarity
     * .maintainedReconDrift]] is a batch op an operator must remember

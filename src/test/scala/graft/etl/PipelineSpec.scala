@@ -1301,6 +1301,22 @@ class PipelineSpec extends SparkSpec {
       assert(rows.forall(_.getLong(4) >= 0))
       assert(b2.getString(5) >= "2024-01-01T00:59:00.000Z",
         s"watermark did not advance: $b2")
+      // the alert policies consume the SAME read-back without schema
+      // friction (arithmetic is oracled over the forged panel; this is
+      // the real-drain integration): slowMs=1 flags every real batch,
+      // a huge slowMs flags none; state growth over a 3-batch drain
+      // returns a well-formed verdict row
+      val mon = StreamingPipeline.monitoringTable(spark, base, name)
+      val slow = StreamingPipeline.backlogAlerts(mon, slowMs = 1,
+        kBatches = 1).head()
+      assert(slow.getString(0) == name && slow.getBoolean(4),
+        s"1 ms budget must flag a real drain: $slow")
+      assert(!StreamingPipeline.backlogAlerts(mon, slowMs = 3600000L)
+        .head().getBoolean(4), "an hour budget must not flag")
+      val growth = StreamingPipeline.stateGrowthAlerts(mon, kBatches = 3)
+        .head()
+      assert(growth.getString(0) == name && growth.getLong(1) >= 3,
+        s"state-growth verdict malformed: $growth")
     } finally spark.streams.removeListener(listener)
   }
 
