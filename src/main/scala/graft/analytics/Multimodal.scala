@@ -1452,6 +1452,125 @@ object Multimodal {
       .orderBy("doc_id", "track_idx")
   }
 
+  /** A spec-shaped EXIF APP1 segment (little-endian TIFF): IFD0 with
+    * orientation (+ the GPS IFD pointer when `gps` is set), GPS IFD
+    * with N/E refs and integer-degree rational triples. Sizes are
+    * CLOSED-FORM (36 B without GPS, 150 B with — the scrub oracle's
+    * bytes_removed formula). Fixture synthesis per TIFF 6.0/EXIF. */
+  def exifApp1(orientation: Int, gps: Option[(Int, Int)]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    def entry(tag: Int, tpe: Int, count: Long)(value: => Unit): Unit = {
+      u16(tag); u16(tpe); u32(count); value
+    }
+    o.write("II".getBytes("US-ASCII")); u16(42); u32(8L)
+    val n0 = if (gps.isDefined) 2 else 1
+    u16(n0)
+    entry(0x0112, 3, 1L) { u16(orientation); u16(0) }
+    val gpsOff = 10L + 12 * n0 + 4
+    gps.foreach(_ => entry(0x8825, 4, 1L)(u32(gpsOff)))
+    u32(0L) // next IFD
+    gps.foreach { case (latDeg, lonDeg) =>
+      val ratOff = gpsOff + 2 + 4 * 12 + 4
+      u16(4)
+      entry(1, 2, 2L) { o.write('N'); o.write(0); u16(0) }
+      entry(2, 5, 3L)(u32(ratOff))
+      entry(3, 2, 2L) { o.write('E'); o.write(0); u16(0) }
+      entry(4, 5, 3L)(u32(ratOff + 24))
+      u32(0L)
+      Seq(latDeg, lonDeg).foreach { deg =>
+        u32(deg.toLong); u32(1L); u32(0L); u32(1L); u32(0L); u32(1L)
+      }
+    }
+    val tiff = o.toByteArray
+    val seg = new java.io.ByteArrayOutputStream(10 + tiff.length)
+    seg.write(0xff); seg.write(0xe1)
+    val len = 2 + 6 + tiff.length
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(tiff)
+    seg.toByteArray
+  }
+
+  /** Attach REAL JPEGs carrying formula-driven EXIF: doc_id%5==0 docs
+    * have no APP1; others carry orientation doc_id%8+1, and doc_id%3==0
+    * additionally a GPS IFD at integer degrees (doc_id%90, doc_id%180)
+    * — the privacy-audit fixture. */
+  def withExifJpegPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val base = jpegBytesGrayEncoded(24, 16, synthGray(docId, 24, 16), 0.9f)
+      if (docId % 5 == 0) base
+      else {
+        val gps =
+          if (docId % 3 == 0) Some(((docId % 90).toInt, (docId % 180).toInt))
+          else None
+        val app1 = exifApp1((docId % 8 + 1).toInt, gps)
+        val out = new java.io.ByteArrayOutputStream(base.length + app1.length)
+        out.write(base, 0, 2) // SOI
+        out.write(app1)
+        out.write(base, 2, base.length - 2)
+        out.toByteArray
+      }
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** EXIF privacy AUDIT over the binary payload column — the screen a
+    * training-image corpus runs before release: per doc, whether EXIF
+    * exists, the declared orientation, and decoded GPS coordinates
+    * (decimal degrees). Batched per-partition parse (no entropy
+    * decode — marker walk + TIFF reads only). Output: (doc_id,
+    * has_exif, orientation, gps_lat, gps_lon), ordered. */
+  def exifAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withExifJpegPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaDecode.jpegExif(p) match {
+          case Some(m) => (id, true, m.orientation.map(_.toLong),
+            m.gpsLat.map(d => math.rint(d * 10000) / 10000),
+            m.gpsLon.map(d => math.rint(d * 10000) / 10000))
+          case None => (id, false, None: Option[Long],
+            None: Option[Double], None: Option[Double])
+        }
+      })
+    }.toDF("doc_id", "has_exif", "orientation", "gps_lat", "gps_lon")
+      .orderBy("doc_id")
+  }
+
+  /** Metadata-SCRUB audit — run [[MediaDecode.jpegStripMetadata]] over
+    * the same fixture and report, per doc: bytes removed (the APP1
+    * segment, closed-form in the fixture), whether the scrubbed bytes
+    * carry no EXIF, and PIXEL identity of the scrub (decode equality —
+    * the lossless claim, checked not asserted). */
+  def exifScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withExifJpegPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaDecode.jpegStripMetadata(p) match {
+          case Some(s) =>
+            val same = (MediaDecode.jpegLumaPixels(p),
+              MediaDecode.jpegLumaPixels(s)) match {
+              case (Some((w1, h1, g1)), Some((w2, h2, g2))) =>
+                w1 == w2 && h1 == h2 && java.util.Arrays.equals(g1, g2)
+              case _ => false
+            }
+            (id, (p.length - s.length).toLong,
+              MediaDecode.jpegExif(s).isEmpty, same)
+          case None => (id, 0L, false, false)
+        }
+      })
+    }.toDF("doc_id", "bytes_removed", "exif_removed", "pixels_identical")
+      .orderBy("doc_id")
+  }
+
   /** Frames of an opaque video payload, by container magic: the GVID
     * fixture walk, the REAL MJPEG-in-AVI demux ([[MediaDecode
     * .aviMjpegFrames]]), or the REAL MJPEG-in-MP4 sample walk
@@ -1885,6 +2004,152 @@ object MediaDecode {
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // JPEG metadata (EXIF / TIFF 6.0, public specs) — the PRIVACY seam
+  // of the image modality: training images routinely carry GPS
+  // coordinates and device identity in APP1/EXIF, and the scrub is a
+  // pure SEGMENT-level rewrite (drop APPn/COM between SOI and SOS) —
+  // no entropy decode, pixel-identical by construction.
+
+  /** Parsed EXIF audit fields: IFD0 orientation (tag 0x0112) and the
+    * GPS IFD's latitude/longitude in decimal degrees (rational
+    * triples, sign from the N/S / E/W refs). */
+  final case class ExifMeta(orientation: Option[Int],
+                            gpsLat: Option[Double],
+                            gpsLon: Option[Double])
+
+  /** Walk a JPEG's marker segments from SOI to SOS: (marker, start
+    * offset, total segment length incl. the 2 marker bytes). Stops at
+    * SOS (entropy data follows) or EOI; malformed walks return what
+    * parsed (containment). */
+  private def jpegSegmentsUntilSos(b: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Seq.empty
+    var p = 2
+    var done = false
+    while (!done && p + 1 < b.length) {
+      if ((b(p) & 0xff) != 0xff) { done = true }
+      else {
+        var m = b(p + 1) & 0xff
+        var q = p
+        while (m == 0xff && q + 2 < b.length) { q += 1; m = b(q + 1) & 0xff }
+        if (m == 0xd9 || m == 0xda) { done = true } // EOI / SOS
+        else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01 || m == 0xd8) {
+          out += ((m, q, 2)); p = q + 2
+        } else {
+          if (q + 3 >= b.length) done = true
+          else {
+            val len = ((b(q + 2) & 0xff) << 8) | (b(q + 3) & 0xff)
+            if (len < 2 || q + 2 + len > b.length) done = true
+            else { out += ((m, q, 2 + len)); p = q + 2 + len }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** LOSSLESS metadata scrub — drop every APP1–APP15 and COM segment
+    * between SOI and SOS, keep everything else byte-identical (APP0
+    * JFIF retained: structural, never carries PII). No entropy decode:
+    * the pixels of the result are the pixels of the input by
+    * construction. Non-JPEG payloads return None. */
+  def jpegStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    val segs = jpegSegmentsUntilSos(b)
+    if (segs.isEmpty) return None
+    val drop = segs.filter { case (m, _, _) =>
+      (m >= 0xe1 && m <= 0xef) || m == 0xfe
+    }
+    if (drop.isEmpty) return Some(b)
+    val keep = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    drop.sortBy(_._2).foreach { case (_, start, len) =>
+      keep.write(b, p, start - p)
+      p = start + len
+    }
+    keep.write(b, p, b.length - p)
+    Some(keep.toByteArray)
+  }
+
+  /** EXIF parse — APP1 `Exif\0\0` + TIFF: endianness (II/MM), IFD0
+    * entries for orientation (0x0112) and the GPS IFD pointer
+    * (0x8825); GPS latitude/longitude decoded from the rational
+    * triples with the N/S / E/W reference signs. Every offset is
+    * bounds-checked; anything malformed yields None fields (a corrupt
+    * EXIF is DATA). Returns None when no APP1/Exif segment exists. */
+  def jpegExif(b: Array[Byte]): Option[ExifMeta] = {
+    try {
+      val app1 = jpegSegmentsUntilSos(b).find { case (m, s, l) =>
+        m == 0xe1 && l >= 12 &&
+          b(s + 4) == 'E' && b(s + 5) == 'x' && b(s + 6) == 'i' &&
+          b(s + 7) == 'f' && b(s + 8) == 0 && b(s + 9) == 0
+      }.map { case (_, s, l) => (s + 10, l - 10) }
+      app1.flatMap { case (tiff, tlen) =>
+        if (tlen < 8) return None
+        val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
+        val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
+        if (!le && !be) return None
+        def u16(o: Int): Int = {
+          if (o < tiff || o + 2 > tiff + tlen) throw FlacEos
+          if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        }
+        def u32(o: Int): Long = {
+          if (o < tiff || o + 4 > tiff + tlen) throw FlacEos
+          if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        }
+        if (u16(tiff + 2) != 42) return None
+        val ifd0 = tiff + u32(tiff + 4).toInt
+        var orientation: Option[Int] = None
+        var gpsIfd: Option[Int] = None
+        val n0 = u16(ifd0)
+        var i = 0
+        while (i < math.min(n0, 256)) {
+          val e = ifd0 + 2 + 12 * i
+          u16(e) match {
+            case 0x0112 => orientation = Some(u16(e + 8))
+            case 0x8825 => gpsIfd = Some(tiff + u32(e + 8).toInt)
+            case _ => ()
+          }
+          i += 1
+        }
+        def rational3(off: Int): Double = {
+          def r(k: Int): Double = {
+            val num = u32(off + 8 * k); val den = u32(off + 8 * k + 4)
+            if (den == 0) 0.0 else num.toDouble / den.toDouble
+          }
+          r(0) + r(1) / 60.0 + r(2) / 3600.0
+        }
+        var lat: Option[Double] = None
+        var lon: Option[Double] = None
+        gpsIfd.foreach { g =>
+          val ng = u16(g)
+          var latRef = 1.0; var lonRef = 1.0
+          var latOff: Option[Int] = None; var lonOff: Option[Int] = None
+          var j = 0
+          while (j < math.min(ng, 256)) {
+            val e = g + 2 + 12 * j
+            u16(e) match {
+              case 1 => if ((b(e + 8) & 0xff) == 'S') latRef = -1.0
+              case 2 => latOff = Some(tiff + u32(e + 8).toInt)
+              case 3 => if ((b(e + 8) & 0xff) == 'W') lonRef = -1.0
+              case 4 => lonOff = Some(tiff + u32(e + 8).toInt)
+              case _ => ()
+            }
+            j += 1
+          }
+          lat = latOff.map(o => latRef * rational3(o))
+          lon = lonOff.map(o => lonRef * rational3(o))
+        }
+        Some(ExifMeta(orientation, lat, lon))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------

@@ -456,6 +456,36 @@ private[queries] object RegistryMultimodal {
         FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx"""),
       bench = true),
 
+    // EXIF privacy AUDIT over REAL bytes: the marker walk + TIFF parse
+    // (endianness, IFD0 orientation, GPS IFD rational triples) against
+    // the fixture formulas — a wrong IFD offset or rational read
+    // hash-mismatches; the GPS coordinates are the release-blocking
+    // signal a training-image corpus screens for
+    QueryDef("mm_exif_audit",
+      (s, d) => Multimodal.exifAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id, doc_id % 5 <> 0 AS has_exif,
+          CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 8 + 1)::BIGINT END
+            AS orientation,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 90)::DOUBLE, 4) END AS gps_lat,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 180)::DOUBLE, 4) END AS gps_lon
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // metadata SCRUB audit: segment-level strip (no entropy decode) —
+    // bytes_removed is the CLOSED-FORM APP1 size (150 with GPS IFD, 36
+    // without, 0 when none existed), exif_removed re-parses the
+    // scrubbed bytes, pixels_identical DECODES both (the lossless
+    // claim, measured per doc, not asserted)
+    QueryDef("mm_exif_scrub",
+      (s, d) => Multimodal.exifScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0
+                WHEN doc_id % 3 = 0 THEN 150 ELSE 36 END)::BIGINT
+            AS bytes_removed,
+          TRUE AS exif_removed, TRUE AS pixels_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // frame sampling over the REAL MP4 container: the SAME
     // deterministic frame bytes ride as mdat samples resolved through
     // the FULL table walk (stsc runs → stsz sizes → stco/co64 offsets,

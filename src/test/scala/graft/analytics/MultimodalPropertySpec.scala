@@ -412,6 +412,57 @@ class MultimodalPropertySpec extends AnyFunSuite {
       "deeply nested LISTs must parse to no frames, never overflow the stack")
   }
 
+  test("jpeg EXIF: parse exactness both endiannesses, lossless scrub, containment") {
+    val base = Multimodal.jpegBytesGrayEncoded(24, 16,
+      Multimodal.synthGray(9L, 24, 16), 0.9f)
+    def inject(app1: Array[Byte]): Array[Byte] =
+      base.take(2) ++ app1 ++ base.drop(2)
+    // little-endian fixture: closed-form sizes + exact field round-trip
+    assert(Multimodal.exifApp1(3, None).length == 36)
+    val app1 = Multimodal.exifApp1(6, Some((51, 122)))
+    assert(app1.length == 150)
+    val withExif = inject(app1)
+    val m = MediaDecode.jpegExif(withExif).get
+    assert(m.orientation.contains(6) && m.gpsLat.contains(51.0) &&
+      m.gpsLon.contains(122.0), s"exif drifted: $m")
+    assert(MediaDecode.jpegExif(base).isEmpty)
+    // big-endian (MM) TIFF: hand-built orientation-only IFD
+    val mm = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { mm.write((v >> 8) & 0xff); mm.write(v & 0xff) }
+    def be32(v: Long): Unit = { be16((v >> 16).toInt); be16((v & 0xffff).toInt) }
+    mm.write("MM".getBytes("US-ASCII")); be16(42); be32(8L)
+    be16(1) // one entry
+    be16(0x0112); be16(3); be32(1L); be16(5); be16(0) // orientation 5
+    be32(0L)
+    val tiffMm = mm.toByteArray
+    val segMm = new java.io.ByteArrayOutputStream()
+    segMm.write(0xff); segMm.write(0xe1)
+    val len = 2 + 6 + tiffMm.length
+    segMm.write((len >> 8) & 0xff); segMm.write(len & 0xff)
+    segMm.write("Exif".getBytes("US-ASCII")); segMm.write(0); segMm.write(0)
+    segMm.write(tiffMm)
+    val mMm = MediaDecode.jpegExif(inject(segMm.toByteArray))
+    assert(mMm.get.orientation.contains(5) && mMm.get.gpsLat.isEmpty,
+      s"big-endian parse drifted: $mMm")
+    // scrub: segment-exact removal, EXIF gone, pixels BIT-identical
+    val stripped = MediaDecode.jpegStripMetadata(withExif).get
+    assert(withExif.length - stripped.length == 150)
+    assert(MediaDecode.jpegExif(stripped).isEmpty)
+    assert(java.util.Arrays.equals(
+      MediaDecode.jpegLumaPixels(withExif).get._3,
+      MediaDecode.jpegLumaPixels(stripped).get._3),
+      "scrub must be pixel-identical")
+    // containment: truncation/corruption sweeps never throw
+    (0 to withExif.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(withExif, cut)
+      MediaDecode.jpegExif(part); MediaDecode.jpegStripMetadata(part)
+    }
+    (0 until withExif.length by 5).foreach { i =>
+      val c = withExif.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.jpegExif(c); MediaDecode.jpegStripMetadata(c)
+    }
+  }
+
   test("flac decode: lossless identity across every subframe path, WAV-twin bit equality, fingerprint invariance") {
     val tone = Multimodal.synthToneSamples(42L, 1440, 8000)
     // encode∘decode is the identity on the quantized ints through
