@@ -761,6 +761,58 @@ object Dedup {
           .as("admitted"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space analog of
+    * [[decontaminateNearDup]] for the leakage n-grams cannot see:
+    * a REPHRASED benchmark item shares no shingles with its source
+    * but lands at cosine ≈ 1, so the modern decontamination gate
+    * screens the corpus's embeddings against the eval set's. A corpus
+    * vector is flagged when ANY eval vector in its SRP bucket reaches
+    * `tau` (the [[semanticAdmit]] bucket discipline: SRP sign-of-
+    * projection buckets are scale-invariant, so affine re-renders of
+    * an eval item collide with it).
+    *
+    * Scale shape: the eval side is BENCHMARK-sized by definition —
+    * when its estimated bucketed footprint ((8+8·dim) B a row) fits
+    * the broadcast budget it broadcasts and the corpus never shuffles
+    * (scan-speed screen, the decontaminate gate discipline); larger
+    * eval unions fall back to a plain bucket equi-join, identical
+    * result. Null-embedding corpus rows are KEPT untouched (nothing
+    * to compare — the semanticAdmit convention). Output: (vec_id,
+    * label, n_eval_hits, is_kept), ordered by vec_id — the audit
+    * form; filter is_kept for the surviving corpus. */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+                            tau: Double, nBits: Int = 8,
+                            dimOpt: Option[Int] = None,
+                            broadcastBudgetBytes: Long = 64L * 1024 * 1024)
+      : DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1,30]: $nBits")
+    val dim = dimOpt.getOrElse(Similarity.embeddingDim(corpus))
+    val c = graft.util.SparkUtil.widen(corpus)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+      .withColumn("bucket",
+        when(col("vec").isNotNull, Similarity.srpBucket(col("vec"), dim, nBits)))
+    val ev = evalVecs.filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"), x => x.cast(DoubleType)).as("vec_e"))
+      .withColumn("bucket", Similarity.srpBucket(col("vec_e"), dim, nBits))
+    // size gate: one benchmark-sized count decides broadcast vs plain
+    // join (the decontaminateNearDup estimate discipline)
+    val evalRows = ev.count()
+    val evalBytes = evalRows * (8L + 8L * dim)
+    val evSide = if (evalBytes <= broadcastBudgetBytes) broadcast(ev) else ev
+    val hits = c.filter(col("vec").isNotNull)
+      .join(evSide, Seq("bucket"))
+      .filter(Similarity.cosine(col("vec"), col("vec_e")) >= tau)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_eval_hits"))
+    c.select(col("vec_id"), col("label"))
+      .join(hits, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_eval_hits"))
+      .select(col("vec_id"), col("label"), col("n_eval_hits"),
+        (col("n_eval_hits") === 0).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Duplicate-cluster formation — the stage AFTER pair generation:
     * near-dup candidate pairs form a graph; its connected components
     * are the duplicate clusters, and `cluster_id = min(doc_id in

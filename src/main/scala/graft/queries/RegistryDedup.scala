@@ -500,6 +500,52 @@ private[queries] object RegistryDedup {
           ORDER BY i.vec_id"""
       }, bench = true),
 
+    // SEMANTIC decontamination (the embedding-space analog of the
+    // n-gram gate — rephrased benchmark leakage shares no shingles but
+    // lands at cosine ≈ 1): corpus = the embeddings table, eval =
+    // ×2-scaled copies of the %10 vectors (SRP scale-invariance makes
+    // the hit provable) plus ONE native odd vector; the oracle mirrors
+    // the FULL bucket-join + cosine computation so incidental
+    // same-bucket hits count identically on both engines
+    QueryDef("corpus_decontaminate_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = Similarity.embeddingDim(emb)
+        val vecd = transform(col("embedding"), x => x.cast("double"))
+        val eval = emb
+          .filter(col("vec_id") % 10 === 0 && col("embedding").isNotNull)
+          .select(transform(vecd, x => x * lit(2.0d)).as("embedding"))
+          .unionByName(emb
+            .filter(col("vec_id") === 1 && col("embedding").isNotNull)
+            .select(vecd.as("embedding")))
+        Dedup.semanticDecontaminate(emb, eval, 0.35, 4, Some(dim))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("n_eval_hits").cast("long").as("n_eval_hits"),
+            col("is_kept"))
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+            (sqrt(list_sum(list_transform($a, x -> x * x))) *
+             sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+        s"""WITH base AS MATERIALIZED (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          ev0 AS (SELECT list_transform(vec, x -> x * 2.0) AS vec
+              FROM base WHERE vec_id % 10 = 0 AND vec IS NOT NULL
+            UNION ALL SELECT vec FROM base WHERE vec_id = 1 AND vec IS NOT NULL),
+          ev AS MATERIALIZED (SELECT vec, ${srpBucketSql(4)} AS bucket FROM ev0),
+          cb AS MATERIALIZED (SELECT vec_id, label, vec,
+            CASE WHEN vec IS NULL THEN NULL ELSE ${srpBucketSql(4)} END AS bucket
+            FROM base),
+          h AS (SELECT c.vec_id, count(*)::BIGINT AS n
+            FROM cb c JOIN ev e ON c.bucket = e.bucket
+            WHERE ${cos("c.vec", "e.vec")} >= 0.35 GROUP BY c.vec_id)
+          SELECT c.vec_id, c.label::BIGINT AS label,
+            coalesce(h.n, 0)::BIGINT AS n_eval_hits,
+            coalesce(h.n, 0) = 0 AS is_kept
+          FROM cb c LEFT JOIN h USING (vec_id) ORDER BY vec_id"""
+      }, bench = true),
+
     QueryDef("dedup_minhash_pairs",
       (s, d) => Dedup.minhashCandidatePairs(t(s, d, "documents"), 3, 8, 4),
       Some {

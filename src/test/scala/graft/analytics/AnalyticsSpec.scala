@@ -2250,6 +2250,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == ((1L, false)))
   }
 
+  test("semanticDecontaminate flags eval-similar vectors, keeps nulls, fallback ≡ broadcast") {
+    val corpus = vecs(
+      (1L, Seq(1f, 0f, 0f), 0),   // eval carries a ×2 copy → flagged
+      (2L, Seq(0f, 1f, 0f), 0),   // orthogonal to every eval vec → kept
+      (3L, Seq(0f, 0f, 1f), 0),   // exact eval member → flagged
+      (4L, null.asInstanceOf[Seq[Float]], 0)) // null: kept untouched
+    val eval = Seq(
+      (100L, Seq(2f, 0f, 0f), 9), // scaled copy of 1 (SRP-invariant)
+      (101L, Seq(0f, 0f, 1f), 9)
+    ).toDF("vec_id", "embedding", "label").select(col("embedding"))
+    val out = Dedup.semanticDecontaminate(corpus, eval, 0.9, nBits = 4,
+      dimOpt = Some(3)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 >= 1L && !out(1L)._2, s"scaled eval copy must flag: $out")
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L)._1 >= 1L && !out(3L)._2)
+    assert(out(4L) == ((0L, true)), "null embedding must be kept untouched")
+    // plain-join fallback (budget 0) is result-identical to broadcast
+    val fb = Dedup.semanticDecontaminate(corpus, eval, 0.9, nBits = 4,
+      dimOpt = Some(3), broadcastBudgetBytes = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(fb == out.map { case (k, (n, b)) => (k, n, b) }.toSet,
+      "fallback join must be result-identical")
+  }
+
   test("semanticDedup is the pessimistic greedy: chains drop through removed middles") {
     // a~b and b~c at cosine >= tau, a!~c — the earlier-id rule removes
     // BOTH b and c (c's near-dup b is itself removed; documented
