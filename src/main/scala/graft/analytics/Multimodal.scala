@@ -600,7 +600,8 @@ object Multimodal {
     * the 100 TB path. */
   def flacBytes(channels: Int, sampleRate: Int, bits: Int,
                 pcm: Array[Int], blockSize: Int = 4096,
-                mode: String = "auto"): Array[Byte] = {
+                mode: String = "auto",
+                comments: Seq[(String, String)] = Nil): Array[Byte] = {
     require(bits == 8 || bits == 16, s"bits must be 8 or 16: $bits")
     require(channels >= 1 && channels <= 8, s"channels: $channels")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize: $blockSize")
@@ -652,8 +653,31 @@ object Multimodal {
     si.put(nSamples.toLong, 36)
     (0 until 16).foreach(_ => si.put(0L, 8)) // md5 unknown
     val siBytes = si.bytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(if (comments.isEmpty) 0x80 else 0x00)
+    out.write(0); out.write(0); out.write(siBytes.length)
     out.write(siBytes)
+    if (comments.nonEmpty) {
+      // VORBIS_COMMENT (type 4, last): vendor + KEY=value list — all
+      // lengths LITTLE-endian inside the big-endian container (spec)
+      val vc = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Unit = {
+        vc.write((v & 0xff).toInt); vc.write(((v >> 8) & 0xff).toInt)
+        vc.write(((v >> 16) & 0xff).toInt); vc.write(((v >> 24) & 0xff).toInt)
+      }
+      val vendor = "graft".getBytes("UTF-8")
+      le32(vendor.length.toLong); vc.write(vendor)
+      le32(comments.length.toLong)
+      comments.foreach { case (k, v) =>
+        val c = s"$k=$v".getBytes("UTF-8")
+        le32(c.length.toLong); vc.write(c)
+      }
+      val body = vc.toByteArray
+      out.write(0x84) // type 4, last
+      out.write((body.length >> 16) & 0xff)
+      out.write((body.length >> 8) & 0xff)
+      out.write(body.length & 0xff)
+      out.write(body)
+    }
     // stereo-decorrelation modes need exactly two channels
     val stereoAsgn = mode match {
       case "leftside" => 8
@@ -835,6 +859,54 @@ object Multimodal {
           bits, gain, channels), blockSize)
     }
     documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Attach REAL tagged-FLAC payloads: the tone fixture with a
+    * formula-driven VORBIS_COMMENT block (ARTIST/TITLE; doc_id%5==0
+    * docs untagged) — the audio privacy-audit fixture. */
+  def withTaggedFlacPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val tags =
+        if (docId % 5 == 0) Nil
+        else Seq("ARTIST" -> s"artist_${docId % 50}", "TITLE" -> s"t_${docId % 7}")
+      flacBytes(1, 8000, 8,
+        pcmQuantizeInt(synthToneSamples(docId, 1440, 8000), 8, 1.0, 1),
+        512, comments = tags)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** FLAC tag AUDIT + metadata-scrub report — the [[exifScrubAudit]]
+    * analog on the audio modality: per doc, the Vorbis tag count and
+    * ARTIST value, bytes removed by [[MediaDecode.flacStripMetadata]]
+    * (closed-form in the fixture), whether the scrubbed bytes carry no
+    * tags, and SAMPLE identity of the scrub (decode equality — the
+    * lossless claim, measured per doc). */
+  def flacTagScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withTaggedFlacPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val tags = MediaDecode.flacVorbisComments(p)
+        val artist = tags.flatMap(_.find(_._1 == "ARTIST").map(_._2))
+        MediaDecode.flacStripMetadata(p) match {
+          case Some(s) =>
+            val same = (MediaDecode.flacPcmMono(p),
+              MediaDecode.flacPcmMono(s)) match {
+              case (Some((r1, a)), Some((r2, bb))) =>
+                r1 == r2 && java.util.Arrays.equals(a, bb)
+              case _ => false
+            }
+            (id, tags.map(_.size.toLong).getOrElse(0L), artist,
+              (p.length - s.length).toLong,
+              MediaDecode.flacVorbisComments(s).isEmpty, same)
+          case None => (id, 0L, artist, 0L, false, false)
+        }
+      })
+    }.toDF("doc_id", "n_tags", "artist", "bytes_removed",
+      "tags_removed", "samples_identical")
+      .orderBy("doc_id")
   }
 
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
@@ -2165,6 +2237,89 @@ object MediaDecode {
   // channels. CRCs are not verified (sequential parse, not resync);
   // any malformed region ends the decode with the frames that fully
   // parsed (truncation containment — corrupt audio is DATA).
+
+  /** FLAC VORBIS_COMMENT tags (metadata block type 4) — the audio
+    * side of the privacy seam (artist/title/location tags travel with
+    * distributed audio): vendor string + KEY=value comments, all
+    * LITTLE-endian inside the otherwise big-endian FLAC container
+    * (the spec's famous quirk). Keys uppercased per spec; malformed
+    * blocks return None (corrupt tags are DATA). */
+  def flacVorbisComments(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      if (b.length < 8) return None
+      if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+      var p = 4
+      var last = false
+      while (!last && p + 4 <= b.length) {
+        val hdr = b(p) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (p + 4 + len > b.length) return None
+        if (btype == 4) {
+          var q = p + 4
+          val end = p + 4 + len
+          def le32i(): Long = {
+            if (q + 4 > end) throw FlacEos
+            val v = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
+              ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
+            q += 4; v
+          }
+          val vlen = le32i().toInt
+          if (q + vlen > end || vlen < 0) return None
+          q += vlen // vendor string skipped
+          val n = le32i().toInt
+          if (n < 0 || n > 4096) return None
+          val out = Seq.newBuilder[(String, String)]
+          var i = 0
+          while (i < n) {
+            val clen = le32i().toInt
+            if (clen < 0 || q + clen > end) return None
+            val c = new String(b, q, clen, java.nio.charset.StandardCharsets.UTF_8)
+            q += clen
+            val eq = c.indexOf('=')
+            if (eq > 0) out += ((c.substring(0, eq).toUpperCase, c.substring(eq + 1)))
+            i += 1
+          }
+          return Some(out.result())
+        }
+        p += 4 + len
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** LOSSLESS FLAC metadata scrub — keep ONLY the STREAMINFO block
+    * (its last-metadata flag forced on) and the audio frames; every
+    * other metadata block (VORBIS_COMMENT, PADDING, PICTURE, …) is
+    * dropped at the byte level. No frame decode: the samples of the
+    * result are the samples of the input by construction. */
+  def flacStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      if (b.length < 8) return None
+      if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+      var p = 4
+      var last = false
+      var si: Option[(Int, Int)] = None // (offset of block header, total len)
+      while (!last && p + 4 <= b.length) {
+        val hdr = b(p) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (p + 4 + len > b.length) return None
+        if (btype == 0) si = Some((p, 4 + len))
+        p += 4 + len
+      }
+      si.map { case (off, slen) =>
+        val out = new java.io.ByteArrayOutputStream(8 + slen + (b.length - p))
+        out.write(b, 0, 4)
+        out.write((b(off) & 0x7f) | 0x80) // STREAMINFO, forced last
+        out.write(b, off + 1, slen - 1)
+        out.write(b, p, b.length - p) // frames verbatim
+        out.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** MSB-first big-endian bit reader over a byte array; every read is
     * bounds-checked via [[FlacEos]] so a truncated stream unwinds to

@@ -486,6 +486,25 @@ private[queries] object RegistryMultimodal {
           TRUE AS exif_removed, TRUE AS pixels_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // FLAC tag audit + scrub — the EXIF discipline on the audio
+    // modality: Vorbis comments parsed (LITTLE-endian lengths inside
+    // the big-endian container — the spec quirk a wrong-endian read
+    // garbles), scrub keeps only STREAMINFO + frames; bytes_removed is
+    // the CLOSED-FORM comment-block size, sample identity DECODED per
+    // doc (lossless by construction, measured not asserted)
+    QueryDef("mm_flac_tags_scrub",
+      (s, d) => Multimodal.flacTagScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 END)::BIGINT AS n_tags,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'artist_' || (doc_id % 50)::VARCHAR END AS artist,
+          (CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 25 + length('ARTIST=artist_' || (doc_id % 50)::VARCHAR)
+               + length('TITLE=t_' || (doc_id % 7)::VARCHAR) END)::BIGINT
+            AS bytes_removed,
+          TRUE AS tags_removed, TRUE AS samples_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // frame sampling over the REAL MP4 container: the SAME
     // deterministic frame bytes ride as mdat samples resolved through
     // the FULL table walk (stsc runs → stsz sizes → stco/co64 offsets,

@@ -539,6 +539,25 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
     assert(MediaDecode.flacPcmMono("noflac".getBytes).isEmpty)
     assert(MediaDecode.flacPcmMono(Array.empty[Byte]).isEmpty)
+    // Vorbis tags: LE-inside-BE round-trip, lossless strip
+    val ints = Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1)
+    val tagged = Multimodal.flacBytes(1, 8000, 8, ints, 512,
+      comments = Seq("ARTIST" -> "someone", "TITLE" -> "x"))
+    assert(MediaDecode.flacVorbisComments(tagged)
+      .contains(Seq("ARTIST" -> "someone", "TITLE" -> "x")))
+    assert(MediaDecode.flacVorbisComments(flac).isEmpty, "untagged reads None")
+    val strippedF = MediaDecode.flacStripMetadata(tagged).get
+    assert(MediaDecode.flacVorbisComments(strippedF).isEmpty)
+    assert(java.util.Arrays.equals(
+      MediaDecode.flacPcmMono(tagged).get._2.map(v => math.round(v * 128).toInt),
+      MediaDecode.flacPcmMono(strippedF).get._2.map(v => math.round(v * 128).toInt)),
+      "tag strip must be sample-identical")
+    // untagged strip is byte-identical (STREAMINFO already last)
+    assert(MediaDecode.flacStripMetadata(flac).get.sameElements(flac))
+    (0 to tagged.length by 9).foreach { cut =>
+      val part = java.util.Arrays.copyOf(tagged, cut)
+      MediaDecode.flacVorbisComments(part); MediaDecode.flacStripMetadata(part)
+    }
   }
 
   test("mp4 demux: sample round-trip both offset widths, track metadata, re-container invariance") {
