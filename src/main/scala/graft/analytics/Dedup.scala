@@ -797,10 +797,14 @@ object Dedup {
       .select(transform(col("embedding"), x => x.cast(DoubleType)).as("vec_e"))
       .withColumn("bucket", Similarity.srpBucket(col("vec_e"), dim, nBits))
     // size gate: one benchmark-sized count decides broadcast vs plain
-    // join (the decontaminateNearDup estimate discipline)
-    val evalRows = ev.count()
+    // join (the decontaminateNearDup estimate discipline); the bucketed
+    // eval is eagerly checkpointed FIRST so the gate's count and the
+    // join read ONE materialization, not two derivation scans (the
+    // round-8 fan-out rule)
+    val evC = ev.localCheckpoint(true)
+    val evalRows = evC.count()
     val evalBytes = evalRows * (8L + 8L * dim)
-    val evSide = if (evalBytes <= broadcastBudgetBytes) broadcast(ev) else ev
+    val evSide = if (evalBytes <= broadcastBudgetBytes) broadcast(evC) else evC
     val hits = c.filter(col("vec").isNotNull)
       .join(evSide, Seq("bucket"))
       .filter(Similarity.cosine(col("vec"), col("vec_e")) >= tau)

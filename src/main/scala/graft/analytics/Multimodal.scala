@@ -2124,25 +2124,55 @@ object MediaDecode {
     out.result()
   }
 
-  /** LOSSLESS metadata scrub — drop every APP1–APP15 and COM segment
-    * between SOI and SOS, keep everything else byte-identical (APP0
-    * JFIF retained: structural, never carries PII). No entropy decode:
-    * the pixels of the result are the pixels of the input by
-    * construction. Non-JPEG payloads return None. */
+  /** LOSSLESS metadata scrub — drop metadata APPn/COM segments between
+    * SOI and SOS AND truncate everything after EOI, keeping the
+    * decoded pixels identical:
+    *  - RETAINED: APP0 (JFIF — structural), APP14 with the `Adobe`
+    *    signature (its transform flag tells decoders whether 3
+    *    components are RGB or YCbCr — dropping it CHANGES rendered
+    *    colors), APP2 with the `ICC_PROFILE` signature (color
+    *    management); everything else APP1–APP15 + COM is dropped
+    *    (EXIF, XMP, MPF, maker notes).
+    *  - TRAILER TRUNCATION: bytes after EOI are dropped — real-world
+    *    "motion photos" append a full video there, which a
+    *    segments-only scrub would ship in the release corpus. FF D9
+    *    cannot occur inside entropy data (FF is escaped) so the first
+    *    EOI after SOS is the true end.
+    * No entropy decode. Non-JPEG payloads return None. */
   def jpegStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
     val segs = jpegSegmentsUntilSos(b)
-    if (segs.isEmpty) return None
-    val drop = segs.filter { case (m, _, _) =>
-      (m >= 0xe1 && m <= 0xef) || m == 0xfe
+    if (segs.isEmpty && (b.length < 4 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8)) return None
+    def sig(start: Int, len: Int, s: String): Boolean =
+      len >= 4 + s.length &&
+        (0 until s.length).forall(i => b(start + 4 + i) == s.charAt(i).toByte)
+    val drop = segs.filter { case (m, start, len) =>
+      m match {
+        case 0xee => !sig(start, len, "Adobe")       // keep Adobe transform
+        case 0xe2 => !sig(start, len, "ICC_PROFILE") // keep color management
+        case mm => (mm >= 0xe1 && mm <= 0xef) || mm == 0xfe
+      }
     }
-    if (drop.isEmpty) return Some(b)
-    val keep = new java.io.ByteArrayOutputStream(b.length)
+    // locate EOI: first FF D9 at or after the end of the pre-SOS
+    // region (entropy data escapes FF, so this is the true EOI)
+    val scanFrom = segs.lastOption.map { case (_, s, l) => s + l }.getOrElse(2)
+    var eoiEnd = b.length
+    var i = scanFrom
+    var found = false
+    while (!found && i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd9) {
+        eoiEnd = i + 2; found = true
+      }
+      i += 1
+    }
+    if (drop.isEmpty && eoiEnd == b.length) return Some(b)
+    val keep = new java.io.ByteArrayOutputStream(eoiEnd)
     var p = 0
     drop.sortBy(_._2).foreach { case (_, start, len) =>
       keep.write(b, p, start - p)
       p = start + len
     }
-    keep.write(b, p, b.length - p)
+    keep.write(b, p, eoiEnd - p)
     Some(keep.toByteArray)
   }
 
@@ -2150,8 +2180,11 @@ object MediaDecode {
     * entries for orientation (0x0112) and the GPS IFD pointer
     * (0x8825); GPS latitude/longitude decoded from the rational
     * triples with the N/S / E/W reference signs. Every offset is
-    * bounds-checked; anything malformed yields None fields (a corrupt
-    * EXIF is DATA). Returns None when no APP1/Exif segment exists. */
+    * bounds-checked, and corruption FAILS CLOSED per section: a bad
+    * IFD0 count or GPS offset yields None FIELDS while keeping
+    * whatever parsed (the audit must never report a GPS-bearing image
+    * as clean because an unrelated entry was corrupt — Some(partial),
+    * not None). Returns None only when no APP1/Exif segment exists. */
   def jpegExif(b: Array[Byte]): Option[ExifMeta] = {
     try {
       val app1 = jpegSegmentsUntilSos(b).find { case (m, s, l) =>
@@ -2159,11 +2192,12 @@ object MediaDecode {
           b(s + 4) == 'E' && b(s + 5) == 'x' && b(s + 6) == 'i' &&
           b(s + 7) == 'f' && b(s + 8) == 0 && b(s + 9) == 0
       }.map { case (_, s, l) => (s + 10, l - 10) }
-      app1.flatMap { case (tiff, tlen) =>
-        if (tlen < 8) return None
+      app1.map { case (tiff, tlen) =>
+        val empty = ExifMeta(None, None, None)
+        if (tlen < 8) return Some(empty)
         val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
         val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
-        if (!le && !be) return None
+        if (!le && !be) return Some(empty)
         def u16(o: Int): Int = {
           if (o < tiff || o + 2 > tiff + tlen) throw FlacEos
           if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -2176,21 +2210,27 @@ object MediaDecode {
           else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
             ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
         }
-        if (u16(tiff + 2) != 42) return None
-        val ifd0 = tiff + u32(tiff + 4).toInt
         var orientation: Option[Int] = None
         var gpsIfd: Option[Int] = None
-        val n0 = u16(ifd0)
-        var i = 0
-        while (i < math.min(n0, 256)) {
-          val e = ifd0 + 2 + 12 * i
-          u16(e) match {
-            case 0x0112 => orientation = Some(u16(e + 8))
-            case 0x8825 => gpsIfd = Some(tiff + u32(e + 8).toInt)
-            case _ => ()
+        try {
+          if (u16(tiff + 2) != 42) return Some(empty)
+          val ifd0 = tiff + u32(tiff + 4).toInt
+          val n0 = u16(ifd0)
+          var i = 0
+          while (i < math.min(n0, 256)) {
+            val e = ifd0 + 2 + 12 * i
+            // each ENTRY parses independently: one bad offset must not
+            // erase fields already read or skip readable later ones
+            try {
+              u16(e) match {
+                case 0x0112 => orientation = Some(u16(e + 8))
+                case 0x8825 => gpsIfd = Some(tiff + u32(e + 8).toInt)
+                case _ => ()
+              }
+            } catch { case FlacEos => () }
+            i += 1
           }
-          i += 1
-        }
+        } catch { case FlacEos => () }
         def rational3(off: Int): Double = {
           def r(k: Int): Double = {
             val num = u32(off + 8 * k); val den = u32(off + 8 * k + 4)
@@ -2201,25 +2241,31 @@ object MediaDecode {
         var lat: Option[Double] = None
         var lon: Option[Double] = None
         gpsIfd.foreach { g =>
-          val ng = u16(g)
-          var latRef = 1.0; var lonRef = 1.0
-          var latOff: Option[Int] = None; var lonOff: Option[Int] = None
-          var j = 0
-          while (j < math.min(ng, 256)) {
-            val e = g + 2 + 12 * j
-            u16(e) match {
-              case 1 => if ((b(e + 8) & 0xff) == 'S') latRef = -1.0
-              case 2 => latOff = Some(tiff + u32(e + 8).toInt)
-              case 3 => if ((b(e + 8) & 0xff) == 'W') lonRef = -1.0
-              case 4 => lonOff = Some(tiff + u32(e + 8).toInt)
-              case _ => ()
+          try {
+            val ng = u16(g)
+            var latRef = 1.0; var lonRef = 1.0
+            var latOff: Option[Int] = None; var lonOff: Option[Int] = None
+            var j = 0
+            while (j < math.min(ng, 256)) {
+              val e = g + 2 + 12 * j
+              try {
+                u16(e) match {
+                  case 1 => if ((b(e + 8) & 0xff) == 'S') latRef = -1.0
+                  case 2 => latOff = Some(tiff + u32(e + 8).toInt)
+                  case 3 => if ((b(e + 8) & 0xff) == 'W') lonRef = -1.0
+                  case 4 => lonOff = Some(tiff + u32(e + 8).toInt)
+                  case _ => ()
+                }
+              } catch { case FlacEos => () }
+              j += 1
             }
-            j += 1
-          }
-          lat = latOff.map(o => latRef * rational3(o))
-          lon = lonOff.map(o => lonRef * rational3(o))
+            lat = latOff.flatMap(o =>
+              try Some(latRef * rational3(o)) catch { case FlacEos => None })
+            lon = lonOff.flatMap(o =>
+              try Some(lonRef * rational3(o)) catch { case FlacEos => None })
+          } catch { case FlacEos => () }
         }
-        Some(ExifMeta(orientation, lat, lon))
+        ExifMeta(orientation, lat, lon)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -2278,7 +2324,8 @@ object MediaDecode {
             val c = new String(b, q, clen, java.nio.charset.StandardCharsets.UTF_8)
             q += clen
             val eq = c.indexOf('=')
-            if (eq > 0) out += ((c.substring(0, eq).toUpperCase, c.substring(eq + 1)))
+            if (eq > 0) out += ((c.substring(0, eq)
+              .toUpperCase(java.util.Locale.ROOT), c.substring(eq + 1)))
             i += 1
           }
           return Some(out.result())

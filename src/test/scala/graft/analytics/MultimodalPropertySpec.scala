@@ -452,6 +452,45 @@ class MultimodalPropertySpec extends AnyFunSuite {
       MediaDecode.jpegLumaPixels(withExif).get._3,
       MediaDecode.jpegLumaPixels(stripped).get._3),
       "scrub must be pixel-identical")
+    // PARTIAL corruption fails closed per SECTION, not per file: a
+    // nuked GPS IFD count must not erase the readable orientation (the
+    // audit must never pass a tagged image as clean because an
+    // unrelated entry is corrupt)
+    val corrupt = withExif.clone()
+    // tiff starts at app1Start+10; gps IFD count sits at tiff+38 (LE)
+    val app1Start = 2
+    corrupt(app1Start + 10 + 38) = 0xff.toByte
+    corrupt(app1Start + 10 + 39) = 0xff.toByte
+    val pm = MediaDecode.jpegExif(corrupt)
+    assert(pm.isDefined && pm.get.orientation.contains(6),
+      s"orientation must survive a corrupt GPS IFD: $pm")
+    // APP14 Adobe (color transform) is RETAINED — dropping it changes
+    // rendered colors on Adobe-transform JPEGs; a non-Adobe APP14 drops
+    def app(m: Int, sig: String): Array[Byte] = {
+      val body = sig.getBytes("US-ASCII") ++ Array.fill[Byte](6)(1)
+      Array(0xff.toByte, m.toByte,
+        (((body.length + 2) >> 8) & 0xff).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    }
+    val withAdobe = inject(app(0xee, "Adobe") ++ app(0xee, "NOSIG") ++
+      app(0xe2, "ICC_PROFILE") ++ app(0xe2, "MPF"))
+    val strippedA = MediaDecode.jpegStripMetadata(withAdobe).get
+    def count(hay: Array[Byte], needle: String): Int =
+      new String(hay, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .sliding(needle.length).count(_ == needle)
+    assert(count(strippedA, "Adobe") == 1, "Adobe APP14 must be retained")
+    assert(count(strippedA, "ICC_PROFILE") == 1, "ICC APP2 must be retained")
+    assert(count(strippedA, "NOSIG") == 0 && count(strippedA, "MPF") == 0,
+      "non-Adobe APP14 / non-ICC APP2 must drop")
+    // TRAILER truncation: a motion-photo-style blob appended after EOI
+    // must not ship in the scrubbed bytes
+    val motion = withExif ++ "EMBEDDED-MP4-VIDEO-BYTES".getBytes("US-ASCII")
+    val strippedM = MediaDecode.jpegStripMetadata(motion).get
+    assert(count(strippedM, "EMBEDDED-MP4") == 0,
+      "post-EOI trailer must be truncated")
+    assert(java.util.Arrays.equals(
+      MediaDecode.jpegLumaPixels(motion).get._3,
+      MediaDecode.jpegLumaPixels(strippedM).get._3))
     // containment: truncation/corruption sweeps never throw
     (0 to withExif.length by 7).foreach { cut =>
       val part = java.util.Arrays.copyOf(withExif, cut)
@@ -461,6 +500,20 @@ class MultimodalPropertySpec extends AnyFunSuite {
       val c = withExif.clone(); c(i) = (c(i) + 53).toByte
       MediaDecode.jpegExif(c); MediaDecode.jpegStripMetadata(c)
     }
+  }
+
+  test("flac vorbis keys fold case with Locale.ROOT (the Turkish-I trap)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val tone = Multimodal.synthToneSamples(5L, 1440, 8000)
+      val tagged = Multimodal.flacBytes(1, 8000, 8,
+        Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1), 512,
+        comments = Seq("artist" -> "x", "title" -> "y"))
+      val tags = MediaDecode.flacVorbisComments(tagged).get
+      assert(tags.map(_._1) == Seq("ARTIST", "TITLE"),
+        s"keys must fold with Locale.ROOT, got ${tags.map(_._1)}")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("flac decode: lossless identity across every subframe path, WAV-twin bit equality, fingerprint invariance") {
