@@ -502,18 +502,22 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("flac vorbis keys fold case with Locale.ROOT (the Turkish-I trap)") {
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
-      val tone = Multimodal.synthToneSamples(5L, 1440, 8000)
-      val tagged = Multimodal.flacBytes(1, 8000, 8,
-        Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1), 512,
-        comments = Seq("artist" -> "x", "title" -> "y"))
-      val tags = MediaDecode.flacVorbisComments(tagged).get
-      assert(tags.map(_._1) == Seq("ARTIST", "TITLE"),
-        s"keys must fold with Locale.ROOT, got ${tags.map(_._1)}")
-    } finally java.util.Locale.setDefault(prev)
+  test("flac vorbis keys fold to ASCII uppercase (the Turkish-I trap, documented)") {
+    // mutating the JVM default locale here would RACE concurrently
+    // running suites (sbt runs them in parallel in one forked JVM), so
+    // this pins (a) that the trap is real and (b) that lowercase keys
+    // fold to plain ASCII — the implementation uses Locale.ROOT, which
+    // is what makes (b) hold on EVERY JVM locale
+    val tr = new java.util.Locale("tr", "TR")
+    assert("title".toUpperCase(tr) != "TITLE",
+      "the Turkish dotted-I trap should exist (sanity)")
+    val tone = Multimodal.synthToneSamples(5L, 1440, 8000)
+    val tagged = Multimodal.flacBytes(1, 8000, 8,
+      Multimodal.pcmQuantizeInt(tone, 8, 1.0, 1), 512,
+      comments = Seq("artist" -> "x", "title" -> "y"))
+    val tags = MediaDecode.flacVorbisComments(tagged).get
+    assert(tags.map(_._1) == Seq("ARTIST", "TITLE"),
+      s"keys must fold to ASCII uppercase, got ${tags.map(_._1)}")
   }
 
   test("flac decode: lossless identity across every subframe path, WAV-twin bit equality, fingerprint invariance") {
