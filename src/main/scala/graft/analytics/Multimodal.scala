@@ -861,6 +861,78 @@ object Multimodal {
     documents.withColumn("payload", synth(col("doc_id")))
   }
 
+  /** One spec-valid PNG tEXt chunk (length + type + keyword NUL value
+    * + CRC32) — fixture synthesis for the PNG privacy audit. */
+  def pngTextChunk(key: String, value: String): Array[Byte] = {
+    val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val o = new java.io.ByteArrayOutputStream(12 + data.length)
+    def u32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    u32(data.length.toLong)
+    val tagged = "tEXt".getBytes("US-ASCII") ++ data
+    o.write(tagged)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tagged)
+    u32(crc.getValue)
+    o.toByteArray
+  }
+
+  /** Attach REAL PNGs carrying formula-driven tEXt metadata after the
+    * IHDR chunk (Author/Comment; doc_id%5==0 docs untagged) — the PNG
+    * privacy-audit fixture. */
+  def withTextPngPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val base = pngBytesGray(24, 16, synthGray(docId, 24, 16))
+      if (docId % 5 == 0) base
+      else {
+        val t1 = pngTextChunk("Author", s"author_${docId % 50}")
+        val t2 = pngTextChunk("Comment", s"c_${docId % 7}")
+        // insert after IHDR: signature 8 + IHDR chunk (12 + 13) = 33
+        val out = new java.io.ByteArrayOutputStream(base.length + t1.length + t2.length)
+        out.write(base, 0, 33); out.write(t1); out.write(t2)
+        out.write(base, 33, base.length - 33)
+        out.toByteArray
+      }
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** PNG text-metadata audit + scrub report — the [[exifScrubAudit]]
+    * discipline on the PNG side (tEXt Author/Comment are the PII
+    * carriers the JPEG/EXIF screen misses): per doc, the tEXt count
+    * and Author value, bytes removed by [[MediaDecode
+    * .pngStripMetadata]] (closed-form in the fixture), whether the
+    * scrubbed bytes carry no text chunks, and PIXEL identity of the
+    * scrub (decode equality — measured, not asserted). */
+  def pngMetaScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withTextPngPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val texts = MediaDecode.pngTextChunks(p).getOrElse(Seq.empty)
+        val author = texts.find(_._1 == "Author").map(_._2)
+        MediaDecode.pngStripMetadata(p) match {
+          case Some(s) =>
+            val same = (MediaDecode.pngGrayPixels(p),
+              MediaDecode.pngGrayPixels(s)) match {
+              case (Some((w1, h1, g1)), Some((w2, h2, g2))) =>
+                w1 == w2 && h1 == h2 && java.util.Arrays.equals(g1, g2)
+              case _ => false
+            }
+            (id, texts.size.toLong, author, (p.length - s.length).toLong,
+              MediaDecode.pngTextChunks(s).getOrElse(Seq.empty).isEmpty, same)
+          case None => (id, texts.size.toLong, author, 0L, false, false)
+        }
+      })
+    }.toDF("doc_id", "n_text_chunks", "author", "bytes_removed",
+      "text_removed", "pixels_identical")
+      .orderBy("doc_id")
+  }
+
   /** Attach REAL tagged-FLAC payloads: the tone fixture with a
     * formula-driven VORBIS_COMMENT block (ARTIST/TITLE; doc_id%5==0
     * docs untagged) — the audio privacy-audit fixture. */
@@ -2366,6 +2438,69 @@ object MediaDecode {
         out.toByteArray
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** PNG text-metadata audit — tEXt chunk keyword→value pairs (the
+    * PNG PII carriers: Author/Comment/Software, plus GPS via the eXIf
+    * chunk which [[pngStripMetadata]] also drops): signature + chunk
+    * walk, keyword = bytes before the NUL separator (Latin-1 per
+    * spec). Malformed chunks end the walk with what parsed; non-PNG
+    * returns None. */
+  def pngTextChunks(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      pngChunks(b).map(_.collect {
+        case ("tEXt", start, len) =>
+          val body = java.util.Arrays.copyOfRange(b, start + 8, start + 8 + len)
+          val nul = body.indexOf(0.toByte)
+          if (nul > 0)
+            (new String(body, 0, nul, "ISO-8859-1"),
+              new String(body, nul + 1, body.length - nul - 1, "ISO-8859-1"))
+          else (new String(body, "ISO-8859-1"), "")
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** LOSSLESS PNG metadata scrub — keep only the chunks a decoder
+    * needs for the exact same pixels (IHDR, PLTE, tRNS, gAMA, sRGB,
+    * iCCP — color interpretation — IDAT, IEND); every ancillary
+    * metadata chunk (tEXt/zTXt/iTXt, eXIf, tIME, pHYs, bKGD, …) is
+    * dropped at the byte level. Trailing bytes after IEND are
+    * TRUNCATED (the JPEG motion-photo lesson). Non-PNG returns None. */
+  def pngStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      pngChunks(b).map { chunks =>
+        val keepTypes = Set("IHDR", "PLTE", "tRNS", "gAMA", "sRGB",
+          "iCCP", "IDAT", "IEND")
+        val out = new java.io.ByteArrayOutputStream(b.length)
+        out.write(b, 0, 8) // signature
+        chunks.foreach { case (t, start, len) =>
+          if (keepTypes(t)) out.write(b, start, 12 + len)
+        }
+        out.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** PNG chunk walk: (type, chunk start offset, DATA length) for each
+    * well-formed chunk up to and including IEND; None for non-PNG. */
+  private def pngChunks(b: Array[Byte]): Option[Seq[(String, Int, Int)]] = {
+    if (b.length < 8) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != pngSig(i)) return None; i += 1 }
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = be32(b, p).toInt
+      if (len < 0 || p + 12 + len > b.length) done = true
+      else {
+        val t = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        out += ((t, p, len))
+        if (t == "IEND") done = true
+        p += 12 + len
+      }
+    }
+    Some(out.result())
   }
 
   /** MSB-first big-endian bit reader over a byte array; every read is

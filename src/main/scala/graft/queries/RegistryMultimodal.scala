@@ -486,6 +486,24 @@ private[queries] object RegistryMultimodal {
           TRUE AS exif_removed, TRUE AS pixels_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // PNG text-chunk audit + scrub — the EXIF discipline on PNG:
+    // tEXt Author/Comment parsed from real chunk bytes (CRC-bearing),
+    // scrub keeps only the pixel-affecting chunk set; bytes_removed is
+    // the CLOSED-FORM sum of the two injected tEXt chunks, pixel
+    // identity DECODED per doc
+    QueryDef("mm_png_text_scrub",
+      (s, d) => Multimodal.pngMetaScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 END)::BIGINT
+            AS n_text_chunks,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'author_' || (doc_id % 50)::VARCHAR END AS author,
+          (CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 42 + length('author_' || (doc_id % 50)::VARCHAR) END)::BIGINT
+            AS bytes_removed,
+          TRUE AS text_removed, TRUE AS pixels_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // FLAC tag audit + scrub — the EXIF discipline on the audio
     // modality: Vorbis comments parsed (LITTLE-endian lengths inside
     // the big-endian container — the spec quirk a wrong-endian read
