@@ -865,6 +865,73 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("png text chunks: parse exactness, scrub closed-form + idempotent, trailer truncation, containment") {
+    val gray = Multimodal.synthGray(7L, 24, 16)
+    val base = Multimodal.pngBytesGray(24, 16, gray)
+    val t1 = Multimodal.pngTextChunk("Author", "alice")
+    val t2 = Multimodal.pngTextChunk("Comment", "hi")
+    // closed-form chunk size: 12 overhead + keyword + NUL + value
+    assert(t1.length == 12 + 6 + 1 + 5)
+    def inject(extra: Array[Byte]*): Array[Byte] = {
+      // after IHDR: signature 8 + IHDR chunk (12 + 13) = 33
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(base, 0, 33); extra.foreach(o.write)
+      o.write(base, 33, base.length - 33)
+      o.toByteArray
+    }
+    val tagged = inject(t1, t2)
+    assert(MediaDecode.pngTextChunks(tagged)
+      .contains(Seq("Author" -> "alice", "Comment" -> "hi")))
+    assert(MediaDecode.pngTextChunks(base).contains(Seq.empty),
+      "untagged PNG reads an EMPTY chunk list, not None")
+    assert(MediaDecode.pngTextChunks("not a png".getBytes).isEmpty)
+    // keyword-only chunk (missing NUL separator): keyword = whole body
+    val noNul = {
+      val body = "Software".getBytes("ISO-8859-1")
+      val o = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      u32(body.length.toLong)
+      val t = "tEXt".getBytes("US-ASCII") ++ body
+      o.write(t)
+      val crc = new java.util.zip.CRC32(); crc.update(t); u32(crc.getValue)
+      o.toByteArray
+    }
+    assert(MediaDecode.pngTextChunks(inject(noNul))
+      .contains(Seq("Software" -> "")), "NUL-less tEXt keeps the keyword")
+    // scrub: closed-form removal, text gone, pixels identical, idempotent
+    val stripped = MediaDecode.pngStripMetadata(tagged).get
+    assert(tagged.length - stripped.length == t1.length + t2.length,
+      "bytes_removed must be exactly the injected chunk sizes")
+    assert(MediaDecode.pngTextChunks(stripped).contains(Seq.empty))
+    assert(java.util.Arrays.equals(
+      MediaDecode.pngGrayPixels(tagged).get._3,
+      MediaDecode.pngGrayPixels(stripped).get._3),
+      "scrub must be pixel-identical")
+    assert(MediaDecode.pngStripMetadata(stripped).get.sameElements(stripped),
+      "scrub must be idempotent")
+    // post-IEND trailing bytes (motion-photo-style trailer) TRUNCATE
+    val motion = tagged ++ "EMBEDDED-TRAILER-BYTES".getBytes("US-ASCII")
+    val strippedM = MediaDecode.pngStripMetadata(motion).get
+    assert(!new String(strippedM, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("EMBEDDED-TRAILER"), "post-IEND trailer must be truncated")
+    assert(strippedM.sameElements(stripped))
+    // containment: truncation + corruption sweeps never throw
+    (0 to tagged.length).foreach { cut =>
+      val part = java.util.Arrays.copyOf(tagged, cut)
+      MediaDecode.pngTextChunks(part); MediaDecode.pngStripMetadata(part)
+    }
+    (0 until tagged.length by 5).foreach { i =>
+      val c = tagged.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.pngTextChunks(c); MediaDecode.pngStripMetadata(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.pngTextChunks(b); MediaDecode.pngStripMetadata(b)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
