@@ -861,24 +861,58 @@ object Multimodal {
     documents.withColumn("payload", synth(col("doc_id")))
   }
 
-  /** One spec-valid PNG tEXt chunk (length + type + keyword NUL value
-    * + CRC32) — fixture synthesis for the PNG privacy audit. */
-  def pngTextChunk(key: String, value: String): Array[Byte] = {
-    val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
-      value.getBytes("ISO-8859-1")
+  /** One spec-valid PNG chunk (length + type + data + CRC32) —
+    * fixture synthesis for the PNG privacy audit. */
+  def pngChunkBytes(ctype: String, data: Array[Byte]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream(12 + data.length)
     def u32(v: Long): Unit = {
       o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
       o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
     }
     u32(data.length.toLong)
-    val tagged = "tEXt".getBytes("US-ASCII") ++ data
+    val tagged = ctype.getBytes("US-ASCII") ++ data
     o.write(tagged)
     val crc = new java.util.zip.CRC32()
     crc.update(tagged)
     u32(crc.getValue)
     o.toByteArray
   }
+
+  /** One spec-valid PNG tEXt chunk: total size is CLOSED-FORM
+    * 12 + |key| + 1 + |value|. */
+  def pngTextChunk(key: String, value: String): Array[Byte] =
+    pngChunkBytes("tEXt", key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1"))
+
+  /** One spec-valid PNG zTXt chunk whose value rides a STORED-block
+    * zlib stream (header 2 + stored-block 5 + data + Adler-32 4 = a
+    * CLOSED-FORM 11 + |value| compressed size, unlike deflate whose
+    * output length depends on the compressor) — total chunk size
+    * 12 + |key| + 2 + 11 + |value|. Inflater handles stored blocks
+    * like any other, so the DECODE path under test is the real one. */
+  def pngZtxtChunk(key: String, value: String): Array[Byte] = {
+    val v = value.getBytes("ISO-8859-1")
+    val z = new java.io.ByteArrayOutputStream(11 + v.length)
+    z.write(0x78); z.write(0x01) // zlib header, no FDICT
+    z.write(0x01) // final stored block
+    z.write(v.length & 0xff); z.write((v.length >> 8) & 0xff)
+    z.write(~v.length & 0xff); z.write((~v.length >> 8) & 0xff)
+    z.write(v)
+    val adler = new java.util.zip.Adler32()
+    adler.update(v)
+    val a = adler.getValue
+    z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+    z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+    pngChunkBytes("zTXt", key.getBytes("ISO-8859-1") ++
+      Array(0.toByte, 0.toByte) ++ z.toByteArray)
+  }
+
+  /** One spec-valid UNCOMPRESSED iTXt chunk (empty language tag and
+    * translated keyword): total size is CLOSED-FORM
+    * 12 + |key| + 5 + |utf8(value)|. */
+  def pngItxtChunk(key: String, value: String): Array[Byte] =
+    pngChunkBytes("iTXt", key.getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0) ++ value.getBytes("UTF-8"))
 
   /** Attach REAL PNGs carrying formula-driven tEXt metadata after the
     * IHDR chunk (Author/Comment; doc_id%5==0 docs untagged) — the PNG
@@ -930,6 +964,83 @@ object Multimodal {
       })
     }.toDF("doc_id", "n_text_chunks", "author", "bytes_removed",
       "text_removed", "pixels_identical")
+      .orderBy("doc_id")
+  }
+
+  /** Attach REAL PNGs carrying the FULL metadata surface after IHDR
+    * (doc_id%5==0 docs clean): a cHRM chunk (color interpretation —
+    * the scrub RETAINS it), tEXt Author, zTXt Description (stored-
+    * block zlib), iTXt Title, and for doc_id%3==0 an eXIf chunk whose
+    * body is the bare TIFF stream (orientation doc_id%8+1 + GPS at
+    * integer degrees doc_id%90/doc_id%180) — the complete PNG
+    * privacy-audit fixture, every injected size CLOSED-FORM. */
+  def withMetaPngPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val base = pngBytesGray(24, 16, synthGray(docId, 24, 16))
+      if (docId % 5 == 0) base
+      else {
+        // sRGB-absent: cHRM is what defines color here — retention is
+        // pinned by the closed-form bytes_removed oracle
+        val chrm = pngChunkBytes("cHRM", Array.tabulate[Byte](32)(i => (i * 9).toByte))
+        val t = pngTextChunk("Author", s"author_${docId % 50}")
+        val z = pngZtxtChunk("Description", s"desc_${docId % 7}")
+        val it = pngItxtChunk("Title", s"title_${docId % 11}")
+        val ex =
+          if (docId % 3 == 0)
+            pngChunkBytes("eXIf", exifTiffBody((docId % 8 + 1).toInt,
+              Some(((docId % 90).toInt, (docId % 180).toInt))))
+          else Array.empty[Byte]
+        // insert after IHDR: signature 8 + IHDR chunk (12 + 13) = 33
+        val out = new java.io.ByteArrayOutputStream(
+          base.length + chrm.length + t.length + z.length + it.length + ex.length)
+        out.write(base, 0, 33)
+        out.write(chrm); out.write(t); out.write(z); out.write(it); out.write(ex)
+        out.write(base, 33, base.length - 33)
+        out.toByteArray
+      }
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** The COMPLETE PNG privacy audit + scrub report — all three text
+    * chunk forms (tEXt / inflated zTXt / iTXt) plus EXIF out of the
+    * eXIf chunk through the shared TIFF walk (PNG GPS is the same
+    * release blocker as JPEG GPS): per doc the text-chunk count and
+    * the Author/Description/Title values, orientation + decoded GPS,
+    * bytes removed by [[MediaDecode.pngStripMetadata]] (closed-form in
+    * the fixture — and the formula EXCLUDES the cHRM chunk, so the
+    * oracle pins its retention), whether the scrubbed bytes carry no
+    * text chunks AND no eXIf, and PIXEL identity of the scrub. */
+  def pngMetaAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withMetaPngPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val texts = MediaDecode.pngTextChunks(p).getOrElse(Seq.empty)
+        def v(k: String) = texts.find(_._1 == k).map(_._2)
+        val exif = MediaDecode.pngExif(p)
+        val (removed, clean, same) = MediaDecode.pngStripMetadata(p) match {
+          case Some(s) =>
+            val pix = (MediaDecode.pngGrayPixels(p), MediaDecode.pngGrayPixels(s)) match {
+              case (Some((w1, h1, g1)), Some((w2, h2, g2))) =>
+                w1 == w2 && h1 == h2 && java.util.Arrays.equals(g1, g2)
+              case _ => false
+            }
+            ((p.length - s.length).toLong,
+              MediaDecode.pngTextChunks(s).getOrElse(Seq.empty).isEmpty &&
+                MediaDecode.pngExif(s).isEmpty, pix)
+          case None => (0L, false, false)
+        }
+        (id, texts.size.toLong, v("Author"), v("Description"), v("Title"),
+          exif.flatMap(_.orientation).map(_.toLong),
+          exif.flatMap(_.gpsLat).map(d => math.rint(d * 10000) / 10000),
+          exif.flatMap(_.gpsLon).map(d => math.rint(d * 10000) / 10000),
+          removed, clean, same)
+      })
+    }.toDF("doc_id", "n_text_chunks", "author", "description", "title",
+      "orientation", "gps_lat", "gps_lon", "bytes_removed",
+      "meta_removed", "pixels_identical")
       .orderBy("doc_id")
   }
 
@@ -1602,6 +1713,20 @@ object Multimodal {
     * CLOSED-FORM (36 B without GPS, 150 B with — the scrub oracle's
     * bytes_removed formula). Fixture synthesis per TIFF 6.0/EXIF. */
   def exifApp1(orientation: Int, gps: Option[(Int, Int)]): Array[Byte] = {
+    val tiff = exifTiffBody(orientation, gps)
+    val seg = new java.io.ByteArrayOutputStream(10 + tiff.length)
+    seg.write(0xff); seg.write(0xe1)
+    val len = 2 + 6 + tiff.length
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(tiff)
+    seg.toByteArray
+  }
+
+  /** The bare TIFF stream of [[exifApp1]] (no marker/`Exif\0\0`
+    * preamble) — exactly the PNG `eXIf` chunk body shape. Sizes are
+    * CLOSED-FORM: 26 B without GPS, 140 B with. */
+  def exifTiffBody(orientation: Int, gps: Option[(Int, Int)]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
     def u32(v: Long): Unit = {
@@ -1630,14 +1755,7 @@ object Multimodal {
         u32(deg.toLong); u32(1L); u32(0L); u32(1L); u32(0L); u32(1L)
       }
     }
-    val tiff = o.toByteArray
-    val seg = new java.io.ByteArrayOutputStream(10 + tiff.length)
-    seg.write(0xff); seg.write(0xe1)
-    val len = 2 + 6 + tiff.length
-    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
-    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
-    seg.write(tiff)
-    seg.toByteArray
+    o.toByteArray
   }
 
   /** Attach REAL JPEGs carrying formula-driven EXIF: doc_id%5==0 docs
@@ -2264,12 +2382,20 @@ object MediaDecode {
           b(s + 4) == 'E' && b(s + 5) == 'x' && b(s + 6) == 'i' &&
           b(s + 7) == 'f' && b(s + 8) == 0 && b(s + 9) == 0
       }.map { case (_, s, l) => (s + 10, l - 10) }
-      app1.map { case (tiff, tlen) =>
+      app1.map { case (tiff, tlen) => tiffExif(b, tiff, tlen) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The TIFF/IFD walk of [[jpegExif]], factored so the PNG `eXIf`
+    * chunk (whose body is the SAME TIFF structure, no `Exif\0\0`
+    * preamble) reads through the identical per-SECTION fail-closed
+    * code path — one parser, two containers. */
+  private def tiffExif(b: Array[Byte], tiff: Int, tlen: Int): ExifMeta = {
         val empty = ExifMeta(None, None, None)
-        if (tlen < 8) return Some(empty)
+        if (tlen < 8) return empty
         val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
         val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
-        if (!le && !be) return Some(empty)
+        if (!le && !be) return empty
         def u16(o: Int): Int = {
           if (o < tiff || o + 2 > tiff + tlen) throw FlacEos
           if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -2285,7 +2411,7 @@ object MediaDecode {
         var orientation: Option[Int] = None
         var gpsIfd: Option[Int] = None
         try {
-          if (u16(tiff + 2) != 42) return Some(empty)
+          if (u16(tiff + 2) != 42) return empty
           val ifd0 = tiff + u32(tiff + 4).toInt
           val n0 = u16(ifd0)
           var i = 0
@@ -2338,8 +2464,6 @@ object MediaDecode {
           } catch { case FlacEos => () }
         }
         ExifMeta(orientation, lat, lon)
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------
@@ -2440,12 +2564,17 @@ object MediaDecode {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** PNG text-metadata audit — tEXt chunk keyword→value pairs (the
-    * PNG PII carriers: Author/Comment/Software, plus GPS via the eXIf
-    * chunk which [[pngStripMetadata]] also drops): signature + chunk
-    * walk, keyword = bytes before the NUL separator (Latin-1 per
-    * spec). Malformed chunks end the walk with what parsed; non-PNG
-    * returns None. */
+  /** PNG text-metadata audit — keyword→value pairs from ALL THREE
+    * text chunk forms (the PNG PII carriers: Author/Comment/Software/
+    * Description): `tEXt` (Latin-1), `zTXt` (Latin-1, value
+    * zlib-compressed — the MORE common form for large values) and
+    * `iTXt` (UTF-8, optionally compressed). Keyword = bytes before
+    * the NUL separator. FAIL-CLOSED per chunk: a value that will not
+    * inflate (or a malformed iTXt header) still reports the KEYWORD
+    * with an empty value — a release screen must never pass a
+    * metadata-bearing image as clean because one value is corrupt.
+    * Malformed chunks end the walk with what parsed; non-PNG returns
+    * None. GPS travels in the `eXIf` chunk — see [[pngExif]]. */
   def pngTextChunks(b: Array[Byte]): Option[Seq[(String, String)]] = {
     try {
       pngChunks(b).map(_.collect {
@@ -2456,21 +2585,99 @@ object MediaDecode {
             (new String(body, 0, nul, "ISO-8859-1"),
               new String(body, nul + 1, body.length - nul - 1, "ISO-8859-1"))
           else (new String(body, "ISO-8859-1"), "")
+        case ("zTXt", start, len) =>
+          val body = java.util.Arrays.copyOfRange(b, start + 8, start + 8 + len)
+          val nul = body.indexOf(0.toByte)
+          if (nul > 0) {
+            val key = new String(body, 0, nul, "ISO-8859-1")
+            // keyword NUL method(0=deflate) zlib-data
+            val value =
+              if (nul + 2 <= body.length && body(nul + 1) == 0)
+                inflateBounded(body, nul + 2, body.length - nul - 2)
+                  .map(new String(_, "ISO-8859-1")).getOrElse("")
+              else ""
+            (key, value)
+          } else (new String(body, "ISO-8859-1"), "")
+        case ("iTXt", start, len) =>
+          val body = java.util.Arrays.copyOfRange(b, start + 8, start + 8 + len)
+          val nul = body.indexOf(0.toByte)
+          if (nul > 0) {
+            val key = new String(body, 0, nul, "ISO-8859-1")
+            // keyword NUL compFlag compMethod langTag NUL translated NUL text
+            val value = {
+              if (nul + 3 > body.length) ""
+              else {
+                val compressed = body(nul + 1) == 1
+                val langEnd = body.indexOf(0.toByte, nul + 3)
+                val tkwEnd = if (langEnd < 0) -1 else body.indexOf(0.toByte, langEnd + 1)
+                if (tkwEnd < 0) ""
+                else if (compressed)
+                  inflateBounded(body, tkwEnd + 1, body.length - tkwEnd - 1)
+                    .map(new String(_, "UTF-8")).getOrElse("")
+                else new String(body, tkwEnd + 1, body.length - tkwEnd - 1, "UTF-8")
+              }
+            }
+            (key, value)
+          } else (new String(body, "ISO-8859-1"), "")
       })
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** LOSSLESS PNG metadata scrub — keep only the chunks a decoder
-    * needs for the exact same pixels (IHDR, PLTE, tRNS, gAMA, sRGB,
-    * iCCP — color interpretation — IDAT, IEND); every ancillary
-    * metadata chunk (tEXt/zTXt/iTXt, eXIf, tIME, pHYs, bKGD, …) is
+  /** EXIF read out of the PNG `eXIf` chunk (PNG 1.5 extension — the
+    * chunk body is a bare TIFF stream, same structure as the JPEG
+    * APP1 payload without the `Exif\0\0` preamble), through the SAME
+    * per-SECTION fail-closed [[tiffExif]] walk as [[jpegExif]]: PNG
+    * GPS is a release-blocking signal exactly like JPEG GPS. None =
+    * no eXIf chunk (or not a PNG); Some(partial) on corruption. */
+  def pngExif(b: Array[Byte]): Option[ExifMeta] = {
+    try {
+      pngChunks(b).flatMap(_.collectFirst {
+        case ("eXIf", start, len) => tiffExif(b, start + 8, len)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Bounded zlib inflate of `b[off, off+len)` — metadata values only
+    * (4 MiB cap: a zip-bomb zTXt must not allocate unbounded memory on
+    * an executor); any malformed/oversized stream is None. */
+  private def inflateBounded(b: Array[Byte], off: Int, len: Int,
+                             cap: Int = 4 * 1024 * 1024): Option[Array[Byte]] = {
+    if (len <= 0) return None
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 4096))
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // n == 0 while unfinished covers truncation AND FDICT (the
+        // pngGrayPixels lesson: looping on either spins forever)
+        if (n == 0) return None
+        out.write(buf, 0, n)
+        if (out.size > cap) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** LOSSLESS PNG metadata scrub — the keep-set CONTRACT: every chunk
+    * a decoder needs to reproduce the exact same RENDERED pixels —
+    * IHDR, PLTE, tRNS, IDAT, IEND (the pixels themselves) plus the
+    * color-interpretation set gAMA, cHRM, sRGB, iCCP, sBIT (cHRM +
+    * gAMA define color when no sRGB/iCCP is present — dropping them
+    * changes rendered colors on a color-managed decoder, the JPEG
+    * Adobe-APP14 lesson; sBIT declares significant bits a decoder may
+    * use to regenerate the original sample depth). Every ancillary
+    * METADATA chunk (tEXt/zTXt/iTXt, eXIf, tIME, pHYs, bKGD, …) is
     * dropped at the byte level. Trailing bytes after IEND are
     * TRUNCATED (the JPEG motion-photo lesson). Non-PNG returns None. */
   def pngStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
     try {
       pngChunks(b).map { chunks =>
-        val keepTypes = Set("IHDR", "PLTE", "tRNS", "gAMA", "sRGB",
-          "iCCP", "IDAT", "IEND")
+        val keepTypes = Set("IHDR", "PLTE", "tRNS", "gAMA", "cHRM",
+          "sRGB", "iCCP", "sBIT", "IDAT", "IEND")
         val out = new java.io.ByteArrayOutputStream(b.length)
         out.write(b, 0, 8) // signature
         chunks.foreach { case (t, start, len) =>

@@ -504,6 +504,40 @@ private[queries] object RegistryMultimodal {
           TRUE AS text_removed, TRUE AS pixels_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // the COMPLETE PNG privacy audit: all three text-chunk forms
+    // (tEXt / zTXt inflated from a stored-block zlib stream / iTXt)
+    // plus EXIF orientation + GPS out of the eXIf chunk through the
+    // SAME TIFF walk as the JPEG path — PNG GPS is the same release
+    // blocker; bytes_removed is CLOSED-FORM over the four injected
+    // metadata chunks and EXCLUDES the cHRM chunk, so a scrub that
+    // wrongly dropped color interpretation (the Adobe-APP14 lesson)
+    // hash-mismatches here
+    QueryDef("mm_png_exif_audit",
+      (s, d) => Multimodal.pngMetaAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 3 END)::BIGINT
+            AS n_text_chunks,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'author_' || (doc_id % 50)::VARCHAR END AS author,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'desc_' || (doc_id % 7)::VARCHAR END AS description,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'title_' || (doc_id % 11)::VARCHAR END AS title,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN (doc_id % 8 + 1)::BIGINT END AS orientation,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 90)::DOUBLE, 4) END AS gps_lat,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 180)::DOUBLE, 4) END AS gps_lon,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            19 + length('author_' || (doc_id % 50)::VARCHAR)
+            + 36 + length('desc_' || (doc_id % 7)::VARCHAR)
+            + 22 + length('title_' || (doc_id % 11)::VARCHAR)
+            + CASE WHEN doc_id % 3 = 0 THEN 152 ELSE 0 END END)::BIGINT
+            AS bytes_removed,
+          TRUE AS meta_removed, TRUE AS pixels_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // FLAC tag audit + scrub — the EXIF discipline on the audio
     // modality: Vorbis comments parsed (LITTLE-endian lengths inside
     // the big-endian container — the spec quirk a wrong-endian read

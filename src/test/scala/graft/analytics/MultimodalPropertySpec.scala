@@ -932,6 +932,97 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("png zTXt/iTXt/eXIf: full metadata surface, fail-closed values, cHRM retention") {
+    val gray = Multimodal.synthGray(11L, 24, 16)
+    val base = Multimodal.pngBytesGray(24, 16, gray)
+    def inject(extra: Array[Byte]*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(base, 0, 33); extra.foreach(o.write)
+      o.write(base, 33, base.length - 33)
+      o.toByteArray
+    }
+    // zTXt: stored-block zlib closed form + real inflate round-trip
+    val z = Multimodal.pngZtxtChunk("Description", "hello world")
+    assert(z.length == 12 + 11 + 2 + 11 + 11, "zTXt closed-form size drifted")
+    // iTXt uncompressed + a DEFLATE-compressed iTXt variant (compFlag 1)
+    val it = Multimodal.pngItxtChunk("Title", "héllo")
+    val itC = {
+      val text = "compressed-text".getBytes("UTF-8")
+      val d = new java.util.zip.Deflater()
+      d.setInput(text); d.finish()
+      val buf = new Array[Byte](256)
+      val zo = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
+      d.end()
+      Multimodal.pngChunkBytes("iTXt",
+        "Note".getBytes("ISO-8859-1") ++ Array[Byte](0, 1, 0, 0, 0) ++ zo.toByteArray)
+    }
+    val tagged = inject(z, it, itC)
+    assert(MediaDecode.pngTextChunks(tagged).contains(Seq(
+      "Description" -> "hello world", "Title" -> "héllo",
+      "Note" -> "compressed-text")),
+      s"got ${MediaDecode.pngTextChunks(tagged)}")
+    // FAIL-CLOSED: a zTXt whose zlib stream is garbage still reports
+    // the KEYWORD (presence) with an empty value — never hides it
+    val corruptZ = z.clone()
+    corruptZ(12 + 13) = 0x55 // flip inside the zlib body
+    // fix the CRC so the chunk walk keeps it (corruption inside the
+    // value, not the container)
+    val fixed = {
+      val data = java.util.Arrays.copyOfRange(corruptZ, 8, corruptZ.length - 4)
+      Multimodal.pngChunkBytes("zTXt", data)
+    }
+    assert(MediaDecode.pngTextChunks(inject(fixed))
+      .contains(Seq("Description" -> "")), "corrupt zTXt must keep the keyword")
+    // eXIf: the shared TIFF walk on the PNG side — orientation + GPS
+    val ex = Multimodal.pngChunkBytes("eXIf",
+      Multimodal.exifTiffBody(6, Some((51, 122))))
+    assert(ex.length == 12 + 140, "eXIf closed-form size drifted")
+    val withExif = inject(ex)
+    val m = MediaDecode.pngExif(withExif).get
+    assert(m.orientation.contains(6) && m.gpsLat.contains(51.0) &&
+      m.gpsLon.contains(122.0), s"png exif drifted: $m")
+    assert(MediaDecode.pngExif(base).isEmpty, "no eXIf chunk reads None")
+    assert(MediaDecode.pngExif("not a png".getBytes).isEmpty)
+    // scrub: eXIf + text chunks drop; cHRM and sBIT are RETAINED
+    // (color interpretation without sRGB/iCCP — the Adobe-APP14
+    // lesson applied to PNG); pixels identical
+    val chrm = Multimodal.pngChunkBytes("cHRM", Array.tabulate[Byte](32)(i => (i * 9).toByte))
+    val sbit = Multimodal.pngChunkBytes("sBIT", Array[Byte](8))
+    val full = inject(chrm, sbit, z, it, ex)
+    val stripped = MediaDecode.pngStripMetadata(full).get
+    assert(full.length - stripped.length == z.length + it.length + ex.length,
+      "scrub must remove exactly the metadata chunks and retain cHRM/sBIT")
+    def hasChunk(png: Array[Byte], t: String): Boolean =
+      new String(png, java.nio.charset.StandardCharsets.ISO_8859_1).contains(t)
+    assert(hasChunk(stripped, "cHRM") && hasChunk(stripped, "sBIT"))
+    assert(MediaDecode.pngExif(stripped).isEmpty &&
+      MediaDecode.pngTextChunks(stripped).contains(Seq.empty))
+    assert(java.util.Arrays.equals(
+      MediaDecode.pngGrayPixels(full).get._3,
+      MediaDecode.pngGrayPixels(stripped).get._3))
+    // per-SECTION fail-closed on the eXIf TIFF: corrupt the GPS IFD
+    // entry count — orientation must survive
+    val exBody = Multimodal.exifTiffBody(6, Some((51, 122)))
+    // gps IFD starts at offset 38 in the LE body (same layout as the
+    // JPEG spec's app1Start+10+38); nuke its entry count
+    exBody(38) = 0xff.toByte; exBody(39) = 0xff.toByte
+    val pm = MediaDecode.pngExif(inject(Multimodal.pngChunkBytes("eXIf", exBody)))
+    assert(pm.isDefined && pm.get.orientation.contains(6),
+      s"orientation must survive a corrupt GPS IFD: $pm")
+    // containment: truncation + corruption sweeps never throw
+    (0 to full.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(full, cut)
+      MediaDecode.pngTextChunks(part); MediaDecode.pngExif(part)
+      MediaDecode.pngStripMetadata(part)
+    }
+    (0 until full.length by 5).foreach { i =>
+      val c = full.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.pngTextChunks(c); MediaDecode.pngExif(c)
+      MediaDecode.pngStripMetadata(c)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
