@@ -926,6 +926,145 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** One merge of a BATCHED training round: global rank, the round it
+    * was selected in, its within-round pick order, the merged symbols
+    * and the weighted count (measured against the ROUND-START vocab). */
+  final case class BpeBatchMerge(rank: Int, round: Int, lhs: String,
+                                 rhs: String, n: Long)
+
+  /** BATCHED BPE merge training — the scale path past
+    * [[bpeTrainMerges]]'s one-merge-per-round loop (a 32k-merge
+    * vocabulary would mean 32k Spark rounds; this cuts rounds by
+    * `batchK`, the standard multi-merge trick): each round computes
+    * pair counts ONCE over the round-start vocab, greedily selects up
+    * to `batchK` pairs in (count DESC, lhs, rhs) order subject to a
+    * NON-INTERACTION constraint, and folds all of them into every
+    * symbol array in ONE pass.
+    *
+    * The constraint that makes a batch round EXACTLY k independent
+    * Sennrich merges against the round-start vocab: a pair (a, b) is
+    * admissible iff none of {a, b, a+b} appears in the forbidden set
+    * F = ∪ over already-chosen pairs of {lhs, rhs, lhs+rhs}. Symbol
+    * disjointness means no chosen pair can create or destroy another's
+    * occurrences (an occurrence is two adjacent symbols neither of
+    * which any other chosen pair touches), and keeping PRODUCED tokens
+    * in F means a newly merged token can never complete another chosen
+    * pair mid-pass — so the single simultaneous fold, sequential
+    * application in any order, and the oracle's chained `replace`
+    * over the wrapped encoding all agree, and every reported count is
+    * exact for the round-start vocab.
+    *
+    * Selection runs on the driver over a bounded TakeOrdered fetch
+    * (4·batchK rows; refetched with the forbidden filter pushed into
+    * the plan in the rare case a fetch window is exhausted before k
+    * admissible pairs are found — the first row of a filtered refetch
+    * is always admissible, so the loop provably progresses). Only
+    * tokenizer-sized data ever reaches the driver.
+    *
+    * Scale shape: rounds = ceil(nMerges / batchK) Spark jobs instead
+    * of nMerges; per round one map-side-combinable pair count + one
+    * narrow fold over the DISTINCT-word vocab, localCheckpoint per
+    * round (lineage truncated). See SCALE.md "BPE training at real
+    * vocabulary sizes". */
+  def bpeTrainMergesBatched(documents: DataFrame, nRounds: Int,
+                            batchK: Int): Seq[BpeBatchMerge] = {
+    require(nRounds >= 1 && nRounds <= 4096, s"nRounds out of range: $nRounds")
+    require(batchK >= 1 && batchK <= 1024, s"batchK out of range: $batchK")
+    var vocab = graft.util.SparkUtil.widen(documents)
+      .filter(col("text").isNotNull)
+      .select(explode(bpeishTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[BpeBatchMerge]
+    var rank = 0
+    var r = 0
+    var exhausted = false
+    while (r < nRounds && !exhausted) {
+      val pairTable = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+        .select(col("freq"), col("p.0").as("a"), col("p.1").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+      val chosen = Vector.newBuilder[BpeBatchMerge]
+      var nChosen = 0
+      var forbidden = Set.empty[String]
+      var roundDone = false
+      val fetchLimit = math.max(batchK * 4, 16)
+      while (nChosen < batchK && !roundDone) {
+        val cond =
+          if (forbidden.isEmpty) lit(true)
+          else {
+            val f = forbidden.toSeq
+            !col("a").isin(f: _*) && !col("b").isin(f: _*) &&
+              !concat(col("a"), col("b")).isin(f: _*)
+          }
+        val rows = pairTable.filter(cond)
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(fetchLimit).collect()
+        val before = nChosen
+        var i = 0
+        while (i < rows.length && nChosen < batchK) {
+          val a = rows(i).getString(0)
+          val b = rows(i).getString(1)
+          if (!forbidden(a) && !forbidden(b) && !forbidden(a + b)) {
+            chosen += BpeBatchMerge(rank, r, a, b, rows(i).getLong(2))
+            rank += 1; nChosen += 1
+            forbidden = forbidden + a + b + (a + b)
+          }
+          i += 1
+        }
+        // a SHORT fetch means the filtered table was scanned fully:
+        // no admissible pair remains beyond what we just admitted
+        if (rows.length < fetchLimit) roundDone = true
+        else if (nChosen == before) roundDone = true // defensive; unreachable
+      }
+      val picks = chosen.result()
+      if (picks.isEmpty) exhausted = true
+      else {
+        merges ++= picks
+        // one simultaneous fold: (last, next) looked up in the chosen
+        // pair map — non-interaction makes this exactly the sequential
+        // per-pair fold of each merge against the round-start vocab.
+        // Keys join symbols with a space, which bpeishTokens'
+        // [a-z0-9] alphabet can never contain.
+        val pm = map(picks.flatMap(p =>
+          Seq(lit(p.lhs + " " + p.rhs), lit(p.lhs + p.rhs))): _*)
+        val folded = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, s) => {
+            val hit = try_element_at(pm,
+              concat(element_at(acc, -1), lit(" "), s))
+            when(size(acc) > 0 && hit.isNotNull,
+              concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+              .otherwise(concat(acc, array(s)))
+          })
+        vocab = vocab.select(col("freq"), folded.as("sym"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The oracled BATCHED-train surface: [[bpeTrainMergesBatched]] as
+    * a one-row-per-merge table (rank, round, pick, lhs, rhs, n) —
+    * mirrorable in SQL by unrolling each round as one pair-count CTE
+    * plus `batchK` greedy pick CTEs (each filtered NOT IN the earlier
+    * picks' {lhs, rhs, lhs||rhs}) and a chained-`replace` vocab CTE. */
+  def bpeTrainBatchedReport(documents: DataFrame, nRounds: Int,
+                            batchK: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrainMergesBatched(documents, nRounds, batchK)
+      .map(m => (m.rank.toLong, m.round.toLong, m.lhs, m.rhs, m.n))
+      .toDF("rank", "round", "lhs", "rhs", "n")
+      .orderBy("rank")
+  }
+
   /** The oracled TRAIN surface: [[bpeTrainMerges]] as a one-row-per-
     * merge table (rank, lhs, rhs, n), ordered by rank — fully
     * mirrorable in SQL by unrolling the rounds as CTEs over a wrapped

@@ -255,6 +255,66 @@ private[queries] object RegistryCorpus {
           SELECT * FROM ($unions) ORDER BY rank"""
       }, bench = true),
 
+    // BATCHED BPE merge training — the scale path (k merges per
+    // round, each round ONE corpus-vocab pass): greedy top-k selection
+    // under the non-interaction constraint ({a, b, a||b} disjoint
+    // from every earlier pick's {lhs, rhs, lhs||rhs}), so the batch
+    // is exactly k independent Sennrich merges against the round-start
+    // vocab and the oracle's chained replace() over the wrapped
+    // encoding mirrors the single simultaneous fold. 3 rounds × k=3
+    // unrolled: per round one pair-count CTE, three pick CTEs (each
+    // NOT IN the earlier picks' symbol/product strings), one
+    // triple-replace vocab CTE.
+    QueryDef("txt_bpe_train_batched",
+      (s, d) => TextAnalysis.bpeTrainBatchedReport(t(s, d, "documents"), 3, 3),
+      Some {
+        val rounds = (1 to 3).map { k =>
+          val picks = (1 to 3).map { j =>
+            if (j == 1)
+              s"""p${k}_1 AS MATERIALIZED (SELECT a, b, n FROM c$k
+                ORDER BY n DESC, a, b LIMIT 1)"""
+            else {
+              val priors = (1 until j).map(i => s"p${k}_$i q$i").mkString(", ")
+              val f = (1 until j).map { i =>
+                s"""c.a NOT IN (q$i.a, q$i.b, q$i.a||q$i.b)
+                  AND c.b NOT IN (q$i.a, q$i.b, q$i.a||q$i.b)
+                  AND c.a||c.b NOT IN (q$i.a, q$i.b, q$i.a||q$i.b)"""
+              }.mkString(" AND ")
+              s"""p${k}_$j AS MATERIALIZED (SELECT c.a, c.b, c.n
+                FROM c$k c, $priors WHERE $f
+                ORDER BY c.n DESC, c.a, c.b LIMIT 1)"""
+            }
+          }.mkString(",\n")
+          val repl = (1 to 3).foldLeft("v.w") { (acc, j) =>
+            s"""replace($acc, '|'||q$j.a||'||'||q$j.b||'|',
+              '|'||q$j.a||q$j.b||'|')"""
+          }
+          s"""c$k AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b,
+              sum(freq)::BIGINT AS n
+            FROM (SELECT freq, string_split(trim(w, '|'), '||') AS syms,
+                    unnest(range(1, len(string_split(trim(w, '|'), '||')))) AS i
+                  FROM v${k - 1})
+            GROUP BY 1, 2),
+          $picks,
+          v$k AS MATERIALIZED (SELECT v.freq, $repl AS w
+            FROM v${k - 1} v, p${k}_1 q1, p${k}_2 q2, p${k}_3 q3)"""
+        }.mkString(",\n")
+        val unions = (for (k <- 1 to 3; j <- 1 to 3) yield
+          s"""SELECT ${(k - 1) * 3 + j - 1}::BIGINT AS rank,
+            ${k - 1}::BIGINT AS round, a AS lhs, b AS rhs, n
+          FROM p${k}_$j""").mkString(" UNION ALL ")
+        s"""WITH v0 AS MATERIALIZED (SELECT
+            '|' || array_to_string(list_transform(range(1, length(w) + 1),
+              i -> w[i]), '||') || '|' AS w,
+            count(*)::BIGINT AS freq
+          FROM (SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+            FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+          $rounds
+          SELECT * FROM ($unions) ORDER BY rank"""
+      }, bench = true),
+
     // pairwise source vocabulary Jaccard (membership complement of
     // the frequency-shape sourceDrift panel)
     QueryDef("txt_vocab_overlap",

@@ -2618,6 +2618,98 @@ class AnalyticsSpec extends SparkSpec {
       rep(0).getString(1) == "e" && rep(0).getString(2) == "s")
   }
 
+  test("bpeTrainMergesBatched: batchK=1 ≡ sequential trainer, naive-replica differential, non-interaction") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => i.toLong -> w }
+    val d = docs(corpus: _*)
+    // batchK = 1: the admissibility filter is empty at every pick, so
+    // the batched trainer degenerates to the sequential Sennrich loop
+    // EXACTLY (merge-for-merge, count-for-count, one pick per round)
+    val seq6 = TextAnalysis.bpeTrainMerges(d, 6)
+    val b1 = TextAnalysis.bpeTrainMergesBatched(d, 6, 1)
+    assert(b1.map(x => (x.lhs, x.rhs, x.n)) ==
+      seq6.map(x => (x.lhs, x.rhs, x.n)), s"batchK=1 drifted: $b1")
+    assert(b1.map(_.round) == (0 until 6) && b1.map(_.rank) == (0 until 6))
+    // naive JVM replica (scan-ahead fold == the aggregate fold's
+    // resume-after-match for a single pair; sequential application of
+    // symbol-disjoint picks == the simultaneous map fold) on a corpus
+    // rich in shared symbols, so the greedy SKIP path is exercised
+    val words = Seq("banana" -> 7L, "bandana" -> 4L, "cabana" -> 3L,
+      "abracadabra" -> 2L, "salsa" -> 5L, "lasso" -> 3L, "parasol" -> 2L)
+    val d2 = docs(words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => i.toLong -> w }: _*)
+    def fold1(sym: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    def naive(nRounds: Int, k: Int): Seq[(Int, Int, String, String, Long)] = {
+      // vocab as a Seq of (symbols, freq) — NEVER keyed by a Map whose
+      // .keys is a Set (the PageRank-spec bug class)
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(Int, Int, String, String, Long)]
+      var rank = 0
+      for (r <- 0 until nRounds) {
+        val cnt = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+        vocab.foreach { case (sym, f) =>
+          (0 until sym.length - 1).foreach { i =>
+            val p = (sym(i), sym(i + 1))
+            cnt(p) = cnt.getOrElse(p, 0L) + f
+          }
+        }
+        val sorted = cnt.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+        var forbidden = Set.empty[String]
+        var picks = Vector.empty[(String, String, Long)]
+        sorted.foreach { case ((a, b), n) =>
+          if (picks.size < k && !forbidden(a) && !forbidden(b) &&
+              !forbidden(a + b)) {
+            picks :+= ((a, b, n))
+            forbidden = forbidden + a + b + (a + b)
+          }
+        }
+        picks.foreach { case (a, b, n) =>
+          out += ((rank, r, a, b, n)); rank += 1
+          vocab = vocab.map { case (sym, f) => (fold1(sym, a, b), f) }
+        }
+      }
+      out.result()
+    }
+    val got = TextAnalysis.bpeTrainMergesBatched(d2, 4, 3)
+      .map(x => (x.rank, x.round, x.lhs, x.rhs, x.n))
+    val want = naive(4, 3)
+    assert(got == want, s"batched trainer drifted from the replica:\n$got\n$want")
+    // the skip path actually fired: round 1 admits only TWO picks —
+    // after (an,a) and (s,o), every remaining pair shares a symbol or
+    // produced token with an earlier pick, so the round is PARTIAL
+    // (11 merges total, not 12); a batcher that ignored admissibility
+    // would emit 12
+    assert(got.size == 11, s"expected 11 merges: ${got.size}")
+    assert(got.count(_._2 == 1) == 2,
+      s"round 1 must be a partial round: ${got.filter(_._2 == 1)}")
+    // structural non-interaction within every round
+    got.groupBy(_._2).foreach { case (_, ps) =>
+      val ordered = ps.sortBy(_._1)
+      ordered.zipWithIndex.foreach { case ((_, _, a, b, _), i) =>
+        val earlier = ordered.take(i).flatMap(p =>
+          Seq(p._3, p._4, p._3 + p._4)).toSet
+        assert(!earlier(a) && !earlier(b) && !earlier(a + b),
+          s"pick ($a,$b) interacts with an earlier pick in its round")
+      }
+    }
+    // the batched-trained list feeds bpeApply and cuts fertility
+    val before = TextAnalysis.bpeApply(d2, Seq(("q", "q")))
+      .agg(sum("n_pieces")).head.getLong(0)
+    val after = TextAnalysis.bpeApply(d2,
+      TextAnalysis.bpeTrainMergesBatched(d2, 4, 3).map(x => (x.lhs, x.rhs)))
+      .agg(sum("n_pieces")).head.getLong(0)
+    assert(after < before, s"fertility must drop: $before -> $after")
+  }
+
   test("trainHashedLogRegHeldOut counts empty-text docs: n_train+n_holdout == non-null-text docs") {
     // the oracle's n_holdout counts every NON-NULL-text doc via the md5
     // split; the trainer counts docs surviving tokenization — with the
