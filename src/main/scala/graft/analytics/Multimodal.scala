@@ -1092,6 +1092,156 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One spec-valid ID3v2.3 tag block: header (plain 10 bytes,
+    * syncsafe total size) + TPE1/TIT2 text frames (encoding 0,
+    * Latin-1) and an optional `TXXX` geo frame (description NUL
+    * value) — every size CLOSED-FORM: frame = 10 + 1 + |text|
+    * (TXXX: 10 + 1 + |desc| + 1 + |value|), block = 10 + Σ frames. */
+  def id3v2Bytes(artist: String, title: String,
+                 geo: Option[(String, String)]): Array[Byte] = {
+    def frame(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(10 + body.length)
+      o.write(id.getBytes("US-ASCII"))
+      o.write((body.length >> 24) & 0xff); o.write((body.length >> 16) & 0xff)
+      o.write((body.length >> 8) & 0xff); o.write(body.length & 0xff)
+      o.write(0); o.write(0) // flags
+      o.write(body)
+      o.toByteArray
+    }
+    def text(s: String): Array[Byte] =
+      Array(0.toByte) ++ s.getBytes("ISO-8859-1") // encoding 0 = Latin-1
+    val frames = frame("TPE1", text(artist)) ++ frame("TIT2", text(title)) ++
+      geo.map { case (d, v) =>
+        frame("TXXX", Array(0.toByte) ++ d.getBytes("ISO-8859-1") ++
+          Array(0.toByte) ++ v.getBytes("ISO-8859-1"))
+      }.getOrElse(Array.empty[Byte])
+    val o = new java.io.ByteArrayOutputStream(10 + frames.length)
+    o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0)
+    val n = frames.length
+    o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+    o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+    o.write(frames)
+    o.toByteArray
+  }
+
+  /** A spec-valid ID3v1 trailer (128 bytes: `TAG` + NUL-padded 30-byte
+    * title/artist/album + year/comment/genre zeroed). */
+  def id3v1Bytes(title: String, artist: String, album: String): Array[Byte] = {
+    val o = new Array[Byte](128)
+    "TAG".getBytes("US-ASCII").copyToArray(o, 0)
+    def put(s: String, off: Int): Unit =
+      s.getBytes("ISO-8859-1").take(30).copyToArray(o, off)
+    put(title, 3); put(artist, 33); put(album, 63)
+    o
+  }
+
+  /** Spec-valid MPEG-1 Layer III frame headers with deterministic
+    * dummy payload — the SCREEN fixture (no real audio: decode is the
+    * documented NO-GO; the walk under test is the header arithmetic).
+    * 32 kHz / 128 kbps mono ⇒ frame length exactly 144·128000/32000 =
+    * 576 bytes, 1152 samples ⇒ 36 ms per frame, no padding bit. */
+  def mp3Frames(nFrames: Int, seed: Long): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(nFrames * 576)
+    (0 until nFrames).foreach { f =>
+      // 0xFF 0xFB: sync + MPEG1 (verBits 3) + Layer III (layerBits 1)
+      // + no CRC; 0x98: bitrate idx 9 (128k) + sr idx 2 (32 kHz) +
+      // pad 0; 0xC0: mono
+      o.write(0xff); o.write(0xfb); o.write(0x98); o.write(0xc0)
+      var i = 4
+      while (i < 576) {
+        o.write((((seed * 31 + f) * 131 + i) & 0xff).toInt)
+        i += 1
+      }
+    }
+    o.toByteArray
+  }
+
+  /** Attach REAL MP3 payloads with formula-driven ID3: doc_id%5==0
+    * docs untagged (bare frames); others carry an ID3v2.3 block
+    * (TPE1 artist_<id%50>, TIT2 t_<id%7>, and for doc_id%3==0 a TXXX
+    * `geo` frame `lat=<id%90>;lon=<id%180>` — the release-blocking
+    * location signal) plus, for doc_id%2==0, an ID3v1 trailer.
+    * doc_id%4+2 frames each. */
+  def withMp3Payload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val frames = mp3Frames((docId % 4 + 2).toInt, docId)
+      if (docId % 5 == 0) frames
+      else {
+        val tag = id3v2Bytes(s"artist_${docId % 50}", s"t_${docId % 7}",
+          if (docId % 3 == 0)
+            Some(("geo", s"lat=${docId % 90};lon=${docId % 180}"))
+          else None)
+        val trailer =
+          if (docId % 2 == 0)
+            id3v1Bytes(s"t_${docId % 7}", s"artist_${docId % 50}", "")
+          else Array.empty[Byte]
+        val o = new java.io.ByteArrayOutputStream(
+          tag.length + frames.length + trailer.length)
+        o.write(tag); o.write(frames); o.write(trailer)
+        o.toByteArray
+      }
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** MP3 SCREEN audit — the frame-header walk over the fixture: per
+    * doc the sample rate, first-frame bitrate, frame count and
+    * duration (all exact formulas), plus the ID3 presence flags. */
+  def mp3MetaAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withMp3Payload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaDecode.mp3Meta(p) match {
+          case Some(m) => (id, true, m.sampleRate.toLong,
+            m.bitrateKbps.toLong, m.channels.toLong, m.nFrames.toLong,
+            m.durationMs, m.id3v2Bytes > 0, m.id3v1)
+          case None => (id, false, 0L, 0L, 0L, 0L, 0L, false, false)
+        }
+      })
+    }.toDF("doc_id", "parsed", "sample_rate", "bitrate_kbps", "channels",
+      "n_frames", "duration_ms", "has_id3v2", "has_id3v1")
+      .orderBy("doc_id")
+  }
+
+  /** ID3 tag audit + SCRUB report — the [[exifScrubAudit]] discipline
+    * on MP3: per doc the tag count and artist/title/geo values (the
+    * TXXX geo frame is the location release-blocker), bytes removed
+    * by [[MediaDecode.mp3StripId3]] (closed-form in the fixture),
+    * whether the scrubbed bytes carry no ID3 at all, and FRAME
+    * identity of the scrub (the audio region is byte-verbatim —
+    * re-walked frame count + duration must match). */
+  def mp3TagScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withMp3Payload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val tags = MediaDecode.mp3Id3Frames(p).getOrElse(Seq.empty)
+        def v(k: String) = tags.find(_._1 == k).map(_._2)
+        val before = MediaDecode.mp3Meta(p)
+        val (removed, clean, same) = MediaDecode.mp3StripId3(p) match {
+          case Some(s) =>
+            val after = MediaDecode.mp3Meta(s)
+            ((p.length - s.length).toLong,
+              MediaDecode.mp3Id3Frames(s).isEmpty,
+              (before, after) match {
+                case (Some(x), Some(y)) =>
+                  x.nFrames == y.nFrames && x.durationMs == y.durationMs &&
+                    y.id3v2Bytes == 0 && !y.id3v1
+                case _ => false
+              })
+          case None => (0L, false, false)
+        }
+        (id, tags.size.toLong, v("TPE1"), v("TIT2"), v("TXXX:geo"),
+          removed, clean, same)
+      })
+    }.toDF("doc_id", "n_tags", "artist", "title", "geo",
+      "bytes_removed", "tags_removed", "frames_identical")
+      .orderBy("doc_id")
+  }
+
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
     * deterministic formulas, document text riding as the PCM data
     * bytes (stands in for samples read from object storage). */
@@ -2266,6 +2416,199 @@ object MediaDecode {
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // MP3 (MPEG-1/2/2.5 Layer III container + ID3, public specs) — the
+  // SCREEN-AND-ROUTE layer for the dominant scraped-audio format:
+  // decode is a documented NO-GO (SCALE.md — lossy, no exact-oracle
+  // differential), but what a 100 TB corpus needs first is the
+  // frame-header walk (rate/duration/mode screening) and the ID3
+  // privacy seam (artist/title/geo tags travel in ID3v2 exactly like
+  // EXIF in JPEG). All walks are bounds-checked and fail to None /
+  // partial — corrupt audio is DATA (the P14 stance).
+
+  /** Parsed MP3 screen fields from the MPEG frame-header walk:
+    * MPEG version (1, 2, or 25 for 2.5), sample rate, FIRST-frame
+    * bitrate kbps + a VBR flag (any later frame differing), channel
+    * count, frame count, duration in ms (per-frame samples ÷ rate,
+    * summed), ID3v2 tag bytes at the front (0 = none) and whether an
+    * ID3v1 `TAG` trailer closes the file. */
+  final case class Mp3Meta(version: Int, sampleRate: Int,
+                           bitrateKbps: Int, vbr: Boolean, channels: Int,
+                           nFrames: Int, durationMs: Long,
+                           id3v2Bytes: Int, id3v1: Boolean)
+
+  private val mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val mp3RatesV1 = Array(44100, 48000, 32000)
+  private val mp3RatesV2 = Array(22050, 24000, 16000)
+  private val mp3RatesV25 = Array(11025, 12000, 8000)
+
+  /** Total byte size of an ID3v2 tag block at offset 0 (header 10 +
+    * syncsafe size + optional footer), or 0 when none. */
+  private def id3v2Size(b: Array[Byte]): Int = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+    val syncsafe = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val footer = if ((b(5) & 0x10) != 0) 10 else 0
+    math.min(10 + syncsafe + footer, b.length)
+  }
+
+  /** MP3 frame-header screen — Layer III frames walked sequentially
+    * from past any ID3v2 block: version/rate/bitrate/channels from
+    * the first header, frame lengths 144·br/sr (+pad) for MPEG-1 and
+    * 72·br/sr (+pad) for MPEG-2/2.5, duration from per-frame sample
+    * counts (1152 / 576). The walk ends at the first non-sync byte
+    * (an ID3v1 trailer, a truncation, or garbage), reporting the
+    * frames that parsed; no frame at all returns None. */
+  def mp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
+    try {
+      val tag = id3v2Size(b)
+      var p = tag
+      var meta: Option[Mp3Meta] = None
+      var nFrames = 0
+      var durNum = 0L // samples
+      var vbr = false
+      var running = true
+      while (running && p + 4 <= b.length) {
+        if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) running = false
+        else {
+          val verBits = (b(p + 1) >> 3) & 3
+          val layerBits = (b(p + 1) >> 1) & 3
+          val brIdx = (b(p + 2) >> 4) & 0xf
+          val srIdx = (b(p + 2) >> 2) & 3
+          val pad = (b(p + 2) >> 1) & 1
+          val chMode = (b(p + 3) >> 6) & 3
+          if (layerBits != 1 || verBits == 1 || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) running = false // Layer III only; no free/bad rates
+          else {
+            val v1 = verBits == 3
+            val br = (if (v1) mp3BitrateV1L3 else mp3BitrateV2L3)(brIdx) * 1000
+            val sr = (verBits match {
+              case 3 => mp3RatesV1; case 2 => mp3RatesV2; case _ => mp3RatesV25
+            })(srIdx)
+            val flen = (if (v1) 144 else 72) * br / sr + pad
+            if (flen < 4 || p + flen > b.length) running = false
+            else {
+              if (meta.isEmpty)
+                meta = Some(Mp3Meta(
+                  verBits match { case 3 => 1; case 2 => 2; case _ => 25 },
+                  sr, br / 1000, vbr = false,
+                  channels = if (chMode == 3) 1 else 2,
+                  nFrames = 0, durationMs = 0L, id3v2Bytes = tag,
+                  id3v1 = false))
+              else if (meta.get.bitrateKbps != br / 1000) vbr = true
+              nFrames += 1
+              durNum += (if (v1) 1152L else 576L)
+              p += flen
+            }
+          }
+        }
+      }
+      val v1Trailer = b.length >= 128 &&
+        b(b.length - 128) == 'T' && b(b.length - 127) == 'A' &&
+        b(b.length - 126) == 'G'
+      meta.map(m => m.copy(nFrames = nFrames, vbr = vbr,
+        durationMs = durNum * 1000L / m.sampleRate, id3v1 = v1Trailer))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** ID3 tag audit — text frames out of the ID3v2 block (v2.3 plain /
+    * v2.4 syncsafe frame sizes; encodings 0 Latin-1, 1 UTF-16 BOM,
+    * 2 UTF-16BE, 3 UTF-8; `TXXX` reported as `TXXX:<description>`)
+    * plus the three ID3v1 trailer fields as `ID3v1.title/artist/
+    * album`. FAIL-CLOSED per frame: an undecodable body still reports
+    * the frame ID with an empty value — presence is the privacy
+    * signal. None = no ID3 metadata at all (or not an MP3-shaped
+    * payload); a tagged file always reports its frames. */
+  def mp3Id3Frames(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      val out = Seq.newBuilder[(String, String)]
+      var any = false
+      val tag = id3v2Size(b)
+      if (tag >= 10) {
+        any = true
+        val v24 = (b(4) & 0xff) >= 4
+        var p = 10
+        var running = true
+        while (running && p + 10 <= tag) {
+          val id = new String(b, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+            running = false // padding or garbage ends the frame walk
+          else {
+            val size =
+              if (v24) ((b(p + 4) & 0x7f) << 21) | ((b(p + 5) & 0x7f) << 14) |
+                ((b(p + 6) & 0x7f) << 7) | (b(p + 7) & 0x7f)
+              else be32(b, p + 4).toInt
+            if (size < 0 || p + 10 + size > tag) running = false
+            else {
+              if (id.startsWith("T")) {
+                val raw = decodeId3Text(b, p + 10, size)
+                if (id == "TXXX") {
+                  // encoding byte + description NUL value (same encoding)
+                  val (desc, v) = raw.span(_ != '\u0000')
+                  out += ((s"TXXX:$desc",
+                    v.drop(1).takeWhile(_ != '\u0000')))
+                } else out += ((id, raw.takeWhile(_ != '\u0000')))
+              }
+              p += 10 + size
+            }
+          }
+        }
+      }
+      if (b.length >= 128 && b(b.length - 128) == 'T' &&
+          b(b.length - 127) == 'A' && b(b.length - 126) == 'G') {
+        any = true
+        val base = b.length - 128
+        def field(off: Int, len: Int): String =
+          new String(b, base + off, len,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+            .takeWhile(_ != '\u0000').trim
+        val t = field(3, 30); val a = field(33, 30); val al = field(63, 30)
+        if (t.nonEmpty) out += (("ID3v1.title", t))
+        if (a.nonEmpty) out += (("ID3v1.artist", a))
+        if (al.nonEmpty) out += (("ID3v1.album", al))
+      }
+      if (any) Some(out.result()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode an ID3v2 text-frame body (leading encoding byte), failing
+    * closed to "" — never to a dropped frame. */
+  private def decodeId3Text(b: Array[Byte], off: Int, len: Int): String = {
+    if (len < 1) return ""
+    try {
+      val cs = (b(off) & 0xff) match {
+        case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+        case 1 => java.nio.charset.StandardCharsets.UTF_16
+        case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+        case 3 => java.nio.charset.StandardCharsets.UTF_8
+        case _ => return ""
+      }
+      new String(b, off + 1, len - 1, cs)
+    } catch { case scala.util.control.NonFatal(_) => "" }
+  }
+
+  /** ID3 SCRUB — drop the ID3v2 block at the front and the ID3v1
+    * `TAG` trailer, keep the audio region VERBATIM (frame bytes are
+    * untouched — the scrub is pure container surgery, bit-identical
+    * audio by construction). None only when the remainder holds no
+    * parseable MP3 frame (not an MP3 — nothing to keep). */
+  def mp3StripId3(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val tag = id3v2Size(b)
+      val end =
+        if (b.length - tag >= 128 && b(b.length - 128) == 'T' &&
+            b(b.length - 127) == 'A' && b(b.length - 126) == 'G')
+          b.length - 128
+        else b.length
+      if (end <= tag) return None
+      val body = java.util.Arrays.copyOfRange(b, tag, end)
+      if (mp3Meta(body).exists(_.nFrames > 0)) Some(body) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------

@@ -538,6 +538,52 @@ private[queries] object RegistryMultimodal {
           TRUE AS meta_removed, TRUE AS pixels_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // MP3 frame-header SCREEN — the route-and-screen layer for the
+    // dominant scraped-audio format whose decode is the documented
+    // NO-GO (SCALE.md): sample rate / bitrate / frame count /
+    // duration from the MPEG frame walk (32 kHz 128 kbps mono ⇒
+    // 576-byte frames, 36 ms each — every column an exact formula),
+    // ID3v2/ID3v1 presence flags
+    QueryDef("mm_mp3_meta",
+      (s, d) => Multimodal.mp3MetaAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id, TRUE AS parsed, 32000::BIGINT AS sample_rate,
+          128::BIGINT AS bitrate_kbps, 1::BIGINT AS channels,
+          (doc_id % 4 + 2)::BIGINT AS n_frames,
+          ((doc_id % 4 + 2) * 36)::BIGINT AS duration_ms,
+          doc_id % 5 <> 0 AS has_id3v2,
+          doc_id % 5 <> 0 AND doc_id % 2 = 0 AS has_id3v1
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // ID3 tag audit + scrub — the EXIF discipline on MP3: TPE1/TIT2
+    // text frames + the TXXX geo frame (location is the release
+    // blocker) + ID3v1 trailer fields; scrub drops the v2 block and
+    // the v1 trailer, audio frames byte-verbatim (re-walked frame
+    // count + duration pin it); bytes_removed CLOSED-FORM
+    QueryDef("mm_mp3_tags_scrub",
+      (s, d) => Multimodal.mp3TagScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END END)::BIGINT
+            AS n_tags,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'artist_' || (doc_id % 50)::VARCHAR END AS artist,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 't_' || (doc_id % 7)::VARCHAR END AS title,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN 'lat=' || (doc_id % 90)::VARCHAR ||
+                 ';lon=' || (doc_id % 180)::VARCHAR END AS geo,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            32 + length('artist_' || (doc_id % 50)::VARCHAR)
+               + length('t_' || (doc_id % 7)::VARCHAR)
+            + CASE WHEN doc_id % 3 = 0
+                THEN 15 + length('lat=' || (doc_id % 90)::VARCHAR ||
+                  ';lon=' || (doc_id % 180)::VARCHAR) ELSE 0 END
+            + CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END END)::BIGINT
+            AS bytes_removed,
+          TRUE AS tags_removed, TRUE AS frames_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // FLAC tag audit + scrub — the EXIF discipline on the audio
     // modality: Vorbis comments parsed (LITTLE-endian lengths inside
     // the big-endian container — the spec quirk a wrong-endian read

@@ -1023,6 +1023,105 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mp3 screen + ID3: header walk exactness, encodings, v2.4 syncsafe, verbatim scrub, containment") {
+    val frames = Multimodal.mp3Frames(3, 42L)
+    assert(frames.length == 3 * 576)
+    val m0 = MediaDecode.mp3Meta(frames).get
+    assert(m0.version == 1 && m0.sampleRate == 32000 &&
+      m0.bitrateKbps == 128 && m0.channels == 1 && m0.nFrames == 3 &&
+      m0.durationMs == 108 && !m0.vbr && m0.id3v2Bytes == 0 && !m0.id3v1,
+      s"frame walk drifted: $m0")
+    // VBR: a 160 kbps frame (idx 10 -> 720 B at 32 kHz) after a 128 k one
+    val vbrBytes = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(frames, 0, 576)
+      o.write(0xff); o.write(0xfb); o.write(0xa8); o.write(0xc0)
+      (4 until 720).foreach(i => o.write(i & 0xff))
+      o.toByteArray
+    }
+    val mv = MediaDecode.mp3Meta(vbrBytes).get
+    assert(mv.nFrames == 2 && mv.vbr && mv.bitrateKbps == 128,
+      s"vbr detection drifted: $mv")
+    // MPEG-2: verBits 2 (0xF3), 22.05 kHz idx 0, 80 kbps idx 9 ->
+    // flen = 72*80000/22050 = 261, 576 samples -> 26 ms
+    val m2bytes = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0xff); o.write(0xf3); o.write(0x90); o.write(0xc0)
+      (4 until 261).foreach(i => o.write(i & 0xff))
+      o.toByteArray
+    }
+    val m2 = MediaDecode.mp3Meta(m2bytes).get
+    assert(m2.version == 2 && m2.sampleRate == 22050 &&
+      m2.bitrateKbps == 80 && m2.nFrames == 1 &&
+      m2.durationMs == 576L * 1000 / 22050, s"MPEG-2 walk drifted: $m2")
+    // ID3v2.3 fixture round-trip: TPE1/TIT2/TXXX + v1 trailer
+    val tag = Multimodal.id3v2Bytes("someone", "a title",
+      Some(("geo", "lat=3;lon=4")))
+    val v1 = Multimodal.id3v1Bytes("a title", "someone", "an album")
+    val full = tag ++ frames ++ v1
+    val mt = MediaDecode.mp3Meta(full).get
+    assert(mt.id3v2Bytes == tag.length && mt.id3v1 && mt.nFrames == 3,
+      s"tagged walk drifted: $mt")
+    assert(MediaDecode.mp3Id3Frames(full).contains(Seq(
+      "TPE1" -> "someone", "TIT2" -> "a title", "TXXX:geo" -> "lat=3;lon=4",
+      "ID3v1.title" -> "a title", "ID3v1.artist" -> "someone",
+      "ID3v1.album" -> "an album")),
+      s"id3 frames drifted: ${MediaDecode.mp3Id3Frames(full)}")
+    assert(MediaDecode.mp3Id3Frames(frames).isEmpty, "untagged reads None")
+    // UTF-16 (BOM) and UTF-8 text encodings; v2.4 SYNCSAFE frame size
+    def v24tag(enc: Int, text: Array[Byte]): Array[Byte] = {
+      val body = Array(enc.toByte) ++ text
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(4); o.write(0); o.write(0)
+      val n = 10 + body.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write("TIT2".getBytes("US-ASCII"))
+      o.write((body.length >> 21) & 0x7f); o.write((body.length >> 14) & 0x7f)
+      o.write((body.length >> 7) & 0x7f); o.write(body.length & 0x7f)
+      o.write(0); o.write(0)
+      o.write(body)
+      o.toByteArray
+    }
+    val u16 = v24tag(1, "tïtle".getBytes("UTF-16")) // BOM-carrying
+    assert(MediaDecode.mp3Id3Frames(u16 ++ frames)
+      .contains(Seq("TIT2" -> "tïtle")), "UTF-16 text drifted")
+    val u8 = v24tag(3, "tïtle".getBytes("UTF-8"))
+    assert(MediaDecode.mp3Id3Frames(u8 ++ frames)
+      .contains(Seq("TIT2" -> "tïtle")), "UTF-8 / v2.4 syncsafe drifted")
+    // fail-closed: a frame size overrunning the tag ends the walk with
+    // the frames that parsed — presence is never hidden
+    val overrun = tag.clone()
+    // TPE1 declared size sits at offset 14 (v2.3 plain BE)
+    overrun(14) = 0x7f.toByte
+    val partial = MediaDecode.mp3Id3Frames(overrun ++ frames)
+    assert(partial.isDefined, "corrupt tag must still report presence")
+    // scrub: v2 block + v1 trailer drop, audio region byte-VERBATIM
+    val stripped = MediaDecode.mp3StripId3(full).get
+    assert(stripped.sameElements(frames), "scrub must keep frames verbatim")
+    assert(full.length - stripped.length == tag.length + 128)
+    assert(MediaDecode.mp3Id3Frames(stripped).isEmpty)
+    assert(MediaDecode.mp3StripId3(frames).get.sameElements(frames),
+      "untagged strip is byte-identical")
+    assert(MediaDecode.mp3StripId3("garbage".getBytes).isEmpty,
+      "no parseable frame -> None")
+    // containment: truncation + corruption sweeps never throw
+    (0 to full.length by 13).foreach { cut =>
+      val part = java.util.Arrays.copyOf(full, cut)
+      MediaDecode.mp3Meta(part); MediaDecode.mp3Id3Frames(part)
+      MediaDecode.mp3StripId3(part)
+    }
+    (0 until full.length by 17).foreach { i =>
+      val c = full.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.mp3Meta(c); MediaDecode.mp3Id3Frames(c)
+      MediaDecode.mp3StripId3(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.mp3Meta(b); MediaDecode.mp3Id3Frames(b)
+      MediaDecode.mp3StripId3(b)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
