@@ -592,8 +592,10 @@ object TextAnalysis {
     * text still produces a feature row and the oracle's
     * pre-tokenization `WHERE text IS NOT NULL` count matches exactly
     * (spec-pinned). A future tokenizer that can emit ZERO tokens would
-    * silently shrink these counts below the oracle's — re-mirror the
-    * oracle on `len(toks) > 0` if the tokenizer ever changes.
+    * silently shrink these counts below the oracle's — the trainer
+    * now REQUIRES the invariant at entry (an O(1) one-row probe of
+    * the tokenizer, no corpus scan), so that change fails loudly;
+    * re-mirror the oracle on `len(toks) > 0` if it ever fires.
     *
     * Accuracies are exact integer correct/total fractions — but over
     * float-sum-order-dependent weights, so the oracled surface stays
@@ -610,6 +612,19 @@ object TextAnalysis {
     require(l2 >= 0, s"l2 must be >= 0: $l2")
     require(holdoutMod >= 0, s"holdoutMod must be >= 0: $holdoutMod")
     val spark = documents.sparkSession
+    // the n_holdout CONTRACT guard (see scaladoc): the tokenizer must
+    // never emit ZERO tokens, or nTrain/nHoldout silently diverge from
+    // the oracle's pre-tokenization count. One local row, no Spark job
+    // against the corpus.
+    locally {
+      import spark.implicits._
+      val probe = Seq("").toDF("text")
+        .select(size(tokens(col("text"))).as("n")).head.getInt(0)
+      require(probe >= 1,
+        "tokenizer emits zero tokens for empty text — nTrain/nHoldout " +
+          "would diverge from the oracle's text IS NOT NULL count " +
+          "(re-mirror the oracle on len(toks) > 0; see scaladoc CONTRACT)")
+    }
     val toks = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull && positive.isNotNull)
       .select(col("doc_id"), positive.cast("double").as("__y"),
@@ -1029,15 +1044,15 @@ object TextAnalysis {
         // one simultaneous fold: (last, next) looked up in the chosen
         // pair map — non-interaction makes this exactly the sequential
         // per-pair fold of each merge against the round-start vocab.
-        // Keys join symbols with a space, which bpeishTokens'
+        // Keys join symbols with NUL, which bpeishTokens'
         // [a-z0-9] alphabet can never contain.
         val pm = map(picks.flatMap(p =>
-          Seq(lit(p.lhs + " " + p.rhs), lit(p.lhs + p.rhs))): _*)
+          Seq(lit(p.lhs + "\u0000" + p.rhs), lit(p.lhs + p.rhs))): _*)
         val folded = aggregate(col("sym"),
           array().cast("array<string>"),
           (acc, s) => {
             val hit = try_element_at(pm,
-              concat(element_at(acc, -1), lit(" "), s))
+              concat(element_at(acc, -1), lit("\u0000"), s))
             when(size(acc) > 0 && hit.isNotNull,
               concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
               .otherwise(concat(acc, array(s)))

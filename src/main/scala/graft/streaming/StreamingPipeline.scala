@@ -2970,15 +2970,20 @@ object StreamingPipeline {
     var os: org.apache.hadoop.fs.FSDataOutputStream = null
     while (os == null) {
       // ONLY an already-exists collision advances the tick — a genuine
-      // write failure (disk full, permissions) must propagate, not
-      // strand up to 1000 empty tick files and a misleading error
-      try os = fs.create(
-        new org.apache.hadoop.fs.Path(qdir, s"tick_$tick.json"), false)
+      // write failure (disk full, permissions, missing parent) must
+      // propagate, not strand up to 1000 empty tick files and a
+      // misleading error. The local FS throws plain
+      // IOException("...already exists") rather than the typed
+      // FileAlreadyExistsException (the round-17 gotcha), and message
+      // phrasing varies by backend — so a collision is CONFIRMED by
+      // fs.exists on the path itself, never by message sniffing (a
+      // "parent path does not exist" failure also contains "exist").
+      val tickPath = new org.apache.hadoop.fs.Path(qdir, s"tick_$tick.json")
+      try os = fs.create(tickPath, false)
       catch {
         case e: java.io.IOException
             if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              (e.getMessage != null &&
-                e.getMessage.toLowerCase.contains("exist")) =>
+              fs.exists(tickPath) =>
           tick += 1
           require(tick - next < 1000,
             s"could not allocate a tick file under $qdir after 1000 collisions")
