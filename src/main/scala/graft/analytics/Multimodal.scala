@@ -1242,6 +1242,179 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One spec-valid Ogg page (RFC 3533): header + lacing + body, CRC
+    * sealed with [[MediaDecode.oggCrc]]. `packets` become this page's
+    * lacing runs (255-chunked, each ending < 255). */
+  def oggPageBytes(headerType: Int, granule: Long, serial: Long, seq: Long,
+                   packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      val full = p.length / 255
+      Seq.fill(full)(255) :+ (p.length % 255)
+    }
+    require(lacing.length <= 255, s"too many lacing values: ${lacing.length}")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OggS".getBytes("US-ASCII")); o.write(0); o.write(headerType)
+    (0 until 8).foreach(k => o.write(((granule >> (8 * k)) & 0xff).toInt))
+    (0 until 4).foreach(k => o.write(((serial >> (8 * k)) & 0xff).toInt))
+    (0 until 4).foreach(k => o.write(((seq >> (8 * k)) & 0xff).toInt))
+    o.write(0); o.write(0); o.write(0); o.write(0) // crc placeholder
+    o.write(lacing.length)
+    lacing.foreach(o.write)
+    packets.foreach(p => o.write(p))
+    val page = o.toByteArray
+    val crc = MediaDecode.oggCrc(page, 0, page.length)
+    page(22) = (crc & 0xff).toByte
+    page(23) = ((crc >> 8) & 0xff).toByte
+    page(24) = ((crc >> 16) & 0xff).toByte
+    page(25) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
+  /** One Vorbis-comment block body (vendor + KEY=value list, all
+    * lengths little-endian) — CLOSED-FORM size: 4 + |vendor| + 4 +
+    * Σ (4 + |key| + 1 + |value|). */
+  def vorbisCommentBytes(vendor: String, comments: Seq[(String, String)]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length); o.write(vb)
+    le32(comments.length)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes("UTF-8")
+      le32(cb.length); o.write(cb)
+    }
+    o.toByteArray
+  }
+
+  /** A complete spec-valid Ogg file of `nAudioPages` dummy audio
+    * pages after the two header pages — Vorbis (ID header 30 B,
+    * granule = PCM samples at `rate`, 1024/page) or Opus (OpusHead,
+    * granule 48 kHz-denominated, 960/page). The audio page bodies are
+    * deterministic bytes (no codec payload decode exists — the walk
+    * and the comment seam are what is under test). */
+  def oggBytes(codec: String, channels: Int, rate: Int,
+               comments: Seq[(String, String)], nAudioPages: Int,
+               seed: Long): Array[Byte] = {
+    require(codec == "vorbis" || codec == "opus", s"codec: $codec")
+    val serial = 0x47524654L // 'GRFT'
+    val o = new java.io.ByteArrayOutputStream()
+    val (idPacket, commentPacket, granulePerPage) =
+      if (codec == "vorbis") {
+        val id = new java.io.ByteArrayOutputStream()
+        id.write(1); id.write("vorbis".getBytes("US-ASCII"))
+        id.write(0); id.write(0); id.write(0); id.write(0) // version
+        id.write(channels)
+        (0 until 4).foreach(k => id.write((rate >> (8 * k)) & 0xff))
+        (0 until 12).foreach(_ => id.write(0)) // bitrates
+        id.write(0xb8) // blocksizes
+        id.write(1) // framing
+        val cm = new java.io.ByteArrayOutputStream()
+        cm.write(3); cm.write("vorbis".getBytes("US-ASCII"))
+        cm.write(vorbisCommentBytes("graft", comments))
+        cm.write(1) // framing bit
+        (id.toByteArray, cm.toByteArray, 1024L)
+      } else {
+        val id = new java.io.ByteArrayOutputStream()
+        id.write("OpusHead".getBytes("US-ASCII"))
+        id.write(1); id.write(channels)
+        id.write(0); id.write(0) // pre-skip
+        (0 until 4).foreach(k => id.write((rate >> (8 * k)) & 0xff))
+        id.write(0); id.write(0); id.write(0) // gain + mapping
+        val cm = new java.io.ByteArrayOutputStream()
+        cm.write("OpusTags".getBytes("US-ASCII"))
+        cm.write(vorbisCommentBytes("graft", comments))
+        (id.toByteArray, cm.toByteArray, 960L)
+      }
+    o.write(oggPageBytes(2, 0L, serial, 0L, Seq(idPacket))) // BOS
+    // comment + a dummy setup packet share page 1 (the common layout)
+    val setup = Array.tabulate[Byte](24)(i => ((seed * 17 + i) & 0xff).toByte)
+    o.write(oggPageBytes(0, 0L, serial, 1L, Seq(commentPacket, setup)))
+    (1 to nAudioPages).foreach { k =>
+      val body = Array.tabulate[Byte](40 + (seed % 13).toInt)(i =>
+        (((seed * 31 + k) * 131 + i) & 0xff).toByte)
+      val eos = if (k == nAudioPages) 4 else 0
+      o.write(oggPageBytes(eos, granulePerPage * k, serial, 1L + k, Seq(body)))
+    }
+    o.toByteArray
+  }
+
+  /** Attach REAL Ogg payloads with formula-driven comments: codec by
+    * doc parity (even = Vorbis 8 kHz, odd = Opus 48 kHz); doc_id%5==0
+    * docs carry an EMPTY comment list; others ARTIST/TITLE and, for
+    * doc_id%3==0, a GEO tag (the location release-blocker);
+    * doc_id%4+1 audio pages. */
+  def withOggPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val comments =
+        if (docId % 5 == 0) Seq.empty[(String, String)]
+        else Seq("ARTIST" -> s"artist_${docId % 50}",
+          "TITLE" -> s"t_${docId % 7}") ++
+          (if (docId % 3 == 0)
+            Seq("GEO" -> s"lat=${docId % 90};lon=${docId % 180}")
+          else Nil)
+      if (docId % 2 == 0)
+        oggBytes("vorbis", 1, 8000, comments, (docId % 4 + 1).toInt, docId)
+      else
+        oggBytes("opus", 2, 48000, comments, (docId % 4 + 1).toInt, docId)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Ogg SCREEN audit over the fixture: codec/channels/rate from the
+    * ID header, page count, duration from the last granule — every
+    * column an exact formula by doc parity. */
+  def oggMetaAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withOggPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaDecode.oggMeta(p) match {
+          case Some(m) => (id, m.codec, m.channels.toLong,
+            m.sampleRate.toLong, m.nPages.toLong, m.durationMs)
+          case None => (id, "none", 0L, 0L, 0L, 0L)
+        }
+      })
+    }.toDF("doc_id", "codec", "channels", "sample_rate", "n_pages",
+      "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  /** Ogg comment audit + REDACTION report — the privacy seam on the
+    * Ogg family: per doc the tag count and ARTIST/GEO values, bytes
+    * redacted in place (closed-form: the value bytes), whether the
+    * redacted file re-parses with BLANK values under the same keys,
+    * and whether every page CRC re-seals ([[MediaDecode
+    * .oggCrcValid]]). */
+  def oggTagRedactAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withOggPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val tags = MediaDecode.oggComments(p).getOrElse(Seq.empty)
+        def v(k: String) = tags.find(_._1 == k).map(_._2)
+        val (redactedBytes, blanked, sealedOk) =
+          MediaDecode.oggRedactComments(p) match {
+            case Some(r) =>
+              val after = MediaDecode.oggComments(r).getOrElse(Seq.empty)
+              (tags.map(_._2.getBytes("UTF-8").length.toLong).sum,
+                after.map(_._1) == tags.map(_._1) &&
+                  after.forall(_._2.trim.isEmpty),
+                MediaDecode.oggCrcValid(r) && r.length == p.length)
+            case None => (0L, false, false)
+          }
+        (id, tags.size.toLong, v("ARTIST"), v("GEO"),
+          redactedBytes, blanked, sealedOk)
+      })
+    }.toDF("doc_id", "n_tags", "artist", "geo", "bytes_redacted",
+      "values_blanked", "pages_sealed")
+      .orderBy("doc_id")
+  }
+
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
     * deterministic formulas, document text riding as the PCM data
     * bytes (stands in for samples read from object storage). */
@@ -2841,34 +3014,8 @@ object MediaDecode {
         val btype = hdr & 0x7f
         val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
         if (p + 4 + len > b.length) return None
-        if (btype == 4) {
-          var q = p + 4
-          val end = p + 4 + len
-          def le32i(): Long = {
-            if (q + 4 > end) throw FlacEos
-            val v = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
-              ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
-            q += 4; v
-          }
-          val vlen = le32i().toInt
-          if (q + vlen > end || vlen < 0) return None
-          q += vlen // vendor string skipped
-          val n = le32i().toInt
-          if (n < 0 || n > 4096) return None
-          val out = Seq.newBuilder[(String, String)]
-          var i = 0
-          while (i < n) {
-            val clen = le32i().toInt
-            if (clen < 0 || q + clen > end) return None
-            val c = new String(b, q, clen, java.nio.charset.StandardCharsets.UTF_8)
-            q += clen
-            val eq = c.indexOf('=')
-            if (eq > 0) out += ((c.substring(0, eq)
-              .toUpperCase(java.util.Locale.ROOT), c.substring(eq + 1)))
-            i += 1
-          }
-          return Some(out.result())
-        }
+        if (btype == 4)
+          return vorbisCommentBody(b, p + 4, p + 4 + len).map(_._1)
         p += 4 + len
       }
       None
@@ -2905,6 +3052,295 @@ object MediaDecode {
         out.toByteArray
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Parse one Vorbis comment block at `[off, end)` — vendor string +
+    * KEY=value list, all lengths LITTLE-endian (the famous quirk) —
+    * shared by the FLAC VORBIS_COMMENT block, the Ogg Vorbis comment
+    * header and OpusTags (identical structure in all three
+    * containers). Returns the tags (keys ASCII-uppercased,
+    * Locale.ROOT) AND each value's (start, length) byte region
+    * RELATIVE to the array — what [[oggRedactComments]] overwrites.
+    * Malformed → None. */
+  private def vorbisCommentBody(b: Array[Byte], off: Int, end: Int)
+      : Option[(Seq[(String, String)], Seq[(Int, Int)])] = {
+    var q = off
+    def le32i(): Long = {
+      if (q + 4 > end) throw FlacEos
+      val v = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
+        ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
+      q += 4; v
+    }
+    try {
+      val vlen = le32i().toInt
+      if (q + vlen > end || vlen < 0) return None
+      q += vlen // vendor string skipped (encoder id, not PII)
+      val n = le32i().toInt
+      if (n < 0 || n > 4096) return None
+      val out = Seq.newBuilder[(String, String)]
+      val regions = Seq.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < n) {
+        val clen = le32i().toInt
+        if (clen < 0 || q + clen > end) return None
+        val c = new String(b, q, clen, java.nio.charset.StandardCharsets.UTF_8)
+        val eq = c.indexOf('=')
+        if (eq > 0) {
+          out += ((c.substring(0, eq)
+            .toUpperCase(java.util.Locale.ROOT), c.substring(eq + 1)))
+          // the value region in BYTES: '=' position in the UTF-8 bytes
+          // equals the char index only up to the first non-ASCII char,
+          // so recompute it on the raw bytes
+          var beq = 0
+          while (beq < clen && b(q + beq) != '=') beq += 1
+          regions += ((q + beq + 1, clen - beq - 1))
+        }
+        q += clen
+        i += 1
+      }
+      Some((out.result(), regions.result()))
+    } catch { case FlacEos => None }
+  }
+
+  // ------------------------------------------------------------------
+  // OGG (RFC 3533 pages + Vorbis I / OpusTags headers, public specs)
+  // — the container screen for the other big scraped-audio family:
+  // codec/rate/duration from the page+header walk, and the comment
+  // privacy seam. Ogg pages are CRC-sealed and sequence-numbered, so
+  // the privacy op REDACTS comment values IN PLACE (same page
+  // structure, CRC recomputed) instead of re-paginating the chain —
+  // removal would renumber every following page.
+
+  /** Parsed Ogg screen fields: codec (`vorbis`/`opus`/`unknown`),
+    * channels + sample rate from the ID header, page count of the
+    * first logical stream, its last granule position, and duration
+    * (Vorbis granule = PCM samples at the stream rate; Opus granule
+    * is always 48 kHz-denominated per RFC 7845). */
+  final case class OggMeta(codec: String, channels: Int, sampleRate: Int,
+                           nPages: Int, lastGranule: Long, durationMs: Long)
+
+  private final case class OggPage(start: Int, hdrLen: Int, bodyLen: Int,
+                                   headerType: Int, granule: Long,
+                                   serial: Long, seq: Long)
+
+  private val oggCrcTable: Array[Int] = {
+    // CRC-32 poly 0x04c11db7, NOT reflected, init 0, no final xor —
+    // Ogg's variant differs from zlib's CRC32 in all three respects
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        j += 1
+      }
+      t(i) = r; i += 1
+    }
+    t
+  }
+
+  /** Ogg page CRC over `[off, off+len)` (the crc field itself must be
+    * zeroed by the caller before summing). */
+  def oggCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = off
+    while (i < off + len) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** Page walk: every well-formed `OggS` page front-to-back; stops at
+    * the first malformed/truncated header with what parsed. */
+  private def oggPages(b: Array[Byte]): Seq[OggPage] = {
+    val out = Seq.newBuilder[OggPage]
+    var p = 0
+    var running = true
+    while (running && p + 27 <= b.length) {
+      if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+          b(p + 3) == 'S' && b(p + 4) == 0)) running = false
+      else {
+        val nSegs = b(p + 26) & 0xff
+        if (p + 27 + nSegs > b.length) running = false
+        else {
+          var body = 0
+          var i = 0
+          while (i < nSegs) { body += b(p + 27 + i) & 0xff; i += 1 }
+          if (p + 27 + nSegs + body > b.length) running = false
+          else {
+            val granule = (0 until 8).foldLeft(0L)((acc, k) =>
+              acc | ((b(p + 6 + k) & 0xffL) << (8 * k)))
+            out += OggPage(p, 27 + nSegs, body, b(p + 5) & 0xff, granule,
+              le32(b, p + 14), le32(b, p + 18))
+            p += 27 + nSegs + body
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** First `maxPackets` packets of the first logical stream, each as
+    * its ordered (absolute offset, length) segment list — packets can
+    * span pages; a lacing value < 255 ends a packet. */
+  private def oggPacketSegs(b: Array[Byte], pages: Seq[OggPage],
+                            maxPackets: Int): Seq[Vector[(Int, Int)]] = {
+    if (pages.isEmpty) return Seq.empty
+    val serial = pages.head.serial
+    val out = Seq.newBuilder[Vector[(Int, Int)]]
+    var count = 0
+    var cur = Vector.empty[(Int, Int)]
+    pages.iterator.filter(_.serial == serial).foreach { pg =>
+      if (count < maxPackets) {
+        var segOff = pg.start + pg.hdrLen
+        val nSegs = pg.hdrLen - 27
+        var i = 0
+        while (i < nSegs && count < maxPackets) {
+          val l = b(pg.start + 27 + i) & 0xff
+          if (l > 0) cur :+= ((segOff, l))
+          segOff += l
+          if (l < 255) { out += cur; cur = Vector.empty; count += 1 }
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Materialize a packet: (contiguous bytes, per-byte absolute file
+    * offset) — the offset map is what lets a redaction of the LOGICAL
+    * comment region land on the right PHYSICAL bytes when the packet
+    * spans pages. Comment packets are KB-sized; the map is cheap. */
+  private def oggPacketArray(b: Array[Byte],
+                             segs: Vector[(Int, Int)]): (Array[Byte], Array[Int]) = {
+    val n = segs.iterator.map(_._2).sum
+    val out = new Array[Byte](n)
+    val idx = new Array[Int](n)
+    var o = 0
+    segs.foreach { case (s, l) =>
+      var i = 0
+      while (i < l) { out(o) = b(s + i); idx(o) = s + i; o += 1; i += 1 }
+    }
+    (out, idx)
+  }
+
+  /** Ogg screen — codec, channels, rate from the first packet's ID
+    * header (`vorbis` per Vorbis I, `OpusHead` per RFC 7845),
+    * page count + last granule + duration for the first logical
+    * stream. None = no parseable BOS page. */
+  def oggMeta(b: Array[Byte]): Option[OggMeta] = {
+    try {
+      val pages = oggPages(b)
+      if (pages.isEmpty) return None
+      val serial = pages.head.serial
+      val mine = pages.filter(_.serial == serial)
+      val idOpt = oggPacketSegs(b, pages, 1).headOption
+        .map(oggPacketArray(b, _)._1)
+      if (idOpt.isEmpty) return None
+      val id = idOpt.get
+      val lastGranule = mine.iterator.map(_.granule).filter(_ >= 0).foldLeft(0L)(math.max)
+      def mk(codec: String, ch: Int, sr: Int, denom: Int): OggMeta =
+        OggMeta(codec, ch, sr, mine.size, lastGranule,
+          if (denom > 0) lastGranule * 1000L / denom else 0L)
+      if (id.length >= 16 && id(0) == 1 && id(1) == 'v' && id(2) == 'o' &&
+          id(3) == 'r' && id(4) == 'b' && id(5) == 'i' && id(6) == 's') {
+        val ch = id(11) & 0xff
+        val sr = le32(id, 12).toInt
+        Some(mk("vorbis", ch, sr, sr))
+      } else if (id.length >= 19 && new String(id, 0, 8,
+          java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
+        val ch = id(9) & 0xff
+        val sr = le32(id, 12).toInt
+        Some(mk("opus", ch, sr, 48000)) // granules are 48 kHz by spec
+      } else Some(mk("unknown", 0, 0, 0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Locate the comment BLOCK inside packet 1: (packet bytes, offset
+    * map, block start) — after `vorbis` for Vorbis, after
+    * `OpusTags` for Opus. */
+  private def oggCommentBlock(b: Array[Byte])
+      : Option[(Array[Byte], Array[Int], Int)] = {
+    val pages = oggPages(b)
+    val pk = oggPacketSegs(b, pages, 2)
+    if (pk.size < 2) return None
+    val (a, idx) = oggPacketArray(b, pk(1))
+    if (a.length >= 7 && a(0) == 3 && a(1) == 'v' && a(2) == 'o' &&
+        a(3) == 'r' && a(4) == 'b' && a(5) == 'i' && a(6) == 's')
+      Some((a, idx, 7))
+    else if (a.length >= 8 && new String(a, 0, 8,
+        java.nio.charset.StandardCharsets.US_ASCII) == "OpusTags")
+      Some((a, idx, 8))
+    else None
+  }
+
+  /** Ogg comment tags — the SAME Vorbis comment structure as FLAC
+    * ([[vorbisCommentBody]] shared), read out of the second packet.
+    * None = no comment header (or not Ogg). */
+  def oggComments(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    try {
+      oggCommentBlock(b).flatMap { case (a, _, off) =>
+        vorbisCommentBody(a, off, a.length).map(_._1)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Ogg comment REDACTION — overwrite every comment VALUE byte with
+    * a space in place and re-seal the CRC of each touched page. The
+    * page structure (lacing, sequence numbers, granules) is
+    * byte-identical, audio packets verbatim — re-paginating to REMOVE
+    * the values would renumber every subsequent page (the documented
+    * Ogg trade vs the removal-style scrubs of the other containers).
+    * Returns None when there is nothing parseable to redact. */
+  def oggRedactComments(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      oggCommentBlock(b).flatMap { case (a, idx, off) =>
+        vorbisCommentBody(a, off, a.length).map { case (_, regions) =>
+          val out = b.clone()
+          regions.foreach { case (s, l) =>
+            var i = 0
+            while (i < l) { out(idx(s + i)) = ' '; i += 1 }
+          }
+          // re-seal every page overlapping a redacted byte (EVERY byte
+          // checked: a single value can span 3+ pages and the middle
+          // ones carry none of the region's endpoints)
+          val pages = oggPages(out)
+          val touched = regions.flatMap { case (s, l) =>
+            (0 until l).map(i => idx(s + i))
+          }
+          pages.foreach { pg =>
+            val lo = pg.start
+            val hi = pg.start + pg.hdrLen + pg.bodyLen
+            if (touched.exists(t => t >= lo && t < hi)) {
+              java.util.Arrays.fill(out, pg.start + 22, pg.start + 26, 0.toByte)
+              val crc = oggCrc(out, pg.start, pg.hdrLen + pg.bodyLen)
+              out(pg.start + 22) = (crc & 0xff).toByte
+              out(pg.start + 23) = ((crc >> 8) & 0xff).toByte
+              out(pg.start + 24) = ((crc >> 16) & 0xff).toByte
+              out(pg.start + 25) = ((crc >> 24) & 0xff).toByte
+            }
+          }
+          out
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Every page's CRC verified against [[oggCrc]] — the redactor's
+    * re-seal audit (TRUE only when every page checks out). */
+  def oggCrcValid(b: Array[Byte]): Boolean = {
+    try {
+      val pages = oggPages(b)
+      pages.nonEmpty && pages.forall { pg =>
+        val tmp = java.util.Arrays.copyOfRange(b, pg.start,
+          pg.start + pg.hdrLen + pg.bodyLen)
+        val declared = le32(tmp, 22)
+        java.util.Arrays.fill(tmp, 22, 26, 0.toByte)
+        (oggCrc(tmp, 0, tmp.length) & 0xffffffffL) == declared
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** PNG text-metadata audit — keyword→value pairs from ALL THREE

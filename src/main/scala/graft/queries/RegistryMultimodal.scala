@@ -584,6 +584,53 @@ private[queries] object RegistryMultimodal {
           TRUE AS tags_removed, TRUE AS frames_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // OGG container SCREEN — the page walk + ID-header parse for the
+    // other big scraped-audio family (Vorbis AND Opus by doc parity):
+    // codec, channels, rate, page count, duration from the last
+    // granule (Vorbis granule = PCM samples at the stream rate; Opus
+    // granule 48 kHz-denominated per RFC 7845) — every column an
+    // exact formula
+    QueryDef("mm_ogg_meta",
+      (s, d) => Multimodal.oggMetaAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS channels,
+          (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 48000 END)::BIGINT
+            AS sample_rate,
+          (doc_id % 4 + 3)::BIGINT AS n_pages,
+          ((doc_id % 4 + 1) *
+            CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 20 END)::BIGINT
+            AS duration_ms
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // Ogg comment audit + in-place REDACTION — the privacy seam on
+    // the Ogg family (same Vorbis-comment structure as FLAC, read out
+    // of the second packet): values overwritten with spaces IN PLACE
+    // (Ogg pages are CRC-sealed and sequence-numbered — removal would
+    // renumber every following page), each touched page's CRC
+    // re-sealed; bytes_redacted CLOSED-FORM, the re-parse pins keys
+    // surviving with blank values and every page CRC valid
+    QueryDef("mm_ogg_tags_redact",
+      (s, d) => Multimodal.oggTagRedactAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END END)::BIGINT
+            AS n_tags,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'artist_' || (doc_id % 50)::VARCHAR END AS artist,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN 'lat=' || (doc_id % 90)::VARCHAR ||
+                 ';lon=' || (doc_id % 180)::VARCHAR END AS geo,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            length('artist_' || (doc_id % 50)::VARCHAR)
+            + length('t_' || (doc_id % 7)::VARCHAR)
+            + CASE WHEN doc_id % 3 = 0
+                THEN length('lat=' || (doc_id % 90)::VARCHAR ||
+                  ';lon=' || (doc_id % 180)::VARCHAR) ELSE 0 END END)::BIGINT
+            AS bytes_redacted,
+          TRUE AS values_blanked, TRUE AS pages_sealed
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // FLAC tag audit + scrub — the EXIF discipline on the audio
     // modality: Vorbis comments parsed (LITTLE-endian lengths inside
     // the big-endian container — the spec quirk a wrong-endian read

@@ -1122,6 +1122,125 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ogg screen + comments: both codecs, CRC differential, in-place redaction, page-spanning packets, containment") {
+    val comments = Seq("ARTIST" -> "someone", "TITLE" -> "a title",
+      "GEO" -> "lat=3;lon=4")
+    val vorb = Multimodal.oggBytes("vorbis", 1, 8000, comments, 3, 42L)
+    val opus = Multimodal.oggBytes("opus", 2, 48000, comments, 2, 43L)
+    // screen exactness, both codecs
+    val mv = MediaDecode.oggMeta(vorb).get
+    assert(mv.codec == "vorbis" && mv.channels == 1 && mv.sampleRate == 8000 &&
+      mv.nPages == 5 && mv.lastGranule == 3072 && mv.durationMs == 384,
+      s"vorbis screen drifted: $mv")
+    val mo = MediaDecode.oggMeta(opus).get
+    assert(mo.codec == "opus" && mo.channels == 2 && mo.sampleRate == 48000 &&
+      mo.nPages == 4 && mo.lastGranule == 1920 && mo.durationMs == 40,
+      s"opus screen drifted: $mo")
+    // comments round-trip through the SHARED Vorbis-comment parser
+    assert(MediaDecode.oggComments(vorb).contains(comments))
+    assert(MediaDecode.oggComments(opus).contains(comments))
+    assert(MediaDecode.oggComments(
+      Multimodal.oggBytes("vorbis", 1, 8000, Nil, 1, 1L)).contains(Seq.empty))
+    assert(MediaDecode.oggComments("not ogg".getBytes).isEmpty)
+    // the Ogg CRC against an INDEPENDENT bitwise implementation
+    def bitwiseCrc(b: Array[Byte]): Int = {
+      var crc = 0
+      b.foreach { byte =>
+        crc ^= (byte & 0xff) << 24
+        (0 until 8).foreach { _ =>
+          crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+                else crc << 1
+        }
+      }
+      crc
+    }
+    samples(bytesGen, 50).foreach { b =>
+      assert(MediaDecode.oggCrc(b, 0, b.length) == bitwiseCrc(b),
+        "table CRC diverged from the bitwise reference")
+    }
+    assert(MediaDecode.oggCrcValid(vorb) && MediaDecode.oggCrcValid(opus),
+      "fixture pages must carry valid CRCs")
+    // redaction: same length, keys survive with BLANK values, audio
+    // pages byte-verbatim, every CRC re-sealed
+    val red = MediaDecode.oggRedactComments(vorb).get
+    assert(red.length == vorb.length)
+    val after = MediaDecode.oggComments(red).get
+    assert(after.map(_._1) == comments.map(_._1) &&
+      after.forall(_._2.trim.isEmpty), s"redaction drifted: $after")
+    assert(MediaDecode.oggCrcValid(red), "touched pages must re-seal")
+    assert(!new String(red, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("someone"), "the PII value must be gone")
+    // audio pages (after the two header pages) byte-identical
+    val headerSpan = {
+      // page 2 starts after pages 0 and 1: find the third 'OggS'
+      val s = new String(vorb, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val p1 = s.indexOf("OggS", 1)
+      s.indexOf("OggS", p1 + 1)
+    }
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(vorb, headerSpan, vorb.length),
+      java.util.Arrays.copyOfRange(red, headerSpan, red.length)),
+      "audio pages must be untouched")
+    // a comment PACKET spanning two pages (lacing 255 continuation):
+    // hand-rolled pages so the cross-page offset map is exercised
+    val bigVal = "v" * 400
+    val cm = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(3); o.write("vorbis".getBytes("US-ASCII"))
+      o.write(Multimodal.vorbisCommentBytes("graft", Seq("ARTIST" -> bigVal)))
+      o.write(1)
+      o.toByteArray
+    }
+    val idPk = {
+      // reuse the fixture's vorbis ID packet via a 0-audio-page file
+      val whole = Multimodal.oggBytes("vorbis", 1, 8000, Nil, 1, 7L)
+      val s = new String(whole, java.nio.charset.StandardCharsets.ISO_8859_1)
+      java.util.Arrays.copyOfRange(whole, 0, s.indexOf("OggS", 1))
+    }
+    def rawPage(headerType: Int, seq: Long, lacing: Seq[Int],
+                body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("OggS".getBytes("US-ASCII")); o.write(0); o.write(headerType)
+      (0 until 8).foreach(_ => o.write(0))
+      (0 until 4).foreach(k => o.write(((0x47524654L >> (8 * k)) & 0xff).toInt))
+      (0 until 4).foreach(k => o.write(((seq >> (8 * k)) & 0xff).toInt))
+      o.write(0); o.write(0); o.write(0); o.write(0)
+      o.write(lacing.length); lacing.foreach(o.write)
+      o.write(body)
+      val page = o.toByteArray
+      val crc = MediaDecode.oggCrc(page, 0, page.length)
+      page(22) = (crc & 0xff).toByte; page(23) = ((crc >> 8) & 0xff).toByte
+      page(24) = ((crc >> 16) & 0xff).toByte; page(25) = ((crc >> 24) & 0xff).toByte
+      page
+    }
+    val split = 255 // first page carries one full 255 lacing run
+    assert(cm.length - split < 255, "sanity: remainder fits one lacing value")
+    val spanning = idPk ++
+      rawPage(0, 1L, Seq(255), cm.take(split)) ++
+      rawPage(1, 2L, Seq(cm.length - split), cm.drop(split))
+    assert(MediaDecode.oggComments(spanning)
+      .contains(Seq("ARTIST" -> bigVal)), "cross-page packet must parse")
+    val redSpan = MediaDecode.oggRedactComments(spanning).get
+    assert(MediaDecode.oggComments(redSpan).get.head._2.trim.isEmpty &&
+      MediaDecode.oggCrcValid(redSpan),
+      "cross-page redaction must blank and re-seal BOTH pages")
+    // containment: truncation + corruption sweeps never throw
+    (0 to vorb.length by 11).foreach { cut =>
+      val part = java.util.Arrays.copyOf(vorb, cut)
+      MediaDecode.oggMeta(part); MediaDecode.oggComments(part)
+      MediaDecode.oggRedactComments(part); MediaDecode.oggCrcValid(part)
+    }
+    (0 until vorb.length by 7).foreach { i =>
+      val c = vorb.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.oggMeta(c); MediaDecode.oggComments(c)
+      MediaDecode.oggRedactComments(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.oggMeta(b); MediaDecode.oggComments(b)
+      MediaDecode.oggRedactComments(b)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
