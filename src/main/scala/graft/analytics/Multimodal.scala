@@ -1415,6 +1415,209 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One RIFF chunk (fourcc + LE size + body + even pad). */
+  def riffChunkBytes(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+    o.write(fourcc.getBytes("US-ASCII"))
+    o.write(body.length & 0xff); o.write((body.length >> 8) & 0xff)
+    o.write((body.length >> 16) & 0xff); o.write((body.length >> 24) & 0xff)
+    o.write(body)
+    if ((body.length & 1) == 1) o.write(0)
+    o.toByteArray
+  }
+
+  /** A spec-valid WebP: either a bare VP8L file (no VP8X — the
+    * simple-lossless layout) or an extended VP8X file with ICCP
+    * (RETAINED by the scrub), the VP8L image chunk, and optional
+    * EXIF (bare TIFF body) / XMP metadata chunks — every size
+    * CLOSED-FORM. The VP8L payload is dummy bytes (no VP8 entropy
+    * decode exists; the dims header is real). */
+  def webpBytes(width: Int, height: Int, exif: Option[(Int, (Int, Int))],
+                xmp: Option[String], extended: Boolean,
+                seed: Long): Array[Byte] = {
+    val vp8l = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x2f)
+      val bits = (width - 1).toLong | ((height - 1).toLong << 14)
+      (0 until 4).foreach(k => o.write(((bits >> (8 * k)) & 0xff).toInt))
+      (0 until 11).foreach(i => o.write((((seed * 37 + i) & 0xff)).toInt))
+      riffChunkBytes("VP8L", o.toByteArray)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    if (extended) {
+      val x = new Array[Byte](10)
+      x(0) = (0x20 | exif.map(_ => 0x08).getOrElse(0) |
+        xmp.map(_ => 0x04).getOrElse(0)).toByte // ICC + E/X as present
+      x(4) = ((width - 1) & 0xff).toByte
+      x(5) = (((width - 1) >> 8) & 0xff).toByte
+      x(6) = (((width - 1) >> 16) & 0xff).toByte
+      x(7) = ((height - 1) & 0xff).toByte
+      x(8) = (((height - 1) >> 8) & 0xff).toByte
+      x(9) = (((height - 1) >> 16) & 0xff).toByte
+      body.write(riffChunkBytes("VP8X", x))
+      body.write(riffChunkBytes("ICCP",
+        Array.tabulate[Byte](12)(i => ((seed * 13 + i) & 0xff).toByte)))
+    }
+    body.write(vp8l)
+    exif.foreach { case (ori, (la, lo)) =>
+      body.write(riffChunkBytes("EXIF", exifTiffBody(ori, Some((la, lo)))))
+    }
+    xmp.foreach(s => body.write(riffChunkBytes("XMP ", s.getBytes("UTF-8"))))
+    val inner = body.toByteArray
+    val o = new java.io.ByteArrayOutputStream(12 + inner.length)
+    o.write("RIFF".getBytes("US-ASCII"))
+    val sz = 4 + inner.length
+    o.write(sz & 0xff); o.write((sz >> 8) & 0xff)
+    o.write((sz >> 16) & 0xff); o.write((sz >> 24) & 0xff)
+    o.write("WEBP".getBytes("US-ASCII"))
+    o.write(inner)
+    o.toByteArray
+  }
+
+  /** Attach REAL WebP payloads: doc_id%5==0 docs are bare VP8L files
+    * (clean, simple layout — the VP8L dims path); others are VP8X
+    * extended files with ICCP + XMP and, for doc_id%3==0, an EXIF
+    * chunk (orientation doc_id%8+1, GPS at integer degrees). Dims
+    * 24+doc_id%8 × 16+doc_id%5 in BOTH the VP8X canvas and the VP8L
+    * header. */
+  def withWebpPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val w = 24 + (docId % 8).toInt
+      val h = 16 + (docId % 5).toInt
+      if (docId % 5 == 0) webpBytes(w, h, None, None, extended = false, docId)
+      else webpBytes(w, h,
+        if (docId % 3 == 0)
+          Some(((docId % 8 + 1).toInt, ((docId % 90).toInt, (docId % 180).toInt)))
+        else None,
+        Some(s"xmp_${docId % 9}"), extended = true, docId)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** WebP privacy audit + scrub report — the JPEG/PNG EXIF discipline
+    * on the third image container: dims through BOTH layout paths,
+    * EXIF via the shared TIFF walk, XMP presence; bytes removed by
+    * [[MediaDecode.webpStripMetadata]] (closed-form — ICCP retention
+    * pinned by the formula), post-scrub re-parse empty, and IMAGE
+    * identity (the VP8L chunk byte-verbatim, dims unchanged). */
+  def webpExifScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withWebpPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val meta = MediaDecode.webpMeta(p)
+        val exif = MediaDecode.webpExif(p)
+        def vp8lBytes(x: Array[Byte]): Option[Seq[Byte]] = {
+          val s = new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val i = s.indexOf("VP8L")
+          if (i < 0) None else Some(x.slice(i, i + 8 + 16).toSeq)
+        }
+        val (removed, clean, same) = MediaDecode.webpStripMetadata(p) match {
+          case Some(s) =>
+            val m2 = MediaDecode.webpMeta(s)
+            ((p.length - s.length).toLong,
+              MediaDecode.webpExif(s).isEmpty &&
+                m2.exists(m => !m.hasExif && !m.hasXmp),
+              m2.isDefined && meta.isDefined &&
+                m2.get.width == meta.get.width &&
+                m2.get.height == meta.get.height &&
+                vp8lBytes(p) == vp8lBytes(s))
+          case None => (0L, false, false)
+        }
+        (id, meta.map(_.format).getOrElse("none"),
+          meta.map(_.width.toLong).getOrElse(0L),
+          meta.map(_.height.toLong).getOrElse(0L),
+          exif.flatMap(_.orientation).map(_.toLong),
+          exif.flatMap(_.gpsLat).map(d => math.rint(d * 10000) / 10000),
+          exif.flatMap(_.gpsLon).map(d => math.rint(d * 10000) / 10000),
+          meta.exists(_.hasXmp), removed, clean, same)
+      })
+    }.toDF("doc_id", "format", "width", "height", "orientation",
+      "gps_lat", "gps_lon", "has_xmp", "bytes_removed", "meta_removed",
+      "image_identical")
+      .orderBy("doc_id")
+  }
+
+  /** A spec-valid GIF89a: logical screen (no global color table),
+    * an optional comment extension, `nFrames` image descriptors with
+    * one dummy LZW sub-block each, trailer — every size CLOSED-FORM
+    * (comment extension = 4 + |comment|). */
+  def gifBytes(width: Int, height: Int, nFrames: Int,
+               comment: Option[String], seed: Long): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("GIF89a".getBytes("US-ASCII"))
+    o.write(width & 0xff); o.write((width >> 8) & 0xff)
+    o.write(height & 0xff); o.write((height >> 8) & 0xff)
+    o.write(0); o.write(0); o.write(0) // flags (no GCT), bg, aspect
+    comment.foreach { c =>
+      val cb = c.getBytes("ISO-8859-1")
+      require(cb.length >= 1 && cb.length <= 255,
+        "comment must fit one sub-block")
+      o.write(0x21); o.write(0xfe); o.write(cb.length); o.write(cb); o.write(0)
+    }
+    (0 until nFrames).foreach { f =>
+      o.write(0x2c)
+      o.write(0); o.write(0); o.write(0); o.write(0) // left, top
+      o.write(width & 0xff); o.write((width >> 8) & 0xff)
+      o.write(height & 0xff); o.write((height >> 8) & 0xff)
+      o.write(0) // no local color table
+      o.write(2) // LZW min code size
+      val n = 10 + ((seed + f) % 5).toInt
+      o.write(n)
+      (0 until n).foreach(i => o.write((((seed * 31 + f) * 131 + i) & 0xff).toInt))
+      o.write(0) // sub-block terminator
+    }
+    o.write(0x3b)
+    o.toByteArray
+  }
+
+  /** Attach REAL GIF payloads: dims 10+doc_id%16 × 7+doc_id%9,
+    * 1+doc_id%3 frames; doc_id%5==0 docs clean, others carry a
+    * comment extension `c_<doc_id%7>` (the GIF PII carrier). */
+  def withGifPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      gifBytes(10 + (docId % 16).toInt, 7 + (docId % 9).toInt,
+        (docId % 3 + 1).toInt,
+        if (docId % 5 == 0) None else Some(s"c_${docId % 7}"), docId)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** GIF screen + scrub report: dims, frame count, the comment text;
+    * bytes removed by [[MediaDecode.gifStripMetadata]] (closed-form),
+    * post-scrub comments gone, frames intact (re-walked count). */
+  def gifMetaScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withGifPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val meta = MediaDecode.gifMeta(p)
+        val (removed, clean, same) = MediaDecode.gifStripMetadata(p) match {
+          case Some(s) =>
+            val m2 = MediaDecode.gifMeta(s)
+            ((p.length - s.length).toLong,
+              m2.exists(_.comments.isEmpty),
+              (meta, m2) match {
+                case (Some(a), Some(c)) =>
+                  a.nFrames == c.nFrames && a.width == c.width &&
+                    a.height == c.height
+                case _ => false
+              })
+          case None => (0L, false, false)
+        }
+        (id, meta.map(_.width.toLong).getOrElse(0L),
+          meta.map(_.height.toLong).getOrElse(0L),
+          meta.map(_.nFrames.toLong).getOrElse(0L),
+          meta.flatMap(_.comments.headOption),
+          removed, clean, same)
+      })
+    }.toDF("doc_id", "width", "height", "n_frames", "comment",
+      "bytes_removed", "comments_removed", "frames_identical")
+      .orderBy("doc_id")
+  }
+
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
     * deterministic formulas, document text riding as the PCM data
     * bytes (stands in for samples read from object storage). */
@@ -3100,6 +3303,211 @@ object MediaDecode {
       }
       Some((out.result(), regions.result()))
     } catch { case FlacEos => None }
+  }
+
+  // ------------------------------------------------------------------
+  // WebP (RIFF container, VP8/VP8L/VP8X chunks) — the modern scraped-
+  // image format: dims screen + the EXIF/XMP privacy seam (a WebP
+  // EXIF chunk body is the same bare TIFF stream as PNG's eXIf — one
+  // parser, three image containers). Pixel decode (VP8 entropy) is
+  // out of scope like H.264; the scrub is pure chunk surgery with the
+  // image chunks byte-verbatim.
+
+  /** Parsed WebP screen fields: format (`vp8`/`vp8l`/`vp8x`), canvas
+    * width/height, and which metadata chunks are present. */
+  final case class WebpMeta(format: String, width: Int, height: Int,
+                            hasExif: Boolean, hasXmp: Boolean,
+                            hasIccp: Boolean)
+
+  /** RIFF chunk walk of a WebP: (fourcc, body offset, body length)
+    * front-to-back, even-padded per RIFF; stops at the first
+    * malformed/truncated chunk with what parsed. None = not WebP. */
+  private def webpChunks(b: Array[Byte]): Option[Seq[(String, Int, Int)]] = {
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var p = 12
+    var running = true
+    while (running && p + 8 <= b.length) {
+      val len = le32(b, p + 4).toInt
+      if (len < 0 || p + 8 + len > b.length) running = false
+      else {
+        out += ((new String(b, p, 4,
+          java.nio.charset.StandardCharsets.US_ASCII), p + 8, len))
+        p += 8 + len + (len & 1) // even padding
+      }
+    }
+    Some(out.result())
+  }
+
+  /** WebP screen — canvas dims from VP8X when present (24-bit
+    * minus-one fields), else the VP8 lossy frame header (sync
+    * 9D 01 2A) or the VP8L signature byte's 14-bit packed dims;
+    * metadata presence flags from the chunk walk. */
+  def webpMeta(b: Array[Byte]): Option[WebpMeta] = {
+    try {
+      webpChunks(b).flatMap { chunks =>
+        def has(t: String) = chunks.exists(_._1 == t)
+        val vp8x = chunks.find(_._1 == "VP8X")
+        vp8x match {
+          case Some((_, off, len)) if len >= 10 =>
+            val w = 1 + (((b(off + 4) & 0xff)) | ((b(off + 5) & 0xff) << 8) |
+              ((b(off + 6) & 0xff) << 16))
+            val h = 1 + (((b(off + 7) & 0xff)) | ((b(off + 8) & 0xff) << 8) |
+              ((b(off + 9) & 0xff) << 16))
+            Some(WebpMeta("vp8x", w, h, has("EXIF"), has("XMP "), has("ICCP")))
+          case _ =>
+            chunks.collectFirst {
+              case ("VP8 ", off, len) if len >= 10 &&
+                  (b(off + 3) & 0xff) == 0x9d && (b(off + 4) & 0xff) == 0x01 &&
+                  (b(off + 5) & 0xff) == 0x2a =>
+                WebpMeta("vp8", le16(b, off + 6) & 0x3fff,
+                  le16(b, off + 8) & 0x3fff,
+                  has("EXIF"), has("XMP "), has("ICCP"))
+              case ("VP8L", off, len) if len >= 5 && (b(off) & 0xff) == 0x2f =>
+                val bits = le32(b, off + 1)
+                WebpMeta("vp8l", 1 + (bits & 0x3fff).toInt,
+                  1 + ((bits >> 14) & 0x3fff).toInt,
+                  has("EXIF"), has("XMP "), has("ICCP"))
+            }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** EXIF out of the WebP `EXIF` chunk — the bare-TIFF body through
+    * the SAME per-section fail-closed [[tiffExif]] walk as JPEG APP1
+    * and PNG eXIf. None = no EXIF chunk (or not WebP). */
+  def webpExif(b: Array[Byte]): Option[ExifMeta] = {
+    try {
+      webpChunks(b).flatMap(_.collectFirst {
+        case ("EXIF", off, len) => tiffExif(b, off, len)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** WebP metadata scrub — drop the `EXIF` and `XMP ` chunks at byte
+    * level, keep every image/color chunk verbatim (`ICCP` RETAINED —
+    * color interpretation, the Adobe-APP14/cHRM lesson), and CLEAR
+    * the VP8X E/X flag bits so the header no longer advertises the
+    * removed chunks. None = not WebP. */
+  def webpStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      webpChunks(b).map { chunks =>
+        val out = new java.io.ByteArrayOutputStream(b.length)
+        out.write(b, 0, 12)
+        chunks.foreach { case (t, off, len) =>
+          if (t != "EXIF" && t != "XMP ") {
+            val chunk = java.util.Arrays.copyOfRange(b, off - 8,
+              off + len + (len & 1))
+            if (t == "VP8X" && len >= 1)
+              chunk(8) = (chunk(8) & ~0x0c).toByte // clear E (bit3) + X (bit2)
+            out.write(chunk)
+          }
+        }
+        val res = out.toByteArray
+        // RIFF size field = file length - 8
+        val sz = res.length - 8
+        res(4) = (sz & 0xff).toByte; res(5) = ((sz >> 8) & 0xff).toByte
+        res(6) = ((sz >> 16) & 0xff).toByte; res(7) = ((sz >> 24) & 0xff).toByte
+        res
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ------------------------------------------------------------------
+  // GIF (GIF89a, public spec) — dims/frame screen + the comment-
+  // extension privacy seam (GIF comments are the PII carrier; the
+  // application extension carries XMP). LZW pixel data is copied
+  // verbatim by the scrub — pure block surgery.
+
+  /** Parsed GIF screen fields: logical-screen dims, image-descriptor
+    * count (animation frames), and the comment-extension texts. */
+  final case class GifMeta(width: Int, height: Int, nFrames: Int,
+                           comments: Seq[String])
+
+  /** Walk a GIF's blocks: returns (meta, block spans to DROP for the
+    * scrub) — drop = comment (0xFE) and application (0xFF)
+    * extensions. The walk stops at the trailer or the first malformed
+    * block with what parsed. */
+  private def gifWalk(b: Array[Byte])
+      : Option[(GifMeta, Seq[(Int, Int)], Int)] = {
+    if (b.length < 13) return None
+    val hdr = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    val flags = b(10) & 0xff
+    var p = 13
+    if ((flags & 0x80) != 0) p += 3 * (1 << ((flags & 7) + 1)) // GCT
+    val comments = Seq.newBuilder[String]
+    val drop = Seq.newBuilder[(Int, Int)]
+    var nFrames = 0
+    var end = b.length
+    var running = true
+    def subBlocks(from: Int): Int = { // returns offset past the 0 terminator
+      var q = from
+      while (q < b.length && (b(q) & 0xff) != 0) q += 1 + (b(q) & 0xff)
+      q + 1
+    }
+    while (running && p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x3b => end = p + 1; running = false // trailer
+        case 0x21 if p + 1 < b.length =>
+          val label = b(p + 1) & 0xff
+          val next = subBlocks(p + 2)
+          if (next > b.length) running = false
+          else {
+            if (label == 0xfe) {
+              // comment: concatenate sub-block payloads
+              val sb = new java.io.ByteArrayOutputStream()
+              var q = p + 2
+              while ((b(q) & 0xff) != 0) {
+                sb.write(b, q + 1, b(q) & 0xff); q += 1 + (b(q) & 0xff)
+              }
+              comments += new String(sb.toByteArray,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              drop += ((p, next - p))
+            } else if (label == 0xff) drop += ((p, next - p))
+            p = next
+          }
+        case 0x2c if p + 10 <= b.length =>
+          nFrames += 1
+          val lflags = b(p + 9) & 0xff
+          var q = p + 10
+          if ((lflags & 0x80) != 0) q += 3 * (1 << ((lflags & 7) + 1))
+          if (q + 1 > b.length) running = false
+          else {
+            val next = subBlocks(q + 1) // LZW min-code byte then data
+            if (next > b.length) running = false else p = next
+          }
+        case _ => running = false
+      }
+    }
+    Some((GifMeta(w, h, nFrames, comments.result()), drop.result(), end))
+  }
+
+  /** GIF screen — dims, frame count, comment texts. None = not GIF. */
+  def gifMeta(b: Array[Byte]): Option[GifMeta] =
+    try gifWalk(b).map(_._1)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** GIF metadata scrub — drop comment and application extensions at
+    * byte level (graphic-control extensions RETAINED: transparency
+    * and frame timing are rendering, not metadata), truncate trailing
+    * bytes after the trailer; LZW image data byte-verbatim. */
+  def gifStripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      gifWalk(b).map { case (_, drop, end) =>
+        val out = new java.io.ByteArrayOutputStream(end)
+        var p = 0
+        drop.sortBy(_._1).foreach { case (s, l) =>
+          out.write(b, p, s - p); p = s + l
+        }
+        out.write(b, p, end - p)
+        out.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------

@@ -584,6 +584,50 @@ private[queries] object RegistryMultimodal {
           TRUE AS tags_removed, TRUE AS frames_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // WebP privacy audit + scrub — the JPEG/PNG EXIF discipline on
+    // the THIRD image container: dims through BOTH layouts (bare VP8L
+    // for clean docs, VP8X canvas for tagged), EXIF via the SAME
+    // shared TIFF walk (a WebP EXIF chunk body is a bare TIFF
+    // stream), XMP presence; bytes_removed CLOSED-FORM and EXCLUDES
+    // the retained ICCP chunk (the cHRM/Adobe-APP14 lesson), VP8X
+    // E/X flag bits cleared by the scrub
+    QueryDef("mm_webp_exif_audit",
+      (s, d) => Multimodal.webpExifScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN 'vp8l' ELSE 'vp8x' END AS format,
+          (24 + doc_id % 8)::BIGINT AS width,
+          (16 + doc_id % 5)::BIGINT AS height,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN (doc_id % 8 + 1)::BIGINT END AS orientation,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 90)::DOUBLE, 4) END AS gps_lat,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 180)::DOUBLE, 4) END AS gps_lon,
+          doc_id % 5 <> 0 AS has_xmp,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            14 + CASE WHEN doc_id % 3 = 0 THEN 148 ELSE 0 END END)::BIGINT
+            AS bytes_removed,
+          TRUE AS meta_removed, TRUE AS image_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // GIF screen + comment scrub — dims/frames from the block walk,
+    // the comment extension is the GIF PII carrier; scrub drops
+    // comment + application extensions at byte level (graphic-control
+    // retained: transparency/timing are rendering), LZW data verbatim
+    QueryDef("mm_gif_meta_scrub",
+      (s, d) => Multimodal.gifMetaScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (10 + doc_id % 16)::BIGINT AS width,
+          (7 + doc_id % 9)::BIGINT AS height,
+          (doc_id % 3 + 1)::BIGINT AS n_frames,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'c_' || (doc_id % 7)::VARCHAR END AS comment,
+          (CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 4 + length('c_' || (doc_id % 7)::VARCHAR) END)::BIGINT
+            AS bytes_removed,
+          TRUE AS comments_removed, TRUE AS frames_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // OGG container SCREEN — the page walk + ID-header parse for the
     // other big scraped-audio family (Vorbis AND Opus by doc parity):
     // codec, channels, rate, page count, duration from the last

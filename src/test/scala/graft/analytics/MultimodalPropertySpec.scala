@@ -1241,6 +1241,137 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("webp: both layout paths, VP8 lossy dims, exif via shared TIFF walk, flag-clearing scrub, containment") {
+    // bare VP8L (simple layout) and VP8X (extended canvas) agree
+    val bare = Multimodal.webpBytes(33, 21, None, None, extended = false, 5L)
+    val mb = MediaDecode.webpMeta(bare).get
+    assert(mb.format == "vp8l" && mb.width == 33 && mb.height == 21 &&
+      !mb.hasExif && !mb.hasXmp && !mb.hasIccp, s"vp8l path drifted: $mb")
+    val ext = Multimodal.webpBytes(33, 21, Some((6, (51, 122))),
+      Some("some-xmp"), extended = true, 5L)
+    val me = MediaDecode.webpMeta(ext).get
+    assert(me.format == "vp8x" && me.width == 33 && me.height == 21 &&
+      me.hasExif && me.hasXmp && me.hasIccp, s"vp8x path drifted: $me")
+    // EXIF via the SHARED TIFF walk: same values as the JPEG/PNG paths
+    val ex = MediaDecode.webpExif(ext).get
+    assert(ex.orientation.contains(6) && ex.gpsLat.contains(51.0) &&
+      ex.gpsLon.contains(122.0), s"webp exif drifted: $ex")
+    assert(MediaDecode.webpExif(bare).isEmpty)
+    // the VP8 LOSSY dims path (sync 9D 01 2A, 14-bit LE dims)
+    val vp8 = {
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0); body.write(0); body.write(0) // frame tag
+      body.write(0x9d); body.write(0x01); body.write(0x2a)
+      body.write(320 & 0xff); body.write((320 >> 8) & 0x3f)
+      body.write(240 & 0xff); body.write((240 >> 8) & 0x3f)
+      val o = new java.io.ByteArrayOutputStream()
+      val chunk = Multimodal.riffChunkBytes("VP8 ", body.toByteArray)
+      o.write("RIFF".getBytes("US-ASCII"))
+      val sz = 4 + chunk.length
+      o.write(sz & 0xff); o.write((sz >> 8) & 0xff)
+      o.write((sz >> 16) & 0xff); o.write((sz >> 24) & 0xff)
+      o.write("WEBP".getBytes("US-ASCII")); o.write(chunk)
+      o.toByteArray
+    }
+    val mv8 = MediaDecode.webpMeta(vp8).get
+    assert(mv8.format == "vp8" && mv8.width == 320 && mv8.height == 240,
+      s"vp8 lossy dims drifted: $mv8")
+    // scrub: EXIF/XMP chunks drop, ICCP + VP8L verbatim, VP8X E/X
+    // flag bits CLEARED, RIFF size rewritten
+    val stripped = MediaDecode.webpStripMetadata(ext).get
+    val m2 = MediaDecode.webpMeta(stripped).get
+    assert(!m2.hasExif && !m2.hasXmp && m2.hasIccp &&
+      m2.width == 33 && m2.height == 21, s"scrub drifted: $m2")
+    assert(MediaDecode.webpExif(stripped).isEmpty)
+    def count(hay: Array[Byte], needle: String): Int =
+      new String(hay, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .sliding(needle.length).count(_ == needle)
+    assert(count(stripped, "ICCP") == 1 && count(stripped, "VP8L") == 1)
+    assert(count(stripped, "some-xmp") == 0)
+    assert(MediaDecode.webpStripMetadata(stripped).get.sameElements(stripped),
+      "scrub must be idempotent")
+    // declared RIFF size tracks the new length
+    assert((stripped.length - 8).toLong ==
+      ((stripped(4) & 0xffL)) + ((stripped(5) & 0xffL) << 8) +
+        ((stripped(6) & 0xffL) << 16) + ((stripped(7) & 0xffL) << 24))
+    // containment
+    (0 to ext.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(ext, cut)
+      MediaDecode.webpMeta(part); MediaDecode.webpExif(part)
+      MediaDecode.webpStripMetadata(part)
+    }
+    (0 until ext.length by 5).foreach { i =>
+      val c = ext.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.webpMeta(c); MediaDecode.webpExif(c)
+      MediaDecode.webpStripMetadata(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.webpMeta(b); MediaDecode.webpExif(b)
+      MediaDecode.webpStripMetadata(b)
+    }
+  }
+
+  test("gif: screen exactness, multi-sub-block comments, GCE retained, trailer truncation, containment") {
+    val g = Multimodal.gifBytes(40, 30, 2, Some("who wrote this"), 9L)
+    val m = MediaDecode.gifMeta(g).get
+    assert(m.width == 40 && m.height == 30 && m.nFrames == 2 &&
+      m.comments == Seq("who wrote this"), s"gif screen drifted: $m")
+    // a comment spanning MULTIPLE sub-blocks concatenates
+    val multi = {
+      val o = new java.io.ByteArrayOutputStream()
+      val base = Multimodal.gifBytes(8, 8, 1, None, 3L)
+      o.write(base, 0, 13) // header + LSD
+      o.write(0x21); o.write(0xfe)
+      o.write(3); o.write("abc".getBytes("US-ASCII"))
+      o.write(2); o.write("de".getBytes("US-ASCII"))
+      o.write(0)
+      o.write(base, 13, base.length - 13)
+      o.toByteArray
+    }
+    assert(MediaDecode.gifMeta(multi).get.comments == Seq("abcde"),
+      "multi-sub-block comment must concatenate")
+    // scrub: comment + application ext drop, GCE (0xF9) RETAINED,
+    // post-trailer junk truncated
+    val withGce = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(multi, 0, 13)
+      o.write(0x21); o.write(0xf9) // graphic control extension
+      o.write(4); o.write(0); o.write(10); o.write(0); o.write(0); o.write(0)
+      o.write(0x21); o.write(0xff) // application extension (XMP carrier)
+      o.write(11); o.write("XMP DataXMP".getBytes("US-ASCII")); o.write(0)
+      o.write(multi, 13, multi.length - 13)
+      o.write("TRAILING-JUNK".getBytes("US-ASCII"))
+      o.toByteArray
+    }
+    val stripped = MediaDecode.gifStripMetadata(withGce).get
+    val m2 = MediaDecode.gifMeta(stripped).get
+    assert(m2.comments.isEmpty && m2.nFrames == 1 && m2.width == 8)
+    val s2 = new String(stripped, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s2.contains("!ù"), "GCE must be retained")
+    assert(!s2.contains("XMP Data") && !s2.contains("abcde") &&
+      !s2.contains("TRAILING-JUNK"),
+      "comment/application/trailer bytes must be gone")
+    assert(MediaDecode.gifStripMetadata(stripped).get.sameElements(stripped),
+      "scrub must be idempotent")
+    // closed-form removal on the fixture shape
+    val tagged = Multimodal.gifBytes(12, 9, 1, Some("c_3"), 4L)
+    val st = MediaDecode.gifStripMetadata(tagged).get
+    assert(tagged.length - st.length == 4 + 3)
+    assert(MediaDecode.gifMeta("NOTGIF".getBytes).isEmpty)
+    // containment
+    (0 to withGce.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(withGce, cut)
+      MediaDecode.gifMeta(part); MediaDecode.gifStripMetadata(part)
+    }
+    (0 until withGce.length by 5).foreach { i =>
+      val c = withGce.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.gifMeta(c); MediaDecode.gifStripMetadata(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.gifMeta(b); MediaDecode.gifStripMetadata(b)
+    }
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
