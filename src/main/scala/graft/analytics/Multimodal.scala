@@ -2904,30 +2904,66 @@ object MediaDecode {
     try {
       val out = Seq.newBuilder[(String, String)]
       var any = false
-      val tag = id3v2Size(b)
-      if (tag >= 10) {
+      val tagRaw = id3v2Size(b)
+      if (tagRaw >= 10) {
         any = true
-        val v24 = (b(4) & 0xff) >= 4
+        // version MAJOR is byte 3 (byte 4 is the revision — reading it
+        // would parse every real v2.4 tag with plain-BE frame sizes)
+        val v24 = (b(3) & 0xff) >= 4
+        // global unsynchronisation (flag 0x80, the v2.3 scheme): the
+        // whole tag body is FF-00 stuffed and v2.3 frame sizes count
+        // the DE-stuffed data — de-stuff before walking. v2.4 unsync
+        // is per-frame with sizes counting the STUFFED bytes, so the
+        // global de-stuff must NOT apply there (text frames rarely
+        // contain 0xFF, so the plain walk stays aligned).
+        val unsync = (b(5) & 0x80) != 0 && (b(3) & 0xff) < 4
+        val (t, tag) =
+          if (!unsync) (b, tagRaw)
+          else {
+            val body = new Array[Byte](tagRaw)
+            System.arraycopy(b, 0, body, 0, 10)
+            var i = 10; var o = 10
+            while (i < tagRaw) {
+              body(o) = b(i); o += 1
+              if ((b(i) & 0xff) == 0xff && i + 1 < tagRaw && b(i + 1) == 0)
+                i += 2
+              else i += 1
+            }
+            (body, o)
+          }
         var p = 10
+        // extended header (flag 0x40): v2.3 size is plain BE and
+        // EXCLUDES its own 4 size bytes; v2.4 size is syncsafe and
+        // INCLUDES itself
+        if ((t(5) & 0x40) != 0 && p + 4 <= tag) {
+          val ehs =
+            if (v24) ((t(p) & 0x7f) << 21) | ((t(p + 1) & 0x7f) << 14) |
+              ((t(p + 2) & 0x7f) << 7) | (t(p + 3) & 0x7f)
+            else be32(t, p).toInt + 4
+          if (ehs > 0 && p + ehs <= tag) p += ehs
+        }
         var running = true
         while (running && p + 10 <= tag) {
-          val id = new String(b, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val id = new String(t, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
           if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
             running = false // padding or garbage ends the frame walk
           else {
             val size =
-              if (v24) ((b(p + 4) & 0x7f) << 21) | ((b(p + 5) & 0x7f) << 14) |
-                ((b(p + 6) & 0x7f) << 7) | (b(p + 7) & 0x7f)
-              else be32(b, p + 4).toInt
+              if (v24) ((t(p + 4) & 0x7f) << 21) | ((t(p + 5) & 0x7f) << 14) |
+                ((t(p + 6) & 0x7f) << 7) | (t(p + 7) & 0x7f)
+              else be32(t, p + 4).toInt
             if (size < 0 || p + 10 + size > tag) running = false
             else {
               if (id.startsWith("T")) {
-                val raw = decodeId3Text(b, p + 10, size)
+                val raw = decodeId3Text(t, p + 10, size)
                 if (id == "TXXX") {
-                  // encoding byte + description NUL value (same encoding)
+                  // encoding byte + description NUL value (same
+                  // encoding); a UTF-16 VALUE carries its OWN BOM the
+                  // full-body decode does not consume — strip it
                   val (desc, v) = raw.span(_ != '\u0000')
-                  out += ((s"TXXX:$desc",
-                    v.drop(1).takeWhile(_ != '\u0000')))
+                  out += ((s"TXXX:${desc.stripPrefix("\uFEFF")}",
+                    v.drop(1).takeWhile(_ != '\u0000')
+                      .stripPrefix("\uFEFF")))
                 } else out += ((id, raw.takeWhile(_ != '\u0000')))
               }
               p += 10 + size
@@ -3382,7 +3418,15 @@ object MediaDecode {
   def webpExif(b: Array[Byte]): Option[ExifMeta] = {
     try {
       webpChunks(b).flatMap(_.collectFirst {
-        case ("EXIF", off, len) => tiffExif(b, off, len)
+        case ("EXIF", off, len) =>
+          // several real-world writers (exiftool among them) keep the
+          // JPEG-style 'Exif\0\0' preamble inside the chunk — skip it
+          // so the shared TIFF walk sees II/MM either way
+          if (len >= 6 && b(off) == 'E' && b(off + 1) == 'x' &&
+              b(off + 2) == 'i' && b(off + 3) == 'f' && b(off + 4) == 0 &&
+              b(off + 5) == 0)
+            tiffExif(b, off + 6, len - 6)
+          else tiffExif(b, off, len)
       })
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -3399,8 +3443,11 @@ object MediaDecode {
         out.write(b, 0, 12)
         chunks.foreach { case (t, off, len) =>
           if (t != "EXIF" && t != "XMP ") {
+            // clamp: a final odd-length chunk may lack its pad byte —
+            // copyOfRange would zero-pad past the input, making the
+            // output not a byte-subsequence and bytes_removed off by 1
             val chunk = java.util.Arrays.copyOfRange(b, off - 8,
-              off + len + (len & 1))
+              math.min(off + len + (len & 1), b.length))
             if (t == "VP8X" && len >= 1)
               chunk(8) = (chunk(8) & ~0x0c).toByte // clear E (bit3) + X (bit2)
             out.write(chunk)
@@ -3443,7 +3490,7 @@ object MediaDecode {
     val comments = Seq.newBuilder[String]
     val drop = Seq.newBuilder[(Int, Int)]
     var nFrames = 0
-    var end = b.length
+    var end = -1 // set by the trailer; stays -1 on a malformed stop
     var running = true
     def subBlocks(from: Int): Int = { // returns offset past the 0 terminator
       var q = from
@@ -3484,7 +3531,13 @@ object MediaDecode {
         case _ => running = false
       }
     }
-    Some((GifMeta(w, h, nFrames, comments.result()), drop.result(), end))
+    // FAIL-CLOSED: when the walk stops before the trailer (malformed
+    // or truncated stream), the unparsed tail is NOT trusted — `end`
+    // falls back to the last fully parsed position, so the scrub can
+    // never carry un-walked metadata through verbatim (the PNG/WebP
+    // emit-only-parsed-chunks stance).
+    Some((GifMeta(w, h, nFrames, comments.result()),
+      drop.result(), if (end >= 0) end else p))
   }
 
   /** GIF screen — dims, frame count, comment texts. None = not GIF. */

@@ -1004,6 +1004,11 @@ object TextAnalysis {
             slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
         .select(col("freq"), col("p.0").as("a"), col("p.1").as("b"))
         .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        // persisted so a refetch (exhausted window) pays only the
+        // filter + TakeOrdered, not a second explode+groupBy pass —
+        // the 'ONE pair-count pass per round' claim holds on BOTH
+        // selection paths; unpersisted at round end
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chosen = Vector.newBuilder[BpeBatchMerge]
       var nChosen = 0
       var forbidden = Set.empty[String]
@@ -1037,6 +1042,7 @@ object TextAnalysis {
         if (rows.length < fetchLimit) roundDone = true
         else if (nChosen == before) roundDone = true // defensive; unreachable
       }
+      pairTable.unpersist(false)
       val picks = chosen.result()
       if (picks.isEmpty) exhausted = true
       else {

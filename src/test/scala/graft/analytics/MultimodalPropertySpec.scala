@@ -1089,6 +1089,96 @@ class MultimodalPropertySpec extends AnyFunSuite {
     val u8 = v24tag(3, "tïtle".getBytes("UTF-8"))
     assert(MediaDecode.mp3Id3Frames(u8 ++ frames)
       .contains(Seq("TIT2" -> "tïtle")), "UTF-8 / v2.4 syncsafe drifted")
+    // REGRESSION (review find): v2.4 version major is byte 3 — with a
+    // frame >= 128 bytes the syncsafe and plain encodings DIVERGE
+    // (syncsafe 0x0100 = 128 vs plain 256); a version check reading
+    // the revision byte walks past the big frame misaligned and a
+    // TXXX geo frame AFTER it goes unreported (privacy fail-open)
+    val bigThenGeo = {
+      val bigBody = Array(0.toByte) ++
+        Array.fill[Byte](199)('x'.toByte) // 200-byte frame, > 127
+      val geoBody = Array(0.toByte) ++ "geo".getBytes("ISO-8859-1") ++
+        Array(0.toByte) ++ "lat=9".getBytes("ISO-8859-1")
+      def frame24(id: String, body: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(id.getBytes("US-ASCII"))
+        o.write((body.length >> 21) & 0x7f); o.write((body.length >> 14) & 0x7f)
+        o.write((body.length >> 7) & 0x7f); o.write(body.length & 0x7f)
+        o.write(0); o.write(0); o.write(body)
+        o.toByteArray
+      }
+      val frames24 = frame24("TIT2", bigBody) ++ frame24("TXXX", geoBody)
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(4); o.write(0); o.write(0)
+      val n = frames24.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write(frames24)
+      o.toByteArray
+    }
+    val bg = MediaDecode.mp3Id3Frames(bigThenGeo ++ frames).get
+    assert(bg.contains("TXXX:geo" -> "lat=9"),
+      s"v2.4 syncsafe sizing must keep the walk aligned past a 128+B frame: $bg")
+    // v2.3 EXTENDED header (flag 0x40): frames after it still report
+    val extHdr = {
+      val inner = tag.drop(10) // the v2.3 frames of the fixture tag
+      val eh = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0) // size 6 + body
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0x40)
+      val n = eh.length + inner.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write(eh); o.write(inner)
+      o.toByteArray
+    }
+    assert(MediaDecode.mp3Id3Frames(extHdr ++ frames).get
+      .contains("TPE1" -> "someone"),
+      "extended-header tags must still report their frames")
+    // v2.3 global UNSYNC (flag 0x80): an 0xFF-carrying UTF-16 text is
+    // FF-00 stuffed on disk; the de-stuffed walk recovers it
+    val unsyncTag = {
+      val text = "tïtle".getBytes("UTF-16") // BOM FE FF? JVM UTF-16 = BE BOM
+      val body = Array(1.toByte) ++ text
+      val frame = "TIT2".getBytes("US-ASCII") ++ Array[Byte](
+        ((body.length >> 24) & 0xff).toByte, ((body.length >> 16) & 0xff).toByte,
+        ((body.length >> 8) & 0xff).toByte, (body.length & 0xff).toByte,
+        0, 0) ++ body
+      // stuff: FF -> FF 00
+      val stuffed = new java.io.ByteArrayOutputStream()
+      frame.foreach { byt =>
+        stuffed.write(byt & 0xff)
+        if ((byt & 0xff) == 0xff) stuffed.write(0)
+      }
+      val sb = stuffed.toByteArray
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0x80)
+      val n = sb.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write(sb)
+      o.toByteArray
+    }
+    assert(MediaDecode.mp3Id3Frames(unsyncTag ++ frames).get
+      .contains("TIT2" -> "tïtle"),
+      "v2.3 global unsync must de-stuff before the frame walk")
+    // TXXX with UTF-16: the VALUE carries its own BOM — stripped
+    val txxx16 = {
+      val body = Array(1.toByte) ++ "geo".getBytes("UTF-16") ++
+        Array[Byte](0, 0) ++ "lat=7".getBytes("UTF-16")
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0)
+      val n = 10 + body.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write("TXXX".getBytes("US-ASCII"))
+      o.write((body.length >> 24) & 0xff); o.write((body.length >> 16) & 0xff)
+      o.write((body.length >> 8) & 0xff); o.write(body.length & 0xff)
+      o.write(0); o.write(0); o.write(body)
+      o.toByteArray
+    }
+    val t16 = MediaDecode.mp3Id3Frames(txxx16 ++ frames).get
+    assert(t16 == Seq("TXXX:geo" -> "lat=7"),
+      s"UTF-16 TXXX value must lose its own BOM: $t16")
     // fail-closed: a frame size overrunning the tag ends the walk with
     // the frames that parsed — presence is never hidden
     val overrun = tag.clone()
@@ -1294,6 +1384,47 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert((stripped.length - 8).toLong ==
       ((stripped(4) & 0xffL)) + ((stripped(5) & 0xffL) << 8) +
         ((stripped(6) & 0xffL) << 16) + ((stripped(7) & 0xffL) << 24))
+    // REGRESSION (review find): several real writers keep the
+    // JPEG-style 'Exif\0\0' preamble inside the WebP EXIF chunk — GPS
+    // must still surface (fail-open otherwise)
+    val preambled = {
+      val tiff = Multimodal.exifTiffBody(6, Some((51, 122)))
+      val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val chunk = Multimodal.riffChunkBytes("EXIF", body)
+      val s = new String(ext, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val at = s.indexOf("EXIF")
+      val plainLen = 8 + 140 // the fixture's bare-TIFF EXIF chunk
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(ext, 0, at); o.write(chunk)
+      o.write(ext, at + plainLen, ext.length - at - plainLen)
+      val res = o.toByteArray
+      val sz = res.length - 8
+      res(4) = (sz & 0xff).toByte; res(5) = ((sz >> 8) & 0xff).toByte
+      res(6) = ((sz >> 16) & 0xff).toByte; res(7) = ((sz >> 24) & 0xff).toByte
+      res
+    }
+    assert(MediaDecode.webpExif(preambled).exists(m =>
+      m.gpsLat.contains(51.0) && m.orientation.contains(6)),
+      "Exif\\0\\0-preambled WebP EXIF must still parse")
+    // REGRESSION (review find): a final ODD-length chunk without its
+    // pad byte — the scrub must not zero-pad past the input (output
+    // stays a byte-subsequence; bytes_removed never negative)
+    val oddTail = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(bare, 0, bare.length)
+      // append an odd-length unknown chunk WITHOUT the pad byte
+      o.write("UNKN".getBytes("US-ASCII"))
+      o.write(3); o.write(0); o.write(0); o.write(0)
+      o.write("abc".getBytes("US-ASCII"))
+      val res = o.toByteArray
+      val sz = res.length - 8
+      res(4) = (sz & 0xff).toByte; res(5) = ((sz >> 8) & 0xff).toByte
+      res(6) = ((sz >> 16) & 0xff).toByte; res(7) = ((sz >> 24) & 0xff).toByte
+      res
+    }
+    val sOdd = MediaDecode.webpStripMetadata(oddTail).get
+    assert(sOdd.length <= oddTail.length,
+      s"scrub must never grow the file: ${sOdd.length} > ${oddTail.length}")
     // containment
     (0 to ext.length by 7).foreach { cut =>
       val part = java.util.Arrays.copyOf(ext, cut)
@@ -1358,6 +1489,24 @@ class MultimodalPropertySpec extends AnyFunSuite {
     val st = MediaDecode.gifStripMetadata(tagged).get
     assert(tagged.length - st.length == 4 + 3)
     assert(MediaDecode.gifMeta("NOTGIF".getBytes).isEmpty)
+    // REGRESSION (review find): a malformed block byte followed by a
+    // comment extension — the scrub must NOT carry the un-walked tail
+    // (and its PII) through verbatim; fail-closed = truncate at the
+    // malformed point like the PNG/WebP emit-only-parsed stance
+    val failOpen = {
+      val base = Multimodal.gifBytes(8, 8, 1, None, 3L)
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(base, 0, 13)
+      o.write(0x00) // junk block type — the walk stops here
+      o.write(0x21); o.write(0xfe)
+      o.write(7); o.write("PII-SSN".getBytes("US-ASCII")); o.write(0)
+      o.write(base, 13, base.length - 13)
+      o.toByteArray
+    }
+    val sFail = MediaDecode.gifStripMetadata(failOpen).get
+    assert(!new String(sFail, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("PII-SSN"),
+      "un-walked tail bytes must never survive the scrub")
     // containment
     (0 to withGce.length by 7).foreach { cut =>
       val part = java.util.Arrays.copyOf(withGce, cut)
