@@ -2955,16 +2955,38 @@ object MediaDecode {
             if (size < 0 || p + 10 + size > tag) running = false
             else {
               if (id.startsWith("T")) {
-                val raw = decodeId3Text(t, p + 10, size)
-                if (id == "TXXX") {
-                  // encoding byte + description NUL value (same
-                  // encoding); a UTF-16 VALUE carries its OWN BOM the
-                  // full-body decode does not consume — strip it
-                  val (desc, v) = raw.span(_ != '\u0000')
-                  out += ((s"TXXX:${desc.stripPrefix("\uFEFF")}",
-                    v.drop(1).takeWhile(_ != '\u0000')
-                      .stripPrefix("\uFEFF")))
-                } else out += ((id, raw.takeWhile(_ != '\u0000')))
+                if (id == "TXXX" && size >= 1) {
+                  // encoding byte + description NUL value: split the
+                  // RAW bytes at the encoding-dependent terminator
+                  // (2-byte aligned 00 00 for the wide encodings) and
+                  // decode each half INDEPENDENTLY — each string may
+                  // carry its own BOM, even of opposite endianness
+                  val enc = t(p + 10) & 0xff
+                  val wide = enc == 1 || enc == 2
+                  val bo = p + 11
+                  val blen = size - 1
+                  var sep = -1
+                  if (wide) {
+                    var i = 0
+                    while (sep < 0 && i + 1 < blen) {
+                      if (t(bo + i) == 0 && t(bo + i + 1) == 0) sep = i
+                      i += 2
+                    }
+                  } else {
+                    var i = 0
+                    while (sep < 0 && i < blen) {
+                      if (t(bo + i) == 0) sep = i
+                      i += 1
+                    }
+                  }
+                  if (sep < 0) out += ((s"TXXX:${decodeId3Part(enc, t, bo, blen)}", ""))
+                  else {
+                    val vo = sep + (if (wide) 2 else 1)
+                    out += ((s"TXXX:${decodeId3Part(enc, t, bo, sep)}",
+                      decodeId3Part(enc, t, bo + vo, blen - vo)))
+                  }
+                } else out += ((id,
+                  decodeId3Text(t, p + 10, size).takeWhile(_ != '\u0000')))
               }
               p += 10 + size
             }
@@ -2986,6 +3008,23 @@ object MediaDecode {
       }
       if (any) Some(out.result()) else None
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode one ID3 string of a known encoding id (no leading
+    * encoding byte): the UTF-16 charset consumes a per-string BOM of
+    * EITHER endianness; trailing NUL trimmed. Fail-closed to "". */
+  private def decodeId3Part(enc: Int, b: Array[Byte], off: Int, len: Int): String = {
+    if (len < 0 || off + len > b.length) return ""
+    try {
+      val cs = enc match {
+        case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+        case 1 => java.nio.charset.StandardCharsets.UTF_16
+        case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+        case 3 => java.nio.charset.StandardCharsets.UTF_8
+        case _ => return ""
+      }
+      new String(b, off, len, cs).takeWhile(_ != '\u0000')
+    } catch { case scala.util.control.NonFatal(_) => "" }
   }
 
   /** Decode an ID3v2 text-frame body (leading encoding byte), failing
@@ -3537,7 +3576,7 @@ object MediaDecode {
     // never carry un-walked metadata through verbatim (the PNG/WebP
     // emit-only-parsed-chunks stance).
     Some((GifMeta(w, h, nFrames, comments.result()),
-      drop.result(), if (end >= 0) end else p))
+      drop.result(), if (end >= 0) end else math.min(p, b.length)))
   }
 
   /** GIF screen — dims, frame count, comment texts. None = not GIF. */

@@ -1014,7 +1014,7 @@ object TextAnalysis {
       var forbidden = Set.empty[String]
       var roundDone = false
       val fetchLimit = math.max(batchK * 4, 16)
-      while (nChosen < batchK && !roundDone) {
+      try while (nChosen < batchK && !roundDone) {
         val cond =
           if (forbidden.isEmpty) lit(true)
           else {
@@ -1041,8 +1041,7 @@ object TextAnalysis {
         // no admissible pair remains beyond what we just admitted
         if (rows.length < fetchLimit) roundDone = true
         else if (nChosen == before) roundDone = true // defensive; unreachable
-      }
-      pairTable.unpersist(false)
+      } finally pairTable.unpersist(false)
       val picks = chosen.result()
       if (picks.isEmpty) exhausted = true
       else {

@@ -1179,6 +1179,27 @@ class MultimodalPropertySpec extends AnyFunSuite {
     val t16 = MediaDecode.mp3Id3Frames(txxx16 ++ frames).get
     assert(t16 == Seq("TXXX:geo" -> "lat=7"),
       s"UTF-16 TXXX value must lose its own BOM: $t16")
+    // REGRESSION (review pass 2): the description and value may carry
+    // BOMs of OPPOSITE endianness — each half decodes independently
+    val txxxMixed = {
+      val desc = Array[Byte](0xfe.toByte, 0xff.toByte, 0, 'g', 0, 'e', 0, 'o')
+      val value = Array[Byte](0xff.toByte, 0xfe.toByte,
+        'l', 0, 'a', 0, 't', 0, '=', 0, '9', 0) // LE with LE BOM
+      val body = Array(1.toByte) ++ desc ++ Array[Byte](0, 0) ++ value
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0)
+      val n = 10 + body.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write("TXXX".getBytes("US-ASCII"))
+      o.write((body.length >> 24) & 0xff); o.write((body.length >> 16) & 0xff)
+      o.write((body.length >> 8) & 0xff); o.write(body.length & 0xff)
+      o.write(0); o.write(0); o.write(body)
+      o.toByteArray
+    }
+    assert(MediaDecode.mp3Id3Frames(txxxMixed ++ frames).get ==
+      Seq("TXXX:geo" -> "lat=9"),
+      "opposite-endian BOMs in one TXXX frame must both decode")
     // fail-closed: a frame size overrunning the tag ends the walk with
     // the frames that parsed — presence is never hidden
     val overrun = tag.clone()
@@ -1423,8 +1444,9 @@ class MultimodalPropertySpec extends AnyFunSuite {
       res
     }
     val sOdd = MediaDecode.webpStripMetadata(oddTail).get
-    assert(sOdd.length <= oddTail.length,
-      s"scrub must never grow the file: ${sOdd.length} > ${oddTail.length}")
+    assert(sOdd.sameElements(oddTail),
+      "an EXIF-free file must scrub to BYTE-IDENTICAL output (no " +
+        "phantom pad byte past the input)")
     // containment
     (0 to ext.length by 7).foreach { cut =>
       val part = java.util.Arrays.copyOf(ext, cut)
@@ -1507,6 +1529,19 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(!new String(sFail, java.nio.charset.StandardCharsets.ISO_8859_1)
       .contains("PII-SSN"),
       "un-walked tail bytes must never survive the scrub")
+    // REGRESSION (review pass 2): a declared GCT with nothing after
+    // it overshoots p past b.length — the fail-closed fallback must
+    // CLAMP, not feed an out-of-range write that poisons the scrub
+    val gctOnly = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("GIF89a".getBytes("US-ASCII"))
+      o.write(8); o.write(0); o.write(8); o.write(0)
+      o.write(0x87); o.write(0); o.write(0) // 256-entry GCT declared
+      o.toByteArray
+    }
+    assert(MediaDecode.gifMeta(gctOnly).exists(_.nFrames == 0))
+    assert(MediaDecode.gifStripMetadata(gctOnly).exists(_.length == 13),
+      "GCT overshoot must clamp, not throw into None")
     // containment
     (0 to withGce.length by 7).foreach { cut =>
       val part = java.util.Arrays.copyOf(withGce, cut)
