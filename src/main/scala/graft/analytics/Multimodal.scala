@@ -2955,7 +2955,8 @@ object MediaDecode {
             if (size < 0 || p + 10 + size > tag) running = false
             else {
               if (id.startsWith("T")) {
-                if (id == "TXXX" && size >= 1) {
+                if (id == "TXXX" && size < 1) out += (("TXXX:", ""))
+                else if (id == "TXXX") {
                   // encoding byte + description NUL value: split the
                   // RAW bytes at the encoding-dependent terminator
                   // (2-byte aligned 00 00 for the wide encodings) and
@@ -2985,8 +2986,9 @@ object MediaDecode {
                     out += ((s"TXXX:${decodeId3Part(enc, t, bo, sep)}",
                       decodeId3Part(enc, t, bo + vo, blen - vo)))
                   }
-                } else out += ((id,
-                  decodeId3Text(t, p + 10, size).takeWhile(_ != '\u0000')))
+                } else if (size >= 1) out += ((id,
+                  decodeId3Part(t(p + 10) & 0xff, t, p + 11, size - 1)))
+                else out += ((id, ""))
               }
               p += 10 + size
             }
@@ -3012,7 +3014,9 @@ object MediaDecode {
 
   /** Decode one ID3 string of a known encoding id (no leading
     * encoding byte): the UTF-16 charset consumes a per-string BOM of
-    * EITHER endianness; trailing NUL trimmed. Fail-closed to "". */
+    * either endianness; UTF-16BE/UTF-8 do not, so a residual U+FEFF
+    * is stripped explicitly; trailing NUL trimmed. Fail-closed
+    * to "". */
   private def decodeId3Part(enc: Int, b: Array[Byte], off: Int, len: Int): String = {
     if (len < 0 || off + len > b.length) return ""
     try {
@@ -3023,23 +3027,11 @@ object MediaDecode {
         case 3 => java.nio.charset.StandardCharsets.UTF_8
         case _ => return ""
       }
+      // the UTF_16 charset consumes a leading BOM; UTF_16BE and UTF-8
+      // do NOT, and real taggers emit (spec-violating) BOMs under both
+      // — strip the residual zero-width mark so key/value lookups match
       new String(b, off, len, cs).takeWhile(_ != '\u0000')
-    } catch { case scala.util.control.NonFatal(_) => "" }
-  }
-
-  /** Decode an ID3v2 text-frame body (leading encoding byte), failing
-    * closed to "" — never to a dropped frame. */
-  private def decodeId3Text(b: Array[Byte], off: Int, len: Int): String = {
-    if (len < 1) return ""
-    try {
-      val cs = (b(off) & 0xff) match {
-        case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
-        case 1 => java.nio.charset.StandardCharsets.UTF_16
-        case 2 => java.nio.charset.StandardCharsets.UTF_16BE
-        case 3 => java.nio.charset.StandardCharsets.UTF_8
-        case _ => return ""
-      }
-      new String(b, off + 1, len - 1, cs)
+        .stripPrefix("\uFEFF")
     } catch { case scala.util.control.NonFatal(_) => "" }
   }
 
@@ -3575,8 +3567,12 @@ object MediaDecode {
     // falls back to the last fully parsed position, so the scrub can
     // never carry un-walked metadata through verbatim (the PNG/WebP
     // emit-only-parsed-chunks stance).
+    // p > b.length can only happen via the GCT skip (every block
+    // advance is bounds-checked): the declared color table does not
+    // fit, so nothing past the header was validated — keep the 13-byte
+    // header only. Otherwise p is a validated block boundary.
     Some((GifMeta(w, h, nFrames, comments.result()),
-      drop.result(), if (end >= 0) end else math.min(p, b.length)))
+      drop.result(), if (end >= 0) end else if (p > b.length) 13 else p))
   }
 
   /** GIF screen — dims, frame count, comment texts. None = not GIF. */

@@ -1200,6 +1200,32 @@ class MultimodalPropertySpec extends AnyFunSuite {
     assert(MediaDecode.mp3Id3Frames(txxxMixed ++ frames).get ==
       Seq("TXXX:geo" -> "lat=9"),
       "opposite-endian BOMs in one TXXX frame must both decode")
+    // REGRESSION (review pass 3): UTF-16BE (enc 2) and UTF-8 (enc 3)
+    // charsets do NOT consume a BOM — real taggers emit them anyway;
+    // the residual U+FEFF must not poison the TXXX:<desc> key lookup
+    def rawTxxx(body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("US-ASCII")); o.write(3); o.write(0); o.write(0)
+      val n = 10 + body.length
+      o.write((n >> 21) & 0x7f); o.write((n >> 14) & 0x7f)
+      o.write((n >> 7) & 0x7f); o.write(n & 0x7f)
+      o.write("TXXX".getBytes("US-ASCII"))
+      o.write((body.length >> 24) & 0xff); o.write((body.length >> 16) & 0xff)
+      o.write((body.length >> 8) & 0xff); o.write(body.length & 0xff)
+      o.write(0); o.write(0); o.write(body)
+      o.toByteArray
+    }
+    val be2 = rawTxxx(Array(2.toByte) ++
+      Array[Byte](0xfe.toByte, 0xff.toByte, 0, 'g', 0, 'e', 0, 'o') ++
+      Array[Byte](0, 0) ++
+      Array[Byte](0xfe.toByte, 0xff.toByte, 0, 'l', 0, 'a', 0, 't'))
+    assert(MediaDecode.mp3Id3Frames(be2 ++ frames).get ==
+      Seq("TXXX:geo" -> "lat"), "enc-2 BOMs must strip from both halves")
+    val u8bom = rawTxxx(Array(3.toByte) ++
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "geo".getBytes("UTF-8") ++ Array(0.toByte) ++ "lat=2".getBytes("UTF-8"))
+    assert(MediaDecode.mp3Id3Frames(u8bom ++ frames).get ==
+      Seq("TXXX:geo" -> "lat=2"), "a UTF-8 BOM must strip from the key")
     // fail-closed: a frame size overrunning the tag ends the walk with
     // the frames that parsed — presence is never hidden
     val overrun = tag.clone()
