@@ -1618,6 +1618,148 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One spec-valid gzip member (RFC 1952): optional MTIME/FNAME/
+    * FCOMMENT metadata, raw-deflate body, CRC32 + ISIZE trailer.
+    * Header overhead beyond the bare 10 bytes is CLOSED-FORM:
+    * (|fname|+1) + (|comment|+1). */
+  def gzipMemberBytes(data: Array[Byte], mtime: Long,
+                      fname: Option[String],
+                      comment: Option[String]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0x1f); o.write(0x8b); o.write(8)
+    o.write((if (fname.isDefined) 8 else 0) |
+      (if (comment.isDefined) 16 else 0))
+    (0 until 4).foreach(k => o.write(((mtime >> (8 * k)) & 0xff).toInt))
+    o.write(0); o.write(255) // XFL, OS unknown
+    fname.foreach { s => o.write(s.getBytes("ISO-8859-1")); o.write(0) }
+    comment.foreach { s => o.write(s.getBytes("ISO-8859-1")); o.write(0) }
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length + 64)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val c = crc.getValue
+    (0 until 4).foreach(k => o.write(((c >> (8 * k)) & 0xff).toInt))
+    (0 until 4).foreach(k => o.write(((data.length.toLong >> (8 * k)) & 0xff).toInt))
+    o.toByteArray
+  }
+
+  /** Attach REAL multi-member gzip payloads: doc_id%3+1 members of
+    * deterministic text each; doc_id%5==0 docs carry BARE headers
+    * (no metadata, mtime 0); others stamp MTIME + an original
+    * FILENAME on every member and, for doc_id%3==0, a COMMENT too —
+    * the gzip privacy-audit fixture, metadata sizes closed-form. */
+  def withGzipPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val o = new java.io.ByteArrayOutputStream()
+      (0 until (docId % 3 + 1).toInt).foreach { m =>
+        val data = (s"data:$docId:$m:" * 4).getBytes("UTF-8")
+        if (docId % 5 == 0)
+          o.write(gzipMemberBytes(data, 0L, None, None))
+        else
+          o.write(gzipMemberBytes(data, 1600000000L + docId,
+            Some(s"f_${docId % 7}"),
+            if (docId % 3 == 0) Some(s"c_${docId % 11}") else None))
+      }
+      o.toByteArray
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Gzip metadata audit + SCRUB report: member count, first-member
+    * FNAME, comment presence, bytes removed by [[MediaDecode
+    * .gzipStripMeta]] (closed-form), post-scrub metadata gone (fname
+    * None, mtime 0, no comment), and DECOMPRESSED identity — the
+    * strongest oracle this family has (inflate before == after,
+    * byte-for-byte, measured per doc). */
+  def gzipScrubAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withGzipPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        val before = MediaDecode.gzipMeta(p)
+        val (removed, clean, same) = MediaDecode.gzipStripMeta(p) match {
+          case Some(s) =>
+            val after = MediaDecode.gzipMeta(s)
+            ((p.length - s.length).toLong,
+              after.exists(a => a.fname.isEmpty && a.mtime == 0L &&
+                !a.hasComment && !a.hasExtra),
+              (before, after) match {
+                case (Some(x), Some(y)) =>
+                  x.members == y.members &&
+                    x.decompressedBytes == y.decompressedBytes &&
+                    java.util.Arrays.equals(
+                      MediaDecode.gzipDecompress(p).getOrElse(Array.empty),
+                      MediaDecode.gzipDecompress(s).getOrElse(Array(1.toByte)))
+                case _ => false
+              })
+          case None => (0L, false, false)
+        }
+        (id, before.map(_.members.toLong).getOrElse(0L),
+          before.flatMap(_.fname), before.exists(_.hasComment),
+          removed, clean, same)
+      })
+    }.toDF("doc_id", "n_members", "fname", "has_comment",
+      "bytes_removed", "meta_removed", "decompressed_identical")
+      .orderBy("doc_id")
+  }
+
+  /** Attach REAL WARC payloads in the CommonCrawl layout — ONE gzip
+    * member per record: a `warcinfo` record then doc_id%4+1
+    * `response` records with formula target URIs and bodies, so the
+    * inventory's md5 compare is an EXACT oracle for the gzip-member
+    * inflate + record-walk arithmetic. */
+  def withWarcPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      def rec(tpe: String, uri: Option[String], body: Array[Byte]): Array[Byte] = {
+        val h = new StringBuilder()
+        h.append("WARC/1.0\r\n")
+        h.append(s"WARC-Type: $tpe\r\n")
+        uri.foreach(u => h.append(s"WARC-Target-URI: $u\r\n"))
+        h.append(s"Content-Length: ${body.length}\r\n")
+        h.append("\r\n")
+        h.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(gzipMemberBytes(
+        rec("warcinfo", None, s"software: graft $docId".getBytes("UTF-8")),
+        0L, None, None))
+      (0 until (docId % 4 + 1).toInt).foreach { i =>
+        o.write(gzipMemberBytes(
+          rec("response", Some(s"https://ex.com/$docId/$i"),
+            s"body:$docId:$i".getBytes("UTF-8")), 0L, None, None))
+      }
+      o.toByteArray
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** WARC inventory over the gzipped fixture — one row per record:
+    * type, target URI, declared content length, body md5. The md5 is
+    * computed from the BYTES the walk extracted, so a wrong member
+    * boundary, header parse, or Content-Length slice hash-mismatches
+    * the formula oracle. */
+  def warcInventory(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withWarcPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, p) =>
+        MediaDecode.warcRecords(p).getOrElse(Seq.empty).zipWithIndex.map {
+          case (r, i) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            (id, i.toLong, r.warcType, r.targetUri, r.contentLength,
+              md.digest(r.body).map("%02x".format(_)).mkString)
+        }
+      })
+    }.toDF("doc_id", "rec_idx", "warc_type", "target_uri",
+      "content_length", "body_md5")
+      .orderBy("doc_id", "rec_idx")
+  }
+
   /** Attach a WAV payload column: per-doc channels/rate/depth from the
     * deterministic formulas, document text riding as the PCM data
     * bytes (stands in for samples read from object storage). */
@@ -3370,6 +3512,237 @@ object MediaDecode {
       }
       Some((out.result(), regions.result()))
     } catch { case FlacEos => None }
+  }
+
+  // ------------------------------------------------------------------
+  // GZIP (RFC 1952) + WARC (ISO 28500) — the container of web-scale
+  // training data itself: CommonCrawl ships WARC files as per-record
+  // gzip MEMBERS. The gzip header carries metadata (MTIME, original
+  // FILENAME, COMMENT) that is a privacy surface exactly like EXIF;
+  // the scrub rewrites headers with the DEFLATE stream verbatim, so
+  // decompressed bytes are provably identical (the strongest oracle
+  // form — checked per doc, not asserted).
+
+  /** Parsed gzip screen fields: member count, summed set flags across
+    * members (FTEXT/FHCRC/FEXTRA/FNAME/FCOMMENT present anywhere),
+    * first member's MTIME and FNAME, total compressed and
+    * decompressed sizes (decompression bounded by `cap`). */
+  final case class GzipMeta(members: Int, mtime: Long,
+                            fname: Option[String], hasComment: Boolean,
+                            hasExtra: Boolean, compressedBytes: Long,
+                            decompressedBytes: Long)
+
+  /** One parsed gzip member: (header start, deflate start, deflate
+    * length, trailer end, fname, comment, extraLen, mtime, flags).
+    * The deflate length is found by actually INFLATING (RFC 1952
+    * gives no stored length) — bounded by `cap` output bytes. */
+  private final case class GzMember(start: Int, deflateOff: Int,
+                                    deflateLen: Int, end: Int,
+                                    fname: Option[String],
+                                    comment: Option[String],
+                                    extraLen: Int, mtime: Long, flg: Int,
+                                    decompressed: Array[Byte])
+
+  private def gzipMembers(b: Array[Byte],
+                          cap: Int = 64 * 1024 * 1024): Seq[GzMember] = {
+    val out = Seq.newBuilder[GzMember]
+    var p = 0
+    var total = 0L
+    var running = true
+    while (running && p + 10 <= b.length) {
+      if ((b(p) & 0xff) != 0x1f || (b(p + 1) & 0xff) != 0x8b ||
+          (b(p + 2) & 0xff) != 8) running = false
+      else {
+        val flg = b(p + 3) & 0xff
+        val mtime = le32(b, p + 4)
+        var q = p + 10
+        var extraLen = 0
+        try {
+          if ((flg & 4) != 0) { // FEXTRA
+            extraLen = le16(b, q); q += 2 + extraLen
+          }
+          var fname: Option[String] = None
+          if ((flg & 8) != 0) { // FNAME, zero-terminated Latin-1
+            val s = q
+            while (b(q) != 0) q += 1
+            fname = Some(new String(b, s, q - s,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            q += 1
+          }
+          var comment: Option[String] = None
+          if ((flg & 16) != 0) { // FCOMMENT
+            val s = q
+            while (b(q) != 0) q += 1
+            comment = Some(new String(b, s, q - s,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            q += 1
+          }
+          if ((flg & 2) != 0) q += 2 // FHCRC
+          if (q > b.length) running = false
+          else {
+            // inflate raw deflate to find the member's end
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(b, q, b.length - q)
+            val dec = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var ok = true
+            while (ok && !inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n == 0) ok = inf.finished() // truncation/FDICT guard
+              else {
+                dec.write(buf, 0, n)
+                if (dec.size + total > cap) ok = false
+              }
+            }
+            val consumed = (b.length - q) - inf.getRemaining
+            val finished = inf.finished()
+            inf.end()
+            if (!finished || !ok) running = false
+            else {
+              val dEnd = q + consumed
+              val end = dEnd + 8 // CRC32 + ISIZE
+              if (end > b.length) running = false
+              else {
+                total += dec.size
+                out += GzMember(p, q, consumed, end, fname, comment,
+                  extraLen, mtime, flg, dec.toByteArray)
+                p = end
+              }
+            }
+          }
+        } catch {
+          case _: ArrayIndexOutOfBoundsException => running = false
+          case _: java.util.zip.DataFormatException => running = false
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Gzip SCREEN — member count, metadata presence, sizes. None = no
+    * complete gzip member at offset 0 (truncated members report what
+    * fully inflated). */
+  def gzipMeta(b: Array[Byte]): Option[GzipMeta] = {
+    try {
+      val ms = gzipMembers(b)
+      if (ms.isEmpty) None
+      else Some(GzipMeta(ms.size, ms.head.mtime, ms.head.fname,
+        ms.exists(_.comment.isDefined), ms.exists(_.extraLen > 0),
+        ms.map(m => (m.end - m.start).toLong).sum,
+        ms.map(_.decompressed.length.toLong).sum))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Concatenated decompressed bytes of every complete gzip member —
+    * the scrub audit's identity probe. None = no complete member. */
+  def gzipDecompress(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val ms = gzipMembers(b)
+      if (ms.isEmpty) None
+      else {
+        val o = new java.io.ByteArrayOutputStream()
+        ms.foreach(m => o.write(m.decompressed))
+        Some(o.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Gzip metadata SCRUB — every member rewritten with a bare 10-byte
+    * header (MTIME zeroed, FNAME/FCOMMENT/FEXTRA/FHCRC dropped, OS =
+    * 255 "unknown"), the DEFLATE stream and trailer byte-VERBATIM: the
+    * decompressed bytes are identical by construction and CHECKED by
+    * the audit. None = no complete member. */
+  def gzipStripMeta(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val ms = gzipMembers(b)
+      if (ms.isEmpty) return None
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      ms.foreach { m =>
+        out.write(0x1f); out.write(0x8b); out.write(8)
+        out.write(0) // FLG: nothing set
+        out.write(0); out.write(0); out.write(0); out.write(0) // MTIME 0
+        out.write(0) // XFL
+        out.write(255) // OS unknown
+        out.write(b, m.deflateOff, m.deflateLen + 8) // deflate + trailer
+      }
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One parsed WARC record: type, target URI, declared content
+    * length, and the body bytes. */
+  final case class WarcRecord(warcType: String, targetUri: Option[String],
+                              contentLength: Long, body: Array[Byte])
+
+  /** WARC record walk (ISO 28500): accepts PLAIN WARC bytes or a
+    * multi-member gzip (each member inflated first — the CommonCrawl
+    * record-per-member layout). Each record: `WARC/1.x` version line,
+    * CRLF header lines until the empty line, `Content-Length` bytes
+    * of body, CRLF CRLF separator. Malformed/truncated records end
+    * the walk with what parsed. None = no WARC signature at all. */
+  def warcRecords(payload: Array[Byte]): Option[Seq[WarcRecord]] = {
+    try {
+      val b =
+        if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+            (payload(1) & 0xff) == 0x8b) {
+          val ms = gzipMembers(payload)
+          if (ms.isEmpty) return None
+          val o = new java.io.ByteArrayOutputStream()
+          ms.foreach(m => o.write(m.decompressed))
+          o.toByteArray
+        } else payload
+      if (b.length < 5 || new String(b, 0, 5,
+          java.nio.charset.StandardCharsets.US_ASCII) != "WARC/") return None
+      val out = Seq.newBuilder[WarcRecord]
+      var p = 0
+      var running = true
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+        i
+      }
+      while (running && p + 5 <= b.length) {
+        if (new String(b, p, 5,
+            java.nio.charset.StandardCharsets.US_ASCII) != "WARC/") {
+          running = false
+        } else {
+          var q = lineEnd(p) + 2 // past the version line
+          var wtype = ""
+          var uri: Option[String] = None
+          var clen = -1L
+          var headersDone = false
+          while (!headersDone && q < b.length) {
+            val e = lineEnd(q)
+            if (e == q) { headersDone = true; q += 2 } // empty line
+            else {
+              val line = new String(b, q, e - q,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              val colon = line.indexOf(':')
+              if (colon > 0) {
+                val k = line.substring(0, colon).trim
+                  .toLowerCase(java.util.Locale.ROOT)
+                val v = line.substring(colon + 1).trim
+                k match {
+                  case "warc-type" => wtype = v
+                  case "warc-target-uri" => uri = Some(v)
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+              q = e + 2
+            }
+          }
+          if (clen < 0 || q + clen > b.length) running = false
+          else {
+            out += WarcRecord(wtype, uri, clen,
+              java.util.Arrays.copyOfRange(b, q, q + clen.toInt))
+            p = q + clen.toInt + 4 // CRLF CRLF record separator
+          }
+        }
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------

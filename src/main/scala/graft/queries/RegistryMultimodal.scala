@@ -584,6 +584,54 @@ private[queries] object RegistryMultimodal {
           TRUE AS tags_removed, TRUE AS frames_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // GZIP header privacy audit + scrub — the container of web-scale
+    // training data: MTIME/FNAME/FCOMMENT are metadata exactly like
+    // EXIF; the scrub rewrites every member to a bare 10-byte header
+    // with the DEFLATE stream verbatim, so decompressed bytes are
+    // IDENTICAL — measured per doc, the strongest oracle form;
+    // bytes_removed CLOSED-FORM over the fixture's per-member
+    // metadata
+    QueryDef("mm_gzip_meta_scrub",
+      (s, d) => Multimodal.gzipScrubAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (doc_id % 3 + 1)::BIGINT AS n_members,
+          CASE WHEN doc_id % 5 <> 0
+            THEN 'f_' || (doc_id % 7)::VARCHAR END AS fname,
+          doc_id % 5 <> 0 AND doc_id % 3 = 0 AS has_comment,
+          (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE
+            (doc_id % 3 + 1) *
+              (length('f_' || (doc_id % 7)::VARCHAR) + 1
+               + CASE WHEN doc_id % 3 = 0
+                   THEN length('c_' || (doc_id % 11)::VARCHAR) + 1
+                   ELSE 0 END) END)::BIGINT AS bytes_removed,
+          TRUE AS meta_removed, TRUE AS decompressed_identical
+        FROM documents ORDER BY doc_id"""), bench = true),
+
+    // WARC record inventory over the CommonCrawl layout (one gzip
+    // MEMBER per record): warcinfo + response records with formula
+    // URIs and bodies — the md5 compare is an EXACT oracle for the
+    // multi-member inflate + version-line/header/Content-Length walk
+    // (a wrong member boundary or body slice hash-mismatches)
+    QueryDef("corpus_warc_inventory",
+      (s, d) => Multimodal.warcInventory(t(s, d, "documents")),
+      Some("""WITH r AS (SELECT doc_id,
+            unnest(range(0, doc_id % 4 + 2)) AS rec_idx
+          FROM documents),
+        body AS (SELECT doc_id, rec_idx,
+            CASE WHEN rec_idx = 0
+              THEN 'software: graft ' || doc_id::VARCHAR
+              ELSE 'body:' || doc_id::VARCHAR || ':'
+                || (rec_idx - 1)::VARCHAR END AS payload
+          FROM r)
+        SELECT doc_id, rec_idx::BIGINT AS rec_idx,
+          CASE WHEN rec_idx = 0 THEN 'warcinfo' ELSE 'response' END
+            AS warc_type,
+          CASE WHEN rec_idx > 0 THEN 'https://ex.com/' || doc_id::VARCHAR
+            || '/' || (rec_idx - 1)::VARCHAR END AS target_uri,
+          octet_length(encode(payload))::BIGINT AS content_length,
+          md5(payload) AS body_md5
+        FROM body ORDER BY doc_id, rec_idx"""), bench = true),
+
     // WebP privacy audit + scrub — the JPEG/PNG EXIF discipline on
     // the THIRD image container: dims through BOTH layouts (bare VP8L
     // for clean docs, VP8X canvas for tagged), EXIF via the SAME

@@ -1582,6 +1582,128 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gzip: member walk vs GZIPInputStream differential, bare-header scrub, FEXTRA/FHCRC, containment") {
+    val d1 = "the first member payload".getBytes("UTF-8")
+    val d2 = "and a second, different one".getBytes("UTF-8")
+    val two = Multimodal.gzipMemberBytes(d1, 1700000000L, Some("orig.txt"),
+      Some("a comment")) ++
+      Multimodal.gzipMemberBytes(d2, 0L, None, None)
+    val m = MediaDecode.gzipMeta(two).get
+    assert(m.members == 2 && m.mtime == 1700000000L &&
+      m.fname.contains("orig.txt") && m.hasComment && !m.hasExtra &&
+      m.decompressedBytes == d1.length + d2.length, s"gzip meta drifted: $m")
+    // decompression DIFFERENTIAL against the JDK's own gzip reader
+    // (independent decoder; it consumes multi-member streams)
+    def jdkGunzip(b: Array[Byte]): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) o.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      o.toByteArray
+    }
+    assert(MediaDecode.gzipDecompress(two).get.sameElements(jdkGunzip(two)),
+      "member walk must agree with GZIPInputStream byte-for-byte")
+    // scrub: closed-form removal, bare headers, decompressed identity
+    // through the INDEPENDENT decoder, idempotent
+    val stripped = MediaDecode.gzipStripMeta(two).get
+    assert(two.length - stripped.length == ("orig.txt".length + 1) +
+      ("a comment".length + 1), "closed-form removal drifted")
+    val m2 = MediaDecode.gzipMeta(stripped).get
+    assert(m2.fname.isEmpty && m2.mtime == 0L && !m2.hasComment && !m2.hasExtra)
+    assert(jdkGunzip(stripped).sameElements(d1 ++ d2),
+      "scrubbed stream must decompress identically in the JDK reader")
+    assert(MediaDecode.gzipStripMeta(stripped).get.sameElements(stripped),
+      "scrub must be idempotent")
+    // FEXTRA + FHCRC member (hand-built: the fixture writer never
+    // emits them) — parse and scrub both
+    val extraMember = {
+      val bare = Multimodal.gzipMemberBytes(d1, 5L, None, None)
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x1f); o.write(0x8b); o.write(8)
+      o.write(4) // FEXTRA only
+      o.write(5); o.write(0); o.write(0); o.write(0) // MTIME 5
+      o.write(0); o.write(255)
+      o.write(6); o.write(0) // XLEN 6
+      o.write("AB".getBytes("US-ASCII")); o.write(2); o.write(0)
+      o.write("xy".getBytes("US-ASCII"))
+      o.write(bare, 10, bare.length - 10) // deflate + trailer
+      o.toByteArray
+    }
+    val me = MediaDecode.gzipMeta(extraMember).get
+    assert(me.hasExtra && me.members == 1 &&
+      me.decompressedBytes == d1.length, s"FEXTRA parse drifted: $me")
+    val se = MediaDecode.gzipStripMeta(extraMember).get
+    assert(extraMember.length - se.length == 8, // XLEN 2 + 6 extra bytes
+      "FEXTRA removal must be exactly the extra field")
+    assert(jdkGunzip(se).sameElements(d1))
+    // None for non-gzip / no complete member
+    assert(MediaDecode.gzipMeta("not gzip".getBytes).isEmpty)
+    assert(MediaDecode.gzipStripMeta(Array[Byte](0x1f, 0x8b.toByte, 8)).isEmpty)
+    // containment: truncation + corruption sweeps never throw
+    (0 to two.length by 5).foreach { cut =>
+      val part = java.util.Arrays.copyOf(two, cut)
+      MediaDecode.gzipMeta(part); MediaDecode.gzipStripMeta(part)
+      MediaDecode.gzipDecompress(part)
+    }
+    (0 until two.length by 3).foreach { i =>
+      val c = two.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.gzipMeta(c); MediaDecode.gzipStripMeta(c)
+    }
+    samples(bytesGen, 200).foreach { b =>
+      MediaDecode.gzipMeta(b); MediaDecode.gzipStripMeta(b)
+    }
+  }
+
+  test("warc: record walk over plain and gzipped layouts, header parse, containment") {
+    def rec(tpe: String, uri: Option[String], body: String): Array[Byte] = {
+      val h = new StringBuilder()
+      h.append("WARC/1.0\r\n")
+      h.append(s"WARC-Type: $tpe\r\n")
+      uri.foreach(u => h.append(s"WARC-Target-URI: $u\r\n"))
+      h.append(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n")
+      h.append("\r\n")
+      h.toString.getBytes("US-ASCII") ++ body.getBytes("UTF-8") ++
+        "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val plain = rec("warcinfo", None, "software: test") ++
+      rec("response", Some("https://a/b"), "hello body") ++
+      rec("request", Some("https://a/b"), "GET /b")
+    val rs = MediaDecode.warcRecords(plain).get
+    assert(rs.map(_.warcType) == Seq("warcinfo", "response", "request"))
+    assert(rs(1).targetUri.contains("https://a/b") &&
+      rs(1).contentLength == 10 &&
+      new String(rs(1).body, "UTF-8") == "hello body", s"record drifted: ${rs(1)}")
+    // the CommonCrawl layout: one gzip member per record
+    val gz = Multimodal.gzipMemberBytes(rec("warcinfo", None, "w"), 0, None, None) ++
+      Multimodal.gzipMemberBytes(rec("response", Some("u"), "b1"), 0, None, None)
+    val rg = MediaDecode.warcRecords(gz).get
+    assert(rg.size == 2 && rg(1).warcType == "response" &&
+      new String(rg(1).body, "UTF-8") == "b1")
+    // a body containing CRLF and even a fake version line parses by
+    // Content-Length, never by scanning
+    val tricky = rec("response", Some("u"),
+      "line1\r\nWARC/1.0\r\nline2") ++ rec("metadata", None, "m")
+    val rt = MediaDecode.warcRecords(tricky).get
+    assert(rt.size == 2 && rt(0).contentLength == 22 &&
+      rt(1).warcType == "metadata",
+      s"Content-Length slicing drifted: ${rt.map(_.warcType)}")
+    // malformed Content-Length / truncation end the walk with what
+    // parsed; no signature at all is None
+    assert(MediaDecode.warcRecords("HTTP/1.1 200 OK".getBytes).isEmpty)
+    (0 to plain.length by 7).foreach { cut =>
+      val part = java.util.Arrays.copyOf(plain, cut)
+      MediaDecode.warcRecords(part)
+    }
+    (0 until plain.length by 5).foreach { i =>
+      val c = plain.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.warcRecords(c)
+    }
+    samples(bytesGen, 200).foreach(b => MediaDecode.warcRecords(b))
+  }
+
   test("video container walk round-trips and contains every truncation") {
     val framesGen = Gen.chooseNum(0, 9).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(0, 40).map(n =>
