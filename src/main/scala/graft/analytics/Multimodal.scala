@@ -1618,6 +1618,85 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A spec-valid bare little-endian TIFF: IFD0 with ImageWidth(256)
+    * + ImageLength(257) SHORTs, optional Orientation(274) and a GPS
+    * IFD (the exifTiffBody rational layout) — fixture for the bare
+    * .tif screen. */
+  def tiffBytes(width: Int, height: Int, orientation: Option[Int],
+                gps: Option[(Int, Int)]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    def entry(tag: Int, tpe: Int, count: Long)(value: => Unit): Unit = {
+      u16(tag); u16(tpe); u32(count); value
+    }
+    o.write("II".getBytes("US-ASCII")); u16(42); u32(8L)
+    val n0 = 2 + orientation.size + gps.size
+    u16(n0)
+    entry(256, 3, 1L) { u16(width); u16(0) }
+    entry(257, 3, 1L) { u16(height); u16(0) }
+    orientation.foreach(or => entry(274, 3, 1L) { u16(or); u16(0) })
+    val gpsOff = 10L + 12 * n0 + 4
+    gps.foreach(_ => entry(0x8825, 4, 1L)(u32(gpsOff)))
+    u32(0L) // next IFD
+    gps.foreach { case (latDeg, lonDeg) =>
+      val ratOff = gpsOff + 2 + 4 * 12 + 4
+      u16(4)
+      entry(1, 2, 2L) { o.write('N'); o.write(0); u16(0) }
+      entry(2, 5, 3L)(u32(ratOff))
+      entry(3, 2, 2L) { o.write('E'); o.write(0); u16(0) }
+      entry(4, 5, 3L)(u32(ratOff + 24))
+      u32(0L)
+      Seq(latDeg, lonDeg).foreach { deg =>
+        u32(deg.toLong); u32(1L); u32(0L); u32(1L); u32(0L); u32(1L)
+      }
+    }
+    o.toByteArray
+  }
+
+  /** Attach REAL bare-TIFF payloads: dims 100+doc_id%50 ×
+    * 80+doc_id%30; doc_id%5==0 docs dims-only; others orientation
+    * doc_id%8+1 and, for doc_id%3==0, GPS at integer degrees. */
+  def withTiffPayload(documents: DataFrame): DataFrame = {
+    val synth = udf { (docId: Long) =>
+      val w = 100 + (docId % 50).toInt
+      val h = 80 + (docId % 30).toInt
+      if (docId % 5 == 0) tiffBytes(w, h, None, None)
+      else tiffBytes(w, h, Some((docId % 8 + 1).toInt),
+        if (docId % 3 == 0)
+          Some(((docId % 90).toInt, (docId % 180).toInt))
+        else None)
+    }
+    documents.withColumn("payload", synth(col("doc_id")))
+  }
+
+  /** Bare-TIFF screen audit — dims + orientation + GPS through the
+    * shared walk; GPS-bearing docs are the quarantine route (no TIFF
+    * scrub exists by design — see [[MediaDecode.tiffMeta]]). */
+  def tiffExifAudit(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = withTiffPayload(graft.util.SparkUtil.widen(documents))
+      .select(col("doc_id"), col("payload"))
+    import src.sparkSession.implicits._
+    src.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
+        MediaDecode.tiffMeta(p) match {
+          case Some(m) => (id, m.width.toLong, m.height.toLong,
+            m.orientation.map(_.toLong),
+            m.gpsLat.map(d => math.rint(d * 10000) / 10000),
+            m.gpsLon.map(d => math.rint(d * 10000) / 10000),
+            m.gpsLat.isDefined || m.gpsLon.isDefined)
+          case None => (id, 0L, 0L, None: Option[Long],
+            None: Option[Double], None: Option[Double], false)
+        }
+      })
+    }.toDF("doc_id", "width", "height", "orientation", "gps_lat",
+      "gps_lon", "quarantine")
+      .orderBy("doc_id")
+  }
+
   /** One spec-valid gzip member (RFC 1952): optional MTIME/FNAME/
     * FCOMMENT metadata, raw-deflate body, CRC32 + ISIZE trailer.
     * Header overhead beyond the bare 10 bytes is CLOSED-FORM:
@@ -3512,6 +3591,68 @@ object MediaDecode {
       }
       Some((out.result(), regions.result()))
     } catch { case FlacEos => None }
+  }
+
+  /** Parsed bare-TIFF screen fields: dims from IFD0 tags 256/257
+    * (SHORT or LONG), orientation + GPS through the SAME shared
+    * [[tiffExif]] walk — the FOURTH container on that parser (JPEG
+    * APP1, PNG eXIf, WebP EXIF, now .tif files themselves). A TIFF
+    * SCRUB is deliberately absent: every IFD entry is offset-linked,
+    * so removal means rewriting the whole directory graph — route
+    * GPS-bearing TIFFs to quarantine/transcode instead (the H.264
+    * screen-and-route posture). */
+  final case class TiffMeta(width: Int, height: Int,
+                            orientation: Option[Int],
+                            gpsLat: Option[Double], gpsLon: Option[Double])
+
+  /** Bare-TIFF screen — magic (II/MM) + IFD0 dims + the shared EXIF
+    * walk. None = not TIFF; per-section fail-closed like the rest. */
+  def tiffMeta(b: Array[Byte]): Option[TiffMeta] = {
+    try {
+      if (b.length < 8) return None
+      val le = b(0) == 'I' && b(1) == 'I'
+      val be = b(0) == 'M' && b(1) == 'M'
+      if (!le && !be) return None
+      def u16(o: Int): Int = {
+        if (o < 0 || o + 2 > b.length) throw FlacEos
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      }
+      def u32(o: Int): Long = {
+        if (o < 0 || o + 4 > b.length) throw FlacEos
+        if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      }
+      if (u16(2) != 42) return None
+      val ifd0 = u32(4).toInt
+      var w = 0
+      var h = 0
+      try {
+        val n = u16(ifd0)
+        var i = 0
+        while (i < math.min(n, 256)) {
+          val e = ifd0 + 2 + 12 * i
+          try {
+            val tag = u16(e)
+            if (tag == 256 || tag == 257) {
+              // SHORT (3) inline in the first 2 value bytes; LONG (4)
+              // inline in all 4
+              val v = u16(e + 2) match {
+                case 3 => u16(e + 8)
+                case 4 => u32(e + 8).toInt
+                case _ => 0
+              }
+              if (tag == 256) w = v else h = v
+            }
+          } catch { case FlacEos => () }
+          i += 1
+        }
+      } catch { case FlacEos => () }
+      val ex = tiffExif(b, 0, b.length)
+      Some(TiffMeta(w, h, ex.orientation, ex.gpsLat, ex.gpsLon))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------

@@ -584,6 +584,25 @@ private[queries] object RegistryMultimodal {
           TRUE AS tags_removed, TRUE AS frames_identical
         FROM documents ORDER BY doc_id"""), bench = true),
 
+    // bare-TIFF screen — the FOURTH container on the shared TIFF/IFD
+    // walk (.tif files themselves): dims from IFD0 tags 256/257,
+    // orientation + GPS; a TIFF scrub is deliberately ABSENT (every
+    // IFD entry is offset-linked — rewriting the directory graph is
+    // the transcode path), so GPS-bearing docs route to QUARANTINE
+    QueryDef("mm_tiff_exif_audit",
+      (s, d) => Multimodal.tiffExifAudit(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+          (100 + doc_id % 50)::BIGINT AS width,
+          (80 + doc_id % 30)::BIGINT AS height,
+          CASE WHEN doc_id % 5 <> 0
+            THEN (doc_id % 8 + 1)::BIGINT END AS orientation,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 90)::DOUBLE, 4) END AS gps_lat,
+          CASE WHEN doc_id % 5 <> 0 AND doc_id % 3 = 0
+            THEN round((doc_id % 180)::DOUBLE, 4) END AS gps_lon,
+          doc_id % 5 <> 0 AND doc_id % 3 = 0 AS quarantine
+        FROM documents ORDER BY doc_id"""), bench = true),
+
     // GZIP header privacy audit + scrub — the container of web-scale
     // training data: MTIME/FNAME/FCOMMENT are metadata exactly like
     // EXIF; the scrub rewrites every member to a bare 10-byte header

@@ -1582,6 +1582,57 @@ class MultimodalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tiff: bare-container screen, LONG dims, big-endian, shared-walk GPS, containment") {
+    val t = Multimodal.tiffBytes(123, 97, Some(6), Some((51, 122)))
+    val m = MediaDecode.tiffMeta(t).get
+    assert(m.width == 123 && m.height == 97 && m.orientation.contains(6) &&
+      m.gpsLat.contains(51.0) && m.gpsLon.contains(122.0),
+      s"tiff screen drifted: $m")
+    val bare = MediaDecode.tiffMeta(Multimodal.tiffBytes(5, 7, None, None)).get
+    assert(bare.width == 5 && bare.orientation.isEmpty && bare.gpsLat.isEmpty)
+    // LONG-typed dims (type 4) parse like SHORT
+    val longDims = {
+      val o = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def u32(v: Long): Unit = {
+        o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+        o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+      }
+      o.write("II".getBytes("US-ASCII")); u16(42); u32(8L)
+      u16(2)
+      u16(256); u16(4); u32(1L); u32(70000L)
+      u16(257); u16(4); u32(1L); u32(65537L)
+      u32(0L)
+      o.toByteArray
+    }
+    val ml = MediaDecode.tiffMeta(longDims).get
+    assert(ml.width == 70000 && ml.height == 65537,
+      s"LONG dims drifted: $ml")
+    // big-endian: the shared walk's MM path carries over to bare TIFF
+    val mm = {
+      val o = new java.io.ByteArrayOutputStream()
+      def b16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+      def b32(v: Long): Unit = { b16((v >> 16).toInt); b16((v & 0xffff).toInt) }
+      o.write("MM".getBytes("US-ASCII")); b16(42); b32(8L)
+      b16(2)
+      b16(256); b16(3); b32(1L); b16(33); b16(0)
+      b16(274); b16(3); b32(1L); b16(5); b16(0)
+      b32(0L)
+      o.toByteArray
+    }
+    val mMm = MediaDecode.tiffMeta(mm).get
+    assert(mMm.width == 33 && mMm.orientation.contains(5),
+      s"big-endian bare TIFF drifted: $mMm")
+    assert(MediaDecode.tiffMeta("not a tiff".getBytes).isEmpty)
+    (0 to t.length).foreach(cut =>
+      MediaDecode.tiffMeta(java.util.Arrays.copyOf(t, cut)))
+    (0 until t.length by 3).foreach { i =>
+      val c = t.clone(); c(i) = (c(i) + 53).toByte
+      MediaDecode.tiffMeta(c)
+    }
+    samples(bytesGen, 200).foreach(b => MediaDecode.tiffMeta(b))
+  }
+
   test("gzip: member walk vs GZIPInputStream differential, bare-header scrub, FEXTRA/FHCRC, containment") {
     val d1 = "the first member payload".getBytes("UTF-8")
     val d2 = "and a second, different one".getBytes("UTF-8")
