@@ -1759,24 +1759,23 @@ object Multimodal {
     import src.sparkSession.implicits._
     src.as[(Long, Array[Byte])].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.map { case (id, p) =>
-        val before = MediaDecode.gzipMeta(p)
-        val (removed, clean, same) = MediaDecode.gzipStripMeta(p) match {
-          case Some(s) =>
-            val after = MediaDecode.gzipMeta(s)
-            ((p.length - s.length).toLong,
-              after.exists(a => a.fname.isEmpty && a.mtime == 0L &&
-                !a.hasComment && !a.hasExtra),
-              (before, after) match {
-                case (Some(x), Some(y)) =>
-                  x.members == y.members &&
-                    x.decompressedBytes == y.decompressedBytes &&
-                    java.util.Arrays.equals(
-                      MediaDecode.gzipDecompress(p).getOrElse(Array.empty),
-                      MediaDecode.gzipDecompress(s).getOrElse(Array(1.toByte)))
-                case _ => false
-              })
-          case None => (0L, false, false)
+        // ONE member walk per side (the bundle) — a naive audit
+        // re-inflates every payload five times (review find)
+        val bundle = MediaDecode.gzipAuditBundle(p)
+        val (removed, clean, same) = bundle match {
+          case Some((before, decP, Some(s))) =>
+            MediaDecode.gzipAuditBundle(s) match {
+              case Some((after, decS, _)) =>
+                ((p.length - s.length).toLong,
+                  after.fname.isEmpty && after.mtime == 0L &&
+                    !after.hasComment && !after.hasExtra,
+                  before.members == after.members &&
+                    java.util.Arrays.equals(decP, decS))
+              case None => (0L, false, false)
+            }
+          case _ => (0L, false, false)
         }
+        val before = bundle.map(_._1)
         (id, before.map(_.members.toLong).getOrElse(0L),
           before.flatMap(_.fname), before.exists(_.hasComment),
           removed, clean, same)
@@ -3395,10 +3394,16 @@ object MediaDecode {
 
   /** The TIFF/IFD walk of [[jpegExif]], factored so the PNG `eXIf`
     * chunk (whose body is the SAME TIFF structure, no `Exif\0\0`
-    * preamble) reads through the identical per-SECTION fail-closed
-    * code path — one parser, two containers. */
-  private def tiffExif(b: Array[Byte], tiff: Int, tlen: Int): ExifMeta = {
-        val empty = ExifMeta(None, None, None)
+    * preamble), the WebP EXIF chunk and bare .tif files read through
+    * the identical per-SECTION fail-closed code path — ONE parser,
+    * four containers. */
+  private def tiffExif(b: Array[Byte], tiff: Int, tlen: Int): ExifMeta =
+    tiffWalk(b, tiff, tlen)._1
+
+  /** The full walk: EXIF fields plus IFD0 dims (tags 256/257, SHORT
+    * or LONG) for the bare-TIFF screen. */
+  private def tiffWalk(b: Array[Byte], tiff: Int, tlen: Int): (ExifMeta, Int, Int) = {
+        val empty = (ExifMeta(None, None, None), 0, 0)
         if (tlen < 8) return empty
         val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
         val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
@@ -3417,6 +3422,8 @@ object MediaDecode {
         }
         var orientation: Option[Int] = None
         var gpsIfd: Option[Int] = None
+        var width = 0
+        var height = 0
         try {
           if (u16(tiff + 2) != 42) return empty
           val ifd0 = tiff + u32(tiff + 4).toInt
@@ -3430,6 +3437,15 @@ object MediaDecode {
               u16(e) match {
                 case 0x0112 => orientation = Some(u16(e + 8))
                 case 0x8825 => gpsIfd = Some(tiff + u32(e + 8).toInt)
+                case 256 | 257 =>
+                  // inline SHORT (3) in the first 2 value bytes,
+                  // inline LONG (4) in all 4
+                  val v = u16(e + 2) match {
+                    case 3 => u16(e + 8)
+                    case 4 => u32(e + 8).toInt
+                    case _ => 0
+                  }
+                  if (u16(e) == 256) width = v else height = v
                 case _ => ()
               }
             } catch { case FlacEos => () }
@@ -3470,7 +3486,7 @@ object MediaDecode {
               try Some(lonRef * rational3(o)) catch { case FlacEos => None })
           } catch { case FlacEos => () }
         }
-        ExifMeta(orientation, lat, lon)
+        (ExifMeta(orientation, lat, lon), width, height)
   }
 
   // ------------------------------------------------------------------
@@ -3613,44 +3629,11 @@ object MediaDecode {
       val le = b(0) == 'I' && b(1) == 'I'
       val be = b(0) == 'M' && b(1) == 'M'
       if (!le && !be) return None
-      def u16(o: Int): Int = {
-        if (o < 0 || o + 2 > b.length) throw FlacEos
-        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-      }
-      def u32(o: Int): Long = {
-        if (o < 0 || o + 4 > b.length) throw FlacEos
-        if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-        else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-      }
-      if (u16(2) != 42) return None
-      val ifd0 = u32(4).toInt
-      var w = 0
-      var h = 0
-      try {
-        val n = u16(ifd0)
-        var i = 0
-        while (i < math.min(n, 256)) {
-          val e = ifd0 + 2 + 12 * i
-          try {
-            val tag = u16(e)
-            if (tag == 256 || tag == 257) {
-              // SHORT (3) inline in the first 2 value bytes; LONG (4)
-              // inline in all 4
-              val v = u16(e + 2) match {
-                case 3 => u16(e + 8)
-                case 4 => u32(e + 8).toInt
-                case _ => 0
-              }
-              if (tag == 256) w = v else h = v
-            }
-          } catch { case FlacEos => () }
-          i += 1
-        }
-      } catch { case FlacEos => () }
-      val ex = tiffExif(b, 0, b.length)
+      val magic =
+        if (le) (b(2) & 0xff) | ((b(3) & 0xff) << 8)
+        else ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      if (magic != 42) return None
+      val (ex, w, h) = tiffWalk(b, 0, b.length)
       Some(TiffMeta(w, h, ex.orientation, ex.gpsLat, ex.gpsLon))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -3685,12 +3668,19 @@ object MediaDecode {
                                     decompressed: Array[Byte])
 
   private def gzipMembers(b: Array[Byte],
-                          cap: Int = 64 * 1024 * 1024): Seq[GzMember] = {
+                          cap: Int = 64 * 1024 * 1024,
+                          maxMembers: Int = 100000): Seq[GzMember] = {
     val out = Seq.newBuilder[GzMember]
     var p = 0
     var total = 0L
+    var nMembers = 0
     var running = true
-    while (running && p + 10 <= b.length) {
+    // the member cap is the r16 AVI lesson: an OutOfMemoryError from
+    // millions of tiny crafted members is an Error OUTSIDE NonFatal
+    // and poisons the task — containment must hold on COUNT, not just
+    // byte corruption; hitting the cap leaves unconsumed bytes, which
+    // the scrub path refuses (below)
+    while (running && nMembers < maxMembers && p + 10 <= b.length) {
       if ((b(p) & 0xff) != 0x1f || (b(p + 1) & 0xff) != 0x8b ||
           (b(p + 2) & 0xff) != 8) running = false
       else {
@@ -3747,6 +3737,7 @@ object MediaDecode {
                 total += dec.size
                 out += GzMember(p, q, consumed, end, fname, comment,
                   extraLen, mtime, flg, dec.toByteArray)
+                nMembers += 1
                 p = end
               }
             }
@@ -3788,6 +3779,39 @@ object MediaDecode {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One-parse audit bundle: (screen meta, concatenated decompressed
+    * bytes, scrubbed bytes if the scrub is safe) from a SINGLE member
+    * walk — the scrub audit would otherwise re-inflate every payload
+    * five times. */
+  def gzipAuditBundle(b: Array[Byte])
+      : Option[(GzipMeta, Array[Byte], Option[Array[Byte]])] = {
+    try {
+      val ms = gzipMembers(b)
+      if (ms.isEmpty) return None
+      val meta = GzipMeta(ms.size, ms.head.mtime, ms.head.fname,
+        ms.exists(_.comment.isDefined), ms.exists(_.extraLen > 0),
+        ms.map(m => (m.end - m.start).toLong).sum,
+        ms.map(_.decompressed.length.toLong).sum)
+      val dec = new java.io.ByteArrayOutputStream()
+      ms.foreach(m => dec.write(m.decompressed))
+      val stripped =
+        if (ms.last.end != b.length) None
+        else {
+          val out = new java.io.ByteArrayOutputStream(b.length)
+          ms.foreach { m =>
+            out.write(0x1f); out.write(0x8b); out.write(8)
+            out.write(0)
+            out.write(0); out.write(0); out.write(0); out.write(0)
+            out.write(0)
+            out.write(255)
+            out.write(b, m.deflateOff, m.deflateLen + 8)
+          }
+          Some(out.toByteArray)
+        }
+      Some((meta, dec.toByteArray, stripped))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Gzip metadata SCRUB — every member rewritten with a bare 10-byte
     * header (MTIME zeroed, FNAME/FCOMMENT/FEXTRA/FHCRC dropped, OS =
     * 255 "unknown"), the DEFLATE stream and trailer byte-VERBATIM: the
@@ -3796,7 +3820,11 @@ object MediaDecode {
   def gzipStripMeta(b: Array[Byte]): Option[Array[Byte]] = {
     try {
       val ms = gzipMembers(b)
-      if (ms.isEmpty) return None
+      // FAIL-CLOSED on unconsumed bytes: a truncated final member, a
+      // cap-stopped walk, or trailing garbage would otherwise be
+      // silently DESTROYED while the audit's identity probe (which
+      // walks the same members) certified the result clean
+      if (ms.isEmpty || ms.last.end != b.length) return None
       val out = new java.io.ByteArrayOutputStream(b.length)
       ms.foreach { m =>
         out.write(0x1f); out.write(0x8b); out.write(8)
@@ -3836,13 +3864,16 @@ object MediaDecode {
           java.nio.charset.StandardCharsets.US_ASCII) != "WARC/") return None
       val out = Seq.newBuilder[WarcRecord]
       var p = 0
+      var nRecords = 0
       var running = true
       def lineEnd(from: Int): Int = {
         var i = from
         while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
         i
       }
-      while (running && p + 5 <= b.length) {
+      // record-count cap: the gzip member-cap discipline (an OOM from
+      // millions of crafted empty records is outside NonFatal)
+      while (running && nRecords < 100000 && p + 5 <= b.length) {
         if (new String(b, p, 5,
             java.nio.charset.StandardCharsets.US_ASCII) != "WARC/") {
           running = false
@@ -3878,6 +3909,7 @@ object MediaDecode {
           else {
             out += WarcRecord(wtype, uri, clen,
               java.util.Arrays.copyOfRange(b, q, q + clen.toInt))
+            nRecords += 1
             p = q + clen.toInt + 4 // CRLF CRLF record separator
           }
         }

@@ -1693,6 +1693,19 @@ class MultimodalPropertySpec extends AnyFunSuite {
     // None for non-gzip / no complete member
     assert(MediaDecode.gzipMeta("not gzip".getBytes).isEmpty)
     assert(MediaDecode.gzipStripMeta(Array[Byte](0x1f, 0x8b.toByte, 8)).isEmpty)
+    // REGRESSION (review find): the scrub FAILS CLOSED on unconsumed
+    // bytes — a truncated final member (or trailing garbage) must
+    // never be silently destroyed while the identity probe certifies
+    // the result clean; the SCREEN still reports the complete members
+    val truncTail = two ++ java.util.Arrays.copyOf(
+      Multimodal.gzipMemberBytes(d1, 0L, None, None), 20)
+    assert(MediaDecode.gzipMeta(truncTail).exists(_.members == 2),
+      "screen reports the complete members")
+    assert(MediaDecode.gzipStripMeta(truncTail).isEmpty,
+      "scrub must refuse a payload with a truncated final member")
+    val junkTail = two ++ "trailing junk".getBytes("US-ASCII")
+    assert(MediaDecode.gzipStripMeta(junkTail).isEmpty,
+      "scrub must refuse trailing garbage")
     // containment: truncation + corruption sweeps never throw
     (0 to two.length by 5).foreach { cut =>
       val part = java.util.Arrays.copyOf(two, cut)
