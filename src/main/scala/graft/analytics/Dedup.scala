@@ -1348,12 +1348,22 @@ object Dedup {
     // integer permille — all boundary compares below are exact
     val pm = math.round(threshold * 1000).toInt
     require(pm >= 1, s"threshold below 1 permille: $threshold")
+    // filter on WORD COUNT, not size(set) (r18 opt round): a predicate
+    // over the lambda-built set column pushes below the projection and
+    // re-evaluates the whole shingle tree per row (lambda-bearing trees
+    // get no CSE — SPARK-35410), so the split+shingle+distinct pass ran
+    // up to 4× (filter, set, hset input, n). size(__words) >= k is
+    // EXACTLY size(set) > 0: shinglesFromWords emits sequence(1,
+    // n-k+1) shingles when n >= k (>= 1 of them, concat_ws never null)
+    // and [] otherwise. Measured: sets checkpoint 5.9 → 0.9 s, whole
+    // query 9.8 → 3.9 s at sf0.1 (same box, min-of-3); row-identical
+    // both directions (exceptAll 0/0); plan signature unchanged.
     val sets = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull)
       .withColumn("__words", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+      .filter(size(col("__words")) >= shingleK)
       .select(col("doc_id"),
         array_distinct(shinglesFromWords(col("__words"), shingleK)).as("set"))
-      .filter(size(col("set")) > 0)
       .select(col("doc_id"), col("set"),
         // 64-bit shadow set for the cheap verify prefilter below —
         // longs intersect at a fraction of the string cost and shuffle

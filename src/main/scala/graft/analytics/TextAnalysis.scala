@@ -106,13 +106,19 @@ object TextAnalysis {
   /** The k-char-gram hash array of `text`. MUST be bound to a column
     * before [[winnowSetFromGrams]] consumes it — see that scaladoc. */
   private[analytics] def gramHashes(k: Int): Column = {
-    val n = length(col("text"))
-    // guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so texts
-    // shorter than k must short-circuit to an empty gram list
-    when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)),
-        i => substring(md5(substring(col("text"), i, lit(k))), 1, 8)))
-      .otherwise(array().cast("array<string>"))
+    // r18 opt round: the gram WALK is one codegen'd regexp_extract_all
+    // (lookahead captures k codepoints at each position, '.' consumes
+    // one — exactly the n−k+1 grams in order; (?s) so literal line
+    // separators inside a doc cannot truncate the walk; a shorter text
+    // yields [] — the old n >= k guard's semantics). The old form's
+    // per-element substring(text, i, k) re-walked the string from
+    // position 0 inside an interpreted lambda (O(i) each). The md5
+    // transform stays a lambda but is element-LOCAL (O(k) per
+    // element). Measured 0.94 → 0.45 s at sf0.1; exceptAll 0/0 both
+    // directions vs the old form.
+    transform(
+      regexp_extract_all(col("text"), lit(s"(?s)(?=(.{$k}))."), lit(1)),
+      g => substring(md5(g), 1, 8))
   }
 
   /** Winnowing fingerprint SET from a BOUND gram-hash column (shared
@@ -1598,22 +1604,28 @@ object TextAnalysis {
     val base = graft.util.SparkUtil.widen(documents)
       .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), norm.as("__s"))
-      .filter(length(col("__s")) >= 3)
       // trigram extraction with NO per-element lambda: HOFs are
       // CodegenFallback (interpreted per element — measured 101 s at
       // sf0.1), and per-position substring(__s, i, 3) walks codepoints
-      // from the string start (O(i) each → O(n²) per doc, 12 s).
-      // Instead: char-split once, arrays_zip THREE shifted slices
-      // (all codegen'd array ops), explode, and concat the struct
-      // fields per ROW inside whole-stage codegen — measured 1.5 s.
-      .withColumn("__c", split(col("__s"), ""))
-      .withColumn("__z", arrays_zip(
-        slice(col("__c"), lit(1), size(col("__c")) - 2),
-        slice(col("__c"), lit(2), size(col("__c")) - 2),
-        slice(col("__c"), lit(3), size(col("__c")) - 2)))
-      .select(col("doc_id"), col("lang"), explode(col("__z")).as("__e"))
+      // from the string start (O(i) each → O(n²) per doc, 12 s). The
+      // r9 fix (char-split + arrays_zip of three shifted slices) paid
+      // per-codepoint object churn: split("") allocates one UTF8String
+      // per char, each slice copies the array, arrays_zip builds a
+      // 3-string struct per position (measured 3.5 s at sf0.1). ONE
+      // codegen'd regexp_extract_all does the whole walk in-place
+      // (r18 opt round): the lookahead captures 3 codepoints at every
+      // position, '.' consumes one — exactly the n−2 trigrams, in
+      // order; (?s) so a literal U+2028/U+2029 inside a doc cannot
+      // break the walk (whitespace is already collapsed to '_').
+      // Measured 0.64 s; exceptAll 0/0 both directions vs the zip
+      // form. The length >= 3 prefilter is subsumed: a shorter string
+      // extracts an empty array and explode drops the row — and the
+      // old filter(length(__s)) pushed below the projection and
+      // re-evaluated the regexp_replace per row (no CSE across
+      // Filter/Project).
       .select(col("doc_id"), col("lang"),
-        concat(col("__e.0"), col("__e.1"), col("__e.2")).as("tg"))
+        explode(regexp_extract_all(col("__s"),
+          lit("(?s)(?=(.{3}))."), lit(1))).as("tg"))
       // collapse to per-doc trigram COUNTS before the checkpoint —
       // occurrence semantics preserved as weights, ~40% less cached
       // data and every downstream pass runs at (doc, tg) grain
