@@ -274,8 +274,13 @@ object Multimodal {
     // to the per-position definition (starts are stride-aligned).
     val grams = withPayload
       .filter(col("payload").isNotNull)
+      // length test on the RAW bytes, not the hex column (r18 opt
+      // round): length(__h) = 2·octet_length(payload) exactly, and a
+      // predicate over the derived __h pushes below the projection and
+      // re-evaluates the full hex encode per row (no CSE across
+      // Filter/Project — the prefixJaccardPairs lesson)
+      .filter(length(col("payload")) * 2 >= gl)
       .withColumn("__h", hex(col("payload")))
-      .filter(length(col("__h")) >= gl)
       .withColumn("__b", regexp_extract_all(col("__h"),
         lit(s".{$blockChars}"), lit(0)))
       .withColumn("text", concat_ws(" ",
