@@ -541,10 +541,14 @@ object Bench {
         }
         val t0 = System.nanoTime()
         // batch-scoped stateful width (see twinDrain's note): the
-        // two-sided state is keyed on user_id — width-neutral results
-        try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, 2) {
+        // two-sided state is keyed on user_id — width-neutral results.
+        // ONE val feeds both the source option and the width so they
+        // cannot silently diverge (the width must derive from the
+        // admission unit)
+        val mft = 2
+        try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, mft) {
           def src(dir: String) = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2).json(dir)
+            .option("maxFilesPerTrigger", mft).json(dir)
           val q = graft.streaming.StreamingPipeline.intervalJoinPipeline(
               src(inL), "ts", src(inR), "ts", "user_id", 6L * 3600L)
             .writeStream.format("noop")
@@ -578,26 +582,8 @@ object Bench {
     // drain (sf0.1, local[32], best-of-2): 8.1 → 5.7 s at width 8,
     // 25.2 → 13.4 s at width 32. State contents are identical — the
     // changelog replays to the same store.
-    def withRocksDbProvider[A](f: => A): A = {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val changelogKey =
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-      val oldProvider = spark.conf.getOption(providerKey)
-      val oldChangelog = spark.conf.getOption(changelogKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(changelogKey, "true")
-      try f finally {
-        oldProvider match {
-          case Some(p) => spark.conf.set(providerKey, p)
-          case None => spark.conf.unset(providerKey)
-        }
-        oldChangelog match {
-          case Some(v) => spark.conf.set(changelogKey, v)
-          case None => spark.conf.unset(changelogKey)
-        }
-      }
-    }
+    def withRocksDbProvider[A](f: => A): A =
+      graft.streaming.StreamingPipeline.withRocksDbStateStore(spark)(f)
 
     // transformWithState hard-quota drain: first-N per (type, minute
     // window); RocksDB provider required by the operator — set for the
@@ -721,10 +707,12 @@ object Bench {
             }
           }
           val t0 = System.nanoTime()
-          // batch-scoped stateful width (see twinDrain's note)
-          try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, 2) {
+          // batch-scoped stateful width (see twinDrain's note); one
+          // val feeds both the option and the width
+          val mft = 2
+          try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, mft) {
             def src(dir: String) = spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 2).json(dir)
+              .option("maxFilesPerTrigger", mft).json(dir)
             val q = graft.streaming.StreamingPipeline.asofPipeline(
                 src(inP), src(inR), watermarkDelay = "6 hours",
                 toleranceSeconds = 86400L)
@@ -821,12 +809,24 @@ object Bench {
     val failed = all.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     def rate(n: Int, secs: Double): Double = if (secs > 0) n / secs else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"rolling_distinct_hll_events_per_sec":${rate(rdHllEvents, rdHllSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"index_maintenance_vecs_per_sec":${rate(idxmVecs, idxmSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"failed":$failed,"queries":$qs,"stream_json_pkts_per_sec":${rate(jsonPkts, jsonSecs)}%.0f,"stream_binary_pkts_per_sec":${rate(binPkts, binSecs)}%.0f,"admission_docs_per_sec":${rate(admDocs, admSecs)}%.0f,"admission_big_docs_per_sec":${rate(admBigDocs, admBigSecs)}%.0f,"anomaly_events_per_sec":${rate(anomEvents, anomSecs)}%.0f,"holt_alert_events_per_sec":${rate(holtEvents, holtSecs)}%.0f,"trending_docs_per_sec":${rate(trendDocs, trendSecs)}%.0f,"session_events_per_sec":${rate(sessEvents, sessSecs)}%.0f,"interval_join_events_per_sec":${rate(ijEvents, ijSecs)}%.0f,"quota_events_per_sec":${rate(quotaEvents, quotaSecs)}%.0f,"funnel_events_per_sec":${rate(funEvents, funSecs)}%.0f,"novelty_events_per_sec":${rate(novEvents, novSecs)}%.0f,"rolling_distinct_events_per_sec":${rate(rdEvents, rdSecs)}%.0f,"rolling_distinct_hll_events_per_sec":${rate(rdHllEvents, rdHllSecs)}%.0f,"scd2_events_per_sec":${rate(scd2Events, scd2Secs)}%.0f,"asof_events_per_sec":${rate(asofEvents, asofSecs)}%.0f,"semantic_admission_vecs_per_sec":${rate(semVecs, semSecs)}%.0f,"index_maintenance_vecs_per_sec":${rate(idxmVecs, idxmSecs)}%.0f,"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,"cpu_share":${
       val cpu = processCpuSecs()
       val wall = (System.nanoTime() - wallStart) / 1e9
       if (cpu < 0) -1.0
       else cpu / (wall * Runtime.getRuntime.availableProcessors())
-    }%.3f,"sf":"$sfDir"}""")
+    }%.3f,"sf":"$sfDir"}"""
+    println(line)
+    // the printed one-line contract stays; ALSO persist it to a
+    // fixed-name file so a log-tail capture that truncates the (large)
+    // line can never lose the round's per-query evidence — a write
+    // failure must not fail a bench that already succeeded
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      line + "\n")
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

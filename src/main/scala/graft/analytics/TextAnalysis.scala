@@ -110,7 +110,12 @@ object TextAnalysis {
     // (lookahead captures k codepoints at each position, '.' consumes
     // one — exactly the n−k+1 grams in order; (?s) so literal line
     // separators inside a doc cannot truncate the walk; a shorter text
-    // yields [] — the old n >= k guard's semantics). The old form's
+    // yields [] — the old n >= k guard's semantics for NON-NULL text.
+    // NULL text yields NULL (regexp_extract_all is null-in→null-out),
+    // where the old when/otherwise form returned []: both current
+    // callers converge (winnowSetFromGrams yields null either way;
+    // explode and size(null) behave identically), but a future caller
+    // must NOT rely on a never-null array contract. The old form's
     // per-element substring(text, i, k) re-walked the string from
     // position 0 inside an interpreted lambda (O(i) each). The md5
     // transform stays a lambda but is element-LOCAL (O(k) per
@@ -388,9 +393,17 @@ object TextAnalysis {
     * per-doc aggregate — it sits inside ln(c1 + V) so it cannot be
     * lifted above the mean like the unigram scalar. */
   def bigramLogProb(documents: DataFrame): DataFrame = {
+    // the >= 2-token gate tests the CHEAP source column, not size(w):
+    // a pushed-down size(w) predicate inlines w = split(...) below the
+    // projection and evaluates the split twice per row (the
+    // dedup_prefix_jaccard defect shape, r18 opt round). Equivalence:
+    // size(split(trim(text), WS+)) >= 2  ⟺  trim(text) contains ≥ 1
+    // whitespace char (Spark split keeps leading/trailing empty
+    // tokens, so ANY separator run yields a second element); null text
+    // fails both forms.
     val base = graft.util.SparkUtil.widen(documents)
+      .filter(trim(col("text")).rlike("[ \\t\\n\\x0B\\f\\r]"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 2)
     val bi = base.select(col("doc_id"),
         explode(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
@@ -1497,10 +1510,14 @@ object TextAnalysis {
     // tokenized corpus feeds bigram AND unigram counting (was 5 scans
     // in-plan); the unigram table feeds u1/u2/total; the bigram table
     // feeds the pair join and its total
+    // >= 2-token gate on the CHEAP source column (see bigramLogProb:
+    // a pushed-down size(__t) predicate re-evaluates the split below
+    // the projection); trim(text) containing a whitespace char is
+    // exactly size(split(trim(text), WS+)) >= 2, and rlike(null) is
+    // null so the isNotNull guard is subsumed
     val docs = graft.util.SparkUtil.widen(documents)
-      .filter(col("text").isNotNull)
+      .filter(trim(col("text")).rlike("[ \\t\\n\\x0B\\f\\r]"))
       .select(tokens(col("text")).as("__t"))
-      .filter(size(col("__t")) >= 2)
       .localCheckpoint(true)
     val bi = docs.select(explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),

@@ -193,14 +193,21 @@ object StreamingPipeline {
     * `maxFilesPerTrigger`. The width derives from the ADMISSION UNIT,
     * never the machine: a 100 TB deployment runs a large
     * maxFilesPerTrigger and keeps wide state, and a low-core bench box
-    * computes the same width. Measured (sf0.1 events, local[32],
+    * computes the same width. Measured r18 (sf0.1 events, local[32],
     * 16 files at maxFilesPerTrigger=2, AvailableNow, best-of-2):
     * rollingDistinctPipeline drain 58.3 → 10.5 s, noveltyPipeline
     * 24.8 → 7.4 s at width 32 → 8; quotaLimitPipeline (RocksDB)
-    * 25.2 → 8.1 s. Results are width-independent — keys hash-partition
-    * identically in any width, watermarks are global, and monitoring
-    * counters are row/group counts (oracle-rechecked at 3 SFs for the
-    * drain-executing registry queries).
+    * 25.2 → 8.1 s. The r19 round probed the remaining floor
+    * (tools/provider_width_probe.scala, same layout): width 8 → 2 is a
+    * further 1.2–1.8× on every stateful drain (rolling_distinct
+    * 15.3 → 9.0, novelty 8.3 → 4.5, hll 5.5 → 3.8, session 6.3 → 4.3,
+    * anomaly 4.7 → 3.9; quota/TWS 6.0 → 5.7) — per-batch fixed cost is
+    * linear in state-store instances all the way down, so the floor is
+    * the MINIMUM parallelism (2), not a knee. Results are
+    * width-independent — keys hash-partition identically at any width,
+    * watermarks are global, and monitoring counters are row/group
+    * counts (oracle-rechecked at 3 SFs for the drain-executing
+    * registry queries, r18 and again r19).
     *
     * `body` must contain the `.start()` (the conf is read at query
     * start); the previous width is restored after `body` returns —
@@ -209,9 +216,54 @@ object StreamingPipeline {
                                 maxFilesPerTrigger: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(8, maxFilesPerTrigger).toString)
+      math.max(2, maxFilesPerTrigger).toString)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** RocksDB state-store provider + changelog checkpointing for the
+    * scope of `body` (save/set/restore — the conf is read at query
+    * start, so `body` must contain the `.start()`). ONE definition for
+    * the transformWithState operators, which REQUIRE the RocksDB
+    * provider; changelog checkpointing rides along (r18: the default
+    * RocksDB commit uploads a FULL snapshot per store per batch;
+    * changelog commits the per-batch delta — quota drain 8.1 → 5.7 s
+    * at width 8).
+    *
+    * Deliberately NOT applied to the classic stateful operators
+    * (window aggregates / dedup / session / FMGWS): the r19 probe
+    * (tools/provider_width_probe.scala, sf0.1 drains, local[32],
+    * best-of-2) measured RocksDB+changelog MIXED against the
+    * HDFS-backed default on a local-disk checkpoint — rolling_distinct
+    * 11.4 → 14.0 s (worse), novelty 13.4 → 12.2, hll 6.6 → 5.3,
+    * session 5.8 → 5.3, anomaly 5.3 → 4.5 — while the shuffle-width
+    * floor dominated everything (see [[withStreamShuffleWidth]]). On
+    * local disk the HDFS provider is an in-memory map plus small local
+    * delta files, so RocksDB's native I/O only breaks even; the
+    * object-store-checkpoint argument for changelog mode at 100 TB
+    * stands, but it is a deployment conf, not a library default this
+    * bench can justify. State CONTENTS are provider-independent (the
+    * changelog replays to the same store); only commit mechanics
+    * change. */
+  def withRocksDbStateStore[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val oldProvider = spark.conf.getOption(providerKey)
+    val oldChangelog = spark.conf.getOption(changelogKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try body finally {
+      oldProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      oldChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None => spark.conf.unset(changelogKey)
+      }
+    }
   }
 
   /** The reference's ACTUAL delivery architecture — push notification →

@@ -37,7 +37,8 @@ try {
       .outputMode("append").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(600000)
+    // a timed-out drain is a FAILURE, never a ~600 s "sample"
+    require(q.awaitTermination(600000), s"$label width=$width timed out")
     (System.nanoTime() - t0) / 1e9
   }
   println(s"[probe] rows=${rows.length}")

@@ -108,6 +108,12 @@ def main() -> None:
         "git_head": subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=REPO,
             capture_output=True, text=True).stdout.strip(),
+        # provenance: a sweep over a dirty tree must say so — git_head
+        # alone cannot prove the sweep covered the committed source
+        # (ADVICE r18: the 066130b ambiguity)
+        "git_dirty": subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip().splitlines(),
         "input_dir_md5": hashes,
         "n_queries": len(queries),
         # MISSING (query absent from a sweep tag) counts as a failure —

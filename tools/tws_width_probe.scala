@@ -41,11 +41,15 @@ try {
       .outputMode("append").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(600000)
+    // a timed-out drain is a FAILURE, never a ~600 s "sample"
+    require(q.awaitTermination(600000), s"width=$width changelog=$changelog timed out")
     (System.nanoTime() - t0) / 1e9
   }
   println(s"[probe] rows=${rows.length}")
-  for ((w, cl) <- Seq((32, false), (8, false), (8, true), (32, true))) {
+  // PROBE_COMBOS: "width:changelog" pairs, default the r18 grid
+  val combos = sys.env.getOrElse("PROBE_COMBOS", "32:false,8:false,8:true,32:true")
+    .split(",").map(_.trim.split(":")).map(a => (a(0).toInt, a(1).toBoolean)).toSeq
+  for ((w, cl) <- combos) {
     val t = Seq(0, 1).map(a => drain(w, cl, a)).min
     println(f"[probe] width=$w changelog=$cl quota=$t%.2f")
   }
