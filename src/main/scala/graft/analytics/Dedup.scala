@@ -421,12 +421,18 @@ object Dedup {
     * [[writeSignatures]] parquet (signatures computed ONCE per corpus,
     * banded many times). */
   def candidatePairsFromSignatures(sig: DataFrame, numHashes: Int,
-                                   rowsPerBand: Int): DataFrame = {
+                                   rowsPerBand: Int,
+                                   broadcastJoin: Boolean = false): DataFrame = {
     val banded = bandTable(sig, numHashes, rowsPerBand)
     val left = banded.select(col("doc_id").as("doc_a"), col("bk").as("bk_a"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_a"))
-    val right = banded.select(col("doc_id").as("doc_b"), col("bk").as("bk_b"),
+    val right0 = banded.select(col("doc_id").as("doc_b"), col("bk").as("bk_b"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig_b"))
+    // broadcastJoin: for BATCH-BOUNDED signature tables only (the
+    // streaming admission unit) — skips the two bk exchanges of the
+    // self-join; row-identical (same equi key + residual). NEVER for
+    // corpus-scale callers: the broadcast side is the whole table.
+    val right = if (broadcastJoin) broadcast(right0) else right0
     left.join(right, col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),

@@ -215,6 +215,11 @@ object StreamingPipeline {
   def withStreamShuffleWidth[A](spark: SparkSession,
                                 maxFilesPerTrigger: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // floor 2, NOT the foreachBatch pipelines' floor 8: a pure-stream
+    // drain's stateful exchanges carry near-trivial per-batch compute,
+    // so instance count is everything; the foreachBatch admission
+    // batches do real work per exchange (minhash/encode over the whole
+    // batch) and measurably LOSE below width 8 (r19 probe)
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(2, maxFilesPerTrigger).toString)
     try body
@@ -265,6 +270,37 @@ object StreamingPipeline {
       }
     }
   }
+
+  /** Run independent batch-scoped sink writes CONCURRENTLY (guide §2.6
+    * thread-pool overlap): each thunk on its own thread, awaiting ALL
+    * before returning or rethrowing — an in-flight write must never
+    * race the caller's cleanup/retry path, so the first failure is
+    * rethrown only after every sink has finished or failed. Callers
+    * may only pass sinks whose RELATIVE order is contract-free: each a
+    * batch_id-scoped overwrite, so any crash leaves some subset of
+    * batch dirs that the replayed batch overwrites wholesale (the
+    * at-least-once contract is per-sink idempotence, never
+    * inter-sink ordering — the one order-bearing write, the notify
+    * pipeline's `_latency` stamp, stays strictly AFTER this call). */
+  private def runSinksConcurrently(sinks: Seq[() => Unit]): Unit =
+    if (sinks.sizeIs <= 1) sinks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(sinks.size)
+      try {
+        val futures = sinks.map { s =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = s()
+          })
+        }
+        val failures = futures.flatMap { f =>
+          try { f.get(); None }
+          catch {
+            case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+          }
+        }
+        failures.foreach(e => throw e)
+      } finally pool.shutdown()
+    }
 
   /** The reference's ACTUAL delivery architecture — push notification →
     * GET object → process (processor_app.py:108–179) — using the
@@ -318,6 +354,16 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-scoped shuffle width (the admissionPipeline rationale,
+        // r19): the only batch-local exchange is the per-file counts
+        // groupBy — at the session default it scheduled (cores) tasks
+        // for a ≤maxMessagesPerTrigger-file batch. The width derives
+        // from the ADMISSION UNIT (messages per trigger); the decode
+        // itself is narrow (scan partitions) and unaffected.
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.max(8, maxMessagesPerTrigger).toString)
+        try {
         val attempt = recordAttempt(spark, checkpoint, batchId)
         if (attempt >= maxAttempts) {
           // see pipeline(): clear partial-attempt sink output so the
@@ -367,17 +413,27 @@ object StreamingPipeline {
             val raw = parts.reduce(_ unionByName _)
             val b = toUdm(raw).cache()
             try {
-              b.filter(!col("is_error")).select(col("udm_json"))
-                .write.mode("overwrite").text(s"$outDir/events/batch_id=$batchId")
-              b.filter(col("is_error"))
-                .select(col("source_file"), col("udm_json"),
-                  lit("row error").as("dlq_reason"))
-                .select(col("source_file").as("message_id"),
-                  col("udm_json").as("payload"), col("dlq_reason"))
-                .unionByName(dlqInvalid)
-                .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId")
-              UdmTransform.perFileCounts(b)
-                .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")
+              // the three Spark sinks all derive from the cached batch
+              // and are mutually order-free (each a batch_id-scoped
+              // overwrite) — overlapped (§2.6). Concurrent first
+              // readers of the unmaterialized cache dedup per-block
+              // (BlockManager write locks), so the decode still runs
+              // once. The order-BEARING write — the `_latency` stamp,
+              // whose commit_ms must postdate the data sink — stays
+              // strictly after this call returns, which awaits all
+              // three.
+              runSinksConcurrently(Seq(
+                () => b.filter(!col("is_error")).select(col("udm_json"))
+                  .write.mode("overwrite").text(s"$outDir/events/batch_id=$batchId"),
+                () => b.filter(col("is_error"))
+                  .select(col("source_file"), col("udm_json"),
+                    lit("row error").as("dlq_reason"))
+                  .select(col("source_file").as("message_id"),
+                    col("udm_json").as("payload"), col("dlq_reason"))
+                  .unionByName(dlqInvalid)
+                  .write.mode("overwrite").json(s"$outDir/_errors/batch_id=$batchId"),
+                () => UdmTransform.perFileCounts(b)
+                  .write.mode("overwrite").json(s"$outDir/_notifications/batch_id=$batchId")))
               // A3: per-file ingest→commit latency, the reference's
               // PROCESSING_DURATION_SECONDS metric per processed file
               // (processor_app.py:174–176) — publish_ms is the queue
@@ -417,6 +473,7 @@ object StreamingPipeline {
           }
         }
         clearAttempts(spark, checkpoint, batchId)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         ()
       }
   }
@@ -526,18 +583,34 @@ object StreamingPipeline {
         try {
           val corpusBands = Dedup.bandTable(corpusSig, numHashes, rowsPerBand)
             .select("bk")
-          val dupIds = Dedup.bandTable(sig, numHashes, rowsPerBand)
-            .join(corpusBands, Seq("bk"), "left_semi")
+          // the STORE side must never shuffle (r19): the old
+          // batch-left_semi-store SMJ re-shuffled the whole store's
+          // band table every micro-batch — per-batch cost GROWING with
+          // store size. The batch side is bounded by the admission
+          // unit (maxFilesPerTrigger), i.e. broadcast-safe by
+          // construction: inner-BHJ the store scan against a hash of
+          // the batch's band keys, then distinct(doc_id) — row-set ≡
+          // the left_semi (exists) semantics, both sides already
+          // null-band-free (bandTable drops null keys).
+          val batchBands = Dedup.bandTable(sig, numHashes, rowsPerBand)
+            .select("doc_id", "bk")
+          val dupIds = corpusBands
+            .join(org.apache.spark.sql.functions.broadcast(batchBands), Seq("bk"))
             .select("doc_id").distinct()
           // cached: the store-read + double-band-join plan above it is
           // the batch's second-heaviest stage and THREE consumers pull
           // it (intra-batch pairs, the cluster keep-set, the sig sink);
           // uncached it re-executed per action — pure per-batch fixed
           // cost that AQE can't help with inside foreachBatch
-          val survivorSig = sig.join(dupIds, Seq("doc_id"), "left_anti").cache()
+          // dupIds is ≤ batch-sized — broadcast the anti-join build
+          // side (2 fewer exchanges per batch; left_anti builds right)
+          val survivorSig = sig.join(
+            org.apache.spark.sql.functions.broadcast(dupIds),
+            Seq("doc_id"), "left_anti").cache()
           try {
             val pairs = Dedup.candidatePairsFromSignatures(
-              survivorSig, numHashes, rowsPerBand).select("doc_a", "doc_b")
+              survivorSig, numHashes, rowsPerBand,
+              broadcastJoin = true).select("doc_a", "doc_b")
             // Auto: micro-batch pair tables are usually tiny (tens of
             // pairs per thousand docs), and the distributed component
             // loop's per-round job overhead dominated the batch fixed
@@ -549,10 +622,16 @@ object StreamingPipeline {
             val keep = Dedup.clustersFromPairsAuto(survivorSig.select("doc_id"), pairs)
               .filter(col("doc_id") === col("cluster_id")).select("doc_id")
               .localCheckpoint(true)
-            cachedBatch.join(keep, Seq("doc_id"), "left_semi")
-              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-            sig.join(keep, Seq("doc_id"), "left_semi")
-              .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+            // both sinks consume the MATERIALIZED keep set and the
+            // already-hot caches — independent, so overlapped (§2.6);
+            // order between them was never contract-bearing: each is a
+            // batch_id-scoped overwrite a replayed batch rewrites
+            // wholesale (spec: replay from a half-written batch)
+            runSinksConcurrently(Seq(
+              () => cachedBatch.join(keep, Seq("doc_id"), "left_semi")
+                .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId"),
+              () => sig.join(keep, Seq("doc_id"), "left_semi")
+                .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")))
             failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
           } finally survivorSig.unpersist()
         } finally { sig.unpersist(); cachedBatch.unpersist() }

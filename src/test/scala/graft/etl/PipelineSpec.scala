@@ -84,6 +84,57 @@ class PipelineSpec extends SparkSpec {
     assert(sigsReplay == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("admission concurrent sinks: replay from a HALF-written batch (either sink dir missing) converges") {
+    // The two admission sinks are overlapped (r19, guide 2.6), so a
+    // crash can now leave EITHER batch dir written without the other —
+    // a window the serial order never exposed on the sig side. Forge
+    // both windows: crash batch 1 after its sinks (failHook), erase
+    // one of its two dirs, replay, and require the exact clean-run
+    // state. The store read excludes the replayed batch's own
+    // partition at PATH level, so the surviving half must never
+    // band-collide the batch with itself.
+    for (missing <- Seq("docs", "sigs")) {
+      val in = Files.createTempDirectory(s"graft_half_in_$missing").toString
+      val base = Files.createTempDirectory(s"graft_half_$missing").toString
+      val (sig, out, ckpt) = (s"$base/sigs", s"$base/out", s"$base/ckpt")
+      def doc(id: Long, text: String) =
+        s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+      def runOnce(hook: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+        val q = StreamingPipeline.admissionPipeline(spark, in, sig, out, ckpt,
+          trigger = Trigger.AvailableNow(), failHook = hook).start()
+        q.awaitTermination(120000)
+      }
+      Files.writeString(Paths.get(in, "b1.jsonl"),
+        doc(1L, "the first document about half written batch windows") + "\n" +
+          doc(2L, "a second unrelated document mentioning spark checkpoints"))
+      runOnce()
+      Files.writeString(Paths.get(in, "b2.jsonl"),
+        doc(3L, "a third novel document that resembles nothing admitted before"))
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runOnce(hook = (_, _) => throw new RuntimeException("crash before commit"))
+      }
+      assert(crashed.getMessage.contains("crash before commit") ||
+        crashed.getCause.getMessage.contains("crash before commit"))
+      // forge the mid-crash window: exactly one of batch 1's sink dirs
+      // survives (under serial sinks only the sig dir could be the
+      // missing one; under concurrent sinks either can)
+      val victim = if (missing == "docs") s"$out/batch_id=1" else s"$sig/batch_id=1"
+      val vPath = new org.apache.hadoop.fs.Path(victim)
+      val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(vPath), s"expected $victim from the crashed attempt")
+      fs.delete(vPath, true)
+      runOnce()
+      val admitted = spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(admitted == Seq(1L, 2L, 3L),
+        s"[$missing missing] replay diverged: $admitted")
+      val sigs = spark.read.parquet(sig).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(sigs == Seq(1L, 2L, 3L),
+        s"[$missing missing] sig store diverged: $sigs")
+    }
+  }
+
   test("admission prepare hook: mojibake re-crawl rejected under fixEncoding intake, admitted raw") {
     import org.apache.spark.sql.DataFrame
     val clean = (0 until 12).map(i => s"café$i word$i").mkString(" ")
