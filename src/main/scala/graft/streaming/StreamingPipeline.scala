@@ -924,13 +924,20 @@ object StreamingPipeline {
                 Some(dim))
               .filter(col("admitted")).select("vec_id", "bucket")
               .localCheckpoint(true)
-            cachedBatch.join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
-              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-            cachedBatch.filter(col("embedding").isNotNull)
-              .select(col("vec_id"), col("embedding").as("vec"))
-              .join(admitted, Seq("vec_id"))
-              .select(col("vec_id"), col("bucket"), col("vec"))
-              .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+            // both sinks consume the CHECKPOINTED decision + the hot
+            // cache — independent batch_id-scoped overwrites,
+            // overlapped (§2.6, the admissionPipeline discipline); a
+            // crash leaving either dir alone replays wholesale (the
+            // store read excludes the replayed batch's own partition
+            // at PATH level — spec: half-written replay)
+            runSinksConcurrently(Seq(
+              () => cachedBatch.join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+                .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId"),
+              () => cachedBatch.filter(col("embedding").isNotNull)
+                .select(col("vec_id"), col("embedding").as("vec"))
+                .join(admitted, Seq("vec_id"))
+                .select(col("vec_id"), col("bucket"), col("vec"))
+                .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")))
             failHook(batch, batchId) // test seam: crash AFTER sinks, BEFORE commit
           } finally cachedBatch.unpersist()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

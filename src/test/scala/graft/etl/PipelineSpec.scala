@@ -289,6 +289,15 @@ class PipelineSpec extends SparkSpec {
     }
     assert(crashed.getMessage.contains("crash before commit") ||
       crashed.getCause.getMessage.contains("crash before commit"))
+    // forge the HALF-written window of the r19 concurrent sinks: only
+    // the store dir survived the crash (the out dir did not) — the
+    // replay must still converge to the clean-run state (its own store
+    // partition is excluded at PATH level, so the surviving half can
+    // never make the batch self-reject)
+    val halfVictim = new org.apache.hadoop.fs.Path(s"$out/batch_id=2")
+    val halfFs = halfVictim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(halfFs.exists(halfVictim), "expected the crashed attempt's out dir")
+    halfFs.delete(halfVictim, true)
     runOnce()
     assert(admittedIds() == Seq(1L, 5L, 7L, 11L, 20L),
       s"replay lost/duped vectors: ${admittedIds()}")
