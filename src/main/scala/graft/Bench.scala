@@ -391,9 +391,13 @@ object Bench {
     // noop sink. Inputs are written in ts order so the watermark (and
     // therefore window closure + state eviction) advances with the
     // batch sequence exactly as in production; throughput = rows/s.
+    // widthFloor 2 for classic stateful ops; 8 for transformWithState
+    // drains (per-ROW handlers need parallel width — see
+    // StreamingPipeline.withStreamShuffleWidth)
     def twinDrain(label: String, rows: Array[String],
                   schema: org.apache.spark.sql.types.StructType,
-                  nFiles: Int, maxFilesPerTrigger: Int)
+                  nFiles: Int, maxFilesPerTrigger: Int,
+                  widthFloor: Int = 2)
                  (xform: org.apache.spark.sql.DataFrame
                     => org.apache.spark.sql.DataFrame): Double = {
       import java.nio.file.{Files, Paths}
@@ -413,7 +417,7 @@ object Bench {
         // see StreamingPipeline.withStreamShuffleWidth for the
         // measured 3–6× per-batch fixed-cost evidence
         try graft.streaming.StreamingPipeline
-          .withStreamShuffleWidth(spark, maxFilesPerTrigger) {
+          .withStreamShuffleWidth(spark, maxFilesPerTrigger, widthFloor) {
           val stream = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", maxFilesPerTrigger).json(in)
           val q = xform(stream).writeStream.format("noop")
@@ -598,7 +602,7 @@ object Bench {
           StructField("event_type", StringType),
           StructField("event_id", org.apache.spark.sql.types.LongType)))
         (twinDrain("quota_stream", rows, schema,
-          nFiles = 16, maxFilesPerTrigger = 2) { df =>
+          nFiles = 16, maxFilesPerTrigger = 2, widthFloor = 8) { df =>
           graft.streaming.StreamingPipeline.quotaLimitPipeline(
             df, windowSeconds = 60, cap = 3)
         }, rows.length)
@@ -622,7 +626,7 @@ object Bench {
           StructField("ts", TimestampType),
           StructField("event_type", StringType)))
         (twinDrain("funnel_stream", rows, schema,
-          nFiles = 16, maxFilesPerTrigger = 2) { df =>
+          nFiles = 16, maxFilesPerTrigger = 2, widthFloor = 8) { df =>
           graft.streaming.StreamingPipeline.funnelPipeline(
             df, Seq("view", "click", "purchase"), 2L * 86400L)
         }, rows.length)
@@ -668,7 +672,7 @@ object Bench {
           StructField("event_id", org.apache.spark.sql.types.LongType),
           StructField("event_type", StringType)))
         (twinDrain("scd2_stream", rows, schema,
-          nFiles = 16, maxFilesPerTrigger = 2) { df =>
+          nFiles = 16, maxFilesPerTrigger = 2, widthFloor = 8) { df =>
           graft.streaming.StreamingPipeline.scd2Pipeline(df)
         }, rows.length)
       }
@@ -708,9 +712,9 @@ object Bench {
           }
           val t0 = System.nanoTime()
           // batch-scoped stateful width (see twinDrain's note); one
-          // val feeds both the option and the width
+          // val feeds both the option and the width; TWS floor 8
           val mft = 2
-          try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, mft) {
+          try graft.streaming.StreamingPipeline.withStreamShuffleWidth(spark, mft, floor = 8) {
             def src(dir: String) = spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", mft).json(dir)
             val q = graft.streaming.StreamingPipeline.asofPipeline(

@@ -199,11 +199,12 @@ object StreamingPipeline {
     * 24.8 → 7.4 s at width 32 → 8; quotaLimitPipeline (RocksDB)
     * 25.2 → 8.1 s. The r19 round probed the remaining floor
     * (tools/provider_width_probe.scala, same layout): width 8 → 2 is a
-    * further 1.2–1.8× on every stateful drain (rolling_distinct
+    * further 1.2–1.8× on every CLASSIC stateful drain (rolling_distinct
     * 15.3 → 9.0, novelty 8.3 → 4.5, hll 5.5 → 3.8, session 6.3 → 4.3,
-    * anomaly 4.7 → 3.9; quota/TWS 6.0 → 5.7) — per-batch fixed cost is
-    * linear in state-store instances all the way down, so the floor is
-    * the MINIMUM parallelism (2), not a knee. Results are
+    * anomaly 4.7 → 3.9) — their per-batch fixed cost is linear in
+    * state-store instances all the way down, so the floor is the
+    * MINIMUM parallelism (2), not a knee. transformWithState drains
+    * are the OPPOSITE — see `floor` in the body. Results are
     * width-independent — keys hash-partition identically at any width,
     * watermarks are global, and monitoring counters are row/group
     * counts (oracle-rechecked at 3 SFs for the drain-executing
@@ -213,15 +214,24 @@ object StreamingPipeline {
     * start); the previous width is restored after `body` returns —
     * drains are serial per session, the admissionPipeline contract. */
   def withStreamShuffleWidth[A](spark: SparkSession,
-                                maxFilesPerTrigger: Int)(body: => A): A = {
+                                maxFilesPerTrigger: Int,
+                                floor: Int = 2)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // floor 2, NOT the foreachBatch pipelines' floor 8: a pure-stream
-    // drain's stateful exchanges carry near-trivial per-batch compute,
-    // so instance count is everything; the foreachBatch admission
-    // batches do real work per exchange (minhash/encode over the whole
-    // batch) and measurably LOSE below width 8 (r19 probe)
+    // floor 2 for the CLASSIC stateful operators (windowed agg / dedup
+    // / session / FMGWS): a partial aggregate runs BEFORE their
+    // stateful exchange, so only GROUPS reach the state store and
+    // instance count is everything. Two floors are NOT 2:
+    //  - transformWithState drains pass floor 8 — TWS runs its handler
+    //    PER ROW (nothing pre-aggregates ahead of its exchange), so
+    //    state work needs parallel width: at floor 2 the full-bench
+    //    quota drain regressed 5.1 → 7.9–9.0 s and scd2 4.2 → 6.4–6.9
+    //    across two runs (r19), while the classic drains improved
+    //    1.2–1.8×.
+    //  - the foreachBatch pipelines keep their own inline floor 8 —
+    //    their batch-local exchanges carry real per-batch compute
+    //    (minhash/encode) and measurably lose below 8 (r19 probe).
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(2, maxFilesPerTrigger).toString)
+      math.max(floor, maxFilesPerTrigger).toString)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
